@@ -1,0 +1,13 @@
+package graft
+
+/** Single source of truth: every declared query (SURVEY §2.12 + extensions)
+  * with its oracle. SparkEntry/Verify/Bench all derive from this map.
+  */
+object Registry {
+  val all: Map[String, QueryDef] =
+    queries.RelationalCore.defs ++
+    queries.RelationalAgg.defs ++
+    queries.RelationalPipeline.defs
+
+  def headline: Map[String, QueryDef] = all.filter(_._2.headline)
+}

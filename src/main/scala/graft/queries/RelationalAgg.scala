@@ -1,0 +1,263 @@
+package graft.queries
+
+import graft.{Canon, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.12 Q13–Q22: aggregations A1–A6, windows W1–W4, sorts/limits
+  * O1–O3, set ops, and the upsert pattern (reference S5,
+  * `Server/main.go:112-120`).
+  *
+  * All aggregates are Spark's default partial+final hash aggregate
+  * (map-side combine ⇒ the shuffle carries one row per (partition, group),
+  * not per input row — the property that keeps these viable at 100 TB).
+  * Money math follows Canon (exact integer cents) so results are identical
+  * on any partition count / executor count.
+  */
+object RelationalAgg {
+  import Canon._
+  private def $(name: String) = col(name)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Q13 [A2] TPC-H Q1 shape: the canonical scan-heavy group-by. 4 groups,
+    // so the partial aggregate collapses ~everything map-side; the shuffle
+    // is 4 rows × partitions regardless of SF. Averages are floor-division
+    // integer cents (Canon).
+    "q13_tpch_q1" -> QueryDef(
+      build = (s, d) =>
+        Tables.lineitem(s, d)
+          .filter($("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+          .groupBy($("l_returnflag"), $("l_linestatus"))
+          .agg(
+            sum(cents($("l_quantity"))).as("sum_qty_c"),
+            sum(cents($("l_extendedprice"))).as("sum_base_c"),
+            // disc_price = ext*(1-disc): cents*(100-disc_cents) = 1e-4 $
+            sum(cents($("l_extendedprice")) * (lit(100) - cents($("l_discount"))))
+              .as("sum_disc_u"),
+            // charge = ext*(1-disc)*(1+tax): 1e-6 $ units
+            sum(cents($("l_extendedprice")) * (lit(100) - cents($("l_discount")))
+              * (lit(100) + cents($("l_tax")))).as("sum_charge_u"),
+            count(lit(1)).as("count_order"))
+          .withColumn("avg_qty_c", expr("sum_qty_c div count_order"))
+          .withColumn("avg_price_c", expr("sum_base_c div count_order"))
+          .select($("l_returnflag"), $("l_linestatus"),
+            asDollars($("sum_qty_c")).as("sum_qty"),
+            asDollars($("sum_base_c")).as("sum_base_price"),
+            asDollars($("sum_disc_u"), 4).as("sum_disc_price"),
+            asDollars($("sum_charge_u"), 6).as("sum_charge"),
+            asDollars($("avg_qty_c")).as("avg_qty"),
+            asDollars($("avg_price_c")).as("avg_price"),
+            $("count_order"))
+          .orderBy($("l_returnflag"), $("l_linestatus")),
+      oracle = Some {
+        val qc = centsSql("l_quantity"); val ec = centsSql("l_extendedprice")
+        val dc = centsSql("l_discount"); val tc = centsSql("l_tax")
+        s"""SELECT l_returnflag, l_linestatus,
+           |  (sum_qty_c / 100) AS sum_qty, (sum_base_c / 100) AS sum_base_price,
+           |  (sum_disc_u / 10000) AS sum_disc_price,
+           |  (sum_charge_u / 1000000) AS sum_charge,
+           |  ((sum_qty_c // count_order) / 100) AS avg_qty,
+           |  ((sum_base_c // count_order) / 100) AS avg_price,
+           |  count_order
+           |FROM (
+           |  SELECT l_returnflag, l_linestatus,
+           |    sum($qc) AS sum_qty_c, sum($ec) AS sum_base_c,
+           |    sum($ec * (100 - $dc)) AS sum_disc_u,
+           |    sum($ec * (100 - $dc) * (100 + $tc)) AS sum_charge_u,
+           |    count(*) AS count_order
+           |  FROM lineitem
+           |  WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+           |  GROUP BY l_returnflag, l_linestatus)
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin
+      },
+      headline = true),
+
+    // Q14 [A3] distinct + count distinct. countDistinct expands to a
+    // two-stage aggregate; at scale prefer approx_count_distinct (Q15)
+    // when ±2% suffices.
+    "q14_count_distinct" -> QueryDef(
+      build = (s, d) =>
+        Tables.orders(s, d)
+          .groupBy($("o_orderstatus"))
+          .agg(countDistinct($("o_custkey")).as("n_cust"),
+            count(lit(1)).as("n_orders"))
+          .orderBy($("o_orderstatus")),
+      oracle = Some(
+        """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+          |  count(*) AS n_orders
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Q15 [A4] approx_count_distinct (HLL++). Estimators differ across
+    // engines, so the hashed contract is the *bound*: approx within ±5% of
+    // exact ⇒ ok=true, plus the exact count itself.
+    "q15_approx_distinct" -> QueryDef(
+      build = (s, d) =>
+        Tables.orders(s, d)
+          .agg(approx_count_distinct($("o_custkey"), 0.02).as("approx_n"),
+            countDistinct($("o_custkey")).as("exact_n"))
+          .select(
+            ($("approx_n") >= $("exact_n") * 0.95 &&
+             $("approx_n") <= $("exact_n") * 1.05).as("ok"),
+            $("exact_n")),
+      oracle = Some(
+        "SELECT true AS ok, count(DISTINCT o_custkey) AS exact_n FROM orders")),
+
+    // Q16 [A5] ROLLUP over nation × order status. NULL group markers are
+    // COALESCEd to 'ALL' so ordering semantics can't diverge between
+    // engines (DuckDB defaults NULLS LAST on ASC, Spark NULLS FIRST).
+    "q16_rollup" -> QueryDef(
+      build = (s, d) => {
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        o.join(broadcast(c), $("o_custkey") === $("c_custkey"))
+          .join(broadcast(n), $("c_nationkey") === $("n_nationkey"))
+          .rollup($("n_name"), $("o_orderstatus"))
+          .agg(count(lit(1)).as("n"))
+          .select(coalesce($("n_name"), lit("ALL")).as("nation"),
+            coalesce($("o_orderstatus"), lit("ALL")).as("status"), $("n"))
+          .orderBy($("nation"), $("status"))
+      },
+      oracle = Some(
+        """SELECT coalesce(n_name, 'ALL') AS nation,
+          |  coalesce(o_orderstatus, 'ALL') AS status, count(*) AS n
+          |FROM orders
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY ROLLUP(n_name, o_orderstatus)
+          |ORDER BY nation, status""".stripMargin)),
+
+    // Q17 [A6] collect_list — the reference's []User materialization
+    // (Server/main.go:240-247). Sorted then joined to a string so the hash
+    // is insensitive to arrival order; rendered as text because nested-array
+    // hashing differs across engines. collect_list is the one agg whose
+    // state grows with group size — at 100 TB, cap with slice() or prefer
+    // top-k patterns (Q18).
+    "q17_collect_list" -> QueryDef(
+      build = (s, d) =>
+        Tables.orders(s, d)
+          .filter($("o_custkey") % 10 === 0)
+          .groupBy($("o_custkey"))
+          .agg(expr(
+            "array_join(transform(sort_array(collect_list(o_orderkey)), x -> cast(x AS string)), ',')")
+            .as("order_keys"))
+          .orderBy($("o_custkey")),
+      oracle = Some(
+        """SELECT o_custkey,
+          |  array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
+          |FROM orders WHERE o_custkey % 10 = 0
+          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // Q18 [W1] ranking window: top-3 orders per customer. At scale this is
+    // the shuffle-once pattern that replaces per-group sorts; skewed
+    // customers are handled by AQE.
+    "q18_window_rank" -> QueryDef(
+      build = (s, d) => {
+        val w = Window.partitionBy($("o_custkey"))
+          .orderBy(desc("o_totalprice"), $("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter($("rn") <= 3)
+          .select($("o_custkey"), $("rn"), $("o_orderkey"),
+            cents($("o_totalprice")).as("price_cents"))
+          .orderBy($("o_custkey"), $("rn"))
+      },
+      oracle = Some(
+        s"""SELECT o_custkey, rn, o_orderkey, ${centsSql("o_totalprice")} AS price_cents
+           |FROM (SELECT *, row_number() OVER (
+           |        PARTITION BY o_custkey
+           |        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           |      FROM orders)
+           |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // Q19 [W2] lag: price delta between a customer's consecutive orders.
+    // Delta in integer cents; first row per customer is NULL on both engines.
+    "q19_window_lag" -> QueryDef(
+      build = (s, d) => {
+        val w = Window.partitionBy($("o_custkey"))
+          .orderBy($("o_orderdate"), $("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("pc", cents($("o_totalprice")))
+          .withColumn("delta_cents", $("pc") - lag($("pc"), 1).over(w))
+          .select($("o_custkey"), $("o_orderkey"), $("delta_cents"))
+          .orderBy($("o_custkey"), $("o_orderkey"))
+      },
+      oracle = Some {
+        val pc = centsSql("o_totalprice")
+        s"""SELECT o_custkey, o_orderkey,
+           |  $pc - lag($pc, 1) OVER (
+           |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta_cents
+           |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+      }),
+
+    // Q20 [W3,W4] running rows-frame sum + 30-day range frame. The range
+    // frame orders by epoch seconds so both engines use identical integer
+    // range arithmetic.
+    "q20_window_frames" -> QueryDef(
+      build = (s, d) => {
+        val byDate = Window.partitionBy($("o_custkey"))
+          .orderBy($("o_orderdate"), $("o_orderkey"))
+        val range30d = Window.partitionBy($("o_custkey"))
+          .orderBy($("epoch_s"))
+          .rangeBetween(-30L * 86400, 0)
+        Tables.orders(s, d)
+          .withColumn("pc", cents($("o_totalprice")))
+          .withColumn("epoch_s", unix_timestamp($("o_orderdate")))
+          .withColumn("run_cents",
+            sum($("pc")).over(byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("win30_cents", sum($("pc")).over(range30d))
+          .select($("o_custkey"), $("o_orderkey"), $("run_cents"), $("win30_cents"))
+          .orderBy($("o_custkey"), $("o_orderkey"))
+      },
+      oracle = Some {
+        val pc = centsSql("o_totalprice")
+        s"""SELECT o_custkey, o_orderkey,
+           |  sum($pc) OVER (PARTITION BY o_custkey
+           |    ORDER BY o_orderdate, o_orderkey
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents,
+           |  sum($pc) OVER (PARTITION BY o_custkey
+           |    ORDER BY epoch(o_orderdate)
+           |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS win30_cents
+           |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+      }),
+
+    // Q21 [O2,O3] global top-10 by price — Spark plans TakeOrderedAndProject
+    // (per-partition top-k + driver merge; no global sort, no full shuffle).
+    "q21_topk" -> QueryDef(
+      build = (s, d) =>
+        Tables.orders(s, d)
+          .orderBy(desc("o_totalprice"), $("o_orderkey"))
+          .limit(10)
+          .select($("o_orderkey"), $("o_custkey"),
+            cents($("o_totalprice")).as("price_cents")),
+      oracle = Some(
+        s"""SELECT o_orderkey, o_custkey, ${centsSql("o_totalprice")} AS price_cents
+           |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // Q22 [set ops] UNION ALL / INTERSECT / EXCEPT over customer key sets,
+    // tagged and stacked so one deterministic result covers all three.
+    "q22_set_ops" -> QueryDef(
+      build = (s, d) => {
+        val o = Tables.orders(s, d)
+        val open   = o.filter($("o_orderstatus") === "O").select($("o_custkey")).distinct()
+        val closed = o.filter($("o_orderstatus") === "F").select($("o_custkey")).distinct()
+        val parts = Seq(
+          ("union",     open.union(closed).distinct()),
+          ("intersect", open.intersect(closed)),
+          ("except",    open.except(closed)))
+        parts.map { case (tag, df) => df.select(lit(tag).as("op"), $("o_custkey")) }
+          .reduce(_ union _)
+          .orderBy($("op"), $("o_custkey"))
+      },
+      oracle = Some(
+        """WITH open AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+          |     closed AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+          |SELECT 'union' AS op, o_custkey FROM (SELECT o_custkey FROM open UNION SELECT o_custkey FROM closed)
+          |UNION ALL
+          |SELECT 'intersect', o_custkey FROM (SELECT o_custkey FROM open INTERSECT SELECT o_custkey FROM closed)
+          |UNION ALL
+          |SELECT 'except', o_custkey FROM (SELECT o_custkey FROM open EXCEPT SELECT o_custkey FROM closed)
+          |ORDER BY op, o_custkey""".stripMargin))
+  )
+}

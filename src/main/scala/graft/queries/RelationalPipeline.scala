@@ -1,0 +1,217 @@
+package graft.queries
+
+import graft.{Canon, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.12 Q23–Q25, Q29, Q30: the reference's pipeline semantics
+  * (upsert S5, keyed update-in-place S6, the scalar/JSON kit F1–F9) plus the
+  * tumbling-window batch equivalent and the flagship query.
+  *
+  * The employee "table" is a deterministic view over `customer` (the driver
+  * testdata has no employee parquet): id=c_custkey, age/yearsofexp derived,
+  * salary = acctbal in integer cents. The stand-in transform is FIXTURES.md
+  * A.4: new_salary = salary + 1000*yearsofexp.
+  */
+object RelationalPipeline {
+  import Canon._
+  private def $(name: String) = col(name)
+
+  /** Employee-shaped view (FIXTURES.md A.1) derived from customer. */
+  def employeeView(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      $("c_custkey").as("id"),
+      $("c_name").as("name"),
+      (lit(20) + ($("c_custkey") % 40)).cast("int").as("age"),
+      ($("c_nationkey") % 30).cast("int").as("yearsofexp"),
+      cents($("c_acctbal")).as("salary"),
+      $("c_mktsegment").as("segment"))
+
+  private val employeeSql: String =
+    s"""SELECT c_custkey AS id, c_name AS name,
+       |  CAST(20 + (c_custkey % 40) AS INT) AS age,
+       |  CAST(c_nationkey % 30 AS INT) AS yearsofexp,
+       |  ${centsSql("c_acctbal")} AS salary,
+       |  c_mktsegment AS segment
+       |FROM customer""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Q23 [S6] keyed update-in-place: the salary pipeline
+    // (Server/main.go:284-320) re-expressed as ONE distributed job: scan →
+    // pure transform (stand-in for the remote service) → join-overwrite.
+    // The reference does this N+1-style, one HTTP call + one UPDATE per row;
+    // here the "write-back" is a broadcast-joined overwrite — at 100 TB the
+    // updates side is keyed and merged (MERGE INTO on a table format), never
+    // a per-row point write.
+    "q23_salary_update" -> QueryDef(
+      build = (s, d) => {
+        val emp = employeeView(s, d)
+        val updates = emp.filter($("segment") === "BUILDING")
+          .select($("id").as("u_id"),
+            ($("salary") + lit(1000L) * $("yearsofexp")).as("new_salary"))
+        emp.join(updates, $("id") === $("u_id"), "left")
+          .select($("id"), $("name"),
+            $("salary").as("old_salary"),
+            coalesce($("new_salary"), $("salary")).as("salary"))
+          .orderBy($("id"))
+      },
+      oracle = Some(
+        s"""WITH emp AS ($employeeSql),
+           |updates AS (
+           |  SELECT id AS u_id, salary + 1000 * yearsofexp AS new_salary
+           |  FROM emp WHERE segment = 'BUILDING')
+           |SELECT id, name, salary AS old_salary,
+           |  coalesce(new_salary, salary) AS salary
+           |FROM emp LEFT JOIN updates ON id = u_id
+           |ORDER BY id""".stripMargin)),
+
+    // Q23b [S5] upsert-on-miss — the reference's login-as-registration
+    // (Server/main.go:112-120): incoming records replace matches and insert
+    // misses. anti-join + union ≡ MERGE WHEN (NOT) MATCHED.
+    "q23b_upsert" -> QueryDef(
+      build = (s, d) => {
+        val emp = employeeView(s, d)
+        val base = emp.filter($("id") <= 1000)
+          .select($("id"), $("name"), $("salary"))
+        val incoming = emp.filter($("id") > 800 && $("id") <= 1200)
+          .select($("id"), concat(lit("upd_"), $("name")).as("name"),
+            ($("salary") + 1).as("salary"))
+        val kept = base.join(incoming, Seq("id"), "left_anti")
+        kept.union(incoming)
+          .orderBy($("id"))
+      },
+      oracle = Some(
+        s"""WITH emp AS ($employeeSql),
+           |base AS (SELECT id, name, salary FROM emp WHERE id <= 1000),
+           |incoming AS (SELECT id, 'upd_' || name AS name, salary + 1 AS salary
+           |             FROM emp WHERE id > 800 AND id <= 1200)
+           |SELECT id, name, salary FROM base
+           |WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.id = base.id)
+           |UNION ALL SELECT id, name, salary FROM incoming
+           |ORDER BY id""".stripMargin)),
+
+    // Q24 [F1-F4,F7,F15] the reference's access-log rendering
+    // (Server/main.go:171-176) + X-Forwarded-For first-hop parse
+    // (Server/main.go:158-162), over events. The forwarded chain is
+    // synthesized deterministically from user_id.
+    "q24_log_format" -> QueryDef(
+      build = (s, d) =>
+        Tables.events(s, d)
+          .filter($("event_id") % 7 === 0)
+          .withColumn("fwd",
+            concat(lit("10.0."), ($("user_id") % 256).cast("string"),
+              lit(".1 , 192.168.1.1,127.0.0.1")))
+          .select(
+            $("event_id"),
+            trim(element_at(split($("fwd"), ","), 1)).as("client_ip"),
+            format_string("%s - - [%s] \"%s /%s %s\" %d",
+              trim(element_at(split($("fwd"), ","), 1)),
+              date_format($("ts"), "dd/MMM/yyyy HH:mm:ss"),
+              lit("POST"), $("event_type"), lit("HTTP/1.1"),
+              cents($("value"))).as("log_line"))
+          .orderBy($("event_id")),
+      oracle = Some(
+        s"""SELECT event_id,
+           |  trim(string_split(fwd, ',')[1]) AS client_ip,
+           |  printf('%s - - [%s] "%s /%s %s" %d',
+           |    trim(string_split(fwd, ',')[1]),
+           |    strftime(ts, '%d/%b/%Y %H:%M:%S'),
+           |    'POST', event_type, 'HTTP/1.1',
+           |    ${centsSql("value")}) AS log_line
+           |FROM (SELECT *, '10.0.' || CAST(user_id % 256 AS VARCHAR)
+           |        || '.1 , 192.168.1.1,127.0.0.1' AS fwd
+           |      FROM events WHERE event_id % 7 = 0)
+           |ORDER BY event_id""".stripMargin)),
+
+    // Q25 [F8,F9] JSON drift round-trip (SURVEY §1.3): decode events.props
+    // with a WIDER schema than the payload — unknown fields dropped, missing
+    // fields zero-filled (Go zero-value semantics, not SQL NULL) — then
+    // re-encode. from_json + coalesce reproduces encoding/json exactly.
+    "q25_json_drift" -> QueryDef(
+      build = (s, d) => {
+        val wire = StructType(Seq(
+          StructField("name", StringType),
+          StructField("age", IntegerType),
+          StructField("k", IntegerType)))
+        Tables.events(s, d)
+          .withColumn("decoded", from_json($("props"), wire))
+          .select(
+            $("event_id"),
+            coalesce($("decoded.name"), lit("")).as("name"),
+            coalesce($("decoded.age"), lit(0)).as("age"),
+            coalesce($("decoded.k"), lit(0)).as("k"))
+          .withColumn("reencoded",
+            concat(lit("{\"name\":\""), $("name"), lit("\",\"age\":"),
+              $("age").cast("string"), lit(",\"k\":"),
+              $("k").cast("string"), lit("}")))
+          .orderBy($("event_id"))
+      },
+      oracle = Some(
+        """SELECT event_id,
+          |  coalesce(json_extract_string(props, '$.name'), '') AS name,
+          |  coalesce(CAST(json_extract(props, '$.age') AS INT), 0) AS age,
+          |  coalesce(CAST(json_extract(props, '$.k') AS INT), 0) AS k,
+          |  '{"name":"' || coalesce(json_extract_string(props, '$.name'), '')
+          |    || '","age":' || coalesce(CAST(json_extract(props, '$.age') AS INT), 0)
+          |    || ',"k":' || coalesce(CAST(json_extract(props, '$.k') AS INT), 0)
+          |    || '}' AS reencoded
+          |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Q29 [T5 batch twin] tumbling 1-hour event-time window. Batch-mode
+    // equivalent of the Structured Streaming window agg (streaming/), so the
+    // same result is oracle-checkable. Value sums in exact cents.
+    "q29_tumbling_window" -> QueryDef(
+      build = (s, d) =>
+        Tables.events(s, d)
+          .groupBy(window($("ts"), "1 hour").as("w"), $("event_type"))
+          .agg(count(lit(1)).as("n"), sum(cents($("value"))).as("val_cents"))
+          .select($("w.start").as("hour_start"), $("event_type"), $("n"),
+            asDollars($("val_cents")).as("val_sum"))
+          .orderBy($("hour_start"), $("event_type")),
+      oracle = Some(
+        s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           |  count(*) AS n, (sum(${centsSql("value")}) / 100) AS val_sum
+           |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)),
+
+    // Q30 [flagship: A2+J3+W1] nation × year revenue with in-nation rank:
+    // star join (dims broadcast) → hash agg → window. The single shuffle of
+    // lineitem (on l_orderkey) is the only data movement proportional to SF.
+    "q30_nation_year_rank" -> QueryDef(
+      build = (s, d) => {
+        val n = Tables.nation(s, d)
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        val l = Tables.lineitem(s, d)
+        val w = Window.partitionBy($("n_name")).orderBy(desc("rev_u"), $("o_year"))
+        l.join(o, $("l_orderkey") === $("o_orderkey"))
+          .join(broadcast(c), $("o_custkey") === $("c_custkey"))
+          .join(broadcast(n), $("c_nationkey") === $("n_nationkey"))
+          .groupBy($("n_name"), year($("o_orderdate")).as("o_year"))
+          .agg(sum(cents($("l_extendedprice")) * (lit(100) - cents($("l_discount"))))
+            .as("rev_u"))
+          .withColumn("rnk", row_number().over(w))
+          .select($("n_name"), $("o_year"), asDollars($("rev_u"), 4).as("revenue"),
+            $("rnk"))
+          .orderBy($("n_name"), $("rnk"))
+      },
+      oracle = Some {
+        val ec = centsSql("l_extendedprice"); val dc = centsSql("l_discount")
+        s"""SELECT n_name, o_year, (rev_u / 10000) AS revenue, rnk FROM (
+           |  SELECT n_name, o_year, rev_u,
+           |    row_number() OVER (PARTITION BY n_name ORDER BY rev_u DESC, o_year) AS rnk
+           |  FROM (
+           |    SELECT n_name, year(o_orderdate) AS o_year,
+           |      sum($ec * (100 - $dc)) AS rev_u
+           |    FROM lineitem
+           |    JOIN orders ON l_orderkey = o_orderkey
+           |    JOIN customer ON o_custkey = c_custkey
+           |    JOIN nation ON c_nationkey = n_nationkey
+           |    GROUP BY n_name, year(o_orderdate)))
+           |ORDER BY n_name, rnk""".stripMargin
+      },
+      headline = true)
+  )
+}
