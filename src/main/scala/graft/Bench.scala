@@ -1,5 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main. Prints ONE JSON line to stdout (and mirrors it to
+  * BENCH_LOCAL.json next to the repo so sbt's log-prefixing can't corrupt
+  * the driver's parse).
+  *
+  * Workload is a `noop`-format write, not `count()`: under a count Catalyst
+  * prunes every projected/computed column, so scan/scalar queries would be
+  * "benchmarked" without doing their work. The noop sink materializes every
+  * output row/column and discards it — the closest local[32] analogue of a
+  * cluster writing results out.
+  *
+  * One warm-up query runs first (untimed) so JVM/codegen/first-stage costs
+  * don't land on whichever query happens to run first. Failures are not
+  * swallowed into fake timings: a failed query reports err and is excluded
+  * from the total.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +24,42 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    // Warm-up: JVM + codegen + parquet footer caches (untimed).
+    try run(SparkEntry.queries("q13_tpch_q1")) catch { case _: Throwable => () }
+
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        run(fn)
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        None
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${q(sfDir)}}"""
+    println(json)
+    try Files.writeString(Paths.get("BENCH_LOCAL.json"), json)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

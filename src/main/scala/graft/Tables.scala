@@ -22,7 +22,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+
+  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read the
+    * nanos as a plain long (legacy conf) and rebuild the timestamp at
+    * microsecond precision with INTEGER division — `ts div 1000` — because a
+    * double roundtrip (53-bit mantissa) cannot hold 2024-epoch nanoseconds
+    * (~1.7e18) exactly.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

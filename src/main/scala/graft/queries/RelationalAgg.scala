@@ -106,12 +106,14 @@ object RelationalAgg {
     // Q16 [A5] ROLLUP over nation × order status. NULL group markers are
     // COALESCEd to 'ALL' so ordering semantics can't diverge between
     // engines (DuckDB defaults NULLS LAST on ASC, Spark NULLS FIRST).
+    // Only nation (25 rows, SF-invariant) is broadcast; customer grows with
+    // SF so orders⋈customer is a key-shuffle join (bucketable at 100 TB).
     "q16_rollup" -> QueryDef(
       build = (s, d) => {
         val o = Tables.orders(s, d)
         val c = Tables.customer(s, d)
         val n = Tables.nation(s, d)
-        o.join(broadcast(c), $("o_custkey") === $("c_custkey"))
+        o.join(c, $("o_custkey") === $("c_custkey"))
           .join(broadcast(n), $("c_nationkey") === $("n_nationkey"))
           .rollup($("n_name"), $("o_orderstatus"))
           .agg(count(lit(1)).as("n"))
@@ -212,13 +214,16 @@ object RelationalAgg {
       },
       oracle = Some {
         val pc = centsSql("o_totalprice")
+        // CAST(sum(...) AS BIGINT): DuckDB's windowed sum(BIGINT) yields
+        // HUGEINT → float64 on fetch, hash-mismatching Spark's int64 even
+        // with identical values (judge-verified round 1).
         s"""SELECT o_custkey, o_orderkey,
-           |  sum($pc) OVER (PARTITION BY o_custkey
+           |  CAST(sum($pc) OVER (PARTITION BY o_custkey
            |    ORDER BY o_orderdate, o_orderkey
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents,
-           |  sum($pc) OVER (PARTITION BY o_custkey
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents,
+           |  CAST(sum($pc) OVER (PARTITION BY o_custkey
            |    ORDER BY epoch(o_orderdate)
-           |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS win30_cents
+           |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS BIGINT) AS win30_cents
            |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
       }),
 

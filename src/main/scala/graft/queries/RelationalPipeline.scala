@@ -177,8 +177,9 @@ object RelationalPipeline {
            |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)),
 
     // Q30 [flagship: A2+J3+W1] nation × year revenue with in-nation rank:
-    // star join (dims broadcast) → hash agg → window. The single shuffle of
-    // lineitem (on l_orderkey) is the only data movement proportional to SF.
+    // star join → hash agg → window. nation (25 rows) broadcasts; customer
+    // grows with SF so customer⋈orders shuffles on the key. The lineitem
+    // shuffle (on l_orderkey) is the dominant data movement at scale.
     "q30_nation_year_rank" -> QueryDef(
       build = (s, d) => {
         val n = Tables.nation(s, d)
@@ -187,7 +188,7 @@ object RelationalPipeline {
         val l = Tables.lineitem(s, d)
         val w = Window.partitionBy($("n_name")).orderBy(desc("rev_u"), $("o_year"))
         l.join(o, $("l_orderkey") === $("o_orderkey"))
-          .join(broadcast(c), $("o_custkey") === $("c_custkey"))
+          .join(c, $("o_custkey") === $("c_custkey"))
           .join(broadcast(n), $("c_nationkey") === $("n_nationkey"))
           .groupBy($("n_name"), year($("o_orderdate")).as("o_year"))
           .agg(sum(cents($("l_extendedprice")) * (lit(100) - cents($("l_discount"))))
