@@ -7,7 +7,10 @@ object Registry {
   val all: Map[String, QueryDef] =
     queries.RelationalCore.defs ++
     queries.RelationalAgg.defs ++
-    queries.RelationalPipeline.defs
+    queries.RelationalPipeline.defs ++
+    queries.LlmSimilarity.defs ++
+    queries.LlmDedup.defs ++
+    queries.LlmText.defs
 
   def headline: Map[String, QueryDef] = all.filter(_._2.headline)
 }

@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.12 Q28 + extensions: text analysis over `documents`
+  * (north-star surface — tokenization, quality scoring, language ID,
+  * document fingerprinting).
+  *
+  * Everything hashes: token counts and ratios are integer arithmetic with a
+  * single final IEEE division; the fingerprint is a left-fold polynomial
+  * rolling hash mod 1e9+7 (integer, order-defined) computed identically in
+  * DuckDB via list_reduce.
+  *
+  * Scale: all per-document work is embarrassingly parallel projections; the
+  * only shuffles are the word-count groupBy (combinable, low cardinality)
+  * and final sorts.
+  */
+object LlmText {
+  private def $(name: String) = col(name)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Q28 [extension: quality scoring + fingerprint] per-document stats:
+    // token counts, distinct-token ratio, stopword ratio, mean token length,
+    // and a polynomial rolling-hash fingerprint of the full text.
+    "q28_text_stats" -> QueryDef(
+      build = (s, d) => {
+        val w = split($("text"), " ")
+        val stop = array(lit("the"), lit("a"))
+        Tables.documents(s, d)
+          .withColumn("w", w)
+          .withColumn("n_tokens", size($("w")).cast("long"))
+          .withColumn("n_uniq", size(array_distinct($("w"))).cast("long"))
+          .withColumn("n_stop",
+            size(filter($("w"), t => array_contains(stop, t))).cast("long"))
+          .withColumn("uniq_ratio", $("n_uniq").cast("double") / $("n_tokens").cast("double"))
+          .withColumn("stop_ratio", $("n_stop").cast("double") / $("n_tokens").cast("double"))
+          .withColumn("mean_tok_len",
+            aggregate($("w"), lit(0L), (acc, t) => acc + length(t).cast("long"))
+              .cast("double") / $("n_tokens").cast("double"))
+          .withColumn("fingerprint",
+            aggregate(split($("text"), ""), lit(0L),
+              (acc, c) => (acc * 31 + ascii(c)) % 1000000007L))
+          .select($("doc_id"), $("n_tokens"), $("n_uniq"), $("n_stop"),
+            $("uniq_ratio"), $("stop_ratio"), $("mean_tok_len"), $("fingerprint"))
+          .orderBy($("doc_id"))
+      },
+      oracle = Some(
+        """SELECT doc_id,
+          |  CAST(len(w) AS BIGINT) AS n_tokens,
+          |  CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+          |  CAST(len(list_filter(w, t -> t IN ('the','a'))) AS BIGINT) AS n_stop,
+          |  CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS uniq_ratio,
+          |  CAST(len(list_filter(w, t -> t IN ('the','a'))) AS DOUBLE)
+          |    / CAST(len(w) AS DOUBLE) AS stop_ratio,
+          |  CAST(list_reduce(list_prepend(0::BIGINT,
+          |      list_transform(w, t -> CAST(length(t) AS BIGINT))), (a,b) -> a+b) AS DOUBLE)
+          |    / CAST(len(w) AS DOUBLE) AS mean_tok_len,
+          |  list_reduce(list_prepend(0::BIGINT,
+          |      list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+          |    (a,b) -> (a*31+b) % 1000000007) AS fingerprint
+          |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+          |ORDER BY doc_id""".stripMargin),
+      headline = true),
+
+    // Q28b [extension: tokenize + explode + count] corpus word frequencies
+    // per lang — explode then combinable hash agg (map-side partial), the
+    // canonical distributed word count.
+    "q28b_wordcount" -> QueryDef(
+      build = (s, d) =>
+        Tables.documents(s, d)
+          .select($("lang"), explode(split($("text"), " ")).as("word"))
+          .groupBy($("lang"), $("word"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy($("lang"), desc("cnt"), $("word")),
+      oracle = Some(
+        """SELECT lang, word, count(*) AS cnt
+          |FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+          |GROUP BY lang, word ORDER BY lang, cnt DESC, word""".stripMargin)),
+
+    // Q28c [extension: language ID] n-gram/stopword-profile heuristic:
+    // score = |tokens ∩ profile| per language, predict argmax with a
+    // deterministic tie-break on profile order. (The synthetic corpus shares
+    // one vocabulary, so scores tie a lot — the tie-break IS the semantics
+    // under test; integer scores keep it hash-stable.)
+    "q28c_lang_id" -> QueryDef(
+      build = (s, d) => {
+        val profiles = Seq(
+          ("en", Seq("the", "a", "fast", "slow", "big", "small")),
+          ("es", Seq("data", "table", "row", "column")),
+          ("fr", Seq("query", "filter", "join", "group")))
+        val w = array_distinct(split($("text"), " "))
+        var df = Tables.documents(s, d).withColumn("w", w)
+        for ((lang, prof) <- profiles) {
+          val arr = array(prof.map(lit): _*)
+          df = df.withColumn(s"score_$lang", size(array_intersect($("w"), arr)).cast("long"))
+        }
+        df.withColumn("pred_lang",
+          when($("score_en") >= $("score_es") && $("score_en") >= $("score_fr"), "en")
+            .when($("score_es") >= $("score_fr"), "es")
+            .otherwise("fr"))
+          .select($("doc_id"), $("lang"), $("score_en"), $("score_es"), $("score_fr"),
+            $("pred_lang"))
+          .orderBy($("doc_id"))
+      },
+      oracle = Some(
+        """SELECT doc_id, lang,
+          |  CAST(len(list_intersect(w, ['the','a','fast','slow','big','small'])) AS BIGINT) AS score_en,
+          |  CAST(len(list_intersect(w, ['data','table','row','column'])) AS BIGINT) AS score_es,
+          |  CAST(len(list_intersect(w, ['query','filter','join','group'])) AS BIGINT) AS score_fr,
+          |  CASE
+          |    WHEN len(list_intersect(w, ['the','a','fast','slow','big','small']))
+          |           >= len(list_intersect(w, ['data','table','row','column']))
+          |     AND len(list_intersect(w, ['the','a','fast','slow','big','small']))
+          |           >= len(list_intersect(w, ['query','filter','join','group'])) THEN 'en'
+          |    WHEN len(list_intersect(w, ['data','table','row','column']))
+          |           >= len(list_intersect(w, ['query','filter','join','group'])) THEN 'es'
+          |    ELSE 'fr' END AS pred_lang
+          |FROM (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS w
+          |      FROM documents)
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Q28d [extension: token counting, BPE-ish] whitespace tokens plus a
+    // regex sub-token count (letter-runs and single non-space symbols —
+    // the shape of a byte-pair pretokenizer), per doc and corpus-total.
+    "q28d_token_count" -> QueryDef(
+      build = (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("ws_tokens", size(split($("text"), " ")).cast("long"))
+          .withColumn("sub_tokens",
+            size(filter(split($("text"), "[^a-z0-9]+"), t => length(t) > 0)).cast("long"))
+          .groupBy($("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum($("ws_tokens")).as("ws_tokens"),
+            sum($("sub_tokens")).as("sub_tokens"))
+          .orderBy($("source")),
+      oracle = Some(
+        """SELECT source, count(*) AS n_docs,
+          |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+          |  CAST(sum(len(list_filter(string_split_regex(text, '[^a-z0-9]+'),
+          |    t -> length(t) > 0))) AS BIGINT) AS sub_tokens
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+  )
+}
