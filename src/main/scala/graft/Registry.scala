@@ -10,7 +10,8 @@ object Registry {
     queries.RelationalPipeline.defs ++
     queries.LlmSimilarity.defs ++
     queries.LlmDedup.defs ++
-    queries.LlmText.defs
+    queries.LlmText.defs ++
+    queries.Surface.defs
 
   def headline: Map[String, QueryDef] = all.filter(_._2.headline)
 }

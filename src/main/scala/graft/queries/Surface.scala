@@ -1,0 +1,181 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Remaining declared surface (SURVEY §2): P4 emptiness, F2 host:port, S9
+  * JSON-array response sink, S10 file formats, S8 generator batch twin,
+  * multimodal columns.
+  */
+object Surface {
+  private def $(name: String) = col(name)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Q31 [P4] emptiness predicate — the reference's `len(users) == 0` → 404
+    // guard (Server/main.go:249-253). df.isEmpty is the real API under test:
+    // it plans a LocalLimit(1) and collects at most one row — O(1) work at
+    // any scale, never a full count.
+    "q31_emptiness" -> QueryDef(
+      build = (s, d) => {
+        val cust = Tables.customer(s, d)
+        val checks = Seq(
+          ("customer_all", cust.isEmpty),
+          ("customer_none", cust.filter($("c_custkey") < 0).isEmpty),
+          ("customer_building", cust.filter($("c_mktsegment") === "BUILDING").isEmpty))
+        import s.implicits._
+        checks.toDF("check_name", "is_empty").orderBy($("check_name"))
+      },
+      oracle = Some(
+        """SELECT * FROM (
+          |  SELECT 'customer_all' AS check_name, count(*) = 0 AS is_empty FROM customer
+          |  UNION ALL
+          |  SELECT 'customer_none', count(*) = 0 FROM customer WHERE c_custkey < 0
+          |  UNION ALL
+          |  SELECT 'customer_building', count(*) = 0 FROM customer
+          |  WHERE c_mktsegment = 'BUILDING')
+          |ORDER BY check_name""".stripMargin)),
+
+    // Q32 [F2] host:port split (Server/main.go:163-167): synthesize an
+    // addr from event fields, split it back with regexp_extract and a
+    // coalesce fallback for the no-port case — exactly net.SplitHostPort's
+    // observable contract.
+    "q32_hostport" -> QueryDef(
+      build = (s, d) =>
+        Tables.events(s, d)
+          .withColumn("addr",
+            when($("event_id") % 5 === 0, concat(lit("10.1."), ($("user_id") % 200).cast("string"), lit(".7")))
+              .otherwise(concat(lit("10.1."), ($("user_id") % 200).cast("string"),
+                lit(".7:"), (lit(1024) + $("event_id") % 40000).cast("string"))))
+          .select($("event_id"), $("addr"),
+            coalesce(nullif(regexp_extract($("addr"), "^(.*):\\d+$", 1), lit("")), $("addr"))
+              .as("host"),
+            when(regexp_extract($("addr"), ":(\\d+)$", 1) === "", lit(0))
+              .otherwise(regexp_extract($("addr"), ":(\\d+)$", 1).cast("int")).cast("long")
+              .as("port"))
+          .orderBy($("event_id")),
+      oracle = Some(
+        """SELECT event_id, addr,
+          |  CASE WHEN regexp_extract(addr, '^(.*):\d+$', 1) = '' THEN addr
+          |       ELSE regexp_extract(addr, '^(.*):\d+$', 1) END AS host,
+          |  CAST(CASE WHEN regexp_extract(addr, ':(\d+)$', 1) = '' THEN 0
+          |       ELSE CAST(regexp_extract(addr, ':(\d+)$', 1) AS INT) END AS BIGINT) AS port
+          |FROM (
+          |  SELECT event_id,
+          |    CASE WHEN event_id % 5 = 0
+          |      THEN '10.1.' || CAST(user_id % 200 AS VARCHAR) || '.7'
+          |      ELSE '10.1.' || CAST(user_id % 200 AS VARCHAR) || '.7:'
+          |           || CAST(1024 + event_id % 40000 AS VARCHAR) END AS addr
+          |  FROM events)
+          |ORDER BY event_id""".stripMargin)),
+
+    // Q33 [S9] JSON response sink, done properly this time: the
+    // /getemployees array response (Server/main.go:255-256) as
+    // to_json(sort_array(collect_list(struct(...)))) per nation — a real
+    // JSON encode, not string concat. Sort inside the array for determinism.
+    "q33_json_array" -> QueryDef(
+      build = (s, d) =>
+        Tables.customer(s, d)
+          .groupBy($("c_nationkey").cast("long").as("nationkey"))
+          .agg(to_json(sort_array(collect_list(
+            struct($("c_custkey").as("id"), $("c_name").as("name"))))).as("body"))
+          .orderBy($("nationkey")),
+      oracle = Some(
+        """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+          |  to_json(list(struct_pack(id := c_custkey, name := c_name)
+          |    ORDER BY c_custkey)) AS body
+          |FROM customer GROUP BY c_nationkey ORDER BY nationkey""".stripMargin)),
+
+    // Q34 [S10] file formats: parquet → CSV and JSON-lines round-trip.
+    // nation is written to both formats (header CSV, schema-carrying reads)
+    // and joined back — proving both writers and both readers preserve
+    // values. The oracle is simply the parquet truth.
+    "q34_formats" -> QueryDef(
+      build = (s, d) => {
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_formats_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val n = Tables.nation(s, d)
+        n.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+        n.write.mode("overwrite").json(s"$tmp/jsonl")
+        val csv = s.read.option("header", "true").schema(n.schema).csv(s"$tmp/csv")
+          .select($("n_nationkey").as("key"), $("n_name").as("csv_name"))
+        val jsonl = s.read.schema(n.schema).json(s"$tmp/jsonl")
+          .select($("n_nationkey").as("key"), $("n_name").as("jsonl_name"),
+            $("n_regionkey").as("regionkey"))
+        csv.join(jsonl, "key").orderBy($("key"))
+      },
+      oracle = Some(
+        """SELECT n_nationkey AS key, n_name AS csv_name, n_name AS jsonl_name,
+          |  n_regionkey AS regionkey
+          |FROM nation ORDER BY key""".stripMargin)),
+
+    // Q35 [multimodal] binary payload column + partition-local decode
+    // (mapPartitions batch map; decoder STUBBED — see Multimodal.fakeDecode)
+    // + content hash. sha2 over the exact payload bytes matches DuckDB's
+    // sha256 over the source string.
+    "q35_multimodal" -> QueryDef(
+      build = (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("kind",
+            element_at(array(lit("image"), lit("audio"), lit("video")),
+              ($("doc_id") % 3).cast("int") + 1))
+          .withColumn("payload", encode($("text"), "UTF-8"))
+        val decoded = Multimodal.decodeBatch(docs)
+        docs.select($("doc_id"), sha2($("payload"), 256).as("content_sha256"))
+          .join(decoded, "doc_id")
+          .select($("doc_id"), $("kind"), $("byte_len"), $("width").cast("long").as("width"),
+            $("height").cast("long").as("height"), $("n_frames").cast("long").as("n_frames"),
+            $("content_sha256"))
+          .orderBy($("doc_id"))
+      },
+      oracle = Some(
+        """SELECT doc_id,
+          |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+          |  CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
+          |  CAST(64 + (octet_length(encode(text)) * 31) % 512 AS BIGINT) AS height,
+          |  CAST(CASE (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]
+          |    WHEN 'video' THEN 1 + octet_length(encode(text)) % 30
+          |    WHEN 'audio' THEN 1 + octet_length(encode(text)) % 1000
+          |    ELSE 1 END AS BIGINT) AS n_frames,
+          |  sha256(text) AS content_sha256
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Q36 [S8 batch twin: F6,F7] the generator's record synthesis
+    // (Random/main.go:73-123) with modular arithmetic in place of rand so
+    // it hash-checks; q36b keeps the true seeded-rand path (rows-only).
+    "q36_generator" -> QueryDef(
+      build = (s, d) => {
+        val roles = array(lit("intern"), lit("developer"), lit("manager"), lit("analyst"))
+        s.range(0, 1000).toDF("i")
+          .select(
+            $("i").as("record_id"),
+            concat(lit("User"), (($("i") * 7919) % 10000).cast("string")).as("name"),
+            element_at(roles, (($("i") * 104729) % 4).cast("int") + 1).as("role"),
+            (lit(18) + ($("i") * 31) % 40).cast("int").as("age"))
+          .orderBy($("record_id"))
+      },
+      oracle = Some(
+        """SELECT i AS record_id,
+          |  'User' || CAST((i*7919) % 10000 AS VARCHAR) AS name,
+          |  (['intern','developer','manager','analyst'])[CAST((i*104729) % 4 AS INT) + 1] AS role,
+          |  CAST(18 + (i*31) % 40 AS INT) AS age
+          |FROM range(1000) t(i) ORDER BY record_id""".stripMargin)),
+
+    // Q36b [F5] true seeded-rand generator: rand(seed) is reproducible
+    // within Spark but engine-specific → rows-only check; range/shape
+    // invariants asserted in SurfaceSpec.
+    "q36b_generator_rand" -> QueryDef(
+      build = (s, d) => {
+        val roles = array(lit("intern"), lit("developer"), lit("manager"), lit("analyst"))
+        s.range(0, 1000).toDF("i")
+          .select(
+            $("i").as("record_id"),
+            concat(lit("User"), floor(rand(42) * 10000).cast("int").as("n").cast("string")).as("name"),
+            element_at(roles, (floor(rand(43) * 4) + 1).cast("int")).as("role"),
+            (floor(rand(44) * 40) + 18).cast("int").as("age"))
+          .orderBy($("record_id"))
+      },
+      oracle = None)
+  )
+}
