@@ -11,7 +11,8 @@ object Registry {
     queries.LlmSimilarity.defs ++
     queries.LlmDedup.defs ++
     queries.LlmText.defs ++
-    queries.Surface.defs
+    queries.Surface.defs ++
+    queries.Auth.defs
 
   def headline: Map[String, QueryDef] = all.filter(_._2.headline)
 }
