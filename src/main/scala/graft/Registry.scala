@@ -12,7 +12,8 @@ object Registry {
     queries.LlmDedup.defs ++
     queries.LlmText.defs ++
     queries.Surface.defs ++
-    queries.Auth.defs
+    queries.Auth.defs ++
+    queries.StreamingQueries.defs
 
   def headline: Map[String, QueryDef] = all.filter(_._2.headline)
 }

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming replay of the `events` table (FIXTURES.md B): the
+  * file source streams the same parquet the batch queries scan, so every
+  * streaming query has an oracle-checkable batch twin.
+  *
+  * The nanos timestamp is declared LongType in the explicit schema (file
+  * stream sources require one) and rebuilt at microsecond precision exactly
+  * like Tables.events.
+  */
+object EventsStream {
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // INT64 TIMESTAMP(NANOS) read as raw nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema(rawSchema)
+      .parquet(stagedDir(dir))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** The file stream source requires a DIRECTORY; the testdata ships a bare
+    * file. Stage a copy under tmp once per sf dir (idempotent).
+    */
+  private def stagedDir(dir: String): String = {
+    import java.nio.file._
+    val stage = Paths.get(sys.props("java.io.tmpdir"),
+      "graft_events_stream_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+    val dst = stage.resolve("events.parquet")
+    if (!Files.exists(dst)) {
+      Files.createDirectories(stage)
+      Files.copy(Paths.get(dir, "events.parquet"), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    stage.toString
+  }
+
+  /** Run a bounded streaming query (Trigger.AvailableNow) to a memory sink
+    * and return the materialized result. This is the deterministic test/gate
+    * harness; production sinks are parquet/foreachBatch.
+    */
+  def runToMemory(s: SparkSession, df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+}
