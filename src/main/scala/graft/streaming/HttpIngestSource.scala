@@ -1,0 +1,149 @@
+package graft.streaming
+
+import java.io.ByteArrayOutputStream
+import java.net.InetSocketAddress
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S7: the reference's HTTP JSON ingest endpoint
+  * (`/addemployee`, Server/main.go:209-227,332) as a Structured Streaming
+  * DataSource V2 — an embedded HTTP listener whose POST bodies become
+  * micro-batch rows `(value STRING, ingest_ts TIMESTAMP)`.
+  *
+  * Semantics upgraded from the reference's at-most-once (drop on error,
+  * Random/main.go:101-115): offsets are monotone sequence numbers, a batch
+  * is the (start, end] slice, and rows are retained until `commit(end)` —
+  * with checkpointing this is exactly-once into an idempotent sink. The
+  * ingest-time timestamp column is T4.
+  *
+  * Like Spark's own socket source, the listener holds arrivals in driver
+  * memory between commits — the right shape for an ingest EDGE. At 100 TB
+  * you front this with a durable partitioned log and swap the transport;
+  * the operator surface (schema, offsets, drift handling downstream)
+  * stays identical.
+  *
+  * Usage: `spark.readStream.format("graft.streaming.HttpIngestSource")
+  *   .option("port", "8642").load()` then POST bodies to
+  * `http://localhost:8642/ingest`.
+  */
+class HttpIngestSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    HttpIngestSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new HttpIngestTable(properties.getOrDefault("port", "8642").toInt)
+}
+
+object HttpIngestSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("value", StringType),
+    StructField("ingest_ts", TimestampType)))
+
+  /** One listener per port per JVM; get-or-create, idempotent. */
+  private val servers = new ConcurrentHashMap[Int, ServerState]()
+
+  final class ServerState(port: Int) {
+    val seq = new AtomicLong(0L)
+    // (seq, body, ingest micros); trimmed on commit
+    val buffer = new java.util.concurrent.ConcurrentSkipListMap[Long, (String, Long)]()
+    val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 128)
+    server.createContext("/ingest", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        if (x.getRequestMethod == "POST") {
+          val out = new ByteArrayOutputStream()
+          val in = x.getRequestBody
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+          val body = out.toString("UTF-8")
+          val s = seq.incrementAndGet()
+          buffer.put(s, (body, System.currentTimeMillis() * 1000L))
+          reply(x, 200, "ok")
+        } else reply(x, 400, "bad request") // notFoundHandler returns 400
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+
+    private def reply(x: HttpExchange, code: Int, msg: String): Unit = {
+      val b = msg.getBytes("UTF-8")
+      x.sendResponseHeaders(code, b.length)
+      x.getResponseBody.write(b)
+      x.close()
+    }
+  }
+
+  def stateFor(port: Int): ServerState =
+    servers.computeIfAbsent(port, p => new ServerState(p))
+
+  def stopAll(): Unit = {
+    servers.values.forEach(s => s.server.stop(0))
+    servers.clear()
+  }
+}
+
+private class HttpIngestTable(port: Int) extends Table with SupportsRead {
+  override def name(): String = s"http-ingest:$port"
+  override def schema(): StructType = HttpIngestSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = HttpIngestSource.Schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new HttpIngestStream(port)
+    }
+}
+
+private case class SeqOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+private class HttpIngestStream(port: Int) extends MicroBatchStream {
+  private def state = HttpIngestSource.stateFor(port)
+
+  override def initialOffset(): Offset = SeqOffset(0L)
+  override def latestOffset(): Offset = SeqOffset(state.seq.get())
+  override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[SeqOffset].n
+    val hi = end.asInstanceOf[SeqOffset].n
+    val rows = state.buffer.subMap(lo, false, hi, true)
+      .values().toArray(Array.empty[(String, Long)])
+    Array(HttpBatchPartition(rows))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val rows = partition.asInstanceOf[HttpBatchPartition].rows
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < rows.length }
+        override def get(): InternalRow = InternalRow(
+          UTF8String.fromString(rows(i)._1), rows(i)._2)
+        override def close(): Unit = ()
+      }
+    }
+
+  override def commit(end: Offset): Unit = {
+    // exactly-once contract: rows are disposable once the batch is durable
+    val hi = end.asInstanceOf[SeqOffset].n
+    state.buffer.headMap(hi, true).clear()
+  }
+
+  override def stop(): Unit = ()
+}
+
+private case class HttpBatchPartition(rows: Array[(String, Long)]) extends InputPartition

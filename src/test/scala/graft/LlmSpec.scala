@@ -1,0 +1,95 @@
+package graft
+
+import graft.functions.MinHash
+import org.apache.spark.sql.functions._
+
+/** North-star extension specs: MinHash aggregator properties, MinHash-LSH
+  * dedup vs in-Spark brute force, SimHash sanity, and LSH-ANN recall vs the
+  * exact top-k.
+  */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("A7: MinHash signature is order- and partition-independent") {
+    val hashes = (1L to 500L).map(h => h * 0x9E3779B97F4A7C15L)
+    val sig1 = hashes.toDF("h").repartition(1)
+      .agg(MinHash.minhashSig(32)($"h").as("sig")).as[Array[Long]].head()
+    val sig2 = new scala.util.Random(7).shuffle(hashes).toDF("h").repartition(13)
+      .agg(MinHash.minhashSig(32)($"h").as("sig")).as[Array[Long]].head()
+    assert(sig1.sameElements(sig2))
+  }
+
+  test("MinHash signature estimates Jaccard within tolerance") {
+    // two sets with true Jaccard 0.5 (A = 1..200, B = 101..300)
+    val a = (1L to 200L).map(x => xxhashLong(x))
+    val b = (101L to 300L).map(x => xxhashLong(x))
+    val sigA = a.toDF("h").agg(MinHash.minhashSig(128)($"h")).as[Array[Long]].head()
+    val sigB = b.toDF("h").agg(MinHash.minhashSig(128)($"h")).as[Array[Long]].head()
+    val est = sigA.zip(sigB).count { case (x, y) => x == y } / 128.0
+    assert(math.abs(est - 1.0 / 3.0) < 0.15, s"estimate $est far from true 1/3")
+  }
+
+  private def xxhashLong(x: Long): Long = {
+    // stand-in mixer; the aggregator only needs well-spread longs
+    var h = x * 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L; h ^= h >>> 33
+    h
+  }
+
+  test("q27b MinHash-LSH finds exactly the brute-force Jaccard>=0.5 pairs") {
+    val lsh = Registry.all("q27b_dedup_minhash").build(spark, sf)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    // in-Spark brute force on the same shingling
+    val w = split($"text", " ")
+    val sh = Tables.documents(spark, sf).select($"doc_id",
+      array_distinct(transform(sequence(lit(1), greatest(size(w) - 2, lit(0))),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+        .as("s"))
+    val brute = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
+        (size(array_intersect($"a.s", $"b.s")).cast("double") /
+          (size($"a.s") + size($"b.s") - size(array_intersect($"a.s", $"b.s"))).cast("double"))
+          .as("jac"))
+      .filter($"jac" >= 0.5)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(lsh == brute, s"LSH=${lsh.size} brute=${brute.size} diff=${(lsh diff brute) ++ (brute diff lsh)}")
+    assert(brute.nonEmpty, "testdata should contain planted near-dup pairs")
+  }
+
+  test("q27c SimHash recovers most planted near-dups with few extras") {
+    val sim = Registry.all("q27c_dedup_simhash").build(spark, sf)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val planted = Registry.all("q27b_dedup_minhash").build(spark, sf)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(sim.nonEmpty)
+    val hits = sim.intersect(planted).size
+    assert(hits >= planted.size / 2,
+      s"SimHash found $hits of ${planted.size} planted pairs")
+    assert(sim.subsetOf(planted),
+      s"SimHash false positives: ${sim diff planted}")
+  }
+
+  test("q26b LSH-ANN recall vs exact top-k is above floor") {
+    val exact = Registry.all("q26_ann_topk").build(spark, sf)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val approx = Registry.all("q26b_ann_lsh").build(spark, sf)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // uniform-random embeddings (no true near neighbors) bound what LSH can
+    // do; 0.25 is the conservative floor for 6 tables x 4 bits (measured 0.5)
+    assert(recall >= 0.25, s"recall $recall below floor")
+  }
+
+  test("multimodal decode plumbing: schema, determinism, partition locality") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("kind", element_at(array(lit("image"), lit("audio"), lit("video")),
+        ($"doc_id" % 3).cast("int") + 1))
+      .withColumn("payload", encode($"text", "UTF-8"))
+    val out = functions.Multimodal.decodeBatch(docs)
+    assert(out.schema == functions.Multimodal.decodedSchema)
+    val r1 = out.orderBy($"doc_id").collect()
+    val r2 = functions.Multimodal.decodeBatch(docs.repartition(7)).orderBy($"doc_id").collect()
+    assert(r1.sameElements(r2), "decode must be deterministic under repartition")
+    assert(r1.forall(r => r.getInt(3) >= 64 && r.getInt(4) >= 64))
+  }
+}

