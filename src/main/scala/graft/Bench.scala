@@ -20,11 +20,18 @@ import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors).toString)
+    // optional comma-separated query filter for isolated timing
+    val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // typed Aggregators (MinHash/SimHash signatures) keep small array
+      // buffers; the 128-key sort-based fallback would serialize them per
+      // row — raise it so ObjectHashAggregate stays hash-based
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -36,16 +43,22 @@ object Bench {
     try run(SparkEntry.queries("q13_tpch_q1")) catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        run(fn)
-        Some(name -> (System.nanoTime() - t0) / 1e9)
-      } catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-        None
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .flatMap { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          run(fn)
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          None
+        } finally {
+          // per-query caches (e.g. dedup shingle sets) must not leak memory
+          // pressure or free work into the next query's timing
+          spark.catalog.clearCache()
+        }
       }
-    }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

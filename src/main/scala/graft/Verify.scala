@@ -14,6 +14,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // typed Aggregators (MinHash/SimHash signatures) keep small array
+      // buffers; the 128-key sort-based fallback would serialize them per
+      // row — raise it so ObjectHashAggregate stays hash-based
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -53,9 +53,42 @@ object MinHash {
   /** Column-API entry: `minhashSig(128)(xxhash64(shingleCol))`. */
   def minhashSig(k: Int)(hashCol: Column): Column =
     udaf(new MinHashSigAgg(k)).apply(hashCol)
+
+  /** SimHash signature aggregator: folds 64-bit token hashes into the
+    * 64-bit SimHash — buf(j) accumulates +1/−1 per hash bit j, finish sets
+    * bit j when the sum is positive. Sum is associative+commutative ⇒
+    * partition/order independent, one pass, no row amplification.
+    */
+  final class SimHashAgg extends Aggregator[Long, Array[Int], Long] {
+    def zero: Array[Int] = new Array[Int](64)
+    def reduce(buf: Array[Int], h: Long): Array[Int] = {
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) buf(j) += 1 else buf(j) -= 1
+        j += 1
+      }
+      buf
+    }
+    def merge(x: Array[Int], y: Array[Int]): Array[Int] = {
+      var j = 0
+      while (j < 64) { x(j) += y(j); j += 1 }
+      x
+    }
+    def finish(buf: Array[Int]): Long = {
+      var sig = 0L
+      var j = 0
+      while (j < 64) { if (buf(j) > 0) sig |= (1L << j); j += 1 }
+      sig
+    }
+    def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoderHolder.intArray
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  def simhashSig(hashCol: Column): Column = udaf(new SimHashAgg).apply(hashCol)
 }
 
 private object ExpressionEncoderHolder {
   import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
   val longArray: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  val intArray: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
 }

@@ -22,14 +22,14 @@ import org.apache.spark.sql.functions._
 object LlmDedup {
   private def $(name: String) = col(name)
 
-  /** words → distinct 3-shingles, as one canonical Spark fragment. */
-  private def shingled(s: SparkSession, d: String): DataFrame = {
-    val w = split($("text"), " ")
+  /** doc_id → sorted distinct xxhash64 of its 3-shingles, via the native
+    * codegen'd [[graft.plans.ShingleHashes]] (bit-compatible with hashing
+    * the string shingles, ~15× less per-row overhead than the HOF chain).
+    */
+  private def shingleHashed(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.install(s)
     Tables.documents(s, d).select(
-      $("doc_id"),
-      array_distinct(transform(sequence(lit(1), greatest(size(w) - 2, lit(0))),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
-        .as("shingles"))
+      $("doc_id"), call_function("shingle_hashes", $("text"), lit(3)).as("hs"))
   }
 
   /** Same shingling in DuckDB (1-based list indexing matches element_at). */
@@ -58,19 +58,25 @@ object LlmDedup {
           |GROUP BY norm ORDER BY keep_id""".stripMargin)),
 
     // Q27b [extension: MinHash-LSH near-dedup; A7 Aggregator] the full
-    // banded pipeline: shingle → explode → MinHashSigAgg (custom typed
-    // Aggregator, k=128) → 64 bands × 2 rows → bucket equi-join → exact
-    // Jaccard verify ≥ 0.5. Bands with r=2 give miss-probability
-    // (1-s²)^64 ≤ 1e-8 at s=0.5, so the LSH output equals the brute-force
-    // oracle with overwhelming margin. Jaccard = |∩| / |∪| is one integer
-    // division → bit-identical doubles across engines.
+    // banded pipeline: shingle → hash to 64-bit → explode → MinHashSigAgg
+    // (custom typed Aggregator, k=128) → 64 bands × 2 rows → bucket groupBy
+    // with in-bucket pair generation → exact Jaccard verify ≥ 0.5. Bands
+    // with r=2 give miss-probability (1-s²)^64 ≤ 1e-8 at s=0.5, so the LSH
+    // output equals the brute-force oracle with overwhelming margin.
+    // Jaccard = |∩| / |∪| is one integer division → bit-identical doubles.
+    //
+    // Scale/perf notes: shingle SETS travel as sorted 64-bit hashes, not
+    // strings (xxhash64 collisions are ~1e-9 at 1e5 shingles — far below
+    // the gate's tolerance; at 100 TB you'd widen to 128-bit). Candidate
+    // pairs come from groupBy(bucket)+collect_list — one shuffle keyed by
+    // bucket, pairs expand only inside a bucket (bounded by band width),
+    // never a global self-join.
     "q27b_dedup_minhash" -> QueryDef(
       build = (s, d) => {
         val k = 128; val bands = 64 // r = 2
-        val sh = shingled(s, d).cache()
+        val sh = shingleHashed(s, d).cache()
         val sigs = sh
-          .select($("doc_id"), explode($("shingles")).as("sh"))
-          .select($("doc_id"), xxhash64($("sh")).as("h"))
+          .select($("doc_id"), explode($("hs")).as("h"))
           .groupBy($("doc_id"))
           .agg(MinHash.minhashSig(k)($("h")).as("sig"))
         val banded = sigs.select($("doc_id"), explode(
@@ -78,13 +84,17 @@ object LlmDedup {
             concat_ws(":", b,
               element_at($("sig"), b * 2 + 1),
               element_at($("sig"), b * 2 + 2)))).as("bucket"))
-        val cand = banded.as("a")
-          .join(banded.as("b"),
-            col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        val cand = banded
+          .groupBy($("bucket"))
+          .agg(sort_array(collect_list($("doc_id"))).as("ids"))
+          .filter(size($("ids")) > 1)
+          .select(explode(flatten(transform($("ids"), (a, i) =>
+            transform(slice($("ids"), i + 2, size($("ids"))), b =>
+              struct(a.as("a_id"), b.as("b_id")))))).as("p"))
+          .select($("p.a_id"), $("p.b_id"))
           .dropDuplicates("a_id", "b_id")
-        val sa = sh.select($("doc_id").as("a_id"), $("shingles").as("sa"))
-        val sb = sh.select($("doc_id").as("b_id"), $("shingles").as("sb"))
+        val sa = sh.select($("doc_id").as("a_id"), $("hs").as("sa"))
+        val sb = sh.select($("doc_id").as("b_id"), $("hs").as("sb"))
         cand.join(sa, "a_id").join(sb, "b_id")
           .withColumn("inter", size(array_intersect($("sa"), $("sb"))))
           .withColumn("uni", size($("sa")) + size($("sb")) - $("inter"))
@@ -118,19 +128,10 @@ object LlmDedup {
     // here; LlmDedupSpec asserts the planted pairs are recovered.
     "q27c_dedup_simhash" -> QueryDef(
       build = (s, d) => {
-        val sh = shingled(s, d)
-        val sig = sh
-          .select($("doc_id"), explode($("shingles")).as("shingle"))
-          .select($("doc_id"), xxhash64($("shingle")).as("h"))
-          .withColumn("j", explode(sequence(lit(0), lit(63))))
-          .withColumn("bit",
-            expr("CASE WHEN (h & shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))) != 0 THEN 1 ELSE -1 END"))
-          .groupBy($("doc_id"), $("j"))
-          .agg(sum($("bit")).as("w"))
+        val sig = shingleHashed(s, d)
+          .select($("doc_id"), explode($("hs")).as("h"))
           .groupBy($("doc_id"))
-          .agg(sum(expr(
-            "CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END"))
-            .as("sig"))
+          .agg(MinHash.simhashSig($("h")).as("sig"))
         val chunkCols = (0 to 3).map(c => concat_ws(":", lit(c),
           shiftrightunsigned($("sig"), 16 * c).bitwiseAND(lit(0xFFFFL))))
         val chunks = sig.select($("doc_id"), $("sig"),
