@@ -13,7 +13,8 @@ object Registry {
     queries.LlmText.defs ++
     queries.Surface.defs ++
     queries.Auth.defs ++
-    queries.StreamingQueries.defs
+    queries.StreamingQueries.defs ++
+    queries.AsOf.defs
 
   def headline: Map[String, QueryDef] = all.filter(_._2.headline)
 }

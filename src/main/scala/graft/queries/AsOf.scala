@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY J9 (as-of join) and S4 (append sink) — the last declared operator
+  * rows.
+  */
+object AsOf {
+  private def $(name: String) = col(name)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Q41 [J9] as-of join: each event picks its user's most recent order at
+    // event time (state-of-the-world-at-t — the batch shape of a
+    // stream-side temporal enrichment; the stream-stream interval-join twin
+    // runs in StreamingSpec). Implemented by composing existing operators
+    // (SURVEY §2's preference (a)): equi-join on the key + range predicate,
+    // then top-1 per event — the join explodes only within a key, and both
+    // sides shuffle once on the key, so the pattern survives 100 TB.
+    // Orders are snapshotted to one row per (custkey, date) so the as-of
+    // pick is unambiguous on both engines.
+    "q41_asof_join" -> QueryDef(
+      build = (s, d) => {
+        val ev = Tables.events(s, d)
+          .select($("event_id"), $("ts"), ($("user_id") + 1).as("custkey"))
+        val ord = Tables.orders(s, d)
+          .groupBy($("o_custkey"), $("o_orderdate"))
+          .agg(max($("o_orderkey")).as("o_orderkey"))
+        val w = Window.partitionBy($("event_id"))
+          .orderBy(desc("o_orderdate"))
+        ev.join(ord,
+            $("custkey") === $("o_custkey") && $("o_orderdate") <= $("ts"), "left")
+          .withColumn("rn", row_number().over(w))
+          .filter($("rn") === 1)
+          .select($("event_id"), $("custkey"), $("o_orderkey").as("asof_orderkey"),
+            $("o_orderdate").as("asof_orderdate"))
+          .orderBy($("event_id"))
+      },
+      oracle = Some(
+        """WITH ev AS (SELECT event_id, ts, user_id + 1 AS custkey FROM events),
+          |ord AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+          |        FROM orders GROUP BY o_custkey, o_orderdate)
+          |SELECT event_id, custkey, o_orderkey AS asof_orderkey,
+          |  o_orderdate AS asof_orderdate
+          |FROM ev ASOF LEFT JOIN ord
+          |  ON ev.custkey = ord.o_custkey AND ev.ts >= ord.o_orderdate
+          |ORDER BY event_id""".stripMargin)),
+
+    // Q42 [S4] append sink semantics: two appends of nation land 2 copies
+    // of every key (INSERT INTO … VALUES per the reference's
+    // Server/main.go:217, batched). Read-back proves the writer appended
+    // rather than overwrote.
+    "q42_append_sink" -> QueryDef(
+      build = (s, d) => {
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_append_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val n = Tables.nation(s, d)
+        n.write.mode("overwrite").parquet(tmp) // reset for idempotent reruns
+        n.write.mode("append").parquet(tmp)
+        s.read.parquet(tmp)
+          .groupBy($("n_nationkey").as("key"))
+          .agg(count(lit(1)).as("copies"), max($("n_name")).as("n_name"))
+          .orderBy($("key"))
+      },
+      oracle = Some(
+        """SELECT n_nationkey AS key, CAST(2 AS BIGINT) AS copies, n_name
+          |FROM nation ORDER BY key""".stripMargin))
+  )
+}

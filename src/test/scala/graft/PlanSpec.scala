@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: the properties that make these queries survive
+  * a 100× scale-up are not left to inspection — they are tested. Filter
+  * pushdown reaches the parquet scan, projections prune the read schema,
+  * small dims broadcast, aggregates run partial+final, and the hot native
+  * expression stays inside whole-stage codegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = Registry.all(name).build(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: range/IN filters are pushed to the parquet scan") {
+    val p = plan("q02_filter_range_in")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("LessThan(l_quantity"), p)
+  }
+
+  test("q01: projected scan prunes the read schema") {
+    val p = plan("q01_scan_project")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("props"), s"props must be pruned from events scan: $read")
+  }
+
+  test("q06: small dimension is broadcast, not shuffled") {
+    val p = plan("q06_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q07: star join broadcasts true dims and never goes cartesian") {
+    val p = plan("q07_star_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q13: hash aggregate is partial+final (map-side combine)") {
+    val p = plan("q13_tpch_q1")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
+  test("q26: native float_dot runs inside whole-stage codegen") {
+    val p = plan("q26_ann_topk")
+    assert(p.contains("float_dot"), p)
+    // query side is broadcast; candidates stream through BNLJ — no shuffle
+    // of the big side
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the expression itself must be codegen-capable (no CodegenFallback)…
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    assert(!classOf[CodegenFallback].isAssignableFrom(classOf[plans.FloatDotProduct]))
+    // …and the executed (AQE-final) plan must contain codegen stages
+    val df = Registry.all("q26_ann_topk").build(spark, sf)
+    df.collect() // finalize the adaptive plan on THIS QueryExecution
+    val finalPlan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(finalPlan.contains("isFinalPlan=true"), finalPlan)
+    assert(finalPlan.contains("*("), s"no codegen stage in final plan:\n$finalPlan")
+    assert(finalPlan.linesIterator.exists(l => l.contains("*(") && l.contains("float_dot")),
+      s"float_dot must sit inside a codegen stage:\n$finalPlan")
+  }
+
+  test("q30: flagship plan — one lineitem shuffle, dims broadcast, windowed") {
+    val p = plan("q30_nation_year_rank")
+    assert(p.contains("BroadcastHashJoin"), p) // nation
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}

@@ -152,6 +152,29 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq("x", "y"))
   }
 
+  test("J9: stream-stream interval join within watermarked event-time range") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long)]
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val c = clicks.toDF().toDF("cts", "cuser").withWatermark("cts", "30 minutes")
+    val b = buys.toDF().toDF("bts", "buser").withWatermark("bts", "30 minutes")
+    // buy joins clicks of the same user within the 10 minutes before it
+    val joined = b.join(c,
+      $"buser" === $"cuser" && $"cts" <= $"bts" &&
+        $"cts" >= $"bts" - org.apache.spark.sql.functions.expr("INTERVAL 10 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("j9_t")
+      .outputMode("append").start()
+    clicks.addData((t(0), 1L), (t(5), 1L), (t(20), 1L), (t(5), 2L))
+    buys.addData((t(8), 1L), (t(25), 1L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("j9_t")
+      .select($"bts", $"cts").as[(java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+    // buy@10:08/user1 matches clicks 10:00+10:05; buy@10:25/user1 matches 10:20
+    assert(rows == Set((t(8), t(0)), (t(8), t(5)), (t(25), t(20))), rows.toString)
+  }
+
   test("T8: enrichment pipeline — pooled HTTP transform + keyed write-back") {
     // stub of the remote /update-salary service (Server/main.go:301):
     // returns the FIXTURES A.4 stand-in so the result is exactly q23's
