@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** The 100 TB co-location story for the big equi-joins (SURVEY J1/Q5): both
+  * sides bucketed on the join key ⇒ the join plans with ZERO Exchange.
+  * At cluster scale this is the difference between "shuffle 100 TB" and
+  * "shuffle nothing"; locally we assert the plan shape that proves it.
+  */
+class BucketingSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("bucketed orders ⋈ customer plans with no shuffle on either side") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
+    try {
+      Tables.customer(spark, sf).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$wh/customer_b").saveAsTable("customer_b")
+      Tables.orders(spark, sf).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(sum(col("o_totalprice")).as("t"))
+      joined.collect()
+      val p = joined.queryExecution.explainString(ExplainMode.fromString("simple"))
+      val joinSection = p.linesIterator.dropWhile(!_.contains("Join")).takeWhile(!_.contains("Scan")).mkString("\n")
+      assert(!joinSection.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$p")
+      assert(p.contains("Bucketed: true"), p)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}
