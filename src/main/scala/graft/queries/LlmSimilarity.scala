@@ -61,7 +61,7 @@ object LlmSimilarity {
         n.join(broadcast(q), $("vec_id") =!= $("qid"))
           .select($("qid"), $("vec_id").as("cid"),
             (dot($("qe"), $("embedding")) / ($("qn") * $("nrm"))).as("cos"))
-          .withColumn("rnk", row_number().over(w))
+          .withColumn("rnk", row_number().over(w).cast("long"))
           .filter($("rnk") <= 3)
           .orderBy($("qid"), $("rnk"))
       },
@@ -112,7 +112,7 @@ object LlmSimilarity {
           .dropDuplicates("qid", "cid") // a pair can collide in several tables — score once
           .select($("qid"), $("cid"),
             (dot($("qe"), $("embedding")) / ($("qn") * $("nrm"))).as("cos"))
-          .withColumn("rnk", row_number().over(w))
+          .withColumn("rnk", row_number().over(w).cast("long"))
           .filter($("rnk") <= 3)
           .orderBy($("qid"), $("rnk"))
       },

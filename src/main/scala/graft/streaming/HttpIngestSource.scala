@@ -73,6 +73,9 @@ object HttpIngestSource {
         } else reply(x, 400, "bad request") // notFoundHandler returns 400
       }
     })
+    // unmatched routes reply 400, matching the reference's notFoundHandler
+    // (Server/main.go:179-182 returns 400, not 404)
+    server.createContext("/", (x: HttpExchange) => reply(x, 400, "bad request"))
     server.setExecutor(null)
     server.start()
 

@@ -175,6 +175,43 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((t(8), t(0)), (t(8), t(5)), (t(25), t(20))), rows.toString)
   }
 
+  test("custom state: flatMapGroupsWithState running per-user event counts") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val counted = mem.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, events: Iterator[(Long, String)], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + events.size
+          state.update(total)
+          Iterator((user, total))
+      }
+    val q = counted.toDF("user_id", "running_n")
+      .writeStream.format("memory").queryName("fmgws_t")
+      .outputMode("append").start()
+    mem.addData((1L, "a"), (1L, "b"), (2L, "c"))
+    q.processAllAvailable()
+    mem.addData((1L, "d"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("fmgws_t").as[(Long, Long)].collect().toSet
+    // batch 1: user1 -> 2, user2 -> 1; batch 2 resumes state: user1 -> 3
+    assert(out == Set((1L, 2L), (2L, 1L), (1L, 3L)), out.toString)
+  }
+
+  test("S7: unknown route replies 400 like the reference's notFoundHandler") {
+    val port = 18644
+    HttpIngestSource.stateFor(port)
+    val http = HttpClient.newHttpClient()
+    val code = http.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port/adduser"))
+        .POST(HttpRequest.BodyPublishers.ofString("{}")).build(),
+      HttpResponse.BodyHandlers.ofString()).statusCode()
+    assert(code == 400) // the generator's /adduser vs /addemployee mismatch
+  }
+
   test("T8: enrichment pipeline — pooled HTTP transform + keyed write-back") {
     // stub of the remote /update-salary service (Server/main.go:301):
     // returns the FIXTURES A.4 stand-in so the result is exactly q23's
