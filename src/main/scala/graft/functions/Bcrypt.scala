@@ -75,14 +75,39 @@ object Bcrypt {
     Array.tabulate(n)(w => (piHex4(w * 8) << 16) | piHex4(w * 8 + 4))
 
   private val NumWords = 18 + 4 * 256
+
+  /** Well-known leading Blowfish constants (hex digits of π) — guards both
+    * the BBP code and the cache file.
+    */
+  private val Expect = Array(0x243f6a88, 0x85a308d3, 0x13198a2e, 0x03707344,
+    0xa4093822, 0x299f31d0, 0x082efa98, 0xec4e6c89)
+
+  private def validated(w: Array[Int]): Option[Array[Int]] =
+    if (w.length == NumWords && w.take(8).sameElements(Expect)) Some(w) else None
+
+  /** The BBP generation costs ~2.5 s; memoize the words to a tmp cache so
+    * only the first JVM on a machine pays it. The cache is validated against
+    * the known leading words and regenerated on any mismatch.
+    */
   private val Pi: Array[Int] = {
-    val w = piWords(NumWords)
-    // Well-known Blowfish constants (hex digits of π) — guards the BBP code.
-    val expect = Array(0x243f6a88, 0x85a308d3, 0x13198a2e, 0x03707344,
-      0xa4093822, 0x299f31d0, 0x082efa98, 0xec4e6c89)
-    require(w.take(8).sameElements(expect),
-      s"BBP self-check failed: ${w.take(8).map(x => f"$x%08x").mkString(",")}")
-    w
+    val cache = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_blowfish_pi_$NumWords.bin")
+    val fromCache =
+      try {
+        val bytes = java.nio.file.Files.readAllBytes(cache)
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        validated(Array.fill(bytes.length / 4)(bb.getInt))
+      } catch { case _: Throwable => None }
+    fromCache.getOrElse {
+      val w = validated(piWords(NumWords)).getOrElse(
+        throw new IllegalStateException("BBP self-check failed"))
+      try {
+        val bb = java.nio.ByteBuffer.allocate(NumWords * 4)
+        w.foreach(bb.putInt)
+        java.nio.file.Files.write(cache, bb.array())
+      } catch { case _: Throwable => () }
+      w
+    }
   }
 
   // --- Blowfish core --------------------------------------------------------
