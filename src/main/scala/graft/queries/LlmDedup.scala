@@ -121,6 +121,80 @@ object LlmDedup {
            |ORDER BY a_id, b_id""".stripMargin),
       headline = true),
 
+    // Q27e [extension: corpus dedup end-to-end] near-dup pairs → connected
+    // components (iterative min-label propagation — the Pregel pattern, a
+    // handful of bounded join+agg rounds since component diameter is tiny)
+    // → keep the min-doc_id representative per component. This is the
+    // operator a training-data pipeline actually runs: "give me the corpus
+    // with near-duplicates collapsed". All-integer ⇒ hash-safe; oracle
+    // computes the same closure with a recursive CTE over brute-force pairs.
+    "q27e_dedup_corpus" -> QueryDef(
+      build = (s, d) => {
+        val sh = shingleHashed(s, d).cache()
+        // near-dup pairs, same construction as q27b
+        val k = 128; val bands = 64
+        val sigs = sh.select($("doc_id"), explode($("hs")).as("h"))
+          .groupBy($("doc_id")).agg(MinHash.minhashSig(k)($("h")).as("sig"))
+        val banded = sigs.select($("doc_id"), explode(
+          transform(sequence(lit(0), lit(bands - 1)), b =>
+            concat_ws(":", b, element_at($("sig"), b * 2 + 1),
+              element_at($("sig"), b * 2 + 2)))).as("bucket"))
+        val cand = banded.groupBy($("bucket"))
+          .agg(sort_array(collect_list($("doc_id"))).as("ids"))
+          .filter(size($("ids")) > 1)
+          .select(explode(flatten(transform($("ids"), (a, i) =>
+            transform(slice($("ids"), i + 2, size($("ids"))), b =>
+              struct(a.as("a_id"), b.as("b_id")))))).as("p"))
+          .select($("p.a_id"), $("p.b_id")).dropDuplicates("a_id", "b_id")
+        val sa = sh.select($("doc_id").as("a_id"), $("hs").as("sa"))
+        val sb = sh.select($("doc_id").as("b_id"), $("hs").as("sb"))
+        val pairs = cand.join(sa, "a_id").join(sb, "b_id")
+          .withColumn("inter", size(array_intersect($("sa"), $("sb"))))
+          .withColumn("uni", size($("sa")) + size($("sb")) - $("inter"))
+          .filter($("inter").cast("double") / $("uni").cast("double") >= 0.5)
+          .select($("a_id"), $("b_id")).cache()
+        val edges = pairs.union(pairs.select($("b_id"), $("a_id")))
+          .toDF("src", "dst").cache()
+        // min-label propagation to fixpoint (component diameter bounds the
+        // rounds; convergence checked per round)
+        var labels = sh.select($("doc_id"), $("doc_id").as("rep")).cache()
+        var converged = false
+        var rounds = 0
+        while (!converged && rounds < 20) {
+          val viaNeighbor = edges
+            .join(labels.withColumnRenamed("doc_id", "dst2"), $("dst") === $("dst2"))
+            .select($("src").as("doc_id"), $("rep"))
+          val next = labels.select($("doc_id"), $("rep")).union(viaNeighbor)
+            .groupBy($("doc_id")).agg(min($("rep")).as("rep")).cache()
+          converged = next.join(labels.withColumnRenamed("rep", "old"), "doc_id")
+            .filter($("rep") =!= $("old")).isEmpty
+          labels = next
+          rounds += 1
+        }
+        labels
+          .withColumn("kept", $("doc_id") === $("rep"))
+          .orderBy($("doc_id"))
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE sh AS ($shingledSql),
+           |pairs AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM sh a, sh b
+           |  WHERE a.doc_id < b.doc_id
+           |    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |      / CAST(len(a.shingles) + len(b.shingles)
+           |          - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) >= 0.5),
+           |edges(a, b) AS (SELECT a_id, b_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM edges
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |reps AS (SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach GROUP BY a)
+           |SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS rep,
+           |  coalesce(r.rep, d.doc_id) = d.doc_id AS kept
+           |FROM documents d LEFT JOIN reps r ON d.doc_id = r.doc_id
+           |ORDER BY d.doc_id""".stripMargin)),
+
     // Q27c [extension: SimHash near-dedup] 64-bit SimHash over shingle
     // hashes; candidate pairs share one of four 16-bit signature chunks
     // (pigeonhole: Hamming ≤ 3 ⇒ some chunk equal), verified at Hamming ≤ 3.

@@ -212,6 +212,57 @@ class StreamingSpec extends SparkSpec {
     assert(code == 400) // the generator's /adduser vs /addemployee mismatch
   }
 
+  test("e2e: generator → HTTP POST → ingest source → drift decode → store (SURVEY §5.4)") {
+    // the whole reference topology in one test: the generator client loop
+    // (Random/main.go:73-123) posts JSON records over HTTP; the server-side
+    // ingest (Server/main.go:209-227) decodes with drift zero-fill and
+    // appends to the store
+    val port = 18645
+    HttpIngestSource.stateFor(port)
+    val gen = Generator.stream(spark, rowsPerSecond = 50)
+    val poster = gen.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val http = HttpClient.newHttpClient()
+        batch.select($"payload").collect().foreach { r =>
+          http.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port/ingest"))
+            .POST(HttpRequest.BodyPublishers.ofString(r.getString(0))).build(),
+            HttpResponse.BodyHandlers.ofString())
+        }
+      }
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      while (HttpIngestSource.stateFor(port).seq.get() < 10 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(250)
+    } finally poster.stop()
+    assert(HttpIngestSource.stateFor(port).seq.get() >= 10, "generator must have posted records")
+
+    // server side: ingest stream → drift decode (role dropped, yearsofexp/
+    // salary zero-filled) → store
+    val wire = StructType(Seq(
+      StructField("name", StringType), StructField("age", IntegerType),
+      StructField("yearsofexp", IntegerType), StructField("salary", IntegerType)))
+    val ingest = spark.readStream.format("graft.streaming.HttpIngestSource")
+      .option("port", port.toString).load()
+      .withColumn("d", from_json($"value", wire))
+      .select($"d.name".as("name"), coalesce($"d.age", lit(0)).as("age"),
+        coalesce($"d.yearsofexp", lit(0)).as("yearsofexp"),
+        coalesce($"d.salary", lit(0)).as("salary"))
+    val q = ingest.writeStream.format("memory").queryName("e2e_store")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val stored = spark.table("e2e_store").collect()
+    assert(stored.length >= 10)
+    stored.foreach { r =>
+      assert(r.getString(0).startsWith("User"))
+      assert(r.getInt(1) >= 18 && r.getInt(1) <= 57)
+      assert(r.getInt(2) == 0 && r.getInt(3) == 0) // drift zero-fill: generator
+      // sends {name, role, age}; role dropped, yearsofexp/salary zero-filled
+    }
+  }
+
   test("T8: enrichment pipeline — pooled HTTP transform + keyed write-back") {
     // stub of the remote /update-salary service (Server/main.go:301):
     // returns the FIXTURES A.4 stand-in so the result is exactly q23's
