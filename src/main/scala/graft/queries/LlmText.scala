@@ -121,6 +121,58 @@ object LlmText {
           |      FROM documents)
           |ORDER BY doc_id""".stripMargin)),
 
+    // Q28e [extension: corpus quality filter] the C4-style rule chain a
+    // training-data pipeline runs after scoring: keep documents inside
+    // token-count bounds, with enough distinct tokens and a sane stopword
+    // rate. Pure projections + one filter — embarrassingly parallel, zero
+    // shuffle before the output sort.
+    "q28e_quality_filter" -> QueryDef(
+      build = (s, d) => {
+        val w = split($("text"), " ")
+        val stop = array(lit("the"), lit("a"))
+        Tables.documents(s, d)
+          .withColumn("n_tokens", size(w).cast("long"))
+          .withColumn("n_uniq", size(array_distinct(w)).cast("long"))
+          .withColumn("n_stop", size(filter(w, t => array_contains(stop, t))).cast("long"))
+          .filter($("n_tokens") >= 20 && $("n_tokens") <= 90 &&
+            $("n_uniq") * 100 >= $("n_tokens") * 25 && // >=25% distinct
+            $("n_stop") * 100 <= $("n_tokens") * 40) // <=40% stopwords
+          .select($("doc_id"), $("lang"), $("n_tokens"), $("n_uniq"), $("n_stop"))
+          .orderBy($("doc_id"))
+      },
+      oracle = Some(
+        """SELECT doc_id, lang,
+          |  CAST(len(w) AS BIGINT) AS n_tokens,
+          |  CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+          |  CAST(len(list_filter(w, t -> t IN ('the','a'))) AS BIGINT) AS n_stop
+          |FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+          |WHERE len(w) BETWEEN 20 AND 90
+          |  AND len(list_distinct(w)) * 100 >= len(w) * 25
+          |  AND len(list_filter(w, t -> t IN ('the','a'))) * 100 <= len(w) * 40
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Q28f [extension: deterministic stratified sample] hash-mod sampling
+    // per stratum — reproducible across runs/cluster sizes (unlike
+    // df.sample), the standard way to cut eval slices from a 100 TB corpus.
+    // The "hash" is modular arithmetic on the key so DuckDB agrees exactly.
+    "q28f_stratified_sample" -> QueryDef(
+      build = (s, d) =>
+        Tables.documents(s, d)
+          .filter(pmod($("doc_id") * 2654435761L, lit(100)) < 10) // ~10% per stratum
+          .groupBy($("lang"))
+          .agg(count(lit(1)).as("n_sampled"),
+            // joined string, not a raw array — the driver's hasher is only
+            // proven on scalar columns (q17 convention)
+            expr("array_join(transform(sort_array(collect_list(doc_id)), x -> cast(x AS string)), ',')")
+              .as("sampled_ids"))
+          .orderBy($("lang")),
+      oracle = Some(
+        """SELECT lang, count(*) AS n_sampled,
+          |  array_to_string(list_sort(list(doc_id)), ',') AS sampled_ids
+          |FROM documents
+          |WHERE ((doc_id * 2654435761) % 100 + 100) % 100 < 10
+          |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Q28d [extension: token counting, BPE-ish] whitespace tokens plus a
     // regex sub-token count (letter-runs and single non-space symbols —
     // the shape of a byte-pair pretokenizer), per doc and corpus-total.
