@@ -65,13 +65,19 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${q(sfDir)}}"""
-    println(json)
-    try Files.writeString(Paths.get("BENCH_LOCAL.json"), json)
+    def render(prec: Int): String = {
+      def num(v: Double) = s"%.${prec}f".format(v)
+      val qs = results.map { case (k, v) => s"${q(k)}:${num(v)}" }.mkString("{", ",", "}")
+      val errs = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+      val total = results.map(_._2).sum
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":${q(sfDir)}}"""
+    }
+    // The driver keeps only a ~2000-char tail of stdout and parses the JSON
+    // line out of it (sbt appends its own ~65-char [success] line after us).
+    // 4-decimal times keep 50+ queries inside that window; the file mirror
+    // keeps full precision.
+    println(render(4))
+    try Files.writeString(Paths.get("BENCH_LOCAL.json"), render(9))
     catch { case _: Throwable => () }
     spark.stop()
   }
