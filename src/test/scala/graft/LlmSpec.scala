@@ -75,9 +75,9 @@ class LlmSpec extends SparkSpec {
     val approx = Registry.all("q26b_ann_lsh").build(spark, sf)
       .select($"qid", $"cid").as[(Long, Long)].collect().toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
-    // uniform-random embeddings (no true near neighbors) bound what LSH can
-    // do; 0.25 is the conservative floor for 6 tables x 4 bits (measured 0.5)
-    assert(recall >= 0.25, s"recall $recall below floor")
+    // 6 tables x 4 bits with 1-bit multi-probe on the query side measures
+    // 0.97 on the (worst-case, uniform-random) testdata; 0.6 is the floor
+    assert(recall >= 0.6, s"recall $recall below floor")
   }
 
   test("multimodal decode plumbing: schema, determinism, partition locality") {
