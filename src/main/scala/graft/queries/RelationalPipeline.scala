@@ -143,10 +143,10 @@ object RelationalPipeline {
             coalesce($("decoded.name"), lit("")).as("name"),
             coalesce($("decoded.age"), lit(0)).as("age"),
             coalesce($("decoded.k"), lit(0)).as("k"))
-          .withColumn("reencoded",
-            concat(lit("{\"name\":\""), $("name"), lit("\",\"age\":"),
-              $("age").cast("string"), lit(",\"k\":"),
-              $("k").cast("string"), lit("}")))
+          // real to_json (F9), not string concat: field order follows the
+          // struct, compact separators — byte-identical to the oracle's
+          // hand-built JSON for these all-ASCII, zero-filled fields
+          .withColumn("reencoded", to_json(struct($("name"), $("age"), $("k"))))
           .orderBy($("event_id"))
       },
       oracle = Some(
