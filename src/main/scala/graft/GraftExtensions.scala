@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{FloatDotProduct, ShingleHashes}
+import graft.plans.{FloatDotProduct, PolyHash, ShingleHashes}
 
 /** Engine extension wiring: native expressions registered into the session
   * FunctionRegistry, installable either via
@@ -30,7 +30,12 @@ object GraftExtensions {
     (FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) => ShingleHashes(children.head,
-        children(1).eval().asInstanceOf[Int])))
+        children(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (children: Seq[Expression]) => PolyHash(children.head,
+        children(1).eval().asInstanceOf[Number].longValue(),
+        children(2).eval().asInstanceOf[Number].longValue())))
 
   /** Idempotent per-session registration. */
   def install(spark: SparkSession): Unit = {

@@ -38,6 +38,39 @@ object LlmDedup {
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
 
+  /** Banded MinHash-LSH near-duplicate pairs at Jaccard ≥ 0.5 (the q27b
+    * construction, shared with q27e): signature → 64 bands × 2 rows →
+    * bucket groupBy with in-bucket pair expansion → exact Jaccard verify.
+    */
+  private def nearDupPairs(sh: DataFrame): DataFrame = {
+    val k = 128; val bands = 64 // r = 2
+    val sigs = sh
+      .select($("doc_id"), explode($("hs")).as("h"))
+      .groupBy($("doc_id"))
+      .agg(MinHash.minhashSig(k)($("h")).as("sig"))
+    val banded = sigs.select($("doc_id"), explode(
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        concat_ws(":", b,
+          element_at($("sig"), b * 2 + 1),
+          element_at($("sig"), b * 2 + 2)))).as("bucket"))
+    val cand = banded
+      .groupBy($("bucket"))
+      .agg(sort_array(collect_list($("doc_id"))).as("ids"))
+      .filter(size($("ids")) > 1)
+      .select(explode(flatten(transform($("ids"), (a, i) =>
+        transform(slice($("ids"), i + 2, size($("ids"))), b =>
+          struct(a.as("a_id"), b.as("b_id")))))).as("p"))
+      .select($("p.a_id"), $("p.b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val sa = sh.select($("doc_id").as("a_id"), $("hs").as("sa"))
+    val sb = sh.select($("doc_id").as("b_id"), $("hs").as("sb"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("inter", size(array_intersect($("sa"), $("sb"))))
+      .withColumn("uni", size($("sa")) + size($("sb")) - $("inter"))
+      .withColumn("jac", $("inter").cast("double") / $("uni").cast("double"))
+      .filter($("jac") >= 0.5)
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Q27 [extension: exact dedup] hash-groupBy on the normalized text —
@@ -72,38 +105,11 @@ object LlmDedup {
     // bucket, pairs expand only inside a bucket (bounded by band width),
     // never a global self-join.
     "q27b_dedup_minhash" -> QueryDef(
-      build = (s, d) => {
-        val k = 128; val bands = 64 // r = 2
-        val sh = shingleHashed(s, d).cache()
-        val sigs = sh
-          .select($("doc_id"), explode($("hs")).as("h"))
-          .groupBy($("doc_id"))
-          .agg(MinHash.minhashSig(k)($("h")).as("sig"))
-        val banded = sigs.select($("doc_id"), explode(
-          transform(sequence(lit(0), lit(bands - 1)), b =>
-            concat_ws(":", b,
-              element_at($("sig"), b * 2 + 1),
-              element_at($("sig"), b * 2 + 2)))).as("bucket"))
-        val cand = banded
-          .groupBy($("bucket"))
-          .agg(sort_array(collect_list($("doc_id"))).as("ids"))
-          .filter(size($("ids")) > 1)
-          .select(explode(flatten(transform($("ids"), (a, i) =>
-            transform(slice($("ids"), i + 2, size($("ids"))), b =>
-              struct(a.as("a_id"), b.as("b_id")))))).as("p"))
-          .select($("p.a_id"), $("p.b_id"))
-          .dropDuplicates("a_id", "b_id")
-        val sa = sh.select($("doc_id").as("a_id"), $("hs").as("sa"))
-        val sb = sh.select($("doc_id").as("b_id"), $("hs").as("sb"))
-        cand.join(sa, "a_id").join(sb, "b_id")
-          .withColumn("inter", size(array_intersect($("sa"), $("sb"))))
-          .withColumn("uni", size($("sa")) + size($("sb")) - $("inter"))
-          .withColumn("jac", $("inter").cast("double") / $("uni").cast("double"))
-          .filter($("jac") >= 0.5)
+      build = (s, d) =>
+        nearDupPairs(shingleHashed(s, d).cache())
           .select($("a_id"), $("b_id"), $("inter").cast("long").as("inter"),
             $("uni").cast("long").as("uni"), $("jac"))
-          .orderBy($("a_id"), $("b_id"))
-      },
+          .orderBy($("a_id"), $("b_id")),
       oracle = Some(
         s"""WITH sh AS ($shingledSql)
            |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -131,44 +137,39 @@ object LlmDedup {
     "q27e_dedup_corpus" -> QueryDef(
       build = (s, d) => {
         val sh = shingleHashed(s, d).cache()
-        // near-dup pairs, same construction as q27b
-        val k = 128; val bands = 64
-        val sigs = sh.select($("doc_id"), explode($("hs")).as("h"))
-          .groupBy($("doc_id")).agg(MinHash.minhashSig(k)($("h")).as("sig"))
-        val banded = sigs.select($("doc_id"), explode(
-          transform(sequence(lit(0), lit(bands - 1)), b =>
-            concat_ws(":", b, element_at($("sig"), b * 2 + 1),
-              element_at($("sig"), b * 2 + 2)))).as("bucket"))
-        val cand = banded.groupBy($("bucket"))
-          .agg(sort_array(collect_list($("doc_id"))).as("ids"))
-          .filter(size($("ids")) > 1)
-          .select(explode(flatten(transform($("ids"), (a, i) =>
-            transform(slice($("ids"), i + 2, size($("ids"))), b =>
-              struct(a.as("a_id"), b.as("b_id")))))).as("p"))
-          .select($("p.a_id"), $("p.b_id")).dropDuplicates("a_id", "b_id")
-        val sa = sh.select($("doc_id").as("a_id"), $("hs").as("sa"))
-        val sb = sh.select($("doc_id").as("b_id"), $("hs").as("sb"))
-        val pairs = cand.join(sa, "a_id").join(sb, "b_id")
-          .withColumn("inter", size(array_intersect($("sa"), $("sb"))))
-          .withColumn("uni", size($("sa")) + size($("sb")) - $("inter"))
-          .filter($("inter").cast("double") / $("uni").cast("double") >= 0.5)
-          .select($("a_id"), $("b_id")).cache()
+        val pairs = nearDupPairs(sh).select($("a_id"), $("b_id")).cache()
         val edges = pairs.union(pairs.select($("b_id"), $("a_id")))
           .toDF("src", "dst").cache()
-        // min-label propagation to fixpoint (component diameter bounds the
-        // rounds; convergence checked per round)
-        var labels = sh.select($("doc_id"), $("doc_id").as("rep")).cache()
-        var converged = false
+        // Min-label propagation to fixpoint (component diameter bounds the
+        // rounds). Iteration hygiene for scale: each round is ONE
+        // materialization job — `localCheckpoint()` truncates lineage so the
+        // plan stays O(1) across rounds instead of growing linearly — and the
+        // previous label rides through the aggregation as `old` (every
+        // doc_id has exactly one `labels` row, neighbor rows carry null, and
+        // min() ignores nulls), so convergence is a count over the
+        // just-materialized blocks, not a separate join+isEmpty job. The
+        // prior round's checkpoint blocks are unpersisted explicitly.
+        def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+          df.queryExecution.analyzed.collectFirst {
+            case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+          }
+        var labels = sh.select($("doc_id"), $("doc_id").as("rep")).localCheckpoint()
+        var prevBlocks = ckptRdd(labels)
+        var changed = 1L
         var rounds = 0
-        while (!converged && rounds < 20) {
+        while (changed > 0 && rounds < 20) {
           val viaNeighbor = edges
             .join(labels.withColumnRenamed("doc_id", "dst2"), $("dst") === $("dst2"))
             .select($("src").as("doc_id"), $("rep"))
-          val next = labels.select($("doc_id"), $("rep")).union(viaNeighbor)
-            .groupBy($("doc_id")).agg(min($("rep")).as("rep")).cache()
-          converged = next.join(labels.withColumnRenamed("rep", "old"), "doc_id")
-            .filter($("rep") =!= $("old")).isEmpty
-          labels = next
+          val next = labels.select($("doc_id"), $("rep"), $("rep").as("old"))
+            .union(viaNeighbor.select($("doc_id"), $("rep"), lit(null).as("old")))
+            .groupBy($("doc_id"))
+            .agg(min($("rep")).as("rep"), min($("old")).as("old"))
+            .localCheckpoint()
+          changed = next.filter($("rep") =!= $("old")).count()
+          prevBlocks.foreach(_.unpersist(blocking = false))
+          prevBlocks = ckptRdd(next)
+          labels = next.select($("doc_id"), $("rep"))
           rounds += 1
         }
         labels

@@ -24,8 +24,15 @@ object LlmText {
     // Q28 [extension: quality scoring + fingerprint] per-document stats:
     // token counts, distinct-token ratio, stopword ratio, mean token length,
     // and a polynomial rolling-hash fingerprint of the full text.
+    //
+    // mean_tok_len is pure column arithmetic: tokens are split on single
+    // spaces, so sum(len(token)) == length(text) - (n_tokens - 1) separators.
+    // The fingerprint is the native codegen'd [[graft.plans.PolyHash]] —
+    // same left fold as the interpreted per-character HOF it replaced
+    // (7.9 s → sub-second at sf0.1).
     "q28_text_stats" -> QueryDef(
       build = (s, d) => {
+        graft.GraftExtensions.install(s)
         val w = split($("text"), " ")
         val stop = array(lit("the"), lit("a"))
         Tables.documents(s, d)
@@ -37,11 +44,10 @@ object LlmText {
           .withColumn("uniq_ratio", $("n_uniq").cast("double") / $("n_tokens").cast("double"))
           .withColumn("stop_ratio", $("n_stop").cast("double") / $("n_tokens").cast("double"))
           .withColumn("mean_tok_len",
-            aggregate($("w"), lit(0L), (acc, t) => acc + length(t).cast("long"))
+            (length($("text")).cast("long") - ($("n_tokens") - 1))
               .cast("double") / $("n_tokens").cast("double"))
           .withColumn("fingerprint",
-            aggregate(split($("text"), ""), lit(0L),
-              (acc, c) => (acc * 31 + ascii(c)) % 1000000007L))
+            call_function("poly_hash", $("text"), lit(31L), lit(1000000007L)))
           .select($("doc_id"), $("n_tokens"), $("n_uniq"), $("n_stop"),
             $("uniq_ratio"), $("stop_ratio"), $("mean_tok_len"), $("fingerprint"))
           .orderBy($("doc_id"))
