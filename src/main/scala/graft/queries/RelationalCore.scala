@@ -229,15 +229,26 @@ object RelationalCore {
           |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
           |ORDER BY p_partkey""".stripMargin)),
 
-    // Q11 [J7] non-equi (theta) range join on bounded inputs → Spark plans
-    // BroadcastNestedLoopJoin. At scale a band join like this should be
-    // rewritten to an equi-join on a bucketed price band — see the comment
-    // in plans/ — here we keep the declared semantics on bounded inputs.
+    // Q11 [J7] non-equi (theta) range join, executed as a BANDED equi-join:
+    // each part's price interval [retail*10, retail*20] is exploded onto the
+    // fixed price grid it overlaps (interval length / W ≈ 1-3 bands), each
+    // order lands in exactly ONE band, and the residual BETWEEN filter
+    // restores exact semantics. The raw theta join planned as a
+    // BroadcastNestedLoopJoin — O(|P|·|O|) compares and a full broadcast;
+    // the band key turns it into a hash equi-join the big side flows
+    // through once, partitionable at any scale. No dedup needed: one band
+    // per order ⇒ a pair can only meet once. PlanSpec asserts no BNLJ.
     "q11_join_range" -> QueryDef(
       build = (s, d) => {
+        val W = 10000d // grid width ≈ half the narrowest part interval
         val p = Tables.part(s, d).filter($("p_partkey") < 50)
+          .withColumn("band", explode(sequence(
+            floor($("p_retailprice") * 10 / W),
+            floor($("p_retailprice") * 20 / W))))
         val o = Tables.orders(s, d).filter($("o_orderkey") % 100 === 0)
-        p.join(o, $("o_totalprice").between(
+          .withColumn("band", floor($("o_totalprice") / W))
+        p.join(o, "band")
+          .filter($("o_totalprice").between(
             $("p_retailprice") * 10, $("p_retailprice") * 20))
           .select($("p_partkey"), $("o_orderkey"))
           .orderBy($("p_partkey"), $("o_orderkey"))

@@ -65,6 +65,22 @@ class PlanSpec extends SparkSpec {
       s"float_dot must sit inside a codegen stage:\n$finalPlan")
   }
 
+  test("q11: banded range join is a hash equi-join, not a nested loop") {
+    val p = plan("q11_join_range")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q27d: triangle-blocked pair join never goes nested-loop/cartesian") {
+    val p = plan("q27d_dedup_embedding")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
   test("q30: flagship plan — one lineitem shuffle, dims broadcast, windowed") {
     val p = plan("q30_nation_year_rank")
     assert(p.contains("BroadcastHashJoin"), p) // nation
