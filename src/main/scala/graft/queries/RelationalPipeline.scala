@@ -93,6 +93,47 @@ object RelationalPipeline {
            |UNION ALL SELECT id, name, salary FROM incoming
            |ORDER BY id""".stripMargin)),
 
+    // Q23c [S6 scale path, SURVEY §7 Phase 5] keyed-latest view: updates
+    // land as an APPEND LOG (the only write shape that scales — no point
+    // writes, no rewrite of the base), and the current table is
+    // `row_number() over (partition by id order by version desc) = 1`.
+    // Three versions: the base snapshot, the q23 salary-update wave, and a
+    // rename+bonus wave — the view collapses them to latest-per-key in ONE
+    // shuffle on id. On a table format this window IS what MERGE INTO
+    // compacts; until compaction the view serves reads.
+    "q23c_keyed_latest" -> QueryDef(
+      build = (s, d) => {
+        val emp = employeeView(s, d)
+        val v0 = emp.select($("id"), $("name"), $("salary"), lit(0L).as("ver"))
+        val v1 = emp.filter($("segment") === "BUILDING")
+          .select($("id"), $("name"),
+            ($("salary") + lit(1000L) * $("yearsofexp")).as("salary"),
+            lit(1L).as("ver"))
+        val v2 = emp.filter($("id") % 10 === 0)
+          .select($("id"), concat(lit("upd_"), $("name")).as("name"),
+            ($("salary") + lit(500L)).as("salary"), lit(2L).as("ver"))
+        val w = Window.partitionBy($("id")).orderBy(desc("ver"))
+        v0.unionAll(v1).unionAll(v2)
+          .withColumn("rn", row_number().over(w))
+          .filter($("rn") === 1)
+          .select($("id"), $("name"), $("salary"), $("ver"))
+          .orderBy($("id"))
+      },
+      oracle = Some(
+        s"""WITH emp AS ($employeeSql),
+           |log AS (
+           |  SELECT id, name, salary, 0::BIGINT AS ver FROM emp
+           |  UNION ALL
+           |  SELECT id, name, salary + 1000 * yearsofexp, 1::BIGINT
+           |  FROM emp WHERE segment = 'BUILDING'
+           |  UNION ALL
+           |  SELECT id, 'upd_' || name, salary + 500, 2::BIGINT
+           |  FROM emp WHERE id % 10 = 0)
+           |SELECT id, name, salary, ver FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY ver DESC) AS rn
+           |  FROM log)
+           |WHERE rn = 1 ORDER BY id""".stripMargin)),
+
     // Q24 [F1-F4,F7,F15] the reference's access-log rendering
     // (Server/main.go:171-176) + X-Forwarded-For first-hop parse
     // (Server/main.go:158-162), over events. The forwarded chain is

@@ -41,8 +41,14 @@ class HttpIngestSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     HttpIngestSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new HttpIngestTable(properties.getOrDefault("port", "8642").toInt)
+      properties: util.Map[String, String]): Table = {
+    def opt(key: String, dflt: String): String = {
+      val v = properties.get(key)
+      if (v != null) v else properties.getOrDefault(key.toLowerCase, dflt)
+    }
+    new HttpIngestTable(opt("port", "8642").toInt,
+      opt("maxRowsPerPartition", "1024").toInt)
+  }
 }
 
 object HttpIngestSource {
@@ -96,7 +102,8 @@ object HttpIngestSource {
   }
 }
 
-private class HttpIngestTable(port: Int) extends Table with SupportsRead {
+private class HttpIngestTable(port: Int, maxRowsPerPartition: Int)
+    extends Table with SupportsRead {
   override def name(): String = s"http-ingest:$port"
   override def schema(): StructType = HttpIngestSource.Schema
   override def capabilities(): util.Set[TableCapability] =
@@ -105,7 +112,7 @@ private class HttpIngestTable(port: Int) extends Table with SupportsRead {
     () => new Scan {
       override def readSchema(): StructType = HttpIngestSource.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new HttpIngestStream(port)
+        new HttpIngestStream(port, maxRowsPerPartition)
     }
 }
 
@@ -113,7 +120,8 @@ private case class SeqOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-private class HttpIngestStream(port: Int) extends MicroBatchStream {
+private class HttpIngestStream(port: Int, maxRowsPerPartition: Int)
+    extends MicroBatchStream {
   private def state = HttpIngestSource.stateFor(port)
 
   override def initialOffset(): Offset = SeqOffset(0L)
@@ -125,7 +133,12 @@ private class HttpIngestStream(port: Int) extends MicroBatchStream {
     val hi = end.asInstanceOf[SeqOffset].n
     val rows = state.buffer.subMap(lo, false, hi, true)
       .values().toArray(Array.empty[(String, Long)])
-    Array(HttpBatchPartition(rows))
+    // a large micro-batch splits into ≤maxRowsPerPartition chunks so the
+    // downstream decode parallelizes across task slots instead of running
+    // single-threaded on one partition
+    if (rows.isEmpty) Array(HttpBatchPartition(rows))
+    else rows.grouped(maxRowsPerPartition)
+      .map(HttpBatchPartition(_): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

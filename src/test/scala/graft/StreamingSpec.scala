@@ -3,7 +3,7 @@ package graft
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 
-import graft.streaming.{EnrichmentPipeline, Generator, HttpIngestSource}
+import graft.streaming.{EnrichmentPipeline, Generator, HttpIngestSource, RejectChannel}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -261,6 +261,68 @@ class StreamingSpec extends SparkSpec {
       assert(r.getInt(2) == 0 && r.getInt(3) == 0) // drift zero-fill: generator
       // sends {name, role, age}; role dropped, yearsofexp/salary zero-filled
     }
+  }
+
+  test("S7: a multi-record batch splits into multiple input partitions") {
+    val port = 18646
+    HttpIngestSource.stateFor(port)
+    val http = HttpClient.newHttpClient()
+    (1 to 5).foreach { i =>
+      http.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port/ingest"))
+        .POST(HttpRequest.BodyPublishers.ofString(s"r$i")).build(),
+        HttpResponse.BodyHandlers.ofString())
+    }
+    val stream = spark.readStream.format("graft.streaming.HttpIngestSource")
+      .option("port", port.toString)
+      .option("maxRowsPerPartition", "2")
+      .load()
+    @volatile var nParts = 0
+    @volatile var nRows = 0L
+    val q = stream.writeStream
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = batch.count()
+        if (n > 0) {
+          nRows = n
+          nParts = batch.select(spark_partition_id()).distinct().count().toInt
+        }
+      }
+      .start()
+    q.awaitTermination()
+    assert(nRows == 5, s"all five records must arrive (got $nRows)")
+    assert(nParts >= 2, s"5 rows at maxRowsPerPartition=2 must span >1 partition (got $nParts)")
+  }
+
+  test("§2.11: malformed ingest records land in the reject channel, not the store") {
+    val port = 18647
+    HttpIngestSource.stateFor(port)
+    val http = HttpClient.newHttpClient()
+    def post(body: String): Unit =
+      http.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port/ingest"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    post("""{"name":"Ok1","age":30,"yearsofexp":5,"salary":900}""")
+    post("""{"name":"Drift","role":"intern","age":22}""") // drift: decodes, zero-fills
+    post("""this is not json""") // corrupt: must NOT reach the store
+    val wire = StructType(Seq(
+      StructField("name", StringType), StructField("age", IntegerType),
+      StructField("yearsofexp", IntegerType), StructField("salary", IntegerType)))
+    val stream = spark.readStream.format("graft.streaming.HttpIngestSource")
+      .option("port", port.toString).load()
+    val q = RejectChannel.run(stream, wire, "reject_store_t", "reject_side_t")
+    q.awaitTermination()
+    val store = spark.table("reject_store_t")
+      .select($"name", $"age", $"yearsofexp", $"salary").collect()
+    assert(store.length == 2, s"store must hold only decodable rows: ${store.toSeq}")
+    val byName = store.map(r => r.getString(0) -> r).toMap
+    assert(byName("Ok1").getInt(3) == 900)
+    assert(byName("Drift").getInt(2) == 0 && byName("Drift").getInt(3) == 0) // zero-fill
+    val rejects = spark.table("reject_side_t").collect()
+    assert(rejects.length == 1)
+    val rej = rejects.head
+    assert(rej.getString(rej.fieldIndex("raw")) == "this is not json")
+    assert(rej.getString(rej.fieldIndex("reason")) == "malformed_json")
+    assert(!rej.isNullAt(rej.fieldIndex("ingest_ts")))
   }
 
   test("T8: enrichment pipeline — pooled HTTP transform + keyed write-back") {
