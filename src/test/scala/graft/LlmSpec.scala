@@ -80,6 +80,19 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall below floor")
   }
 
+  test("q26b LSH-ANN recall holds at sf0.1 (≥ 0.9 with multi-probe)") {
+    // the ANN quality claim must scale with the data, not just sf0.001:
+    // denser buckets at 100× rows should RAISE recall (more true neighbors
+    // per probed bucket), and this pins it
+    val big = "/root/testdata/sf0.1"
+    val exact = Registry.all("q26_ann_topk").build(spark, big)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val approx = Registry.all("q26b_ann_lsh").build(spark, big)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall below 0.9 at sf0.1")
+  }
+
   test("multimodal decode plumbing: schema, determinism, partition locality") {
     val docs = Tables.documents(spark, sf)
       .withColumn("kind", element_at(array(lit("image"), lit("audio"), lit("video")),
