@@ -307,6 +307,16 @@ class StreamingSpec extends SparkSpec {
     val wire = StructType(Seq(
       StructField("name", StringType), StructField("age", IntegerType),
       StructField("yearsofexp", IntegerType), StructField("salary", IntegerType)))
+    // managed-table hygiene: drop catalog entries AND leftover warehouse
+    // dirs from prior runs (saveAsTable refuses an orphaned location)
+    Seq("reject_store_t", "reject_side_t").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), tbl)
+      if (loc.exists()) {
+        loc.listFiles().foreach(_.delete()); loc.delete()
+      }
+    }
     val stream = spark.readStream.format("graft.streaming.HttpIngestSource")
       .option("port", port.toString).load()
     val q = RejectChannel.run(stream, wire, "reject_store_t", "reject_side_t")
