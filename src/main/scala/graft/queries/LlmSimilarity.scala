@@ -148,6 +148,93 @@ object LlmSimilarity {
       },
       oracle = None),
 
+    // Q26c [extension, scale path #2] IVF (inverted-file) ANN: a coarse
+    // k-means quantizer partitions vectors into cells; queries probe only
+    // the nprobe nearest cells and exact-rank inside them. The classic
+    // FAISS-style alternative to q26b's LSH: data-adaptive cells beat
+    // data-oblivious hyperplanes when the corpus clusters.
+    //
+    // Training: deterministic init (cell = vec_id mod k → cell means), then
+    // two Lloyd rounds. Each round is one distributed assign (k codegen'd
+    // float_dot per row, centroids broadcast as literals) + one
+    // posexplode/groupBy mean. Collecting the k×64 centroid matrix to the
+    // driver is model state, not data — bounded at k rows regardless of
+    // corpus size (what MLlib's KMeans does too).
+    //
+    // Serving: cell is THE partition key. At 100 TB the assignment write is
+    // one pass, each cell is a parquet partition, and a query touches
+    // nprobe partitions — candidate generation joins on ids only, so
+    // embeddings never ride the shuffle (q26b convention). Approximate ⇒
+    // rows-only gate; recall vs exact q26 pinned in LlmSpec (0.80 at
+    // sf0.001 / 0.93 at sf0.1 measured).
+    //
+    // Parameter honesty: the synthetic embeddings are uniform-random — the
+    // IVF worst case, with no cluster structure to exploit — so nprobe is
+    // high (10 of 16 cells) to hold recall. On a real clustered corpus the
+    // operating point is k ≈ √N cells with nprobe ≈ √k, where cells are
+    // tight and the probe fraction (and compute) drops by orders of
+    // magnitude; the plan shape here is unchanged by those constants.
+    "q26c_ann_ivf" -> QueryDef(
+      build = (s, d) => {
+        val k = 16; val nprobe = 10; val lloydRounds = 2
+        val nm = normed(s, d).cache()
+
+        def nrm2(c: Array[Float]): Double =
+          math.sqrt(c.map(x => x.toDouble * x).sum).max(1e-12)
+        // spherical k-means: assign/probe by angle (cos(v,c) up to the
+        // row-constant 1/||v||) — matches the cosine search metric better
+        // than euclidean scores when norms vary
+        def scoreArr(cents: IndexedSeq[Array[Float]]): Column =
+          array(cents.map(c =>
+            dot($("embedding"), typedlit(c)) / lit(nrm2(c))): _*)
+        def cellCol(cents: IndexedSeq[Array[Float]]): Column = {
+          val a = scoreArr(cents)
+          (array_position(a, array_max(a)) - 1).cast("int")
+        }
+        // mean per (cell, dim) → k×64 rows → driver-side centroid matrix
+        def centroidsOf(assigned: DataFrame): IndexedSeq[Array[Float]] = {
+          val rows = assigned
+            .select($("cell"), posexplode($("embedding")).as(Seq("pos", "x")))
+            .groupBy($("cell"), $("pos")).agg(avg($("x")).as("m"))
+            .collect()
+          val dim = rows.map(_.getInt(1)).max + 1
+          val m = Array.fill(k)(new Array[Float](dim))
+          rows.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+          m.toIndexedSeq
+        }
+
+        var cents = centroidsOf(
+          nm.withColumn("cell", pmod($("vec_id"), lit(k)).cast("int")))
+        for (_ <- 1 to lloydRounds)
+          cents = centroidsOf(nm.withColumn("cell", cellCol(cents)))
+
+        // nprobe nearest cells per query: sort (score, idx) structs desc
+        val probed: Column = {
+          val a = array(cents.zipWithIndex.map { case (c, i) =>
+            struct((dot($("embedding"), typedlit(c)) / lit(nrm2(c))).as("s"),
+              lit(i).as("i"))
+          }: _*)
+          transform(slice(reverse(array_sort(a)), 1, nprobe), x => x("i"))
+        }
+        val nKeys = nm.select($("vec_id"), cellCol(cents).as("cell"))
+        val qKeys = nm.filter($("vec_id") % 50 === 0)
+          .select($("vec_id").as("qid"), explode(probed).as("cell"))
+        val cand = nKeys.join(broadcast(qKeys),
+            nKeys("cell") === qKeys("cell") && $("vec_id") =!= $("qid"))
+          .select($("qid"), $("vec_id").as("cid"))
+        val qVecs = nm.filter($("vec_id") % 50 === 0)
+          .select($("vec_id").as("qid2"), $("embedding").as("qe"), $("nrm").as("qn"))
+        val w = Window.partitionBy($("qid")).orderBy(desc("cos"), $("cid"))
+        cand.join(nm, $("cid") === nm("vec_id"))
+          .join(broadcast(qVecs), $("qid") === $("qid2"))
+          .select($("qid"), $("cid"),
+            (dot($("qe"), $("embedding")) / ($("qn") * $("nrm"))).as("cos"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter($("rnk") <= 3)
+          .orderBy($("qid"), $("rnk"))
+      },
+      oracle = None),
+
     // Q27d [extension] embedding-cosine near-duplicate pairs: all pairs with
     // cos >= 0.45 (testdata max pairwise cos is ~0.513, so the output is
     // small but non-empty).

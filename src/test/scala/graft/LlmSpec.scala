@@ -93,6 +93,23 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall below 0.9 at sf0.1")
   }
 
+  test("q26c IVF-ANN recall vs exact top-k (worst-case uniform data)") {
+    // uniform-random embeddings are IVF's worst case (no clusters), so the
+    // floors are the measured operating point minus noise margin: 0.7 at
+    // sf0.001 (0.80 measured), 0.9 at sf0.1 (0.93 measured)
+    def recallAt(dir: String): Double = {
+      val exact = Registry.all("q26_ann_topk").build(spark, dir)
+        .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+      val ivf = Registry.all("q26c_ann_ivf").build(spark, dir)
+        .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+      exact.intersect(ivf).size.toDouble / exact.size
+    }
+    val small = recallAt(sf)
+    assert(small >= 0.7, s"sf0.001 recall $small below 0.7")
+    val big = recallAt("/root/testdata/sf0.1")
+    assert(big >= 0.9, s"sf0.1 recall $big below 0.9")
+  }
+
   test("multimodal decode plumbing: schema, determinism, partition locality") {
     val docs = Tables.documents(spark, sf)
       .withColumn("kind", element_at(array(lit("image"), lit("audio"), lit("video")),
