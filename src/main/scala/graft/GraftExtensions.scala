@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{FloatDotProduct, PolyHash, ShingleHashes}
+import graft.plans.{FloatDotProduct, MinHashSigArr, PolyHash, ShingleHashes}
 
 /** Engine extension wiring: native expressions registered into the session
   * FunctionRegistry, installable either via
@@ -35,7 +35,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       (children: Seq[Expression]) => PolyHash(children.head,
         children(1).eval().asInstanceOf[Number].longValue(),
-        children(2).eval().asInstanceOf[Number].longValue())))
+        children(2).eval().asInstanceOf[Number].longValue())),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigArr].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinHashSigArr(children.head,
+        children(1).eval().asInstanceOf[Int])))
 
   /** Idempotent per-session registration. */
   def install(spark: SparkSession): Unit = {

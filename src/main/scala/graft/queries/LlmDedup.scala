@@ -28,8 +28,14 @@ object LlmDedup {
     */
   private def shingleHashed(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.install(s)
-    Tables.documents(s, d).select(
-      $("doc_id"), call_function("shingle_hashes", $("text"), lit(3)).as("hs"))
+    // documents is a few small parquet files ⇒ few scan partitions, but the
+    // per-row work here (shingling + k×|shingles| universal hashing) is the
+    // family's compute core — spread it over all task slots first. The
+    // repartition shuffles only (doc_id, text); signatures/bands stay
+    // shuffle-free after it.
+    Tables.documents(s, d)
+      .repartition($("doc_id"))
+      .select($("doc_id"), call_function("shingle_hashes", $("text"), lit(3)).as("hs"))
   }
 
   /** Same shingling in DuckDB (1-based list indexing matches element_at). */
@@ -41,13 +47,15 @@ object LlmDedup {
   /** Banded MinHash-LSH near-duplicate pairs at Jaccard ≥ 0.5 (the q27b
     * construction, shared with q27e): signature → 64 bands × 2 rows →
     * bucket groupBy with in-bucket pair expansion → exact Jaccard verify.
+    *
+    * Signatures come from the native [[graft.plans.MinHashSigArr]] — one
+    * codegen'd call per document, bit-identical to the A7 Aggregator path
+    * (LlmSpec asserts equality) but with no explode/groupBy shuffle.
     */
   private def nearDupPairs(sh: DataFrame): DataFrame = {
     val k = 128; val bands = 64 // r = 2
     val sigs = sh
-      .select($("doc_id"), explode($("hs")).as("h"))
-      .groupBy($("doc_id"))
-      .agg(MinHash.minhashSig(k)($("h")).as("sig"))
+      .select($("doc_id"), call_function("minhash_sig", $("hs"), lit(k)).as("sig"))
     val banded = sigs.select($("doc_id"), explode(
       transform(sequence(lit(0), lit(bands - 1)), b =>
         concat_ws(":", b,

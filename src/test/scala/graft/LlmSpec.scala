@@ -36,6 +36,18 @@ class LlmSpec extends SparkSpec {
     h
   }
 
+  test("native minhash_sig equals the A7 Aggregator signature") {
+    GraftExtensions.install(spark)
+    val hs = (1L to 300L).map(xxhashLong)
+    val viaAgg = hs.toDF("h").repartition(9)
+      .agg(MinHash.minhashSig(64)($"h").as("sig")).as[Array[Long]].head()
+    val viaExpr = Seq(Tuple1(hs.toArray)).toDF("hs")
+      .select(call_function("minhash_sig", $"hs", lit(64)).as("sig"))
+      .as[Array[Long]].head()
+    assert(viaAgg.sameElements(viaExpr),
+      "expression and Aggregator must produce bit-identical signatures")
+  }
+
   test("q27b MinHash-LSH finds exactly the brute-force Jaccard>=0.5 pairs") {
     val lsh = Registry.all("q27b_dedup_minhash").build(spark, sf)
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
