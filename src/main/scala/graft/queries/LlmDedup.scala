@@ -56,9 +56,14 @@ object LlmDedup {
     val k = 128; val bands = 64 // r = 2
     val sigs = sh
       .select($("doc_id"), call_function("minhash_sig", $("hs"), lit(k)).as("sig"))
+    // bucket key = xxhash64(band, slot1, slot2): an 8-byte long through the
+    // shuffle instead of a ~40-byte concat string. A cross-band 64-bit
+    // collision (~1e-9 at this key count) only MERGES two buckets, adding
+    // false candidates that the exact-Jaccard verify removes — recall is
+    // unaffected.
     val banded = sigs.select($("doc_id"), explode(
       transform(sequence(lit(0), lit(bands - 1)), b =>
-        concat_ws(":", b,
+        xxhash64(b,
           element_at($("sig"), b * 2 + 1),
           element_at($("sig"), b * 2 + 2)))).as("bucket"))
     val cand = banded

@@ -81,6 +81,12 @@ class PlanSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q26c: IVF candidate joins are hash joins on cell/id keys") {
+    val p = plan("q26c_ann_ivf")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q30: flagship plan — one lineitem shuffle, dims broadcast, windowed") {
     val p = plan("q30_nation_year_rank")
     assert(p.contains("BroadcastHashJoin"), p) // nation
