@@ -103,6 +103,39 @@ object RelationalAgg {
       oracle = Some(
         "SELECT true AS ok, count(DISTINCT o_custkey) AS exact_n FROM orders")),
 
+    // Q15b [A4 family: quantiles] exact percentiles per order status over
+    // integer cents (interpolated; ROUND(…,4) per the §2.12 float rule),
+    // plus an approx_percentile bound check — the q15 pattern. Exact
+    // percentile buffers each group's values, so at 100 TB the serving path
+    // is the t-digest approx (bounded sketch, mergeable map-side); the
+    // exact form is the oracle-able contract at gate scale.
+    "q15b_percentiles" -> QueryDef(
+      build = (s, d) =>
+        Tables.orders(s, d)
+          .withColumn("v", cents($("o_totalprice")))
+          .groupBy($("o_orderstatus"))
+          .agg(
+            round(expr("percentile(v, 0.25)"), 4).as("p25"),
+            round(expr("percentile(v, 0.5)"), 4).as("p50"),
+            round(expr("percentile(v, 0.75)"), 4).as("p75"),
+            round(expr("percentile(v, 0.9)"), 4).as("p90"),
+            expr("approx_percentile(v, 0.5, 1000)").as("p50_approx"),
+            count(lit(1)).as("n"))
+          .withColumn("approx_ok",
+            $("p50_approx") >= $("p25") && $("p50_approx") <= $("p75"))
+          .drop("p50_approx")
+          .orderBy($("o_orderstatus")),
+      oracle = Some {
+        val v = centsSql("o_totalprice")
+        s"""SELECT o_orderstatus,
+           |  round(quantile_cont($v, 0.25), 4) AS p25,
+           |  round(quantile_cont($v, 0.5), 4) AS p50,
+           |  round(quantile_cont($v, 0.75), 4) AS p75,
+           |  round(quantile_cont($v, 0.9), 4) AS p90,
+           |  count(*) AS n, true AS approx_ok
+           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+      }),
+
     // Q16 [A5] ROLLUP over nation × order status. NULL group markers are
     // COALESCEd to 'ALL' so ordering semantics can't diverge between
     // engines (DuckDB defaults NULLS LAST on ASC, Spark NULLS FIRST).
