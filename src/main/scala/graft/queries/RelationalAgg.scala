@@ -163,6 +163,37 @@ object RelationalAgg {
           |GROUP BY ROLLUP(n_name, o_orderstatus)
           |ORDER BY nation, status""".stripMargin)),
 
+    // Q16b [A5 family: pivot] nation × order-status counts pivoted to
+    // columns with explicit pivot values (explicit values keep the plan a
+    // single pass — no extra distinct-values job — and make the output
+    // schema static, which is also what you want at scale). Spark pivot ≡
+    // conditional aggregation, which is exactly the DuckDB oracle.
+    "q16b_pivot" -> QueryDef(
+      build = (s, d) => {
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        o.join(c, $("o_custkey") === $("c_custkey"))
+          .join(broadcast(n), $("c_nationkey") === $("n_nationkey"))
+          .groupBy($("n_name"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select($("n_name"),
+            coalesce($("F"), lit(0L)).as("n_f"),
+            coalesce($("O"), lit(0L)).as("n_o"),
+            coalesce($("P"), lit(0L)).as("n_p"))
+          .orderBy($("n_name"))
+      },
+      oracle = Some(
+        """SELECT n_name,
+          |  CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+          |  CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+          |  CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+          |FROM orders
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
     // Q17 [A6] collect_list — the reference's []User materialization
     // (Server/main.go:240-247). Sorted then joined to a string so the hash
     // is insensitive to arrival order; rendered as text because nested-array

@@ -75,6 +75,24 @@ object RelationalCore {
           |   OR (p_type = 'PROMO' AND p_size BETWEEN 10 AND 20)
           |ORDER BY p_partkey""".stripMargin)),
 
+    // Q3b [F15 family: fuzzy lookup] Levenshtein top-10 closest part names
+    // to a probe string — the "did you mean"/entity-resolution scalar both
+    // engines implement identically (classic Wagner-Fischer). One scan, a
+    // codegen'd distance per row, TakeOrderedAndProject for the top-k: no
+    // shuffle of the table, O(k) driver result at any scale. Tie-break on
+    // key keeps the output total-ordered.
+    "q03b_fuzzy_lookup" -> QueryDef(
+      build = (s, d) =>
+        Tables.part(s, d)
+          .select($("p_partkey"), $("p_name"),
+            levenshtein($("p_name"), lit("spring green metallic")).cast("long").as("dist"))
+          .orderBy($("dist"), $("p_partkey"))
+          .limit(10),
+      oracle = Some(
+        """SELECT p_partkey, p_name,
+          |  CAST(levenshtein(p_name, 'spring green metallic') AS BIGINT) AS dist
+          |FROM part ORDER BY dist, p_partkey LIMIT 10""".stripMargin)),
+
     // Q4 [F15] date + math scalar kit. The 10%-discount math runs in exact
     // integer cents ((c*9) div 10) so both engines agree bit-for-bit.
     "q04_date_math" -> QueryDef(
