@@ -217,6 +217,47 @@ object RelationalPipeline {
            |  count(*) AS n, (sum(${centsSql("value")}) / 100) AS val_sum
            |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)),
 
+    // Q29b [W2+W3 composite: batch sessionization] the manual lag-gap
+    // pattern behind q40's session_window, as plain window functions:
+    // a session breaks when the gap to the previous event exceeds 30 min;
+    // session id = running count of breaks. Two window passes over the
+    // same (user_id, ts) ordering — one shuffle on user_id total — then a
+    // combinable per-session aggregate. Epoch-second integer math keeps
+    // both engines bit-identical.
+    "q29b_sessionize" -> QueryDef(
+      build = (s, d) => {
+        val byUser = Window.partitionBy($("user_id")).orderBy($("ts"))
+        Tables.events(s, d)
+          .withColumn("sec", unix_timestamp($("ts")))
+          .withColumn("brk",
+            when($("sec") - lag($("sec"), 1).over(byUser) > 1800, 1L)
+              .otherwise(lit(0L)))
+          .withColumn("session_id", sum($("brk")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($("user_id"), $("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min($("sec")).as("start_sec"), max($("sec")).as("end_sec"))
+          .withColumn("dur_sec", $("end_sec") - $("start_sec"))
+          .orderBy($("user_id"), $("session_id"))
+      },
+      oracle = Some(
+        """WITH marked AS (
+          |  SELECT user_id, floor(epoch(ts))::BIGINT AS sec,
+          |    CASE WHEN floor(epoch(ts))::BIGINT
+          |      - lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+          |      THEN 1 ELSE 0 END AS brk
+          |  FROM events),
+          |sessions AS (
+          |  SELECT user_id, sec,
+          |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          |  FROM marked)
+          |SELECT user_id, session_id, count(*) AS n_events,
+          |  min(sec) AS start_sec, max(sec) AS end_sec,
+          |  max(sec) - min(sec) AS dur_sec
+          |FROM sessions GROUP BY user_id, session_id
+          |ORDER BY user_id, session_id""".stripMargin)),
+
     // Q30 [flagship: A2+J3+W1] nation × year revenue with in-nation rank:
     // star join → hash agg → window. nation (25 rows) broadcasts; customer
     // grows with SF so customer⋈orders shuffles on the key. The lineitem
