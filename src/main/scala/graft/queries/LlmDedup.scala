@@ -54,7 +54,13 @@ object LlmDedup {
     */
   private def nearDupPairs(sh: DataFrame): DataFrame = {
     val k = 128; val bands = 64 // r = 2
-    val sigs = sh
+    // Docs with no shingles (<3 tokens) can't be near-duplicates under
+    // 3-shingle Jaccard — and, left in, they'd all share the degenerate
+    // all-sentinel signature and pile into the SAME 64 buckets, turning a
+    // short-doc-heavy corpus into one O(E²) candidate blow-up. Exclude them
+    // from signature/banding entirely (the pre-r4 explode+groupBy path
+    // dropped them implicitly; this restores that semantics explicitly).
+    val sigs = sh.filter(size($("hs")) > 0)
       .select($("doc_id"), call_function("minhash_sig", $("hs"), lit(k)).as("sig"))
     // bucket key = xxhash64(band, slot1, slot2): an 8-byte long through the
     // shuffle instead of a ~40-byte concat string. A cross-band 64-bit

@@ -48,15 +48,22 @@ object JdbcCompat {
   /** Append rows (S4 sink shape): batched INSERTs, one connection per
     * partition. `overwrite=true` truncates/recreates first (bootstrap).
     *
-    * String columns are created as VARCHAR(255) — the reference's MySQL
-    * schema shape — rather than the dialect default (Derby would pick CLOB,
-    * which cannot be compared, breaking predicate pushdown on the way back).
+    * String columns are created as bounded VARCHAR rather than the dialect
+    * default (Derby would pick CLOB, which cannot be compared, breaking
+    * predicate pushdown on the way back). The width is caller-configurable:
+    * the default 4096 holds any reference-shaped row (MySQL schema uses
+    * VARCHAR(255), `/root/reference/Server/main.go` fields are short) while
+    * not failing at runtime on a long string — a data-dependent write error
+    * is worse than a few extra bytes of declared width. Callers with known
+    * long text should pass a wider bound (Derby caps VARCHAR at 32672).
     */
   def append(df: DataFrame, url: String, table: String,
-      driver: Option[String] = None, overwrite: Boolean = false): Unit = {
+      driver: Option[String] = None, overwrite: Boolean = false,
+      varcharLen: Int = 4096): Unit = {
+    require(varcharLen > 0, s"varcharLen must be positive, got $varcharLen")
     val stringCols = df.schema.fields
       .filter(_.dataType == org.apache.spark.sql.types.StringType)
-      .map(f => s"${f.name} VARCHAR(255)").mkString(", ")
+      .map(f => s"${f.name} VARCHAR($varcharLen)").mkString(", ")
     val w = df.write.format("jdbc").option("url", url).option("dbtable", table)
     val w2 = if (stringCols.nonEmpty) w.option("createTableColumnTypes", stringCols) else w
     val wd = driver.fold(w2)(d => w2.option("driver", d))

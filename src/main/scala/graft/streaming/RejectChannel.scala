@@ -53,8 +53,12 @@ object RejectChannel {
   }
 
   /** Streaming wiring: each micro-batch fans out to the store table and the
-    * reject table (both appends ⇒ idempotent with the source's
-    * exactly-once offsets).
+    * reject table. Delivery is AT-LEAST-ONCE into these sinks: the source's
+    * offsets make batch *contents* deterministic on replay, but a blind
+    * `mode("append")` inside foreachBatch is not transactional — a batch
+    * retried after a partial write duplicates rows. Exactly-once requires an
+    * idempotent sink keyed by `batchId` (or a transactional table format);
+    * at gate scale the plain append is the honest, simple edge.
     */
   def run(stream: DataFrame, wire: StructType,
       storeTable: String, rejectTable: String): StreamingQuery =
