@@ -16,6 +16,12 @@ import java.nio.file.{Files, Paths}
   * don't land on whichever query happens to run first. Failures are not
   * swallowed into fake timings: a failed query reports err and is excluded
   * from the total.
+  *
+  * Each query runs GRAFT_BENCH_RUNS times (default 3) and reports the
+  * MEDIAN — single-run numbers on a shared 32-core box swing ±1 s in
+  * unchanged code, which made per-query deltas across rounds pure noise.
+  * BENCH_LOCAL.json mirrors per-query min/max alongside the median so a
+  * genuinely bimodal query is visible.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -42,21 +48,34 @@ object Bench {
     // Warm-up: JVM + codegen + parquet footer caches (untimed).
     try run(SparkEntry.queries("q13_tpch_q1")) catch { case _: Throwable => () }
 
+    val nRuns = sys.env.get("GRAFT_BENCH_RUNS").map(_.toInt).filter(_ > 0).getOrElse(3)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // name -> (median, min, max) over nRuns successful repetitions
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .flatMap { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try {
-          run(fn)
-          Some(name -> (System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          None
-        } finally {
-          // per-query caches (e.g. dedup shingle sets) must not leak memory
-          // pressure or free work into the next query's timing
-          spark.catalog.clearCache()
+        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var failed = false
+        var i = 0
+        while (i < nRuns && !failed) {
+          val t0 = System.nanoTime()
+          try {
+            run(fn)
+            times += (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            failed = true
+          } finally {
+            // per-query caches (e.g. dedup shingle sets) must not leak memory
+            // pressure or free work into the next query's timing
+            spark.catalog.clearCache()
+          }
+          i += 1
+        }
+        if (failed || times.isEmpty) None
+        else {
+          val sorted = times.sorted
+          Some(name -> (sorted(sorted.length / 2), sorted.head, sorted.last))
         }
       }
     def q(s: String): String = "\"" + s.flatMap {
@@ -65,19 +84,26 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    def render(prec: Int): String = {
+    def render(prec: Int, detail: Boolean): String = {
       def num(v: Double) = s"%.${prec}f".format(v)
-      val qs = results.map { case (k, v) => s"${q(k)}:${num(v)}" }.mkString("{", ",", "}")
+      val qs = results.map { case (k, (med, _, _)) => s"${q(k)}:${num(med)}" }
+        .mkString("{", ",", "}")
       val errs = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
-      val total = results.map(_._2).sum
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":${q(sfDir)}}"""
+      val total = results.map(_._2._1).sum
+      val spread = if (!detail) "" else {
+        val d = results.map { case (k, (med, lo, hi)) =>
+          s"""${q(k)}:{"median":${num(med)},"min":${num(lo)},"max":${num(hi)}}"""
+        }.mkString("{", ",", "}")
+        s""","runs":$nRuns,"detail":$d"""
+      }
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":${q(sfDir)}$spread}"""
     }
     // The driver keeps only a ~2000-char tail of stdout and parses the JSON
     // line out of it (sbt appends its own ~65-char [success] line after us).
     // 4-decimal times keep 50+ queries inside that window; the file mirror
     // keeps full precision.
-    println(render(4))
-    try Files.writeString(Paths.get("BENCH_LOCAL.json"), render(9))
+    println(render(4, detail = false))
+    try Files.writeString(Paths.get("BENCH_LOCAL.json"), render(9, detail = true))
     catch { case _: Throwable => () }
     spark.stop()
   }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -36,6 +36,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Usage: `spark.readStream.format("graft.streaming.HttpIngestSource")
   *   .option("port", "8642").load()` then POST bodies to
   * `http://localhost:8642/ingest`.
+  *
+  * Admission control: `option("maxRowsPerTrigger", N)` caps every
+  * micro-batch at N rows via `SupportsAdmissionControl`/`ReadLimit`, so a
+  * burst of arrivals drains over several bounded batches instead of
+  * becoming one unbounded batch. The reference paces its client at
+  * 1 rec/s (Random/main.go:121); this is the server-side equivalent a
+  * 100 TB-intent edge needs. Default 0 = unbounded (all available).
   */
 class HttpIngestSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -46,8 +53,13 @@ class HttpIngestSource extends TableProvider {
       val v = properties.get(key)
       if (v != null) v else properties.getOrDefault(key.toLowerCase, dflt)
     }
-    new HttpIngestTable(opt("port", "8642").toInt,
-      opt("maxRowsPerPartition", "1024").toInt)
+    val maxPerPart = opt("maxRowsPerPartition", "1024").toInt
+    if (maxPerPart <= 0) throw new IllegalArgumentException(
+      s"maxRowsPerPartition must be positive, got $maxPerPart")
+    val maxPerTrigger = opt("maxRowsPerTrigger", "0").toLong
+    if (maxPerTrigger < 0) throw new IllegalArgumentException(
+      s"maxRowsPerTrigger must be >= 0 (0 = unbounded), got $maxPerTrigger")
+    new HttpIngestTable(opt("port", "8642").toInt, maxPerPart, maxPerTrigger)
   }
 }
 
@@ -102,8 +114,8 @@ object HttpIngestSource {
   }
 }
 
-private class HttpIngestTable(port: Int, maxRowsPerPartition: Int)
-    extends Table with SupportsRead {
+private class HttpIngestTable(port: Int, maxRowsPerPartition: Int,
+    maxRowsPerTrigger: Long) extends Table with SupportsRead {
   override def name(): String = s"http-ingest:$port"
   override def schema(): StructType = HttpIngestSource.Schema
   override def capabilities(): util.Set[TableCapability] =
@@ -112,7 +124,7 @@ private class HttpIngestTable(port: Int, maxRowsPerPartition: Int)
     () => new Scan {
       override def readSchema(): StructType = HttpIngestSource.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new HttpIngestStream(port, maxRowsPerPartition)
+        new HttpIngestStream(port, maxRowsPerPartition, maxRowsPerTrigger)
     }
 }
 
@@ -120,12 +132,48 @@ private case class SeqOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-private class HttpIngestStream(port: Int, maxRowsPerPartition: Int)
-    extends MicroBatchStream {
+private class HttpIngestStream(port: Int, maxRowsPerPartition: Int,
+    maxRowsPerTrigger: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   private def state = HttpIngestSource.stateFor(port)
+  // Trigger.AvailableNow: drain only what had arrived when the query
+  // started, even if it takes several capped batches; -1 = no cap
+  @volatile private var availableNowCap: Long = -1L
 
   override def initialOffset(): Offset = SeqOffset(0L)
-  override def latestOffset(): Offset = SeqOffset(state.seq.get())
+
+  // admission control (SupportsAdmissionControl, the scale-critical piece):
+  // a burst never becomes one unbounded driver-memory micro-batch — each
+  // batch admits at most maxRowsPerTrigger rows past `start`, the rest wait
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxRowsPerTrigger > 0) ReadLimit.maxRows(maxRowsPerTrigger)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) is used via SupportsAdmissionControl")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[SeqOffset].n
+    val arrived = state.seq.get()
+    val avail =
+      if (availableNowCap >= 0L) math.min(arrived, availableNowCap) else arrived
+    SeqOffset(applyLimit(lo, avail, limit))
+  }
+
+  private def applyLimit(lo: Long, avail: Long, limit: ReadLimit): Long =
+    limit match {
+      case r: ReadMaxRows => math.min(avail, lo + r.maxRows())
+      case c: CompositeReadLimit =>
+        c.getReadLimits.foldLeft(avail)((acc, l) =>
+          math.min(acc, applyLimit(lo, avail, l)))
+      case _ => avail // ReadAllAvailable / ReadMinRows: admit all arrived
+    }
+
+  override def reportLatestOffset(): Offset = SeqOffset(state.seq.get())
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = state.seq.get()
+
   override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -293,6 +293,67 @@ class StreamingSpec extends SparkSpec {
     assert(nParts >= 2, s"5 rows at maxRowsPerPartition=2 must span >1 partition (got $nParts)")
   }
 
+  test("S7: admission control — a 10k flood drains over multiple bounded micro-batches") {
+    val port = 18648
+    HttpIngestSource.stateFor(port)
+    val http = HttpClient.newHttpClient()
+    val n = 10000
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (0 until n).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            http.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port/ingest"))
+              .POST(HttpRequest.BodyPublishers.ofString(s"flood-$i")).build(),
+              HttpResponse.BodyHandlers.ofString())
+          }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    assert(HttpIngestSource.stateFor(port).seq.get() == n)
+
+    val stream = spark.readStream.format("graft.streaming.HttpIngestSource")
+      .option("port", port.toString)
+      .option("maxRowsPerTrigger", "1000")
+      .load()
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val q = stream.writeStream
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vals = batch.select($"value").collect().map(_.getString(0))
+        if (vals.nonEmpty) sizes.synchronized {
+          sizes += vals.length.toLong
+          seen ++= vals
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(sizes.sum == n, s"every flooded row must arrive exactly once: ${sizes.sum}")
+    assert(seen.size == n, "no duplicates, no losses")
+    assert(sizes.forall(_ <= 1000), s"no batch may exceed maxRowsPerTrigger: $sizes")
+    assert(sizes.length >= 10, s"the flood must drain over many bounded batches: $sizes")
+  }
+
+  test("S7: non-positive maxRowsPerPartition is rejected with a clear error") {
+    val port = 18649
+    HttpIngestSource.stateFor(port)
+    val ex = intercept[Exception] {
+      val q = spark.readStream.format("graft.streaming.HttpIngestSource")
+        .option("port", port.toString)
+        .option("maxRowsPerPartition", "0")
+        .load()
+        .writeStream.format("memory").queryName("bad_opt_t")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("maxRowsPerPartition")), msgs(ex).mkString(" | "))
+  }
+
   test("§2.11: malformed ingest records land in the reject channel, not the store") {
     val port = 18647
     HttpIngestSource.stateFor(port)
