@@ -23,6 +23,22 @@ object GraftExtensions {
   private type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
+  /** Constant-argument extraction for builder parameters (shingle width,
+    * signature length, hash coefficients). A clear error at plan time beats
+    * a ClassCastException/NPE from `eval()` on a non-foldable or non-numeric
+    * arg; any integer literal width is accepted (`lit(64)` and `lit(64L)`
+    * both work).
+    */
+  private def constNum(fn: String, pos: Int, e: Expression): Number = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be a constant integer, got non-foldable ${e.sql}")
+    e.eval() match {
+      case n: Number => n
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be a constant integer, got $other")
+    }
+  }
+
   private val functions: Seq[FunctionDescription] = Seq(
     (FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
@@ -30,16 +46,16 @@ object GraftExtensions {
     (FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) => ShingleHashes(children.head,
-        children(1).eval().asInstanceOf[Int])),
+        constNum("shingle_hashes", 1, children(1)).intValue())),
     (FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       (children: Seq[Expression]) => PolyHash(children.head,
-        children(1).eval().asInstanceOf[Number].longValue(),
-        children(2).eval().asInstanceOf[Number].longValue())),
+        constNum("poly_hash", 1, children(1)).longValue(),
+        constNum("poly_hash", 2, children(2)).longValue())),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigArr].getName, "minhash_sig"),
       (children: Seq[Expression]) => MinHashSigArr(children.head,
-        children(1).eval().asInstanceOf[Int])))
+        constNum("minhash_sig", 1, children(1)).intValue())))
 
   /** Idempotent per-session registration. */
   def install(spark: SparkSession): Unit = {

@@ -140,6 +140,10 @@ object LlmDedup {
            |        - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS jac
            |FROM sh a, sh b
            |WHERE a.doc_id < b.doc_id
+           |  -- mirror the engine's empty-shingle exclusion: <3-token docs
+           |  -- have no 3-shingles, and 0/0 Jaccard is NaN (which DuckDB
+           |  -- orders above all doubles — it must not pass the threshold)
+           |  AND len(a.shingles) > 0 AND len(b.shingles) > 0
            |  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
            |    / CAST(len(a.shingles) + len(b.shingles)
            |        - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) >= 0.5
@@ -201,6 +205,8 @@ object LlmDedup {
            |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
            |  FROM sh a, sh b
            |  WHERE a.doc_id < b.doc_id
+           |    -- mirror the engine's empty-shingle exclusion (see q27b)
+           |    AND len(a.shingles) > 0 AND len(b.shingles) > 0
            |    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
            |      / CAST(len(a.shingles) + len(b.shingles)
            |          - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) >= 0.5),

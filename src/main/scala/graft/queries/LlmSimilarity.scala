@@ -45,6 +45,47 @@ object LlmSimilarity {
       |    list_zip(q.embedding, c.embedding),
       |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))), (a,b)->a+b)""".stripMargin
 
+  /** Exact brute-force cosine top-3 per query vector (q26's body; also the
+    * in-engine referee the q26b/q26c self-checking gates compare against).
+    */
+  def exactTopK(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val q = n.filter($("vec_id") % 50 === 0)
+      .select($("vec_id").as("qid"), $("embedding").as("qe"), $("nrm").as("qn"))
+    val w = Window.partitionBy($("qid")).orderBy(desc("cos"), $("cid"))
+    n.join(broadcast(q), $("vec_id") =!= $("qid"))
+      .select($("qid"), $("vec_id").as("cid"),
+        (dot($("qe"), $("embedding")) / ($("qn") * $("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($("rnk") <= 3)
+      .orderBy($("qid"), $("rnk"))
+  }
+
+  /** Self-checking gate row per ANN query id: did the approximate top-3
+    * recover at least `minHits` of the exact top-3? This turns the
+    * inherently non-oracle-able approximate result into a hashable
+    * contract (`SELECT qid, true`): the DuckDB oracle asserts every row is
+    * `(qid, true)`, and the engine side only produces `true` when the ANN
+    * structure actually holds its measured per-query recall. The exact
+    * referee is computed in-engine (brute force) — at 100 TB you'd sample
+    * the query set, which is what vec_id % 50 already is.
+    */
+  private def recallGate(s: SparkSession, d: String,
+      approx: DataFrame, minHits: Int): DataFrame = {
+    val hits = approx.select($("qid"), $("cid"))
+      .join(exactTopK(s, d).select($("qid"), $("cid")), Seq("qid", "cid"))
+      .groupBy($("qid")).agg(count(lit(1)).as("hits"))
+    normed(s, d).filter($("vec_id") % 50 === 0)
+      .select($("vec_id").as("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select($("qid"), (coalesce($("hits"), lit(0L)) >= minHits).as("recall_ok"))
+      .orderBy($("qid"))
+  }
+
+  private val recallGateOracle =
+    """SELECT vec_id AS qid, true AS recall_ok FROM embeddings
+      |WHERE vec_id % 50 = 0 ORDER BY qid""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // Q26 [J8 + extension] brute-force cosine top-3 per query vector.
@@ -53,18 +94,7 @@ object LlmSimilarity {
     // over the big side with no shuffle of the candidates. This is the exact
     // oracle/baseline path; the 100 TB path is q26b (LSH-pruned).
     "q26_ann_topk" -> QueryDef(
-      build = (s, d) => {
-        val n = normed(s, d)
-        val q = n.filter($("vec_id") % 50 === 0)
-          .select($("vec_id").as("qid"), $("embedding").as("qe"), $("nrm").as("qn"))
-        val w = Window.partitionBy($("qid")).orderBy(desc("cos"), $("cid"))
-        n.join(broadcast(q), $("vec_id") =!= $("qid"))
-          .select($("qid"), $("vec_id").as("cid"),
-            (dot($("qe"), $("embedding")) / ($("qn") * $("nrm"))).as("cos"))
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .filter($("rnk") <= 3)
-          .orderBy($("qid"), $("rnk"))
-      },
+      build = (s, d) => exactTopK(s, d),
       oracle = Some(
         s"""WITH n AS ($normedSql),
            |pairs AS (
@@ -84,10 +114,76 @@ object LlmSimilarity {
     // each bucket is searched locally — no all-pairs anywhere; the L-way
     // row amplification is the classic LSH space-for-pruning trade. Planes
     // are hash-derived (no data dependence, identical on every executor).
-    // Approximate ⇒ rows-only checked; recall vs q26 (0.97 measured at
-    // sf0.001 with multi-probe) asserted in LlmSpec.
+    // Approximate ⇒ the gate row is the SELF-CHECK `(qid, recall_ok)`:
+    // recall_ok = the LSH top-3 recovered ≥2 of the exact top-3 for that
+    // query (measured: 3/3 at sf0.001/0.01/0.1 — planes are seeded, so the
+    // result is deterministic). Aggregate recall floors stay in LlmSpec.
     "q26b_ann_lsh" -> QueryDef(
+      build = (s, d) => recallGate(s, d, lshTopK(s, d), minHits = 2),
+      oracle = Some(recallGateOracle)),
+
+    // Q26c [extension, scale path #2] IVF (inverted-file) ANN — see
+    // [[ivfTopK]] for the full design. Same self-checking gate as q26b:
+    // recall_ok = the IVF probe set recovered ≥1 of the exact top-3
+    // (uniform-random embeddings are IVF's worst case; per-query hits
+    // measured 1-3 across SFs, aggregate 0.80-0.93 pinned in LlmSpec).
+    "q26c_ann_ivf" -> QueryDef(
+      build = (s, d) => recallGate(s, d, ivfTopK(s, d), minHits = 1),
+      oracle = Some(recallGateOracle)),
+
+    // Q27d [extension] embedding-cosine near-duplicate pairs: all pairs with
+    // cos >= 0.45 (testdata max pairwise cos is ~0.513, so the output is
+    // small but non-empty).
+    //
+    // Plan: TRIANGLE BLOCKING, not a nested-loop join. Vectors hash into P
+    // blocks; the P(P+1)/2 ordered block pairs are a tiny broadcast frame;
+    // each vector streams to the block pairs it participates in (≈ P/2 + 1
+    // keys per row) and the pair set is a hash EQUI-join on (bi, bj).
+    // Guarantees vs the all-pairs BNLJ it replaces: recall is exactly 1.0
+    // (every pair meets in exactly one block pair — no LSH miss risk against
+    // the exact oracle), per-task memory is O(N/P) rows (no whole-table
+    // broadcast), shuffle is O(N·P) rows, and compute spreads over P²
+    // tasks. Exact all-pairs cosine is inherently O(N²) compare work; at a
+    // REAL near-dup threshold (cos ≥ 0.9) you'd swap candidate generation to
+    // q26b's multi-probe LSH buckets and keep the exact verify — at 0.45
+    // (θ ≈ 63°, barely tighter than random in 64-dim) no sub-quadratic
+    // method holds recall 1.0, so the honest scale path is blocking.
+    // cos is symmetric bit-identically (IEEE mult commutes, fold order
+    // fixed), so emitting (least, greatest) ids preserves the oracle hash.
+    "q27d_dedup_embedding" -> QueryDef(
       build = (s, d) => {
+        import s.implicits._
+        val blocks = 8
+        val bp = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
+          .toDF("bi", "bj")
+        val n = normed(s, d).withColumn("blk", pmod($("vec_id"), lit(blocks)))
+        val aSide = n.join(broadcast(bp), $("blk") === $("bi"))
+          .select($("bi"), $("bj"), $("vec_id").as("aid"),
+            $("embedding").as("ae"), $("nrm").as("an"))
+        val bSide = n.join(broadcast(bp), $("blk") === $("bj"))
+          .select($("bi").as("bi2"), $("bj").as("bj2"), $("vec_id").as("bid"),
+            $("embedding").as("be"), $("nrm").as("bn"))
+        aSide.join(bSide, $("bi") === $("bi2") && $("bj") === $("bj2"))
+          // cross-block pairs meet once; same-block pairs twice → keep one
+          .filter($("bi") < $("bj") || $("aid") < $("bid"))
+          .select(least($("aid"), $("bid")).as("a_id"),
+            greatest($("aid"), $("bid")).as("b_id"),
+            (dot($("ae"), $("be")) / ($("an") * $("bn"))).as("cos"))
+          .filter($("cos") >= 0.45)
+          .orderBy($("a_id"), $("b_id"))
+      },
+      oracle = Some(
+        s"""WITH n AS ($normedSql)
+           |SELECT q.vec_id AS a_id, c.vec_id AS b_id,
+           |  $dotSql / (q.nrm * c.nrm) AS cos
+           |FROM n q, n c
+           |WHERE q.vec_id < c.vec_id
+           |  AND $dotSql / (q.nrm * c.nrm) >= 0.45
+           |ORDER BY a_id, b_id""".stripMargin))
+  )
+
+  /** Multi-table random-hyperplane LSH ANN top-3 (q26b's structure). */
+  def lshTopK(s: SparkSession, d: String): DataFrame = {
         val nTables = 6
         val nPlanes = 4
         // Hyperplanes are data-independent constants: generated driver-side
@@ -145,37 +241,35 @@ object LlmSimilarity {
           .withColumn("rnk", row_number().over(w).cast("long"))
           .filter($("rnk") <= 3)
           .orderBy($("qid"), $("rnk"))
-      },
-      oracle = None),
+  }
 
-    // Q26c [extension, scale path #2] IVF (inverted-file) ANN: a coarse
-    // k-means quantizer partitions vectors into cells; queries probe only
-    // the nprobe nearest cells and exact-rank inside them. The classic
-    // FAISS-style alternative to q26b's LSH: data-adaptive cells beat
-    // data-oblivious hyperplanes when the corpus clusters.
-    //
-    // Training: deterministic init (cell = vec_id mod k → cell means), then
-    // two Lloyd rounds. Each round is one distributed assign (k codegen'd
-    // float_dot per row, centroids broadcast as literals) + one
-    // posexplode/groupBy mean. Collecting the k×64 centroid matrix to the
-    // driver is model state, not data — bounded at k rows regardless of
-    // corpus size (what MLlib's KMeans does too).
-    //
-    // Serving: cell is THE partition key. At 100 TB the assignment write is
-    // one pass, each cell is a parquet partition, and a query touches
-    // nprobe partitions — candidate generation joins on ids only, so
-    // embeddings never ride the shuffle (q26b convention). Approximate ⇒
-    // rows-only gate; recall vs exact q26 pinned in LlmSpec (0.80 at
-    // sf0.001 / 0.93 at sf0.1 measured).
-    //
-    // Parameter honesty: the synthetic embeddings are uniform-random — the
-    // IVF worst case, with no cluster structure to exploit — so nprobe is
-    // high (10 of 16 cells) to hold recall. On a real clustered corpus the
-    // operating point is k ≈ √N cells with nprobe ≈ √k, where cells are
-    // tight and the probe fraction (and compute) drops by orders of
-    // magnitude; the plan shape here is unchanged by those constants.
-    "q26c_ann_ivf" -> QueryDef(
-      build = (s, d) => {
+  /** IVF (inverted-file) ANN top-3 (q26c's structure): a coarse k-means
+    * quantizer partitions vectors into cells; queries probe only the nprobe
+    * nearest cells and exact-rank inside them. The classic FAISS-style
+    * alternative to q26b's LSH: data-adaptive cells beat data-oblivious
+    * hyperplanes when the corpus clusters.
+    *
+    * Training: deterministic init (cell = vec_id mod k → cell means), then
+    * two Lloyd rounds. Each round is one distributed assign (k codegen'd
+    * float_dot per row, centroids broadcast as literals) + one
+    * posexplode/groupBy mean. Collecting the k×64 centroid matrix to the
+    * driver is model state, not data — bounded at k rows regardless of
+    * corpus size (what MLlib's KMeans does too).
+    *
+    * Serving: cell is THE partition key. At 100 TB the assignment write is
+    * one pass, each cell is a parquet partition, and a query touches
+    * nprobe partitions — candidate generation joins on ids only, so
+    * embeddings never ride the shuffle (q26b convention). Recall vs exact
+    * q26 pinned in LlmSpec (0.80 at sf0.001 / 0.93 at sf0.1 measured).
+    *
+    * Parameter honesty: the synthetic embeddings are uniform-random — the
+    * IVF worst case, with no cluster structure to exploit — so nprobe is
+    * high (10 of 16 cells) to hold recall. On a real clustered corpus the
+    * operating point is k ≈ √N cells with nprobe ≈ √k, where cells are
+    * tight and the probe fraction (and compute) drops by orders of
+    * magnitude; the plan shape here is unchanged by those constants.
+    */
+  def ivfTopK(s: SparkSession, d: String): DataFrame = {
         val k = 16; val nprobe = 10; val lloydRounds = 2
         val nm = normed(s, d).cache()
 
@@ -232,57 +326,5 @@ object LlmSimilarity {
           .withColumn("rnk", row_number().over(w).cast("long"))
           .filter($("rnk") <= 3)
           .orderBy($("qid"), $("rnk"))
-      },
-      oracle = None),
-
-    // Q27d [extension] embedding-cosine near-duplicate pairs: all pairs with
-    // cos >= 0.45 (testdata max pairwise cos is ~0.513, so the output is
-    // small but non-empty).
-    //
-    // Plan: TRIANGLE BLOCKING, not a nested-loop join. Vectors hash into P
-    // blocks; the P(P+1)/2 ordered block pairs are a tiny broadcast frame;
-    // each vector streams to the block pairs it participates in (≈ P/2 + 1
-    // keys per row) and the pair set is a hash EQUI-join on (bi, bj).
-    // Guarantees vs the all-pairs BNLJ it replaces: recall is exactly 1.0
-    // (every pair meets in exactly one block pair — no LSH miss risk against
-    // the exact oracle), per-task memory is O(N/P) rows (no whole-table
-    // broadcast), shuffle is O(N·P) rows, and compute spreads over P²
-    // tasks. Exact all-pairs cosine is inherently O(N²) compare work; at a
-    // REAL near-dup threshold (cos ≥ 0.9) you'd swap candidate generation to
-    // q26b's multi-probe LSH buckets and keep the exact verify — at 0.45
-    // (θ ≈ 63°, barely tighter than random in 64-dim) no sub-quadratic
-    // method holds recall 1.0, so the honest scale path is blocking.
-    // cos is symmetric bit-identically (IEEE mult commutes, fold order
-    // fixed), so emitting (least, greatest) ids preserves the oracle hash.
-    "q27d_dedup_embedding" -> QueryDef(
-      build = (s, d) => {
-        import s.implicits._
-        val blocks = 8
-        val bp = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
-          .toDF("bi", "bj")
-        val n = normed(s, d).withColumn("blk", pmod($("vec_id"), lit(blocks)))
-        val aSide = n.join(broadcast(bp), $("blk") === $("bi"))
-          .select($("bi"), $("bj"), $("vec_id").as("aid"),
-            $("embedding").as("ae"), $("nrm").as("an"))
-        val bSide = n.join(broadcast(bp), $("blk") === $("bj"))
-          .select($("bi").as("bi2"), $("bj").as("bj2"), $("vec_id").as("bid"),
-            $("embedding").as("be"), $("nrm").as("bn"))
-        aSide.join(bSide, $("bi") === $("bi2") && $("bj") === $("bj2"))
-          // cross-block pairs meet once; same-block pairs twice → keep one
-          .filter($("bi") < $("bj") || $("aid") < $("bid"))
-          .select(least($("aid"), $("bid")).as("a_id"),
-            greatest($("aid"), $("bid")).as("b_id"),
-            (dot($("ae"), $("be")) / ($("an") * $("bn"))).as("cos"))
-          .filter($("cos") >= 0.45)
-          .orderBy($("a_id"), $("b_id"))
-      },
-      oracle = Some(
-        s"""WITH n AS ($normedSql)
-           |SELECT q.vec_id AS a_id, c.vec_id AS b_id,
-           |  $dotSql / (q.nrm * c.nrm) AS cos
-           |FROM n q, n c
-           |WHERE q.vec_id < c.vec_id
-           |  AND $dotSql / (q.nrm * c.nrm) >= 0.45
-           |ORDER BY a_id, b_id""".stripMargin))
-  )
+  }
 }

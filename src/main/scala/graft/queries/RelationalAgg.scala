@@ -106,9 +106,13 @@ object RelationalAgg {
     // Q15b [A4 family: quantiles] exact percentiles per order status over
     // integer cents (interpolated; ROUND(…,4) per the §2.12 float rule),
     // plus an approx_percentile bound check — the q15 pattern. Exact
-    // percentile buffers each group's values, so at 100 TB the serving path
-    // is the t-digest approx (bounded sketch, mergeable map-side); the
-    // exact form is the oracle-able contract at gate scale.
+    // percentile buffers each group's values, so at 100 TB the SERVING PATH
+    // is approx_percentile (Greenwald-Khanna sketch: bounded memory,
+    // mergeable map-side); the exact form is only the oracle-able contract
+    // at gate scale. SketchSpec pins the substitution error at sf0.1: with
+    // accuracy A the sketch's rank error is ≤ 1/A, and the approx value for
+    // every p ∈ {.25,.5,.75,.9} must land inside the exact p±100/A value
+    // envelope.
     "q15b_percentiles" -> QueryDef(
       build = (s, d) =>
         Tables.orders(s, d)

@@ -50,16 +50,19 @@ object JdbcCompat {
     *
     * String columns are created as bounded VARCHAR rather than the dialect
     * default (Derby would pick CLOB, which cannot be compared, breaking
-    * predicate pushdown on the way back). The width is caller-configurable:
-    * the default 4096 holds any reference-shaped row (MySQL schema uses
-    * VARCHAR(255), `/root/reference/Server/main.go` fields are short) while
-    * not failing at runtime on a long string — a data-dependent write error
-    * is worse than a few extra bytes of declared width. Callers with known
-    * long text should pass a wider bound (Derby caps VARCHAR at 32672).
+    * predicate pushdown on the way back). The width is caller-configurable;
+    * the default 1024 holds any reference-shaped row with margin (the
+    * reference's MySQL schema uses VARCHAR(255),
+    * `/root/reference/Server/main.go` fields are short). The default is NOT
+    * larger because declared width is not free on MySQL: with utf8mb4 each
+    * VARCHAR(n) reserves 4n of the 65535-byte row limit, so VARCHAR(4096)
+    * columns cap a table at 3 string columns before CREATE TABLE fails
+    * (error 1118). Callers with known long text should widen explicitly
+    * (Derby caps VARCHAR at 32672; on MySQL widths ≥ 16384 need TEXT).
     */
   def append(df: DataFrame, url: String, table: String,
       driver: Option[String] = None, overwrite: Boolean = false,
-      varcharLen: Int = 4096): Unit = {
+      varcharLen: Int = 1024): Unit = {
     require(varcharLen > 0, s"varcharLen must be positive, got $varcharLen")
     val stringCols = df.schema.fields
       .filter(_.dataType == org.apache.spark.sql.types.StringType)

@@ -84,7 +84,7 @@ class LlmSpec extends SparkSpec {
   test("q26b LSH-ANN recall vs exact top-k is above floor") {
     val exact = Registry.all("q26_ann_topk").build(spark, sf)
       .select($"qid", $"cid").as[(Long, Long)].collect().toSet
-    val approx = Registry.all("q26b_ann_lsh").build(spark, sf)
+    val approx = queries.LlmSimilarity.lshTopK(spark, sf)
       .select($"qid", $"cid").as[(Long, Long)].collect().toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     // 6 tables x 4 bits with 1-bit multi-probe on the query side measures
@@ -99,7 +99,7 @@ class LlmSpec extends SparkSpec {
     val big = "/root/testdata/sf0.1"
     val exact = Registry.all("q26_ann_topk").build(spark, big)
       .select($"qid", $"cid").as[(Long, Long)].collect().toSet
-    val approx = Registry.all("q26b_ann_lsh").build(spark, big)
+    val approx = queries.LlmSimilarity.lshTopK(spark, big)
       .select($"qid", $"cid").as[(Long, Long)].collect().toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall $recall below 0.9 at sf0.1")
@@ -112,7 +112,7 @@ class LlmSpec extends SparkSpec {
     def recallAt(dir: String): Double = {
       val exact = Registry.all("q26_ann_topk").build(spark, dir)
         .select($"qid", $"cid").as[(Long, Long)].collect().toSet
-      val ivf = Registry.all("q26c_ann_ivf").build(spark, dir)
+      val ivf = queries.LlmSimilarity.ivfTopK(spark, dir)
         .select($"qid", $"cid").as[(Long, Long)].collect().toSet
       exact.intersect(ivf).size.toDouble / exact.size
     }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
 
 /** Physical-plan assertions: the properties that make these queries survive
   * a 100× scale-up are not left to inspection — they are tested. Filter
@@ -82,7 +83,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q26c: IVF candidate joins are hash joins on cell/id keys") {
-    val p = plan("q26c_ann_ivf")
+    // the ivfTopK plan itself, not the q26c gate wrapper — the gate also
+    // embeds the exact brute-force referee, whose broadcast nested loop is
+    // the oracle path by design (q26)
+    val p = queries.LlmSimilarity.ivfTopK(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
@@ -92,5 +97,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p) // nation
     assert(p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("native fn builders accept any integer-literal width (lit(8L) included)") {
+    GraftExtensions.install(spark)
+    import spark.implicits._
+    // pre-fix these threw ClassCastException on a long literal — the
+    // builders cast the evaluated arg with asInstanceOf[Int]
+    val sig = Seq("a b c d e").toDF("text")
+      .select(call_function("shingle_hashes", $"text", lit(3L)).as("hs"))
+      .select(call_function("minhash_sig", $"hs", lit(8L)).as("sig"))
+      .head.getSeq[Long](0)
+    assert(sig.length == 8)
+  }
+
+  test("native fn builders reject a non-foldable width with a clear error") {
+    GraftExtensions.install(spark)
+    import spark.implicits._
+    val ex = intercept[Exception] {
+      Seq(("a b c d", 4)).toDF("text", "k")
+        .select(call_function("minhash_sig",
+          call_function("shingle_hashes", $"text", lit(3)), $"k"))
+        .collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("minhash_sig")), msgs(ex).mkString(" | "))
   }
 }

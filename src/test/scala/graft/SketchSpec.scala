@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the q15b serving-path contract. The gate's exact `percentile`
+  * buffers every group's values — fine at oracle scale, an executor OOM at
+  * 100 TB — so the serving path is `approx_percentile` (Greenwald-Khanna
+  * quantile sketch: bounded memory, mergeable map-side combine). This spec
+  * states the error that makes the sketch safe to substitute: with
+  * accuracy A the sketch guarantees rank error ≤ 1/A, so the approx value
+  * at quantile p must fall inside the exact value envelope
+  * [percentile(p−ε), percentile(p+ε)] with ε = 100/A — a 100× margin on
+  * the guarantee, still tight enough to catch a broken sketch.
+  *
+  * Runs at sf0.1 (150k orders, the driver's bench SF) so the per-group
+  * envelopes are dense enough for the bound to bite.
+  */
+class SketchSpec extends SparkSpec {
+  test("q15b serving path: approx_percentile inside the exact p±0.01 envelope for p∈{.25,.5,.75,.9}") {
+    val dir = "/root/testdata/sf0.1"
+    val acc = 10000 // guaranteed rank error ≤ 1/acc = 1e-4
+    val eps = 0.01  // envelope half-width: 100× the guarantee
+    val ps = Seq(0.25, 0.5, 0.75, 0.9)
+    def arr(xs: Seq[Double]) = xs.mkString("array(", ",", ")")
+    val lo = ps.map(p => math.max(0.0, p - eps))
+    val hi = ps.map(p => math.min(1.0, p + eps))
+    val rows = Tables.orders(spark, dir)
+      .withColumn("v", Canon.cents(col("o_totalprice")))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr(s"percentile(v, ${arr(lo)})").as("exact_lo"),
+        expr(s"percentile(v, ${arr(hi)})").as("exact_hi"),
+        expr(s"approx_percentile(v, ${arr(ps)}, $acc)").as("approx"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(rows.length == 3, s"orders has 3 statuses at sf0.1, got ${rows.length}")
+    rows.foreach { r =>
+      val status = r.getString(0)
+      val exLo = r.getSeq[Double](1)
+      val exHi = r.getSeq[Double](2)
+      val ap = r.getSeq[Long](3) // approx_percentile returns the input type
+      val n = r.getLong(4)
+      assert(n > 10000, s"group $status must be dense enough to test: $n")
+      ps.indices.foreach { i =>
+        assert(ap(i) >= exLo(i) && ap(i) <= exHi(i),
+          f"status=$status p=${ps(i)} approx=${ap(i)} outside exact envelope " +
+            f"[${exLo(i)}%.1f, ${exHi(i)}%.1f]")
+      }
+    }
+  }
+}
