@@ -1,7 +1,6 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY J9 (as-of join) and S4 (append sink) — the last declared operator
@@ -17,10 +16,14 @@ object AsOf {
     // stream-side temporal enrichment; the stream-stream interval-join twin
     // runs in StreamingSpec). Implemented by composing existing operators
     // (SURVEY §2's preference (a)): equi-join on the key + range predicate,
-    // then top-1 per event — the join explodes only within a key, and both
-    // sides shuffle once on the key, so the pattern survives 100 TB.
-    // Orders are snapshotted to one row per (custkey, date) so the as-of
-    // pick is unambiguous on both engines.
+    // then top-1 per event via max_by — the join explodes only within a
+    // key, and both sides shuffle once on the key, so the pattern survives
+    // 100 TB. max_by beats a row_number window for the top-1: the hash agg
+    // combines map-side (one candidate row per event per map partition
+    // rides the shuffle, not the whole within-key explosion) and needs no
+    // sort; max_by ignores null order dates, so unmatched events keep their
+    // left-join nulls. Orders are snapshotted to one row per (custkey,
+    // date) so the as-of pick is unambiguous on both engines.
     "q41_asof_join" -> QueryDef(
       build = (s, d) => {
         val ev = Tables.events(s, d)
@@ -28,14 +31,14 @@ object AsOf {
         val ord = Tables.orders(s, d)
           .groupBy($("o_custkey"), $("o_orderdate"))
           .agg(max($("o_orderkey")).as("o_orderkey"))
-        val w = Window.partitionBy($("event_id"))
-          .orderBy(desc("o_orderdate"))
         ev.join(ord,
             $("custkey") === $("o_custkey") && $("o_orderdate") <= $("ts"), "left")
-          .withColumn("rn", row_number().over(w))
-          .filter($("rn") === 1)
-          .select($("event_id"), $("custkey"), $("o_orderkey").as("asof_orderkey"),
-            $("o_orderdate").as("asof_orderdate"))
+          .groupBy($("event_id"), $("custkey"))
+          .agg(max_by(
+            struct($("o_orderkey").as("k"), $("o_orderdate").as("dt")),
+            $("o_orderdate")).as("m"))
+          .select($("event_id"), $("custkey"), $("m.k").as("asof_orderkey"),
+            $("m.dt").as("asof_orderdate"))
           .orderBy($("event_id"))
       },
       oracle = Some(

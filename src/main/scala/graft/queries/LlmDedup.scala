@@ -163,20 +163,32 @@ object LlmDedup {
         val pairs = nearDupPairs(sh).select($("a_id"), $("b_id")).cache()
         val edges = pairs.union(pairs.select($("b_id"), $("a_id")))
           .toDF("src", "dst").cache()
-        // Min-label propagation to fixpoint (component diameter bounds the
-        // rounds). Iteration hygiene for scale: each round is ONE
-        // materialization job — `localCheckpoint()` truncates lineage so the
-        // plan stays O(1) across rounds instead of growing linearly — and the
-        // previous label rides through the aggregation as `old` (every
-        // doc_id has exactly one `labels` row, neighbor rows carry null, and
-        // min() ignores nulls), so convergence is a count over the
-        // just-materialized blocks, not a separate join+isEmpty job. The
-        // prior round's checkpoint blocks are unpersisted explicitly.
+        // The iteration runs ONLY over edge-touched vertices — the dup
+        // graph, typically a sliver of the corpus (~10% of docs here; far
+        // less at 100 TB). Every untouched doc is trivially its own
+        // component and joins back in one final pass, so the per-round
+        // join+agg frames are |dup-graph| rows, not |corpus| rows.
+        //
+        // Each round folds THREE label sources before the min-agg:
+        //   own label · neighbor labels (edge hop) · rep's label (pointer
+        //   compression — label(label(x))). The compression join halves the
+        //   effective diameter per round (a length-4 chain converges in 2
+        //   rounds, not 4), so rounds ≈ log2(diameter) + 1 to confirm.
+        //
+        // Iteration hygiene for scale: each round is ONE materialization
+        // job — `localCheckpoint()` truncates lineage so the plan stays
+        // O(1) across rounds — and the previous label rides through the
+        // aggregation as `old` (each doc_id has exactly one `labels` row;
+        // neighbor/compression rows carry null, min() ignores nulls), so
+        // convergence is a count over the just-materialized blocks, not a
+        // separate join+isEmpty job. Prior checkpoint blocks are unpersisted
+        // explicitly.
         def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
           df.queryExecution.analyzed.collectFirst {
             case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
           }
-        var labels = sh.select($("doc_id"), $("doc_id").as("rep")).localCheckpoint()
+        var labels = edges.select($("src").as("doc_id")).distinct()
+          .select($("doc_id"), $("doc_id").as("rep")).localCheckpoint()
         var prevBlocks = ckptRdd(labels)
         var changed = 1L
         var rounds = 0
@@ -184,8 +196,13 @@ object LlmDedup {
           val viaNeighbor = edges
             .join(labels.withColumnRenamed("doc_id", "dst2"), $("dst") === $("dst2"))
             .select($("src").as("doc_id"), $("rep"))
+          val viaRep = labels
+            .join(labels.select($("doc_id").as("rid"), $("rep").as("rrep")),
+              $("rep") === $("rid"))
+            .select($("doc_id"), $("rrep").as("rep"))
           val next = labels.select($("doc_id"), $("rep"), $("rep").as("old"))
             .union(viaNeighbor.select($("doc_id"), $("rep"), lit(null).as("old")))
+            .union(viaRep.select($("doc_id"), $("rep"), lit(null).as("old")))
             .groupBy($("doc_id"))
             .agg(min($("rep")).as("rep"), min($("old")).as("old"))
             .localCheckpoint()
@@ -195,7 +212,10 @@ object LlmDedup {
           labels = next.select($("doc_id"), $("rep"))
           rounds += 1
         }
-        labels
+        // one final pass re-attaches the untouched (trivially-singleton) docs
+        sh.select($("doc_id"))
+          .join(labels, Seq("doc_id"), "left")
+          .select($("doc_id"), coalesce($("rep"), $("doc_id")).as("rep"))
           .withColumn("kept", $("doc_id") === $("rep"))
           .orderBy($("doc_id"))
       },
