@@ -337,6 +337,40 @@ class StreamingSpec extends SparkSpec {
     assert(sizes.length >= 10, s"the flood must drain over many bounded batches: $sizes")
   }
 
+  test("S7: admission control also caps batches under a ProcessingTime trigger") {
+    // the production path: no prepareForTriggerAvailableNow snapshot —
+    // latestOffset(start, limit) itself must bound every batch
+    val port = 18650
+    HttpIngestSource.stateFor(port)
+    val http = HttpClient.newHttpClient()
+    (0 until 300).foreach { i =>
+      http.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port/ingest"))
+        .POST(HttpRequest.BodyPublishers.ofString(s"pt-$i")).build(),
+        HttpResponse.BodyHandlers.ofString())
+    }
+    val stream = spark.readStream.format("graft.streaming.HttpIngestSource")
+      .option("port", port.toString)
+      .option("maxRowsPerTrigger", "100")
+      .load()
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = stream.writeStream
+      .outputMode("append").trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val c = batch.count()
+        if (c > 0) sizes.synchronized { sizes += c }
+        ()
+      }
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (sizes.synchronized(sizes.sum) < 300 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+    } finally q.stop()
+    assert(sizes.sum == 300, s"backlog must fully drain: $sizes")
+    assert(sizes.forall(_ <= 100), s"no batch may exceed the cap: $sizes")
+    assert(sizes.length >= 3, s"the backlog must spread over several batches: $sizes")
+  }
+
   test("S7: non-positive maxRowsPerPartition is rejected with a clear error") {
     val port = 18649
     HttpIngestSource.stateFor(port)
