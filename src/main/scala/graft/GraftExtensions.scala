@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{FloatDotProduct, MinHashSigArr, PolyHash, ShingleHashes}
+import graft.plans.{FloatDotProduct, MinHashSigArr, PolyHash, ShingleHashes, ShinglePolyHashes}
 
 /** Engine extension wiring: native expressions registered into the session
   * FunctionRegistry, installable either via
@@ -52,6 +52,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => PolyHash(children.head,
         constNum("poly_hash", 1, children(1)).longValue(),
         constNum("poly_hash", 2, children(2)).longValue())),
+    (FunctionIdentifier("shingle_poly_hashes"),
+      new ExpressionInfo(classOf[ShinglePolyHashes].getName, "shingle_poly_hashes"),
+      (children: Seq[Expression]) => ShinglePolyHashes(children.head,
+        constNum("shingle_poly_hashes", 1, children(1)).intValue())),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigArr].getName, "minhash_sig"),
       (children: Seq[Expression]) => MinHashSigArr(children.head,

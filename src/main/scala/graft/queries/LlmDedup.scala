@@ -241,15 +241,24 @@ object LlmDedup {
            |FROM documents d LEFT JOIN reps r ON d.doc_id = r.doc_id
            |ORDER BY d.doc_id""".stripMargin)),
 
-    // Q27c [extension: SimHash near-dedup] 64-bit SimHash over shingle
-    // hashes; candidate pairs share one of four 16-bit signature chunks
-    // (pigeonhole: Hamming ≤ 3 ⇒ some chunk equal), verified at Hamming ≤ 3.
-    // Signatures depend on xxhash64, which DuckDB lacks → rows-only check
-    // here; LlmDedupSpec asserts the planted pairs are recovered.
+    // Q27c [extension: SimHash near-dedup] SimHash over shingle hashes;
+    // candidate pairs share one of four 16-bit signature chunks (pigeonhole:
+    // Hamming ≤ 3 ⇒ some chunk equal), verified at Hamming ≤ 3.
+    //
+    // Shingles are hashed with the native
+    // [[graft.plans.ShinglePolyHashes]] double polynomial (62 usable bits)
+    // rather than xxhash64 PRECISELY so DuckDB can replicate the whole
+    // pipeline with list_reduce folds (the q28 fingerprint convention) —
+    // this turned q27c from a rows-only gate row into a full hash-checked
+    // one. The oracle rebuilds the signatures bit-for-bit (62 majority-vote
+    // terms, generated below) and brute-forces the Hamming-≤3 pairs.
     "q27c_dedup_simhash" -> QueryDef(
       build = (s, d) => {
-        val sig = shingleHashed(s, d)
-          .select($("doc_id"), explode($("hs")).as("h"))
+        graft.GraftExtensions.install(s)
+        val sig = Tables.documents(s, d)
+          .repartition($("doc_id"))
+          .select($("doc_id"),
+            explode(call_function("shingle_poly_hashes", $("text"), lit(3))).as("h"))
           .groupBy($("doc_id"))
           .agg(MinHash.simhashSig($("h")).as("sig"))
         val chunkCols = (0 to 3).map(c => concat_ws(":", lit(c),
@@ -265,9 +274,40 @@ object LlmDedup {
         cand
           .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
           .filter($("hamming") <= 3)
-          .select($("a_id"), $("b_id"), $("hamming"))
+          .select($("a_id"), $("b_id"), $("hamming").cast("long").as("hamming"))
           .orderBy($("a_id"), $("b_id"))
       },
-      oracle = None)
+      oracle = Some(simhashOracleSql))
   )
+
+  /** DuckDB replica of the full q27c pipeline. The per-shingle hash is the
+    * [[graft.plans.ShinglePolyHashes]] double polynomial; the signature is
+    * the per-bit majority over a doc's shingle hashes (bits 62-63 are
+    * structurally zero, so 62 generated terms suffice); pairs are
+    * brute-forced (the oracle need not be sub-quadratic, only exact).
+    */
+  private def simhashOracleSql: String = {
+    val mod = graft.plans.ShinglePolyHashes.Mod
+    def poly(mult: Long): String =
+      "list_reduce(list_prepend(0::BIGINT, " +
+        "list_transform(string_split(s, ''), c -> ascii(c)::BIGINT)), " +
+        s"(a,b) -> (a*$mult+b) % $mod)"
+    val hash = s"${poly(graft.plans.ShinglePolyHashes.Mult1)} * $mod " +
+      s"+ ${poly(graft.plans.ShinglePolyHashes.Mult2)}"
+    val sigTerms = (0 until 62).map { j =>
+      s"(CASE WHEN 2*len(list_filter(hs, h -> ((h >> $j) & 1) = 1)) > len(hs) " +
+        s"THEN (1::BIGINT << $j) ELSE 0::BIGINT END)"
+    }.mkString("\n    + ")
+    s"""WITH sh AS ($shingledSql),
+       |hs AS (
+       |  SELECT doc_id, list_transform(shingles, s -> $hash) AS hs
+       |  FROM sh WHERE len(shingles) > 0),
+       |sigs AS (
+       |  SELECT doc_id, $sigTerms AS sig FROM hs)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM sigs a, sigs b
+       |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 }
