@@ -162,20 +162,32 @@ object Surface {
           |  CAST(18 + (i*31) % 40 AS INT) AS age
           |FROM range(1000) t(i) ORDER BY record_id""".stripMargin)),
 
-    // Q36b [F5] true seeded-rand generator: rand(seed) is reproducible
-    // within Spark but engine-specific → rows-only check; range/shape
-    // invariants asserted in SurfaceSpec.
+    // Q36b [F5] true seeded-rand generator. rand(seed) is reproducible
+    // within Spark but engine-specific, so the drawn VALUES can't be
+    // oracle'd — instead the gate row is the SELF-CHECK `(record_id, ok)`
+    // (the q26b/q26c pattern): ok asserts every synthesized record obeys
+    // the generator's contract (name digits in [0,10000), a valid role,
+    // age in [18,58)) and that the seeded stream is reproducible (a second
+    // rand(42) draw in the same row equals the first). The oracle is
+    // `SELECT i, true` — any contract violation hash-mismatches the gate.
     "q36b_generator_rand" -> QueryDef(
       build = (s, d) => {
         val roles = array(lit("intern"), lit("developer"), lit("manager"), lit("analyst"))
+        val n1 = floor(rand(42) * 10000).cast("int")
+        val n2 = floor(rand(42) * 10000).cast("int") // same seed → same draw
+        val role = element_at(roles, (floor(rand(43) * 4) + 1).cast("int"))
+        val age = (floor(rand(44) * 40) + 18).cast("int")
         s.range(0, 1000).toDF("i")
           .select(
             $("i").as("record_id"),
-            concat(lit("User"), floor(rand(42) * 10000).cast("int").as("n").cast("string")).as("name"),
-            element_at(roles, (floor(rand(43) * 4) + 1).cast("int")).as("role"),
-            (floor(rand(44) * 40) + 18).cast("int").as("age"))
+            concat(lit("User"), n1.cast("string")).as("name"),
+            role.as("role"), age.as("age"),
+            (n1 >= 0 && n1 < 10000 && n1 === n2 && role.isNotNull &&
+              age >= 18 && age < 58).as("ok"))
+          .select($("record_id"), $("ok"))
           .orderBy($("record_id"))
       },
-      oracle = None)
+      oracle = Some(
+        "SELECT i AS record_id, true AS ok FROM range(1000) t(i) ORDER BY record_id"))
   )
 }
