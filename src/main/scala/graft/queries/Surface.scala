@@ -87,26 +87,31 @@ object Surface {
           |    ORDER BY c_custkey)) AS body
           |FROM customer GROUP BY c_nationkey ORDER BY nationkey""".stripMargin)),
 
-    // Q34 [S10] file formats: parquet → CSV and JSON-lines round-trip.
-    // nation is written to both formats (header CSV, schema-carrying reads)
-    // and joined back — proving both writers and both readers preserve
-    // values. The oracle is simply the parquet truth.
+    // Q34 [S10] file formats: parquet → CSV, JSON-lines, and ORC
+    // round-trips. nation is written to all three formats (header CSV,
+    // schema-carrying reads) and joined back — proving each writer/reader
+    // pair preserves values. ORC is the columnar alternative a 100 TB
+    // estate actually mixes with parquet; CSV/JSONL are the interchange
+    // edges. The oracle is simply the parquet truth.
     "q34_formats" -> QueryDef(
       build = (s, d) => {
         val tmp = s"${sys.props("java.io.tmpdir")}/graft_formats_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
         val n = Tables.nation(s, d)
         n.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
         n.write.mode("overwrite").json(s"$tmp/jsonl")
+        n.write.mode("overwrite").orc(s"$tmp/orc")
         val csv = s.read.option("header", "true").schema(n.schema).csv(s"$tmp/csv")
           .select($("n_nationkey").as("key"), $("n_name").as("csv_name"))
         val jsonl = s.read.schema(n.schema).json(s"$tmp/jsonl")
           .select($("n_nationkey").as("key"), $("n_name").as("jsonl_name"),
             $("n_regionkey").as("regionkey"))
-        csv.join(jsonl, "key").orderBy($("key"))
+        val orc = s.read.orc(s"$tmp/orc") // self-describing, no schema needed
+          .select($("n_nationkey").as("key"), $("n_name").as("orc_name"))
+        csv.join(jsonl, "key").join(orc, "key").orderBy($("key"))
       },
       oracle = Some(
         """SELECT n_nationkey AS key, n_name AS csv_name, n_name AS jsonl_name,
-          |  n_regionkey AS regionkey
+          |  n_regionkey AS regionkey, n_name AS orc_name
           |FROM nation ORDER BY key""".stripMargin)),
 
     // Q35 [multimodal] binary payload column + partition-local decode
