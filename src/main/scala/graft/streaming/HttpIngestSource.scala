@@ -43,6 +43,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * becoming one unbounded batch. The reference paces its client at
   * 1 rec/s (Random/main.go:121); this is the server-side equivalent a
   * 100 TB-intent edge needs. Default 0 = unbounded (all available).
+  *
+  * Backpressure: `option("maxBufferedRows", N)` bounds the listener's
+  * in-memory buffer itself — once N rows await commit, further POSTs get
+  * 503 (retriable "back off") instead of growing driver memory, and
+  * committed batches free capacity. Together the two caps make the edge's
+  * memory bounded end-to-end: buffer ≤ maxBufferedRows, batch ≤
+  * maxRowsPerTrigger. (The cap is soft by a few rows under concurrent
+  * POSTs — the check-then-put is not atomic — which is the right trade
+  * for not serializing the hot accept path.)
   */
 class HttpIngestSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -59,7 +68,14 @@ class HttpIngestSource extends TableProvider {
     val maxPerTrigger = opt("maxRowsPerTrigger", "0").toLong
     if (maxPerTrigger < 0) throw new IllegalArgumentException(
       s"maxRowsPerTrigger must be >= 0 (0 = unbounded), got $maxPerTrigger")
-    new HttpIngestTable(opt("port", "8642").toInt, maxPerPart, maxPerTrigger)
+    val maxBuffered = opt("maxBufferedRows", "0").toLong
+    if (maxBuffered < 0) throw new IllegalArgumentException(
+      s"maxBufferedRows must be >= 0 (0 = unbounded), got $maxBuffered")
+    val port = opt("port", "8642").toInt
+    // applied at load() time so the listener backpressures producers even
+    // before (or between) stream runs
+    if (maxBuffered > 0) HttpIngestSource.stateFor(port).maxBufferedRows = maxBuffered
+    new HttpIngestTable(port, maxPerPart, maxPerTrigger)
   }
 }
 
@@ -73,21 +89,29 @@ object HttpIngestSource {
 
   final class ServerState(port: Int) {
     val seq = new AtomicLong(0L)
+    // rows awaiting commit; 503-backpressure threshold (MaxValue = off)
+    @volatile var maxBufferedRows: Long = Long.MaxValue
+    val buffered = new AtomicLong(0L)
     // (seq, body, ingest micros); trimmed on commit
     val buffer = new java.util.concurrent.ConcurrentSkipListMap[Long, (String, Long)]()
     val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 128)
     server.createContext("/ingest", new HttpHandler {
       override def handle(x: HttpExchange): Unit = {
         if (x.getRequestMethod == "POST") {
-          val out = new ByteArrayOutputStream()
-          val in = x.getRequestBody
-          val buf = new Array[Byte](8192)
-          var n = in.read(buf)
-          while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-          val body = out.toString("UTF-8")
-          val s = seq.incrementAndGet()
-          buffer.put(s, (body, System.currentTimeMillis() * 1000L))
-          reply(x, 200, "ok")
+          if (buffered.get() >= maxBufferedRows) {
+            reply(x, 503, "busy") // bounded buffer: back off and retry
+          } else {
+            val out = new ByteArrayOutputStream()
+            val in = x.getRequestBody
+            val buf = new Array[Byte](8192)
+            var n = in.read(buf)
+            while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+            val body = out.toString("UTF-8")
+            val s = seq.incrementAndGet()
+            buffered.incrementAndGet()
+            buffer.put(s, (body, System.currentTimeMillis() * 1000L))
+            reply(x, 200, "ok")
+          }
         } else reply(x, 400, "bad request") // notFoundHandler returns 400
       }
     })
@@ -202,9 +226,14 @@ private class HttpIngestStream(port: Int, maxRowsPerPartition: Int,
     }
 
   override def commit(end: Offset): Unit = {
-    // exactly-once contract: rows are disposable once the batch is durable
+    // exactly-once contract: rows are disposable once the batch is durable.
+    // New arrivals always get seqs > hi, so the size/clear pair races with
+    // nothing in this key range; freeing `buffered` reopens the 503 gate.
     val hi = end.asInstanceOf[SeqOffset].n
-    state.buffer.headMap(hi, true).clear()
+    val trimmed = state.buffer.headMap(hi, true)
+    val n = trimmed.size()
+    trimmed.clear()
+    state.buffered.addAndGet(-n.toLong)
   }
 
   override def stop(): Unit = ()

@@ -371,6 +371,41 @@ class StreamingSpec extends SparkSpec {
     assert(sizes.length >= 3, s"the backlog must spread over several batches: $sizes")
   }
 
+  test("S7: maxBufferedRows backpressures producers with 503 and commits free capacity") {
+    val port = 18651
+    HttpIngestSource.stateFor(port)
+    // load() applies the buffer cap to the listener before any stream runs
+    val stream = spark.readStream.format("graft.streaming.HttpIngestSource")
+      .option("port", port.toString)
+      .option("maxBufferedRows", "50")
+      .option("maxRowsPerTrigger", "25")
+      .load()
+    val http = HttpClient.newHttpClient()
+    def post(body: String): Int =
+      http.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port/ingest"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+    // no consumer yet: exactly the first 50 fit, the rest are told to back off
+    val codes = (0 until 200).map(i => post(s"bp-$i"))
+    assert(codes.count(_ == 200) == 50, s"cap must admit exactly 50: ${codes.count(_ == 200)}")
+    assert(codes.count(_ == 503) == 150, "overflow must be 503, not dropped silently")
+
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = stream.writeStream
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val c = batch.count()
+        if (c > 0) sizes.synchronized { sizes += c }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(sizes.sum == 50, s"every admitted row arrives exactly once: $sizes")
+    assert(sizes.forall(_ <= 25), s"admission cap still bounds batches: $sizes")
+    // commits trimmed the buffer → the gate reopens
+    assert(post("bp-after") == 200, "capacity must be freed after commit")
+  }
+
   test("S7: non-positive maxRowsPerPartition is rejected with a clear error") {
     val port = 18649
     HttpIngestSource.stateFor(port)
