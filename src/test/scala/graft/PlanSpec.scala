@@ -99,6 +99,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("partitioned layout: a partition-key filter prunes directories at the source") {
+    // the 100 TB table layout: date-keyed directory partitions; a filter on
+    // the partition key must never touch the other partitions' files
+    import spark.implicits._
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_partitions"
+    Tables.orders(spark, sf)
+      .withColumn("o_year", year($"o_orderdate"))
+      .write.partitionBy("o_year").mode("overwrite").parquet(tmp)
+    val pruned = spark.read.parquet(tmp).filter($"o_year" === 1995)
+    val p = pruned.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters: ["), p)
+    assert(p.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString.contains("o_year"), p)
+    // runtime proof: every file actually read lives under o_year=1995/
+    val files = pruned.select(input_file_name()).distinct().as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains("o_year=1995")),
+      s"files read outside the pruned partition: ${files.filterNot(_.contains("o_year=1995")).toSeq}")
+    // and more than one partition exists on disk, so pruning did real work
+    val all = spark.read.parquet(tmp).select($"o_year").distinct().count()
+    assert(all > 1, "layout must have multiple partitions for the test to mean anything")
+  }
+
   test("native fn builders accept any integer-literal width (lit(8L) included)") {
     GraftExtensions.install(spark)
     import spark.implicits._
