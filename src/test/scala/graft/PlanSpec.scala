@@ -99,6 +99,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q41: as-of top-1 is a map-side-combining aggregate, not a window sort") {
+    // the max_by form must not regress to a row_number window: the window
+    // shuffles the whole within-key join explosion and adds a sort; the
+    // aggregate ships one candidate per event per map partition
+    val p = plan("q41_asof_join")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_max_by") || p.contains("max_by"), p)
+  }
+
   test("partitioned layout: a partition-key filter prunes directories at the source") {
     // the 100 TB table layout: date-keyed directory partitions; a filter on
     // the partition key must never touch the other partitions' files
