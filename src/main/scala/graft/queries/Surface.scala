@@ -148,7 +148,8 @@ object Surface {
 
     // Q36 [S8 batch twin: F6,F7] the generator's record synthesis
     // (Random/main.go:73-123) with modular arithmetic in place of rand so
-    // it hash-checks; q36b keeps the true seeded-rand path (rows-only).
+    // the values themselves hash-check; q36b keeps the true seeded-rand
+    // path behind a self-checking contract gate.
     "q36_generator" -> QueryDef(
       build = (s, d) => {
         val roles = array(lit("intern"), lit("developer"), lit("manager"), lit("analyst"))
