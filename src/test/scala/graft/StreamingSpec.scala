@@ -299,6 +299,7 @@ class StreamingSpec extends SparkSpec {
     val http = HttpClient.newHttpClient()
     val n = 10000
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val t0 = System.nanoTime()
     try {
       val futures = (0 until n).map { i =>
         pool.submit(new Runnable {
@@ -312,6 +313,11 @@ class StreamingSpec extends SparkSpec {
       futures.foreach(_.get())
     } finally pool.shutdown()
     assert(HttpIngestSource.stateFor(port).seq.get() == n)
+    // the reference's client is paced at 1 rec/s (Random/main.go:121); this
+    // edge must accept orders of magnitude more — 50/s is a 20×-margin
+    // floor under worst-case shared-box load (measured: >1000/s)
+    val recPerSec = n / ((System.nanoTime() - t0) / 1e9)
+    assert(recPerSec > 50, f"ingest accept rate $recPerSec%.0f rec/s is too low")
 
     val stream = spark.readStream.format("graft.streaming.HttpIngestSource")
       .option("port", port.toString)
