@@ -75,7 +75,8 @@ object Bench {
         if (failed || times.isEmpty) None
         else {
           val sorted = times.sorted
-          Some(name -> (sorted(sorted.length / 2), sorted.head, sorted.last))
+          Some(name -> (sorted(sorted.length / 2), sorted.head, sorted.last,
+            times.toSeq))
         }
       }
     def q(s: String): String = "\"" + s.flatMap {
@@ -86,13 +87,17 @@ object Bench {
     } + "\""
     def render(prec: Int, detail: Boolean): String = {
       def num(v: Double) = s"%.${prec}f".format(v)
-      val qs = results.map { case (k, (med, _, _)) => s"${q(k)}:${num(med)}" }
+      val qs = results.map { case (k, (med, _, _, _)) => s"${q(k)}:${num(med)}" }
         .mkString("{", ",", "}")
       val errs = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
       val total = results.map(_._2._1).sum
       val spread = if (!detail) "" else {
-        val d = results.map { case (k, (med, lo, hi)) =>
-          s"""${q(k)}:{"median":${num(med)},"min":${num(lo)},"max":${num(hi)}}"""
+        // runs_sec is in EXECUTION order: when a query's max is its first
+        // repetition (per-plan codegen/JIT — the recurring q25/q27e case),
+        // that is visible here rather than looking like bimodal behavior
+        val d = results.map { case (k, (med, lo, hi, ts)) =>
+          val runs = ts.map(num).mkString("[", ",", "]")
+          s"""${q(k)}:{"median":${num(med)},"min":${num(lo)},"max":${num(hi)},"runs_sec":$runs}"""
         }.mkString("{", ",", "}")
         s""","runs":$nRuns,"detail":$d"""
       }

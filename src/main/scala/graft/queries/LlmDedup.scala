@@ -171,9 +171,16 @@ object LlmDedup {
         //
         // Each round folds THREE label sources before the min-agg:
         //   own label · neighbor labels (edge hop) · rep's label (pointer
-        //   compression — label(label(x))). The compression join halves the
+        //   compression — label(label(x))). The compression halves the
         //   effective diameter per round (a length-4 chain converges in 2
         //   rounds, not 4), so rounds ≈ log2(diameter) + 1 to confirm.
+        //
+        // Both sources ride ONE join per round: the propagation edge set is
+        //   real edges ∪ {x → rep(x)}  (rebuilt each round from `labels`),
+        // so a single dst⋈doc_id join yields rep(dst) for the hop rows and
+        // rep(rep(x)) for the compression rows. r6 ran these as two separate
+        // joins (edges⋈labels + labels⋈labels) — same semantics, one more
+        // shuffle stage per round and the bench's main variance source.
         //
         // Iteration hygiene for scale: each round is ONE materialization
         // job — `localCheckpoint()` truncates lineage so the plan stays
@@ -193,16 +200,12 @@ object LlmDedup {
         var changed = 1L
         var rounds = 0
         while (changed > 0 && rounds < 20) {
-          val viaNeighbor = edges
+          val prop = edges
+            .union(labels.select($("doc_id").as("src"), $("rep").as("dst")))
             .join(labels.withColumnRenamed("doc_id", "dst2"), $("dst") === $("dst2"))
             .select($("src").as("doc_id"), $("rep"))
-          val viaRep = labels
-            .join(labels.select($("doc_id").as("rid"), $("rep").as("rrep")),
-              $("rep") === $("rid"))
-            .select($("doc_id"), $("rrep").as("rep"))
           val next = labels.select($("doc_id"), $("rep"), $("rep").as("old"))
-            .union(viaNeighbor.select($("doc_id"), $("rep"), lit(null).as("old")))
-            .union(viaRep.select($("doc_id"), $("rep"), lit(null).as("old")))
+            .union(prop.select($("doc_id"), $("rep"), lit(null).as("old")))
             .groupBy($("doc_id"))
             .agg(min($("rep")).as("rep"), min($("old")).as("old"))
             .localCheckpoint()

@@ -27,11 +27,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * with checkpointing this is exactly-once into an idempotent sink. The
   * ingest-time timestamp column is T4.
   *
-  * Like Spark's own socket source, the listener holds arrivals in driver
-  * memory between commits — the right shape for an ingest EDGE. At 100 TB
-  * you front this with a durable partitioned log and swap the transport;
-  * the operator surface (schema, offsets, drift handling downstream)
-  * stays identical.
+  * The 200 ack is DURABLE: each accepted body is appended and fsynced to a
+  * per-port write-ahead log before the reply goes out, the log is replayed
+  * into the buffer (and the sequence high-water mark restored) when the
+  * listener is recreated, and `commit(end)` compacts committed entries
+  * away. So a row the producer saw acked survives a driver crash — the
+  * exactly-once contract holds from the ack, not merely from the first
+  * committed batch. At 100 TB you front this with a durable PARTITIONED
+  * log and swap the transport; the operator surface (schema, offsets,
+  * drift handling downstream) stays identical.
   *
   * Usage: `spark.readStream.format("graft.streaming.HttpIngestSource")
   *   .option("port", "8642").load()` then POST bodies to
@@ -94,6 +98,71 @@ object HttpIngestSource {
     val buffered = new AtomicLong(0L)
     // (seq, body, ingest micros); trimmed on commit
     val buffer = new java.util.concurrent.ConcurrentSkipListMap[Long, (String, Long)]()
+
+    // --- write-ahead log: the durable-ack half of the exactly-once story.
+    // Record per accepted row (`R seq micros base64(body)`), appended and
+    // fsynced BEFORE the 200 reply; a marker line (`M seq`) persists the
+    // sequence high-water mark across compactions so restart offsets stay
+    // monotone even when every row is committed. Accept mutations and
+    // compaction serialize on `walLock` — the log and the buffer can never
+    // disagree about the uncommitted set. Compaction cost is bounded by the
+    // buffer (≤ maxBufferedRows rows), not log history.
+    private val walPath = HttpIngestSource.walPathFor(port)
+    private val walLock = new Object
+    private var wal: java.io.FileOutputStream = {
+      java.nio.file.Files.createDirectories(walPath.getParent)
+      // replay any prior log: uncommitted rows re-enter the buffer exactly
+      // once; torn trailing writes (crash mid-append) are skipped
+      if (java.nio.file.Files.exists(walPath)) {
+        val enc = java.util.Base64.getDecoder
+        java.nio.file.Files.readAllLines(walPath).forEach { line =>
+          line.split(" ", 4) match {
+            case Array("M", s) if s.forall(_.isDigit) =>
+              seq.updateAndGet(m => math.max(m, s.toLong))
+            case Array("R", s, ts, b64) if s.forall(_.isDigit) =>
+              try {
+                val body = new String(enc.decode(b64), "UTF-8")
+                if (buffer.put(s.toLong, (body, ts.toLong)) == null)
+                  buffered.incrementAndGet()
+                seq.updateAndGet(m => math.max(m, s.toLong))
+              } catch { case _: IllegalArgumentException => () } // torn line
+            case _ => () // torn/foreign line: ignore
+          }
+        }
+      }
+      new java.io.FileOutputStream(walPath.toFile, true)
+    }
+
+    private def walAppend(s: Long, body: String, micros: Long): Unit = {
+      val b64 = java.util.Base64.getEncoder.encodeToString(body.getBytes("UTF-8"))
+      wal.write(s"R $s $micros $b64\n".getBytes("UTF-8"))
+      wal.getFD.sync() // the ack is durable, not just buffered
+    }
+
+    /** Rewrite the log to the still-uncommitted buffer entries (+ the seq
+      * high-water marker); called from `commit()`. Atomic rename so a crash
+      * mid-compaction leaves the previous complete log in place.
+      */
+    def walCompact(): Unit = walLock.synchronized {
+      val tmp = walPath.resolveSibling(walPath.getFileName.toString + ".tmp")
+      val out = new java.io.FileOutputStream(tmp.toFile, false)
+      out.write(s"M ${seq.get()}\n".getBytes("UTF-8"))
+      val enc = java.util.Base64.getEncoder
+      buffer.forEach { (s, v) =>
+        out.write(s"R $s ${v._2} ${enc.encodeToString(v._1.getBytes("UTF-8"))}\n"
+          .getBytes("UTF-8"))
+      }
+      out.getFD.sync()
+      out.close()
+      wal.close()
+      java.nio.file.Files.move(tmp, walPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      wal = new java.io.FileOutputStream(walPath.toFile, true)
+    }
+
+    def closeWal(): Unit = walLock.synchronized(wal.close())
+
     val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 128)
     server.createContext("/ingest", new HttpHandler {
       override def handle(x: HttpExchange): Unit = {
@@ -107,9 +176,13 @@ object HttpIngestSource {
             var n = in.read(buf)
             while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
             val body = out.toString("UTF-8")
-            val s = seq.incrementAndGet()
-            buffered.incrementAndGet()
-            buffer.put(s, (body, System.currentTimeMillis() * 1000L))
+            walLock.synchronized {
+              val s = seq.incrementAndGet()
+              val micros = System.currentTimeMillis() * 1000L
+              walAppend(s, body, micros)
+              buffered.incrementAndGet()
+              buffer.put(s, (body, micros))
+            }
             reply(x, 200, "ok")
           }
         } else reply(x, 400, "bad request") // notFoundHandler returns 400
@@ -132,9 +205,40 @@ object HttpIngestSource {
   def stateFor(port: Int): ServerState =
     servers.computeIfAbsent(port, p => new ServerState(p))
 
+  /** Graceful stop. The WAL files stay on disk on purpose: acked rows that
+    * no batch committed yet must survive into the next listener, which is
+    * the whole durability contract.
+    */
   def stopAll(): Unit = {
-    servers.values.forEach(s => s.server.stop(0))
+    servers.values.forEach { s => s.server.stop(0); s.closeWal() }
     servers.clear()
+  }
+
+  /** Per-port WAL location: stable across JVMs (crash recovery), outside
+    * the repo tree. Override the root via GRAFT_WAL_DIR for tests.
+    */
+  private[streaming] def walPathFor(port: Int): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_WAL_DIR",
+        sys.props("java.io.tmpdir") + "/graft-http-wal"),
+      s"port-$port.log")
+
+  /** Test hook: drop a port's listener and in-memory buffer WITHOUT
+    * compacting or deleting its WAL — the closest in-JVM analogue of a
+    * driver crash. The next `stateFor(port)` replays the log.
+    */
+  def crash(port: Int): Unit = {
+    val s = servers.remove(port)
+    if (s != null) { s.server.stop(0); s.closeWal() }
+  }
+
+  /** Test hygiene: forget a port's listener AND its log (a fresh port, not
+    * a recovery). Never called from the serving path.
+    */
+  def purge(port: Int): Unit = {
+    val s = servers.remove(port)
+    if (s != null) { s.server.stop(0); s.closeWal() }
+    java.nio.file.Files.deleteIfExists(walPathFor(port))
   }
 }
 
@@ -234,6 +338,9 @@ private class HttpIngestStream(port: Int, maxRowsPerPartition: Int,
     val n = trimmed.size()
     trimmed.clear()
     state.buffered.addAndGet(-n.toLong)
+    // drop the committed prefix from the WAL too — log size stays bounded
+    // by the uncommitted buffer, and a restart replays only uncommitted rows
+    state.walCompact()
   }
 
   override def stop(): Unit = ()

@@ -20,7 +20,7 @@ class StreamingSpec extends SparkSpec {
 
   test("S7: HTTP ingest source — POST bodies become micro-batch rows with ingest_ts") {
     val port = 18642
-    HttpIngestSource.stateFor(port) // start listener
+    HttpIngestSource.purge(port); HttpIngestSource.stateFor(port) // fresh listener
     val http = HttpClient.newHttpClient()
     def post(body: String): Int =
       http.send(
@@ -66,7 +66,7 @@ class StreamingSpec extends SparkSpec {
 
   test("S7: second batch reads only new records (offset tracking)") {
     val port = 18643
-    HttpIngestSource.stateFor(port)
+    HttpIngestSource.purge(port); HttpIngestSource.stateFor(port) // fresh listener, no stale WAL
     val http = HttpClient.newHttpClient()
     def post(body: String): Unit =
       http.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port/ingest"))
@@ -203,7 +203,7 @@ class StreamingSpec extends SparkSpec {
 
   test("S7: unknown route replies 400 like the reference's notFoundHandler") {
     val port = 18644
-    HttpIngestSource.stateFor(port)
+    HttpIngestSource.purge(port); HttpIngestSource.stateFor(port) // fresh listener, no stale WAL
     val http = HttpClient.newHttpClient()
     val code = http.send(
       HttpRequest.newBuilder(URI.create(s"http://localhost:$port/adduser"))
@@ -218,7 +218,7 @@ class StreamingSpec extends SparkSpec {
     // ingest (Server/main.go:209-227) decodes with drift zero-fill and
     // appends to the store
     val port = 18645
-    HttpIngestSource.stateFor(port)
+    HttpIngestSource.purge(port); HttpIngestSource.stateFor(port) // fresh listener, no stale WAL
     val gen = Generator.stream(spark, rowsPerSecond = 50)
     val poster = gen.writeStream
       .outputMode("append")
@@ -265,7 +265,7 @@ class StreamingSpec extends SparkSpec {
 
   test("S7: a multi-record batch splits into multiple input partitions") {
     val port = 18646
-    HttpIngestSource.stateFor(port)
+    HttpIngestSource.purge(port); HttpIngestSource.stateFor(port) // fresh listener, no stale WAL
     val http = HttpClient.newHttpClient()
     (1 to 5).foreach { i =>
       http.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port/ingest"))
@@ -295,7 +295,7 @@ class StreamingSpec extends SparkSpec {
 
   test("S7: admission control — a 10k flood drains over multiple bounded micro-batches") {
     val port = 18648
-    HttpIngestSource.stateFor(port)
+    HttpIngestSource.purge(port); HttpIngestSource.stateFor(port) // fresh listener, no stale WAL
     val http = HttpClient.newHttpClient()
     val n = 10000
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
@@ -347,7 +347,7 @@ class StreamingSpec extends SparkSpec {
     // the production path: no prepareForTriggerAvailableNow snapshot —
     // latestOffset(start, limit) itself must bound every batch
     val port = 18650
-    HttpIngestSource.stateFor(port)
+    HttpIngestSource.purge(port); HttpIngestSource.stateFor(port) // fresh listener, no stale WAL
     val http = HttpClient.newHttpClient()
     (0 until 300).foreach { i =>
       http.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port/ingest"))
@@ -379,7 +379,7 @@ class StreamingSpec extends SparkSpec {
 
   test("S7: maxBufferedRows backpressures producers with 503 and commits free capacity") {
     val port = 18651
-    HttpIngestSource.stateFor(port)
+    HttpIngestSource.purge(port); HttpIngestSource.stateFor(port) // fresh listener, no stale WAL
     // load() applies the buffer cap to the listener before any stream runs
     val stream = spark.readStream.format("graft.streaming.HttpIngestSource")
       .option("port", port.toString)
@@ -414,7 +414,7 @@ class StreamingSpec extends SparkSpec {
 
   test("S7: non-positive maxRowsPerPartition is rejected with a clear error") {
     val port = 18649
-    HttpIngestSource.stateFor(port)
+    HttpIngestSource.purge(port); HttpIngestSource.stateFor(port) // fresh listener, no stale WAL
     val ex = intercept[Exception] {
       val q = spark.readStream.format("graft.streaming.HttpIngestSource")
         .option("port", port.toString)
@@ -429,9 +429,65 @@ class StreamingSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("maxRowsPerPartition")), msgs(ex).mkString(" | "))
   }
 
+  test("S7: WAL — acked rows survive a listener crash and drain exactly once") {
+    val port = 18652
+    HttpIngestSource.purge(port); HttpIngestSource.stateFor(port) // fresh listener, no stale WAL
+    val http = HttpClient.newHttpClient()
+    def post(body: String): Int =
+      http.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port/ingest"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+    val n = 25
+    // multi-line + non-ASCII bodies prove the log encoding is body-agnostic
+    val bodies = (0 until n).map(i => s"wal-$i\nλ-line2")
+    bodies.foreach(b => assert(post(b) == 200, "ack means durable"))
+
+    // simulated driver crash: listener + in-memory buffer vanish; only the
+    // fsynced WAL remains. Recreation must replay every acked row.
+    HttpIngestSource.crash(port)
+    val st = HttpIngestSource.stateFor(port)
+    assert(st.seq.get() == n, s"seq high-water mark must be restored: ${st.seq.get()}")
+    assert(st.buffered.get() == n, s"all acked rows must be replayed: ${st.buffered.get()}")
+    assert(post("wal-after") == 200) // new arrivals get fresh monotone seqs
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-wal-ckpt").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.streaming.HttpIngestSource")
+        .option("port", port.toString).load()
+        .writeStream.outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val vals = batch.select($"value").collect().map(_.getString(0))
+          got.synchronized { got ++= vals }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(got.sorted == (bodies :+ "wal-after").sorted,
+      s"every acked row exactly once across the crash: ${got.size} rows")
+
+    // source.commit lags one batch (the engine commits batch N's offsets
+    // when batch N+1 starts), so feed one tail row and restart from the
+    // same checkpoint: batch 1 commits batch 0 → WAL compaction runs …
+    assert(post("wal-tail") == 200)
+    drain()
+    assert(got.sorted == (bodies ++ Seq("wal-after", "wal-tail")).sorted,
+      "restart from checkpoint must deliver only the tail row")
+    // … then a second crash+recover replays ONLY the still-uncommitted tail
+    // row, and the sequence high-water mark survives compaction (restart
+    // offsets stay monotone even though rows 1..26 left the log)
+    HttpIngestSource.crash(port)
+    val st2 = HttpIngestSource.stateFor(port)
+    assert(st2.buffered.get() == 1, s"only the uncommitted tail replays: ${st2.buffered.get()}")
+    assert(st2.seq.get() == n + 2, s"seq survives compaction: ${st2.seq.get()}")
+  }
+
   test("§2.11: malformed ingest records land in the reject channel, not the store") {
     val port = 18647
-    HttpIngestSource.stateFor(port)
+    HttpIngestSource.purge(port); HttpIngestSource.stateFor(port) // fresh listener, no stale WAL
     val http = HttpClient.newHttpClient()
     def post(body: String): Unit =
       http.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port/ingest"))
