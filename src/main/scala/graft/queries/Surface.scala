@@ -146,6 +146,59 @@ object Surface {
           |  sha256(text) AS content_sha256
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Q35b [extension: REAL media-header decode] synthesizes byte-exact
+    // PNG (IHDR) and WAV (RIFF/fmt/data) headers from document attributes,
+    // then recovers the metadata via Multimodal's actual byte-layout
+    // parsers. The oracle rebuilds the SAME payload bytes in DuckDB
+    // (hex-string construction → unhex) and computes the expected fields
+    // from the construction formulas directly — so a parser that misreads
+    // any offset/endianness hash-mismatches, and the shared payload_sha256
+    // proves both engines built identical binaries.
+    "q35b_media_headers" -> QueryDef(
+      build = (s, d) => {
+        import org.apache.spark.sql.Column
+        def byteHex(c: Column): Column = lpad(hex(c.bitwiseAND(lit(255L))), 2, "0")
+        def le16(c: Column): Column = concat(byteHex(c), byteHex(shiftright(c, 8)))
+        def le32(c: Column): Column = concat(byteHex(c), byteHex(shiftright(c, 8)),
+          byteHex(shiftright(c, 16)), byteHex(shiftright(c, 24)))
+        def be32(c: Column): Column = concat(byteHex(shiftright(c, 24)),
+          byteHex(shiftright(c, 16)), byteHex(shiftright(c, 8)), byteHex(c))
+        val docs = Tables.documents(s, d)
+          .withColumn("kind", when($("doc_id") % 2 === 0, "image").otherwise("audio"))
+          .withColumn("width", lit(1L) + $("n_chars") % 4096)
+          .withColumn("height", lit(1L) + ($("doc_id") * 7) % 2160)
+          .withColumn("sample_rate", lit(8000L) + ($("n_chars") % 8) * 4000)
+          .withColumn("channels", lit(1L) + $("doc_id") % 2)
+          .withColumn("n_frames", lit(100L) + $("n_chars") % 1000)
+          .withColumn("block_align", $("channels") * 2)
+          .withColumn("data_len", $("n_frames") * $("block_align"))
+        val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+          be32($("width")), be32($("height")), lit("0806000000"))
+        val wavHex = concat(lit("52494646"), le32(lit(36L) + $("data_len")),
+          lit("57415645666D7420"), le32(lit(16L)), le16(lit(1L)),
+          le16($("channels")), le32($("sample_rate")),
+          le32($("sample_rate") * $("block_align")), le16($("block_align")),
+          le16(lit(16L)), lit("64617461"), le32($("data_len")))
+        val media = docs.withColumn("payload",
+          unhex(when($("kind") === "image", pngHex).otherwise(wavHex)))
+        // gate hygiene: the API yields typed nulls for non-applicable
+        // fields; the GATE zero-fills them so the cross-engine hash never
+        // rides on NULL/NaN ordering quirks
+        Multimodal.decodeMediaBatch(media)
+          .na.fill(0L, Seq("width", "height", "sample_rate", "channels", "n_frames"))
+          .join(media.select($("doc_id"),
+            upper(hex($("payload"))).as("payload_hex")), "doc_id")
+          .select($("doc_id"), $("kind"),
+            $("width").cast("long").as("width"),
+            $("height").cast("long").as("height"),
+            $("sample_rate").cast("long").as("sample_rate"),
+            $("channels").cast("long").as("channels"),
+            $("n_frames").cast("long").as("n_frames"),
+            $("payload_hex"))
+          .orderBy($("doc_id"))
+      },
+      oracle = Some(mediaHeadersOracleSql)),
+
     // Q36 [S8 batch twin: F6,F7] the generator's record synthesis
     // (Random/main.go:73-123) with modular arithmetic in place of rand so
     // the values themselves hash-check; q36b keeps the true seeded-rand
@@ -196,4 +249,50 @@ object Surface {
       oracle = Some(
         "SELECT i AS record_id, true AS ok FROM range(1000) t(i) ORDER BY record_id"))
   )
+
+  /** DuckDB replica of q35b's payload construction. The hex helpers build
+    * the identical PNG/WAV bytes; comparing the (injective) hex string
+    * pins binary identity, while the metadata columns come straight from the
+    * construction formulas — the ENGINE must recover them by parsing.
+    */
+  private def mediaHeadersOracleSql: String = {
+    def byteHex(e: String) = s"lpad(hex(($e) & 255), 2, '0')"
+    def le16(e: String) = s"${byteHex(e)} || ${byteHex(s"($e) >> 8")}"
+    def le32(e: String) = s"${byteHex(e)} || ${byteHex(s"($e) >> 8")} || " +
+      s"${byteHex(s"($e) >> 16")} || ${byteHex(s"($e) >> 24")}"
+    def be32(e: String) = s"${byteHex(s"($e) >> 24")} || ${byteHex(s"($e) >> 16")} || " +
+      s"${byteHex(s"($e) >> 8")} || ${byteHex(e)}"
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       |    1 + n_chars % 4096 AS width,
+       |    1 + (doc_id * 7) % 2160 AS height,
+       |    8000 + (n_chars % 8) * 4000 AS sample_rate,
+       |    1 + doc_id % 2 AS channels,
+       |    100 + n_chars % 1000 AS n_frames
+       |  FROM documents),
+       |b2 AS (
+       |  SELECT *, channels * 2 AS block_align,
+       |    n_frames * channels * 2 AS data_len
+       |  FROM base),
+       |hexes AS (
+       |  SELECT *, CASE WHEN kind = 'image' THEN
+       |      '89504E470D0A1A0A0000000D49484452' || ${be32("width")} ||
+       |      ${be32("height")} || '0806000000'
+       |    ELSE
+       |      '52494646' || ${le32("36 + data_len")} || '57415645666D7420' ||
+       |      ${le32("16")} || ${le16("1")} || ${le16("channels")} ||
+       |      ${le32("sample_rate")} || ${le32("sample_rate * block_align")} ||
+       |      ${le16("block_align")} || ${le16("16")} || '64617461' || ${le32("data_len")}
+       |    END AS ph
+       |  FROM b2)
+       |SELECT doc_id, kind,
+       |  CAST(CASE WHEN kind = 'image' THEN width ELSE 0 END AS BIGINT) AS width,
+       |  CAST(CASE WHEN kind = 'image' THEN height ELSE 0 END AS BIGINT) AS height,
+       |  CAST(CASE WHEN kind = 'audio' THEN sample_rate ELSE 0 END AS BIGINT) AS sample_rate,
+       |  CAST(CASE WHEN kind = 'audio' THEN channels ELSE 0 END AS BIGINT) AS channels,
+       |  CAST(CASE WHEN kind = 'image' THEN 1 ELSE n_frames END AS BIGINT) AS n_frames,
+       |  upper(ph) AS payload_hex
+       |FROM hexes ORDER BY doc_id""".stripMargin
+  }
 }

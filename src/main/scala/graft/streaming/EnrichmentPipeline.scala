@@ -64,6 +64,8 @@ object EnrichmentPipeline {
 
   /** Streaming half: each micro-batch of employee records is enriched and
     * merged — foreachBatch is where streaming meets the batch write-back.
+    * Exactly-once: the write is keyed by batchId ([[IdempotentSink]]), so a
+    * replayed batch replaces its own output rather than appending twice.
     */
   def runStreaming(s: SparkSession, stream: DataFrame, transform: Emp => Long,
       parallelism: Int, sinkTable: String): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -71,11 +73,11 @@ object EnrichmentPipeline {
     stream.writeStream
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val emps = batch.select(col("id").cast("long"), col("yearsofexp").cast("int"),
           col("salary").cast("long")).as[Emp]
-        enrich(emps, transform, parallelism).toDF()
-          .write.mode("append").saveAsTable(sinkTable)
+        IdempotentSink.appendOnce(enrich(emps, transform, parallelism).toDF(),
+          batchId, sinkTable)
       }
       .start()
   }

@@ -53,22 +53,20 @@ object RejectChannel {
   }
 
   /** Streaming wiring: each micro-batch fans out to the store table and the
-    * reject table. Delivery is AT-LEAST-ONCE into these sinks: the source's
-    * offsets make batch *contents* deterministic on replay, but a blind
-    * `mode("append")` inside foreachBatch is not transactional — a batch
-    * retried after a partial write duplicates rows. Exactly-once requires an
-    * idempotent sink keyed by `batchId` (or a transactional table format);
-    * at gate scale the plain append is the honest, simple edge.
+    * reject table. Delivery is EXACTLY-ONCE end-to-end: the source's offsets
+    * make batch *contents* deterministic on replay, and both legs write via
+    * [[IdempotentSink.appendOnce]] — a batch retried after a partial write
+    * overwrites its own `_batch_id` partition instead of duplicating rows.
     */
   def run(stream: DataFrame, wire: StructType,
       storeTable: String, rejectTable: String): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (good, bad) = split(batch, wire)
-        good.write.mode("append").saveAsTable(storeTable)
-        bad.write.mode("append").saveAsTable(rejectTable)
+        IdempotentSink.appendOnce(good, batchId, storeTable)
+        IdempotentSink.appendOnce(bad, batchId, rejectTable)
       }
       .start()
 }

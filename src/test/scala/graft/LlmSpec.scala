@@ -134,4 +134,36 @@ class LlmSpec extends SparkSpec {
     assert(r1.sameElements(r2), "decode must be deterministic under repartition")
     assert(r1.forall(r => r.getInt(3) >= 64 && r.getInt(4) >= 64))
   }
+
+  test("multimodal headers: real PNG IHDR / WAV fmt parses, fallback on junk") {
+    import functions.Multimodal._
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def le32(v: Int) = Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+
+    // a minimal real PNG header: signature + IHDR(1920×1080, 8-bit RGBA)
+    val png = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+      be32(13) ++ "IHDR".getBytes("US-ASCII") ++ be32(1920) ++ be32(1080) ++
+      Array[Byte](8, 6, 0, 0, 0)
+    assert(parsePngHeader(png).contains((1920, 1080)))
+    assert(decode("image", png) == ((1920, 1080, 1)))
+
+    // a real WAV header: PCM stereo 44.1 kHz, 16-bit, 441 000 sample frames;
+    // an extra pre-data chunk proves the walk skips unknown chunks
+    val dataBytes = 441000 * 4
+    val wav = "RIFF".getBytes ++ le32(36 + 10 + 8 + dataBytes) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ le32(10) ++ Array.fill[Byte](10)(7) ++ // skipped chunk
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100 * 4) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(dataBytes) // header-only: body absent
+    assert(parseWavHeader(wav).contains((44100, 2, 441000)))
+
+    // junk and truncated payloads fall back deterministically, never throw
+    val junk = "not a media file".getBytes("UTF-8")
+    assert(parsePngHeader(junk).isEmpty && parseWavHeader(junk).isEmpty)
+    assert(decode("image", junk) == fakeDecode("image", junk))
+    assert(parsePngHeader(png.take(20)).isEmpty, "truncated IHDR must not parse")
+    assert(parseWavHeader(wav.take(30)).isEmpty, "truncated fmt must not parse")
+    assert(parseWavHeader(Array.empty[Byte]).isEmpty)
+  }
 }

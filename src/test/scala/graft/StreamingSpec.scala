@@ -3,7 +3,7 @@ package graft
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 
-import graft.streaming.{EnrichmentPipeline, Generator, HttpIngestSource, RejectChannel}
+import graft.streaming.{EnrichmentPipeline, Generator, HttpIngestSource, IdempotentSink, RejectChannel}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -525,6 +525,32 @@ class StreamingSpec extends SparkSpec {
     assert(rej.getString(rej.fieldIndex("raw")) == "this is not json")
     assert(rej.getString(rej.fieldIndex("reason")) == "malformed_json")
     assert(!rej.isNullAt(rej.fieldIndex("ingest_ts")))
+  }
+
+  test("§2.11/T8: a replayed foreachBatch batchId does not duplicate sink rows") {
+    val tbl = "idem_sink_t"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), tbl)
+    if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    IdempotentSink.appendOnce(b0, 0L, tbl)
+    IdempotentSink.appendOnce(b0, 0L, tbl) // full replay of the same batch
+    assert(spark.table(tbl).count() == 2, "replaying a batchId must be a no-op")
+
+    // the failure mode that motivates the sink: attempt 1 died after a
+    // partial write; the engine replays the batch with full contents
+    IdempotentSink.appendOnce(Seq((3L, "c")).toDF("id", "v"), 1L, tbl)
+    IdempotentSink.appendOnce(Seq((3L, "c"), (4L, "d")).toDF("id", "v"), 1L, tbl)
+    assert(spark.table(tbl).where($"_batch_id" === 1L).count() == 2,
+      "replay must converge to the batch's full contents, not union with the partial")
+
+    // and it replaces ONLY its own partition
+    IdempotentSink.appendOnce(Seq((5L, "e")).toDF("id", "v"), 2L, tbl)
+    assert(spark.table(tbl).count() == 5)
+    assert(spark.table(tbl).where($"_batch_id" === 0L).count() == 2,
+      "other batches' rows stay untouched")
   }
 
   test("T8: enrichment pipeline — pooled HTTP transform + keyed write-back") {
