@@ -100,7 +100,7 @@ object HttpIngestSource {
     val buffer = new java.util.concurrent.ConcurrentSkipListMap[Long, (String, Long)]()
 
     // --- write-ahead log: the durable-ack half of the exactly-once story.
-    // Record per accepted row (`R seq micros base64(body)`), appended and
+    // Record per accepted row (`R seq micros base64(body) .`), appended and
     // fsynced BEFORE the 200 reply; a marker line (`M seq`) persists the
     // sequence high-water mark across compactions so restart offsets stay
     // monotone even when every row is committed. Accept mutations and
@@ -116,10 +116,13 @@ object HttpIngestSource {
       if (java.nio.file.Files.exists(walPath)) {
         val enc = java.util.Base64.getDecoder
         java.nio.file.Files.readAllLines(walPath).forEach { line =>
-          line.split(" ", 4) match {
+          line.split(" ", 5) match {
             case Array("M", s) if s.forall(_.isDigit) =>
               seq.updateAndGet(m => math.max(m, s.toLong))
-            case Array("R", s, ts, b64) if s.forall(_.isDigit) =>
+            // the trailing "." sentinel marks a COMPLETE record: a torn
+            // tail write could otherwise truncate to a still-valid base64
+            // prefix and silently replay a shortened body
+            case Array("R", s, ts, b64, ".") if s.forall(_.isDigit) =>
               try {
                 val body = new String(enc.decode(b64), "UTF-8")
                 if (buffer.put(s.toLong, (body, ts.toLong)) == null)
@@ -135,7 +138,7 @@ object HttpIngestSource {
 
     private def walAppend(s: Long, body: String, micros: Long): Unit = {
       val b64 = java.util.Base64.getEncoder.encodeToString(body.getBytes("UTF-8"))
-      wal.write(s"R $s $micros $b64\n".getBytes("UTF-8"))
+      wal.write(s"R $s $micros $b64 .\n".getBytes("UTF-8"))
       wal.getFD.sync() // the ack is durable, not just buffered
     }
 
@@ -149,7 +152,7 @@ object HttpIngestSource {
       out.write(s"M ${seq.get()}\n".getBytes("UTF-8"))
       val enc = java.util.Base64.getEncoder
       buffer.forEach { (s, v) =>
-        out.write(s"R $s ${v._2} ${enc.encodeToString(v._1.getBytes("UTF-8"))}\n"
+        out.write(s"R $s ${v._2} ${enc.encodeToString(v._1.getBytes("UTF-8"))} .\n"
           .getBytes("UTF-8"))
       }
       out.getFD.sync()

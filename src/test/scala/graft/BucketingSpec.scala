@@ -35,4 +35,37 @@ class BucketingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("q30's dominant shuffle: bucketed lineitem ⋈ orders joins with no Exchange") {
+    // The flagship (q30) moves lineitem on l_orderkey — at 100 TB that IS
+    // the job's cost (RelationalPipeline.scala's q30 note). Stored bucketed
+    // on the join key, the fact-fact join plans with zero Exchange: scans
+    // feed SortMergeJoin directly, so only the post-join agg shuffles its
+    // (much smaller) grouped frame.
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh30").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.lineitem(spark, sf).write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/lineitem_b").saveAsTable("lineitem_b")
+      Tables.orders(spark, sf).write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/orders_b30").saveAsTable("orders_b30")
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b30"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(sum(col("l_extendedprice")).as("rev"))
+      joined.collect()
+      val p = joined.queryExecution.explainString(ExplainMode.fromString("simple"))
+      val joinSection = p.linesIterator.dropWhile(!_.contains("Join"))
+        .takeWhile(!_.contains("Scan")).mkString("\n")
+      assert(!joinSection.contains("Exchange hashpartitioning"),
+        s"bucketed fact-fact join must not shuffle either side:\n$p")
+      assert(p.contains("Bucketed: true"), p)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+      spark.sql("DROP TABLE IF EXISTS orders_b30")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }

@@ -505,9 +505,8 @@ class StreamingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
         .stripPrefix("file:"), tbl)
-      if (loc.exists()) {
-        loc.listFiles().foreach(_.delete()); loc.delete()
-      }
+      // recursive: IdempotentSink writes _batch_id=N partition subdirs
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
     }
     val stream = spark.readStream.format("graft.streaming.HttpIngestSource")
       .option("port", port.toString).load()
