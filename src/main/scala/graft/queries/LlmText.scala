@@ -198,6 +198,66 @@ object LlmText {
           |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
           |  CAST(sum(len(list_filter(string_split_regex(text, '[^a-z0-9]+'),
           |    t -> length(t) > 0))) AS BIGINT) AS sub_tokens
-          |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Q28g [extension: TF-IDF corpus scoring] the retrieval/quality weight
+    // a training-data pipeline computes corpus-wide: tf from one
+    // explode+agg, df from a second agg over the SAME token frame
+    // (both combinable, map-side partial), N via a one-row broadcast —
+    // no driver-side count, no window until after the per-doc top-k cut.
+    //
+    // Determinism across engines: ln() can differ in the last ulp, so the
+    // score is ROUND(tf * ln(N/df), 4) and BOTH the ranking and the
+    // tie-break run on the ROUNDED value (score_r DESC, term ASC) — row
+    // selection can never ride an ulp. Top-3 per doc via max_by-style
+    // window confined to the (tiny) per-doc frame.
+    //
+    // Scale: token frame shuffles once on (doc_id, term) for tf and once
+    // on term for df (both partial-agg'd); df table (|vocab| rows)
+    // broadcasts back; the final per-doc window partitions by doc_id —
+    // the natural key, no global sort before the output.
+    "q28g_tfidf" -> QueryDef(
+      build = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val tokens = docs.select($("doc_id"),
+          explode(split($("text"), " ")).as("term")).filter(length($("term")) > 0)
+        val tf = tokens.groupBy($("doc_id"), $("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tokens.select($("doc_id"), $("term")).distinct()
+          .groupBy($("term")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf
+          .join(broadcast(dfreq), "term")
+          .crossJoin(broadcast(n))
+          .withColumn("score_r",
+            round($("tf") * log($("n_docs").cast("double") / $("df")), 4))
+        val w = Window.partitionBy($("doc_id"))
+          .orderBy(desc("score_r"), $("term"))
+        scored.withColumn("rnk", row_number().over(w))
+          .filter($("rnk") <= 3)
+          .select($("doc_id"), $("rnk").cast("long").as("rnk"), $("term"),
+            $("tf"), $("df"), $("score_r"))
+          .orderBy($("doc_id"), $("rnk"))
+      },
+      oracle = Some(
+        """WITH tokens AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+          |tok AS (SELECT doc_id, term FROM tokens WHERE length(term) > 0),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+          |dfreq AS (SELECT term, count(*) AS df
+          |          FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+          |n AS (SELECT count(*) AS n_docs FROM documents),
+          |scored AS (
+          |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+          |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 4) AS score_r
+          |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+          |ranked AS (
+          |  SELECT *, row_number() OVER
+          |    (PARTITION BY doc_id ORDER BY score_r DESC, term) AS rnk
+          |  FROM scored)
+          |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term,
+          |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score_r
+          |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin))
   )
 }

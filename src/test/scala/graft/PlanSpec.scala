@@ -108,6 +108,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_max_by") || p.contains("max_by"), p)
   }
 
+  test("q28g: TF-IDF joins broadcast the small frames; aggs are partial+final") {
+    // the token frame (|corpus tokens| rows) must shuffle only for its own
+    // aggregations — joining df (|vocab| rows) and N (1 row) back must ride
+    // broadcasts, never re-shuffle the tf frame on term
+    val p = plan("q28g_tfidf")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    assert(!p.contains("SortMergeJoin"), s"df/N join-back must not shuffle tf on term:\n$p")
+  }
+
   test("partitioned layout: a partition-key filter prunes directories at the source") {
     // the 100 TB table layout: date-keyed directory partitions; a filter on
     // the partition key must never touch the other partitions' files
