@@ -258,6 +258,49 @@ object LlmText {
           |  FROM scored)
           |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term,
           |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score_r
-          |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin))
+          |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
+    // Q28h [extension: PII redaction] the scrub stage between crawl and
+    // training set: emails → <EMAIL>, IPv4 → <IP>, long digit runs →
+    // <NUM>, with per-kind match counts for audit. Pure per-row
+    // projections — zero shuffle before the output sort, trivially
+    // data-parallel at any scale. The synthetic corpus carries no PII, so
+    // the query first injects deterministic PII-shaped strings (from
+    // doc_id) and then must remove every one of them; the patterns are
+    // kept inside the Java-regex ∩ RE2 dialect so both engines agree, and
+    // replacement order (email → ip → num) is part of the contract.
+    "q28h_pii_redact" -> QueryDef(
+      build = (s, d) => {
+        val email = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+        val ip = "\\d+\\.\\d+\\.\\d+\\.\\d+"
+        val num = "\\b\\d{5,}\\b"
+        Tables.documents(s, d)
+          .withColumn("dirty", concat($("text"),
+            lit(" contact user"), $("doc_id"), lit("@mail.com from 10."),
+            $("doc_id") % 256, lit(".0."), $("doc_id") % 100,
+            lit(" id "), $("doc_id") * $("doc_id")))
+          .select($("doc_id"),
+            regexp_count($("dirty"), lit(email)).cast("long").as("n_emails"),
+            regexp_count($("dirty"), lit(ip)).cast("long").as("n_ips"),
+            regexp_count($("dirty"), lit(num)).cast("long").as("n_nums"),
+            md5(regexp_replace(regexp_replace(regexp_replace($("dirty"),
+              email, "<EMAIL>"), ip, "<IP>"), num, "<NUM>")).as("redacted_md5"))
+          .orderBy($("doc_id"))
+      },
+      oracle = Some(
+        """SELECT doc_id,
+          |  CAST(len(regexp_extract_all(dirty, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT) AS n_emails,
+          |  CAST(len(regexp_extract_all(dirty, '\d+\.\d+\.\d+\.\d+')) AS BIGINT) AS n_ips,
+          |  CAST(len(regexp_extract_all(dirty, '\b\d{5,}\b')) AS BIGINT) AS n_nums,
+          |  md5(regexp_replace(regexp_replace(regexp_replace(dirty,
+          |    '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+          |    '\d+\.\d+\.\d+\.\d+', '<IP>', 'g'),
+          |    '\b\d{5,}\b', '<NUM>', 'g')) AS redacted_md5
+          |FROM (
+          |  SELECT doc_id, text || ' contact user' || doc_id || '@mail.com from 10.'
+          |    || (doc_id % 256) || '.0.' || (doc_id % 100)
+          |    || ' id ' || (doc_id * doc_id) AS dirty
+          |  FROM documents)
+          |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -122,6 +122,30 @@ class LlmSpec extends SparkSpec {
     assert(big >= 0.9, s"sf0.1 recall $big below 0.9")
   }
 
+  test("q28h: redaction removes every injected PII string, counts are sane") {
+    // rebuild the dirty text and the redacted form the query hashes, and
+    // assert the CONTENT property the md5 gate can't express directly:
+    // nothing email/IP/long-number-shaped survives redaction
+    val email = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val ip = "\\d+\\.\\d+\\.\\d+\\.\\d+"
+    val num = "\\b\\d{5,}\\b"
+    val dirty = Tables.documents(spark, sf)
+      .withColumn("dirty", concat($"text",
+        lit(" contact user"), $"doc_id", lit("@mail.com from 10."),
+        $"doc_id" % 256, lit(".0."), $"doc_id" % 100,
+        lit(" id "), $"doc_id" * $"doc_id"))
+      .withColumn("clean", regexp_replace(regexp_replace(regexp_replace($"dirty",
+        email, "<EMAIL>"), ip, "<IP>"), num, "<NUM>"))
+    val residual = dirty.filter(
+      regexp_count($"clean", lit(email)) > 0 || regexp_count($"clean", lit(ip)) > 0 ||
+        regexp_count($"clean", lit(num)) > 0).count()
+    assert(residual == 0, s"$residual docs still carry PII-shaped strings after redaction")
+    // every doc got exactly one email and one IP injected; both were found
+    val out = Registry.all("q28h_pii_redact").build(spark, sf)
+    assert(out.filter($"n_emails" < 1 || $"n_ips" < 1).count() == 0)
+    assert(out.filter($"redacted_md5".isNull || length($"redacted_md5") =!= 32).count() == 0)
+  }
+
   test("multimodal decode plumbing: schema, determinism, partition locality") {
     val docs = Tables.documents(spark, sf)
       .withColumn("kind", element_at(array(lit("image"), lit("audio"), lit("video")),
