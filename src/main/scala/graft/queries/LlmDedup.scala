@@ -244,6 +244,67 @@ object LlmDedup {
            |FROM documents d LEFT JOIN reps r ON d.doc_id = r.doc_id
            |ORDER BY d.doc_id""".stripMargin)),
 
+    // Q27f [extension: exact span dedup] the C4 / "Deduplicating Training
+    // Data" (Lee et al. 2022) line-level pass: split every document into
+    // 10-token spans, keep only the corpus-wide FIRST occurrence of each
+    // distinct span (min (doc_id, pos)), and reassemble documents from
+    // their surviving spans. This removes boilerplate that near-dup DOC
+    // dedup (q27b/e) cannot see — repeated spans inside otherwise-distinct
+    // documents.
+    //
+    // Scale shape: chunking is a pure projection; the dedup is ONE
+    // combinable groupBy (min(struct) has a map-side partial) keyed by the
+    // span text, and reassembly is one groupBy(doc_id). At 100 TB the
+    // group key becomes a 128-bit span hash (shuffle bytes), the same
+    // trade q27b documents for shingles; the gate keys on the exact string
+    // so the DuckDB oracle replicates byte-for-byte.
+    "q27f_dedup_spans" -> QueryDef(
+      build = (s, d) => {
+        val docs = Tables.documents(s, d)
+        val w = split($("text"), " ")
+        val nTotal = (((size(w) - 1) / 10).cast("int") + 1)
+        val chunked = docs.select($("doc_id"),
+          posexplode(transform(sequence(lit(0), nTotal - 1),
+            i => array_join(slice(w, i * 10 + 1, lit(10)), " ")))
+            .as(Seq("pos", "chunk")))
+        val keepers = chunked.groupBy($("chunk"))
+          .agg(min(struct($("doc_id"), $("pos"))).as("k"))
+        val kept = chunked.join(keepers, "chunk")
+          .filter($("doc_id") === $("k.doc_id") && $("pos") === $("k.pos"))
+        val rebuilt = kept.groupBy($("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            md5(array_join(transform(
+              sort_array(collect_list(struct($("pos"), $("chunk")))),
+              x => x.getField("chunk")), " ")).as("m"))
+        docs.select($("doc_id"), nTotal.cast("long").as("n_total"))
+          .join(rebuilt, Seq("doc_id"), "left")
+          .select($("doc_id"), $("n_total"),
+            coalesce($("n_kept"), lit(0L)).as("n_kept"),
+            ($("n_total") - coalesce($("n_kept"), lit(0L))).as("n_dropped"),
+            coalesce($("m"), md5(lit(""))).as("rebuilt_md5"))
+          .orderBy($("doc_id"))
+      },
+      oracle = Some(
+        """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |chunks AS (
+          |  SELECT doc_id, i AS pos, array_to_string(w[i*10+1 : i*10+10], ' ') AS chunk
+          |  FROM docs, unnest(range(0, (len(w)-1)//10 + 1)) AS t(i)),
+          |ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+          |  FROM chunks),
+          |kept AS (SELECT doc_id, pos, chunk FROM ranked WHERE rn = 1),
+          |rebuilt AS (
+          |  SELECT doc_id, count(*) AS n_kept,
+          |    md5(array_to_string(list(chunk ORDER BY pos), ' ')) AS m
+          |  FROM kept GROUP BY doc_id),
+          |totals AS (SELECT doc_id, (len(w)-1)//10 + 1 AS n_total FROM docs)
+          |SELECT t.doc_id, CAST(t.n_total AS BIGINT) AS n_total,
+          |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+          |  CAST(t.n_total - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped,
+          |  coalesce(r.m, md5('')) AS rebuilt_md5
+          |FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+          |ORDER BY doc_id""".stripMargin)),
+
     // Q27c [extension: SimHash near-dedup] SimHash over shingle hashes;
     // candidate pairs share one of four 16-bit signature chunks (pigeonhole:
     // Hamming ≤ 3 ⇒ some chunk equal), verified at Hamming ≤ 3.
