@@ -526,6 +526,40 @@ class StreamingSpec extends SparkSpec {
     assert(!rej.isNullAt(rej.fieldIndex("ingest_ts")))
   }
 
+  test("T5: windowed aggregation state survives a restart from checkpoint") {
+    // the state-store half of the durability story (the WAL test covers the
+    // source half): a tumbling count must resume from checkpointed state,
+    // folding pre-restart rows into post-restart results — not recount from
+    // zero, not double-count
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-state-ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    def drain(): Unit = {
+      val q = input.toDF().toDF("ts", "k")
+        .groupBy(window($"ts", "10 minutes"), $"k").count()
+        .writeStream.outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select($"k", $"count").collect()
+            .foreach(r => counts.synchronized { counts(r.getString(0)) = r.getLong(1) })
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    input.addData((t(1), "a"), (t(2), "a"), (t(3), "b"))
+    drain()
+    assert(counts("a") == 2 && counts("b") == 1, s"pre-restart state: $counts")
+    // restart from the same checkpoint with more rows in the SAME window
+    input.addData((t(4), "a"), (t(5), "b"), (t(6), "b"))
+    drain()
+    assert(counts("a") == 3, s"state must carry across restart (got ${counts("a")})")
+    assert(counts("b") == 3, s"state must carry across restart (got ${counts("b")})")
+  }
+
   test("§2.11/T8: a replayed foreachBatch batchId does not duplicate sink rows") {
     val tbl = "idem_sink_t"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
