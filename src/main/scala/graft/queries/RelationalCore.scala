@@ -215,6 +215,37 @@ object RelationalCore {
           |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
           |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
 
+    // Q8b [J4 completion: FULL OUTER] both sides partial so both null
+    // legs really occur: rich customers ⋈ per-customer big-order counts.
+    // Full outer can never broadcast (both sides must see unmatched rows),
+    // so it shuffles both inputs on the key — the aggregate side is
+    // pre-shrunk to one row per key before the join, which is the scale
+    // move. RIGHT outer is the same plan with sides flipped (Catalyst
+    // normalizes it to left), so q08/q08b cover the whole outer family.
+    "q08b_join_full" -> QueryDef(
+      build = (s, d) => {
+        val c = Tables.customer(s, d).filter($("c_acctbal") > 5000)
+          .select($("c_custkey"))
+        val o = Tables.orders(s, d).filter($("o_totalprice") > 150000)
+          .groupBy($("o_custkey")).agg(count(lit(1)).as("n_big_orders"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "full")
+          .select(coalesce($("c_custkey"), $("o_custkey")).as("custkey"),
+            $("c_custkey").isNotNull.as("has_account"),
+            $("o_custkey").isNotNull.as("has_big_orders"),
+            coalesce($("n_big_orders"), lit(0L)).as("n_big_orders"))
+          .orderBy($("custkey"))
+      },
+      oracle = Some(
+        """SELECT coalesce(c_custkey, o_custkey) AS custkey,
+          |  c_custkey IS NOT NULL AS has_account,
+          |  o_custkey IS NOT NULL AS has_big_orders,
+          |  CAST(coalesce(n, 0) AS BIGINT) AS n_big_orders
+          |FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 5000) c
+          |FULL JOIN (SELECT o_custkey, count(*) AS n FROM orders
+          |           WHERE o_totalprice > 150000 GROUP BY o_custkey) o
+          |  ON c_custkey = o_custkey
+          |ORDER BY custkey""".stripMargin)),
+
     // Q9 [J5] left semi = EXISTS: customers with at least one open order.
     // Semi joins ship only the key column of the probe side — at scale,
     // prefer them over join+distinct.
