@@ -241,6 +241,81 @@ object RelationalAgg {
            |      FROM orders)
            |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
 
+    // Q18b [W1 completion: the whole ranking kit] rank, dense_rank,
+    // ntile, percent_rank, cume_dist, first/last/nth_value in ONE window
+    // pass — a user switching engines gets every ranking function, not
+    // just row_number. The window orders by (price, key) so the sort key
+    // is UNIQUE: with ties broken deterministically, ntile bucket
+    // assignment and frame endpoints are identical on any engine/partition
+    // count. percent_rank/cume_dist are exact small-integer ratios — IEEE
+    // division is correctly rounded, so the doubles are bit-identical
+    // cross-engine without rounding tricks.
+    "q18b_window_kit" -> QueryDef(
+      build = (s, d) => {
+        val w = Window.partitionBy($("o_orderstatus"))
+          .orderBy(desc("o_totalprice"), $("o_orderkey"))
+        val frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d)
+          .withColumn("rnk", rank().over(w).cast("long"))
+          .withColumn("drnk", dense_rank().over(w).cast("long"))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("pct_rank", percent_rank().over(w))
+          .withColumn("cume", cume_dist().over(w))
+          .withColumn("top_key", first($("o_orderkey")).over(frame))
+          .withColumn("bottom_key", last($("o_orderkey")).over(frame))
+          .withColumn("runner_up", nth_value($("o_orderkey"), 2).over(frame))
+          .filter($("rnk") <= 5)
+          .select($("o_orderstatus"), $("rnk"), $("drnk"), $("quartile"),
+            $("pct_rank"), $("cume"), $("o_orderkey"),
+            $("top_key"), $("bottom_key"), $("runner_up"))
+          .orderBy($("o_orderstatus"), $("rnk"))
+      },
+      oracle = Some(
+        """SELECT o_orderstatus, rnk, drnk, quartile, pct_rank, cume,
+          |  o_orderkey, top_key, bottom_key, runner_up
+          |FROM (SELECT o_orderstatus, o_orderkey,
+          |    CAST(rank() OVER w AS BIGINT) AS rnk,
+          |    CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+          |    CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          |    percent_rank() OVER w AS pct_rank,
+          |    cume_dist() OVER w AS cume,
+          |    first_value(o_orderkey) OVER wf AS top_key,
+          |    last_value(o_orderkey) OVER wf AS bottom_key,
+          |    nth_value(o_orderkey, 2) OVER wf AS runner_up
+          |  FROM orders
+          |  WINDOW w AS (PARTITION BY o_orderstatus
+          |               ORDER BY o_totalprice DESC, o_orderkey),
+          |         wf AS (PARTITION BY o_orderstatus
+          |                ORDER BY o_totalprice DESC, o_orderkey
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+          |WHERE rnk <= 5 ORDER BY o_orderstatus, rnk""".stripMargin)),
+
+    // Q16c [A5 completion: GROUPING SETS] arbitrary grouping-set lattices
+    // beyond ROLLUP/CUBE — (priority, status), (priority), and the grand
+    // total in one pass. Expressed through the SQL surface (both engines
+    // speak the same syntax); the aggregate is still one partial+final
+    // pass with the set-id as an implicit group key.
+    "q16c_grouping_sets" -> QueryDef(
+      build = (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+        s.sql(
+          """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+            |  coalesce(o_orderstatus, 'ALL') AS status,
+            |  count(*) AS n
+            |FROM orders_gs
+            |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+            |                        (o_orderpriority), ())
+            |ORDER BY priority, status""".stripMargin)
+      },
+      oracle = Some(
+        """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+          |  coalesce(o_orderstatus, 'ALL') AS status,
+          |  count(*) AS n
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+          |                        (o_orderpriority), ())
+          |ORDER BY priority, status""".stripMargin)),
+
     // Q19 [W2] lag: price delta between a customer's consecutive orders.
     // Delta in integer cents; first row per customer is NULL on both engines.
     "q19_window_lag" -> QueryDef(
