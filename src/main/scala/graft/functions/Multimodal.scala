@@ -70,16 +70,19 @@ object Multimodal {
     if (b.length < 12 ||
       !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
       !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
-    var off = 12
+    // walk offset in Long: a corrupt chunk size near Int.MaxValue must fall
+    // off the end of the loop, not overflow Int into a negative index
+    var off = 12L
     var rate = -1; var ch = -1; var align = -1; var dataLen = -1
     while (off + 8 <= b.length && (rate < 0 || dataLen < 0)) {
-      val id = new String(b, off, 4, "US-ASCII")
-      val size = le32(b, off + 4)
+      val o = off.toInt // safe: off + 8 <= b.length <= Int.MaxValue
+      val id = new String(b, o, 4, "US-ASCII")
+      val size = le32(b, o + 4)
       if (size < 0) return None // corrupt size: refuse rather than loop
       if (id == "fmt " && off + 8 + 16 <= b.length) {
-        ch = le16(b, off + 10); rate = le32(b, off + 12); align = le16(b, off + 20)
+        ch = le16(b, o + 10); rate = le32(b, o + 12); align = le16(b, o + 20)
       } else if (id == "data") dataLen = size
-      off += 8 + size + (size & 1)
+      off += 8L + size + (size & 1)
     }
     if (rate > 0 && ch > 0 && align > 0 && dataLen >= 0)
       Some((rate, ch, dataLen / align))

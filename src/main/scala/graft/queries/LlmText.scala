@@ -208,8 +208,11 @@ object LlmText {
     //
     // Determinism across engines: ln() can differ in the last ulp, so the
     // score is ROUND(tf * ln(N/df), 4) and BOTH the ranking and the
-    // tie-break run on the ROUNDED value (score_r DESC, term ASC) — row
-    // selection can never ride an ulp. Top-3 per doc via max_by-style
+    // tie-break run on the ROUNDED value (score_r DESC, term ASC). The
+    // 1e-4 grid leaves a ~1e-12-relative disagreement window per score at
+    // the rounding boundary (the q15b percentile convention, measured
+    // safe at all three SFs); a fully exact gate would need rational
+    // arithmetic the SQL surface doesn't offer. Top-3 per doc via a
     // window confined to the (tiny) per-doc frame.
     //
     // Scale: token frame shuffles once on (doc_id, term) for tf and once

@@ -54,8 +54,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * committed batches free capacity. Together the two caps make the edge's
   * memory bounded end-to-end: buffer ≤ maxBufferedRows, batch ≤
   * maxRowsPerTrigger. (The cap is soft by a few rows under concurrent
-  * POSTs — the check-then-put is not atomic — which is the right trade
-  * for not serializing the hot accept path.)
+  * POSTs — the check-then-put is not atomic.)
+  *
+  * Cost of the durable ack: accepts serialize (the single-threaded
+  * listener executor already does; `walLock` only adds compaction mutual
+  * exclusion) and each accepted row pays one fsync before its 200. The
+  * flood test pins the floor this must clear. At scale the fsync
+  * amortizes by group commit in the fronting partitioned log — per-row
+  * fsync is the single-node edge's honest price for "acked ⇒ durable".
   */
 class HttpIngestSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

@@ -20,16 +20,24 @@ import org.apache.spark.sql.functions._
 object IdempotentSink {
   val BatchCol = "_batch_id"
 
+  // Writes serialize per JVM: the dynamic-overwrite flag lives in SESSION
+  // conf (the writer-level option is ignored on the insertInto
+  // catalog-table path), so two concurrent foreachBatch queries in one
+  // SparkSession must not interleave their set/write/restore — a losing
+  // interleave would run a STATIC overwrite and truncate the whole table.
+  private val writeLock = new Object
+
   /** Append `df` as batch `batchId` of `table`; replay-safe (see above). */
-  def appendOnce(df: DataFrame, batchId: Long, table: String): Unit = {
+  def appendOnce(df: DataFrame, batchId: Long, table: String): Unit = writeLock.synchronized {
     val s = df.sparkSession
     val stamped = df.withColumn(BatchCol, lit(batchId))
     if (!s.catalog.tableExists(table)) {
-      stamped.write.partitionBy(BatchCol).saveAsTable(table)
+      // mode=overwrite: a crash after this write's files landed but before
+      // the catalog commit must not wedge the replay on a non-empty
+      // location — the replay rewrites the same contents
+      stamped.write.mode("overwrite").partitionBy(BatchCol).saveAsTable(table)
     } else {
-      // DYNAMIC mode must be set on the session for insertInto (the
-      // writer-level option is ignored on the catalog-table path): only
-      // partitions present in this write are replaced. Restore after.
+      // DYNAMIC mode: only partitions present in this write are replaced.
       val key = "spark.sql.sources.partitionOverwriteMode"
       val prev = s.conf.getOption(key)
       s.conf.set(key, "dynamic")

@@ -10,6 +10,9 @@ import org.apache.spark.sql.execution.ExplainMode
 class BucketingSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
 
+  // AQE explain prints the plan twice (Final + Initial); census the final
+  private def finalPlan(p: String): String = p.split("== Initial Plan ==")(0)
+
   test("bucketed orders ⋈ customer plans with no shuffle on either side") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
@@ -25,10 +28,13 @@ class BucketingSpec extends SparkSpec {
         .groupBy(col("c_mktsegment")).agg(sum(col("o_totalprice")).as("t"))
       joined.collect()
       val p = joined.queryExecution.explainString(ExplainMode.fromString("simple"))
-      val joinSection = p.linesIterator.dropWhile(!_.contains("Join")).takeWhile(!_.contains("Scan")).mkString("\n")
-      assert(!joinSection.contains("Exchange hashpartitioning"),
-        s"bucketed join must not shuffle either side:\n$p")
-      assert(p.contains("Bucketed: true"), p)
+      // count Exchanges over the WHOLE final plan (a section-scoped scan
+      // misses the join's second child): the only allowed shuffle is the
+      // post-join aggregation's — neither join input may add one
+      val nExchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan(p)).size
+      assert(nExchanges <= 1, s"bucketed join must not shuffle either side:\n$p")
+      assert("Bucketed: true".r.findAllIn(finalPlan(p)).size == 2,
+        s"both scans must report bucketed reads:\n$p")
     } finally {
       spark.sql("DROP TABLE IF EXISTS customer_b")
       spark.sql("DROP TABLE IF EXISTS orders_b")
@@ -57,11 +63,12 @@ class BucketingSpec extends SparkSpec {
         .agg(sum(col("l_extendedprice")).as("rev"))
       joined.collect()
       val p = joined.queryExecution.explainString(ExplainMode.fromString("simple"))
-      val joinSection = p.linesIterator.dropWhile(!_.contains("Join"))
-        .takeWhile(!_.contains("Scan")).mkString("\n")
-      assert(!joinSection.contains("Exchange hashpartitioning"),
-        s"bucketed fact-fact join must not shuffle either side:\n$p")
-      assert(p.contains("Bucketed: true"), p)
+      // whole-final-plan Exchange census, not a join-to-first-scan slice:
+      // a shuffle under the SECOND join child must also fail the test
+      val nExchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan(p)).size
+      assert(nExchanges <= 1, s"bucketed fact-fact join must not shuffle either side:\n$p")
+      assert("Bucketed: true".r.findAllIn(finalPlan(p)).size == 2,
+        s"both scans must report bucketed reads:\n$p")
     } finally {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
       spark.sql("DROP TABLE IF EXISTS orders_b30")

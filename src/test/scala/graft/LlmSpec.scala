@@ -189,5 +189,10 @@ class LlmSpec extends SparkSpec {
     assert(parsePngHeader(png.take(20)).isEmpty, "truncated IHDR must not parse")
     assert(parseWavHeader(wav.take(30)).isEmpty, "truncated fmt must not parse")
     assert(parseWavHeader(Array.empty[Byte]).isEmpty)
+    // a corrupt chunk size near Int.MaxValue must walk off the end, never
+    // overflow the offset into a negative index and throw
+    val bomb = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ le32(Int.MaxValue) ++ Array.fill[Byte](8)(0)
+    assert(parseWavHeader(bomb).isEmpty, "overflowing chunk size must parse to None")
   }
 }
