@@ -8,10 +8,16 @@ import org.apache.spark.sql.functions._
   * Structured Streaming replays a failed micro-batch with the SAME batchId
   * and (offset-determined) contents, so an append sink is exactly-once iff
   * re-writing a batchId is a no-op. The standard recipe: stamp rows with
-  * `_batch_id`, partition the sink table by it, and write with DYNAMIC
-  * partition overwrite — a replay replaces exactly its own partition, never
-  * touching other batches. A retry after a partial write therefore
-  * converges to one clean copy instead of duplicating rows.
+  * `_batch_id`, partition the sink table by it, and overwrite exactly that
+  * partition on write — a replay replaces its own partition, never touching
+  * other batches. A retry after a partial write therefore converges to one
+  * clean copy instead of duplicating rows.
+  *
+  * The overwrite uses a STATIC partition spec
+  * (`INSERT OVERWRITE … PARTITION (_batch_id = N)`), which clears only the
+  * named partition under default configs — no session-conf mutation, no
+  * cross-query interference, safe under concurrent streams in one
+  * SparkSession.
   *
   * At 100 TB the same contract comes from MERGE on a lakehouse format
   * (the CompactionSpec shape); this is the format-free equivalent with the
@@ -20,34 +26,25 @@ import org.apache.spark.sql.functions._
 object IdempotentSink {
   val BatchCol = "_batch_id"
 
-  // Writes serialize per JVM: the dynamic-overwrite flag lives in SESSION
-  // conf (the writer-level option is ignored on the insertInto
-  // catalog-table path), so two concurrent foreachBatch queries in one
-  // SparkSession must not interleave their set/write/restore — a losing
-  // interleave would run a STATIC overwrite and truncate the whole table.
-  private val writeLock = new Object
-
   /** Append `df` as batch `batchId` of `table`; replay-safe (see above). */
-  def appendOnce(df: DataFrame, batchId: Long, table: String): Unit = writeLock.synchronized {
+  def appendOnce(df: DataFrame, batchId: Long, table: String): Unit = {
     val s = df.sparkSession
-    val stamped = df.withColumn(BatchCol, lit(batchId))
     if (!s.catalog.tableExists(table)) {
       // mode=overwrite: a crash after this write's files landed but before
       // the catalog commit must not wedge the replay on a non-empty
       // location — the replay rewrites the same contents
-      stamped.write.mode("overwrite").partitionBy(BatchCol).saveAsTable(table)
+      df.withColumn(BatchCol, lit(batchId))
+        .write.mode("overwrite").partitionBy(BatchCol).saveAsTable(table)
     } else {
-      // DYNAMIC mode: only partitions present in this write are replaced.
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "dynamic")
+      val view = "idem_src_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      df.createOrReplaceTempView(view)
       try {
-        // insertInto is positional: align to the table's column order (the
-        // partition column sits last after saveAsTable(partitionBy))
-        stamped.select(s.table(table).columns.map(col).toSeq: _*)
-          .write.mode("overwrite")
-          .insertInto(table)
-      } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+        // SELECT in the table's declared column order (insert is positional)
+        val cols = s.table(table).columns.filterNot(_ == BatchCol)
+          .map(c => s"`$c`").mkString(", ")
+        s.sql(s"INSERT OVERWRITE TABLE `$table` " +
+          s"PARTITION (`$BatchCol` = $batchId) SELECT $cols FROM $view")
+      } finally s.catalog.dropTempView(view)
     }
   }
 }
