@@ -87,12 +87,13 @@ object Surface {
           |    ORDER BY c_custkey)) AS body
           |FROM customer GROUP BY c_nationkey ORDER BY nationkey""".stripMargin)),
 
-    // Q34 [S10] file formats: parquet → CSV, JSON-lines, and ORC
-    // round-trips. nation is written to all three formats (header CSV,
+    // Q34 [S10] file formats: parquet → CSV, JSON-lines, ORC, and XML
+    // round-trips. nation is written to all four formats (header CSV,
     // schema-carrying reads) and joined back — proving each writer/reader
     // pair preserves values. ORC is the columnar alternative a 100 TB
-    // estate actually mixes with parquet; CSV/JSONL are the interchange
-    // edges. The oracle is simply the parquet truth.
+    // estate actually mixes with parquet; CSV/JSONL/XML are the
+    // interchange edges (XML via the Spark-4 built-in datasource). The
+    // oracle is simply the parquet truth.
     "q34_formats" -> QueryDef(
       build = (s, d) => {
         val tmp = s"${sys.props("java.io.tmpdir")}/graft_formats_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
@@ -100,6 +101,7 @@ object Surface {
         n.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
         n.write.mode("overwrite").json(s"$tmp/jsonl")
         n.write.mode("overwrite").orc(s"$tmp/orc")
+        n.write.mode("overwrite").option("rowTag", "nation").xml(s"$tmp/xml")
         val csv = s.read.option("header", "true").schema(n.schema).csv(s"$tmp/csv")
           .select($("n_nationkey").as("key"), $("n_name").as("csv_name"))
         val jsonl = s.read.schema(n.schema).json(s"$tmp/jsonl")
@@ -107,11 +109,13 @@ object Surface {
             $("n_regionkey").as("regionkey"))
         val orc = s.read.orc(s"$tmp/orc") // self-describing, no schema needed
           .select($("n_nationkey").as("key"), $("n_name").as("orc_name"))
-        csv.join(jsonl, "key").join(orc, "key").orderBy($("key"))
+        val xml = s.read.option("rowTag", "nation").schema(n.schema).xml(s"$tmp/xml")
+          .select($("n_nationkey").as("key"), $("n_name").as("xml_name"))
+        csv.join(jsonl, "key").join(orc, "key").join(xml, "key").orderBy($("key"))
       },
       oracle = Some(
         """SELECT n_nationkey AS key, n_name AS csv_name, n_name AS jsonl_name,
-          |  n_regionkey AS regionkey, n_name AS orc_name
+          |  n_regionkey AS regionkey, n_name AS orc_name, n_name AS xml_name
           |FROM nation ORDER BY key""".stripMargin)),
 
     // Q35 [multimodal] binary payload column + partition-local decode
