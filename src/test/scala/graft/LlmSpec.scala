@@ -122,6 +122,24 @@ class LlmSpec extends SparkSpec {
     assert(big >= 0.9, s"sf0.1 recall $big below 0.9")
   }
 
+  test("q26d PQ-ANN recall vs exact top-k (worst-case uniform data)") {
+    // uniform-random embeddings are PQ's worst case too (a 4-dim/16-centroid
+    // codebook has no cluster mass to model): floors are the measured
+    // operating point minus margin — 1.0 measured at sf0.001/0.01, 0.93 at
+    // sf0.1 (ADC shortlist 128 + exact rerank)
+    def recallAt(dir: String): Double = {
+      val exact = Registry.all("q26_ann_topk").build(spark, dir)
+        .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+      val pq = queries.LlmSimilarity.pqTopK(spark, dir)
+        .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+      exact.intersect(pq).size.toDouble / exact.size
+    }
+    val small = recallAt(sf)
+    assert(small >= 0.9, s"sf0.001 recall $small below 0.9")
+    val big = recallAt("/root/testdata/sf0.1")
+    assert(big >= 0.85, s"sf0.1 recall $big below 0.85")
+  }
+
   test("q28h: redaction removes every injected PII string, counts are sane") {
     // rebuild the dirty text and the redacted form the query hashes, and
     // assert the CONTENT property the md5 gate can't express directly:
