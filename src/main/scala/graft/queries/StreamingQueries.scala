@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   * arrival order is scripted — their output depends on arrival order by
   * design, so they don't belong in the hash gate.
   */
+/** q44's per-key state and output row: one profile per user, folded
+  * commutatively so any arrival order / batch split yields the same value.
+  */
+case class UserProfile(user_id: Long, n: Long, val_cents: Long,
+    first_us: Long, last_us: Long)
+
 object StreamingQueries {
   import Canon._
   private def $(name: String) = col(name)
@@ -54,6 +60,94 @@ object StreamingQueries {
       oracle = Some(
         """SELECT DISTINCT user_id, event_type FROM events
           |ORDER BY user_id, event_type""".stripMargin)),
+
+    // Q43 [J9/T5 extension] stream-stream inner join with watermarks on
+    // BOTH sides — click-to-purchase attribution: every purchase within 30
+    // minutes of a same-user click. The event-time range condition plus the
+    // two watermarks bound the join state (each side holds only rows whose
+    // ts is within watermark+30min — without them, stream-stream join state
+    // grows forever), which is what makes the operator viable on an
+    // unbounded 100 TB/day stream. Equality on user_id is the shuffle key;
+    // state is partitioned by it exactly like the batch join. The bounded
+    // replay's append-mode output must equal the batch join — that
+    // equivalence is the gate. Delay is emitted in whole seconds (both
+    // engines floor their epoch), ids make the row unique.
+    "q43_stream_stream_join" -> QueryDef(
+      build = (s, d) => {
+        val clicks = EventsStream.readStream(s, d)
+          .filter($("event_type") === "click")
+          .select($("event_id").as("click_id"), $("user_id"), $("ts").as("c_ts"))
+          .withWatermark("c_ts", "1 hour")
+        val purchases = EventsStream.readStream(s, d)
+          .filter($("event_type") === "purchase")
+          .select($("event_id").as("purchase_id"), $("user_id").as("p_user"),
+            $("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val joined = clicks.join(purchases,
+            $("user_id") === $("p_user") &&
+            $("p_ts") >= $("c_ts") &&
+            $("p_ts") <= $("c_ts") + expr("INTERVAL 30 MINUTES"))
+          .select($("user_id"), $("click_id"), $("purchase_id"),
+            ($("p_ts").cast("long") - $("c_ts").cast("long")).as("delay_s"))
+        EventsStream.runToMemory(s, joined, s"q43_mem_${System.nanoTime()}", "append")
+          .orderBy($("click_id"), $("purchase_id"))
+      },
+      oracle = Some(
+        """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+          |  CAST(floor(epoch(p.ts)) AS BIGINT)
+          |    - CAST(floor(epoch(c.ts)) AS BIGINT) AS delay_s
+          |FROM events c JOIN events p ON c.user_id = p.user_id
+          |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+          |  AND epoch_us(p.ts) >= epoch_us(c.ts)
+          |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+          |ORDER BY click_id, purchase_id""".stripMargin)),
+
+    // Q44 [T7 extension] arbitrary stateful processing via
+    // mapGroupsWithState — the escape hatch when built-in streaming aggs
+    // can't express the state machine. Keeps one UserProfile per user_id
+    // (count, cents sum, first/last event time) folded COMMUTATIVELY, so
+    // the result is arrival-order independent and the bounded replay equals
+    // the batch groupBy — the gate. State is per-key and partitioned on the
+    // groupByKey shuffle; at 100 TB the state store is RocksDB-backed and
+    // this exact code runs unchanged. Update mode re-emits a key's profile
+    // each batch it changes; the final profile per key is the one with the
+    // largest n (n grows monotonically), picked by max_by — robust to the
+    // replay splitting into any number of micro-batches.
+    "q44_stateful_profile" -> QueryDef(
+      build = (s, d) => {
+        import s.implicits._
+        val src = EventsStream.readStream(s, d)
+          .select($("user_id"), unix_micros($("ts")).as("ts_us"),
+            cents($("value")).as("cents"))
+          .as[(Long, Long, Long)]
+        val profiles = src.groupByKey(_._1)
+          .mapGroupsWithState[UserProfile, UserProfile](
+            org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+            case (uid, rows, state) =>
+              val prev = state.getOption.getOrElse(
+                UserProfile(uid, 0L, 0L, Long.MaxValue, Long.MinValue))
+              val next = rows.foldLeft(prev) { (p, r) =>
+                UserProfile(uid, p.n + 1, p.val_cents + r._3,
+                  math.min(p.first_us, r._2), math.max(p.last_us, r._2))
+              }
+              state.update(next)
+              next
+          }
+        val out = EventsStream.runToMemory(s, profiles.toDF(),
+          s"q44_mem_${System.nanoTime()}", "update")
+        out.groupBy($("user_id"))
+          .agg(max_by(struct($("n"), $("val_cents"), $("first_us"), $("last_us")),
+            $("n")).as("m"))
+          .select($("user_id"), $("m.n").as("n"), $("m.val_cents").as("val_cents"),
+            timestamp_micros($("m.first_us")).as("first_ts"),
+            timestamp_micros($("m.last_us")).as("last_ts"))
+          .orderBy($("user_id"))
+      },
+      oracle = Some(
+        s"""SELECT user_id, count(*) AS n,
+           |  CAST(sum(${centsSql("value")}) AS BIGINT) AS val_cents,
+           |  min(ts) AS first_ts, max(ts) AS last_ts
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // Q40 [T6] session windows (1-hour inactivity gap) per user — batch
     // session_window, which shares the streaming implementation's session
