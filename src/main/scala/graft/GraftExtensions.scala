@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{FloatDotProduct, MinHashSigArr, PolyHash, ShingleHashes, ShinglePolyHashes}
+import graft.plans.{CharNgramHashes, FloatDotProduct, MinHashSigArr, PolyHash, ShingleHashes, ShinglePolyHashes}
 
 /** Engine extension wiring: native expressions registered into the session
   * FunctionRegistry, installable either via
@@ -59,7 +59,11 @@ object GraftExtensions {
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigArr].getName, "minhash_sig"),
       (children: Seq[Expression]) => MinHashSigArr(children.head,
-        constNum("minhash_sig", 1, children(1)).intValue())))
+        constNum("minhash_sig", 1, children(1)).intValue())),
+    (FunctionIdentifier("char_ngram_hashes"),
+      new ExpressionInfo(classOf[CharNgramHashes].getName, "char_ngram_hashes"),
+      (children: Seq[Expression]) => CharNgramHashes(children.head,
+        constNum("char_ngram_hashes", 1, children(1)).intValue())))
 
   /** Idempotent per-session registration. */
   def install(spark: SparkSession): Unit = {

@@ -52,7 +52,7 @@ object LlmDedup {
     * codegen'd call per document, bit-identical to the A7 Aggregator path
     * (LlmSpec asserts equality) but with no explode/groupBy shuffle.
     */
-  private def nearDupPairs(sh: DataFrame): DataFrame = {
+  private def nearDupPairs(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
     val k = 128; val bands = 64 // r = 2
     // Docs with no shingles (<3 tokens) can't be near-duplicates under
     // 3-shingle Jaccard — and, left in, they'd all share the degenerate
@@ -87,7 +87,7 @@ object LlmDedup {
       .withColumn("inter", size(array_intersect($("sa"), $("sb"))))
       .withColumn("uni", size($("sa")) + size($("sb")) - $("inter"))
       .withColumn("jac", $("inter").cast("double") / $("uni").cast("double"))
-      .filter($("jac") >= 0.5)
+      .filter($("jac") >= threshold)
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -149,6 +149,51 @@ object LlmDedup {
            |        - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) >= 0.5
            |ORDER BY a_id, b_id""".stripMargin),
       headline = true),
+
+    // Q27g [extension: character n-gram Jaccard near-dedup] the same banded
+    // MinHash-LSH pipeline as q27b but over 5-CHARACTER n-grams — the
+    // dedup-literature variant that is robust to tokenization and
+    // whitespace drift word shingles miss (a doc re-wrapped or
+    // re-punctuated keeps ~all its char 5-grams but loses word shingles).
+    // Character grams are much denser than word shingles, so near-dup
+    // Jaccard runs far higher (planted pairs measure ≥ 0.93 vs ~0.5 on
+    // word shingles; background tops out at 0.31) — the 0.6 threshold sits
+    // in that gap, and at J ≥ 0.6 the 64-band r=2 LSH miss probability is
+    // (1-0.36)^64 ≈ 4e-13, so the banded output equals the brute-force
+    // oracle. The n-gram set is built by the native codegen'd
+    // [[graft.plans.CharNgramHashes]] (one call per row; same xxhash64
+    // convention as q27b — the oracle intersects the string lists instead).
+    "q27g_dedup_char_ngram" -> QueryDef(
+      build = (s, d) => {
+        graft.GraftExtensions.install(s)
+        val sh = Tables.documents(s, d)
+          .repartition($("doc_id"))
+          .select($("doc_id"),
+            call_function("char_ngram_hashes", $("text"), lit(5)).as("hs"))
+        nearDupPairs(sh.cache(), threshold = 0.6)
+          .select($("a_id"), $("b_id"), $("inter").cast("long").as("inter"),
+            $("uni").cast("long").as("uni"), $("jac"))
+          .orderBy($("a_id"), $("b_id"))
+      },
+      oracle = Some(
+        """WITH g AS (SELECT doc_id, list_distinct(list_transform(
+          |    range(1, greatest(length(text) - 5 + 2, 1)),
+          |    i -> substring(text, i, 5))) AS ng FROM documents)
+          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |  CAST(len(list_intersect(a.ng, b.ng)) AS BIGINT) AS inter,
+          |  CAST(len(a.ng) + len(b.ng)
+          |    - len(list_intersect(a.ng, b.ng)) AS BIGINT) AS uni,
+          |  CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+          |    / CAST(len(a.ng) + len(b.ng)
+          |        - len(list_intersect(a.ng, b.ng)) AS DOUBLE) AS jac
+          |FROM g a, g b
+          |WHERE a.doc_id < b.doc_id
+          |  -- mirror the engine's empty-set exclusion (q27b convention)
+          |  AND len(a.ng) > 0 AND len(b.ng) > 0
+          |  AND CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+          |    / CAST(len(a.ng) + len(b.ng)
+          |        - len(list_intersect(a.ng, b.ng)) AS DOUBLE) >= 0.6
+          |ORDER BY a_id, b_id""".stripMargin)),
 
     // Q27e [extension: corpus dedup end-to-end] near-dup pairs → connected
     // components (iterative min-label propagation — the Pregel pattern, a

@@ -122,6 +122,26 @@ class LlmSpec extends SparkSpec {
     assert(big >= 0.9, s"sf0.1 recall $big below 0.9")
   }
 
+  test("char_ngram_hashes is bit-compatible with the declarative chain, incl. unicode") {
+    GraftExtensions.install(spark)
+    // multi-byte code points exercise the byte-offset walk (testdata is
+    // ASCII): 2-byte (é), 3-byte (中), 4-byte (𝄞) characters
+    val texts = Seq("hello world", "héllo wörld", "中文字符串测试", "a𝄞b𝄞c𝄞d𝄞e", "abc", "")
+    for (t <- texts; n <- Seq(3, 5)) {
+      val native = Seq(t).toDF("text")
+        .select(call_function("char_ngram_hashes", $"text", lit(n)).as("hs"))
+        .as[Array[Long]].head()
+      val declarative = Seq(t).toDF("text")
+        .select(when(length($"text") >= n,
+            sort_array(array_distinct(transform(
+              sequence(lit(1), length($"text") - n + 1),
+              i => xxhash64($"text".substr(i, lit(n)))))))
+          .otherwise(array().cast("array<bigint>")).as("hs"))
+        .as[Array[Long]].head()
+      assert(native.sameElements(declarative), s"mismatch for '$t' n=$n")
+    }
+  }
+
   test("q26d PQ-ANN recall vs exact top-k (worst-case uniform data)") {
     // uniform-random embeddings are PQ's worst case too (a 4-dim/16-centroid
     // codebook has no cluster mass to model): floors are the measured
