@@ -15,8 +15,10 @@ import graft.plans.{CharNgramHashes, FloatDotProduct, MinHashSigArr, PolyHash, S
   * do — they receive an already-built session).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.TopOnePerKeyRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -65,11 +67,20 @@ object GraftExtensions {
       (children: Seq[Expression]) => CharNgramHashes(children.head,
         constNum("char_ngram_hashes", 1, children(1)).intValue())))
 
-  /** Idempotent per-session registration. */
+  /** Idempotent per-session registration. The optimizer rule goes through
+    * `experimental.extraOptimizations` (the post-build equivalent of
+    * `injectOptimizerRule` — an already-built session's rule batches are
+    * frozen); it lands in the final "User Provided Optimizers" batch, after
+    * the main batches, which is exactly where [[plans.TopOnePerKeyRewrite]]
+    * wants to run.
+    */
   def install(spark: SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
     functions.foreach { case (id, info, builder) =>
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     }
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(graft.plans.TopOnePerKeyRewrite))
+      spark.experimental.extraOptimizations = extra :+ graft.plans.TopOnePerKeyRewrite
   }
 }

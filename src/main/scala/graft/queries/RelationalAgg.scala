@@ -222,6 +222,38 @@ object RelationalAgg {
     // Q18 [W1] ranking window: top-3 orders per customer. At scale this is
     // the shuffle-once pattern that replaces per-group sorts; skewed
     // customers are handled by AQE.
+    // Q45 [W1 + custom optimizer rule] the natural latest-row-per-key
+    // idiom — row_number() over (partition by key order by ts DESC), filter
+    // rn = 1, drop rn — which [[graft.plans.TopOnePerKeyRewrite]] rewrites
+    // into a max_by hash aggregate: no per-partition sort, partial top-1s
+    // combine map-side, and only one candidate row per key per map
+    // partition rides the shuffle. PlanSpec locks the Window-free plan
+    // shape and the rule's null-ordering semantics; this gate proves the
+    // rewritten plan is value-identical to DuckDB executing the window
+    // form. (o_orderkey DESC makes the within-key order total, so the
+    // result is deterministic in both forms.)
+    "q45_latest_per_key" -> QueryDef(
+      build = (s, d) => {
+        graft.GraftExtensions.install(s)
+        val w = Window.partitionBy($("o_custkey"))
+          .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter($("rn") === 1)
+          .drop("rn")
+          .select($("o_custkey"), $("o_orderkey"), $("o_orderdate"),
+            cents($("o_totalprice")).as("price_cents"))
+          .orderBy($("o_custkey"))
+      },
+      oracle = Some(
+        s"""SELECT o_custkey, o_orderkey, o_orderdate,
+           |  ${centsSql("o_totalprice")} AS price_cents
+           |FROM (SELECT *, row_number() OVER (
+           |        PARTITION BY o_custkey
+           |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           |      FROM orders)
+           |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
+
     "q18_window_rank" -> QueryDef(
       build = (s, d) => {
         val w = Window.partitionBy($("o_custkey"))

@@ -142,6 +142,68 @@ class PlanSpec extends SparkSpec {
     assert(all > 1, "layout must have multiple partitions for the test to mean anything")
   }
 
+  test("q45: TopOnePerKeyRewrite turns row_number-filter-1 into a max_by aggregate") {
+    val df = Registry.all("q45_latest_per_key").build(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    val windows = opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.isEmpty, s"Window must be rewritten away:\n$opt")
+    assert(opt.toString.contains("max_by"), s"expected max_by aggregate:\n$opt")
+    // and the physical aggregate combines map-side: a partial_max_by runs
+    // BEFORE the key exchange, so one candidate row per key per map
+    // partition rides the shuffle, not every row (max_by buffers a struct,
+    // which HashAggregateExec can't hold — SortAggregate with a partial
+    // phase is the expected physical form)
+    val p = plan("q45_latest_per_key")
+    assert(p.contains("partial_max_by"), p)
+    val lines = p.linesIterator.toSeq
+    val partialAt = lines.indexWhere(_.contains("partial_max_by"))
+    val exchangeAt = lines.indexWhere(_.contains("hashpartitioning(o_custkey"))
+    assert(partialAt >= 0 && exchangeAt >= 0 && partialAt < exchangeAt,
+      s"partial agg must be upstream of the key exchange (formatted detail " +
+      s"sections list upstream first): partial@$partialAt exchange@$exchangeAt\n$p")
+  }
+
+  test("TopOnePerKeyRewrite preserves row_number null/direction semantics") {
+    GraftExtensions.install(spark)
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // nulls in the ordering column + a unique tiebreak (total order ⇒ both
+    // forms deterministic and must agree exactly)
+    val df = Seq[(Int, java.lang.Long, Long)](
+      (1, 10L, 1L), (1, null, 2L), (1, 3L, 3L),
+      (2, null, 4L), (2, null, 5L),
+      (3, 7L, 6L)).toDF("k", "v", "id")
+    val orderings = Seq(
+      ($"v".asc, $"id".asc), ($"v".asc_nulls_last, $"id".asc),
+      ($"v".desc, $"id".desc), ($"v".desc_nulls_first, $"id".desc))
+    for ((ord1, ord2) <- orderings) {
+      def run(): Seq[(Int, Option[Long], Long)] = {
+        val w = Window.partitionBy($"k").orderBy(ord1, ord2)
+        df.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+          .as[(Int, Option[Long], Long)].collect().sortBy(_._1).toSeq
+      }
+      val rewritten = run()
+      spark.conf.set(graft.plans.TopOnePerKeyRewrite.EnabledKey, "false")
+      val baseline = try run() finally
+        spark.conf.set(graft.plans.TopOnePerKeyRewrite.EnabledKey, "true")
+      assert(rewritten == baseline, s"ordering ($ord1, $ord2): $rewritten != $baseline")
+    }
+  }
+
+  test("TopOnePerKeyRewrite bails on rank() (ties keep several rows)") {
+    GraftExtensions.install(spark)
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = Seq((1, 5, 1), (1, 5, 2), (2, 3, 3)).toDF("k", "v", "id")
+    val w = Window.partitionBy($"k").orderBy($"v".desc)
+    val out = df.withColumn("rn", rank().over(w)).filter($"rn" === 1).drop("rn")
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case wn: org.apache.spark.sql.catalyst.plans.logical.Window => wn }
+    assert(windows.nonEmpty, "rank() must NOT be rewritten")
+    assert(out.count() == 3) // both tied rows of k=1 survive
+  }
+
   test("native fn builders accept any integer-literal width (lit(8L) included)") {
     GraftExtensions.install(spark)
     import spark.implicits._
