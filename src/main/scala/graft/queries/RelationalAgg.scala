@@ -140,6 +140,31 @@ object RelationalAgg {
            |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
       }),
 
+    // Q46 [A-family extension: heavy hitters] top-10 most frequent words
+    // via approx_top_k — the DataSketches frequent-items sketch: bounded
+    // memory (maxItemsTracked entries), mergeable partials, ONE combinable
+    // aggregation instead of the full-cardinality groupBy+sort a naive
+    // top-k costs. At 100 TB this is how you take heavy hitters off a
+    // token stream without materializing the term dictionary. The corpus
+    // vocabulary (31 words) fits under maxItemsTracked, so the sketch is
+    // in its exact regime and the gate hash-matches the true counts; k=20
+    // is pulled then re-ranked (cnt DESC, word) so boundary ties resolve
+    // identically on both engines. SketchSpec pins merge-order
+    // independence and exactness vs the groupBy.
+    "q46_heavy_hitters" -> QueryDef(
+      build = (s, d) =>
+        Tables.documents(s, d)
+          .select(explode(split($("text"), " ")).as("w"))
+          .agg(expr("approx_top_k(w, 20, 1024)").as("tk"))
+          .select(explode($("tk")).as("e"))
+          .select($("e.item").as("word"), $("e.count").as("cnt"))
+          .orderBy(desc("cnt"), $("word"))
+          .limit(10),
+      oracle = Some(
+        """SELECT w AS word, count(*) AS cnt
+          |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          |GROUP BY w ORDER BY cnt DESC, word LIMIT 10""".stripMargin)),
+
     // Q16 [A5] ROLLUP over nation × order status. NULL group markers are
     // COALESCEd to 'ALL' so ordering semantics can't diverge between
     // engines (DuckDB defaults NULLS LAST on ASC, Spark NULLS FIRST).

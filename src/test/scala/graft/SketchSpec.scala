@@ -48,4 +48,25 @@ class SketchSpec extends SparkSpec {
       }
     }
   }
+
+  test("q46 frequent-items sketch: merge-order independent and exact under capacity") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val words = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("w"))
+    def topk(parts: Int): Seq[(String, Long)] =
+      words.repartition(parts)
+        .agg(expr("approx_top_k(w, 20, 1024)").as("tk"))
+        .select(explode($"tk").as("e"))
+        .select($"e.item", $"e.count").as[(String, Long)]
+        .collect().sortBy(p => (-p._2, p._1)).toSeq
+    // partial sketches merge in whatever order tasks finish — under
+    // capacity (31 distinct << 1024) the merged sketch must be the exact
+    // multiset regardless of partitioning
+    val one = topk(1)
+    assert(one == topk(13), "sketch must not depend on partition layout")
+    val exact = words.groupBy($"w").count().as[(String, Long)]
+      .collect().sortBy(p => (-p._2, p._1)).take(20).toSeq
+    assert(one == exact, s"under-capacity sketch must be exact:\n$one\nvs\n$exact")
+  }
 }
