@@ -204,6 +204,37 @@ class PlanSpec extends SparkSpec {
     assert(out.count() == 3) // both tied rows of k=1 survive
   }
 
+  test("runtime bloom-filter join pruning engages for a selective dim filter") {
+    // At 100 TB the shape that matters: fact ⋈ (dim WHERE selective).
+    // Spark's InjectRuntimeFilter builds a bloom filter from the filtered
+    // dim keys and semi-filters the fact scan BEFORE the join shuffle —
+    // rows that can't match never ride the exchange. Local testdata sits
+    // under the size thresholds that gate the rule (10M creation side,
+    // 10G application side), so the thresholds are scaled down to
+    // demonstrate the production plan; the assertion is on the injected
+    // might_contain probe.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force the shuffle join shape
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf)
+      val ord = Tables.orders(spark, sf).filter($"o_orderstatus" === "F")
+      val joined = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus").count()
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"expected an injected bloom-filter probe on the fact side:\n$opt")
+      assert(joined.collect().nonEmpty) // and the filtered plan still runs
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("native fn builders accept any integer-literal width (lit(8L) included)") {
     GraftExtensions.install(spark)
     import spark.implicits._
