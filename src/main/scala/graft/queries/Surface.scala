@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{QueryDef, Tables}
+import graft.{Canon, QueryDef, Tables}
 import graft.functions.Multimodal
 import org.apache.spark.sql.functions._
 
@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
   * multimodal columns.
   */
 object Surface {
+  import Canon._
   private def $(name: String) = col(name)
 
   val defs: Map[String, QueryDef] = Map(
@@ -117,6 +118,42 @@ object Surface {
         """SELECT n_nationkey AS key, n_name AS csv_name, n_name AS jsonl_name,
           |  n_regionkey AS regionkey, n_name AS orc_name, n_name AS xml_name
           |FROM nation ORDER BY key""".stripMargin)),
+
+    // Q47 [F8/F9 extension: VARIANT semi-structured type] the Spark-4
+    // lakehouse path for JSON: parse once into the binary VARIANT encoding,
+    // then typed path extraction (variant_get) — no per-query re-parse, and
+    // at rest the encoding is shreddable into parquet columns, which is the
+    // 100 TB answer to "JSON column you filter by path". The gate
+    // round-trips real rows through parse_json → variant_get (typed hits,
+    // a missing path's NULL, and schema_of_variant's inference on a
+    // constant-shaped subtree) and must land back on the source values.
+    // The money field travels as exact cents (a DECIMAL(p,2) inside the
+    // variant) — the Canon rule applied to semi-structured data.
+    "q47_variant" -> QueryDef(
+      build = (s, d) => {
+        val ev = Tables.events(s, d)
+        val j = to_json(struct($("event_id"), $("event_type").as("t"),
+          struct($("user_id"), $("value")).as("u")))
+        ev.select($("event_id"), parse_json(j).as("v"),
+            parse_json(to_json(struct($("event_id"), $("event_type").as("t"))))
+              .as("vmeta"))
+          .select(
+            variant_get($("v"), "$.event_id", "bigint").as("vid"),
+            variant_get($("v"), "$.t", "string").as("vtype"),
+            variant_get($("v"), "$.u.user_id", "bigint").as("vuser"),
+            (variant_get($("v"), "$.u.value", "decimal(18,2)") * 100)
+              .cast("long").as("vval_cents"),
+            coalesce(variant_get($("v"), "$.missing", "string"), lit("absent"))
+              .as("vmissing"),
+            schema_of_variant($("vmeta")).as("vschema"))
+          .orderBy($("vid"))
+      },
+      oracle = Some(
+        s"""SELECT event_id AS vid, event_type AS vtype, user_id AS vuser,
+           |  ${centsSql("value")} AS vval_cents,
+           |  'absent' AS vmissing,
+           |  'OBJECT<event_id: BIGINT, t: STRING>' AS vschema
+           |FROM events ORDER BY vid""".stripMargin)),
 
     // Q35 [multimodal] binary payload column + partition-local decode
     // (mapPartitions batch map; decoder STUBBED — see Multimodal.fakeDecode)
