@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{CharNgramHashes, FloatDotProduct, MinHashSigArr, PolyHash, ShingleHashes, ShinglePolyHashes}
+import graft.plans.{CharNgramHashes, FloatDotProduct, MinHashSigArr, PolyHash, PqEncode, PqLuts, ShingleHashes, ShinglePolyHashes}
 
 /** Engine extension wiring: native expressions registered into the session
   * FunctionRegistry, installable either via
@@ -41,6 +41,19 @@ object GraftExtensions {
     }
   }
 
+  /** Constant float-array extraction (PQ codebooks): the literal is
+    * evaluated once at plan time into the expression's reference object.
+    */
+  private def constFloatArray(fn: String, pos: Int, e: Expression): Array[Float] = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be a constant float array, got non-foldable ${e.sql}")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toFloatArray()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be a constant float array, got $other")
+    }
+  }
+
   private val functions: Seq[FunctionDescription] = Seq(
     (FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
@@ -65,7 +78,17 @@ object GraftExtensions {
     (FunctionIdentifier("char_ngram_hashes"),
       new ExpressionInfo(classOf[CharNgramHashes].getName, "char_ngram_hashes"),
       (children: Seq[Expression]) => CharNgramHashes(children.head,
-        constNum("char_ngram_hashes", 1, children(1)).intValue())))
+        constNum("char_ngram_hashes", 1, children(1)).intValue())),
+    (FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (children: Seq[Expression]) => PqEncode(children.head,
+        constFloatArray("pq_encode", 1, children(1)),
+        constNum("pq_encode", 2, children(2)).intValue())),
+    (FunctionIdentifier("pq_luts"),
+      new ExpressionInfo(classOf[PqLuts].getName, "pq_luts"),
+      (children: Seq[Expression]) => PqLuts(children.head,
+        constFloatArray("pq_luts", 1, children(1)),
+        constNum("pq_luts", 2, children(2)).intValue())))
 
   /** Idempotent per-session registration. The optimizer rule goes through
     * `experimental.extraOptimizations` (the post-build equivalent of

@@ -52,8 +52,16 @@ object LlmDedup {
     * codegen'd call per document, bit-identical to the A7 Aggregator path
     * (LlmSpec asserts equality) but with no explode/groupBy shuffle.
     */
-  private def nearDupPairs(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val k = 128; val bands = 64 // r = 2
+  /** @param bandRows rows per LSH band (k/bandRows bands). Calibrate to the
+    *   threshold AND the background similarity: candidate probability is
+    *   1-(1-J^r)^b, so r=2/b=64 separates J≥0.5 pairs from a ~0.1
+    *   background (q27b word shingles), while the denser char-n-gram space
+    *   (background J≈0.3) needs r=8/b=16 — at r=2 virtually EVERY pair
+    *   would become a candidate and the verify join goes quadratic.
+    */
+  private def nearDupPairs(sh: DataFrame, threshold: Double = 0.5,
+      bandRows: Int = 2): DataFrame = {
+    val k = 128; val bands = k / bandRows
     // Docs with no shingles (<3 tokens) can't be near-duplicates under
     // 3-shingle Jaccard — and, left in, they'd all share the degenerate
     // all-sentinel signature and pile into the SAME 64 buckets, turning a
@@ -69,9 +77,8 @@ object LlmDedup {
     // unaffected.
     val banded = sigs.select($("doc_id"), explode(
       transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(b,
-          element_at($("sig"), b * 2 + 1),
-          element_at($("sig"), b * 2 + 2)))).as("bucket"))
+        xxhash64(b +: (0 until bandRows).map(j =>
+          element_at($("sig"), b * bandRows + j + 1)): _*))).as("bucket"))
     val cand = banded
       .groupBy($("bucket"))
       .agg(sort_array(collect_list($("doc_id"))).as("ids"))
@@ -156,11 +163,15 @@ object LlmDedup {
     // whitespace drift word shingles miss (a doc re-wrapped or
     // re-punctuated keeps ~all its char 5-grams but loses word shingles).
     // Character grams are much denser than word shingles, so near-dup
-    // Jaccard runs far higher (planted pairs measure ≥ 0.93 vs ~0.5 on
-    // word shingles; background tops out at 0.31) — the 0.6 threshold sits
-    // in that gap, and at J ≥ 0.6 the 64-band r=2 LSH miss probability is
-    // (1-0.36)^64 ≈ 4e-13, so the banded output equals the brute-force
-    // oracle. The n-gram set is built by the native codegen'd
+    // Jaccard runs far higher (planted pairs measure ≥ 0.93 vs ~0.31
+    // background) — the 0.6 threshold sits in that gap, and the banding is
+    // recalibrated to the denser space: r=8 rows × 16 bands keeps the
+    // ~0.31 background out of the candidate set (P ≈ 1-(1-0.31^8)^16 ≈
+    // 1.4e-3 per pair) while missing a planted J≥0.93 pair with
+    // probability (1-0.93^8)^16 ≈ 2e-6 — so the banded output still
+    // equals the brute-force oracle, without the quadratic candidate
+    // blow-up r=2 would produce here (at r=2, J=0.3 pairs become
+    // candidates with P≈0.998). The n-gram set is built by the native codegen'd
     // [[graft.plans.CharNgramHashes]] (one call per row; same xxhash64
     // convention as q27b — the oracle intersects the string lists instead).
     "q27g_dedup_char_ngram" -> QueryDef(
@@ -170,7 +181,7 @@ object LlmDedup {
           .repartition($("doc_id"))
           .select($("doc_id"),
             call_function("char_ngram_hashes", $("text"), lit(5)).as("hs"))
-        nearDupPairs(sh.cache(), threshold = 0.6)
+        nearDupPairs(sh.cache(), threshold = 0.6, bandRows = 8)
           .select($("a_id"), $("b_id"), $("inter").cast("long").as("inter"),
             $("uni").cast("long").as("uni"), $("jac"))
           .orderBy($("a_id"), $("b_id"))

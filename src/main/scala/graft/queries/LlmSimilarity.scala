@@ -287,17 +287,14 @@ object LlmSimilarity {
     val m = 16; val dsub = 4; val ksub = 16; val shortlist = 128
     val nm = normed(s, d).cache()
 
-    def subCol(mm: Int): Column = slice($("embedding"), mm * dsub + 1, dsub)
-    // argmin_j ||sub - c_j||² = argmin_j (||c_j||² - 2·sub·c_j)
-    def cellCol(mm: Int, cs: IndexedSeq[Array[Float]]): Column = {
-      val scores = array(cs.map { c =>
-        val c2 = c.map(x => x.toDouble * x).sum
-        lit(c2) - lit(2.0) * call_function("float_dot", subCol(mm), typedlit(c))
-      }: _*)
-      (array_position(scores, array_min(scores)) - 1).cast("int")
-    }
+    // codebook flattened [mm][j][t] for the native pq_encode/pq_luts
+    // workers — a declarative m×ksub dot-expression tree spends seconds in
+    // Janino PER LLOYD ROUND (fresh literals ⇒ fresh generated class);
+    // the native expression is one static call whatever m/ksub are
+    def flat(cs: IndexedSeq[IndexedSeq[Array[Float]]]): Array[Float] =
+      cs.flatMap(_.flatMap(_.toIndexedSeq)).toArray
     def codesCol(cs: IndexedSeq[IndexedSeq[Array[Float]]]): Column =
-      array((0 until m).map(mm => cellCol(mm, cs(mm))): _*)
+      call_function("pq_encode", $("embedding"), typedlit(flat(cs)), lit(dsub))
 
     // deterministic init: subvectors of the ksub smallest vec_ids (distinct
     // real points — uniform data gives no better seeds, and mean-based init
@@ -332,12 +329,12 @@ object LlmSimilarity {
     val codes = nm.select($("vec_id"), codesCol(cents).as("codes"), $("nrm"))
 
     // query-side LUTs: lut[mm][j] = q_sub_mm · c_mm_j (m×ksub dots on the
-    // tiny broadcast side only)
-    val luts: Column = array((0 until m).map { mm =>
-      array(cents(mm).map(c => call_function("float_dot", subCol(mm), typedlit(c))): _*)
-    }: _*)
+    // tiny broadcast side only, via the native pq_luts)
     val qSide = nm.filter($("vec_id") % 50 === 0)
-      .select($("vec_id").as("qid"), luts.as("luts"), $("nrm").as("qn"))
+      .select($("vec_id").as("qid"),
+        call_function("pq_luts", $("embedding"), typedlit(flat(cents)), lit(dsub))
+          .as("luts"),
+        $("nrm").as("qn"))
 
     // ADC scan: m lookups per (candidate, query); codes never decompressed
     val adc = (0 until m).map(mm =>

@@ -89,8 +89,17 @@ object StreamingQueries {
             $("p_ts") <= $("c_ts") + expr("INTERVAL 30 MINUTES"))
           .select($("user_id"), $("click_id"), $("purchase_id"),
             ($("p_ts").cast("long") - $("c_ts").cast("long")).as("delay_s"))
-        EventsStream.runToMemory(s, joined, s"q43_mem_${System.nanoTime()}", "append")
+        // A stream-stream join commits 4 state stores per shuffle partition
+        // per batch; at 32 partitions that fixed cost dwarfs this bounded
+        // replay's actual work. 8 partitions is the right state layout for
+        // the gate volume (the partition count is baked into a checkpoint,
+        // so production picks it for the steady-state key space instead).
+        val spKey = "spark.sql.shuffle.partitions"
+        val saved = s.conf.get(spKey)
+        s.conf.set(spKey, "8")
+        try EventsStream.runToMemory(s, joined, s"q43_mem_${System.nanoTime()}", "append")
           .orderBy($("click_id"), $("purchase_id"))
+        finally s.conf.set(spKey, saved)
       },
       oracle = Some(
         """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
