@@ -14,7 +14,9 @@ object Registry {
     queries.Surface.defs ++
     queries.Auth.defs ++
     queries.StreamingQueries.defs ++
-    queries.AsOf.defs
+    queries.AsOf.defs ++
+    queries.Temporal.defs ++
+    queries.Profiling.defs
 
   def headline: Map[String, QueryDef] = all.filter(_._2.headline)
 }

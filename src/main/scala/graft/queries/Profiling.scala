@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.{Canon, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Data-profiling extensions: the per-column statistics sweep every
+  * warehouse runs before trusting a new feed (q50), and the mergeable-sketch
+  * distinct-count pattern that replaces exact COUNT(DISTINCT) at scale
+  * (q15c).
+  *
+  * Reference context: the reference trusts its MySQL schema blindly — there
+  * is no profiling surface at all. Profiling is table stakes for a training
+  * corpus: null rates and distinct counts are the first contamination and
+  * drift signals.
+  */
+object Profiling {
+  import Canon._
+  private def $(name: String) = col(name)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Q50 [extension: column profiler] One-pass per-column profile of
+    // `customer`: row count, null count, exact distinct count, canonical
+    // min/max (money canonicalized to integer cents so no IEEE formatting
+    // can drift between engines). The five COUNT(DISTINCT)s share a single
+    // scan via Expand (5× row multiplication before the partial agg — the
+    // map-side combine still bounds the shuffle at #groups × #metrics). At
+    // 100 TB the same plan swaps countDistinct for approx_count_distinct
+    // (see q15/q15c) — the pivot-to-long-format shape is unchanged.
+    "q50_profile" -> QueryDef(
+      build = (s, d) => {
+        // (column name, canonical value expression) — cents for money.
+        val cols = Seq(
+          "c_custkey" -> $("c_custkey").cast("long"),
+          "c_name" -> $("c_name"),
+          "c_nationkey" -> $("c_nationkey").cast("long"),
+          "c_acctbal" -> cents($("c_acctbal")),
+          "c_mktsegment" -> $("c_mktsegment"))
+        val aggs = cols.flatMap { case (n, c) => Seq(
+          sum(when(c.isNull, 1L).otherwise(0L)).as(s"nulls_$n"),
+          countDistinct(c).as(s"dist_$n"),
+          min(c).cast("string").as(s"min_$n"),
+          max(c).cast("string").as(s"max_$n"))
+        }
+        val wide = Tables.customer(s, d)
+          .agg(count(lit(1)).as("n_rows"), aggs: _*)
+        val stackArgs = cols.map { case (n, _) =>
+          s"'$n', nulls_$n, dist_$n, min_$n, max_$n"
+        }.mkString(", ")
+        wide.selectExpr("n_rows",
+          s"stack(${cols.size}, $stackArgs) AS (column_name, n_nulls, n_distinct, min_v, max_v)")
+          .select($("column_name"), $("n_rows"), $("n_nulls"), $("n_distinct"),
+            $("min_v"), $("max_v"))
+          .orderBy($("column_name"))
+      },
+      oracle = Some {
+        val rows = Seq(
+          ("c_custkey", "CAST(c_custkey AS BIGINT)"),
+          ("c_name", "c_name"),
+          ("c_nationkey", "CAST(c_nationkey AS BIGINT)"),
+          ("c_acctbal", centsSql("c_acctbal")),
+          ("c_mktsegment", "c_mktsegment"))
+        rows.map { case (n, e) =>
+          s"""SELECT '$n' AS column_name, count(*) AS n_rows,
+             |  CAST(count(*) - count($e) AS BIGINT) AS n_nulls,
+             |  CAST(count(DISTINCT $e) AS BIGINT) AS n_distinct,
+             |  CAST(min($e) AS VARCHAR) AS min_v,
+             |  CAST(max($e) AS VARCHAR) AS max_v
+             |FROM customer""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+      },
+      headline = true),
+
+    // Q15c [extension: mergeable distinct sketches] The 100 TB replacement
+    // for exact COUNT(DISTINCT): Apache DataSketches HLL partials built
+    // per group (`hll_sketch_agg`), then MERGED upward (`hll_union_agg`) —
+    // the cube-of-sketches pattern where a day×region rollup re-aggregates
+    // to month×global without touching raw data. Self-checking gate: each
+    // per-flag estimate and the merged-global estimate must land within 5%
+    // of the exact count (lgConfigK=12 ⇒ ~1.6% RSE, so 5% is a stable
+    // margin, not a tuned one). The oracle pins the contract (`ok` = true
+    // per scope); the estimates themselves are engine-internal.
+    "q15c_sketch_merge" -> QueryDef(
+      build = (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val perGroup = l.groupBy($("l_returnflag"))
+          .agg(hll_sketch_agg($("l_partkey")).as("sk"),
+            countDistinct($("l_partkey")).as("exact"))
+          .cache()
+        val groupOk = perGroup.select($("l_returnflag").as("scope"),
+          (abs(hll_sketch_estimate($("sk")) - $("exact"))
+            <= $("exact") * 0.05).as("ok"))
+        // Merged global: union the per-group partials; exact referee needs
+        // its own global distinct (part keys overlap across flags).
+        val globalExact = l.agg(countDistinct($("l_partkey")).as("gexact"))
+        val globalOk = perGroup.agg(hll_union_agg($("sk")).as("gsk"))
+          .crossJoin(globalExact)
+          .select(lit("GLOBAL").as("scope"),
+            (abs(hll_sketch_estimate($("gsk")) - $("gexact"))
+              <= $("gexact") * 0.05).as("ok"))
+        groupOk.unionByName(globalOk).orderBy($("scope"))
+      },
+      oracle = Some(
+        """SELECT scope, TRUE AS ok FROM (
+          |  SELECT DISTINCT l_returnflag AS scope FROM lineitem
+          |  UNION ALL SELECT 'GLOBAL')
+          |ORDER BY scope""".stripMargin),
+      headline = true))
+}

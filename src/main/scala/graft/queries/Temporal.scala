@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal-modeling extensions over `events`: SCD2 dimension versioning
+  * with a point-in-time lookup (q48) and strict-order funnel analysis (q49).
+  *
+  * Reference context: the reference (Server/main.go) keeps only the latest
+  * state per key — UPDATE-in-place destroys history. A warehouse feeding a
+  * training pipeline needs the opposite: full change history (SCD2) and the
+  * ability to ask "what was the value as of T" (point-in-time correctness is
+  * what keeps feature sets leakage-free).
+  *
+  * Scale: both operators are one shuffle on `user_id` (the window partition
+  * key / groupBy key) followed by pure per-partition work. No driver-side
+  * iteration; the version build is `lead` over the keyed sort, and the
+  * funnel is a per-user left fold over an already-sorted collected list —
+  * state machine work that mapGroups would also express, but the HOF form
+  * keeps it inside Catalyst. Per-user event lists are bounded (activity per
+  * entity, not per corpus), so collect_list stays well under executor
+  * memory even at 100 TB of total events.
+  */
+object Temporal {
+  private def $(name: String) = col(name)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Q48 [extension: SCD2 + point-in-time lookup] Build the type-2 slowly
+    // changing dimension from the per-user `value` change log (valid_from =
+    // event ts, valid_to = next event ts, open interval for the current
+    // version), then resolve a point-in-time probe: the version valid at
+    // 2024-01-03T00:00:00Z for every user that has one. The PIT filter is a
+    // pure predicate on the versioned table — no second join — which is the
+    // shape that lets a lakehouse prune versions by partition at scale.
+    "q48_scd2_pit" -> QueryDef(
+      build = (s, d) => {
+        val byUser = Window.partitionBy($("user_id")).orderBy($("ts"), $("event_id"))
+        val probe = lit("2024-01-03 00:00:00").cast("timestamp")
+        Tables.events(s, d)
+          .select($("user_id"), $("ts"), $("event_id"), $("value"))
+          .withColumn("valid_from", $("ts"))
+          .withColumn("valid_to", lead($("ts"), 1).over(byUser))
+          .withColumn("is_current", $("valid_to").isNull)
+          .filter($("valid_from") <= probe &&
+            ($("valid_to").isNull || $("valid_to") > probe))
+          .select($("user_id"),
+            unix_timestamp($("valid_from")).as("from_sec"),
+            unix_timestamp($("valid_to")).as("to_sec"),
+            $("is_current"), $("value").as("value_at_probe"))
+          .orderBy($("user_id"))
+      },
+      oracle = Some(
+        """WITH versions AS (
+          |  SELECT user_id, ts AS valid_from,
+          |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+          |    value
+          |  FROM events)
+          |SELECT user_id,
+          |  floor(epoch(valid_from))::BIGINT AS from_sec,
+          |  floor(epoch(valid_to))::BIGINT AS to_sec,
+          |  valid_to IS NULL AS is_current,
+          |  value AS value_at_probe
+          |FROM versions
+          |WHERE valid_from <= TIMESTAMP '2024-01-03 00:00:00'
+          |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-03 00:00:00')
+          |ORDER BY user_id""".stripMargin),
+      headline = true),
+
+    // Q49 [extension: funnel analysis] Strict-order funnel view → click →
+    // purchase per user, where an `error` event RESETS in-flight progress
+    // (the classic "best stage reached" funnel with abandonment). Per user:
+    // a left fold over the ts-ordered event codes carrying state
+    // {cur, best} — cur advances only on code cur+1, error zeroes cur, best
+    // is the high-water mark. One shuffle (groupBy user_id with in-agg
+    // ordered collect), then the fold is pure column work; DuckDB mirrors
+    // it with list(… ORDER BY …) + list_reduce over an identical struct, so
+    // the gate hash-checks the whole state machine (sf0.01: stages 1/2/3 =
+    // 4/21/125 users — a real distribution, not a constant).
+    "q49_funnel" -> QueryDef(
+      build = (s, d) => {
+        val code = when($("event_type") === "view", 1L)
+          .when($("event_type") === "click", 2L)
+          .when($("event_type") === "purchase", 3L)
+          .when($("event_type") === "error", -1L)
+          .otherwise(0L)
+        val init = named_struct(lit("cur"), lit(0L), lit("best"), lit(0L))
+        val perUser = Tables.events(s, d)
+          .select($("user_id"), $("ts"), $("event_id"), code.as("code"))
+          .groupBy($("user_id"))
+          .agg(sort_array(collect_list(struct($("ts"), $("event_id"), $("code"))))
+            .as("evs"))
+          .select($("user_id"),
+            aggregate(
+              transform($("evs"), e =>
+                named_struct(lit("cur"), e.getField("code"), lit("best"), lit(0L))),
+              init,
+              (st, e) => {
+                val cur = st.getField("cur"); val best = st.getField("best")
+                // In the advance branch e.cur == st.cur + 1, so the new
+                // state is written from `e`, never from `st.cur + 1` twice:
+                // DuckDB's list_reduce aliases the in-flight struct literal
+                // (a second st['cur'] inside it sees the already-updated
+                // field), so both sides use the aliasing-free form.
+                when(e.getField("cur") === -1L,
+                    named_struct(lit("cur"), lit(0L), lit("best"), best))
+                  .when(e.getField("cur") === cur + 1L,
+                    named_struct(lit("cur"), e.getField("cur"),
+                      lit("best"), greatest(best, e.getField("cur"))))
+                  .otherwise(st)
+              },
+              st => st.getField("best")).as("stage"))
+        perUser.groupBy($("stage"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy($("stage"))
+      },
+      oracle = Some(
+        """WITH coded AS (
+          |  SELECT user_id, ts, event_id,
+          |    CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+          |      WHEN 'purchase' THEN 3 WHEN 'error' THEN -1 ELSE 0 END AS BIGINT) AS code
+          |  FROM events),
+          |folded AS (
+          |  SELECT user_id,
+          |    list_reduce(list_prepend({'cur': 0::BIGINT, 'best': 0::BIGINT},
+          |        list({'cur': code, 'best': 0::BIGINT} ORDER BY ts, event_id)),
+          |      (st, e) -> CASE
+          |          WHEN e['cur'] = -1 THEN {'cur': 0::BIGINT, 'best': st['best']}
+          |          WHEN e['cur'] = st['cur'] + 1 THEN
+          |            {'cur': e['cur'], 'best': greatest(st['best'], e['cur'])}
+          |          ELSE st END)['best'] AS stage
+          |  FROM coded GROUP BY user_id)
+          |SELECT stage, count(*) AS n_users
+          |FROM folded GROUP BY stage ORDER BY stage""".stripMargin),
+      headline = true))
+}
