@@ -304,6 +304,116 @@ object LlmText {
           |    || (doc_id % 256) || '.0.' || (doc_id % 100)
           |    || ' id ' || (doc_id * doc_id) AS dirty
           |  FROM documents)
-          |ORDER BY doc_id""".stripMargin))
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Q28i [extension: Gopher/RefinedWeb repetition signals] Per-document
+    // word-bigram repetition: total bigrams, the most-frequent bigram's
+    // share (top_frac), and the share of occurrences belonging to any
+    // repeated bigram (dup_frac) — the two Rae et al. (Gopher) "repetition"
+    // quality signals — plus the keep/drop verdict at top ≤ 0.06,
+    // dup ≤ 0.10 (sf0.01 medians 0.033/0.056, so the verdict splits the
+    // corpus instead of rubber-stamping it).
+    //
+    // Scale: explode → (doc_id, bigram) hash agg → (doc_id) hash agg; both
+    // combinable map-side, keyed on doc_id so the second agg is a
+    // near-no-op after the first's shuffle. No per-doc O(n²) HOF work.
+    "q28i_repetition" -> QueryDef(
+      build = (s, d) => {
+        val w = split($("text"), " ")
+        Tables.documents(s, d)
+          .select($("doc_id"), w.as("w"))
+          .filter(size($("w")) >= 2)
+          .select($("doc_id"), explode(
+            transform(sequence(lit(1), size($("w")) - 1),
+              i => concat(element_at($("w"), i), lit(" "),
+                element_at($("w"), i + 1)))).as("b"))
+          .groupBy($("doc_id"), $("b")).agg(count(lit(1)).as("c"))
+          .groupBy($("doc_id"))
+          .agg(sum($("c")).as("n_bigrams"),
+            max($("c")).as("top_cnt"),
+            sum(when($("c") > 1, $("c")).otherwise(0L)).as("dup_occ"))
+          .withColumn("top_frac",
+            $("top_cnt").cast("double") / $("n_bigrams").cast("double"))
+          .withColumn("dup_frac",
+            $("dup_occ").cast("double") / $("n_bigrams").cast("double"))
+          .withColumn("keep", $("top_frac") <= 0.06 && $("dup_frac") <= 0.10)
+          .orderBy($("doc_id"))
+      },
+      oracle = Some(
+        """WITH bg AS (
+          |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+          |    i -> w[i] || ' ' || w[i+1])) AS b
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+          |  WHERE len(w) >= 2),
+          |cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+          |SELECT doc_id,
+          |  CAST(sum(c) AS BIGINT) AS n_bigrams,
+          |  CAST(max(c) AS BIGINT) AS top_cnt,
+          |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occ,
+          |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_frac,
+          |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+          |    / CAST(sum(c) AS DOUBLE) AS dup_frac,
+          |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) <= 0.06
+          |    AND CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+          |      / CAST(sum(c) AS DOUBLE) <= 0.10 AS keep
+          |FROM cnt GROUP BY doc_id
+          |ORDER BY doc_id""".stripMargin),
+      headline = true),
+
+    // Q28j [extension: benchmark decontamination] The GPT-3-style eval-set
+    // overlap check: held-out docs (doc_id % 2 = 0 stands in for the
+    // benchmark corpus) contribute their distinct 5-gram shingles to a SET;
+    // every training doc is scored by the fraction of ITS distinct 5-grams
+    // found in that set, and dropped at ≥ 0.5. The planted near-dup pairs
+    // make this a real gate: partners of held-out docs score ~1.0, clean
+    // docs ~0 (12 contaminated at sf0.01 — perfect separation).
+    //
+    // Scale: the eval side is a benchmark suite — thousands of docs, not a
+    // corpus — so its distinct-shingle set broadcasts; the train side
+    // streams through one explode + broadcast-hash left join + doc_id agg.
+    // Nothing all-pairs, nothing driver-side.
+    "q28j_decontaminate" -> QueryDef(
+      build = (s, d) => {
+        val w = split($("text"), " ")
+        val sh = Tables.documents(s, d)
+          .select($("doc_id"), w.as("w"))
+          .filter(size($("w")) >= 5)
+          .select($("doc_id"), explode(array_distinct(
+            transform(sequence(lit(1), size($("w")) - 4),
+              i => concat_ws(" ", element_at($("w"), i),
+                element_at($("w"), i + 1), element_at($("w"), i + 2),
+                element_at($("w"), i + 3), element_at($("w"), i + 4)))))
+            .as("sh"))
+        val evalSet = sh.filter($("doc_id") % 2 === 0)
+          .select($("sh").as("ev_sh")).distinct()
+        sh.filter($("doc_id") % 2 =!= 0)
+          .join(broadcast(evalSet), $("sh") === $("ev_sh"), "left")
+          .groupBy($("doc_id"))
+          .agg(count(lit(1)).as("n_sh"), count($("ev_sh")).as("n_hit"))
+          .withColumn("overlap_frac",
+            $("n_hit").cast("double") / $("n_sh").cast("double"))
+          .withColumn("contaminated", $("overlap_frac") >= 0.5)
+          .orderBy($("doc_id"))
+      },
+      oracle = Some(
+        """WITH sh AS (
+          |  SELECT doc_id, unnest(list_distinct(list_transform(
+          |    range(1, len(w) - 3),
+          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+          |      || w[i+3] || ' ' || w[i+4]))) AS s
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+          |  WHERE len(w) >= 5),
+          |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0)
+          |SELECT tr.doc_id,
+          |  CAST(count(*) AS BIGINT) AS n_sh,
+          |  CAST(count(ev.s) AS BIGINT) AS n_hit,
+          |  CAST(count(ev.s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS overlap_frac,
+          |  CAST(count(ev.s) AS DOUBLE) / CAST(count(*) AS DOUBLE) >= 0.5
+          |    AS contaminated
+          |FROM (SELECT * FROM sh WHERE doc_id % 2 <> 0) tr
+          |LEFT JOIN ev ON tr.s = ev.s
+          |GROUP BY tr.doc_id
+          |ORDER BY tr.doc_id""".stripMargin),
+      headline = true)
   )
 }

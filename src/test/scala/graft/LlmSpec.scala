@@ -233,4 +233,31 @@ class LlmSpec extends SparkSpec {
       "junk".getBytes ++ le32(Int.MaxValue) ++ Array.fill[Byte](8)(0)
     assert(parseWavHeader(bomb).isEmpty, "overflowing chunk size must parse to None")
   }
+
+  test("q28i: repetition verdict splits the corpus and fracs are consistent") {
+    import org.apache.spark.sql.functions._
+    val r = queries.LlmText.defs("q28i_repetition").build(spark, sf).cache()
+    val kept = r.filter(col("keep")).count()
+    assert(kept > 0 && kept < r.count(), "thresholds must not rubber-stamp")
+    // dup_frac counts occurrences of repeated bigrams, so whenever any
+    // bigram repeats (top_cnt > 1) its occurrences are part of dup_occ.
+    assert(r.filter(col("top_cnt") > 1 && col("dup_occ") < col("top_cnt")).isEmpty)
+    assert(r.filter(col("dup_occ") > col("n_bigrams")).isEmpty)
+    r.unpersist()
+  }
+
+  test("q28j: decontamination flags only train-side docs and separates cleanly") {
+    import org.apache.spark.sql.functions._
+    val r = queries.LlmText.defs("q28j_decontaminate").build(spark, sf).cache()
+    assert(r.filter(col("doc_id") % 2 === 0).isEmpty, "eval docs are never scored")
+    assert(r.filter(col("n_hit") > col("n_sh")).isEmpty)
+    val flagged = r.filter(col("contaminated")).count()
+    assert(flagged > 0, "planted near-dup partners of eval docs must be caught")
+    // separation: contaminated docs overlap ≥ 0.5 while the clean bulk sits
+    // near zero — the clean 90th percentile stays under the threshold.
+    val cleanP90 = r.filter(!col("contaminated"))
+      .agg(expr("percentile(overlap_frac, 0.9)")).head().getDouble(0)
+    assert(cleanP90 < 0.1, s"clean-doc overlap should be ~0, got p90=$cleanP90")
+    r.unpersist()
+  }
 }
