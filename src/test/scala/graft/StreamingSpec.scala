@@ -560,6 +560,61 @@ class StreamingSpec extends SparkSpec {
     assert(counts("b") == 3, s"state must carry across restart (got ${counts("b")})")
   }
 
+  test("T5: RocksDB state store backs the same agg with identical results across restart") {
+    // local[32] holds streaming state on-heap by default, but 100 TB state
+    // (billions of keys) must live off-heap and spill — Spark's answer is
+    // the RocksDB provider with changelog checkpointing. This pins (a) the
+    // provider actually engages, (b) results are bit-identical to the
+    // default HDFS-backed provider (same T5 workload), and (c) state
+    // reloads from a RocksDB checkpoint across restart.
+    val provider = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, provider)
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-rocksdb-ckpt").toString
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(java.sql.Timestamp, String)]
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      def drain(): Unit = {
+        val q = input.toDF().toDF("ts", "k")
+          .groupBy(window($"ts", "10 minutes"), $"k").count()
+          .writeStream.outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.select($"k", $"count").collect()
+              .foreach(r => counts.synchronized { counts(r.getString(0)) = r.getLong(1) })
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        // the run must actually have used RocksDB, not silently fallen back
+        val offsetsDir = new java.io.File(ckpt, "offsets")
+        val lastOffsets = offsetsDir.listFiles().map(f =>
+          new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+        assert(lastOffsets.exists(_.contains("RocksDBStateStoreProvider")),
+          "offset log must record the RocksDB provider")
+      }
+      input.addData((t(1), "a"), (t(2), "a"), (t(3), "b"))
+      drain()
+      assert(counts("a") == 2 && counts("b") == 1,
+        s"RocksDB-backed agg diverged from the default provider: $counts")
+      input.addData((t(4), "a"), (t(5), "b"), (t(6), "b"))
+      drain()
+      assert(counts("a") == 3 && counts("b") == 3,
+        s"state must reload from the RocksDB checkpoint across restart: $counts")
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+      spark.conf.unset("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
+  }
+
   test("§2.11/T8: a replayed foreachBatch batchId does not duplicate sink rows") {
     val tbl = "idem_sink_t"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
