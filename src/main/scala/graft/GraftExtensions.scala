@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{CharNgramHashes, FloatDotProduct, MinHashSigArr, PolyHash, PqEncode, PqLuts, ShingleHashes, ShinglePolyHashes}
+import graft.plans.{CharNgramHashes, FloatDotProduct, InterleaveBits, MinHashSigArr, PolyHash, PqEncode, PqLuts, ShingleHashes, ShinglePolyHashes}
 
 /** Engine extension wiring: native expressions registered into the session
   * FunctionRegistry, installable either via
@@ -84,6 +84,9 @@ object GraftExtensions {
       (children: Seq[Expression]) => PqEncode(children.head,
         constFloatArray("pq_encode", 1, children(1)),
         constNum("pq_encode", 2, children(2)).intValue())),
+    (FunctionIdentifier("interleave_bits"),
+      new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),
+      (children: Seq[Expression]) => InterleaveBits(children.head, children(1))),
     (FunctionIdentifier("pq_luts"),
       new ExpressionInfo(classOf[PqLuts].getName, "pq_luts"),
       (children: Seq[Expression]) => PqLuts(children.head,

@@ -105,5 +105,33 @@ object Profiling {
           |  SELECT DISTINCT l_returnflag AS scope FROM lineitem
           |  UNION ALL SELECT 'GLOBAL')
           |ORDER BY scope""".stripMargin),
+      headline = true),
+
+    // Q51 [extension: z-order layout key] Morton-curve clustering key over
+    // (l_orderkey, l_partkey) via the native codegen'd
+    // [[graft.plans.InterleaveBits]], hash-checked bit-for-bit against the
+    // same magic-mask arithmetic in DuckDB, then histogrammed by curve
+    // prefix (the unit a writer would range-partition files by). Sorting by
+    // this key is what makes 2-D range predicates prunable from parquet
+    // row-group stats — ZorderSpec measures the actual row-group skipping
+    // (z-layout reads a fraction of what a hash layout reads for the same
+    // rectangle query).
+    "q51_zorder" -> QueryDef(
+      build = (s, d) => {
+        graft.GraftExtensions.install(s)
+        Tables.lineitem(s, d)
+          .select(call_function("interleave_bits",
+            $("l_orderkey") % 65536, $("l_partkey") % 65536).as("z"))
+          .groupBy(shiftright($("z"), 22).as("z_bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy($("z_bucket"))
+      },
+      oracle = Some {
+        val morton = graft.plans.InterleaveBits.mortonSql(
+          "(l_orderkey % 65536)", "(l_partkey % 65536)")
+        s"""SELECT ($morton >> 22) AS z_bucket,
+           |  CAST(count(*) AS BIGINT) AS n
+           |FROM lineitem GROUP BY z_bucket ORDER BY z_bucket""".stripMargin
+      },
       headline = true))
 }

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** The z-order layout story, measured: writing data clustered by the Morton
+  * key makes parquet row-group min/max stats prune 2-D range predicates,
+  * while a hash layout reads everything. This is the local[32] stand-in for
+  * the 100 TB claim — on a cluster the same sort order drives file-level
+  * skipping in a table format's stats index.
+  */
+class ZorderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("interleave_bits: known values, bounds, and round-trip vs a naive reference") {
+    import graft.plans.InterleaveBits.morton
+    assert(morton(0L, 0L) == 0L)
+    assert(morton(1L, 0L) == 1L) // x occupies even bits
+    assert(morton(0L, 1L) == 2L) // y occupies odd bits
+    assert(morton(0xFFFFL, 0xFFFFL) == 0xFFFFFFFFL)
+    // naive bit-by-bit reference
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val rnd = new scala.util.Random(42)
+    (1 to 1000).foreach { _ =>
+      val x = rnd.nextLong() & 0xFFFFL; val y = rnd.nextLong() & 0xFFFFL
+      assert(morton(x, y) == ref(x, y), s"morton($x,$y)")
+    }
+    // masking: bits above 15 are ignored
+    assert(morton(0x1FFFFL, 0L) == morton(0xFFFFL, 0L))
+
+    // the registered SQL function computes the same thing codegen'd
+    GraftExtensions.install(spark)
+    val viaSql = spark.range(1, 100)
+      .select(call_function("interleave_bits", $"id" * 7 % 65536, $"id" * 13 % 65536))
+      .as[Long].collect()
+    val expected = (1L until 100L).map(i => morton(i * 7 % 65536, i * 13 % 65536))
+    assert(viaSql.toSeq == expected)
+  }
+
+  private def scanRows(df: DataFrame): Long = {
+    df.collect()
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(leaves) ++
+          other.subqueries.flatMap(leaves)
+      }
+    leaves(df.queryExecution.executedPlan).map(_.metrics("numOutputRows").value).sum
+  }
+
+  test("z-ordered layout prunes row groups for 2-D range predicates; hash layout cannot") {
+    GraftExtensions.install(spark)
+    val n = 1 << 20
+    // two independent uniform dims on [0, 65536)
+    val data = spark.range(0, n)
+      .select($"id",
+        (pmod(hash($"id" * 2 + 1), lit(65536))).cast("long").as("x"),
+        (pmod(hash($"id" * 2), lit(65536))).cast("long").as("y"))
+      .withColumn("z", call_function("interleave_bits", $"x", $"y"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // z layout: range-partition + sort by the curve key — the exact write
+    // pattern a Z-ORDER table maintenance job produces (16 files, each a
+    // contiguous curve segment ⇒ a 4×4 tile of the (x,y) plane).
+    data.repartitionByRange(16, $"z").sortWithinPartitions($"z")
+      .drop("z").write.mode("overwrite").parquet(s"$dir/zorder")
+    // control: same rows, hash layout (what a plain shuffle write produces)
+    data.repartition(16, $"id").drop("z")
+      .write.mode("overwrite").parquet(s"$dir/hashed")
+
+    // a 1/16 × 1/16 rectangle — selective in both dims, ~0.4% of rows
+    val (x0, x1, y0, y1) = (20000L, 24096L, 40000L, 44096L)
+    def query(path: String): DataFrame =
+      spark.read.parquet(path)
+        .filter($"x" >= x0 && $"x" < x1 && $"y" >= y0 && $"y" < y1)
+
+    val zRead = scanRows(query(s"$dir/zorder"))
+    val hashRead = scanRows(query(s"$dir/hashed"))
+    val matching = query(s"$dir/zorder").count()
+    assert(matching == query(s"$dir/hashed").count(), "layouts must agree on results")
+
+    // hash layout: every row group spans the full domain ⇒ stats prune
+    // nothing and the scan emits ~all rows
+    assert(hashRead > n * 0.9, s"hash layout should read ~everything, read $hashRead")
+    // z layout: the rectangle lives in a few curve segments ⇒ most row
+    // groups are skipped outright
+    assert(zRead < n / 4, s"z layout should prune most row groups, read $zRead of $n")
+    assert(zRead < hashRead / 3,
+      s"z layout must beat hash layout by >3x (z=$zRead, hash=$hashRead)")
+
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+}
