@@ -88,6 +88,45 @@ object LlmSimilarity {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // Q52 [extension: pre-filtered ANN] Vector search restricted by a
+    // metadata predicate — the "filtered ANN" every retrieval stack needs
+    // (search only docs passing a quality/lang gate). Candidates =
+    // embeddings keyed-equi-joined to the filtered documents table
+    // (vec_id = doc_id, both sides shuffle-partitioned on the key at
+    // scale — no broadcast of a corpus-sized side); query vectors stay
+    // broadcast. Exact top-3 among survivors so the gate is oracle-exact;
+    // the same pre-filter composes with the q26b/q26c/q26d sketch paths
+    // unchanged since it only shrinks the candidate set.
+    "q52_filtered_ann" -> QueryDef(
+      build = (s, d) => {
+        val nm = normed(s, d)
+        val keep = Tables.documents(s, d)
+          .filter($("lang") === "en").select($("doc_id"))
+        val cand = nm.join(keep, nm("vec_id") === keep("doc_id"), "left_semi")
+        val q = nm.filter($("vec_id") % 50 === 0)
+          .select($("vec_id").as("qid"), $("embedding").as("qe"), $("nrm").as("qn"))
+        val w = Window.partitionBy($("qid")).orderBy(desc("cos"), $("cid"))
+        cand.join(broadcast(q), $("vec_id") =!= $("qid"))
+          .select($("qid"), $("vec_id").as("cid"),
+            (dot($("qe"), $("embedding")) / ($("qn") * $("nrm"))).as("cos"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter($("rnk") <= 3)
+          .orderBy($("qid"), $("rnk"))
+      },
+      oracle = Some(
+        s"""WITH n AS ($normedSql),
+           |pairs AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+           |    $dotSql / (q.nrm * c.nrm) AS cos
+           |  FROM n q, n c
+           |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+           |    AND c.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en'))
+           |SELECT qid, cid, cos, rnk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+           |  FROM pairs)
+           |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin),
+      headline = true),
+
     // Q26 [J8 + extension] brute-force cosine top-3 per query vector.
     // The query side (vec_id % 50 = 0) is tiny and BROADCAST; the candidate
     // side streams — so the "cross join" is really a broadcast nested loop
