@@ -16,7 +16,9 @@ object Registry {
     queries.StreamingQueries.defs ++
     queries.AsOf.defs ++
     queries.Temporal.defs ++
-    queries.Profiling.defs
+    queries.Profiling.defs ++
+    queries.SemDedup.defs ++
+    queries.Mixing.defs
 
   def headline: Map[String, QueryDef] = all.filter(_._2.headline)
 }

@@ -29,18 +29,18 @@ object LlmSimilarity {
   def norm(a: Column): Column = sqrt(call_function("float_dot", a, a))
 
   /** embeddings with a precomputed norm column (one pass, reused). */
-  private def normed(s: SparkSession, d: String): DataFrame = {
+  private[queries] def normed(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.install(s)
     Tables.embeddings(s, d).select($("vec_id"), $("embedding"), norm($("embedding")).as("nrm"))
   }
 
-  private val normedSql =
+  private[queries] val normedSql =
     """SELECT vec_id, embedding,
       |  sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
       |    x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))), (a,b)->a+b)) AS nrm
       |FROM embeddings""".stripMargin
 
-  private val dotSql =
+  private[queries] val dotSql =
     """list_reduce(list_prepend(0.0, list_transform(
       |    list_zip(q.embedding, c.embedding),
       |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))), (a,b)->a+b)""".stripMargin
@@ -213,27 +213,7 @@ object LlmSimilarity {
     // cos is symmetric bit-identically (IEEE mult commutes, fold order
     // fixed), so emitting (least, greatest) ids preserves the oracle hash.
     "q27d_dedup_embedding" -> QueryDef(
-      build = (s, d) => {
-        import s.implicits._
-        val blocks = 8
-        val bp = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
-          .toDF("bi", "bj")
-        val n = normed(s, d).withColumn("blk", pmod($("vec_id"), lit(blocks)))
-        val aSide = n.join(broadcast(bp), $("blk") === $("bi"))
-          .select($("bi"), $("bj"), $("vec_id").as("aid"),
-            $("embedding").as("ae"), $("nrm").as("an"))
-        val bSide = n.join(broadcast(bp), $("blk") === $("bj"))
-          .select($("bi").as("bi2"), $("bj").as("bj2"), $("vec_id").as("bid"),
-            $("embedding").as("be"), $("nrm").as("bn"))
-        aSide.join(bSide, $("bi") === $("bi2") && $("bj") === $("bj2"))
-          // cross-block pairs meet once; same-block pairs twice → keep one
-          .filter($("bi") < $("bj") || $("aid") < $("bid"))
-          .select(least($("aid"), $("bid")).as("a_id"),
-            greatest($("aid"), $("bid")).as("b_id"),
-            (dot($("ae"), $("be")) / ($("an") * $("bn"))).as("cos"))
-          .filter($("cos") >= 0.45)
-          .orderBy($("a_id"), $("b_id"))
-      },
+      build = (s, d) => exactNearDupPairs(s, d, 0.45).orderBy($("a_id"), $("b_id")),
       oracle = Some(
         s"""WITH n AS ($normedSql)
            |SELECT q.vec_id AS a_id, c.vec_id AS b_id,
@@ -243,6 +223,32 @@ object LlmSimilarity {
            |  AND $dotSql / (q.nrm * c.nrm) >= 0.45
            |ORDER BY a_id, b_id""".stripMargin))
   )
+
+  /** Exact embedding near-dup pairs at `cos >= tau` via triangle blocking
+    * (q27d's body; also the exact referee for the q53 SemDeDup gate).
+    * Returns unordered-unique (a_id < b_id, cos) — see the q27d entry for
+    * the full blocking design rationale.
+    */
+  private[queries] def exactNearDupPairs(s: SparkSession, d: String, tau: Double): DataFrame = {
+    import s.implicits._
+    val blocks = 8
+    val bp = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
+      .toDF("bi", "bj")
+    val n = normed(s, d).withColumn("blk", pmod($("vec_id"), lit(blocks)))
+    val aSide = n.join(broadcast(bp), $("blk") === $("bi"))
+      .select($("bi"), $("bj"), $("vec_id").as("aid"),
+        $("embedding").as("ae"), $("nrm").as("an"))
+    val bSide = n.join(broadcast(bp), $("blk") === $("bj"))
+      .select($("bi").as("bi2"), $("bj").as("bj2"), $("vec_id").as("bid"),
+        $("embedding").as("be"), $("nrm").as("bn"))
+    aSide.join(bSide, $("bi") === $("bi2") && $("bj") === $("bj2"))
+      // cross-block pairs meet once; same-block pairs twice → keep one
+      .filter($("bi") < $("bj") || $("aid") < $("bid"))
+      .select(least($("aid"), $("bid")).as("a_id"),
+        greatest($("aid"), $("bid")).as("b_id"),
+        (dot($("ae"), $("be")) / ($("an") * $("bn"))).as("cos"))
+      .filter($("cos") >= tau)
+  }
 
   /** Multi-table random-hyperplane LSH ANN top-3 (q26b's structure). */
   def lshTopK(s: SparkSession, d: String): DataFrame = {
@@ -426,38 +432,53 @@ object LlmSimilarity {
     * tight and the probe fraction (and compute) drops by orders of
     * magnitude; the plan shape here is unchanged by those constants.
     */
+  private[queries] def nrm2(c: Array[Float]): Double =
+    math.sqrt(c.map(x => x.toDouble * x).sum).max(1e-12)
+
+  /** Per-cell cosine scores against a broadcast centroid matrix — spherical
+    * k-means assigns/probes by angle (cos(v,c) up to the row-constant
+    * 1/||v||), matching the cosine search metric better than euclidean
+    * scores when norms vary.
+    */
+  private[queries] def scoreArr(cents: IndexedSeq[Array[Float]]): Column =
+    array(cents.map(c =>
+      dot($("embedding"), typedlit(c)) / lit(nrm2(c))): _*)
+
+  private[queries] def cellCol(cents: IndexedSeq[Array[Float]]): Column = {
+    val a = scoreArr(cents)
+    (array_position(a, array_max(a)) - 1).cast("int")
+  }
+
+  /** Deterministic spherical k-means over a [[normed]] frame: init cell =
+    * vec_id mod k, then `rounds` Lloyd iterations. Each round is one
+    * distributed assign (k codegen'd float_dot per row, centroids broadcast
+    * as literals) + one posexplode/groupBy mean. The collected k×dim
+    * centroid matrix is MODEL state, not data — bounded at k rows regardless
+    * of corpus size (the same shape MLlib's KMeans collects).
+    */
+  private[queries] def trainCells(nm: DataFrame, k: Int, rounds: Int): IndexedSeq[Array[Float]] = {
+    // mean per (cell, dim) → k×dim rows → driver-side centroid matrix
+    def centroidsOf(assigned: DataFrame): IndexedSeq[Array[Float]] = {
+      val rows = assigned
+        .select($("cell"), posexplode($("embedding")).as(Seq("pos", "x")))
+        .groupBy($("cell"), $("pos")).agg(avg($("x")).as("m"))
+        .collect()
+      val dim = rows.map(_.getInt(1)).max + 1
+      val m = Array.fill(k)(new Array[Float](dim))
+      rows.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+      m.toIndexedSeq
+    }
+    var cents = centroidsOf(
+      nm.withColumn("cell", pmod($("vec_id"), lit(k)).cast("int")))
+    for (_ <- 1 to rounds)
+      cents = centroidsOf(nm.withColumn("cell", cellCol(cents)))
+    cents
+  }
+
   def ivfTopK(s: SparkSession, d: String): DataFrame = {
         val k = 16; val nprobe = 10; val lloydRounds = 2
         val nm = normed(s, d).cache()
-
-        def nrm2(c: Array[Float]): Double =
-          math.sqrt(c.map(x => x.toDouble * x).sum).max(1e-12)
-        // spherical k-means: assign/probe by angle (cos(v,c) up to the
-        // row-constant 1/||v||) — matches the cosine search metric better
-        // than euclidean scores when norms vary
-        def scoreArr(cents: IndexedSeq[Array[Float]]): Column =
-          array(cents.map(c =>
-            dot($("embedding"), typedlit(c)) / lit(nrm2(c))): _*)
-        def cellCol(cents: IndexedSeq[Array[Float]]): Column = {
-          val a = scoreArr(cents)
-          (array_position(a, array_max(a)) - 1).cast("int")
-        }
-        // mean per (cell, dim) → k×64 rows → driver-side centroid matrix
-        def centroidsOf(assigned: DataFrame): IndexedSeq[Array[Float]] = {
-          val rows = assigned
-            .select($("cell"), posexplode($("embedding")).as(Seq("pos", "x")))
-            .groupBy($("cell"), $("pos")).agg(avg($("x")).as("m"))
-            .collect()
-          val dim = rows.map(_.getInt(1)).max + 1
-          val m = Array.fill(k)(new Array[Float](dim))
-          rows.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
-          m.toIndexedSeq
-        }
-
-        var cents = centroidsOf(
-          nm.withColumn("cell", pmod($("vec_id"), lit(k)).cast("int")))
-        for (_ <- 1 to lloydRounds)
-          cents = centroidsOf(nm.withColumn("cell", cellCol(cents)))
+        val cents = trainCells(nm, k, lloydRounds)
 
         // nprobe nearest cells per query: sort (score, idx) structs desc
         val probed: Column = {
