@@ -115,5 +115,98 @@ object Mixing {
           |SELECT r2.lang, n_before,
           |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept, rate
           |FROM r2 LEFT JOIN k USING (lang) ORDER BY lang""".stripMargin),
+      headline = true),
+
+    // Q56 [extension: importance resampling] DSIR-style data selection
+    // (Xie et al. 2023, arXiv:2302.03169): score every document by how
+    // target-like its hashed n-gram feature distribution is, then keep the
+    // top-K. Features = word unigrams + bigrams hashed into B=64 buckets
+    // (the native codegen'd poly_hash, mirrored in DuckDB by the q28
+    // fingerprint fold); target = the lang='en' slice; weight(doc) =
+    // Σ_f [ln(t_b(f)+1) − ln(s_b(f)+1)] + n_f·[ln(S+B) − ln(T+B)] — the
+    // log-likelihood ratio of the doc's features under Laplace-smoothed
+    // target vs corpus bucket distributions.
+    //
+    // Determinism: per-BUCKET logs are frozen to integer micro-nats
+    // (round(ln·1e6) over 64+2 values), so every per-doc sum is pure
+    // INTEGER arithmetic — exactly associative, no float-summation-order
+    // drift between Spark's hash agg and DuckDB's — and the gate
+    // hash-checks exact weights, not rounded approximations.
+    //
+    // Scale: the bucket tables are B-row broadcast MODEL state (two counts
+    // passes, combinable aggs); scoring is explode → broadcast join →
+    // one groupBy(doc_id). Selection is top-K = TakeOrderedAndProject
+    // (distributed partial top-K per partition, no global sort) + a
+    // broadcast semi-join to flag survivors.
+    "q56_dsir_weights" -> QueryDef(
+      build = (s, d) => {
+        graft.GraftExtensions.install(s)
+        val buckets = 64; val topK = 50
+        val lnMicro = (c: org.apache.spark.sql.Column) =>
+          round(log(c) * 1000000).cast("long")
+        val w = split($("text"), " ")
+        val bigrams = when(size(w) >= 2,
+          transform(sequence(lit(1), size(w) - 1),
+            i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+          .otherwise(array())
+        val feats = Tables.documents(s, d)
+          .select($("doc_id"), $("lang"), explode(concat(w, bigrams)).as("tok"))
+          .select($("doc_id"), $("lang"),
+            pmod(call_function("poly_hash", $("tok"), lit(31L), lit(1000000007L)),
+              lit(buckets)).as("bucket"))
+        val sstat = feats.groupBy($("bucket")).agg(count(lit(1)).as("s_n"))
+        val tstat = feats.filter($("lang") === "en")
+          .groupBy($("bucket")).agg(count(lit(1)).as("t_n"))
+        val btab = sstat.join(tstat, Seq("bucket"), "left")
+          .select($("bucket"),
+            lnMicro(coalesce($("t_n"), lit(0L)) + 1).as("lt"),
+            lnMicro($("s_n") + 1).as("ls"))
+        val consts = feats.agg(
+            lnMicro(count(lit(1)) + buckets).as("l_s_tot"),
+            lnMicro(count(when($("lang") === "en", 1)) + buckets).as("l_t_tot"))
+        val weights = feats.join(broadcast(btab), "bucket")
+          .crossJoin(broadcast(consts))
+          .groupBy($("doc_id"))
+          .agg(count(lit(1)).as("n_feats"),
+            (sum($("lt") - $("ls"))
+              + count(lit(1)) * max($("l_s_tot") - $("l_t_tot"))).as("w_micro"))
+        val top = weights.orderBy(desc("w_micro"), $("doc_id")).limit(topK)
+          .select($("doc_id").as("top_id"))
+        weights.join(broadcast(top), $("doc_id") === $("top_id"), "left")
+          .select($("doc_id"), $("n_feats"), $("w_micro"),
+            $("top_id").isNotNull.as("selected"))
+          .orderBy($("doc_id"))
+      },
+      oracle = Some(
+        """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+          |f AS (
+          |  SELECT doc_id, lang,
+          |    unnest(list_concat(w,
+          |      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS tok
+          |  FROM d),
+          |fb AS (
+          |  SELECT doc_id, lang,
+          |    list_reduce(list_prepend(0::BIGINT,
+          |        list_transform(string_split(tok, ''), c -> ascii(c)::BIGINT)),
+          |      (a,b) -> (a*31+b) % 1000000007) % 64 AS bucket
+          |  FROM f),
+          |tstat AS (SELECT bucket, count(*) AS t_n FROM fb WHERE lang = 'en' GROUP BY bucket),
+          |sstat AS (SELECT bucket, count(*) AS s_n FROM fb GROUP BY bucket),
+          |btab AS (
+          |  SELECT s.bucket,
+          |    CAST(round(ln(COALESCE(t_n, 0) + 1) * 1000000) AS BIGINT) AS lt,
+          |    CAST(round(ln(s_n + 1) * 1000000) AS BIGINT) AS ls
+          |  FROM sstat s LEFT JOIN tstat t USING (bucket)),
+          |tot AS (SELECT
+          |    CAST(round(ln((SELECT count(*) FROM fb) + 64) * 1000000) AS BIGINT) AS l_s_tot,
+          |    CAST(round(ln((SELECT count(*) FROM fb WHERE lang = 'en') + 64) * 1000000) AS BIGINT) AS l_t_tot),
+          |wts AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+          |    CAST(sum(lt - ls) + count(*) * (SELECT l_s_tot - l_t_tot FROM tot) AS BIGINT) AS w_micro
+          |  FROM fb JOIN btab USING (bucket) GROUP BY doc_id),
+          |top AS (SELECT doc_id FROM wts ORDER BY w_micro DESC, doc_id LIMIT 50)
+          |SELECT doc_id, n_feats, w_micro,
+          |  doc_id IN (SELECT doc_id FROM top) AS selected
+          |FROM wts ORDER BY doc_id""".stripMargin),
       headline = true))
 }
