@@ -120,9 +120,12 @@ object Mixing {
     // Q56 [extension: importance resampling] DSIR-style data selection
     // (Xie et al. 2023, arXiv:2302.03169): score every document by how
     // target-like its hashed n-gram feature distribution is, then keep the
-    // top-K. Features = word unigrams + bigrams hashed into B=64 buckets
-    // (the native codegen'd poly_hash, mirrored in DuckDB by the q28
-    // fingerprint fold); target = the lang='en' slice; weight(doc) =
+    // top-K. Features = DISTINCT word unigrams + bigrams per document
+    // (binary features, the hashed-DSIR variant) bucketed into B=64 via
+    // the native codegen'd shingle_poly_hashes — one static call per doc
+    // per n instead of an interpreted per-token HOF chain (5.2 s → ~1.5 s
+    // at sf0.1), mirrored bit-exactly in DuckDB by the q27c list_reduce
+    // fold. Target = the lang='en' slice; weight(doc) =
     // Σ_f [ln(t_b(f)+1) − ln(s_b(f)+1)] + n_f·[ln(S+B) − ln(T+B)] — the
     // log-likelihood ratio of the doc's features under Laplace-smoothed
     // target vs corpus bucket distributions.
@@ -144,26 +147,23 @@ object Mixing {
         val buckets = 64; val topK = 50
         val lnMicro = (c: org.apache.spark.sql.Column) =>
           round(log(c) * 1000000).cast("long")
-        val w = split($("text"), " ")
-        val bigrams = when(size(w) >= 2,
-          transform(sequence(lit(1), size(w) - 1),
-            i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
-          .otherwise(array())
         val feats = Tables.documents(s, d)
-          .select($("doc_id"), $("lang"), explode(concat(w, bigrams)).as("tok"))
-          .select($("doc_id"), $("lang"),
-            pmod(call_function("poly_hash", $("tok"), lit(31L), lit(1000000007L)),
-              lit(buckets)).as("bucket"))
-        val sstat = feats.groupBy($("bucket")).agg(count(lit(1)).as("s_n"))
-        val tstat = feats.filter($("lang") === "en")
-          .groupBy($("bucket")).agg(count(lit(1)).as("t_n"))
-        val btab = sstat.join(tstat, Seq("bucket"), "left")
-          .select($("bucket"),
-            lnMicro(coalesce($("t_n"), lit(0L)) + 1).as("lt"),
-            lnMicro($("s_n") + 1).as("ls"))
-        val consts = feats.agg(
-            lnMicro(count(lit(1)) + buckets).as("l_s_tot"),
-            lnMicro(count(when($("lang") === "en", 1)) + buckets).as("l_t_tot"))
+          .select($("doc_id"), $("lang"), explode(concat(
+            call_function("shingle_poly_hashes", $("text"), lit(1)),
+            call_function("shingle_poly_hashes", $("text"), lit(2)))).as("h"))
+          .select($("doc_id"), $("lang"), pmod($("h"), lit(buckets)).as("bucket"))
+        // ONE stats pass: corpus and target bucket counts from the same
+        // combinable conditional agg; the totals fold from the 64-row
+        // result, so the corpus is scanned exactly twice (stats + scoring)
+        val stats = feats.groupBy($("bucket"))
+          .agg(count(lit(1)).as("s_n"),
+            count(when($("lang") === "en", 1)).as("t_n"))
+        val btab = stats.select($("bucket"),
+          lnMicro($("t_n") + 1).as("lt"),
+          lnMicro($("s_n") + 1).as("ls"))
+        val consts = stats.agg(
+            lnMicro(sum($("s_n")) + buckets).as("l_s_tot"),
+            lnMicro(sum($("t_n")) + buckets).as("l_t_tot"))
         val weights = feats.join(broadcast(btab), "bucket")
           .crossJoin(broadcast(consts))
           .groupBy($("doc_id"))
@@ -181,14 +181,18 @@ object Mixing {
         """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
           |f AS (
           |  SELECT doc_id, lang,
-          |    unnest(list_concat(w,
-          |      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS tok
+          |    unnest(list_concat(list_distinct(w),
+          |      list_distinct(list_transform(range(1, len(w)),
+          |        i -> w[i] || ' ' || w[i+1])))) AS tok
           |  FROM d),
           |fb AS (
           |  SELECT doc_id, lang,
-          |    list_reduce(list_prepend(0::BIGINT,
+          |    (list_reduce(list_prepend(0::BIGINT,
           |        list_transform(string_split(tok, ''), c -> ascii(c)::BIGINT)),
-          |      (a,b) -> (a*31+b) % 1000000007) % 64 AS bucket
+          |      (a,b) -> (a*31+b) % 2147483647) * 2147483647
+          |     + list_reduce(list_prepend(0::BIGINT,
+          |        list_transform(string_split(tok, ''), c -> ascii(c)::BIGINT)),
+          |      (a,b) -> (a*131+b) % 2147483647)) % 64 AS bucket
           |  FROM f),
           |tstat AS (SELECT bucket, count(*) AS t_n FROM fb WHERE lang = 'en' GROUP BY bucket),
           |sstat AS (SELECT bucket, count(*) AS s_n FROM fb GROUP BY bucket),
