@@ -51,6 +51,38 @@ object AsOf {
           |  ON ev.custkey = ord.o_custkey AND ev.ts >= ord.o_orderdate
           |ORDER BY event_id""".stripMargin)),
 
+    // Q41b [J9, custom-operator tier (c)] the SAME as-of semantics through
+    // the native merge-join operator (plans/AsOfJoin.scala): co-partition
+    // both sides on the key, sort by (key, time), one O(|L|+|R|) forward
+    // merge per partition — no within-key explosion, no second aggregate
+    // shuffle. Identical DuckDB ASOF oracle as q41, so the gate proves the
+    // physical operator agrees with both the compose path and DuckDB.
+    "q41b_asof_native" -> QueryDef(
+      build = (s, d) => {
+        val ev = Tables.events(s, d)
+          .select($("event_id"), $("ts"), ($("user_id") + 1).as("custkey"))
+        val ord = Tables.orders(s, d)
+          .groupBy($("o_custkey"), $("o_orderdate"))
+          .agg(max($("o_orderkey")).as("o_orderkey"))
+        graft.plans.AsOfJoinApi.asofJoin(ev, ord,
+            ev("custkey"), ord("o_custkey"),
+            ev("ts"), ord("o_orderdate").cast("timestamp"))
+          .select($("event_id"), $("custkey"),
+            $("o_orderkey").as("asof_orderkey"),
+            $("o_orderdate").as("asof_orderdate"))
+          .orderBy($("event_id"))
+      },
+      oracle = Some(
+        """WITH ev AS (SELECT event_id, ts, user_id + 1 AS custkey FROM events),
+          |ord AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+          |        FROM orders GROUP BY o_custkey, o_orderdate)
+          |SELECT event_id, custkey, o_orderkey AS asof_orderkey,
+          |  o_orderdate AS asof_orderdate
+          |FROM ev ASOF LEFT JOIN ord
+          |  ON ev.custkey = ord.o_custkey AND ev.ts >= ord.o_orderdate
+          |ORDER BY event_id""".stripMargin),
+      headline = true),
+
     // Q42 [S4] append sink semantics: two appends of nation land 2 copies
     // of every key (INSERT INTO … VALUES per the reference's
     // Server/main.go:217, batched). Read-back proves the writer appended

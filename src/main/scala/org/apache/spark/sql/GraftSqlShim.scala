@@ -1,0 +1,27 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** The one `private[sql]` doorway the engine needs: wrapping a custom
+  * [[LogicalPlan]] node (graft.plans.AsOfJoin) into a user-facing DataFrame.
+  * Every other extension point (expressions, optimizer rules, planner
+  * strategies) is reachable through the public SparkSessionExtensions /
+  * ExperimentalMethods APIs; plan-construction is not, so this shim lives in
+  * the org.apache.spark.sql package — the standard pattern for Spark-native
+  * libraries that add operators.
+  */
+object GraftSqlShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column → catalyst Expression (Spark 4 hides `.expr` behind ColumnNode).
+    * Converted EAGERLY: `ExpressionUtils.expression` returns a lazy
+    * `ColumnNodeExpression` that only the analyzer's own column-resolution
+    * pass unwraps — and that pass does not descend into third-party
+    * LogicalPlan nodes, so a composite column (e.g. a cast) would reach the
+    * physical operator still wrapped, reporting NullType.
+    */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.plans.AsOfJoinApi
+import org.apache.spark.sql.functions._
+
+/** The native as-of merge-join operator (plans/AsOfJoin.scala): semantics on
+  * crafted data, equivalence with q41's compose path on real data, and the
+  * plan shape that justifies its existence.
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("crafted data: backward pick, inclusive tie, no-match nulls, null keys") {
+    val l = Seq(
+      (1L, 10L, "l-a"), // before any right row for key 1 → null
+      (1L, 20L, "l-b"), // exactly at right t=20 → inclusive match
+      (1L, 35L, "l-c"), // between 30 and 40 → 30
+      (2L, 5L, "l-d"),  // key with no right rows at all → null
+      (3L, 50L, "l-e")  // later key, right rows exist → 45
+    ).toDF("k", "t", "lv")
+    val r = Seq(
+      (1L, 20L, "r-20"), (1L, 30L, "r-30"), (1L, 40L, "r-40"),
+      (3L, 45L, "r-45")
+    ).toDF("rk", "rt", "rv")
+    val out = AsOfJoinApi.asofJoin(l, r, l("k"), r("rk"), l("t"), r("rt"))
+      .select($"lv", $"rv").collect().map(x => (x.getString(0), x.getString(1))).toMap
+    assert(out == Map("l-a" -> null, "l-b" -> "r-20", "l-c" -> "r-30",
+      "l-d" -> null, "l-e" -> "r-45"))
+  }
+
+  test("matches q41's compose path row-for-row on the real tables") {
+    val d = sf
+    val ev = Tables.events(spark, d)
+      .select($"event_id", $"ts", ($"user_id" + 1).as("custkey"))
+    val ord = Tables.orders(spark, d)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"))
+    val native = AsOfJoinApi.asofJoin(ev, ord,
+        ev("custkey"), ord("o_custkey"),
+        ev("ts"), ord("o_orderdate").cast("timestamp"))
+      .select($"event_id", $"custkey", $"o_orderkey".as("asof_orderkey"),
+        $"o_orderdate".as("asof_orderdate"))
+    val composed = Registry.all("q41_asof_join").build(spark, d)
+    assert(native.count() == composed.count())
+    assert(native.except(composed).isEmpty && composed.except(native).isEmpty)
+  }
+
+  test("plan: merge exec, one exchange per side, no explosion/aggregation") {
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"ts", ($"user_id" + 1).as("custkey"))
+    val ord = Tables.orders(spark, sf)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"))
+    val df = AsOfJoinApi.asofJoin(ev, ord,
+      ev("custkey"), ord("o_custkey"),
+      ev("ts"), ord("o_orderdate").cast("timestamp"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfMergeJoin"), s"expected the native exec in:\n$plan")
+    // the compose path needs a join + a second aggregate; the native path
+    // must NOT re-aggregate after the merge
+    val afterJoin = plan.substring(0, plan.indexOf("AsOfMergeJoin"))
+    assert(!afterJoin.contains("HashAggregate"),
+      s"no post-join aggregate expected in:\n$plan")
+  }
+}
