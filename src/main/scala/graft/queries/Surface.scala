@@ -119,6 +119,38 @@ object Surface {
           |  n_regionkey AS regionkey, n_name AS orc_name, n_name AS xml_name
           |FROM nation ORDER BY key""".stripMargin)),
 
+    // Q57 [S10 extension: schema evolution] the lakehouse reality that a
+    // 100 TB table's schema CHANGES mid-life: generation 1 of the data has
+    // (n_nationkey, n_name); generation 2 adds n_regionkey. A
+    // mergeSchema parquet read unions the file schemas — old files'
+    // missing column comes back NULL — and writers never rewrite history
+    // (the reference's ALTER-free MySQL schema has no answer to this;
+    // Server/main.go:230 assumes a frozen column list). The gate checks
+    // the merged frame: every key appears twice (one row per generation),
+    // gen-1 rows carry NULL for the late column, gen-2 rows carry values.
+    "q57_schema_evolution" -> QueryDef(
+      build = (s, d) => {
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_evo_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val n = Tables.nation(s, d)
+        n.select($("n_nationkey"), $("n_name"), lit(1).as("gen"))
+          .write.mode("overwrite").parquet(s"$tmp/gen=1")
+        n.select($("n_nationkey"), $("n_name"), lit(2).as("gen"),
+            $("n_regionkey").as("late_regionkey"))
+          .write.mode("overwrite").parquet(s"$tmp/gen=2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$tmp/gen=1", s"$tmp/gen=2")
+          .groupBy($("n_nationkey").as("key"))
+          .agg(count(lit(1)).as("n_rows"),
+            count($("late_regionkey")).as("n_with_late_col"),
+            max($("late_regionkey")).as("late_val"))
+          .orderBy($("key"))
+      },
+      oracle = Some(
+        """SELECT n_nationkey AS key, CAST(2 AS BIGINT) AS n_rows,
+          |  CAST(1 AS BIGINT) AS n_with_late_col,
+          |  n_regionkey AS late_val
+          |FROM nation ORDER BY key""".stripMargin)),
+
     // Q47 [F8/F9 extension: VARIANT semi-structured type] the Spark-4
     // lakehouse path for JSON: parse once into the binary VARIANT encoding,
     // then typed path extraction (variant_get) — no per-query re-parse, and
