@@ -212,5 +212,83 @@ object Mixing {
           |SELECT doc_id, n_feats, w_micro,
           |  doc_id IN (SELECT doc_id FROM top) AS selected
           |FROM wts ORDER BY doc_id""".stripMargin),
-      headline = true))
+      headline = true),
+
+    // Q58 [extension: RAG chunking] Split every document into overlapping
+    // token windows (32 tokens, stride 24 — the retrieval-index unit): the
+    // chunk table carries (doc_id, chunk_idx, start, length, md5) so the
+    // embedding/index stages key on chunk ids and never re-tokenize. Pure
+    // per-row explode arithmetic — embarrassingly parallel, no shuffle
+    // before the output sort; chunk text is md5-pinned so the gate
+    // hash-checks the exact reassembled window content cross-engine.
+    "q58_chunk_rag" -> QueryDef(
+      build = (s, d) => {
+        val win = 32; val stride = 24
+        val w = split($("text"), " ")
+        Tables.documents(s, d)
+          .select($("doc_id"), w.as("w"))
+          .select($("doc_id"), explode(
+            sequence(lit(0), size($("w")) - 1, lit(stride))).as("start_tok"), $("w"))
+          .select($("doc_id"),
+            ($("start_tok") / stride).cast("long").as("chunk_idx"),
+            $("start_tok").cast("long"),
+            size(slice($("w"), $("start_tok") + 1, lit(win))).cast("long").as("chunk_len"),
+            md5(array_join(slice($("w"), $("start_tok") + 1, lit(win)), " ")).as("chunk_md5"))
+          .orderBy($("doc_id"), $("chunk_idx"))
+      },
+      oracle = Some(
+        """SELECT doc_id,
+          |  start_tok // 24 AS chunk_idx,
+          |  start_tok,
+          |  CAST(len(w[start_tok + 1 : start_tok + 32]) AS BIGINT) AS chunk_len,
+          |  md5(array_to_string(w[start_tok + 1 : start_tok + 32], ' ')) AS chunk_md5
+          |FROM (
+          |  SELECT doc_id, w, CAST(unnest(range(0, len(w), 24)) AS BIGINT) AS start_tok
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+          |ORDER BY doc_id, chunk_idx""".stripMargin),
+      headline = true),
+
+    // Q59 [extension: delete propagation] Right-to-erasure over a corpus
+    // and its DERIVED tables: a deterministic ~5% tombstone set of doc_ids
+    // cascades through documents AND embeddings (vec_id keys the same
+    // entity); each leg is one anti-join (the scalable delete shape — no
+    // broadcast of the big side, tombstones are the small side), and the
+    // gate audits before/deleted/after counts plus a RESIDUAL count that
+    // must be zero — deletion is only real if nothing keyed to a tombstone
+    // survives anywhere downstream.
+    "q59_delete_cascade" -> QueryDef(
+      build = (s, d) => {
+        val tomb = Tables.documents(s, d)
+          .filter(pmod($("doc_id") * 2654435761L, lit(100)) < 5)
+          .select($("doc_id").as("t_id"))
+        def leg(name: String, df: org.apache.spark.sql.DataFrame, key: String) = {
+          val survivors = df.join(tomb, df(key) === tomb("t_id"), "left_anti")
+          val residual = survivors.join(tomb, survivors(key) === tomb("t_id"), "left_semi")
+          df.agg(count(lit(1)).as("rows_before"))
+            .crossJoin(survivors.agg(count(lit(1)).as("rows_after")))
+            .crossJoin(residual.agg(count(lit(1)).as("residual")))
+            .select(lit(name).as("tbl"), $("rows_before"),
+              ($("rows_before") - $("rows_after")).as("rows_deleted"),
+              $("rows_after"), $("residual"))
+        }
+        leg("documents", Tables.documents(s, d), "doc_id")
+          .unionByName(leg("embeddings", Tables.embeddings(s, d), "vec_id"))
+          .orderBy($("tbl"))
+      },
+      oracle = Some(
+        """WITH tomb AS (
+          |  SELECT doc_id AS t_id FROM documents
+          |  WHERE (doc_id * 2654435761) % 100 < 5)
+          |SELECT 'documents' AS tbl,
+          |  (SELECT count(*) FROM documents) AS rows_before,
+          |  (SELECT count(*) FROM documents WHERE doc_id IN (SELECT t_id FROM tomb)) AS rows_deleted,
+          |  (SELECT count(*) FROM documents WHERE doc_id NOT IN (SELECT t_id FROM tomb)) AS rows_after,
+          |  CAST(0 AS BIGINT) AS residual
+          |UNION ALL
+          |SELECT 'embeddings',
+          |  (SELECT count(*) FROM embeddings),
+          |  (SELECT count(*) FROM embeddings WHERE vec_id IN (SELECT t_id FROM tomb)),
+          |  (SELECT count(*) FROM embeddings WHERE vec_id NOT IN (SELECT t_id FROM tomb)),
+          |  CAST(0 AS BIGINT)
+          |ORDER BY tbl""".stripMargin)))
 }
