@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
 
 /** Q53 [extension: semantic deduplication] — SemDeDup-style corpus pruning
@@ -103,5 +103,51 @@ object SemDedup {
            |  vec_id IN (SELECT vec_id FROM dropped) AS dropped_exact,
            |  true AS subset_ok, true AS recall_ok
            |FROM embeddings ORDER BY vec_id""".stripMargin),
-      headline = true))
+      headline = true),
+
+    // Q60 [extension: int8 embedding quantization] Symmetric per-vector
+    // int8 quantization — the standard 4× memory cut for a serving index
+    // (float32 → int8 + one float scale per vector): scale = max|x|/127,
+    // code_i = round(x_i/scale) ∈ [-127, 127]. The gate hash-checks exact
+    // INTEGER code aggregates (sum/min/max — both engines round identical
+    // IEEE doubles away from zero, so codes match bit-for-bit) plus the
+    // reconstruction-error contract |x_i − code_i·scale| ≤ scale/2 that
+    // makes the compression usable for ANN rerank. Pure per-row column
+    // work — zero shuffle before the output sort; composes with q26d's PQ
+    // path (PQ compresses positions, int8 compresses magnitudes).
+    "q60_int8_quant" -> QueryDef(
+      build = (s, d) => {
+        val codes = transform($("embedding"),
+          x => round(x.cast("double") / $("scale")).cast("long"))
+        Tables.embeddings(s, d)
+          .withColumn("scale",
+            array_max(transform($("embedding"), x => abs(x.cast("double")))) / 127.0)
+          .filter($("scale") > 0) // degenerate all-zero vectors can't quantize
+          .withColumn("codes", codes)
+          .select($("vec_id"),
+            aggregate($("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+            array_min($("codes")).as("code_min"),
+            array_max($("codes")).as("code_max"),
+            (array_max(zip_with($("embedding"), $("codes"),
+              (e, c) => abs(e.cast("double") - c * $("scale"))))
+              <= $("scale") * 0.5000001).as("err_ok"))
+          .orderBy($("vec_id"))
+      },
+      oracle = Some(
+        """WITH q AS (
+          |  SELECT vec_id, embedding,
+          |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+          |  FROM embeddings),
+          |c AS (
+          |  SELECT vec_id, scale, embedding,
+          |    list_transform(embedding,
+          |      x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)) AS codes
+          |  FROM q WHERE scale > 0)
+          |SELECT vec_id,
+          |  list_reduce(list_prepend(0::BIGINT, codes), (a,b) -> a + b) AS code_sum,
+          |  list_min(codes) AS code_min,
+          |  list_max(codes) AS code_max,
+          |  list_max(list_transform(list_zip(embedding, codes),
+          |    p -> abs(CAST(p[1] AS DOUBLE) - p[2] * scale))) <= scale * 0.5000001 AS err_ok
+          |FROM c ORDER BY vec_id""".stripMargin)))
 }
