@@ -45,6 +45,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native.except(composed).isEmpty && composed.except(native).isEmpty)
   }
 
+  test("composes with streaming: foreachBatch as-of enriches micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    // static dimension: per-key state snapshots
+    val dim = Seq((1L, 10L, "v10"), (1L, 30L, "v30"), (2L, 20L, "w20"))
+      .toDF("dk", "dt", "dv")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (key, time) events
+    input.addData((1L, 5L), (1L, 15L), (2L, 25L))
+    input.addData((1L, 35L), (2L, 19L))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val q = input.toDF().toDF("k", "t").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val enriched = graft.plans.AsOfJoinApi
+          .asofJoin(batch, dim, batch("k"), dim("dk"), batch("t"), dim("dt"))
+          .select($"k", $"t", $"dv").collect()
+        seen.synchronized { seen ++= enriched.map(r => (r.getLong(0), r.getLong(1), r.getString(2))) }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    assert(seen.toSet == Set(
+      (1L, 5L, null), (1L, 15L, "v10"), (2L, 25L, "w20"),
+      (1L, 35L, "v30"), (2L, 19L, null)))
+  }
+
   test("plan: merge exec, one exchange per side, no explosion/aggregation") {
     val ev = Tables.events(spark, sf)
       .select($"event_id", $"ts", ($"user_id" + 1).as("custkey"))
