@@ -235,6 +235,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q58/q60: per-row pipeline ops have no shuffle before the output sort") {
+    for (name <- Seq("q58_chunk_rag", "q60_int8_quant")) {
+      // the only exchange allowed is the rangepartitioning for ORDER BY —
+      // no aggregate/join-induced shuffle may exist anywhere in the plan
+      val p = plan(name)
+      val shuffles = p.linesIterator.count(_.trim.startsWith("Exchange"))
+      assert(shuffles <= 1, s"$name must shuffle only for the final sort:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        s"$name is a pure projection pipeline:\n$p")
+    }
+  }
+
+  test("q59: delete legs are anti-joins with the tombstones broadcast") {
+    val p = plan("q59_delete_cascade")
+    assert(p.contains("LeftAnti"), p)
+    // the big table must never broadcast; the tombstone side is the small
+    // frame Spark chooses to broadcast
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q53: semdedup candidate generation joins on id/cell only") {
+    val p = plan("q53_semdedup")
+    // candidate expansion must be hash/merge equi-joins, never cartesian;
+    // the single allowed nested-loop join is the 1-ROW recall_ok scalar
+    // broadcast (IdentityBroadcastMode) crossed onto the output
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2 && p.contains("IdentityBroadcastMode"),
+      s"only the scalar stats cross-join may nested-loop:\n$p")
+  }
+
   test("native fn builders accept any integer-literal width (lit(8L) included)") {
     GraftExtensions.install(spark)
     import spark.implicits._
