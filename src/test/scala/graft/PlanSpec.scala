@@ -268,6 +268,36 @@ class PlanSpec extends SparkSpec {
       s"only the scalar stats cross-join may nested-loop:\n$p")
   }
 
+  test("parquet aggregate pushdown: MAX/MIN/COUNT answered from footer stats") {
+    // At 100 TB, MIN/MAX/COUNT over a table should read ~0 data: parquet
+    // footers already carry the stats per row group. The v2 read path
+    // pushes the whole aggregate into the scan (PushedAggregation) — no
+    // row ever reaches the executor. Parquet defaults to the v1 path, so
+    // the spec scopes the v2 source list like production jobs that turn
+    // this on.
+    val k = "spark.sql.sources.useV1SourceList"
+    val agg = "spark.sql.parquet.aggregatePushdown"
+    val saved = Seq(k, agg).map(x => x -> spark.conf.getOption(x))
+    spark.conf.set(k, "")
+    spark.conf.set(agg, "true")
+    try {
+      import spark.implicits._
+      val df = spark.read.parquet(s"$sf/lineitem.parquet")
+        .agg(max($"l_orderkey").as("mx"), min($"l_partkey").as("mn"),
+          count(lit(1)).as("n"))
+      val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("PushedAggregation"), p)
+      assert(p.contains("MAX(l_orderkey)") && p.contains("COUNT(*)"), p)
+      // and it returns the true values (cross-check against the row path)
+      val viaRows = Tables.lineitem(spark, sf)
+        .agg(max($"l_orderkey"), min($"l_partkey"), count(lit(1))).head
+      assert(df.head == viaRows)
+    } finally saved.foreach {
+      case (x, Some(v)) => spark.conf.set(x, v)
+      case (x, None) => spark.conf.unset(x)
+    }
+  }
+
   test("native fn builders accept any integer-literal width (lit(8L) included)") {
     GraftExtensions.install(spark)
     import spark.implicits._
