@@ -12,10 +12,14 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * LogicalPlan + SparkStrategy + SparkPlan, injected via
   * `experimental.extraStrategies`).
   *
-  * Semantics: left as-of backward join — every left row picks the single
-  * right row with the same key and the LARGEST right time ≤ its left time
-  * (ties inside a right (key, time) group are caller-deduplicated, as in
-  * DuckDB/Polars ASOF). Unmatched left rows keep null right columns.
+  * Semantics (`direction`, the pandas merge_asof family):
+  *  - `backward` (default): each left row picks the single right row with
+  *    the same key and the LARGEST right time ≤ its left time.
+  *  - `forward`: the SMALLEST right time ≥ the left time.
+  *  - `nearest`: whichever of the two is closer in time (tie → backward);
+  *    requires an integral-physical time type (timestamp/date/integer).
+  * Ties inside a right (key, time) group are caller-deduplicated, as in
+  * DuckDB/Polars ASOF. Unmatched left rows keep null right columns.
   *
   * Why a physical operator when q41 already composes the same semantics:
   * the compose path (equi-join + range filter + max_by) EXPLODES each left
@@ -36,7 +40,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression)
+    leftTime: Expression, rightTime: Expression,
+    direction: String = "backward")
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -50,8 +55,8 @@ case class AsOfJoin(
 /** Planner strategy: one physical candidate, children planned recursively. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfMergeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, dir) =>
+      AsOfMergeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir) :: Nil
     case _ => Nil
   }
 }
@@ -59,7 +64,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfMergeJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression)
+    leftTime: Expression, rightTime: Expression,
+    direction: String)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -85,9 +91,12 @@ case class AsOfMergeJoinExec(
     require(rightKey.dataType == keyDt && rightTime.dataType == timeDt,
       s"as-of join sides must agree on key/time types " +
         s"(got $keyDt/${rightKey.dataType}, $timeDt/${rightTime.dataType})")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"unknown as-of direction '$direction'")
     val lOut = left.output
     val rOut = right.output
     val nRight = rOut.size
+    val dir = direction
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lProj = UnsafeProjection.create(
@@ -108,10 +117,13 @@ case class AsOfMergeJoinExec(
       // downstream operators require UnsafeRow output (Tungsten contract)
       val outProj = UnsafeProjection.create(output, lOut ++ rOut)
       val rBuf = rIter.buffered
-      var matchRow: InternalRow = null // latest right row ≤ current left time
+      var matchRow: InternalRow = null // backward state: latest right ≤ lt
       // (key, time) row the buffered match belongs to — a COPY, because the
       // projection's UnsafeRow buffer is reused across rows
       var matchKeyRow: InternalRow = null
+      // forward state: a copy of the (unconsumed) head, invalidated on advance
+      var fwdCopy: InternalRow = null
+      var fwdValid = false
 
       def keyCompare(a: Any, b: Any): Int = {
         keyRow.update(0, a); keyRow2.update(0, b)
@@ -121,6 +133,16 @@ case class AsOfMergeJoinExec(
         timeRow.update(0, a); timeRow2.update(0, b)
         timeOrd.compare(timeRow, timeRow2) <= 0
       }
+      // integral physical reading of a time value (timestamp/date/ints) for
+      // nearest-mode distances; nearest is rejected otherwise
+      def asLong(a: Any): Long = a match {
+        case l: java.lang.Long => l
+        case i: java.lang.Integer => i.toLong
+        case s: java.lang.Short => s.toLong
+        case b: java.lang.Byte => b.toLong
+        case other => throw new IllegalArgumentException(
+          s"as-of nearest needs an integral-physical time type, got $other (${timeDt.simpleString})")
+      }
 
       lIter.map { l =>
         val lkt = lProj(l)
@@ -129,26 +151,57 @@ case class AsOfMergeJoinExec(
         } else {
           val lk = lkt.get(0, keyDt)
           val lt = lkt.get(1, timeDt)
-          // drop a buffered match from an earlier key
+          // drop a buffered backward match from an earlier key
           if (matchKeyRow != null && keyCompare(matchKeyRow.get(0, keyDt), lk) != 0) {
             matchRow = null; matchKeyRow = null
           }
           // advance the right side: consume every row whose (key, time) can
-          // no longer match a LATER left row (left is (key, time)-sorted)
+          // no longer match THIS OR ANY LATER left row (left is sorted).
+          // backward/nearest keep the newest consumed same-key row as state;
+          // forward discards rows strictly before lt and matches the head.
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val rkt = rProj(rBuf.head)
-            if (rkt.isNullAt(0) || rkt.isNullAt(1)) rBuf.next() // skip nulls
+            if (rkt.isNullAt(0) || rkt.isNullAt(1)) { rBuf.next(); fwdValid = false }
             else {
               val c = keyCompare(rkt.get(0, keyDt), lk)
-              if (c < 0) rBuf.next() // stale key: discard
-              else if (c == 0 && timeLeq(rkt.get(1, timeDt), lt)) {
-                matchRow = rBuf.next().copy() // newest row at-or-before lt
-                matchKeyRow = lkt.copy()
+              if (c < 0) { rBuf.next(); fwdValid = false } // stale key: discard
+              else if (c == 0 && timeLeq(rkt.get(1, timeDt), lt) &&
+                  !(dir == "forward" &&
+                    timeLeq(lt, rkt.get(1, timeDt)))) { // forward keeps rtime==lt in buffer
+                val consumed = rBuf.next(); fwdValid = false
+                if (dir != "forward") { // backward/nearest state
+                  matchRow = consumed.copy()
+                  matchKeyRow = lkt.copy()
+                }
               } else advancing = false // future key or future time: stop
             }
           }
-          outProj(joiner(l, if (matchRow != null) matchRow else nullRight))
+          // forward candidate = current head iff same key (never consumed)
+          val fwdRow: InternalRow =
+            if (dir == "backward") null
+            else if (rBuf.hasNext) {
+              val rkt = rProj(rBuf.head)
+              if (!rkt.isNullAt(0) && !rkt.isNullAt(1) &&
+                  keyCompare(rkt.get(0, keyDt), lk) == 0) {
+                if (!fwdValid) { fwdCopy = rBuf.head.copy(); fwdValid = true }
+                fwdCopy
+              } else null
+            } else null
+          val chosen: InternalRow = dir match {
+            case "backward" => matchRow
+            case "forward" => fwdRow
+            case "nearest" =>
+              if (matchRow == null) fwdRow
+              else if (fwdRow == null) matchRow
+              else {
+                val bt = asLong(rProj(matchRow).get(1, timeDt))
+                val ft = asLong(rProj(fwdRow).get(1, timeDt))
+                val ltL = asLong(lt)
+                if (ltL - bt <= ft - ltL) matchRow else fwdRow // tie → backward
+              }
+          }
+          outProj(joiner(l, if (chosen != null) chosen else nullRight))
         }
       }
     }
@@ -167,7 +220,10 @@ case class AsOfMergeJoinExec(
 object AsOfJoinApi {
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
-      leftTime: Column, rightTime: Column): DataFrame = {
+      leftTime: Column, rightTime: Column,
+      direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"as-of direction must be backward|forward|nearest, got '$direction'")
     val spark = left.sparkSession
     val extra = spark.experimental.extraStrategies
     if (!extra.contains(AsOfJoinStrategy))
@@ -175,6 +231,6 @@ object AsOfJoinApi {
     import GraftSqlShim.{expression => e}
     GraftSqlShim.ofRows(spark, AsOfJoin(
       left.queryExecution.analyzed, right.queryExecution.analyzed,
-      e(leftKey), e(rightKey), e(leftTime), e(rightTime)))
+      e(leftKey), e(rightKey), e(leftTime), e(rightTime), direction))
   }
 }

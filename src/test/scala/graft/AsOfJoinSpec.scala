@@ -45,6 +45,43 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native.except(composed).isEmpty && composed.except(native).isEmpty)
   }
 
+  test("forward/nearest directions: crafted picks and tie rules") {
+    val l = Seq((1L, 25L, "q25"), (1L, 30L, "q30"), (1L, 45L, "q45"), (2L, 10L, "q2"))
+      .toDF("k", "t", "lv")
+    val r = Seq((1L, 20L, "r20"), (1L, 30L, "r30"), (1L, 40L, "r40"))
+      .toDF("rk", "rt", "rv")
+    def run(dir: String) = graft.plans.AsOfJoinApi
+      .asofJoin(l, r, l("k"), r("rk"), l("t"), r("rt"), dir)
+      .select($"lv", $"rv").collect().map(x => (x.getString(0), x.getString(1))).toMap
+    // forward: smallest rt >= t (30 matches itself; past-the-end → null)
+    assert(run("forward") == Map("q25" -> "r30", "q30" -> "r30",
+      "q45" -> null, "q2" -> null))
+    // nearest: 25 is equidistant to 20/30 → backward tie-break picks 20;
+    // 45 only has a backward candidate
+    assert(run("nearest") == Map("q25" -> "r20", "q30" -> "r30",
+      "q45" -> "r40", "q2" -> null))
+  }
+
+  test("forward ≡ backward on negated times (the defining duality)") {
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", unix_micros($"ts").as("t"), ($"user_id" + 1).as("k"))
+    val ord = Tables.orders(spark, sf)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"))
+      .select($"o_custkey", unix_micros($"o_orderdate".cast("timestamp")).as("rt"),
+        $"o_orderkey")
+    val fwd = graft.plans.AsOfJoinApi.asofJoin(ev, ord,
+        ev("k"), ord("o_custkey"), ev("t"), ord("rt"), "forward")
+      .select($"event_id", $"o_orderkey")
+    val evN = ev.select($"event_id", (-$"t").as("t"), $"k")
+    val ordN = ord.select($"o_custkey", (-$"rt").as("rt"), $"o_orderkey")
+    val bwdNeg = graft.plans.AsOfJoinApi.asofJoin(evN, ordN,
+        evN("k"), ordN("o_custkey"), evN("t"), ordN("rt"), "backward")
+      .select($"event_id", $"o_orderkey")
+    assert(fwd.except(bwdNeg).isEmpty && bwdNeg.except(fwd).isEmpty)
+    assert(fwd.count() == bwdNeg.count())
+  }
+
   test("composes with streaming: foreachBatch as-of enriches micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
