@@ -83,6 +83,37 @@ object AsOf {
           |ORDER BY event_id""".stripMargin),
       headline = true),
 
+    // Q41c [J9] FORWARD as-of through the same native operator: each event
+    // picks its user's NEXT order at-or-after event time (the "what
+    // happened next" enrichment — lead-time analysis, next-touch
+    // attribution). Same merge plan as q41b with the pointer matching the
+    // unconsumed head instead of the last consumed row; DuckDB mirrors it
+    // with the <= ASOF inequality.
+    "q41c_asof_forward" -> QueryDef(
+      build = (s, d) => {
+        val ev = Tables.events(s, d)
+          .select($("event_id"), $("ts"), ($("user_id") + 1).as("custkey"))
+        val ord = Tables.orders(s, d)
+          .groupBy($("o_custkey"), $("o_orderdate"))
+          .agg(max($("o_orderkey")).as("o_orderkey"))
+        graft.plans.AsOfJoinApi.asofJoin(ev, ord,
+            ev("custkey"), ord("o_custkey"),
+            ev("ts"), ord("o_orderdate").cast("timestamp"), "forward")
+          .select($("event_id"), $("custkey"),
+            $("o_orderkey").as("next_orderkey"),
+            $("o_orderdate").as("next_orderdate"))
+          .orderBy($("event_id"))
+      },
+      oracle = Some(
+        """WITH ev AS (SELECT event_id, ts, user_id + 1 AS custkey FROM events),
+          |ord AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+          |        FROM orders GROUP BY o_custkey, o_orderdate)
+          |SELECT event_id, custkey, o_orderkey AS next_orderkey,
+          |  o_orderdate AS next_orderdate
+          |FROM ev ASOF LEFT JOIN ord
+          |  ON ev.custkey = ord.o_custkey AND ev.ts <= ord.o_orderdate
+          |ORDER BY event_id""".stripMargin)),
+
     // Q42 [S4] append sink semantics: two appends of nation land 2 copies
     // of every key (INSERT INTO … VALUES per the reference's
     // Server/main.go:217, batched). Read-back proves the writer appended
