@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 
-import graft.plans.{CharNgramHashes, FloatDotProduct, InterleaveBits, MinHashSigArr, PolyHash, PqEncode, PqLuts, ShingleHashes, ShinglePolyHashes}
+import graft.plans.{CharNgramHashes, FloatDotProduct, InterleaveBits, MinHashSigArr, NfcNormalize, PolyHash, PqEncode, PqLuts, ShingleHashes, ShinglePolyHashes, StripAccents}
 
 /** Engine extension wiring: native expressions registered into the session
   * FunctionRegistry, installable either via
@@ -91,7 +91,22 @@ object GraftExtensions {
       new ExpressionInfo(classOf[PqLuts].getName, "pq_luts"),
       (children: Seq[Expression]) => PqLuts(children.head,
         constFloatArray("pq_luts", 1, children(1)),
-        constNum("pq_luts", 2, children(2)).intValue())))
+        constNum("pq_luts", 2, children(2)).intValue())),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)),
+    (FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+      (children: Seq[Expression]) => StripAccents(children.head)),
+    // Spark's own runtime-filter probe (the expression InjectRuntimeFilter
+    // plants on the application side of a bloom-pruned join), exposed as a
+    // registered function so an explicitly staged bloom pre-filter (build a
+    // bounded sketch of corpus A, probe every row of corpus B before the
+    // exact confirm join) can stay fully codegen'd — no UDF, no closure
+    // serialization. args: (serialized bloom BINARY literal, xxhash64 BIGINT).
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) => BloomFilterMightContain(children.head, children(1))))
 
   /** Idempotent per-session registration. The optimizer rule goes through
     * `experimental.extraOptimizations` (the post-build equivalent of

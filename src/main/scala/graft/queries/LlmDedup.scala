@@ -397,7 +397,49 @@ object LlmDedup {
           .select($("a_id"), $("b_id"), $("hamming").cast("long").as("hamming"))
           .orderBy($("a_id"), $("b_id"))
       },
-      oracle = Some(simhashOracleSql))
+      oracle = Some(simhashOracleSql)),
+
+    // Q27h [extension: cross-corpus bloom dedup] "which docs in the NEW
+    // crawl shard already exist in the reference corpus" — the incremental
+    // flavor of exact dedup, and at 100 TB the one where a plain join is
+    // wasteful: the reference corpus is petabyte-class but its KEY SET
+    // compresses to a bloom filter (~1.2 GB per 10⁹ keys at 1% fpp, built
+    // with one aggregation job), so the new shard is pre-filtered by a
+    // codegen'd probe (`bloom_might_contain`, the same expression Spark's
+    // InjectRuntimeFilter plants) before anything shuffles. Only the ~fpp
+    // survivors reach the exact confirm join, which removes bloom/hash
+    // false positives — so the OUTPUT is exact (blooms have no false
+    // negatives) and the oracle is a plain semi-join. Dedup key = md5 of
+    // the 8-word prefix (the fingerprint family of q28's rolling hash;
+    // full-text md5 finds zero dups in this synthetic corpus).
+    "q27h_dedup_bloom" -> QueryDef(
+      build = (s, d) => {
+        graft.GraftExtensions.install(s)
+        val fp = md5(array_join(slice(split($("text"), " "), 1, 8), " "))
+        val docs = Tables.documents(s, d)
+        val ref = docs.filter(pmod($("doc_id"), lit(2L)) === 0)
+          .select($("doc_id").as("ref_id"), fp.as("fp"))
+        val neu = docs.filter(pmod($("doc_id"), lit(2L)) === 1)
+          .select($("doc_id"), fp.as("fp"))
+        val bloom = ref.select(xxhash64($("fp")).as("h"))
+          .stat.bloomFilter("h", 1 << 17, 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        neu.filter(call_function("bloom_might_contain",
+            lit(bos.toByteArray), xxhash64($("fp"))))
+          .join(ref.select($("fp")).distinct(), Seq("fp"), "left_semi")
+          .select($("doc_id"), $("fp").as("dup_fp"))
+          .orderBy($("doc_id"))
+      },
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT doc_id,
+          |    md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp
+          |  FROM documents)
+          |SELECT doc_id, fp AS dup_fp FROM d
+          |WHERE doc_id % 2 = 1
+          |  AND fp IN (SELECT fp FROM d WHERE doc_id % 2 = 0)
+          |ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB replica of the full q27c pipeline. The per-shingle hash is the

@@ -414,6 +414,47 @@ object LlmText {
           |LEFT JOIN ev ON tr.s = ev.s
           |GROUP BY tr.doc_id
           |ORDER BY tr.doc_id""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // Q28k [extension: Unicode text canonicalization] the zeroth stage of
+    // corpus preprocessing: NFC composition + accent folding (native
+    // codegen'd expressions, plans/NormalizeText.scala), proven CROSS-ENGINE
+    // — Spark's JDK Normalizer and DuckDB's utf8proc must land on
+    // byte-identical outputs. The gate manufactures non-ASCII deterministically
+    // from the corpus itself: (1) `acc` swaps vowels for precomposed
+    // accented ones (translate), (2) `deco` injects the DECOMPOSED form
+    // (letter + U+0301 combining acute). Pins: md5(nfc(deco)) must equal
+    // the precomposed bytes both engines build independently, and
+    // md5(strip_accents(acc)) must round-trip to md5(original) — checked as
+    // a value (`roundtrip_ok`) AND cross-engine via the hashes themselves.
+    "q28k_normalize" -> QueryDef(
+      build = (s, d) => {
+        graft.GraftExtensions.install(s)
+        // escaped, not literal accented chars \u2014 the gate must not depend on
+        // the build's source-file charset. 00e1/00e9/00ed/00f3 = precomposed
+        // a/e/i/o-acute; 0301 = the combining acute NFC must re-compose.
+        val acc = translate($("text"), "aeio", "\u00e1\u00e9\u00ed\u00f3")
+        val deco = regexp_replace($("text"), "a", "a\u0301")
+        Tables.documents(s, d)
+          .select($("doc_id"),
+            md5(acc).as("acc_md5"),
+            md5(call_function("nfc_normalize", deco)).as("nfc_md5"),
+            md5(call_function("strip_accents", acc)).as("strip_md5"),
+            (md5(call_function("strip_accents", acc)) === md5($("text")))
+              .as("roundtrip_ok"))
+          .orderBy($("doc_id"))
+      },
+      oracle = Some(
+        """WITH t AS (
+          |  SELECT doc_id, text,
+          |    translate(text, 'aeio', 'áéíó') AS acc,
+          |    replace(text, 'a', 'a' || chr(769)) AS deco
+          |  FROM documents)
+          |SELECT doc_id,
+          |  md5(acc) AS acc_md5,
+          |  md5(nfc_normalize(deco)) AS nfc_md5,
+          |  md5(strip_accents(acc)) AS strip_md5,
+          |  (md5(strip_accents(acc)) = md5(text)) AS roundtrip_ok
+          |FROM t ORDER BY doc_id""".stripMargin))
   )
 }

@@ -290,5 +290,75 @@ object Mixing {
           |  (SELECT count(*) FROM embeddings WHERE vec_id IN (SELECT t_id FROM tomb)),
           |  (SELECT count(*) FROM embeddings WHERE vec_id NOT IN (SELECT t_id FROM tomb)),
           |  CAST(0 AS BIGINT)
-          |ORDER BY tbl""".stripMargin)))
+          |ORDER BY tbl""".stripMargin)),
+
+    // Q61 [extension: deterministic training order] the epoch shuffle: every
+    // trainer needs the corpus in a pseudorandom order that is (a) seeded —
+    // change one constant for the next epoch, (b) identical on ANY cluster
+    // size / input split layout — the shuffle key is a pure function of
+    // doc_id, never of partition index or task schedule (the reason
+    // `monotonically_increasing_id`/`rand()` are banned from this path),
+    // and (c) shardable — shard k feeds data-parallel worker k. At 100 TB
+    // this is exactly one hash-partition exchange on `shard` followed by a
+    // partition-local sort on (h, doc_id) — `repartition(shard).
+    // sortWithinPartitions(h, doc_id)` streams straight to the shard files,
+    // nothing global. The gate pins the ENTIRE per-shard sequence (md5 of
+    // the ordered id list, q17/q28f convention) so both engines must agree
+    // on every position, not just counts.
+    "q61_train_order" -> QueryDef(
+      build = (s, d) =>
+        Tables.documents(s, d)
+          .select($("doc_id"),
+            pmod($("doc_id") * lit(2654435761L) + lit(1000003L), lit(1000000007L)).as("h"))
+          .withColumn("shard", pmod($("h"), lit(8L)))
+          .groupBy($("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            expr("element_at(transform(sort_array(collect_list(struct(h, doc_id))), x -> x.doc_id), 1)")
+              .as("first_id"),
+            expr("md5(array_join(transform(sort_array(collect_list(struct(h, doc_id))), x -> cast(x.doc_id AS string)), ','))")
+              .as("order_md5"))
+          .orderBy($("shard")),
+      oracle = Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    (doc_id * 2654435761 + 1000003) % 1000000007 AS h
+          |  FROM documents)
+          |SELECT h % 8 AS shard, count(*) AS n_docs,
+          |  (list(doc_id ORDER BY h, doc_id))[1] AS first_id,
+          |  md5(array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY h, doc_id), ',')) AS order_md5
+          |FROM t GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // Q62 [extension: per-domain frequency cap] C4/Gopher-style curation
+    // rule: no single domain may dominate the corpus — keep at most N docs
+    // per source, chosen by a DETERMINISTIC priority (seeded hash, doc_id
+    // tie-break), not "first N seen" (which depends on scan order and so
+    // isn't reproducible across runs/clusters). One hash-partition shuffle
+    // on `source`; within each domain the selection is a local top-N — at
+    // 100 TB this is TakeOrderedAndProject per group via the rank window,
+    // never a global sort. The gate emits the surviving rows themselves, so
+    // both engines must agree on every kept (doc_id, rank).
+    "q62_domain_cap" -> QueryDef(
+      build = (s, d) => {
+        val cap = 10
+        val w = Window.partitionBy($("source"))
+          .orderBy($("h"), $("doc_id"))
+        Tables.documents(s, d)
+          .select($("doc_id"), $("source"),
+            pmod($("doc_id") * lit(2654435761L) + lit(7L), lit(1000000007L)).as("h"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter($("rk") <= cap)
+          .select($("doc_id"), $("source"), $("rk"))
+          .orderBy($("doc_id"))
+      },
+      oracle = Some(
+        """WITH t AS (
+          |  SELECT doc_id, source,
+          |    (doc_id * 2654435761 + 7) % 1000000007 AS h
+          |  FROM documents),
+          |r AS (
+          |  SELECT doc_id, source,
+          |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rk
+          |  FROM t)
+          |SELECT doc_id, source, rk FROM r WHERE rk <= 10
+          |ORDER BY doc_id""".stripMargin)))
 }
