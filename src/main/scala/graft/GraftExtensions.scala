@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 
-import graft.plans.{CharNgramHashes, FloatDotProduct, InterleaveBits, MinHashSigArr, NfcNormalize, PolyHash, PqEncode, PqLuts, ShingleHashes, ShinglePolyHashes, StripAccents}
+import graft.plans.{CharNgramHashes, CmsEstimate, FloatDotProduct, InterleaveBits, MinHashSigArr, NfcNormalize, PolyHash, PqEncode, PqLuts, ShingleHashes, ShinglePolyHashes, StripAccents}
 
 /** Engine extension wiring: native expressions registered into the session
   * FunctionRegistry, installable either via
@@ -51,6 +51,19 @@ object GraftExtensions {
       case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toFloatArray()
       case other => throw new IllegalArgumentException(
         s"$fn: argument ${pos + 1} must be a constant float array, got $other")
+    }
+  }
+
+  /** Constant binary extraction (serialized sketches): evaluated once at
+    * plan time into the expression's reference object.
+    */
+  private def constBinary(fn: String, pos: Int, e: Expression): Array[Byte] = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be a constant binary, got non-foldable ${e.sql}")
+    e.eval() match {
+      case b: Array[Byte] => b
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be a constant binary, got $other")
     }
   }
 
@@ -106,7 +119,11 @@ object GraftExtensions {
     // serialization. args: (serialized bloom BINARY literal, xxhash64 BIGINT).
     (FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "bloom_might_contain"),
-      (children: Seq[Expression]) => BloomFilterMightContain(children.head, children(1))))
+      (children: Seq[Expression]) => BloomFilterMightContain(children.head, children(1))),
+    (FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (children: Seq[Expression]) => CmsEstimate(children.head,
+        constBinary("cms_estimate", 1, children(1)))))
 
   /** Idempotent per-session registration. The optimizer rule goes through
     * `experimental.extraOptimizations` (the post-build equivalent of

@@ -455,6 +455,43 @@ object LlmText {
           |  md5(nfc_normalize(deco)) AS nfc_md5,
           |  md5(strip_accents(acc)) AS strip_md5,
           |  (md5(strip_accents(acc)) = md5(text)) AS roundtrip_ok
-          |FROM t ORDER BY doc_id""".stripMargin))
+          |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // Q28l [extension: percentile quality cut] relative quality filtering:
+    // instead of q28e's absolute thresholds, keep each language's documents
+    // at or above that language's own 25th-percentile length — the
+    // distribution-aware cut real curation pipelines use so a rule tuned on
+    // English doesn't decimate a shorter-sentence language. Two-pass shape:
+    // a per-group percentile agg (bounded output: one row per lang; the
+    // 100 TB serving path swaps in approx_percentile's fixed-size sketch —
+    // q15b documents the pair), broadcast back over the corpus, filter.
+    // The interpolated cutoff is emitted rounded (q15b convention) and the
+    // kept set is exact-checked row-for-row; >= on the unrounded double is
+    // safe cross-engine because both engines interpolate the same exact
+    // rational and q15b pins their bit-equality.
+    "q28l_percentile_cut" -> QueryDef(
+      build = (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("n_tokens", size(split($("text"), " ")).cast("long"))
+        val cuts = docs.groupBy($("lang"))
+          .agg(expr("percentile(n_tokens, 0.25)").as("cut"))
+        docs.join(broadcast(cuts), "lang")
+          .filter($("n_tokens").cast("double") >= $("cut"))
+          .select($("doc_id"), $("lang"), $("n_tokens"),
+            round($("cut"), 4).as("lang_cut"))
+          .orderBy($("doc_id"))
+      },
+      oracle = Some(
+        """WITH t AS (
+          |  SELECT doc_id, lang,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |c AS (
+          |  SELECT lang, quantile_cont(n_tokens, 0.25) AS cut
+          |  FROM t GROUP BY lang)
+          |SELECT t.doc_id, t.lang, t.n_tokens, round(c.cut, 4) AS lang_cut
+          |FROM t JOIN c USING (lang)
+          |WHERE CAST(t.n_tokens AS DOUBLE) >= c.cut
+          |ORDER BY t.doc_id""".stripMargin))
   )
 }

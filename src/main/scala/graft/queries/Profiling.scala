@@ -133,5 +133,40 @@ object Profiling {
            |  CAST(count(*) AS BIGINT) AS n
            |FROM lineitem GROUP BY z_bucket ORDER BY z_bucket""".stripMargin
       },
-      headline = true))
+      headline = true),
+
+    // Q15d [extension: count-min frequency sketch] The frequency twin of
+    // q15c's distinct sketch: one combinable pass builds a fixed-size
+    // (~100 KB at eps=1e-3) count-min sketch of the key stream with Spark's
+    // built-in `count_min_sketch` aggregate; the new native
+    // [[graft.plans.CmsEstimate]] probe then answers per-key counts from it
+    // — "how hot is key X" without a per-key shuffle, the sublinear-space
+    // building block behind frequency capping and hot-key routing at 100 TB
+    // (cf. q46's heavy hitters, which needs the exact top set; the CMS
+    // answers point queries on EVERY key). Self-checking contract gate
+    // (q15c pattern): the CMS guarantee is one-sided, so per key the probe
+    // must satisfy exact ≤ est ≤ exact + eps·N (`lower_ok`/`upper_ok`);
+    // the exact counts themselves are the cross-engine hash check.
+    "q15d_cms_freq" -> QueryDef(
+      build = (s, d) => {
+        graft.GraftExtensions.install(s)
+        val eps = 0.001
+        val ev = Tables.events(s, d)
+        val sk = ev.select(
+          expr(s"count_min_sketch(event_type, ${eps}d, 0.999d, 42)").as("sk"))
+          .head.getAs[Array[Byte]](0)
+        ev.groupBy($("event_type"))
+          .agg(count(lit(1)).as("exact_cnt"))
+          .crossJoin(ev.agg(count(lit(1)).as("n_total")))
+          .withColumn("est", call_function("cms_estimate", $("event_type"), lit(sk)))
+          .select($("event_type"), $("exact_cnt"),
+            ($("est") >= $("exact_cnt")).as("lower_ok"),
+            ($("est") <= $("exact_cnt")
+              + ceil(lit(eps) * $("n_total")).cast("long")).as("upper_ok"))
+          .orderBy($("event_type"))
+      },
+      oracle = Some(
+        """SELECT event_type, count(*) AS exact_cnt,
+          |  TRUE AS lower_ok, TRUE AS upper_ok
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)))
 }

@@ -69,4 +69,40 @@ class SketchSpec extends SparkSpec {
       .collect().sortBy(p => (-p._2, p._1)).take(20).toSeq
     assert(one == exact, s"under-capacity sketch must be exact:\n$one\nvs\n$exact")
   }
+
+  test("q15d probe: cms_estimate honors the one-sided error bound on every key, both key types") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    val eps = 0.001
+    val words = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("w"))
+      .withColumn("wid", xxhash64($"w"))
+    val n = words.count()
+    val slack = math.ceil(eps * n).toLong
+    for (keyCol <- Seq("w", "wid")) {
+      val sk = words.select(
+        expr(s"count_min_sketch($keyCol, ${eps}d, 0.999d, 7)").as("sk"))
+        .head.getAs[Array[Byte]](0)
+      val bad = words.groupBy(col(keyCol)).agg(count(lit(1)).as("exact"))
+        .withColumn("est", call_function("cms_estimate", col(keyCol), lit(sk)))
+        .filter($"est" < $"exact" || $"est" > $"exact" + lit(slack))
+        .count()
+      assert(bad == 0L, s"cms_estimate($keyCol) broke exact<=est<=exact+$slack on $bad keys")
+    }
+    // the probe and the sketch must agree across a repartition (merge path)
+    val sk13 = words.repartition(13).select(
+      expr(s"count_min_sketch(w, ${eps}d, 0.999d, 7)").as("sk"))
+      .head.getAs[Array[Byte]](0)
+    val sk1 = words.repartition(1).select(
+      expr(s"count_min_sketch(w, ${eps}d, 0.999d, 7)").as("sk"))
+      .head.getAs[Array[Byte]](0)
+    val keys = words.select($"w").distinct().orderBy($"w")
+    val probe13 = keys.select(
+      call_function("cms_estimate", $"w", lit(sk13)).as("e")).as[Long].collect()
+    val probe1 = keys.select(
+      call_function("cms_estimate", $"w", lit(sk1)).as("e")).as[Long].collect()
+    assert(probe13.sameElements(probe1),
+      "CMS counters must be partition-layout independent (pure adds merge exactly)")
+  }
 }

@@ -175,6 +175,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((t(8), t(0)), (t(8), t(5)), (t(25), t(20))), rows.toString)
   }
 
+  test("stream-static join: micro-batches enrich against a broadcast dimension with no stream state") {
+    // The OTHER streaming-join shape (q43 covers stream-stream): each
+    // micro-batch joins a static dim table — no watermark, no state store,
+    // the dim is re-broadcast per batch. At 100 TB the dim side is the
+    // bounded one (nation here), so this stays a map-side hash join per
+    // batch no matter how long the stream runs.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val dim = Tables.nation(spark, sf)
+      .select($"n_nationkey".cast("long").as("k"), $"n_name")
+    val joined = mem.toDF().toDF("k")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("k"), "left")
+    val q = joined.writeStream.format("memory").queryName("ss_dim_t")
+      .outputMode("append").start()
+    mem.addData(0L, 3L, 99L) // 99 has no dim row -> null name survives (left)
+    q.processAllAvailable()
+    mem.addData(3L) // second batch re-joins the same dim
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ss_dim_t")
+      .select($"k", $"n_name").as[(Long, Option[String])].collect().toSeq
+    assert(out.count(_._1 == 3L) == 2, s"both batches must join: $out")
+    assert(out.collectFirst { case (99L, name) => name }.contains(None),
+      s"unmatched stream row must survive the left join: $out")
+    assert(out.collect { case (3L, Some(n)) => n }.toSet.size == 1,
+      "the same dim row must enrich both batches identically")
+  }
+
   test("custom state: flatMapGroupsWithState running per-user event counts") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     implicit val sqlCtx = spark.sqlContext
