@@ -168,5 +168,60 @@ object Profiling {
       oracle = Some(
         """SELECT event_type, count(*) AS exact_cnt,
           |  TRUE AS lower_ok, TRUE AS upper_ok
-          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)))
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Q63 [extension: table checksum / anti-entropy] Compare two copies of a
+    // petabyte table WITHOUT moving either: each side computes an
+    // order-independent fingerprint (row-hash folded with the two standard
+    // combiners — XOR, which detects any single-row difference, plus a
+    // modular SUM and a count, which un-blind XOR to paired/duplicated-row
+    // changes) per scope bucket, then only the tiny checksum rows travel.
+    // This is the replica-verification primitive behind storage
+    // anti-entropy (Dynamo/Cassandra Merkle levels — per-status scopes here
+    // play the tree-node role: a mismatch localizes repair to one scope's
+    // rows). Fully combinable aggs ⇒ one map-side-partial pass, shuffle =
+    // #scopes rows. Row hash = md5 over '|'-joined canonical renderings
+    // (money as exact cents), truncated to 15 hex digits → BIGINT — the
+    // gate proves both engines derive identical 60-bit row fingerprints
+    // from identical logical rows, i.e. the checksums are portable across
+    // engines, not just across replicas of one engine.
+    "q63_table_checksum" -> QueryDef(
+      build = (s, d) => {
+        val fields = Seq(
+          $("o_orderkey").cast("string"),
+          $("o_custkey").cast("string"),
+          $("o_orderstatus"),
+          $("o_orderpriority"),
+          cents($("o_totalprice")).cast("string"))
+        val fp = conv(substring(md5(concat_ws("|", fields: _*)), 1, 15), 16, 10)
+          .cast("long")
+        val base = Tables.orders(s, d).select($("o_orderstatus"), fp.as("fp"))
+        val perScope = base.groupBy($("o_orderstatus").as("scope"))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(fp)").as("xor_fp"),
+            sum(pmod($("fp"), lit(1099511627776L))).as("sum_fp"))
+        val global = base
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(fp)").as("xor_fp"),
+            sum(pmod($("fp"), lit(1099511627776L))).as("sum_fp"))
+          .select(lit("GLOBAL").as("scope"), $("n_rows"), $("xor_fp"), $("sum_fp"))
+        perScope.unionByName(global).orderBy($("scope"))
+      },
+      oracle = Some {
+        val fpSql = "CAST(('0x' || substr(md5(concat_ws('|', " +
+          "CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), " +
+          "o_orderstatus, o_orderpriority, " +
+          s"CAST(${centsSql("o_totalprice")} AS VARCHAR))), 1, 15)) AS BIGINT)"
+        s"""WITH f AS (
+           |  SELECT o_orderstatus, $fpSql AS fp FROM orders)
+           |SELECT o_orderstatus AS scope, count(*) AS n_rows,
+           |  bit_xor(fp) AS xor_fp,
+           |  CAST(sum(fp % 1099511627776) AS BIGINT) AS sum_fp
+           |FROM f GROUP BY o_orderstatus
+           |UNION ALL
+           |SELECT 'GLOBAL', count(*), bit_xor(fp),
+           |  CAST(sum(fp % 1099511627776) AS BIGINT)
+           |FROM f
+           |ORDER BY scope""".stripMargin
+      }))
 }

@@ -149,5 +149,44 @@ object SemDedup {
           |  list_max(codes) AS code_max,
           |  list_max(list_transform(list_zip(embedding, codes),
           |    p -> abs(CAST(p[1] AS DOUBLE) - p[2] * scale))) <= scale * 0.5000001 AS err_ok
-          |FROM c ORDER BY vec_id""".stripMargin)))
+          |FROM c ORDER BY vec_id""".stripMargin)),
+
+    // Q64 [extension: random projection / dimensionality reduction] Seeded
+    // Johnson-Lindenstrauss sign projection 64-d → k-d: rp_j = Σ_i x_i ·
+    // s(i,j) with s(i,j) ∈ {±1} derived from an integer hash of (i,j) — the
+    // matrix-free JL variant (Achlioptas 2003: Rademacher entries preserve
+    // pairwise distances like Gaussian ones), which at 100 TB means the
+    // "matrix" ships as one seed constant, not a broadcast, and projection
+    // is a zero-shuffle per-row map. This is the front half of every
+    // bit-sampling LSH / compact-index build (q27c's SimHash is exactly
+    // this plus sign-thresholding). Determinism: the fold over i is a LEFT
+    // fold in index order on doubles (float→double casts are exact), the
+    // convention LlmSimilarity's scaladoc pins — both engines produce
+    // bit-identical sums, hash-checked after round(·,4).
+    "q64_random_projection" -> QueryDef(
+      build = (s, d) => {
+        def sign(i: org.apache.spark.sql.Column, j: Int) =
+          when(pmod((i.cast("long") * 31L + lit(j.toLong)) * 2654435761L,
+            lit(1000000007L)) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+        def rp(j: Int) = aggregate(sequence(lit(0), lit(63)), lit(0.0),
+          (acc, i) => acc + element_at($("embedding"), i + 1).cast("double") * sign(i, j))
+        // + 0.0 after the round: a sum that rounds to zero from below is
+        // -0.0, whose sign bit survives round() differently across engines;
+        // IEEE -0.0 + 0.0 = +0.0 normalizes it on both sides.
+        Tables.embeddings(s, d)
+          .select(Seq($("vec_id")) ++
+            (0 until 4).map(j => (round(rp(j), 4) + lit(0.0)).as(s"rp$j")): _*)
+          .orderBy($("vec_id"))
+      },
+      oracle = Some {
+        def rpSql(j: Int) =
+          "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+            "list_transform(range(0, 64), i -> CAST(embedding[i+1] AS DOUBLE) * " +
+            s"(CASE WHEN ((i*31 + $j) * 2654435761 % 1000000007) % 2 = 0 " +
+            "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))), " +
+            "(a,b) -> a + b)"
+        s"""SELECT vec_id,
+           |  ${(0 until 4).map(j => s"round(${rpSql(j)}, 4) + 0.0 AS rp$j").mkString(",\n  ")}
+           |FROM embeddings ORDER BY vec_id""".stripMargin
+      }))
 }
