@@ -223,5 +223,61 @@ object Profiling {
            |  CAST(sum(fp % 1099511627776) AS BIGINT)
            |FROM f
            |ORDER BY scope""".stripMargin
+      }),
+
+    // Q66 [extension: exact distributed correlation] Pearson corr/covariance
+    // per group WITHOUT float drift: built-in corr()/covar_samp() stream
+    // IEEE partial moments whose totals depend on partition merge order —
+    // the same number can hash-differ between two runs of the SAME engine,
+    // let alone across engines. The Canon fix: the five sufficient
+    // statistics (n, Σx, Σy, Σxy, Σx², Σy²) are INTEGER sums over exact
+    // cents (associative ⇒ identical on any cluster size / partition
+    // layout), promoted to DECIMAL(38,0) where products overflow int64
+    // (Σy² here). The final assembly is a fixed scalar expression over
+    // exact operands — decimal→double rounding, sqrt, one division — each
+    // correctly-rounded IEEE ops on identical inputs, so the result is
+    // bit-identical cross-engine and rounds safely. The per-group stats
+    // themselves travel as the combinable partials at 100 TB (one map-side
+    // pass, shuffle = #groups).
+    "q66_exact_corr" -> QueryDef(
+      build = (s, d) => {
+        val dec = "decimal(38,0)"
+        val stats = Tables.lineitem(s, d)
+          .select($("l_returnflag"),
+            cents($("l_quantity")).as("x"), cents($("l_extendedprice")).as("y"))
+          .groupBy($("l_returnflag"))
+          .agg(count(lit(1)).cast(dec).as("n"),
+            sum($("x")).cast(dec).as("sx"),
+            sum($("y")).cast(dec).as("sy"),
+            sum(($("x") * $("y")).cast(dec)).as("sxy"),
+            sum(($("x") * $("x")).cast(dec)).as("sxx"),
+            sum(($("y") * $("y")).cast(dec)).as("syy"))
+        val covN = ($("n") * $("sxy") - $("sx") * $("sy")).cast("double")
+        val vx = ($("n") * $("sxx") - $("sx") * $("sx")).cast("double")
+        val vy = ($("n") * $("syy") - $("sy") * $("sy")).cast("double")
+        stats.select($("l_returnflag"), $("n").cast("long").as("n_rows"),
+            (round(covN / (sqrt(vx) * sqrt(vy)), 6) + lit(0.0)).as("corr_qty_price"),
+            (round(covN / ($("n") * ($("n") - lit(1))).cast("double"), 2) + lit(0.0))
+              .as("covar_cents2"))
+          .orderBy($("l_returnflag"))
+      },
+      oracle = Some {
+        val x = centsSql("l_quantity"); val y = centsSql("l_extendedprice")
+        s"""WITH s AS (
+           |  SELECT l_returnflag,
+           |    CAST(count(*) AS DECIMAL(38,0)) AS n,
+           |    CAST(sum($x) AS DECIMAL(38,0)) AS sx,
+           |    CAST(sum($y) AS DECIMAL(38,0)) AS sy,
+           |    CAST(sum(CAST($x * $y AS HUGEINT)) AS DECIMAL(38,0)) AS sxy,
+           |    CAST(sum(CAST($x * $x AS HUGEINT)) AS DECIMAL(38,0)) AS sxx,
+           |    CAST(sum(CAST($y * $y AS HUGEINT)) AS DECIMAL(38,0)) AS syy
+           |  FROM lineitem GROUP BY l_returnflag)
+           |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           |  round(CAST(n*sxy - sx*sy AS DOUBLE)
+           |    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+           |       * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) + 0.0 AS corr_qty_price,
+           |  round(CAST(n*sxy - sx*sy AS DOUBLE)
+           |    / CAST(n*(n-1) AS DOUBLE), 2) + 0.0 AS covar_cents2
+           |FROM s ORDER BY l_returnflag""".stripMargin
       }))
 }

@@ -258,6 +258,37 @@ object RelationalPipeline {
           |FROM sessions GROUP BY user_id, session_id
           |ORDER BY user_id, session_id""".stripMargin)),
 
+    // Q29c [T5 family: sliding window] overlapping hopping windows — 1-hour
+    // span every 30 minutes, so each event lands in exactly span/slide = 2
+    // windows. Spark's window() expands the row to its window set BEFORE
+    // the hash agg (2× row amplification, then combinable partials — the
+    // shuffle carries #windows × #groups, not 2× the events); the oracle
+    // builds the same two epoch-aligned starts explicitly with time_bucket
+    // and unnest. Batch twin of the q38 streaming shape; sliding counts
+    // feed rate monitors (events/hour refreshed every 30 min) where a
+    // tumbling window would miss cross-boundary bursts.
+    "q29c_sliding_window" -> QueryDef(
+      build = (s, d) =>
+        Tables.events(s, d)
+          .groupBy(window($("ts"), "1 hour", "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct($("user_id")).as("n_users"),
+            sum(cents($("value"))).as("val_cents"))
+          .select($("w.start").as("w_start"), $("n"), $("n_users"),
+            asDollars($("val_cents")).as("val_sum"))
+          .orderBy($("w_start")),
+      oracle = Some(
+        s"""WITH e AS (
+           |  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+           |                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+           |      AS w_start,
+           |    user_id, ${centsSql("value")} AS val_cents
+           |  FROM events)
+           |SELECT w_start, count(*) AS n,
+           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           |  (CAST(sum(val_cents) AS BIGINT) / 100) AS val_sum
+           |FROM e GROUP BY w_start ORDER BY w_start""".stripMargin)),
+
     // Q30 [flagship: A2+J3+W1] nation × year revenue with in-nation rank:
     // star join → hash agg → window. nation (25 rows) broadcasts; customer
     // grows with SF so customer⋈orders shuffles on the key. The lineitem
