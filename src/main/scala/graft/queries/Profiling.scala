@@ -279,5 +279,51 @@ object Profiling {
            |  round(CAST(n*sxy - sx*sy AS DOUBLE)
            |    / CAST(n*(n-1) AS DOUBLE), 2) + 0.0 AS covar_cents2
            |FROM s ORDER BY l_returnflag""".stripMargin
+      }),
+
+    // Q67 [extension: statistical outlier flagging] per-group kσ rule with
+    // ZERO floating point: a value is an outlier iff (x−μ)² > k²σ², which
+    // multiplied through by n² (and by k's denominator²) becomes pure
+    // integer arithmetic over exact cents — 4·(n·x − Σx)² > 9·(n·Σx² −
+    // (Σx)²) for k = 3/2 (DECIMAL(38,0) headroom; k=1.5 because the
+    // synthetic uniform totalprice has no mass beyond √3σ — a production
+    // heavy-tail corpus uses 3). The flag can NEVER disagree between
+    // engines/partitionings on a boundary value, the failure mode of float
+    // z-scores. Two passes at scale: the combinable (n, Σx, Σx²) agg
+    // (shuffle = #groups), broadcast back, flag per row map-side. The gate
+    // emits every flagged row.
+    "q67_outliers" -> QueryDef(
+      build = (s, d) => {
+        val dec = "decimal(38,0)"
+        val stats = Tables.orders(s, d)
+          .select($("o_orderpriority"), cents($("o_totalprice")).as("x"))
+          .groupBy($("o_orderpriority"))
+          .agg(count(lit(1)).cast(dec).as("n"),
+            sum($("x")).cast(dec).as("sx"),
+            sum(($("x") * $("x")).cast(dec)).as("sxx"))
+        // (x−μ)² > (3/2)²σ² with μ=Σx/n, σ²=(nΣx²−(Σx)²)/n², multiplied
+        // through by 4n²: 4·(n·x − Σx)² > 9·(n·Σx² − (Σx)²) — exact at
+        // DECIMAL(38,0) magnitudes (4·dev² ≲ 1e29 at sf1).
+        val dev = $("n") * $("x").cast(dec) - $("sx")
+        val varn2 = $("n") * $("sxx") - $("sx") * $("sx")
+        Tables.orders(s, d)
+          .select($("o_orderkey"), $("o_orderpriority"), cents($("o_totalprice")).as("x"))
+          .join(broadcast(stats), "o_orderpriority")
+          .filter(lit(4).cast(dec) * dev * dev > lit(9).cast(dec) * varn2)
+          .select($("o_orderkey"), $("o_orderpriority"), $("x").as("cents"))
+          .orderBy($("o_orderkey"))
+      },
+      oracle = Some {
+        val x = centsSql("o_totalprice")
+        s"""WITH s AS (
+           |  SELECT o_orderpriority,
+           |    CAST(count(*) AS HUGEINT) AS n,
+           |    CAST(sum($x) AS HUGEINT) AS sx,
+           |    sum(CAST($x AS HUGEINT) * CAST($x AS HUGEINT)) AS sxx
+           |  FROM orders GROUP BY o_orderpriority)
+           |SELECT o_orderkey, o.o_orderpriority, $x AS cents
+           |FROM orders o JOIN s ON o.o_orderpriority = s.o_orderpriority
+           |WHERE 4 * (n * $x - sx) * (n * $x - sx) > 9 * (n * sxx - sx * sx)
+           |ORDER BY o_orderkey""".stripMargin
       }))
 }

@@ -323,4 +323,39 @@ class PlanSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("minhash_sig")), msgs(ex).mkString(" | "))
   }
+
+  test("q27h: bloom probe filters the new shard BEFORE the exact confirm join") {
+    val p = plan("q27h_dedup_bloom")
+    // BloomFilterMightContain renders with its prettyName `might_contain`
+    assert(p.contains("might_contain"), p.take(4000))
+    assert(p.contains("LeftSemi"), p.take(4000))
+    // the probe must be a Filter under the join (pre-join pruning), not a
+    // post-join residual: in the formatted plan the detail sections follow
+    // tree order, so the probe's Condition line sits after the join line.
+    val lines = p.linesIterator.toSeq
+    val joinIdx = lines.indexWhere(_.contains("Join"))
+    val probeIdx = lines.indexWhere(l => l.contains("might_contain") && l.contains("Condition"))
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"probe filter must sit below the confirm join:\n${p.take(4000)}")
+  }
+
+  test("q61/q64: row-local pipelines shuffle once (agg or sort), never twice over the data") {
+    // q61: one hash exchange into the shard agg + the final-sort range
+    // exchange. q64: a pure projection — only the final sort may shuffle.
+    val p61 = plan("q61_train_order")
+    val s61 = p61.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(s61 <= 2, s"q61 must shuffle only for shard agg + sort:\n$p61")
+    assert(p61.contains("partial_count") || p61.contains("HashAggregate"), p61)
+    val p64 = plan("q64_random_projection")
+    val s64 = p64.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(s64 <= 1, s"q64 must shuffle only for the final sort:\n$p64")
+    assert(!p64.contains("Join"), s"q64 is matrix-free — no join:\n$p64")
+  }
+
+  test("q63: checksum aggs are combinable (partial+final), shuffle carries only scope rows") {
+    val p = plan("q63_table_checksum")
+    assert(p.contains("partial_count") || p.contains("partial_bit_xor")
+      || p.contains("HashAggregate"), p)
+    assert(!p.contains("SortMergeJoin"), s"no join may touch the rows:\n$p")
+  }
 }
