@@ -278,6 +278,40 @@ object RelationalCore {
           |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
           |ORDER BY p_partkey""".stripMargin)),
 
+    // Q68 [J-family completion: null-safe equi join] `<=>` (IS NOT DISTINCT
+    // FROM): NULL keys MATCH each other instead of silently dropping — the
+    // semantics every reconciliation join needs when the key is optional
+    // (here: order priority with one value nulled out, the "unclassified"
+    // bucket both sides must still pair up on). Planned as a regular hash
+    // join (null-safe equality is hashable: NULL gets its own hash bucket),
+    // NOT a nested loop — same shuffle/broadcast story as q05/q06. FULL
+    // OUTER over two aggregates so the gate also pins the unmatched-side
+    // NULL fill, and NULLS FIRST is pinned explicitly (engine defaults
+    // differ).
+    "q68_nullsafe_join" -> QueryDef(
+      build = (s, d) => {
+        val key = expr("nullif(o_orderpriority, '1-URGENT')")
+        val a = Tables.orders(s, d).groupBy(key.as("k"))
+          .agg(count(lit(1)).as("n_all"))
+        val b = Tables.orders(s, d).filter($("o_orderkey") % 3 === 0)
+          .groupBy(key.as("k")).agg(count(lit(1)).as("n_third"))
+        a.join(b, a("k") <=> b("k"), "full_outer")
+          .select(coalesce(a("k"), b("k")).as("k_shown"),
+            a("k").isNull.as("k_is_null"), $("n_all"), $("n_third"))
+          .orderBy(asc_nulls_first("k_shown"))
+      },
+      oracle = Some(
+        """WITH a AS (
+          |  SELECT nullif(o_orderpriority, '1-URGENT') AS k, count(*) AS n_all
+          |  FROM orders GROUP BY 1),
+          |b AS (
+          |  SELECT nullif(o_orderpriority, '1-URGENT') AS k, count(*) AS n_third
+          |  FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1)
+          |SELECT coalesce(a.k, b.k) AS k_shown, a.k IS NULL AS k_is_null,
+          |  n_all, n_third
+          |FROM a FULL JOIN b ON a.k IS NOT DISTINCT FROM b.k
+          |ORDER BY k_shown NULLS FIRST""".stripMargin)),
+
     // Q11 [J7] non-equi (theta) range join, executed as a BANDED equi-join:
     // each part's price interval [retail*10, retail*20] is exploded onto the
     // fixed price grid it overlaps (interval length / W ≈ 1-3 bands), each

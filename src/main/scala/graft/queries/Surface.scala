@@ -320,7 +320,45 @@ object Surface {
           .orderBy($("record_id"))
       },
       oracle = Some(
-        "SELECT i AS record_id, true AS ok FROM range(1000) t(i) ORDER BY record_id"))
+        "SELECT i AS record_id, true AS ok FROM range(1000) t(i) ORDER BY record_id")),
+
+    // Q69 [extension: SQL API surface] every other gate drives the
+    // DataFrame API; this one enters through `spark.sql` over registered
+    // views — the surface a BI tool or SQL notebook user actually hits —
+    // and exercises the analyzer features that only exist there: a CTE, a
+    // CORRELATED EXISTS (decorrelated by Catalyst into the q09 semi join —
+    // same physical plan family, arrived at from SQL), and an
+    // integer-exact "above average" via cross-multiplied scalar
+    // subqueries (n·count ≥ Σn avoids the float avg that could hash-drift).
+    // The oracle is the same ANSI text modulo view names — the point of a
+    // standard SQL surface.
+    "q69_sql_surface" -> QueryDef(
+      build = (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        Tables.customer(s, d).createOrReplaceTempView("customer_v")
+        s.sql("""
+          WITH big AS (
+            SELECT o_custkey, count(*) AS n_orders FROM orders_v GROUP BY o_custkey)
+          SELECT c.c_custkey, c.c_name, b.n_orders
+          FROM customer_v c
+          JOIN big b ON b.o_custkey = c.c_custkey
+          WHERE EXISTS (SELECT 1 FROM orders_v o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+            AND b.n_orders * (SELECT count(*) FROM big)
+                >= (SELECT sum(n_orders) FROM big)
+          ORDER BY c.c_custkey""")
+      },
+      oracle = Some(
+        """WITH big AS (
+          |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+          |SELECT c.c_custkey, c.c_name, b.n_orders
+          |FROM customer c
+          |JOIN big b ON b.o_custkey = c.c_custkey
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+          |  AND b.n_orders * (SELECT count(*) FROM big)
+          |      >= (SELECT CAST(sum(n_orders) AS BIGINT) FROM big)
+          |ORDER BY c.c_custkey""".stripMargin))
   )
 
   /** DuckDB replica of q35b's payload construction. The hex helpers build

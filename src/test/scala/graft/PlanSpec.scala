@@ -352,6 +352,19 @@ class PlanSpec extends SparkSpec {
     assert(!p64.contains("Join"), s"q64 is matrix-free — no join:\n$p64")
   }
 
+  test("q68: null-safe equality plans as a hash join, never a nested loop") {
+    val p = plan("q68_nullsafe_join")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q69: the SQL-surface correlated EXISTS decorrelates to a semi join") {
+    val p = plan("q69_sql_surface")
+    assert(p.contains("LeftSemi") || p.contains("ExistenceJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q63: checksum aggs are combinable (partial+final), shuffle carries only scope rows") {
     val p = plan("q63_table_checksum")
     assert(p.contains("partial_count") || p.contains("partial_bit_xor")
