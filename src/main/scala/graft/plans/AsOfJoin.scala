@@ -114,8 +114,14 @@ case class AsOfMergeJoinExec(
 
       val joiner = new JoinedRow
       val nullRight = new GenericInternalRow(nRight)
-      // downstream operators require UnsafeRow output (Tungsten contract)
-      val outProj = UnsafeProjection.create(output, lOut ++ rOut)
+      // downstream operators require UnsafeRow output (Tungsten contract).
+      // The binding schema must mark the right side nullable like `output`
+      // does: a non-nullable right attribute (e.g. a primitive column of a
+      // local relation) would otherwise bind a BoundReference WITHOUT a
+      // null check, and the all-null `nullRight` row of an unmatched left
+      // row would project as zeros instead of nulls.
+      val outProj = UnsafeProjection.create(output,
+        lOut ++ rOut.map(_.withNullability(true)))
       val rBuf = rIter.buffered
       var matchRow: InternalRow = null // backward state: latest right ≤ lt
       // (key, time) row the buffered match belongs to — a COPY, because the

@@ -108,6 +108,43 @@ class AsOfJoinSpec extends SparkSpec {
       (1L, 35L, "v30"), (2L, 19L, null)))
   }
 
+  test("randomized sweep: all three directions match a brute-force reference") {
+    // Seeded sampling (AuthSpec convention): 6 random table pairs with
+    // duplicate left times, key skew, and keys absent from either side —
+    // the operator's merge cursors vs an O(|L|·|R|) per-row scan.
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val left = Seq.fill(120)((rnd.nextInt(6).toLong, rnd.nextInt(100).toLong))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      // unique (rk, rt) so the matched right row is unambiguous
+      val right = Seq.fill(80)((rnd.nextInt(6).toLong, rnd.nextInt(100).toLong))
+        .distinct.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val byKey = right.groupBy(_._1)
+      def expected(dir: String): Set[(Long, Long, Long, Option[Long])] =
+        left.map { case (k, t, id) =>
+          val cands = byKey.getOrElse(k, Nil)
+          val pick = dir match {
+            case "backward" => cands.filter(_._2 <= t).sortBy(_._2).lastOption
+            case "forward" => cands.filter(_._2 >= t).sortBy(_._2).headOption
+            case "nearest" =>
+              // min distance; tie → backward (smaller rt)
+              cands.sortBy(c => (math.abs(c._2 - t), c._2)).headOption
+          }
+          (k, t, id, pick.map(_._3))
+        }.toSet
+      val l = left.toDF("k", "t", "lid")
+      val r = right.toDF("rk", "rt", "rid")
+      for (dir <- Seq("backward", "forward", "nearest")) {
+        val got = AsOfJoinApi.asofJoin(l, r, l("k"), r("rk"), l("t"), r("rt"), dir)
+          .select($"k", $"t", $"lid", $"rid").collect()
+          .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+            if (x.isNullAt(3)) None else Some(x.getLong(3)))).toSet
+        assert(got == expected(dir),
+          s"seed=$seed dir=$dir diverged: ${(got diff expected(dir)).take(5)} vs ${(expected(dir) diff got).take(5)}")
+      }
+    }
+  }
+
   test("plan: merge exec, one exchange per side, no explosion/aggregation") {
     val ev = Tables.events(spark, sf)
       .select($"event_id", $"ts", ($"user_id" + 1).as("custkey"))
