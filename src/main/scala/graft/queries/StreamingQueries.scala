@@ -91,12 +91,14 @@ object StreamingQueries {
             ($("p_ts").cast("long") - $("c_ts").cast("long")).as("delay_s"))
         // A stream-stream join commits 4 state stores per shuffle partition
         // per batch; at 32 partitions that fixed cost dwarfs this bounded
-        // replay's actual work. 8 partitions is the right state layout for
-        // the gate volume (the partition count is baked into a checkpoint,
-        // so production picks it for the steady-state key space instead).
+        // replay's actual work (measured: 8 partitions 6.3s, 4 partitions
+        // 4.2s, 2 partitions 4.2s — the floor is per-BATCH cost). 4 is the
+        // right state layout for the gate volume (the partition count is
+        // baked into a checkpoint, so production picks it for the
+        // steady-state key space instead).
         val spKey = "spark.sql.shuffle.partitions"
         val saved = s.conf.get(spKey)
-        s.conf.set(spKey, "8")
+        s.conf.set(spKey, "4")
         try EventsStream.runToMemory(s, joined, s"q43_mem_${System.nanoTime()}", "append")
           .orderBy($("click_id"), $("purchase_id"))
         finally s.conf.set(spKey, saved)
