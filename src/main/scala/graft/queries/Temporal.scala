@@ -133,5 +133,69 @@ object Temporal {
           |  FROM coded GROUP BY user_id)
           |SELECT stage, count(*) AS n_users
           |FROM folded GROUP BY stage ORDER BY stage""".stripMargin),
-      headline = true))
+      headline = true),
+
+    // Q70 [extension: snapshot diff / CDC read side] Given two versions of
+    // a keyed table, emit the change feed: added / removed / changed rows
+    // with column-level change flags — the read-side primitive of data
+    // versioning (Delta CDF, Iceberg changelog) and the input every
+    // incremental consumer (index refresh, downstream train-set rebuild)
+    // actually wants. v2 is derived deterministically from v1 (drop keys
+    // ≡0 mod 97, bump price by one cent for keys ≡0 mod 31, re-key a copy
+    // of keys ≡0 mod 53 past the key space as inserts). One FULL OUTER
+    // hash join on the key — the minimum data movement for a diff; at
+    // 100 TB both sides bucket/sort by the same key and the join is
+    // exchange-free. Money compares as exact cents (Canon), so a "changed"
+    // flag can never come from float noise.
+    "q70_snapshot_diff" -> QueryDef(
+      build = (s, d) => {
+        import graft.Canon.cents
+        val v1 = Tables.orders(s, d)
+          .select($("o_orderkey").as("k"), cents($("o_totalprice")).as("price_c"),
+            $("o_orderstatus").as("status"))
+        val mods = v1.filter($("k") % 97 =!= 0)
+          .withColumn("price_c",
+            when($("k") % 31 === 0, $("price_c") + 1).otherwise($("price_c")))
+        val maxK = 100000000L
+        val inserts = v1.filter($("k") % 53 === 0)
+          .select(($("k") + maxK).as("k"), $("price_c"), $("status"))
+        val v2 = mods.unionByName(inserts)
+        val j = v1.as("a").join(v2.as("b"), col("a.k") === col("b.k"), "full_outer")
+        j.select(
+            coalesce(col("a.k"), col("b.k")).as("key"),
+            when(col("b.k").isNull, "removed")
+              .when(col("a.k").isNull, "added")
+              .when(col("a.price_c") =!= col("b.price_c") ||
+                col("a.status") =!= col("b.status"), "changed")
+              .otherwise("same").as("change"),
+            (col("a.price_c") =!= col("b.price_c")).as("price_changed"))
+          .filter($("change") =!= "same")
+          .orderBy($("key"))
+      },
+      oracle = Some {
+        val pc = graft.Canon.centsSql("o_totalprice")
+        s"""WITH v1 AS (
+           |  SELECT o_orderkey AS k, $pc AS price_c, o_orderstatus AS status
+           |  FROM orders),
+           |v2 AS (
+           |  SELECT k, CASE WHEN k % 31 = 0 THEN price_c + 1 ELSE price_c END
+           |    AS price_c, status
+           |  FROM v1 WHERE k % 97 <> 0
+           |  UNION ALL
+           |  SELECT k + 100000000, price_c, status FROM v1 WHERE k % 53 = 0)
+           |SELECT coalesce(a.k, b.k) AS key,
+           |  CASE WHEN b.k IS NULL THEN 'removed'
+           |       WHEN a.k IS NULL THEN 'added'
+           |       WHEN a.price_c <> b.price_c OR a.status <> b.status
+           |         THEN 'changed'
+           |       ELSE 'same' END AS change,
+           |  (a.price_c <> b.price_c) AS price_changed
+           |FROM v1 a FULL JOIN v2 b ON a.k = b.k
+           |WHERE CASE WHEN b.k IS NULL THEN 'removed'
+           |           WHEN a.k IS NULL THEN 'added'
+           |           WHEN a.price_c <> b.price_c OR a.status <> b.status
+           |             THEN 'changed'
+           |           ELSE 'same' END <> 'same'
+           |ORDER BY key""".stripMargin
+      }))
 }
