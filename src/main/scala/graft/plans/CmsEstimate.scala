@@ -43,7 +43,10 @@ case class CmsEstimate(child: Expression, sketchBytes: Array[Byte])
     CountMinSketch.readFrom(sketchBytes)
 
   def estimate(v: Long): Long = cms.estimateCount(java.lang.Long.valueOf(v))
-  def estimate(v: UTF8String): Long = cms.estimateCount(v.toString)
+  // Raw UTF-8 bytes, NOT v.toString: CountMinSketchAgg adds string keys via
+  // addBinary(raw bytes), and toString would substitute U+FFFD for invalid
+  // sequences — the probe must hash the same bytes the add side did.
+  def estimate(v: UTF8String): Long = cms.estimateCount(v.getBytes)
 
   override def nullSafeEval(v: Any): Any = v match {
     case l: java.lang.Long => estimate(l.longValue())

@@ -76,9 +76,20 @@ object NormalizeText {
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
   }
 
-  /** NFD → drop combining marks (category Mn) → NFC, matching the public
-    * `strip_accents` semantics (utf8proc stripmark). ASCII fast path as
-    * above: an NFC string with no marks to strip is returned unchanged.
+  /** True for the mark categories utf8proc STRIPMARK removes: non-spacing
+    * (Mn), spacing combining (Mc — e.g. Devanagari vowel signs), and
+    * enclosing (Me) marks. Mn alone would diverge from DuckDB
+    * `strip_accents` on scripts whose vowel signs are Mc.
+    */
+  private def isMark(c: Char): Boolean = Character.getType(c) match {
+    case Character.NON_SPACING_MARK | Character.COMBINING_SPACING_MARK |
+         Character.ENCLOSING_MARK => true
+    case _ => false
+  }
+
+  /** NFD → drop combining marks (categories Mn/Mc/Me) → NFC, matching the
+    * public `strip_accents` semantics (utf8proc stripmark). ASCII fast path
+    * as above: an NFC string with no marks to strip is returned unchanged.
     */
   def stripAccents(s: UTF8String): UTF8String = {
     val str = s.toString
@@ -86,7 +97,7 @@ object NormalizeText {
     var hasMark = false
     var i = 0
     while (i < d.length && !hasMark) {
-      if (Character.getType(d.charAt(i)) == Character.NON_SPACING_MARK) hasMark = true
+      if (isMark(d.charAt(i))) hasMark = true
       i += 1
     }
     if (!hasMark) return nfc(s)
@@ -94,7 +105,7 @@ object NormalizeText {
     i = 0
     while (i < d.length) {
       val c = d.charAt(i)
-      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      if (!isMark(c)) sb.append(c)
       i += 1
     }
     UTF8String.fromString(Normalizer.normalize(sb, Normalizer.Form.NFC))

@@ -435,26 +435,39 @@ object LlmText {
         // a/e/i/o-acute; 0301 = the combining acute NFC must re-compose.
         val acc = translate($("text"), "aeio", "\u00e1\u00e9\u00ed\u00f3")
         val deco = regexp_replace($("text"), "a", "a\u0301")
+        // 0915 093E = Devanagari KA + vowel sign AA: the vowel sign is a
+        // SPACING combining mark (category Mc) \u2014 the class utf8proc
+        // STRIPMARK removes but a naive Mn-only fold keeps (r8 ADVICE).
+        // Pinning it cross-engine locks the Mn+Mc+Me semantics.
+        val mc = concat(lit("\u0915\u093e"), substring($("text"), 1, 8))
         Tables.documents(s, d)
           .select($("doc_id"),
             md5(acc).as("acc_md5"),
             md5(call_function("nfc_normalize", deco)).as("nfc_md5"),
             md5(call_function("strip_accents", acc)).as("strip_md5"),
             (md5(call_function("strip_accents", acc)) === md5($("text")))
-              .as("roundtrip_ok"))
+              .as("roundtrip_ok"),
+            md5(call_function("strip_accents", mc)).as("mc_md5"),
+            (md5(call_function("strip_accents", mc)) ===
+              md5(concat(lit("\u0915"), substring($("text"), 1, 8))))
+              .as("mc_ok"))
           .orderBy($("doc_id"))
       },
       oracle = Some(
         """WITH t AS (
           |  SELECT doc_id, text,
           |    translate(text, 'aeio', 'áéíó') AS acc,
-          |    replace(text, 'a', 'a' || chr(769)) AS deco
+          |    replace(text, 'a', 'a' || chr(769)) AS deco,
+          |    chr(2325) || chr(2366) || substr(text, 1, 8) AS mc
           |  FROM documents)
           |SELECT doc_id,
           |  md5(acc) AS acc_md5,
           |  md5(nfc_normalize(deco)) AS nfc_md5,
           |  md5(strip_accents(acc)) AS strip_md5,
-          |  (md5(strip_accents(acc)) = md5(text)) AS roundtrip_ok
+          |  (md5(strip_accents(acc)) = md5(text)) AS roundtrip_ok,
+          |  md5(strip_accents(mc)) AS mc_md5,
+          |  (md5(strip_accents(mc)) = md5(chr(2325) || substr(text, 1, 8)))
+          |    AS mc_ok
           |FROM t ORDER BY doc_id""".stripMargin)),
 
     // Q28l [extension: percentile quality cut] relative quality filtering:

@@ -195,15 +195,24 @@ object Profiling {
           cents($("o_totalprice")).cast("string"))
         val fp = conv(substring(md5(concat_ws("|", fields: _*)), 1, 15), 16, 10)
           .cast("long")
+        // sum_fp is a MODULAR sum: the per-row terms accumulate in
+        // DECIMAL(38,0) (no wrap at any row count — a LongType sum of 2^40
+        // terms would silently wrap past ~8.4M rows/scope) and the modulus
+        // is folded over the total, so the checksum is well-defined at
+        // petabyte row counts and identical to DuckDB's HUGEINT sum % M.
+        val M = 1099511627776L // 2^40
+        val sumFp = pmod(
+          sum(pmod($("fp"), lit(M)).cast("decimal(38,0)")),
+          lit(M).cast("decimal(38,0)")).cast("long").as("sum_fp")
         val base = Tables.orders(s, d).select($("o_orderstatus"), fp.as("fp"))
         val perScope = base.groupBy($("o_orderstatus").as("scope"))
           .agg(count(lit(1)).as("n_rows"),
             expr("bit_xor(fp)").as("xor_fp"),
-            sum(pmod($("fp"), lit(1099511627776L))).as("sum_fp"))
+            sumFp)
         val global = base
           .agg(count(lit(1)).as("n_rows"),
             expr("bit_xor(fp)").as("xor_fp"),
-            sum(pmod($("fp"), lit(1099511627776L))).as("sum_fp"))
+            sumFp)
           .select(lit("GLOBAL").as("scope"), $("n_rows"), $("xor_fp"), $("sum_fp"))
         perScope.unionByName(global).orderBy($("scope"))
       },
@@ -216,11 +225,11 @@ object Profiling {
            |  SELECT o_orderstatus, $fpSql AS fp FROM orders)
            |SELECT o_orderstatus AS scope, count(*) AS n_rows,
            |  bit_xor(fp) AS xor_fp,
-           |  CAST(sum(fp % 1099511627776) AS BIGINT) AS sum_fp
+           |  CAST(sum(fp % 1099511627776) % 1099511627776 AS BIGINT) AS sum_fp
            |FROM f GROUP BY o_orderstatus
            |UNION ALL
            |SELECT 'GLOBAL', count(*), bit_xor(fp),
-           |  CAST(sum(fp % 1099511627776) AS BIGINT)
+           |  CAST(sum(fp % 1099511627776) % 1099511627776 AS BIGINT)
            |FROM f
            |ORDER BY scope""".stripMargin
       }),

@@ -157,6 +157,13 @@ object Temporal {
           .withColumn("price_c",
             when($("k") % 31 === 0, $("price_c") + 1).otherwise($("price_c")))
         val maxK = 100000000L
+        // Guard (r8 ADVICE): a fixed re-key offset collides with real keys
+        // once o_orderkey reaches 1e8 (sf ≳ 70) — and colliding keys make
+        // the diff's tie-order engine-dependent. Fail loudly at build time
+        // instead of silently diverging at scale.
+        val topKey = v1.agg(max($("k"))).head.getLong(0)
+        require(topKey < maxK,
+          s"q70 re-key offset $maxK <= max o_orderkey $topKey; raise the offset")
         val inserts = v1.filter($("k") % 53 === 0)
           .select(($("k") + maxK).as("k"), $("price_c"), $("status"))
         val v2 = mods.unionByName(inserts)
@@ -170,7 +177,9 @@ object Temporal {
               .otherwise("same").as("change"),
             (col("a.price_c") =!= col("b.price_c")).as("price_changed"))
           .filter($("change") =!= "same")
-          .orderBy($("key"))
+          // change as tie-break: keys are unique today (guard above), but a
+          // deterministic total order must not depend on that staying true
+          .orderBy($("key"), $("change"))
       },
       oracle = Some {
         val pc = graft.Canon.centsSql("o_totalprice")
@@ -196,6 +205,6 @@ object Temporal {
            |           WHEN a.price_c <> b.price_c OR a.status <> b.status
            |             THEN 'changed'
            |           ELSE 'same' END <> 'same'
-           |ORDER BY key""".stripMargin
+           |ORDER BY key, change""".stripMargin
       }))
 }

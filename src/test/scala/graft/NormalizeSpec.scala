@@ -42,6 +42,20 @@ class NormalizeSpec extends SparkSpec {
     assert(twice == "abc")
   }
 
+  test("strip_accents drops spacing (Mc) and enclosing (Me) marks, not just Mn") {
+    install()
+    // utf8proc STRIPMARK removes ALL mark categories; an Mn-only fold
+    // diverges from DuckDB on e.g. Devanagari vowel signs (r8 ADVICE).
+    // 0915 093E = KA + vowel sign AA (Mc); 0061 20DD = 'a' + enclosing
+    // circle (Me); 0061 0301 = combining acute (Mn, the classic case).
+    val rows = Seq("का", "a⃝", "á")
+      .toDF("s")
+      .select(call_function("strip_accents", $"s").as("n"))
+      .as[String].collect()
+    assert(rows.toSeq == Seq("क", "a", "a"),
+      s"got ${rows.toSeq.map(_.map(c => f"U+${c.toInt}%04X").mkString)}")
+  }
+
   test("normalization expressions propagate nulls") {
     install()
     val r = Seq[Option[String]](None).toDF("s")
