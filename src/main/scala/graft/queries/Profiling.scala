@@ -334,5 +334,52 @@ object Profiling {
            |FROM orders o JOIN s ON o.o_orderpriority = s.o_orderpriority
            |WHERE 4 * (n * $x - sx) * (n * $x - sx) > 9 * (n * sxx - sx * sx)
            |ORDER BY o_orderkey""".stripMargin
-      }))
+      }),
+
+    // Q71 [extension: aggregate pushdown / footer-stats scan] MAX/MIN/COUNT
+    // per table answered from parquet FOOTER STATISTICS, not rows: the v2
+    // read path pushes the whole aggregate into the scan
+    // (`PushedAggregation` — row groups are never decoded). At 100 TB this
+    // is the difference between an O(bytes) table scan and an O(#files)
+    // metadata read — the primitive behind `ANALYZE`, freshness checks and
+    // key-space guards (q70's offset guard is exactly this query). The gate
+    // is self-checking: it ASSERTS the pushed plan shape per table, then
+    // the driver value-checks the stats against DuckDB's row-path answers —
+    // proving footer stats and row reality agree. Conf scoping note: the
+    // pushdown confs are set only around the (eagerly collected, one row
+    // per table) stat probes and restored before return, so no other gate
+    // sees the v2 source list. The collected rows are bounded model state
+    // (4 tables × 4 values), same contract as the k-means centroids.
+    "q71_footer_stats" -> QueryDef(
+      build = (s, d) => {
+        import s.implicits._
+        val keys = Seq("customer" -> "c_custkey", "lineitem" -> "l_orderkey",
+          "orders" -> "o_orderkey", "part" -> "p_partkey")
+        val confs = Seq("spark.sql.sources.useV1SourceList" -> "",
+          "spark.sql.parquet.aggregatePushdown" -> "true")
+        val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        val rows = try keys.map { case (t, k) =>
+          val df = s.read.parquet(s"$d/$t.parquet")
+            .agg(max(col(k)).cast("long").as("mx"),
+              min(col(k)).cast("long").as("mn"), count(lit(1)).as("n"))
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          require(plan.contains("PushedAggregation"),
+            s"q71: $t aggregate not pushed to footer stats:\n$plan")
+          val r = df.head()
+          (t, r.getLong(0), r.getLong(1), r.getLong(2))
+        } finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+        rows.toDF("tbl", "max_key", "min_key", "n_rows").orderBy($("tbl"))
+      },
+      oracle = Some(
+        Seq("customer" -> "c_custkey", "lineitem" -> "l_orderkey",
+          "orders" -> "o_orderkey", "part" -> "p_partkey").map { case (t, k) =>
+          s"""SELECT '$t' AS tbl, CAST(max($k) AS BIGINT) AS max_key,
+             |  CAST(min($k) AS BIGINT) AS min_key,
+             |  CAST(count(*) AS BIGINT) AS n_rows FROM $t""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl"))))
 }
