@@ -206,5 +206,43 @@ object Temporal {
            |             THEN 'changed'
            |           ELSE 'same' END <> 'same'
            |ORDER BY key, change""".stripMargin
+      }),
+
+    // Q72 [extension: optimistic snapshot commits] The WRITE-side commit
+    // protocol end-to-end (sources/SnapshotStore.scala): init a table at
+    // version 0, land two serial transactions (an UPDATE-shaped rewrite,
+    // then a DELETE-shaped filter), read back the latest committed
+    // snapshot. The oracle recomputes the same serial composition straight
+    // from `customer` — value-identical output proves the staged-dir +
+    // atomic-pointer protocol loses and invents nothing across commits.
+    // Concurrency itself (racing writers, rebase-retry, torn-read freedom)
+    // is inherently non-oracle-able and is covered by SnapshotStoreSpec;
+    // this gate makes the protocol's serial correctness a CORRECTNESS row.
+    // Commits move pointers, not data — at 100 TB each transact here is one
+    // distributed write plus one tiny commit-file create.
+    "q72_snapshot_commits" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.SnapshotStore
+        val root = java.nio.file.Files.createTempDirectory("graft_q72").toString
+        SnapshotStore.init(s, root, RelationalPipeline.employeeView(s, d)
+          .select($("id"), $("name"), $("salary"), $("segment")))
+        SnapshotStore.transact(s, root)(df => df.withColumn("salary",
+          when($("segment") === "BUILDING", $("salary") + 1000L)
+            .otherwise($("salary"))))
+        SnapshotStore.transact(s, root)(df => df.filter($("id") % 97 =!= 0))
+        val last = SnapshotStore.latest(root)
+        SnapshotStore.read(s, last)
+          .select($("id"), $("name"), $("salary"), $("segment"),
+            lit(last.version).as("version"))
+          .orderBy($("id"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""SELECT c_custkey AS id, c_name AS name,
+           |  CASE WHEN c_mktsegment = 'BUILDING' THEN $cents + 1000
+           |       ELSE $cents END AS salary,
+           |  c_mktsegment AS segment, CAST(2 AS BIGINT) AS version
+           |FROM customer WHERE c_custkey % 97 <> 0
+           |ORDER BY id""".stripMargin
       }))
 }
