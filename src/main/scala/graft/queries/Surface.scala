@@ -272,6 +272,66 @@ object Surface {
       },
       oracle = Some(mediaHeadersOracleSql)),
 
+    // Q35c [extension: content-level image decode + perceptual hash] the
+    // step past q35b's headers: pixels. Each document becomes a REAL 9×8
+    // grayscale PNG (zlib IDAT, per-row filter bytes, chunk CRCs — see
+    // Multimodal.encodePngGray), and docs ≡0 mod 29 additionally get a
+    // TWIN image with one pixel bumped (+7 at (4,3)) — a planted image
+    // near-duplicate. The Spark side earns every hash through the full
+    // byte path (encode → chunk walk → inflate → de-filter → dHash); the
+    // oracle derives the SAME hashes from the pixel formula alone, never
+    // touching a PNG — so any codec offset/endianness/filter bug
+    // hash-mismatches. Hash is emitted as (hi, lo) 32-bit halves: no
+    // signed-hex formatting divergence between engines. Per-image CPU
+    // work, zero shuffle — the 100 TB shape for media decode.
+    "q35c_image_dhash" -> QueryDef(
+      build = (s, d) => {
+        val hashes = Multimodal.dhashBatch(
+          Multimodal.synthImageBatch(imageRows(s, d)))
+        hashes.select($("img_id"),
+            shiftrightunsigned($("dhash"), 32).as("dhash_hi"),
+            $("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
+          .orderBy($("img_id"))
+      },
+      oracle = Some(
+        s"""$imageHashOracleCte
+           |SELECT img_id,
+           |  CAST(sum(CASE WHEN i >= 32 THEN bit * (1::BIGINT << (i - 32))
+           |    ELSE 0 END) AS BIGINT) AS dhash_hi,
+           |  CAST(sum(CASE WHEN i < 32 THEN bit * (1::BIGINT << i)
+           |    ELSE 0 END) AS BIGINT) AS dhash_lo
+           |FROM bits GROUP BY img_id ORDER BY img_id""".stripMargin)),
+
+    // Q35d [extension: perceptual-hash image near-dedup] the multimodal
+    // twin of q27c: banded Hamming join over the q35c dHashes (pigeonhole —
+    // Hamming ≤3 over 64 bits ⇒ one of four 16-bit chunks equal), exact
+    // bit_count verify on candidates only. The planted twins are the
+    // guaranteed recall set (a one-pixel edit flips ≤2 comparisons); the
+    // oracle brute-forces all pairs from the formula-derived hashes, so
+    // banding that DROPS a qualifying pair (or invents one) hash-fails.
+    "q35d_image_neardup" -> QueryDef(
+      build = (s, d) => {
+        val hashes = Multimodal.dhashBatch(
+          Multimodal.synthImageBatch(imageRows(s, d)))
+        Multimodal.dhashNearDupPairs(hashes, maxHamming = 3)
+          .orderBy($("a_id"), $("b_id"))
+      },
+      oracle = Some(
+        s"""$imageHashOracleCte,
+           |hs AS (
+           |  SELECT img_id,
+           |    sum(CASE WHEN i >= 32 THEN CAST(bit AS HUGEINT) * (1::HUGEINT << (i - 32)) ELSE 0 END)
+           |      * 4294967296::HUGEINT
+           |    + sum(CASE WHEN i < 32 THEN CAST(bit AS HUGEINT) * (1::HUGEINT << i) ELSE 0 END)
+           |      AS h
+           |  FROM bits GROUP BY img_id)
+           |SELECT a.img_id AS a_id, b.img_id AS b_id,
+           |  CAST(bit_count(CAST(xor(a.h, b.h) AS UBIGINT)) AS BIGINT) AS hamming
+           |FROM hs a, hs b
+           |WHERE a.img_id < b.img_id
+           |  AND bit_count(CAST(xor(a.h, b.h) AS UBIGINT)) <= 3
+           |ORDER BY a_id, b_id""".stripMargin)),
+
     // Q36 [S8 batch twin: F6,F7] the generator's record synthesis
     // (Random/main.go:73-123) with modular arithmetic in place of rand so
     // the values themselves hash-check; q36b keeps the true seeded-rand
@@ -366,6 +426,43 @@ object Surface {
     * pins binary identity, while the metadata columns come straight from the
     * construction formulas — the ENGINE must recover them by parsing.
     */
+  /** Image universe for q35c/q35d: every document, plus a planted
+    * near-duplicate twin (re-keyed past the doc space) for docs ≡0 mod 29.
+    */
+  private def imageRows(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.documents(s, d).select($("doc_id"))
+    docs.select($("doc_id").as("img_id"), $("doc_id").as("src"),
+        lit(false).as("twin"))
+      .unionByName(docs.filter($("doc_id") % 29 === 0)
+        .select(($("doc_id") + 10000000L).as("img_id"), $("doc_id").as("src"),
+          lit(true).as("twin")))
+  }
+
+  /** Shared oracle CTE: expected dHash bits straight from the pixel formula
+    * (Multimodal.synthPixel + the twin's one-pixel bump) — no PNG decode on
+    * the oracle side, which is exactly what makes the gate a codec check.
+    */
+  private def imageHashOracleCte: String =
+    """WITH imgs AS (
+      |  SELECT doc_id AS img_id, doc_id AS src, FALSE AS twin FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, doc_id, TRUE FROM documents
+      |  WHERE doc_id % 29 = 0),
+      |px AS (
+      |  SELECT img_id, x, y,
+      |    CASE WHEN twin AND x = 4 AND y = 3 THEN (p0 + 7) % 256 ELSE p0 END AS p
+      |  FROM (
+      |    SELECT img_id, twin, x, y, ((v * v + v) % 1000000007) % 256 AS p0
+      |    FROM (
+      |      SELECT img_id, twin, x, y,
+      |        (src * 2654435761 + x * 101 + y * 211) % 1000000007 AS v
+      |      FROM imgs, range(0, 9) t1(x), range(0, 8) t2(y)))),
+      |bits AS (
+      |  SELECT a.img_id, a.y * 8 + a.x AS i,
+      |    CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bit
+      |  FROM px a JOIN px b ON a.img_id = b.img_id AND b.y = a.y AND b.x = a.x + 1
+      |  WHERE a.x < 8)""".stripMargin
+
   private def mediaHeadersOracleSql: String = {
     def byteHex(e: String) = s"lpad(hex(($e) & 255), 2, '0')"
     def le16(e: String) = s"${byteHex(e)} || ${byteHex(s"($e) >> 8")}"

@@ -260,4 +260,57 @@ class LlmSpec extends SparkSpec {
     assert(cleanP90 < 0.1, s"clean-doc overlap should be ~0, got p90=$cleanP90")
     r.unpersist()
   }
+
+  test("PNG codec round-trips pixels exactly; de-filter handles Sub/Up") {
+    import graft.functions.Multimodal
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 20) {
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(40)
+      val px = Array.fill(h, w)(rnd.nextInt(256))
+      val back = Multimodal.decodePngGray(Multimodal.encodePngGray(px))
+      assert(back.map(_.toSeq).toSeq == px.map(_.toSeq).toSeq,
+        s"round-trip mismatch at ${w}x$h")
+    }
+    // junk and truncated streams refuse loudly instead of returning pixels
+    intercept[Exception](Multimodal.decodePngGray("nope".getBytes))
+    val good = Multimodal.encodePngGray(Array.fill(8, 9)(7))
+    intercept[Exception](Multimodal.decodePngGray(good.dropRight(20)))
+  }
+
+  test("dHash: one-pixel edit stays within Hamming 2; pixel-replication upscale is invariant") {
+    import graft.functions.Multimodal
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val px = Array.fill(8, 9)(rnd.nextInt(256))
+      val h0 = Multimodal.dHash(px)
+      // a one-pixel edit moves at most the two comparisons it touches
+      val edited = px.map(_.clone())
+      edited(rnd.nextInt(8))(rnd.nextInt(9)) = rnd.nextInt(256)
+      val dist = java.lang.Long.bitCount(h0 ^ Multimodal.dHash(edited))
+      assert(dist <= 2, s"one-pixel edit moved $dist dHash bits")
+      // downsample(2x-replicated) == original, so the hash must agree
+      val up = Array.tabulate(16, 18)((y, x) => px(y / 2)(x / 2))
+      assert(Multimodal.dHash(up) == h0, "2x pixel replication changed the dHash")
+    }
+  }
+
+  test("q35d recall: every planted twin pair is recovered by the banded join") {
+    import graft.functions.Multimodal
+    val n = 400L; val offset = 10000000L
+    val rows = spark.range(n)
+      .select($"id".as("img_id"), $"id".as("src"), lit(false).as("twin"))
+      .unionByName(spark.range(n).filter($"id" % 29 === 0)
+        .select(($"id" + offset).as("img_id"), $"id".as("src"), lit(true).as("twin")))
+    val pairs = Multimodal.dhashNearDupPairs(
+        Multimodal.dhashBatch(Multimodal.synthImageBatch(rows)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = (0L until n by 29L).map(i => (i, i + offset)).toSet
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    val missed = planted -- found
+    assert(missed.isEmpty, s"banded join missed planted twins: $missed")
+    // and the planted pairs really are near-dups, not hash-0 accidents
+    val plantedDists = pairs.filter(p => planted.contains((p._1, p._2))).map(_._3)
+    assert(plantedDists.forall(_ <= 2),
+      s"planted twin distance above the one-pixel bound: ${plantedDists.max}")
+  }
 }
