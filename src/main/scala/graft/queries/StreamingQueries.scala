@@ -37,8 +37,12 @@ object StreamingQueries {
           .agg(count(lit(1)).as("n"), sum(cents($("value"))).as("val_cents"))
           .select($("w.start").as("hour_start"), $("event_type"), $("n"),
             asDollars($("val_cents")).as("val_sum"))
-        EventsStream.runToMemory(s, agg, s"q38_mem_${System.nanoTime()}", "complete")
-          .orderBy($("hour_start"), $("event_type"))
+        // 4-partition state layout for the bounded replay (see
+        // EventsStream.withStatePartitions); the post-replay sort is batch
+        // work on the tiny materialized table and runs at the session value
+        EventsStream.withStatePartitions(s, 4) {
+          EventsStream.runToMemory(s, agg, s"q38_mem_${System.nanoTime()}", "complete")
+        }.orderBy($("hour_start"), $("event_type"))
       },
       oracle = Some(
         s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
@@ -54,8 +58,9 @@ object StreamingQueries {
         val dedup = EventsStream.readStream(s, d)
           .select($("user_id"), $("event_type"))
           .dropDuplicates("user_id", "event_type")
-        EventsStream.runToMemory(s, dedup, s"q39_mem_${System.nanoTime()}", "append")
-          .orderBy($("user_id"), $("event_type"))
+        EventsStream.withStatePartitions(s, 4) {
+          EventsStream.runToMemory(s, dedup, s"q39_mem_${System.nanoTime()}", "append")
+        }.orderBy($("user_id"), $("event_type"))
       },
       oracle = Some(
         """SELECT DISTINCT user_id, event_type FROM events
@@ -89,19 +94,13 @@ object StreamingQueries {
             $("p_ts") <= $("c_ts") + expr("INTERVAL 30 MINUTES"))
           .select($("user_id"), $("click_id"), $("purchase_id"),
             ($("p_ts").cast("long") - $("c_ts").cast("long")).as("delay_s"))
-        // A stream-stream join commits 4 state stores per shuffle partition
-        // per batch; at 32 partitions that fixed cost dwarfs this bounded
-        // replay's actual work (measured: 8 partitions 6.3s, 4 partitions
-        // 4.2s, 2 partitions 4.2s — the floor is per-BATCH cost). 4 is the
-        // right state layout for the gate volume (the partition count is
-        // baked into a checkpoint, so production picks it for the
-        // steady-state key space instead).
-        val spKey = "spark.sql.shuffle.partitions"
-        val saved = s.conf.get(spKey)
-        s.conf.set(spKey, "4")
-        try EventsStream.runToMemory(s, joined, s"q43_mem_${System.nanoTime()}", "append")
-          .orderBy($("click_id"), $("purchase_id"))
-        finally s.conf.set(spKey, saved)
+        // a stream-stream join commits 4 state stores per shuffle partition
+        // per batch — the family's worst fixed-cost case; see
+        // EventsStream.withStatePartitions for the measurements
+        EventsStream.withStatePartitions(s, 4) {
+          EventsStream.runToMemory(s, joined, s"q43_mem_${System.nanoTime()}", "append")
+            .orderBy($("click_id"), $("purchase_id"))
+        }
       },
       oracle = Some(
         """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
@@ -144,8 +143,10 @@ object StreamingQueries {
               state.update(next)
               next
           }
-        val out = EventsStream.runToMemory(s, profiles.toDF(),
-          s"q44_mem_${System.nanoTime()}", "update")
+        val out = EventsStream.withStatePartitions(s, 4) {
+          EventsStream.runToMemory(s, profiles.toDF(),
+            s"q44_mem_${System.nanoTime()}", "update")
+        }
         out.groupBy($("user_id"))
           .agg(max_by(struct($("n"), $("val_cents"), $("first_us"), $("last_us")),
             $("n")).as("m"))
