@@ -68,8 +68,32 @@ object LlmDedup {
     // short-doc-heavy corpus into one O(E²) candidate blow-up. Exclude them
     // from signature/banding entirely (the pre-r4 explode+groupBy path
     // dropped them implicitly; this restores that semantics explicitly).
-    val sigs = sh.filter(size($("hs")) > 0)
-      .select($("doc_id"), call_function("minhash_sig", $("hs"), lit(k)).as("sig"))
+    //
+    // Exact-duplicate collapse before LSH: docs with IDENTICAL shingle sets
+    // share the whole signature, so a class of c exact copies would land
+    // together in all `bands` buckets and expand c²/2 candidate pairs in
+    // EACH — the classic hot-bucket straggler (a boilerplate page repeated
+    // 10^5 times turns one task into the whole job). One representative per
+    // distinct set enters banding; the pairs the class implies are
+    // reconstructed below (intra-class: jac exactly 1; cross-class: every
+    // member pair inherits the representatives' Jaccard, since members'
+    // sets are identical). Output is bit-identical to banding all docs.
+    val classes = sh.filter(size($("hs")) > 0)
+      .groupBy($("hs"))
+      .agg(sort_array(collect_list($("doc_id"))).as("ids"))
+      .select($("hs"), $("ids"), element_at($("ids"), 1).as("rep"))
+      .cache()
+    // intra-class pairs: identical sets ⇒ inter = uni = |set|, jac = 1.0
+    // (≥ any threshold ≤ 1). Expansion is pure output materialization —
+    // c²/2 rows ARE the answer for c exact copies — paid once, not per band.
+    val intra = classes.filter(size($("ids")) > 1)
+      .select(size($("hs")).as("n"), explode(flatten(transform($("ids"), (a, i) =>
+        transform(slice($("ids"), i + 2, size($("ids"))), b =>
+          struct(a.as("a_id"), b.as("b_id")))))).as("p"))
+      .select($("p.a_id"), $("p.b_id"), $("n").as("inter"), $("n").as("uni"),
+        lit(1.0).as("jac"))
+    val sigs = classes
+      .select($("rep").as("doc_id"), call_function("minhash_sig", $("hs"), lit(k)).as("sig"))
     // bucket key = xxhash64(band, slot1, slot2): an 8-byte long through the
     // shuffle instead of a ~40-byte concat string. A cross-band 64-bit
     // collision (~1e-9 at this key count) only MERGES two buckets, adding
@@ -88,13 +112,22 @@ object LlmDedup {
           struct(a.as("a_id"), b.as("b_id")))))).as("p"))
       .select($("p.a_id"), $("p.b_id"))
       .dropDuplicates("a_id", "b_id")
-    val sa = sh.select($("doc_id").as("a_id"), $("hs").as("sa"))
-    val sb = sh.select($("doc_id").as("b_id"), $("hs").as("sb"))
-    cand.join(sa, "a_id").join(sb, "b_id")
+    val sa = classes.select($("rep").as("a_id"), $("hs").as("sa"), $("ids").as("aids"))
+    val sb = classes.select($("rep").as("b_id"), $("hs").as("sb"), $("ids").as("bids"))
+    // verify on representatives, then expand to member pairs (classes are
+    // disjoint, so intra/cross can't collide and no dedup pass is needed);
+    // least/greatest restores the a_id < b_id convention — class membership
+    // doesn't follow representative order.
+    val cross = cand.join(sa, "a_id").join(sb, "b_id")
       .withColumn("inter", size(array_intersect($("sa"), $("sb"))))
       .withColumn("uni", size($("sa")) + size($("sb")) - $("inter"))
       .withColumn("jac", $("inter").cast("double") / $("uni").cast("double"))
       .filter($("jac") >= threshold)
+      .select($("inter"), $("uni"), $("jac"), explode(flatten(transform($("aids"), a =>
+        transform($("bids"), b =>
+          struct(least(a, b).as("a_id"), greatest(a, b).as("b_id")))))).as("p"))
+      .select($("p.a_id"), $("p.b_id"), $("inter"), $("uni"), $("jac"))
+    intra.unionByName(cross)
   }
 
   val defs: Map[String, QueryDef] = Map(

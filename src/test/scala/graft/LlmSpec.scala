@@ -313,4 +313,57 @@ class LlmSpec extends SparkSpec {
     assert(plantedDists.forall(_ <= 2),
       s"planted twin distance above the one-pixel bound: ${plantedDists.max}")
   }
+
+  test("hot-bucket stress: 1k exact copies dedup without a straggler (q27b/q27g)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    // A class of c exact copies shares its whole MinHash signature, so
+    // without the pre-LSH exact-duplicate collapse it would expand c²/2
+    // candidate pairs in EVERY band (64× redundant quadratic work piled
+    // onto the tasks holding those buckets). This plants the degenerate
+    // corpus — 1000 byte-identical docs among 2000 pairwise-disjoint ones —
+    // and asserts (a) the exact expected answer comes back and (b) no
+    // stage ran a straggler task >10× its median.
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    val base = (1 to 40).map(i => s"tok${i * 7919}").mkString(" ")
+    def uniq(i: Int) =
+      (1 to 40).map(j => s"u${i}x${j}q${(i.toLong * 31 + j) * 2654435761L % 1000000007L}")
+        .mkString(" ")
+    val docs = (1 to 1000).map(i => (i.toLong, base)) ++
+      (1001 to 3000).map(i => (i.toLong, uniq(i)))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("synth"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val durations = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        durations.synchronized { durations += ((e.stageId, e.taskInfo.duration)) }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val planted = 1000L * 999 / 2
+      val nB = SparkEntry.queries("q27b_dedup_minhash")(spark, dir).count()
+      assert(nB == planted, s"q27b: expected the C(1000,2)=$planted planted pairs, got $nB")
+      // q27g (char 5-grams) over the same corpus: the hot class dedups the
+      // same way; background grams overlap a little, so pin the planted
+      // class by its exact-duplicate (jac = 1) pair count instead
+      val g = SparkEntry.queries("q27g_dedup_char_ngram")(spark, dir).cache()
+      val nG = g.filter($"jac" === 1.0).count()
+      assert(nG == planted, s"q27g: expected $planted jac=1 pairs, got $nG")
+      g.unpersist()
+      Thread.sleep(2000) // let async task-end events drain
+      val byStage = durations.synchronized {
+        durations.groupBy(_._1).map { case (st, ds) => st -> ds.map(_._2).toVector.sorted }
+      }
+      // only stages big enough to have a meaningful median and long enough
+      // for skew to matter (a 200ms max is noise, not a straggler)
+      for ((st, ds) <- byStage if ds.length >= 4 && ds.last >= 1000) {
+        val med = math.max(ds(ds.length / 2), 100L)
+        assert(ds.last <= 10L * med,
+          s"stage $st straggler: max ${ds.last}ms vs median ${med}ms over ${ds.length} tasks")
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
