@@ -18,7 +18,8 @@ object Registry {
     queries.Temporal.defs ++
     queries.Profiling.defs ++
     queries.SemDedup.defs ++
-    queries.Mixing.defs
+    queries.Mixing.defs ++
+    queries.Graph.defs
 
   def headline: Map[String, QueryDef] = all.filter(_._2.headline)
 }

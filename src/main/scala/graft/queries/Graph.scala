@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph operators over a deterministic synthetic link graph on `documents`
+  * (extension family; the reference has no graph surface). A training-data
+  * pipeline uses exactly these two shapes on the web graph behind a crawl:
+  * PageRank-style centrality as a document-quality signal (the classic
+  * crawl-filtering feature) and triangle counting as a community/spam
+  * signal. Both are implemented as *exact integer* computations so the
+  * DuckDB oracle hash-matches bit-for-bit — the iterative float PageRank
+  * would diverge across engines through summation order alone.
+  *
+  * Graph construction (identical in both engines): each doc gets out-edges
+  * to `(doc_id * 2654435761 + k) % 1000000007 % N` for k = 1..3, self-loops
+  * dropped, deduped — a pseudo-random 3-regular-ish digraph that is a pure
+  * function of the table, so no side files are needed.
+  */
+object Graph {
+  private def $(name: String) = col(name)
+
+  private val Scale = 1000000000000L // pr fixed-point: 1.0 == 10^12
+  private val Iters = 10
+
+  /** (docs, edges) as DataFrames: docs(doc_id), edges(src, dst). */
+  private def linkGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d).select($("doc_id"))
+    val n = docs.count() // one tiny job; N pins the dst modulus
+    val edges = docs
+      .select($("doc_id").as("src"), explode(sequence(lit(1), lit(3))).as("k"))
+      .select($("src"),
+        (($("src") * lit(2654435761L) + $("k")) % 1000000007L % n).as("dst"))
+      .filter($("dst") =!= $("src"))
+      .distinct()
+    (docs, edges)
+  }
+
+  /** The shared edge-generation SQL (DuckDB). */
+  private val edgesSql =
+    """docs AS (SELECT doc_id FROM documents),
+      |n AS (SELECT count(*) AS c FROM docs),
+      |edges AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT doc_id AS src,
+      |           (doc_id * 2654435761 + k) % 1000000007 % (SELECT c FROM n) AS dst
+      |    FROM docs, range(1, 4) t(k))
+      |  WHERE dst <> src)""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Q73 [extension: graph centrality] exact fixed-point PageRank, 10
+    // iterations, damping 0.85: pr' = 0.15 + 0.85 * Σ_in (pr/outdeg), all
+    // in 10^12-scaled integer arithmetic with floor division so every
+    // intermediate is order-independent and engine-exact (long bounds:
+    // total mass N·10^12 ≈ 5e15 at sf1, 85× that ≈ 4e17 < 2^63).
+    //
+    // Scale shape: per iteration one shuffle join pr⋈edges on src and one
+    // groupBy dst with map-side partial sums — the canonical distributed
+    // PageRank (Pregel/GraphX do the same data movement with vertex-cut
+    // placement amortizing the edge join; at 100 TB you'd co-partition
+    // edges and ranks on src once and reuse that layout every iteration,
+    // which is what the edgesDeg cache below does). Each iteration is
+    // materialized via localCheckpoint to keep the plan flat (q27e
+    // convention) and the previous one is unpersisted.
+    "q73_pagerank" -> QueryDef(
+      build = (s, d) => {
+        val (docs, edges) = linkGraph(s, d)
+        val dcache = docs.cache()
+        val deg = edges.groupBy($("src")).agg(count(lit(1)).as("deg"))
+        // one co-partitioned (src → dst, deg) layout reused every iteration
+        val edgesDeg = edges.join(deg, "src").cache()
+        var pr = dcache.select($("doc_id"), lit(Scale).as("pr")).localCheckpoint(true)
+        for (_ <- 1 to Iters) {
+          val contrib = edgesDeg
+            .join(pr.withColumnRenamed("doc_id", "src"), "src")
+            .select($("dst"), expr("pr div deg").as("c"))
+            .groupBy($("dst")).agg(sum($("c")).as("m"))
+          val next = dcache
+            .join(contrib, dcache("doc_id") === contrib("dst"), "left")
+            .select($("doc_id"),
+              (lit(15L * Scale / 100) +
+                expr("85 * coalesce(m, CAST(0 AS BIGINT)) div 100")).as("pr"))
+          val nn = next.localCheckpoint(true)
+          pr.unpersist(); pr = nn
+        }
+        edgesDeg.unpersist(); dcache.unpersist()
+        pr.orderBy($("doc_id"))
+      },
+      oracle = Some {
+        // unrolled iterations (recursive CTEs can't aggregate); p0..p10
+        val steps = (1 to Iters).map { i =>
+          s"""p$i AS (
+             |  SELECT d.doc_id,
+             |    CAST(150000000000 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS pr
+             |  FROM docs d LEFT JOIN (
+             |    SELECT e.dst, SUM(p.pr // e.deg) AS m
+             |    FROM ed e JOIN p${i - 1} p ON p.doc_id = e.src
+             |    GROUP BY e.dst) s ON s.dst = d.doc_id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $edgesSql,
+           |ed AS (
+           |  SELECT e.src, e.dst, d.deg FROM edges e
+           |  JOIN (SELECT src, count(*) AS deg FROM edges GROUP BY src) d
+           |    ON e.src = d.src),
+           |p0 AS (SELECT doc_id, CAST(1000000000000 AS BIGINT) AS pr FROM docs),
+           |$steps
+           |SELECT doc_id, pr FROM p$Iters ORDER BY doc_id""".stripMargin
+      },
+      headline = true),
+
+    // Q73b [extension: triangle counting] per-node triangle counts on the
+    // undirected graph: orient every edge low-id → high-id, enumerate
+    // wedges a→b→c, close them against the oriented edge list. Each
+    // triangle is found exactly once (a < b < c), then credited to all
+    // three corners.
+    //
+    // Scale shape: two shuffle equi-joins on node keys — no cartesian.
+    // Id-ordering is fine on this near-regular graph (deg ≤ 3); on a
+    // skewed web graph you'd orient low-DEGREE → high-degree instead
+    // (break ties by id), which provably bounds per-node wedge fan-out by
+    // O(sqrt(m)) — same plan, different orientation column.
+    "q73b_triangles" -> QueryDef(
+      build = (s, d) => {
+        val (_, edges) = linkGraph(s, d)
+        val und = edges
+          .select(least($("src"), $("dst")).as("a"), greatest($("src"), $("dst")).as("b"))
+          .distinct().cache()
+        val wedges = und.as("e1")
+          .join(und.as("e2"), col("e1.b") === col("e2.a"))
+          .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
+        val tri = wedges
+          .join(und.as("e3"),
+            col("wa") === col("e3.a") && col("wc") === col("e3.b"))
+          .select($("wa").as("a"), $("wb").as("b"), $("wc").as("c"))
+        tri.select(explode(array($("a"), $("b"), $("c"))).as("doc_id"))
+          .groupBy($("doc_id")).agg(count(lit(1)).as("n_tri"))
+          .orderBy($("doc_id"))
+      },
+      oracle = Some(
+        s"""WITH $edgesSql,
+           |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |        FROM edges),
+           |tri AS (
+           |  SELECT e1.a, e1.b, e2.b AS c
+           |  FROM und e1
+           |  JOIN und e2 ON e1.b = e2.a
+           |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri
+           |FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -371,4 +371,11 @@ class PlanSpec extends SparkSpec {
       || p.contains("HashAggregate"), p)
     assert(!p.contains("SortMergeJoin"), s"no join may touch the rows:\n$p")
   }
+
+  test("q73b: triangle enumeration is equi-joins on node keys, never a nested loop") {
+    val p = plan("q73b_triangles")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
