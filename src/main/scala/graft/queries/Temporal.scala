@@ -244,5 +244,45 @@ object Temporal {
            |  c_mktsegment AS segment, CAST(2 AS BIGINT) AS version
            |FROM customer WHERE c_custkey % 97 <> 0
            |ORDER BY id""".stripMargin
-      }))
+      }),
+
+    // Q74 [extension: manifest file skipping] The READ-planning half of the
+    // table format: snapshot `orders` range-clustered on o_orderdate with a
+    // per-file min/max manifest (SnapshotStore.writeManifest), then answer
+    // a half-year range query by consulting ONLY the manifest to pick
+    // files whose [min,max] interval intersects the range — the
+    // Iceberg/Delta data-skipping idea. The build asserts pruning really
+    // happened (kept < total files) before applying the exact row filter,
+    // so a silently-degenerate manifest fails the gate instead of hiding
+    // behind a correct-but-unpruned full scan. The oracle is a plain range
+    // scan of `orders` — value-identical output proves pruning is a
+    // conservative superset, never a substitute for the row predicate.
+    // At 100 TB the manifest is what keeps query PLANNING off the
+    // 10^4-file listing path; range clustering is what makes the per-file
+    // intervals tight enough to skip (q51 z-order is the multi-column
+    // variant of the same layout decision).
+    "q74_manifest_prune" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.SnapshotStore
+        val root = java.nio.file.Files.createTempDirectory("graft_q74").toString
+        val orders = Tables.orders(s, d)
+          .select($("o_orderkey"), $("o_orderdate"),
+            graft.Canon.cents($("o_totalprice")).as("price_c"))
+          .repartitionByRange(8, $("o_orderdate"))
+        SnapshotStore.init(s, root, orders, statsCols = Seq("o_orderdate"))
+        val lo = lit("1996-01-01").cast("date"); val hi = lit("1996-06-30").cast("date")
+        val (df, kept, total) = SnapshotStore.readPruned(s, SnapshotStore.latest(root),
+          col("max_o_orderdate") >= lo && col("min_o_orderdate") <= hi)
+        require(kept < total,
+          s"manifest pruned nothing: kept $kept of $total files on a half-year slice")
+        df.filter($("o_orderdate").between(lo, hi))
+          .select($("o_orderkey"), $("o_orderdate"), $("price_c"))
+          .orderBy($("o_orderkey"))
+      },
+      oracle = Some(
+        s"""SELECT o_orderkey, o_orderdate,
+           |  ${graft.Canon.centsSql("o_totalprice")} AS price_c
+           |FROM orders
+           |WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+           |ORDER BY o_orderkey""".stripMargin)))
 }

@@ -58,10 +58,15 @@ object SnapshotStore {
   private def commitFile(root: String, v: Long): Path =
     commitsDir(root).resolve(f"$v%020d.commit")
 
-  /** Create the table: version 0 pins the initial snapshot. */
-  def init(spark: SparkSession, root: String, df: DataFrame): Snapshot = {
+  /** Create the table: version 0 pins the initial snapshot.
+    * `statsCols` opts the snapshot into a per-file min/max manifest
+    * (see [[writeManifest]]).
+    */
+  def init(spark: SparkSession, root: String, df: DataFrame,
+      statsCols: Seq[String] = Nil): Snapshot = {
     Files.createDirectories(commitsDir(root))
     val dir = stage(root, df)
+    if (statsCols.nonEmpty) writeManifest(spark, dir, statsCols)
     if (!tryCommit(root, expectedCurrent = -1L, dir))
       throw new CommitConflictException(s"table at $root already initialized")
     Snapshot(0L, dir)
@@ -91,6 +96,56 @@ object SnapshotStore {
 
   def read(spark: SparkSession, root: String): DataFrame =
     read(spark, latest(root))
+
+  /** Per-file min/max manifest — the Iceberg/Delta data-skipping idea. One
+    * distributed pass derives `(file, n_rows, min_c, max_c, …)` per data
+    * file and lands it as parquet under `<dataDir>/_manifest/` BEFORE the
+    * snapshot commits, so manifests share the snapshot's immutability (the
+    * leading underscore keeps Spark's FileIndex from reading it as data).
+    *
+    * Scale rationale: at 100 TB a filtered read that consults only footers
+    * still LISTS and OPENS tens of thousands of files on the driver before
+    * the first byte of data moves. The manifest is one row per file — the
+    * planner reads one tiny table, keeps the files whose [min,max] interval
+    * intersects the predicate, and hands the scan a file list that is
+    * already mostly pruned. Range-clustered layouts (repartitionByRange /
+    * q51 z-order) are what make the intervals tight enough to skip.
+    */
+  private def writeManifest(spark: SparkSession, dataDir: String,
+      statsCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(dataDir)
+    val aggs = count(lit(1)).as("n_rows") +:
+      statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1) // one row per data file — manifest-scale, not data-scale
+      .write.mode("overwrite").parquet(s"$dataDir/_manifest")
+  }
+
+  def manifest(spark: SparkSession, snap: Snapshot): DataFrame =
+    spark.read.parquet(s"${snap.dataDir}/_manifest")
+
+  /** File-skipping read: keep the files whose manifest row satisfies
+    * `mayMatch` (a predicate over `min_*` / `max_*` — e.g.
+    * `max_d >= lo && min_d <= hi` for a range query; it must be
+    * conservative: true whenever the file COULD hold a matching row).
+    * Returns the pruned DataFrame plus (files kept, files total) so
+    * callers can assert skipping actually happened. The caller still
+    * applies the exact row-level filter — pruning is a superset, never a
+    * substitute.
+    */
+  def readPruned(spark: SparkSession, snap: Snapshot,
+      mayMatch: org.apache.spark.sql.Column): (DataFrame, Int, Int) = {
+    val m = manifest(spark, snap)
+    val total = m.count().toInt
+    val files = m.filter(mayMatch).select("file")
+      .collect().map(_.getString(0)) // bounded: one row per kept file
+    val df =
+      if (files.isEmpty) read(spark, snap).limit(0) // schema-preserving empty
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    (df, files.length, total)
+  }
 
   /** Distributed write of a candidate snapshot to a fresh immutable dir.
     * Unreachable by readers until a commit file points at it.
@@ -130,13 +185,15 @@ object SnapshotStore {
     * optimistic-concurrency cost model: cheap when conflicts are rare,
     * which is the warehouse norm (compaction cadence >> commit latency).
     */
-  def transact(spark: SparkSession, root: String, maxAttempts: Int = 10)(
+  def transact(spark: SparkSession, root: String, maxAttempts: Int = 10,
+      statsCols: Seq[String] = Nil)(
       transform: DataFrame => DataFrame): Snapshot = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latest(root)
       val out = transform(read(spark, base))
       val dir = stage(root, out)
+      if (statsCols.nonEmpty) writeManifest(spark, dir, statsCols)
       if (tryCommit(root, base.version, dir))
         return Snapshot(base.version + 1, dir)
       attempt += 1

@@ -117,4 +117,29 @@ class SnapshotStoreSpec extends SparkSpec {
       "diff between pinned versions changed after later commits — isolation broken")
     assert(SnapshotStore.latest(root).version == 3L)
   }
+
+  test("manifest pruning: skips files, never rows (q74 contract)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_manifest").toString
+    // 1000 rows range-clustered on k into 10 files → tight per-file [min,max]
+    val df = spark.range(1000).select($"id".as("k"), ($"id" * 3).as("v"))
+      .repartitionByRange(10, $"k")
+    SnapshotStore.init(spark, root, df, statsCols = Seq("k"))
+    val snap = SnapshotStore.latest(root)
+    val m = SnapshotStore.manifest(spark, snap)
+    assert(m.count() == 10, "expected one manifest row per data file")
+    // a 150-wide slice must keep ≤ 3 of 10 files and return exactly the rows
+    val (pruned, kept, total) = SnapshotStore.readPruned(spark, snap,
+      col("max_k") >= 400 && col("min_k") <= 549)
+    assert(total == 10 && kept <= 3, s"pruning too weak: kept $kept of $total")
+    val got = pruned.filter($"k".between(400, 549)).select($"k", $"v")
+    val want = SnapshotStore.read(spark, snap)
+      .filter($"k".between(400, 549)).select($"k", $"v")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "pruned read changed the result")
+    // a window outside every file prunes everything and keeps the schema
+    val (empty, kept0, _) = SnapshotStore.readPruned(spark, snap,
+      col("max_k") >= 5000 && col("min_k") <= 6000)
+    assert(kept0 == 0 && empty.columns.toSeq == Seq("k", "v") && empty.isEmpty)
+  }
 }
