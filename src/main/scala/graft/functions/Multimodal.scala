@@ -352,6 +352,140 @@ object Multimodal {
       .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
   }
 
+  // ---------------------------------------------------------------------
+  // Content-level audio ops: a real (pure-JVM) WAV PCM16 codec + an
+  // energy-contour fingerprint — the audio twin of the PNG/dHash section
+  // above. Samples are ENCODED into a spec-compliant RIFF/WAVE byte stream
+  // and DECODED back through the chunk walk + LE16 sign-extension any WAV
+  // reader performs before the fingerprint sees them. The fingerprint is
+  // the energy-difference coding idea behind published audio fingerprints
+  // (Haitsma–Kalker's bit = energy-band difference sign): 65 frames of 32
+  // samples, bit i set iff E(i+1) > E(i) — a one-sample edit perturbs one
+  // frame and flips ≤ 2 bits, so Hamming distance is the near-dup metric
+  // and the q35d banded join applies unchanged. Per-row CPU, zero shuffle.
+  // ---------------------------------------------------------------------
+
+  /** Samples per synthesized clip: 65 energy frames × 32 samples. */
+  val AudioFrames = 65
+  val AudioFrameLen = 32
+  val AudioClipLen: Int = AudioFrames * AudioFrameLen
+
+  /** Deterministic int16 sample — the same 64-bit-exact quadratic family as
+    * [[synthPixel]], so a DuckDB oracle derives the EXPECTED samples (and
+    * fingerprint) arithmetically while the Spark side earns them through
+    * the full WAV encode→decode byte path.
+    */
+  def synthSample(src: Long, i: Int): Int = {
+    val s = (src * 2654435761L + i * 9973L) % 1000000007L
+    ((((s * s + s) % 1000000007L) % 65536L).toInt) - 32768
+  }
+
+  /** Encode PCM16 mono samples as a real RIFF/WAVE file (fmt + data). */
+  def encodeWavPcm16(samples: Array[Int], rate: Int = 16000): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+    out.write("RIFF".getBytes("US-ASCII")); le32(36 + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(1) /* PCM */ ; le16(1) /* mono */ ; le32(rate)
+    le32(rate * 2) /* byte rate */ ; le16(2) /* block align */ ; le16(16)
+    out.write("data".getBytes("US-ASCII")); le32(dataLen)
+    samples.foreach(le16)
+    out.toByteArray
+  }
+
+  /** Decode a PCM16 mono WAV back to samples: RIFF check, chunk walk to
+    * `fmt ` (must really be PCM16 mono) and `data`, then LE16
+    * sign-extension. Refuses loudly on anything else — garbage samples
+    * must not flow into a fingerprint silently.
+    */
+  def decodeWavPcm16(b: Array[Byte]): Array[Int] = {
+    require(b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E', "not a WAV")
+    var off = 12L
+    var ok = false; var dataOff = -1; var dataLen = -1
+    while (off + 8 <= b.length && (!ok || dataOff < 0)) {
+      val o = off.toInt
+      val id = new String(b, o, 4, "US-ASCII")
+      val size = le32(b, o + 4)
+      require(size >= 0, s"corrupt $id chunk size")
+      if (id == "fmt " && off + 8 + 16 <= b.length) {
+        require(le16(b, o + 8) == 1 && le16(b, o + 10) == 1 && le16(b, o + 22) == 16,
+          "decoder covers PCM16 mono WAVs")
+        ok = true
+      } else if (id == "data") { dataOff = o + 8; dataLen = size }
+      off += 8L + size + (size & 1)
+    }
+    require(ok && dataOff >= 0 && dataOff + dataLen <= b.length, "missing fmt/data")
+    Array.tabulate(dataLen / 2) { i =>
+      (le16(b, dataOff + 2 * i) << 16) >> 16 // sign-extend
+    }
+  }
+
+  /** 64-bit energy-contour fingerprint: bit i set iff frame-energy(i+1) >
+    * frame-energy(i), energies as exact integer Σ|sample| per frame.
+    */
+  def audioFingerprint(samples: Array[Int]): Long = {
+    require(samples.length == AudioClipLen,
+      s"fingerprint expects $AudioClipLen samples, got ${samples.length}")
+    val e = Array.tabulate(AudioFrames) { f =>
+      var sum = 0L; var k = 0
+      while (k < AudioFrameLen) { sum += math.abs(samples(f * AudioFrameLen + k)); k += 1 }
+      sum
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) { if (e(i + 1) > e(i)) fp |= 1L << i; i += 1 }
+    fp
+  }
+
+  private val clipSchema: StructType = StructType(Seq(
+    StructField("clip_id", LongType), StructField("payload", BinaryType)))
+  private val audioFpSchema: StructType = StructType(Seq(
+    StructField("clip_id", LongType), StructField("fp", LongType)))
+
+  /** Synthesize one real PCM16 WAV per (clip_id, src, twin) row. A twin
+    * bumps sample 1000 by +500 (explicit int16 wrap) — a one-sample edit
+    * that perturbs one frame's energy and flips ≤ 2 fingerprint bits: a
+    * PLANTED audio near-duplicate. Partition-local, zero shuffle.
+    */
+  def synthAudioBatch(rows: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(clipSchema))
+    rows.select("clip_id", "src", "twin").mapPartitions { it =>
+      it.map { r =>
+        val src = r.getLong(1)
+        val twin = r.getBoolean(2)
+        val samples = Array.tabulate(AudioClipLen) { i =>
+          val v = synthSample(src, i)
+          if (twin && i == 1000) ((v + 500 + 32768) % 65536) - 32768 else v
+        }
+        Row(r.getLong(0), encodeWavPcm16(samples))
+      }
+    }(enc)
+  }
+
+  /** Decode (clip_id, payload) WAVs and emit the 64-bit fingerprint. */
+  def audioFpBatch(df: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(audioFpSchema))
+    df.select("clip_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        Row(r.getLong(0), audioFingerprint(decodeWavPcm16(r.getAs[Array[Byte]](1))))
+      }
+    }(enc)
+  }
+
+  /** Audio near-dup pairs: identical banded-Hamming shape as
+    * [[dhashNearDupPairs]] (the fingerprint is just another 64-bit
+    * perceptual hash).
+    */
+  def audioNearDupPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame =
+    dhashNearDupPairs(
+      fps.select(org.apache.spark.sql.functions.col("clip_id").as("img_id"),
+        org.apache.spark.sql.functions.col("fp").as("dhash")), maxHamming)
+
   /** Partition-local REAL header parse over (doc_id, kind, payload) rows —
     * same plumbing shape as [[decodeBatch]], richer typed output.
     */

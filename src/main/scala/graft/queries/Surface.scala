@@ -332,6 +332,61 @@ object Surface {
            |  AND bit_count(CAST(xor(a.h, b.h) AS UBIGINT)) <= 3
            |ORDER BY a_id, b_id""".stripMargin)),
 
+    // Q35e [extension: audio-content fingerprint] the audio twin of q35c:
+    // one real PCM16 WAV is synthesized per clip from the 64-bit-exact
+    // sample formula, decoded back through the RIFF chunk walk + LE16
+    // sign-extension, and fingerprinted by energy-contour difference
+    // coding (bit i = E(i+1) > E(i), exact integer frame energies). The
+    // oracle derives the expected fingerprint arithmetically from the same
+    // formula — no WAV on the oracle side, which is exactly what makes the
+    // gate a codec check. Split hi/lo like q35c (bit 63 vs BIGINT shifts).
+    "q35e_audio_fp" -> QueryDef(
+      build = (s, d) => {
+        val fps = Multimodal.audioFpBatch(
+          Multimodal.synthAudioBatch(clipRows(s, d)))
+        fps.select($("clip_id"),
+            shiftrightunsigned($("fp"), 32).as("fp_hi"),
+            $("fp").bitwiseAND(lit(0xFFFFFFFFL)).as("fp_lo"))
+          .orderBy($("clip_id"))
+      },
+      oracle = Some(
+        s"""$audioFpOracleCte
+           |SELECT clip_id,
+           |  CAST(sum(CASE WHEN i >= 32 THEN bit * (1::BIGINT << (i - 32))
+           |    ELSE 0 END) AS BIGINT) AS fp_hi,
+           |  CAST(sum(CASE WHEN i < 32 THEN bit * (1::BIGINT << i)
+           |    ELSE 0 END) AS BIGINT) AS fp_lo
+           |FROM bits GROUP BY clip_id ORDER BY clip_id""".stripMargin)),
+
+    // Q35f [extension: audio near-dedup] banded Hamming join over the q35e
+    // fingerprints — the q35d/q27c pigeonhole shape reused verbatim (the
+    // fingerprint is just another 64-bit perceptual hash). Planted
+    // one-sample twins flip ≤ 2 bits and are the guaranteed recall set;
+    // the oracle brute-forces all pairs from formula-derived fingerprints.
+    "q35f_audio_neardup" -> QueryDef(
+      build = (s, d) => {
+        val fps = Multimodal.audioFpBatch(
+          Multimodal.synthAudioBatch(clipRows(s, d)))
+        Multimodal.audioNearDupPairs(fps, maxHamming = 3)
+          .withColumnRenamed("a_id", "a_clip").withColumnRenamed("b_id", "b_clip")
+          .orderBy($("a_clip"), $("b_clip"))
+      },
+      oracle = Some(
+        s"""$audioFpOracleCte,
+           |hs AS (
+           |  SELECT clip_id,
+           |    sum(CASE WHEN i >= 32 THEN CAST(bit AS HUGEINT) * (1::HUGEINT << (i - 32)) ELSE 0 END)
+           |      * 4294967296::HUGEINT
+           |    + sum(CASE WHEN i < 32 THEN CAST(bit AS HUGEINT) * (1::HUGEINT << i) ELSE 0 END)
+           |      AS h
+           |  FROM bits GROUP BY clip_id)
+           |SELECT a.clip_id AS a_clip, b.clip_id AS b_clip,
+           |  CAST(bit_count(CAST(xor(a.h, b.h) AS UBIGINT)) AS BIGINT) AS hamming
+           |FROM hs a, hs b
+           |WHERE a.clip_id < b.clip_id
+           |  AND bit_count(CAST(xor(a.h, b.h) AS UBIGINT)) <= 3
+           |ORDER BY a_clip, b_clip""".stripMargin)),
+
     // Q36 [S8 batch twin: F6,F7] the generator's record synthesis
     // (Random/main.go:73-123) with modular arithmetic in place of rand so
     // the values themselves hash-check; q36b keeps the true seeded-rand
@@ -437,6 +492,48 @@ object Surface {
         .select(($("doc_id") + 10000000L).as("img_id"), $("doc_id").as("src"),
           lit(true).as("twin")))
   }
+
+  /** Clip universe for q35e/q35f: the q35c/q35d image universe, re-keyed
+    * for audio (every document, plus a planted one-sample twin for docs
+    * ≡0 mod 29).
+    */
+  private def clipRows(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.documents(s, d).select($("doc_id"))
+    docs.select($("doc_id").as("clip_id"), $("doc_id").as("src"),
+        lit(false).as("twin"))
+      .unionByName(docs.filter($("doc_id") % 29 === 0)
+        .select(($("doc_id") + 10000000L).as("clip_id"), $("doc_id").as("src"),
+          lit(true).as("twin")))
+  }
+
+  /** Shared oracle CTE: expected audio-fingerprint bits straight from the
+    * sample formula (Multimodal.synthSample + the twin's one-sample bump
+    * with explicit int16 wrap) — no WAV decode on the oracle side.
+    */
+  private def audioFpOracleCte: String =
+    """WITH clips AS (
+      |  SELECT doc_id AS clip_id, doc_id AS src, FALSE AS twin FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, doc_id, TRUE FROM documents
+      |  WHERE doc_id % 29 = 0),
+      |smp AS (
+      |  SELECT clip_id, i,
+      |    CASE WHEN twin AND i = 1000
+      |      THEN ((v0 + 500 + 32768) % 65536) - 32768 ELSE v0 END AS v
+      |  FROM (
+      |    SELECT clip_id, twin, i,
+      |      (((s * s + s) % 1000000007) % 65536) - 32768 AS v0
+      |    FROM (
+      |      SELECT clip_id, twin, i,
+      |        (src * 2654435761 + i * 9973) % 1000000007 AS s
+      |      FROM clips, range(0, 2080) t(i)))),
+      |en AS (
+      |  SELECT clip_id, i // 32 AS f, SUM(abs(v)) AS e
+      |  FROM smp GROUP BY clip_id, i // 32),
+      |bits AS (
+      |  SELECT a.clip_id, a.f AS i, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+      |  FROM en a JOIN en b ON a.clip_id = b.clip_id AND b.f = a.f + 1
+      |  WHERE a.f < 64)""".stripMargin
 
   /** Shared oracle CTE: expected dHash bits straight from the pixel formula
     * (Multimodal.synthPixel + the twin's one-pixel bump) — no PNG decode on

@@ -314,6 +314,39 @@ class LlmSpec extends SparkSpec {
       s"planted twin distance above the one-pixel bound: ${plantedDists.max}")
   }
 
+  test("audio codec + fingerprint: WAV round-trip, one-sample bound, twin recall") {
+    import graft.functions.Multimodal
+    // 1. the WAV byte path is lossless: encode → decode round-trips exactly
+    val samples = Array.tabulate(Multimodal.AudioClipLen)(i => Multimodal.synthSample(42L, i))
+    assert(Multimodal.decodeWavPcm16(Multimodal.encodeWavPcm16(samples))
+      .sameElements(samples), "PCM16 WAV round-trip lost samples")
+    // extremes survive the LE16 sign-extension
+    val edges = Array.fill(Multimodal.AudioClipLen)(0)
+    edges(0) = -32768; edges(1) = 32767; edges(2) = -1
+    assert(Multimodal.decodeWavPcm16(Multimodal.encodeWavPcm16(edges)).take(3)
+      .sameElements(Array(-32768, 32767, -1)))
+    // 2. a one-sample edit flips at most 2 fingerprint bits (it perturbs
+    // one frame energy, which feeds exactly two comparisons)
+    val fp0 = Multimodal.audioFingerprint(samples)
+    val bumped = samples.clone()
+    bumped(1000) = ((bumped(1000) + 500 + 32768) % 65536) - 32768
+    val fp1 = Multimodal.audioFingerprint(bumped)
+    assert(java.lang.Long.bitCount(fp0 ^ fp1) <= 2,
+      s"one-sample edit flipped ${java.lang.Long.bitCount(fp0 ^ fp1)} bits")
+    // 3. every planted twin pair is recovered by the banded join
+    val n = 400L; val offset = 10000000L
+    val rows = spark.range(n)
+      .select($"id".as("clip_id"), $"id".as("src"), lit(false).as("twin"))
+      .unionByName(spark.range(n).filter($"id" % 29 === 0)
+        .select(($"id" + offset).as("clip_id"), $"id".as("src"), lit(true).as("twin")))
+    val pairs = Multimodal.audioNearDupPairs(
+        Multimodal.audioFpBatch(Multimodal.synthAudioBatch(rows)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val planted = (0L until n by 29L).map(i => (i, i + offset)).toSet
+    val missed = planted -- pairs.toSet
+    assert(missed.isEmpty, s"banded join missed planted audio twins: $missed")
+  }
+
   test("hot-bucket stress: 1k exact copies dedup without a straggler (q27b/q27g)") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     // A class of c exact copies shares its whole MinHash signature, so
