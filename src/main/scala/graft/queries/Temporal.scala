@@ -284,5 +284,47 @@ object Temporal {
            |  ${graft.Canon.centsSql("o_totalprice")} AS price_c
            |FROM orders
            |WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
-           |ORDER BY o_orderkey""".stripMargin)))
+           |ORDER BY o_orderkey""".stripMargin)),
+
+    // Q75 [extension: OPTIMIZE small-file compaction] the layout half of
+    // table maintenance: a fragmented snapshot (64 tiny files — the shape
+    // streaming ingest accretes) is bin-packed to ~4 range-clustered files
+    // in one optimistic transaction, with a fresh manifest. The build
+    // requires the file count really dropped AND that a q74-style pruned
+    // read still skips files afterward; the oracle is a plain scan of
+    // `customer` — value-identical output proves OPTIMIZE moved bytes,
+    // never rows. At 100 TB scan cost is dominated by file count (one
+    // open/footer/seek per file) long before byte count — periodic
+    // bin-packing is what keeps read amplification flat under streaming
+    // ingest, and range-clustering while packing is what keeps manifest
+    // intervals tight enough to skip.
+    "q75_optimize" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.SnapshotStore
+        val root = java.nio.file.Files.createTempDirectory("graft_q75").toString
+        val cust = Tables.customer(s, d)
+          .select($("c_custkey"), $("c_name"),
+            graft.Canon.cents($("c_acctbal")).as("bal_c"))
+          .repartition(64) // the fragmented state OPTIMIZE exists to fix
+        SnapshotStore.init(s, root, cust, statsCols = Seq("c_custkey"))
+        val before = SnapshotStore.manifest(s, SnapshotStore.latest(root)).count()
+        val rows = SnapshotStore.read(s, SnapshotStore.latest(root)).count()
+        SnapshotStore.optimize(s, root, targetRows = (rows + 3) / 4,
+          clusterBy = Seq("c_custkey"), statsCols = Seq("c_custkey"))
+        val snap = SnapshotStore.latest(root)
+        val after = SnapshotStore.manifest(s, snap).count()
+        require(after < before,
+          s"OPTIMIZE did not shrink the file count ($before -> $after)")
+        val (_, kept, total) = SnapshotStore.readPruned(s, snap,
+          col("max_c_custkey") >= 1 && col("min_c_custkey") <= rows / 8)
+        require(kept < total,
+          s"post-OPTIMIZE manifest pruned nothing ($kept of $total)")
+        SnapshotStore.read(s, snap)
+          .select($("c_custkey"), $("c_name"), $("bal_c"))
+          .orderBy($("c_custkey"))
+      },
+      oracle = Some(
+        s"""SELECT c_custkey, c_name,
+           |  ${graft.Canon.centsSql("c_acctbal")} AS bal_c
+           |FROM customer ORDER BY c_custkey""".stripMargin)))
 }

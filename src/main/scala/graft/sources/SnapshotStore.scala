@@ -176,6 +176,54 @@ object SnapshotStore {
     finally Files.deleteIfExists(tmp)
   }
 
+  /** OPTIMIZE: bin-pack the current snapshot into files of ~`targetRows`
+    * rows — the small-file compaction every table format ships (Delta
+    * OPTIMIZE / Iceberg rewrite_data_files). Streaming ingest and frequent
+    * commits accrete many tiny files; at 100 TB scan cost is dominated by
+    * file COUNT (open/footer/seek per file) long before byte count, so
+    * periodic bin-packing is what keeps read amplification flat. Runs as a
+    * normal optimistic transaction (concurrent writers arbitrate through
+    * the same commit CAS); data is byte-identical, only layout changes.
+    * `clusterBy` range-clusters while packing — pairing it with
+    * `statsCols` manifests is what makes q74-style file skipping
+    * effective (tight per-file intervals).
+    */
+  def optimize(spark: SparkSession, root: String, targetRows: Long,
+      clusterBy: Seq[String] = Nil, statsCols: Seq[String] = Nil): Snapshot =
+    transact(spark, root, statsCols = statsCols) { df =>
+      import org.apache.spark.sql.functions.col
+      val n = df.count()
+      val parts = math.max(1, ((n + targetRows - 1) / targetRows).toInt)
+      if (clusterBy.nonEmpty) df.repartitionByRange(parts, clusterBy.map(col): _*)
+      else df.repartition(parts)
+    }
+
+  /** VACUUM: drop all but the newest `keepLast` versions and delete their
+    * now-unreferenced data dirs from disk. Commit files are removed FIRST
+    * (oldest-first), so a crash mid-vacuum leaves only unreferenced dirs
+    * behind (re-vacuumable garbage), never a commit pointing at deleted
+    * data. Retention is the reader contract, exactly as in Delta/Iceberg:
+    * a reader pinning a version older than the retention window races with
+    * vacuum by definition — pick `keepLast` ≥ the longest reader lease.
+    * Returns the expired versions.
+    */
+  def expireSnapshots(root: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the latest snapshot")
+    val commits = Files.list(commitsDir(root)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".commit")).toSeq
+      .sortBy(_.getFileName.toString)
+    val dropped = commits.dropRight(keepLast)
+    dropped.map { c =>
+      val v = c.getFileName.toString.stripSuffix(".commit").toLong
+      val dataDir = Paths.get(Files.readString(c).trim)
+      Files.delete(c) // unreference before any data byte disappears
+      if (Files.exists(dataDir)) {
+        Files.walk(dataDir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+      v
+    }
+  }
+
   /** Optimistic transaction: derive a new snapshot from the latest one,
     * stage it, attempt the commit; on conflict re-derive against the
     * winner's snapshot and try again. `transform` MUST be a pure function

@@ -142,4 +142,36 @@ class SnapshotStoreSpec extends SparkSpec {
       col("max_k") >= 5000 && col("min_k") <= 6000)
     assert(kept0 == 0 && empty.columns.toSeq == Seq("k", "v") && empty.isEmpty)
   }
+
+  test("optimize compacts files without changing rows; vacuum deletes expired dirs") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_optim").toString
+    SnapshotStore.init(spark, root,
+      spark.range(500).select($"id".as("k"), ($"id" * 7).as("v")).repartition(16),
+      statsCols = Seq("k"))
+    SnapshotStore.transact(spark, root)(df => df.filter($"k" =!= 42L))
+    val want = SnapshotStore.read(spark, root).orderBy("k").collect().toSeq
+    val filesBefore = SnapshotStore.read(spark, root).inputFiles.length
+    SnapshotStore.optimize(spark, root, targetRows = 250,
+      clusterBy = Seq("k"), statsCols = Seq("k"))
+    val filesAfter = SnapshotStore.read(spark, root).inputFiles.length
+    assert(filesAfter < filesBefore && filesAfter <= 2,
+      s"optimize: $filesBefore -> $filesAfter files")
+    assert(SnapshotStore.read(spark, root).orderBy("k").collect().toSeq == want,
+      "optimize changed the data")
+    assert(SnapshotStore.manifest(spark, SnapshotStore.latest(root)).count() == filesAfter,
+      "optimize must refresh the manifest")
+
+    // expire everything but the newest 1: old dirs leave the disk, pinned
+    // old versions become unreadable, the latest stays intact
+    val v0dir = SnapshotStore.at(root, 0).dataDir
+    val expired = SnapshotStore.expireSnapshots(root, keepLast = 1)
+    assert(expired == Seq(0L, 1L), s"expired $expired")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(v0dir)),
+      "vacuum left the expired data dir on disk")
+    intercept[IllegalArgumentException](SnapshotStore.at(root, 0))
+    assert(SnapshotStore.read(spark, root).orderBy("k").collect().toSeq == want,
+      "vacuum touched the retained snapshot")
+    assert(SnapshotStore.latest(root).version == 2L)
+  }
 }
