@@ -381,5 +381,65 @@ object Profiling {
           s"""SELECT '$t' AS tbl, CAST(max($k) AS BIGINT) AS max_key,
              |  CAST(min($k) AS BIGINT) AS min_key,
              |  CAST(count(*) AS BIGINT) AS n_rows FROM $t""".stripMargin
-        }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl"))))
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl"))),
+
+    // Q76 [extension: corpus entropy / KL divergence] per-source token
+    // distribution entropy and KL(source ‖ corpus) — the domain-shift /
+    // mixture-diagnostics numbers a training-data pipeline reads before
+    // reweighting (DoReMi-style domain balancing starts from exactly these).
+    // All arithmetic is the q56 micro-nat trick: ln is taken only of
+    // INTEGER counts and immediately rounded to 10^-6 nats, so every sum is
+    // an exact integer (order-independent ⇒ cluster-size independent) and
+    // the oracle hash-matches bit-for-bit:
+    //   H_s  = lnµ(N_s) − (Σ_w n·lnµ(n)) div N_s
+    //   KL_s = (lnµ(M) − lnµ(N_s)) − (Σ_w n·(lnµ(m_w) − lnµ(n))) div N_s
+    // Both Σ terms are non-negative (n ≤ m_w), so `div`/`//` agree across
+    // engines (floor vs truncate differs only on negatives).
+    //
+    // Scale shape: one (source, token) count shuffle, one token-level
+    // partial-sum shuffle for corpus counts, one combinable per-source
+    // fold; the only broadcast is the 1-row corpus total. No driver data.
+    "q76_corpus_entropy" -> QueryDef(
+      build = (s, d) => {
+        val lnu = (c: org.apache.spark.sql.Column) =>
+          round(log(c) * 1000000).cast("long")
+        val tw = Tables.documents(s, d)
+          .select($("source"), explode(split($("text"), " ")).as("w"))
+          .groupBy($("source"), $("w")).agg(count(lit(1)).as("n"))
+        val cw = tw.groupBy($("w")).agg(sum($("n")).as("m"))
+        val perSrc = tw.join(cw, "w")
+          .groupBy($("source"))
+          .agg(sum($("n")).as("n_tot"),
+            count(lit(1)).as("n_dist"),
+            sum($("n") * lnu($("n"))).as("s_ent"),
+            sum($("n") * (lnu($("m")) - lnu($("n")))).as("s_kl"))
+        val consts = tw.agg(lnu(sum($("n"))).as("ln_mm"))
+        perSrc.crossJoin(broadcast(consts))
+          .select($("source"), $("n_tot").as("n_tokens"),
+            $("n_dist").cast("long").as("n_distinct"),
+            (lnu($("n_tot")) - expr("s_ent div n_tot")).as("entropy_micro"),
+            (($("ln_mm") - lnu($("n_tot"))) - expr("s_kl div n_tot")).as("kl_micro"))
+          .orderBy($("source"))
+      },
+      oracle = Some {
+        def lnu(e: String) = s"CAST(round(ln($e) * 1000000) AS BIGINT)"
+        s"""WITH tw AS (
+           |  SELECT source, w, count(*) AS n
+           |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+           |        FROM documents)
+           |  GROUP BY source, w),
+           |cw AS (SELECT w, CAST(sum(n) AS BIGINT) AS m FROM tw GROUP BY w),
+           |per_src AS (
+           |  SELECT t.source,
+           |    CAST(sum(t.n) AS BIGINT) AS n_tot,
+           |    CAST(count(*) AS BIGINT) AS n_dist,
+           |    CAST(sum(t.n * ${lnu("t.n")}) AS BIGINT) AS s_ent,
+           |    CAST(sum(t.n * (${lnu("c.m")} - ${lnu("t.n")})) AS BIGINT) AS s_kl
+           |  FROM tw t JOIN cw c USING (w) GROUP BY t.source),
+           |tot AS (SELECT ${lnu("sum(n)")} AS ln_mm FROM tw)
+           |SELECT source, n_tot AS n_tokens, n_dist AS n_distinct,
+           |  ${lnu("n_tot")} - s_ent // n_tot AS entropy_micro,
+           |  (ln_mm - ${lnu("n_tot")}) - s_kl // n_tot AS kl_micro
+           |FROM per_src, tot ORDER BY source""".stripMargin
+      }))
 }
