@@ -505,6 +505,37 @@ object LlmText {
           |SELECT t.doc_id, t.lang, t.n_tokens, round(c.cut, 4) AS lang_cut
           |FROM t JOIN c USING (lang)
           |WHERE CAST(t.n_tokens AS DOUBLE) >= c.cut
-          |ORDER BY t.doc_id""".stripMargin))
+          |ORDER BY t.doc_id""".stripMargin)),
+
+    // Q77 [extension: BPE tokenizer] real subword tokenization, train +
+    // encode (functions/Bpe.scala): 150 merges trained driver-side on a
+    // bounded deterministic sample (merge table = model state, the
+    // k-means-centroid scale class), then a broadcast-encode pass over the
+    // whole corpus. BPE encode is not SQL-expressible, so the gate is the
+    // q36b-style self-check shape: `ok` folds round-trip identity (token
+    // concat rebuilds the exact word), per-word token bounds, and encode
+    // determinism — computed per document on the engine side, asserted
+    // TRUE by the oracle. The build additionally requires corpus-level
+    // compression (merged tokens < naive char count), so a tokenizer that
+    // degenerates to characters fails loudly rather than passing trivially.
+    "q77_bpe_tokenize" -> QueryDef(
+      build = (s, d) => {
+        import graft.functions.Bpe
+        val docs = Tables.documents(s, d)
+        // 60 merges: the synthetic corpus has a ~50-word vocabulary that
+        // fully merges by ~100, so 60 keeps the vocab genuinely subword
+        // (some words stay multi-token) instead of degenerating whole-word
+        val merges = Bpe.trainOnSample(docs, numMerges = 60)
+        require(merges.length == 60, s"BPE training stopped at ${merges.length} merges")
+        val out = Bpe.encodeBatch(docs.select($("doc_id"), $("text")), merges).cache()
+        val totals = out.agg(sum($("n_tokens")), sum($("n_chars"))).head()
+        val (tok, chars) = (totals.getLong(0), totals.getLong(1))
+        require(tok < chars,
+          s"BPE produced no compression ($tok tokens vs $chars chars)")
+        out.select($("doc_id"), $("n_chars"), $("ok")).orderBy($("doc_id"))
+      },
+      oracle = Some(
+        """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, TRUE AS ok
+          |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
