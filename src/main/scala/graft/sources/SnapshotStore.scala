@@ -49,6 +49,14 @@ object SnapshotStore {
 
   final case class Snapshot(version: Long, dataDir: String)
 
+  /** Streaming-writer transaction stamp: `(appId, version)` recorded in the
+    * commit file — the public Delta `txn` idea. A replayed micro-batch
+    * (same appId, version ≤ the highest already committed) is skipped, so
+    * foreachBatch + transact is exactly-once end-to-end even though Spark
+    * replays batches after a crash.
+    */
+  final case class Txn(appId: String, version: Long)
+
   /** Thrown when `maxAttempts` successive commit attempts all lost the
     * version race — the caller's signal to back off or fail the job.
     */
@@ -75,21 +83,45 @@ object SnapshotStore {
   /** Newest committed snapshot. Readers go through this and only ever see
     * fully-committed, immutable data dirs.
     */
+  /** Commit file layout: line 1 = data dir; line 2 (optional) =
+    * "appId<TAB>txnVersion" for streaming-writer idempotence.
+    */
+  private def parseCommit(f: Path): (String, Option[Txn]) = {
+    val lines = Files.readString(f).trim.linesIterator.toSeq
+    val txn = lines.drop(1).headOption.map { l =>
+      val Array(app, v) = l.split("\t", 2)
+      Txn(app, v.toLong)
+    }
+    (lines.head, txn)
+  }
+
   def latest(root: String): Snapshot = {
     val newest = Files.list(commitsDir(root)).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".commit"))
       .maxByOption(_.getFileName.toString)
       .getOrElse(throw new IllegalStateException(s"no commits at $root"))
     val v = newest.getFileName.toString.stripSuffix(".commit").toLong
-    Snapshot(v, Files.readString(newest).trim)
+    Snapshot(v, parseCommit(newest)._1)
   }
 
   /** Pin a specific committed version — q70-style time travel / diff. */
   def at(root: String, version: Long): Snapshot = {
     val f = commitFile(root, version)
     require(Files.exists(f), s"version $version not committed at $root")
-    Snapshot(version, Files.readString(f).trim)
+    Snapshot(version, parseCommit(f)._1)
   }
+
+  /** Highest transaction version this app has committed, scanning the
+    * commit log (one tiny file per version — log-scale, not data-scale;
+    * production materializes this as a per-app watermark the same way
+    * Delta caches `txn` versions from its log).
+    */
+  def lastTxnVersion(root: String, appId: String): Option[Long] =
+    Files.list(commitsDir(root)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".commit"))
+      .flatMap(f => parseCommit(f)._2)
+      .filter(_.appId == appId)
+      .map(_.version).maxOption
 
   def read(spark: SparkSession, snap: Snapshot): DataFrame =
     spark.read.parquet(snap.dataDir)
@@ -167,10 +199,12 @@ object SnapshotStore {
     * Readers filter on the `.commit` suffix, so staged temp files are
     * invisible to them.
     */
-  private def tryCommit(root: String, expectedCurrent: Long, dataDir: String): Boolean = {
+  private def tryCommit(root: String, expectedCurrent: Long, dataDir: String,
+      txn: Option[Txn] = None): Boolean = {
     val target = commitFile(root, expectedCurrent + 1)
     val tmp = Files.createTempFile(commitsDir(root), ".staged", ".tmp")
-    Files.writeString(tmp, dataDir)
+    Files.writeString(tmp,
+      dataDir + txn.map(t => s"\n${t.appId}\t${t.version}").getOrElse(""))
     try { Files.createLink(target, tmp); true }
     catch { case _: FileAlreadyExistsException => false }
     finally Files.deleteIfExists(tmp)
@@ -215,7 +249,7 @@ object SnapshotStore {
     val dropped = commits.dropRight(keepLast)
     dropped.map { c =>
       val v = c.getFileName.toString.stripSuffix(".commit").toLong
-      val dataDir = Paths.get(Files.readString(c).trim)
+      val dataDir = Paths.get(parseCommit(c)._1)
       Files.delete(c) // unreference before any data byte disappears
       if (Files.exists(dataDir)) {
         Files.walk(dataDir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
@@ -233,16 +267,24 @@ object SnapshotStore {
     * optimistic-concurrency cost model: cheap when conflicts are rare,
     * which is the warehouse norm (compaction cadence >> commit latency).
     */
+  /** @param txn streaming-writer stamp: if this app has already committed
+    *   a version ≥ txn.version, the transaction is a no-op returning the
+    *   latest snapshot — the exactly-once contract for replayed
+    *   micro-batches. The check re-runs after every lost race, so a replay
+    *   interleaved with other writers still cannot double-apply.
+    */
   def transact(spark: SparkSession, root: String, maxAttempts: Int = 10,
-      statsCols: Seq[String] = Nil)(
+      statsCols: Seq[String] = Nil, txn: Option[Txn] = None)(
       transform: DataFrame => DataFrame): Snapshot = {
     var attempt = 0
     while (attempt < maxAttempts) {
+      if (txn.exists(t => lastTxnVersion(root, t.appId).exists(_ >= t.version)))
+        return latest(root) // already applied — replayed batch
       val base = latest(root)
       val out = transform(read(spark, base))
       val dir = stage(root, out)
       if (statsCols.nonEmpty) writeManifest(spark, dir, statsCols)
-      if (tryCommit(root, base.version, dir))
+      if (tryCommit(root, base.version, dir, txn))
         return Snapshot(base.version + 1, dir)
       attempt += 1
     }

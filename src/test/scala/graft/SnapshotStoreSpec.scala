@@ -174,4 +174,37 @@ class SnapshotStoreSpec extends SparkSpec {
       "vacuum touched the retained snapshot")
     assert(SnapshotStore.latest(root).version == 2L)
   }
+
+  test("streaming merge is exactly-once: replayed batches are no-ops") {
+    import spark.implicits._
+    import graft.streaming.SnapshotMergeSink
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_stream").toString
+    SnapshotStore.init(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    def rows() = SnapshotStore.read(spark, root).orderBy("k")
+      .as[(Long, String)].collect().toSeq
+
+    val apply = SnapshotMergeSink.upsertBatch(root, "k", "ingest") _
+    apply(Seq((2L, "b2"), (4L, "d")).toDF("k", "v"), 0L)
+    assert(rows() == Seq((1L, "a"), (2L, "b2"), (3L, "c"), (4L, "d")))
+    val vAfterBatch0 = SnapshotStore.latest(root).version
+
+    // crash-replay of batch 0 with (possibly stale) recomputed data: no-op
+    apply(Seq((2L, "STALE"), (4L, "STALE")).toDF("k", "v"), 0L)
+    assert(SnapshotStore.latest(root).version == vAfterBatch0,
+      "replayed batch committed a new version")
+    assert(rows() == Seq((1L, "a"), (2L, "b2"), (3L, "c"), (4L, "d")))
+
+    // an interleaved foreign writer must not unmask the replay
+    SnapshotStore.transact(spark, root)(df => df.filter($"k" =!= 3L))
+    apply(Seq((2L, "STALE")).toDF("k", "v"), 0L)
+    assert(rows() == Seq((1L, "a"), (2L, "b2"), (4L, "d")),
+      "replay after a foreign commit double-applied")
+
+    // the NEXT batch applies normally on top of everything
+    apply(Seq((1L, "a2"), (5L, "e")).toDF("k", "v"), 1L)
+    assert(rows() == Seq((1L, "a2"), (2L, "b2"), (4L, "d"), (5L, "e")))
+    assert(SnapshotStore.lastTxnVersion(root, "ingest").contains(1L))
+    assert(SnapshotStore.lastTxnVersion(root, "other").isEmpty)
+  }
 }
