@@ -93,6 +93,65 @@ object RelationalCore {
           |  CAST(levenshtein(p_name, 'spring green metallic') AS BIGINT) AS dist
           |FROM part ORDER BY dist, p_partkey LIMIT 10""".stripMargin)),
 
+    // Q78 [extension: fuzzy record-linkage JOIN] edit-distance-≤1 linkage
+    // between document keys and a deterministically-dirtied copy (one char
+    // deleted at a key-dependent position) — the record-linkage operator
+    // q03b's point lookup scales up to. Candidates come from PROVABLY
+    // COMPLETE half blocking: a single edit cannot touch both of two
+    // disjoint halves, so any ED≤1 pair agrees exactly on the
+    // position-aligned first 14 chars OR the end-aligned last 14 chars —
+    // two equi-joins on 14-char block keys, never a cartesian; exact
+    // levenshtein verifies candidates only. (The ED≤k generalization is
+    // k+1 segments — PassJoin — same plan with more keys.) The oracle
+    // brute-forces all pairs, so blocking that drops a qualifying pair
+    // hash-fails. The doc_id < 500 universe bound keeps the gate
+    // sf-independent.
+    "q78_fuzzy_link" -> QueryDef(
+      build = (s, d) => {
+        val base = Tables.documents(s, d)
+          .filter($("doc_id") < 500)
+          .select($("doc_id").as("id"), substring($("text"), 1, 30).as("name"))
+          .filter(length($("name")) === 30)
+        val dirty = base.select(($("id") + 1000000L).as("id"),
+          expr("""concat(substring(name, 1, cast(id % 29 as int)),
+                 |       substring(name, cast(id % 29 as int) + 2, 30))""".stripMargin)
+            .as("name"))
+        val uni = base.unionByName(dirty)
+        def cand(key: org.apache.spark.sql.Column) = {
+          val k = uni.select($("id"), $("name"), key.as("k"))
+          k.as("a").join(k.as("b"),
+              col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+            .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+              col("a.name").as("an"), col("b.name").as("bn"))
+        }
+        cand(substring($("name"), 1, 14))
+          .unionByName(cand(expr("substring(name, length(name) - 13, 14)")))
+          .dropDuplicates("a_id", "b_id")
+          .withColumn("dist", levenshtein($("an"), $("bn")).cast("long"))
+          .filter($("dist") <= 1)
+          .select($("a_id"), $("b_id"), $("dist"))
+          .orderBy($("a_id"), $("b_id"))
+      },
+      oracle = Some(
+        """WITH base AS (
+          |  SELECT doc_id AS id, substring(text, 1, 30) AS name
+          |  FROM documents
+          |  WHERE doc_id < 500 AND length(substring(text, 1, 30)) = 30),
+          |dirty AS (
+          |  SELECT id + 1000000 AS nid,
+          |    concat(substring(name, 1, CAST(id % 29 AS INT)),
+          |           substring(name, CAST(id % 29 AS INT) + 2, 30)) AS name
+          |  FROM base),
+          |uni AS (
+          |  SELECT id, name FROM base
+          |  UNION ALL SELECT nid AS id, name FROM dirty)
+          |SELECT a.id AS a_id, b.id AS b_id,
+          |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+          |FROM uni a JOIN uni b
+          |  ON a.id < b.id AND abs(length(a.name) - length(b.name)) <= 1
+          |WHERE levenshtein(a.name, b.name) <= 1
+          |ORDER BY a_id, b_id""".stripMargin)),
+
     // Q4 [F15] date + math scalar kit. The 10%-discount math runs in exact
     // integer cents ((c*9) div 10) so both engines agree bit-for-bit.
     "q04_date_math" -> QueryDef(
