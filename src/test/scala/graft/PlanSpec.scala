@@ -378,4 +378,18 @@ class PlanSpec extends SparkSpec {
       || p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q76: entropy aggregates are combinable partial+final; only the 1-row total broadcasts") {
+    val p = plan("q76_corpus_entropy")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"),
+      s"corpus total must broadcast, not go cartesian:\n$p")
+  }
+
+  test("q78: fuzzy-link candidates come from equi-joins on block keys, never a cartesian") {
+    val p = plan("q78_fuzzy_link")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
