@@ -326,6 +326,69 @@ object RelationalPipeline {
            |    GROUP BY n_name, year(o_orderdate)))
            |ORDER BY n_name, rnk""".stripMargin
       },
-      headline = true)
+      headline = true),
+
+    // Q79 [extension: time-series gap fill + LOCF] resample events to a
+    // dense hourly grid per event_type — the missing-bucket shape every
+    // time-series consumer needs (a dashboard or model that reads the q29
+    // rollup sees NO row for an empty hour, which is not the same thing as
+    // a zero row). The spine is event_type × sequence(min_hour, max_hour),
+    // left-joined to the rollup; gaps get n = 0, a filled flag, and
+    // last-observation-carried-forward of the hour's cents total (LOCF is
+    // integer passthrough — interpolation would be float and engine-
+    // divergent by design). Leading gaps before a type's first observation
+    // stay NULL in both engines.
+    //
+    // Scale shape: the rollup is the q29 combinable agg; the spine is
+    // |types| × |hours| rows built from a broadcast 1-row bounds agg (no
+    // data shuffle); the LOCF window partitions by event_type — one
+    // shuffle keyed the same way as the rollup.
+    "q79_gap_fill" -> QueryDef(
+      build = (s, d) => {
+        val ev = Tables.events(s, d)
+          .select($("event_type"), $("ts"), cents($("value")).as("v"))
+        val agg = ev
+          .groupBy($("event_type"), window($("ts"), "1 hour").as("w"))
+          .agg(count(lit(1)).as("n_obs"), sum($("v")).as("val_c"))
+          .select($("event_type"), $("w.start").as("h"), $("n_obs"), $("val_c"))
+        val bounds = ev.agg(
+          date_trunc("hour", min($("ts"))).as("lo"),
+          date_trunc("hour", max($("ts"))).as("hi"))
+        val spine = ev.select($("event_type")).distinct()
+          .crossJoin(broadcast(bounds))
+          .select($("event_type"),
+            explode(sequence($("lo"), $("hi"), expr("interval 1 hour"))).as("h"))
+        val locf = Window.partitionBy($("event_type")).orderBy($("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(agg, Seq("event_type", "h"), "left")
+          .select($("event_type"), $("h").as("hour_start"),
+            coalesce($("n_obs"), lit(0L)).as("n"),
+            $("n_obs").isNull.as("filled"),
+            last($("val_c"), ignoreNulls = true).over(locf).as("val_locf"))
+          .orderBy($("event_type"), $("hour_start"))
+      },
+      oracle = Some(
+        s"""WITH agg AS (
+           |  SELECT event_type, date_trunc('hour', ts) AS h,
+           |    CAST(count(*) AS BIGINT) AS n_obs,
+           |    CAST(sum(${centsSql("value")}) AS BIGINT) AS val_c
+           |  FROM events GROUP BY 1, 2),
+           |bounds AS (
+           |  SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
+           |         CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS hi
+           |  FROM events),
+           |spine AS (
+           |  SELECT t.event_type, g.h
+           |  FROM (SELECT DISTINCT event_type FROM events) t,
+           |       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+           |        FROM bounds) g)
+           |SELECT s.event_type, s.h AS hour_start,
+           |  COALESCE(a.n_obs, 0) AS n, a.n_obs IS NULL AS filled,
+           |  last_value(a.val_c IGNORE NULLS) OVER (
+           |    PARTITION BY s.event_type ORDER BY s.h
+           |    ROWS UNBOUNDED PRECEDING) AS val_locf
+           |FROM spine s LEFT JOIN agg a
+           |  ON a.event_type = s.event_type AND a.h = s.h
+           |ORDER BY s.event_type, hour_start""".stripMargin))
   )
 }
