@@ -78,9 +78,18 @@ object LlmDedup {
     // reconstructed below (intra-class: jac exactly 1; cross-class: every
     // member pair inherits the representatives' Jaccard, since members'
     // sets are identical). Output is bit-identical to banding all docs.
+    // class key = xxhash64 of the sorted hash array, NOT the array itself:
+    // an 8-byte grouping key keeps the agg in HashAggregate (array keys
+    // force a SortAggregate — a full sort of every shingle set, measured
+    // 3× slower on the dense char-gram sets) and an order of magnitude
+    // less shuffle-key weight. A 64-bit collision (~1e-9 at corpus scale,
+    // the same budget the shingle hashing itself runs on) would merge two
+    // classes and emit a wrong pair — acceptable for dedup the same way
+    // the underlying shingle hashes are; widen to twin keys at 100 TB.
+    // `first(hs)` is deterministic in value: class members share the set.
     val classes = sh.filter(size($("hs")) > 0)
-      .groupBy($("hs"))
-      .agg(sort_array(collect_list($("doc_id"))).as("ids"))
+      .groupBy(xxhash64($("hs")).as("ck"))
+      .agg(sort_array(collect_list($("doc_id"))).as("ids"), first($("hs")).as("hs"))
       .select($("hs"), $("ids"), element_at($("ids"), 1).as("rep"))
       .cache()
     // intra-class pairs: identical sets ⇒ inter = uni = |set|, jac = 1.0
