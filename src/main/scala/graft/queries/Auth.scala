@@ -57,6 +57,38 @@ object Auth {
            |  c_name AS jwt_username,
            |  CAST(${FixedIat + 3600} AS BIGINT) AS jwt_exp,
            |  true AS jwt_valid
-           |FROM customer WHERE c_custkey <= 40 ORDER BY id""".stripMargin))
+           |FROM customer WHERE c_custkey <= 40 ORDER BY id""".stripMargin)),
+
+    // Q80 [extension: role-based column masking] the read-side half of the
+    // reference's auth story (it gates every endpoint behind JWT —
+    // `Server/main.go:154-189` — but serves full rows to any valid token;
+    // a warehouse additionally masks columns per role). The analyst view:
+    // names reduced to initial + 8 hex chars of SHA-256 (referential
+    // integrity preserved — equal names mask equally, so joins/group-bys
+    // on the masked column still work), salaries banded to the nearest
+    // 1000 (floor), segment in the clear. Pure deterministic projection —
+    // codegen'd, zero shuffle, and exactly expressible in the oracle
+    // (SHA-256 is SHA-256 in both engines).
+    "q80_masked_view" -> QueryDef(
+      build = (s, d) =>
+        RelationalPipeline.employeeView(s, d)
+          .select($("id"),
+            concat(substring($("name"), 1, 1), lit("***"),
+              substring(sha2($("name"), 256), 1, 8)).as("name_masked"),
+            // floor (not div): acctbal-derived salaries can be negative and
+            // Spark's `div` truncates where DuckDB's `//` floors — floor of
+            // an exact small-integer double division agrees everywhere
+            (floor($("salary") / 1000) * 1000).cast("long").as("salary_band"),
+            $("segment"))
+          .orderBy($("id")),
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""SELECT c_custkey AS id,
+           |  substring(c_name, 1, 1) || '***' ||
+           |    substring(sha256(c_name), 1, 8) AS name_masked,
+           |  CAST(floor($cents / 1000) * 1000 AS BIGINT) AS salary_band,
+           |  c_mktsegment AS segment
+           |FROM customer ORDER BY id""".stripMargin
+      })
   )
 }
