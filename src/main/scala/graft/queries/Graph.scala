@@ -111,22 +111,36 @@ object Graph {
       headline = true),
 
     // Q73b [extension: triangle counting] per-node triangle counts on the
-    // undirected graph: orient every edge low-id → high-id, enumerate
-    // wedges a→b→c, close them against the oriented edge list. Each
-    // triangle is found exactly once (a < b < c), then credited to all
-    // three corners.
-    //
-    // Scale shape: two shuffle equi-joins on node keys — no cartesian.
-    // Id-ordering is fine on this near-regular graph (deg ≤ 3); on a
-    // skewed web graph you'd orient low-DEGREE → high-degree instead
-    // (break ties by id), which provably bounds per-node wedge fan-out by
-    // O(sqrt(m)) — same plan, different orientation column.
+    // undirected graph via DEGREE-ORDERED orientation (the published
+    // MapReduce-triangles trick, Suri & Vassilvitskii): orient every edge
+    // from its lower-(degree, id) endpoint to the higher, enumerate wedges
+    // a→b→c, close them against the oriented edges. Any acyclic total
+    // order finds each triangle exactly once (the triangle's minimum
+    // vertex owns both out-edges), so the OUTPUT is orientation-
+    // independent — the oracle keeps plain id-ordering — but degree
+    // ordering provably bounds per-node wedge fan-out by O(√m) on skewed
+    // graphs, where id-ordering lets one high-degree hub generate deg²
+    // wedges. Two shuffle equi-joins on node keys; no cartesian
+    // (PlanSpec-locked).
     "q73b_triangles" -> QueryDef(
       build = (s, d) => {
         val (_, edges) = linkGraph(s, d)
-        val und = edges
+        val undirected = edges
           .select(least($("src"), $("dst")).as("a"), greatest($("src"), $("dst")).as("b"))
-          .distinct().cache()
+          .distinct()
+        // undirected degree per node, then orient by (deg, id)
+        val deg = undirected.select($("a").as("n"))
+          .unionAll(undirected.select($("b").as("n")))
+          .groupBy($("n")).agg(count(lit(1)).as("deg"))
+        val und = undirected
+          .join(deg.select($("n").as("a"), $("deg").as("da")), "a")
+          .join(deg.select($("n").as("b"), $("deg").as("db")), "b")
+          .select(
+            when($("da") < $("db") || ($("da") === $("db") && $("a") < $("b")),
+              struct($("a").as("t"), $("b").as("h")))
+              .otherwise(struct($("b").as("t"), $("a").as("h"))).as("e"))
+          .select($("e.t").as("a"), $("e.h").as("b"))
+          .cache()
         val wedges = und.as("e1")
           .join(und.as("e2"), col("e1.b") === col("e2.a"))
           .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
