@@ -383,6 +383,42 @@ object Profiling {
              |  CAST(count(*) AS BIGINT) AS n_rows FROM $t""".stripMargin
         }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl"))),
 
+    // Q81 [extension: sketch set operations] intersection cardinality from
+    // MERGEABLE sketches via inclusion–exclusion: |A∩B| ≈ est(A) + est(B)
+    // − est(A ∪ B), where the union is a SKETCH merge (hll_union_agg) —
+    // the cross-dataset overlap question ("how many customers appear in
+    // both segments?") answered without co-shuffling either side, the way
+    // warehouse overlap dashboards actually run. Exact counts come from
+    // dense key ranges with a known 500-key overlap, so the gate row is
+    // the q15-style self-check: `ok` asserts the estimate lands within
+    // ±15% of truth (HLL ~1.6% per term; inclusion–exclusion amplifies —
+    // the bound is deliberately loose). Estimates themselves are engine-
+    // specific and never hashed.
+    "q81_sketch_intersect" -> QueryDef(
+      build = (s, d) => {
+        val cust = Tables.customer(s, d).select($("c_custkey").as("k"))
+        val a = cust.filter($("k") >= 0 && $("k") < 1000)
+        val b = cust.filter($("k") >= 500 && $("k") < 1500)
+        val sa = a.agg(hll_sketch_agg($("k")).as("sk"), count(lit(1)).as("n"))
+        val sb = b.agg(hll_sketch_agg($("k")).as("sk"), count(lit(1)).as("n"))
+        val merged = sa.select($("sk"), $("n").as("n_a"))
+          .unionByName(sb.select($("sk"), $("n").as("n_a")))
+          .agg(hll_sketch_estimate(hll_union_agg($("sk"))).as("est_u"),
+            sum($("n_a")).as("n_total"))
+        val ests = sa.select(hll_sketch_estimate($("sk")).as("est_a"))
+          .crossJoin(sb.select(hll_sketch_estimate($("sk")).as("est_b")))
+          .crossJoin(merged)
+        val interExact = 500L
+        ests.select(
+            ($("n_total") - lit(interExact)).as("n_union_exact"),
+            lit(interExact).as("n_inter_exact"),
+            (abs($("est_a") + $("est_b") - $("est_u") - lit(interExact))
+              <= lit(0.15 * interExact)).as("ok"))
+      },
+      oracle = Some(
+        """SELECT CAST(1500 AS BIGINT) AS n_union_exact,
+          |  CAST(500 AS BIGINT) AS n_inter_exact, TRUE AS ok""".stripMargin)),
+
     // Q76 [extension: corpus entropy / KL divergence] per-source token
     // distribution entropy and KL(source ‖ corpus) — the domain-shift /
     // mixture-diagnostics numbers a training-data pipeline reads before
