@@ -486,6 +486,134 @@ object Multimodal {
       fps.select(org.apache.spark.sql.functions.col("clip_id").as("img_id"),
         org.apache.spark.sql.functions.col("fp").as("dhash")), maxHamming)
 
+  // ---------------------------------------------------------------------
+  // Content-level video ops: frame-packed container + frame sampling +
+  // per-frame perceptual hashes — the third modality, built on the PNG
+  // codec above. The container is a real length-prefixed byte layout
+  // ("GVID", frame count, then [len, PNG] per frame — the MJPEG idea with
+  // explicit framing), so the decode path walks real container framing
+  // AND real PNG bytes. Frame SAMPLING is the operator that matters at
+  // scale: a dedup pass never decodes every frame of every video; it
+  // decodes a sparse deterministic subset and compares per-frame
+  // perceptual hashes index-aligned. Per-row CPU, zero shuffle.
+  // ---------------------------------------------------------------------
+
+  val VideoFrames = 8
+
+  /** Encode frames (each an 8×9 grayscale pixel grid) into the container. */
+  def encodeVideo(frames: Seq[Array[Array[Int]]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GVID".getBytes("US-ASCII"))
+    out.write(beBytes(frames.length))
+    frames.foreach { px =>
+      val png = encodePngGray(px)
+      out.write(beBytes(png.length)); out.write(png, 0, png.length)
+    }
+    out.toByteArray
+  }
+
+  /** Walk the container framing and decode ONLY the requested frame
+    * indices (the frame-sampling contract: untouched frames are never
+    * inflated). Refuses loudly on bad magic/framing.
+    */
+  def decodeVideoFrames(b: Array[Byte], wanted: Set[Int]): Seq[(Int, Array[Array[Int]])] = {
+    require(b.length >= 8 && b(0) == 'G' && b(1) == 'V' && b(2) == 'I' && b(3) == 'D',
+      "not a GVID container")
+    val n = be32(b, 4)
+    require(n >= 0, "corrupt frame count")
+    var off = 8
+    val out = Seq.newBuilder[(Int, Array[Array[Int]])]
+    var i = 0
+    while (i < n && off + 4 <= b.length) {
+      val len = be32(b, off)
+      require(len >= 0 && off + 4 + len <= b.length, s"corrupt frame $i length")
+      if (wanted.contains(i))
+        out += ((i, decodePngGray(java.util.Arrays.copyOfRange(b, off + 4, off + 4 + len))))
+      off += 4 + len
+      i += 1
+    }
+    out.result()
+  }
+
+  private val videoSchema: StructType = StructType(Seq(
+    StructField("vid_id", LongType), StructField("payload", BinaryType)))
+  private val frameHashSchema: StructType = StructType(Seq(
+    StructField("vid_id", LongType), StructField("frame_idx", IntegerType),
+    StructField("dhash", LongType)))
+
+  /** Per-frame pixel source: an independent synthPixel stream per frame
+    * (distinct per (src, frame) so consecutive frames are unrelated — the
+    * adversarial case for near-dup, which must match on hash equality,
+    * not temporal smoothness).
+    */
+  def videoFramePixels(src: Long, frame: Int): Array[Array[Int]] =
+    Array.tabulate(8, 9)((y, x) => synthPixel(src + 1000003L * frame, x, y))
+
+  /** Synthesize one real container per (vid_id, src, twin) row. A twin
+    * bumps one pixel of frame 4 (a SAMPLED frame) by +7 — a planted
+    * temporal near-duplicate: all other frames byte-identical, frame 4
+    * within 2 dHash bits.
+    */
+  def synthVideoBatch(rows: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(videoSchema))
+    rows.select("vid_id", "src", "twin").mapPartitions { it =>
+      it.map { r =>
+        val src = r.getLong(1); val twin = r.getBoolean(2)
+        val frames = (0 until VideoFrames).map { f =>
+          val px = videoFramePixels(src, f)
+          if (twin && f == 4) { px(3)(4) = (px(3)(4) + 7) % 256 }
+          px
+        }
+        Row(r.getLong(0), encodeVideo(frames))
+      }
+    }(enc)
+  }
+
+  /** Sampled frame indices: every 2nd frame (0, 2, 4, 6). */
+  val SampledFrames: Seq[Int] = 0 until VideoFrames by 2
+
+  /** Decode the sampled frames of each container and emit one perceptual
+    * hash per (video, frame index) — long-form, ready for index-aligned
+    * comparison or LSH banding downstream.
+    */
+  def videoFrameHashBatch(df: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(frameHashSchema))
+    val wanted = SampledFrames.toSet
+    df.select("vid_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        decodeVideoFrames(r.getAs[Array[Byte]](1), wanted).map { case (f, px) =>
+          Row(r.getLong(0), f, dHash(px))
+        }
+      }
+    }(enc)
+  }
+
+  /** Video near-dup pairs: per-frame banded Hamming candidates (the q35d
+    * pigeonhole join on (frame_idx, chunk) — index-aligned, so only
+    * same-position frames ever pair), then a pair qualifies when ≥
+    * `minMatchingFrames` of the sampled frames agree within `maxHamming`
+    * bits. Candidates travel as id pairs; at 100 TB nothing wider than
+    * (frame, chunk, vid_id) ever shuffles.
+    */
+  def videoNearDupPairs(frameHashes: DataFrame, maxHamming: Int = 2,
+      minMatchingFrames: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val chunkCols = (0 to 3).map(c => concat_ws(":", col("frame_idx"), lit(c),
+      shiftrightunsigned(col("dhash"), 16 * c).bitwiseAND(lit(0xFFFFL))))
+    val chunks = frameHashes.select(col("vid_id"), col("frame_idx"), col("dhash"),
+      explode(array(chunkCols: _*)).as("chunk"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.vid_id") < col("b.vid_id"))
+      .select(col("a.vid_id").as("a_id"), col("b.vid_id").as("b_id"),
+        col("a.frame_idx").as("f"), col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .dropDuplicates("a_id", "b_id", "f")
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).cast("long").as("n_close_frames"))
+      .filter(col("n_close_frames") >= minMatchingFrames)
+  }
+
   /** Partition-local REAL header parse over (doc_id, kind, payload) rows —
     * same plumbing shape as [[decodeBatch]], richer typed output.
     */

@@ -387,6 +387,63 @@ object Surface {
            |  AND bit_count(CAST(xor(a.h, b.h) AS UBIGINT)) <= 3
            |ORDER BY a_clip, b_clip""".stripMargin)),
 
+    // Q35g [extension: video frame sampling + per-frame perceptual hash]
+    // the third modality: one real frame-packed container per video (GVID
+    // framing, real PNG frames), decoded through container walk + PNG
+    // inflate for ONLY the sampled frame indices (0,2,4,6) — the sparse-
+    // decode contract a 100 TB video dedup pass lives by — then dHashed
+    // per frame. Oracle derives every sampled frame's hash from the pixel
+    // formula; the Spark side earns them through the container+PNG byte
+    // path. hi/lo split as in q35c.
+    "q35g_video_frames" -> QueryDef(
+      build = (s, d) => {
+        val fh = Multimodal.videoFrameHashBatch(
+          Multimodal.synthVideoBatch(videoRows(s, d)))
+        fh.select($("vid_id"), $("frame_idx").cast("long").as("frame_idx"),
+            shiftrightunsigned($("dhash"), 32).as("dhash_hi"),
+            $("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
+          .orderBy($("vid_id"), $("frame_idx"))
+      },
+      oracle = Some(
+        s"""$videoHashOracleCte
+           |SELECT vid_id, CAST(f AS BIGINT) AS frame_idx,
+           |  CAST(sum(CASE WHEN i >= 32 THEN bit * (1::BIGINT << (i - 32))
+           |    ELSE 0 END) AS BIGINT) AS dhash_hi,
+           |  CAST(sum(CASE WHEN i < 32 THEN bit * (1::BIGINT << i)
+           |    ELSE 0 END) AS BIGINT) AS dhash_lo
+           |FROM bits GROUP BY vid_id, f ORDER BY vid_id, frame_idx""".stripMargin)),
+
+    // Q35h [extension: video near-dedup] index-aligned per-frame banded
+    // Hamming candidates (the q35d pigeonhole join keyed by (frame, chunk)
+    // so only same-position frames pair), qualifying a video pair when ≥3
+    // of the 4 sampled frames agree within 2 bits. Planted twins differ
+    // only in one pixel of one sampled frame — all 4 frames stay within
+    // bound. The oracle brute-forces all pairs from formula hashes.
+    "q35h_video_neardup" -> QueryDef(
+      build = (s, d) => {
+        val fh = Multimodal.videoFrameHashBatch(
+          Multimodal.synthVideoBatch(videoRows(s, d)))
+        Multimodal.videoNearDupPairs(fh)
+          .orderBy($("a_id"), $("b_id"))
+      },
+      oracle = Some(
+        s"""$videoHashOracleCte,
+           |hs AS (
+           |  SELECT vid_id, f,
+           |    sum(CASE WHEN i >= 32 THEN CAST(bit AS HUGEINT) * (1::HUGEINT << (i - 32)) ELSE 0 END)
+           |      * 4294967296::HUGEINT
+           |    + sum(CASE WHEN i < 32 THEN CAST(bit AS HUGEINT) * (1::HUGEINT << i) ELSE 0 END)
+           |      AS h
+           |  FROM bits GROUP BY vid_id, f),
+           |close AS (
+           |  SELECT a.vid_id AS a_id, b.vid_id AS b_id, a.f
+           |  FROM hs a JOIN hs b ON a.f = b.f AND a.vid_id < b.vid_id
+           |  WHERE bit_count(CAST(xor(a.h, b.h) AS UBIGINT)) <= 2)
+           |SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS n_close_frames
+           |FROM close GROUP BY a_id, b_id
+           |HAVING count(*) >= 3
+           |ORDER BY a_id, b_id""".stripMargin)),
+
     // Q36 [S8 batch twin: F6,F7] the generator's record synthesis
     // (Random/main.go:73-123) with modular arithmetic in place of rand so
     // the values themselves hash-check; q36b keeps the true seeded-rand
@@ -505,6 +562,46 @@ object Surface {
         .select(($("doc_id") + 10000000L).as("clip_id"), $("doc_id").as("src"),
           lit(true).as("twin")))
   }
+
+  /** Video universe for q35g/q35h (same planted-twin scheme as images). */
+  private def videoRows(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.documents(s, d).select($("doc_id"))
+    docs.select($("doc_id").as("vid_id"), $("doc_id").as("src"),
+        lit(false).as("twin"))
+      .unionByName(docs.filter($("doc_id") % 29 === 0)
+        .select(($("doc_id") + 10000000L).as("vid_id"), $("doc_id").as("src"),
+          lit(true).as("twin")))
+  }
+
+  /** Shared oracle CTE: expected per-sampled-frame dHash bits from the
+    * frame pixel formula (Multimodal.videoFramePixels + the twin's
+    * one-pixel bump on frame 4) — no container/PNG decode on the oracle
+    * side, which is exactly what makes the gate a codec+framing check.
+    */
+  private def videoHashOracleCte: String =
+    """WITH vids AS (
+      |  SELECT doc_id AS vid_id, doc_id AS src, FALSE AS twin FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, doc_id, TRUE FROM documents
+      |  WHERE doc_id % 29 = 0),
+      |px AS (
+      |  SELECT vid_id, f, x, y,
+      |    CASE WHEN twin AND f = 4 AND x = 4 AND y = 3
+      |      THEN (p0 + 7) % 256 ELSE p0 END AS p
+      |  FROM (
+      |    SELECT vid_id, twin, f, x, y, ((v * v + v) % 1000000007) % 256 AS p0
+      |    FROM (
+      |      SELECT vid_id, twin, f, x, y,
+      |        ((src + 1000003 * f) * 2654435761 + x * 101 + y * 211)
+      |          % 1000000007 AS v
+      |      FROM vids, (SELECT unnest([0, 2, 4, 6]) AS f) fr,
+      |           range(0, 9) t1(x), range(0, 8) t2(y)))),
+      |bits AS (
+      |  SELECT a.vid_id, a.f, a.y * 8 + a.x AS i,
+      |    CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bit
+      |  FROM px a JOIN px b
+      |    ON a.vid_id = b.vid_id AND a.f = b.f AND b.y = a.y AND b.x = a.x + 1
+      |  WHERE a.x < 8)""".stripMargin
 
   /** Shared oracle CTE: expected audio-fingerprint bits straight from the
     * sample formula (Multimodal.synthSample + the twin's one-sample bump

@@ -347,6 +347,39 @@ class LlmSpec extends SparkSpec {
     assert(missed.isEmpty, s"banded join missed planted audio twins: $missed")
   }
 
+  test("video container + frame sampling: round-trip, sparse decode, twin recall") {
+    import graft.functions.Multimodal
+    // container round-trip: every frame comes back pixel-exact
+    val frames = (0 until Multimodal.VideoFrames)
+      .map(f => Multimodal.videoFramePixels(7L, f))
+    val enc = Multimodal.encodeVideo(frames)
+    val all = Multimodal.decodeVideoFrames(enc, (0 until Multimodal.VideoFrames).toSet)
+    assert(all.size == Multimodal.VideoFrames)
+    all.foreach { case (f, px) =>
+      assert(px.map(_.toSeq).toSeq == frames(f).map(_.toSeq).toSeq, s"frame $f differs")
+    }
+    // sparse decode returns exactly the requested indices
+    val sparse = Multimodal.decodeVideoFrames(enc, Set(1, 6))
+    assert(sparse.map(_._1) == Seq(1, 6))
+    // junk payload refuses loudly
+    intercept[IllegalArgumentException](
+      Multimodal.decodeVideoFrames("nope".getBytes ++ enc.drop(4), Set(0)))
+    // banded join recovers every planted twin with all 4 sampled frames close
+    val n = 300L; val offset = 10000000L
+    val rows = spark.range(n)
+      .select($"id".as("vid_id"), $"id".as("src"), lit(false).as("twin"))
+      .unionByName(spark.range(n).filter($"id" % 29 === 0)
+        .select(($"id" + offset).as("vid_id"), $"id".as("src"), lit(true).as("twin")))
+    val pairs = Multimodal.videoNearDupPairs(
+        Multimodal.videoFrameHashBatch(Multimodal.synthVideoBatch(rows)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = (0L until n by 29L).map(i => (i, i + offset)).toSet
+    val missed = planted -- pairs.map(p => (p._1, p._2)).toSet
+    assert(missed.isEmpty, s"missed planted video twins: $missed")
+    assert(pairs.filter(p => planted.contains((p._1, p._2))).forall(_._3 == 4L),
+      "twin pairs should have all 4 sampled frames within bound")
+  }
+
   test("hot-bucket stress: 1k exact copies dedup without a straggler (q27b/q27g)") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     // A class of c exact copies shares its whole MinHash signature, so
