@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Randomized sweeps of the graph operators against brute-force driver
+  * references — the AsOfJoinSpec treatment (a randomized sweep there caught
+  * a real projection bug crafted cases missed): same seed builds the same
+  * graph in both implementations, so any divergence is a real defect in
+  * the distributed plan.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side exact PageRank mirroring q73's integer fixed-point rules. */
+  private def refPageRank(n: Int, edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val scale = 1000000000000L
+    val out = edges.groupBy(_._1)
+    val deg = out.map { case (s, es) => s -> es.length }
+    var pr = (0L until n.toLong).map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, es) <- out; (_, d) <- es) contrib(d) += pr(s) / deg(s)
+      pr = (0L until n.toLong).map(v => v -> (150000000000L + 85L * contrib(v) / 100L)).toMap
+    }
+    pr
+  }
+
+  /** Driver-side triangle counting per node (brute force over all triples
+    * of the undirected edge set).
+    */
+  private def refTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2).toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val counts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      Seq(x, y, z) <- nodes.combinations(3)
+      if und((x, y)) && und((y, z)) && und((x, z))
+    } { counts(x) += 1; counts(y) += 1; counts(z) += 1 }
+    counts.toMap
+  }
+
+  /** Distributed PageRank over an explicit edge list, mirroring the q73
+    * loop (join + partial-sum groupBy + localCheckpoint per iteration).
+    */
+  private def distPageRank(n: Int, edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val scale = 1000000000000L
+    val docs = (0L until n.toLong).toDF("doc_id").cache()
+    val e = edges.toDF("src", "dst")
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, "src").cache()
+    var pr = docs.select($"doc_id", lit(scale).as("pr")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(pr.withColumnRenamed("doc_id", "src"), "src")
+        .select($"dst", expr("pr div deg").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("m"))
+      val next = docs.join(contrib, docs("doc_id") === contrib("dst"), "left")
+        .select($"doc_id",
+          (lit(150000000000L) + expr("85 * coalesce(m, CAST(0 AS BIGINT)) div 100")).as("pr"))
+      val nn = next.localCheckpoint(true); pr.unpersist(); pr = nn
+    }
+    val res = pr.as[(Long, Long)].collect().toMap
+    ed.unpersist(); docs.unpersist()
+    res
+  }
+
+  test("PageRank: distributed loop equals the exact driver reference on random graphs") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 3) {
+      val n = 20 + rnd.nextInt(30)
+      val edges = (for {
+        s <- 0L until n.toLong
+        _ <- 1 to (1 + rnd.nextInt(3))
+      } yield (s, rnd.nextInt(n).toLong)).distinct.filter(e => e._1 != e._2)
+      val got = distPageRank(n, edges, iters = 6)
+      val want = refPageRank(n, edges, iters = 6)
+      assert(got == want, s"trial $trial (n=$n, |E|=${edges.length}) diverged")
+    }
+  }
+
+  test("triangles: the degree-ordered distributed count equals brute force") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 3) {
+      val n = 15 + rnd.nextInt(15)
+      // dense enough to guarantee triangles, with a planted hub (node 0)
+      // to exercise the degree-ordered orientation
+      val edges = ((for {
+        s <- 0L until n.toLong
+        _ <- 1 to (2 + rnd.nextInt(3))
+      } yield (s, rnd.nextInt(n).toLong)) ++ (1L until n.toLong).map((0L, _)))
+        .distinct.filter(e => e._1 != e._2)
+      val und = edges.toDF("src", "dst")
+        .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+        .distinct()
+      val deg = und.select($"a".as("n")).unionAll(und.select($"b".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("deg"))
+      val oriented = und
+        .join(deg.select($"n".as("a"), $"deg".as("da")), "a")
+        .join(deg.select($"n".as("b"), $"deg".as("db")), "b")
+        .select(
+          when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
+            struct($"a".as("t"), $"b".as("h")))
+            .otherwise(struct($"b".as("t"), $"a".as("h"))).as("e"))
+        .select($"e.t".as("a"), $"e.h".as("b"))
+      val wedges = oriented.as("e1").join(oriented.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
+      val tri = wedges.join(oriented.as("e3"),
+          col("wa") === col("e3.a") && col("wc") === col("e3.b"))
+        .select(col("wa").as("a"), col("wb").as("b"), col("wc").as("c"))
+      val got = tri.select(explode(array($"a", $"b", $"c")).as("n"))
+        .groupBy($"n").agg(count(lit(1)).as("c"))
+        .as[(Long, Long)].collect().toMap
+      val want = refTriangles(edges)
+      assert(got == want, s"trial $trial (n=$n): got $got\nwant $want")
+    }
+  }
+
+  test("fuzzy half-blocking is complete: finds every brute-force ED<=1 pair") {
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcd" // tiny alphabet maximizes coincidental near-pairs
+    def randStr(len: Int) = (1 to len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    def edit(sb: String): String = {
+      val p = rnd.nextInt(sb.length)
+      rnd.nextInt(3) match {
+        case 0 => sb.substring(0, p) + sb.substring(p + 1) // delete
+        case 1 => sb.substring(0, p) + alpha(rnd.nextInt(4)) + sb.substring(p + 1) // sub
+        case _ => sb.substring(0, p) + alpha(rnd.nextInt(4)) + sb.substring(p) // insert
+      }
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+        if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val strs = ((0 until 150).map(i => (i.toLong, randStr(30))) ++
+      (0 until 150 by 3).map(i => (i + 100000L, edit(randStr(30))))).distinct
+    // brute-force truth (only pairs with 28 <= len: the q78 contract
+    // assumes near-uniform lengths >= 28 so the 14-char halves stay disjoint)
+    val ok = strs.filter(_._2.length >= 28)
+    val want = (for {
+      (ia, sa) <- ok; (ib, sb) <- ok
+      if ia < ib && lev(sa, sb) <= 1
+    } yield (ia, ib)).toSet
+    // the q78 candidate scheme
+    val df = ok.toDF("id", "name")
+    def cand(key: org.apache.spark.sql.Column) = {
+      val k = df.select($"id", $"name", key.as("k"))
+      k.as("a").join(k.as("b"), col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+          col("a.name").as("an"), col("b.name").as("bn"))
+    }
+    val got = cand(substring($"name", 1, 14))
+      .unionByName(cand(expr("substring(name, length(name) - 13, 14)")))
+      .dropDuplicates("a_id", "b_id")
+      .filter(levenshtein($"an", $"bn") <= 1)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(got == want,
+      s"blocking missed ${(want -- got).size} / invented ${(got -- want).size} pairs")
+  }
+}
