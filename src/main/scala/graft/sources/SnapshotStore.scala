@@ -62,6 +62,13 @@ object SnapshotStore {
     */
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
+  /** Thrown when a transaction's output violates a table constraint — the
+    * commit is aborted BEFORE any pointer moves, so committed snapshots
+    * always satisfy their invariants (the public Delta CHECK-constraint
+    * contract).
+    */
+  final class ConstraintViolationException(msg: String) extends RuntimeException(msg)
+
   private def commitsDir(root: String): Path = Paths.get(root, "_commits")
   private def commitFile(root: String, v: Long): Path =
     commitsDir(root).resolve(f"$v%020d.commit")
@@ -273,15 +280,39 @@ object SnapshotStore {
     *   micro-batches. The check re-runs after every lost race, so a replay
     *   interleaved with other writers still cannot double-apply.
     */
+  /** @param constraints named row invariants (CHECK constraints) the
+    *   transaction output must satisfy; validated in ONE aggregate job
+    *   over the output BEFORE anything is staged or committed. Violations
+    *   throw [[ConstraintViolationException]] with per-constraint counts
+    *   and leave the table untouched.
+    */
   def transact(spark: SparkSession, root: String, maxAttempts: Int = 10,
-      statsCols: Seq[String] = Nil, txn: Option[Txn] = None)(
+      statsCols: Seq[String] = Nil, txn: Option[Txn] = None,
+      constraints: Seq[(String, org.apache.spark.sql.Column)] = Nil)(
       transform: DataFrame => DataFrame): Snapshot = {
+    import org.apache.spark.sql.functions.{count, lit, sum, when}
     var attempt = 0
     while (attempt < maxAttempts) {
       if (txn.exists(t => lastTxnVersion(root, t.appId).exists(_ >= t.version)))
         return latest(root) // already applied — replayed batch
       val base = latest(root)
       val out = transform(read(spark, base))
+      if (constraints.nonEmpty) {
+        val aggs = constraints.map { case (name, c) =>
+          // coalesce: sum over an EMPTY output is null, and an empty
+          // snapshot trivially satisfies every row constraint
+          org.apache.spark.sql.functions.coalesce(
+            sum(when(!c, lit(1L)).otherwise(lit(0L))), lit(0L)).as(name)
+        }
+        val row = out.agg(count(lit(1)).as("_n"), aggs: _*).head()
+        val bad = constraints.zipWithIndex.collect {
+          case ((name, _), i) if row.getLong(i + 1) > 0 =>
+            s"$name (${row.getLong(i + 1)} rows)"
+        }
+        if (bad.nonEmpty)
+          throw new ConstraintViolationException(
+            s"commit rejected, constraints violated: ${bad.mkString(", ")}")
+      }
       val dir = stage(root, out)
       if (statsCols.nonEmpty) writeManifest(spark, dir, statsCols)
       if (tryCommit(root, base.version, dir, txn))

@@ -207,4 +207,30 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.lastTxnVersion(root, "ingest").contains(1L))
     assert(SnapshotStore.lastTxnVersion(root, "other").isEmpty)
   }
+
+  test("CHECK constraints reject a violating commit before any pointer moves") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_check").toString
+    SnapshotStore.init(spark, root,
+      Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("k", "bal"))
+    val checks = Seq(
+      "bal_non_negative" -> (col("bal") >= 0L),
+      "k_not_null" -> col("k").isNotNull)
+    // a valid transaction passes with constraints on
+    SnapshotStore.transact(spark, root, constraints = checks)(
+      df => df.withColumn("bal", $"bal" + 10L))
+    assert(SnapshotStore.latest(root).version == 1L)
+    val before = SnapshotStore.read(spark, root).orderBy("k").collect().toSeq
+    // a violating transaction throws, names the constraint, moves nothing
+    val e = intercept[SnapshotStore.ConstraintViolationException] {
+      SnapshotStore.transact(spark, root, constraints = checks)(
+        df => df.withColumn("bal", $"bal" - 1000L))
+    }
+    assert(e.getMessage.contains("bal_non_negative"))
+    assert(SnapshotStore.latest(root).version == 1L, "violating commit moved the pointer")
+    assert(SnapshotStore.read(spark, root).orderBy("k").collect().toSeq == before)
+    // an empty output trivially satisfies row constraints
+    SnapshotStore.transact(spark, root, constraints = checks)(df => df.filter($"k" < 0))
+    assert(SnapshotStore.read(spark, root).isEmpty)
+  }
 }
