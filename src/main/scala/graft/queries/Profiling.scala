@@ -383,6 +383,35 @@ object Profiling {
              |  CAST(count(*) AS BIGINT) AS n_rows FROM $t""".stripMargin
         }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl"))),
 
+    // Q82 [extension: exact distributed quantiles] per-segment exact
+    // p25/median/p75 over account-balance cents — the EXACT counterpart of
+    // q15b's approx percentiles. Hash-safe across engines because every
+    // interpolation weight a quartile can produce is DYADIC ((n−1)·k/4 has
+    // fractional part ∈ {0, ¼, ½, ¾}), so (1−g)·a + g·b over integer cents
+    // is exact in IEEE double — no ulp drift for ANY n, unlike arbitrary
+    // percentiles (p90's g can be non-dyadic, where two engines' fma
+    // orderings could differ in the last bit). Spark's percentile() is the
+    // sort-based exact aggregate (one shuffle, partial+final).
+    "q82_exact_quartiles" -> QueryDef(
+      build = (s, d) => {
+        val c = graft.Canon.cents($("c_acctbal"))
+        Tables.customer(s, d)
+          .groupBy($("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n"),
+            percentile(c, lit(0.25)).as("p25"),
+            percentile(c, lit(0.5)).as("median"),
+            percentile(c, lit(0.75)).as("p75"))
+          .orderBy($("segment"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
+           |  quantile_cont($cents, 0.25) AS p25,
+           |  quantile_cont($cents, 0.5) AS median,
+           |  quantile_cont($cents, 0.75) AS p75
+           |FROM customer GROUP BY 1 ORDER BY segment""".stripMargin
+      }),
+
     // Q81 [extension: sketch set operations] intersection cardinality from
     // MERGEABLE sketches via inclusion–exclusion: |A∩B| ≈ est(A) + est(B)
     // − est(A ∪ B), where the union is a SKETCH merge (hll_union_agg) —
