@@ -265,6 +265,32 @@ object SnapshotStore {
     }
   }
 
+  /** GC for ORPHANED staging dirs — the garbage [[expireSnapshots]] does
+    * not cover: a writer that stages and then loses the commit race (or
+    * crashes before committing) leaves a data dir no commit file ever
+    * references. Deletes unreferenced dirs older than `minAgeMillis`; the
+    * age guard is the race protection (a freshly staged dir whose commit
+    * attempt is still in flight is never older than its own transaction),
+    * exactly the public Delta/Iceberg VACUUM retention argument applied to
+    * uncommitted files. Returns the deleted dir paths.
+    */
+  def cleanOrphans(root: String, minAgeMillis: Long = 3600000L): Seq[String] = {
+    val dataRoot = Paths.get(root, "data")
+    if (!Files.exists(dataRoot)) return Nil
+    val referenced = Files.list(commitsDir(root)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".commit"))
+      .map(f => Paths.get(parseCommit(f)._1).toAbsolutePath.normalize).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMillis
+    Files.list(dataRoot).iterator().asScala.toSeq
+      .filter(d => Files.isDirectory(d))
+      .filter(d => !referenced.contains(d.toAbsolutePath.normalize))
+      .filter(d => Files.getLastModifiedTime(d).toMillis < cutoff)
+      .map { d =>
+        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        d.toString
+      }
+  }
+
   /** Optimistic transaction: derive a new snapshot from the latest one,
     * stage it, attempt the commit; on conflict re-derive against the
     * winner's snapshot and try again. `transform` MUST be a pure function

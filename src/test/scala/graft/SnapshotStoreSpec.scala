@@ -233,4 +233,28 @@ class SnapshotStoreSpec extends SparkSpec {
     SnapshotStore.transact(spark, root, constraints = checks)(df => df.filter($"k" < 0))
     assert(SnapshotStore.read(spark, root).isEmpty)
   }
+
+  test("cleanOrphans deletes only old unreferenced staging dirs") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_gc").toString
+    SnapshotStore.init(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    SnapshotStore.transact(spark, root)(df => df.withColumn("v", lit("b")))
+    // plant two orphans (the lost-race / crashed-writer shape): one stale,
+    // one fresh enough to still be a racing writer
+    val stale = Paths.get(root, "data", "orphan-stale")
+    val fresh = Paths.get(root, "data", "orphan-fresh")
+    Seq(stale, fresh).foreach { d =>
+      Files.createDirectories(d); Files.writeString(d.resolve("part.bin"), "x")
+    }
+    Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200000L))
+    val deleted = SnapshotStore.cleanOrphans(root, minAgeMillis = 3600000L)
+    assert(deleted == Seq(stale.toString), s"deleted $deleted")
+    assert(!Files.exists(stale) && Files.exists(fresh),
+      "GC must take the stale orphan and spare the possibly-racing fresh one")
+    // every committed version still reads
+    assert(SnapshotStore.read(spark, SnapshotStore.at(root, 0)).count() == 1)
+    assert(SnapshotStore.read(spark, root).select("v").head().getString(0) == "b")
+  }
 }
