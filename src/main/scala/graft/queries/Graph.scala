@@ -123,35 +123,7 @@ object Graph {
     // wedges. Two shuffle equi-joins on node keys; no cartesian
     // (PlanSpec-locked).
     "q73b_triangles" -> QueryDef(
-      build = (s, d) => {
-        val (_, edges) = linkGraph(s, d)
-        val undirected = edges
-          .select(least($("src"), $("dst")).as("a"), greatest($("src"), $("dst")).as("b"))
-          .distinct()
-        // undirected degree per node, then orient by (deg, id)
-        val deg = undirected.select($("a").as("n"))
-          .unionAll(undirected.select($("b").as("n")))
-          .groupBy($("n")).agg(count(lit(1)).as("deg"))
-        val und = undirected
-          .join(deg.select($("n").as("a"), $("deg").as("da")), "a")
-          .join(deg.select($("n").as("b"), $("deg").as("db")), "b")
-          .select(
-            when($("da") < $("db") || ($("da") === $("db") && $("a") < $("b")),
-              struct($("a").as("t"), $("b").as("h")))
-              .otherwise(struct($("b").as("t"), $("a").as("h"))).as("e"))
-          .select($("e.t").as("a"), $("e.h").as("b"))
-          .cache()
-        val wedges = und.as("e1")
-          .join(und.as("e2"), col("e1.b") === col("e2.a"))
-          .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
-        val tri = wedges
-          .join(und.as("e3"),
-            col("wa") === col("e3.a") && col("wc") === col("e3.b"))
-          .select($("wa").as("a"), $("wb").as("b"), $("wc").as("c"))
-        tri.select(explode(array($("a"), $("b"), $("c"))).as("doc_id"))
-          .groupBy($("doc_id")).agg(count(lit(1)).as("n_tri"))
-          .orderBy($("doc_id"))
-      },
+      build = (s, d) => trianglesPerNode(s, d)._2.orderBy($("doc_id")),
       oracle = Some(
         s"""WITH $edgesSql,
            |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -163,6 +135,82 @@ object Graph {
            |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri
            |FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
-           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Q83 [extension: local clustering coefficient] cc(v) = 2·T(v) /
+    // (deg(v)·(deg(v)−1)) for every node with deg ≥ 2 — the standard
+    // community/spam-density signal on a web graph, here in exact integer
+    // MICRO units ((2·T·10^6) div (deg·(deg−1)), all positive, so Spark
+    // `div` ≡ DuckDB `//`). Reuses the degree-ordered triangle machinery;
+    // nodes in no triangle get cc 0 via a left join, so the output covers
+    // the whole deg≥2 population, not just triangle corners.
+    "q83_clustering_coeff" -> QueryDef(
+      build = (s, d) => {
+        val (deg, tri) = trianglesPerNode(s, d)
+        deg.filter($("deg") >= 2)
+          .join(tri, deg("n") === tri("doc_id"), "left")
+          .select(deg("n").as("doc_id"), $("deg"),
+            coalesce($("n_tri"), lit(0L)).as("n_tri"))
+          .withColumn("cc_micro",
+            expr("2 * n_tri * 1000000 div (deg * (deg - 1))"))
+          .orderBy($("doc_id"))
+      },
+      oracle = Some(
+        s"""WITH $edgesSql,
+           |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |        FROM edges),
+           |deg AS (
+           |  SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+           |    SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+           |  GROUP BY n),
+           |tri AS (
+           |  SELECT e1.a, e1.b, e2.b AS c
+           |  FROM und e1
+           |  JOIN und e2 ON e1.b = e2.a
+           |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |tpn AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri
+           |  FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri) GROUP BY doc_id)
+           |SELECT d.n AS doc_id, d.deg,
+           |  COALESCE(t.n_tri, 0) AS n_tri,
+           |  CAST((2 * COALESCE(t.n_tri, 0) * 1000000) // (d.deg * (d.deg - 1))
+           |    AS BIGINT) AS cc_micro
+           |FROM deg d LEFT JOIN tpn t ON t.doc_id = d.n
+           |WHERE d.deg >= 2
+           |ORDER BY doc_id""".stripMargin))
   )
+
+  /** Shared by q73b/q83: undirected degree table `(n, deg)` and per-node
+    * triangle counts `(doc_id, n_tri)` via degree-ordered orientation
+    * (see the q73b comment for the correctness/skew argument).
+    */
+  private def trianglesPerNode(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (_, edges) = linkGraph(s, d)
+    val undirected = edges
+      .select(least($("src"), $("dst")).as("a"), greatest($("src"), $("dst")).as("b"))
+      .distinct()
+    // undirected degree per node, then orient by (deg, id)
+    val deg = undirected.select($("a").as("n"))
+      .unionAll(undirected.select($("b").as("n")))
+      .groupBy($("n")).agg(count(lit(1)).as("deg"))
+    val und = undirected
+      .join(deg.select($("n").as("a"), $("deg").as("da")), "a")
+      .join(deg.select($("n").as("b"), $("deg").as("db")), "b")
+      .select(
+        when($("da") < $("db") || ($("da") === $("db") && $("a") < $("b")),
+          struct($("a").as("t"), $("b").as("h")))
+          .otherwise(struct($("b").as("t"), $("a").as("h"))).as("e"))
+      .select($("e.t").as("a"), $("e.h").as("b"))
+      .cache()
+    val wedges = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
+    val tri = wedges
+      .join(und.as("e3"),
+        col("wa") === col("e3.a") && col("wc") === col("e3.b"))
+      .select($("wa").as("a"), $("wb").as("b"), $("wc").as("c"))
+    val perNode = tri.select(explode(array($("a"), $("b"), $("c"))).as("doc_id"))
+      .groupBy($("doc_id")).agg(count(lit(1)).as("n_tri"))
+    (deg, perNode)
+  }
 }
