@@ -110,6 +110,68 @@ object Graph {
       },
       headline = true),
 
+    // Q84 [extension: personalized PageRank] the seeded variant — restart
+    // mass goes ONLY to a seed set (docs ≡ 0 mod 17), so rank measures
+    // proximity to the seeds rather than global centrality: the crawl-
+    // frontier / quality-propagation shape ("rank everything by closeness
+    // to these known-good pages"). Same exact fixed-point integer loop and
+    // data movement as q73; only the restart term differs (unnormalized:
+    // each seed holds 0.15·SCALE of restart mass — a documented engine
+    // convention the oracle mirrors exactly).
+    "q84_ppr" -> QueryDef(
+      build = (s, d) => {
+        val (docs, edges) = linkGraph(s, d)
+        val dcache = docs.cache()
+        val deg = edges.groupBy($("src")).agg(count(lit(1)).as("deg"))
+        val edgesDeg = edges.join(deg, "src").cache()
+        val seedMass = lit(15L * Scale / 100)
+        def restart(id: org.apache.spark.sql.Column) =
+          when(id % 17 === 0, seedMass).otherwise(lit(0L))
+        var pr = dcache
+          .select($("doc_id"), when($("doc_id") % 17 === 0, lit(Scale))
+            .otherwise(lit(0L)).as("pr"))
+          .localCheckpoint(true)
+        for (_ <- 1 to Iters) {
+          val contrib = edgesDeg
+            .join(pr.withColumnRenamed("doc_id", "src"), "src")
+            .select($("dst"), expr("pr div deg").as("c"))
+            .groupBy($("dst")).agg(sum($("c")).as("m"))
+          val next = dcache
+            .join(contrib, dcache("doc_id") === contrib("dst"), "left")
+            .select($("doc_id"),
+              (restart($("doc_id")) +
+                expr("85 * coalesce(m, CAST(0 AS BIGINT)) div 100")).as("pr"))
+          val nn = next.localCheckpoint(true)
+          pr.unpersist(); pr = nn
+        }
+        edgesDeg.unpersist(); dcache.unpersist()
+        pr.orderBy($("doc_id"))
+      },
+      oracle = Some {
+        val steps = (1 to Iters).map { i =>
+          s"""p$i AS (
+             |  SELECT d.doc_id,
+             |    CAST(CASE WHEN d.doc_id % 17 = 0 THEN 150000000000 ELSE 0 END
+             |      + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS pr
+             |  FROM docs d LEFT JOIN (
+             |    SELECT e.dst, SUM(p.pr // e.deg) AS m
+             |    FROM ed e JOIN p${i - 1} p ON p.doc_id = e.src
+             |    GROUP BY e.dst) s ON s.dst = d.doc_id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $edgesSql,
+           |ed AS (
+           |  SELECT e.src, e.dst, d.deg FROM edges e
+           |  JOIN (SELECT src, count(*) AS deg FROM edges GROUP BY src) d
+           |    ON e.src = d.src),
+           |p0 AS (
+           |  SELECT doc_id,
+           |    CAST(CASE WHEN doc_id % 17 = 0 THEN 1000000000000 ELSE 0 END
+           |      AS BIGINT) AS pr
+           |  FROM docs),
+           |$steps
+           |SELECT doc_id, pr FROM p$Iters ORDER BY doc_id""".stripMargin
+      }),
+
     // Q73b [extension: triangle counting] per-node triangle counts on the
     // undirected graph via DEGREE-ORDERED orientation (the published
     // MapReduce-triangles trick, Suri & Vassilvitskii): orient every edge
