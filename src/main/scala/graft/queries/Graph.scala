@@ -172,6 +172,59 @@ object Graph {
            |SELECT doc_id, pr FROM p$Iters ORDER BY doc_id""".stripMargin
       }),
 
+    // Q85 [extension: multi-source BFS / shortest hops] hop distance from
+    // the q84 seed set along directed edges, Bellman-Ford-shaped: 10
+    // rounds of dist'(v) = min(dist(v), min over in-neighbors u of
+    // dist(u)+1) — the reachability/radius primitive behind crawl-depth
+    // and link-spam features. Pure integer min-propagation (the UNREACHED
+    // sentinel 999 survives both engines identically), so the unrolled
+    // oracle is bit-exact. Data movement per round: one join on src + one
+    // min-groupBy on dst — identical to the PageRank shape with min in
+    // place of sum; localCheckpoint keeps plans flat.
+    "q85_bfs_hops" -> QueryDef(
+      build = (s, d) => {
+        val Unreached = 999L
+        val (docs, edges) = linkGraph(s, d)
+        val dcache = docs.cache()
+        val ecache = edges.cache()
+        var dist = dcache
+          .select($("doc_id"), when($("doc_id") % 17 === 0, lit(0L))
+            .otherwise(lit(Unreached)).as("dist"))
+          .localCheckpoint(true)
+        for (_ <- 1 to Iters) {
+          val relax = ecache
+            .join(dist.withColumnRenamed("doc_id", "src"), "src")
+            .select($("dst"), ($("dist") + 1L).as("cand"))
+            .groupBy($("dst")).agg(min($("cand")).as("best"))
+          val next = dist
+            .join(relax, dist("doc_id") === relax("dst"), "left")
+            .select(dist("doc_id"),
+              least($("dist"), coalesce($("best"), lit(Unreached))).as("dist"))
+          val nn = next.localCheckpoint(true)
+          dist.unpersist(); dist = nn
+        }
+        ecache.unpersist(); dcache.unpersist()
+        dist.orderBy($("doc_id"))
+      },
+      oracle = Some {
+        val steps = (1 to Iters).map { i =>
+          s"""d$i AS (
+             |  SELECT p.doc_id,
+             |    CAST(least(p.dist, COALESCE(r.best, 999)) AS BIGINT) AS dist
+             |  FROM d${i - 1} p LEFT JOIN (
+             |    SELECT e.dst, MIN(q.dist + 1) AS best
+             |    FROM edges e JOIN d${i - 1} q ON q.doc_id = e.src
+             |    GROUP BY e.dst) r ON r.dst = p.doc_id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $edgesSql,
+           |d0 AS (
+           |  SELECT doc_id,
+           |    CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE 999 END AS BIGINT) AS dist
+           |  FROM docs),
+           |$steps
+           |SELECT doc_id, dist FROM d$Iters ORDER BY doc_id""".stripMargin
+      }),
+
     // Q73b [extension: triangle counting] per-node triangle counts on the
     // undirected graph via DEGREE-ORDERED orientation (the published
     // MapReduce-triangles trick, Suri & Vassilvitskii): orient every edge
