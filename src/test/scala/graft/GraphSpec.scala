@@ -115,6 +115,49 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("BFS hops: distributed min-propagation equals driver Dijkstra on random graphs") {
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 3) {
+      val n = 20 + rnd.nextInt(20)
+      val edges = (for {
+        s <- 0L until n.toLong
+        _ <- 1 to (1 + rnd.nextInt(3))
+      } yield (s, rnd.nextInt(n).toLong)).distinct.filter(e => e._1 != e._2)
+      val seeds = (0L until n.toLong).filter(_ % 5 == 0).toSet
+      // driver reference: plain BFS from all seeds at once
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val want = scala.collection.mutable.Map.empty[Long, Long]
+      var frontier = seeds
+      var hops = 0L
+      while (frontier.nonEmpty && hops <= 10) {
+        frontier.foreach(v => if (!want.contains(v)) want(v) = hops)
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Nil))
+          .filterNot(want.contains)
+        hops += 1
+      }
+      val ref = (0L until n.toLong).map(v => v -> want.getOrElse(v, 999L)).toMap
+      // the q85 loop over an explicit edge list
+      val e = edges.toDF("src", "dst").cache()
+      var dist = (0L until n.toLong).toDF("doc_id")
+        .select($"doc_id", when($"doc_id" % 5 === 0, 0L).otherwise(999L).as("dist"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 10) {
+        val relax = e.join(dist.withColumnRenamed("doc_id", "src"), "src")
+          .select($"dst", ($"dist" + 1L).as("cand"))
+          .groupBy($"dst").agg(min($"cand").as("best"))
+        val next = dist.join(relax, dist("doc_id") === relax("dst"), "left")
+          .select(dist("doc_id"),
+            least($"dist", coalesce($"best", lit(999L))).as("dist"))
+        val nn = next.localCheckpoint(true); dist.unpersist(); dist = nn
+      }
+      val got = dist.as[(Long, Long)].collect().toMap
+      e.unpersist()
+      // reference caps at 10 hops; anything deeper is sentinel on both sides
+      assert(got == ref.map { case (k, v) => k -> (if (v > 10) 999L else v) },
+        s"trial $trial (n=$n) diverged")
+    }
+  }
+
   test("fuzzy half-blocking is complete: finds every brute-force ED<=1 pair") {
     val rnd = new scala.util.Random(7)
     val alpha = "abcd" // tiny alphabet maximizes coincidental near-pairs
