@@ -225,6 +225,72 @@ object Graph {
            |SELECT doc_id, dist FROM d$Iters ORDER BY doc_id""".stripMargin
       }),
 
+    // Q86 [extension: weakly connected components] min-label propagation
+    // with the q27e pointer-doubling shape (each round propagates through
+    // BOTH raw edges and current labels, so convergence is O(log diameter)
+    // rounds, not O(diameter)) over a SPARSER functional link graph (one
+    // out-edge per doc — k=1 of the q73 generator), whose undirected
+    // components are the classic rho-shaped cycle+trees: several
+    // components of very different sizes, unlike the k=3 graph which is
+    // almost surely one giant component. Labels are integers, so the
+    // output hash-matches the oracle's recursive-CTE closure exactly.
+    // Per round: ONE join + one min-groupBy + localCheckpoint (the q27e
+    // scale shape); host operator of the corpus-dedup family, exposed here
+    // on a pure graph so the component semantics is oracle-checked in
+    // isolation from any similarity pipeline.
+    "q86_wcc" -> QueryDef(
+      build = (s, d) => {
+        val docs = Tables.documents(s, d).select($("doc_id"))
+        val n = docs.count()
+        val directed = docs
+          .select($("doc_id").as("src"),
+            (($("doc_id") * lit(2654435761L) + lit(1)) % 1000000007L % n).as("dst"))
+          .filter($("dst") =!= $("src"))
+        val edges = directed
+          .unionByName(directed.select($("dst").as("src"), $("src").as("dst")))
+          .distinct().cache()
+        var labels = docs.select($("doc_id"), $("doc_id").as("rep"))
+          .localCheckpoint(true)
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 20) {
+          val prop = edges
+            .union(labels.select($("doc_id").as("src"), $("rep").as("dst")))
+            .join(labels.withColumnRenamed("doc_id", "dst2"), $("dst") === $("dst2"))
+            .select($("src").as("doc_id"), $("rep"))
+          val next = labels.select($("doc_id"), $("rep"), $("rep").as("old"))
+            .union(prop.select($("doc_id"), $("rep"), lit(null).as("old")))
+            .groupBy($("doc_id"))
+            .agg(min($("rep")).as("rep"), min($("old")).as("old"))
+            .localCheckpoint(true)
+          changed = next.filter($("rep") =!= $("old")).count()
+          labels.unpersist()
+          labels = next.select($("doc_id"), $("rep"))
+          rounds += 1
+        }
+        edges.unpersist()
+        labels.orderBy($("doc_id"))
+      },
+      oracle = Some(
+        """WITH RECURSIVE
+          |docs AS (SELECT doc_id FROM documents),
+          |n AS (SELECT count(*) AS c FROM docs),
+          |directed AS (
+          |  SELECT doc_id AS src,
+          |         (doc_id * 2654435761 + 1) % 1000000007 % (SELECT c FROM n) AS dst
+          |  FROM docs),
+          |edges(a, b) AS (
+          |  SELECT src, dst FROM directed WHERE src <> dst
+          |  UNION SELECT dst, src FROM directed WHERE src <> dst),
+          |reach(a, b) AS (
+          |  SELECT a, b FROM edges
+          |  UNION
+          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          |reps AS (SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach GROUP BY a)
+          |SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS rep
+          |FROM docs d LEFT JOIN reps r ON d.doc_id = r.doc_id
+          |ORDER BY d.doc_id""".stripMargin)),
+
     // Q73b [extension: triangle counting] per-node triangle counts on the
     // undirected graph via DEGREE-ORDERED orientation (the published
     // MapReduce-triangles trick, Suri & Vassilvitskii): orient every edge
