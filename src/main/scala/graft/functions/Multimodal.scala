@@ -173,9 +173,17 @@ object Multimodal {
     }
     val defl = new java.util.zip.Deflater()
     defl.setInput(raw); defl.finish()
-    val buf = new Array[Byte](raw.length + 64)
-    val n = defl.deflate(buf); defl.end()
-    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(n)) ++
+    // loop until finished(): a single deflate() call caps the IDAT at one
+    // buffer, silently truncating large images (stored-block expansion is
+    // ~5 bytes per 16 KiB, so raw data above ~buffer size overflows)
+    val idatOut = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](64 * 1024)
+    while (!defl.finished()) {
+      val n = defl.deflate(buf)
+      idatOut.write(buf, 0, n)
+    }
+    defl.end()
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idatOut.toByteArray) ++
       chunk("IEND", Array.empty[Byte])
   }
 

@@ -420,9 +420,12 @@ object Profiling {
     // warehouse overlap dashboards actually run. Exact counts come from
     // dense key ranges with a known 500-key overlap, so the gate row is
     // the q15-style self-check: `ok` asserts the estimate lands within
-    // ±15% of truth (HLL ~1.6% per term; inclusion–exclusion amplifies —
-    // the bound is deliberately loose). Estimates themselves are engine-
-    // specific and never hashed.
+    // a union-proportional band of truth (HLL ~1.6% per term;
+    // inclusion–exclusion amplifies — the bound is deliberately loose).
+    // Estimates themselves are engine-specific and never hashed. Exact
+    // counts are DERIVED from the data (ADVICE r9) — the previous
+    // hard-coded |A|=|B|=1000/overlap-500 constants only held for key
+    // spaces ≥ 1500 keys and diverged at the sf0.001 smoke tier.
     "q81_sketch_intersect" -> QueryDef(
       build = (s, d) => {
         val cust = Tables.customer(s, d).select($("c_custkey").as("k"))
@@ -432,21 +435,30 @@ object Profiling {
         val sb = b.agg(hll_sketch_agg($("k")).as("sk"), count(lit(1)).as("n"))
         val merged = sa.select($("sk"), $("n").as("n_a"))
           .unionByName(sb.select($("sk"), $("n").as("n_a")))
-          .agg(hll_sketch_estimate(hll_union_agg($("sk"))).as("est_u"),
-            sum($("n_a")).as("n_total"))
-        val ests = sa.select(hll_sketch_estimate($("sk")).as("est_a"))
+          .agg(hll_sketch_estimate(hll_union_agg($("sk"))).as("est_u"))
+        // exact truths from the same scan (keys are unique, so the union
+        // is one range count and the intersection the overlap range)
+        val exact = cust.agg(
+          sum(when($("k") >= 0 && $("k") < 1500, 1L).otherwise(0L))
+            .cast("long").as("n_union_exact"),
+          sum(when($("k") >= 500 && $("k") < 1000, 1L).otherwise(0L))
+            .cast("long").as("n_inter_exact"))
+        sa.select(hll_sketch_estimate($("sk")).as("est_a"))
           .crossJoin(sb.select(hll_sketch_estimate($("sk")).as("est_b")))
           .crossJoin(merged)
-        val interExact = 500L
-        ests.select(
-            ($("n_total") - lit(interExact)).as("n_union_exact"),
-            lit(interExact).as("n_inter_exact"),
-            (abs($("est_a") + $("est_b") - $("est_u") - lit(interExact))
-              <= lit(0.15 * interExact)).as("ok"))
+          .crossJoin(exact)
+          .select($("n_union_exact"), $("n_inter_exact"),
+            (abs($("est_a") + $("est_b") - $("est_u") - $("n_inter_exact"))
+              <= lit(0.05) * $("n_union_exact") + lit(2.0)).as("ok"))
       },
       oracle = Some(
-        """SELECT CAST(1500 AS BIGINT) AS n_union_exact,
-          |  CAST(500 AS BIGINT) AS n_inter_exact, TRUE AS ok""".stripMargin)),
+        """SELECT
+          |  CAST(count(CASE WHEN c_custkey >= 0 AND c_custkey < 1500
+          |             THEN 1 END) AS BIGINT) AS n_union_exact,
+          |  CAST(count(CASE WHEN c_custkey >= 500 AND c_custkey < 1000
+          |             THEN 1 END) AS BIGINT) AS n_inter_exact,
+          |  TRUE AS ok
+          |FROM customer""".stripMargin)),
 
     // Q76 [extension: corpus entropy / KL divergence] per-source token
     // distribution entropy and KL(source ‖ corpus) — the domain-shift /

@@ -37,10 +37,10 @@ object StreamingQueries {
           .agg(count(lit(1)).as("n"), sum(cents($("value"))).as("val_cents"))
           .select($("w.start").as("hour_start"), $("event_type"), $("n"),
             asDollars($("val_cents")).as("val_sum"))
-        // 4-partition state layout for the bounded replay (see
+        // volume-derived state layout for the bounded replay (see
         // EventsStream.withStatePartitions); the post-replay sort is batch
         // work on the tiny materialized table and runs at the session value
-        EventsStream.withStatePartitions(s, 4) {
+        EventsStream.withStatePartitions(s, EventsStream.sizedStatePartitions(s, d)) {
           EventsStream.runToMemory(s, agg, s"q38_mem_${System.nanoTime()}", "complete")
         }.orderBy($("hour_start"), $("event_type"))
       },
@@ -58,7 +58,7 @@ object StreamingQueries {
         val dedup = EventsStream.readStream(s, d)
           .select($("user_id"), $("event_type"))
           .dropDuplicates("user_id", "event_type")
-        EventsStream.withStatePartitions(s, 4) {
+        EventsStream.withStatePartitions(s, EventsStream.sizedStatePartitions(s, d)) {
           EventsStream.runToMemory(s, dedup, s"q39_mem_${System.nanoTime()}", "append")
         }.orderBy($("user_id"), $("event_type"))
       },
@@ -94,10 +94,10 @@ object StreamingQueries {
             $("p_ts") <= $("c_ts") + expr("INTERVAL 30 MINUTES"))
           .select($("user_id"), $("click_id"), $("purchase_id"),
             ($("p_ts").cast("long") - $("c_ts").cast("long")).as("delay_s"))
-        // a stream-stream join commits 4 state stores per shuffle partition
+        // a stream-stream join commits 4 state stores per shuffle partition (the
         // per batch — the family's worst fixed-cost case; see
         // EventsStream.withStatePartitions for the measurements
-        EventsStream.withStatePartitions(s, 4) {
+        EventsStream.withStatePartitions(s, EventsStream.sizedStatePartitions(s, d)) {
           EventsStream.runToMemory(s, joined, s"q43_mem_${System.nanoTime()}", "append")
             .orderBy($("click_id"), $("purchase_id"))
         }
@@ -143,7 +143,7 @@ object StreamingQueries {
               state.update(next)
               next
           }
-        val out = EventsStream.withStatePartitions(s, 4) {
+        val out = EventsStream.withStatePartitions(s, EventsStream.sizedStatePartitions(s, d)) {
           EventsStream.runToMemory(s, profiles.toDF(),
             s"q44_mem_${System.nanoTime()}", "update")
         }

@@ -93,6 +93,22 @@ object SnapshotStore {
   /** Commit file layout: line 1 = data dir; line 2 (optional) =
     * "appId<TAB>txnVersion" for streaming-writer idempotence.
     */
+  /** Materialize a directory listing and CLOSE the underlying stream —
+    * Files.list holds an open directory fd until closed, and a long
+    * streaming MERGE workload calls these helpers once per micro-batch,
+    * so leaking the stream leaks fds until GC (ADVICE r9).
+    */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  /** Recursive listing, deepest-first (delete order), stream closed. */
+  private def walkDeepestFirst(p: Path): Seq[Path] = {
+    val s = Files.walk(p)
+    try s.iterator().asScala.toSeq.reverse finally s.close()
+  }
+
   private def parseCommit(f: Path): (String, Option[Txn]) = {
     val lines = Files.readString(f).trim.linesIterator.toSeq
     val txn = lines.drop(1).headOption.map { l =>
@@ -103,7 +119,7 @@ object SnapshotStore {
   }
 
   def latest(root: String): Snapshot = {
-    val newest = Files.list(commitsDir(root)).iterator().asScala
+    val newest = listDir(commitsDir(root)).iterator
       .filter(_.getFileName.toString.endsWith(".commit"))
       .maxByOption(_.getFileName.toString)
       .getOrElse(throw new IllegalStateException(s"no commits at $root"))
@@ -124,7 +140,7 @@ object SnapshotStore {
     * Delta caches `txn` versions from its log).
     */
   def lastTxnVersion(root: String, appId: String): Option[Long] =
-    Files.list(commitsDir(root)).iterator().asScala
+    listDir(commitsDir(root)).iterator
       .filter(_.getFileName.toString.endsWith(".commit"))
       .flatMap(f => parseCommit(f)._2)
       .filter(_.appId == appId)
@@ -250,8 +266,8 @@ object SnapshotStore {
     */
   def expireSnapshots(root: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the latest snapshot")
-    val commits = Files.list(commitsDir(root)).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".commit")).toSeq
+    val commits = listDir(commitsDir(root))
+      .filter(_.getFileName.toString.endsWith(".commit"))
       .sortBy(_.getFileName.toString)
     val dropped = commits.dropRight(keepLast)
     dropped.map { c =>
@@ -259,7 +275,7 @@ object SnapshotStore {
       val dataDir = Paths.get(parseCommit(c)._1)
       Files.delete(c) // unreference before any data byte disappears
       if (Files.exists(dataDir)) {
-        Files.walk(dataDir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        walkDeepestFirst(dataDir).foreach(Files.delete)
       }
       v
     }
@@ -277,16 +293,16 @@ object SnapshotStore {
   def cleanOrphans(root: String, minAgeMillis: Long = 3600000L): Seq[String] = {
     val dataRoot = Paths.get(root, "data")
     if (!Files.exists(dataRoot)) return Nil
-    val referenced = Files.list(commitsDir(root)).iterator().asScala
+    val referenced = listDir(commitsDir(root))
       .filter(_.getFileName.toString.endsWith(".commit"))
       .map(f => Paths.get(parseCommit(f)._1).toAbsolutePath.normalize).toSet
     val cutoff = System.currentTimeMillis() - minAgeMillis
-    Files.list(dataRoot).iterator().asScala.toSeq
+    listDir(dataRoot)
       .filter(d => Files.isDirectory(d))
       .filter(d => !referenced.contains(d.toAbsolutePath.normalize))
       .filter(d => Files.getLastModifiedTime(d).toMillis < cutoff)
       .map { d =>
-        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        walkDeepestFirst(d).foreach(Files.delete)
         d.toString
       }
   }
