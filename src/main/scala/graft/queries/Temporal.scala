@@ -223,7 +223,7 @@ object Temporal {
     "q72_snapshot_commits" -> QueryDef(
       build = (s, d) => {
         import graft.sources.SnapshotStore
-        val root = java.nio.file.Files.createTempDirectory("graft_q72").toString
+        val root = graft.GateTmp.freshDir("q72")
         SnapshotStore.init(s, root, RelationalPipeline.employeeView(s, d)
           .select($("id"), $("name"), $("salary"), $("segment")))
         SnapshotStore.transact(s, root)(df => df.withColumn("salary",
@@ -264,7 +264,7 @@ object Temporal {
     "q74_manifest_prune" -> QueryDef(
       build = (s, d) => {
         import graft.sources.SnapshotStore
-        val root = java.nio.file.Files.createTempDirectory("graft_q74").toString
+        val root = graft.GateTmp.freshDir("q74")
         val orders = Tables.orders(s, d)
           .select($("o_orderkey"), $("o_orderdate"),
             graft.Canon.cents($("o_totalprice")).as("price_c"))
@@ -301,7 +301,7 @@ object Temporal {
     "q75_optimize" -> QueryDef(
       build = (s, d) => {
         import graft.sources.SnapshotStore
-        val root = java.nio.file.Files.createTempDirectory("graft_q75").toString
+        val root = graft.GateTmp.freshDir("q75")
         val cust = Tables.customer(s, d)
           .select($("c_custkey"), $("c_name"),
             graft.Canon.cents($("c_acctbal")).as("bal_c"))
@@ -326,5 +326,90 @@ object Temporal {
       oracle = Some(
         s"""SELECT c_custkey, c_name,
            |  ${graft.Canon.centsSql("c_acctbal")} AS bal_c
-           |FROM customer ORDER BY c_custkey""".stripMargin)))
+           |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // Q87 [extension: SQL DML statements] UPDATE / DELETE / MERGE INTO
+    // parsed by SPARK'S OWN parser and compiled onto SnapshotStore
+    // optimistic transactions (sources/SqlDml.scala) — the statement form
+    // of the reference's write core (`Server/main.go:279-282` UPDATE,
+    // `Server/main.go:112-120` insert-on-miss = MERGE's NOT MATCHED arm).
+    // The serial composition lands 3 committed versions: the reference's
+    // literal UPDATE-where shape, a DELETE, then a 4-arm MERGE (two
+    // conditional matched arms incl. DELETE, NOT MATCHED INSERT, NOT
+    // MATCHED BY SOURCE UPDATE) sourced from an orders-derived temp view.
+    // All arithmetic is exact integer (cents / counts / bigint key sums),
+    // so the oracle — the same statements expressed as portable CTE
+    // algebra — hash-matches bit-for-bit. MERGE lowers to ONE full-outer
+    // join + nested-CASE action resolution (the Delta/Iceberg plan); the
+    // final read proves statement → transaction → snapshot end-to-end.
+    "q87_sql_dml" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{SnapshotStore, SqlDml}
+        val root = graft.GateTmp.freshDir("q87")
+        SnapshotStore.init(s, root, RelationalPipeline.employeeView(s, d)
+          .select($("id"), $("name"), $("salary"), $("segment")))
+        val t = Map("emp" -> root)
+        SqlDml.execute(s,
+          "UPDATE emp SET salary = salary + 1000 WHERE segment = 'BUILDING'", t)
+        SqlDml.execute(s, "DELETE FROM emp WHERE salary < 0", t)
+        Tables.orders(s, d)
+          .groupBy($("o_custkey").as("cust_id"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum($("o_orderkey")).cast("long").as("okey_sum"))
+          .createOrReplaceTempView("emp_changes")
+        SqlDml.execute(s,
+          """MERGE INTO emp t USING emp_changes s ON t.id = s.cust_id
+            |WHEN MATCHED AND s.n_orders >= 20
+            |  THEN UPDATE SET salary = t.salary + s.n_orders * 100
+            |WHEN MATCHED AND s.n_orders <= 2 THEN DELETE
+            |WHEN NOT MATCHED THEN INSERT (id, name, salary, segment)
+            |  VALUES (s.cust_id, 'new-' || CAST(s.cust_id AS STRING),
+            |          s.okey_sum % 100000, 'NEW')
+            |WHEN NOT MATCHED BY SOURCE AND t.segment = 'MACHINERY'
+            |  THEN UPDATE SET salary = t.salary - 10""".stripMargin, t)
+        val last = SnapshotStore.latest(root)
+        SnapshotStore.read(s, last)
+          .select($("id"), $("name"), $("salary"), $("segment"),
+            lit(last.version).as("version"))
+          .orderBy($("id"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""WITH base AS (
+           |  SELECT c_custkey AS id, c_name AS name, $cents AS salary,
+           |         c_mktsegment AS segment
+           |  FROM customer),
+           |u1 AS (
+           |  SELECT id, name,
+           |    CASE WHEN segment = 'BUILDING' THEN salary + 1000 ELSE salary END
+           |      AS salary, segment
+           |  FROM base),
+           |d1 AS (SELECT * FROM u1 WHERE NOT coalesce(salary < 0, false)),
+           |src AS (
+           |  SELECT o_custkey AS cust_id, CAST(count(*) AS BIGINT) AS n_orders,
+           |         CAST(sum(o_orderkey) AS BIGINT) AS okey_sum
+           |  FROM orders GROUP BY o_custkey),
+           |m AS (
+           |  SELECT
+           |    CASE WHEN t.id IS NOT NULL THEN t.id ELSE s.cust_id END AS id,
+           |    CASE
+           |      WHEN t.id IS NOT NULL AND s.cust_id IS NOT NULL THEN t.name
+           |      WHEN t.id IS NULL THEN 'new-' || CAST(s.cust_id AS VARCHAR)
+           |      ELSE t.name END AS name,
+           |    CASE
+           |      WHEN t.id IS NOT NULL AND s.cust_id IS NOT NULL THEN
+           |        CASE WHEN s.n_orders >= 20 THEN t.salary + s.n_orders * 100
+           |             ELSE t.salary END
+           |      WHEN t.id IS NULL THEN s.okey_sum % 100000
+           |      WHEN t.segment = 'MACHINERY' THEN t.salary - 10
+           |      ELSE t.salary END AS salary,
+           |    CASE
+           |      WHEN t.id IS NOT NULL THEN t.segment
+           |      ELSE 'NEW' END AS segment,
+           |    NOT (t.id IS NOT NULL AND s.cust_id IS NOT NULL
+           |         AND s.n_orders <= 2) AS keep
+           |  FROM d1 t FULL JOIN src s ON t.id = s.cust_id)
+           |SELECT id, name, salary, segment, CAST(3 AS BIGINT) AS version
+           |FROM m WHERE keep ORDER BY id""".stripMargin
+      }))
 }
