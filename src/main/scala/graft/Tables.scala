@@ -12,8 +12,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** The round-10 testdata generation writes timestamps as
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false); inferred as TIMESTAMP_NTZ
+    * they would (a) type-mismatch every `cast("timestamp")` comparison and
+    * (b) force normalization casts above the scan that break parquet filter
+    * pushdown. Disabling NTZ inference reads them as plain session-TZ (UTC)
+    * TIMESTAMP at the SCAN — the same types every query and oracle was
+    * built against, with pushdown intact, and value-identical to DuckDB's
+    * naive read of the same files.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
@@ -23,17 +34,28 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
 
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read the
-    * nanos as a plain long (legacy conf) and rebuild the timestamp at
-    * microsecond precision with INTEGER division — `ts div 1000` — because a
-    * double roundtrip (53-bit mantissa) cannot hold 2024-epoch nanoseconds
-    * (~1.7e18) exactly.
+  /** `events.parquet`'s `ts` encoding has varied across driver testdata
+    * generations, so the loader normalizes whatever it finds to a session-TZ
+    * (UTC) TIMESTAMP at microsecond precision:
+    *   - INT64 TIMESTAMP(NANOS): Spark's reader rejects it outright
+    *     ([PARQUET_TYPE_ILLEGAL]); read the nanos as a plain long (legacy
+    *     conf) and rebuild with INTEGER division `ts div 1000` — a double
+    *     roundtrip (53-bit mantissa) cannot hold 2024-epoch nanoseconds
+    *     (~1.7e18) exactly.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): reads as TIMESTAMP_NTZ;
+    *     cast to TIMESTAMP under the UTC session zone — value-identical to
+    *     what DuckDB's naive-timestamp read of the same file yields.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already a session-TZ timestamp
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -13,20 +13,32 @@ import org.apache.spark.sql.types._
   * like Tables.events.
   */
 object EventsStream {
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // INT64 TIMESTAMP(NANOS) read as raw nanos
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  private def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
+  /** The file stream source requires an explicit schema; probe the file's
+    * actual `ts` encoding with a batch read and normalize exactly like
+    * [[graft.Tables.events]] (encodings have varied across driver testdata
+    * generations: INT64 nanos-as-long vs TIMESTAMP_NTZ micros).
+    */
   def readStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream
-      .schema(rawSchema)
-      .parquet(stagedDir(dir))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val staged = stagedDir(dir)
+    val tsType = s.read.parquet(staged).schema("ts").dataType
+    val raw = s.readStream.schema(rawSchema(tsType)).parquet(staged)
+    tsType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** The file stream source requires a DIRECTORY; the testdata ships a bare
@@ -36,11 +48,16 @@ object EventsStream {
     import java.nio.file._
     val stage = Paths.get(sys.props("java.io.tmpdir"),
       "graft_events_stream_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+    val src = Paths.get(dir, "events.parquet")
     val dst = stage.resolve("events.parquet")
-    if (!Files.exists(dst)) {
+    // recopy when the source changed (the driver regenerates testdata
+    // between rounds — a stale staged copy would diverge from the batch twin)
+    val stale = !Files.exists(dst) ||
+      Files.size(dst) != Files.size(src) ||
+      Files.getLastModifiedTime(dst).compareTo(Files.getLastModifiedTime(src)) < 0
+    if (stale) {
       Files.createDirectories(stage)
-      Files.copy(Paths.get(dir, "events.parquet"), dst,
-        StandardCopyOption.REPLACE_EXISTING)
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
     }
     stage.toString
   }
