@@ -411,5 +411,94 @@ object Temporal {
            |  FROM d1 t FULL JOIN src s ON t.id = s.cust_id)
            |SELECT id, name, salary, segment, CAST(3 AS BIGINT) AS version
            |FROM m WHERE keep ORDER BY id""".stripMargin
+      }),
+
+    // Q88 [extension: streaming change-data-feed] The CDC table's commit
+    // log AS a stream: SnapshotStore tables initialized with `cdcKeys`
+    // land typed change rows (insert / delete / update_preimage /
+    // update_postimage) with every commit, and streaming/ChangeFeedSource
+    // tails `_commits/` serving each version's change files as a
+    // micro-batch — the scale-native form of the reference's
+    // poll-the-table change pipeline (`Server/main.go:284-320`) and the
+    // streaming twin of q70's batch snapshot diff. The gate drives the
+    // feed through the SQL DML surface (UPDATE → DELETE → MERGE, three
+    // commits on top of the v0 initial-insert feed), replays the feed
+    // with Trigger.AvailableNow into a memory sink, and hash-checks the
+    // ENTIRE typed change stream against a DuckDB replay of the same
+    // statements. Exactly-once across checkpoint restarts is CdcSpec's
+    // e2e case; offsets are commit versions, and change files share
+    // snapshot immutability, so a replayed range is byte-identical.
+    "q88_cdc_feed" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{SnapshotStore, SqlDml}
+        val root = graft.GateTmp.freshDir("q88")
+        SnapshotStore.init(s, root, RelationalPipeline.employeeView(s, d)
+          .select($("id"), $("name"), $("salary"), $("segment")),
+          cdcKeys = Seq("id"))
+        val t = Map("emp" -> root)
+        SqlDml.execute(s,
+          "UPDATE emp SET salary = salary + 500 WHERE segment = 'AUTOMOBILE'", t)
+        SqlDml.execute(s, "DELETE FROM emp WHERE id % 10 = 3", t)
+        Tables.orders(s, d)
+          .groupBy($("o_custkey").as("cust_id"))
+          .agg(count(lit(1)).as("n_orders"))
+          .createOrReplaceTempView("emp_src")
+        SqlDml.execute(s,
+          """MERGE INTO emp t USING emp_src s ON t.id = s.cust_id
+            |WHEN MATCHED AND s.n_orders >= 10
+            |  THEN UPDATE SET salary = t.salary + s.n_orders
+            |WHEN NOT MATCHED THEN INSERT (id, name, salary, segment)
+            |  VALUES (s.cust_id, 'new-' || CAST(s.cust_id AS STRING),
+            |          s.n_orders, 'NEW')""".stripMargin, t)
+        val feed = s.readStream.format("graft.streaming.ChangeFeedSource")
+          .option("path", root).load()
+        graft.streaming.EventsStream.runToMemory(s, feed,
+          s"q88_mem_${System.nanoTime()}", "append")
+          .orderBy($("_commit_version"), $("id"), $("_change_type"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""WITH base AS (
+           |  SELECT c_custkey AS id, c_name AS name, $cents AS salary,
+           |         c_mktsegment AS segment
+           |  FROM customer),
+           |v1 AS (
+           |  SELECT id, name,
+           |    CASE WHEN segment = 'AUTOMOBILE' THEN salary + 500 ELSE salary END
+           |      AS salary, segment
+           |  FROM base),
+           |v2 AS (SELECT * FROM v1 WHERE NOT (id % 10 = 3)),
+           |src AS (
+           |  SELECT o_custkey AS cust_id, CAST(count(*) AS BIGINT) AS n_orders
+           |  FROM orders GROUP BY o_custkey),
+           |c0 AS (
+           |  SELECT id, name, salary, segment, 'insert' AS _change_type,
+           |         0 AS _commit_version
+           |  FROM base),
+           |c1 AS (
+           |  SELECT id, name, salary, segment, 'update_preimage', 1
+           |  FROM base WHERE segment = 'AUTOMOBILE'
+           |  UNION ALL
+           |  SELECT id, name, salary, segment, 'update_postimage', 1
+           |  FROM v1 WHERE segment = 'AUTOMOBILE'),
+           |c2 AS (
+           |  SELECT id, name, salary, segment, 'delete', 2
+           |  FROM v1 WHERE id % 10 = 3),
+           |c3 AS (
+           |  SELECT t.id, t.name, t.salary, t.segment, 'update_preimage', 3
+           |  FROM v2 t JOIN src s ON t.id = s.cust_id WHERE s.n_orders >= 10
+           |  UNION ALL
+           |  SELECT t.id, t.name, t.salary + s.n_orders, t.segment,
+           |         'update_postimage', 3
+           |  FROM v2 t JOIN src s ON t.id = s.cust_id WHERE s.n_orders >= 10
+           |  UNION ALL
+           |  SELECT s.cust_id, 'new-' || CAST(s.cust_id AS VARCHAR),
+           |         s.n_orders, 'NEW', 'insert', 3
+           |  FROM src s LEFT JOIN v2 t ON t.id = s.cust_id WHERE t.id IS NULL)
+           |SELECT id, name, salary, segment, _change_type,
+           |  CAST(_commit_version AS BIGINT) AS _commit_version
+           |FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1
+           |      UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3)
+           |ORDER BY _commit_version, id, _change_type""".stripMargin
       }))
 }

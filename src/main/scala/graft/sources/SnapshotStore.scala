@@ -72,19 +72,45 @@ object SnapshotStore {
   private def commitsDir(root: String): Path = Paths.get(root, "_commits")
   private def commitFile(root: String, v: Long): Path =
     commitsDir(root).resolve(f"$v%020d.commit")
+  private def cdcConfigFile(root: String): Path = Paths.get(root, "_cdc")
 
   /** Create the table: version 0 pins the initial snapshot.
     * `statsCols` opts the snapshot into a per-file min/max manifest
     * (see [[writeManifest]]).
+    *
+    * `cdcKeys` opts the table into a CHANGE DATA FEED (the public Delta
+    * CDF idea): every commit also lands the rows it changed — typed
+    * `insert` / `delete` / `update_preimage` / `update_postimage` — as
+    * parquet under the snapshot dir's `_changes/` (underscore prefix:
+    * invisible to normal reads, immutable with the snapshot, pinned by the
+    * same commit pointer). Version 0's feed is the initial rows as
+    * inserts. Keys must be row-unique per snapshot — CDC is a KEYED diff.
     */
   def init(spark: SparkSession, root: String, df: DataFrame,
-      statsCols: Seq[String] = Nil): Snapshot = {
+      statsCols: Seq[String] = Nil, cdcKeys: Seq[String] = Nil): Snapshot = {
     Files.createDirectories(commitsDir(root))
+    if (cdcKeys.nonEmpty) Files.writeString(cdcConfigFile(root), cdcKeys.mkString(","))
     val dir = stage(root, df)
     if (statsCols.nonEmpty) writeManifest(spark, dir, statsCols)
+    if (cdcKeys.nonEmpty) {
+      import org.apache.spark.sql.functions.lit
+      spark.read.parquet(dir).withColumn(ChangeTypeCol, lit("insert"))
+        .write.mode("overwrite").parquet(s"$dir/_changes")
+    }
     if (!tryCommit(root, expectedCurrent = -1L, dir))
       throw new CommitConflictException(s"table at $root already initialized")
     Snapshot(0L, dir)
+  }
+
+  /** CDC column names — the public Delta CDF vocabulary. */
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  /** The CDC key columns this table was initialized with (empty = no feed). */
+  def cdcKeys(root: String): Seq[String] = {
+    val f = cdcConfigFile(root)
+    if (Files.exists(f)) Files.readString(f).trim.split(",").toSeq.filter(_.nonEmpty)
+    else Nil
   }
 
   /** Newest committed snapshot. Readers go through this and only ever see
@@ -151,6 +177,74 @@ object SnapshotStore {
 
   def read(spark: SparkSession, root: String): DataFrame =
     read(spark, latest(root))
+
+  /** Change rows landed by commit `version` (data columns +
+    * [[ChangeTypeCol]] + [[CommitVersionCol]]). A committed version on a
+    * CDC table always has a `_changes/` dir; versions older than the
+    * table's CDC opt-in (none today — CDC is set at init) would read as
+    * empty rather than failing, matching Delta's "no CDF before
+    * enablement" contract.
+    */
+  def changesAt(spark: SparkSession, root: String, version: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val dir = s"${at(root, version).dataDir}/_changes"
+    val base =
+      if (Files.exists(Paths.get(dir))) spark.read.parquet(dir)
+      else read(spark, at(root, version)).limit(0)
+        .withColumn(ChangeTypeCol, lit("insert"))
+    base.withColumn(CommitVersionCol, lit(version))
+  }
+
+  /** Batch table-changes read over a version range (inclusive), the
+    * `table_changes(...)` surface. Per-version parquet reads unioned —
+    * version count per call is log-scale (commits), not data-scale.
+    */
+  def changes(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Long): DataFrame =
+    (fromVersion to toVersion).map(changesAt(spark, root, _))
+      .reduce(_.unionByName(_))
+
+  /** The keyed snapshot diff behind the change feed: ONE null-safe
+    * full-outer join base⋈next on the CDC keys, then a single codegen'd
+    * pass classifying each key as insert / delete / update (pre+post
+    * images via explode) / unchanged (dropped). Emitted change rows carry
+    * the full row payload, so downstream consumers never re-join the
+    * snapshot.
+    *
+    * Scale: the join shuffles both snapshots on the key — the honest cost
+    * of CDC for an arbitrary whole-frame `transact` transform. At 100 TB
+    * the optimization path is emitting changes from inside the write plan
+    * itself (SqlDml's MERGE already materializes the same full-outer join;
+    * its nested-CASE action resolution knows each row's fate for free) —
+    * the feed's on-disk contract stays identical, only the producer
+    * changes.
+    */
+  private[graft] def diffChanges(base: DataFrame, next: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cols = next.columns.toIndexedSeq
+    require(keys.forall(cols.contains), s"CDC keys $keys not all in $cols")
+    val nonKeys = cols.filterNot(keys.contains)
+    val b = base.select(cols.map(col): _*).withColumn("__b", lit(true)).alias("b")
+    val n = next.select(cols.map(col): _*).withColumn("__n", lit(true)).alias("n")
+    val j = b.join(n, keys.map(k => col(s"b.$k") <=> col(s"n.$k")).reduce(_ && _),
+      "full_outer")
+    def image(side: String, kind: String) = struct(
+      cols.map(c => col(s"$side.$c").as(c)) :+ lit(kind).as(ChangeTypeCol): _*)
+    val valueChanged = nonKeys.map(c => !(col(s"b.$c") <=> col(s"n.$c")))
+      .foldLeft(lit(false))(_ || _)
+    // one typed array per key, exploded; unchanged keys emit a sentinel the
+    // filter drops immediately (keeps the array expression fully typed
+    // without a DDL-cast for the empty case) — all inside one codegen stage
+    val events = when(col("n.__n").isNull, array(image("b", "delete")))
+      .when(col("b.__b").isNull, array(image("n", "insert")))
+      .when(valueChanged,
+        array(image("b", "update_preimage"), image("n", "update_postimage")))
+      .otherwise(array(image("b", "unchanged")))
+    j.select(explode(events).as("c"))
+      .filter(col(s"c.$ChangeTypeCol") =!= "unchanged")
+      .select((cols :+ ChangeTypeCol).map(f => col(s"c.$f").as(f)): _*)
+  }
 
   /** Per-file min/max manifest — the Iceberg/Delta data-skipping idea. One
     * distributed pass derives `(file, n_rows, min_c, max_c, …)` per data
@@ -357,6 +451,15 @@ object SnapshotStore {
       }
       val dir = stage(root, out)
       if (statsCols.nonEmpty) writeManifest(spark, dir, statsCols)
+      val keys = cdcKeys(root)
+      if (keys.nonEmpty) {
+        // diff what was WRITTEN (the staged read-back), not the logical
+        // `out` frame: avoids recomputing the transform and captures any
+        // write-time canonicalization. Rebase reruns this whole block
+        // against the new base, so the feed always diffs committed states.
+        diffChanges(read(spark, base), spark.read.parquet(dir), keys)
+          .write.mode("overwrite").parquet(s"$dir/_changes")
+      }
       if (tryCommit(root, base.version, dir, txn))
         return Snapshot(base.version + 1, dir)
       attempt += 1

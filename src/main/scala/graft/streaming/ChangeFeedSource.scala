@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.sources.SnapshotStore
+import org.apache.spark.sql.{DataFrame, GraftSqlShim, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.sources.StreamSourceProvider
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** Streaming CHANGE-DATA-FEED source over a [[SnapshotStore]] table — the
+  * scale-native form of the reference's poll-the-table change pipeline
+  * (`Server/main.go:284-320` polls employees and re-reads rows to detect
+  * change; here every committed version already carries its typed change
+  * rows) and the streaming twin of q70's batch snapshot diff.
+  *
+  * Shape: the source tails the table's `_commits/` log. Offsets ARE commit
+  * versions — the log is the stream. A micro-batch is the half-open version
+  * range (start, end]; its rows are the `_changes/` parquet each of those
+  * commits landed (insert / delete / update_preimage / update_postimage +
+  * `_commit_version`). Because snapshots and their change files are
+  * immutable once committed, `getBatch` is a deterministic pure function of
+  * the offset range — which is exactly what makes checkpoint replay
+  * exactly-once: a restarted query re-reads the same versions and gets
+  * byte-identical rows.
+  *
+  * Spark-first note: this is the v1 `Source` API (`getBatch` returns a
+  * planned DataFrame) rather than a DSv2 `MicroBatchStream` — deliberately,
+  * and for the same reason the public Delta streaming source sits on this
+  * API: the batch of a log-structured table source IS a parquet scan, and
+  * returning the planned scan keeps the vectorized reader, column pruning
+  * and predicate pushdown that a hand-rolled DSv2 row-by-row
+  * `PartitionReader` would forfeit. (The DSv2 path in this repo —
+  * `HttpIngestSource` — is for rows that exist nowhere as files.)
+  *
+  * Scale: `latestOffset` lists one tiny directory; a micro-batch plans one
+  * distributed scan over only the NEW versions' change files (change
+  * volume, not table volume). Version-count per batch is bounded by commit
+  * cadence. Retention interplay: reading versions older than the VACUUM
+  * window fails loudly, the Delta/Iceberg contract.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("graft.streaming.ChangeFeedSource")
+  *     .option("path", tableRoot)       // SnapshotStore root (CDC-enabled)
+  *     .option("startVersion", "0")     // default 0 = initial rows as inserts
+  *     .load()
+  * }}}
+  */
+class ChangeFeedSource extends StreamSourceProvider {
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "option 'path' (SnapshotStore root) is required"))
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    ("graft-change-feed", ChangeFeedSource.schemaFor(sqlContext, rootOf(parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val root = rootOf(parameters)
+    val startVersion = parameters.getOrElse("startVersion", "0").toLong
+    require(SnapshotStore.cdcKeys(root).nonEmpty,
+      s"table at $root has no change feed (init it with cdcKeys)")
+    new ChangeFeedStream(sqlContext, root, startVersion)
+  }
+}
+
+object ChangeFeedSource {
+  /** Feed schema = the table's data schema + the CDF metadata columns. */
+  def schemaFor(sqlContext: SQLContext, root: String): StructType = {
+    val data = sqlContext.sparkSession.read
+      .parquet(SnapshotStore.latest(root).dataDir).schema
+    data.add(SnapshotStore.ChangeTypeCol, StringType)
+      .add(SnapshotStore.CommitVersionCol, LongType)
+  }
+}
+
+/** One running feed: offset N = "versions ≤ N are emitted". */
+private class ChangeFeedStream(sqlContext: SQLContext, root: String,
+    startVersion: Long) extends Source {
+
+  override val schema: StructType = ChangeFeedSource.schemaFor(sqlContext, root)
+
+  /** Newest committed version, or None while nothing ≥ startVersion exists. */
+  override def getOffset: Option[Offset] = {
+    val v = SnapshotStore.latest(root).version
+    if (v >= startVersion) Some(LongOffset(v)) else None
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val lo = start.map(asLong(_) + 1L).getOrElse(startVersion)
+    val hi = asLong(end)
+    val versions = lo to hi
+    val batch =
+      if (versions.isEmpty)
+        sqlContext.sparkSession.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      else versions.map { v =>
+        SnapshotStore.changesAt(sqlContext.sparkSession, root, v)
+          .withColumn(SnapshotStore.CommitVersionCol, lit(v))
+      }.reduce(_.unionByName(_))
+    // source contract column order, then re-flag as streaming
+    GraftSqlShim.asStreamingDF(
+      batch.select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*))
+  }
+
+  private def asLong(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.toLong // SerializedOffset from a checkpoint
+  }
+
+  override def stop(): Unit = ()
+}

@@ -15,6 +15,19 @@ object GraftSqlShim {
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Re-wrap a BATCH DataFrame as a streaming one — the v1
+    * `execution.streaming.Source.getBatch` contract (MicroBatchExecution
+    * asserts `isStreaming` on what a source returns). This is exactly how
+    * the public Delta streaming source serves each micro-batch: plan the
+    * batch read (vectorized parquet scan, pruning and pushdown intact),
+    * then hand its compiled RDD over under a streaming-flagged relation.
+    */
+  def asStreamingDF(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** Column → catalyst Expression (Spark 4 hides `.expr` behind ColumnNode).
     * Converted EAGERLY: `ExpressionUtils.expression` returns a lazy
     * `ColumnNodeExpression` that only the analyzer's own column-resolution
