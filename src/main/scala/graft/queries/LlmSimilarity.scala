@@ -193,6 +193,47 @@ object LlmSimilarity {
       build = (s, d) => recallGate(s, d, pqTopK(s, d), minHits = 1),
       oracle = Some(recallGateOracle)),
 
+    // Q26e [extension: persisted+versioned index state] q26c's IVF serving
+    // from a PINNED ModelStore version instead of retraining per query —
+    // the production index lifecycle (train once per corpus snapshot,
+    // persist the bounded k×dim model, serve deterministically from a
+    // pinned version while the corpus keeps moving). The gate proves the
+    // pin semantics adversarially: version 0 is the real trained model,
+    // version 1 is a deliberately-degenerate retrain (all-zero centroids —
+    // every score collapses), and serving loads v0 by version. Floats
+    // round-trip parquet bit-exactly, so the pinned-load result is
+    // hash-identical to q26c's inline-trained serve against the same exact
+    // referee.
+    "q26e_ann_ivf_pinned" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.ModelStore
+        val nm = normed(s, d).cache()
+        val root = graft.GateTmp.freshDir("q26e_model")
+        val pinned = ModelStore.saveCentroids(s, root, trainCells(nm, 16, 2))
+        // a later degenerate retrain lands as v1; serving stays pinned to v0
+        ModelStore.saveCentroids(s, root, IndexedSeq.fill(16)(new Array[Float](64)))
+        val cents = ModelStore.loadCentroids(s, root, Some(pinned.version))
+        recallGate(s, d, ivfServe(nm, cents), minHits = 1)
+      },
+      oracle = Some(recallGateOracle)),
+
+    // Q26f [extension: persisted+versioned index state] q26d's PQ serving
+    // from a pinned ModelStore codebook version — same lifecycle and same
+    // adversarial pin proof as q26e (v1 is an all-zero codebook; ADC
+    // against it would shortlist garbage).
+    "q26f_ann_pq_pinned" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.ModelStore
+        val nm = normed(s, d).cache()
+        val root = graft.GateTmp.freshDir("q26f_model")
+        val pinned = ModelStore.saveCodebook(s, root, pqTrain(nm).map(_.toSeq))
+        ModelStore.saveCodebook(s, root,
+          Seq.fill(PqM)(Seq.fill(PqKsub)(new Array[Float](PqDsub))))
+        val book = ModelStore.loadCodebook(s, root, Some(pinned.version))
+        recallGate(s, d, pqServe(nm, book), minHits = 1)
+      },
+      oracle = Some(recallGateOracle)),
+
     // Q27d [extension] embedding-cosine near-duplicate pairs: all pairs with
     // cos >= 0.45 (testdata max pairwise cos is ~0.513, so the output is
     // small but non-empty).
@@ -328,18 +369,29 @@ object LlmSimilarity {
     * element_at lookups per candidate, no floats ride the scan. Exact
     * rerank on the shortlist restores true-cosine ordering.
     */
-  def pqTopK(s: SparkSession, d: String): DataFrame = {
-    val m = 16; val dsub = 4; val ksub = 16; val shortlist = 128
-    val nm = normed(s, d).cache()
+  private val PqM = 16; private val PqDsub = 4
+  private val PqKsub = 16; private val PqShortlist = 128
 
-    // codebook flattened [mm][j][t] for the native pq_encode/pq_luts
-    // workers — a declarative m×ksub dot-expression tree spends seconds in
-    // Janino PER LLOYD ROUND (fresh literals ⇒ fresh generated class);
-    // the native expression is one static call whatever m/ksub are
-    def flat(cs: IndexedSeq[IndexedSeq[Array[Float]]]): Array[Float] =
-      cs.flatMap(_.flatMap(_.toIndexedSeq)).toArray
-    def codesCol(cs: IndexedSeq[IndexedSeq[Array[Float]]]): Column =
-      call_function("pq_encode", $("embedding"), typedlit(flat(cs)), lit(dsub))
+  // codebook flattened [mm][j][t] for the native pq_encode/pq_luts
+  // workers — a declarative m×ksub dot-expression tree spends seconds in
+  // Janino PER LLOYD ROUND (fresh literals ⇒ fresh generated class);
+  // the native expression is one static call whatever m/ksub are
+  private def pqFlat(cs: IndexedSeq[IndexedSeq[Array[Float]]]): Array[Float] =
+    cs.flatMap(_.flatMap(_.toIndexedSeq)).toArray
+  private def pqCodesCol(cs: IndexedSeq[IndexedSeq[Array[Float]]]): Column =
+    call_function("pq_encode", $("embedding"), typedlit(pqFlat(cs)), lit(PqDsub))
+
+  def pqTopK(s: SparkSession, d: String): DataFrame = {
+    val nm = normed(s, d).cache()
+    pqServe(nm, pqTrain(nm))
+  }
+
+  /** PQ codebook training (q26d's Lloyd half): deterministic init from the
+    * ksub smallest vec_ids, two Lloyd rounds. Returns book(mm)(j) — bounded
+    * m×ksub×dsub model state (the ModelStore persistence class).
+    */
+  private[queries] def pqTrain(nm: DataFrame): IndexedSeq[IndexedSeq[Array[Float]]] = {
+    val m = PqM; val dsub = PqDsub; val ksub = PqKsub
 
     // deterministic init: subvectors of the ksub smallest vec_ids (distinct
     // real points — uniform data gives no better seeds, and mean-based init
@@ -356,7 +408,7 @@ object LlmSimilarity {
 
     for (_ <- 1 to 2) { // Lloyd rounds
       val prev = cents
-      val rows = nm.select(codesCol(prev).as("codes"),
+      val rows = nm.select(pqCodesCol(prev).as("codes"),
           posexplode($("embedding")).as(Seq("pos", "x")))
         .select(floor($("pos") / dsub).cast("int").as("mm"),
           pmod($("pos"), lit(dsub)).cast("int").as("p"),
@@ -369,6 +421,17 @@ object LlmSimilarity {
         next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat)
       cents = next.map(_.toIndexedSeq).toIndexedSeq // empty cells keep prior
     }
+    cents
+  }
+
+  /** Serving half of q26d against a GIVEN codebook (trained inline, or a
+    * pinned ModelStore version — q26f): encode, ADC scan, exact rerank.
+    */
+  private[queries] def pqServe(nm: DataFrame,
+      cents: IndexedSeq[IndexedSeq[Array[Float]]]): DataFrame = {
+    val m = PqM; val dsub = PqDsub; val shortlist = PqShortlist
+    def flat = pqFlat _
+    def codesCol = pqCodesCol _
 
     // compressed index: 16 nibble codes + norm per vector (~16 B vs 256 B)
     val codes = nm.select($("vec_id"), codesCol(cents).as("codes"), $("nrm"))
@@ -476,9 +539,19 @@ object LlmSimilarity {
   }
 
   def ivfTopK(s: SparkSession, d: String): DataFrame = {
-        val k = 16; val nprobe = 10; val lloydRounds = 2
-        val nm = normed(s, d).cache()
-        val cents = trainCells(nm, k, lloydRounds)
+    val nm = normed(s, d).cache()
+    ivfServe(nm, trainCells(nm, k = 16, rounds = 2))
+  }
+
+  /** Serving half of q26c against a GIVEN centroid matrix — trained inline
+    * (q26c) or loaded from a pinned ModelStore version (q26e). Splitting
+    * train from serve is the production shape: the index is trained once
+    * (corpus-sized pass), persisted as bounded model state, and every query
+    * serves from the pinned version.
+    */
+  private[queries] def ivfServe(nm: DataFrame,
+      cents: IndexedSeq[Array[Float]]): DataFrame = {
+        val nprobe = 10
 
         // nprobe nearest cells per query: sort (score, idx) structs desc
         val probed: Column = {

@@ -536,6 +536,37 @@ object LlmText {
       },
       oracle = Some(
         """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, TRUE AS ok
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Q77b [extension: persisted+versioned tokenizer] q77's encode serving
+    // from a PINNED ModelStore merge-table version — the production
+    // tokenizer lifecycle (a trained vocabulary is an immutable artifact;
+    // every corpus re-encode must use the exact deployed merge list, never
+    // a retrain that would silently shift token ids). Version 0 is the
+    // trained merge table; version 1 is a deliberate 1-merge retrain;
+    // encode loads v0 by version. Same self-check gate as q77: round-trip
+    // identity + determinism + corpus-level compression, which would all
+    // break if the pin served the wrong version.
+    "q77b_bpe_pinned" -> QueryDef(
+      build = (s, d) => {
+        import graft.functions.Bpe
+        import graft.sources.ModelStore
+        val docs = Tables.documents(s, d)
+        val root = graft.GateTmp.freshDir("q77b_model")
+        val pinned = ModelStore.saveMerges(s, root,
+          Bpe.trainOnSample(docs, numMerges = 60))
+        ModelStore.saveMerges(s, root,
+          Bpe.trainOnSample(docs, numMerges = 1)) // degenerate v1 retrain
+        val merges = ModelStore.loadMerges(s, root, Some(pinned.version))
+        require(merges.length == 60, s"pinned merge table has ${merges.length} rows")
+        val out = Bpe.encodeBatch(docs.select($("doc_id"), $("text")), merges).cache()
+        val totals = out.agg(sum($("n_tokens")), sum($("n_chars"))).head()
+        require(totals.getLong(0) < totals.getLong(1),
+          "BPE from pinned merges produced no compression")
+        out.select($("doc_id"), $("n_chars"), $("ok")).orderBy($("doc_id"))
+      },
+      oracle = Some(
+        """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, TRUE AS ok
           |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -404,8 +404,16 @@ class LlmSpec extends SparkSpec {
 
     val durations = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
     val listener = new SparkListener {
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
-        durations.synchronized { durations += ((e.stageId, e.taskInfo.duration)) }
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        // executorRunTime minus GC: the straggler claim is about COMPUTE
+        // skew (a hot bucket concentrating work on one task), and wall
+        // duration trips on full-suite GC pauses that have nothing to do
+        // with the partitioning under test
+        val d = Option(e.taskMetrics)
+          .map(m => m.executorRunTime - m.jvmGCTime)
+          .getOrElse(e.taskInfo.duration)
+        durations.synchronized { durations += ((e.stageId, d)) }
+      }
     }
     spark.sparkContext.addSparkListener(listener)
     try {
