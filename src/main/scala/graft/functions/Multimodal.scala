@@ -60,6 +60,43 @@ object Multimodal {
       Some((be32(b, 16), be32(b, 20)))
     else None
 
+  /** JPEG: SOI (FFD8) then a marker-segment walk to the first Start-Of-Frame
+    * (the dominant real-world image format — ITU-T T.81 §B.2). Each segment
+    * is FF <marker> <len:BE16 incl. itself> <payload>; standalone markers
+    * (RSTn, TEM) and fill bytes (FF FF) carry no length. Frame dimensions
+    * live in ANY SOFn (C0..CF minus DHT C4, JPG C8, DAC CC): after the
+    * length comes [precision:1][height:BE16][width:BE16] — baseline (SOF0)
+    * and progressive (SOF2) share the layout. Hitting SOS/EOI before a SOF,
+    * a non-FF where a marker must start, or a truncated segment ⇒ None
+    * (refuse, never guess).
+    */
+  def parseJpegHeader(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
+    var off = 2L
+    while (off + 4 <= b.length) {
+      val o = off.toInt
+      if ((b(o) & 0xFF) != 0xFF) return None // lost marker sync: corrupt
+      val marker = b(o + 1) & 0xFF
+      if (marker == 0xFF) off += 1 // fill byte
+      else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) off += 2 // TEM/RSTn
+      else if (marker == 0xDA || marker == 0xD9) return None // SOS/EOI before SOF
+      else {
+        val len = ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+        if (len < 2) return None
+        val isSof = marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+        if (isSof) {
+          if (o + 9 > b.length) return None
+          val h = ((b(o + 5) & 0xFF) << 8) | (b(o + 6) & 0xFF)
+          val w = ((b(o + 7) & 0xFF) << 8) | (b(o + 8) & 0xFF)
+          return if (w > 0 && h > 0) Some((w, h)) else None
+        }
+        off += 2L + len // Long walk: corrupt 0xFFFF len must not wrap Int
+      }
+    }
+    None
+  }
+
   /** RIFF/WAVE chunk walk: `fmt ` carries channels (LE16 at +2), sample
     * rate (LE32 at +4) and block align (LE16 at +12); `data` declares the
     * sample-byte length, so frames = data bytes / block align. Chunk sizes
@@ -95,7 +132,7 @@ object Multimodal {
     * lie for audio.)
     */
   def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) =
-    parsePngHeader(payload) match {
+    parsePngHeader(payload).orElse(parseJpegHeader(payload)) match {
       case Some((w, h)) => (w, h, 1)
       case None => fakeDecode(kind, payload)
     }
@@ -630,7 +667,8 @@ object Multimodal {
     df.select("doc_id", "kind", "payload").mapPartitions { it =>
       it.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
-        val (w, h, sr, ch, nf) = parsePngHeader(payload) match {
+        val (w, h, sr, ch, nf) = parsePngHeader(payload)
+          .orElse(parseJpegHeader(payload)) match {
           case Some((w0, h0)) => (w0, h0, null, null, 1)
           case None => parseWavHeader(payload) match {
             case Some((r0, c0, f0)) => (null, null, r0, c0, f0)

@@ -272,6 +272,50 @@ object Surface {
       },
       oracle = Some(mediaHeadersOracleSql)),
 
+    // Q35i [extension: JPEG SOF header parse] the dominant real-world image
+    // format joins the real-header family: byte-exact minimal JPEGs (SOI →
+    // APP0/JFIF → SOF → EOI) are synthesized from document attributes —
+    // BASELINE (SOF0) for even docs, PROGRESSIVE (SOF2) for odd, so the
+    // gate proves the marker-segment walk skips APP0 by its declared
+    // length and reads height/width (big-endian, height first per ITU-T
+    // T.81 §B.2.2) out of either SOF flavor. Same hex-pinned cross-engine
+    // contract as q35b: the oracle rebuilds identical bytes and expected
+    // fields from the construction formulas, payload_hex proving both
+    // engines built the same binaries.
+    "q35i_jpeg_headers" -> QueryDef(
+      build = (s, d) => {
+        import org.apache.spark.sql.Column
+        def byteHex(c: Column): Column = lpad(hex(c.bitwiseAND(lit(255L))), 2, "0")
+        def be16(c: Column): Column = concat(byteHex(shiftright(c, 8)), byteHex(c))
+        val docs = Tables.documents(s, d)
+          .withColumn("width", lit(1L) + $("n_chars") % 4096)
+          .withColumn("height", lit(1L) + ($("doc_id") * 11) % 2160)
+          .withColumn("progressive", $("doc_id") % 2 === 1)
+        // SOI | APP0(JFIF, len 16) | SOFn(len 17: precision 8, h, w, 3
+        // components 1:{11,00} 2:{11,01} 3:{11,01}) | EOI
+        val jpegHex = concat(
+          lit("FFD8"),
+          lit("FFE000104A46494600010100000100010000"),
+          when($("progressive"), lit("FFC2")).otherwise(lit("FFC0")),
+          lit("001108"), be16($("height")), be16($("width")),
+          lit("03011100021101031101"),
+          lit("FFD9"))
+        val media = docs
+          .withColumn("kind", lit("image"))
+          .withColumn("payload", unhex(jpegHex))
+        Multimodal.decodeMediaBatch(media)
+          .na.fill(0L, Seq("width", "height", "sample_rate", "channels", "n_frames"))
+          .join(media.select($("doc_id"), $("progressive"),
+            upper(hex($("payload"))).as("payload_hex")), "doc_id")
+          .select($("doc_id"), $("progressive"),
+            $("width").cast("long").as("width"),
+            $("height").cast("long").as("height"),
+            $("n_frames").cast("long").as("n_frames"),
+            $("payload_hex"))
+          .orderBy($("doc_id"))
+      },
+      oracle = Some(jpegHeadersOracleSql)),
+
     // Q35c [extension: content-level image decode + perceptual hash] the
     // step past q35b's headers: pixels. Each document becomes a REAL 9×8
     // grayscale PNG (zlib IDAT, per-row filter bytes, chunk CRCs — see
@@ -656,6 +700,30 @@ object Surface {
       |    CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bit
       |  FROM px a JOIN px b ON a.img_id = b.img_id AND b.y = a.y AND b.x = a.x + 1
       |  WHERE a.x < 8)""".stripMargin
+
+  private def jpegHeadersOracleSql: String = {
+    def byteHex(e: String) = s"lpad(hex(($e) & 255), 2, '0')"
+    def be16(e: String) = s"${byteHex(s"($e) >> 8")} || ${byteHex(e)}"
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    1 + n_chars % 4096 AS width,
+       |    1 + (doc_id * 11) % 2160 AS height,
+       |    doc_id % 2 = 1 AS progressive
+       |  FROM documents),
+       |hexes AS (
+       |  SELECT *,
+       |    'FFD8' || 'FFE000104A46494600010100000100010000' ||
+       |    CASE WHEN progressive THEN 'FFC2' ELSE 'FFC0' END ||
+       |    '001108' || ${be16("height")} || ${be16("width")} ||
+       |    '03011100021101031101' || 'FFD9' AS ph
+       |  FROM base)
+       |SELECT doc_id, progressive,
+       |  CAST(width AS BIGINT) AS width,
+       |  CAST(height AS BIGINT) AS height,
+       |  CAST(1 AS BIGINT) AS n_frames,
+       |  upper(ph) AS payload_hex
+       |FROM hexes ORDER BY doc_id""".stripMargin
+  }
 
   private def mediaHeadersOracleSql: String = {
     def byteHex(e: String) = s"lpad(hex(($e) & 255), 2, '0')"

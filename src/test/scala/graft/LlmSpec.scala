@@ -232,6 +232,32 @@ class LlmSpec extends SparkSpec {
     val bomb = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
       "junk".getBytes ++ le32(Int.MaxValue) ++ Array.fill[Byte](8)(0)
     assert(parseWavHeader(bomb).isEmpty, "overflowing chunk size must parse to None")
+
+    // JPEG SOF walk (q35i): APP0 skipped by length, SOF0 and SOF2 both
+    // parsed, height-before-width order respected
+    def be16(v: Int) = Array((v >>> 8).toByte, v.toByte)
+    def seg(marker: Int, payload: Array[Byte]) =
+      Array(0xFF.toByte, marker.toByte) ++ be16(payload.length + 2) ++ payload
+    val app0 = seg(0xE0, "JFIF ".getBytes("US-ASCII") ++
+      Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0))
+    def sof(marker: Int, w: Int, h: Int) = seg(marker,
+      Array[Byte](8) ++ be16(h) ++ be16(w) ++
+        Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+    val soi = Array(0xFF.toByte, 0xD8.toByte); val eoi = Array(0xFF.toByte, 0xD9.toByte)
+    assert(parseJpegHeader(soi ++ app0 ++ sof(0xC0, 640, 480) ++ eoi)
+      .contains((640, 480)), "baseline SOF0")
+    assert(parseJpegHeader(soi ++ app0 ++ sof(0xC2, 4096, 2160) ++ eoi)
+      .contains((4096, 2160)), "progressive SOF2")
+    // a DHT (C4) segment must be walked over, not mistaken for a SOF
+    val dht = seg(0xC4, Array.fill[Byte](20)(3))
+    assert(parseJpegHeader(soi ++ dht ++ sof(0xC0, 17, 9) ++ eoi).contains((17, 9)))
+    assert(parseJpegHeader(soi ++ app0 ++ eoi).isEmpty, "EOI before SOF")
+    assert(parseJpegHeader(junk).isEmpty)
+    assert(parseJpegHeader((soi ++ app0).take(8)).isEmpty, "truncated APP0")
+    // corrupt: a segment length walking past the end must yield None
+    assert(parseJpegHeader(soi ++ Array(0xFF.toByte, 0xE1.toByte,
+      0xFF.toByte, 0xFF.toByte) ++ Array.fill[Byte](4)(0)).isEmpty)
+    assert(decode("image", soi ++ app0 ++ sof(0xC0, 33, 44) ++ eoi) == ((33, 44, 1)))
   }
 
   test("q28i: repetition verdict splits the corpus and fracs are consistent") {
