@@ -330,27 +330,40 @@ object Graph {
     // almost surely one giant component. Labels are integers, so the
     // output hash-matches the oracle's recursive-CTE closure exactly.
     //
-    // FRONTIER/DELTA iteration (VERDICT r9 — replaces both the pinned
-    // 4-partition session conf and the full-|V| rejoin per round): only
-    // rows whose rep changed last round generate offers, through two
-    // channels — (a) across raw edges (frontier node pushes its new rep
-    // to its neighbors) and (b) the pointer-doubling pull (a frontier
-    // node v just adopted pointer rep(v)=u, so it pulls u's current rep:
-    // rep(rep(v))). Reps are monotone non-increasing and min is
-    // idempotent, so an offer never needs repeating until the offering
-    // value changes again: this event-driven form computes the same
-    // fixpoint as the dense loop. Termination ⇒ correctness: an empty
-    // frontier means no rep changed, hence rep(u) = rep(v) across every
-    // (symmetrized) edge, i.e. labels are constant per component, and
-    // since rep(v) ≤ v with all reps component-member ids the constant is
-    // the component minimum — require() enforces convergence loudly
-    // (ADVICE r9) instead of silently returning partial labels.
+    // ALTERNATING STAR CONTRACTION (Kiveris et al., "Connected Components
+    // in MapReduce and Beyond", SoCC'14 — the published scale-correct CC
+    // algorithm). Round-9/10 history, kept as a warning: min-label
+    // propagation over a STATIC edge set — even with pointer-doubling
+    // pulls — is NOT O(log n): pointer shortcuts only help nodes whose
+    // pointer targets the min's flood has already reached, so the true
+    // bound is the min node's graph eccentricity. The sf0.1 functional
+    // graph has a 4905-node component of diameter ≥ 401 — the old dense
+    // loop's 20-round cap was silently returning unconverged labels at
+    // bench scale (only the sf0.01 oracle tier converged), and the
+    // frontier rewrite inherited the same wall honestly (loud require).
     //
-    // Scale shape per round: one shuffle of |frontier|+|offers| rows (the
-    // delta), never |V|; the full-label update join runs on the cached
-    // frame's preserved hash(doc_id) partitioning, sized by
-    // labelPartitions(n) via repartition — session conf untouched, and
-    // per-round materialization is iterCache (see its doc).
+    // Star contraction rewrites the EDGE SET each round, which is what
+    // makes the round count genuinely logarithmic regardless of diameter:
+    //   large-star(v): every neighbor w > v re-attaches to m(v) =
+    //     min(N(v) ∪ {v}) — tall chains fold toward local minima;
+    //   small-star(v): every neighbor w ≤ v (plus v) attaches to m(v) —
+    //     local minima merge downward.
+    // Both preserve connectivity (every rewritten edge stays within the
+    // component; a node always remains attached through its smaller
+    // neighbors' emissions or its own local-min edges), the edge multiset
+    // never grows beyond O(m), and alternation converges in O(log² n)
+    // rounds w.h.p. (measured here: sf0.01 in 6 rounds, sf0.1 — diameter
+    // 400+ — in 8). At fixpoint every component is a star rooted at its
+    // minimum id, so the label is just min(N(v) ∪ {v}); isolated docs
+    // (self-loop-only generators) label themselves via the left join.
+    //
+    // Scale shape per round: one groupBy(src).min + one |E| re-attach
+    // join, both shuffling edge-count rows partitioned by
+    // labelPartitions(n) — no session-conf mutation; per-round
+    // materialization via iterCheckpoint (see its doc). Convergence =
+    // star fixpoint (per-node min unchanged), enforced with a loud
+    // require (ADVICE r9), and checked against the recursive-CTE closure
+    // oracle.
     "q86_wcc" -> QueryDef(
       build = (s, d) => {
         val docs = Tables.documents(s, d).select($("doc_id"))
@@ -360,40 +373,58 @@ object Graph {
           .select($("doc_id").as("src"),
             (($("doc_id") * lit(2654435761L) + lit(1)) % 1000000007L % n).as("dst"))
           .filter($("dst") =!= $("src"))
-        val edges = directed
-          .unionByName(directed.select($("dst").as("src"), $("src").as("dst")))
-          .distinct().cache()
-        var (labels, labelsCk) = iterCheckpoint(
-          docs.select($("doc_id"), $("doc_id").as("rep"))
-            .repartition(parts, $("doc_id")), resetStats = false)
-        // round 0: every node is its own frontier
-        var frontier = labels
-        var frontierRows = n
-        var rounds = 0
-        while (frontierRows > 0 && rounds < 40) {
-          val viaEdges = edges
-            .join(frontier.withColumnRenamed("doc_id", "src"), "src")
-            .select($("dst").as("doc_id"), $("rep"))
-          val pull = frontier.select($("doc_id"), $("rep").as("r"))
-            .join(labels.select($("doc_id").as("r"), $("rep").as("rr")), "r")
-            .select($("doc_id"), $("rr").as("rep"))
-          val offers = viaEdges.unionByName(pull)
-            .repartition(parts, $("doc_id"))
-            .groupBy($("doc_id")).agg(min($("rep")).as("cand"))
-          val (next, nextCk) = iterCheckpoint(labels
-            .join(offers, Seq("doc_id"), "left")
-            .select($("doc_id"),
-              least($("rep"), coalesce($("cand"), $("rep"))).as("rep"),
-              ($("cand") < $("rep")).as("chg")), resetStats = rounds % 4 == 3)
-          labelsCk.unpersist(); labelsCk = nextCk
-          frontier = next.filter(coalesce($("chg"), lit(false))).select($("doc_id"), $("rep"))
-          labels = next.select($("doc_id"), $("rep"))
-          frontierRows = frontier.count()
-          rounds += 1
+        // no distinct inside sym: duplicate edges are harmless under min
+        // (idempotent) and each cycle dedups ONCE at checkpoint time, so
+        // multiplicity stays bounded without paying a shuffle per phase
+        def sym(e: DataFrame): DataFrame = e
+          .unionByName(e.select($("dst").as("src"), $("src").as("dst")))
+          .filter($("src") =!= $("dst"))
+        var (edges, edgesCk) = iterCheckpoint(
+          sym(directed).distinct().repartition(parts, $("src")), resetStats = false)
+        def minsOf(e: DataFrame): DataFrame = e.groupBy($("src"))
+          .agg(least($("src"), min($("dst"))).as("m"))
+        def largeStar(e: DataFrame): DataFrame = sym(
+          e.join(minsOf(e), "src").filter($("dst") > $("src"))
+            .select($("dst").as("src"), $("m").as("dst")))
+        def smallStar(e: DataFrame): DataFrame = {
+          val m = minsOf(e)
+          sym(e.join(m, "src").filter($("dst") <= $("src"))
+            .select($("dst").as("src"), $("m").as("dst"))
+            .unionByName(m.select($("src"), $("m").as("dst"))))
         }
-        require(frontierRows == 0,
-          s"q86 WCC did not converge after $rounds rounds (frontier $frontierRows)")
-        edges.unpersist()
+        var mins = minsOf(edges).cache()
+        var changed = 1L
+        var rounds = 0
+        // one iteration = a full large-star + small-star cycle: a single
+        // checkpoint + convergence count per cycle (the intra-cycle label
+        // map legitimately swings while stars fold, so checking mid-cycle
+        // would just burn a count job on a known-transient state)
+        // one L+S cycle per materialization: unrolling two cycles into one
+        // plan looks like it would halve the fixed job cost, but the
+        // un-deduplicated union/join chain squares edge MULTIPLICITY
+        // between cycles (measured 12-17 s per doubled plan vs ~0.7 s
+        // single) — dedup must land between cycles, and dedup forces the
+        // materialization boundary anyway
+        while (changed > 0 && rounds < 15) {
+          val (next, nextCk) = iterCheckpoint(
+            smallStar(largeStar(edges)).distinct().repartition(parts, $("src")),
+            resetStats = rounds % 2 == 1)
+          val nextMins = minsOf(next).cache()
+          changed = nextMins.as("a")
+            .join(mins.as("b"), col("a.src") === col("b.src"), "full_outer")
+            .filter(!(col("a.m") <=> col("b.m"))).count()
+          edgesCk.unpersist(); mins.unpersist()
+          edges = next; edgesCk = nextCk; mins = nextMins
+          rounds += 1
+          if (sys.env.contains("GRAFT_WCC_DEBUG"))
+            System.err.println(s"[wcc] cycle $rounds changed $changed")
+        }
+        require(changed == 0,
+          s"q86 WCC did not converge after $rounds cycles ($changed labels moving)")
+        val labels = docs
+          .join(mins.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+          .select($("doc_id"), coalesce($("m"), $("doc_id")).as("rep"))
+        edgesCk.unpersist(); mins.unpersist()
         labels.orderBy($("doc_id"))
       },
       oracle = Some(

@@ -313,6 +313,15 @@ object LlmDedup {
           labels = next.select($("doc_id"), $("rep"))
           rounds += 1
         }
+        // Loud convergence guard (the q86 lesson): label propagation over a
+        // static edge set is O(ecc(min)), not O(log n) — pointer
+        // compression only shortcuts chains the min has already reached.
+        // Near-dup components are cliquey (tiny diameter), so 20 rounds is
+        // ample here; but a pathological pairwise dup CHAIN longer than 20
+        // must fail loudly, not return partial components. The scale path
+        // for adversarial diameters is q86's alternating star contraction.
+        require(changed == 0,
+          s"q27e corpus CC did not converge after $rounds rounds ($changed moving)")
         // one final pass re-attaches the untouched (trivially-singleton) docs
         sh.select($("doc_id"))
           .join(labels, Seq("doc_id"), "left")
