@@ -74,7 +74,7 @@ object Graph {
     * Scoped per loop frame via repartition(), never via session conf, so
     * concurrent queries on the same session are unaffected.
     */
-  private def labelPartitions(n: Long): Int =
+  private[queries] def labelPartitions(n: Long): Int =
     math.max(4L, math.min(n / 1000000L, 100000L)).toInt
 
   /** Materialize one loop iteration: flat lineage AND bounded stats.
@@ -112,6 +112,83 @@ object Graph {
     val ck = df.localCheckpoint(true)
     if (resetStats) (ck.sparkSession.createDataFrame(ck.rdd, ck.schema), ck)
     else (ck, ck)
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — THE
+    * scale-correct distributed connected-components shape, shared by q86
+    * (document link graph) and q27e (near-dup similarity graph).
+    *
+    * Why not min-label propagation: over a STATIC edge set — even with
+    * pointer-doubling pulls — label flooding is O(ecc(min)), not
+    * O(log n): pointer shortcuts only help nodes the min's flood has
+    * already reached. The sf0.1 functional graph has a 4905-node component
+    * of diameter ≥ 401; the propagation loop's 20-round cap was silently
+    * returning unconverged labels at bench scale. Star contraction
+    * rewrites the EDGE SET each round, which is what makes the cycle
+    * count genuinely logarithmic regardless of diameter:
+    *   large-star(v): every neighbor w > v re-attaches to
+    *     m(v) = min(N(v) ∪ {v}) — tall chains fold toward local minima;
+    *   small-star(v): every neighbor w ≤ v (plus v) attaches to m(v) —
+    *     local minima merge downward.
+    * Both preserve connectivity, the edge multiset stays O(m), and
+    * alternation converges in O(log² n) cycles w.h.p. (measured: 6 cycles
+    * at sf0.01, 9 at the diameter-400+ sf0.1 graph). At fixpoint every
+    * component is a star rooted at its minimum id.
+    *
+    * Per cycle: one L+S plan (groupBy mins + re-attach join per phase,
+    * edge-count rows, hash-partitioned by `parts`) materialized ONCE via
+    * iterCheckpoint — duplicates between phases are harmless under min
+    * (idempotent) so dedup lands once per cycle at the checkpoint; NOT
+    * unrolling two cycles into one plan is deliberate (the un-deduplicated
+    * union/join chain squares edge multiplicity: measured 12-17 s per
+    * doubled plan vs ~0.7 s single). Convergence (per-node min map stable
+    * across a full cycle) is enforced with a loud require.
+    *
+    * @param directed edge list (src, dst); symmetrized + deduped here
+    * @return (node, rep) for every node with ≥1 non-loop edge — callers
+    *         re-attach isolated nodes with a left join + coalesce
+    */
+  private[queries] def starContract(directed: DataFrame, parts: Int,
+      maxCycles: Int = 15): DataFrame = {
+    def sym(e: DataFrame): DataFrame = e
+      .unionByName(e.select($("dst").as("src"), $("src").as("dst")))
+      .filter($("src") =!= $("dst"))
+    def minsOf(e: DataFrame): DataFrame = e.groupBy($("src"))
+      .agg(least($("src"), min($("dst"))).as("m"))
+    def largeStar(e: DataFrame): DataFrame = sym(
+      e.join(minsOf(e), "src").filter($("dst") > $("src"))
+        .select($("dst").as("src"), $("m").as("dst")))
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = minsOf(e)
+      sym(e.join(m, "src").filter($("dst") <= $("src"))
+        .select($("dst").as("src"), $("m").as("dst"))
+        .unionByName(m.select($("src"), $("m").as("dst"))))
+    }
+    var (edges, edgesCk) = iterCheckpoint(
+      sym(directed).distinct().repartition(parts, $("src")), resetStats = false)
+    var mins = minsOf(edges).cache()
+    var changed = 1L
+    var cycles = 0
+    while (changed > 0 && cycles < maxCycles) {
+      val (next, nextCk) = iterCheckpoint(
+        smallStar(largeStar(edges)).distinct().repartition(parts, $("src")),
+        resetStats = cycles % 2 == 1)
+      val nextMins = minsOf(next).cache()
+      changed = nextMins.as("a")
+        .join(mins.as("b"), col("a.src") === col("b.src"), "full_outer")
+        .filter(!(col("a.m") <=> col("b.m"))).count()
+      edgesCk.unpersist(); mins.unpersist()
+      edges = next; edgesCk = nextCk; mins = nextMins
+      cycles += 1
+      if (sys.env.contains("GRAFT_WCC_DEBUG"))
+        System.err.println(s"[wcc] cycle $cycles changed $changed")
+    }
+    require(changed == 0,
+      s"star contraction did not converge after $cycles cycles ($changed labels moving)")
+    val out = mins.select($("src").as("node"), $("m").as("rep"))
+    edgesCk.unpersist()
+    out
   }
 
   /** The shared edge-generation SQL (DuckDB). */
@@ -368,64 +445,15 @@ object Graph {
       build = (s, d) => {
         val docs = Tables.documents(s, d).select($("doc_id"))
         val n = docs.count()
-        val parts = labelPartitions(n)
         val directed = docs
           .select($("doc_id").as("src"),
             (($("doc_id") * lit(2654435761L) + lit(1)) % 1000000007L % n).as("dst"))
           .filter($("dst") =!= $("src"))
-        // no distinct inside sym: duplicate edges are harmless under min
-        // (idempotent) and each cycle dedups ONCE at checkpoint time, so
-        // multiplicity stays bounded without paying a shuffle per phase
-        def sym(e: DataFrame): DataFrame = e
-          .unionByName(e.select($("dst").as("src"), $("src").as("dst")))
-          .filter($("src") =!= $("dst"))
-        var (edges, edgesCk) = iterCheckpoint(
-          sym(directed).distinct().repartition(parts, $("src")), resetStats = false)
-        def minsOf(e: DataFrame): DataFrame = e.groupBy($("src"))
-          .agg(least($("src"), min($("dst"))).as("m"))
-        def largeStar(e: DataFrame): DataFrame = sym(
-          e.join(minsOf(e), "src").filter($("dst") > $("src"))
-            .select($("dst").as("src"), $("m").as("dst")))
-        def smallStar(e: DataFrame): DataFrame = {
-          val m = minsOf(e)
-          sym(e.join(m, "src").filter($("dst") <= $("src"))
-            .select($("dst").as("src"), $("m").as("dst"))
-            .unionByName(m.select($("src"), $("m").as("dst"))))
-        }
-        var mins = minsOf(edges).cache()
-        var changed = 1L
-        var rounds = 0
-        // one iteration = a full large-star + small-star cycle: a single
-        // checkpoint + convergence count per cycle (the intra-cycle label
-        // map legitimately swings while stars fold, so checking mid-cycle
-        // would just burn a count job on a known-transient state)
-        // one L+S cycle per materialization: unrolling two cycles into one
-        // plan looks like it would halve the fixed job cost, but the
-        // un-deduplicated union/join chain squares edge MULTIPLICITY
-        // between cycles (measured 12-17 s per doubled plan vs ~0.7 s
-        // single) — dedup must land between cycles, and dedup forces the
-        // materialization boundary anyway
-        while (changed > 0 && rounds < 15) {
-          val (next, nextCk) = iterCheckpoint(
-            smallStar(largeStar(edges)).distinct().repartition(parts, $("src")),
-            resetStats = rounds % 2 == 1)
-          val nextMins = minsOf(next).cache()
-          changed = nextMins.as("a")
-            .join(mins.as("b"), col("a.src") === col("b.src"), "full_outer")
-            .filter(!(col("a.m") <=> col("b.m"))).count()
-          edgesCk.unpersist(); mins.unpersist()
-          edges = next; edgesCk = nextCk; mins = nextMins
-          rounds += 1
-          if (sys.env.contains("GRAFT_WCC_DEBUG"))
-            System.err.println(s"[wcc] cycle $rounds changed $changed")
-        }
-        require(changed == 0,
-          s"q86 WCC did not converge after $rounds cycles ($changed labels moving)")
-        val labels = docs
-          .join(mins.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
-          .select($("doc_id"), coalesce($("m"), $("doc_id")).as("rep"))
-        edgesCk.unpersist(); mins.unpersist()
-        labels.orderBy($("doc_id"))
+        val mins = starContract(directed, labelPartitions(n))
+        docs
+          .join(mins.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .select($("doc_id"), coalesce($("rep"), $("doc_id")).as("rep"))
+          .orderBy($("doc_id"))
       },
       oracle = Some(
         """WITH RECURSIVE

@@ -259,72 +259,21 @@ object LlmDedup {
       build = (s, d) => {
         val sh = shingleHashed(s, d).cache()
         val pairs = nearDupPairs(sh).select($("a_id"), $("b_id")).cache()
-        val edges = pairs.union(pairs.select($("b_id"), $("a_id")))
-          .toDF("src", "dst").cache()
-        // The iteration runs ONLY over edge-touched vertices — the dup
-        // graph, typically a sliver of the corpus (~10% of docs here; far
-        // less at 100 TB). Every untouched doc is trivially its own
-        // component and joins back in one final pass, so the per-round
-        // join+agg frames are |dup-graph| rows, not |corpus| rows.
-        //
-        // Each round folds THREE label sources before the min-agg:
-        //   own label · neighbor labels (edge hop) · rep's label (pointer
-        //   compression — label(label(x))). The compression halves the
-        //   effective diameter per round (a length-4 chain converges in 2
-        //   rounds, not 4), so rounds ≈ log2(diameter) + 1 to confirm.
-        //
-        // Both sources ride ONE join per round: the propagation edge set is
-        //   real edges ∪ {x → rep(x)}  (rebuilt each round from `labels`),
-        // so a single dst⋈doc_id join yields rep(dst) for the hop rows and
-        // rep(rep(x)) for the compression rows. r6 ran these as two separate
-        // joins (edges⋈labels + labels⋈labels) — same semantics, one more
-        // shuffle stage per round and the bench's main variance source.
-        //
-        // Iteration hygiene for scale: each round is ONE materialization
-        // job — `localCheckpoint()` truncates lineage so the plan stays
-        // O(1) across rounds — and the previous label rides through the
-        // aggregation as `old` (each doc_id has exactly one `labels` row;
-        // neighbor/compression rows carry null, min() ignores nulls), so
-        // convergence is a count over the just-materialized blocks, not a
-        // separate join+isEmpty job. Prior checkpoint blocks are unpersisted
-        // explicitly.
-        def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-          df.queryExecution.analyzed.collectFirst {
-            case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-          }
-        var labels = edges.select($("src").as("doc_id")).distinct()
-          .select($("doc_id"), $("doc_id").as("rep")).localCheckpoint()
-        var prevBlocks = ckptRdd(labels)
-        var changed = 1L
-        var rounds = 0
-        while (changed > 0 && rounds < 20) {
-          val prop = edges
-            .union(labels.select($("doc_id").as("src"), $("rep").as("dst")))
-            .join(labels.withColumnRenamed("doc_id", "dst2"), $("dst") === $("dst2"))
-            .select($("src").as("doc_id"), $("rep"))
-          val next = labels.select($("doc_id"), $("rep"), $("rep").as("old"))
-            .union(prop.select($("doc_id"), $("rep"), lit(null).as("old")))
-            .groupBy($("doc_id"))
-            .agg(min($("rep")).as("rep"), min($("old")).as("old"))
-            .localCheckpoint()
-          changed = next.filter($("rep") =!= $("old")).count()
-          prevBlocks.foreach(_.unpersist(blocking = false))
-          prevBlocks = ckptRdd(next)
-          labels = next.select($("doc_id"), $("rep"))
-          rounds += 1
-        }
-        // Loud convergence guard (the q86 lesson): label propagation over a
-        // static edge set is O(ecc(min)), not O(log n) — pointer
-        // compression only shortcuts chains the min has already reached.
-        // Near-dup components are cliquey (tiny diameter), so 20 rounds is
-        // ample here; but a pathological pairwise dup CHAIN longer than 20
-        // must fail loudly, not return partial components. The scale path
-        // for adversarial diameters is q86's alternating star contraction.
-        require(changed == 0,
-          s"q27e corpus CC did not converge after $rounds rounds ($changed moving)")
-        // one final pass re-attaches the untouched (trivially-singleton) docs
+        // Components via the SHARED alternating star contraction
+        // (Graph.starContract — Kiveris et al.): the contraction runs ONLY
+        // over edge-touched vertices — the dup graph, typically a sliver
+        // of the corpus (~10% of docs here; far less at 100 TB) — and its
+        // cycle count is O(log² n) REGARDLESS of component diameter. The
+        // min-label propagation loop this replaces was O(ecc(min)) — ample
+        // for cliquey near-dup clusters, silently wrong on a pathological
+        // pairwise dup CHAIN longer than its round cap (the q86 lesson; see
+        // Graph.starContract's doc). Every untouched doc is trivially its
+        // own component and joins back in one final pass.
+        val labels = Graph.starContract(
+          pairs.toDF("src", "dst"),
+          Graph.labelPartitions(pairs.count()))
         sh.select($("doc_id"))
-          .join(labels, Seq("doc_id"), "left")
+          .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
           .select($("doc_id"), coalesce($("rep"), $("doc_id")).as("rep"))
           .withColumn("kept", $("doc_id") === $("rep"))
           .orderBy($("doc_id"))
