@@ -4,7 +4,6 @@ import graft.sources.SnapshotStore
 import org.apache.spark.sql.{DataFrame, GraftSqlShim, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.sources.StreamSourceProvider
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
@@ -98,10 +97,8 @@ private class ChangeFeedStream(sqlContext: SQLContext, root: String,
       if (versions.isEmpty)
         sqlContext.sparkSession.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-      else versions.map { v =>
-        SnapshotStore.changesAt(sqlContext.sparkSession, root, v)
-          .withColumn(SnapshotStore.CommitVersionCol, lit(v))
-      }.reduce(_.unionByName(_))
+      else versions.map(v => SnapshotStore.changesAt(sqlContext.sparkSession, root, v))
+        .reduce(_.unionByName(_))
     // source contract column order, then re-flag as streaming
     GraftSqlShim.asStreamingDF(
       batch.select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
