@@ -224,15 +224,17 @@ object Multimodal {
       chunk("IEND", Array.empty[Byte])
   }
 
-  /** Decode a grayscale-8 PNG back to pixels: chunk walk → concatenated
-    * IDAT inflate → per-scanline de-filter (None/Sub/Up — the filters an
-    * encoder of grayscale content actually emits; anything else refuses
-    * loudly rather than returning garbage pixels).
+  /** Decode an 8-bit PNG (grayscale, RGB, or RGBA — color types 0/2/6) to
+    * a grayscale pixel grid: chunk walk → concatenated IDAT inflate →
+    * byte-level de-filter (all five standard filters incl. Average/Paeth)
+    * → BT.601 integer luma for color payloads. Unsupported shapes
+    * (16-bit, palette, interlaced) refuse loudly rather than returning
+    * garbage pixels.
     */
   def decodePngGray(b: Array[Byte]): Array[Array[Int]] = {
     require(b.length > 8 && java.util.Arrays.equals(b.slice(0, 8), PngSig), "not a PNG")
     var off = 8
-    var w = -1; var h = -1
+    var w = -1; var h = -1; var colorType = -1
     val idat = new java.io.ByteArrayOutputStream()
     while (off + 8 <= b.length) {
       val len = be32(b, off)
@@ -241,17 +243,22 @@ object Multimodal {
       tag match {
         case "IHDR" =>
           w = be32(b, off + 8); h = be32(b, off + 12)
-          require(b(off + 16) == 8 && b(off + 17) == 0,
-            "decoder covers grayscale-8 PNGs")
+          colorType = b(off + 17) & 0xFF
+          require(b(off + 16) == 8, "decoder covers 8-bit PNGs")
+          require(colorType == 0 || colorType == 2 || colorType == 6,
+            s"decoder covers grayscale/RGB/RGBA PNGs (color type $colorType)")
+          require((b(off + 20) & 0xFF) == 0, "interlaced PNGs unsupported")
         case "IDAT" => idat.write(b, off + 8, len)
         case _ => ()
       }
       off += 12 + len
     }
     require(w > 0 && h > 0 && idat.size() > 0, "missing IHDR/IDAT")
+    val bpp = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+    val stride = w * bpp
     val infl = new java.util.zip.Inflater()
     infl.setInput(idat.toByteArray)
-    val raw = new Array[Byte](h * (1 + w))
+    val raw = new Array[Byte](h * (1 + stride))
     var got = 0
     var stalled = false
     while (got < raw.length && !infl.finished() && !stalled) {
@@ -263,24 +270,46 @@ object Multimodal {
     }
     infl.end()
     require(got == raw.length, s"IDAT inflated to $got of ${raw.length} bytes")
-    val px = Array.ofDim[Int](h, w)
+    // byte-level de-filter (PNG spec §9: `left` is the byte bpp positions
+    // back, so filters act on the raw stream, not on pixels) — all five
+    // standard filters, reconstructed row by row in place
+    def paeth(a: Int, up: Int, ul: Int): Int = {
+      val p = a + up - ul
+      val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) up else ul
+    }
+    val recon = Array.ofDim[Int](h, stride)
     var y = 0
     while (y < h) {
-      val filter = raw(y * (1 + w)) & 0xFF
-      var x = 0
-      while (x < w) {
-        val v = raw(y * (1 + w) + 1 + x) & 0xFF
-        px(y)(x) = filter match {
-          case 0 => v
-          case 1 => (v + (if (x > 0) px(y)(x - 1) else 0)) & 0xFF // Sub
-          case 2 => (v + (if (y > 0) px(y - 1)(x) else 0)) & 0xFF // Up
+      val rowOff = y * (1 + stride)
+      val filter = raw(rowOff) & 0xFF
+      var i = 0
+      while (i < stride) {
+        val x = raw(rowOff + 1 + i) & 0xFF
+        val a = if (i >= bpp) recon(y)(i - bpp) else 0
+        val up = if (y > 0) recon(y - 1)(i) else 0
+        val ul = if (y > 0 && i >= bpp) recon(y - 1)(i - bpp) else 0
+        recon(y)(i) = (filter match {
+          case 0 => x
+          case 1 => x + a           // Sub
+          case 2 => x + up          // Up
+          case 3 => x + (a + up) / 2 // Average
+          case 4 => x + paeth(a, up, ul)
           case f => throw new IllegalArgumentException(s"unsupported PNG filter $f")
-        }
-        x += 1
+        }) & 0xFF
+        i += 1
       }
       y += 1
     }
-    px
+    // grayscale view: identity for type 0; ITU-R BT.601 integer luma for
+    // RGB/RGBA (alpha ignored) — deterministic integer math cross-platform
+    Array.tabulate(h, w) { (yy, xx) =>
+      if (bpp == 1) recon(yy)(xx)
+      else {
+        val o = xx * bpp
+        (299 * recon(yy)(o) + 587 * recon(yy)(o + 1) + 114 * recon(yy)(o + 2)) / 1000
+      }
+    }
   }
 
   /** Integer area-average downsample to exactly (outW × outH) — the resize

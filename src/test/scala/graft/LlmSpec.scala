@@ -303,6 +303,62 @@ class LlmSpec extends SparkSpec {
     intercept[Exception](Multimodal.decodePngGray(good.dropRight(20)))
   }
 
+  test("PNG decode covers RGB/RGBA with BT.601 luma and Average/Paeth filters") {
+    import graft.functions.Multimodal
+    // hand-build an RGB (color type 2) PNG: one row per filter type, so
+    // the byte-level de-filter (left = bpp bytes back) is exercised on
+    // every standard filter against a driver-side reconstruction
+    val rnd = new scala.util.Random(11)
+    val w = 7; val h = 5; val bpp = 3
+    val rgb = Array.fill(h, w * bpp)(rnd.nextInt(256))
+    def paeth(a: Int, up: Int, ul: Int): Int = {
+      val p = a + up - ul
+      val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) up else ul
+    }
+    val filters = Array(0, 1, 2, 3, 4)
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      raw.write(filters(y))
+      for (i <- 0 until w * bpp) {
+        val a = if (i >= bpp) rgb(y)(i - bpp) else 0
+        val up = if (y > 0) rgb(y - 1)(i) else 0
+        val ul = if (y > 0 && i >= bpp) rgb(y - 1)(i - bpp) else 0
+        val x = filters(y) match {
+          case 0 => rgb(y)(i)
+          case 1 => rgb(y)(i) - a
+          case 2 => rgb(y)(i) - up
+          case 3 => rgb(y)(i) - (a + up) / 2
+          case 4 => rgb(y)(i) - paeth(a, up, ul)
+        }
+        raw.write(x & 0xFF)
+      }
+    }
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val td = tag.getBytes("US-ASCII") ++ data
+      crc.update(td)
+      be32(data.length) ++ td ++ be32(crc.getValue.toInt)
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw.toByteArray); defl.finish()
+    val idat = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) idat.write(buf, 0, defl.deflate(buf))
+    val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0) // 8-bit RGB
+    val png = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", idat.toByteArray) ++
+      chunk("IEND", Array.empty)
+    val got = Multimodal.decodePngGray(png)
+    val want = Array.tabulate(h, w)((y, x) =>
+      (299 * rgb(y)(x * 3) + 587 * rgb(y)(x * 3 + 1) + 114 * rgb(y)(x * 3 + 2)) / 1000)
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+    // palette (type 3) refuses instead of guessing
+    val pal = png.clone(); pal(8 + 4 + 4 + 9) = 3 // IHDR color-type byte
+    intercept[Exception](Multimodal.decodePngGray(pal))
+  }
+
   test("dHash: one-pixel edit stays within Hamming 2; pixel-replication upscale is invariant") {
     import graft.functions.Multimodal
     val rnd = new scala.util.Random(7)
