@@ -61,9 +61,11 @@ class ChangeFeedSource extends StreamSourceProvider {
       parameters: Map[String, String]): Source = {
     val root = rootOf(parameters)
     val startVersion = parameters.getOrElse("startVersion", "0").toLong
+    val maxPerBatch = parameters.get("maxVersionsPerBatch").map(_.toLong)
+    require(maxPerBatch.forall(_ > 0), "maxVersionsPerBatch must be positive")
     require(SnapshotStore.cdcKeys(root).nonEmpty,
       s"table at $root has no change feed (init it with cdcKeys)")
-    new ChangeFeedStream(sqlContext, root, startVersion)
+    new ChangeFeedStream(sqlContext, root, startVersion, maxPerBatch)
   }
 }
 
@@ -77,19 +79,39 @@ object ChangeFeedSource {
   }
 }
 
-/** One running feed: offset N = "versions ≤ N are emitted". */
+/** One running feed: offset N = "versions ≤ N are emitted".
+  *
+  * Admission control (`maxVersionsPerBatch`): a feed that fell far behind —
+  * or starts from version 0 of a long-lived table — must not drain the
+  * whole backlog as ONE giant micro-batch; the cap bounds each batch to N
+  * commits' change volume so checkpoints land incrementally (the
+  * maxFilesPerTrigger idea applied to the commit log). The first batch
+  * after (re)start is uncapped by design: the engine's recovery
+  * `getBatch` is what teaches the source its high-water mark, and capping
+  * before that is known only to the checkpoint would risk offering the
+  * engine an offset BEHIND what it already committed.
+  */
 private class ChangeFeedStream(sqlContext: SQLContext, root: String,
-    startVersion: Long) extends Source {
+    startVersion: Long, maxPerBatch: Option[Long]) extends Source {
 
   override val schema: StructType = ChangeFeedSource.schemaFor(sqlContext, root)
 
-  /** Newest committed version, or None while nothing ≥ startVersion exists. */
+  @volatile private var lastServedEnd: Option[Long] = None
+
+  /** Newest committed version (capped to maxVersionsPerBatch past the last
+    * served batch), or None while nothing ≥ startVersion exists.
+    */
   override def getOffset: Option[Offset] = {
-    val v = SnapshotStore.latest(root).version
-    if (v >= startVersion) Some(LongOffset(v)) else None
+    val latest = SnapshotStore.latest(root).version
+    val capped = (maxPerBatch, lastServedEnd) match {
+      case (Some(m), Some(e)) => math.min(latest, e + m)
+      case _ => latest
+    }
+    if (capped >= startVersion) Some(LongOffset(capped)) else None
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    lastServedEnd = Some(asLong(end))
     val lo = start.map(asLong(_) + 1L).getOrElse(startVersion)
     val hi = asLong(end)
     val versions = lo to hi

@@ -102,6 +102,39 @@ class CdcSpec extends SparkSpec {
       .count().filter($"count" > 1).isEmpty)
   }
 
+  test("maxVersionsPerBatch bounds each micro-batch's commit range") {
+    val root = tmp("graft_cdc_adm")
+    SnapshotStore.init(spark, root, Seq((1L, 1L)).toDF("id", "v"),
+      cdcKeys = Seq("id"))
+    val batches = new java.util.concurrent.ConcurrentHashMap[Long, Set[Long]]()
+    val q = spark.readStream.format("graft.streaming.ChangeFeedSource")
+      .option("path", root).option("maxVersionsPerBatch", "2").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.put(id, df.select("_commit_version").distinct()
+          .collect().map(_.getLong(0)).toSet)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      q.processAllAvailable() // seed batch: v0 teaches the high-water mark
+      for (i <- 2 to 6) // versions 1..5 land while the stream runs
+        SnapshotStore.transact(spark, root)(df =>
+          df.select($"id", lit(i.toLong).as("v")))
+      q.processAllAvailable()
+    } finally q.stop()
+    // first batch is uncapped by design (it seeds the high-water mark);
+    // every later batch spans at most 2 commit versions
+    import scala.jdk.CollectionConverters._
+    assert(batches.values.asScala.flatten.toSet == (0L to 5L).toSet,
+      s"all versions exactly once, got $batches")
+    val sizes = batches.asScala.toSeq.sortBy(_._1).map(_._2.size)
+    assert(sizes.tail.forall(_ <= 2),
+      s"post-seed batches must span <= 2 versions, got $sizes")
+    assert(sizes.length >= 2, s"cap never split the backlog: $sizes")
+  }
+
   test("the feed refuses a table without CDC keys") {
     val root = tmp("graft_cdc_nokeys")
     SnapshotStore.init(spark, root, Seq((1L, 2L)).toDF("id", "v"))
