@@ -425,14 +425,37 @@ object SnapshotStore {
   def transact(spark: SparkSession, root: String, maxAttempts: Int = 10,
       statsCols: Seq[String] = Nil, txn: Option[Txn] = None,
       constraints: Seq[(String, org.apache.spark.sql.Column)] = Nil)(
-      transform: DataFrame => DataFrame): Snapshot = {
+      transform: DataFrame => DataFrame): Snapshot =
+    transactImpl(spark, root, maxAttempts, statsCols, txn, constraints)(
+      df => (transform(df), None))
+
+  /** [[transact]] variant whose transform ALSO supplies the commit's change
+    * rows (data columns + [[ChangeTypeCol]]) — the statement-integrated CDC
+    * path: an operation that already knows each row's fate (SqlDml's
+    * UPDATE/DELETE scan, MERGE's full-outer join) emits its change set
+    * directly instead of paying the generic post-hoc diff, which shuffles
+    * BOTH full snapshots on the key. The supplied frame must be
+    * semantically identical to `diffChanges(base, out)` — CdcSpec pins
+    * that equivalence property for every SqlDml statement shape.
+    */
+  def transactWithChanges(spark: SparkSession, root: String, maxAttempts: Int = 10,
+      statsCols: Seq[String] = Nil, txn: Option[Txn] = None,
+      constraints: Seq[(String, org.apache.spark.sql.Column)] = Nil)(
+      transform: DataFrame => (DataFrame, DataFrame)): Snapshot =
+    transactImpl(spark, root, maxAttempts, statsCols, txn, constraints)(
+      df => { val (out, ch) = transform(df); (out, Some(ch)) })
+
+  private def transactImpl(spark: SparkSession, root: String, maxAttempts: Int,
+      statsCols: Seq[String], txn: Option[Txn],
+      constraints: Seq[(String, org.apache.spark.sql.Column)])(
+      transform: DataFrame => (DataFrame, Option[DataFrame])): Snapshot = {
     import org.apache.spark.sql.functions.{count, lit, sum, when}
     var attempt = 0
     while (attempt < maxAttempts) {
       if (txn.exists(t => lastTxnVersion(root, t.appId).exists(_ >= t.version)))
         return latest(root) // already applied — replayed batch
       val base = latest(root)
-      val out = transform(read(spark, base))
+      val (out, suppliedChanges) = transform(read(spark, base))
       if (constraints.nonEmpty) {
         val aggs = constraints.map { case (name, c) =>
           // coalesce: sum over an EMPTY output is null, and an empty
@@ -453,12 +476,16 @@ object SnapshotStore {
       if (statsCols.nonEmpty) writeManifest(spark, dir, statsCols)
       val keys = cdcKeys(root)
       if (keys.nonEmpty) {
-        // diff what was WRITTEN (the staged read-back), not the logical
-        // `out` frame: avoids recomputing the transform and captures any
-        // write-time canonicalization. Rebase reruns this whole block
-        // against the new base, so the feed always diffs committed states.
-        diffChanges(read(spark, base), spark.read.parquet(dir), keys)
-          .write.mode("overwrite").parquet(s"$dir/_changes")
+        // statement-integrated changes when supplied; otherwise the generic
+        // keyed diff of what was WRITTEN (the staged read-back — avoids
+        // recomputing the transform and captures write-time
+        // canonicalization). Rebase reruns this whole block against the
+        // winner's snapshot, so the feed always reflects committed states.
+        val ch = suppliedChanges.getOrElse(
+          diffChanges(read(spark, base), spark.read.parquet(dir), keys))
+        require(ch.columns.contains(ChangeTypeCol),
+          s"supplied change frame lacks $ChangeTypeCol")
+        ch.write.mode("overwrite").parquet(s"$dir/_changes")
       }
       if (tryCommit(root, base.version, dir, txn))
         return Snapshot(base.version + 1, dir)

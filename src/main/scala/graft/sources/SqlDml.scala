@@ -47,54 +47,101 @@ object SqlDml {
     * the statement to SnapshotStore roots; MERGE sources may also name any
     * registered temp view. Returns the committed snapshot.
     */
+  /** Statement-integrated CDC (the scale path the generic post-hoc diff
+    * documents): when the target table has a change feed, each statement
+    * emits its change rows from ITS OWN plan — UPDATE/DELETE from the same
+    * single scan that rewrites the snapshot (no join at all), MERGE from
+    * the full-outer join it already materializes — instead of
+    * `SnapshotStore.diffChanges`, which must shuffle BOTH full snapshots
+    * on the CDC key. Change semantics are identical by construction
+    * (updates emit pre+post only when a value actually changed, null-safe)
+    * and CdcSpec pins the equivalence against the generic diff for every
+    * statement shape.
+    */
   def execute(spark: SparkSession, sql: String, tables: Map[String, String],
       maxAttempts: Int = 10, checkCardinality: Boolean = true): SnapshotStore.Snapshot = {
     spark.sessionState.sqlParser.parsePlan(sql) match {
       case u: UpdateTable =>
         val (name, alias) = relationOf(u.table)
+        val root = rootOf(tables, name)
         val cond = u.condition.map(e => expr(e.sql)).getOrElse(lit(true))
         val assigns = assignmentMap(u.assignments)
-        SnapshotStore.transact(spark, rootOf(tables, name), maxAttempts) { base =>
+        def build(base: DataFrame): (DataFrame, DataFrame) = {
           val t = base.alias(alias)
+          val cols = base.columns.toIndexedSeq
+          def newVal(c: String): Column = assigns.get(c.toLowerCase) match {
+            case Some(v) => when(coalesce(cond, lit(false)), v)
+              .otherwise(col(c)).cast(base.schema(c).dataType)
+            case None => col(c)
+          }
           // single select: every RHS reads the pre-update row
-          t.select(base.columns.toIndexedSeq.map { c =>
-            assigns.get(c.toLowerCase) match {
-              case Some(v) => when(coalesce(cond, lit(false)), v)
-                .otherwise(col(c)).cast(base.schema(c).dataType).as(c)
-              case None => col(c)
-            }
-          }: _*)
+          val out = t.select(cols.map(c => newVal(c).as(c)): _*)
+          val valueChanged = cols.map(c => !(newVal(c) <=> col(c)))
+            .foldLeft(lit(false))(_ || _)
+          val pre = struct(cols.map(c => col(c).as(c)) :+
+            lit("update_preimage").as(SnapshotStore.ChangeTypeCol): _*)
+          val post = struct(cols.map(c => newVal(c).as(c)) :+
+            lit("update_postimage").as(SnapshotStore.ChangeTypeCol): _*)
+          val changes = t.filter(coalesce(cond, lit(false)) && valueChanged)
+            .select(explode(array(pre, post)).as("c"))
+            .select((cols :+ SnapshotStore.ChangeTypeCol).map(f => col(s"c.$f").as(f)): _*)
+          (out, changes)
         }
+        transactBoth(spark, root, maxAttempts, build)
 
       case del: DeleteFromTable =>
         val (name, alias) = relationOf(del.table)
+        val root = rootOf(tables, name)
         val cond = expr(del.condition.sql)
-        SnapshotStore.transact(spark, rootOf(tables, name), maxAttempts) { base =>
+        def build(base: DataFrame): (DataFrame, DataFrame) = {
+          val t = base.alias(alias)
           // NULL predicate keeps the row: only TRUE deletes
-          base.alias(alias).filter(!coalesce(cond, lit(false)))
+          val out = t.filter(!coalesce(cond, lit(false)))
+          val changes = t.filter(coalesce(cond, lit(false)))
+            .withColumn(SnapshotStore.ChangeTypeCol, lit("delete"))
+          (out, changes)
         }
+        transactBoth(spark, root, maxAttempts, build)
 
       case m: MergeIntoTable =>
         require(!m.withSchemaEvolution, "MERGE WITH SCHEMA EVOLUTION not supported")
         val (tName, tAlias) = relationOf(m.targetTable)
         val (sName, sAlias) = relationOf(m.sourceTable)
+        val root = rootOf(tables, tName)
         val source = tables.get(sName)
-          .map(root => SnapshotStore.read(spark, root))
+          .map(r => SnapshotStore.read(spark, r))
           .getOrElse(spark.table(sName))
-        SnapshotStore.transact(spark, rootOf(tables, tName), maxAttempts) { base =>
-          mergeFrames(base, tAlias, source, sAlias, m, checkCardinality)
-        }
+        transactBoth(spark, root, maxAttempts,
+          base => mergeFrames(base, tAlias, source, sAlias, m, checkCardinality))
 
       case other => throw new IllegalArgumentException(
         s"not a DML statement (${other.getClass.getSimpleName}): $sql")
     }
   }
 
-  /** The single-join MERGE plan. Exposed for reuse by programmatic callers
-    * (streaming foreachBatch MERGE uses the same frame-level semantics).
+  /** Route through [[SnapshotStore.transactWithChanges]] when the table has
+    * a change feed; plain [[SnapshotStore.transact]] (no change plan built
+    * or executed) otherwise.
+    */
+  private def transactBoth(spark: SparkSession, root: String, maxAttempts: Int,
+      build: DataFrame => (DataFrame, DataFrame)): SnapshotStore.Snapshot =
+    if (SnapshotStore.cdcKeys(root).nonEmpty)
+      SnapshotStore.transactWithChanges(spark, root, maxAttempts)(build)
+    else
+      SnapshotStore.transact(spark, root, maxAttempts)(base => build(base)._1)
+
+  /** The single-join MERGE plan, returning (result, change rows). The
+    * change frame derives from the SAME full-outer join via the action
+    * resolution that already knows each row's fate — updates emit pre+post
+    * images only when a value actually changed (null-safe), matching
+    * `SnapshotStore.diffChanges` semantics exactly. The two frames are two
+    * consumers of one lazy join (recomputed per write); the next step at
+    * 100 TB is a single-pass writer emitting both outputs from one task,
+    * the public Delta CDF design.
     */
   private def mergeFrames(base: DataFrame, tAlias: String, sourceDf: DataFrame,
-      sAlias: String, m: MergeIntoTable, checkCardinality: Boolean): DataFrame = {
+      sAlias: String, m: MergeIntoTable,
+      checkCardinality: Boolean): (DataFrame, DataFrame) = {
     val fields: Seq[StructField] = base.schema.fields.toIndexedSeq
     val joinCond = expr(m.mergeCondition.sql)
     val t = base.withColumn("__t", lit(true))
@@ -152,7 +199,29 @@ object SqlDml {
       when(matched, valM(f)).when(sourceOnly, valI(f)).otherwise(valN(f))
         .cast(f.dataType).as(f.name)
     }: _*)
-    out
+
+    // change rows from the same join: per-row fate is already resolved
+    val targetOnly = col("__s").isNull && col("__t").isNotNull
+    def image(vals: StructField => Column, kind: String): Column = struct(
+      fields.map(f => vals(f).cast(f.dataType).as(f.name)) :+
+        lit(kind).as(SnapshotStore.ChangeTypeCol): _*)
+    def changedBy(vals: StructField => Column): Column =
+      fields.map(f => !(vals(f).cast(f.dataType) <=> tCol(f).cast(f.dataType)))
+        .foldLeft(lit(false))(_ || _)
+    val evs =
+      when(matched && keepM && changedBy(valM),
+        array(image(tCol, "update_preimage"), image(valM, "update_postimage")))
+      .when(matched && !keepM, array(image(tCol, "delete")))
+      .when(sourceOnly && keepI, array(image(valI, "insert")))
+      .when(targetOnly && !keepN, array(image(tCol, "delete")))
+      .when(targetOnly && keepN && changedBy(valN),
+        array(image(tCol, "update_preimage"), image(valN, "update_postimage")))
+      .otherwise(array(image(tCol, "unchanged")))
+    val changes = joined.select(explode(evs).as("c"))
+      .filter(col(s"c.${SnapshotStore.ChangeTypeCol}") =!= "unchanged")
+      .select((fields.map(_.name) :+ SnapshotStore.ChangeTypeCol)
+        .map(f => col(s"c.$f").as(f)): _*)
+    (out, changes)
   }
 
   /** (table name, alias) of a DML relation: unwraps `t AS a`. */

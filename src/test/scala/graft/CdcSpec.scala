@@ -135,6 +135,43 @@ class CdcSpec extends SparkSpec {
     assert(sizes.length >= 2, s"cap never split the backlog: $sizes")
   }
 
+  test("statement-integrated changes equal the generic keyed diff (UPDATE/DELETE/MERGE)") {
+    val root = tmp("graft_cdc_equiv")
+    SnapshotStore.init(spark, root,
+      (1L to 40L).map(i => (i, s"n$i", i * 10)).toDF("id", "name", "v"),
+      cdcKeys = Seq("id"))
+    (25L to 50L).map(i => (i, i % 7)).toDF("sid", "delta")
+      .createOrReplaceTempView("cdc_equiv_src")
+    val stmts = Seq(
+      // incl. a no-op assignment arm: rows where v = v must emit NOTHING
+      "UPDATE t SET v = CASE WHEN id % 3 = 0 THEN v + 1 ELSE v END WHERE id <= 30",
+      "DELETE FROM t WHERE id % 5 = 2",
+      """MERGE INTO t USING cdc_equiv_src s ON t.id = s.sid
+        |WHEN MATCHED AND s.delta = 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = t.v + s.delta
+        |WHEN NOT MATCHED THEN INSERT (id, name, v) VALUES (s.sid, 'ins', s.delta)
+        |WHEN NOT MATCHED BY SOURCE AND t.id < 5 THEN UPDATE SET v = t.v - 1
+        |""".stripMargin)
+    for (sql <- stmts) {
+      val before = SnapshotStore.latest(root)
+      val snap = SqlDml.execute(spark, sql, Map("t" -> root))
+      val landed = spark.read.parquet(s"${snap.dataDir}/_changes")
+      val generic = SnapshotStore.diffChanges(
+        SnapshotStore.read(spark, before), SnapshotStore.read(spark, snap), Seq("id"))
+      val cols = Seq("id", "name", "v", "_change_type")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(cols.map(col): _*).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+          .sortBy(t => (t._1, t._4)).toSeq
+      assert(rows(landed) == rows(generic), s"statement vs diff mismatch for: $sql")
+      // MERGE's matched-update arm with delta = t.v change: ensure the
+      // no-op-update suppression really fires (no pre/post with equal rows)
+      assert(landed.filter($"_change_type".startsWith("update")).groupBy($"id")
+        .count().filter($"count" =!= 2).isEmpty,
+        "updates must come as pre+post pairs")
+    }
+  }
+
   test("the feed refuses a table without CDC keys") {
     val root = tmp("graft_cdc_nokeys")
     SnapshotStore.init(spark, root, Seq((1L, 2L)).toDF("id", "v"))
