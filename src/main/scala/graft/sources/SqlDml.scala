@@ -114,6 +114,46 @@ object SqlDml {
         transactBoth(spark, root, maxAttempts,
           base => mergeFrames(base, tAlias, source, sAlias, m, checkCardinality))
 
+      case ins: InsertIntoStatement =>
+        val (name, _) = relationOf(ins.table)
+        val root = rootOf(tables, name)
+        require(ins.partitionSpec.isEmpty && !ins.ifPartitionNotExists,
+          "partitioned INSERT not supported")
+        val src = org.apache.spark.sql.GraftSqlShim.ofRows(spark, ins.query)
+        def rowsFor(base: DataFrame): DataFrame = {
+          val cols = base.columns.toIndexedSeq
+          val named =
+            if (ins.userSpecifiedCols.nonEmpty) {
+              require(ins.userSpecifiedCols.length == src.columns.length,
+                s"INSERT column list has ${ins.userSpecifiedCols.length} names " +
+                  s"for ${src.columns.length} values")
+              src.toDF(ins.userSpecifiedCols: _*)
+            } else {
+              require(src.columns.length == cols.length,
+                s"INSERT provides ${src.columns.length} columns, table has ${cols.length}")
+              src.toDF(cols: _*)
+            }
+          val have = named.columns.map(_.toLowerCase).toSet
+          // unnamed columns become typed NULLs, like MERGE's INSERT arm
+          named.select(cols.map { c =>
+            (if (have(c.toLowerCase)) col(c) else lit(null))
+              .cast(base.schema(c).dataType).as(c)
+          }: _*)
+        }
+        if (ins.overwrite)
+          // overwrite = whole-table replace: change semantics are a true
+          // keyed diff of old vs new, so the generic post-hoc diff applies
+          SnapshotStore.transact(spark, root, maxAttempts)(rowsFor)
+        else
+          // append: the statement knows its change set exactly — the new
+          // rows as inserts (CDC tables require appended keys to be fresh,
+          // per the store's key-uniqueness contract)
+          transactBoth(spark, root, maxAttempts, base => {
+            val rows = rowsFor(base)
+            (base.unionByName(rows),
+              rows.withColumn(SnapshotStore.ChangeTypeCol, lit("insert")))
+          })
+
       case other => throw new IllegalArgumentException(
         s"not a DML statement (${other.getClass.getSimpleName}): $sql")
     }

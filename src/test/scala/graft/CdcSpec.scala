@@ -146,6 +146,7 @@ class CdcSpec extends SparkSpec {
       // incl. a no-op assignment arm: rows where v = v must emit NOTHING
       "UPDATE t SET v = CASE WHEN id % 3 = 0 THEN v + 1 ELSE v END WHERE id <= 30",
       "DELETE FROM t WHERE id % 5 = 2",
+      "INSERT INTO t (id, v) VALUES (90, 900), (91, 910)", // name → typed NULL
       """MERGE INTO t USING cdc_equiv_src s ON t.id = s.sid
         |WHEN MATCHED AND s.delta = 0 THEN DELETE
         |WHEN MATCHED THEN UPDATE SET v = t.v + s.delta

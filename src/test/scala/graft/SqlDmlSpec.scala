@@ -77,6 +77,29 @@ class SqlDmlSpec extends SparkSpec {
     assert(out == Seq((1L, 5L, Some("x")), (2L, 7L, None)))
   }
 
+  test("INSERT INTO: VALUES with column list (typed NULLs), SELECT source, OVERWRITE") {
+    val root = tmpRoot()
+    SnapshotStore.init(spark, root,
+      Seq((1L, 5L, "x")).toDF("id", "bal", "tag"))
+    // VALUES with a column list: unnamed tag becomes a typed NULL
+    SqlDml.execute(spark,
+      "INSERT INTO t (id, bal) VALUES (2, 7), (3, 9)", Map("t" -> root))
+    // SELECT source over a temp view, full column set
+    Seq((4L, 11L, "y")).toDF("a", "b", "c").createOrReplaceTempView("ins_sel_src")
+    SqlDml.execute(spark,
+      "INSERT INTO t SELECT a, b, c FROM ins_sel_src", Map("t" -> root))
+    val out = SnapshotStore.read(spark, root).orderBy($"id")
+      .as[(Long, Long, Option[String])].collect().toSeq
+    assert(out == Seq((1L, 5L, Some("x")), (2L, 7L, None), (3L, 9L, None),
+      (4L, 11L, Some("y"))))
+    // OVERWRITE replaces the whole table in one transaction
+    SqlDml.execute(spark,
+      "INSERT OVERWRITE t VALUES (9, 1, 'z')", Map("t" -> root))
+    assert(SnapshotStore.read(spark, root)
+      .as[(Long, Long, String)].collect().toSeq == Seq((9L, 1L, "z")))
+    assert(SnapshotStore.latest(root).version == 3L)
+  }
+
   test("two concurrent SQL MERGEs race; the loser rebases onto the winner") {
     val root = tmpRoot()
     SnapshotStore.init(spark, root,
