@@ -333,8 +333,9 @@ object Temporal {
     // optimistic transactions (sources/SqlDml.scala) — the statement form
     // of the reference's write core (`Server/main.go:279-282` UPDATE,
     // `Server/main.go:112-120` insert-on-miss = MERGE's NOT MATCHED arm).
-    // The serial composition lands 3 committed versions: the reference's
-    // literal UPDATE-where shape, a DELETE, then a 4-arm MERGE (two
+    // The serial composition lands 4 committed versions: the reference's
+    // literal UPDATE-where shape, an INSERT INTO … SELECT (supplier-derived
+    // new hires with shifted keys), a DELETE, then a 4-arm MERGE (two
     // conditional matched arms incl. DELETE, NOT MATCHED INSERT, NOT
     // MATCHED BY SOURCE UPDATE) sourced from an orders-derived temp view.
     // All arithmetic is exact integer (cents / counts / bigint key sums),
@@ -351,6 +352,13 @@ object Temporal {
         val t = Map("emp" -> root)
         SqlDml.execute(s,
           "UPDATE emp SET salary = salary + 1000 WHERE segment = 'BUILDING'", t)
+        Tables.supplier(s, d)
+          .select(($("s_suppkey") + 1000000L).as("sid"), $("s_name").as("sname"),
+            graft.Canon.cents($("s_acctbal")).as("sbal"))
+          .createOrReplaceTempView("emp_new_hires")
+        SqlDml.execute(s,
+          """INSERT INTO emp (id, name, salary, segment)
+            |SELECT sid, sname, sbal, 'SUPP' FROM emp_new_hires""".stripMargin, t)
         SqlDml.execute(s, "DELETE FROM emp WHERE salary < 0", t)
         Tables.orders(s, d)
           .groupBy($("o_custkey").as("cust_id"))
@@ -384,7 +392,14 @@ object Temporal {
            |    CASE WHEN segment = 'BUILDING' THEN salary + 1000 ELSE salary END
            |      AS salary, segment
            |  FROM base),
-           |d1 AS (SELECT * FROM u1 WHERE NOT coalesce(salary < 0, false)),
+           |i1 AS (
+           |  SELECT * FROM u1
+           |  UNION ALL
+           |  SELECT s_suppkey + 1000000 AS id, s_name AS name,
+           |         ${graft.Canon.centsSql("s_acctbal")} AS salary,
+           |         'SUPP' AS segment
+           |  FROM supplier),
+           |d1 AS (SELECT * FROM i1 WHERE NOT coalesce(salary < 0, false)),
            |src AS (
            |  SELECT o_custkey AS cust_id, CAST(count(*) AS BIGINT) AS n_orders,
            |         CAST(sum(o_orderkey) AS BIGINT) AS okey_sum
@@ -409,7 +424,7 @@ object Temporal {
            |    NOT (t.id IS NOT NULL AND s.cust_id IS NOT NULL
            |         AND s.n_orders <= 2) AS keep
            |  FROM d1 t FULL JOIN src s ON t.id = s.cust_id)
-           |SELECT id, name, salary, segment, CAST(3 AS BIGINT) AS version
+           |SELECT id, name, salary, segment, CAST(4 AS BIGINT) AS version
            |FROM m WHERE keep ORDER BY id""".stripMargin
       }),
 
