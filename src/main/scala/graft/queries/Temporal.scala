@@ -515,5 +515,54 @@ object Temporal {
            |FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1
            |      UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3)
            |ORDER BY _commit_version, id, _change_type""".stripMargin
+      }),
+
+    // Q88b [extension: batch table_changes] the change feed's BATCH
+    // surface — `SnapshotStore.changes(root, from, to)`, the
+    // `table_changes('t', from, to)` read every lakehouse exposes — over
+    // a version SUB-RANGE: versions (1, 2] of the same UPDATE→DELETE
+    // sequence as q88, proving range selection excludes both the v0
+    // initial-insert feed and later commits. Same typed rows, same
+    // CTE-replay oracle restricted to c1 ∪ c2.
+    "q88b_table_changes" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{SnapshotStore, SqlDml}
+        val root = graft.GateTmp.freshDir("q88b")
+        SnapshotStore.init(s, root, RelationalPipeline.employeeView(s, d)
+          .select($("id"), $("name"), $("salary"), $("segment")),
+          cdcKeys = Seq("id"))
+        val t = Map("emp" -> root)
+        SqlDml.execute(s,
+          "UPDATE emp SET salary = salary + 500 WHERE segment = 'AUTOMOBILE'", t)
+        SqlDml.execute(s, "DELETE FROM emp WHERE id % 10 = 3", t)
+        SqlDml.execute(s, "UPDATE emp SET salary = salary + 1 WHERE id = 1", t)
+        SnapshotStore.changes(s, root, 1L, 2L)
+          .orderBy($("_commit_version"), $("id"), $("_change_type"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""WITH base AS (
+           |  SELECT c_custkey AS id, c_name AS name, $cents AS salary,
+           |         c_mktsegment AS segment
+           |  FROM customer),
+           |v1 AS (
+           |  SELECT id, name,
+           |    CASE WHEN segment = 'AUTOMOBILE' THEN salary + 500 ELSE salary END
+           |      AS salary, segment
+           |  FROM base),
+           |c1 AS (
+           |  SELECT id, name, salary, segment, 'update_preimage' AS _change_type,
+           |         1 AS _commit_version
+           |  FROM base WHERE segment = 'AUTOMOBILE'
+           |  UNION ALL
+           |  SELECT id, name, salary, segment, 'update_postimage', 1
+           |  FROM v1 WHERE segment = 'AUTOMOBILE'),
+           |c2 AS (
+           |  SELECT id, name, salary, segment, 'delete', 2
+           |  FROM v1 WHERE id % 10 = 3)
+           |SELECT id, name, salary, segment, _change_type,
+           |  CAST(_commit_version AS BIGINT) AS _commit_version
+           |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+           |ORDER BY _commit_version, id, _change_type""".stripMargin
       }))
 }
