@@ -173,6 +173,26 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  test("OPTIMIZE lands an EMPTY change set; expired versions refuse loudly") {
+    val root = tmp("graft_cdc_opt")
+    SnapshotStore.init(spark, root,
+      (1L to 200L).map(i => (i, i * 3)).toDF("id", "v"), cdcKeys = Seq("id"))
+    SnapshotStore.transact(spark, root)(df =>
+      df.withColumn("v", $"v" + 1L)) // v1: real changes
+    // v2: bin-packing rewrites LAYOUT only — a feed consumer must see no
+    // phantom inserts/deletes from a compaction
+    SnapshotStore.optimize(spark, root, targetRows = 50)
+    assert(SnapshotStore.latest(root).version == 2L)
+    assert(SnapshotStore.changesAt(spark, root, 2L).count() == 0L,
+      "OPTIMIZE must not emit change rows")
+    assert(SnapshotStore.changesAt(spark, root, 1L).count() == 400L) // pre+post
+    // VACUUM the first two versions: their change files go with the
+    // snapshots, and a feed pinned before the retention window fails
+    // loudly instead of silently skipping
+    SnapshotStore.expireSnapshots(root, keepLast = 1)
+    intercept[Exception](SnapshotStore.changesAt(spark, root, 1L).count())
+  }
+
   test("the feed refuses a table without CDC keys") {
     val root = tmp("graft_cdc_nokeys")
     SnapshotStore.init(spark, root, Seq((1L, 2L)).toDF("id", "v"))
