@@ -172,6 +172,24 @@ object SnapshotStore {
       .filter(_.appId == appId)
       .map(_.version).maxOption
 
+  /** The table's commit history as a DataFrame — the DESCRIBE HISTORY
+    * audit surface: one row per committed version with its data dir and
+    * any streaming-writer txn stamp. Log-scale (one tiny file per
+    * version), driver-side listing only.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    listDir(commitsDir(root))
+      .filter(_.getFileName.toString.endsWith(".commit"))
+      .sortBy(_.getFileName.toString)
+      .map { f =>
+        val v = f.getFileName.toString.stripSuffix(".commit").toLong
+        val (dir, txn) = parseCommit(f)
+        (v, dir, txn.map(_.appId), txn.map(_.version))
+      }
+      .toDF("version", "data_dir", "txn_app_id", "txn_version")
+  }
+
   def read(spark: SparkSession, snap: Snapshot): DataFrame =
     spark.read.parquet(snap.dataDir)
 

@@ -154,6 +154,25 @@ object SqlDml {
               rows.withColumn(SnapshotStore.ChangeTypeCol, lit("insert")))
           })
 
+      case ctas: CreateTableAsSelect =>
+        val name = ctas.name match {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+            u.nameParts.last
+          case other => throw new IllegalArgumentException(
+            s"unsupported CTAS name shape: ${other.getClass.getSimpleName}")
+        }
+        require(ctas.partitioning.isEmpty, "partitioned CTAS not supported")
+        val root = rootOf(tables, name)
+        // feed opt-in rides TBLPROPERTIES ('cdc.keys'='k1,k2') — the same
+        // place Delta puts enableChangeDataFeed
+        val keys = (ctas.tableSpec match {
+          case u: UnresolvedTableSpec => u.properties.get("cdc.keys")
+          case _ => None
+        }).map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+        SnapshotStore.init(spark, root,
+          org.apache.spark.sql.GraftSqlShim.ofRows(spark, ctas.query),
+          cdcKeys = keys)
+
       case other => throw new IllegalArgumentException(
         s"not a DML statement (${other.getClass.getSimpleName}): $sql")
     }

@@ -100,6 +100,26 @@ class SqlDmlSpec extends SparkSpec {
     assert(SnapshotStore.latest(root).version == 3L)
   }
 
+  test("CTAS creates the table (cdc.keys property enables the feed); history() audits versions") {
+    val root = tmpRoot()
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v").createOrReplaceTempView("ctas_src")
+    val v0 = SqlDml.execute(spark,
+      "CREATE TABLE t TBLPROPERTIES ('cdc.keys'='id') AS SELECT * FROM ctas_src",
+      Map("t" -> root))
+    assert(v0.version == 0L)
+    assert(SnapshotStore.cdcKeys(root) == Seq("id"))
+    // the CTAS-created feed starts with the initial rows as inserts
+    assert(SnapshotStore.changesAt(spark, root, 0L)
+      .filter($"_change_type" === "insert").count() == 2L)
+    SqlDml.execute(spark, "UPDATE t SET v = v + 1 WHERE id = 1", Map("t" -> root))
+    assert(SnapshotStore.changesAt(spark, root, 1L).count() == 2L) // pre+post
+    val hist = SnapshotStore.history(spark, root)
+      .orderBy($"version").as[(Long, String, Option[String], Option[Long])]
+      .collect().toSeq
+    assert(hist.map(_._1) == Seq(0L, 1L))
+    assert(hist.forall(r => r._2.nonEmpty && r._3.isEmpty)) // no txn stamps here
+  }
+
   test("two concurrent SQL MERGEs race; the loser rebases onto the winner") {
     val root = tmpRoot()
     SnapshotStore.init(spark, root,
