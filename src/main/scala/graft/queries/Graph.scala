@@ -74,7 +74,7 @@ object Graph {
     * Scoped per loop frame via repartition(), never via session conf, so
     * concurrent queries on the same session are unaffected.
     */
-  private[queries] def labelPartitions(n: Long): Int =
+  private[graft] def labelPartitions(n: Long): Int =
     math.max(4L, math.min(n / 1000000L, 100000L)).toInt
 
   /** Materialize one loop iteration: flat lineage AND bounded stats.
@@ -149,7 +149,7 @@ object Graph {
     * @return (node, rep) for every node with ≥1 non-loop edge — callers
     *         re-attach isolated nodes with a left join + coalesce
     */
-  private[queries] def starContract(directed: DataFrame, parts: Int,
+  private[graft] def starContract(directed: DataFrame, parts: Int,
       maxCycles: Int = 15): DataFrame = {
     def sym(e: DataFrame): DataFrame = e
       .unionByName(e.select($("dst").as("src"), $("src").as("dst")))

@@ -204,6 +204,58 @@ class GraphSpec extends SparkSpec {
       s"blocking missed ${(want -- got).size} / invented ${(got -- want).size} pairs")
   }
 
+  test("iterative partition counts derive from data size, not gate volume") {
+    import graft.queries.Graph
+    assert(Graph.labelPartitions(500) == 4)        // tiny runs: task-overhead floor
+    assert(Graph.labelPartitions(1000000000L) == 1000) // 1e9 vertices → ~1000
+    assert(Graph.labelPartitions(1000000000L) > Graph.labelPartitions(5000),
+      "partition count must grow with vertex count")
+    assert(Graph.labelPartitions(Long.MaxValue) == 100000) // bounded above
+  }
+
+  test("star contraction: worst-case diameter path + random graphs vs union-find, bounded cycles") {
+    import graft.queries.Graph
+    // a 300-node PATH is the adversarial diameter case that broke min-label
+    // propagation (O(ecc(min))); star contraction must converge inside its
+    // 15-cycle cap (the require inside starContract fails this test loudly
+    // if it ever stops being logarithmic)
+    def unionFind(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      (0L until n).foreach(v => parent.getOrElseUpdate(v, v))
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0L until n).map(v => v -> find(v)).toMap
+    }
+    def contractAndCheck(n: Long, edges: Seq[(Long, Long)], label: String): Unit = {
+      val got = Graph.starContract(edges.toDF("src", "dst"), parts = 4)
+        .withColumnRenamed("node", "v").as[(Long, Long)].collect().toMap
+      val want = unionFind(n, edges)
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      assert(touched.forall(v => got.get(v).contains(want(v))),
+        s"$label: labels diverge from union-find")
+    }
+    // worst case: a pure path with shuffled ids (long chains, no shortcuts)
+    val ids = scala.util.Random.javaRandomToRandom(new java.util.Random(5)).shuffle((0L until 300L).toVector)
+    contractAndCheck(300, ids.sliding(2).map(p => (p(0), p(1))).toSeq, "path-300")
+    // random sparse graphs with several components
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 2) {
+      val n = 200
+      val edges = (1 to 150).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      contractAndCheck(n, edges, s"random-$trial")
+    }
+  }
+
   test("skewed-graph stress: power-law graph with a deg~sqrt(m) hub — " +
       "triangles exact, no task dominates (VERDICT r9 #6)") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
