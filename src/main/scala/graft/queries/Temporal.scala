@@ -564,5 +564,54 @@ object Temporal {
            |  CAST(_commit_version AS BIGINT) AS _commit_version
            |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
            |ORDER BY _commit_version, id, _change_type""".stripMargin
+      }),
+
+    // Q88c [extension: CDC replication e2e] the full APPLY CHANGES INTO
+    // topology as ONE oracle-gated pipeline: source table → SQL DML
+    // commits (UPDATE → DELETE) → ChangeFeedSource stream → CdcApplySink
+    // foreachBatch apply → replica SnapshotStore table. The gate returns
+    // the REPLICA's content, which must hash-match a DuckDB replay of the
+    // statements against the source data — i.e. the replica is proven
+    // byte-equal to the source's final state after riding the entire
+    // streaming change pipeline. Restart/replay exactly-once semantics
+    // are CdcSpec's e2e case; this gate pins the data plane.
+    "q88c_cdc_replicate" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{SnapshotStore, SqlDml}
+        import graft.streaming.CdcApplySink
+        val src = graft.GateTmp.freshDir("q88c_src")
+        val rep = graft.GateTmp.freshDir("q88c_rep")
+        val cp = graft.GateTmp.freshDir("q88c_cp")
+        val base = RelationalPipeline.employeeView(s, d)
+          .select($("id"), $("name"), $("salary"), $("segment"))
+        SnapshotStore.init(s, src, base, cdcKeys = Seq("id"))
+        SnapshotStore.init(s, rep, base.limit(0)) // empty replica, same schema
+        val t = Map("emp" -> src)
+        SqlDml.execute(s,
+          "UPDATE emp SET salary = salary + 500 WHERE segment = 'AUTOMOBILE'", t)
+        SqlDml.execute(s, "DELETE FROM emp WHERE id % 10 = 3", t)
+        val q = s.readStream.format("graft.streaming.ChangeFeedSource")
+          .option("path", src).load()
+          .writeStream
+          .foreachBatch(CdcApplySink.applyBatch(rep, "id", "q88c-replicator") _)
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        SnapshotStore.read(s, rep).orderBy($("id"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""WITH base AS (
+           |  SELECT c_custkey AS id, c_name AS name, $cents AS salary,
+           |         c_mktsegment AS segment
+           |  FROM customer),
+           |v1 AS (
+           |  SELECT id, name,
+           |    CASE WHEN segment = 'AUTOMOBILE' THEN salary + 500 ELSE salary END
+           |      AS salary, segment
+           |  FROM base)
+           |SELECT id, name, salary, segment FROM v1
+           |WHERE NOT (id % 10 = 3) ORDER BY id""".stripMargin
       }))
 }
