@@ -21,10 +21,11 @@ object Tables {
     * built against, with pushdown intact, and value-identical to DuckDB's
     * naive read of the same files.
     */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.read.parquet(s"$dir/$name.parquet")
-  }
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    // per-read option, never session conf: a loader must not silently flip
+    // NTZ semantics for unrelated readers sharing the session
+    spark.read.option("inferTimestampNTZ", "false")
+      .parquet(s"$dir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

@@ -284,7 +284,8 @@ object RelationalAgg {
         val w = Window.partitionBy($("o_custkey"))
           .orderBy(desc("o_totalprice"), $("o_orderkey"))
         Tables.orders(s, d)
-          .withColumn("rn", row_number().over(w))
+          // long: DuckDB row_number() is BIGINT; match dtype, not just value
+          .withColumn("rn", row_number().over(w).cast("long"))
           .filter($("rn") <= 3)
           .select($("o_custkey"), $("rn"), $("o_orderkey"),
             cents($("o_totalprice")).as("price_cents"))

@@ -65,7 +65,8 @@ object RelationalCore {
             ($("p_type") === "PROMO" && $("p_size").between(10, 20)))
           .select($("p_partkey"), upper($("p_brand")).as("brand_up"),
             substring($("p_name"), 1, 5).as("name5"),
-            length($("p_name")).as("name_len"))
+            // long: DuckDB length() is BIGINT; match dtype, not just value
+            length($("p_name")).cast("long").as("name_len"))
           .orderBy($("p_partkey")),
       oracle = Some(
         """SELECT p_partkey, upper(p_brand) AS brand_up,
@@ -160,10 +161,12 @@ object RelationalCore {
           .filter($("o_orderkey") % 10 === 0)
           .select(
             $("o_orderkey"),
-            year($("o_orderdate")).as("o_year"),
-            month($("o_orderdate")).as("o_month"),
+            // long casts: DuckDB's year/month/date_diff are BIGINT — match
+            // the dtype exactly, not just the value
+            year($("o_orderdate")).cast("long").as("o_year"),
+            month($("o_orderdate")).cast("long").as("o_month"),
             datediff(lit("2025-01-01").cast("date"), $("o_orderdate"))
-              .as("days_to"),
+              .cast("long").as("days_to"),
             // 10% discount in exact integer cents: (cents*9) div 10 — `div`
             // is Spark's integral division, mirrored by DuckDB's `//`.
             expr(s"(${centsSql("o_totalprice")} * 9) div 10").as("disc_cents"),

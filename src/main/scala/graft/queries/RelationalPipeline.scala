@@ -303,10 +303,11 @@ object RelationalPipeline {
         l.join(o, $("l_orderkey") === $("o_orderkey"))
           .join(c, $("o_custkey") === $("c_custkey"))
           .join(broadcast(n), $("c_nationkey") === $("n_nationkey"))
-          .groupBy($("n_name"), year($("o_orderdate")).as("o_year"))
+          // long casts: DuckDB year()/row_number() are BIGINT — match dtypes
+          .groupBy($("n_name"), year($("o_orderdate")).cast("long").as("o_year"))
           .agg(sum(cents($("l_extendedprice")) * (lit(100) - cents($("l_discount"))))
             .as("rev_u"))
-          .withColumn("rnk", row_number().over(w))
+          .withColumn("rnk", row_number().over(w).cast("long"))
           .select($("n_name"), $("o_year"), asDollars($("rev_u"), 4).as("revenue"),
             $("rnk"))
           .orderBy($("n_name"), $("rnk"))

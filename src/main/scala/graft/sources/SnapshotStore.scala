@@ -89,7 +89,6 @@ object SnapshotStore {
   def init(spark: SparkSession, root: String, df: DataFrame,
       statsCols: Seq[String] = Nil, cdcKeys: Seq[String] = Nil): Snapshot = {
     Files.createDirectories(commitsDir(root))
-    if (cdcKeys.nonEmpty) Files.writeString(cdcConfigFile(root), cdcKeys.mkString(","))
     val dir = stage(root, df)
     if (statsCols.nonEmpty) writeManifest(spark, dir, statsCols)
     if (cdcKeys.nonEmpty) {
@@ -99,6 +98,11 @@ object SnapshotStore {
     }
     if (!tryCommit(root, expectedCurrent = -1L, dir))
       throw new CommitConflictException(s"table at $root already initialized")
+    // the _cdc marker lands only AFTER the v0 commit is won: an init that
+    // loses the race must not leave the marker behind on a table someone
+    // else created without CDC (it would flip cdcKeys on and every later
+    // transact would emit _changes over a feed with no v0)
+    if (cdcKeys.nonEmpty) Files.writeString(cdcConfigFile(root), cdcKeys.mkString(","))
     Snapshot(0L, dir)
   }
 
@@ -214,13 +218,38 @@ object SnapshotStore {
   }
 
   /** Batch table-changes read over a version range (inclusive), the
-    * `table_changes(...)` surface. Per-version parquet reads unioned —
-    * version count per call is log-scale (commits), not data-scale.
+    * `table_changes(...)` surface. ONE multi-path vectorized parquet scan
+    * over every version's `_changes/` dir — plan size stays O(1) in the
+    * version count (a per-version union would build a 10⁴-node plan on a
+    * long-lived table and hurt the driver long before any data moves).
+    * `_commit_version` is recovered from each file's snapshot-dir UUID via
+    * a broadcast lookup (one tiny row per version).
     */
   def changes(spark: SparkSession, root: String, fromVersion: Long,
-      toVersion: Long): DataFrame =
-    (fromVersion to toVersion).map(changesAt(spark, root, _))
-      .reduce(_.unionByName(_))
+      toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromVersion <= toVersion,
+      s"empty version range [$fromVersion, $toVersion]")
+    val snaps = (fromVersion to toVersion).map(v => v -> at(root, v))
+    val withFeed = snaps.filter { case (_, s) =>
+      Files.exists(Paths.get(s.dataDir, "_changes")) }
+    if (withFeed.isEmpty)
+      changesAt(spark, root, toVersion) // schema-preserving empty
+    else {
+      import spark.implicits._
+      val lookup = withFeed.map { case (v, s) =>
+        (Paths.get(s.dataDir).getFileName.toString, v) }
+        .toDF("__dir", CommitVersionCol)
+      val paths = withFeed.map { case (_, s) => s"${s.dataDir}/_changes" }
+      // mergeSchema: change sets across an ALTER TABLE boundary may differ
+      // in column set; evolved columns null-fill on the old side
+      spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        .withColumn("__dir",
+          regexp_extract(input_file_name(), "/data/([^/]+)/_changes/", 1))
+        .join(broadcast(lookup), "__dir")
+        .drop("__dir")
+    }
+  }
 
   /** The keyed snapshot diff behind the change feed: ONE null-safe
     * full-outer join base⋈next on the CDC keys, then a single codegen'd

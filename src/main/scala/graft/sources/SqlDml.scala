@@ -64,6 +64,7 @@ object SqlDml {
       case u: UpdateTable =>
         val (name, alias) = relationOf(u.table)
         val root = rootOf(tables, name)
+        val cdcKeys = SnapshotStore.cdcKeys(root)
         val cond = u.condition.map(e => expr(e.sql)).getOrElse(lit(true))
         val assigns = assignmentMap(u.assignments)
         def build(base: DataFrame): (DataFrame, DataFrame) = {
@@ -78,12 +79,21 @@ object SqlDml {
           val out = t.select(cols.map(c => newVal(c).as(c)): _*)
           val valueChanged = cols.map(c => !(newVal(c) <=> col(c)))
             .foldLeft(lit(false))(_ || _)
-          val pre = struct(cols.map(c => col(c).as(c)) :+
-            lit("update_preimage").as(SnapshotStore.ChangeTypeCol): _*)
-          val post = struct(cols.map(c => newVal(c).as(c)) :+
-            lit("update_postimage").as(SnapshotStore.ChangeTypeCol): _*)
+          def image(vals: String => Column, kind: String): Column =
+            struct(cols.map(c => vals(c).as(c)) :+
+              lit(kind).as(SnapshotStore.ChangeTypeCol): _*)
+          // an UPDATE that moves a row to a NEW key is, in keyed-diff terms,
+          // delete(old key) + insert(new key) — exactly how diffChanges
+          // classifies it (the keys no longer join). Emitting pre/post images
+          // here would strand the old key in every downstream replica.
+          val keyChanged = cdcKeys.map(k => !(newVal(k) <=> col(k)))
+            .foldLeft(lit(false))(_ || _)
+          val evs = when(keyChanged,
+              array(image(col, "delete"), image(newVal, "insert")))
+            .otherwise(array(image(col, "update_preimage"),
+              image(newVal, "update_postimage")))
           val changes = t.filter(coalesce(cond, lit(false)) && valueChanged)
-            .select(explode(array(pre, post)).as("c"))
+            .select(explode(evs).as("c"))
             .select((cols :+ SnapshotStore.ChangeTypeCol).map(f => col(s"c.$f").as(f)): _*)
           (out, changes)
         }
@@ -112,7 +122,8 @@ object SqlDml {
           .map(r => SnapshotStore.read(spark, r))
           .getOrElse(spark.table(sName))
         transactBoth(spark, root, maxAttempts,
-          base => mergeFrames(base, tAlias, source, sAlias, m, checkCardinality))
+          base => mergeFrames(base, tAlias, source, sAlias, m, checkCardinality,
+            SnapshotStore.cdcKeys(root)))
 
       case ins: InsertIntoStatement =>
         val (name, _) = relationOf(ins.table)
@@ -146,10 +157,21 @@ object SqlDml {
           SnapshotStore.transact(spark, root, maxAttempts)(rowsFor)
         else
           // append: the statement knows its change set exactly — the new
-          // rows as inserts (CDC tables require appended keys to be fresh,
-          // per the store's key-uniqueness contract)
+          // rows as inserts. On CDC tables that relies on appended keys
+          // being fresh (the store's key-uniqueness contract), so ENFORCE
+          // it: one left-semi probe of the batch against the base (batch-
+          // sized build side, short-circuits at the first clash) — an
+          // 'insert' change for a live key would make downstream
+          // CdcApplySink resolution nondeterministic.
           transactBoth(spark, root, maxAttempts, base => {
             val rows = rowsFor(base)
+            val keys = SnapshotStore.cdcKeys(root)
+            if (keys.nonEmpty) {
+              val clash = rows.join(base, keys, "left_semi").limit(1)
+              require(clash.isEmpty,
+                s"INSERT on CDC table $root appends already-live key(s) " +
+                  s"(${keys.mkString(", ")}) — use MERGE for upserts")
+            }
             (base.unionByName(rows),
               rows.withColumn(SnapshotStore.ChangeTypeCol, lit("insert")))
           })
@@ -199,8 +221,8 @@ object SqlDml {
     * the public Delta CDF design.
     */
   private def mergeFrames(base: DataFrame, tAlias: String, sourceDf: DataFrame,
-      sAlias: String, m: MergeIntoTable,
-      checkCardinality: Boolean): (DataFrame, DataFrame) = {
+      sAlias: String, m: MergeIntoTable, checkCardinality: Boolean,
+      cdcKeys: Seq[String] = Nil): (DataFrame, DataFrame) = {
     val fields: Seq[StructField] = base.schema.fields.toIndexedSeq
     val joinCond = expr(m.mergeCondition.sql)
     val t = base.withColumn("__t", lit(true))
@@ -267,14 +289,24 @@ object SqlDml {
     def changedBy(vals: StructField => Column): Column =
       fields.map(f => !(vals(f).cast(f.dataType) <=> tCol(f).cast(f.dataType)))
         .foldLeft(lit(false))(_ || _)
+    // an update arm that moves a row to a NEW cdc key is delete(old)+
+    // insert(new) in keyed-diff terms — how diffChanges classifies it (the
+    // keys no longer join); pre/post images would strand the old key in
+    // every downstream replica
+    def keyChangedBy(vals: StructField => Column): Column =
+      fields.filter(f => cdcKeys.contains(f.name))
+        .map(f => !(vals(f).cast(f.dataType) <=> tCol(f).cast(f.dataType)))
+        .foldLeft(lit(false))(_ || _)
+    def updateEvents(vals: StructField => Column): Column =
+      when(keyChangedBy(vals), array(image(tCol, "delete"), image(vals, "insert")))
+        .otherwise(
+          array(image(tCol, "update_preimage"), image(vals, "update_postimage")))
     val evs =
-      when(matched && keepM && changedBy(valM),
-        array(image(tCol, "update_preimage"), image(valM, "update_postimage")))
+      when(matched && keepM && changedBy(valM), updateEvents(valM))
       .when(matched && !keepM, array(image(tCol, "delete")))
       .when(sourceOnly && keepI, array(image(valI, "insert")))
       .when(targetOnly && !keepN, array(image(tCol, "delete")))
-      .when(targetOnly && keepN && changedBy(valN),
-        array(image(tCol, "update_preimage"), image(valN, "update_postimage")))
+      .when(targetOnly && keepN && changedBy(valN), updateEvents(valN))
       .otherwise(array(image(tCol, "unchanged")))
     val changes = joined.select(explode(evs).as("c"))
       .filter(col(s"c.${SnapshotStore.ChangeTypeCol}") =!= "unchanged")

@@ -173,6 +173,48 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  test("key-changing UPDATE/MERGE emit delete+insert, equal to the generic diff") {
+    val root = tmp("graft_cdc_keychange")
+    SnapshotStore.init(spark, root,
+      (1L to 20L).map(i => (i, s"n$i", i * 10)).toDF("id", "name", "v"),
+      cdcKeys = Seq("id"))
+    Seq((5L, 205L), (6L, 206L)).toDF("sid", "nid")
+      .createOrReplaceTempView("cdc_keychange_src")
+    val stmts = Seq(
+      // moves rows to NEW keys: keyed-diff semantics are delete(old)+insert(new),
+      // not pre/post images — a replica applying pre/post would strand id 1..3
+      "UPDATE t SET id = id + 100 WHERE id <= 3",
+      """MERGE INTO t USING cdc_keychange_src s ON t.id = s.sid
+        |WHEN MATCHED THEN UPDATE SET id = s.nid
+        |""".stripMargin)
+    for (sql <- stmts) {
+      val before = SnapshotStore.latest(root)
+      val snap = SqlDml.execute(spark, sql, Map("t" -> root))
+      val landed = spark.read.parquet(s"${snap.dataDir}/_changes")
+      val generic = SnapshotStore.diffChanges(
+        SnapshotStore.read(spark, before), SnapshotStore.read(spark, snap), Seq("id"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3))).sortBy(t => (t._1, t._4)).toSeq
+      assert(rows(landed.select($"id", $"name", $"v", $"_change_type")) ==
+        rows(generic.select($"id", $"name", $"v", $"_change_type")),
+        s"key-change statement vs diff mismatch for: $sql")
+      assert(landed.filter($"_change_type".startsWith("update")).isEmpty,
+        "key changes must never land as update images")
+    }
+  }
+
+  test("INSERT of an already-live key on a CDC table refuses") {
+    val root = tmp("graft_cdc_livekey")
+    SnapshotStore.init(spark, root,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), cdcKeys = Seq("id"))
+    intercept[IllegalArgumentException](
+      SqlDml.execute(spark, "INSERT INTO t VALUES (2, 99)", Map("t" -> root)))
+    // fresh keys still append fine
+    SqlDml.execute(spark, "INSERT INTO t VALUES (3, 30)", Map("t" -> root))
+    assert(SnapshotStore.read(spark, root).count() == 3L)
+  }
+
   test("OPTIMIZE lands an EMPTY change set; expired versions refuse loudly") {
     val root = tmp("graft_cdc_opt")
     SnapshotStore.init(spark, root,
