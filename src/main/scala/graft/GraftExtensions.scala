@@ -17,6 +17,7 @@ import graft.plans.{CharNgramHashes, CmsEstimate, FloatDotProduct, InterleaveBit
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
     ext.injectOptimizerRule(_ => graft.plans.TopOnePerKeyRewrite)
   }
 }
@@ -125,6 +126,74 @@ object GraftExtensions {
       (children: Seq[Expression]) => CmsEstimate(children.head,
         constBinary("cms_estimate", 1, children(1)))))
 
+  private type TableFunctionDescription =
+    (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+
+  private def constString(fn: String, pos: Int, e: Expression): String = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be a constant string, got non-foldable ${e.sql}")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be a constant string, got $other")
+    }
+  }
+
+  /** `'t'` / `'ns.t'` / `'cat.ns.t'` → SnapshotStore root. A name with a
+    * `/` is already a filesystem root; otherwise the leading part names a
+    * registered catalog (its `.warehouse` conf supplies the base dir; the
+    * bare-name default is catalog `graft` — the conventional name the
+    * gates and specs register).
+    */
+  private def resolveRoot(name: String): String = {
+    if (name.contains("/")) return name
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    def warehouseOf(cat: String): String =
+      conf.getConfString(s"spark.sql.catalog.$cat.warehouse", "")
+    val parts = name.split('.').toSeq
+    val viaCatalog = warehouseOf(parts.head)
+    if (parts.length > 1 && viaCatalog.nonEmpty)
+      (viaCatalog +: parts.tail).mkString("/")
+    else {
+      val w = warehouseOf("graft")
+      require(w.nonEmpty,
+        s"cannot resolve table '$name': set spark.sql.catalog.graft.warehouse " +
+          "or pass a filesystem root")
+      (w +: parts).mkString("/")
+    }
+  }
+
+  /** SQL table-valued surface of the warehouse's log-backed reads — what a
+    * Delta user types as `table_changes('t', 2, 5)` / DESCRIBE HISTORY.
+    * Registered in the session's TableFunctionRegistry, so they compose
+    * with any SQL (joins, filters, CTEs); the plan each call returns is the
+    * same one-multi-path-vectorized-scan the Scala API builds.
+    */
+  private val tableFunctions: Seq[TableFunctionDescription] = Seq(
+    (FunctionIdentifier("table_changes"),
+      new ExpressionInfo(classOf[graft.sources.SnapshotStore.type].getName,
+        "table_changes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "table_changes(table, from_version, to_version)")
+        val spark = SparkSession.active
+        val root = resolveRoot(constString("table_changes", 0, children.head))
+        val from = constNum("table_changes", 1, children(1)).longValue()
+        val to = constNum("table_changes", 2, children(2)).longValue()
+        graft.sources.SnapshotStore.changes(spark, root, from, to)
+          .queryExecution.analyzed
+      }),
+    (FunctionIdentifier("table_history"),
+      new ExpressionInfo(classOf[graft.sources.SnapshotStore.type].getName,
+        "table_history"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "table_history(table)")
+        val spark = SparkSession.active
+        val root = resolveRoot(constString("table_history", 0, children.head))
+        graft.sources.SnapshotStore.history(spark, root).queryExecution.analyzed
+      }))
+
   /** Idempotent per-session registration. The optimizer rule goes through
     * `experimental.extraOptimizations` (the post-build equivalent of
     * `injectOptimizerRule` — an already-built session's rule batches are
@@ -136,6 +205,10 @@ object GraftExtensions {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
     functions.foreach { case (id, info, builder) =>
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    }
+    val treg = spark.sessionState.tableFunctionRegistry
+    tableFunctions.foreach { case (id, info, builder) =>
+      if (!treg.functionExists(id)) treg.registerFunction(id, info, builder)
     }
     val extra = spark.experimental.extraOptimizations
     if (!extra.contains(graft.plans.TopOnePerKeyRewrite))

@@ -391,13 +391,59 @@ object Multimodal {
     }(enc)
   }
 
-  /** Decode (img_id, payload) PNGs and emit the 64-bit perceptual hash.
-    * Partition-local CPU work — the decode never shuffles a pixel.
+  /** Format-agnostic grayscale decode: PNG via [[decodePngGray]], JPEG via
+    * [[Jpeg.decodeGray]] (baseline Huffman, pure JVM) — both yield the
+    * BT.601 luma view, so every perceptual op downstream is codec-blind.
+    */
+  def decodeImageGray(b: Array[Byte]): Array[Array[Int]] =
+    if (b.length >= 8 && java.util.Arrays.equals(b.slice(0, 8), PngSig))
+      decodePngGray(b)
+    else if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8)
+      Jpeg.decodeGray(b)
+    else throw new IllegalArgumentException("payload is neither PNG nor JPEG")
+
+  /** Decode (img_id, payload) images — PNG or JPEG — and emit the 64-bit
+    * perceptual hash. Partition-local CPU work — the decode never shuffles
+    * a pixel.
     */
   def dhashBatch(df: DataFrame): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(dhashSchema))
     df.select("img_id", "payload").mapPartitions { it =>
-      it.map { r => Row(r.getLong(0), dHash(decodePngGray(r.getAs[Array[Byte]](1)))) }
+      it.map { r => Row(r.getLong(0), dHash(decodeImageGray(r.getAs[Array[Byte]](1)))) }
+    }(enc)
+  }
+
+  /** Deterministic DC tile value for synthesized JPEG test images, the
+    * [[synthPixel]] idea one level up: 9×8 tiles of 8×8 flat pixels, value
+    * 128 + jpegTile ∈ [28, 227] (never clamps). The quadratic keeps
+    * neighbors decorrelated; all arithmetic is 64-bit exact in Spark and
+    * DuckDB alike.
+    */
+  def jpegTile(src: Long, tx: Int, ty: Int): Int = {
+    val v = (src * 2654435761L + (ty * 9 + tx) * 9176L) % 1000000007L
+    ((((v * v + v) % 1000000007L) % 200L) - 100L).toInt
+  }
+
+  /** Synthesize one REAL baseline JPEG per row (72×64 px = 9×8 DC-only
+    * tiles, per-row restart markers) — [[Jpeg.encodeGrayDcOnly]]. A twin
+    * bumps tile (4,3) by +7: one flat 8×8 region shifts, moving at most
+    * two dHash comparisons — a planted JPEG near-duplicate. Decoded
+    * through the full marker/Huffman/IDCT path, tile (tx,ty) reads back
+    * as exactly 128 + jpegTile — the analytic contract q35j's oracle
+    * derives without a codec.
+    */
+  def synthJpegBatch(rows: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(imageSchema))
+    rows.select("img_id", "src", "twin").mapPartitions { it =>
+      it.map { r =>
+        val src = r.getLong(1)
+        val twin = r.getBoolean(2)
+        val tiles = Array.tabulate(8, 9) { (ty, tx) =>
+          val t = jpegTile(src, tx, ty)
+          if (twin && tx == 4 && ty == 3) t + 7 else t
+        }
+        Row(r.getLong(0), Jpeg.encodeGrayDcOnly(tiles))
+      }
     }(enc)
   }
 

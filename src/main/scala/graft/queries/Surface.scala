@@ -317,6 +317,37 @@ object Surface {
       oracle = Some(jpegHeadersOracleSql)),
 
     // Q35c [extension: content-level image decode + perceptual hash] the
+    // Q35j [extension: JPEG PIXEL decode] past q35i's headers: a full
+    // baseline Huffman decode (functions/Jpeg.scala — marker walk, DQT,
+    // canonical DHT build, DC-difference + AC run/size entropy decode,
+    // restart markers with predictor reset, dequant, de-zigzag, IDCT).
+    // Each document becomes a REAL 72×64 baseline JPEG of DC-only 8×8
+    // blocks with Q(0,0)=8 and per-row RSTn markers; the IDCT of a DC-only
+    // block is analytically flat (pixel = 128 + tile EXACTLY), so the
+    // oracle derives expected pixels — and hence the dHash — from the tile
+    // formula alone, never touching a JPEG, while Spark earns every hash
+    // through the real byte path. Docs ≡0 mod 31 get a one-tile-bumped
+    // twin (planted JPEG near-dup; JpegSpec pins its Hamming ≤ 2 and
+    // cross-validates the decoder against ImageIO's independent encoder on
+    // real AC + 4:2:0 color streams). Per-image CPU, zero shuffle.
+    "q35j_jpeg_dhash" -> QueryDef(
+      build = (s, d) => {
+        val hashes = Multimodal.dhashBatch(
+          Multimodal.synthJpegBatch(jpegRows(s, d)))
+        hashes.select($("img_id"),
+            shiftrightunsigned($("dhash"), 32).as("dhash_hi"),
+            $("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
+          .orderBy($("img_id"))
+      },
+      oracle = Some(
+        s"""$jpegHashOracleCte
+           |SELECT img_id,
+           |  CAST(sum(CASE WHEN i >= 32 THEN bit * (1::BIGINT << (i - 32))
+           |    ELSE 0 END) AS BIGINT) AS dhash_hi,
+           |  CAST(sum(CASE WHEN i < 32 THEN bit * (1::BIGINT << i)
+           |    ELSE 0 END) AS BIGINT) AS dhash_lo
+           |FROM bits GROUP BY img_id ORDER BY img_id""".stripMargin)),
+
     // step past q35b's headers: pixels. Each document becomes a REAL 9×8
     // grayscale PNG (zlib IDAT, per-row filter bytes, chunk CRCs — see
     // Multimodal.encodePngGray), and docs ≡0 mod 29 additionally get a
@@ -680,6 +711,47 @@ object Surface {
     * (Multimodal.synthPixel + the twin's one-pixel bump) — no PNG decode on
     * the oracle side, which is exactly what makes the gate a codec check.
     */
+  /** JPEG universe for q35j: every document, plus a planted one-tile twin
+    * for docs ≡0 mod 31 (a different residue and id offset than the PNG
+    * universe, so the two gates never alias).
+    */
+  private def jpegRows(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.documents(s, d).select($("doc_id"))
+    docs.select($("doc_id").as("img_id"), $("doc_id").as("src"),
+        lit(false).as("twin"))
+      .unionByName(docs.filter($("doc_id") % 31 === 0)
+        .select(($("doc_id") + 20000000L).as("img_id"), $("doc_id").as("src"),
+          lit(true).as("twin")))
+  }
+
+  /** The q35j oracle's tile algebra: Multimodal.jpegTile mirrored in SQL
+    * (64-bit exact), + 128 — the analytically known decode of a DC-only
+    * block with Q(0,0)=8 — then the dHash bit construction over the 9×8
+    * tile grid (a flat 8×8 tile IS its own downsample cell).
+    */
+  private def jpegHashOracleCte: String =
+    """WITH imgs AS (
+      |  SELECT doc_id AS img_id, doc_id AS src, FALSE AS twin FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 20000000, doc_id, TRUE FROM documents
+      |  WHERE doc_id % 31 = 0),
+      |tiles AS (
+      |  SELECT img_id, tx, ty,
+      |    CASE WHEN twin AND tx = 4 AND ty = 3 THEN t0 + 7 ELSE t0 END + 128 AS p
+      |  FROM (
+      |    SELECT img_id, twin, tx, ty,
+      |      ((v * v + v) % 1000000007) % 200 - 100 AS t0
+      |    FROM (
+      |      SELECT img_id, twin, tx, ty,
+      |        (src * 2654435761 + (ty * 9 + tx) * 9176) % 1000000007 AS v
+      |      FROM imgs, range(0, 9) t1(tx), range(0, 8) t2(ty)))),
+      |bits AS (
+      |  SELECT a.img_id, a.ty * 8 + a.tx AS i,
+      |    CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bit
+      |  FROM tiles a JOIN tiles b ON a.img_id = b.img_id AND b.ty = a.ty
+      |    AND b.tx = a.tx + 1
+      |  WHERE a.tx < 8)""".stripMargin
+
   private def imageHashOracleCte: String =
     """WITH imgs AS (
       |  SELECT doc_id AS img_id, doc_id AS src, FALSE AS twin FROM documents

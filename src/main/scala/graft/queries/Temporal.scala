@@ -613,5 +613,186 @@ object Temporal {
            |  FROM base)
            |SELECT id, name, salary, segment FROM v1
            |WHERE NOT (id % 10 = 3) ORDER BY id""".stripMargin
-      }))
+      }),
+
+    // Q89 [extension: SQL warehouse surface] The catalog-registered read/
+    // write path — every statement in this gate is plain `spark.sql` text
+    // against NAMED tables (sources/GraftCatalog.scala): CTAS creates the
+    // SnapshotStore table, INSERT INTO appends through the V1-fallback
+    // commit protocol, INSERT OVERWRITE (reading the table itself) replaces
+    // it, and the final SELECT joins the live table against its own
+    // pre-append version via `VERSION AS OF` — the reference's serve path (`Server/main.go:230` is a plain SQL
+    // SELECT over a named table) plus the time travel its MySQL store never
+    // had. Reads stay vectorized parquet with pushdown/pruning intact
+    // (GraftCatalogSpec plan-locks PushedFilters/ReadSchema); analysis-time
+    // snapshot pinning keeps every query on ONE consistent version under
+    // concurrent writers.
+    "q89_sql_warehouse" -> QueryDef(
+      build = (s, d) => {
+        val wh = graft.GateTmp.freshDir("q89")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        RelationalPipeline.employeeView(s, d)
+          .select($("id"), $("name"), $("salary"), $("segment"))
+          .createOrReplaceTempView("q89_emp_src")
+        // CTAS through a non-staging catalog lowers to two commits:
+        // v0 = empty CREATE, v1 = the query's rows appended
+        s.sql("CREATE TABLE graft.q89emp AS SELECT * FROM q89_emp_src")
+        Tables.supplier(s, d).createOrReplaceTempView("q89_supp")
+        s.sql( // v2: append new hires through the commit protocol
+          s"""INSERT INTO graft.q89emp
+             |SELECT s_suppkey + 1000000, s_name,
+             |       ${graft.Canon.centsSql("s_acctbal")}, 'SUPP'
+             |FROM q89_supp""".stripMargin)
+        s.sql( // v3: whole-table replace sourced from the table ITSELF —
+               // the pinned-at-analysis snapshot makes self-reads safe
+          """INSERT OVERWRITE graft.q89emp
+            |SELECT id, name, salary + 100, segment
+            |FROM graft.q89emp WHERE salary >= 0""".stripMargin)
+        s.sql(
+          """SELECT c.id, c.name, c.salary, c.segment, v1.salary AS salary_v1
+            |FROM graft.q89emp c
+            |LEFT JOIN graft.q89emp VERSION AS OF 1 v1 ON c.id = v1.id
+            |ORDER BY c.id""".stripMargin)
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""WITH base AS (
+           |  SELECT c_custkey AS id, c_name AS name, $cents AS salary,
+           |         c_mktsegment AS segment
+           |  FROM customer),
+           |i1 AS (
+           |  SELECT * FROM base
+           |  UNION ALL
+           |  SELECT s_suppkey + 1000000 AS id, s_name AS name,
+           |         ${graft.Canon.centsSql("s_acctbal")} AS salary,
+           |         'SUPP' AS segment
+           |  FROM supplier),
+           |o2 AS (
+           |  SELECT id, name, salary + 100 AS salary, segment
+           |  FROM i1 WHERE salary >= 0)
+           |SELECT c.id, c.name, c.salary, c.segment, v1.salary AS salary_v1
+           |FROM o2 c LEFT JOIN base v1 ON c.id = v1.id
+           |ORDER BY c.id""".stripMargin
+      }),
+
+    // Q89b [extension: table_changes SQL TVF] The change feed addressed
+    // from SQL: `table_changes('t', from, to)` is a registered
+    // table-valued function (GraftExtensions) resolving through the
+    // catalog's warehouse to the same ONE-multi-path-scan plan the Scala
+    // API builds (SnapshotStore.changes — plan size O(1) in version
+    // count). The gate lands v1 inserts via catalog INSERT, v2 updates and
+    // v3 deletes via SQL DML, then aggregates the typed feed per
+    // (version, change type) — the oracle replays the same statements as
+    // CTE algebra over per-version change sets. Exact integer sums keep
+    // the hash bit-stable.
+    "q89b_table_changes_sql" -> QueryDef(
+      build = (s, d) => {
+        graft.GraftExtensions.install(s)
+        val wh = graft.GateTmp.freshDir("q89b")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql( // v0: empty CDC table (feed opt-in via TBLPROPERTIES)
+          """CREATE TABLE graft.q89c (id BIGINT, salary BIGINT)
+            |TBLPROPERTIES ('cdc.keys' = 'id')""".stripMargin)
+        RelationalPipeline.employeeView(s, d).select($("id"), $("salary"))
+          .createOrReplaceTempView("q89b_src")
+        s.sql("INSERT INTO graft.q89c SELECT id, salary FROM q89b_src") // v1
+        val t = Map("t" -> s"$wh/q89c")
+        graft.sources.SqlDml.execute(s,
+          "UPDATE t SET salary = salary + 7 WHERE id % 3 = 0", t) // v2
+        graft.sources.SqlDml.execute(s,
+          "DELETE FROM t WHERE id % 10 = 1", t) // v3
+        s.sql(
+          """SELECT _commit_version, _change_type,
+            |  CAST(count(*) AS BIGINT) AS n, CAST(sum(id) AS BIGINT) AS id_sum,
+            |  CAST(sum(salary) AS BIGINT) AS sal_sum
+            |FROM table_changes('q89c', 1, 3)
+            |GROUP BY _commit_version, _change_type
+            |ORDER BY _commit_version, _change_type""".stripMargin)
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""WITH base AS (
+           |  SELECT c_custkey AS id, $cents AS salary FROM customer),
+           |ch1 AS (
+           |  SELECT 1 AS _commit_version, 'insert' AS _change_type, id, salary
+           |  FROM base),
+           |upd AS (SELECT id, salary FROM base WHERE id % 3 = 0),
+           |ch2 AS (
+           |  SELECT 2 AS _commit_version, 'update_preimage' AS _change_type,
+           |         id, salary FROM upd
+           |  UNION ALL
+           |  SELECT 2, 'update_postimage', id, salary + 7 FROM upd),
+           |st2 AS (
+           |  SELECT id,
+           |    CASE WHEN id % 3 = 0 THEN salary + 7 ELSE salary END AS salary
+           |  FROM base),
+           |ch3 AS (
+           |  SELECT 3 AS _commit_version, 'delete' AS _change_type, id, salary
+           |  FROM st2 WHERE id % 10 = 1),
+           |feed AS (
+           |  SELECT * FROM ch1 UNION ALL SELECT * FROM ch2
+           |  UNION ALL SELECT * FROM ch3)
+           |SELECT CAST(_commit_version AS BIGINT) AS _commit_version,
+           |  _change_type, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(id) AS BIGINT) AS id_sum,
+           |  CAST(sum(salary) AS BIGINT) AS sal_sum
+           |FROM feed
+           |GROUP BY _commit_version, _change_type
+           |ORDER BY _commit_version, _change_type""".stripMargin
+      }),
+
+    // Q90 [extension: schema evolution DDL] `ALTER TABLE ADD COLUMN` as a
+    // METADATA-ONLY commit: SnapshotStore.alterSchema hard-links the base
+    // snapshot's parquet files into the new version's dir and pins the
+    // evolved schema in `_schema.json` — zero data rewrite (at 100 TB a
+    // column add that rewrites the table is a non-starter; on an object
+    // store the link is a manifest re-reference). Old rows null-fill at
+    // read via standard parquet schema-evolution; post-ALTER inserts carry
+    // the new column; time travel BEFORE the ALTER still serves the old
+    // schema (require()d in-build). The final read coalesces the evolved
+    // column — bit-identical to the oracle's UNION replay.
+    "q90_schema_evolution" -> QueryDef(
+      build = (s, d) => {
+        val wh = graft.GateTmp.freshDir("q90")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("CREATE TABLE graft.q90ev (id BIGINT, bal BIGINT)")
+        Tables.customer(s, d).createOrReplaceTempView("q90_cust")
+        Tables.supplier(s, d).createOrReplaceTempView("q90_supp")
+        s.sql( // v1
+          s"""INSERT INTO graft.q90ev
+             |SELECT c_custkey, ${graft.Canon.centsSql("c_acctbal")}
+             |FROM q90_cust""".stripMargin)
+        s.sql("ALTER TABLE graft.q90ev ADD COLUMN seg STRING") // v2: links only
+        s.sql( // v3: rows born under the evolved schema
+          s"""INSERT INTO graft.q90ev
+             |SELECT s_suppkey + 1000000, ${graft.Canon.centsSql("s_acctbal")},
+             |       'SUPP'
+             |FROM q90_supp""".stripMargin)
+        // time travel across the ALTER boundary serves each version's OWN
+        // schema — and the ALTER version moved pointers, not data
+        require(!s.sql("SELECT * FROM graft.q90ev VERSION AS OF 1")
+          .columns.contains("seg"), "v1 must predate the seg column")
+        require(s.sql("SELECT * FROM graft.q90ev VERSION AS OF 2")
+          .columns.contains("seg"), "v2 must carry the evolved schema")
+        s.sql(
+          """SELECT id, bal, coalesce(seg, 'LEGACY') AS seg
+            |FROM graft.q90ev ORDER BY id""".stripMargin)
+      },
+      oracle = Some(
+        s"""WITH ev AS (
+           |  SELECT c_custkey AS id, ${graft.Canon.centsSql("c_acctbal")} AS bal,
+           |         NULL AS seg
+           |  FROM customer
+           |  UNION ALL
+           |  SELECT s_suppkey + 1000000, ${graft.Canon.centsSql("s_acctbal")},
+           |         'SUPP'
+           |  FROM supplier)
+           |SELECT id, bal, coalesce(seg, 'LEGACY') AS seg
+           |FROM ev ORDER BY id""".stripMargin)))
 }

@@ -1,0 +1,297 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The SQL face of the warehouse: a DataSource-V2 [[TableCatalog]] over
+  * [[SnapshotStore]] tables, registered via
+  * `spark.sql.catalog.<name> = graft.sources.GraftCatalog` (+
+  * `spark.sql.catalog.<name>.warehouse = <dir>`). This is what lets a SQL
+  * user type the things a warehouse user types FIRST — reference context:
+  * the reference's entire serve path is a plain SQL SELECT over a named
+  * table (`Server/main.go:230`):
+  *
+  *   - `SELECT … FROM cat.ns.t`                 (named tables, no Scala API)
+  *   - `SELECT … FROM cat.ns.t VERSION AS OF 3` (time travel — Spark calls
+  *     the `loadTable(ident, version)` overload; TIMESTAMP AS OF resolves
+  *     through commit mtimes, the Delta rule)
+  *   - `INSERT INTO / OVERWRITE cat.ns.t …`     (V1 write fallback routed
+  *     through the optimistic commit protocol — never a bare file append,
+  *     which would corrupt snapshot immutability)
+  *   - `CREATE TABLE / CTAS / DROP / ALTER TABLE ADD|DROP COLUMN`
+  *     (ALTER is metadata-only: [[SnapshotStore.alterSchema]] commits a
+  *     hard-link version with a pinned `_schema.json` — zero data rewrite)
+  *
+  * Scan path: `loadTable` pins a SNAPSHOT (analysis-time version
+  * resolution, so one query sees one consistent version even under
+  * concurrent writers — wait-free readers) and delegates the scan to
+  * Spark's own vectorized `ParquetTable` over the snapshot's immutable
+  * dir: predicate pushdown, column pruning, and whole-stage codegen are
+  * identical to a plain parquet read. The catalog adds pointers, not a
+  * data path.
+  *
+  * The warehouse root is re-read from the session conf on every call (not
+  * cached at `initialize`): Spark's CatalogManager instantiates one plugin
+  * per name per session, but tests/gates repoint the warehouse per run.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  import GraftCatalog.CdcKeysProp
+
+  private var catalogName: String = _
+  private var initOptions: CaseInsensitiveStringMap = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    initOptions = options
+  }
+
+  override def name(): String = catalogName
+
+  private def warehouse: String = {
+    val key = s"spark.sql.catalog.$catalogName.warehouse"
+    val fromConf = SQLConf.get.getConfString(key, "")
+    val w = if (fromConf.nonEmpty) fromConf
+      else Option(initOptions.get("warehouse")).getOrElse("")
+    require(w.nonEmpty, s"set $key to the warehouse directory")
+    w
+  }
+
+  private def rootOf(ident: Identifier): String =
+    (warehouse +: ident.namespace.toIndexedSeq :+ ident.name).mkString("/")
+
+  private def isTable(root: String): Boolean =
+    Files.isDirectory(Paths.get(root, "_commits"))
+
+  private def spark: SparkSession = SparkSession.active
+
+  // ---- tables -------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = Paths.get((warehouse +: namespace.toIndexedSeq).mkString("/"))
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    val s = Files.list(dir)
+    try s.iterator().asScala.toArray
+      .filter(p => isTable(p.toString))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+    finally s.close()
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    new GraftTable(spark, ident.toString, root, SnapshotStore.latest(root),
+      pinned = false)
+  }
+
+  /** `VERSION AS OF <v>` — Spark hands the version literal as a string. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    new GraftTable(spark, ident.toString, root,
+      SnapshotStore.at(root, version.toLong), pinned = true)
+  }
+
+  /** `TIMESTAMP AS OF <t>` — `timestamp` arrives as epoch MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    new GraftTable(spark, ident.toString, root,
+      SnapshotStore.at(root, SnapshotStore.versionAsOf(root, timestamp)),
+      pinned = true)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty, "partitioned tables not supported")
+    val root = rootOf(ident)
+    if (isTable(root)) throw new TableAlreadyExistsException(ident)
+    val keys = Option(properties.get(CdcKeysProp))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    Files.createDirectories(Paths.get(root).getParent)
+    SnapshotStore.init(spark, root,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema),
+      cdcKeys = keys)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    SnapshotStore.alterSchema(spark, root, schema =>
+      changes.foldLeft(schema) {
+        case (s, add: TableChange.AddColumn) =>
+          require(add.fieldNames.length == 1,
+            s"nested column add not supported: ${add.fieldNames.mkString(".")}")
+          require(!s.exists(_.name.equalsIgnoreCase(add.fieldNames()(0))),
+            s"column ${add.fieldNames()(0)} already exists")
+          s.add(add.fieldNames()(0), add.dataType(), nullable = true)
+        case (s, del: TableChange.DeleteColumn) =>
+          require(del.fieldNames.length == 1,
+            s"nested column drop not supported: ${del.fieldNames.mkString(".")}")
+          val n = del.fieldNames()(0)
+          require(s.exists(_.name.equalsIgnoreCase(n)), s"no such column $n")
+          require(!SnapshotStore.cdcKeys(root).exists(_.equalsIgnoreCase(n)),
+            s"cannot drop CDC key column $n")
+          StructType(s.filterNot(_.name.equalsIgnoreCase(n)))
+        case (_, other) => throw new UnsupportedOperationException(
+          s"unsupported ALTER: ${other.getClass.getSimpleName} " +
+            "(ADD COLUMN / DROP COLUMN only)")
+      })
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = Paths.get(rootOf(ident))
+    if (!isTable(root.toString)) false
+    else {
+      val s = Files.walk(root)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally s.close()
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    // Spark hands RENAME TO's target with the catalog segment still in the
+    // namespace ("graft.meta.t2" → ns=[graft, meta]); strip it
+    val newNs = newIdent.namespace match {
+      case ns if ns.headOption.contains(catalogName) => ns.drop(1)
+      case ns => ns
+    }
+    val from = Paths.get(rootOf(oldIdent))
+    val to = Paths.get(rootOf(Identifier.of(newNs, newIdent.name)))
+    if (!isTable(from.toString)) throw new NoSuchTableException(oldIdent)
+    if (isTable(to.toString)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(to.getParent)
+    Files.move(from, to)
+  }
+
+  // ---- namespaces ---------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val dir = Paths.get(warehouse)
+    if (!Files.isDirectory(dir)) return Array.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala.toArray
+      .filter(p => Files.isDirectory(p) && !isTable(p.toString))
+      .map(p => Array(p.getFileName.toString))
+    finally s.close()
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || Files.isDirectory(
+      Paths.get((warehouse +: namespace.toIndexedSeq).mkString("/")))
+
+  override def loadNamespaceMetadata(namespace: Array[String]):
+      util.Map[String, String] =
+    if (namespaceExists(namespace)) util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    Files.createDirectories(
+      Paths.get((warehouse +: namespace.toIndexedSeq).mkString("/")))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = Paths.get((warehouse +: namespace.toIndexedSeq).mkString("/"))
+    if (!Files.isDirectory(dir)) false
+    else {
+      if (!cascade) {
+        val s = Files.list(dir)
+        val empty = try !s.iterator().hasNext finally s.close()
+        require(empty, s"namespace ${namespace.mkString(".")} is not empty")
+      }
+      val s = Files.walk(dir)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally s.close()
+      true
+    }
+  }
+}
+
+object GraftCatalog {
+  /** Table property carrying the CDC key list (the same place Delta puts
+    * `enableChangeDataFeed`): `TBLPROPERTIES ('cdc.keys' = 'id')`.
+    */
+  val CdcKeysProp = "cdc.keys"
+}
+
+/** One resolved (table, snapshot) pair. Reads delegate to Spark's own
+  * vectorized [[ParquetTable]] over the snapshot's immutable dir with the
+  * snapshot's (possibly ALTER-evolved) schema pinned; writes go through
+  * the V1 fallback ([[InsertableRelation]] — the driver receives the
+  * query's DataFrame and routes it through [[SnapshotStore.append]]'s
+  * optimistic transaction, CDC guards included). `pinned` (time-traveled)
+  * tables refuse writes: history is immutable.
+  */
+private[sources] class GraftTable(spark: SparkSession, tableName: String,
+    root: String, snap: SnapshotStore.Snapshot, pinned: Boolean)
+    extends Table with SupportsRead with SupportsWrite {
+
+  private lazy val tableSchema: StructType = SnapshotStore.readSchema(spark, snap)
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("version", snap.version.toString)
+    val keys = SnapshotStore.cdcKeys(root)
+    if (keys.nonEmpty) m.put(GraftCatalog.CdcKeysProp, keys.mkString(","))
+    m
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    ParquetTable(tableName, spark, options, Seq(snap.dataDir),
+      Some(tableSchema), classOf[ParquetFileFormat])
+      .newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!pinned,
+      s"cannot write to $tableName pinned at version ${snap.version} " +
+        "(time travel is read-only)")
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, fallbackOverwrite: Boolean): Unit = {
+              SnapshotStore.append(spark, root, data,
+                overwrite = overwrite || fallbackOverwrite)
+              ()
+            }
+          }
+      }
+    }
+  }
+}

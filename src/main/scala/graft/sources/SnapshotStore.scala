@@ -194,11 +194,128 @@ object SnapshotStore {
       .toDF("version", "data_dir", "txn_app_id", "txn_version")
   }
 
-  def read(spark: SparkSession, snap: Snapshot): DataFrame =
-    spark.read.parquet(snap.dataDir)
+  /** The snapshot's schema: the pinned `_schema.json` when the version was
+    * created by a metadata-only ALTER ([[alterSchema]]), inferred from the
+    * parquet footers otherwise.
+    */
+  def readSchema(spark: SparkSession, snap: Snapshot):
+      org.apache.spark.sql.types.StructType = {
+    val f = Paths.get(snap.dataDir, "_schema.json")
+    if (Files.exists(f))
+      org.apache.spark.sql.types.DataType.fromJson(Files.readString(f))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    else spark.read.parquet(snap.dataDir).schema
+  }
+
+  def read(spark: SparkSession, snap: Snapshot): DataFrame = {
+    val f = Paths.get(snap.dataDir, "_schema.json")
+    if (Files.exists(f))
+      // evolved schema: columns ADDed after these files were written
+      // null-fill in the vectorized reader; DROPped columns are simply not
+      // requested — standard parquet schema-evolution read, no rewrite
+      spark.read.schema(readSchema(spark, snap)).parquet(snap.dataDir)
+    else spark.read.parquet(snap.dataDir)
+  }
 
   def read(spark: SparkSession, root: String): DataFrame =
     read(spark, latest(root))
+
+  /** Metadata-only schema evolution — the `ALTER TABLE ADD/DROP COLUMN`
+    * engine path. Commits a NEW version whose data dir hard-links every
+    * parquet file of the base snapshot (zero data movement — at 100 TB a
+    * column add that rewrites the table is a non-starter; on an object
+    * store the same commit just re-references the files in a manifest) and
+    * pins the evolved schema in `_schema.json`, which [[read]] honors.
+    * Added columns must be nullable (existing rows null-fill at read).
+    * Runs under the same optimistic CAS as any transaction. The new
+    * version carries no `_manifest` (stats columns may have changed); on a
+    * CDC table it lands an EMPTY change set — schema changes are not row
+    * changes.
+    */
+  def alterSchema(spark: SparkSession, root: String,
+      evolve: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType,
+      maxAttempts: Int = 10): Snapshot = {
+    import org.apache.spark.sql.types.StructType
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latest(root)
+      val baseSchema = readSchema(spark, base)
+      val next = evolve(baseSchema)
+      val added = next.filterNot(f => baseSchema.exists(_.name == f.name))
+      require(added.forall(_.nullable),
+        s"added columns must be nullable (existing rows null-fill): " +
+          added.filterNot(_.nullable).map(_.name).mkString(", "))
+      val dir = Paths.get(root, "data", UUID.randomUUID().toString)
+      Files.createDirectories(dir)
+      listDir(Paths.get(base.dataDir))
+        .filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet"))
+        .foreach(f => Files.createLink(dir.resolve(f.getFileName), f))
+      Files.writeString(dir.resolve("_schema.json"), next.json)
+      if (cdcKeys(root).nonEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(next.fields :+ org.apache.spark.sql.types.StructField(
+            ChangeTypeCol, org.apache.spark.sql.types.StringType)))
+          .write.mode("overwrite").parquet(s"$dir/_changes")
+      if (tryCommit(root, base.version, dir.toString))
+        return Snapshot(base.version + 1, dir.toString)
+      attempt += 1 // lost the race: the orphaned link dir is cleanOrphans food
+    }
+    throw new CommitConflictException(
+      s"lost the commit race $maxAttempts times altering $root")
+  }
+
+  /** Append (or whole-table replace, `overwrite`) through the commit
+    * protocol — the INSERT INTO path shared by SqlDml and the catalog's V1
+    * write fallback. Columns are aligned BY NAME against the live table
+    * schema and cast; missing nullable columns null-fill (the MERGE INSERT
+    * arm convention). On CDC tables an append enforces key freshness (one
+    * left-semi probe against the base — an `insert` change for a live key
+    * corrupts downstream apply) and emits the appended rows as its change
+    * set; an overwrite falls back to the generic keyed diff.
+    */
+  def append(spark: SparkSession, root: String, rows: DataFrame,
+      overwrite: Boolean = false, maxAttempts: Int = 10): Snapshot = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def aligned(base: DataFrame): DataFrame = {
+      val have = rows.columns.map(_.toLowerCase).toSet
+      val extra = rows.columns.filterNot(c =>
+        base.columns.exists(_.equalsIgnoreCase(c)))
+      require(extra.isEmpty,
+        s"appended columns not in table: ${extra.mkString(", ")}")
+      base.schema.fields.toIndexedSeq.map { f =>
+        (if (have(f.name.toLowerCase)) col(f.name) else lit(null))
+          .cast(f.dataType).as(f.name)
+      } match { case cols => rows.select(cols: _*) }
+    }
+    if (overwrite)
+      transact(spark, root, maxAttempts)(base => aligned(base))
+    else if (cdcKeys(root).isEmpty)
+      transact(spark, root, maxAttempts)(base => base.unionByName(aligned(base)))
+    else transactWithChanges(spark, root, maxAttempts) { base =>
+      val a = aligned(base)
+      val keys = cdcKeys(root)
+      val clash = a.join(base, keys, "left_semi").limit(1)
+      require(clash.isEmpty,
+        s"append to CDC table $root carries already-live key(s) " +
+          s"(${keys.mkString(", ")}) — use MERGE for upserts")
+      (base.unionByName(a), a.withColumn(ChangeTypeCol, lit("insert")))
+    }
+  }
+
+  /** Latest version whose commit landed at or before `tsMicros` (epoch
+    * microseconds) — the `TIMESTAMP AS OF` resolution rule, driven by
+    * commit-file mtimes exactly as Delta resolves timestamps from its log.
+    */
+  def versionAsOf(root: String, tsMicros: Long): Long =
+    listDir(commitsDir(root))
+      .filter(_.getFileName.toString.endsWith(".commit"))
+      .filter(f => Files.getLastModifiedTime(f).toMillis * 1000L <= tsMicros)
+      .map(_.getFileName.toString.stripSuffix(".commit").toLong)
+      .maxOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no version committed at or before t=$tsMicros at $root"))
 
   /** Change rows landed by commit `version` (data columns +
     * [[ChangeTypeCol]] + [[CommitVersionCol]]). A committed version on a

@@ -131,50 +131,22 @@ object SqlDml {
         require(ins.partitionSpec.isEmpty && !ins.ifPartitionNotExists,
           "partitioned INSERT not supported")
         val src = org.apache.spark.sql.GraftSqlShim.ofRows(spark, ins.query)
-        def rowsFor(base: DataFrame): DataFrame = {
-          val cols = base.columns.toIndexedSeq
-          val named =
-            if (ins.userSpecifiedCols.nonEmpty) {
-              require(ins.userSpecifiedCols.length == src.columns.length,
-                s"INSERT column list has ${ins.userSpecifiedCols.length} names " +
-                  s"for ${src.columns.length} values")
-              src.toDF(ins.userSpecifiedCols: _*)
-            } else {
-              require(src.columns.length == cols.length,
-                s"INSERT provides ${src.columns.length} columns, table has ${cols.length}")
-              src.toDF(cols: _*)
-            }
-          val have = named.columns.map(_.toLowerCase).toSet
-          // unnamed columns become typed NULLs, like MERGE's INSERT arm
-          named.select(cols.map { c =>
-            (if (have(c.toLowerCase)) col(c) else lit(null))
-              .cast(base.schema(c).dataType).as(c)
-          }: _*)
-        }
-        if (ins.overwrite)
-          // overwrite = whole-table replace: change semantics are a true
-          // keyed diff of old vs new, so the generic post-hoc diff applies
-          SnapshotStore.transact(spark, root, maxAttempts)(rowsFor)
-        else
-          // append: the statement knows its change set exactly — the new
-          // rows as inserts. On CDC tables that relies on appended keys
-          // being fresh (the store's key-uniqueness contract), so ENFORCE
-          // it: one left-semi probe of the batch against the base (batch-
-          // sized build side, short-circuits at the first clash) — an
-          // 'insert' change for a live key would make downstream
-          // CdcApplySink resolution nondeterministic.
-          transactBoth(spark, root, maxAttempts, base => {
-            val rows = rowsFor(base)
-            val keys = SnapshotStore.cdcKeys(root)
-            if (keys.nonEmpty) {
-              val clash = rows.join(base, keys, "left_semi").limit(1)
-              require(clash.isEmpty,
-                s"INSERT on CDC table $root appends already-live key(s) " +
-                  s"(${keys.mkString(", ")}) — use MERGE for upserts")
-            }
-            (base.unionByName(rows),
-              rows.withColumn(SnapshotStore.ChangeTypeCol, lit("insert")))
-          })
+        // name resolution happens here; alignment/casts/CDC guards live in
+        // SnapshotStore.append (shared with the catalog's V1 write fallback)
+        val named =
+          if (ins.userSpecifiedCols.nonEmpty) {
+            require(ins.userSpecifiedCols.length == src.columns.length,
+              s"INSERT column list has ${ins.userSpecifiedCols.length} names " +
+                s"for ${src.columns.length} values")
+            src.toDF(ins.userSpecifiedCols: _*)
+          } else {
+            val cols = SnapshotStore.readSchema(spark, SnapshotStore.latest(root))
+              .fieldNames.toIndexedSeq
+            require(src.columns.length == cols.length,
+              s"INSERT provides ${src.columns.length} columns, table has ${cols.length}")
+            src.toDF(cols: _*)
+          }
+        SnapshotStore.append(spark, root, named, ins.overwrite, maxAttempts)
 
       case ctas: CreateTableAsSelect =>
         val name = ctas.name match {

@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftCatalog, SnapshotStore}
+
+/** The warehouse's SQL surface (sources/GraftCatalog.scala): named tables
+  * in `spark.sql`, DDL, DML through the V1 write fallback, time travel,
+  * and the table_changes / table_history TVFs. Every statement here is the
+  * literal text a lakehouse user types — the point of the catalog is that
+  * none of them need the Scala API.
+  */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft_cat_wh").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", dir)
+    GraftExtensions.install(spark)
+    dir
+  }
+
+  test("CREATE TABLE + INSERT INTO + SELECT by name round-trips") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    spark.sql("CREATE TABLE graft.ns.emp (id BIGINT, name STRING, salary BIGINT)")
+    spark.sql(
+      "INSERT INTO graft.ns.emp VALUES (1, 'ada', 100), (2, 'bob', 200)")
+    spark.sql("INSERT INTO graft.ns.emp (id, name) VALUES (3, 'cyd')")
+    val got = spark.sql(
+      "SELECT id, name, salary FROM graft.ns.emp ORDER BY id").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "ada"), (2L, "bob"), (3L, "cyd")))
+    assert(got(2).isNullAt(2), "unlisted column must insert as typed NULL")
+    // physical identity: root really is a SnapshotStore table
+    assert(SnapshotStore.latest(s"$wh/ns/emp").version == 2L)
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF pin history; pinned tables refuse writes") {
+    wh
+    spark.sql("CREATE TABLE graft.tt (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.tt VALUES (1, 10)") // v1
+    spark.sql("INSERT OVERWRITE graft.tt VALUES (1, 99), (2, 20)") // v2
+    assert(spark.sql("SELECT * FROM graft.tt VERSION AS OF 1").count() == 1L)
+    assert(spark.sql(
+      "SELECT v FROM graft.tt VERSION AS OF 2 WHERE id = 1").head().getLong(0) == 99L)
+    // far-future timestamp resolves to the latest version (commit mtimes)
+    assert(spark.sql(
+      "SELECT * FROM graft.tt TIMESTAMP AS OF '2099-01-01'").count() == 2L)
+    val e = intercept[Exception](spark.sql(
+      "INSERT INTO graft.tt VERSION AS OF 1 VALUES (9, 9)"))
+    assert(e.getMessage != null)
+  }
+
+  test("CTAS lands a committed v0; DROP TABLE removes it") {
+    wh
+    spark.range(5).select($"id", ($"id" * 2).as("dbl"))
+      .createOrReplaceTempView("cat_ctas_src")
+    spark.sql("CREATE TABLE graft.ctas AS SELECT * FROM cat_ctas_src")
+    assert(spark.sql("SELECT sum(dbl) FROM graft.ctas").head().getLong(0) == 20L)
+    spark.sql("DROP TABLE graft.ctas")
+    assert(!Files.exists(Paths.get(s"$wh/ctas")),
+      "DROP TABLE must remove the root")
+    intercept[Exception](spark.sql("SELECT * FROM graft.ctas").collect())
+  }
+
+  test("ALTER TABLE ADD COLUMN is metadata-only; DROP COLUMN hides data") {
+    wh
+    spark.sql("CREATE TABLE graft.ev (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.ev VALUES (1, 10), (2, 20)")
+    val filesBefore = Files.list(Paths.get(SnapshotStore.latest(s"$wh/ev").dataDir))
+      .count()
+    spark.sql("ALTER TABLE graft.ev ADD COLUMN tag STRING")
+    // old rows null-fill; new rows carry the column
+    spark.sql("INSERT INTO graft.ev VALUES (3, 30, 'x')")
+    val rows = spark.sql("SELECT id, tag FROM graft.ev ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSeq == Seq((1L, null), (2L, null), (3L, "x")))
+    // the ALTER version's dir holds HARD LINKS, not copies: same file count,
+    // no data rewrite (metadata-only evolution)
+    val alterDir = SnapshotStore.at(s"$wh/ev", 2L).dataDir
+    val linked = Files.list(Paths.get(alterDir)).iterator()
+    var parquets = 0
+    while (linked.hasNext) {
+      val p = linked.next()
+      if (p.getFileName.toString.endsWith(".parquet")) parquets += 1
+    }
+    assert(parquets > 0 && parquets <= filesBefore, "ALTER must link, not rewrite")
+    // time travel BEFORE the alter shows the old schema
+    assert(!spark.sql("SELECT * FROM graft.ev VERSION AS OF 1")
+      .columns.contains("tag"))
+    spark.sql("ALTER TABLE graft.ev DROP COLUMN v")
+    assert(spark.sql("SELECT * FROM graft.ev").columns.toSeq == Seq("id", "tag"))
+  }
+
+  test("catalog reads keep pushdown + pruning (vectorized parquet underneath)") {
+    wh
+    spark.sql("CREATE TABLE graft.push (id BIGINT, a BIGINT, b STRING)")
+    spark.sql("INSERT INTO graft.push SELECT id, id * 2, 'r' || id FROM range(100)")
+    val plan = spark.sql("SELECT a FROM graft.push WHERE id = 7")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,7)]"),
+      s"predicate must reach the scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<id:bigint,a:bigint>"),
+      s"column pruning must reach the scan:\n$plan")
+  }
+
+  test("table_changes/table_history TVFs read the feed and log through SQL") {
+    wh
+    spark.sql("CREATE TABLE graft.cdc (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('cdc.keys' = 'id')")
+    spark.sql("INSERT INTO graft.cdc VALUES (1, 10), (2, 20)") // v1: 2 inserts
+    graft.sources.SqlDml.execute(spark,
+      "UPDATE t SET v = v + 1 WHERE id = 1", Map("t" -> s"$wh/cdc")) // v2
+    val ch = spark.sql(
+      "SELECT _change_type, count(*) AS n FROM table_changes('cdc', 1, 2) " +
+        "GROUP BY 1 ORDER BY 1").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ch == Seq(("insert", 2L), ("update_postimage", 1L),
+      ("update_preimage", 1L)), s"got $ch")
+    // catalog-qualified and path forms resolve to the same feed
+    assert(spark.sql(s"SELECT * FROM table_changes('graft.cdc', 1, 2)").count() ==
+      spark.sql(s"SELECT * FROM table_changes('$wh/cdc', 1, 2)").count())
+    val hist = spark.sql(
+      "SELECT version FROM table_history('cdc') ORDER BY version").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("appending a live key to a CDC table through SQL INSERT refuses") {
+    wh
+    spark.sql("CREATE TABLE graft.cdk (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('cdc.keys' = 'id')")
+    spark.sql("INSERT INTO graft.cdk VALUES (1, 10)")
+    intercept[Exception](
+      spark.sql("INSERT INTO graft.cdk VALUES (1, 99)"))
+    assert(spark.sql("SELECT * FROM graft.cdk").count() == 1L)
+  }
+
+  test("listTables / listNamespaces / renameTable surface the warehouse layout") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.meta")
+    spark.sql("CREATE TABLE graft.meta.t1 (id BIGINT)")
+    assert(spark.sql("SHOW TABLES IN graft.meta").collect()
+      .map(_.getString(1)).contains("t1"))
+    spark.sql("ALTER TABLE graft.meta.t1 RENAME TO graft.meta.t2")
+    assert(Files.exists(Paths.get(s"$wh/meta/t2/_commits")))
+    assert(!Files.exists(Paths.get(s"$wh/meta/t1")))
+  }
+}
