@@ -58,7 +58,8 @@ object SqlDml {
     * and CdcSpec pins the equivalence against the generic diff for every
     * statement shape.
     */
-  def execute(spark: SparkSession, sql: String, tables: Map[String, String],
+  def execute(spark: SparkSession, sql: String,
+      tables: Map[String, String] = Map.empty,
       maxAttempts: Int = 10, checkCardinality: Boolean = true): SnapshotStore.Snapshot = {
     spark.sessionState.sqlParser.parsePlan(sql) match {
       case u: UpdateTable =>
@@ -287,19 +288,46 @@ object SqlDml {
     (out, changes)
   }
 
-  /** (table name, alias) of a DML relation: unwraps `t AS a`. */
+  /** (table name, alias) of a DML relation: unwraps `t AS a`. The name
+    * keeps its full dotted form (`cat.ns.t`) so [[rootOf]] can resolve it
+    * through a catalog warehouse; the alias is the last segment.
+    */
   private def relationOf(plan: LogicalPlan): (String, String) = plan match {
     case SubqueryAlias(ident, child) => (relationOf(child)._1, ident.name)
     case r: UnresolvedRelation =>
-      val n = r.multipartIdentifier.last
-      (n, n)
+      (r.multipartIdentifier.mkString("."), r.multipartIdentifier.last)
     case other => throw new IllegalArgumentException(
       s"unsupported DML relation shape: ${other.getClass.getSimpleName}")
   }
 
+  /** Root resolution: the explicit map first; otherwise catalog-qualified
+    * names (`cat.ns.t` — any registered catalog with a `.warehouse` conf,
+    * `graft` by default for bare names) resolve exactly as the
+    * table_changes TVF does, so `UPDATE graft.ns.t SET …` needs no map at
+    * all — the statement surface a catalog user expects.
+    */
   private def rootOf(tables: Map[String, String], name: String): String =
-    tables.getOrElse(name, throw new IllegalArgumentException(
-      s"table '$name' has no SnapshotStore root (known: ${tables.keys.mkString(", ")})"))
+    tables.getOrElse(name, {
+      val conf = org.apache.spark.sql.internal.SQLConf.get
+      def warehouseOf(cat: String): String =
+        conf.getConfString(s"spark.sql.catalog.$cat.warehouse", "")
+      val parts = name.split('.').toSeq
+      val viaCatalog = warehouseOf(parts.head)
+      val root =
+        if (parts.length > 1 && viaCatalog.nonEmpty)
+          (viaCatalog +: parts.tail).mkString("/")
+        else {
+          val w = warehouseOf("graft")
+          if (w.isEmpty) throw new IllegalArgumentException(
+            s"table '$name' has no SnapshotStore root " +
+              s"(known: ${tables.keys.mkString(", ")}) and no catalog warehouse is set")
+          (w +: parts).mkString("/")
+        }
+      require(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(root, "_commits")),
+        s"resolved '$name' to $root, which is not a SnapshotStore table")
+      root
+    })
 
   /** target column (lower-cased) → RHS column; RHS regenerated via
     * Expression.sql so it stays inside Catalyst/codegen.

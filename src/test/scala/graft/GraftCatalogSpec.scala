@@ -139,6 +139,21 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM graft.cdk").count() == 1L)
   }
 
+  test("DML statements resolve catalog-qualified names without a root map") {
+    wh
+    spark.sql("CREATE TABLE graft.dml (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.dml VALUES (1, 10), (2, 20), (3, 30)")
+    graft.sources.SqlDml.execute(spark, "UPDATE graft.dml SET v = v + 1 WHERE id <= 2")
+    graft.sources.SqlDml.execute(spark, "DELETE FROM graft.dml WHERE id = 3")
+    val got = spark.sql("SELECT id, v FROM graft.dml ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 11L), (2L, 21L)))
+    // unresolvable names refuse with a pointer at the fix
+    val e = intercept[Exception](
+      graft.sources.SqlDml.execute(spark, "UPDATE graft.nosuch SET v = 1"))
+    assert(e.getMessage.contains("not a SnapshotStore table"), e.getMessage)
+  }
+
   test("listTables / listNamespaces / renameTable surface the warehouse layout") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.meta")
