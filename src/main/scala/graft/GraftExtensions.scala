@@ -146,7 +146,7 @@ object GraftExtensions {
     * bare-name default is catalog `graft` — the conventional name the
     * gates and specs register).
     */
-  private def resolveRoot(name: String): String = {
+  private[graft] def resolveRoot(name: String): String = {
     if (name.contains("/")) return name
     val conf = org.apache.spark.sql.internal.SQLConf.get
     def warehouseOf(cat: String): String =

@@ -6,10 +6,12 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -49,7 +51,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * cached at `initialize`): Spark's CatalogManager instantiates one plugin
   * per name per session, but tests/gates repoint the warehouse per run.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
   import GraftCatalog.CdcKeysProp
 
   private var catalogName: String = _
@@ -182,6 +185,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     Files.move(from, to)
   }
 
+  // ---- maintenance procedures (SQL: CALL graft.system.<proc>(...)) -------
+
+  /** Table maintenance as CATALOG PROCEDURES — the Iceberg
+    * `CALL cat.system.rewrite_data_files(...)` surface, on Spark 4's own
+    * ProcedureCatalog API (SPARK-44167). Side-effecting maintenance must
+    * be a statement the engine EXECUTES, never a table function the
+    * analyzer might evaluate while planning an EXPLAIN: `CALL` is the one
+    * SQL form with run-exactly-once semantics. Each returns a one-row
+    * summary as a LocalScan.
+    */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val procs = Map(
+      "optimize" -> GraftCatalog.OptimizeProc,
+      "expire_snapshots" -> GraftCatalog.ExpireProc,
+      "clean_orphans" -> GraftCatalog.CleanOrphansProc)
+    procs.get(ident.name.toLowerCase).map(_(this))
+      .getOrElse(throw new RuntimeException(
+        s"unknown procedure ${ident.name} (have: ${procs.keys.mkString(", ")})"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array("optimize", "expire_snapshots", "clean_orphans")
+      .map(Identifier.of(Array("system"), _))
+
+  /** `'ns.t'` (warehouse-relative) or a filesystem root — the same rule as
+    * the table_changes TVF and SqlDml name fallback.
+    */
+  private[sources] def tableRoot(name: String): String = {
+    val root =
+      if (name.contains("/")) name
+      else (warehouse +: name.split('.').toSeq).mkString("/")
+    require(isTable(root), s"'$name' ($root) is not a SnapshotStore table")
+    root
+  }
+
   // ---- namespaces ---------------------------------------------------------
 
   override def listNamespaces(): Array[Array[String]] = {
@@ -239,6 +277,92 @@ object GraftCatalog {
     * `enableChangeDataFeed`): `TBLPROPERTIES ('cdc.keys' = 'id')`.
     */
   val CdcKeysProp = "cdc.keys"
+
+  import org.apache.spark.sql.types.{LongType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** One-row result helper: a bound procedure whose call() runs `body` and
+    * returns its row under `schema` as a LocalScan.
+    */
+  private abstract class Proc(procName: String, params: Seq[ProcedureParameter],
+      out: StructType) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false // side-effecting
+    protected def run(input: InternalRow): InternalRow
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val row = run(input)
+      java.util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = out
+      }).iterator()
+    }
+  }
+
+  private def p(n: String, t: org.apache.spark.sql.types.DataType) =
+    ProcedureParameter.in(n, t).build()
+
+  /** `CALL graft.system.optimize('ns.t', target_rows [, 'cluster_col'])` —
+    * SnapshotStore.optimize as a statement: bin-pack (and optionally
+    * range-cluster) the current snapshot in one optimistic transaction.
+    * Returns (version, files) of the committed layout.
+    */
+  private[sources] val OptimizeProc: GraftCatalog => UnboundProcedure = cat =>
+    new Proc("optimize",
+      Seq(p("table", StringType), p("target_rows", LongType),
+        ProcedureParameter.in("cluster_by", StringType).defaultValue("''").build()),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("version", LongType),
+        org.apache.spark.sql.types.StructField("files", LongType)))) {
+      override protected def run(in: InternalRow): InternalRow = {
+        val root = cat.tableRoot(in.getString(0))
+        val cluster = Option(in.getString(2)).map(_.trim).filter(_.nonEmpty)
+          .map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil)
+        val snap = SnapshotStore.optimize(SparkSession.active, root,
+          targetRows = in.getLong(1), clusterBy = cluster)
+        val files = {
+          val s = Files.list(Paths.get(snap.dataDir))
+          try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+          finally s.close()
+        }
+        InternalRow(snap.version, files.toLong)
+      }
+    }
+
+  /** `CALL graft.system.expire_snapshots('ns.t', keep_last)` — VACUUM:
+    * drop all but the newest versions and their data dirs. Returns the
+    * count and range of expired versions.
+    */
+  private[sources] val ExpireProc: GraftCatalog => UnboundProcedure = cat =>
+    new Proc("expire_snapshots",
+      Seq(p("table", StringType), p("keep_last", LongType)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_expired", LongType),
+        org.apache.spark.sql.types.StructField("latest_version", LongType)))) {
+      override protected def run(in: InternalRow): InternalRow = {
+        val root = cat.tableRoot(in.getString(0))
+        val expired = SnapshotStore.expireSnapshots(root, in.getLong(1).toInt)
+        InternalRow(expired.length.toLong, SnapshotStore.latest(root).version)
+      }
+    }
+
+  /** `CALL graft.system.clean_orphans('ns.t' [, min_age_ms])` — GC for
+    * staging dirs whose writer lost the commit race or crashed.
+    */
+  private[sources] val CleanOrphansProc: GraftCatalog => UnboundProcedure = cat =>
+    new Proc("clean_orphans",
+      Seq(p("table", StringType),
+        ProcedureParameter.in("min_age_ms", LongType)
+          .defaultValue("3600000").build()),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_deleted", LongType)))) {
+      override protected def run(in: InternalRow): InternalRow = {
+        val root = cat.tableRoot(in.getString(0))
+        InternalRow(SnapshotStore.cleanOrphans(root, in.getLong(1)).length.toLong)
+      }
+    }
 }
 
 /** One resolved (table, snapshot) pair. Reads delegate to Spark's own

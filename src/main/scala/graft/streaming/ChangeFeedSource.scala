@@ -48,9 +48,16 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   */
 class ChangeFeedSource extends StreamSourceProvider {
 
+  /** `path` may be a SnapshotStore root or a catalog-resolvable table name
+    * (`'ns.t'` via the graft catalog's warehouse, `'cat.ns.t'` via any
+    * registered catalog) — the same rule as the table_changes TVF, so the
+    * streaming and batch feed surfaces address tables identically.
+    */
   private def rootOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path", throw new IllegalArgumentException(
-      "option 'path' (SnapshotStore root) is required"))
+    graft.GraftExtensions.resolveRoot(
+      parameters.getOrElse("path", parameters.getOrElse("table",
+        throw new IllegalArgumentException(
+          "option 'path' (SnapshotStore root or table name) is required"))))
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =

@@ -129,6 +129,16 @@ class GraftCatalogSpec extends SparkSpec {
     assert(hist.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("streaming change feed addresses tables by catalog name, like the TVF") {
+    wh
+    spark.sql("CREATE TABLE graft.feedname (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('cdc.keys' = 'id')")
+    val feed = spark.readStream.format("graft.streaming.ChangeFeedSource")
+      .option("path", "feedname").load() // bare name -> graft warehouse
+    assert(feed.columns.contains("_change_type") &&
+      feed.columns.contains("_commit_version"))
+  }
+
   test("appending a live key to a CDC table through SQL INSERT refuses") {
     wh
     spark.sql("CREATE TABLE graft.cdk (id BIGINT, v BIGINT) " +
@@ -137,6 +147,27 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception](
       spark.sql("INSERT INTO graft.cdk VALUES (1, 99)"))
     assert(spark.sql("SELECT * FROM graft.cdk").count() == 1L)
+  }
+
+  test("CALL graft.system.optimize / expire_snapshots / clean_orphans maintain tables") {
+    wh
+    spark.sql("CREATE TABLE graft.mt (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.mt SELECT id, id * 3 FROM range(2000)")
+    // fragment: many more files than needed
+    SnapshotStore.transact(spark, s"$wh/mt")(df => df.repartition(16))
+    val dirBefore = SnapshotStore.latest(s"$wh/mt").dataDir
+    val before = Files.list(Paths.get(dirBefore)).filter(_.toString.endsWith(".parquet")).count()
+    val opt = spark.sql("CALL graft.system.optimize('mt', 2000)").collect().head
+    assert(opt.getLong(0) == 3L, "optimize must commit a new version")
+    assert(opt.getLong(1) < before, s"optimize must shrink files ($before -> ${opt.getLong(1)})")
+    assert(spark.sql("SELECT sum(v) FROM graft.mt").head().getLong(0) ==
+      3L * 2000 * 1999 / 2, "optimize moves bytes, never rows")
+    val exp = spark.sql("CALL graft.system.expire_snapshots('mt', 1)").collect().head
+    assert(exp.getLong(0) == 3L && exp.getLong(1) == 3L, s"expired ${exp.toSeq}")
+    assert(!Files.exists(Paths.get(dirBefore)), "expired data dirs are deleted")
+    assert(spark.sql("CALL graft.system.clean_orphans('mt', 0)").collect()
+      .head.getLong(0) == 0L)
+    assert(spark.sql("SHOW PROCEDURES IN graft.system").count() == 3L)
   }
 
   test("DML statements resolve catalog-qualified names without a root map") {
