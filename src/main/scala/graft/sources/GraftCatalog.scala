@@ -65,6 +65,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def warehouse: String = {
     val key = s"spark.sql.catalog.$catalogName.warehouse"
     val fromConf = SQLConf.get.getConfString(key, "")
@@ -136,8 +139,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
+    // constraint changes are table-level config, not schema versions
+    val (constraintChanges, schemaChanges) = changes.partition {
+      case _: TableChange.AddConstraint | _: TableChange.DropConstraint => true
+      case _ => false
+    }
+    constraintChanges.foreach {
+      case add: TableChange.AddConstraint => add.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          // validates EXISTING rows before accepting — the Delta contract
+          SnapshotStore.addTableConstraint(spark, root, c.name(), c.predicateSql())
+        case other => throw new UnsupportedOperationException(
+          s"only CHECK constraints are enforced (got ${other.toDDL})")
+      }
+      case drop: TableChange.DropConstraint =>
+        val existed = SnapshotStore.dropTableConstraint(root, drop.name())
+        if (!existed && !drop.ifExists())
+          throw new IllegalArgumentException(s"no such constraint ${drop.name()}")
+      case _ => ()
+    }
+    if (schemaChanges.isEmpty) return loadTable(ident)
     SnapshotStore.alterSchema(spark, root, schema =>
-      changes.foldLeft(schema) {
+      schemaChanges.foldLeft(schema) {
         case (s, add: TableChange.AddColumn) =>
           require(add.fieldNames.length == 1,
             s"nested column add not supported: ${add.fieldNames.mkString(".")}")
@@ -393,6 +416,14 @@ private[sources] class GraftTable(spark: SparkSession, tableName: String,
     if (keys.nonEmpty) m.put(GraftCatalog.CdcKeysProp, keys.mkString(","))
     m
   }
+
+  override def constraints():
+      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    SnapshotStore.tableConstraints(root).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(sql).build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     ParquetTable(tableName, spark, options, Seq(snap.dataDir),

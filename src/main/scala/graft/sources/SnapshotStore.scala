@@ -73,6 +73,56 @@ object SnapshotStore {
   private def commitFile(root: String, v: Long): Path =
     commitsDir(root).resolve(f"$v%020d.commit")
   private def cdcConfigFile(root: String): Path = Paths.get(root, "_cdc")
+  private def constraintsFile(root: String): Path = Paths.get(root, "_constraints")
+
+  /** Table-level CHECK constraints (name → boolean predicate SQL), the
+    * public Delta CHECK-constraint contract: EVERY commit to the table —
+    * SQL DML, catalog INSERT, compaction, any transact — validates its
+    * output in one aggregate job BEFORE a pointer moves, so committed
+    * snapshots always satisfy their invariants. NULL predicates pass
+    * (SQL CHECK semantics: only FALSE violates).
+    */
+  def tableConstraints(root: String): Seq[(String, String)] = {
+    val f = constraintsFile(root)
+    if (!Files.exists(f)) Nil
+    else Files.readString(f).linesIterator.filter(_.nonEmpty).map { l =>
+      val Array(n, sql) = l.split("\t", 2)
+      (n, sql)
+    }.toSeq
+  }
+
+  /** Add a named CHECK constraint. EXISTING rows are validated first (one
+    * short-circuiting scan) — a constraint the current snapshot violates
+    * refuses, exactly as Delta's ALTER TABLE ADD CONSTRAINT does.
+    */
+  def addTableConstraint(spark: SparkSession, root: String, name: String,
+      predicateSql: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(!name.contains("\t") && !predicateSql.contains("\n"),
+      "constraint name/SQL must be single-line")
+    val existing = tableConstraints(root)
+    require(!existing.exists(_._1 == name), s"constraint '$name' already exists")
+    val bad = read(spark, root)
+      .filter(not(coalesce(expr(predicateSql), lit(true)))).limit(1)
+    require(bad.isEmpty,
+      s"cannot add constraint '$name': existing rows violate ($predicateSql)")
+    Files.writeString(constraintsFile(root),
+      (existing :+ (name, predicateSql)).map { case (n, s) => s"$n\t$s" }
+        .mkString("", "\n", "\n"))
+  }
+
+  /** Drop a named CHECK constraint; returns whether it existed. */
+  def dropTableConstraint(root: String, name: String): Boolean = {
+    val existing = tableConstraints(root)
+    val kept = existing.filterNot(_._1 == name)
+    if (kept.length == existing.length) false
+    else {
+      if (kept.isEmpty) Files.deleteIfExists(constraintsFile(root))
+      else Files.writeString(constraintsFile(root),
+        kept.map { case (n, s) => s"$n\t$s" }.mkString("", "\n", "\n"))
+      true
+    }
+  }
 
   /** Create the table: version 0 pins the initial snapshot.
     * `statsCols` opts the snapshot into a per-file min/max manifest
@@ -613,22 +663,26 @@ object SnapshotStore {
       statsCols: Seq[String], txn: Option[Txn],
       constraints: Seq[(String, org.apache.spark.sql.Column)])(
       transform: DataFrame => (DataFrame, Option[DataFrame])): Snapshot = {
-    import org.apache.spark.sql.functions.{count, lit, sum, when}
+    import org.apache.spark.sql.functions.{count, expr, lit, sum, when}
     var attempt = 0
     while (attempt < maxAttempts) {
       if (txn.exists(t => lastTxnVersion(root, t.appId).exists(_ >= t.version)))
         return latest(root) // already applied — replayed batch
       val base = latest(root)
       val (out, suppliedChanges) = transform(read(spark, base))
-      if (constraints.nonEmpty) {
-        val aggs = constraints.map { case (name, c) =>
+      // caller-supplied invariants + the table's own persisted CHECK
+      // constraints — every commit path enforces the latter automatically
+      val allConstraints = constraints ++
+        tableConstraints(root).map { case (n, sql) => (n, expr(sql)) }
+      if (allConstraints.nonEmpty) {
+        val aggs = allConstraints.map { case (name, c) =>
           // coalesce: sum over an EMPTY output is null, and an empty
           // snapshot trivially satisfies every row constraint
           org.apache.spark.sql.functions.coalesce(
             sum(when(!c, lit(1L)).otherwise(lit(0L))), lit(0L)).as(name)
         }
         val row = out.agg(count(lit(1)).as("_n"), aggs: _*).head()
-        val bad = constraints.zipWithIndex.collect {
+        val bad = allConstraints.zipWithIndex.collect {
           case ((name, _), i) if row.getLong(i + 1) > 0 =>
             s"$name (${row.getLong(i + 1)} rows)"
         }

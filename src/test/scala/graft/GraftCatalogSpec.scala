@@ -185,6 +185,35 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("not a SnapshotStore table"), e.getMessage)
   }
 
+  test("CHECK constraints: ADD validates existing rows, every later commit enforces") {
+    wh
+    spark.sql("CREATE TABLE graft.ck (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.ck VALUES (1, 10), (2, 20)")
+    spark.sql("ALTER TABLE graft.ck ADD CONSTRAINT v_pos CHECK (v > 0)")
+    // violating INSERT refuses BEFORE any pointer moves. Two enforcement
+    // layers fire depending on path: Spark 4's own per-row check (it reads
+    // Table.constraints() and injects validation into V2 writes -> a
+    // SparkRuntimeException mid-write, nothing committed) and the store's
+    // commit-time aggregate (ConstraintViolationException) for paths that
+    // bypass the catalog (SqlDml, raw transact).
+    intercept[Exception](spark.sql("INSERT INTO graft.ck VALUES (3, -5)"))
+    assert(spark.sql("SELECT count(*) FROM graft.ck").head().getLong(0) == 2L)
+    intercept[SnapshotStore.ConstraintViolationException](
+      graft.sources.SqlDml.execute(spark, "UPDATE graft.ck SET v = v - 100"))
+    assert(spark.sql("SELECT min(v) FROM graft.ck").head().getLong(0) == 10L)
+    // a constraint existing rows violate refuses to attach
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.ck ADD CONSTRAINT v_big CHECK (v > 15)"))
+    assert(SnapshotStore.tableConstraints(s"$wh/ck").map(_._1) == Seq("v_pos"))
+    // NULL predicate passes (SQL CHECK semantics), and DROP re-opens the gate
+    spark.sql("ALTER TABLE graft.ck ADD COLUMN w BIGINT")
+    spark.sql("ALTER TABLE graft.ck ADD CONSTRAINT w_pos CHECK (w > 0)")
+    spark.sql("INSERT INTO graft.ck VALUES (4, 40, NULL)") // null w: passes
+    spark.sql("ALTER TABLE graft.ck DROP CONSTRAINT v_pos")
+    spark.sql("INSERT INTO graft.ck VALUES (5, -1, 1)") // v_pos gone
+    assert(spark.sql("SELECT count(*) FROM graft.ck").head().getLong(0) == 4L)
+  }
+
   test("listTables / listNamespaces / renameTable surface the warehouse layout") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.meta")
