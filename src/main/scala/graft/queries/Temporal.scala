@@ -309,8 +309,14 @@ object Temporal {
         SnapshotStore.init(s, root, cust, statsCols = Seq("c_custkey"))
         val before = SnapshotStore.manifest(s, SnapshotStore.latest(root)).count()
         val rows = SnapshotStore.read(s, SnapshotStore.latest(root)).count()
-        SnapshotStore.optimize(s, root, targetRows = (rows + 3) / 4,
-          clusterBy = Seq("c_custkey"), statsCols = Seq("c_custkey"))
+        // maintenance as a STATEMENT: the catalog's CALL procedure runs the
+        // same one-transaction bin-pack (sources/GraftCatalog.scala), so
+        // this gate oracle-checks the SQL maintenance surface end-to-end
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", root) // unused: path form
+        s.sql(s"CALL graft.system.optimize('$root', ${(rows + 3) / 4}, " +
+          "'c_custkey', 'c_custkey')")
         val snap = SnapshotStore.latest(root)
         val after = SnapshotStore.manifest(s, snap).count()
         require(after < before,

@@ -327,24 +327,26 @@ object GraftCatalog {
   private def p(n: String, t: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(n, t).build()
 
-  /** `CALL graft.system.optimize('ns.t', target_rows [, 'cluster_col'])` —
-    * SnapshotStore.optimize as a statement: bin-pack (and optionally
-    * range-cluster) the current snapshot in one optimistic transaction.
-    * Returns (version, files) of the committed layout.
+  /** `CALL graft.system.optimize('ns.t', target_rows [, 'cluster_cols'
+    * [, 'stats_cols']])` — SnapshotStore.optimize as a statement: bin-pack
+    * (and optionally range-cluster) the current snapshot in one optimistic
+    * transaction, refreshing a min/max manifest for `stats_cols`. Returns
+    * (version, files) of the committed layout.
     */
   private[sources] val OptimizeProc: GraftCatalog => UnboundProcedure = cat =>
     new Proc("optimize",
       Seq(p("table", StringType), p("target_rows", LongType),
-        ProcedureParameter.in("cluster_by", StringType).defaultValue("''").build()),
+        ProcedureParameter.in("cluster_by", StringType).defaultValue("''").build(),
+        ProcedureParameter.in("stats_cols", StringType).defaultValue("''").build()),
       StructType(Seq(
         org.apache.spark.sql.types.StructField("version", LongType),
         org.apache.spark.sql.types.StructField("files", LongType)))) {
       override protected def run(in: InternalRow): InternalRow = {
         val root = cat.tableRoot(in.getString(0))
-        val cluster = Option(in.getString(2)).map(_.trim).filter(_.nonEmpty)
-          .map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil)
+        def cols(i: Int): Seq[String] = Option(in.getString(i)).map(_.trim)
+          .filter(_.nonEmpty).map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil)
         val snap = SnapshotStore.optimize(SparkSession.active, root,
-          targetRows = in.getLong(1), clusterBy = cluster)
+          targetRows = in.getLong(1), clusterBy = cols(2), statsCols = cols(3))
         val files = {
           val s = Files.list(Paths.get(snap.dataDir))
           try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
