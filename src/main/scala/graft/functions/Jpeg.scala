@@ -246,17 +246,19 @@ object Jpeg {
             val ns = b(seg) & 0xFF
             require(ns == comps.length,
               "multi-scan (non-interleaved color) streams unsupported")
-            var i = 0
-            while (i < ns) {
+            // MCU interleave follows the SOS component ORDER (T.81 B.2.3),
+            // not SOF order — they coincide in practice, but the spec says
+            // the scan header governs
+            val scanComps = Array.tabulate(ns) { i =>
               val cs = b(seg + 1 + i * 2) & 0xFF
               val c = comps.find(_.id == cs).getOrElse(
                 throw new IllegalArgumentException(s"SOS names unknown component $cs"))
               c.dcTable = (b(seg + 2 + i * 2) & 0xFF) >> 4
               c.acTable = b(seg + 2 + i * 2) & 0x0F
-              i += 1
+              c
             }
-            return decodeScan(b, off + 2 + len, w, h, comps, quant, dcTables,
-              acTables, restartInterval)
+            return decodeScan(b, off + 2 + len, w, h, scanComps, comps.head,
+              quant, dcTables, acTables, restartInterval)
           case m if m >= 0xD0 && m <= 0xD7 =>
             throw new IllegalArgumentException("RST marker outside entropy data")
           case _ => () // APPn / COM / others: skip by length
@@ -268,12 +270,12 @@ object Jpeg {
   }
 
   private def decodeScan(b: Array[Byte], start: Int, w: Int, h: Int,
-      comps: Array[Component], quant: Array[Array[Int]],
+      comps: Array[Component], luma: Component, quant: Array[Array[Int]],
       dcTables: Array[HuffTable], acTables: Array[HuffTable],
       restartInterval: Int): Array[Array[Int]] = {
     val hmax = comps.map(_.h).max
     val vmax = comps.map(_.v).max
-    require(comps.head.h == hmax && comps.head.v == vmax,
+    require(luma.h == hmax && luma.v == vmax,
       "luma must carry the max sampling factor")
     val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
     val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
@@ -325,7 +327,7 @@ object Jpeg {
                   k += 1
                 }
               }
-              if (ci == 0) // luma only: chroma IDCT is dead work here
+              if (c eq luma) // luma only: chroma IDCT is dead work here
                 idctInto(coef, plane, planeW,
                   (mx * c.h + bx) * 8, (my * c.v + by) * 8)
               bx += 1
