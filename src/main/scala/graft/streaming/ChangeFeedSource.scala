@@ -77,10 +77,14 @@ class ChangeFeedSource extends StreamSourceProvider {
 }
 
 object ChangeFeedSource {
-  /** Feed schema = the table's data schema + the CDF metadata columns. */
+  /** Feed schema = the table's data schema + the CDF metadata columns.
+    * Goes through [[SnapshotStore.readSchema]] so an ALTER-evolved table
+    * (pinned `_schema.json`, files unchanged) serves its EVOLVED schema,
+    * not what the parquet footers alone would infer.
+    */
   def schemaFor(sqlContext: SQLContext, root: String): StructType = {
-    val data = sqlContext.sparkSession.read
-      .parquet(SnapshotStore.latest(root).dataDir).schema
+    val data = SnapshotStore.readSchema(
+      sqlContext.sparkSession, SnapshotStore.latest(root))
     data.add(SnapshotStore.ChangeTypeCol, StringType)
       .add(SnapshotStore.CommitVersionCol, LongType)
   }
@@ -122,16 +126,26 @@ private class ChangeFeedStream(sqlContext: SQLContext, root: String,
     val lo = start.map(asLong(_) + 1L).getOrElse(startVersion)
     val hi = asLong(end)
     val versions = lo to hi
+    // conform every version's change frame to the DECLARED source schema
+    // (fixed at stream start, per the Source contract): versions before an
+    // ALTER TABLE ADD COLUMN lack the new column (null-fill), versions
+    // before a DROP carry a dead one (projected away) — a feed spanning a
+    // schema boundary must still serve one stable shape
+    def conform(df: DataFrame): DataFrame = {
+      import org.apache.spark.sql.functions.{col, lit}
+      df.select(schema.map { f =>
+        (if (df.columns.contains(f.name)) col(f.name)
+         else lit(null).cast(f.dataType)).as(f.name)
+      }.toIndexedSeq: _*)
+    }
     val batch =
       if (versions.isEmpty)
         sqlContext.sparkSession.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-      else versions.map(v => SnapshotStore.changesAt(sqlContext.sparkSession, root, v))
+      else versions.map(v => conform(
+          SnapshotStore.changesAt(sqlContext.sparkSession, root, v)))
         .reduce(_.unionByName(_))
-    // source contract column order, then re-flag as streaming
-    GraftSqlShim.asStreamingDF(
-      batch.select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
-        .toIndexedSeq: _*))
+    GraftSqlShim.asStreamingDF(batch) // re-flag as streaming
   }
 
   private def asLong(o: Offset): Long = o match {

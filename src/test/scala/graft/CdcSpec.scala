@@ -215,6 +215,32 @@ class CdcSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, root).count() == 3L)
   }
 
+  test("a feed spanning an ALTER TABLE boundary serves one stable evolved schema") {
+    val root = tmp("graft_cdc_evolve")
+    SnapshotStore.init(spark, root,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), cdcKeys = Seq("id"))
+    SqlDml.execute(spark, "UPDATE t SET v = v + 1 WHERE id = 1", Map("t" -> root))
+    // v2: metadata-only ADD COLUMN (empty change set on a CDC table)
+    SnapshotStore.alterSchema(spark, root,
+      s => s.add("tag", org.apache.spark.sql.types.StringType))
+    // v3: post-ALTER rows carry the new column
+    SnapshotStore.append(spark, root, Seq((3L, 30L, "x")).toDF("id", "v", "tag"))
+    val got = graft.streaming.EventsStream.runToMemory(spark,
+      spark.readStream.format("graft.streaming.ChangeFeedSource")
+        .option("path", root).load(),
+      s"cdc_evolve_${System.nanoTime()}", "append")
+    assert(got.columns.toSeq ==
+      Seq("id", "v", "tag", "_change_type", "_commit_version"))
+    val rows = got.orderBy($"_commit_version", $"id", $"_change_type").collect()
+    // pre-ALTER change rows null-fill tag; the post-ALTER insert carries it
+    assert(rows.filter(_.getLong(4) < 3L).forall(_.isNullAt(2)))
+    val v3 = rows.filter(_.getLong(4) == 3L)
+    assert(v3.length == 1 && v3.head.getString(2) == "x" &&
+      v3.head.getString(3) == "insert")
+    // the ALTER version itself emitted NO rows
+    assert(!rows.exists(_.getLong(4) == 2L))
+  }
+
   test("OPTIMIZE lands an EMPTY change set; expired versions refuse loudly") {
     val root = tmp("graft_cdc_opt")
     SnapshotStore.init(spark, root,
