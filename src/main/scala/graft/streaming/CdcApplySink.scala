@@ -32,24 +32,41 @@ object CdcApplySink {
 
   /** The foreachBatch body: `feed.writeStream.foreachBatch(
     *   CdcApplySink.applyBatch(replicaRoot, "id", "replicator") _)`.
+    *
+    * Schema evolution: a feed carrying columns the replica lacks (the
+    * source was ALTERed) first evolves the replica with a metadata-only
+    * [[SnapshotStore.alterSchema]] — silently projecting the new column
+    * away would lose replicated data. Replay-safe: on a replayed batch the
+    * columns already exist, so no second ALTER lands; columns only the
+    * replica has null-fill.
     */
   def applyBatch(root: String, keyCol: String, appId: String)(
       batch: DataFrame, batchId: Long): Unit = {
     if (!batch.isEmpty) {
       val tc = SnapshotStore.ChangeTypeCol
       val vc = SnapshotStore.CommitVersionCol
+      val spark = batch.sparkSession
+      val feedData = batch.schema.filterNot(f => f.name == tc || f.name == vc)
+      val replicaSchema = SnapshotStore.readSchema(spark, SnapshotStore.latest(root))
+      val added = feedData.filterNot(f =>
+        replicaSchema.exists(_.name.equalsIgnoreCase(f.name)))
+      if (added.nonEmpty)
+        SnapshotStore.alterSchema(spark, root, s =>
+          added.foldLeft(s)((acc, f) => acc.add(f.name, f.dataType, nullable = true)))
       val w = Window.partitionBy(col(keyCol)).orderBy(desc(vc))
       val latest = batch.filter(col(tc) =!= "update_preimage")
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
         .persist() // transform reruns on commit conflict
       try {
-        SnapshotStore.transact(batch.sparkSession, root,
+        SnapshotStore.transact(spark, root,
           txn = Some(SnapshotStore.Txn(appId, batchId))) { base =>
-          val dataCols = base.columns.toIndexedSeq
+          val winners = latest.filter(col(tc) =!= "delete")
           base.join(latest.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-            .unionByName(latest.filter(col(tc) =!= "delete")
-              .select(dataCols.map(col): _*))
+            .unionByName(winners.select(base.columns.toIndexedSeq.map { c =>
+              (if (winners.columns.exists(_.equalsIgnoreCase(c))) col(c)
+               else lit(null).cast(base.schema(c).dataType)).as(c)
+            }: _*))
         }
       } finally latest.unpersist()
     }

@@ -241,6 +241,33 @@ class CdcSpec extends SparkSpec {
     assert(!rows.exists(_.getLong(4) == 2L))
   }
 
+  test("replication auto-evolves the replica when the source grew a column") {
+    import graft.streaming.CdcApplySink
+    val src = tmp("graft_cdc_evo_src")
+    val rep = tmp("graft_cdc_evo_rep")
+    val cp = tmp("graft_cdc_evo_cp")
+    SnapshotStore.init(spark, src,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), cdcKeys = Seq("id"))
+    SnapshotStore.init(spark, rep, Seq.empty[(Long, Long)].toDF("id", "v"))
+    SnapshotStore.alterSchema(spark, src,
+      s => s.add("tag", org.apache.spark.sql.types.StringType))
+    SnapshotStore.append(spark, src, Seq((3L, 30L, "x")).toDF("id", "v", "tag"))
+    val q = spark.readStream.format("graft.streaming.ChangeFeedSource")
+      .option("path", src).load()
+      .writeStream
+      .foreachBatch(CdcApplySink.applyBatch(rep, "id", "evo-replicator") _)
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = SnapshotStore.read(spark, rep).orderBy($"id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // pre-evolution rows null-fill; the evolved row keeps its value —
+    // a replica that silently projected `tag` away would lose it
+    assert(got.take(2).forall(_.isNullAt(2)))
+    assert(got(2).getString(2) == "x")
+  }
+
   test("OPTIMIZE lands an EMPTY change set; expired versions refuse loudly") {
     val root = tmp("graft_cdc_opt")
     SnapshotStore.init(spark, root,
