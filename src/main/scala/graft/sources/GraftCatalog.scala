@@ -428,7 +428,12 @@ private[sources] class GraftTable(spark: SparkSession, tableName: String,
     }.toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    ParquetTable(tableName, spark, options, Seq(snap.dataDir),
+    if (Files.isDirectory(Paths.get(snap.dataDir, "_manifest")))
+      // stats-maintained snapshot (CALL graft.system.optimize with
+      // stats_cols): manifest-based file skipping at planning time
+      new org.apache.spark.sql.GraftPrunedScanBuilder(
+        spark, tableName, snap.dataDir, tableSchema, options)
+    else ParquetTable(tableName, spark, options, Seq(snap.dataDir),
       Some(tableSchema), classOf[ParquetFileFormat])
       .newScanBuilder(options)
 

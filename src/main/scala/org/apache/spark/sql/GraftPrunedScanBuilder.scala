@@ -1,0 +1,184 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** MANIFEST-BASED FILE SKIPPING for the warehouse catalog's SQL read path —
+  * the DSv2 face of `SnapshotStore.readPruned`, and the engine's answer to
+  * Delta/Iceberg data skipping: at 100 TB a filtered read that relies on
+  * parquet footers alone still LISTS and OPENS tens of thousands of files
+  * before the first byte moves. A snapshot whose layout was maintained
+  * with stats (`CALL graft.system.optimize(t, rows, cluster, stats)`)
+  * carries a `_manifest/` of per-file `[min,max]` intervals; this builder
+  * intercepts the pushed-down filters at PLANNING time, keeps only the
+  * files whose intervals could satisfy them, and hands Spark's own
+  * vectorized `ParquetScanBuilder` the pruned file list. Everything else —
+  * codegen, footer pruning, column pruning, the row-level filter — is
+  * unchanged (pruning is a conservative superset, never a substitute).
+  *
+  * Lives in the `org.apache.spark.sql` package because the filter hook
+  * (`SupportsPushDownCatalystFilters`) is `private[sql]` — the same shim
+  * doorway as [[GraftSqlShim]].
+  *
+  * Interval test per (filter, file): conservative three-valued logic —
+  * `true` unless the file's `[min,max]` PROVES no row can match. Nulls are
+  * untracked (null stats ⇒ keep); non-literal comparisons, casts and
+  * unknown shapes keep; And intersects, Or unions. Only same-kind
+  * (integral / fractional / string / decimal / date-time) comparisons
+  * decide — a type surprise keeps the file.
+  */
+class GraftPrunedScanBuilder(spark: SparkSession, tableName: String,
+    dataDir: String, tableSchema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownCatalystFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+
+  private def builderOver(paths: Seq[String]) =
+    ParquetTable(tableName, spark, options, paths, Some(tableSchema),
+      classOf[ParquetFileFormat]).newScanBuilder(options)
+
+  private val delegate = builderOver(Seq(dataDir))
+  private var savedFilters: Seq[Expression] = Nil
+  private var savedColumns: Option[StructType] = None
+  private var savedAgg: Option[Aggregation] = None
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    savedFilters = filters
+    delegate.pushFilters(filters)
+  }
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    delegate.pushedFilters
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    savedColumns = Some(requiredSchema)
+    delegate.pruneColumns(requiredSchema)
+  }
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val ok = delegate.pushAggregation(aggregation)
+    if (ok) savedAgg = Some(aggregation)
+    ok
+  }
+
+  override def build(): Scan = {
+    val kept = GraftPrunedScanBuilder.prunedFiles(spark, dataDir, savedFilters)
+    kept match {
+      case Some(files) =>
+        // replay the pushdown conversation on a builder over the kept list
+        val b = builderOver(files)
+        if (savedFilters.nonEmpty) b.pushFilters(savedFilters)
+        savedAgg.foreach(b.pushAggregation)
+        savedColumns.foreach(b.pruneColumns)
+        b.build()
+      case None => delegate.build()
+    }
+  }
+}
+
+object GraftPrunedScanBuilder {
+  /** Files of `dataDir` whose manifest interval may satisfy `filters`;
+    * None = no manifest / nothing pruned (caller keeps the plain scan).
+    * The manifest is one tiny row per file — collecting it at planning
+    * time is the same metadata-query shape Delta uses for data skipping.
+    */
+  private def prunedFiles(spark: SparkSession, dataDir: String,
+      filters: Seq[Expression]): Option[Seq[String]] = {
+    val mdir = java.nio.file.Paths.get(dataDir, "_manifest")
+    if (filters.isEmpty || !java.nio.file.Files.isDirectory(mdir)) return None
+    val manifest = spark.read.parquet(mdir.toString)
+    val statCols = manifest.columns.toSet
+    val rows = manifest.collect() // bounded: one row per data file
+    val keep = rows.filter { r =>
+      filters.forall(f => mayMatch(f, r, statCols))
+    }
+    if (keep.length == rows.length) None
+    else Some(keep.map(_.getAs[String]("file")).toSeq)
+  }
+
+  /** Conservative interval test: false ONLY when [min,max] proves no row
+    * of this file can satisfy `e`.
+    */
+  private def mayMatch(e: Expression, r: Row, statCols: Set[String]): Boolean = {
+    def stats(a: Expression): Option[(Any, Any)] = a match {
+      case at: Attribute
+          if statCols.contains(s"min_${at.name}") &&
+            statCols.contains(s"max_${at.name}") =>
+        val lo = r.getAs[Any](s"min_${at.name}")
+        val hi = r.getAs[Any](s"max_${at.name}")
+        if (lo == null || hi == null) None else Some((lo, hi))
+      case _ => None
+    }
+    def litVal(l: Expression): Option[Any] = l match {
+      case Literal(v, _) if v != null => Some(v)
+      case _ => None
+    }
+    // compare a catalyst literal with a manifest (external-row) value;
+    // None = incomparable kinds -> cannot prune
+    def cmp(stat: Any, lit: Any): Option[Int] = (stat, lit) match {
+      case (a: Byte, _) => cmp(a.toLong, lit)
+      case (a: Short, _) => cmp(a.toLong, lit)
+      case (a: Int, _) => cmp(a.toLong, lit)
+      case (a: Long, b: Byte) => Some(java.lang.Long.compare(a, b.toLong))
+      case (a: Long, b: Short) => Some(java.lang.Long.compare(a, b.toLong))
+      case (a: Long, b: Int) => Some(java.lang.Long.compare(a, b.toLong))
+      case (a: Long, b: Long) => Some(java.lang.Long.compare(a, b))
+      case (a: Float, _) => cmp(a.toDouble, lit)
+      case (a: Double, b: Float) => Some(java.lang.Double.compare(a, b.toDouble))
+      case (a: Double, b: Double) => Some(java.lang.Double.compare(a, b))
+      case (a: String, b: org.apache.spark.unsafe.types.UTF8String) =>
+        Some(a.compareTo(b.toString))
+      case (a: java.math.BigDecimal, b: org.apache.spark.sql.types.Decimal) =>
+        Some(a.compareTo(b.toJavaBigDecimal))
+      case (a: java.sql.Date, b: Int) => // DateType literal = epoch days
+        Some(java.lang.Long.compare(a.toLocalDate.toEpochDay, b.toLong))
+      case (a: java.sql.Timestamp, b: Long) => // TimestampType literal = micros
+        Some(java.lang.Long.compare(
+          a.getTime * 1000L + (a.getNanos / 1000L) % 1000L, b))
+      case _ => None
+    }
+    e match {
+      case And(l, rr) => mayMatch(l, r, statCols) && mayMatch(rr, r, statCols)
+      case Or(l, rr) => mayMatch(l, r, statCols) || mayMatch(rr, r, statCols)
+      case EqualTo(a, l) => (stats(a), litVal(l)) match {
+        case (Some((lo, hi)), Some(v)) =>
+          cmp(lo, v).forall(_ <= 0) && cmp(hi, v).forall(_ >= 0)
+        case _ => eqFlipped(a, l, r, statCols)
+      }
+      case GreaterThan(a, l) => (stats(a), litVal(l)) match {
+        case (Some((_, hi)), Some(v)) => cmp(hi, v).forall(_ > 0)
+        case _ => true
+      }
+      case GreaterThanOrEqual(a, l) => (stats(a), litVal(l)) match {
+        case (Some((_, hi)), Some(v)) => cmp(hi, v).forall(_ >= 0)
+        case _ => true
+      }
+      case LessThan(a, l) => (stats(a), litVal(l)) match {
+        case (Some((lo, _)), Some(v)) => cmp(lo, v).forall(_ < 0)
+        case _ => true
+      }
+      case LessThanOrEqual(a, l) => (stats(a), litVal(l)) match {
+        case (Some((lo, _)), Some(v)) => cmp(lo, v).forall(_ <= 0)
+        case _ => true
+      }
+      case In(a, vs) if vs.forall(litVal(_).isDefined) =>
+        vs.exists(v => mayMatch(EqualTo(a, v), r, statCols))
+      case InSet(a, vs) => stats(a) match {
+        case Some((lo, hi)) => vs.exists(v =>
+          cmp(lo, v).forall(_ <= 0) && cmp(hi, v).forall(_ >= 0))
+        case None => true
+      }
+      case _: Cast => true
+      case _ => true // unknown shape: never prune on a guess
+    }
+  }
+
+  /** `EqualTo(Literal, Attribute)` — the flipped form. */
+  private def eqFlipped(a: Expression, l: Expression, r: Row,
+      statCols: Set[String]): Boolean = (a, l) match {
+    case (_: Literal, _: Attribute) => mayMatch(EqualTo(l, a), r, statCols)
+    case _ => true
+  }
+}

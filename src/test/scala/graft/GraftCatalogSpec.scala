@@ -170,6 +170,36 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SHOW PROCEDURES IN graft.system").count() == 3L)
   }
 
+  test("stats-maintained tables skip files at planning time in the SQL path") {
+    wh
+    spark.sql("CREATE TABLE graft.skip (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.skip SELECT id, id * 2 FROM range(10000)")
+    // range-cluster into 8 files with an id manifest: tight [min,max]
+    spark.sql("CALL graft.system.optimize('skip', 1250, 'id', 'id')")
+    def scanFiles(sql: String): Int = {
+      val scans = spark.sql(sql).queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2
+            .parquet.ParquetScan].fileIndex.inputFiles.length
+      }
+      scans.sum
+    }
+    val total = scanFiles("SELECT * FROM graft.skip")
+    assert(total >= 8, s"expected a fragmented layout, got $total files")
+    // point lookup: one file's interval can hold id=42
+    val point = scanFiles("SELECT v FROM graft.skip WHERE id = 42")
+    assert(point == 1, s"point lookup must plan 1 file, got $point")
+    // range: a quarter of the key space -> about a quarter of the files
+    val range = scanFiles("SELECT v FROM graft.skip WHERE id BETWEEN 1000 AND 3000")
+    assert(range < total / 2, s"range scan must prune, got $range of $total")
+    // non-stats predicates keep everything (conservative)
+    assert(scanFiles("SELECT * FROM graft.skip WHERE v = 10") == total)
+    // and the pruned plan still answers correctly (superset + exact filter)
+    assert(spark.sql("SELECT sum(v) FROM graft.skip WHERE id BETWEEN 1000 AND 3000")
+      .head().getLong(0) == (1000L to 3000L).map(_ * 2).sum)
+    assert(spark.sql("SELECT v FROM graft.skip WHERE id = 42").head().getLong(0) == 84L)
+  }
+
   test("DML statements resolve catalog-qualified names without a root map") {
     wh
     spark.sql("CREATE TABLE graft.dml (id BIGINT, v BIGINT)")
