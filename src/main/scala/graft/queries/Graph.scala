@@ -168,24 +168,46 @@ object Graph {
     var (edges, edgesCk) = iterCheckpoint(
       sym(directed).distinct().repartition(parts, $("src")), resetStats = false)
     var mins = minsOf(edges).cache()
-    var changed = 1L
+    // Per-cycle convergence probe is a CHEAP order-independent signature
+    // (row count + bit_xor of xxhash64(src, m) — one single-stage reduce
+    // over the already-computed mins, no join). The EXACT full-outer diff
+    // runs only once, when the signature stabilizes, and still backs the
+    // loud require — same certificate as diffing every cycle (mins stable
+    // across a full cycle), at one shuffle-join total instead of one per
+    // cycle (VERDICT r10 #6: the per-cycle convergence join made q86 the
+    // slowest gate).
+    def sigOf(m: DataFrame): (Long, Long) = {
+      val r = m.agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64($("src"), $("m"))).as("h")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = sigOf(mins)
+    var converged = false
     var cycles = 0
-    while (changed > 0 && cycles < maxCycles) {
+    while (!converged && cycles < maxCycles) {
       val (next, nextCk) = iterCheckpoint(
         smallStar(largeStar(edges)).distinct().repartition(parts, $("src")),
         resetStats = cycles % 2 == 1)
       val nextMins = minsOf(next).cache()
-      changed = nextMins.as("a")
-        .join(mins.as("b"), col("a.src") === col("b.src"), "full_outer")
-        .filter(!(col("a.m") <=> col("b.m"))).count()
+      val nextSig = sigOf(nextMins)
+      if (nextSig == sig) {
+        // signature matched — confirm with the exact diff before declaring
+        // convergence (collision paranoia: a 64-bit xor match could lie)
+        val changed = nextMins.as("a")
+          .join(mins.as("b"), col("a.src") === col("b.src"), "full_outer")
+          .filter(!(col("a.m") <=> col("b.m"))).count()
+        require(changed == 0, s"mins signature collision without " +
+          s"convergence at cycle $cycles ($changed labels moving)")
+        converged = true
+      }
       edgesCk.unpersist(); mins.unpersist()
-      edges = next; edgesCk = nextCk; mins = nextMins
+      edges = next; edgesCk = nextCk; mins = nextMins; sig = nextSig
       cycles += 1
       if (sys.env.contains("GRAFT_WCC_DEBUG"))
-        System.err.println(s"[wcc] cycle $cycles changed $changed")
+        System.err.println(s"[wcc] cycle $cycles sig $sig converged $converged")
     }
-    require(changed == 0,
-      s"star contraction did not converge after $cycles cycles ($changed labels moving)")
+    require(converged,
+      s"star contraction did not converge after $cycles cycles")
     val out = mins.select($("src").as("node"), $("m").as("rep"))
     edgesCk.unpersist()
     out

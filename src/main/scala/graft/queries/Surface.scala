@@ -159,16 +159,18 @@ object Surface {
     // round-trips real rows through parse_json → variant_get (typed hits,
     // a missing path's NULL, and schema_of_variant's inference on a
     // constant-shaped subtree) and must land back on the source values.
+    // ONE parse per row: the constant-shaped metadata subtree lives INSIDE
+    // the variant and is re-extracted as a sub-VARIANT via
+    // variant_get(…, "variant") — no second parse_json in the plan.
     // The money field travels as exact cents (a DECIMAL(p,2) inside the
     // variant) — the Canon rule applied to semi-structured data.
     "q47_variant" -> QueryDef(
       build = (s, d) => {
         val ev = Tables.events(s, d)
         val j = to_json(struct($("event_id"), $("event_type").as("t"),
-          struct($("user_id"), $("value")).as("u")))
-        ev.select($("event_id"), parse_json(j).as("v"),
-            parse_json(to_json(struct($("event_id"), $("event_type").as("t"))))
-              .as("vmeta"))
+          struct($("user_id"), $("value")).as("u"),
+          struct($("event_id"), $("event_type").as("t")).as("meta")))
+        ev.select($("event_id"), parse_json(j).as("v"))
           .select(
             variant_get($("v"), "$.event_id", "bigint").as("vid"),
             variant_get($("v"), "$.t", "string").as("vtype"),
@@ -177,7 +179,8 @@ object Surface {
               .cast("long").as("vval_cents"),
             coalesce(variant_get($("v"), "$.missing", "string"), lit("absent"))
               .as("vmissing"),
-            schema_of_variant($("vmeta")).as("vschema"))
+            schema_of_variant(variant_get($("v"), "$.meta", "variant"))
+              .as("vschema"))
           .orderBy($("vid"))
       },
       oracle = Some(
