@@ -208,6 +208,9 @@ object Bench {
     println(render(4, detail = false))
     try Files.writeString(Paths.get("BENCH_LOCAL.json"), render(9, detail = true))
     catch { case _: Throwable => () }
+    // any gate that started an HTTP ingest listener leaves a non-daemon
+    // dispatcher thread; stop them all or the JVM outlives main
+    graft.streaming.HttpIngestSource.stopAll()
     spark.stop()
   }
 }

@@ -24,6 +24,12 @@ object GateTmp {
     dir.toString
   }
 
+  /** Recursively delete an arbitrary leftover path (e.g. a managed-table
+    * location a crashed previous run stranded in the warehouse dir —
+    * saveAsTable refuses to create over an existing location).
+    */
+  def wipe(path: String): Unit = deleteRec(Paths.get(path))
+
   private def deleteRec(p: Path): Unit = if (Files.exists(p)) {
     val s = Files.walk(p)
     try s.sorted(java.util.Comparator.reverseOrder[Path]())

@@ -52,6 +52,9 @@ object Verify {
       m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), obj(SparkEntry.oracleSql))
     Files.writeString(Paths.get(s"$outDir/errors.json"), obj(errors))
+    // any gate that started an HTTP ingest listener leaves a non-daemon
+    // dispatcher thread; stop them all or the JVM outlives main
+    graft.streaming.HttpIngestSource.stopAll()
     spark.stop()
   }
 }

@@ -800,5 +800,138 @@ object Temporal {
            |         'SUPP'
            |  FROM supplier)
            |SELECT id, bal, coalesce(seg, 'LEGACY') AS seg
-           |FROM ev ORDER BY id""".stripMargin)))
+           |FROM ev ORDER BY id""".stripMargin)),
+
+    // Q91 [extension: the FULL reference topology as one pipeline] The
+    // closure gate: generator → HTTP POST (Random/main.go) → DSv2 ingest
+    // source (S7, durable-ack WAL) → reject side channel (§2.11,
+    // malformed bodies land in a reject table instead of a dropped 400) →
+    // drift decode (unknown fields dropped, missing fields Go-zero-filled,
+    // SURVEY §1.3) → exactly-once streaming MERGE into a CDC-enabled
+    // SnapshotStore table (Server/main.go's store, upgraded from
+    // MySQL-latest-state to versioned commits) → change feed → APPLY
+    // CHANGES replica. RESTART-SPANNING: both streaming queries run twice
+    // over the same checkpoints — run 1 ingests the initial employee
+    // inserts and syncs the replica; run 2 (a genuine restart: fresh query,
+    // same offsets/WAL/txn stamps) ingests drifted late-joiner inserts plus
+    // keyed salary updates and incrementally re-syncs. The oracle replays
+    // the whole topology as CTE algebra over `customer`; the gate's output
+    // is the REPLICA (two exactly-once hops away from the wire bytes) plus
+    // the reject count.
+    //
+    // Bounded by construction: posts cap at id<=600 (~600 rows/phase — the
+    // driver-side collect is the test HARNESS generator, standing in for
+    // the reference's external producer; the engine-side DAG never
+    // collects). Admission control (maxRowsPerTrigger=256) forces each run
+    // to drain over several micro-batches, so the txn-stamp replay
+    // protection is exercised across batch boundaries, not just once.
+    "q91_e2e_pipeline" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.SnapshotStore
+        import graft.streaming.{CdcApplySink, HttpIngestSource, IdempotentSink, RejectChannel, SnapshotMergeSink}
+        import org.apache.spark.sql.streaming.Trigger
+        import org.apache.spark.sql.types._
+        val port = 8653
+        val store = graft.GateTmp.freshDir("q91_store")
+        val replica = graft.GateTmp.freshDir("q91_rep")
+        val cpIngest = graft.GateTmp.freshDir("q91_cp_ingest")
+        val cpRep = graft.GateTmp.freshDir("q91_cp_rep")
+        val rejectTable = "q91_rejects"
+        s.sql(s"DROP TABLE IF EXISTS $rejectTable")
+        // also wipe the managed location itself: a crashed previous JVM
+        // leaves the dir without the (in-memory) catalog entry, and
+        // saveAsTable refuses to create over an existing location
+        graft.GateTmp.wipe(java.nio.file.Paths.get(
+          new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+            .getPath, rejectTable).toString)
+        HttpIngestSource.purge(port); HttpIngestSource.stateFor(port)
+        val wire = StructType(Seq(StructField("id", LongType),
+          StructField("name", StringType), StructField("salary", LongType),
+          StructField("segment", StringType)))
+        val emp = RelationalPipeline.employeeView(s, d)
+          .select($("id"), $("name"), $("salary"), $("segment"))
+          .filter($("id") <= 600)
+        SnapshotStore.init(s, store, emp.limit(0), cdcKeys = Seq("id"))
+        SnapshotStore.init(s, replica, emp.limit(0))
+        val http = java.net.http.HttpClient.newHttpClient()
+        def post(body: String): Unit = {
+          val r = http.send(java.net.http.HttpRequest
+            .newBuilder(java.net.URI.create(s"http://localhost:$port/ingest"))
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          require(r.statusCode() == 200, s"ingest ack ${r.statusCode()}")
+        }
+        def bodiesOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+          df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)))
+            .collect().map(_.getString(0)).toSeq
+        def runIngest(): Unit = {
+          val q = s.readStream.format("graft.streaming.HttpIngestSource")
+            .option("port", port.toString)
+            .option("maxRowsPerTrigger", "256").load()
+            .writeStream.option("checkpointLocation", cpIngest)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              val (good, bad) = RejectChannel.split(batch, wire)
+              SnapshotMergeSink.upsertBatch(store, "id", "q91-ingest")(
+                good.select("id", "name", "salary", "segment"), batchId)
+              // ingest_ts is wall-clock — audit payload, not oracle surface
+              IdempotentSink.appendOnce(
+                bad.select("raw", "reason"), batchId, rejectTable)
+            }.start()
+          q.awaitTermination()
+        }
+        def runReplicate(): Unit = {
+          val q = s.readStream.format("graft.streaming.ChangeFeedSource")
+            .option("path", store).load()
+            .writeStream
+            .foreachBatch(CdcApplySink.applyBatch(replica, "id", "q91-replicator") _)
+            .option("checkpointLocation", cpRep)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        // ---- run 1: initial load + malformed bodies
+        val phaseA = bodiesOf(emp.filter($("id") % 5 =!= 2))
+        phaseA.foreach(post)
+        Seq("{oops", "not json at all", "{\"id\": }").foreach(post)
+        runIngest(); runReplicate()
+        require(SnapshotStore.read(s, replica).count() == phaseA.size,
+          "replica must hold exactly the phase-A inserts after run 1")
+        // ---- run 2 (restart): drifted late joiners + keyed updates
+        // drift: 'extra' is unknown on the wire schema (dropped), 'segment'
+        // is missing (Go zero-value "" on decode)
+        bodiesOf(emp.filter($("id") % 5 === 2)
+          .select($("id"), $("name"), $("salary"), lit(1L).as("extra")))
+          .foreach(post)
+        bodiesOf(emp.filter($("id") % 5 =!= 2 && $("segment") === "BUILDING")
+          .select($("id"), $("name"), ($("salary") + 777L).as("salary"),
+            $("segment")))
+          .foreach(post)
+        runIngest(); runReplicate()
+        // stop the listener: its dispatcher thread is non-daemon and would
+        // keep a batch driver (Verify/Bench) alive after main returns
+        HttpIngestSource.purge(port)
+        val nRejects = s.table(rejectTable).count()
+        SnapshotStore.read(s, replica)
+          .withColumn("n_rejects", lit(nRejects))
+          .orderBy($("id"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""WITH base AS (
+           |  SELECT c_custkey AS id, c_name AS name, $cents AS salary,
+           |         c_mktsegment AS segment
+           |  FROM customer WHERE c_custkey <= 600),
+           |a AS (SELECT * FROM base WHERE id % 5 <> 2),
+           |b1 AS (SELECT id, name, salary, '' AS segment
+           |       FROM base WHERE id % 5 = 2),
+           |upd AS (SELECT id, name, salary + 777 AS salary, segment
+           |        FROM a WHERE segment = 'BUILDING'),
+           |fin AS (
+           |  SELECT * FROM a WHERE segment <> 'BUILDING'
+           |  UNION ALL SELECT * FROM upd
+           |  UNION ALL SELECT * FROM b1)
+           |SELECT id, name, salary, segment, CAST(3 AS BIGINT) AS n_rejects
+           |FROM fin ORDER BY id""".stripMargin
+      }))
 }
