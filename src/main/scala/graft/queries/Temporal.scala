@@ -853,6 +853,12 @@ object Temporal {
           .filter($("id") <= 600)
         SnapshotStore.init(s, store, emp.limit(0), cdcKeys = Seq("id"))
         SnapshotStore.init(s, replica, emp.limit(0))
+        def timed[T](what: String)(f: => T): T = {
+          val t0 = System.nanoTime(); val r = f
+          if (sys.env.contains("GRAFT_E2E_DEBUG")) System.err.println(
+            f"[q91] $what ${(System.nanoTime() - t0) / 1e9}%.2fs")
+          r
+        }
         val http = java.net.http.HttpClient.newHttpClient()
         def post(body: String): Unit = {
           val r = http.send(java.net.http.HttpRequest
@@ -860,6 +866,15 @@ object Temporal {
             .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
             java.net.http.HttpResponse.BodyHandlers.ofString())
           require(r.statusCode() == 200, s"ingest ack ${r.statusCode()}")
+        }
+        // the generator posts concurrently (measured >1000/s vs ~20/s
+        // serial — per-connection latency overlaps; within a phase keys are
+        // unique so arrival order is irrelevant)
+        def postAll(bodies: Seq[String]): Unit = {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+          try bodies.map(b => pool.submit(new Runnable {
+            def run(): Unit = post(b) })).foreach(_.get())
+          finally pool.shutdown()
         }
         def bodiesOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
           df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)))
@@ -891,23 +906,21 @@ object Temporal {
           q.awaitTermination()
         }
         // ---- run 1: initial load + malformed bodies
-        val phaseA = bodiesOf(emp.filter($("id") % 5 =!= 2))
-        phaseA.foreach(post)
+        val phaseA = timed("bodiesA")(bodiesOf(emp.filter($("id") % 5 =!= 2)))
+        timed("postA")(postAll(phaseA))
         Seq("{oops", "not json at all", "{\"id\": }").foreach(post)
-        runIngest(); runReplicate()
+        timed("ingest1")(runIngest()); timed("replicate1")(runReplicate())
         require(SnapshotStore.read(s, replica).count() == phaseA.size,
           "replica must hold exactly the phase-A inserts after run 1")
         // ---- run 2 (restart): drifted late joiners + keyed updates
         // drift: 'extra' is unknown on the wire schema (dropped), 'segment'
         // is missing (Go zero-value "" on decode)
-        bodiesOf(emp.filter($("id") % 5 === 2)
-          .select($("id"), $("name"), $("salary"), lit(1L).as("extra")))
-          .foreach(post)
-        bodiesOf(emp.filter($("id") % 5 =!= 2 && $("segment") === "BUILDING")
+        postAll(bodiesOf(emp.filter($("id") % 5 === 2)
+          .select($("id"), $("name"), $("salary"), lit(1L).as("extra"))))
+        postAll(bodiesOf(emp.filter($("id") % 5 =!= 2 && $("segment") === "BUILDING")
           .select($("id"), $("name"), ($("salary") + 777L).as("salary"),
-            $("segment")))
-          .foreach(post)
-        runIngest(); runReplicate()
+            $("segment"))))
+        timed("ingest2")(runIngest()); timed("replicate2")(runReplicate())
         // stop the listener: its dispatcher thread is non-daemon and would
         // keep a batch driver (Verify/Bench) alive after main returns
         HttpIngestSource.purge(port)
