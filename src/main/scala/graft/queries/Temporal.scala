@@ -946,5 +946,73 @@ object Temporal {
            |  UNION ALL SELECT * FROM b1)
            |SELECT id, name, salary, segment, CAST(3 AS BIGINT) AS n_rejects
            |FROM fin ORDER BY id""".stripMargin
+      }),
+
+    // Q92 [extension: RESTORE / rollback] Roll a table back to an earlier
+    // version as a NEW commit — `CALL graft.system.restore('t', v)`, the
+    // Delta RESTORE semantics. METADATA-ONLY: the target version's parquet
+    // files are hard-linked into the new version's dir (require()d
+    // in-build: identical file names, zero data rewrite — the property
+    // that makes "undo the bad batch" O(files) at 100 TB), history stays
+    // linear (v4 = restore, v3 = the undone DELETE still readable), and on
+    // this CDC table the restore commit emits the keyed diff head→restored
+    // so feeds/replicas converge: table_changes at the restore version is
+    // exactly the deleted rows coming back as `insert`s, which the gate
+    // folds into the oracle surface alongside the restored content.
+    "q92_restore" -> QueryDef(
+      build = (s, d) => {
+        graft.GraftExtensions.install(s)
+        val wh = graft.GateTmp.freshDir("q92")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql( // v0: empty CDC table
+          """CREATE TABLE graft.q92t (id BIGINT, salary BIGINT, segment STRING)
+            |TBLPROPERTIES ('cdc.keys' = 'id')""".stripMargin)
+        RelationalPipeline.employeeView(s, d)
+          .select($("id"), $("salary"), $("segment"))
+          .createOrReplaceTempView("q92_src")
+        s.sql("INSERT INTO graft.q92t SELECT id, salary, segment FROM q92_src") // v1
+        val t = Map("t" -> s"$wh/q92t")
+        graft.sources.SqlDml.execute(s,
+          "UPDATE t SET salary = salary + 250 WHERE segment = 'MACHINERY'", t) // v2
+        graft.sources.SqlDml.execute(s, "DELETE FROM t WHERE id % 7 = 0", t) // v3
+        s.sql("CALL graft.system.restore('q92t', 2)") // v4: undo the DELETE
+        // metadata-only proof: v4's parquet files ARE v2's (hard links)
+        def files(v: Long) = {
+          val dir = java.nio.file.Paths.get(
+            graft.sources.SnapshotStore.at(s"$wh/q92t", v).dataDir)
+          val st = java.nio.file.Files.list(dir)
+          try {
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala.map(_.getFileName.toString)
+              .filter(_.endsWith(".parquet")).toSet
+          } finally st.close()
+        }
+        require(files(4) == files(2),
+          "restore must hard-link the target version's files, not rewrite")
+        s.sql(
+          """SELECT t.id, t.salary, t.segment, c.n_undeleted
+            |FROM graft.q92t t
+            |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_undeleted
+            |            FROM table_changes('q92t', 4, 4)
+            |            WHERE _change_type = 'insert') c
+            |ORDER BY t.id""".stripMargin)
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""WITH base AS (
+           |  SELECT c_custkey AS id, $cents AS salary,
+           |         c_mktsegment AS segment
+           |  FROM customer),
+           |v2 AS (
+           |  SELECT id,
+           |    CASE WHEN segment = 'MACHINERY' THEN salary + 250 ELSE salary
+           |    END AS salary, segment
+           |  FROM base)
+           |SELECT v2.id, v2.salary, v2.segment,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM v2 WHERE id % 7 = 0)
+           |    AS n_undeleted
+           |FROM v2 ORDER BY v2.id""".stripMargin
       }))
 }

@@ -68,6 +68,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
+  private[sources] def warehousePath: String = warehouse
+
   private def warehouse: String = {
     val key = s"spark.sql.catalog.$catalogName.warehouse"
     val fromConf = SQLConf.get.getConfString(key, "")
@@ -222,14 +224,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val procs = Map(
       "optimize" -> GraftCatalog.OptimizeProc,
       "expire_snapshots" -> GraftCatalog.ExpireProc,
-      "clean_orphans" -> GraftCatalog.CleanOrphansProc)
+      "clean_orphans" -> GraftCatalog.CleanOrphansProc,
+      "restore" -> GraftCatalog.RestoreProc,
+      "clone" -> GraftCatalog.CloneProc)
     procs.get(ident.name.toLowerCase).map(_(this))
       .getOrElse(throw new RuntimeException(
         s"unknown procedure ${ident.name} (have: ${procs.keys.mkString(", ")})"))
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array("optimize", "expire_snapshots", "clean_orphans")
+    Array("optimize", "expire_snapshots", "clean_orphans", "restore", "clone")
       .map(Identifier.of(Array("system"), _))
 
   /** `'ns.t'` (warehouse-relative) or a filesystem root — the same rule as
@@ -370,6 +374,47 @@ object GraftCatalog {
         val root = cat.tableRoot(in.getString(0))
         val expired = SnapshotStore.expireSnapshots(root, in.getLong(1).toInt)
         InternalRow(expired.length.toLong, SnapshotStore.latest(root).version)
+      }
+    }
+
+  /** `CALL graft.system.restore('ns.t', version)` — roll the table back
+    * to an earlier version as a new metadata-only commit (hard-linked
+    * files, schema rolls back too, CDC diff emitted on feed tables). See
+    * [[SnapshotStore.restore]]. Returns (restored_to, new_version).
+    */
+  private[sources] val RestoreProc: GraftCatalog => UnboundProcedure = cat =>
+    new Proc("restore",
+      Seq(p("table", StringType), p("version", LongType)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("restored_to", LongType),
+        org.apache.spark.sql.types.StructField("new_version", LongType)))) {
+      override protected def run(in: InternalRow): InternalRow = {
+        val root = cat.tableRoot(in.getString(0))
+        val snap = SnapshotStore.restore(SparkSession.active, root, in.getLong(1))
+        InternalRow(in.getLong(1), snap.version)
+      }
+    }
+
+  /** `CALL graft.system.clone('ns.src', 'ns.dst')` — shallow-clone the
+    * source's current snapshot into a NEW independent table (hard-linked
+    * v0, constraints + CDC keys carried). See [[SnapshotStore.shallowClone]].
+    */
+  private[sources] val CloneProc: GraftCatalog => UnboundProcedure = cat =>
+    new Proc("clone",
+      Seq(p("source", StringType), p("target", StringType)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("source_version", LongType),
+        org.apache.spark.sql.types.StructField("rows", LongType)))) {
+      override protected def run(in: InternalRow): InternalRow = {
+        val spark = SparkSession.active
+        val srcRoot = cat.tableRoot(in.getString(0))
+        val srcVersion = SnapshotStore.latest(srcRoot).version
+        val dst = in.getString(1)
+        val dstRoot =
+          if (dst.contains("/")) dst
+          else (cat.warehousePath +: dst.split('.').toSeq).mkString("/")
+        val snap = SnapshotStore.shallowClone(spark, srcRoot, dstRoot)
+        InternalRow(srcVersion, spark.read.parquet(snap.dataDir).count())
       }
     }
 

@@ -316,6 +316,130 @@ object SnapshotStore {
       s"lost the commit race $maxAttempts times altering $root")
   }
 
+  /** RESTORE: roll the table back to an earlier committed version as a NEW
+    * commit (history stays immutable and linear — the public Delta
+    * `RESTORE TABLE … TO VERSION AS OF` semantics). METADATA-ONLY: the
+    * target version's parquet files are hard-linked into the new version's
+    * dir (on an object store this is a manifest re-reference), and its
+    * pinned `_schema.json` travels with them, so a restore across an ALTER
+    * boundary rolls the schema back too. Zero data rewrite regardless of
+    * table size — the property that makes "undo the bad batch" an O(files)
+    * operation at 100 TB.
+    *
+    * The restored rows also get one pass through the table's CHECK
+    * constraints (a constraint added AFTER `toVersion` may reject the old
+    * data — refusing is the only honest outcome), and on CDC tables the
+    * commit emits the keyed diff current→restored so downstream feeds and
+    * replicas converge to the restored state instead of silently
+    * diverging. The links additionally pin the restored files against a
+    * later `expireSnapshots` of the original version (inodes survive the
+    * old dir's deletion).
+    */
+  def restore(spark: SparkSession, root: String, toVersion: Long,
+      maxAttempts: Int = 10): Snapshot = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val target = at(root, toVersion)
+    require(Files.exists(Paths.get(target.dataDir)),
+      s"version $toVersion of $root was vacuumed; cannot restore")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latest(root)
+      if (base.version == toVersion) return base // restore to head: no-op
+      val restored = read(spark, target)
+      enforceConstraints(restored,
+        tableConstraints(root).map { case (n, sql) => (n, expr(sql)) })
+      val dir = Paths.get(root, "data", UUID.randomUUID().toString)
+      Files.createDirectories(dir)
+      listDir(Paths.get(target.dataDir))
+        .filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet"))
+        .foreach(f => Files.createLink(dir.resolve(f.getFileName), f))
+      val sj = Paths.get(target.dataDir, "_schema.json")
+      if (Files.exists(sj)) Files.copy(sj, dir.resolve("_schema.json"))
+      val keys = cdcKeys(root)
+      if (keys.nonEmpty) {
+        // feed schema = the RESTORED version's columns (the table's schema
+        // from this commit on); a column the head grew and the restore
+        // removes simply leaves the feed — consumers track live schema
+        val cols = restored.columns.toIndexedSeq
+        val head = read(spark, base)
+        val headAligned = head.select(cols.map(c =>
+          (if (head.columns.contains(c)) col(c)
+           else lit(null).cast(restored.schema(c).dataType)).as(c)): _*)
+        diffChanges(headAligned, restored, keys)
+          .write.mode("overwrite").parquet(s"$dir/_changes")
+      }
+      if (tryCommit(root, base.version, dir.toString))
+        return Snapshot(base.version + 1, dir.toString)
+      attempt += 1 // lost the race: the orphaned link dir is cleanOrphans food
+    }
+    throw new CommitConflictException(
+      s"lost the commit race $maxAttempts times restoring $root")
+  }
+
+  /** SHALLOW CLONE: create a NEW independent table whose v0 is the
+    * source's current snapshot, without copying data — hard-links again
+    * (Delta `CREATE TABLE … SHALLOW CLONE src`). Writes to either table
+    * after the clone never touch the other (each commit stages a fresh
+    * dir; the shared inodes are immutable), and table-level config travels:
+    * CHECK constraints are copied, and on CDC sources the clone keeps the
+    * keys with the cloned rows as its v0 `insert` feed (a replica built
+    * from the clone's feed starts from the cloned state). The dominant use
+    * is zero-cost dev/test forks of production tables.
+    */
+  def shallowClone(spark: SparkSession, srcRoot: String, dstRoot: String): Snapshot = {
+    import org.apache.spark.sql.functions.lit
+    val src = latest(srcRoot)
+    require(!Files.exists(commitsDir(dstRoot)) ||
+      listDir(commitsDir(dstRoot)).isEmpty,
+      s"clone target $dstRoot already exists")
+    Files.createDirectories(commitsDir(dstRoot))
+    val dir = Paths.get(dstRoot, "data", UUID.randomUUID().toString)
+    Files.createDirectories(dir)
+    listDir(Paths.get(src.dataDir))
+      .filter(f => Files.isRegularFile(f) &&
+        f.getFileName.toString.endsWith(".parquet"))
+      .foreach(f => Files.createLink(dir.resolve(f.getFileName), f))
+    val sj = Paths.get(src.dataDir, "_schema.json")
+    if (Files.exists(sj)) Files.copy(sj, dir.resolve("_schema.json"))
+    val keys = cdcKeys(srcRoot)
+    if (keys.nonEmpty)
+      spark.read.parquet(dir.toString).withColumn(ChangeTypeCol, lit("insert"))
+        .write.mode("overwrite").parquet(s"$dir/_changes")
+    if (!tryCommit(dstRoot, expectedCurrent = -1L, dir.toString))
+      throw new CommitConflictException(s"clone target $dstRoot already initialized")
+    // config markers land only after the v0 commit is won (same race rule
+    // as init)
+    if (keys.nonEmpty) Files.writeString(cdcConfigFile(dstRoot), keys.mkString(","))
+    if (Files.exists(constraintsFile(srcRoot)))
+      Files.copy(constraintsFile(srcRoot), constraintsFile(dstRoot))
+    Snapshot(0L, dir.toString)
+  }
+
+  /** One aggregate job validating `out` against every named CHECK
+    * constraint; throws [[ConstraintViolationException]] with per-name
+    * counts. Shared by every commit path (transact / restore).
+    */
+  private def enforceConstraints(out: DataFrame,
+      allConstraints: Seq[(String, org.apache.spark.sql.Column)]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, sum, when}
+    if (allConstraints.nonEmpty) {
+      val aggs = allConstraints.map { case (name, c) =>
+        // coalesce: sum over an EMPTY output is null, and an empty
+        // snapshot trivially satisfies every row constraint
+        coalesce(sum(when(!c, lit(1L)).otherwise(lit(0L))), lit(0L)).as(name)
+      }
+      val row = out.agg(count(lit(1)).as("_n"), aggs: _*).head()
+      val bad = allConstraints.zipWithIndex.collect {
+        case ((name, _), i) if row.getLong(i + 1) > 0 =>
+          s"$name (${row.getLong(i + 1)} rows)"
+      }
+      if (bad.nonEmpty)
+        throw new ConstraintViolationException(
+          s"commit rejected, constraints violated: ${bad.mkString(", ")}")
+    }
+  }
+
   /** Append (or whole-table replace, `overwrite`) through the commit
     * protocol — the INSERT INTO path shared by SqlDml and the catalog's V1
     * write fallback. Columns are aligned BY NAME against the live table
@@ -672,24 +796,8 @@ object SnapshotStore {
       val (out, suppliedChanges) = transform(read(spark, base))
       // caller-supplied invariants + the table's own persisted CHECK
       // constraints — every commit path enforces the latter automatically
-      val allConstraints = constraints ++
-        tableConstraints(root).map { case (n, sql) => (n, expr(sql)) }
-      if (allConstraints.nonEmpty) {
-        val aggs = allConstraints.map { case (name, c) =>
-          // coalesce: sum over an EMPTY output is null, and an empty
-          // snapshot trivially satisfies every row constraint
-          org.apache.spark.sql.functions.coalesce(
-            sum(when(!c, lit(1L)).otherwise(lit(0L))), lit(0L)).as(name)
-        }
-        val row = out.agg(count(lit(1)).as("_n"), aggs: _*).head()
-        val bad = allConstraints.zipWithIndex.collect {
-          case ((name, _), i) if row.getLong(i + 1) > 0 =>
-            s"$name (${row.getLong(i + 1)} rows)"
-        }
-        if (bad.nonEmpty)
-          throw new ConstraintViolationException(
-            s"commit rejected, constraints violated: ${bad.mkString(", ")}")
-      }
+      enforceConstraints(out, constraints ++
+        tableConstraints(root).map { case (n, sql) => (n, expr(sql)) })
       val dir = stage(root, out)
       if (statsCols.nonEmpty) writeManifest(spark, dir, statsCols)
       val keys = cdcKeys(root)

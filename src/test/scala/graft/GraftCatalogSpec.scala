@@ -167,7 +167,7 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(dirBefore)), "expired data dirs are deleted")
     assert(spark.sql("CALL graft.system.clean_orphans('mt', 0)").collect()
       .head.getLong(0) == 0L)
-    assert(spark.sql("SHOW PROCEDURES IN graft.system").count() == 3L)
+    assert(spark.sql("SHOW PROCEDURES IN graft.system").count() == 5L)
   }
 
   test("stats-maintained tables skip files at planning time in the SQL path") {
@@ -253,5 +253,98 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("ALTER TABLE graft.meta.t1 RENAME TO graft.meta.t2")
     assert(Files.exists(Paths.get(s"$wh/meta/t2/_commits")))
     assert(!Files.exists(Paths.get(s"$wh/meta/t1")))
+  }
+
+  test("CALL restore: rolls data AND schema back across an ALTER boundary") {
+    wh
+    spark.sql("CREATE TABLE graft.rs (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.rs VALUES (1, 10), (2, 20)") // v1
+    spark.sql("ALTER TABLE graft.rs ADD COLUMN tag STRING") // v2
+    spark.sql("INSERT INTO graft.rs VALUES (3, 30, 'late')") // v3
+    val out = spark.sql("CALL graft.system.restore('rs', 1)").head()
+    assert((out.getLong(0), out.getLong(1)) == (1L, 4L))
+    // data back to v1, schema back too (the ALTER's column is gone)
+    val t = spark.sql("SELECT * FROM graft.rs ORDER BY id")
+    assert(t.columns.toSeq == Seq("id", "v"))
+    assert(t.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 20L)))
+    // history stays linear and immutable: the undone state is still there
+    assert(spark.sql("SELECT * FROM graft.rs VERSION AS OF 3").count() == 3L)
+    // the table keeps working after a restore
+    spark.sql("INSERT INTO graft.rs VALUES (4, 40)") // v5
+    assert(spark.sql("SELECT count(*) FROM graft.rs").head().getLong(0) == 3L)
+    // restore to the current head is a no-op, not a new commit
+    spark.sql("CALL graft.system.restore('rs', 5)")
+    assert(SnapshotStore.latest(s"$wh/rs").version == 5L)
+  }
+
+  test("CALL restore: a constraint added after the target version still gates") {
+    wh
+    spark.sql("CREATE TABLE graft.rc (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.rc VALUES (1, -5)") // v1: negative v
+    graft.sources.SqlDml.execute(spark, "UPDATE graft.rc SET v = 5 WHERE id = 1") // v2
+    spark.sql("ALTER TABLE graft.rc ADD CONSTRAINT v_pos CHECK (v > 0)")
+    // restoring to v1 would resurrect a violating row — must refuse
+    intercept[Exception](spark.sql("CALL graft.system.restore('rc', 1)"))
+    assert(SnapshotStore.latest(s"$wh/rc").version == 2L,
+      "refused restore must not commit")
+    assert(spark.sql("SELECT v FROM graft.rc").head().getLong(0) == 5L)
+  }
+
+  test("restore on a CDC table emits the convergence diff as its change set") {
+    wh
+    spark.sql(
+      """CREATE TABLE graft.rf (id BIGINT, v BIGINT)
+        |TBLPROPERTIES ('cdc.keys' = 'id')""".stripMargin)
+    spark.sql("INSERT INTO graft.rf VALUES (1, 10), (2, 20), (3, 30)") // v1
+    graft.sources.SqlDml.execute(spark, "DELETE FROM graft.rf WHERE id = 2") // v2
+    graft.sources.SqlDml.execute(spark, "UPDATE graft.rf SET v = 99 WHERE id = 3") // v3
+    spark.sql("CALL graft.system.restore('rf', 1)") // v4
+    val ch = spark.sql(
+      """SELECT _change_type, id, v FROM table_changes('rf', 4, 4)
+        |ORDER BY id, _change_type""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // deleted key comes back as insert; updated key rolls back as a full
+    // update pair — exactly what a replica needs to converge
+    assert(ch == Seq(("insert", 2L, 20L),
+      ("update_postimage", 3L, 30L), ("update_preimage", 3L, 99L)))
+  }
+
+  test("CALL clone: shallow, independent, carries constraints and CDC keys") {
+    wh
+    spark.sql(
+      """CREATE TABLE graft.cs (id BIGINT, v BIGINT)
+        |TBLPROPERTIES ('cdc.keys' = 'id')""".stripMargin)
+    spark.sql("INSERT INTO graft.cs VALUES (1, 10), (2, 20)") // v1
+    spark.sql("ALTER TABLE graft.cs ADD CONSTRAINT v_pos CHECK (v > 0)")
+    val out = spark.sql("CALL graft.system.clone('cs', 'cd')").head()
+    assert((out.getLong(0), out.getLong(1)) == (1L, 2L))
+    // shallow: the clone's v0 files ARE the source's files (hard links)
+    val srcDir = Paths.get(SnapshotStore.latest(s"$wh/cs").dataDir)
+    val dstDir = Paths.get(SnapshotStore.latest(s"$wh/cd").dataDir)
+    def pq(p: java.nio.file.Path) = {
+      val s = Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .map(f => (f.getFileName.toString,
+            Files.readAttributes(f, classOf[java.nio.file.attribute.BasicFileAttributes])
+              .fileKey())).toMap
+      } finally s.close()
+    }
+    assert(pq(srcDir) == pq(dstDir), "clone must link, not copy")
+    // independence: diverging writes never touch the other table
+    spark.sql("INSERT INTO graft.cd VALUES (3, 30)")
+    graft.sources.SqlDml.execute(spark, "UPDATE graft.cs SET v = 11 WHERE id = 1")
+    assert(spark.sql("SELECT count(*) FROM graft.cs").head().getLong(0) == 2L)
+    assert(spark.sql(
+      "SELECT v FROM graft.cd WHERE id = 1").head().getLong(0) == 10L)
+    // table-level config traveled: constraint enforces, feed starts at v0
+    intercept[Exception](spark.sql("INSERT INTO graft.cd VALUES (9, -1)"))
+    assert(spark.sql(
+      """SELECT count(*) FROM table_changes('cd', 0, 0)
+        |WHERE _change_type = 'insert'""".stripMargin).head().getLong(0) == 2L)
+    // cloning onto an existing table refuses
+    intercept[Exception](spark.sql("CALL graft.system.clone('cs', 'cd')"))
   }
 }
