@@ -1014,5 +1014,68 @@ object Temporal {
            |  (SELECT CAST(count(*) AS BIGINT) FROM v2 WHERE id % 7 = 0)
            |    AS n_undeleted
            |FROM v2 ORDER BY v2.id""".stripMargin
+      }),
+
+    // Q93 [extension: partitioned tables] `CREATE TABLE … PARTITIONED BY`
+    // onto the snapshot store: every committed snapshot lays its files out
+    // hive-style (`segment=X/` dirs), so a partition predicate prunes
+    // whole DIRECTORIES at planning time — the coarse-grained complement
+    // to q74/manifest file skipping and the first-order scan lever at
+    // 100 TB (a day-partitioned event table answers a one-day query by
+    // listing one directory). The gate require()s the physical claims:
+    // planned files for one segment live under exactly that partition dir
+    // and number strictly fewer than the full scan's. The pinned
+    // `_schema.json` keeps partition values on their committed types (a
+    // BIGINT partition must not come back as an inferred INT), and DML
+    // rewrites preserve the layout because staging is partition-aware.
+    "q93_partitioned" -> QueryDef(
+      build = (s, d) => {
+        val wh = graft.GateTmp.freshDir("q93")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql(
+          """CREATE TABLE graft.q93t (id BIGINT, salary BIGINT, segment STRING)
+            |PARTITIONED BY (segment)""".stripMargin)
+        RelationalPipeline.employeeView(s, d)
+          .select($("id"), $("salary"), $("segment"))
+          .createOrReplaceTempView("q93_src")
+        s.sql("INSERT INTO graft.q93t SELECT id, salary, segment FROM q93_src")
+        graft.sources.SqlDml.execute(s, // v2: rewrite keeps the layout
+          "UPDATE graft.q93t SET salary = salary + 40 WHERE segment = 'FURNITURE'")
+        def planned(sql: String): Seq[String] =
+          s.sql(sql).queryExecution.executedPlan.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.scan.toBatch.planInputPartitions().toSeq.flatMap {
+                case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+                  fp.files.map(_.filePath.toString).toSeq
+                case _ => Nil
+              }
+          }.flatten
+        val all = planned("SELECT * FROM graft.q93t")
+        val one = planned("SELECT * FROM graft.q93t WHERE segment = 'BUILDING'")
+        require(one.nonEmpty && one.size < all.size,
+          s"partition predicate must prune files (${one.size}/${all.size})")
+        require(one.forall(_.contains("segment=BUILDING")),
+          "only the matching partition's files may be planned")
+        s.sql(
+          """SELECT segment, CAST(count(*) AS BIGINT) AS n,
+            |  CAST(sum(salary) AS BIGINT) AS sal
+            |FROM graft.q93t
+            |WHERE segment IN ('BUILDING', 'FURNITURE')
+            |GROUP BY segment ORDER BY segment""".stripMargin)
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""WITH base AS (
+           |  SELECT c_custkey AS id,
+           |    CASE WHEN c_mktsegment = 'FURNITURE' THEN $cents + 40
+           |         ELSE $cents END AS salary,
+           |    c_mktsegment AS segment
+           |  FROM customer)
+           |SELECT segment, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(salary) AS BIGINT) AS sal
+           |FROM base WHERE segment IN ('BUILDING', 'FURNITURE')
+           |GROUP BY segment ORDER BY segment""".stripMargin
       }))
 }

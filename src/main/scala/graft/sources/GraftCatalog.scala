@@ -125,7 +125,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty, "partitioned tables not supported")
+    // hive-style identity partitioning only (PARTITIONED BY (col, ...));
+    // bucket/days/hours transforms would need their own layout rules
+    val partCols = partitions.toSeq.map { t =>
+      if (t.name == "identity" && t.references.length == 1)
+        t.references.head.fieldNames.mkString(".")
+      else throw new UnsupportedOperationException(
+        s"only identity partition transforms are supported, got $t")
+    }
+    require(partCols.forall(c => schema.fieldNames.exists(_.equalsIgnoreCase(c))),
+      s"partition columns $partCols must be table columns")
     val root = rootOf(ident)
     if (isTable(root)) throw new TableAlreadyExistsException(ident)
     val keys = Option(properties.get(CdcKeysProp))
@@ -134,7 +143,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     SnapshotStore.init(spark, root,
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema),
-      cdcKeys = keys)
+      cdcKeys = keys, partitionBy = partCols)
     loadTable(ident)
   }
 
@@ -463,6 +472,11 @@ private[sources] class GraftTable(spark: SparkSession, tableName: String,
     if (keys.nonEmpty) m.put(GraftCatalog.CdcKeysProp, keys.mkString(","))
     m
   }
+
+  override def partitioning(): Array[Transform] =
+    SnapshotStore.partitionCols(root).map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+        : Transform).toArray
 
   override def constraints():
       Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =

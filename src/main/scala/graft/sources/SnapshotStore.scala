@@ -74,6 +74,21 @@ object SnapshotStore {
     commitsDir(root).resolve(f"$v%020d.commit")
   private def cdcConfigFile(root: String): Path = Paths.get(root, "_cdc")
   private def constraintsFile(root: String): Path = Paths.get(root, "_constraints")
+  private def partitionsFile(root: String): Path = Paths.get(root, "_partitions")
+
+  /** The table's hive-style partition columns (empty = unpartitioned).
+    * Set at [[init]]; every staged snapshot lays its files out as
+    * `col=value/` dirs, so reads prune whole directories on partition
+    * predicates BEFORE any file is opened — the coarse-grained complement
+    * to per-file manifest skipping, and the first-order scan lever at
+    * 100 TB (a day-partitioned event table answers a one-day query by
+    * listing one directory).
+    */
+  def partitionCols(root: String): Seq[String] = {
+    val f = partitionsFile(root)
+    if (Files.exists(f)) Files.readString(f).trim.split(",").toSeq.filter(_.nonEmpty)
+    else Nil
+  }
 
   /** Table-level CHECK constraints (name → boolean predicate SQL), the
     * public Delta CHECK-constraint contract: EVERY commit to the table —
@@ -137,13 +152,17 @@ object SnapshotStore {
     * inserts. Keys must be row-unique per snapshot — CDC is a KEYED diff.
     */
   def init(spark: SparkSession, root: String, df: DataFrame,
-      statsCols: Seq[String] = Nil, cdcKeys: Seq[String] = Nil): Snapshot = {
+      statsCols: Seq[String] = Nil, cdcKeys: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): Snapshot = {
+    require(partitionBy.isEmpty || statsCols.isEmpty,
+      "partitioned tables prune by directory; stats manifests are for " +
+        "flat layouts (use one or the other)")
     Files.createDirectories(commitsDir(root))
-    val dir = stage(root, df)
+    val dir = stage(root, df, partitionBy)
     if (statsCols.nonEmpty) writeManifest(spark, dir, statsCols)
     if (cdcKeys.nonEmpty) {
       import org.apache.spark.sql.functions.lit
-      spark.read.parquet(dir).withColumn(ChangeTypeCol, lit("insert"))
+      readDir(spark, dir).withColumn(ChangeTypeCol, lit("insert"))
         .write.mode("overwrite").parquet(s"$dir/_changes")
     }
     if (!tryCommit(root, expectedCurrent = -1L, dir))
@@ -153,6 +172,8 @@ object SnapshotStore {
     // else created without CDC (it would flip cdcKeys on and every later
     // transact would emit _changes over a feed with no v0)
     if (cdcKeys.nonEmpty) Files.writeString(cdcConfigFile(root), cdcKeys.mkString(","))
+    if (partitionBy.nonEmpty)
+      Files.writeString(partitionsFile(root), partitionBy.mkString(","))
     Snapshot(0L, dir)
   }
 
@@ -257,15 +278,11 @@ object SnapshotStore {
     else spark.read.parquet(snap.dataDir).schema
   }
 
-  def read(spark: SparkSession, snap: Snapshot): DataFrame = {
-    val f = Paths.get(snap.dataDir, "_schema.json")
-    if (Files.exists(f))
-      // evolved schema: columns ADDed after these files were written
-      // null-fill in the vectorized reader; DROPped columns are simply not
-      // requested — standard parquet schema-evolution read, no rewrite
-      spark.read.schema(readSchema(spark, snap)).parquet(snap.dataDir)
-    else spark.read.parquet(snap.dataDir)
-  }
+  def read(spark: SparkSession, snap: Snapshot): DataFrame =
+    // pinned schema when present: evolved columns null-fill in the
+    // vectorized reader (ALTER), partition values keep their committed
+    // types and positions (partitioned layouts) — see readDir
+    readDir(spark, snap.dataDir)
 
   def read(spark: SparkSession, root: String): DataFrame =
     read(spark, latest(root))
@@ -298,10 +315,7 @@ object SnapshotStore {
           added.filterNot(_.nullable).map(_.name).mkString(", "))
       val dir = Paths.get(root, "data", UUID.randomUUID().toString)
       Files.createDirectories(dir)
-      listDir(Paths.get(base.dataDir))
-        .filter(f => Files.isRegularFile(f) &&
-          f.getFileName.toString.endsWith(".parquet"))
-        .foreach(f => Files.createLink(dir.resolve(f.getFileName), f))
+      linkParquetTree(Paths.get(base.dataDir), dir)
       Files.writeString(dir.resolve("_schema.json"), next.json)
       if (cdcKeys(root).nonEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -350,10 +364,7 @@ object SnapshotStore {
         tableConstraints(root).map { case (n, sql) => (n, expr(sql)) })
       val dir = Paths.get(root, "data", UUID.randomUUID().toString)
       Files.createDirectories(dir)
-      listDir(Paths.get(target.dataDir))
-        .filter(f => Files.isRegularFile(f) &&
-          f.getFileName.toString.endsWith(".parquet"))
-        .foreach(f => Files.createLink(dir.resolve(f.getFileName), f))
+      linkParquetTree(Paths.get(target.dataDir), dir)
       val sj = Paths.get(target.dataDir, "_schema.json")
       if (Files.exists(sj)) Files.copy(sj, dir.resolve("_schema.json"))
       val keys = cdcKeys(root)
@@ -396,15 +407,12 @@ object SnapshotStore {
     Files.createDirectories(commitsDir(dstRoot))
     val dir = Paths.get(dstRoot, "data", UUID.randomUUID().toString)
     Files.createDirectories(dir)
-    listDir(Paths.get(src.dataDir))
-      .filter(f => Files.isRegularFile(f) &&
-        f.getFileName.toString.endsWith(".parquet"))
-      .foreach(f => Files.createLink(dir.resolve(f.getFileName), f))
+    linkParquetTree(Paths.get(src.dataDir), dir)
     val sj = Paths.get(src.dataDir, "_schema.json")
     if (Files.exists(sj)) Files.copy(sj, dir.resolve("_schema.json"))
     val keys = cdcKeys(srcRoot)
     if (keys.nonEmpty)
-      spark.read.parquet(dir.toString).withColumn(ChangeTypeCol, lit("insert"))
+      readDir(spark, dir.toString).withColumn(ChangeTypeCol, lit("insert"))
         .write.mode("overwrite").parquet(s"$dir/_changes")
     if (!tryCommit(dstRoot, expectedCurrent = -1L, dir.toString))
       throw new CommitConflictException(s"clone target $dstRoot already initialized")
@@ -413,6 +421,8 @@ object SnapshotStore {
     if (keys.nonEmpty) Files.writeString(cdcConfigFile(dstRoot), keys.mkString(","))
     if (Files.exists(constraintsFile(srcRoot)))
       Files.copy(constraintsFile(srcRoot), constraintsFile(dstRoot))
+    if (Files.exists(partitionsFile(srcRoot)))
+      Files.copy(partitionsFile(srcRoot), partitionsFile(dstRoot))
     Snapshot(0L, dir.toString)
   }
 
@@ -637,10 +647,55 @@ object SnapshotStore {
   /** Distributed write of a candidate snapshot to a fresh immutable dir.
     * Unreachable by readers until a commit file points at it.
     */
-  private def stage(root: String, df: DataFrame): String = {
+  private def stage(root: String, df: DataFrame): String =
+    stage(root, df, partitionCols(root))
+
+  /** Partition-aware staging. Partitioned snapshots also pin
+    * `_schema.json` (their COMMITTED column types and order): partition
+    * values live in directory names, and an inference-based read-back
+    * would both re-type them (e.g. a BIGINT partition rediscovered as
+    * INT) and reorder them to the end — the pinned schema keeps every
+    * reader, including the CDC staged-read-back diff, on the written
+    * types.
+    */
+  private def stage(root: String, df: DataFrame, parts: Seq[String]): String = {
     val dir = Paths.get(root, "data", UUID.randomUUID().toString).toString
-    df.write.mode("overwrite").parquet(dir)
+    if (parts.nonEmpty) {
+      require(parts.forall(p => df.columns.exists(_.equalsIgnoreCase(p))),
+        s"partition columns $parts not all present in ${df.columns.toSeq}")
+      df.write.mode("overwrite").partitionBy(parts: _*).parquet(dir)
+      Files.writeString(Paths.get(dir, "_schema.json"), df.schema.json)
+    } else df.write.mode("overwrite").parquet(dir)
     dir
+  }
+
+  /** Read a staged/committed data dir honoring its pinned schema if any —
+    * the one read path shared by [[read]] and the staged read-backs.
+    */
+  private def readDir(spark: SparkSession, dir: String): DataFrame = {
+    val f = Paths.get(dir, "_schema.json")
+    if (Files.exists(f))
+      spark.read.schema(
+        org.apache.spark.sql.types.DataType.fromJson(Files.readString(f))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]).parquet(dir)
+    else spark.read.parquet(dir)
+  }
+
+  /** Hard-link every parquet file under `from` into `to`, preserving the
+    * (possibly hive-partitioned) directory layout — the metadata-only
+    * copy shared by ALTER / RESTORE / CLONE.
+    */
+  private def linkParquetTree(from: Path, to: Path): Unit = {
+    val s = Files.walk(from)
+    try s.iterator().asScala
+      .filter(f => Files.isRegularFile(f) &&
+        f.getFileName.toString.endsWith(".parquet"))
+      .foreach { f =>
+        val dest = to.resolve(from.relativize(f))
+        Files.createDirectories(dest.getParent)
+        Files.createLink(dest, f)
+      }
+    finally s.close()
   }
 
   /** The CAS: own version expectedCurrent+1 iff nobody else does yet.
@@ -808,7 +863,7 @@ object SnapshotStore {
         // canonicalization). Rebase reruns this whole block against the
         // winner's snapshot, so the feed always reflects committed states.
         val ch = suppliedChanges.getOrElse(
-          diffChanges(read(spark, base), spark.read.parquet(dir), keys))
+          diffChanges(read(spark, base), readDir(spark, dir), keys))
         require(ch.columns.contains(ChangeTypeCol),
           s"supplied change frame lacks $ChangeTypeCol")
         ch.write.mode("overwrite").parquet(s"$dir/_changes")

@@ -255,6 +255,66 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(s"$wh/meta/t1")))
   }
 
+  test("PARTITIONED BY: hive layout, directory pruning, DML, evolution, restore") {
+    wh
+    spark.sql(
+      """CREATE TABLE graft.pt (id BIGINT, v BIGINT, seg STRING)
+        |PARTITIONED BY (seg)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.pt
+        |SELECT id, id * 10, CASE WHEN id % 3 = 0 THEN 'a'
+        |  WHEN id % 3 = 1 THEN 'b' ELSE 'c' END
+        |FROM range(90)""".stripMargin) // v1
+    // physical layout: hive-style partition dirs
+    val v1dir = Paths.get(SnapshotStore.latest(s"$wh/pt").dataDir)
+    assert(Files.isDirectory(v1dir.resolve("seg=a")) &&
+      Files.isDirectory(v1dir.resolve("seg=b")) &&
+      Files.isDirectory(v1dir.resolve("seg=c")), "expected seg=X dirs")
+    // committed types and column order survive the read-back
+    val df = spark.sql("SELECT * FROM graft.pt")
+    assert(df.columns.toSeq == Seq("id", "v", "seg"))
+    assert(df.schema("id").dataType.typeName == "long")
+    assert(spark.sql("SELECT sum(v) FROM graft.pt").head().getLong(0) ==
+      (0L until 90L).map(_ * 10).sum)
+    // partition predicate prunes whole DIRECTORIES at planning time —
+    // observe the PLANNED files (fileIndex.inputFiles is the raw listing)
+    def plannedFiles(sql: String): Seq[String] =
+      spark.sql(sql).queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.toBatch.planInputPartitions().toSeq.flatMap {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              fp.files.map(_.filePath.toString).toSeq
+            case other => Seq(s"?" + other.getClass.getName)
+          }
+      }.flatten
+    val total = plannedFiles("SELECT * FROM graft.pt").length
+    val pruned = plannedFiles("SELECT * FROM graft.pt WHERE seg = 'a'")
+    assert(pruned.length < total,
+      s"partition filter must prune files (${pruned.length}/$total)")
+    assert(pruned.forall(_.contains("seg=a")), "only seg=a files may be planned")
+    // DML rewrites keep the partitioned layout
+    graft.sources.SqlDml.execute(spark,
+      "UPDATE graft.pt SET v = v + 1 WHERE seg = 'b'") // v2
+    val v2dir = Paths.get(SnapshotStore.latest(s"$wh/pt").dataDir)
+    assert(Files.isDirectory(v2dir.resolve("seg=b")), "DML must keep layout")
+    assert(spark.sql("SELECT sum(v) FROM graft.pt WHERE seg = 'b'")
+      .head().getLong(0) == (0L until 90L).filter(_ % 3 == 1).map(_ * 10 + 1).sum)
+    // metadata-only evolution + restore both link the partition TREE
+    spark.sql("ALTER TABLE graft.pt ADD COLUMN tag STRING") // v3
+    assert(spark.sql("SELECT * FROM graft.pt").columns.contains("tag"))
+    spark.sql("CALL graft.system.restore('pt', 1)") // v4
+    assert(spark.sql("SELECT * FROM graft.pt").columns.toSeq ==
+      Seq("id", "v", "seg"))
+    assert(spark.sql("SELECT sum(v) FROM graft.pt").head().getLong(0) ==
+      (0L until 90L).map(_ * 10).sum, "restore must return v1 rows")
+    val v4dir = Paths.get(SnapshotStore.latest(s"$wh/pt").dataDir)
+    assert(Files.isDirectory(v4dir.resolve("seg=c")),
+      "restore must preserve the partition tree")
+    // SHOW CREATE surfaces the partitioning
+    assert(spark.sql("SHOW CREATE TABLE graft.pt").head().getString(0)
+      .contains("PARTITIONED BY"))
+  }
+
   test("CALL restore: rolls data AND schema back across an ALTER boundary") {
     wh
     spark.sql("CREATE TABLE graft.rs (id BIGINT, v BIGINT)")
