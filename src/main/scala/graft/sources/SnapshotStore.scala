@@ -475,6 +475,23 @@ object SnapshotStore {
     }
     if (overwrite)
       transact(spark, root, maxAttempts)(base => aligned(base))
+    else if (partitionCols(root).nonEmpty)
+      // partitioned append is TRUE append: write only the new rows (their
+      // partition dirs merge with linked existing files), hard-link every
+      // existing file — O(appended data), never O(table)
+      transactPartialWithChanges(spark, root, maxAttempts) { base =>
+        val keys = cdcKeys(root)
+        if (keys.nonEmpty) {
+          val clash = aligned(base).join(base, keys, "left_semi").limit(1)
+          require(clash.isEmpty,
+            s"append to CDC table $root carries already-live key(s) " +
+              s"(${keys.mkString(", ")}) — use MERGE for upserts")
+        }
+        base.limit(0) // an append touches no existing partition's rows
+      } { touched =>
+        val a = aligned(touched) // schema-typed empty frame = the table shape
+        (a, a.withColumn(ChangeTypeCol, lit("insert")))
+      }
     else if (cdcKeys(root).isEmpty)
       transact(spark, root, maxAttempts)(base => base.unionByName(aligned(base)))
     else transactWithChanges(spark, root, maxAttempts) { base =>
@@ -689,7 +706,11 @@ object SnapshotStore {
     val s = Files.walk(from)
     try s.iterator().asScala
       .filter(f => Files.isRegularFile(f) &&
-        f.getFileName.toString.endsWith(".parquet"))
+        f.getFileName.toString.endsWith(".parquet") &&
+        // never carry snapshot-local metadata (_changes/_manifest): each
+        // version's change set and stats belong to its OWN commit
+        !from.relativize(f).iterator().asScala.exists(
+          _.toString.startsWith("_")))
       .foreach { f =>
         val dest = to.resolve(from.relativize(f))
         Files.createDirectories(dest.getParent)
@@ -837,6 +858,93 @@ object SnapshotStore {
       transform: DataFrame => (DataFrame, DataFrame)): Snapshot =
     transactImpl(spark, root, maxAttempts, statsCols, txn, constraints)(
       df => { val (out, ch) = transform(df); (out, Some(ch)) })
+
+  /** COPY-ON-WRITE transaction over a PARTITIONED table — the DML staging
+    * that survives 100 TB. A statement that edits rows in k of n
+    * partitions must not rewrite the other n−k: `matchedRows` selects the
+    * statement's matched rows (a filter over the base), the partitions
+    * containing at least one match are REWRITTEN (transform maps all
+    * their rows — matched rows change, neighbors pass through), and every
+    * untouched partition directory is HARD-LINKED into the new version
+    * (an object store re-references the files in a manifest). Write cost
+    * is O(touched partitions), not O(table) — the public Delta/Iceberg
+    * copy-on-write granularity, at partition level.
+    *
+    * Touched partitions are identified twice, consistently by layout: by
+    * VALUE (one distinct over the matched rows' partition columns,
+    * broadcast into a semi-join that defines the rewrite set) and by
+    * DIRECTORY (the matched rows' `input_file_name` parents — exactly the
+    * dirs the rewrite replaces; everything else links). The collected
+    * listing is file-name metadata of touched partitions only.
+    *
+    * CHECK constraints validate the REWRITTEN rows (linked rows were
+    * validated by the commit that wrote them or by ADD CONSTRAINT's
+    * existing-row scan — the Delta rule). `transform` must return the
+    * table's full schema; change rows (CDC tables) come from the
+    * statement's own plan, as in [[transactWithChanges]].
+    */
+  def transactPartialWithChanges(spark: SparkSession, root: String,
+      maxAttempts: Int = 10, txn: Option[Txn] = None,
+      constraints: Seq[(String, org.apache.spark.sql.Column)] = Nil)(
+      matchedRows: DataFrame => DataFrame)(
+      transform: DataFrame => (DataFrame, DataFrame)): Snapshot = {
+    import org.apache.spark.sql.functions.{broadcast, col, expr, input_file_name}
+    val parts = partitionCols(root)
+    require(parts.nonEmpty,
+      s"transactPartialWithChanges requires a partitioned table ($root)")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      if (txn.exists(t => lastTxnVersion(root, t.appId).exists(_ >= t.version)))
+        return latest(root)
+      val base = latest(root)
+      val baseDf = readDir(spark, base.dataDir)
+      val matched = matchedRows(baseDf)
+      val touchedVals = matched.select(parts.map(col): _*).distinct()
+      val rowsTouched = baseDf.join(broadcast(touchedVals), parts, "left_semi")
+      val (out, changes) = transform(rowsTouched)
+      enforceConstraints(out, constraints ++
+        tableConstraints(root).map { case (n, sql) => (n, expr(sql)) })
+      // touched partition DIRS from the matched rows' own files
+      val basePath = Paths.get(base.dataDir).toAbsolutePath.normalize()
+      val touchedDirs = matched.select(input_file_name().as("__f")).distinct()
+        .collect().map { r =>
+          val p = Paths.get(java.net.URI.create(r.getString(0)).getPath)
+            .toAbsolutePath.normalize()
+          basePath.relativize(p.getParent).toString
+        }.toSet
+      val dir = Paths.get(root, "data", UUID.randomUUID().toString)
+      Files.createDirectories(dir)
+      out.write.mode("overwrite").partitionBy(parts: _*).parquet(dir.toString)
+      Files.writeString(dir.resolve("_schema.json"), baseDf.schema.json)
+      // link every untouched partition's files into the new version
+      val s = Files.walk(basePath)
+      try s.iterator().asScala
+        .filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet") &&
+          // skip snapshot-local metadata dirs (_changes/_manifest) and the
+          // rewritten partitions
+          !basePath.relativize(f).iterator().asScala.exists(
+            _.toString.startsWith("_")) &&
+          !touchedDirs.contains(
+            basePath.relativize(f.getParent).toString))
+        .foreach { f =>
+          val dest = dir.resolve(basePath.relativize(f))
+          Files.createDirectories(dest.getParent)
+          Files.createLink(dest, f)
+        }
+      finally s.close()
+      if (cdcKeys(root).nonEmpty) {
+        require(changes.columns.contains(ChangeTypeCol),
+          s"supplied change frame lacks $ChangeTypeCol")
+        changes.write.mode("overwrite").parquet(s"$dir/_changes")
+      }
+      if (tryCommit(root, base.version, dir.toString, txn))
+        return Snapshot(base.version + 1, dir.toString)
+      attempt += 1 // lost the race: orphaned dir is cleanOrphans food
+    }
+    throw new CommitConflictException(
+      s"lost the commit race $maxAttempts times at $root")
+  }
 
   private def transactImpl(spark: SparkSession, root: String, maxAttempts: Int,
       statsCols: Seq[String], txn: Option[Txn],

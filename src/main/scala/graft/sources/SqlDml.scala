@@ -98,7 +98,13 @@ object SqlDml {
             .select((cols :+ SnapshotStore.ChangeTypeCol).map(f => col(s"c.$f").as(f)): _*)
           (out, changes)
         }
-        transactBoth(spark, root, maxAttempts, build)
+        // partitioned table: copy-on-write — rewrite only the partitions
+        // holding matched rows, hard-link the rest (build() is closed over
+        // the touched subset: unmatched neighbors pass through unchanged)
+        if (SnapshotStore.partitionCols(root).nonEmpty)
+          SnapshotStore.transactPartialWithChanges(spark, root, maxAttempts)(
+            base => base.alias(alias).filter(coalesce(cond, lit(false))))(build)
+        else transactBoth(spark, root, maxAttempts, build)
 
       case del: DeleteFromTable =>
         val (name, alias) = relationOf(del.table)
@@ -112,7 +118,10 @@ object SqlDml {
             .withColumn(SnapshotStore.ChangeTypeCol, lit("delete"))
           (out, changes)
         }
-        transactBoth(spark, root, maxAttempts, build)
+        if (SnapshotStore.partitionCols(root).nonEmpty)
+          SnapshotStore.transactPartialWithChanges(spark, root, maxAttempts)(
+            base => base.alias(alias).filter(coalesce(cond, lit(false))))(build)
+        else transactBoth(spark, root, maxAttempts, build)
 
       case m: MergeIntoTable =>
         require(!m.withSchemaEvolution, "MERGE WITH SCHEMA EVOLUTION not supported")

@@ -315,6 +315,65 @@ class GraftCatalogSpec extends SparkSpec {
       .contains("PARTITIONED BY"))
   }
 
+  test("partitioned DML is copy-on-write: untouched partitions hard-link") {
+    wh
+    spark.sql(
+      """CREATE TABLE graft.cow (id BIGINT, v BIGINT, seg STRING)
+        |PARTITIONED BY (seg) TBLPROPERTIES ('cdc.keys' = 'id')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.cow
+        |SELECT id, id * 10, CASE WHEN id % 3 = 0 THEN 'a'
+        |  WHEN id % 3 = 1 THEN 'b' ELSE 'c' END
+        |FROM range(60)""".stripMargin) // v1
+    def filesOf(v: Long): Map[String, Object] = {
+      val dir = Paths.get(SnapshotStore.at(s"$wh/cow", v).dataDir)
+      val s = Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".parquet") &&
+            !dir.relativize(f).toString.startsWith("_"))
+          .map(f => (dir.relativize(f).toString,
+            Files.readAttributes(f, classOf[java.nio.file.attribute.BasicFileAttributes])
+              .fileKey())).toMap
+      } finally s.close()
+    }
+    // UPDATE touching only seg=b rewrites seg=b; seg=a/seg=c files are the
+    // SAME inodes as v1's (hard links, zero rewrite)
+    graft.sources.SqlDml.execute(spark,
+      "UPDATE graft.cow SET v = v + 1 WHERE seg = 'b' AND id < 10") // v2
+    val v1 = filesOf(1); val v2 = filesOf(2)
+    val (v1b, v1rest) = v1.partition(_._1.startsWith("seg=b"))
+    val (v2b, v2rest) = v2.partition(_._1.startsWith("seg=b"))
+    assert(v2rest == v1rest, "untouched partitions must be the same inodes")
+    assert(v2b.keySet.intersect(v1b.keySet).isEmpty ||
+      v2b.forall { case (k, fk) => !v1b.get(k).contains(fk) },
+      "the touched partition must be rewritten, not linked")
+    // the statement's CDC set is exactly the matched rows
+    assert(spark.sql(
+      """SELECT count(*) FROM table_changes('cow', 2, 2)
+        |WHERE _change_type = 'update_postimage'""".stripMargin)
+      .head().getLong(0) == 3L) // seg=b rows with id < 10: ids 1, 4, 7
+    // DELETE emptying a whole partition removes its directory
+    graft.sources.SqlDml.execute(spark, "DELETE FROM graft.cow WHERE seg = 'c'") // v3
+    val v3 = filesOf(3)
+    assert(!v3.keySet.exists(_.startsWith("seg=c")), "emptied partition gone")
+    assert(v3.filter(_._1.startsWith("seg=a")) == v1.filter(_._1.startsWith("seg=a")),
+      "partitions untouched by the DELETE stay linked")
+    // APPEND links every existing file and only writes the new rows
+    spark.sql("INSERT INTO graft.cow VALUES (100, 1000, 'a'), (101, 1010, 'd')") // v4
+    val v4 = filesOf(4)
+    assert(v3.forall { case (k, fk) => v4.get(k).contains(fk) },
+      "append must link all pre-existing files unchanged")
+    assert(v4.keySet.exists(_.startsWith("seg=d")), "new partition dir born")
+    assert(spark.sql("SELECT count(*) FROM graft.cow").head().getLong(0) ==
+      40L + 2L) // 60 - 20 (seg=c) + 2 appended
+    // correctness after all the linking: full read matches a replay
+    assert(spark.sql("SELECT sum(v) FROM graft.cow WHERE seg = 'b'")
+      .head().getLong(0) ==
+      (0L until 60L).filter(_ % 3 == 1).map(_ * 10).sum + 3L)
+  }
+
   test("CALL restore: rolls data AND schema back across an ALTER boundary") {
     wh
     spark.sql("CREATE TABLE graft.rs (id BIGINT, v BIGINT)")
