@@ -75,3 +75,46 @@ object GenScale {
     spark.stop()
   }
 }
+
+/** Copy-on-write DML scale probe (BENCH_SF1 round-11 appendix): time a
+  * partitioned UPDATE that touches ONE of 24 partitions at two table
+  * sizes. If the staging were O(table), wall time would grow ~10× with the
+  * rows; copy-on-write keeps it pinned to the touched partition's rewrite
+  * plus O(#files) link metadata.
+  *
+  * Usage: runMain graft.ProbeCow <rowsSmall> <rowsBig>
+  */
+object ProbeCow {
+  def main(args: Array[String]): Unit = {
+    import graft.sources.{SnapshotStore, SqlDml}
+    val Array(nSmall, nBig) = args.take(2).map(_.toLong)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def run(n: Long): (Double, Double) = {
+      val root = GateTmp.freshDir(s"probe_cow_$n")
+      val df = spark.range(n).selectExpr("id", "id * 3 AS v",
+        "CAST(id % 24 AS STRING) AS part")
+      SnapshotStore.init(spark, root, df, partitionBy = Seq("part"))
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val one = time(SqlDml.execute(spark,
+        "UPDATE t SET v = v + 1 WHERE part = '7'", Map("t" -> root)))
+      val all = time(SqlDml.execute(spark,
+        "UPDATE t SET v = v + 1 WHERE id >= 0", Map("t" -> root)))
+      (one, all)
+    }
+    run(nSmall) // warm-up: JIT + parquet codepaths
+    val (s1, sAll) = run(nSmall)
+    val (b1, bAll) = run(nBig)
+    println(f"rows=$nSmall%d one-partition=$s1%.2fs all-partitions=$sAll%.2fs")
+    println(f"rows=$nBig%d one-partition=$b1%.2fs all-partitions=$bAll%.2fs")
+    println(f"growth one-partition=${b1 / s1}%.2fx all=${bAll / sAll}%.2fx")
+    spark.stop()
+  }
+}
