@@ -759,7 +759,16 @@ object SnapshotStore {
       import org.apache.spark.sql.functions.col
       val n = df.count()
       val parts = math.max(1, ((n + targetRows - 1) / targetRows).toInt)
-      if (clusterBy.nonEmpty) df.repartitionByRange(parts, clusterBy.map(col): _*)
+      val hive = partitionCols(root)
+      if (hive.nonEmpty)
+        // partitioned table: shuffle BY the partition columns (plus any
+        // cluster key for in-partition order) so each hive partition's
+        // rows co-locate into few tasks — a global round-robin would make
+        // every task write a sliver into every partition dir, exploding
+        // file count by tasks × partitions instead of shrinking it
+        df.repartitionByRange(parts, (hive ++ clusterBy).distinct.map(col): _*)
+      else if (clusterBy.nonEmpty)
+        df.repartitionByRange(parts, clusterBy.map(col): _*)
       else df.repartition(parts)
     }
 

@@ -315,6 +315,49 @@ class GraftCatalogSpec extends SparkSpec {
       .contains("PARTITIONED BY"))
   }
 
+  test("multi-level partitioning + partition-aware OPTIMIZE") {
+    wh
+    spark.sql(
+      """CREATE TABLE graft.ml (id BIGINT, v BIGINT, y STRING, m STRING)
+        |PARTITIONED BY (y, m)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.ml
+        |SELECT id, id, CAST(2020 + id % 2 AS STRING),
+        |       CAST(1 + id % 3 AS STRING)
+        |FROM range(600)""".stripMargin)
+    // nested hive dirs
+    val d1 = Paths.get(SnapshotStore.latest(s"$wh/ml").dataDir)
+    assert(Files.isDirectory(d1.resolve("y=2020/m=1")) &&
+      Files.isDirectory(d1.resolve("y=2021/m=3")), "expected y=/m= nesting")
+    // both-level predicate prunes to the one leaf dir
+    def planned(sql: String): Seq[String] =
+      spark.sql(sql).queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.toBatch.planInputPartitions().toSeq.flatMap {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              fp.files.map(_.filePath.toString).toSeq
+            case _ => Nil
+          }
+      }.flatten
+    val leaf = planned("SELECT * FROM graft.ml WHERE y = '2020' AND m = '2'")
+    assert(leaf.nonEmpty && leaf.forall(_.contains("y=2020/m=2")))
+    // copy-on-write works on the nested tree: DELETE in one leaf links the rest
+    graft.sources.SqlDml.execute(spark,
+      "DELETE FROM graft.ml WHERE y = '2020' AND m = '2'")
+    assert(spark.sql("SELECT count(*) FROM graft.ml").head().getLong(0) ==
+      600L - (0L until 600L).count(i => i % 2 == 0 && i % 3 == 1))
+    // partition-aware OPTIMIZE shrinks files without cross-partition slivers
+    SnapshotStore.transact(spark, s"$wh/ml")(df => df.repartition(16)) // fragment
+    val before = planned("SELECT * FROM graft.ml").length
+    spark.sql("CALL graft.system.optimize('ml', 1000)")
+    val after = planned("SELECT * FROM graft.ml").length
+    assert(after < before, s"optimize must shrink files ($before -> $after)")
+    assert(spark.sql("SELECT CAST(sum(v) AS BIGINT) FROM graft.ml")
+      .head().getLong(0) ==
+      (0L until 600L).filterNot(i => i % 2 == 0 && i % 3 == 1).sum,
+      "optimize moves bytes, never rows")
+  }
+
   test("partitioned DML is copy-on-write: untouched partitions hard-link") {
     wh
     spark.sql(
