@@ -460,7 +460,8 @@ object SnapshotStore {
     * set; an overwrite falls back to the generic keyed diff.
     */
   def append(spark: SparkSession, root: String, rows: DataFrame,
-      overwrite: Boolean = false, maxAttempts: Int = 10): Snapshot = {
+      overwrite: Boolean = false, maxAttempts: Int = 10,
+      txn: Option[Txn] = None): Snapshot = {
     import org.apache.spark.sql.functions.{col, lit}
     def aligned(base: DataFrame): DataFrame = {
       val have = rows.columns.map(_.toLowerCase).toSet
@@ -474,12 +475,12 @@ object SnapshotStore {
       } match { case cols => rows.select(cols: _*) }
     }
     if (overwrite)
-      transact(spark, root, maxAttempts)(base => aligned(base))
+      transact(spark, root, maxAttempts, txn = txn)(base => aligned(base))
     else if (partitionCols(root).nonEmpty)
       // partitioned append is TRUE append: write only the new rows (their
       // partition dirs merge with linked existing files), hard-link every
       // existing file — O(appended data), never O(table)
-      transactPartialWithChanges(spark, root, maxAttempts) { base =>
+      transactPartialWithChanges(spark, root, maxAttempts, txn = txn) { base =>
         val keys = cdcKeys(root)
         if (keys.nonEmpty) {
           val clash = aligned(base).join(base, keys, "left_semi").limit(1)
@@ -493,8 +494,9 @@ object SnapshotStore {
         (a, a.withColumn(ChangeTypeCol, lit("insert")))
       }
     else if (cdcKeys(root).isEmpty)
-      transact(spark, root, maxAttempts)(base => base.unionByName(aligned(base)))
-    else transactWithChanges(spark, root, maxAttempts) { base =>
+      transact(spark, root, maxAttempts, txn = txn)(base =>
+        base.unionByName(aligned(base)))
+    else transactWithChanges(spark, root, maxAttempts, txn = txn) { base =>
       val a = aligned(base)
       val keys = cdcKeys(root)
       val clash = a.join(base, keys, "left_semi").limit(1)

@@ -28,6 +28,19 @@ object GraftSqlShim {
       cdf.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** The inverse of [[asStreamingDF]]: re-wrap a v1 `Sink.addBatch`
+    * DataFrame (whose plan still carries streaming sources) as a plain
+    * BATCH DataFrame over the already-planned RDD — what Spark's own
+    * ForeachBatchSink does before handing the batch to user code. Without
+    * this, any action on the batch throws "streaming sources must be
+    * executed with writeStream.start()".
+    */
+  def asBatchDF(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** Column → catalyst Expression (Spark 4 hides `.expr` behind ColumnNode).
     * Converted EAGERLY: `ExpressionUtils.expression` returns a lazy
     * `ColumnNodeExpression` that only the analyzer's own column-resolution

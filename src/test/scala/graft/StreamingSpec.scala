@@ -705,4 +705,66 @@ class StreamingSpec extends SparkSpec {
       assert(joined.isEmpty)
     } finally server.stop(0)
   }
+
+  test("SnapshotSink: writeStream lands micro-batches as txn-stamped commits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("snap_sink").toString + "/t"
+    val cp = java.nio.file.Files.createTempDirectory("snap_sink_cp").toString
+    val empty = spark.range(0).selectExpr("id", "id AS v")
+    SnapshotStore.init(spark, root, empty)
+    val mem = MemoryStream[(Long, Long)]
+    def run(): Unit = {
+      val q = mem.toDF().toDF("id", "v").writeStream
+        .format("graft.streaming.SnapshotSink")
+        .option("path", root).option("txnAppId", "sink-spec")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    mem.addData((1L, 10L), (2L, 20L))
+    run()
+    assert(SnapshotStore.read(spark, root).count() == 2L)
+    // restart over the same checkpoint: nothing new -> no duplicate commit
+    val vAfter = SnapshotStore.latest(root).version
+    run()
+    assert(SnapshotStore.read(spark, root).count() == 2L)
+    // append across the restart
+    mem.addData((3L, 30L))
+    run()
+    assert(SnapshotStore.read(spark, root).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // a DIFFERENT writer may not reuse the stamp namespace silently:
+    // same appId + lower batchId is suppressed (the txn contract)
+    SnapshotStore.append(spark, root,
+      spark.range(1).selectExpr("99 AS id", "0 AS v"),
+      txn = Some(SnapshotStore.Txn("sink-spec", 0L)))
+    assert(SnapshotStore.read(spark, root).count() == 3L,
+      "replayed (appId, batchId) must be a no-op")
+    // upsert mode: per-key replace through the same sink surface
+    val mem2 = MemoryStream[(Long, Long)]
+    val cp2 = java.nio.file.Files.createTempDirectory("snap_sink_cp2").toString
+    mem2.addData((2L, 99L), (4L, 40L))
+    val q2 = mem2.toDF().toDF("id", "v").writeStream
+      .format("graft.streaming.SnapshotSink")
+      .option("path", root).option("txnAppId", "sink-spec-upsert")
+      .option("mode", "upsert").option("key", "id")
+      .option("checkpointLocation", cp2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val out = SnapshotStore.read(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 10L), (2L, 99L), (3L, 30L), (4L, 40L)), s"got $out")
+    // missing txnAppId refuses loudly
+    val e = intercept[Exception](
+      mem2.toDF().toDF("id", "v").writeStream
+        .format("graft.streaming.SnapshotSink").option("path", root)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("snap_sink_cp3").toString)
+        .start())
+    assert(e.getMessage != null)
+  }
 }
+
