@@ -131,7 +131,20 @@ object SqlDml {
         val source = tables.get(sName)
           .map(r => SnapshotStore.read(spark, r))
           .getOrElse(spark.table(sName))
-        transactBoth(spark, root, maxAttempts,
+        // partitioned target + no NOT MATCHED BY SOURCE arm (which could
+        // modify ANY target row): copy-on-write — only partitions holding
+        // join-matched target rows rewrite. A source row's match, if any,
+        // is by definition in a touched partition, so mergeFrames over the
+        // touched subset ≡ the full merge restricted to those partitions
+        // plus the inserts (whose new files dir-merge with linked dirs).
+        if (SnapshotStore.partitionCols(root).nonEmpty &&
+            m.notMatchedBySourceActions.isEmpty)
+          SnapshotStore.transactPartialWithChanges(spark, root, maxAttempts)(
+            base => base.alias(tAlias).join(source.alias(sAlias),
+              expr(m.mergeCondition.sql), "left_semi"))(
+            base => mergeFrames(base, tAlias, source, sAlias, m,
+              checkCardinality, SnapshotStore.cdcKeys(root)))
+        else transactBoth(spark, root, maxAttempts,
           base => mergeFrames(base, tAlias, source, sAlias, m, checkCardinality,
             SnapshotStore.cdcKeys(root)))
 

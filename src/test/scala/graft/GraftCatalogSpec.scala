@@ -417,6 +417,56 @@ class GraftCatalogSpec extends SparkSpec {
       (0L until 60L).filter(_ % 3 == 1).map(_ * 10).sum + 3L)
   }
 
+  test("partitioned MERGE is copy-on-write unless NOT MATCHED BY SOURCE") {
+    wh
+    spark.sql(
+      """CREATE TABLE graft.mcw (id BIGINT, v BIGINT, seg STRING)
+        |PARTITIONED BY (seg)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.mcw
+        |SELECT id, id * 10, CASE WHEN id % 3 = 0 THEN 'a'
+        |  WHEN id % 3 = 1 THEN 'b' ELSE 'c' END
+        |FROM range(30)""".stripMargin) // v1
+    def filesOf(v: Long): Map[String, Object] = {
+      val dir = Paths.get(SnapshotStore.at(s"$wh/mcw", v).dataDir)
+      val st = Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".parquet") &&
+            !dir.relativize(f).toString.startsWith("_"))
+          .map(f => (dir.relativize(f).toString,
+            Files.readAttributes(f, classOf[java.nio.file.attribute.BasicFileAttributes])
+              .fileKey())).toMap
+      } finally st.close()
+    }
+    // source touches only seg=b targets (ids 1,4) + one brand-new id
+    Seq((1L, 111L, "b"), (4L, 444L, "b"), (100L, 1L, "z"))
+      .toDF("id", "v", "seg").createOrReplaceTempView("mcw_src")
+    graft.sources.SqlDml.execute(spark,
+      """MERGE INTO graft.mcw t USING mcw_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v, seg) VALUES (s.id, s.v, s.seg)
+        |""".stripMargin) // v2
+    val v1 = filesOf(1); val v2 = filesOf(2)
+    assert(v2.filter(_._1.startsWith("seg=a")) == v1.filter(_._1.startsWith("seg=a")) &&
+      v2.filter(_._1.startsWith("seg=c")) == v1.filter(_._1.startsWith("seg=c")),
+      "partitions without matches must stay hard-linked")
+    assert(v2.keySet.exists(_.startsWith("seg=z")), "insert lands a new partition")
+    assert(spark.sql("SELECT v FROM graft.mcw WHERE id = 1").head().getLong(0) == 111L)
+    assert(spark.sql("SELECT count(*) FROM graft.mcw").head().getLong(0) == 31L)
+    // WHEN NOT MATCHED BY SOURCE can touch any row -> full rewrite fallback
+    graft.sources.SqlDml.execute(spark,
+      """MERGE INTO graft.mcw t USING mcw_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v + 1
+        |""".stripMargin) // v3
+    val v3 = filesOf(3)
+    assert(v3.forall { case (k, fk) => !v2.get(k).contains(fk) },
+      "an NMBS merge rewrites everything (no stale links)")
+    assert(spark.sql("SELECT v FROM graft.mcw WHERE id = 2").head().getLong(0) == 21L)
+  }
+
   test("CALL restore: rolls data AND schema back across an ALTER boundary") {
     wh
     spark.sql("CREATE TABLE graft.rs (id BIGINT, v BIGINT)")
