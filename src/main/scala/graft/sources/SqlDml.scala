@@ -151,25 +151,86 @@ object SqlDml {
       case ins: InsertIntoStatement =>
         val (name, _) = relationOf(ins.table)
         val root = rootOf(tables, name)
-        require(ins.partitionSpec.isEmpty && !ins.ifPartitionNotExists,
-          "partitioned INSERT not supported")
+        require(!ins.ifPartitionNotExists, "IF NOT EXISTS partitions not supported")
         val src = org.apache.spark.sql.GraftSqlShim.ofRows(spark, ins.query)
-        // name resolution happens here; alignment/casts/CDC guards live in
-        // SnapshotStore.append (shared with the catalog's V1 write fallback)
-        val named =
-          if (ins.userSpecifiedCols.nonEmpty) {
-            require(ins.userSpecifiedCols.length == src.columns.length,
-              s"INSERT column list has ${ins.userSpecifiedCols.length} names " +
-                s"for ${src.columns.length} values")
-            src.toDF(ins.userSpecifiedCols: _*)
-          } else {
-            val cols = SnapshotStore.readSchema(spark, SnapshotStore.latest(root))
-              .fieldNames.toIndexedSeq
-            require(src.columns.length == cols.length,
-              s"INSERT provides ${src.columns.length} columns, table has ${cols.length}")
-            src.toDF(cols: _*)
+        if (ins.partitionSpec.nonEmpty) {
+          // STATIC single-partition overwrite:
+          //   INSERT OVERWRITE t PARTITION (seg = 'a') SELECT <non-part cols>
+          // — replaces exactly that partition through the copy-on-write
+          // staging (every other partition hard-links). The workhorse of
+          // partitioned backfills: reprocess one day without touching the
+          // other 10 years.
+          require(ins.overwrite,
+            "PARTITION (col = value) requires INSERT OVERWRITE " +
+              "(appends land in partitions by row value — no spec needed)")
+          val hive = SnapshotStore.partitionCols(root)
+          require(hive.nonEmpty, s"$name is not a partitioned table")
+          val spec = ins.partitionSpec.map { case (k, v) =>
+            k.toLowerCase -> v.getOrElse(throw new IllegalArgumentException(
+              s"dynamic partition value for '$k' not supported — give a literal"))
           }
-        SnapshotStore.append(spark, root, named, ins.overwrite, maxAttempts)
+          require(spec.keySet == hive.map(_.toLowerCase).toSet,
+            s"PARTITION spec ${spec.keySet} must name exactly the partition " +
+              s"columns ${hive.mkString(", ")}")
+          val schema = SnapshotStore.readSchema(spark, SnapshotStore.latest(root))
+          val dataCols = schema.fieldNames.toIndexedSeq
+            .filterNot(c => spec.contains(c.toLowerCase))
+          require(src.columns.length == dataCols.length,
+            s"query provides ${src.columns.length} columns; partition " +
+              s"$spec expects ${dataCols.mkString(", ")}")
+          val newRows = {
+            val d = src.toDF(dataCols: _*)
+            val withParts = spec.foldLeft(d) { case (acc, (k, v)) =>
+              acc.withColumn(k, lit(v).cast(schema(
+                schema.fieldNames.find(_.equalsIgnoreCase(k)).get).dataType))
+            }
+            withParts.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+          }
+          val partPred = spec.map { case (k, v) =>
+            col(k) <=> lit(v).cast(schema(
+              schema.fieldNames.find(_.equalsIgnoreCase(k)).get).dataType)
+          }.reduce(_ && _)
+          val keys = SnapshotStore.cdcKeys(root)
+          SnapshotStore.transactPartialWithChanges(spark, root, maxAttempts)(
+            base => {
+              if (keys.nonEmpty) {
+                // key uniqueness is table-wide: a partition overwrite must
+                // not introduce a key that lives in ANOTHER partition (its
+                // feed would emit 'insert' for a live key — replica poison)
+                val clash = newRows
+                  .join(base.filter(!coalesce(partPred, lit(false))),
+                    keys, "left_semi").limit(1)
+                require(clash.isEmpty,
+                  s"INSERT OVERWRITE PARTITION $spec carries key(s) " +
+                    s"(${keys.mkString(", ")}) already live outside the " +
+                    "partition")
+              }
+              base.filter(partPred)
+            })(old => {
+            val changes =
+              if (keys.isEmpty) old.limit(0)
+                .withColumn(SnapshotStore.ChangeTypeCol, lit("insert"))
+              else SnapshotStore.diffChanges(old, newRows, keys)
+            (newRows, changes)
+          })
+        } else {
+          // name resolution happens here; alignment/casts/CDC guards live in
+          // SnapshotStore.append (shared with the catalog's V1 write fallback)
+          val named =
+            if (ins.userSpecifiedCols.nonEmpty) {
+              require(ins.userSpecifiedCols.length == src.columns.length,
+                s"INSERT column list has ${ins.userSpecifiedCols.length} names " +
+                  s"for ${src.columns.length} values")
+              src.toDF(ins.userSpecifiedCols: _*)
+            } else {
+              val cols = SnapshotStore.readSchema(spark, SnapshotStore.latest(root))
+                .fieldNames.toIndexedSeq
+              require(src.columns.length == cols.length,
+                s"INSERT provides ${src.columns.length} columns, table has ${cols.length}")
+              src.toDF(cols: _*)
+            }
+          SnapshotStore.append(spark, root, named, ins.overwrite, maxAttempts)
+        }
 
       case ctas: CreateTableAsSelect =>
         val name = ctas.name match {

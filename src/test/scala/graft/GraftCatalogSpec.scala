@@ -417,6 +417,59 @@ class GraftCatalogSpec extends SparkSpec {
       (0L until 60L).filter(_ % 3 == 1).map(_ * 10).sum + 3L)
   }
 
+  test("INSERT OVERWRITE PARTITION replaces one partition, links the rest") {
+    wh
+    spark.sql(
+      """CREATE TABLE graft.pov (id BIGINT, v BIGINT, seg STRING)
+        |PARTITIONED BY (seg) TBLPROPERTIES ('cdc.keys' = 'id')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.pov
+        |SELECT id, id * 10, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END
+        |FROM range(20)""".stripMargin) // v1
+    def files(v: Long): Map[String, Object] = {
+      val dir = Paths.get(SnapshotStore.at(s"$wh/pov", v).dataDir)
+      val st = Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".parquet") &&
+            !dir.relativize(f).toString.startsWith("_"))
+          .map(f => (dir.relativize(f).toString,
+            Files.readAttributes(f, classOf[java.nio.file.attribute.BasicFileAttributes])
+              .fileKey())).toMap
+      } finally st.close()
+    }
+    // the backfill: rebuild seg=a with fewer rows and new values
+    graft.sources.SqlDml.execute(spark,
+      """INSERT OVERWRITE graft.pov PARTITION (seg = 'a')
+        |SELECT id * 2, id * 100 FROM range(4)""".stripMargin) // v2
+    val v1 = files(1); val v2 = files(2)
+    assert(v2.filter(_._1.startsWith("seg=b")) == v1.filter(_._1.startsWith("seg=b")),
+      "the untouched partition must stay hard-linked")
+    assert(spark.sql("SELECT count(*) FROM graft.pov WHERE seg = 'a'")
+      .head().getLong(0) == 4L)
+    assert(spark.sql("SELECT v FROM graft.pov WHERE id = 2").head().getLong(0) == 100L)
+    assert(spark.sql("SELECT count(*) FROM graft.pov WHERE seg = 'b'")
+      .head().getLong(0) == 10L)
+    // CDC: the overwrite lands as a keyed diff of that partition only
+    val ch = spark.sql(
+      """SELECT _change_type, count(*) AS n FROM table_changes('pov', 2, 2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // old seg=a: ids 0,2,...,18 (v=id*10). new: 0,2,4,6 (v=0,100,200,300).
+    // id 0 is value-unchanged (0 -> 0) so it emits nothing; 2/4/6 update;
+    // 8..18 delete — the keyed diff of exactly one partition
+    assert(ch == Seq(("delete", 6L),
+      ("update_postimage", 3L), ("update_preimage", 3L)), s"got $ch")
+    // a key live in ANOTHER partition refuses (feed would see a live-key
+    // insert — replica poison)
+    intercept[Exception](graft.sources.SqlDml.execute(spark,
+      "INSERT OVERWRITE graft.pov PARTITION (seg = 'a') SELECT 1, 1"))
+    // appends must not carry a partition spec
+    intercept[Exception](graft.sources.SqlDml.execute(spark,
+      "INSERT INTO graft.pov PARTITION (seg = 'a') SELECT id, id FROM range(2)"))
+  }
+
   test("partitioned MERGE is copy-on-write unless NOT MATCHED BY SOURCE") {
     wh
     spark.sql(
