@@ -474,7 +474,39 @@ object SnapshotStore {
           .cast(f.dataType).as(f.name)
       } match { case cols => rows.select(cols: _*) }
     }
-    if (overwrite)
+    val dynamicOverwrite = overwrite && partitionCols(root).nonEmpty &&
+      spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        .equalsIgnoreCase("dynamic")
+    if (dynamicOverwrite) {
+      // the standard Spark dynamic-partition-overwrite contract: replace
+      // ONLY the partitions present in the incoming data, keep the rest —
+      // here that is literally "rewrite touched partitions, hard-link the
+      // others", the same copy-on-write staging as partial DML
+      val parts = partitionCols(root)
+      transactPartialWithChanges(spark, root, maxAttempts, txn = txn) { base =>
+        import org.apache.spark.sql.functions.broadcast
+        val newVals = aligned(base).select(parts.map(col): _*).distinct()
+        val keys = cdcKeys(root)
+        if (keys.nonEmpty) {
+          // table-wide key uniqueness: an overwritten partition must not
+          // introduce a key living in a KEPT partition
+          val kept = base.join(broadcast(newVals), parts, "left_anti")
+          val clash = aligned(base).join(kept, keys, "left_semi").limit(1)
+          require(clash.isEmpty,
+            s"dynamic overwrite of $root carries key(s) " +
+              s"(${keys.mkString(", ")}) already live in a kept partition")
+        }
+        base.join(broadcast(newVals), parts, "left_semi")
+      } { old =>
+        val a = aligned(old)
+        val keys = cdcKeys(root)
+        val changes =
+          if (keys.isEmpty) a.limit(0).withColumn(ChangeTypeCol, lit("insert"))
+          else diffChanges(old, a, keys)
+        (a, changes)
+      }
+    }
+    else if (overwrite)
       transact(spark, root, maxAttempts, txn = txn)(base => aligned(base))
     else if (partitionCols(root).nonEmpty)
       // partitioned append is TRUE append: write only the new rows (their

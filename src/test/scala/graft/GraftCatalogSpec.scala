@@ -470,6 +470,39 @@ class GraftCatalogSpec extends SparkSpec {
       "INSERT INTO graft.pov PARTITION (seg = 'a') SELECT id, id FROM range(2)"))
   }
 
+  test("dynamic partitionOverwriteMode replaces only the partitions in the data") {
+    wh
+    spark.sql(
+      """CREATE TABLE graft.dyn (id BIGINT, v BIGINT, seg STRING)
+        |PARTITIONED BY (seg)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.dyn
+        |SELECT id, id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END
+        |FROM range(10)""".stripMargin) // v1
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // data only names seg=a -> seg=b survives untouched. (Routed through
+      // SqlDml: Spark's catalog planner would demand a DSv2 dynamic
+      // overwrite writer; the statement path honors the conf itself.)
+      graft.sources.SqlDml.execute(spark,
+        "INSERT OVERWRITE graft.dyn SELECT id, id * 100, 'a' FROM range(2)") // v2
+      val rows = spark.sql("SELECT seg, count(*) AS n FROM graft.dyn GROUP BY seg")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(rows == Map("a" -> 2L, "b" -> 5L), s"got $rows")
+      assert(spark.sql("SELECT v FROM graft.dyn WHERE id = 1").head().getLong(0) == 1L,
+        "kept partition's rows untouched")
+      // static mode (the Spark default) replaces the whole table
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      spark.sql(
+        "INSERT OVERWRITE graft.dyn SELECT id, id, 'c' FROM range(3)") // v3
+      assert(spark.sql("SELECT count(*) FROM graft.dyn").head().getLong(0) == 3L)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   test("partitioned MERGE is copy-on-write unless NOT MATCHED BY SOURCE") {
     wh
     spark.sql(
