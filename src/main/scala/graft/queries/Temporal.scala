@@ -1077,5 +1077,63 @@ object Temporal {
            |  CAST(sum(salary) AS BIGINT) AS sal
            |FROM base WHERE segment IN ('BUILDING', 'FURNITURE')
            |GROUP BY segment ORDER BY segment""".stripMargin
+      }),
+
+    // Q94 [extension: streaming sink surface] `writeStream.format(
+    // "graft.streaming.SnapshotSink")` — micro-batches land in a snapshot
+    // table as txn-stamped optimistic commits (the exactly-once recipe
+    // without foreachBatch boilerplate), here in `mode=upsert`: phase 1
+    // streams the initial employees, phase 2 RESTARTS the query over the
+    // same checkpoint and streams keyed salary updates for one segment —
+    // per-key replace through the anti-join MERGE shape. The history
+    // length rides along as a column (v0 init + exactly one commit per
+    // non-empty batch — replays would inflate it; the oracle pins 3). The
+    // driver-side collect feeding MemoryStream is the test HARNESS
+    // generator (bounded: id<=2000), standing in for a real upstream.
+    "q94_stream_sink" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.SnapshotStore
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import org.apache.spark.sql.streaming.Trigger
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val root = graft.GateTmp.freshDir("q94_t")
+        val cp = graft.GateTmp.freshDir("q94_cp")
+        val emp = RelationalPipeline.employeeView(s, d)
+          .select($("id"), $("salary"), $("segment")).filter($("id") <= 2000)
+        SnapshotStore.init(s, root, emp.limit(0))
+        val mem = MemoryStream[(Long, Long, String)]
+        def runOnce(): Unit = {
+          val q = mem.toDF().toDF("id", "salary", "segment").writeStream
+            .format("graft.streaming.SnapshotSink")
+            .option("path", root).option("txnAppId", "q94-writer")
+            .option("mode", "upsert").option("key", "id")
+            .option("checkpointLocation", cp)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        def rowsOf(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+        mem.addData(rowsOf(emp): _*)
+        runOnce()
+        mem.addData(rowsOf(emp.filter($("segment") === "BUILDING")
+          .select($("id"), ($("salary") + 333L).as("salary"), $("segment"))): _*)
+        runOnce() // a genuine restart: fresh query, same checkpoint + stamps
+        val nCommits = SnapshotStore.history(s, root).count()
+        SnapshotStore.read(s, root)
+          .withColumn("n_commits", lit(nCommits))
+          .orderBy($("id"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""WITH base AS (
+           |  SELECT c_custkey AS id,
+           |    CASE WHEN c_mktsegment = 'BUILDING' THEN $cents + 333
+           |         ELSE $cents END AS salary,
+           |    c_mktsegment AS segment
+           |  FROM customer WHERE c_custkey <= 2000)
+           |SELECT id, salary, segment, CAST(3 AS BIGINT) AS n_commits
+           |FROM base ORDER BY id""".stripMargin
       }))
 }
