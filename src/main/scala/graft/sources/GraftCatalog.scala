@@ -454,7 +454,27 @@ object GraftCatalog {
   */
 private[sources] class GraftTable(spark: SparkSession, tableName: String,
     root: String, snap: SnapshotStore.Snapshot, pinned: Boolean)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** `TRUNCATE TABLE` — a COMMIT (empty snapshot), never a deletion:
+    * history still serves every pre-truncate version, schema/partitioning/
+    * constraints/CDC config stay, and on CDC tables the feed records the
+    * truncation as deletes of every live row (a silent empty commit would
+    * desync replicas).
+    */
+  override def truncateTable(): Boolean = {
+    require(!pinned, s"cannot truncate $tableName pinned at version " +
+      s"${snap.version} (time travel is read-only)")
+    if (SnapshotStore.cdcKeys(root).nonEmpty)
+      SnapshotStore.transactWithChanges(spark, root) { base =>
+        import org.apache.spark.sql.functions.lit
+        (base.limit(0),
+          base.withColumn(SnapshotStore.ChangeTypeCol, lit("delete")))
+      }
+    else SnapshotStore.transact(spark, root)(base => base.limit(0))
+    true
+  }
 
   private lazy val tableSchema: StructType = SnapshotStore.readSchema(spark, snap)
 

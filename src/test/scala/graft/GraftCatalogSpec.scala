@@ -470,6 +470,32 @@ class GraftCatalogSpec extends SparkSpec {
       "INSERT INTO graft.pov PARTITION (seg = 'a') SELECT id, id FROM range(2)"))
   }
 
+  test("partitioned CTAS and TRUNCATE TABLE through the catalog") {
+    wh
+    spark.range(40).selectExpr("id", "id * 2 AS v",
+      "CAST(id % 4 AS STRING) AS bucket").createOrReplaceTempView("pctas_src")
+    spark.sql(
+      """CREATE TABLE graft.pctas PARTITIONED BY (bucket)
+        |AS SELECT * FROM pctas_src""".stripMargin)
+    val dir = Paths.get(SnapshotStore.latest(s"$wh/pctas").dataDir)
+    assert(Files.isDirectory(dir.resolve("bucket=0")) &&
+      Files.isDirectory(dir.resolve("bucket=3")),
+      "CTAS must land the hive layout")
+    assert(SnapshotStore.partitionCols(s"$wh/pctas") == Seq("bucket"))
+    assert(spark.sql("SELECT CAST(sum(v) AS BIGINT) FROM graft.pctas")
+      .head().getLong(0) == (0L until 40L).map(_ * 2).sum)
+    spark.sql("TRUNCATE TABLE graft.pctas")
+    assert(spark.sql("SELECT count(*) FROM graft.pctas").head().getLong(0) == 0L)
+    // truncation is a COMMIT, not a deletion: history serves the old rows
+    val vs = SnapshotStore.history(spark, s"$wh/pctas").count()
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.pctas VERSION AS OF ${vs - 2}")
+      .head().getLong(0) == 40L, "pre-truncate version must still read")
+    // and the table keeps working (schema + partitioning intact)
+    spark.sql("INSERT INTO graft.pctas VALUES (100, 1, '9')")
+    assert(spark.sql("SELECT bucket FROM graft.pctas").head().getString(0) == "9")
+  }
+
   test("dynamic partitionOverwriteMode replaces only the partitions in the data") {
     wh
     spark.sql(
