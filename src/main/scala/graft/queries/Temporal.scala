@@ -1135,5 +1135,79 @@ object Temporal {
            |  FROM customer WHERE c_custkey <= 2000)
            |SELECT id, salary, segment, CAST(3 AS BIGINT) AS n_commits
            |FROM base ORDER BY id""".stripMargin
+      }),
+
+    // Q95 [extension: incremental materialized view] A per-segment
+    // count/sum aggregate maintained from the CHANGE FEED, never the
+    // table: refresh folds typed change rows (insert +, delete −, update
+    // post−pre) into per-group deltas and merges them into the view with
+    // one broadcast full-outer join — O(change volume) maintenance, which
+    // is the whole point of CDC at 100 TB (updating 100 rows refreshes the
+    // view by scanning 200 change rows). The gate UPDATEs one segment,
+    // DELETEs a key slice, INSERTs late joiners, refreshes, and
+    // require()s the physical claim: the delta's scan reads ONLY
+    // `_changes/` files. Refresh commits carry (appId, srcVersion) stamps,
+    // so the second refresh() call in-build is a stamped no-op (version
+    // count pinned in the output). Exact integer sums (Canon) keep the
+    // add/subtract replay bit-stable.
+    "q95_incremental_mv" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{MatView, SnapshotStore, SqlDml}
+        val src = graft.GateTmp.freshDir("q95_src")
+        val mv = graft.GateTmp.freshDir("q95_mv")
+        val base = RelationalPipeline.employeeView(s, d)
+          .select($("id"), $("salary"), $("segment"))
+        SnapshotStore.init(s, src, base, cdcKeys = Seq("id"))
+        MatView.create(s, src, mv, Seq("segment"), "salary")
+        val t = Map("emp" -> src)
+        SqlDml.execute(s,
+          "UPDATE emp SET salary = salary + 100 WHERE segment = 'AUTOMOBILE'", t)
+        SqlDml.execute(s, "DELETE FROM emp WHERE id % 9 = 0", t)
+        Tables.supplier(s, d)
+          .select(($("s_suppkey") + 2000000L).as("id"),
+            graft.Canon.cents($("s_acctbal")).as("salary"),
+            lit("SUPPLIER").as("segment"))
+          .createOrReplaceTempView("q95_new")
+        SqlDml.execute(s, "INSERT INTO emp SELECT id, salary, segment FROM q95_new", t)
+        // physical claim: the refresh delta scans change files ONLY
+        val cur = SnapshotStore.latest(src).version
+        val probe = MatView.deltaOf(
+          SnapshotStore.changes(s, src, 2, cur), Seq("segment"), "salary")
+        val scanned = probe.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten
+        require(scanned.nonEmpty && scanned.forall(_.contains("/_changes/")),
+          s"MV refresh must scan change files only, got ${scanned.take(3)}")
+        MatView.refresh(s, src, mv, Seq("segment"), "salary")
+        MatView.refresh(s, src, mv, Seq("segment"), "salary") // stamped no-op
+        val nVersions = SnapshotStore.history(s, mv).count()
+        SnapshotStore.read(s, mv)
+          .withColumn("n_mv_versions", lit(nVersions))
+          .orderBy($("segment"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""WITH base AS (
+           |  SELECT c_custkey AS id, $cents AS salary,
+           |         c_mktsegment AS segment
+           |  FROM customer),
+           |v1 AS (SELECT id,
+           |  CASE WHEN segment = 'AUTOMOBILE' THEN salary + 100 ELSE salary
+           |  END AS salary, segment FROM base),
+           |v2 AS (SELECT * FROM v1 WHERE NOT (id % 9 = 0)),
+           |v3 AS (SELECT * FROM v2
+           |  UNION ALL
+           |  SELECT s_suppkey + 2000000, ${graft.Canon.centsSql("s_acctbal")},
+           |         'SUPPLIER'
+           |  FROM supplier)
+           |SELECT segment, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(salary) AS BIGINT) AS val_sum,
+           |  CAST(3 AS BIGINT) AS n_mv_versions
+           |FROM v3 GROUP BY segment ORDER BY segment""".stripMargin
       }))
 }

@@ -54,4 +54,40 @@ class MatViewSpec extends SparkSpec {
     val servedAfter = serve(spark.read.parquet(s"${mvDir}_compact"))
     assert(servedAfter == direct, "compaction must not change served answers")
   }
+
+  test("CDC-driven MatView tracks UPDATE/DELETE/INSERT and drops emptied groups") {
+    import graft.sources.{MatView, SnapshotStore, SqlDml}
+    val src = GateTmp.freshDir("mv_cdc_src")
+    val mv = GateTmp.freshDir("mv_cdc_mv")
+    val base = spark.range(30).selectExpr("id", "id * 10 AS v",
+      "CAST(id % 3 AS STRING) AS g")
+    SnapshotStore.init(spark, src, base, cdcKeys = Seq("id"))
+    MatView.create(spark, src, mv, Seq("g"), "v")
+    def viewNow: Map[String, (Long, Long)] =
+      SnapshotStore.read(spark, mv).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def recompute: Map[String, (Long, Long)] =
+      SnapshotStore.read(spark, src).groupBy("g")
+        .agg(count(lit(1)).as("n"), sum($"v").as("s")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viewNow == recompute)
+    val t = Map("t" -> src)
+    SqlDml.execute(spark, "UPDATE t SET v = v + 5 WHERE g = '1'", t)
+    SqlDml.execute(spark, "DELETE FROM t WHERE g = '2'", t) // empties a group
+    SqlDml.execute(spark,
+      "INSERT INTO t SELECT id + 100, 7, '9' FROM range(4)", t) // new group
+    MatView.refresh(spark, src, mv, Seq("g"), "v")
+    assert(viewNow == recompute, s"view=$viewNow direct=$recompute")
+    assert(!viewNow.contains("2"), "emptied group must drop out of the view")
+    assert(viewNow("9") == (4L, 28L))
+    // idempotence: a second refresh (and a replayed one) commits nothing
+    val vBefore = SnapshotStore.latest(mv).version
+    MatView.refresh(spark, src, mv, Seq("g"), "v")
+    assert(SnapshotStore.latest(mv).version == vBefore,
+      "refresh with no new source versions must be a no-op")
+    // a refresh racing a replay: same (appId, srcVersion) stamp suppressed
+    SnapshotStore.transact(spark, mv, txn = Some(SnapshotStore.Txn(
+      MatView.appIdFor(src), SnapshotStore.latest(src).version)))(df => df.limit(0))
+    assert(viewNow == recompute, "stamped replay must not clobber the view")
+  }
 }
