@@ -235,14 +235,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "expire_snapshots" -> GraftCatalog.ExpireProc,
       "clean_orphans" -> GraftCatalog.CleanOrphansProc,
       "restore" -> GraftCatalog.RestoreProc,
-      "clone" -> GraftCatalog.CloneProc)
+      "clone" -> GraftCatalog.CloneProc,
+      "create_mv" -> GraftCatalog.CreateMvProc,
+      "refresh_mv" -> GraftCatalog.RefreshMvProc)
     procs.get(ident.name.toLowerCase).map(_(this))
       .getOrElse(throw new RuntimeException(
         s"unknown procedure ${ident.name} (have: ${procs.keys.mkString(", ")})"))
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array("optimize", "expire_snapshots", "clean_orphans", "restore", "clone")
+    Array("optimize", "expire_snapshots", "clean_orphans", "restore", "clone",
+        "create_mv", "refresh_mv")
       .map(Identifier.of(Array("system"), _))
 
   /** `'ns.t'` (warehouse-relative) or a filesystem root — the same rule as
@@ -424,6 +427,54 @@ object GraftCatalog {
           else (cat.warehousePath +: dst.split('.').toSeq).mkString("/")
         val snap = SnapshotStore.shallowClone(spark, srcRoot, dstRoot)
         InternalRow(srcVersion, spark.read.parquet(snap.dataDir).count())
+      }
+    }
+
+  /** `CALL graft.system.create_mv('src', 'mv', 'g1,g2', 'value')` —
+    * initialize a CDC-maintained count/sum materialized view (one full
+    * aggregate; every later refresh is O(change volume)). The mv target
+    * becomes a new warehouse table. See [[MatView]].
+    */
+  private[sources] val CreateMvProc: GraftCatalog => UnboundProcedure = cat =>
+    new Proc("create_mv",
+      Seq(p("source", StringType), p("target", StringType),
+        p("group_cols", StringType), p("value_col", StringType)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("source_version", LongType),
+        org.apache.spark.sql.types.StructField("groups", LongType)))) {
+      override protected def run(in: InternalRow): InternalRow = {
+        val spark = SparkSession.active
+        val srcRoot = cat.tableRoot(in.getString(0))
+        val dst = in.getString(1)
+        val dstRoot =
+          if (dst.contains("/")) dst
+          else (cat.warehousePath +: dst.split('.').toSeq).mkString("/")
+        val groups = in.getString(2).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val snap = MatView.create(spark, srcRoot, dstRoot, groups, in.getString(3))
+        InternalRow(SnapshotStore.lastTxnVersion(dstRoot,
+          MatView.appIdFor(srcRoot)).getOrElse(-1L),
+          spark.read.parquet(snap.dataDir).count())
+      }
+    }
+
+  /** `CALL graft.system.refresh_mv('src', 'mv', 'g1,g2', 'value')` — fold
+    * the source's new change rows into the view; a no-op if current.
+    */
+  private[sources] val RefreshMvProc: GraftCatalog => UnboundProcedure = cat =>
+    new Proc("refresh_mv",
+      Seq(p("source", StringType), p("target", StringType),
+        p("group_cols", StringType), p("value_col", StringType)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("applied_through", LongType),
+        org.apache.spark.sql.types.StructField("mv_version", LongType)))) {
+      override protected def run(in: InternalRow): InternalRow = {
+        val spark = SparkSession.active
+        val srcRoot = cat.tableRoot(in.getString(0))
+        val mvRoot = cat.tableRoot(in.getString(1))
+        val groups = in.getString(2).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val snap = MatView.refresh(spark, srcRoot, mvRoot, groups, in.getString(3))
+        InternalRow(SnapshotStore.lastTxnVersion(mvRoot,
+          MatView.appIdFor(srcRoot)).getOrElse(-1L), snap.version)
       }
     }
 

@@ -64,8 +64,13 @@ object MatView {
     if (cur <= last) return SnapshotStore.latest(mvRoot)
     val delta = deltaOf(
       SnapshotStore.changes(spark, srcRoot, last + 1, cur), groupCols, valueCol)
-    SnapshotStore.transact(spark, mvRoot,
-      txn = Some(SnapshotStore.Txn(appId, cur))) { mv =>
+    mergeDelta(spark, mvRoot, delta, groupCols,
+      SnapshotStore.Txn(appId, cur))
+  }
+
+  private def mergeDelta(spark: SparkSession, mvRoot: String, delta: DataFrame,
+      groupCols: Seq[String], txn: SnapshotStore.Txn): SnapshotStore.Snapshot =
+    SnapshotStore.transact(spark, mvRoot, txn = Some(txn)) { mv =>
       val joinCond = groupCols.map(c => col(s"m.$c") <=> col(s"d.$c"))
         .reduce(_ && _)
       mv.alias("m").join(broadcast(delta.alias("d")), joinCond, "full_outer")
@@ -76,6 +81,33 @@ object MatView {
           (coalesce(col("m.val_sum"), lit(0L).cast("long")) +
             coalesce(col("d.dv"), lit(0L).cast("long"))).as("val_sum")): _*)
         .filter(col("n_rows") > 0)
+    }
+
+  /** Streaming maintenance: the `foreachBatch` body for a
+    * `ChangeFeedSource` query over the source —
+    * `feed.writeStream.foreachBatch(MatView.applyBatch(srcRoot, mvRoot,
+    * groups, value) _)`. Each micro-batch's typed change rows fold into
+    * the view exactly as [[refresh]] does, stamped with the batch's
+    * HIGHEST source version (the feed's offsets are versions, so a
+    * replayed batch re-derives the same stamp and is a no-op). Batch and
+    * streaming maintenance interleave safely: both advance the same
+    * high-water mark.
+    */
+  def applyBatch(srcRoot: String, mvRoot: String, groupCols: Seq[String],
+      valueCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val appId = appIdFor(srcRoot)
+    // drop versions at or below the high-water mark: a feed started from
+    // version 0, or a batch SPANNING the create() snapshot, would otherwise
+    // re-count change rows the initial aggregate already covers
+    val last = SnapshotStore.lastTxnVersion(mvRoot, appId).getOrElse(-1L)
+    val fresh = batch.filter(col(SnapshotStore.CommitVersionCol) > last)
+    if (!fresh.isEmpty) {
+      val top = fresh.agg(max(col(SnapshotStore.CommitVersionCol))).head().getLong(0)
+      val delta = deltaOf(fresh, groupCols, valueCol).persist()
+      try mergeDelta(spark, mvRoot, delta, groupCols,
+        SnapshotStore.Txn(appId, top))
+      finally delta.unpersist()
     }
   }
 

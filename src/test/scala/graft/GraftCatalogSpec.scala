@@ -167,7 +167,7 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(dirBefore)), "expired data dirs are deleted")
     assert(spark.sql("CALL graft.system.clean_orphans('mt', 0)").collect()
       .head.getLong(0) == 0L)
-    assert(spark.sql("SHOW PROCEDURES IN graft.system").count() == 5L)
+    assert(spark.sql("SHOW PROCEDURES IN graft.system").count() == 7L)
   }
 
   test("stats-maintained tables skip files at planning time in the SQL path") {

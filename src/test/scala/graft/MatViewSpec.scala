@@ -90,4 +90,45 @@ class MatViewSpec extends SparkSpec {
       MatView.appIdFor(src), SnapshotStore.latest(src).version)))(df => df.limit(0))
     assert(viewNow == recompute, "stamped replay must not clobber the view")
   }
+
+  test("streaming MV maintenance + CALL surface; feed-from-0 never double-counts") {
+    import graft.sources.{GraftCatalog, MatView, SnapshotStore, SqlDml}
+    val wh = GateTmp.freshDir("mv_stream_wh")
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    spark.sql(
+      """CREATE TABLE graft.mvsrc (id BIGINT, v BIGINT, g STRING)
+        |TBLPROPERTIES ('cdc.keys' = 'id')""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft.mvsrc SELECT id, id, CAST(id % 2 AS STRING) FROM range(20)")
+    val out = spark.sql(
+      "CALL graft.system.create_mv('mvsrc', 'mvagg', 'g', 'v')").head()
+    assert(out.getLong(1) == 2L, "two groups expected")
+    SqlDml.execute(spark, "UPDATE graft.mvsrc SET v = v + 3 WHERE g = '1'")
+    // STREAMING maintenance over the feed from version 0: the high-water
+    // mark filter must skip everything create() already aggregated
+    val cp = GateTmp.freshDir("mv_stream_cp")
+    val q = spark.readStream.format("graft.streaming.ChangeFeedSource")
+      .option("path", s"$wh/mvsrc").load()
+      .writeStream
+      .foreachBatch(MatView.applyBatch(s"$wh/mvsrc", s"$wh/mvagg", Seq("g"), "v") _)
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def viewNow: Map[String, (Long, Long)] =
+      SnapshotStore.read(spark, s"$wh/mvagg").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = SnapshotStore.read(spark, s"$wh/mvsrc").groupBy("g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viewNow == direct, s"view=$viewNow direct=$direct")
+    // the CALL refresh after more DML also lands (batch + streaming share
+    // the same high-water mark, so neither re-applies the other's work)
+    SqlDml.execute(spark, "DELETE FROM graft.mvsrc WHERE g = '0'")
+    spark.sql("CALL graft.system.refresh_mv('mvsrc', 'mvagg', 'g', 'v')")
+    assert(!viewNow.contains("0"), "emptied group must drop")
+    assert(viewNow("1") == (10L, (0 until 20).filter(_ % 2 == 1).map(_ + 3).sum.toLong))
+  }
 }
+
