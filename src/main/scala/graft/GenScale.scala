@@ -118,3 +118,45 @@ object ProbeCow {
     spark.stop()
   }
 }
+
+/** MatView refresh scale probe: an UPDATE touching a FIXED 1000 rows on
+  * sources of two sizes — if refresh were O(table), time would grow ~10×;
+  * change-feed maintenance keeps it pinned to change volume.
+  *
+  * Usage: runMain graft.ProbeMv <rowsSmall> <rowsBig>
+  */
+object ProbeMv {
+  def main(args: Array[String]): Unit = {
+    import graft.sources.{MatView, SnapshotStore, SqlDml}
+    val Array(nSmall, nBig) = args.take(2).map(_.toLong)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def run(n: Long): (Double, Double) = {
+      val src = GateTmp.freshDir(s"probe_mv_src_$n")
+      val mv = GateTmp.freshDir(s"probe_mv_mv_$n")
+      val df = spark.range(n).selectExpr("id", "id * 3 AS v",
+        "CAST(id % 24 AS STRING) AS g")
+      SnapshotStore.init(spark, src, df, cdcKeys = Seq("id"))
+      MatView.create(spark, src, mv, Seq("g"), "v")
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val dml = time(SqlDml.execute(spark,
+        "UPDATE t SET v = v + 1 WHERE id < 1000", Map("t" -> src)))
+      val refresh = time(MatView.refresh(spark, src, mv, Seq("g"), "v"))
+      (dml, refresh)
+    }
+    run(nSmall) // warm-up
+    val (sd, sr) = run(nSmall)
+    val (bd, br) = run(nBig)
+    println(f"rows=$nSmall%d dml=$sd%.2fs refresh=$sr%.2fs")
+    println(f"rows=$nBig%d dml=$bd%.2fs refresh=$br%.2fs")
+    println(f"growth dml=${bd / sd}%.2fx refresh=${br / sr}%.2fx")
+    spark.stop()
+  }
+}
