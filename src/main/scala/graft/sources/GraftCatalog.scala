@@ -378,13 +378,16 @@ object GraftCatalog {
     */
   private[sources] val ExpireProc: GraftCatalog => UnboundProcedure = cat =>
     new Proc("expire_snapshots",
-      Seq(p("table", StringType), p("keep_last", LongType)),
+      Seq(p("table", StringType), p("keep_last", LongType),
+        ProcedureParameter.in("older_than_ms", LongType)
+          .defaultValue(Long.MaxValue.toString + "L").build()),
       StructType(Seq(
         org.apache.spark.sql.types.StructField("n_expired", LongType),
         org.apache.spark.sql.types.StructField("latest_version", LongType)))) {
       override protected def run(in: InternalRow): InternalRow = {
         val root = cat.tableRoot(in.getString(0))
-        val expired = SnapshotStore.expireSnapshots(root, in.getLong(1).toInt)
+        val expired = SnapshotStore.expireSnapshots(root, in.getLong(1).toInt,
+          in.getLong(2))
         InternalRow(expired.length.toLong, SnapshotStore.latest(root).version)
       }
     }

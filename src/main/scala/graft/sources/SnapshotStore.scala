@@ -815,12 +815,27 @@ object SnapshotStore {
     * vacuum by definition — pick `keepLast` ≥ the longest reader lease.
     * Returns the expired versions.
     */
-  def expireSnapshots(root: String, keepLast: Int): Seq[Long] = {
+  def expireSnapshots(root: String, keepLast: Int): Seq[Long] =
+    expireSnapshots(root, keepLast, olderThanMs = Long.MaxValue)
+
+  /** Retention by COUNT and AGE together: expire versions beyond the
+    * newest `keepLast` whose commit is older than `olderThanMs` (commit
+    * mtime — the same clock TIMESTAMP AS OF resolves against). The age
+    * guard is the Delta-style retention window: `keepLast = 1,
+    * olderThanMs = 7 days` keeps a week of time travel regardless of
+    * commit cadence, while a hot table committing every second still
+    * expires down to its window.
+    */
+  def expireSnapshots(root: String, keepLast: Int, olderThanMs: Long): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the latest snapshot")
+    val cutoff =
+      if (olderThanMs == Long.MaxValue) Long.MaxValue
+      else System.currentTimeMillis() - olderThanMs
     val commits = listDir(commitsDir(root))
       .filter(_.getFileName.toString.endsWith(".commit"))
       .sortBy(_.getFileName.toString)
     val dropped = commits.dropRight(keepLast)
+      .filter(c => Files.getLastModifiedTime(c).toMillis <= cutoff)
     dropped.map { c =>
       val v = c.getFileName.toString.stripSuffix(".commit").toLong
       val dataDir = Paths.get(parseCommit(c)._1)

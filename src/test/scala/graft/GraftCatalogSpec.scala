@@ -170,6 +170,29 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SHOW PROCEDURES IN graft.system").count() == 7L)
   }
 
+  test("expire_snapshots honors the age window (older_than_ms)") {
+    wh
+    spark.sql("CREATE TABLE graft.ret (id BIGINT)")
+    spark.sql("INSERT INTO graft.ret VALUES (1)") // v1
+    spark.sql("INSERT INTO graft.ret VALUES (2)") // v2
+    spark.sql("INSERT INTO graft.ret VALUES (3)") // v3
+    // backdate v0/v1 commits beyond a 1-hour window; v2 stays recent
+    Seq(0L, 1L).foreach { v =>
+      val f = Paths.get(s"$wh/ret/_commits/" + f"$v%020d.commit")
+      Files.setLastModifiedTime(f, java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * 3600 * 1000L))
+    }
+    val out = spark.sql(
+      "CALL graft.system.expire_snapshots('ret', 1, " + (3600 * 1000L) + "L)")
+      .head()
+    assert(out.getLong(0) == 2L, s"only the BACKDATED versions expire: $out")
+    // v2 is older than keep_last=1 but inside the window — still readable
+    assert(spark.sql("SELECT count(*) FROM graft.ret VERSION AS OF 2")
+      .head().getLong(0) == 2L)
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft.ret VERSION AS OF 1").collect())
+  }
+
   test("stats-maintained tables skip files at planning time in the SQL path") {
     wh
     spark.sql("CREATE TABLE graft.skip (id BIGINT, v BIGINT)")
