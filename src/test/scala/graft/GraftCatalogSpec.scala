@@ -519,6 +519,28 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT bucket FROM graft.pctas").head().getString(0) == "9")
   }
 
+  test("copy-on-write survives partition values that need path escaping") {
+    wh
+    // space, colon and percent all get Spark path-escaping in dir names;
+    // the COW touched-dir derivation (input_file_name URI → decoded path)
+    // must round-trip them exactly or files would silently double/vanish
+    spark.sql(
+      """CREATE TABLE graft.esc (id BIGINT, v BIGINT, seg STRING)
+        |PARTITIONED BY (seg)""".stripMargin)
+    Seq((1L, 10L, "a b"), (2L, 20L, "c:d"), (3L, 30L, "e%f"), (4L, 40L, "plain"))
+      .toDF("id", "v", "seg").createOrReplaceTempView("esc_src")
+    spark.sql("INSERT INTO graft.esc SELECT * FROM esc_src")
+    graft.sources.SqlDml.execute(spark,
+      "UPDATE graft.esc SET v = v + 1 WHERE seg = 'a b'")
+    val got = spark.sql("SELECT id, v FROM graft.esc ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 11L), (2L, 20L), (3L, 30L), (4L, 40L)), s"got $got")
+    graft.sources.SqlDml.execute(spark,
+      "DELETE FROM graft.esc WHERE seg = 'e%f'")
+    assert(spark.sql("SELECT count(*) FROM graft.esc").head().getLong(0) == 3L)
+    assert(spark.sql("SELECT sum(v) FROM graft.esc").head().getLong(0) == 71L)
+  }
+
   test("dynamic partitionOverwriteMode replaces only the partitions in the data") {
     wh
     spark.sql(
