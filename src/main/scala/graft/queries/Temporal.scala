@@ -1209,5 +1209,60 @@ object Temporal {
            |  CAST(sum(salary) AS BIGINT) AS val_sum,
            |  CAST(3 AS BIGINT) AS n_mv_versions
            |FROM v3 GROUP BY segment ORDER BY segment""".stripMargin
-      }))
+      }),
+
+    // Q96 [extension: partitioned corpus × LLM pipeline] The training-data
+    // warehouse shape: the documents corpus lives in a LANG-PARTITIONED
+    // snapshot table, and a per-language pipeline stage (here word/char
+    // stats, the q28 family) reads exactly ONE partition — require()d at
+    // plan level: every planned file sits under `lang=en/` and counts
+    // strictly fewer than the full corpus scan. At 100 TB this is how
+    // language-specific stages (lang-id re-checks, per-lang dedup,
+    // per-lang quality cuts) avoid touching the other languages' bytes
+    // entirely; the same directory pruning that q93 proves for relational
+    // data, exercised through the corpus path.
+    "q96_partitioned_corpus" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.SnapshotStore
+        val root = graft.GateTmp.freshDir("q96_docs")
+        SnapshotStore.init(s, root,
+          Tables.documents(s, d).select($("doc_id"), $("text"), $("lang")),
+          partitionBy = Seq("lang"))
+        val docs = SnapshotStore.read(s, root)
+        def planned(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+          import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+          import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+          def leaves(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+            case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+            case f: FileSourceScanExec => Seq(f)
+            case other => other.children.flatMap(leaves)
+          }
+          leaves(df.queryExecution.executedPlan).flatMap(
+            _.inputRDDs().head.partitions.toSeq.flatMap {
+              case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+                fp.files.map(_.filePath.toString).toSeq
+              case _ => Nil
+            })
+        }
+        val en = docs.filter($("lang") === "en")
+        val prunedFiles = planned(en)
+        require(prunedFiles.nonEmpty && prunedFiles.forall(_.contains("lang=en")),
+          s"lang filter must prune to the lang=en dir, got ${prunedFiles.take(3)}")
+        require(prunedFiles.size < planned(docs).size,
+          "partition filter must plan fewer files than the full scan")
+        en.select($("lang"), $("doc_id"),
+            size(split($("text"), " ")).cast("long").as("n_words"),
+            length($("text")).cast("long").as("n_chars"))
+          .groupBy($("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum($("n_words")).as("total_words"),
+            sum($("n_chars")).as("total_chars"))
+          .orderBy($("lang"))
+      },
+      oracle = Some(
+        """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+          |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+          |FROM documents WHERE lang = 'en'
+          |GROUP BY lang ORDER BY lang""".stripMargin)))
 }
