@@ -353,7 +353,8 @@ object GraftCatalog {
     new Proc("optimize",
       Seq(p("table", StringType), p("target_rows", LongType),
         ProcedureParameter.in("cluster_by", StringType).defaultValue("''").build(),
-        ProcedureParameter.in("stats_cols", StringType).defaultValue("''").build()),
+        ProcedureParameter.in("stats_cols", StringType).defaultValue("''").build(),
+        ProcedureParameter.in("where", StringType).defaultValue("''").build()),
       StructType(Seq(
         org.apache.spark.sql.types.StructField("version", LongType),
         org.apache.spark.sql.types.StructField("files", LongType)))) {
@@ -361,8 +362,10 @@ object GraftCatalog {
         val root = cat.tableRoot(in.getString(0))
         def cols(i: Int): Seq[String] = Option(in.getString(i)).map(_.trim)
           .filter(_.nonEmpty).map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil)
+        val where = Option(in.getString(4)).map(_.trim).filter(_.nonEmpty)
         val snap = SnapshotStore.optimize(SparkSession.active, root,
-          targetRows = in.getLong(1), clusterBy = cols(2), statsCols = cols(3))
+          targetRows = in.getLong(1), clusterBy = cols(2), statsCols = cols(3),
+          partitionPredicate = where)
         val files = {
           val s = Files.list(Paths.get(snap.dataDir))
           try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))

@@ -788,12 +788,13 @@ object SnapshotStore {
     * effective (tight per-file intervals).
     */
   def optimize(spark: SparkSession, root: String, targetRows: Long,
-      clusterBy: Seq[String] = Nil, statsCols: Seq[String] = Nil): Snapshot =
-    transact(spark, root, statsCols = statsCols) { df =>
-      import org.apache.spark.sql.functions.col
+      clusterBy: Seq[String] = Nil, statsCols: Seq[String] = Nil,
+      partitionPredicate: Option[String] = None): Snapshot = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val hive = partitionCols(root)
+    def repack(df: DataFrame): DataFrame = {
       val n = df.count()
       val parts = math.max(1, ((n + targetRows - 1) / targetRows).toInt)
-      val hive = partitionCols(root)
       if (hive.nonEmpty)
         // partitioned table: shuffle BY the partition columns (plus any
         // cluster key for in-partition order) so each hive partition's
@@ -805,6 +806,24 @@ object SnapshotStore {
         df.repartitionByRange(parts, clusterBy.map(col): _*)
       else df.repartition(parts)
     }
+    partitionPredicate match {
+      case Some(pred) =>
+        // PARTITION-SCOPED compaction: bin-pack only the partitions the
+        // predicate selects, hard-link the rest — maintenance stays
+        // O(compacted partitions) on a table where only the hot partition
+        // fragments (streaming appends land in today's dir; yesterday's
+        // files never move again). Layout-only: the change set is EMPTY
+        // (the q88 OPTIMIZE-silence contract).
+        require(hive.nonEmpty,
+          s"partition-scoped optimize requires a partitioned table ($root)")
+        transactPartialWithChanges(spark, root)(
+          base => base.filter(expr(pred)))(touched =>
+          (repack(touched),
+            touched.limit(0).withColumn(ChangeTypeCol, lit("insert"))))
+      case None =>
+        transact(spark, root, statsCols = statsCols)(repack)
+    }
+  }
 
   /** VACUUM: drop all but the newest `keepLast` versions and delete their
     * now-unreferenced data dirs from disk. Commit files are removed FIRST

@@ -519,6 +519,49 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT bucket FROM graft.pctas").head().getString(0) == "9")
   }
 
+  test("partition-scoped OPTIMIZE compacts one partition, links the rest") {
+    wh
+    spark.sql(
+      """CREATE TABLE graft.po (id BIGINT, v BIGINT, seg STRING)
+        |PARTITIONED BY (seg) TBLPROPERTIES ('cdc.keys' = 'id')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.po
+        |SELECT id, id, CASE WHEN id % 2 = 0 THEN 'hot' ELSE 'cold' END
+        |FROM range(2000)""".stripMargin)
+    // fragment the hot partition with 8 small appends
+    (0 until 8).foreach { i =>
+      spark.sql(s"INSERT INTO graft.po VALUES (${10000 + i}, $i, 'hot')")
+    }
+    def filesUnder(v: Long, pfx: String): Map[String, Object] = {
+      val dir = Paths.get(SnapshotStore.at(s"$wh/po", v).dataDir)
+      val st = Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".parquet") &&
+            !dir.relativize(f).toString.startsWith("_") &&
+            dir.relativize(f).toString.startsWith(pfx))
+          .map(f => (dir.relativize(f).toString,
+            Files.readAttributes(f, classOf[java.nio.file.attribute.BasicFileAttributes])
+              .fileKey())).toMap
+      } finally st.close()
+    }
+    val vBefore = SnapshotStore.latest(s"$wh/po").version
+    val hotBefore = filesUnder(vBefore, "seg=hot").size
+    spark.sql("CALL graft.system.optimize('po', 100000, '', '', \"seg = 'hot'\")")
+    val vAfter = SnapshotStore.latest(s"$wh/po").version
+    assert(filesUnder(vAfter, "seg=hot").size < hotBefore,
+      s"hot partition must compact ($hotBefore files before)")
+    assert(filesUnder(vAfter, "seg=cold") == filesUnder(vBefore, "seg=cold"),
+      "the cold partition's files must stay hard-linked")
+    // layout-only: the OPTIMIZE commit's change set is EMPTY
+    assert(spark.sql(
+      s"SELECT count(*) FROM table_changes('po', $vAfter, $vAfter)")
+      .head().getLong(0) == 0L)
+    assert(spark.sql("SELECT CAST(sum(v) AS BIGINT) FROM graft.po")
+      .head().getLong(0) == (0L until 2000L).sum + (0 until 8).sum)
+  }
+
   test("copy-on-write survives partition values that need path escaping") {
     wh
     // space, colon and percent all get Spark path-escaping in dir names;
@@ -561,7 +604,8 @@ class GraftCatalogSpec extends SparkSpec {
       val rows = spark.sql("SELECT seg, count(*) AS n FROM graft.dyn GROUP BY seg")
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
       assert(rows == Map("a" -> 2L, "b" -> 5L), s"got $rows")
-      assert(spark.sql("SELECT v FROM graft.dyn WHERE id = 1").head().getLong(0) == 1L,
+      assert(spark.sql(
+        "SELECT v FROM graft.dyn WHERE id = 1 AND seg = 'b'").head().getLong(0) == 1L,
         "kept partition's rows untouched")
       // static mode (the Spark default) replaces the whole table
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
