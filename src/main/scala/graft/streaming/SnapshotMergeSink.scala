@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 import graft.sources.SnapshotStore
 
@@ -16,9 +17,16 @@ import graft.sources.SnapshotStore
   *
   * Scale shape: the anti-join touches only the base snapshot and the
   * micro-batch keys (broadcastable — a micro-batch is small by
-  * construction); commits move pointers, not data. Callers must hand in
-  * batches unique per key (dedupe upstream — arbitrary pick here would be
-  * nondeterministic under replay).
+  * construction); commits move pointers, not data. On CDC tables the
+  * change set comes from the upsert's OWN batch⋈base join (statement-
+  * integrated emission, per-commit cost O(batch ⋈ base-keys)) instead of
+  * the generic post-hoc diff, which would full-outer join BOTH complete
+  * snapshots per micro-batch — the same optimization SqlDml's statements
+  * carry, and the difference between O(batch) and O(table) per commit on
+  * a streaming ingest path. Semantics are identical to
+  * `diffChanges(base, out)` by construction (CdcSpec pins it). Callers
+  * must hand in batches unique per key (dedupe upstream — arbitrary pick
+  * here would be nondeterministic under replay).
   */
 object SnapshotMergeSink {
 
@@ -30,10 +38,34 @@ object SnapshotMergeSink {
     if (!batch.isEmpty) {
       val rows = batch.persist() // transform reruns on commit conflict
       try {
-        SnapshotStore.transact(batch.sparkSession, root,
-          txn = Some(SnapshotStore.Txn(appId, batchId))) { base =>
+        val txn = Some(SnapshotStore.Txn(appId, batchId))
+        def out(base: DataFrame): DataFrame =
           base.join(rows.select(keyCol).distinct(), Seq(keyCol), "left_anti")
-            .unionByName(rows)
+            .unionByName(rows.select(base.columns.toIndexedSeq.map(col): _*))
+        if (SnapshotStore.cdcKeys(root).isEmpty)
+          SnapshotStore.transact(batch.sparkSession, root, txn = txn)(out)
+        else SnapshotStore.transactWithChanges(batch.sparkSession, root,
+          txn = txn) { base =>
+          val cols = base.columns.toIndexedSeq
+          val b = base.select(cols.map(col): _*)
+            .withColumn("__b", lit(true)).alias("b")
+          val n = rows.select(cols.map(col): _*).alias("n")
+          val j = n.join(b, col(s"n.$keyCol") <=> col(s"b.$keyCol"), "left")
+          def image(side: String, kind: String) = struct(
+            cols.map(c => col(s"$side.$c").as(c)) :+
+              lit(kind).as(SnapshotStore.ChangeTypeCol): _*)
+          val valueChanged = cols.filterNot(_ == keyCol)
+            .map(c => !(col(s"n.$c") <=> col(s"b.$c")))
+            .foldLeft(lit(false))(_ || _)
+          val evs = when(col("b.__b").isNull, array(image("n", "insert")))
+            .when(valueChanged,
+              array(image("b", "update_preimage"), image("n", "update_postimage")))
+            .otherwise(array(image("b", "unchanged")))
+          val changes = j.select(explode(evs).as("c"))
+            .filter(col(s"c.${SnapshotStore.ChangeTypeCol}") =!= "unchanged")
+            .select((cols :+ SnapshotStore.ChangeTypeCol)
+              .map(f => col(s"c.$f").as(f)): _*)
+          (out(base), changes)
         }
       } finally rows.unpersist()
     }

@@ -173,6 +173,31 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  test("SnapshotMergeSink's upsert change set equals the generic keyed diff") {
+    val root = tmp("graft_cdc_upsert_equiv")
+    SnapshotStore.init(spark, root,
+      (1L to 20L).map(i => (i, s"n$i", i * 10)).toDF("id", "name", "v"),
+      cdcKeys = Seq("id"))
+    // batch = updates with a real change (id 3), a NO-OP re-post (id 4:
+    // identical values must emit nothing), and fresh inserts (25, 26)
+    val batch = Seq((3L, "n3", 999L), (4L, "n4", 40L),
+      (25L, "x", 1L), (26L, "y", 2L)).toDF("id", "name", "v")
+    val before = SnapshotStore.latest(root)
+    graft.streaming.SnapshotMergeSink.upsertBatch(root, "id", "upsert-equiv")(
+      batch, 0L)
+    val snap = SnapshotStore.latest(root)
+    val landed = spark.read.parquet(s"${snap.dataDir}/_changes")
+    val generic = SnapshotStore.diffChanges(
+      SnapshotStore.read(spark, before), SnapshotStore.read(spark, snap), Seq("id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"name", $"v", $"_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    assert(rows(landed) == rows(generic),
+      s"upsert changes vs generic diff: ${rows(landed)} vs ${rows(generic)}")
+    assert(!rows(landed).exists(_._1 == 4L), "a value-identical re-post emits nothing")
+  }
+
   test("key-changing UPDATE/MERGE emit delete+insert, equal to the generic diff") {
     val root = tmp("graft_cdc_keychange")
     SnapshotStore.init(spark, root,
