@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
     ext.injectOptimizerRule(_ => graft.plans.TopOnePerKeyRewrite)
+    ext.injectPlannerStrategy(_ => graft.sources.GraftDmlStrategy)
   }
 }
 
@@ -213,5 +214,8 @@ object GraftExtensions {
     val extra = spark.experimental.extraOptimizations
     if (!extra.contains(graft.plans.TopOnePerKeyRewrite))
       spark.experimental.extraOptimizations = extra :+ graft.plans.TopOnePerKeyRewrite
+    val strats = spark.experimental.extraStrategies
+    if (!strats.contains(graft.sources.GraftDmlStrategy))
+      spark.experimental.extraStrategies = strats :+ graft.sources.GraftDmlStrategy
   }
 }

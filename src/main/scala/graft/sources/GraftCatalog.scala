@@ -511,8 +511,13 @@ object GraftCatalog {
   */
 private[sources] class GraftTable(spark: SparkSession, tableName: String,
     root: String, snap: SnapshotStore.Snapshot, pinned: Boolean)
+    // (accessors for the DML planner strategy)
+
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  private[sources] def storeRoot: String = root
+  private[sources] def isPinned: Boolean = pinned
 
   /** `TRUNCATE TABLE` — a COMMIT (empty snapshot), never a deletion:
     * history still serves every pre-truncate version, schema/partitioning/
@@ -591,5 +596,57 @@ private[sources] class GraftTable(spark: SparkSession, tableName: String,
           }
       }
     }
+  }
+}
+
+/** Planner strategy making plain `spark.sql("UPDATE / DELETE / MERGE …")`
+  * work against catalog tables — the missing half of the DML surface
+  * (writes went through `SqlDml.execute`; now the bare statement works
+  * too). Spark analyzes these Catalyst commands fine but its own planner
+  * refuses tables without the DSv2 row-level-operation API;
+  * `experimental.extraStrategies` run FIRST, so this intercepts the
+  * analyzed command when (and only when) the target resolves to a
+  * [[GraftTable]] and routes it through the same [[SqlDml]] compilation —
+  * optimistic transactions, statement-integrated CDC, partitioned
+  * copy-on-write and all. Non-graft tables fall through untouched.
+  */
+object GraftDmlStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  import org.apache.spark.sql.catalyst.plans.logical._
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  private def isGraft(plan: LogicalPlan): Boolean = plan.exists {
+    case d: DataSourceV2Relation => d.table.isInstanceOf[GraftTable]
+    // after optimization the relation is rewritten to a scan relation
+    case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+      sr.relation.table.isInstanceOf[GraftTable]
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    plan match {
+      case u: UpdateTable if isGraft(u.table) =>
+        GraftDmlExec(() => SqlDml.executePlan(SparkSession.active, u)) :: Nil
+      case d: DeleteFromTable if isGraft(d.table) =>
+        GraftDmlExec(() => SqlDml.executePlan(SparkSession.active, d)) :: Nil
+      case m: MergeIntoTable if isGraft(m.targetTable) =>
+        GraftDmlExec(() => SqlDml.executePlan(SparkSession.active, m)) :: Nil
+      case _ => Nil
+    }
+}
+
+/** Leaf node executing one DML transaction. Catalyst DML nodes are
+  * `Command`s, so `spark.sql` runs this eagerly; the transaction fires
+  * exactly once however the node is driven (lazy val).
+  */
+private[sources] case class GraftDmlExec(run: () => Unit)
+    extends org.apache.spark.sql.execution.LeafExecNode {
+  private lazy val ran: Unit = run()
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  override def executeCollect(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    ran; Array.empty
+  }
+  override protected def doExecute()
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = {
+    ran; sparkContext.emptyRDD
   }
 }

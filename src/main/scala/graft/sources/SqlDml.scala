@@ -60,8 +60,19 @@ object SqlDml {
     */
   def execute(spark: SparkSession, sql: String,
       tables: Map[String, String] = Map.empty,
+      maxAttempts: Int = 10, checkCardinality: Boolean = true): SnapshotStore.Snapshot =
+    executePlan(spark, spark.sessionState.sqlParser.parsePlan(sql), tables,
+      maxAttempts, checkCardinality)
+
+  /** Compile an UPDATE / DELETE / MERGE / INSERT / CTAS logical plan —
+    * parsed OR analyzed (the planner-strategy path behind plain
+    * `spark.sql("UPDATE graft.t …")`: analyzed nodes carry resolved
+    * relations, which [[relationOf]] maps straight to store roots).
+    */
+  def executePlan(spark: SparkSession, parsed: LogicalPlan,
+      tables: Map[String, String] = Map.empty,
       maxAttempts: Int = 10, checkCardinality: Boolean = true): SnapshotStore.Snapshot = {
-    spark.sessionState.sqlParser.parsePlan(sql) match {
+    normalizeQualifiers(parsed) match {
       case u: UpdateTable =>
         val (name, alias) = relationOf(u.table)
         val root = rootOf(tables, name)
@@ -126,11 +137,9 @@ object SqlDml {
       case m: MergeIntoTable =>
         require(!m.withSchemaEvolution, "MERGE WITH SCHEMA EVOLUTION not supported")
         val (tName, tAlias) = relationOf(m.targetTable)
-        val (sName, sAlias) = relationOf(m.sourceTable)
+        val sAlias = aliasOf(m.sourceTable)
         val root = rootOf(tables, tName)
-        val source = tables.get(sName)
-          .map(r => SnapshotStore.read(spark, r))
-          .getOrElse(spark.table(sName))
+        val source = sourceFrameOf(spark, m.sourceTable, tables)
         // partitioned target + no NOT MATCHED BY SOURCE arm (which could
         // modify ANY target row): copy-on-write — only partitions holding
         // join-matched target rows rewrite. A source row's match, if any,
@@ -252,7 +261,7 @@ object SqlDml {
           cdcKeys = keys)
 
       case other => throw new IllegalArgumentException(
-        s"not a DML statement (${other.getClass.getSimpleName}): $sql")
+        s"not a DML statement: ${other.getClass.getSimpleName}")
     }
   }
 
@@ -379,8 +388,75 @@ object SqlDml {
     case SubqueryAlias(ident, child) => (relationOf(child)._1, ident.name)
     case r: UnresolvedRelation =>
       (r.multipartIdentifier.mkString("."), r.multipartIdentifier.last)
+    // ANALYZED relation (the spark.sql planner-strategy path): the catalog
+    // already resolved the table — its root IS the name (rootOf passes
+    // "/"-containing names through untouched)
+    case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if d.table.isInstanceOf[GraftTable] =>
+      val t = d.table.asInstanceOf[GraftTable]
+      require(!t.isPinned,
+        s"cannot run DML against ${t.name()} pinned by time travel")
+      (t.storeRoot, t.name().split('.').last)
+    case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+        if sr.relation.table.isInstanceOf[GraftTable] =>
+      relationOf(sr.relation)
     case other => throw new IllegalArgumentException(
       s"unsupported DML relation shape: ${other.getClass.getSimpleName}")
+  }
+
+  /** ANALYZED commands carry resolved attributes whose `.sql` regenerates
+    * catalog-qualified names (`graft.dml.seg`) that the compiled
+    * single-alias frames cannot resolve — rewrite every attribute's
+    * qualifier to the alias its side is registered under (target vs MERGE
+    * source decided by output membership). Parsed (unresolved) plans pass
+    * through untouched.
+    */
+  private def normalizeQualifiers(plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    plan match {
+      case u: UpdateTable if u.resolved =>
+        val q = Seq(relationOf(u.table)._2)
+        u.transformExpressions {
+          case a: AttributeReference => a.withQualifier(q) }
+      case d: DeleteFromTable if d.resolved =>
+        val q = Seq(relationOf(d.table)._2)
+        d.transformExpressions {
+          case a: AttributeReference => a.withQualifier(q) }
+      case m: MergeIntoTable if m.resolved =>
+        val tq = Seq(relationOf(m.targetTable)._2)
+        val sq = Seq(aliasOf(m.sourceTable))
+        val tOut = m.targetTable.outputSet
+        val sOut = m.sourceTable.outputSet
+        m.transformExpressions {
+          case a: AttributeReference if tOut.contains(a) => a.withQualifier(tq)
+          case a: AttributeReference if sOut.contains(a) => a.withQualifier(sq)
+        }
+      case p => p
+    }
+  }
+
+  /** The alias a MERGE source's expressions are qualified with. */
+  private def aliasOf(plan: LogicalPlan): String = plan match {
+    case SubqueryAlias(ident, _) => ident.name
+    case r: UnresolvedRelation => r.multipartIdentifier.last
+    case _ => "__src"
+  }
+
+  /** MERGE source → DataFrame: a mapped/SnapshotStore name, any session
+    * table/view, or (analyzed path) the already-resolved plan itself —
+    * which also admits arbitrary subquery sources through the strategy.
+    */
+  private def sourceFrameOf(spark: SparkSession, plan: LogicalPlan,
+      tables: Map[String, String]): DataFrame = plan match {
+    case SubqueryAlias(_, child) => sourceFrameOf(spark, child, tables)
+    case r: UnresolvedRelation =>
+      val name = r.multipartIdentifier.mkString(".")
+      tables.get(name).map(root => SnapshotStore.read(spark, root))
+        .getOrElse(spark.table(name))
+    case resolved if resolved.resolved =>
+      org.apache.spark.sql.GraftSqlShim.ofRows(spark, resolved)
+    case other => throw new IllegalArgumentException(
+      s"unsupported MERGE source shape: ${other.getClass.getSimpleName}")
   }
 
   /** Root resolution: the explicit map first; otherwise catalog-qualified
@@ -391,6 +467,12 @@ object SqlDml {
     */
   private def rootOf(tables: Map[String, String], name: String): String =
     tables.getOrElse(name, {
+      if (name.contains("/")) { // already a filesystem root (resolved path)
+        require(java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(name, "_commits")),
+          s"'$name' is not a SnapshotStore table")
+        return name
+      }
       val conf = org.apache.spark.sql.internal.SQLConf.get
       def warehouseOf(cat: String): String =
         conf.getConfString(s"spark.sql.catalog.$cat.warehouse", "")

@@ -519,6 +519,44 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT bucket FROM graft.pctas").head().getString(0) == "9")
   }
 
+  test("plain spark.sql UPDATE / DELETE / MERGE work on catalog tables") {
+    wh
+    spark.sql(
+      """CREATE TABLE graft.dmlp (id BIGINT, v BIGINT, seg STRING)
+        |PARTITIONED BY (seg) TBLPROPERTIES ('cdc.keys' = 'id')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.dmlp
+        |SELECT id, id * 10, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END
+        |FROM range(20)""".stripMargin)
+    // no SqlDml.execute, no root map — the bare statements:
+    spark.sql("UPDATE graft.dmlp SET v = v + 1 WHERE seg = 'a'")
+    assert(spark.sql("SELECT sum(v) FROM graft.dmlp WHERE seg = 'a'")
+      .head().getLong(0) == (0L until 20L by 2).map(_ * 10 + 1).sum)
+    spark.sql("DELETE FROM graft.dmlp WHERE id >= 16")
+    assert(spark.sql("SELECT count(*) FROM graft.dmlp").head().getLong(0) == 16L)
+    // MERGE with a SUBQUERY source (the analyzed path admits any plan)
+    spark.sql(
+      """MERGE INTO graft.dmlp t
+        |USING (SELECT id AS sid, id * 1000 AS sv FROM range(14, 18)) s
+        |ON t.id = s.sid
+        |WHEN MATCHED THEN UPDATE SET v = s.sv
+        |WHEN NOT MATCHED THEN INSERT (id, v, seg) VALUES (s.sid, s.sv, 'z')
+        |""".stripMargin)
+    assert(spark.sql("SELECT v FROM graft.dmlp WHERE id = 14").head().getLong(0) == 14000L)
+    assert(spark.sql("SELECT seg FROM graft.dmlp WHERE id = 17").head().getString(0) == "z")
+    assert(spark.sql("SELECT count(*) FROM graft.dmlp").head().getLong(0) == 18L)
+    // the statement surface keeps every store invariant: CDC feed rows
+    // landed for each statement, partitioned copy-on-write staging held
+    val types = spark.sql(
+      """SELECT DISTINCT _change_type FROM table_changes('dmlp', 2, 4)""")
+      .collect().map(_.getString(0)).toSet
+    assert(types == Set("insert", "delete", "update_preimage", "update_postimage"),
+      s"got $types")
+    // a time-traveled relation refuses DML loudly
+    intercept[Exception](
+      spark.sql("DELETE FROM graft.dmlp VERSION AS OF 1 WHERE id = 1"))
+  }
+
   test("partition-scoped OPTIMIZE compacts one partition, links the rest") {
     wh
     spark.sql(
