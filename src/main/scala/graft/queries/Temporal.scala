@@ -1264,5 +1264,77 @@ object Temporal {
           |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
           |  CAST(sum(length(text)) AS BIGINT) AS total_chars
           |FROM documents WHERE lang = 'en'
-          |GROUP BY lang ORDER BY lang""".stripMargin)))
+          |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Q97 [extension: plain spark.sql DML] The same write statements q87
+    // proves, but as BARE `spark.sql` text against a catalog table — no
+    // SqlDml.execute call, no root map. Spark's planner refuses DML on
+    // tables without the DSv2 row-level-operation API; GraftDmlStrategy
+    // (extraStrategies run before the built-ins) intercepts the ANALYZED
+    // Catalyst commands when the target is a graft table and compiles
+    // them onto the store's optimistic transactions — so the user-facing
+    // surface is byte-for-byte the SQL a Delta/Iceberg user types,
+    // including a MERGE whose source is an inline SUBQUERY (only the
+    // analyzed path can admit one). Every store invariant rides along:
+    // statement-integrated CDC, version history, time-travel.
+    "q97_sql_statements" -> QueryDef(
+      build = (s, d) => {
+        graft.GraftExtensions.install(s)
+        val wh = graft.GateTmp.freshDir("q97")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql(
+          """CREATE TABLE graft.q97t (id BIGINT, salary BIGINT, segment STRING)
+            |TBLPROPERTIES ('cdc.keys' = 'id')""".stripMargin)
+        RelationalPipeline.employeeView(s, d)
+          .select($("id"), $("salary"), $("segment"))
+          .createOrReplaceTempView("q97_src")
+        Tables.supplier(s, d).createOrReplaceTempView("q97_supp")
+        s.sql("INSERT INTO graft.q97t SELECT id, salary, segment FROM q97_src") // v1
+        s.sql( // v2: bare UPDATE through the planner strategy
+          "UPDATE graft.q97t SET salary = salary + 500 WHERE segment = 'HOUSEHOLD'")
+        s.sql("DELETE FROM graft.q97t WHERE id % 10 = 3") // v3
+        s.sql( // v4: MERGE with an inline subquery source
+          s"""MERGE INTO graft.q97t t
+             |USING (SELECT s_suppkey AS sid,
+             |         ${graft.Canon.centsSql("s_acctbal")} AS sal
+             |       FROM q97_supp) s
+             |ON t.id = s.sid
+             |WHEN MATCHED THEN UPDATE SET salary = t.salary + s.sal
+             |WHEN NOT MATCHED THEN INSERT (id, salary, segment)
+             |  VALUES (s.sid + 4000000, s.sal, 'SUPP')
+             |""".stripMargin)
+        s.sql(
+          """SELECT t.id, t.salary, t.segment, v1.salary AS salary_v1
+            |FROM graft.q97t t
+            |LEFT JOIN graft.q97t VERSION AS OF 1 v1 ON t.id = v1.id
+            |ORDER BY t.id""".stripMargin)
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        val scents = graft.Canon.centsSql("s_acctbal")
+        s"""WITH base AS (
+           |  SELECT c_custkey AS id, $cents AS salary,
+           |         c_mktsegment AS segment
+           |  FROM customer),
+           |v2 AS (SELECT id,
+           |  CASE WHEN segment = 'HOUSEHOLD' THEN salary + 500 ELSE salary
+           |  END AS salary, segment FROM base),
+           |v3 AS (SELECT * FROM v2 WHERE NOT (id % 10 = 3)),
+           |src AS (SELECT s_suppkey AS sid, $scents AS sal FROM supplier),
+           |v4 AS (
+           |  SELECT t.id,
+           |    CASE WHEN s.sid IS NOT NULL THEN t.salary + s.sal
+           |         ELSE t.salary END AS salary,
+           |    t.segment
+           |  FROM v3 t LEFT JOIN src s ON t.id = s.sid
+           |  UNION ALL
+           |  SELECT s.sid + 4000000, s.sal, 'SUPP'
+           |  FROM src s LEFT JOIN v3 t ON t.id = s.sid
+           |  WHERE t.id IS NULL)
+           |SELECT t.id, t.salary, t.segment, v1.salary AS salary_v1
+           |FROM v4 t LEFT JOIN base v1 ON t.id = v1.id
+           |ORDER BY t.id""".stripMargin
+      }))
 }
