@@ -463,7 +463,7 @@ class LlmSpec extends SparkSpec {
   }
 
   test("hot-bucket stress: 1k exact copies dedup without a straggler (q27b/q27g)") {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
     // A class of c exact copies shares its whole MinHash signature, so
     // without the pre-LSH exact-duplicate collapse it would expand c²/2
     // candidate pairs in EVERY band (64× redundant quadratic work piled
@@ -485,7 +485,13 @@ class LlmSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
     val durations = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val stageNames = scala.collection.mutable.Map.empty[Int, String]
     val listener = new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        stageNames.synchronized {
+          stageNames(e.stageInfo.stageId) =
+            e.stageInfo.name.takeWhile(_ != '\n').take(120)
+        }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         // executorRunTime minus GC: the straggler claim is about COMPUTE
         // skew (a hot bucket concentrating work on one task), and wall
@@ -515,10 +521,17 @@ class LlmSpec extends SparkSpec {
       }
       // only stages big enough to have a meaningful median and long enough
       // for skew to matter (a 200ms max is noise, not a straggler)
-      for ((st, ds) <- byStage if ds.length >= 4 && ds.last >= 1000) {
+      // floor at 3s: the pathology under test (c²/2 candidate pairs
+      // concentrating in one bucket's task, paid in EVERY band) costs tens
+      // of seconds; 1-2s one-off spikes on ~60ms-median cache/broadcast
+      // stages are JIT/allocation noise (measured: the spiking stage
+      // varies run to run), not partitioning skew
+      for ((st, ds) <- byStage if ds.length >= 4 && ds.last >= 3000) {
         val med = math.max(ds(ds.length / 2), 100L)
+        val nm = stageNames.synchronized(stageNames.getOrElse(st, "?"))
         assert(ds.last <= 10L * med,
-          s"stage $st straggler: max ${ds.last}ms vs median ${med}ms over ${ds.length} tasks")
+          s"stage $st ($nm) straggler: max ${ds.last}ms vs median ${med}ms " +
+            s"over ${ds.length} tasks")
       }
     } finally spark.sparkContext.removeSparkListener(listener)
   }
