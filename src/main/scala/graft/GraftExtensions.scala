@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
     ext.injectOptimizerRule(_ => graft.plans.TopOnePerKeyRewrite)
+    ext.injectOptimizerRule(_ => graft.sources.DvReadRewrite)
     ext.injectPlannerStrategy(_ => graft.sources.GraftDmlStrategy)
   }
 }
@@ -214,6 +215,9 @@ object GraftExtensions {
     val extra = spark.experimental.extraOptimizations
     if (!extra.contains(graft.plans.TopOnePerKeyRewrite))
       spark.experimental.extraOptimizations = extra :+ graft.plans.TopOnePerKeyRewrite
+    val extra2 = spark.experimental.extraOptimizations
+    if (!extra2.contains(graft.sources.DvReadRewrite))
+      spark.experimental.extraOptimizations = extra2 :+ graft.sources.DvReadRewrite
     val strats = spark.experimental.extraStrategies
     if (!strats.contains(graft.sources.GraftDmlStrategy))
       spark.experimental.extraStrategies = strats :+ graft.sources.GraftDmlStrategy

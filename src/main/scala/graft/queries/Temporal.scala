@@ -1336,5 +1336,57 @@ object Temporal {
            |SELECT t.id, t.salary, t.segment, v1.salary AS salary_v1
            |FROM v4 t LEFT JOIN base v1 ON t.id = v1.id
            |ORDER BY t.id""".stripMargin
+      }),
+
+    // Q98 [extension: merge-on-read DML / deletion vectors] the same bare
+    // spark.sql statement surface as q97, but on a PARTITIONED table whose
+    // TBLPROPERTIES select 'dml.mode' = 'merge-on-read': DELETE and UPDATE
+    // commit a `_dv/` positional sidecar (+ appended post-images) and hard-
+    // link every data file instead of rewriting partitions — the Delta-DV /
+    // Iceberg-positional-delete shape that keeps a scattered point-delete
+    // O(matched rows) at 100 TB (DvSpec pins the no-rewrite property; this
+    // gate pins that every READ — current, filtered, and time-traveled —
+    // applies the vector: the final SELECT runs through DvReadRewrite's
+    // substituted scan, and the VERSION AS OF 1 leg reads the pre-DV
+    // snapshot untouched).
+    "q98_mor_dml" -> QueryDef(
+      build = (s, d) => {
+        graft.GraftExtensions.install(s)
+        val wh = graft.GateTmp.freshDir("q98")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql(
+          """CREATE TABLE graft.q98t (id BIGINT, salary BIGINT, segment STRING)
+            |PARTITIONED BY (segment)
+            |TBLPROPERTIES ('dml.mode' = 'merge-on-read')""".stripMargin)
+        RelationalPipeline.employeeView(s, d)
+          .select($("id"), $("salary"), $("segment"))
+          .createOrReplaceTempView("q98_src")
+        s.sql("INSERT INTO graft.q98t SELECT id, salary, segment FROM q98_src") // v1
+        s.sql("DELETE FROM graft.q98t WHERE id % 7 = 0") // v2: DV only
+        s.sql( // v3: DV + appended post-images (some move rows' values, not keys)
+          "UPDATE graft.q98t SET salary = salary + 1000 WHERE id % 5 = 0")
+        s.sql(
+          """SELECT t.id, t.salary, t.segment, v1.salary AS salary_v1
+            |FROM graft.q98t t
+            |LEFT JOIN graft.q98t VERSION AS OF 1 v1 ON t.id = v1.id
+            |WHERE t.segment <> 'MACHINERY'
+            |ORDER BY t.id""".stripMargin)
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""WITH base AS (
+           |  SELECT c_custkey AS id, $cents AS salary,
+           |         c_mktsegment AS segment
+           |  FROM customer),
+           |v2 AS (SELECT * FROM base WHERE NOT (id % 7 = 0)),
+           |v3 AS (SELECT id,
+           |  CASE WHEN id % 5 = 0 THEN salary + 1000 ELSE salary END AS salary,
+           |  segment FROM v2)
+           |SELECT t.id, t.salary, t.segment, v1.salary AS salary_v1
+           |FROM v3 t LEFT JOIN base v1 ON t.id = v1.id
+           |WHERE t.segment <> 'MACHINERY'
+           |ORDER BY t.id""".stripMargin
       }))
 }

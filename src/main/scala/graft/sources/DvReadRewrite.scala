@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, Filter, LogicalPlan, MergeIntoTable, Project, UpdateTable, V2WriteCommand}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation, FileScan}
+
+/** Routes SQL reads of deletion-vector-bearing catalog tables through the
+  * store's DV-applying read. A [[GraftTable]] scan is Spark's own
+  * vectorized parquet reader over the snapshot dir — which is exactly
+  * right until a merge-on-read commit ([[SnapshotStore.transactMoR]])
+  * lands a `_dv/` sidecar: the raw scan would resurrect every deleted
+  * position (and parquet footer COUNT(*) pushdown would count them). This
+  * rule substitutes the relation with the logical plan of
+  * [[SnapshotStore.read]] — the same broadcast anti-join every Scala-API
+  * reader uses — re-aliased to the relation's output attribute ids so the
+  * surrounding plan binds unchanged.
+  *
+  * Both relation shapes are handled, so the rule is injection-order-proof:
+  * before V2 pushdown it sees [[DataSourceV2Relation]]; after (the
+  * `extraOptimizations` / "User Provided Optimizers" slot that
+  * [[graft.GraftExtensions.install]] uses) it sees
+  * [[DataSourceV2ScanRelation]], whose scan has already CONSUMED pushed
+  * partition filters — those are recovered from the [[FileScan]] and
+  * re-applied on top of the substituted read (re-applying a pushed filter
+  * is idempotent; dropping one would be wrong rows).
+  *
+  * DML/write TARGETS are left untouched: [[SqlDml]] maps them to store
+  * roots by relation and performs its own DV-correct reads; substituting
+  * them would break target resolution. Their SOURCE subqueries are
+  * re-planned by SqlDml as fresh Datasets, where this rule applies
+  * normally.
+  */
+object DvReadRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // write/DML targets to leave alone (identity comparison: structural
+    // equality could alias an unrelated read of the same table)
+    lazy val shields: Seq[LogicalPlan] = plan.collect {
+      case u: UpdateTable => u.table
+      case d: DeleteFromTable => d.table
+      case m: MergeIntoTable => m.targetTable
+      case w: V2WriteCommand => w.table
+    }.flatMap(_.collect {
+      case r: DataSourceV2Relation => r: LogicalPlan
+      case sr: DataSourceV2ScanRelation => sr: LogicalPlan
+    })
+    def shielded(n: LogicalPlan): Boolean = shields.exists(_ eq n)
+
+    plan.transform {
+      case r: DataSourceV2Relation if isDvTable(r.table) && !shielded(r) =>
+        substitute(r.table.asInstanceOf[GraftTable], r.output, Nil)
+      case sr: DataSourceV2ScanRelation
+          if isDvTable(sr.relation.table) && !shielded(sr) =>
+        val recovered = sr.scan match {
+          case fs: FileScan => fs.partitionFilters ++ fs.dataFilters
+          case _ => Nil
+        }
+        substitute(sr.relation.table.asInstanceOf[GraftTable], sr.output,
+          recovered)
+    }
+  }
+
+  private def isDvTable(t: org.apache.spark.sql.connector.catalog.Table): Boolean =
+    t match {
+      case g: GraftTable => g.hasDeletionVector
+      case _ => false
+    }
+
+  /** The DV-applied read, filtered by any scan-consumed predicates and
+    * projected/aliased onto the relation's original output attributes.
+    */
+  private def substitute(table: GraftTable,
+      output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      consumedFilters: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    val inner = SnapshotStore
+      .read(spark, SnapshotStore.Snapshot(-1L, table.snapDataDir))
+      .queryExecution.analyzed
+    val byName = inner.output.map(a => a.name.toLowerCase -> a).toMap
+    def resolve(name: String): AttributeReference =
+      byName.getOrElse(name.toLowerCase, throw new IllegalStateException(
+        s"DvReadRewrite: column '$name' of ${table.name()} not found in the " +
+          s"store read (${inner.output.map(_.name).mkString(", ")}) — " +
+          "refusing to substitute (raw scan would resurrect deleted rows)"))
+        .asInstanceOf[AttributeReference]
+    val rebased = consumedFilters.map(_.transform {
+      case a: AttributeReference => resolve(a.name)
+    })
+    val filtered = rebased.reduceOption(And).map(Filter(_, inner)).getOrElse(inner)
+    Project(output.map { o =>
+      Alias(resolve(o.name), o.name)(exprId = o.exprId,
+        qualifier = o.qualifier): NamedExpression
+    }, filtered)
+  }
+}

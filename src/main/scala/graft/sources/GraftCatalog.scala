@@ -144,6 +144,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema),
       cdcKeys = keys, partitionBy = partCols)
+    Option(properties.get(GraftCatalog.DmlModeProp))
+      .foreach(SnapshotStore.setDmlMode(root, _))
     loadTable(ident)
   }
 
@@ -316,6 +318,12 @@ object GraftCatalog {
     * `enableChangeDataFeed`): `TBLPROPERTIES ('cdc.keys' = 'id')`.
     */
   val CdcKeysProp = "cdc.keys"
+
+  /** Table property selecting the DML strategy (the same place Delta puts
+    * `enableDeletionVectors`): `TBLPROPERTIES ('dml.mode' =
+    * 'merge-on-read')`. Default is copy-on-write.
+    */
+  val DmlModeProp = "dml.mode"
 
   import org.apache.spark.sql.types.{LongType, StringType}
   import org.apache.spark.unsafe.types.UTF8String
@@ -518,6 +526,13 @@ private[sources] class GraftTable(spark: SparkSession, tableName: String,
 
   private[sources] def storeRoot: String = root
   private[sources] def isPinned: Boolean = pinned
+  private[sources] def snapDataDir: String = snap.dataDir
+  /** True when this snapshot carries a deletion-vector sidecar — the
+    * signal for [[DvReadRewrite]] to route SQL reads through the
+    * DV-applying store read instead of the raw parquet scan.
+    */
+  private[sources] def hasDeletionVector: Boolean =
+    SnapshotStore.hasDv(snap.dataDir)
 
   /** `TRUNCATE TABLE` — a COMMIT (empty snapshot), never a deletion:
     * history still serves every pre-truncate version, schema/partitioning/
@@ -552,6 +567,9 @@ private[sources] class GraftTable(spark: SparkSession, tableName: String,
     m.put("version", snap.version.toString)
     val keys = SnapshotStore.cdcKeys(root)
     if (keys.nonEmpty) m.put(GraftCatalog.CdcKeysProp, keys.mkString(","))
+    val mode = SnapshotStore.dmlMode(root)
+    if (mode != SnapshotStore.CopyOnWrite)
+      m.put(GraftCatalog.DmlModeProp, mode)
     m
   }
 

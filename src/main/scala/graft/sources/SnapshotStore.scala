@@ -188,6 +188,26 @@ object SnapshotStore {
     else Nil
   }
 
+  val CopyOnWrite = "copy-on-write"
+  val MergeOnRead = "merge-on-read"
+  private def dmlModeFile(root: String): Path = Paths.get(root, "_dmlmode")
+
+  /** The table's DML strategy: [[CopyOnWrite]] (default — UPDATE/DELETE
+    * rewrite the files/partitions they touch) or [[MergeOnRead]]
+    * (UPDATE/DELETE commit a deletion-vector sidecar + appended rows and
+    * never rewrite a data file — see [[transactMoR]]).
+    */
+  def dmlMode(root: String): String = {
+    val f = dmlModeFile(root)
+    if (Files.exists(f)) Files.readString(f).trim else CopyOnWrite
+  }
+
+  def setDmlMode(root: String, mode: String): Unit = {
+    require(mode == CopyOnWrite || mode == MergeOnRead,
+      s"unknown DML mode '$mode' (use $CopyOnWrite or $MergeOnRead)")
+    Files.writeString(dmlModeFile(root), mode)
+  }
+
   /** Newest committed snapshot. Readers go through this and only ever see
     * fully-committed, immutable data dirs.
     */
@@ -722,8 +742,14 @@ object SnapshotStore {
 
   /** Read a staged/committed data dir honoring its pinned schema if any —
     * the one read path shared by [[read]] and the staged read-backs.
+    * Dirs carrying a deletion-vector sidecar (`_dv/`, see [[transactMoR]])
+    * come back with their deleted positions filtered out.
     */
-  private def readDir(spark: SparkSession, dir: String): DataFrame = {
+  private def readDir(spark: SparkSession, dir: String): DataFrame =
+    if (hasDv(dir)) readDirLineage(spark, dir).drop(DvFileCol, DvPosCol)
+    else plainReadDir(spark, dir)
+
+  private def plainReadDir(spark: SparkSession, dir: String): DataFrame = {
     val f = Paths.get(dir, "_schema.json")
     if (Files.exists(f))
       spark.read.schema(
@@ -732,19 +758,66 @@ object SnapshotStore {
     else spark.read.parquet(dir)
   }
 
+  /** Lineage column names for the merge-on-read path: the row's data file
+    * RELATIVE to its snapshot dir, and its row index within that file.
+    * Relative paths are what make deletion vectors version-portable: every
+    * later version hard-links the same files under the same relative
+    * layout, so a `(file, pos)` recorded against version N still names the
+    * same physical row in version N+k's dir.
+    */
+  private[graft] val DvFileCol = "__graft_dv_file"
+  private[graft] val DvPosCol = "__graft_dv_pos"
+  private def dvDir(dir: String): Path = Paths.get(dir, "_dv")
+  private[graft] def hasDv(dir: String): Boolean = Files.isDirectory(dvDir(dir))
+
+  /** [[plainReadDir]] plus lineage columns, with this dir's deletion
+    * vector (if any) already applied as a BROADCAST anti-join on
+    * `(file, pos)` — the read half of merge-on-read DML. The DV holds one
+    * tiny row per deleted position (bounded by deletes since the last
+    * OPTIMIZE, never by table size), so the join never shuffles the data
+    * side: each scan task probes a small broadcast hash set, which is the
+    * same asymptotic shape as Delta's per-file DV bitmap lookup.
+    */
+  private[graft] def readDirLineage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, expr}
+    // relativize against the snapshot dir's unique uuid segment: both the
+    // recording side (transactMoR) and this read derive the SAME string
+    // from _metadata.file_path, so URI escaping of partition values never
+    // has to round-trip through a filesystem walk
+    val uuid = Paths.get(dir).getFileName.toString
+    val base = plainReadDir(spark, dir)
+      .withColumn(DvFileCol,
+        expr(s"substring_index(_metadata.file_path, '$uuid/', -1)"))
+      .withColumn(DvPosCol, col("_metadata.row_index"))
+    if (!hasDv(dir)) base
+    else {
+      val dv = spark.read.parquet(dvDir(dir).toString)
+      base.join(broadcast(dv),
+        base(DvFileCol) === dv("file") && base(DvPosCol) === dv("pos"),
+        "left_anti")
+    }
+  }
+
   /** Hard-link every parquet file under `from` into `to`, preserving the
     * (possibly hive-partitioned) directory layout — the metadata-only
     * copy shared by ALTER / RESTORE / CLONE.
     */
-  private def linkParquetTree(from: Path, to: Path): Unit = {
+  private def linkParquetTree(from: Path, to: Path,
+      withDv: Boolean = true): Unit = {
     val s = Files.walk(from)
     try s.iterator().asScala
       .filter(f => Files.isRegularFile(f) &&
-        f.getFileName.toString.endsWith(".parquet") &&
+        f.getFileName.toString.endsWith(".parquet") && {
         // never carry snapshot-local metadata (_changes/_manifest): each
-        // version's change set and stats belong to its OWN commit
-        !from.relativize(f).iterator().asScala.exists(
-          _.toString.startsWith("_")))
+        // version's change set and stats belong to its OWN commit. The
+        // `_dv` deletion vector is the exception — it is TABLE STATE, not
+        // commit metadata: dropping it on a metadata-only link (RESTORE /
+        // CLONE / ALTER) would silently resurrect deleted rows.
+        // `withDv = false` is for [[transactMoR]], which writes its own
+        // merged vector instead.
+        val segs = from.relativize(f).iterator().asScala.map(_.toString).toSeq
+        (withDv && segs.head == "_dv") || !segs.exists(_.startsWith("_"))
+      })
       .foreach { f =>
         val dest = to.resolve(from.relativize(f))
         Files.createDirectories(dest.getParent)
@@ -965,7 +1038,7 @@ object SnapshotStore {
       constraints: Seq[(String, org.apache.spark.sql.Column)] = Nil)(
       matchedRows: DataFrame => DataFrame)(
       transform: DataFrame => (DataFrame, DataFrame)): Snapshot = {
-    import org.apache.spark.sql.functions.{broadcast, col, expr, input_file_name}
+    import org.apache.spark.sql.functions.{broadcast, col, expr}
     val parts = partitionCols(root)
     require(parts.nonEmpty,
       s"transactPartialWithChanges requires a partitioned table ($root)")
@@ -974,21 +1047,32 @@ object SnapshotStore {
       if (txn.exists(t => lastTxnVersion(root, t.appId).exists(_ >= t.version)))
         return latest(root)
       val base = latest(root)
-      val baseDf = readDir(spark, base.dataDir)
-      val matched = matchedRows(baseDf)
+      // lineage-bearing read: the touched-file probe reads the matched
+      // rows' files off the DvFileCol column (input_file_name() refuses
+      // multi-source plans, which a DV base's anti-join is); callers'
+      // matchedRows are row-preserving filters/semi-joins, so the lineage
+      // columns flow through them untouched
+      val baseL = readDirLineage(spark, base.dataDir)
+      val baseDf = baseL.drop(DvFileCol, DvPosCol)
+      val matched = matchedRows(baseL)
       val touchedVals = matched.select(parts.map(col): _*).distinct()
       val rowsTouched = baseDf.join(broadcast(touchedVals), parts, "left_semi")
       val (out, changes) = transform(rowsTouched)
       enforceConstraints(out, constraints ++
         tableConstraints(root).map { case (n, sql) => (n, expr(sql)) })
-      // touched partition DIRS from the matched rows' own files
+      // touched partition DIRS from the matched rows' own files — in the
+      // URI-ENCODED relative form the lineage column carries, and decoded
+      // to on-disk names for the link-exclusion walk below
       val basePath = Paths.get(base.dataDir).toAbsolutePath.normalize()
-      val touchedDirs = matched.select(input_file_name().as("__f")).distinct()
-        .collect().map { r =>
-          val p = Paths.get(java.net.URI.create(r.getString(0)).getPath)
-            .toAbsolutePath.normalize()
-          basePath.relativize(p.getParent).toString
-        }.toSet
+      val rawTouched = matched.select(col(DvFileCol)).distinct()
+        .collect().map(_.getString(0))
+      val touchedDirsEnc = rawTouched.flatMap { rel =>
+        val j = rel.lastIndexOf('/')
+        if (j < 0) None else Some(rel.substring(0, j))
+      }.toSet
+      val touchedDirs = touchedDirsEnc.map { enc =>
+        Paths.get(java.net.URI.create("file:///" + enc)).toString.stripPrefix("/")
+      }
       val dir = Paths.get(root, "data", UUID.randomUUID().toString)
       Files.createDirectories(dir)
       out.write.mode("overwrite").partitionBy(parts: _*).parquet(dir.toString)
@@ -1010,6 +1094,105 @@ object SnapshotStore {
           Files.createLink(dest, f)
         }
       finally s.close()
+      if (hasDv(base.dataDir)) {
+        // deletion-vector carry-forward: linked files keep their deleted
+        // positions. Entries pointing into REWRITTEN partitions reference
+        // files absent from this version (harmless — the read anti-join
+        // matches nothing) but would accumulate forever, so prune by
+        // touched dir. The prune can only KEEP a superset: an escaping
+        // surprise fails the isin match and keeps the row, never drops a
+        // live one.
+        import org.apache.spark.sql.functions.regexp_replace
+        val dv = spark.read.parquet(dvDir(base.dataDir).toString)
+        val kept = dv.filter(!regexp_replace(col("file"), "/[^/]+$", "")
+          .isin(touchedDirsEnc.toSeq: _*))
+        if (!kept.isEmpty)
+          kept.coalesce(1).write.mode("overwrite")
+            .parquet(dvDir(dir.toString).toString)
+      }
+      if (cdcKeys(root).nonEmpty) {
+        require(changes.columns.contains(ChangeTypeCol),
+          s"supplied change frame lacks $ChangeTypeCol")
+        changes.write.mode("overwrite").parquet(s"$dir/_changes")
+      }
+      if (tryCommit(root, base.version, dir.toString, txn))
+        return Snapshot(base.version + 1, dir.toString)
+      attempt += 1 // lost the race: orphaned dir is cleanOrphans food
+    }
+    throw new CommitConflictException(
+      s"lost the commit race $maxAttempts times at $root")
+  }
+
+  /** MERGE-ON-READ transaction — deletion-vector DML, the public
+    * Delta-DV / Iceberg-positional-delete shape. A statement that
+    * invalidates k rows of a 100 TB table must not rewrite even one data
+    * file (copy-on-write's floor is the touched FILE/PARTITION; a GDPR
+    * delete cascade whose keys scatter across every file would rewrite
+    * the whole table). Instead the commit:
+    *
+    *   - hard-links EVERY base data file unchanged (metadata-only),
+    *   - appends the statement's replacement rows (UPDATE post-images;
+    *     none for DELETE) as fresh files,
+    *   - writes `_dv/` = base's deletion vector ∪ the matched rows'
+    *     `(file, pos)` positions — one tiny row per invalidated position.
+    *
+    * Readers apply `_dv` as a broadcast anti-join ([[readDirLineage]]), so
+    * read overhead is a hash probe per row against deletes-since-last-
+    * OPTIMIZE (OPTIMIZE and every full-rewrite transaction materialize the
+    * vector away — the Delta compaction contract).
+    *
+    * `matched` selects the rows the statement invalidates — it must be
+    * row-preserving (filter/semi-join) over its input, which carries the
+    * [[DvFileCol]]/[[DvPosCol]] lineage. `replace` maps those rows (sans
+    * lineage) to (replacement rows, CDC change rows). CHECK constraints
+    * validate the REPLACEMENT rows only (linked rows were validated by
+    * the commits that wrote them — the same rule as partial copy-on-write).
+    */
+  def transactMoR(spark: SparkSession, root: String, maxAttempts: Int = 10,
+      txn: Option[Txn] = None,
+      constraints: Seq[(String, org.apache.spark.sql.Column)] = Nil)(
+      matched: DataFrame => DataFrame)(
+      replace: DataFrame => (DataFrame, DataFrame)): Snapshot = {
+    import org.apache.spark.sql.functions.{col, expr}
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      if (txn.exists(t => lastTxnVersion(root, t.appId).exists(_ >= t.version)))
+        return latest(root)
+      val base = latest(root)
+      val m = matched(readDirLineage(spark, base.dataDir))
+      require(m.columns.contains(DvFileCol) && m.columns.contains(DvPosCol),
+        "transactMoR: matched() must preserve the lineage columns " +
+          s"($DvFileCol, $DvPosCol) — use filters/semi-joins, not projections")
+      val (out, changes) = replace(m.drop(DvFileCol, DvPosCol))
+      enforceConstraints(out, constraints ++
+        tableConstraints(root).map { case (n, sql) => (n, expr(sql)) })
+      val parts = partitionCols(root)
+      val dir = Paths.get(root, "data", UUID.randomUUID().toString)
+      Files.createDirectories(dir)
+      // replacement rows first (fresh uuid-named files — no collision with
+      // the links), then the metadata-only link of every base data file
+      if (!out.isEmpty) {
+        if (parts.nonEmpty)
+          out.write.mode("append").partitionBy(parts: _*).parquet(dir.toString)
+        else out.write.mode("append").parquet(dir.toString)
+      }
+      val basePath = Paths.get(base.dataDir).toAbsolutePath.normalize()
+      linkParquetTree(basePath, dir, withDv = false)
+      // pin the schema: the dir now mixes linked and fresh files, and on
+      // partitioned layouts the committed column types/order must not be
+      // re-inferred from directory names (same rule as stage())
+      Files.writeString(dir.resolve("_schema.json"),
+        readSchema(spark, base).json)
+      val newDv = m.select(col(DvFileCol).cast("string").as("file"),
+        col(DvPosCol).cast("long").as("pos"))
+      val allDv =
+        if (hasDv(base.dataDir))
+          spark.read.parquet(dvDir(base.dataDir).toString).unionByName(newDv)
+        else newDv
+      // one tiny file: the vector is bounded by deletes since last
+      // OPTIMIZE, not by table size
+      allDv.coalesce(1).write.mode("overwrite")
+        .parquet(dvDir(dir.toString).toString)
       if (cdcKeys(root).nonEmpty) {
         require(changes.columns.contains(ChangeTypeCol),
           s"supplied change frame lacks $ChangeTypeCol")

@@ -109,10 +109,17 @@ object SqlDml {
             .select((cols :+ SnapshotStore.ChangeTypeCol).map(f => col(s"c.$f").as(f)): _*)
           (out, changes)
         }
+        // merge-on-read table: deletion-vector the matched rows, append
+        // their post-images — zero data files rewritten. build() over the
+        // matched subset produces exactly the replacement rows (cond is
+        // true on every row) and the same change set as copy-on-write.
+        if (SnapshotStore.dmlMode(root) == SnapshotStore.MergeOnRead)
+          SnapshotStore.transactMoR(spark, root, maxAttempts)(
+            base => base.alias(alias).filter(coalesce(cond, lit(false))))(build)
         // partitioned table: copy-on-write — rewrite only the partitions
         // holding matched rows, hard-link the rest (build() is closed over
         // the touched subset: unmatched neighbors pass through unchanged)
-        if (SnapshotStore.partitionCols(root).nonEmpty)
+        else if (SnapshotStore.partitionCols(root).nonEmpty)
           SnapshotStore.transactPartialWithChanges(spark, root, maxAttempts)(
             base => base.alias(alias).filter(coalesce(cond, lit(false))))(build)
         else transactBoth(spark, root, maxAttempts, build)
@@ -129,7 +136,14 @@ object SqlDml {
             .withColumn(SnapshotStore.ChangeTypeCol, lit("delete"))
           (out, changes)
         }
-        if (SnapshotStore.partitionCols(root).nonEmpty)
+        // merge-on-read: the matched rows become deletion-vector entries;
+        // nothing is appended and no data file is rewritten
+        if (SnapshotStore.dmlMode(root) == SnapshotStore.MergeOnRead)
+          SnapshotStore.transactMoR(spark, root, maxAttempts)(
+            base => base.alias(alias).filter(coalesce(cond, lit(false))))(
+            matched => (matched.limit(0), matched
+              .withColumn(SnapshotStore.ChangeTypeCol, lit("delete"))))
+        else if (SnapshotStore.partitionCols(root).nonEmpty)
           SnapshotStore.transactPartialWithChanges(spark, root, maxAttempts)(
             base => base.alias(alias).filter(coalesce(cond, lit(false))))(build)
         else transactBoth(spark, root, maxAttempts, build)
@@ -400,8 +414,16 @@ object SqlDml {
     case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
         if sr.relation.table.isInstanceOf[GraftTable] =>
       relationOf(sr.relation)
+    // V2ScanRelationPushDown wraps a PARTITIONED target in a pass-through
+    // Project (the scan orders partition columns last; the Project
+    // restores the declared order) — see through attribute-only Projects
+    case p: org.apache.spark.sql.catalyst.plans.logical.Project
+        if p.projectList.forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]) =>
+      relationOf(p.child)
     case other => throw new IllegalArgumentException(
-      s"unsupported DML relation shape: ${other.getClass.getSimpleName}")
+      s"unsupported DML relation shape: ${other.getClass.getSimpleName}\n" +
+        other.treeString)
   }
 
   /** ANALYZED commands carry resolved attributes whose `.sql` regenerates

@@ -1,0 +1,254 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftCatalog, SnapshotStore}
+
+/** Merge-on-read DML via deletion vectors (SnapshotStore.transactMoR +
+  * DvReadRewrite): a DELETE/UPDATE on a merge-on-read table must commit a
+  * `_dv/` positional sidecar plus appended post-images and NEVER rewrite a
+  * data file — the Delta-DV / Iceberg-positional-delete shape that keeps a
+  * scattered point-delete O(matched rows), not O(touched files), at 100 TB.
+  * The read side (Scala API and catalog SQL alike) applies the vector as a
+  * broadcast anti-join; OPTIMIZE and full-rewrite commits materialize it
+  * away.
+  */
+class DvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft_dv").toString
+
+  /** Data files of a snapshot dir (relative paths, `_*` metadata excluded). */
+  private def dataFiles(dir: String): Set[String] = {
+    val base = Paths.get(dir)
+    val s = Files.walk(base)
+    try s.iterator().asScala
+      .filter(f => Files.isRegularFile(f) &&
+        f.getFileName.toString.endsWith(".parquet") &&
+        !base.relativize(f).iterator().asScala.exists(_.toString.startsWith("_")))
+      .map(f => base.relativize(f).toString).toSet
+    finally s.close()
+  }
+
+  private def hasDv(dir: String): Boolean =
+    Files.isDirectory(Paths.get(dir, "_dv"))
+
+  test("MoR DELETE links every base file unchanged and lands only a _dv sidecar") {
+    val root = tmpRoot()
+    SnapshotStore.init(spark, root,
+      (1L to 1000L).toDF("id").withColumn("v", $"id" * 10).repartition(4))
+    SnapshotStore.setDmlMode(root, SnapshotStore.MergeOnRead)
+    val v0 = SnapshotStore.latest(root)
+
+    graft.sources.SqlDml.execute(spark, "DELETE FROM t WHERE id % 7 = 0",
+      Map("t" -> root))
+    val v1 = SnapshotStore.latest(root)
+    assert(v1.version == 1)
+
+    // every v0 data file is present BY THE SAME RELATIVE NAME in v1 (hard
+    // links — nothing was rewritten), and the only addition is the sidecar
+    assert(dataFiles(v1.dataDir) == dataFiles(v0.dataDir),
+      "MoR delete must not add or rewrite data files")
+    dataFiles(v0.dataDir).foreach { rel =>
+      assert(Files.isSameFile(Paths.get(v0.dataDir, rel), Paths.get(v1.dataDir, rel)),
+        s"$rel must be a hard link of the v0 file")
+    }
+    assert(hasDv(v1.dataDir) && !hasDv(v0.dataDir))
+
+    // read correctness + time travel isolation
+    assert(SnapshotStore.read(spark, root).count() == 1000 - 142)
+    assert(SnapshotStore.read(spark, v0).count() == 1000)
+    assert(SnapshotStore.read(spark, root).filter($"id" % 7 === 0).isEmpty)
+  }
+
+  test("MoR UPDATE appends post-images; chained statements accumulate one vector") {
+    val root = tmpRoot()
+    SnapshotStore.init(spark, root,
+      (1L to 500L).toDF("id").withColumn("v", $"id"))
+    SnapshotStore.setDmlMode(root, SnapshotStore.MergeOnRead)
+    val files0 = dataFiles(SnapshotStore.latest(root).dataDir)
+
+    graft.sources.SqlDml.execute(spark,
+      "UPDATE t SET v = v + 1000 WHERE id <= 10", Map("t" -> root))
+    val v1 = SnapshotStore.latest(root)
+    // old files all linked; post-image rows arrive as NEW files
+    assert(files0.subsetOf(dataFiles(v1.dataDir)))
+    assert(dataFiles(v1.dataDir).size > files0.size)
+
+    graft.sources.SqlDml.execute(spark, "DELETE FROM t WHERE id IN (5, 1005)",
+      Map("t" -> root)) // id 5 was updated; its POST-image row must die too
+    val out = SnapshotStore.read(spark, root).orderBy($"id")
+    assert(out.count() == 499)
+    val got = out.filter($"id" <= 10).select($"id", $"v").as[(Long, Long)]
+      .collect().toSeq
+    assert(got == Seq((1L, 1001L), (2L, 1002L), (3L, 1003L), (4L, 1004L),
+      (6L, 1006L), (7L, 1007L), (8L, 1008L), (9L, 1009L), (10L, 1010L)))
+    // the remainder kept their original v
+    assert(SnapshotStore.read(spark, root).filter($"id" > 10 && $"v" =!= $"id").isEmpty)
+  }
+
+  test("OPTIMIZE materializes the vector away; append keeps deletions live") {
+    val root = tmpRoot()
+    SnapshotStore.init(spark, root, (1L to 300L).toDF("id"))
+    SnapshotStore.setDmlMode(root, SnapshotStore.MergeOnRead)
+    graft.sources.SqlDml.execute(spark, "DELETE FROM t WHERE id > 250",
+      Map("t" -> root))
+    assert(hasDv(SnapshotStore.latest(root).dataDir))
+
+    // append after a DV commit: the new rows land, deletions stay deleted
+    SnapshotStore.append(spark, root, (301L to 320L).toDF("id"))
+    assert(SnapshotStore.read(spark, root).count() == 250 + 20)
+
+    SnapshotStore.optimize(spark, root, targetRows = 1000)
+    val opt = SnapshotStore.latest(root)
+    assert(!hasDv(opt.dataDir), "full OPTIMIZE must materialize the DV away")
+    assert(SnapshotStore.read(spark, root).count() == 270)
+    assert(SnapshotStore.read(spark, root).filter($"id" > 250 && $"id" <= 300).isEmpty)
+  }
+
+  test("partitioned: copy-on-write rewrite carries the other partitions' vectors") {
+    val root = tmpRoot()
+    SnapshotStore.init(spark, root,
+      (1L to 400L).toDF("id")
+        .withColumn("p", ($"id" % 4).cast("string"))
+        .withColumn("v", $"id"),
+      partitionBy = Seq("p"))
+    SnapshotStore.setDmlMode(root, SnapshotStore.MergeOnRead)
+
+    // MoR delete hits partitions p=0 and p=1
+    graft.sources.SqlDml.execute(spark,
+      "DELETE FROM t WHERE id % 4 <= 1 AND id <= 100", Map("t" -> root))
+    assert(SnapshotStore.read(spark, root).count() == 350)
+
+    // switch the table back to copy-on-write and UPDATE only p=0: that
+    // partition rewrites clean, and p=1's deletion vector must carry
+    SnapshotStore.setDmlMode(root, SnapshotStore.CopyOnWrite)
+    graft.sources.SqlDml.execute(spark,
+      "UPDATE t SET v = v + 1 WHERE p = '0' AND id > 100", Map("t" -> root))
+    val v2 = SnapshotStore.latest(root)
+    assert(hasDv(v2.dataDir), "p=1 deletions must survive the p=0 rewrite")
+    // pruned vector: no surviving entry points into the rewritten p=0 dir
+    val dv = spark.read.parquet(s"${v2.dataDir}/_dv")
+    assert(dv.filter($"file".startsWith("p=0/")).isEmpty,
+      "rewritten partition's DV entries must be pruned")
+    val out = SnapshotStore.read(spark, root)
+    assert(out.count() == 350)
+    assert(out.filter($"id" % 4 <= 1 && $"id" <= 100).isEmpty)
+    assert(out.filter($"p" === "0" && $"id" > 100 && $"v" =!= $"id" + 1).isEmpty)
+    assert(out.filter($"p" === "1" && $"v" =!= $"id").isEmpty)
+  }
+
+  test("RESTORE across a DV boundary rolls deletions back and forward") {
+    val root = tmpRoot()
+    SnapshotStore.init(spark, root, (1L to 100L).toDF("id"))
+    SnapshotStore.setDmlMode(root, SnapshotStore.MergeOnRead)
+    graft.sources.SqlDml.execute(spark, "DELETE FROM t WHERE id > 90",
+      Map("t" -> root)) // v1
+    assert(SnapshotStore.read(spark, root).count() == 90)
+
+    SnapshotStore.restore(spark, root, toVersion = 0) // v2: rows back
+    assert(SnapshotStore.read(spark, root).count() == 100)
+    assert(!hasDv(SnapshotStore.latest(root).dataDir) ||
+      spark.read.parquet(s"${SnapshotStore.latest(root).dataDir}/_dv").isEmpty)
+
+    SnapshotStore.restore(spark, root, toVersion = 1) // v3: deleted again
+    assert(SnapshotStore.read(spark, root).count() == 90,
+      "restore to a DV version must carry its _dv (links alone resurrect rows)")
+  }
+
+  test("catalog SQL end-to-end: dml.mode property, DELETE/UPDATE, reads via rule") {
+    val wh = Files.createTempDirectory("graft_dv_wh").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    GraftExtensions.install(spark)
+
+    spark.sql("""CREATE TABLE graft.dvt (id BIGINT, p STRING, v BIGINT)
+      PARTITIONED BY (p) TBLPROPERTIES ('dml.mode' = 'merge-on-read')""")
+    (1L to 200L).toDF("id")
+      .withColumn("p", ($"id" % 2).cast("string")).withColumn("v", $"id")
+      .createOrReplaceTempView("dv_src")
+    spark.sql("INSERT INTO graft.dvt SELECT id, p, v FROM dv_src")
+
+    spark.sql("DELETE FROM graft.dvt WHERE id % 10 = 0")
+    spark.sql("UPDATE graft.dvt SET v = -id WHERE id <= 4")
+
+    // data files were never rewritten: the statement surface stayed MoR
+    val v = SnapshotStore.latest(s"$wh/dvt")
+    assert(hasDv(v.dataDir))
+
+    // reads through the catalog relation go through DvReadRewrite:
+    // count, partition-filtered (the scan-consumed-filter recovery path),
+    // point lookup, and time travel
+    assert(spark.sql("SELECT count(*) AS n FROM graft.dvt").as[Long].head() == 180)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.dvt WHERE p = '0'")
+      .as[Long].head() == 80) // evens minus the 20 deleted multiples of 10
+    assert(spark.sql("SELECT v FROM graft.dvt WHERE id = 3").as[Long].head() == -3L)
+    assert(spark.sql("SELECT count(*) FROM graft.dvt WHERE id % 10 = 0")
+      .as[Long].head() == 0)
+    assert(spark.sql("SELECT count(*) FROM graft.dvt VERSION AS OF 1")
+      .as[Long].head() == 200)
+    // a join over the DV table also binds through the substituted relation
+    val joined = spark.sql(
+      """SELECT count(*) FROM graft.dvt a JOIN graft.dvt b ON a.id = b.id""")
+      .as[Long].head()
+    assert(joined == 180)
+    spark.sql("DROP TABLE graft.dvt")
+  }
+
+  test("CDC: MoR statements feed the change log like their CoW twins") {
+    val root = tmpRoot()
+    SnapshotStore.init(spark, root,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("id", "name", "v"),
+      cdcKeys = Seq("id"))
+    SnapshotStore.setDmlMode(root, SnapshotStore.MergeOnRead)
+
+    graft.sources.SqlDml.execute(spark, "DELETE FROM t WHERE id = 2",
+      Map("t" -> root)) // v1
+    graft.sources.SqlDml.execute(spark,
+      "UPDATE t SET v = 99 WHERE id = 3", Map("t" -> root)) // v2
+
+    val ch1 = SnapshotStore.changesAt(spark, root, 1)
+      .select($"id", col(SnapshotStore.ChangeTypeCol).as("ct"))
+      .as[(Long, String)].collect().toSet
+    assert(ch1 == Set((2L, "delete")))
+    val ch2 = SnapshotStore.changesAt(spark, root, 2)
+      .select($"id", $"v", col(SnapshotStore.ChangeTypeCol).as("ct"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(ch2 == Set((3L, 30L, "update_preimage"), (3L, 99L, "update_postimage")))
+
+    // the generic keyed diff of committed states agrees with the
+    // statement-integrated feed (the transactWithChanges contract)
+    val diff = SnapshotStore.diffChanges(
+      SnapshotStore.read(spark, SnapshotStore.at(root, 1)),
+      SnapshotStore.read(spark, SnapshotStore.at(root, 2)), Seq("id"))
+      .select($"id", $"v", col(SnapshotStore.ChangeTypeCol).as("ct"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(diff == ch2)
+  }
+
+  test("shallow clone of a DV table keeps deletions; exactly-once txn stamp") {
+    val root = tmpRoot()
+    SnapshotStore.init(spark, root, (1L to 50L).toDF("id"))
+    SnapshotStore.setDmlMode(root, SnapshotStore.MergeOnRead)
+    graft.sources.SqlDml.execute(spark, "DELETE FROM t WHERE id > 40",
+      Map("t" -> root))
+
+    val clone = tmpRoot() + "/clone"
+    SnapshotStore.shallowClone(spark, root, clone)
+    assert(SnapshotStore.read(spark, clone).count() == 40)
+
+    // a replayed MoR transaction (same appId+version) is a no-op
+    val txn = Some(SnapshotStore.Txn("dv-app", 7L))
+    def once() = SnapshotStore.transactMoR(spark, root, txn = txn)(
+      b => b.filter($"id" === 1L))(m => (m.limit(0), m))
+    val s1 = once(); val s2 = once()
+    assert(s1.version == s2.version, "replay must not double-apply")
+    assert(SnapshotStore.read(spark, root).count() == 39)
+  }
+}
