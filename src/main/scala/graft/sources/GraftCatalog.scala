@@ -152,12 +152,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
-    // constraint changes are table-level config, not schema versions
-    val (constraintChanges, schemaChanges) = changes.partition {
+    // constraint/property changes are table-level config, not schema versions
+    val (configChanges, schemaChanges) = changes.partition {
       case _: TableChange.AddConstraint | _: TableChange.DropConstraint => true
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
       case _ => false
     }
-    constraintChanges.foreach {
+    configChanges.foreach {
+      // ALTER TABLE t SET TBLPROPERTIES ('dml.mode' = 'merge-on-read'):
+      // flip the DML strategy on a live table (the Delta
+      // enableDeletionVectors shape)
+      case set: TableChange.SetProperty
+          if set.property == GraftCatalog.DmlModeProp =>
+        SnapshotStore.setDmlMode(root, set.value)
+      case rm: TableChange.RemoveProperty
+          if rm.property == GraftCatalog.DmlModeProp =>
+        SnapshotStore.setDmlMode(root, SnapshotStore.CopyOnWrite)
+      case set: TableChange.SetProperty => throw new UnsupportedOperationException(
+        s"unsupported table property '${set.property}' " +
+          s"(only ${GraftCatalog.DmlModeProp})")
+      case rm: TableChange.RemoveProperty => throw new UnsupportedOperationException(
+        s"unsupported table property '${rm.property}' " +
+          s"(only ${GraftCatalog.DmlModeProp})")
       case add: TableChange.AddConstraint => add.constraint() match {
         case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
           // validates EXISTING rows before accepting — the Delta contract

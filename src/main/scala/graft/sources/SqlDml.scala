@@ -154,13 +154,27 @@ object SqlDml {
         val sAlias = aliasOf(m.sourceTable)
         val root = rootOf(tables, tName)
         val source = sourceFrameOf(spark, m.sourceTable, tables)
+        // merge-on-read target + no NOT MATCHED BY SOURCE arm: the
+        // join-matched target rows become deletion-vector entries and
+        // mergeFrames over that subset yields exactly the replacement
+        // rows (updated/kept matched rows + inserts) — zero data files
+        // rewritten, the DV twin of the partial copy-on-write argument
+        // below. A NOT MATCHED BY SOURCE arm can modify ANY target row,
+        // so it falls through to the full rewrite.
+        if (SnapshotStore.dmlMode(root) == SnapshotStore.MergeOnRead &&
+            m.notMatchedBySourceActions.isEmpty)
+          SnapshotStore.transactMoR(spark, root, maxAttempts)(
+            base => base.alias(tAlias).join(source.alias(sAlias),
+              expr(m.mergeCondition.sql), "left_semi"))(
+            matchedBase => mergeFrames(matchedBase, tAlias, source, sAlias, m,
+              checkCardinality, SnapshotStore.cdcKeys(root)))
         // partitioned target + no NOT MATCHED BY SOURCE arm (which could
         // modify ANY target row): copy-on-write — only partitions holding
         // join-matched target rows rewrite. A source row's match, if any,
         // is by definition in a touched partition, so mergeFrames over the
         // touched subset ≡ the full merge restricted to those partitions
         // plus the inserts (whose new files dir-merge with linked dirs).
-        if (SnapshotStore.partitionCols(root).nonEmpty &&
+        else if (SnapshotStore.partitionCols(root).nonEmpty &&
             m.notMatchedBySourceActions.isEmpty)
           SnapshotStore.transactPartialWithChanges(spark, root, maxAttempts)(
             base => base.alias(tAlias).join(source.alias(sAlias),

@@ -200,6 +200,52 @@ class DvSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.dvt")
   }
 
+  test("MoR MERGE: DV on matched rows, post-images + inserts appended; ALTER flips the mode") {
+    val wh = Files.createTempDirectory("graft_dv_mrg").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    GraftExtensions.install(spark)
+
+    spark.sql("CREATE TABLE graft.mt (id BIGINT, v BIGINT)")
+    (1L to 100L).toDF("id").withColumn("v", $"id").createOrReplaceTempView("mt_src")
+    spark.sql("INSERT INTO graft.mt SELECT id, v FROM mt_src")
+    // flip the strategy through DDL — the enableDeletionVectors shape
+    spark.sql("ALTER TABLE graft.mt SET TBLPROPERTIES ('dml.mode' = 'merge-on-read')")
+    assert(SnapshotStore.dmlMode(s"$wh/mt") == SnapshotStore.MergeOnRead)
+
+    val files1 = dataFiles(SnapshotStore.latest(s"$wh/mt").dataDir)
+    spark.sql(
+      """MERGE INTO graft.mt t
+        |USING (SELECT id * 2 AS mid, id * 1000 AS mv FROM range(40, 60)) s
+        |ON t.id = s.mid
+        |WHEN MATCHED AND s.mid >= 90 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.mv
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.mid, s.mv)
+        |""".stripMargin)
+    val v = SnapshotStore.latest(s"$wh/mt")
+    assert(hasDv(v.dataDir), "matched rows must be deletion-vectored")
+    assert(files1.subsetOf(dataFiles(v.dataDir)),
+      "MoR MERGE must link every pre-merge file unchanged")
+
+    val out = SnapshotStore.read(spark, s"$wh/mt")
+    // ids 80..88 even: updated to id/2*1000; 90..100 even: deleted (6);
+    // 102..118 even: inserted (9)
+    assert(out.count() == 100 - 6 + 9)
+    assert(out.filter($"id" === 84L).select($"v").as[Long].head() == 42000L)
+    assert(out.filter($"id" === 90L).isEmpty)
+    assert(out.filter($"id" === 110L).select($"v").as[Long].head() == 55000L)
+    assert(out.filter($"id" < 80 && $"v" =!= $"id").isEmpty)
+
+    // flipping back routes the next statement through copy-on-write
+    spark.sql("ALTER TABLE graft.mt UNSET TBLPROPERTIES ('dml.mode')")
+    assert(SnapshotStore.dmlMode(s"$wh/mt") == SnapshotStore.CopyOnWrite)
+    spark.sql("DELETE FROM graft.mt WHERE id = 1")
+    assert(!hasDv(SnapshotStore.latest(s"$wh/mt").dataDir),
+      "CoW full rewrite materializes the vector away")
+    assert(SnapshotStore.read(spark, s"$wh/mt").count() == 102)
+    spark.sql("DROP TABLE graft.mt")
+  }
+
   test("CDC: MoR statements feed the change log like their CoW twins") {
     val root = tmpRoot()
     SnapshotStore.init(spark, root,
