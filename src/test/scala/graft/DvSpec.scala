@@ -278,6 +278,40 @@ class DvSpec extends SparkSpec {
     assert(diff == ch2)
   }
 
+  test("DV on partition values needing path escaping stays bit-exact") {
+    // 'a b', 'x/y', 'p%q' force hive dir-name escaping AND URI escaping —
+    // the two encodings the DV file keys must round-trip consistently
+    // (recording via _metadata.file_path, probing via InputFileBlockHolder)
+    val root = tmpRoot()
+    val parts = Seq("a b", "x/y", "p%q", "plain")
+    SnapshotStore.init(spark, root,
+      (1L to 400L).toDF("id")
+        .withColumn("p", element_at(
+          array(parts.map(lit): _*), ($"id" % 4 + 1).cast("int")))
+        .withColumn("v", $"id"),
+      partitionBy = Seq("p"))
+    SnapshotStore.setDmlMode(root, SnapshotStore.MergeOnRead)
+    graft.sources.SqlDml.execute(spark, "DELETE FROM t WHERE id % 10 = 0",
+      Map("t" -> root))
+    val out = SnapshotStore.read(spark, root)
+    assert(out.count() == 360, "40 deletions must land across escaped partitions")
+    assert(out.filter($"id" % 10 === 0).isEmpty)
+    // multiples of 10 have id%4 in {0,2}: exactly 'a b' and 'p%q' each
+    // lose 20 rows, the other two stay whole
+    val expect = Map("a b" -> 80L, "x/y" -> 100L, "p%q" -> 80L, "plain" -> 100L)
+    parts.foreach { p =>
+      val n = out.filter($"p" === p).count()
+      assert(n == expect(p), s"partition '$p' expected ${expect(p)} rows, got $n")
+    }
+    // and an UPDATE post-image lands back in its escaped partition dir
+    graft.sources.SqlDml.execute(spark,
+      "UPDATE t SET v = -1 WHERE id = 2", Map("t" -> root)) // p = 'p%q'
+    val row = SnapshotStore.read(spark, root).filter($"id" === 2L)
+      .select($"p", $"v").as[(String, Long)].head()
+    assert(row == ("p%q", -1L))
+    assert(SnapshotStore.read(spark, root).count() == 360)
+  }
+
   test("shallow clone of a DV table keeps deletions; exactly-once txn stamp") {
     val root = tmpRoot()
     SnapshotStore.init(spark, root, (1L to 50L).toDF("id"))
