@@ -176,9 +176,42 @@ object Jpeg {
     var acTable: Int = 0
   }
 
-  /** Decode a baseline/extended-sequential JPEG to its luma plane
-    * (`h × w`, values 0–255). Refuses progressive/arithmetic/12-bit and
-    * luma subsampled below chroma — loudly, never garbage.
+  /** Per-component coefficient storage for the unified (sequential +
+    * progressive) decoder: one lazily-allocated 64-int array per 8×8
+    * block, indexed on the MCU-PADDED block grid, coefficients kept in
+    * ZIGZAG order UNQUANTIZED until finalize (progressive scans update
+    * zigzag bands in place; dequant+IDCT happen once at EOI).
+    */
+  private final class CompCoefs(val c: Component, hmax: Int, vmax: Int,
+      w: Int, h: Int) {
+    val mcusX: Int = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY: Int = (h + 8 * vmax - 1) / (8 * vmax)
+    val padW: Int = mcusX * c.h // block columns, MCU-padded
+    val padH: Int = mcusY * c.v
+    // non-interleaved (single-component) scan geometry, T.81 A.2.2
+    val compW: Int = (w * c.h + hmax - 1) / hmax
+    val compH: Int = (h * c.v + vmax - 1) / vmax
+    val blocksW: Int = (compW + 7) / 8
+    val blocksH: Int = (compH + 7) / 8
+    private val blocks = new Array[Array[Int]](padW * padH)
+    def block(row: Int, col: Int): Array[Int] = {
+      val i = row * padW + col
+      if (blocks(i) == null) blocks(i) = new Array[Int](64)
+      blocks(i)
+    }
+    def blockOrNull(row: Int, col: Int): Array[Int] = blocks(row * padW + col)
+  }
+
+  /** Decode a baseline / extended-sequential / PROGRESSIVE JPEG
+    * (SOF0/SOF1/SOF2) to its luma plane (`h × w`, values 0–255).
+    * Sequential is the single-scan special case (Ss=0, Se=63, Ah=Al=0) of
+    * the progressive band machinery (T.81 G.2): every scan accumulates
+    * unquantized zigzag coefficients into per-block buffers; dequant +
+    * IDCT run once at EOI. Progressive AC scans are single-component by
+    * spec — chroma-only scans are SKIPPED (entropy bytes scanned to the
+    * next marker without decode), since the luma view never reads them.
+    * Arithmetic coding, hierarchical, lossless and 12-bit modes refuse
+    * loudly — garbage pixels are worse than an exception.
     */
   def decodeGray(b: Array[Byte]): Array[Array[Int]] = {
     require(b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8,
@@ -187,21 +220,29 @@ object Jpeg {
     val dcTables = new Array[HuffTable](4)
     val acTables = new Array[HuffTable](4)
     var comps: Array[Component] = null
+    var store: Array[CompCoefs] = null
     var w = -1; var h = -1
+    var hmax = 1; var vmax = 1
     var restartInterval = 0
+    var sawScan = false
     var off = 2
 
     def be16(o: Int) = ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
 
-    while (off + 4 <= b.length) {
+    while (off + 2 <= b.length) {
       require((b(off) & 0xFF) == 0xFF, f"expected marker at $off")
       val marker = b(off + 1) & 0xFF
       if (marker == 0xD8) { off += 2 } // stray SOI
-      else if (marker == 0xD9) throw new IllegalArgumentException("EOI before SOS")
+      else if (marker == 0xD9) { // EOI: finalize
+        require(sawScan, "EOI before SOS")
+        return finalizeLuma(store, quant, w, h, hmax)
+      }
       else {
+        require(off + 4 <= b.length, "truncated JPEG")
         val len = be16(off + 2)
         require(len >= 2 && off + 2 + len <= b.length, f"corrupt segment $marker%02X")
         val seg = off + 4
+        var nextOff = off + 2 + len
         marker match {
           case 0xDB => // DQT: one or more tables
             var p = seg
@@ -224,7 +265,8 @@ object Jpeg {
               if (tc == 0) dcTables(th) = t else acTables(th) = t
               p += 17 + n
             }
-          case 0xC0 | 0xC1 => // SOF0 baseline / SOF1 extended sequential
+          case 0xC0 | 0xC1 | 0xC2 => // SOF0/1 sequential, SOF2 progressive
+            require(comps == null, "multiple SOF markers")
             require((b(seg) & 0xFF) == 8, "only 8-bit precision supported")
             h = be16(seg + 1); w = be16(seg + 3)
             val n = b(seg + 5) & 0xFF
@@ -236,19 +278,20 @@ object Jpeg {
             }
             comps.foreach(c => require(c.h >= 1 && c.h <= 2 && c.v >= 1 && c.v <= 2,
               s"sampling factors ${c.h}x${c.v} unsupported (1-2 only)"))
-          case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD |
+            hmax = comps.map(_.h).max; vmax = comps.map(_.v).max
+            require(comps.head.h == hmax && comps.head.v == vmax,
+              "luma must carry the max sampling factor")
+            store = comps.map(new CompCoefs(_, hmax, vmax, w, h))
+          case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD |
                0xCE | 0xCF =>
             throw new IllegalArgumentException(
-              f"SOF$marker%02X (progressive/hierarchical/arithmetic) unsupported")
+              f"SOF$marker%02X (lossless/hierarchical/arithmetic) unsupported")
           case 0xDD => restartInterval = be16(seg)
-          case 0xDA => // SOS: decode the scan and return
+          case 0xDA => // SOS: one scan (of possibly many)
             require(comps != null, "SOS before SOF")
             val ns = b(seg) & 0xFF
-            require(ns == comps.length,
-              "multi-scan (non-interleaved color) streams unsupported")
-            // MCU interleave follows the SOS component ORDER (T.81 B.2.3),
-            // not SOF order — they coincide in practice, but the spec says
-            // the scan header governs
+            require(ns >= 1 && ns <= comps.length, s"bad scan component count $ns")
+            // MCU interleave follows the SOS component ORDER (T.81 B.2.3)
             val scanComps = Array.tabulate(ns) { i =>
               val cs = b(seg + 1 + i * 2) & 0xFF
               val c = comps.find(_.id == cs).getOrElse(
@@ -257,95 +300,223 @@ object Jpeg {
               c.acTable = b(seg + 2 + i * 2) & 0x0F
               c
             }
-            return decodeScan(b, off + 2 + len, w, h, scanComps, comps.head,
-              quant, dcTables, acTables, restartInterval)
+            val ss = b(seg + 1 + ns * 2) & 0xFF
+            val se = b(seg + 2 + ns * 2) & 0xFF
+            val ahAl = b(seg + 3 + ns * 2) & 0xFF
+            val ah = ahAl >> 4; val al = ahAl & 0x0F
+            require(ss <= se && se <= 63, s"bad spectral band $ss..$se")
+            val start = off + 2 + len
+            sawScan = true
+            nextOff =
+              if (ns == 1 && !(scanComps(0) eq comps.head))
+                // chroma-only scan: the luma view never reads it — skip the
+                // entropy bytes without decoding
+                skipEntropy(b, start)
+              else
+                decodeScanInto(b, start, scanComps.map(c =>
+                  store(comps.indexWhere(_ eq c))),
+                  dcTables, acTables, restartInterval, ss, se, ah, al)
           case m if m >= 0xD0 && m <= 0xD7 =>
             throw new IllegalArgumentException("RST marker outside entropy data")
           case _ => () // APPn / COM / others: skip by length
         }
-        off += 2 + len
+        off = nextOff
       }
     }
-    throw new IllegalArgumentException("no SOS marker — truncated JPEG")
+    throw new IllegalArgumentException("no EOI marker — truncated JPEG")
   }
 
-  private def decodeScan(b: Array[Byte], start: Int, w: Int, h: Int,
-      comps: Array[Component], luma: Component, quant: Array[Array[Int]],
-      dcTables: Array[HuffTable], acTables: Array[HuffTable],
-      restartInterval: Int): Array[Array[Int]] = {
-    val hmax = comps.map(_.h).max
-    val vmax = comps.map(_.v).max
-    require(luma.h == hmax && luma.v == vmax,
-      "luma must carry the max sampling factor")
-    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
-    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
-    // luma plane, MCU-padded; chroma blocks are entropy-decoded to keep
-    // the bit stream in sync but never inverse-transformed
-    val planeW = mcusX * 8 * hmax
-    val plane = new Array[Int](planeW * mcusY * 8 * vmax)
+  /** Advance past entropy-coded bytes to the next true marker (FF followed
+    * by neither a stuffed 00 nor an RSTn).
+    */
+  private def skipEntropy(b: Array[Byte], start: Int): Int = {
+    var p = start
+    while (p + 1 < b.length) {
+      if ((b(p) & 0xFF) == 0xFF) {
+        val m = b(p + 1) & 0xFF
+        if (m != 0x00 && !(m >= 0xD0 && m <= 0xD7)) return p
+        p += 2
+      } else p += 1
+    }
+    throw new IllegalArgumentException("entropy stream truncated (no marker)")
+  }
+
+  /** Decode ONE scan's entropy data into the coefficient stores (T.81 F.2
+    * sequential / G.2 progressive — the sequential case is Ss=0, Se=63,
+    * Ah=Al=0). Returns the offset of the marker following the scan.
+    */
+  private def decodeScanInto(b: Array[Byte], start: Int,
+      scan: Array[CompCoefs], dcTables: Array[HuffTable],
+      acTables: Array[HuffTable], restartInterval: Int,
+      ss: Int, se: Int, ah: Int, al: Int): Int = {
     val br = new BitReader(b, start)
-    val pred = new Array[Int](comps.length)
-    val coef = new Array[Int](64)
+    val pred = new Array[Int](scan.length)
+    var eobrun = 0
     var restLeft = if (restartInterval > 0) restartInterval else Int.MaxValue
     var rstIdx = 0
+    val interleaved = scan.length > 1
+
+    // total MCU count: interleaved = image MCU grid; single-component =
+    // that component's own block grid (T.81 A.2.2)
+    val (mcusX, mcusY) =
+      if (interleaved) (scan(0).mcusX, scan(0).mcusY)
+      else (scan(0).blocksW, scan(0).blocksH)
+
+    def decodeDc(st: CompCoefs, ci: Int, coef: Array[Int]): Unit =
+      if (ah == 0) {
+        val dc = dcTables(st.c.dcTable)
+        require(dc != null, "scan references missing DC DHT")
+        val t = br.decodeHuff(dc)
+        require(t <= 11, s"DC category $t out of range")
+        pred(ci) += extend(br.receive(t), t)
+        coef(0) = pred(ci) << al
+      } else {
+        // successive-approximation refinement: next lower bit of the
+        // two's-complement DC (G.1.2.1)
+        if (br.nextBit() == 1) coef(0) |= (1 << al)
+      }
+
+    def decodeAcFirst(st: CompCoefs, coef: Array[Int]): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      val ac = acTables(st.c.acTable)
+      require(ac != null, "scan references missing AC DHT")
+      var k = math.max(ss, 1)
+      while (k <= se) {
+        val rs = br.decodeHuff(ac)
+        val r = rs >> 4; val s = rs & 0x0F
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else { // EOBn: this block ends; (2^r - 1 + ext) more follow empty
+            eobrun = (1 << r) - 1 + (if (r > 0) br.receive(r) else 0)
+            k = 64
+          }
+        } else {
+          k += r
+          require(k <= se, "AC run past band end")
+          coef(k) = extend(br.receive(s), s) << al
+          k += 1
+        }
+      }
+    }
+
+    /** AC successive-approximation refinement (G.1.2.3): new ±1·2^Al
+      * insertions interleaved with one correction bit per already-nonzero
+      * coefficient traversed — including through ZRL runs and EOB runs.
+      */
+    def decodeAcRefine(st: CompCoefs, coef: Array[Int]): Unit = {
+      val ac = acTables(st.c.acTable)
+      require(ac != null, "scan references missing AC DHT")
+      val p1 = 1 << al
+      def correct(k: Int): Unit =
+        if (br.nextBit() == 1 && (math.abs(coef(k)) & p1) == 0)
+          coef(k) += (if (coef(k) > 0) p1 else -p1)
+      var k = ss
+      if (eobrun == 0) {
+        var ended = false
+        while (k <= se && !ended) {
+          val rs = br.decodeHuff(ac)
+          var r = rs >> 4; val s = rs & 0x0F
+          var newVal = 0
+          if (s == 0) {
+            if (r != 15) { // EOBn begins; band tail handled below
+              eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+              ended = true
+            } // r == 15: ZRL — skip 16 zero-history positions
+          } else {
+            require(s == 1, s"AC refinement size $s (must be 1)")
+            newVal = if (br.nextBit() == 1) p1 else -p1
+          }
+          if (!ended) {
+            var placed = false
+            while (k <= se && !placed) {
+              if (coef(k) != 0) correct(k)
+              else if (r == 0) { if (newVal != 0) coef(k) = newVal; placed = true }
+              else r -= 1
+              k += 1
+            }
+            require(placed || k > se, "refinement run past band end")
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) { if (coef(k) != 0) correct(k); k += 1 }
+        eobrun -= 1
+      }
+    }
+
+    def decodeBlock(st: CompCoefs, ci: Int, row: Int, col: Int): Unit = {
+      val coef = st.block(row, col)
+      if (ss == 0) {
+        decodeDc(st, ci, coef)
+        // sequential full-band scan (Se=63): AC follows DC in-block — the
+        // same run/size machinery as a progressive first scan at Al=0
+        if (se > 0) decodeAcFirst(st, coef)
+      } else if (ah == 0) decodeAcFirst(st, coef)
+      else decodeAcRefine(st, coef)
+    }
 
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
-        var ci = 0
-        while (ci < comps.length) {
-          val c = comps(ci)
-          val dc = dcTables(c.dcTable)
-          val ac = acTables(c.acTable)
-          require(dc != null && ac != null, "scan references missing DHT")
-          val q = quant(c.tq)
-          require(q != null, "scan references missing DQT")
-          var by = 0
-          while (by < c.v) {
-            var bx = 0
-            while (bx < c.h) {
-              java.util.Arrays.fill(coef, 0)
-              // DC: category + EXTEND, differentially coded
-              val t = br.decodeHuff(dc)
-              require(t <= 11, s"DC category $t out of range")
-              pred(ci) += extend(br.receive(t), t)
-              coef(0) = pred(ci) * q(0)
-              // AC: run/size RLE through the zigzag
-              var k = 1
-              var eob = false
-              while (k < 64 && !eob) {
-                val rs = br.decodeHuff(ac)
-                val r = rs >> 4; val s = rs & 0x0F
-                if (s == 0) {
-                  if (r == 15) k += 16 // ZRL
-                  else eob = true // EOB
-                } else {
-                  k += r
-                  require(k < 64, "AC run past block end")
-                  coef(ZigzagToNatural(k)) = extend(br.receive(s), s) * q(k)
-                  k += 1
-                }
+        if (interleaved) {
+          var ci = 0
+          while (ci < scan.length) {
+            val st = scan(ci)
+            var by = 0
+            while (by < st.c.v) {
+              var bx = 0
+              while (bx < st.c.h) {
+                decodeBlock(st, ci, my * st.c.v + by, mx * st.c.h + bx)
+                bx += 1
               }
-              if (c eq luma) // luma only: chroma IDCT is dead work here
-                idctInto(coef, plane, planeW,
-                  (mx * c.h + bx) * 8, (my * c.v + by) * 8)
-              bx += 1
+              by += 1
             }
-            by += 1
+            ci += 1
           }
-          ci += 1
-        }
+        } else decodeBlock(scan(0), 0, my, mx)
         restLeft -= 1
         if (restLeft == 0 && !(my == mcusY - 1 && mx == mcusX - 1)) {
           br.expectRestart(rstIdx)
           rstIdx = (rstIdx + 1) % 8
           java.util.Arrays.fill(pred, 0)
+          eobrun = 0
           restLeft = restartInterval
         }
         mx += 1
       }
       my += 1
+    }
+    skipEntropy(b, br.pos)
+  }
+
+  /** Dequantize + de-zigzag + IDCT the LUMA component's coefficient
+    * buffers into the output plane — run once, at EOI.
+    */
+  private def finalizeLuma(store: Array[CompCoefs], quant: Array[Array[Int]],
+      w: Int, h: Int, hmax: Int): Array[Array[Int]] = {
+    require(store != null, "no SOF before EOI")
+    val luma = store(0)
+    val q = quant(luma.c.tq)
+    require(q != null, "luma references missing DQT")
+    val planeW = luma.padW * 8
+    val plane = new Array[Int](planeW * luma.padH * 8)
+    val natural = new Array[Int](64)
+    var row = 0
+    while (row < luma.padH) {
+      var col = 0
+      while (col < luma.padW) {
+        val coef = luma.blockOrNull(row, col)
+        if (coef == null)
+          java.util.Arrays.fill(natural, 0) // untouched block: flat 128
+        else {
+          var k = 0
+          while (k < 64) { natural(ZigzagToNatural(k)) = coef(k) * q(k); k += 1 }
+        }
+        idctInto(natural, plane, planeW, col * 8, row * 8)
+        col += 1
+      }
+      row += 1
     }
     Array.tabulate(h, w)((y, x) => plane(y * planeW + x))
   }
@@ -481,6 +652,112 @@ object Jpeg {
         pred = 0
       }
       ty += 1
+    }
+    bw.flush()
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** PROGRESSIVE twin of [[encodeGrayDcOnly]]: the same DC-only tile
+    * semantics (decoded pixel = 128 + tile, exactly) emitted as a real
+    * SOF2 multi-scan stream —
+    *
+    *   1. DC first scan (Ah=0, Al=1): differences of `tile >> 1`
+    *      (arithmetic shift — T.81 G.1.2.1's point transform),
+    *   2. DC refinement (Ah=1, Al=0): the two's-complement low bit of
+    *      each tile, one raw bit per block,
+    *   3. AC first scan (Ss=1..63): a single greedy chain of EOBn codes
+    *      spanning every block — the EOB-run machinery end-to-end.
+    *
+    * Reconstruction: `((tile >> 1) << 1) | (tile & 1) = tile` for both
+    * signs, so the q35k oracle reuses q35j's tile algebra unchanged while
+    * the engine earns the pixels through the successive-approximation
+    * byte path.
+    */
+  def encodeGrayDcOnlyProgressive(tiles: Array[Array[Int]]): Array[Byte] = {
+    val tilesH = tiles.length
+    val tilesW = tiles(0).length
+    val h = tilesH * 8; val w = tilesW * 8
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xFF); u8(m) }
+
+    marker(0xD8) // SOI
+    marker(0xDB); u16(67); u8(0x00) // DQT table 0, 8-bit
+    u8(8) // Q(0,0) = 8
+    var i = 1
+    while (i < 64) { u8(16); i += 1 }
+    marker(0xC2); u16(11); u8(8); u16(h); u16(w) // SOF2, 1 component
+    u8(1); u8(1); u8(0x11); u8(0)
+    // DHT: standard Annex K DC luminance table (class 0, id 0)
+    marker(0xC4); u16(2 + 1 + 16 + StdDcVals.length); u8(0x00)
+    i = 1
+    while (i <= 16) { u8(StdDcBits(i)); i += 1 }
+    StdDcVals.foreach(u8)
+    // DHT: AC table (class 1, id 0) with codes for every EOBn rs = r<<4
+    // (15 values, all length 4 — canonical within the 16-slot 4-bit space)
+    val acVals = Array.tabulate(15)(r => r << 4)
+    marker(0xC4); u16(2 + 1 + 16 + acVals.length); u8(0x10)
+    u8(0); u8(0); u8(0); u8(15); i = 5
+    while (i <= 16) { u8(0); i += 1 }
+    acVals.foreach(u8)
+    val dcCodes = canonicalCodes(StdDcBits, StdDcVals)
+    val acBits = Array(0, 0, 0, 0, 15) ++ Array.fill(12)(0)
+    val acCodes = canonicalCodes(acBits, acVals)
+
+    def sos(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xDA); u16(8); u8(1); u8(1); u8(0x00)
+      u8(ss); u8(se); u8((ah << 4) | al)
+    }
+
+    // scan 1: DC first, Al = 1
+    sos(0, 0, 0, 1)
+    var bw = new BitWriter(out)
+    var pred = 0
+    var ty = 0
+    while (ty < tilesH) {
+      var tx = 0
+      while (tx < tilesW) {
+        val v = tiles(ty)(tx) >> 1 // arithmetic: G.1.2.1 point transform
+        val diff = v - pred
+        pred = v
+        var cat = 0
+        var m = math.abs(diff)
+        while (m > 0) { cat += 1; m >>= 1 }
+        val (code, len) = dcCodes(cat)
+        bw.put(code, len)
+        if (cat > 0)
+          bw.put(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+        tx += 1
+      }
+      ty += 1
+    }
+    bw.flush()
+
+    // scan 2: DC refinement, Ah = 1, Al = 0 — one raw bit per block
+    sos(0, 0, 1, 0)
+    bw = new BitWriter(out)
+    ty = 0
+    while (ty < tilesH) {
+      var tx = 0
+      while (tx < tilesW) { bw.put(tiles(ty)(tx) & 1, 1); tx += 1 }
+      ty += 1
+    }
+    bw.flush()
+
+    // scan 3: AC 1..63 — every block empty, spanned by greedy EOBn runs
+    sos(1, 63, 0, 0)
+    bw = new BitWriter(out)
+    var left = tilesH * tilesW
+    while (left > 0) {
+      var r = 0
+      while (r < 14 && (1 << (r + 1)) <= left) r += 1
+      val run = math.min(left, (1 << r) + (1 << r) - 1)
+      val (code, len) = acCodes(r << 4)
+      bw.put(code, len)
+      if (r > 0) bw.put(run - (1 << r), r)
+      left -= run
     }
     bw.flush()
     marker(0xD9) // EOI

@@ -447,6 +447,27 @@ object Multimodal {
     }(enc)
   }
 
+  /** [[synthJpegBatch]]'s PROGRESSIVE twin: the same tile algebra emitted
+    * as SOF2 multi-scan streams ([[Jpeg.encodeGrayDcOnlyProgressive]] —
+    * successive-approximation DC first + refinement, EOBn-spanned AC
+    * scan). Decoded pixels are identical (128 + jpegTile), so q35k shares
+    * q35j's oracle while exercising the progressive byte path.
+    */
+  def synthJpegProgressiveBatch(rows: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(imageSchema))
+    rows.select("img_id", "src", "twin").mapPartitions { it =>
+      it.map { r =>
+        val src = r.getLong(1)
+        val twin = r.getBoolean(2)
+        val tiles = Array.tabulate(8, 9) { (ty, tx) =>
+          val t = jpegTile(src, tx, ty)
+          if (twin && tx == 4 && ty == 3) t + 7 else t
+        }
+        Row(r.getLong(0), Jpeg.encodeGrayDcOnlyProgressive(tiles))
+      }
+    }(enc)
+  }
+
   /** Image near-dup pairs over (img_id, dhash): q27c's banded-Hamming shape
     * on the perceptual hash. Pigeonhole: Hamming ≤ 3 over 64 bits ⇒ one of
     * four 16-bit chunks is equal, so candidates come from a chunk-equality

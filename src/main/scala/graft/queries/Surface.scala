@@ -351,6 +351,35 @@ object Surface {
            |    ELSE 0 END) AS BIGINT) AS dhash_lo
            |FROM bits GROUP BY img_id ORDER BY img_id""".stripMargin)),
 
+    // Q35k [extension: PROGRESSIVE JPEG pixel decode] q35j's tiles emitted
+    // as real SOF2 multi-scan streams (Jpeg.encodeGrayDcOnlyProgressive:
+    // successive-approximation DC first scan at Al=1, a DC refinement bit
+    // scan, and an AC scan spanned by greedy EOBn runs) and decoded
+    // through the unified coefficient-buffer path (T.81 G.2). The decoded
+    // pixels are identical to the baseline stream's — ((t>>1)<<1) | (t&1)
+    // = t — so the oracle is q35j's tile algebra VERBATIM while the engine
+    // earns every hash through the progressive marker walk, band decode,
+    // refinement bits and EOB-run accounting. JpegSpec additionally
+    // cross-validates SOF2 decode against ImageIO's independent encoder
+    // (full AC content, all four scan kinds, color + subsampling).
+    "q35k_jpeg_progressive" -> QueryDef(
+      build = (s, d) => {
+        val hashes = Multimodal.dhashBatch(
+          Multimodal.synthJpegProgressiveBatch(jpegRows(s, d)))
+        hashes.select($("img_id"),
+            shiftrightunsigned($("dhash"), 32).as("dhash_hi"),
+            $("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
+          .orderBy($("img_id"))
+      },
+      oracle = Some(
+        s"""$jpegHashOracleCte
+           |SELECT img_id,
+           |  CAST(sum(CASE WHEN i >= 32 THEN bit * (1::BIGINT << (i - 32))
+           |    ELSE 0 END) AS BIGINT) AS dhash_hi,
+           |  CAST(sum(CASE WHEN i < 32 THEN bit * (1::BIGINT << i)
+           |    ELSE 0 END) AS BIGINT) AS dhash_lo
+           |FROM bits GROUP BY img_id ORDER BY img_id""".stripMargin)),
+
     // step past q35b's headers: pixels. Each document becomes a REAL 9×8
     // grayscale PNG (zlib IDAT, per-row filter bytes, chunk CRCs — see
     // Multimodal.encodePngGray), and docs ≡0 mod 29 additionally get a
