@@ -378,7 +378,8 @@ object GraftCatalog {
       Seq(p("table", StringType), p("target_rows", LongType),
         ProcedureParameter.in("cluster_by", StringType).defaultValue("''").build(),
         ProcedureParameter.in("stats_cols", StringType).defaultValue("''").build(),
-        ProcedureParameter.in("where", StringType).defaultValue("''").build()),
+        ProcedureParameter.in("where", StringType).defaultValue("''").build(),
+        ProcedureParameter.in("bloom_cols", StringType).defaultValue("''").build()),
       StructType(Seq(
         org.apache.spark.sql.types.StructField("version", LongType),
         org.apache.spark.sql.types.StructField("files", LongType)))) {
@@ -389,7 +390,7 @@ object GraftCatalog {
         val where = Option(in.getString(4)).map(_.trim).filter(_.nonEmpty)
         val snap = SnapshotStore.optimize(SparkSession.active, root,
           targetRows = in.getLong(1), clusterBy = cols(2), statsCols = cols(3),
-          partitionPredicate = where)
+          partitionPredicate = where, bloomCols = cols(5))
         val files = {
           val s = Files.list(Paths.get(snap.dataDir))
           try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))

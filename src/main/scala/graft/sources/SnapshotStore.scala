@@ -680,11 +680,30 @@ object SnapshotStore {
     * q51 z-order) are what make the intervals tight enough to skip.
     */
   private def writeManifest(spark: SparkSession, dataDir: String,
-      statsCols: Seq[String]): Unit = {
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil,
+      bloomExpectedItems: Long = 100000L): Unit = {
     import org.apache.spark.sql.functions._
     val df = spark.read.parquet(dataDir)
+    // per-file BLOOM sketch over xxhash64(col) — the point-lookup
+    // complement to [min,max] intervals: a high-cardinality column whose
+    // values SCATTER across files (ids, fingerprints) has useless
+    // intervals (every file spans the whole domain), but a ~1%-fpp bloom
+    // answers "could file F hold value v" at planning time. The same
+    // sketch Spark's own runtime filtering uses (BloomFilterAggregate /
+    // bloom_might_contain) — probed driver-side in GraftPrunedScanBuilder.
+    def bloomAgg(c: String): org.apache.spark.sql.Column = {
+      val numBits = org.apache.spark.util.sketch.BloomFilter
+        .optimalNumOfBits(bloomExpectedItems, 0.01)
+      org.apache.spark.sql.GraftSqlShim.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          org.apache.spark.sql.GraftSqlShim.expression(xxhash64(col(c))),
+          org.apache.spark.sql.catalyst.expressions.Literal(bloomExpectedItems),
+          org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+          .toAggregateExpression())
+    }
     val aggs = count(lit(1)).as("n_rows") +:
-      statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      (statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+        bloomCols.map(c => bloomAgg(c).as(s"bloom_$c")))
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1) // one row per data file — manifest-scale, not data-scale
@@ -906,7 +925,8 @@ object SnapshotStore {
     */
   def optimize(spark: SparkSession, root: String, targetRows: Long,
       clusterBy: Seq[String] = Nil, statsCols: Seq[String] = Nil,
-      partitionPredicate: Option[String] = None): Snapshot = {
+      partitionPredicate: Option[String] = None,
+      bloomCols: Seq[String] = Nil): Snapshot = {
     import org.apache.spark.sql.functions.{col, expr, lit}
     val hive = partitionCols(root)
     def repack(df: DataFrame): DataFrame = {
@@ -938,7 +958,9 @@ object SnapshotStore {
           (repack(touched),
             touched.limit(0).withColumn(ChangeTypeCol, lit("insert"))))
       case None =>
-        transact(spark, root, statsCols = statsCols)(repack)
+        // bloom sizing: after bin-packing each file holds ~targetRows rows
+        transact(spark, root, statsCols = statsCols, bloomCols = bloomCols,
+          bloomExpectedItems = math.max(targetRows, 1000L))(repack)
     }
   }
 
@@ -1032,9 +1054,11 @@ object SnapshotStore {
     */
   def transact(spark: SparkSession, root: String, maxAttempts: Int = 10,
       statsCols: Seq[String] = Nil, txn: Option[Txn] = None,
-      constraints: Seq[(String, org.apache.spark.sql.Column)] = Nil)(
+      constraints: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      bloomCols: Seq[String] = Nil, bloomExpectedItems: Long = 100000L)(
       transform: DataFrame => DataFrame): Snapshot =
-    transactImpl(spark, root, maxAttempts, statsCols, txn, constraints)(
+    transactImpl(spark, root, maxAttempts, statsCols, txn, constraints,
+      bloomCols, bloomExpectedItems)(
       df => (transform(df), None))
 
   /** [[transact]] variant whose transform ALSO supplies the commit's change
@@ -1252,7 +1276,8 @@ object SnapshotStore {
 
   private def transactImpl(spark: SparkSession, root: String, maxAttempts: Int,
       statsCols: Seq[String], txn: Option[Txn],
-      constraints: Seq[(String, org.apache.spark.sql.Column)])(
+      constraints: Seq[(String, org.apache.spark.sql.Column)],
+      bloomCols: Seq[String] = Nil, bloomExpectedItems: Long = 100000L)(
       transform: DataFrame => (DataFrame, Option[DataFrame])): Snapshot = {
     import org.apache.spark.sql.functions.{count, expr, lit, sum, when}
     var attempt = 0
@@ -1266,7 +1291,8 @@ object SnapshotStore {
       enforceConstraints(out, constraints ++
         tableConstraints(root).map { case (n, sql) => (n, expr(sql)) })
       val dir = stage(root, out)
-      if (statsCols.nonEmpty) writeManifest(spark, dir, statsCols)
+      if (statsCols.nonEmpty || bloomCols.nonEmpty)
+        writeManifest(spark, dir, statsCols, bloomCols, bloomExpectedItems)
       val keys = cdcKeys(root)
       if (keys.nonEmpty) {
         // statement-integrated changes when supplied; otherwise the generic

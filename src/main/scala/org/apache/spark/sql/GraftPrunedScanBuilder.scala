@@ -1,6 +1,6 @@
 package org.apache.spark.sql
 
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Or, XxHash64}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -144,7 +144,9 @@ object GraftPrunedScanBuilder {
       case Or(l, rr) => mayMatch(l, r, statCols) || mayMatch(rr, r, statCols)
       case EqualTo(a, l) => (stats(a), litVal(l)) match {
         case (Some((lo, hi)), Some(v)) =>
-          cmp(lo, v).forall(_ <= 0) && cmp(hi, v).forall(_ >= 0)
+          cmp(lo, v).forall(_ <= 0) && cmp(hi, v).forall(_ >= 0) &&
+            bloomKeeps(a, v, r, statCols)
+        case (None, Some(v)) => bloomKeeps(a, v, r, statCols)
         case _ => eqFlipped(a, l, r, statCols)
       }
       case GreaterThan(a, l) => (stats(a), litVal(l)) match {
@@ -167,8 +169,9 @@ object GraftPrunedScanBuilder {
         vs.exists(v => mayMatch(EqualTo(a, v), r, statCols))
       case InSet(a, vs) => stats(a) match {
         case Some((lo, hi)) => vs.exists(v =>
-          cmp(lo, v).forall(_ <= 0) && cmp(hi, v).forall(_ >= 0))
-        case None => true
+          cmp(lo, v).forall(_ <= 0) && cmp(hi, v).forall(_ >= 0) &&
+            bloomKeeps(a, v, r, statCols))
+        case None => vs.exists(v => bloomKeeps(a, v, r, statCols))
       }
       case _: Cast => true
       case _ => true // unknown shape: never prune on a guess
@@ -179,6 +182,32 @@ object GraftPrunedScanBuilder {
   private def eqFlipped(a: Expression, l: Expression, r: Row,
       statCols: Set[String]): Boolean = (a, l) match {
     case (_: Literal, _: Attribute) => mayMatch(EqualTo(l, a), r, statCols)
+    case _ => true
+  }
+
+  /** Per-file BLOOM probe for equality/IN point predicates — false ONLY
+    * when the file's `bloom_<col>` sketch (written by writeManifest's
+    * bloomCols) proves the value absent. The probe hashes the literal with
+    * the SAME `xxhash64` the aggregate hashed the column with, then asks
+    * the sketch `mightContainLong` — identical to Spark's own
+    * runtime-filter probe (`bloom_might_contain`), evaluated driver-side
+    * at planning time. Missing column / null sketch / type surprise ⇒
+    * keep the file (conservative, like the interval test).
+    */
+  private def bloomKeeps(a: Expression, v: Any, r: Row,
+      statCols: Set[String]): Boolean = a match {
+    case at: Attribute if statCols.contains(s"bloom_${at.name}") =>
+      val bytes =
+        try r.getAs[Array[Byte]](s"bloom_${at.name}")
+        catch { case _: Exception => null }
+      if (bytes == null) true
+      else try {
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+        val hash = new XxHash64(
+          Seq(Literal(v, at.dataType))).eval(null).asInstanceOf[Long]
+        bf.mightContainLong(hash)
+      } catch { case _: Exception => true } // unreadable sketch: keep
     case _ => true
   }
 }

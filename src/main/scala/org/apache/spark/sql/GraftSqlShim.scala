@@ -50,4 +50,10 @@ object GraftSqlShim {
     */
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** The inverse: catalyst Expression → Column (Spark 4 hides the classic
+    * constructor behind ColumnNode too).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

@@ -223,6 +223,46 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT v FROM graft.skip WHERE id = 42").head().getLong(0) == 84L)
   }
 
+  test("bloom manifests prune point lookups that min/max intervals cannot") {
+    wh
+    spark.sql("CREATE TABLE graft.bl (id BIGINT, fp STRING, v BIGINT)")
+    // fp = md5(id): VALUES scatter uniformly, so after clustering by id
+    // every file's fp [min,max] interval spans ~the whole hex domain —
+    // interval skipping is useless for fp point lookups by construction
+    spark.sql("""INSERT INTO graft.bl
+      SELECT id, md5(CAST(id AS STRING)), id * 2 FROM range(10000)""")
+    spark.sql("CALL graft.system.optimize('bl', 1250, 'id', 'id,fp', '', 'fp')")
+    def scanFiles(sql: String): Int = {
+      val scans = spark.sql(sql).queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2
+            .parquet.ParquetScan].fileIndex.inputFiles.length
+      }
+      scans.sum
+    }
+    val total = scanFiles("SELECT * FROM graft.bl")
+    assert(total >= 8, s"expected a fragmented layout, got $total files")
+    // intervals alone keep every file for an fp probe (scattered values)…
+    val probe = spark.sql("SELECT md5('4242')").head().getString(0)
+    // …but the per-file bloom identifies the one holding it (1% fpp: a
+    // false-positive extra file is possible, a dropped one is not)
+    val point = scanFiles(s"SELECT v FROM graft.bl WHERE fp = '$probe'")
+    assert(point <= 2, s"bloom point lookup planned $point of $total files")
+    assert(spark.sql(s"SELECT v FROM graft.bl WHERE fp = '$probe'")
+      .head().getLong(0) == 8484L)
+    // an absent value prunes everything (or a rare false positive) and
+    // still answers correctly through the row-level filter
+    val absent = scanFiles("SELECT v FROM graft.bl WHERE fp = 'not-a-hash'")
+    assert(absent <= 1, s"absent-value lookup planned $absent files")
+    assert(spark.sql("SELECT count(*) FROM graft.bl WHERE fp = 'not-a-hash'")
+      .head().getLong(0) == 0L)
+    // IN lists probe per value; range predicates on fp stay conservative
+    val in2 = scanFiles(s"SELECT v FROM graft.bl WHERE fp IN ('$probe', 'nope')")
+    assert(in2 <= 3, s"IN probe planned $in2 files")
+    assert(scanFiles("SELECT * FROM graft.bl WHERE fp > 'aa'") == total)
+    spark.sql("DROP TABLE graft.bl")
+  }
+
   test("DML statements resolve catalog-qualified names without a root map") {
     wh
     spark.sql("CREATE TABLE graft.dml (id BIGINT, v BIGINT)")
