@@ -59,14 +59,29 @@ object CdcApplySink {
         .filter(col("__rn") === 1).drop("__rn")
         .persist() // transform reruns on commit conflict
       try {
-        SnapshotStore.transact(spark, root,
-          txn = Some(SnapshotStore.Txn(appId, batchId))) { base =>
-          val winners = latest.filter(col(tc) =!= "delete")
-          base.join(latest.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-            .unionByName(winners.select(base.columns.toIndexedSeq.map { c =>
-              (if (winners.columns.exists(_.equalsIgnoreCase(c))) col(c)
+        val txn = Some(SnapshotStore.Txn(appId, batchId))
+        def winnersAligned(base: DataFrame): DataFrame =
+          latest.filter(col(tc) =!= "delete")
+            .select(base.columns.toIndexedSeq.map { c =>
+              (if (latest.columns.exists(_.equalsIgnoreCase(c))) col(c)
                else lit(null).cast(base.schema(c).dataType)).as(c)
-            }: _*))
+            }: _*)
+        // merge-on-read replica (non-CDC — a replica that itself feeds a
+        // change log keeps the copy-on-write path, whose generic diff
+        // emits its change set): touched keys become deletion-vector
+        // entries, winners append — per-batch write cost O(batch), never
+        // O(replica)
+        if (SnapshotStore.dmlMode(root) == SnapshotStore.MergeOnRead &&
+            SnapshotStore.cdcKeys(root).isEmpty)
+          SnapshotStore.transactMoR(spark, root, txn = txn)(
+            base => base.join(broadcast(latest.select(col(keyCol)).distinct()),
+              Seq(keyCol), "left_semi")) { matched =>
+            val w = winnersAligned(matched)
+            (w, w.limit(0).withColumn(tc, lit("insert")))
+          }
+        else SnapshotStore.transact(spark, root, txn = txn) { base =>
+          base.join(latest.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+            .unionByName(winnersAligned(base))
         }
       } finally latest.unpersist()
     }

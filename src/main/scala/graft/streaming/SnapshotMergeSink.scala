@@ -42,10 +42,13 @@ object SnapshotMergeSink {
         def out(base: DataFrame): DataFrame =
           base.join(rows.select(keyCol).distinct(), Seq(keyCol), "left_anti")
             .unionByName(rows.select(base.columns.toIndexedSeq.map(col): _*))
-        if (SnapshotStore.cdcKeys(root).isEmpty)
-          SnapshotStore.transact(batch.sparkSession, root, txn = txn)(out)
-        else SnapshotStore.transactWithChanges(batch.sparkSession, root,
-          txn = txn) { base =>
+        /** The batch⋈base change set (statement-integrated CDC); correct
+          * for any `base` that contains AT LEAST every base row whose key
+          * the batch touches — the full snapshot (copy-on-write) and the
+          * key-matched subset (merge-on-read) alike, since unmatched batch
+          * keys surface as inserts through the left join either way.
+          */
+        def changesFor(base: DataFrame): DataFrame = {
           val cols = base.columns.toIndexedSeq
           val b = base.select(cols.map(col): _*)
             .withColumn("__b", lit(true)).alias("b")
@@ -61,12 +64,31 @@ object SnapshotMergeSink {
             .when(valueChanged,
               array(image("b", "update_preimage"), image("n", "update_postimage")))
             .otherwise(array(image("b", "unchanged")))
-          val changes = j.select(explode(evs).as("c"))
+          j.select(explode(evs).as("c"))
             .filter(col(s"c.${SnapshotStore.ChangeTypeCol}") =!= "unchanged")
             .select((cols :+ SnapshotStore.ChangeTypeCol)
               .map(f => col(s"c.$f").as(f)): _*)
-          (out(base), changes)
         }
+        // merge-on-read table: the matched base rows become deletion-vector
+        // entries and the batch appends as fresh files — per-commit WRITE
+        // cost O(batch), never O(table). Copy-on-write's full rewrite
+        // remains the path that bounds read amplification on small tables.
+        if (SnapshotStore.dmlMode(root) == SnapshotStore.MergeOnRead)
+          SnapshotStore.transactMoR(batch.sparkSession, root, txn = txn)(
+            base => base.join(broadcast(rows.select(keyCol).distinct()),
+              Seq(keyCol), "left_semi")) { matched =>
+            val aligned = rows.select(matched.columns.toIndexedSeq.map(col): _*)
+            val ch =
+              if (SnapshotStore.cdcKeys(root).isEmpty)
+                aligned.limit(0).withColumn(SnapshotStore.ChangeTypeCol,
+                  lit("insert"))
+              else changesFor(matched)
+            (aligned, ch)
+          }
+        else if (SnapshotStore.cdcKeys(root).isEmpty)
+          SnapshotStore.transact(batch.sparkSession, root, txn = txn)(out)
+        else SnapshotStore.transactWithChanges(batch.sparkSession, root,
+          txn = txn)(base => (out(base), changesFor(base)))
       } finally rows.unpersist()
     }
   }

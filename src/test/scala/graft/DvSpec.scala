@@ -312,6 +312,71 @@ class DvSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, root).count() == 360)
   }
 
+  test("streaming upsert into a merge-on-read table appends batches, never rewrites") {
+    val root = tmpRoot()
+    SnapshotStore.init(spark, root,
+      (1L to 100L).toDF("id").withColumn("v", $"id"), cdcKeys = Seq("id"))
+    SnapshotStore.setDmlMode(root, SnapshotStore.MergeOnRead)
+    val files0 = dataFiles(SnapshotStore.latest(root).dataDir)
+
+    // batch 0: update keys 1..10, insert 101..105
+    val b0 = ((1L to 10L) ++ (101L to 105L)).toDF("id").withColumn("v", -$"id")
+    graft.streaming.SnapshotMergeSink.upsertBatch(root, "id", "dv-stream")(b0, 0L)
+    val v1 = SnapshotStore.latest(root)
+    assert(files0.subsetOf(dataFiles(v1.dataDir)),
+      "MoR upsert must link every pre-batch file (write cost O(batch))")
+    assert(hasDv(v1.dataDir))
+    val out = SnapshotStore.read(spark, root)
+    assert(out.count() == 105)
+    assert(out.filter($"id" <= 10 && $"v" =!= -$"id").isEmpty)
+    assert(out.filter($"id" > 10 && $"id" <= 100 && $"v" =!= $"id").isEmpty)
+    assert(out.filter($"id" > 100 && $"v" =!= -$"id").isEmpty)
+
+    // the statement-integrated change set matches the committed-state diff
+    val ch = SnapshotStore.changesAt(spark, root, 1)
+      .select($"id", $"v", col(SnapshotStore.ChangeTypeCol).as("ct"))
+      .as[(Long, Long, String)].collect().toSet
+    val diff = SnapshotStore.diffChanges(
+      SnapshotStore.read(spark, SnapshotStore.at(root, 0)),
+      SnapshotStore.read(spark, v1), Seq("id"))
+      .select($"id", $"v", col(SnapshotStore.ChangeTypeCol).as("ct"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(ch == diff, "MoR upsert change feed must equal the keyed diff")
+
+    // replayed batch is a no-op; a fresh batch advances
+    graft.streaming.SnapshotMergeSink.upsertBatch(root, "id", "dv-stream")(b0, 0L)
+    assert(SnapshotStore.latest(root).version == v1.version)
+    graft.streaming.SnapshotMergeSink.upsertBatch(root, "id", "dv-stream")(
+      Seq((1L, 777L)).toDF("id", "v"), 1L)
+    assert(SnapshotStore.read(spark, root).filter($"id" === 1L)
+      .select($"v").as[Long].head() == 777L)
+    assert(SnapshotStore.read(spark, root).count() == 105)
+  }
+
+  test("CDC replication applies batches onto a merge-on-read replica O(batch)") {
+    val replica = tmpRoot()
+    SnapshotStore.init(spark, replica,
+      (1L to 50L).toDF("id").withColumn("v", $"id"))
+    SnapshotStore.setDmlMode(replica, SnapshotStore.MergeOnRead)
+    val files0 = dataFiles(SnapshotStore.latest(replica).dataDir)
+
+    val tc = SnapshotStore.ChangeTypeCol
+    val vc = SnapshotStore.CommitVersionCol
+    val batch = Seq(
+      (5L, 500L, "update_postimage", 3L), (5L, 5L, "update_preimage", 3L),
+      (7L, 7L, "delete", 3L), (60L, 600L, "insert", 4L))
+      .toDF("id", "v", tc, vc)
+    graft.streaming.CdcApplySink.applyBatch(replica, "id", "dv-repl")(batch, 0L)
+    val v1 = SnapshotStore.latest(replica)
+    assert(files0.subsetOf(dataFiles(v1.dataDir)),
+      "MoR replica apply must link every pre-batch file")
+    val out = SnapshotStore.read(spark, replica)
+    assert(out.count() == 50)
+    assert(out.filter($"id" === 5L).select($"v").as[Long].head() == 500L)
+    assert(out.filter($"id" === 7L).isEmpty)
+    assert(out.filter($"id" === 60L).select($"v").as[Long].head() == 600L)
+  }
+
   test("shallow clone of a DV table keeps deletions; exactly-once txn stamp") {
     val root = tmpRoot()
     SnapshotStore.init(spark, root, (1L to 50L).toDF("id"))
