@@ -312,6 +312,32 @@ class DvSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, root).count() == 360)
   }
 
+  test("MoR UPDATE that changes a partition value moves the row between dirs") {
+    val root = tmpRoot()
+    SnapshotStore.init(spark, root,
+      (1L to 100L).toDF("id")
+        .withColumn("p", ($"id" % 2).cast("string")).withColumn("v", $"id"),
+      partitionBy = Seq("p"))
+    SnapshotStore.setDmlMode(root, SnapshotStore.MergeOnRead)
+    val files0 = dataFiles(SnapshotStore.latest(root).dataDir)
+
+    // ids 2 and 4 move from p=0 to p=9: DV kills their old positions, the
+    // post-images land as fresh files under the NEW partition dir
+    graft.sources.SqlDml.execute(spark,
+      "UPDATE t SET p = '9' WHERE id IN (2, 4)", Map("t" -> root))
+    val v1 = SnapshotStore.latest(root)
+    assert(files0.subsetOf(dataFiles(v1.dataDir)))
+    assert(dataFiles(v1.dataDir).exists(_.startsWith("p=9/")),
+      "post-images must land under the new partition dir")
+    val out = SnapshotStore.read(spark, root)
+    assert(out.count() == 100)
+    assert(out.filter($"p" === "9").select($"id").as[Long].collect().toSet ==
+      Set(2L, 4L))
+    assert(out.filter($"id" === 2L).count() == 1, "old-partition copy must be dead")
+    // partition pruning on the evolved layout still answers correctly
+    assert(out.filter($"p" === "0").count() == 48)
+  }
+
   test("streaming upsert into a merge-on-read table appends batches, never rewrites") {
     val root = tmpRoot()
     SnapshotStore.init(spark, root,
