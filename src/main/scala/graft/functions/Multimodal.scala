@@ -126,6 +126,66 @@ object Multimodal {
     else None
   }
 
+  /** FLAC STREAMINFO parse (the format's own spec, RFC 9639 §8.2): magic
+    * `fLaC`, then metadata blocks whose FIRST is STREAMINFO (type 0,
+    * length 34). The 8 bytes at +18 pack sample rate (20 bits), channels−1
+    * (3), bits-per-sample−1 (5) and total samples (36) big-endian —
+    * returned as (sample_rate, channels, total_samples).
+    */
+  def parseFlacHeader(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (b.length < 8 + 34 ||
+      !(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')) return None
+    if ((b(4) & 0x7F) != 0) return None // first block must be STREAMINFO
+    val len = ((b(5) & 0xFF) << 16) | ((b(6) & 0xFF) << 8) | (b(7) & 0xFF)
+    if (len != 34) return None
+    val rate = ((b(18) & 0xFF) << 12) | ((b(19) & 0xFF) << 4) | ((b(20) & 0xFF) >> 4)
+    val ch = ((b(20) >> 1) & 0x7) + 1
+    val samples = ((b(21) & 0x0FL) << 32) | ((b(22) & 0xFFL) << 24) |
+      ((b(23) & 0xFFL) << 16) | ((b(24) & 0xFFL) << 8) | (b(25) & 0xFFL)
+    if (rate <= 0) None else Some((rate, ch, samples))
+  }
+
+  private val Mp3Bitrates = // MPEG1 Layer III, kbit/s, index 1..14
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3Rates = Array(44100, 48000, 32000) // MPEG1, index 0..2
+
+  /** MPEG1 Layer III header walk: skip an ID3v2 tag (syncsafe length),
+    * then count frames — each header carries bitrate/sample-rate indices
+    * from which its own length follows (`144·bitrate/rate + padding`), so
+    * the walk needs no declared payload size (MP3 has none). Returns
+    * (sample_rate, channels, frame_count) from the first frame; stops at
+    * the first non-sync byte (trailing tags/garbage end the stream).
+    */
+  def parseMp3Header(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    var p = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+        ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+      p = 10 + size
+    }
+    var rate = -1; var ch = -1; var frames = 0
+    var ok = true
+    while (ok && p + 4 <= b.length) {
+      val h0 = b(p) & 0xFF; val h1 = b(p + 1) & 0xFF
+      // sync (11 bits) + MPEG1 (version bits 11) + Layer III (01)
+      if (h0 == 0xFF && (h1 & 0xFE) == 0xFA) {
+        val bidx = (b(p + 2) & 0xFF) >> 4
+        val sidx = ((b(p + 2) & 0xFF) >> 2) & 0x3
+        val padding = ((b(p + 2) & 0xFF) >> 1) & 0x1
+        if (bidx == 0 || bidx == 15 || sidx == 3) ok = false
+        else {
+          if (frames == 0) {
+            rate = Mp3Rates(sidx)
+            ch = if (((b(p + 3) & 0xFF) >> 6) == 3) 1 else 2
+          }
+          frames += 1
+          p += 144 * Mp3Bitrates(bidx) * 1000 / Mp3Rates(sidx) + padding
+        }
+      } else ok = false
+    }
+    if (frames == 0) None else Some((rate, ch, frames))
+  }
+
   /** Real-header-first decode: PNG → (width, height, 1 frame); anything
     * else falls back to the deterministic stub. (WAV metadata flows through
     * [[decodeMediaBatch]]'s typed schema instead — width/height would be a
@@ -768,7 +828,13 @@ object Multimodal {
           case Some((w0, h0)) => (w0, h0, null, null, 1)
           case None => parseWavHeader(payload) match {
             case Some((r0, c0, f0)) => (null, null, r0, c0, f0)
-            case None => (null, null, null, null, null)
+            case None => parseFlacHeader(payload) match {
+              case Some((r0, c0, f0)) => (null, null, r0, c0, f0.toInt)
+              case None => parseMp3Header(payload) match {
+                case Some((r0, c0, f0)) => (null, null, r0, c0, f0)
+                case None => (null, null, null, null, null)
+              }
+            }
           }
         }
         Row(r.getLong(0), r.getString(1), w, h, sr, ch, nf)

@@ -319,6 +319,66 @@ object Surface {
       },
       oracle = Some(jpegHeadersOracleSql)),
 
+    // Q35l [extension: FLAC + MP3 header parse] the two dominant real-world
+    // audio containers join the real-header family. FLAC: magic + a
+    // STREAMINFO block whose 8-byte bit-packed core (20-bit sample rate,
+    // 3-bit channels−1, 5-bit bps−1, 36-bit total samples — RFC 9639)
+    // must be unpacked exactly. MP3: an ID3v2 tag skipped by its SYNCSAFE
+    // length, then an MPEG1-Layer-III frame WALK — each header's
+    // bitrate/sample-rate indices determine its own frame length
+    // (144·bitrate/rate), so the count proves the arithmetic, not just the
+    // sync match. Byte-exact payloads are synthesized from document
+    // attributes on both engines (hex-pinned like q35b) — any bit-packing
+    // or table error hash-mismatches.
+    "q35l_audio_codec_headers" -> QueryDef(
+      build = (s, d) => {
+        import org.apache.spark.sql.Column
+        def byteHex(c: Column): Column = lpad(hex(c.bitwiseAND(lit(255L))), 2, "0")
+        def be32(c: Column): Column = concat(byteHex(shiftright(c, 24)),
+          byteHex(shiftright(c, 16)), byteHex(shiftright(c, 8)), byteHex(c))
+        val docs = Tables.documents(s, d)
+          .withColumn("kind", when($("doc_id") % 2 === 0, "flac").otherwise("mp3"))
+          .withColumn("sample_rate_f", lit(8000L) + ($("n_chars") % 8) * 4000)
+          .withColumn("channels_f", lit(1L) + $("doc_id") % 2)
+          .withColumn("samples_f", lit(1000L) + $("n_chars") % 100000)
+          .withColumn("bidx", lit(1L) + $("n_chars") % 3)
+          .withColumn("bitrate", lit(24000L) + $("bidx") * 8000) // 32/40/48 kbps
+          .withColumn("rate_m", element_at(array(lit(44100L), lit(48000L),
+            lit(32000L)), ($("doc_id") % 3 + 1).cast("int")))
+          .withColumn("mono", $("n_chars") % 2 === 0)
+          .withColumn("frames_m", lit(1L) + $("doc_id") % 4)
+          .withColumn("frame_len", floor($("bitrate") * 144 / $("rate_m")))
+        val flacHex = concat(lit("664C614380000022"), // fLaC + last STREAMINFO, len 34
+          lit("10001000"), lit("000000000000"), // block sizes 4096; frame sizes 0
+          byteHex(shiftright($("sample_rate_f"), 12)),
+          byteHex(shiftright($("sample_rate_f"), 4)),
+          byteHex(shiftleft($("sample_rate_f").bitwiseAND(lit(15L)), 4)
+            .bitwiseOR(shiftleft($("channels_f") - 1, 1))), // bps=16: top bit 0
+          byteHex(lit(0xF0L).bitwiseOR(shiftright($("samples_f"), 32))),
+          be32($("samples_f").bitwiseAND(lit(4294967295L))),
+          lit("00" * 16)) // MD5
+        val mp3Frame = concat(lit("FFFB"),
+          byteHex(shiftleft($("bidx"), 4).bitwiseOR(shiftleft($("doc_id") % 3, 2))),
+          when($("mono"), lit("C0")).otherwise(lit("00")),
+          expr("repeat('00', CAST(frame_len - 4 AS INT))"))
+        val mp3Hex = concat(lit("494433040000" + "00000010" + "00" * 16),
+          expr("repeat(mp3_frame, CAST(frames_m AS INT))"))
+        val media = docs.withColumn("mp3_frame", mp3Frame)
+          .withColumn("payload",
+            unhex(when($("kind") === "flac", flacHex).otherwise(mp3Hex)))
+        Multimodal.decodeMediaBatch(media)
+          .na.fill(0L, Seq("width", "height", "sample_rate", "channels", "n_frames"))
+          .join(media.select($("doc_id"),
+            upper(hex($("payload"))).as("payload_hex")), "doc_id")
+          .select($("doc_id"), $("kind"),
+            $("sample_rate").cast("long").as("sample_rate"),
+            $("channels").cast("long").as("channels"),
+            $("n_frames").cast("long").as("n_frames"),
+            $("payload_hex"))
+          .orderBy($("doc_id"))
+      },
+      oracle = Some(audioCodecHeadersOracleSql)),
+
     // Q35c [extension: content-level image decode + perceptual hash] the
     // Q35j [extension: JPEG PIXEL decode] past q35i's headers: a full
     // baseline Huffman decode (functions/Jpeg.scala — marker walk, DQT,
@@ -825,6 +885,59 @@ object Surface {
        |  CAST(width AS BIGINT) AS width,
        |  CAST(height AS BIGINT) AS height,
        |  CAST(1 AS BIGINT) AS n_frames,
+       |  upper(ph) AS payload_hex
+       |FROM hexes ORDER BY doc_id""".stripMargin
+  }
+
+  /** q35l oracle: byte-identical FLAC/MP3 synthesis + the expected header
+    * fields, in DuckDB SQL. Integer bit ops mirror the Spark side exactly;
+    * `//`-free arithmetic uses floor on doubles (values far below any
+    * precision edge).
+    */
+  private def audioCodecHeadersOracleSql: String = {
+    def byteHex(e: String) = s"lpad(hex(($e) & 255), 2, '0')"
+    def be32(e: String) = s"${byteHex(s"($e) >> 24")} || ${byteHex(s"($e) >> 16")} || " +
+      s"${byteHex(s"($e) >> 8")} || ${byteHex(e)}"
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'flac' ELSE 'mp3' END AS kind,
+       |    8000 + (n_chars % 8) * 4000 AS sample_rate_f,
+       |    1 + doc_id % 2 AS channels_f,
+       |    1000 + n_chars % 100000 AS samples_f,
+       |    1 + n_chars % 3 AS bidx,
+       |    24000 + (1 + n_chars % 3) * 8000 AS bitrate,
+       |    CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+       |      ELSE 32000 END AS rate_m,
+       |    (n_chars % 2 = 0) AS mono,
+       |    1 + doc_id % 4 AS frames_m
+       |  FROM documents),
+       |b2 AS (
+       |  SELECT *, CAST(floor(bitrate * 144.0 / rate_m) AS BIGINT) AS frame_len
+       |  FROM base),
+       |hexes AS (
+       |  SELECT *, CASE WHEN kind = 'flac' THEN
+       |      '664C614380000022' || '10001000' || '000000000000' ||
+       |      ${byteHex("sample_rate_f >> 12")} ||
+       |      ${byteHex("sample_rate_f >> 4")} ||
+       |      ${byteHex("((sample_rate_f & 15) << 4) | ((channels_f - 1) << 1)")} ||
+       |      ${byteHex("240 | (samples_f >> 32)")} ||
+       |      ${be32("samples_f & 4294967295")} || repeat('00', 16)
+       |    ELSE
+       |      '494433040000' || '00000010' || repeat('00', 16) ||
+       |      repeat('FFFB' ||
+       |        ${byteHex("(bidx << 4) | ((doc_id % 3) << 2)")} ||
+       |        CASE WHEN mono THEN 'C0' ELSE '00' END ||
+       |        repeat('00', CAST(frame_len - 4 AS INT)),
+       |        CAST(frames_m AS INT))
+       |    END AS ph
+       |  FROM b2)
+       |SELECT doc_id, kind,
+       |  CAST(CASE WHEN kind = 'flac' THEN sample_rate_f ELSE rate_m
+       |    END AS BIGINT) AS sample_rate,
+       |  CAST(CASE WHEN kind = 'flac' THEN channels_f
+       |    WHEN mono THEN 1 ELSE 2 END AS BIGINT) AS channels,
+       |  CAST(CASE WHEN kind = 'flac' THEN samples_f ELSE frames_m
+       |    END AS BIGINT) AS n_frames,
        |  upper(ph) AS payload_hex
        |FROM hexes ORDER BY doc_id""".stripMargin
   }

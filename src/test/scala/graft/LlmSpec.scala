@@ -197,6 +197,42 @@ class LlmSpec extends SparkSpec {
     assert(r1.forall(r => r.getInt(3) >= 64 && r.getInt(4) >= 64))
   }
 
+  test("multimodal headers: FLAC STREAMINFO bit-unpack + MP3 frame walk") {
+    import functions.Multimodal._
+    // FLAC: 44100 Hz, 2 ch, 16 bps, 123456789 samples — hand-packed per
+    // RFC 9639 §8.2 (20/3/5/36-bit fields)
+    val rate = 44100; val ch = 2; val samples = 123456789L
+    val flac = "fLaC".getBytes ++ Array[Byte](0x80.toByte, 0, 0, 34) ++
+      Array[Byte](0x10, 0, 0x10, 0, 0, 0, 0, 0, 0, 0) ++ // block/frame sizes
+      Array(
+        (rate >> 12).toByte, ((rate >> 4) & 0xFF).toByte,
+        (((rate & 0xF) << 4) | ((ch - 1) << 1) | ((16 - 1) >> 4)).toByte,
+        ((((16 - 1) & 0xF) << 4) | ((samples >> 32) & 0xF).toInt).toByte,
+        ((samples >> 24) & 0xFF).toByte, ((samples >> 16) & 0xFF).toByte,
+        ((samples >> 8) & 0xFF).toByte, (samples & 0xFF).toByte) ++
+      Array.fill[Byte](16)(0) // MD5
+    assert(parseFlacHeader(flac).contains((44100, 2, 123456789L)))
+    assert(parseFlacHeader(flac.take(20)).isEmpty, "truncated STREAMINFO refuses")
+    assert(parseFlacHeader("fLaX123".getBytes).isEmpty)
+
+    // MP3: ID3v2 (syncsafe 300-byte body) + 3 frames of 128 kbps @ 44100
+    // mono (frameLen = 144*128000/44100 = 417) + trailing garbage that
+    // must END the walk, not crash it
+    val id3 = "ID3".getBytes ++ Array[Byte](4, 0, 0) ++
+      Array[Byte](0, 0, (300 >> 7).toByte, (300 & 0x7F).toByte) ++
+      Array.fill[Byte](300)(0)
+    val frame = Array(0xFF, 0xFB, (9 << 4) | (0 << 2), 0xC0).map(_.toByte) ++
+      Array.fill[Byte](417 - 4)(0)
+    val mp3 = id3 ++ frame ++ frame ++ frame ++ "TAGgarbage".getBytes
+    assert(parseMp3Header(mp3).contains((44100, 1, 3)))
+    // no ID3, stereo, different rate: 48000 idx 1, 160 kbps idx 10 -> 480
+    val f2 = Array(0xFF, 0xFB, (10 << 4) | (1 << 2), 0x00).map(_.toByte) ++
+      Array.fill[Byte](480 - 4)(0)
+    assert(parseMp3Header(f2 ++ f2).contains((48000, 2, 2)))
+    assert(parseMp3Header("no sync here at all".getBytes).isEmpty)
+    assert(parseMp3Header(Array.empty[Byte]).isEmpty)
+  }
+
   test("multimodal headers: real PNG IHDR / WAV fmt parses, fallback on junk") {
     import functions.Multimodal._
     def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
