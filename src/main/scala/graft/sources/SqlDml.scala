@@ -82,6 +82,12 @@ object SqlDml {
         def build(base: DataFrame): (DataFrame, DataFrame) = {
           val t = base.alias(alias)
           val cols = base.columns.toIndexedSeq
+          locally { // a name miss must refuse, not silently no-op
+            val known = cols.map(_.toLowerCase).toSet
+            val unknown = assigns.keys.filterNot(known)
+            require(unknown.isEmpty,
+              s"UPDATE assigns to non-target column(s): ${unknown.mkString(", ")}")
+          }
           def newVal(c: String): Column = assigns.get(c.toLowerCase) match {
             case Some(v) => when(coalesce(cond, lit(false)), v)
               .otherwise(col(c)).cast(base.schema(c).dataType)
@@ -149,11 +155,34 @@ object SqlDml {
         else transactBoth(spark, root, maxAttempts, build)
 
       case m: MergeIntoTable =>
-        require(!m.withSchemaEvolution, "MERGE WITH SCHEMA EVOLUTION not supported")
         val (tName, tAlias) = relationOf(m.targetTable)
         val sAlias = aliasOf(m.sourceTable)
         val root = rootOf(tables, tName)
         val source = sourceFrameOf(spark, m.sourceTable, tables)
+        // MERGE … WITH SCHEMA EVOLUTION (the Delta statement): source-only
+        // columns are ADDED to the target first — a metadata-only
+        // alterSchema commit (hard links + pinned schema, existing rows
+        // null-fill) — and the merge then compiles against the evolved
+        // schema, so UPDATE SET * / INSERT * carry the new columns. Same
+        // evolve-then-apply order as CDC replication (CdcApplySink).
+        if (m.withSchemaEvolution) {
+          // analyzed plans arrive with star actions ALREADY EXPANDED
+          // against the pre-evolution schema — evolving now would silently
+          // drop the new columns from SET * / INSERT *. Refuse loudly;
+          // the parsed path (SqlDml.execute) compiles stars itself after
+          // the evolve commit.
+          require(!m.resolved,
+            "MERGE WITH SCHEMA EVOLUTION via plain spark.sql would lose " +
+              "the evolved columns (the analyzer expands * against the " +
+              "old schema) — run it through SqlDml.execute")
+          val tgt = SnapshotStore.readSchema(spark, SnapshotStore.latest(root))
+          val added = source.schema.fields.toIndexedSeq.filterNot(f =>
+            tgt.exists(_.name.equalsIgnoreCase(f.name)))
+          if (added.nonEmpty)
+            SnapshotStore.alterSchema(spark, root, s =>
+              added.foldLeft(s)((acc, f) =>
+                acc.add(f.name, f.dataType, nullable = true)))
+        }
         // merge-on-read target + no NOT MATCHED BY SOURCE arm: the
         // join-matched target rows become deletion-vector entries and
         // mergeFrames over that subset yields exactly the replacement
@@ -317,6 +346,23 @@ object SqlDml {
       sAlias: String, m: MergeIntoTable, checkCardinality: Boolean,
       cdcKeys: Seq[String] = Nil): (DataFrame, DataFrame) = {
     val fields: Seq[StructField] = base.schema.fields.toIndexedSeq
+    // every explicit assignment/insert target must BE a target column — a
+    // name miss would otherwise be silently dropped by the per-field
+    // compile below (the user asked for a column the table doesn't have:
+    // refuse, pointing at WITH SCHEMA EVOLUTION for the add-column intent)
+    locally {
+      val known = fields.map(_.name.toLowerCase).toSet
+      val assigned = (m.matchedActions ++ m.notMatchedActions ++
+        m.notMatchedBySourceActions).flatMap {
+        case ua: UpdateAction => assignmentMap(ua.assignments).keys
+        case ia: InsertAction => assignmentMap(ia.assignments).keys
+        case _ => Nil
+      }
+      val unknown = assigned.filterNot(known)
+      require(unknown.isEmpty,
+        s"MERGE assigns to non-target column(s): ${unknown.mkString(", ")} " +
+          "(add them first, or use MERGE WITH SCHEMA EVOLUTION)")
+    }
     val joinCond = expr(m.mergeCondition.sql)
     val t = base.withColumn("__t", lit(true))
       .withColumn("__tid", monotonically_increasing_id()).alias(tAlias)

@@ -403,6 +403,45 @@ class DvSpec extends SparkSpec {
     assert(out.filter($"id" === 60L).select($"v").as[Long].head() == 600L)
   }
 
+  test("two concurrent MoR deletes both land; the loser rebases onto the winner's vector") {
+    val root = tmpRoot()
+    SnapshotStore.init(spark, root, (1L to 1000L).toDF("id"))
+    SnapshotStore.setDmlMode(root, SnapshotStore.MergeOnRead)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    def writer(cond: String): Thread = {
+      val t = new Thread(() => {
+        try {
+          // both writers derive from v0 before either commits: exactly one
+          // loses the CAS and must rebase — its matched() RERUN (no barrier
+          // on retries) reads the winner's DV-filtered snapshot, so the
+          // union vector is complete
+          var firstAttempt = true
+          SnapshotStore.transactMoR(spark, root)(base => {
+            if (firstAttempt) {
+              firstAttempt = false
+              barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+            }
+            base.filter(expr(cond))
+          })(m => (m.limit(0),
+            m.withColumn(SnapshotStore.ChangeTypeCol, lit("delete"))))
+          ()
+        } catch { case e: Throwable => failure.compareAndSet(null, e); () }
+      })
+      t.start(); t
+    }
+    val a = writer("id % 10 = 0") // 100 rows
+    val b = writer("id % 7 = 3")  // 143 rows, disjoint-ish (overlap: id%70=10 -> 14 rows... none: id%10=0 && id%7=3 -> id%70=50: 14 rows overlap)
+    a.join(60000); b.join(60000)
+    assert(failure.get() == null, s"writer failed: ${failure.get()}")
+    assert(SnapshotStore.latest(root).version == 2, "both commits must land")
+    val out = SnapshotStore.read(spark, root)
+    // survivors: neither multiple of 10 nor ≡3 mod 7
+    val expected = (1L to 1000L).count(i => i % 10 != 0 && i % 7 != 3)
+    assert(out.count() == expected)
+    assert(out.filter($"id" % 10 === 0 || $"id" % 7 === 3).isEmpty)
+  }
+
   test("shallow clone of a DV table keeps deletions; exactly-once txn stamp") {
     val root = tmpRoot()
     SnapshotStore.init(spark, root, (1L to 50L).toDF("id"))

@@ -164,6 +164,32 @@ class SqlDmlSpec extends SparkSpec {
     assert(out == Seq((7L, 50L), (10L, 50L)),
       s"serial outcome of both merges expected, got $out")
   }
+  test("MERGE WITH SCHEMA EVOLUTION adds source-only columns, null-fills old rows") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dml_evo").toString
+    SnapshotStore.init(spark, root,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "bal"))
+    Seq((2L, 25L, "eu"), (3L, 30L, "us")).toDF("id", "bal", "region")
+      .createOrReplaceTempView("evo_src")
+    SqlDml.execute(spark,
+      """MERGE WITH SCHEMA EVOLUTION INTO t
+        |USING evo_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+      Map("t" -> root))
+    val out = SnapshotStore.read(spark, root).orderBy($"id")
+      .select($"id", $"bal", $"region").as[(Long, Long, Option[String])]
+      .collect().toSeq
+    assert(out == Seq((1L, 10L, None), (2L, 25L, Some("eu")),
+      (3L, 30L, Some("us"))))
+    // evolution is a metadata-only commit BEFORE the merge commit
+    assert(SnapshotStore.latest(root).version == 2)
+    // without the clause, a source-only column refuses (schema is a contract)
+    val e = intercept[Exception](SqlDml.execute(spark,
+      """MERGE INTO t USING evo_src s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT (id, bal, extra) VALUES (s.id, s.bal, 'x')
+        |""".stripMargin, Map("t" -> root.replace("graft_dml_evo", "graft_dml_evo"))))
+    assert(e != null)
+  }
 }
 
 object SqlDmlSpec {
