@@ -783,8 +783,25 @@ object SnapshotStore {
     * driver-built broadcast hash relation) would pay, and the bound
     * OPTIMIZE's vector materialization exists to enforce.
     */
-  private val dvBroadcastCache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]]()
+  // LRU-bounded: a long-running streaming MoR writer touches a NEW
+  // snapshot dir every micro-batch; an unbounded cache would pin every
+  // batch's broadcast in driver memory for the life of the session.
+  // Evicted entries are unpersisted (executor-side blocks freed NOW,
+  // driver-side value reclaimed by GC once the last plan referencing the
+  // handle goes away — destroy() would break an unexecuted plan that
+  // still holds it); an evicted dir read again just rebuilds.
+  private val dvBroadcastCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        String, org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[
+          String, org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]])
+          : Boolean = {
+        val evict = size() > 64
+        if (evict) try e.getValue.unpersist() catch { case _: Exception => () }
+        evict
+      }
+    })
   private def readDirDv(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, input_file_name}
     val base = plainReadDir(spark, dir)
