@@ -284,17 +284,19 @@ object Multimodal {
       chunk("IEND", Array.empty[Byte])
   }
 
-  /** Decode an 8-bit PNG (grayscale, RGB, or RGBA — color types 0/2/6) to
-    * a grayscale pixel grid: chunk walk → concatenated IDAT inflate →
-    * byte-level de-filter (all five standard filters incl. Average/Paeth)
-    * → BT.601 integer luma for color payloads. Unsupported shapes
-    * (16-bit, palette, interlaced) refuse loudly rather than returning
-    * garbage pixels.
+  /** Decode an 8-bit PNG (grayscale, RGB, RGBA, or PALETTE — color types
+    * 0/2/3/6) to a grayscale pixel grid: chunk walk → concatenated IDAT
+    * inflate → byte-level de-filter (all five standard filters incl.
+    * Average/Paeth) → BT.601 integer luma for color payloads (palette
+    * indices resolve through PLTE first). Unsupported shapes (16-bit,
+    * sub-8-bit packed indices, interlaced) refuse loudly rather than
+    * returning garbage pixels.
     */
   def decodePngGray(b: Array[Byte]): Array[Array[Int]] = {
     require(b.length > 8 && java.util.Arrays.equals(b.slice(0, 8), PngSig), "not a PNG")
     var off = 8
     var w = -1; var h = -1; var colorType = -1
+    var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     while (off + 8 <= b.length) {
       val len = be32(b, off)
@@ -305,16 +307,21 @@ object Multimodal {
           w = be32(b, off + 8); h = be32(b, off + 12)
           colorType = b(off + 17) & 0xFF
           require(b(off + 16) == 8, "decoder covers 8-bit PNGs")
-          require(colorType == 0 || colorType == 2 || colorType == 6,
-            s"decoder covers grayscale/RGB/RGBA PNGs (color type $colorType)")
+          require(colorType == 0 || colorType == 2 || colorType == 3 ||
+            colorType == 6,
+            s"decoder covers grayscale/RGB/palette/RGBA PNGs (color type $colorType)")
           require((b(off + 20) & 0xFF) == 0, "interlaced PNGs unsupported")
+        case "PLTE" =>
+          require(len % 3 == 0, "PLTE length must be a multiple of 3")
+          palette = b.slice(off + 8, off + 8 + len)
         case "IDAT" => idat.write(b, off + 8, len)
         case _ => ()
       }
       off += 12 + len
     }
     require(w > 0 && h > 0 && idat.size() > 0, "missing IHDR/IDAT")
-    val bpp = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+    require(colorType != 3 || palette != null, "palette PNG lacks PLTE")
+    val bpp = colorType match { case 0 | 3 => 1; case 2 => 3; case _ => 4 }
     val stride = w * bpp
     val infl = new java.util.zip.Inflater()
     infl.setInput(idat.toByteArray)
@@ -364,8 +371,13 @@ object Multimodal {
     // grayscale view: identity for type 0; ITU-R BT.601 integer luma for
     // RGB/RGBA (alpha ignored) — deterministic integer math cross-platform
     Array.tabulate(h, w) { (yy, xx) =>
-      if (bpp == 1) recon(yy)(xx)
-      else {
+      if (colorType == 0) recon(yy)(xx)
+      else if (colorType == 3) {
+        val i = recon(yy)(xx) * 3
+        require(i + 2 < palette.length, s"palette index ${recon(yy)(xx)} out of range")
+        (299 * (palette(i) & 0xFF) + 587 * (palette(i + 1) & 0xFF) +
+          114 * (palette(i + 2) & 0xFF)) / 1000
+      } else {
         val o = xx * bpp
         (299 * recon(yy)(o) + 587 * recon(yy)(o + 1) + 114 * recon(yy)(o + 2)) / 1000
       }

@@ -197,6 +197,36 @@ class LlmSpec extends SparkSpec {
     assert(r1.forall(r => r.getInt(3) >= 64 && r.getInt(4) >= 64))
   }
 
+  test("palette PNG (color type 3) decodes through PLTE to exact BT.601 luma") {
+    import functions.Multimodal._
+    // a 256-entry IndexColorModel forces bit depth 8 (fewer colors would
+    // let the encoder pack sub-8-bit indices, which the decoder refuses)
+    val r = new Array[Byte](256); val g = new Array[Byte](256)
+    val bl = new Array[Byte](256)
+    for (i <- 0 until 256) {
+      r(i) = ((i * 37) % 256).toByte; g(i) = ((i * 59) % 256).toByte
+      bl(i) = ((i * 83) % 256).toByte
+    }
+    val cm = new java.awt.image.IndexColorModel(8, 256, r, g, bl)
+    val img = new java.awt.image.BufferedImage(37, 23,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    for (y <- 0 until 23; x <- 0 until 37)
+      img.getRaster.setSample(x, y, 0, (x * 7 + y * 11) % 256)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val bytes = out.toByteArray
+    // confirm the reference encoder really wrote color type 3
+    val ihdrColorType = bytes(8 + 8 + 9) & 0xFF
+    assert(ihdrColorType == 3, s"expected palette PNG, got color type $ihdrColorType")
+    val mine = decodePngGray(bytes)
+    for (y <- 0 until 23; x <- 0 until 37) {
+      val idx = (x * 7 + y * 11) % 256
+      val expect = (299 * ((idx * 37) % 256) + 587 * ((idx * 59) % 256) +
+        114 * ((idx * 83) % 256)) / 1000
+      assert(mine(y)(x) == expect, s"($x,$y): ${mine(y)(x)} vs $expect")
+    }
+  }
+
   test("multimodal headers: FLAC STREAMINFO bit-unpack + MP3 frame walk") {
     import functions.Multimodal._
     // FLAC: 44100 Hz, 2 ch, 16 bps, 123456789 samples — hand-packed per
