@@ -314,7 +314,7 @@ object Jpeg {
                 skipEntropy(b, start)
               else
                 decodeScanInto(b, start, scanComps.map(c =>
-                  store(comps.indexWhere(_ eq c))),
+                  store(comps.indexWhere(_ eq c))), store(0),
                   dcTables, acTables, restartInterval, ss, se, ah, al)
           case m if m >= 0xD0 && m <= 0xD7 =>
             throw new IllegalArgumentException("RST marker outside entropy data")
@@ -323,7 +323,12 @@ object Jpeg {
         off = nextOff
       }
     }
-    throw new IllegalArgumentException("no EOI marker — truncated JPEG")
+    // ran off the end without EOI: decode what the scans produced — the
+    // sequential single-scan case here matches the old at-SOS-return
+    // behavior on EOI-stripped files; a truncation INSIDE entropy data
+    // still throws in the BitReader
+    if (sawScan) return finalizeLuma(store, quant, w, h, hmax)
+    throw new IllegalArgumentException("no SOS marker — truncated JPEG")
   }
 
   /** Advance past entropy-coded bytes to the next true marker (FF followed
@@ -338,7 +343,7 @@ object Jpeg {
         p += 2
       } else p += 1
     }
-    throw new IllegalArgumentException("entropy stream truncated (no marker)")
+    b.length // no further marker: stream ends here (missing-EOI leniency)
   }
 
   /** Decode ONE scan's entropy data into the coefficient stores (T.81 F.2
@@ -346,15 +351,27 @@ object Jpeg {
     * Ah=Al=0). Returns the offset of the marker following the scan.
     */
   private def decodeScanInto(b: Array[Byte], start: Int,
-      scan: Array[CompCoefs], dcTables: Array[HuffTable],
+      scan: Array[CompCoefs], lumaStore: CompCoefs, dcTables: Array[HuffTable],
       acTables: Array[HuffTable], restartInterval: Int,
       ss: Int, se: Int, ah: Int, al: Int): Int = {
     val br = new BitReader(b, start)
     val pred = new Array[Int](scan.length)
+    // chroma blocks are entropy-decoded only to keep the bit stream in
+    // sync — finalizeLuma never reads them, so they decode into ONE shared
+    // scratch block instead of retaining ~2x the luma footprint until EOI.
+    // Safe because every stream-consumption decision in the scan kinds
+    // that can be interleaved (DC scans, sequential full-band scans) is
+    // independent of stored coefficient STATE; AC refinement — whose bit
+    // consumption DOES depend on prior coefficients — is single-component
+    // by spec, and single-component chroma scans are skipped entirely.
+    val chromaScratch = new Array[Int](64)
     var eobrun = 0
     var restLeft = if (restartInterval > 0) restartInterval else Int.MaxValue
     var rstIdx = 0
     val interleaved = scan.length > 1
+    // defense for the scratch-block argument above
+    require(!(ah > 0 && ss > 0) || scan.length == 1,
+      "progressive AC scans must be single-component (T.81 G.1)")
 
     // total MCU count: interleaved = image MCU grid; single-component =
     // that component's own block grid (T.81 A.2.2)
@@ -445,7 +462,9 @@ object Jpeg {
     }
 
     def decodeBlock(st: CompCoefs, ci: Int, row: Int, col: Int): Unit = {
-      val coef = st.block(row, col)
+      val coef =
+        if (st eq lumaStore) st.block(row, col)
+        else { java.util.Arrays.fill(chromaScratch, 0); chromaScratch }
       if (ss == 0) {
         decodeDc(st, ci, coef)
         // sequential full-band scan (Se=63): AC follows DC in-block — the

@@ -161,7 +161,8 @@ object Multimodal {
     if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
       val size = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
         ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
-      p = 10 + size
+      // the v2.4 footer flag means 10 MORE bytes the syncsafe size excludes
+      p = 10 + size + (if ((b(5) & 0x10) != 0) 10 else 0)
     }
     var rate = -1; var ch = -1; var frames = 0
     var ok = true
@@ -841,7 +842,10 @@ object Multimodal {
           case None => parseWavHeader(payload) match {
             case Some((r0, c0, f0)) => (null, null, r0, c0, f0)
             case None => parseFlacHeader(payload) match {
-              case Some((r0, c0, f0)) => (null, null, r0, c0, f0.toInt)
+              // n_frames is a 32-bit field; a 36-bit FLAC sample count
+              // (legal per RFC 9639) clamps instead of wrapping negative
+              case Some((r0, c0, f0)) =>
+                (null, null, r0, c0, math.min(f0, Int.MaxValue.toLong).toInt)
               case None => parseMp3Header(payload) match {
                 case Some((r0, c0, f0)) => (null, null, r0, c0, f0)
                 case None => (null, null, null, null, null)

@@ -604,9 +604,11 @@ private[sources] class GraftTable(spark: SparkSession, tableName: String,
     }.toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    if (Files.isDirectory(Paths.get(snap.dataDir, "_manifest")))
-      // stats-maintained snapshot (CALL graft.system.optimize with
-      // stats_cols): manifest-based file skipping at planning time
+    if (Files.isDirectory(Paths.get(snap.dataDir, "_manifest")) ||
+        SnapshotStore.hasDv(snap.dataDir))
+      // stats-maintained snapshot (manifest file skipping at planning
+      // time) — or a deletion-vector-bearing one, whose builder must
+      // refuse footer-based aggregate pushdown (deleted rows would count)
       new org.apache.spark.sql.GraftPrunedScanBuilder(
         spark, tableName, snap.dataDir, tableSchema, options)
     else ParquetTable(tableName, spark, options, Seq(snap.dataDir),

@@ -692,12 +692,21 @@ object SnapshotStore {
     // sketch Spark's own runtime filtering uses (BloomFilterAggregate /
     // bloom_might_contain) — probed driver-side in GraftPrunedScanBuilder.
     def bloomAgg(c: String): org.apache.spark.sql.Column = {
-      val numBits = org.apache.spark.util.sketch.BloomFilter
-        .optimalNumOfBits(bloomExpectedItems, 0.01)
+      // clamp to BloomFilterAggregate's own limits (the runtime-filter
+      // confs) — optimize(targetRows > maxNumItems) must degrade to a
+      // coarser sketch, not fail analysis
+      val conf = org.apache.spark.sql.internal.SQLConf.get
+      val items = math.min(bloomExpectedItems,
+        conf.getConf(org.apache.spark.sql.internal.SQLConf
+          .RUNTIME_BLOOM_FILTER_MAX_NUM_ITEMS))
+      val numBits = math.min(
+        org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, 0.01),
+        conf.getConf(org.apache.spark.sql.internal.SQLConf
+          .RUNTIME_BLOOM_FILTER_MAX_NUM_BITS))
       org.apache.spark.sql.GraftSqlShim.column(
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
           org.apache.spark.sql.GraftSqlShim.expression(xxhash64(col(c))),
-          org.apache.spark.sql.catalyst.expressions.Literal(bloomExpectedItems),
+          org.apache.spark.sql.catalyst.expressions.Literal(items),
           org.apache.spark.sql.catalyst.expressions.Literal(numBits))
           .toAggregateExpression())
     }
@@ -823,7 +832,10 @@ object SnapshotStore {
         }
       bc = spark.sparkContext.broadcast(dvMap)
       val prev = dvBroadcastCache.putIfAbsent(dir, bc)
-      if (prev != null) bc = prev
+      if (prev != null) { // lost a concurrent build: free our copy eagerly
+        try bc.unpersist() catch { case _: Exception => () }
+        bc = prev
+      }
     }
     base.where(org.apache.spark.sql.GraftDvFilter.keepColumn(
       col("_metadata.row_index"), bc))
@@ -1275,9 +1287,13 @@ object SnapshotStore {
           spark.read.parquet(dvDir(base.dataDir).toString).unionByName(newDv)
         else newDv
       // one tiny file: the vector is bounded by deletes since last
-      // OPTIMIZE, not by table size
-      allDv.coalesce(1).write.mode("overwrite")
-        .parquet(dvDir(dir.toString).toString)
+      // OPTIMIZE, not by table size. A no-match statement on a vector-less
+      // base writes NO sidecar — an empty _dv would flip every later read
+      // onto the filter path (hasDv rides the hard links forever) for a
+      // vector that filters nothing.
+      if (hasDv(base.dataDir) || !newDv.isEmpty)
+        allDv.coalesce(1).write.mode("overwrite")
+          .parquet(dvDir(dir.toString).toString)
       if (cdcKeys(root).nonEmpty) {
         require(changes.columns.contains(ChangeTypeCol),
           s"supplied change frame lacks $ChangeTypeCol")

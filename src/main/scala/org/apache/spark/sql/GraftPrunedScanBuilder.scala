@@ -58,6 +58,12 @@ class GraftPrunedScanBuilder(spark: SparkSession, tableName: String,
     delegate.pruneColumns(requiredSchema)
   }
   override def pushAggregation(aggregation: Aggregation): Boolean = {
+    // a deletion-vector-bearing snapshot must NOT answer aggregates from
+    // parquet footers (they count deleted rows), and DvReadRewrite needs
+    // the relation's RAW columns to substitute the filtered read — refuse
+    // the pushdown so COUNT/MIN/MAX compute above the corrected scan
+    if (java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(dataDir, "_dv"))) return false
     val ok = delegate.pushAggregation(aggregation)
     if (ok) savedAgg = Some(aggregation)
     ok

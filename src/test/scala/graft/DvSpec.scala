@@ -143,6 +143,18 @@ class DvSpec extends SparkSpec {
     assert(out.filter($"p" === "1" && $"v" =!= $"id").isEmpty)
   }
 
+  test("a no-match statement on a vector-less MoR table writes no sidecar") {
+    val root = tmpRoot()
+    SnapshotStore.init(spark, root, (1L to 50L).toDF("id"))
+    SnapshotStore.setDmlMode(root, SnapshotStore.MergeOnRead)
+    graft.sources.SqlDml.execute(spark, "DELETE FROM t WHERE id > 999",
+      Map("t" -> root)) // matches nothing
+    val v1 = SnapshotStore.latest(root)
+    assert(v1.version == 1 && !hasDv(v1.dataDir),
+      "an empty vector would flip every later read onto the filter path")
+    assert(SnapshotStore.read(spark, root).count() == 50)
+  }
+
   test("RESTORE across a DV boundary rolls deletions back and forward") {
     val root = tmpRoot()
     SnapshotStore.init(spark, root, (1L to 100L).toDF("id"))

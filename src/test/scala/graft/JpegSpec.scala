@@ -108,6 +108,9 @@ class JpegSpec extends AnyFunSuite {
       e.getMessage)
     val good = Jpeg.encodeGrayDcOnly(Array.fill(8, 9)(1))
     intercept[Exception](Jpeg.decodeGray(good.dropRight(20))) // truncated
+    // EOI-stripped but entropy-complete decodes (scraped/partial files)
+    val noEoi = Jpeg.decodeGray(good.dropRight(2))
+    assert(noEoi.length == 64 && noEoi.forall(_.forall(_ == 129)))
     intercept[IllegalArgumentException](
       Jpeg.decodeGray(Array[Byte](1, 2, 3, 4))) // not a JPEG
   }

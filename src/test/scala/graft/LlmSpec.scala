@@ -259,6 +259,11 @@ class LlmSpec extends SparkSpec {
     val f2 = Array(0xFF, 0xFB, (10 << 4) | (1 << 2), 0x00).map(_.toByte) ++
       Array.fill[Byte](480 - 4)(0)
     assert(parseMp3Header(f2 ++ f2).contains((48000, 2, 2)))
+    // ID3v2.4 FOOTER flag: 10 extra bytes the syncsafe size excludes
+    val id3f = "ID3".getBytes ++ Array[Byte](4, 0, 0x10) ++
+      Array[Byte](0, 0, 0, 8) ++ Array.fill[Byte](8)(0) ++
+      Array.fill[Byte](10)(0x33) // the footer itself
+    assert(parseMp3Header(id3f ++ f2).contains((48000, 2, 1)))
     assert(parseMp3Header("no sync here at all".getBytes).isEmpty)
     assert(parseMp3Header(Array.empty[Byte]).isEmpty)
   }
