@@ -10,15 +10,15 @@ import org.apache.spark.sql.types._
   * Arrow-batched Pandas UDF — rows stream through an iterator, nothing
   * driver-side, schema declared up front.
   *
-  * Header metadata is parsed FOR REAL: PNG IHDR and RIFF/WAVE `fmt `/`data`
-  * chunks are pure byte layouts, so width/height/sample-rate/channels/frame
-  * counts come from an actual pure-JVM parse ([[parsePngHeader]],
-  * [[parseWavHeader]]). Only pixel/sample DECODING is stubbed (this
-  * container has no image/audio codecs): payloads that are not PNG/WAV fall
-  * back to `fakeDecode`'s deterministic pseudo-metadata. The Spark-side
+  * Headers AND pixels are parsed FOR REAL where a pure-JVM codec exists:
+  * PNG (grayscale/RGB/RGBA/palette decode incl. all five filters), JPEG
+  * (baseline AND progressive — functions/Jpeg.scala), RIFF/WAVE PCM, FLAC
+  * STREAMINFO, MPEG1-Layer-III frame walks. `fakeDecode`'s deterministic
+  * pseudo-metadata remains only for payloads with NO recognizable media
+  * header (and the disclosed synthetic video container). The Spark-side
   * plumbing — binary column, schema, iterator batching, partition locality —
-  * is real and is what the 100 TB design needs (decoders are per-row CPU
-  * work with zero shuffle).
+  * is what the 100 TB design needs (decoders are per-row CPU work with
+  * zero shuffle).
   */
 object Multimodal {
   /** STUB decoder: deterministic fake metadata from payload bytes, the

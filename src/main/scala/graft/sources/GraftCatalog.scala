@@ -61,6 +61,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     initOptions = options
+    // self-install the engine's rules on the owning session: a catalog
+    // user who never calls GraftExtensions.install would otherwise read a
+    // deletion-vector table through the RAW scan (DvReadRewrite absent ⇒
+    // deleted rows silently resurrect) and lose the DML strategy. The
+    // install is idempotent; initialize runs driver-side at first catalog
+    // reference, when the session is fully built.
+    try graft.GraftExtensions.install(SparkSession.active)
+    catch { case _: Exception => () } // no active session (tests constructing
+    // the plugin directly): the explicit install path still applies
   }
 
   override def name(): String = catalogName
