@@ -567,6 +567,74 @@ object LlmText {
       },
       oracle = Some(
         """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, TRUE AS ok
-          |FROM documents ORDER BY doc_id""".stripMargin))
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Q28m [extension: n-gram LM perplexity scoring] The CCNet-style
+    // quality signal the heuristic filters (q28e) can't give: score every
+    // document by its average per-token negative log-likelihood under a
+    // bigram language model trained on the corpus itself, Laplace-smoothed
+    // over the unigram vocabulary — P(w|u) = (c(u,w)+1)/(c(u)+V). Gibberish
+    // and boilerplate-repetition outliers surface as NLL extremes where
+    // stopword ratios stay blind. Float-proof like q76: every ln is
+    // integerized to micro-nats (round(ln·1e6)) BEFORE summation, so the
+    // per-doc score is pure integer arithmetic, bit-identical across
+    // engines and partition orders.
+    //
+    // Scale shape: bigrams come from zip_with over the already-split token
+    // array (no positional self-join, no window — zero extra shuffle to
+    // form pairs); model training is two map-side-combinable groupBy
+    // passes (bigram, then left-token marginal derived FROM the bigram
+    // counts so the two stay consistent by construction); scoring is one
+    // shuffle join of the bigram stream against the model keyed by
+    // (w1,w2) — the canonical corpus-sized join, skew-handled by AQE. The
+    // vocabulary scalar rides along as a broadcast. At 100 TB nothing
+    // here is driver-side: the model lives as distributed state; only V
+    // (one row) is collected.
+    "q28m_ngram_perplexity" -> QueryDef(
+      build = (s, d) => {
+        val lnu = (c: org.apache.spark.sql.Column) =>
+          round(log(c) * 1000000).cast("long")
+        val toks = Tables.documents(s, d)
+          .select($("doc_id"), split($("text"), " ").as("a"))
+        val big = toks.filter(size($("a")) >= 2)
+          .select($("doc_id"), explode(zip_with(
+            slice($("a"), lit(1), size($("a")) - 1),
+            slice($("a"), lit(2), size($("a")) - 1),
+            (x, y) => struct(x.as("w1"), y.as("w2")))).as("z"))
+          .select($("doc_id"), $("z.w1").as("w1"), $("z.w2").as("w2"))
+        val c2 = big.groupBy($("w1"), $("w2")).agg(count(lit(1)).as("n2"))
+        val c1 = c2.groupBy($("w1")).agg(sum($("n2")).as("n1"))
+        val vocab = toks.select(explode($("a")).as("w"))
+          .agg(count_distinct($("w")).as("vocab"))
+        big.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .groupBy($("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(lnu($("n1") + $("vocab")) - lnu($("n2") + lit(1))).as("s"))
+          .select($("doc_id"), $("n_bigrams"),
+            expr("s div n_bigrams").as("nll_micro"))
+          .orderBy($("doc_id"))
+      },
+      oracle = Some {
+        def lnu(e: String) = s"CAST(round(ln($e) * 1000000) AS BIGINT)"
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+           |big AS (
+           |  SELECT doc_id, u.z[1] AS w1, u.z[2] AS w2
+           |  FROM (SELECT doc_id, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS z
+           |        FROM toks WHERE len(a) >= 2) u),
+           |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2
+           |       FROM big GROUP BY w1, w2),
+           |c1 AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
+           |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab
+           |      FROM (SELECT unnest(a) AS w FROM toks)),
+           |scored AS (
+           |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |    CAST(sum(${lnu("c1.n1 + vocab")} - ${lnu("c2.n2 + 1")}) AS BIGINT) AS s
+           |  FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+           |  GROUP BY b.doc_id)
+           |SELECT doc_id, n_bigrams, s // n_bigrams AS nll_micro
+           |FROM scored ORDER BY doc_id""".stripMargin
+      })
   )
 }

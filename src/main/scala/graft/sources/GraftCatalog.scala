@@ -378,7 +378,8 @@ object GraftCatalog {
 
   /** `CALL graft.system.optimize('ns.t', target_rows [, 'cluster_cols'
     * [, 'stats_cols']])` — SnapshotStore.optimize as a statement: bin-pack
-    * (and optionally range-cluster) the current snapshot in one optimistic
+    * (and optionally range-cluster or, via `zorder_by => 'a,b'`,
+    * Morton-curve-cluster) the current snapshot in one optimistic
     * transaction, refreshing a min/max manifest for `stats_cols`. Returns
     * (version, files) of the committed layout.
     */
@@ -388,7 +389,8 @@ object GraftCatalog {
         ProcedureParameter.in("cluster_by", StringType).defaultValue("''").build(),
         ProcedureParameter.in("stats_cols", StringType).defaultValue("''").build(),
         ProcedureParameter.in("where", StringType).defaultValue("''").build(),
-        ProcedureParameter.in("bloom_cols", StringType).defaultValue("''").build()),
+        ProcedureParameter.in("bloom_cols", StringType).defaultValue("''").build(),
+        ProcedureParameter.in("zorder_by", StringType).defaultValue("''").build()),
       StructType(Seq(
         org.apache.spark.sql.types.StructField("version", LongType),
         org.apache.spark.sql.types.StructField("files", LongType)))) {
@@ -399,7 +401,7 @@ object GraftCatalog {
         val where = Option(in.getString(4)).map(_.trim).filter(_.nonEmpty)
         val snap = SnapshotStore.optimize(SparkSession.active, root,
           targetRows = in.getLong(1), clusterBy = cols(2), statsCols = cols(3),
-          partitionPredicate = where, bloomCols = cols(5))
+          partitionPredicate = where, bloomCols = cols(5), zorderBy = cols(6))
         val files = {
           val s = Files.list(Paths.get(snap.dataDir))
           try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))

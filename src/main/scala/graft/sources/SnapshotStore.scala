@@ -951,17 +951,57 @@ object SnapshotStore {
     * `clusterBy` range-clusters while packing — pairing it with
     * `statsCols` manifests is what makes q74-style file skipping
     * effective (tight per-file intervals).
+    *
+    * `zorderBy` (exactly two numeric columns, exclusive with `clusterBy`)
+    * clusters by a Morton curve key instead — the multi-dimension layout:
+    * range-clustering on column A makes per-file [min,max] intervals tight
+    * on A and USELESS on B (every file spans B's whole domain), while the
+    * z-curve trades a little per-dim tightness for tightness on BOTH, so
+    * manifests prune range predicates on either column (the Delta/Iceberg
+    * OPTIMIZE ZORDER layout). Each dim is first normalized to a dense
+    * 0..255 rank via approximate-quantile cut points ([[graft.plans
+    * .RankBucket]] — one bounded-memory sketch pass, skew-proof where
+    * linear min/max scaling is not), then interleaved
+    * ([[graft.plans.InterleaveBits]]) and range-repartitioned + sorted by
+    * the curve key; the key is layout-only and never lands in the data.
     */
   def optimize(spark: SparkSession, root: String, targetRows: Long,
       clusterBy: Seq[String] = Nil, statsCols: Seq[String] = Nil,
       partitionPredicate: Option[String] = None,
-      bloomCols: Seq[String] = Nil): Snapshot = {
+      bloomCols: Seq[String] = Nil, zorderBy: Seq[String] = Nil): Snapshot = {
     import org.apache.spark.sql.functions.{col, expr, lit}
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "cluster_by and zorder_by are exclusive: one layout key per OPTIMIZE")
+    require(zorderBy.isEmpty || zorderBy.size == 2,
+      s"zorder_by takes exactly two columns (got ${zorderBy.mkString(",")}); " +
+        "more dims dilute every per-dim interval — pick the two you filter by")
     val hive = partitionCols(root)
+    // layout-only curve key: quantile-rank each dim to 0..255 (one
+    // approxQuantile sketch pass over both columns), morton-interleave
+    def zkey(df: DataFrame): org.apache.spark.sql.Column = {
+      val probs = (1 until 256).map(_ / 256.0).toArray
+      val cuts = df.stat.approxQuantile(zorderBy.toArray, probs, 0.001)
+      val ranks = zorderBy.zip(cuts).map { case (c, cut) =>
+        graft.plans.RankBucket(
+          org.apache.spark.sql.GraftSqlShim.expression(col(c).cast("double")),
+          cut.toIndexedSeq)
+      }
+      org.apache.spark.sql.GraftSqlShim.column(
+        graft.plans.InterleaveBits(ranks(0), ranks(1)))
+    }
     def repack(df: DataFrame): DataFrame = {
       val n = df.count()
       val parts = math.max(1, ((n + targetRows - 1) / targetRows).toInt)
-      if (hive.nonEmpty)
+      if (zorderBy.nonEmpty) {
+        val zc = "__graft_z"
+        val keyed = df.withColumn(zc, zkey(df))
+        // range-repartition puts curve-adjacent rows in the same file;
+        // sortWithinPartitions keeps row-group stats tight inside each
+        // file too. Projecting the key away moves no rows.
+        keyed.repartitionByRange(parts, (hive.map(col) :+ col(zc)): _*)
+          .sortWithinPartitions((hive.map(col) :+ col(zc)): _*)
+          .drop(zc)
+      } else if (hive.nonEmpty)
         // partitioned table: shuffle BY the partition columns (plus any
         // cluster key for in-partition order) so each hive partition's
         // rows co-locate into few tasks — a global round-robin would make

@@ -96,4 +96,67 @@ class ZorderSpec extends SparkSpec {
 
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("rank_bucket: binary search semantics, ties, and codegen parity") {
+    import graft.plans.RankBucket.bucket
+    val cuts = Array(10.0, 20.0, 20.0, 30.0)
+    assert(bucket(5.0, cuts) == 0L)
+    assert(bucket(10.0, cuts) == 1L) // tie → upper bucket
+    assert(bucket(15.0, cuts) == 1L)
+    assert(bucket(20.0, cuts) == 2L) // duplicate cuts: leftmost + 1, stable
+    assert(bucket(25.0, cuts) == 3L)
+    assert(bucket(30.0, cuts) == 4L)
+    assert(bucket(35.0, cuts) == 4L)
+    // codegen'd expression agrees with the object method
+    val viaExpr = spark.range(0, 50)
+      .select(org.apache.spark.sql.GraftSqlShim.column(graft.plans.RankBucket(
+        org.apache.spark.sql.GraftSqlShim.expression(($"id" * lit(1.0)).cast("double")),
+        Seq(10.0, 20.0, 20.0, 30.0))).as("b"))
+      .as[Long].collect()
+    assert(viaExpr.toSeq == (0L until 50L).map(i => bucket(i.toDouble, cuts)))
+  }
+
+  test("OPTIMIZE zorder_by: skew-proof balance + both-dims manifest pruning") {
+    import graft.sources.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("graft-zopt").toString + "/t"
+    val n = 100000L
+    // HEAVILY skewed dims: x exponential-ish (90% of rows in the bottom 1%
+    // of the domain), y quadratic — a linear min/max scaling would fold
+    // nearly every row into one curve cell and the layout would degenerate
+    val df = spark.range(0, n).select(
+      when($"id" % 10 =!= 0, pmod(hash($"id"), lit(1000)).cast("long") + 500)
+        .otherwise(pmod(hash($"id" * 31), lit(100000000)).cast("long"))
+        .as("x"),
+      ($"id" * $"id").cast("long").as("y"),
+      $"id".as("payload"))
+    SnapshotStore.init(spark, root, df.repartition(4), statsCols = Seq("x", "y"))
+    SnapshotStore.optimize(spark, root, targetRows = (n.toInt + 63) / 64,
+      statsCols = Seq("x", "y"), zorderBy = Seq("x", "y"))
+    val snap = SnapshotStore.latest(root)
+    // value identity: layout moved bytes, never rows
+    assert(SnapshotStore.read(spark, snap).agg(sum($"payload")).head.getLong(0)
+      == n * (n - 1) / 2)
+    // balance: quantile ranks equidistribute rows across files despite the
+    // skew (linear scaling would put ~90% of rows in one file)
+    val m = SnapshotStore.manifest(spark, snap)
+      .select($"n_rows".cast("long")).as[Long].collect()
+    assert(m.length >= 32, s"expected ~64 files, got ${m.length}")
+    assert(m.max < 6L * n / m.length,
+      s"file row counts badly skewed: max ${m.max} of ${m.sum} across ${m.length}")
+    // both dims prune: a mid-domain band on EITHER column keeps < half the
+    // files (x band in value space must use the skewed distribution's mid
+    // quantiles, i.e. the hot range)
+    def kept(pred: org.apache.spark.sql.Column): (Int, Int) = {
+      val (_, k, t) = SnapshotStore.readPruned(spark, snap, pred)
+      (k, t)
+    }
+    val (kx, tx) = kept($"max_x" >= 700 && $"min_x" <= 900) // inside the hot decade
+    val (ky, ty) = kept($"max_y" >= (n / 3) * (n / 3) && $"min_y" <= (n / 2) * (n / 2))
+    assert(kx * 2 < tx, s"x band kept $kx of $tx")
+    assert(ky * 2 < ty, s"y band kept $ky of $ty")
+    // layout key never lands in the data
+    assert(!SnapshotStore.read(spark, snap).columns.contains("__graft_z"))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root).getParentFile)
+  }
 }
