@@ -11,7 +11,8 @@ import org.apache.spark.sql.types._
   * driver-side, schema declared up front.
   *
   * Headers AND pixels are parsed FOR REAL where a pure-JVM codec exists:
-  * PNG (grayscale/RGB/RGBA/palette decode incl. all five filters), JPEG
+  * PNG (grayscale/RGB/RGBA/palette/gray+alpha, 8- and 16-bit, Adam7
+  * interlace, all five filters), JPEG
   * (baseline AND progressive — functions/Jpeg.scala), RIFF/WAVE PCM, FLAC
   * STREAMINFO, MPEG1-Layer-III frame walks. `fakeDecode`'s deterministic
   * pseudo-metadata remains only for payloads with NO recognizable media
@@ -285,18 +286,23 @@ object Multimodal {
       chunk("IEND", Array.empty[Byte])
   }
 
-  /** Decode an 8-bit PNG (grayscale, RGB, RGBA, or PALETTE — color types
-    * 0/2/3/6) to a grayscale pixel grid: chunk walk → concatenated IDAT
-    * inflate → byte-level de-filter (all five standard filters incl.
-    * Average/Paeth) → BT.601 integer luma for color payloads (palette
-    * indices resolve through PLTE first). Unsupported shapes (16-bit,
-    * sub-8-bit packed indices, interlaced) refuse loudly rather than
-    * returning garbage pixels.
+  /** Decode a PNG (grayscale, RGB, palette, gray+alpha, or RGBA — color
+    * types 0/2/3/4/6; bit depths 8 and 16; interlace methods 0 and Adam7)
+    * to a grayscale pixel grid: chunk walk → concatenated IDAT inflate →
+    * per-pass byte-level de-filter (all five standard filters incl.
+    * Average/Paeth; each Adam7 pass is an independent filtered sub-image
+    * per spec §8.2, scattered back on its (xStart + i·xStep, yStart +
+    * j·yStep) lattice) → BT.601 integer luma for color payloads (palette
+    * indices resolve through PLTE first; 16-bit samples take the high
+    * byte — the standard v>>8 depth reduction, deterministic). Unsupported
+    * shapes (sub-8-bit packed samples, 16-bit palette indices) refuse
+    * loudly rather than returning garbage pixels.
     */
   def decodePngGray(b: Array[Byte]): Array[Array[Int]] = {
     require(b.length > 8 && java.util.Arrays.equals(b.slice(0, 8), PngSig), "not a PNG")
     var off = 8
     var w = -1; var h = -1; var colorType = -1
+    var bitDepth = -1; var interlace = -1
     var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     while (off + 8 <= b.length) {
@@ -306,12 +312,18 @@ object Multimodal {
       tag match {
         case "IHDR" =>
           w = be32(b, off + 8); h = be32(b, off + 12)
+          bitDepth = b(off + 16) & 0xFF
           colorType = b(off + 17) & 0xFF
-          require(b(off + 16) == 8, "decoder covers 8-bit PNGs")
+          interlace = b(off + 20) & 0xFF
+          require(bitDepth == 8 || bitDepth == 16,
+            s"decoder covers 8/16-bit PNGs (bit depth $bitDepth)")
           require(colorType == 0 || colorType == 2 || colorType == 3 ||
-            colorType == 6,
-            s"decoder covers grayscale/RGB/palette/RGBA PNGs (color type $colorType)")
-          require((b(off + 20) & 0xFF) == 0, "interlaced PNGs unsupported")
+            colorType == 4 || colorType == 6,
+            s"unknown PNG color type $colorType")
+          require(colorType != 3 || bitDepth == 8,
+            "palette PNGs carry 8-bit indices here (sub-8-bit packing unsupported)")
+          require(interlace == 0 || interlace == 1,
+            s"unknown PNG interlace method $interlace")
         case "PLTE" =>
           require(len % 3 == 0, "PLTE length must be a multiple of 3")
           palette = b.slice(off + 8, off + 8 + len)
@@ -322,11 +334,32 @@ object Multimodal {
     }
     require(w > 0 && h > 0 && idat.size() > 0, "missing IHDR/IDAT")
     require(colorType != 3 || palette != null, "palette PNG lacks PLTE")
-    val bpp = colorType match { case 0 | 3 => 1; case 2 => 3; case _ => 4 }
-    val stride = w * bpp
+    val channels = colorType match {
+      case 0 | 3 => 1; case 2 => 3; case 4 => 2; case _ => 4
+    }
+    val bytesPerSample = bitDepth / 8
+    val bpp = channels * bytesPerSample // the filter unit (spec §9)
+    // Adam7 pass lattice (xStart, yStart, xStep, yStep); method 0 is the
+    // single full-frame pass. Empty passes (dimension smaller than the
+    // start offset) contribute no scanlines — per spec they are absent
+    // from the stream entirely, not present as zero-length rows.
+    val passes =
+      if (interlace == 0) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (xs, ys, xst, yst) = p
+      (if (w > xs) (w - xs + xst - 1) / xst else 0,
+        if (h > ys) (h - ys + yst - 1) / yst else 0)
+    }
+    val rawLen = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw > 0 && ph > 0) ph.toLong * (1L + pw.toLong * bpp) else 0L
+    }.sum
+    require(rawLen <= Int.MaxValue, s"PNG too large to decode ($rawLen raw bytes)")
     val infl = new java.util.zip.Inflater()
     infl.setInput(idat.toByteArray)
-    val raw = new Array[Byte](h * (1 + stride))
+    val raw = new Array[Byte](rawLen.toInt)
     var got = 0
     var stalled = false
     while (got < raw.length && !infl.finished() && !stalled) {
@@ -338,50 +371,77 @@ object Multimodal {
     }
     infl.end()
     require(got == raw.length, s"IDAT inflated to $got of ${raw.length} bytes")
-    // byte-level de-filter (PNG spec §9: `left` is the byte bpp positions
-    // back, so filters act on the raw stream, not on pixels) — all five
-    // standard filters, reconstructed row by row in place
     def paeth(a: Int, up: Int, ul: Int): Int = {
       val p = a + up - ul
       val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - ul)
       if (pa <= pb && pa <= pc) a else if (pb <= pc) up else ul
     }
-    val recon = Array.ofDim[Int](h, stride)
-    var y = 0
-    while (y < h) {
-      val rowOff = y * (1 + stride)
-      val filter = raw(rowOff) & 0xFF
-      var i = 0
-      while (i < stride) {
-        val x = raw(rowOff + 1 + i) & 0xFF
-        val a = if (i >= bpp) recon(y)(i - bpp) else 0
-        val up = if (y > 0) recon(y - 1)(i) else 0
-        val ul = if (y > 0 && i >= bpp) recon(y - 1)(i - bpp) else 0
-        recon(y)(i) = (filter match {
-          case 0 => x
-          case 1 => x + a           // Sub
-          case 2 => x + up          // Up
-          case 3 => x + (a + up) / 2 // Average
-          case 4 => x + paeth(a, up, ul)
-          case f => throw new IllegalArgumentException(s"unsupported PNG filter $f")
-        }) & 0xFF
-        i += 1
+    // full-res 8-bit channel samples (16-bit inputs keep the high byte)
+    val samples = Array.ofDim[Int](h, w * channels)
+    var passOff = 0
+    passes.foreach { p =>
+      val (xs, ys, xst, yst) = p
+      val (pw, ph) = passDims(p)
+      if (pw > 0 && ph > 0) {
+        val stride = pw * bpp
+        // byte-level de-filter within THIS pass only (spec §9: `left` is
+        // the byte bpp positions back; `up` is this pass's previous row)
+        val recon = Array.ofDim[Int](ph, stride)
+        var y = 0
+        while (y < ph) {
+          val rowOff = passOff + y * (1 + stride)
+          val filter = raw(rowOff) & 0xFF
+          var i = 0
+          while (i < stride) {
+            val x = raw(rowOff + 1 + i) & 0xFF
+            val a = if (i >= bpp) recon(y)(i - bpp) else 0
+            val up = if (y > 0) recon(y - 1)(i) else 0
+            val ul = if (y > 0 && i >= bpp) recon(y - 1)(i - bpp) else 0
+            recon(y)(i) = (filter match {
+              case 0 => x
+              case 1 => x + a           // Sub
+              case 2 => x + up          // Up
+              case 3 => x + (a + up) / 2 // Average
+              case 4 => x + paeth(a, up, ul)
+              case f => throw new IllegalArgumentException(s"unsupported PNG filter $f")
+            }) & 0xFF
+            i += 1
+          }
+          y += 1
+        }
+        passOff += ph * (1 + stride)
+        // scatter onto the pass lattice; 16-bit samples are big-endian, so
+        // byte 0 of each sample IS the high byte
+        var py = 0
+        while (py < ph) {
+          var px = 0
+          while (px < pw) {
+            var c = 0
+            while (c < channels) {
+              samples(ys + py * yst)((xs + px * xst) * channels + c) =
+                recon(py)(px * bpp + c * bytesPerSample)
+              c += 1
+            }
+            px += 1
+          }
+          py += 1
+        }
       }
-      y += 1
     }
-    // grayscale view: identity for type 0; ITU-R BT.601 integer luma for
-    // RGB/RGBA (alpha ignored) — deterministic integer math cross-platform
+    // grayscale view: identity for types 0/4 (alpha ignored); ITU-R BT.601
+    // integer luma for RGB/RGBA; palette indices resolve through PLTE —
+    // deterministic integer math cross-platform
     Array.tabulate(h, w) { (yy, xx) =>
-      if (colorType == 0) recon(yy)(xx)
+      val o = xx * channels
+      if (colorType == 0 || colorType == 4) samples(yy)(o)
       else if (colorType == 3) {
-        val i = recon(yy)(xx) * 3
-        require(i + 2 < palette.length, s"palette index ${recon(yy)(xx)} out of range")
+        val i = samples(yy)(o) * 3
+        require(i + 2 < palette.length, s"palette index ${samples(yy)(o)} out of range")
         (299 * (palette(i) & 0xFF) + 587 * (palette(i + 1) & 0xFF) +
           114 * (palette(i + 2) & 0xFF)) / 1000
-      } else {
-        val o = xx * bpp
-        (299 * recon(yy)(o) + 587 * recon(yy)(o + 1) + 114 * recon(yy)(o + 2)) / 1000
-      }
+      } else
+        (299 * samples(yy)(o) + 587 * samples(yy)(o + 1) +
+          114 * samples(yy)(o + 2)) / 1000
     }
   }
 

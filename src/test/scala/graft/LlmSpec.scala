@@ -425,9 +425,129 @@ class LlmSpec extends SparkSpec {
     val want = Array.tabulate(h, w)((y, x) =>
       (299 * rgb(y)(x * 3) + 587 * rgb(y)(x * 3 + 1) + 114 * rgb(y)(x * 3 + 2)) / 1000)
     assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
-    // palette (type 3) refuses instead of guessing
+    // palette (type 3) without PLTE refuses instead of guessing
     val pal = png.clone(); pal(8 + 4 + 4 + 9) = 3 // IHDR color-type byte
     intercept[Exception](Multimodal.decodePngGray(pal))
+  }
+
+  test("PNG decode covers Adam7 interlace and 16-bit depth (ImageIO cross-check)") {
+    import graft.functions.Multimodal
+    def ihdrByte(png: Array[Byte], i: Int): Int = png(8 + 8 + i) & 0xFF
+    // Adam7 grayscale: the JDK PNG writer's progressive mode IS Adam7 —
+    // an independent encoder producing all seven passes, incl. the ragged
+    // ones (21x13 is not a multiple of 8, so pass widths differ)
+    val (w, h) = (21, 13)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 31 + y * 17) % 256)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val param = wr.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); wr.dispose()
+    val png = out.toByteArray
+    assert(ihdrByte(png, 12) == 1, "ImageIO did not write Adam7") // interlace byte
+    val mine = Multimodal.decodePngGray(png)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(mine(y)(x) == (x * 31 + y * 17) % 256, s"adam7 ($x,$y)")
+
+    // 16-bit grayscale: decode keeps the high byte (the standard v>>8
+    // depth reduction) — low-byte variation must not leak into the luma
+    val img16 = new java.awt.image.BufferedImage(9, 7,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 7; x <- 0 until 9)
+      img16.getRaster.setSample(x, y, 0, ((x * 37 + y * 91) % 256) * 256 + (x * 7 + y) % 256)
+    val out16 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img16, "png", out16)
+    val png16 = out16.toByteArray
+    assert(ihdrByte(png16, 8) == 16, "ImageIO did not write 16-bit")
+    val mine16 = Multimodal.decodePngGray(png16)
+    for (y <- 0 until 7; x <- 0 until 9)
+      assert(mine16(y)(x) == (x * 37 + y * 91) % 256, s"16-bit ($x,$y)")
+
+    // 16-bit + Adam7 together (both code paths compose)
+    val outB = new java.io.ByteArrayOutputStream()
+    val wrB = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val paramB = wrB.getDefaultWriteParam
+    paramB.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val iosB = javax.imageio.ImageIO.createImageOutputStream(outB)
+    wrB.setOutput(iosB)
+    wrB.write(null, new javax.imageio.IIOImage(img16, null, null), paramB)
+    iosB.close(); wrB.dispose()
+    val pngB = outB.toByteArray
+    assert(ihdrByte(pngB, 8) == 16 && ihdrByte(pngB, 12) == 1)
+    val mineB = Multimodal.decodePngGray(pngB)
+    for (y <- 0 until 7; x <- 0 until 9)
+      assert(mineB(y)(x) == (x * 37 + y * 91) % 256, s"16-bit adam7 ($x,$y)")
+  }
+
+  test("PNG decode covers gray+alpha (type 4); sub-8-bit still refuses") {
+    import graft.functions.Multimodal
+    // hand-build a type-4 PNG (gray+alpha, bpp=2) with mixed filters so
+    // the 2-byte filter unit is exercised
+    val rnd = new scala.util.Random(19)
+    val w = 6; val h = 5; val bpp = 2
+    val ga = Array.fill(h, w * bpp)(rnd.nextInt(256))
+    def paeth(a: Int, up: Int, ul: Int): Int = {
+      val p = a + up - ul
+      val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) up else ul
+    }
+    val filters = Array(0, 1, 2, 3, 4)
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      raw.write(filters(y))
+      for (i <- 0 until w * bpp) {
+        val a = if (i >= bpp) ga(y)(i - bpp) else 0
+        val up = if (y > 0) ga(y - 1)(i) else 0
+        val ul = if (y > 0 && i >= bpp) ga(y - 1)(i - bpp) else 0
+        val x = filters(y) match {
+          case 0 => ga(y)(i)
+          case 1 => ga(y)(i) - a
+          case 2 => ga(y)(i) - up
+          case 3 => ga(y)(i) - (a + up) / 2
+          case 4 => ga(y)(i) - paeth(a, up, ul)
+        }
+        raw.write(x & 0xFF)
+      }
+    }
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val td = tag.getBytes("US-ASCII") ++ data
+      crc.update(td)
+      be32(data.length) ++ td ++ be32(crc.getValue.toInt)
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw.toByteArray); defl.finish()
+    val idat = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) idat.write(buf, 0, defl.deflate(buf))
+    val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 4, 0, 0, 0) // 8-bit gray+alpha
+    val png = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", idat.toByteArray) ++
+      chunk("IEND", Array.empty)
+    val got = Multimodal.decodePngGray(png)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(got(y)(x) == ga(y)(x * 2), s"type-4 ($x,$y): alpha must not leak")
+
+    // sub-8-bit palette packing still refuses: a 16-color IndexColorModel
+    // makes ImageIO write 4-bit indices
+    val r4 = Array.tabulate(16)(i => (i * 17).toByte)
+    val cm = new java.awt.image.IndexColorModel(4, 16, r4, r4, r4)
+    val img4 = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY, cm)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img4.getRaster.setSample(x, y, 0, (x + y) % 16)
+    val out4 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img4, "png", out4)
+    val png4 = out4.toByteArray
+    assert((png4(8 + 8) & 0xFF) < 8, "expected a sub-8-bit palette PNG")
+    intercept[Exception](Multimodal.decodePngGray(png4))
   }
 
   test("dHash: one-pixel edit stays within Hamming 2; pixel-replication upscale is invariant") {
