@@ -224,3 +224,63 @@ object ProbeMv {
     spark.stop()
   }
 }
+
+/** OPTIMIZE ZORDER scale probe (round-11): time the z-order rewrite and
+  * the pruned 2-D rectangle read it buys, at two table sizes. The rewrite
+  * is one approxQuantile sketch pass + one range-shuffle-and-sort — it
+  * must grow ~linearly (sort-bound), never super-linearly from the
+  * bucketing. The rectangle read must stay pinned to the files the curve
+  * keeps (~constant FRACTION of the table), with the full-scan control
+  * growing linearly — the widening gap is what the layout buys.
+  *
+  * Usage: runMain graft.ProbeZorder <rowsSmall> <rowsBig>
+  */
+object ProbeZorder {
+  def main(args: Array[String]): Unit = {
+    import graft.sources.SnapshotStore
+    import org.apache.spark.sql.functions.col
+    val Array(nSmall, nBig) = args.take(2).map(_.toLong)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def run(n: Long): (Double, Double, Double, Int, Int) = {
+      val root = GateTmp.freshDir(s"probe_z_$n")
+      // two independent skewed-ish dims + payload pad (realistic row width)
+      val df = spark.range(n).selectExpr(
+        "abs(hash(id * 2 + 1)) % 1000000 AS x",
+        "abs(hash(id * 2)) % 1000000 AS y",
+        "repeat('x', 64) AS pad")
+      SnapshotStore.init(spark, root, df.repartition(8))
+      val opt = time(SnapshotStore.optimize(spark, root,
+        targetRows = math.max(1, n / 64), statsCols = Seq("x", "y"),
+        zorderBy = Seq("x", "y")))
+      val snap = SnapshotStore.latest(root)
+      val (lo, hi) = (400000L, 600000L) // middle-fifth rectangle, both dims
+      val pred = col("max_x") >= lo && col("min_x") <= hi &&
+        col("max_y") >= lo && col("min_y") <= hi
+      val (prunedDf, kept, total) = SnapshotStore.readPruned(spark, snap, pred)
+      val rect = col("x").between(lo, hi) && col("y").between(lo, hi)
+      val pruned = time(prunedDf.filter(rect).selectExpr("count(*)").collect())
+      val full = time(SnapshotStore.read(spark, snap)
+        .filter(rect).selectExpr("count(*)").collect())
+      (opt, pruned, full, kept, total)
+    }
+    run(nSmall) // warm-up: JIT + parquet codepaths
+    val (so, sp, sf, sk, st) = run(nSmall)
+    val (bo, bp, bf, bk, bt) = run(nBig)
+    println(f"rows=$nSmall%d optimize=$so%.2fs pruned-rect=$sp%.2fs " +
+      f"full-rect=$sf%.2fs kept=$sk/$st")
+    println(f"rows=$nBig%d optimize=$bo%.2fs pruned-rect=$bp%.2fs " +
+      f"full-rect=$bf%.2fs kept=$bk/$bt")
+    println(f"growth optimize=${bo / so}%.2fx pruned=${bp / sp}%.2fx " +
+      f"full=${bf / sf}%.2fx pruned-vs-full-at-big=${bf / bp}%.2fx")
+    spark.stop()
+  }
+}

@@ -838,4 +838,59 @@ class GraftCatalogSpec extends SparkSpec {
     // cloning onto an existing table refuses
     intercept[Exception](spark.sql("CALL graft.system.clone('cs', 'cd')"))
   }
+
+  test("small catalog tables auto-broadcast from scan statistics (no hint)") {
+    wh
+    spark.sql("CREATE TABLE graft.bdim (k BIGINT, label STRING)")
+    spark.sql(
+      "INSERT INTO graft.bdim SELECT id, concat('l', id) FROM range(100)")
+    spark.range(0, 200000).selectExpr("id", "id % 100 AS k")
+      .createOrReplaceTempView("bfact")
+    // no broadcast() hint anywhere: the decision must come from the DSv2
+    // scan's reported statistics (file bytes of the snapshot dir) being
+    // under autoBroadcastJoinThreshold — the stats surface a 100 TB
+    // planner lives on (a dim table behind an opaque scan with no stats
+    // would sort-merge and shuffle the fact side)
+    val joined = spark.sql(
+      """SELECT f.id, d.label FROM bfact f
+        |JOIN graft.bdim d ON f.k = d.k""".stripMargin)
+    joined.collect()
+    def hasBhj(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        hasBhj(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        hasBhj(q.plan) // stages report no children
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+      case other => other.children.exists(hasBhj)
+    }
+    assert(hasBhj(joined.queryExecution.executedPlan),
+      s"expected auto-broadcast join:\n${joined.queryExecution.executedPlan}")
+  }
+
+  test("CALL optimize(zorder_by) works on named tables; manifest prunes both dims") {
+    wh
+    spark.sql("CREATE TABLE graft.zt (x BIGINT, y BIGINT, v BIGINT)")
+    spark.sql(
+      """INSERT INTO graft.zt
+        |SELECT abs(hash(id * 2 + 1)) % 100000, abs(hash(id * 2)) % 100000, id
+        |FROM range(200000)""".stripMargin)
+    spark.sql("CALL graft.system.optimize(`table` => 'zt', " +
+      "target_rows => 3200, stats_cols => 'x,y', zorder_by => 'x,y')")
+    val snap = SnapshotStore.latest(s"$wh/zt")
+    def kept(pred: org.apache.spark.sql.Column): (Int, Int) = {
+      val (_, k, t) = SnapshotStore.readPruned(spark, snap, pred)
+      (k, t)
+    }
+    val (kx, tx) = kept($"max_x" >= 40000L && $"min_x" <= 60000L)
+    val (ky, ty) = kept($"max_y" >= 40000L && $"min_y" <= 60000L)
+    assert(kx * 2 < tx, s"x band kept $kx of $tx")
+    assert(ky * 2 < ty, s"y band kept $ky of $ty")
+    // zorder_by and cluster_by together refuse
+    intercept[Exception](spark.sql(
+      "CALL graft.system.optimize(`table` => 'zt', target_rows => 3200, " +
+        "cluster_by => 'x', zorder_by => 'x,y')"))
+    // value identity through the SQL read path
+    assert(spark.sql("SELECT CAST(sum(v) AS BIGINT) FROM graft.zt")
+      .head().getLong(0) == (0L until 200000L).sum)
+  }
 }
