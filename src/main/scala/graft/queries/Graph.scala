@@ -564,7 +564,52 @@ object Graph {
            |    AS BIGINT) AS cc_micro
            |FROM deg d LEFT JOIN tpn t ON t.doc_id = d.n
            |WHERE d.deg >= 2
-           |ORDER BY doc_id""".stripMargin))
+           |ORDER BY doc_id""".stripMargin)),
+
+    // Q100 [extension: recursive CTE] Bounded-depth graph walk as a BARE
+    // `WITH RECURSIVE` statement — the SQL face of the engine's iterative
+    // graph machinery (q85 writes the same relaxation as a DataFrame loop
+    // with explicit checkpoint hygiene; an analyst writes THIS). Spark
+    // 4's recursive CTE (UnionLoop) executes each step as a distributed
+    // join against the previous step's output; as of 4.1 only UNION ALL
+    // recursion is supported (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so
+    // on the cyclic link graph termination comes from the `hops < 5`
+    // depth guard — the standard bounded-walk shape — and min-hops is
+    // aggregated OUTSIDE the loop. Seeds are q85's (doc_id % 17 = 0) over
+    // the SAME memoized edge DF every graph gate shares; the oracle runs
+    // the identical recursive statement in DuckDB over the edge CTE.
+    // Scale: each step shuffles only the frontier-join output; the walk's
+    // path count is bounded by seeds × branching^depth (a depth guard is
+    // mandatory on cyclic inputs anyway), and the closing groupBy folds
+    // it back to ≤ |V| rows — for UNbounded closure, q85/q86's
+    // dedup-per-round DataFrame loops remain the scale path.
+    "q100_recursive_cte" -> QueryDef(
+      build = (s, d) => {
+        val (docs, edges) = linkGraph(s, d)
+        docs.createOrReplaceTempView("q100_docs")
+        edges.createOrReplaceTempView("q100_edges")
+        s.sql(
+          """WITH RECURSIVE walk AS (
+            |  SELECT doc_id, CAST(0 AS BIGINT) AS hops
+            |  FROM q100_docs WHERE doc_id % 17 = 0
+            |  UNION ALL
+            |  SELECT e.dst AS doc_id, w.hops + CAST(1 AS BIGINT) AS hops
+            |  FROM walk w JOIN q100_edges e ON e.src = w.doc_id
+            |  WHERE w.hops < 5)
+            |SELECT doc_id, MIN(hops) AS hops
+            |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE $edgesSql,
+           |walk AS (
+           |  SELECT doc_id, CAST(0 AS BIGINT) AS hops
+           |  FROM docs WHERE doc_id % 17 = 0
+           |  UNION ALL
+           |  SELECT e.dst AS doc_id, w.hops + CAST(1 AS BIGINT) AS hops
+           |  FROM walk w JOIN edges e ON e.src = w.doc_id
+           |  WHERE w.hops < 5)
+           |SELECT doc_id, CAST(MIN(hops) AS BIGINT) AS hops
+           |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** Shared by q73b/q83: undirected degree table `(n, deg)` and per-node
