@@ -635,6 +635,108 @@ object LlmText {
            |  GROUP BY b.doc_id)
            |SELECT doc_id, n_bigrams, s // n_bigrams AS nll_micro
            |FROM scored ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Q101 [extension: e2e corpus pipeline] The batch twin of q91's
+    // streaming closure: the whole training-data curation pipeline as ONE
+    // DAG — quality rules (q28e) → language-id keep-list (q28c) → exact
+    // dedup on normalized text (q27, first-occurrence winner) → per-domain
+    // frequency cap (q62, deterministic hash priority) → fixed-budget
+    // sequence packing (q54, running-sum bins) — with the DuckDB oracle
+    // replaying every stage as CTE algebra. Each stage is individually
+    // oracle-gated elsewhere; THIS gate pins that their composition is
+    // deterministic end-to-end (every stage's keep-set and ordering is a
+    // pure function of the data, never of scan order, task scheduling, or
+    // cluster size — the property that makes a 100 TB curation run
+    // reproducible and auditable).
+    //
+    // Scale shape: stages 1–2 are per-row projections fused into the scan
+    // (zero shuffle); dedup is one hash shuffle on the normalized text;
+    // cap and packing are per-source window ranks — one shuffle on
+    // `source`, local top-N/running-sum within each domain, never a
+    // global sort before the output ORDER BY.
+    "q101_corpus_pipeline" -> QueryDef(
+      build = (s, d) => {
+        val w = split($("text"), " ")
+        val stop = array(lit("the"), lit("a"))
+        val profiles = Seq(
+          ("en", Seq("the", "a", "fast", "slow", "big", "small")),
+          ("es", Seq("data", "table", "row", "column")),
+          ("fr", Seq("query", "filter", "join", "group")))
+        var t = Tables.documents(s, d)
+          .withColumn("n_tok", size(w).cast("long"))
+          .withColumn("n_uniq", size(array_distinct(w)).cast("long"))
+          .withColumn("n_stop",
+            size(filter(w, x => array_contains(stop, x))).cast("long"))
+          .filter($("n_tok") >= 20 && $("n_tok") <= 90 &&
+            $("n_uniq") * 100 >= $("n_tok") * 25 &&
+            $("n_stop") * 100 <= $("n_tok") * 40)
+        val wd = array_distinct(w)
+        for ((lang, prof) <- profiles)
+          t = t.withColumn(s"score_$lang",
+            size(array_intersect(wd, array(prof.map(lit): _*))).cast("long"))
+        val en = t.filter(
+          $("score_en") >= $("score_es") && $("score_en") >= $("score_fr"))
+        val dd = en
+          .withColumn("norm", regexp_replace(lower(trim($("text"))), "\\s+", " "))
+          .withColumn("dup_rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($("norm")).orderBy($("doc_id"))))
+          .filter($("dup_rn") === 1)
+        val cap = dd
+          .withColumn("h",
+            pmod($("doc_id") * lit(2654435761L) + lit(7L), lit(1000000007L)))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($("source")).orderBy($("h"), $("doc_id"))).cast("long"))
+          .filter($("rk") <= 40)
+        val off = org.apache.spark.sql.expressions.Window
+          .partitionBy($("source")).orderBy($("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        cap
+          .withColumn("start_off", coalesce(sum($("n_tok")).over(off), lit(0L)))
+          .withColumn("bin", floor($("start_off") / 256).cast("long"))
+          .select($("doc_id"), $("source"), $("n_tok"), $("rk"), $("bin"))
+          .orderBy($("doc_id"))
+      },
+      oracle = Some(
+        """WITH t AS (
+          |  SELECT doc_id, source, text, string_split(text, ' ') AS w
+          |  FROM documents),
+          |q AS (
+          |  SELECT *, CAST(len(w) AS BIGINT) AS n_tok FROM t
+          |  WHERE len(w) BETWEEN 20 AND 90
+          |    AND len(list_distinct(w)) * 100 >= len(w) * 25
+          |    AND len(list_filter(w, x -> x IN ('the','a'))) * 100 <= len(w) * 40),
+          |l AS (
+          |  SELECT *,
+          |    len(list_intersect(list_distinct(w),
+          |      ['the','a','fast','slow','big','small'])) AS s_en,
+          |    len(list_intersect(list_distinct(w),
+          |      ['data','table','row','column'])) AS s_es,
+          |    len(list_intersect(list_distinct(w),
+          |      ['query','filter','join','group'])) AS s_fr
+          |  FROM q),
+          |en AS (SELECT * FROM l WHERE s_en >= s_es AND s_en >= s_fr),
+          |dd AS (
+          |  SELECT * FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+          |      ORDER BY doc_id) AS dup_rn
+          |    FROM en) WHERE dup_rn = 1),
+          |cap AS (
+          |  SELECT * FROM (
+          |    SELECT *, CAST(row_number() OVER (PARTITION BY source
+          |      ORDER BY (doc_id * 2654435761 + 7) % 1000000007, doc_id)
+          |      AS BIGINT) AS rk
+          |    FROM dd) WHERE rk <= 40),
+          |packed AS (
+          |  SELECT *, CAST(COALESCE(sum(n_tok) OVER (
+          |      PARTITION BY source ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          |    AS start_off
+          |  FROM cap)
+          |SELECT doc_id, source, n_tok, rk, start_off // 256 AS bin
+          |FROM packed ORDER BY doc_id""".stripMargin))
   )
 }
