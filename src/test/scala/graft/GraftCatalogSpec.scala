@@ -885,6 +885,19 @@ class GraftCatalogSpec extends SparkSpec {
     val (ky, ty) = kept($"max_y" >= 40000L && $"min_y" <= 60000L)
     assert(kx * 2 < tx, s"x band kept $kx of $tx")
     assert(ky * 2 < ty, s"y band kept $ky of $ty")
+    // the SQL read path prunes from the same manifest at PLANNING time —
+    // on EITHER dimension (the multi-dim win over cluster_by)
+    def scanFiles(sql: String): Int =
+      spark.sql(sql).queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2
+            .parquet.ParquetScan].fileIndex.inputFiles.length
+      }.sum
+    val totalSql = scanFiles("SELECT * FROM graft.zt")
+    val fx = scanFiles("SELECT v FROM graft.zt WHERE x BETWEEN 40000 AND 60000")
+    val fy = scanFiles("SELECT v FROM graft.zt WHERE y BETWEEN 40000 AND 60000")
+    assert(fx * 2 < totalSql, s"SQL x band planned $fx of $totalSql files")
+    assert(fy * 2 < totalSql, s"SQL y band planned $fy of $totalSql files")
     // zorder_by and cluster_by together refuse
     intercept[Exception](spark.sql(
       "CALL graft.system.optimize(`table` => 'zt', target_rows => 3200, " +

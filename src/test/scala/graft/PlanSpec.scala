@@ -432,4 +432,23 @@ class PlanSpec extends SparkSpec {
     val merged = graft.sources.SnapshotStore.read(spark, snap)
     assert(merged.count() == 60L) // 50 updated + 10 inserted
   }
+
+  test("q28m: bigrams form via zip_with — no window, no positional self-join") {
+    val p = plan("q28m_ngram_perplexity")
+    // pairing adjacent tokens must stay a per-row array op; a lag window
+    // or a pos==pos+1 self-join would add a doc-keyed shuffle per token
+    assert(!p.contains("Window"), s"no window may form the bigrams:\n$p")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q101: pipeline composition shuffles only at dedup, source windows, and sort") {
+    val p = plan("q101_corpus_pipeline")
+    val ex = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    // norm-hash (dedup) + source-hash (cap+packing share the partitioning)
+    // + final range sort = 3; the quality/lang stages must fuse into the
+    // scan and add none
+    assert(ex <= 3, s"q101 must shuffle at most 3 times, saw $ex:\n$p")
+    assert(!p.contains("Join"), s"the pipeline is join-free:\n$p")
+  }
 }
