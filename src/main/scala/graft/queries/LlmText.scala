@@ -19,6 +19,65 @@ import org.apache.spark.sql.functions._
 object LlmText {
   private def $(name: String) = col(name)
 
+  // ---- bigram language model (q28m/q28n) -------------------------------
+  // tokens as arrays; bigrams via zip_with over the split array (per-row,
+  // no positional self-join, no window — PlanSpec-locked); scoring = one
+  // shuffle join of the bigram stream against the (w1,w2)-keyed counts,
+  // with the left-token marginal derived FROM the bigram counts so
+  // numerator and denominator stay consistent by construction. Integer
+  // micro-nats throughout (q76's float-proof trick).
+  private def lmTokens(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d).select($("doc_id"), split($("text"), " ").as("a"))
+
+  private def lmBigrams(toks: org.apache.spark.sql.DataFrame) =
+    toks.filter(size($("a")) >= 2)
+      .select($("doc_id"), explode(zip_with(
+        slice($("a"), lit(1), size($("a")) - 1),
+        slice($("a"), lit(2), size($("a")) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("z"))
+      .select($("doc_id"), $("z.w1").as("w1"), $("z.w2").as("w2"))
+
+  private def lmScore(big: org.apache.spark.sql.DataFrame,
+      c2: org.apache.spark.sql.DataFrame,
+      vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val lnu = (c: org.apache.spark.sql.Column) =>
+      round(log(c) * 1000000).cast("long")
+    val c1 = c2.groupBy($("w1")).agg(sum($("n2")).as("n1"))
+    big.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy($("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(lnu($("n1") + $("vocab")) - lnu($("n2") + lit(1))).as("s"))
+      .select($("doc_id"), $("n_bigrams"),
+        expr("s div n_bigrams").as("nll_micro"))
+      .orderBy($("doc_id"))
+  }
+
+  /** Shared by q28m (fresh-trained) and q28n (pinned-model) — the scores
+    * must be identical by construction, so both gate against this SQL.
+    */
+  private val lmOracleSql: String = {
+    def lnu(e: String) = s"CAST(round(ln($e) * 1000000) AS BIGINT)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+       |big AS (
+       |  SELECT doc_id, u.z[1] AS w1, u.z[2] AS w2
+       |  FROM (SELECT doc_id, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS z
+       |        FROM toks WHERE len(a) >= 2) u),
+       |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2
+       |       FROM big GROUP BY w1, w2),
+       |c1 AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
+       |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab
+       |      FROM (SELECT unnest(a) AS w FROM toks)),
+       |scored AS (
+       |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(${lnu("c1.n1 + vocab")} - ${lnu("c2.n2 + 1")}) AS BIGINT) AS s
+       |  FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+       |  GROUP BY b.doc_id)
+       |SELECT doc_id, n_bigrams, s // n_bigrams AS nll_micro
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Q28 [extension: quality scoring + fingerprint] per-document stats:
@@ -592,50 +651,51 @@ object LlmText {
     // (one row) is collected.
     "q28m_ngram_perplexity" -> QueryDef(
       build = (s, d) => {
-        val lnu = (c: org.apache.spark.sql.Column) =>
-          round(log(c) * 1000000).cast("long")
-        val toks = Tables.documents(s, d)
-          .select($("doc_id"), split($("text"), " ").as("a"))
-        val big = toks.filter(size($("a")) >= 2)
-          .select($("doc_id"), explode(zip_with(
-            slice($("a"), lit(1), size($("a")) - 1),
-            slice($("a"), lit(2), size($("a")) - 1),
-            (x, y) => struct(x.as("w1"), y.as("w2")))).as("z"))
-          .select($("doc_id"), $("z.w1").as("w1"), $("z.w2").as("w2"))
-        val c2 = big.groupBy($("w1"), $("w2")).agg(count(lit(1)).as("n2"))
-        val c1 = c2.groupBy($("w1")).agg(sum($("n2")).as("n1"))
-        val vocab = toks.select(explode($("a")).as("w"))
-          .agg(count_distinct($("w")).as("vocab"))
-        big.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-          .crossJoin(broadcast(vocab))
-          .groupBy($("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"),
-            sum(lnu($("n1") + $("vocab")) - lnu($("n2") + lit(1))).as("s"))
-          .select($("doc_id"), $("n_bigrams"),
-            expr("s div n_bigrams").as("nll_micro"))
-          .orderBy($("doc_id"))
+        val toks = lmTokens(s, d)
+        val big = lmBigrams(toks)
+        lmScore(big,
+          big.groupBy($("w1"), $("w2")).agg(count(lit(1)).as("n2")),
+          toks.select(explode($("a")).as("w"))
+            .agg(count_distinct($("w")).as("vocab")))
       },
-      oracle = Some {
-        def lnu(e: String) = s"CAST(round(ln($e) * 1000000) AS BIGINT)"
-        s"""WITH toks AS (
-           |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),
-           |big AS (
-           |  SELECT doc_id, u.z[1] AS w1, u.z[2] AS w2
-           |  FROM (SELECT doc_id, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS z
-           |        FROM toks WHERE len(a) >= 2) u),
-           |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2
-           |       FROM big GROUP BY w1, w2),
-           |c1 AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
-           |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab
-           |      FROM (SELECT unnest(a) AS w FROM toks)),
-           |scored AS (
-           |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           |    CAST(sum(${lnu("c1.n1 + vocab")} - ${lnu("c2.n2 + 1")}) AS BIGINT) AS s
-           |  FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
-           |  GROUP BY b.doc_id)
-           |SELECT doc_id, n_bigrams, s // n_bigrams AS nll_micro
-           |FROM scored ORDER BY doc_id""".stripMargin
-      }),
+      oracle = Some(lmOracleSql)),
+
+    // Q28n [extension: pinned LM scoring] The production lifecycle of
+    // q28m's model: the trained bigram counts and vocabulary are PERSISTED
+    // as SnapshotStore tables (the same train/serve split as q26e/q26f/
+    // q77b — a scoring job must use the exact deployed model, never a
+    // retrain that silently shifts every score), a deliberate degenerate
+    // retrain lands on top as v1, and scoring loads the PINNED v0 —
+    // adversarially proven: the gate's output is hash-identical to q28m's
+    // fresh-trained scores (same oracle verbatim) even though the tables'
+    // HEAD is now a one-row garbage model, and the build require()s the
+    // retrain really landed. Model state is k-bigram-scale distributed
+    // data, never driver-side; version pinning is the store's normal
+    // time-travel read.
+    "q28n_perplexity_pinned" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.SnapshotStore
+        val toks = lmTokens(s, d)
+        val big = lmBigrams(toks)
+        val lmRoot = graft.GateTmp.freshDir("q28n_lm")
+        val vRoot = graft.GateTmp.freshDir("q28n_vocab")
+        SnapshotStore.init(s, lmRoot,
+          big.groupBy($("w1"), $("w2")).agg(count(lit(1)).as("n2")))
+        SnapshotStore.init(s, vRoot,
+          toks.select(explode($("a")).as("w"))
+            .agg(count_distinct($("w")).as("vocab")))
+        // degenerate retrain on top: v1 is a one-row garbage model
+        SnapshotStore.transact(s, lmRoot)(base => base.limit(1))
+        SnapshotStore.transact(s, vRoot)(base =>
+          base.select(($("vocab") * 1000000L).as("vocab")))
+        require(SnapshotStore.latest(lmRoot).version == 1L &&
+          SnapshotStore.latest(vRoot).version == 1L,
+          "degenerate retrain must land as v1")
+        lmScore(big,
+          SnapshotStore.read(s, SnapshotStore.at(lmRoot, 0L)),
+          SnapshotStore.read(s, SnapshotStore.at(vRoot, 0L)))
+      },
+      oracle = Some(lmOracleSql)),
 
     // Q101 [extension: e2e corpus pipeline] The batch twin of q91's
     // streaming closure: the whole training-data curation pipeline as ONE
