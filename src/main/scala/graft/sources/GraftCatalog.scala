@@ -75,7 +75,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def name(): String = catalogName
 
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private[sources] def warehousePath: String = warehouse
 
@@ -204,7 +205,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"nested column add not supported: ${add.fieldNames.mkString(".")}")
           require(!s.exists(_.name.equalsIgnoreCase(add.fieldNames()(0))),
             s"column ${add.fieldNames()(0)} already exists")
-          s.add(add.fieldNames()(0), add.dataType(), nullable = true)
+          // ADD COLUMN … DEFAULT v: standard-SQL backfill WITHOUT a
+          // rewrite — the default rides as the field's CURRENT_DEFAULT /
+          // EXISTS_DEFAULT metadata (Spark's own column-default contract),
+          // pinned in _schema.json. Files written BEFORE the column
+          // existed lack it physically, and the reader fills the
+          // EXISTS_DEFAULT at scan time — so at 100 TB the "backfill" is
+          // one metadata commit, never a table rewrite; rows written
+          // after the ALTER store their values (an explicit NULL stays
+          // NULL), exactly the existence-default semantics. Only
+          // CONSTANT defaults are accepted: EXISTS_DEFAULT must be a
+          // value frozen at ALTER time (a re-evaluated current_date()
+          // would drift per read).
+          val field = Option(add.defaultValue()) match {
+            case None =>
+              org.apache.spark.sql.types.StructField(
+                add.fieldNames()(0), add.dataType(), nullable = true)
+            case Some(dv) =>
+              val lv = Option(dv.getValue).getOrElse(
+                throw new UnsupportedOperationException(
+                  s"non-constant DEFAULT for ${add.fieldNames()(0)}: " +
+                    s"${dv.getSql} (literal defaults only)"))
+              val litSql = org.apache.spark.sql.catalyst.expressions
+                .Literal(lv.value, lv.dataType).sql
+              org.apache.spark.sql.types.StructField(
+                add.fieldNames()(0), add.dataType(), nullable = true,
+                new org.apache.spark.sql.types.MetadataBuilder()
+                  .putString("CURRENT_DEFAULT",
+                    Option(dv.getSql).getOrElse(litSql))
+                  .putString("EXISTS_DEFAULT", litSql)
+                  .build())
+          }
+          org.apache.spark.sql.types.StructType(s.fields :+ field)
         case (s, del: TableChange.DeleteColumn) =>
           require(del.fieldNames.length == 1,
             s"nested column drop not supported: ${del.fieldNames.mkString(".")}")

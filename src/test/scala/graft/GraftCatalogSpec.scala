@@ -839,6 +839,53 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql("CALL graft.system.clone('cs', 'cd')"))
   }
 
+  test("ADD COLUMN DEFAULT backfills old rows at scan time, no rewrite") {
+    wh
+    spark.sql("CREATE TABLE graft.dft (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.dft SELECT id, id * 2 FROM range(5)") // v1: no 'tier'
+    val v1files = Files.list(Paths.get(SnapshotStore.latest(s"$wh/dft").dataDir))
+    val before = {
+      import scala.jdk.CollectionConverters._
+      try v1files.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(f => Files.readAttributes(f,
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()).toSet
+      finally v1files.close()
+    }
+    spark.sql("ALTER TABLE graft.dft ADD COLUMN tier BIGINT DEFAULT 7")
+    // metadata-only: v2 hard-links v1's files (no rewrite "backfill")
+    val v2files = Files.list(Paths.get(SnapshotStore.latest(s"$wh/dft").dataDir))
+    val after = {
+      import scala.jdk.CollectionConverters._
+      try v2files.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(f => Files.readAttributes(f,
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()).toSet
+      finally v2files.close()
+    }
+    assert(after == before, "ALTER with DEFAULT must link, not rewrite")
+    // pre-ALTER rows read the existence default
+    assert(spark.sql("SELECT tier FROM graft.dft WHERE id = 3")
+      .head().getLong(0) == 7L)
+    // INSERT omitting the column gets the current default, not NULL
+    spark.sql("INSERT INTO graft.dft (id, v) VALUES (100, 200)")
+    assert(spark.sql("SELECT tier FROM graft.dft WHERE id = 100")
+      .head().getLong(0) == 7L)
+    // an explicit NULL written AFTER the ALTER stays NULL (the default is
+    // an absence-filler, not a null-rewriter)
+    spark.sql("INSERT INTO graft.dft VALUES (101, 202, NULL)")
+    assert(spark.sql("SELECT tier FROM graft.dft WHERE id = 101").head().isNullAt(0))
+    // and an explicit value wins
+    spark.sql("INSERT INTO graft.dft VALUES (102, 204, 9)")
+    assert(spark.sql(
+      "SELECT CAST(sum(coalesce(tier, -1)) AS BIGINT) FROM graft.dft")
+      .head().getLong(0) == 5 * 7 + 7 - 1 + 9)
+    // time travel: v1 predates the column entirely
+    assert(!spark.sql("SELECT * FROM graft.dft VERSION AS OF 1")
+      .columns.contains("tier"))
+    // non-constant defaults refuse loudly (EXISTS_DEFAULT must be frozen)
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft.dft ADD COLUMN ts_added STRING DEFAULT uuid()"))
+  }
+
   test("small catalog tables auto-broadcast from scan statistics (no hint)") {
     wh
     spark.sql("CREATE TABLE graft.bdim (k BIGINT, label STRING)")
