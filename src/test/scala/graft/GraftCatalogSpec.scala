@@ -884,6 +884,14 @@ class GraftCatalogSpec extends SparkSpec {
     // non-constant defaults refuse loudly (EXISTS_DEFAULT must be frozen)
     intercept[Exception](spark.sql(
       "ALTER TABLE graft.dft ADD COLUMN ts_added STRING DEFAULT uuid()"))
+    // CREATE TABLE with a DEFAULT column: the capability routes the
+    // default through the created schema's metadata, and INSERTs omitting
+    // the column fill it from day one
+    spark.sql(
+      "CREATE TABLE graft.dft2 (id BIGINT, tier BIGINT DEFAULT 3)")
+    spark.sql("INSERT INTO graft.dft2 (id) VALUES (1)")
+    assert(spark.sql("SELECT tier FROM graft.dft2 WHERE id = 1")
+      .head().getLong(0) == 3L)
   }
 
   test("small catalog tables auto-broadcast from scan statistics (no hint)") {
