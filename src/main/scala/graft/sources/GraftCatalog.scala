@@ -76,7 +76,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
-      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private[sources] def warehousePath: String = warehouse
 
@@ -133,6 +134,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       pinned = true)
   }
 
+  /** The v2-Column overload is the one Spark actually calls for CREATE
+    * TABLE; its DEFAULT bridge to the StructType form drops the identity
+    * spec on the floor, so convert the columns ourselves — identity
+    * (start/step/allowExplicitInsert) and DEFAULT both land as field
+    * metadata, the same encoding ALTER writes and `_schema.json` pins.
+    */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val schema = StructType(columns.map { c =>
+      require(c.generationExpression() == null,
+        s"generated columns are not supported (${c.name()})")
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+      if (c.metadataInJSON() != null)
+        md.withMetadata(org.apache.spark.sql.types.Metadata
+          .fromJson(c.metadataInJSON()))
+      Option(c.defaultValue()).foreach { dv =>
+        val lv = Option(dv.getValue).getOrElse(
+          throw new UnsupportedOperationException(
+            s"non-constant DEFAULT for ${c.name()}: ${dv.getSql} " +
+              "(literal defaults only)"))
+        val litSql = org.apache.spark.sql.catalyst.expressions
+          .Literal(lv.value, lv.dataType).sql
+        md.putString("CURRENT_DEFAULT", Option(dv.getSql).getOrElse(litSql))
+        md.putString("EXISTS_DEFAULT", litSql)
+      }
+      Option(c.identityColumnSpec()).foreach { idSpec =>
+        md.putLong("identity.start", idSpec.getStart)
+        md.putLong("identity.step", idSpec.getStep)
+        md.putBoolean("identity.allowExplicitInsert",
+          idSpec.isAllowExplicitInsert)
+      }
+      org.apache.spark.sql.types.StructField(
+        c.name(), c.dataType(), c.nullable(), md.build())
+    })
+    createTable(ident, schema, partitions, properties)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     // hive-style identity partitioning only (PARTITIONED BY (col, ...));
@@ -145,6 +184,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     require(partCols.forall(c => schema.fieldNames.exists(_.equalsIgnoreCase(c))),
       s"partition columns $partCols must be table columns")
+    // identity columns: validated here, assigned by appendWithIdentity on
+    // the insert path (v1 scope: one identity column, integral type,
+    // unpartitioned non-CDC table — the common warehouse shape)
+    val idFields = schema.fields.filter(_.metadata.contains("identity.start"))
+    if (idFields.nonEmpty) {
+      require(idFields.length == 1,
+        s"at most one identity column (got ${idFields.map(_.name).mkString(",")})")
+      require(idFields.head.dataType == org.apache.spark.sql.types.LongType ||
+        idFields.head.dataType == org.apache.spark.sql.types.IntegerType,
+        s"identity column ${idFields.head.name} must be integral")
+      require(partitions.isEmpty && !properties.containsKey(CdcKeysProp),
+        "identity columns are supported on unpartitioned non-CDC tables")
+    }
+    // store the identity column NULLABLE: the V1 insert fallback pads an
+    // omitted column with NULL before the engine ever sees the rows, and a
+    // non-nullable field trips Spark's null check there. Non-nullness is
+    // the ASSIGNMENT's guarantee (appendWithIdentity fills every NULL),
+    // not the schema's.
+    val storedSchema = StructType(schema.fields.map(f =>
+      if (f.metadata.contains("identity.start")) f.copy(nullable = true) else f))
     val root = rootOf(ident)
     if (isTable(root)) throw new TableAlreadyExistsException(ident)
     val keys = Option(properties.get(CdcKeysProp))
@@ -152,7 +211,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Files.createDirectories(Paths.get(root).getParent)
     SnapshotStore.init(spark, root,
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schema),
+        storedSchema),
       cdcKeys = keys, partitionBy = partCols)
     Option(properties.get(GraftCatalog.DmlModeProp))
       .foreach(SnapshotStore.setDmlMode(root, _))
@@ -669,8 +728,18 @@ private[sources] class GraftTable(spark: SparkSession, tableName: String,
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, fallbackOverwrite: Boolean): Unit = {
-              SnapshotStore.append(spark, root, data,
-                overwrite = overwrite || fallbackOverwrite)
+              val ow = overwrite || fallbackOverwrite
+              tableSchema.fields.find(_.metadata.contains("identity.start")) match {
+                case Some(f) =>
+                  SnapshotStore.appendWithIdentity(spark, root, data, f.name,
+                    start = f.metadata.getLong("identity.start"),
+                    step = f.metadata.getLong("identity.step"),
+                    allowExplicit =
+                      f.metadata.getBoolean("identity.allowExplicitInsert"),
+                    overwrite = ow)
+                case None =>
+                  SnapshotStore.append(spark, root, data, overwrite = ow)
+              }
               ()
             }
           }

@@ -337,6 +337,7 @@ object SnapshotStore {
       Files.createDirectories(dir)
       linkParquetTree(Paths.get(base.dataDir), dir)
       Files.writeString(dir.resolve("_schema.json"), next.json)
+      carryStateSidecars(base.dataDir, dir.toString)
       if (cdcKeys(root).nonEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(next.fields :+ org.apache.spark.sql.types.StructField(
@@ -387,6 +388,11 @@ object SnapshotStore {
       linkParquetTree(Paths.get(target.dataDir), dir)
       val sj = Paths.get(target.dataDir, "_schema.json")
       if (Files.exists(sj)) Files.copy(sj, dir.resolve("_schema.json"))
+      // identity high-water mark rolls back WITH the data (self-consistent
+      // restore semantics; ids re-allocated after the restore can repeat
+      // values that exist only in the undone, still-time-travelable
+      // versions)
+      carryStateSidecars(target.dataDir, dir.toString)
       val keys = cdcKeys(root)
       if (keys.nonEmpty) {
         // feed schema = the RESTORED version's columns (the table's schema
@@ -430,6 +436,7 @@ object SnapshotStore {
     linkParquetTree(Paths.get(src.dataDir), dir)
     val sj = Paths.get(src.dataDir, "_schema.json")
     if (Files.exists(sj)) Files.copy(sj, dir.resolve("_schema.json"))
+    carryStateSidecars(src.dataDir, dir.toString) // clone continues numbering
     val keys = cdcKeys(srcRoot)
     if (keys.nonEmpty)
       readDir(spark, dir.toString).withColumn(ChangeTypeCol, lit("insert"))
@@ -479,6 +486,122 @@ object SnapshotStore {
     * corrupts downstream apply) and emits the appended rows as its change
     * set; an overwrite falls back to the generic keyed diff.
     */
+  // ---- identity columns (GENERATED … AS IDENTITY) ----------------------
+
+  private def identityFile(dir: String): Path = Paths.get(dir, "_identity.json")
+
+  /** The next unallocated identity value: the `_identity.json` sidecar of
+    * the current snapshot's dir, `start` if none was ever written. The
+    * sidecar is SNAPSHOT STATE — it rides commits like `_schema.json`
+    * (carried forward by [[carryStateSidecars]] through DML/OPTIMIZE,
+    * linked by RESTORE/CLONE), so the high-water mark is versioned with
+    * the data and protected by the same commit CAS: a writer that read a
+    * stale mark loses the CAS and reassigns on rebase.
+    */
+  def identityNext(root: String, start: Long): Long = {
+    val f = identityFile(latest(root).dataDir)
+    if (Files.exists(f)) Files.readString(f).replaceAll("[^0-9-]", "").toLong
+    else start
+  }
+
+  /** Carry per-table STATE sidecars (currently the identity high-water
+    * mark) from the base snapshot into a freshly staged dir, unless the
+    * stager already wrote a newer one. Without this, any DML/OPTIMIZE
+    * commit would silently reset identity allocation.
+    */
+  private def carryStateSidecars(baseDir: String, dir: String): Unit = {
+    val src = identityFile(baseDir)
+    if (Files.exists(src) && !Files.exists(identityFile(dir)))
+      Files.copy(src, identityFile(dir))
+  }
+
+  /** Append with distributed identity assignment — the engine path behind
+    * `GENERATED ALWAYS/BY DEFAULT AS IDENTITY (START WITH s STEP k)`.
+    *
+    * Assignment is ONE cached pass plus a partition-count job, never a
+    * global window or a driver loop: each input row carries
+    * `monotonically_increasing_id()` (partition ordinal in the high bits,
+    * partition-local ordinal in the low 33), per-partition row counts
+    * prefix-sum into partition offsets (one tiny collect — #partitions
+    * rows), and the id is the pure projection
+    * `hwm + step * (offset(partition) + local ordinal)`. Explicit values
+    * (BY DEFAULT tables) keep their row's ordinal — their slot burns as a
+    * gap, which the identity contract allows; uniqueness and monotone
+    * allocation are what it promises. GENERATED ALWAYS refuses explicit
+    * non-NULL values loudly. The cache pins the partition layout across
+    * the count and assignment jobs (a recomputation could repartition a
+    * nondeterministic source). The new high-water mark lands in the
+    * staged dir via the transaction hook, so a lost commit race discards
+    * it and the rebase reassigns against the winner's mark — ids are
+    * unique under concurrency by the same CAS that orders the commits.
+    */
+  def appendWithIdentity(spark: SparkSession, root: String, rows: DataFrame,
+      idCol: String, start: Long, step: Long, allowExplicit: Boolean,
+      overwrite: Boolean = false, maxAttempts: Int = 10,
+      txn: Option[Txn] = None): Snapshot = {
+    import org.apache.spark.sql.functions._
+    require(step != 0, s"identity step of $root.$idCol must be non-zero")
+    require(partitionCols(root).isEmpty && cdcKeys(root).isEmpty,
+      s"identity columns are supported on unpartitioned non-CDC tables ($root)")
+    var newNext = 0L
+    val cached = scala.collection.mutable.ListBuffer[DataFrame]()
+    try {
+      val hook: String => Unit = dir =>
+        Files.writeString(identityFile(dir), s"""{"next":$newNext}""")
+      transact(spark, root, maxAttempts, txn = txn, stagedHook = hook) { base =>
+        val idType = base.schema(base.schema.fieldIndex(idCol)).dataType
+        val withCol =
+          if (rows.columns.exists(_.equalsIgnoreCase(idCol))) rows
+          else rows.withColumn(idCol, lit(null).cast(idType))
+        if (!allowExplicit)
+          require(withCol.filter(col(idCol).isNotNull).isEmpty,
+            s"$idCol is GENERATED ALWAYS AS IDENTITY — explicit values refuse")
+        val tagged = withCol
+          .withColumn("__graft_mid", monotonically_increasing_id()).cache()
+        cached += tagged
+        val stats = tagged
+          .groupBy(shiftright(col("__graft_mid"), 33).as("__pid"))
+          .agg(count(lit(1)).as("__n"),
+            max(col(idCol).cast("long")).as("__maxExp"),
+            min(col(idCol).cast("long")).as("__minExp"))
+          .collect()
+        val counts = stats.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        var acc = 0L
+        val offs = counts.map { case (p, n) => val o = acc; acc += n; (p, o) }
+        val hwm = identityNext(root, start)
+        // auto-sync past explicit values (the Delta SYNC IDENTITY rule,
+        // applied eagerly): an explicit id beyond the mark would otherwise
+        // collide with a future generated one
+        val expBound =
+          if (step > 0) stats.flatMap(r => Option(r.get(2)).map(_ => r.getLong(2)))
+            .maxOption.map(_ + step)
+          else stats.flatMap(r => Option(r.get(3)).map(_ => r.getLong(3)))
+            .minOption.map(_ + step)
+        val allocEnd = hwm + step * acc
+        newNext = expBound match {
+          case Some(b) if (step > 0 && b > allocEnd) ||
+            (step < 0 && b < allocEnd) => b
+          case _ => allocEnd
+        }
+        import spark.implicits._
+        val offDf = offs.toSeq.toDF("__pid", "__off")
+        val assigned = tagged
+          .withColumn("__pid", shiftright(col("__graft_mid"), 33))
+          .join(broadcast(offDf), Seq("__pid"), "left")
+          .withColumn(idCol, coalesce(col(idCol),
+            (lit(hwm) + lit(step) * (col("__off") +
+              (col("__graft_mid") % lit(1L << 33)))).cast(idType)))
+          .drop("__graft_mid", "__pid", "__off")
+        val have = assigned.columns.map(_.toLowerCase).toSet
+        val a = base.schema.fields.toIndexedSeq.map { f =>
+          (if (have(f.name.toLowerCase)) col(f.name) else lit(null))
+            .cast(f.dataType).as(f.name)
+        } match { case cols => assigned.select(cols: _*) }
+        if (overwrite) a else base.unionByName(a)
+      }
+    } finally cached.foreach(_.unpersist())
+  }
+
   def append(spark: SparkSession, root: String, rows: DataFrame,
       overwrite: Boolean = false, maxAttempts: Int = 10,
       txn: Option[Txn] = None): Snapshot = {
@@ -763,8 +886,13 @@ object SnapshotStore {
       require(parts.forall(p => df.columns.exists(_.equalsIgnoreCase(p))),
         s"partition columns $parts not all present in ${df.columns.toSeq}")
       df.write.mode("overwrite").partitionBy(parts: _*).parquet(dir)
-      Files.writeString(Paths.get(dir, "_schema.json"), df.schema.json)
     } else df.write.mode("overwrite").parquet(dir)
+    // EVERY staged version pins its schema, not just partitioned/ALTER
+    // dirs: field METADATA (column DEFAULT values, identity specs) does
+    // not survive parquet-footer inference, so a post-ALTER write that
+    // relied on inference would silently drop the table's defaults for
+    // every later INSERT. The pinned schema is exactly what was written.
+    Files.writeString(Paths.get(dir, "_schema.json"), df.schema.json)
     dir
   }
 
@@ -1124,10 +1252,11 @@ object SnapshotStore {
   def transact(spark: SparkSession, root: String, maxAttempts: Int = 10,
       statsCols: Seq[String] = Nil, txn: Option[Txn] = None,
       constraints: Seq[(String, org.apache.spark.sql.Column)] = Nil,
-      bloomCols: Seq[String] = Nil, bloomExpectedItems: Long = 100000L)(
+      bloomCols: Seq[String] = Nil, bloomExpectedItems: Long = 100000L,
+      stagedHook: String => Unit = _ => ())(
       transform: DataFrame => DataFrame): Snapshot =
     transactImpl(spark, root, maxAttempts, statsCols, txn, constraints,
-      bloomCols, bloomExpectedItems)(
+      bloomCols, bloomExpectedItems, stagedHook)(
       df => (transform(df), None))
 
   /** [[transact]] variant whose transform ALSO supplies the commit's change
@@ -1214,6 +1343,7 @@ object SnapshotStore {
       Files.createDirectories(dir)
       out.write.mode("overwrite").partitionBy(parts: _*).parquet(dir.toString)
       Files.writeString(dir.resolve("_schema.json"), baseDf.schema.json)
+      carryStateSidecars(base.dataDir, dir.toString)
       // link every untouched partition's files into the new version
       val s = Files.walk(basePath)
       try s.iterator().asScala
@@ -1320,6 +1450,7 @@ object SnapshotStore {
       // re-inferred from directory names (same rule as stage())
       Files.writeString(dir.resolve("_schema.json"),
         readSchema(spark, base).json)
+      carryStateSidecars(base.dataDir, dir.toString)
       val newDv = m.select(col(DvFileCol).cast("string").as("file"),
         col(DvPosCol).cast("long").as("pos"))
       val allDv =
@@ -1350,7 +1481,8 @@ object SnapshotStore {
   private def transactImpl(spark: SparkSession, root: String, maxAttempts: Int,
       statsCols: Seq[String], txn: Option[Txn],
       constraints: Seq[(String, org.apache.spark.sql.Column)],
-      bloomCols: Seq[String] = Nil, bloomExpectedItems: Long = 100000L)(
+      bloomCols: Seq[String] = Nil, bloomExpectedItems: Long = 100000L,
+      stagedHook: String => Unit = _ => ())(
       transform: DataFrame => (DataFrame, Option[DataFrame])): Snapshot = {
     import org.apache.spark.sql.functions.{count, expr, lit, sum, when}
     var attempt = 0
@@ -1364,6 +1496,8 @@ object SnapshotStore {
       enforceConstraints(out, constraints ++
         tableConstraints(root).map { case (n, sql) => (n, expr(sql)) })
       val dir = stage(root, out)
+      stagedHook(dir) // e.g. the identity high-water-mark for THIS attempt
+      carryStateSidecars(base.dataDir, dir)
       if (statsCols.nonEmpty || bloomCols.nonEmpty)
         writeManifest(spark, dir, statsCols, bloomCols, bloomExpectedItems)
       val keys = cdcKeys(root)

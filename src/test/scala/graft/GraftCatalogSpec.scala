@@ -892,6 +892,74 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO graft.dft2 (id) VALUES (1)")
     assert(spark.sql("SELECT tier FROM graft.dft2 WHERE id = 1")
       .head().getLong(0) == 3L)
+    // REGRESSION: defaults survive intervening writes — every staged
+    // version pins its schema (metadata does not survive parquet-footer
+    // inference, so without the pin the SECOND implicit insert would
+    // silently land NULL)
+    spark.sql("INSERT INTO graft.dft2 (id) VALUES (2)")
+    assert(spark.sql("SELECT tier FROM graft.dft2 WHERE id = 2")
+      .head().getLong(0) == 3L)
+    spark.sql("INSERT INTO graft.dft (id, v) VALUES (103, 206)")
+    assert(spark.sql("SELECT tier FROM graft.dft WHERE id = 103")
+      .head().getLong(0) == 7L)
+  }
+
+  test("GENERATED ALWAYS AS IDENTITY: distributed assignment, HWM survives DML") {
+    wh
+    spark.sql(
+      "CREATE TABLE graft.idt (id BIGINT GENERATED ALWAYS AS IDENTITY, v BIGINT)")
+    // multi-partition insert: per-partition offsets must compose into a
+    // dense, duplicate-free allocation whatever the partition count
+    spark.sql("INSERT INTO graft.idt (v) SELECT id * 10 FROM range(1000)")
+    val ids = spark.sql("SELECT id FROM graft.idt ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == (1L to 1000L), s"expected dense 1..1000, got ${ids.take(5)}...")
+    spark.sql("INSERT INTO graft.idt (v) VALUES (5)")
+    assert(spark.sql("SELECT id FROM graft.idt WHERE v = 5")
+      .head().getLong(0) == 1001L)
+    // GENERATED ALWAYS refuses explicit values
+    intercept[Exception](spark.sql("INSERT INTO graft.idt VALUES (9999, 1)"))
+    // the high-water mark is snapshot state: a DELETE of the top rows must
+    // NOT let ids be reused (the sidecar carries through DML commits)
+    spark.sql("DELETE FROM graft.idt WHERE id > 900")
+    spark.sql("INSERT INTO graft.idt (v) VALUES (6)")
+    assert(spark.sql("SELECT id FROM graft.idt WHERE v = 6")
+      .head().getLong(0) == 1002L)
+    assert(spark.sql("SELECT count(*), count(DISTINCT id) FROM graft.idt")
+      .head() match { case r => r.getLong(0) == r.getLong(1) })
+  }
+
+  test("GENERATED BY DEFAULT AS IDENTITY: explicit values allowed, slots burn") {
+    wh
+    spark.sql(
+      """CREATE TABLE graft.idt2 (
+        |  id BIGINT GENERATED BY DEFAULT AS IDENTITY (START WITH 100 INCREMENT BY 5),
+        |  v BIGINT)""".stripMargin)
+    spark.sql("INSERT INTO graft.idt2 VALUES (7, 1)") // explicit: allowed, burns a slot
+    spark.sql("INSERT INTO graft.idt2 (v) VALUES (2)") // assigned: 105 (slot 100 burned)
+    spark.sql("INSERT INTO graft.idt2 (v) VALUES (3)") // continues: 110
+    val got = spark.sql("SELECT v, id FROM graft.idt2 ORDER BY v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got(0) == (1L, 7L), s"explicit id must persist: $got")
+    assert(got(1) == (2L, 105L),
+      s"assigned ids continue past the explicit row's burned slot: $got")
+    assert(got(2) == (3L, 110L), s"later ids step by 5: $got")
+    // auto-sync: an explicit id ABOVE the mark bumps allocation past it
+    // (the Delta SYNC IDENTITY rule, applied eagerly — a later generated
+    // id must never collide with it)
+    spark.sql("INSERT INTO graft.idt2 VALUES (500, 4)")
+    spark.sql("INSERT INTO graft.idt2 (v) VALUES (5)")
+    val after = spark.sql("SELECT id FROM graft.idt2 WHERE v = 5")
+      .head().getLong(0)
+    assert(after > 500L, s"generated id must clear the explicit 500, got $after")
+    assert(spark.sql("SELECT count(*), count(DISTINCT id) FROM graft.idt2")
+      .head() match { case r => r.getLong(0) == r.getLong(1) })
+    // identity composes with neither partitioning nor CDC (v1 scope —
+    // loud refusal beats silent misallocation)
+    intercept[Exception](spark.sql(
+      """CREATE TABLE graft.idt3 (
+        |  id BIGINT GENERATED ALWAYS AS IDENTITY, seg STRING)
+        |PARTITIONED BY (seg)""".stripMargin))
   }
 
   test("small catalog tables auto-broadcast from scan statistics (no hint)") {
