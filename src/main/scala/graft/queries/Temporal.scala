@@ -1472,5 +1472,63 @@ object Temporal {
            |FROM lineitem, b
            |WHERE l_orderkey BETWEEN ok_lo AND ok_hi
            |  AND l_partkey BETWEEN pk_lo AND pk_hi
-           |ORDER BY l_orderkey, l_partkey, price_c""".stripMargin)))
+           |ORDER BY l_orderkey, l_partkey, price_c""".stripMargin)),
+
+    // Q102 [extension: identity columns] `GENERATED ALWAYS AS IDENTITY`
+    // through bare SQL: surrogate keys assigned by the engine (one cached
+    // pass + a per-partition-count collect — hwm + step·(partition offset
+    // + local ordinal), never a global window; see
+    // SnapshotStore.appendWithIdentity). WHICH row draws which id is
+    // partition-layout-dependent by design, so the gate hash-checks the
+    // CONTENT (natural key ↔ name mapping survives untouched) while the
+    // identity CONTRACT — every id unique, allocation dense 1..N, the
+    // high-water mark carried through an intervening DELETE commit so the
+    // next insert continues at N+1 instead of re-issuing — is enforced
+    // with in-build require()s; GENERATED ALWAYS rejecting an explicit id
+    // is asserted in-build too. The oracle replays the content algebra.
+    "q102_identity" -> QueryDef(
+      build = (s, d) => {
+        val wh = graft.GateTmp.freshDir("q102")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("DROP TABLE IF EXISTS graft.q102t")
+        s.sql(
+          """CREATE TABLE graft.q102t (
+            |  rid BIGINT GENERATED ALWAYS AS IDENTITY,
+            |  ck BIGINT, name STRING)""".stripMargin)
+        Tables.customer(s, d).filter($("c_custkey") <= 500)
+          .select($("c_custkey").as("ck"), $("c_name").as("name"))
+          .createOrReplaceTempView("q102_src")
+        s.sql("INSERT INTO graft.q102t (ck, name) SELECT ck, name FROM q102_src")
+        val n = s.sql("SELECT count(*) FROM q102_src").head().getLong(0)
+        s.sql("DELETE FROM graft.q102t WHERE ck % 7 = 0")
+        val m = s.sql("SELECT count(*) FROM q102_src WHERE ck <= 10")
+          .head().getLong(0)
+        s.sql("INSERT INTO graft.q102t (ck, name) " +
+          "SELECT ck + 1000000, name FROM q102_src WHERE ck <= 10")
+        val st = s.sql(
+          """SELECT count(*), count(DISTINCT rid), min(rid), max(rid)
+            |FROM graft.q102t""".stripMargin).head()
+        require(st.getLong(0) == st.getLong(1),
+          s"identity ids must be unique (${st.getLong(0)} rows, ${st.getLong(1)} ids)")
+        require(st.getLong(2) >= 1L && st.getLong(3) == n + m,
+          s"allocation must continue at N+1 through the DELETE commit " +
+            s"(min ${st.getLong(2)}, max ${st.getLong(3)}, n $n, m $m)")
+        val refused = try { s.sql("INSERT INTO graft.q102t VALUES (1, 2, 'x')"); false }
+        catch { case _: Exception => true }
+        require(refused, "GENERATED ALWAYS must refuse an explicit id")
+        s.sql(
+          s"""SELECT ck, name, rid BETWEEN 1 AND ${n + m} AS ok
+             |FROM graft.q102t ORDER BY ck""".stripMargin)
+      },
+      oracle = Some(
+        """WITH src AS (
+          |  SELECT c_custkey AS ck, c_name AS name FROM customer
+          |  WHERE c_custkey <= 500)
+          |SELECT ck, name, TRUE AS ok FROM (
+          |  SELECT * FROM src WHERE ck % 7 <> 0
+          |  UNION ALL
+          |  SELECT ck + 1000000, name FROM src WHERE ck <= 10)
+          |ORDER BY ck""".stripMargin)))
 }
