@@ -134,6 +134,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       pinned = true)
   }
 
+  /** Encode a v2 ColumnDefaultValue as the CURRENT_DEFAULT/EXISTS_DEFAULT
+    * field-metadata pair Spark's default-resolution machinery reads —
+    * shared by CREATE TABLE and ALTER TABLE ADD COLUMN so the two paths
+    * cannot diverge. Only CONSTANT defaults are accepted: EXISTS_DEFAULT
+    * must be a value frozen at DDL time (a re-evaluated current_date()
+    * would drift per read).
+    */
+  private def putDefaultMetadata(
+      md: org.apache.spark.sql.types.MetadataBuilder, colName: String,
+      dv: org.apache.spark.sql.connector.catalog.ColumnDefaultValue): Unit = {
+    val lv = Option(dv.getValue).getOrElse(
+      throw new UnsupportedOperationException(
+        s"non-constant DEFAULT for $colName: ${dv.getSql} " +
+          "(literal defaults only)"))
+    val litSql = org.apache.spark.sql.catalyst.expressions
+      .Literal(lv.value, lv.dataType).sql
+    md.putString("CURRENT_DEFAULT", Option(dv.getSql).getOrElse(litSql))
+    md.putString("EXISTS_DEFAULT", litSql)
+  }
+
   /** The v2-Column overload is the one Spark actually calls for CREATE
     * TABLE; its DEFAULT bridge to the StructType form drops the identity
     * spec on the floor, so convert the columns ourselves — identity
@@ -150,16 +170,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (c.metadataInJSON() != null)
         md.withMetadata(org.apache.spark.sql.types.Metadata
           .fromJson(c.metadataInJSON()))
-      Option(c.defaultValue()).foreach { dv =>
-        val lv = Option(dv.getValue).getOrElse(
-          throw new UnsupportedOperationException(
-            s"non-constant DEFAULT for ${c.name()}: ${dv.getSql} " +
-              "(literal defaults only)"))
-        val litSql = org.apache.spark.sql.catalyst.expressions
-          .Literal(lv.value, lv.dataType).sql
-        md.putString("CURRENT_DEFAULT", Option(dv.getSql).getOrElse(litSql))
-        md.putString("EXISTS_DEFAULT", litSql)
-      }
+      Option(c.defaultValue()).foreach(putDefaultMetadata(md, c.name(), _))
       Option(c.identityColumnSpec()).foreach { idSpec =>
         md.putLong("identity.start", idSpec.getStart)
         md.putLong("identity.step", idSpec.getStep)
@@ -281,19 +292,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               org.apache.spark.sql.types.StructField(
                 add.fieldNames()(0), add.dataType(), nullable = true)
             case Some(dv) =>
-              val lv = Option(dv.getValue).getOrElse(
-                throw new UnsupportedOperationException(
-                  s"non-constant DEFAULT for ${add.fieldNames()(0)}: " +
-                    s"${dv.getSql} (literal defaults only)"))
-              val litSql = org.apache.spark.sql.catalyst.expressions
-                .Literal(lv.value, lv.dataType).sql
+              val md = new org.apache.spark.sql.types.MetadataBuilder()
+              putDefaultMetadata(md, add.fieldNames()(0), dv)
               org.apache.spark.sql.types.StructField(
                 add.fieldNames()(0), add.dataType(), nullable = true,
-                new org.apache.spark.sql.types.MetadataBuilder()
-                  .putString("CURRENT_DEFAULT",
-                    Option(dv.getSql).getOrElse(litSql))
-                  .putString("EXISTS_DEFAULT", litSql)
-                  .build())
+                md.build())
           }
           org.apache.spark.sql.types.StructType(s.fields :+ field)
         case (s, del: TableChange.DeleteColumn) =>
@@ -728,18 +731,11 @@ private[sources] class GraftTable(spark: SparkSession, tableName: String,
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, fallbackOverwrite: Boolean): Unit = {
-              val ow = overwrite || fallbackOverwrite
-              tableSchema.fields.find(_.metadata.contains("identity.start")) match {
-                case Some(f) =>
-                  SnapshotStore.appendWithIdentity(spark, root, data, f.name,
-                    start = f.metadata.getLong("identity.start"),
-                    step = f.metadata.getLong("identity.step"),
-                    allowExplicit =
-                      f.metadata.getBoolean("identity.allowExplicitInsert"),
-                    overwrite = ow)
-                case None =>
-                  SnapshotStore.append(spark, root, data, overwrite = ow)
-              }
+              // identity routing + DEFAULT fill live inside append itself,
+              // so every writer (this path, SqlDml, streaming sinks) gets
+              // the same semantics
+              SnapshotStore.append(spark, root, data,
+                overwrite = overwrite || fallbackOverwrite)
               ()
             }
           }

@@ -515,6 +515,35 @@ object SnapshotStore {
       Files.copy(src, identityFile(dir))
   }
 
+  /** Re-attach FIELD METADATA (identity specs, column DEFAULTs) that a
+    * transform's projections dropped: `expr.cast(t).as(name)` aliases
+    * carry `Metadata.empty`, so any rewriting commit (INSERT OVERWRITE,
+    * UPDATE, MERGE, OPTIMIZE) would otherwise strip the table's identity/
+    * default contract from the pinned `_schema.json` — and every later
+    * INSERT would silently stop assigning/filling. Metadata is TABLE
+    * configuration: it survives any data transform, and only alterSchema
+    * changes it — so merge the base's per-column metadata into the staged
+    * schema wherever the staged copy came back empty.
+    */
+  private def carryFieldMetadata(spark: SparkSession, base: Snapshot,
+      dir: String): Unit = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val f = Paths.get(dir, "_schema.json")
+    if (!Files.exists(f)) return
+    val baseSchema = readSchema(spark, base)
+    val staged = DataType.fromJson(Files.readString(f)).asInstanceOf[StructType]
+    val merged = StructType(staged.fields.map { sf =>
+      if (sf.metadata != org.apache.spark.sql.types.Metadata.empty) sf
+      else baseSchema.fields.find(_.name.equalsIgnoreCase(sf.name)) match {
+        case Some(bf) if bf.metadata !=
+          org.apache.spark.sql.types.Metadata.empty =>
+          sf.copy(metadata = bf.metadata)
+        case _ => sf
+      }
+    })
+    if (merged != staged) Files.writeString(f, merged.json)
+  }
+
   /** Append with distributed identity assignment — the engine path behind
     * `GENERATED ALWAYS/BY DEFAULT AS IDENTITY (START WITH s STEP k)`.
     *
@@ -553,9 +582,6 @@ object SnapshotStore {
         val withCol =
           if (rows.columns.exists(_.equalsIgnoreCase(idCol))) rows
           else rows.withColumn(idCol, lit(null).cast(idType))
-        if (!allowExplicit)
-          require(withCol.filter(col(idCol).isNotNull).isEmpty,
-            s"$idCol is GENERATED ALWAYS AS IDENTITY — explicit values refuse")
         val tagged = withCol
           .withColumn("__graft_mid", monotonically_increasing_id()).cache()
         cached += tagged
@@ -565,24 +591,30 @@ object SnapshotStore {
             max(col(idCol).cast("long")).as("__maxExp"),
             min(col(idCol).cast("long")).as("__minExp"))
           .collect()
-        val counts = stats.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-        var acc = 0L
-        val offs = counts.map { case (p, n) => val o = acc; acc += n; (p, o) }
-        val hwm = identityNext(root, start)
-        // auto-sync past explicit values (the Delta SYNC IDENTITY rule,
-        // applied eagerly): an explicit id beyond the mark would otherwise
-        // collide with a future generated one
+        // explicit-value detection rides the SAME cached stats pass the
+        // offsets come from — no second scan, and the checked rows ARE the
+        // assigned rows even on a nondeterministic source
         val expBound =
           if (step > 0) stats.flatMap(r => Option(r.get(2)).map(_ => r.getLong(2)))
             .maxOption.map(_ + step)
           else stats.flatMap(r => Option(r.get(3)).map(_ => r.getLong(3)))
             .minOption.map(_ + step)
-        val allocEnd = hwm + step * acc
-        newNext = expBound match {
-          case Some(b) if (step > 0 && b > allocEnd) ||
-            (step < 0 && b < allocEnd) => b
-          case _ => allocEnd
+        require(allowExplicit || expBound.isEmpty,
+          s"$idCol is GENERATED ALWAYS AS IDENTITY — explicit values refuse")
+        val counts = stats.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        var acc = 0L
+        val offs = counts.map { case (p, n) => val o = acc; acc += n; (p, o) }
+        // auto-sync past explicit values BEFORE assigning (the Delta SYNC
+        // IDENTITY rule, applied eagerly): raising the mark first means a
+        // generated id can collide neither with history nor with an
+        // explicit id in the SAME batch (generated values all start beyond
+        // the batch's own max explicit)
+        val hwm0 = identityNext(root, start)
+        val hwm = expBound match {
+          case Some(b) if (step > 0 && b > hwm0) || (step < 0 && b < hwm0) => b
+          case _ => hwm0
         }
+        newNext = hwm + step * acc
         import spark.implicits._
         val offDf = offs.toSeq.toDF("__pid", "__off")
         val assigned = tagged
@@ -594,7 +626,7 @@ object SnapshotStore {
           .drop("__graft_mid", "__pid", "__off")
         val have = assigned.columns.map(_.toLowerCase).toSet
         val a = base.schema.fields.toIndexedSeq.map { f =>
-          (if (have(f.name.toLowerCase)) col(f.name) else lit(null))
+          (if (have(f.name.toLowerCase)) col(f.name) else fillForMissing(f))
             .cast(f.dataType).as(f.name)
         } match { case cols => assigned.select(cols: _*) }
         if (overwrite) a else base.unionByName(a)
@@ -602,10 +634,38 @@ object SnapshotStore {
     } finally cached.foreach(_.unpersist())
   }
 
+  /** What an omitted column fills with: its declared CURRENT_DEFAULT when
+    * the schema carries one (constant by construction — the catalog
+    * refuses non-literal defaults), typed NULL otherwise. Shared by every
+    * writer that pads columns, so direct-API/SqlDml/streaming appends
+    * honor column DEFAULTs exactly like the catalog INSERT path (where
+    * Spark's analyzer fills them before the engine sees the rows).
+    */
+  private def fillForMissing(f: org.apache.spark.sql.types.StructField):
+      org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    if (f.metadata.contains("CURRENT_DEFAULT"))
+      expr(f.metadata.getString("CURRENT_DEFAULT"))
+    else lit(null)
+  }
+
   def append(spark: SparkSession, root: String, rows: DataFrame,
       overwrite: Boolean = false, maxAttempts: Int = 10,
       txn: Option[Txn] = None): Snapshot = {
     import org.apache.spark.sql.functions.{col, lit}
+    // identity tables assign ids on EVERY write path — a direct-API,
+    // SqlDml, or streaming append must never pad the identity column with
+    // NULL just because it skipped the catalog's insert surface
+    readSchema(spark, latest(root)).fields
+      .find(_.metadata.contains("identity.start")) match {
+      case Some(f) =>
+        return appendWithIdentity(spark, root, rows, f.name,
+          start = f.metadata.getLong("identity.start"),
+          step = f.metadata.getLong("identity.step"),
+          allowExplicit = f.metadata.getBoolean("identity.allowExplicitInsert"),
+          overwrite = overwrite, maxAttempts = maxAttempts, txn = txn)
+      case None => ()
+    }
     def aligned(base: DataFrame): DataFrame = {
       val have = rows.columns.map(_.toLowerCase).toSet
       val extra = rows.columns.filterNot(c =>
@@ -613,7 +673,7 @@ object SnapshotStore {
       require(extra.isEmpty,
         s"appended columns not in table: ${extra.mkString(", ")}")
       base.schema.fields.toIndexedSeq.map { f =>
-        (if (have(f.name.toLowerCase)) col(f.name) else lit(null))
+        (if (have(f.name.toLowerCase)) col(f.name) else fillForMissing(f))
           .cast(f.dataType).as(f.name)
       } match { case cols => rows.select(cols: _*) }
     }
@@ -1498,6 +1558,7 @@ object SnapshotStore {
       val dir = stage(root, out)
       stagedHook(dir) // e.g. the identity high-water-mark for THIS attempt
       carryStateSidecars(base.dataDir, dir)
+      carryFieldMetadata(spark, base, dir)
       if (statsCols.nonEmpty || bloomCols.nonEmpty)
         writeManifest(spark, dir, statsCols, bloomCols, bloomExpectedItems)
       val keys = cdcKeys(root)

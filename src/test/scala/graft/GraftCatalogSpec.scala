@@ -927,6 +927,39 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) == 1002L)
     assert(spark.sql("SELECT count(*), count(DISTINCT id) FROM graft.idt")
       .head() match { case r => r.getLong(0) == r.getLong(1) })
+    // REGRESSION: INSERT OVERWRITE rewrites every row — the pinned schema
+    // of the new version must keep the identity metadata (a projection
+    // alias drops field metadata; carryFieldMetadata restores it) so
+    // assignment still runs afterwards
+    spark.sql("INSERT OVERWRITE graft.idt (v) SELECT id FROM range(3)")
+    spark.sql("INSERT INTO graft.idt (v) VALUES (77)")
+    val afterOw = spark.sql("SELECT id FROM graft.idt WHERE v = 77").head()
+    assert(!afterOw.isNullAt(0) && afterOw.getLong(0) > 1002L,
+      s"identity must survive INSERT OVERWRITE, got $afterOw")
+    // REGRESSION: the direct-API write path assigns too (identity routing
+    // lives in SnapshotStore.append, not just the catalog insert surface)
+    SnapshotStore.append(spark,
+      s"$wh/idt", spark.range(1).selectExpr("CAST(88 AS BIGINT) AS v"))
+    assert(!spark.sql("SELECT id FROM graft.idt WHERE v = 88")
+      .head().isNullAt(0), "direct append must assign identity ids")
+  }
+
+  test("BY DEFAULT identity: explicit + generated in ONE batch never collide") {
+    wh
+    spark.sql(
+      """CREATE TABLE graft.idt4 (
+        |  id BIGINT GENERATED BY DEFAULT AS IDENTITY, v BIGINT)""".stripMargin)
+    // one statement mixing an explicit id that sits exactly where naive
+    // allocation would land (start=1) with generated rows — the mark must
+    // sync past the batch's own explicit values BEFORE assigning
+    spark.sql(
+      """INSERT INTO graft.idt4
+        |SELECT CASE WHEN id = 0 THEN 2 ELSE NULL END, id * 10
+        |FROM range(5)""".stripMargin)
+    val r = spark.sql(
+      "SELECT count(*), count(DISTINCT id), count(id) FROM graft.idt4").head()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 5L && r.getLong(2) == 5L,
+      s"expected 5 distinct non-null ids, got $r")
   }
 
   test("GENERATED BY DEFAULT AS IDENTITY: explicit values allowed, slots burn") {

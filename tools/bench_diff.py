@@ -18,8 +18,8 @@ def main():
     rows = [(q, med(qo[q]), med(qn[q])) for q in shared]
     tot_o = sum(r[1] for r in rows)
     tot_n = sum(r[2] for r in rows)
-    print(f"shared {len(rows)} queries: {tot_o:.1f}s -> {tot_n:.1f}s "
-          f"({tot_n / tot_o:.2f}x)")
+    ratio = f"{tot_n / tot_o:.2f}x" if tot_o > 0 else "n/a"
+    print(f"shared {len(rows)} queries: {tot_o:.1f}s -> {tot_n:.1f}s ({ratio})")
     movers = [(n / max(o, 1e-9), q, o, n) for q, o, n in rows
               if n / max(o, 1e-9) > thr and n - o > 0.3]
     for r, q, o, n in sorted(movers, reverse=True):
