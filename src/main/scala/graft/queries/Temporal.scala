@@ -1530,5 +1530,59 @@ object Temporal {
           |  SELECT * FROM src WHERE ck % 7 <> 0
           |  UNION ALL
           |  SELECT ck + 1000000, name FROM src WHERE ck <= 10)
-          |ORDER BY ck""".stripMargin)))
+          |ORDER BY ck""".stripMargin)),
+
+    // Q103 [extension: STORED generated columns] `GENERATED ALWAYS AS
+    // (expr)` through bare SQL: the engine computes the column on EVERY
+    // write path (a provided value is overridden by the authoritative
+    // derivation), and consistency is a COMMIT contract — an automatic
+    // engine-internal CHECK (`col <=> (expr)`) refuses any DML that would
+    // leave the stored value stale, which the build proves by attempting
+    // exactly that UPDATE and require()-ing the refusal, then committing
+    // the re-deriving form. Deterministic expressions only (enforced at
+    // CREATE). The oracle derives the same column algebraically — value
+    // identity proves stored == derived across insert and update commits.
+    "q103_generated_columns" -> QueryDef(
+      build = (s, d) => {
+        val wh = graft.GateTmp.freshDir("q103")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("DROP TABLE IF EXISTS graft.q103t")
+        s.sql(
+          """CREATE TABLE graft.q103t (
+            |  ck BIGINT, bal_c BIGINT,
+            |  bal_band BIGINT GENERATED ALWAYS AS ((bal_c + 100000) DIV 100000))""".stripMargin)
+        Tables.customer(s, d).filter($("c_custkey") <= 400)
+          .select($("c_custkey").as("ck"),
+            graft.Canon.cents($("c_acctbal")).as("bal_c"))
+          .createOrReplaceTempView("q103_src")
+        s.sql("INSERT INTO graft.q103t (ck, bal_c) SELECT ck, bal_c FROM q103_src")
+        // staleness refuses: touching the input without re-deriving
+        val refused = try {
+          graft.sources.SqlDml.execute(s,
+            "UPDATE graft.q103t SET bal_c = bal_c + 100000 WHERE ck % 5 = 0")
+          false
+        } catch { case _: Exception => true }
+        require(refused, "stale generated column must refuse at commit")
+        // the re-deriving form commits
+        graft.sources.SqlDml.execute(s,
+          "UPDATE graft.q103t SET bal_c = bal_c + 100000, " +
+            "bal_band = ((bal_c + 100000) + 100000) DIV 100000 WHERE ck % 5 = 0")
+        s.sql(
+          """SELECT ck, bal_c, bal_band FROM graft.q103t
+            |ORDER BY ck""".stripMargin)
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""WITH src AS (
+           |  SELECT c_custkey AS ck, $cents AS bal_c FROM customer
+           |  WHERE c_custkey <= 400),
+           |upd AS (
+           |  SELECT ck,
+           |    CASE WHEN ck % 5 = 0 THEN bal_c + 100000 ELSE bal_c END AS bal_c
+           |  FROM src)
+           |SELECT ck, bal_c, (bal_c + 100000) // 100000 AS bal_band
+           |FROM upd ORDER BY ck""".stripMargin
+      }))
 }

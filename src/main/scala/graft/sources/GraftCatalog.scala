@@ -77,7 +77,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
       TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   private[sources] def warehousePath: String = warehouse
 
@@ -164,9 +165,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val schema = StructType(columns.map { c =>
-      require(c.generationExpression() == null,
-        s"generated columns are not supported (${c.name()})")
       val md = new org.apache.spark.sql.types.MetadataBuilder()
+      // STORED generated columns: the expression rides as field metadata;
+      // every write path COMPUTES the column (columnFor in SnapshotStore),
+      // and createTable adds an automatic CHECK constraint so any commit
+      // that would leave it stale (an UPDATE touching its inputs without
+      // re-deriving it) refuses loudly instead of corrupting silently
+      Option(c.generationExpression()).foreach { g =>
+        md.putString(GraftCatalog.GenerationExprKey, g)
+      }
       if (c.metadataInJSON() != null)
         md.withMetadata(org.apache.spark.sql.types.Metadata
           .fromJson(c.metadataInJSON()))
@@ -208,13 +215,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(partitions.isEmpty && !properties.containsKey(CdcKeysProp),
         "identity columns are supported on unpartitioned non-CDC tables")
     }
-    // store the identity column NULLABLE: the V1 insert fallback pads an
-    // omitted column with NULL before the engine ever sees the rows, and a
-    // non-nullable field trips Spark's null check there. Non-nullness is
-    // the ASSIGNMENT's guarantee (appendWithIdentity fills every NULL),
-    // not the schema's.
+    // generated columns: expression must resolve against the OTHER columns
+    // only and be deterministic (a per-write rand() would make the stored
+    // value unreproducible and the consistency CHECK unsatisfiable)
+    val genFields = schema.fields
+      .filter(_.metadata.contains(GraftCatalog.GenerationExprKey))
+    genFields.foreach { f =>
+      val g = f.metadata.getString(GraftCatalog.GenerationExprKey)
+      require(!f.metadata.contains("identity.start"),
+        s"${f.name} cannot be both identity and generated")
+      val others = StructType(schema.fields.filter(_.name != f.name)
+        .map(o => o.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+      val probe = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], others)
+        .select(org.apache.spark.sql.functions.expr(g)) // throws if unresolvable
+      require(probe.queryExecution.analyzed.expressions.forall(_.deterministic),
+        s"generation expression for ${f.name} must be deterministic: $g")
+    }
+    // store identity AND generated columns NULLABLE: the V1 insert
+    // fallback pads an omitted column with NULL before the engine ever
+    // sees the rows, and a non-nullable field trips Spark's null check
+    // there. Non-nullness is the ENGINE's guarantee (assignment /
+    // generation fills every row), not the schema's.
     val storedSchema = StructType(schema.fields.map(f =>
-      if (f.metadata.contains("identity.start")) f.copy(nullable = true) else f))
+      if (f.metadata.contains("identity.start") ||
+        f.metadata.contains(GraftCatalog.GenerationExprKey))
+        f.copy(nullable = true)
+      else f))
     val root = rootOf(ident)
     if (isTable(root)) throw new TableAlreadyExistsException(ident)
     val keys = Option(properties.get(CdcKeysProp))
@@ -226,6 +253,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       cdcKeys = keys, partitionBy = partCols)
     Option(properties.get(GraftCatalog.DmlModeProp))
       .foreach(SnapshotStore.setDmlMode(root, _))
+    // the consistency contract: every commit (including DML that never
+    // goes near this catalog) must leave the stored value equal to the
+    // expression — enforceConstraints runs on all commit paths, so an
+    // UPDATE that touches an input without re-deriving the generated
+    // column refuses loudly instead of corrupting silently
+    genFields.foreach { f =>
+      val g = f.metadata.getString(GraftCatalog.GenerationExprKey)
+      SnapshotStore.addTableConstraint(spark, root,
+        s"__gen_${f.name}", s"${f.name} <=> ($g)")
+    }
     loadTable(ident)
   }
 
@@ -443,6 +480,12 @@ object GraftCatalog {
     * 'merge-on-read')`. Default is copy-on-write.
     */
   val DmlModeProp = "dml.mode"
+
+  /** Field-metadata key carrying a STORED generated column's expression
+    * (our own key, not Spark's GENERATION_EXPRESSION, so Spark's analyzer
+    * machinery never half-handles what the engine computes itself).
+    */
+  val GenerationExprKey = "graft.generationExpression"
 
   import org.apache.spark.sql.types.{LongType, StringType}
   import org.apache.spark.unsafe.types.UTF8String
@@ -702,11 +745,17 @@ private[sources] class GraftTable(spark: SparkSession, tableName: String,
 
   override def constraints():
       Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
-    SnapshotStore.tableConstraints(root).map { case (n, sql) =>
-      org.apache.spark.sql.connector.catalog.constraints.Constraint
-        .check(n).predicateSql(sql).build()
-        : org.apache.spark.sql.connector.catalog.constraints.Constraint
-    }.toArray
+    SnapshotStore.tableConstraints(root)
+      // generated-column consistency checks (__gen_*) are ENGINE-internal:
+      // Spark pre-enforces declared constraints on the RAW insert rows,
+      // before the engine has computed the generated column — the engine
+      // itself enforces them at commit, after derivation
+      .filterNot(_._1.startsWith("__gen_"))
+      .map { case (n, sql) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(n).predicateSql(sql).build()
+          : org.apache.spark.sql.connector.catalog.constraints.Constraint
+      }.toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (Files.isDirectory(Paths.get(snap.dataDir, "_manifest")) ||

@@ -626,25 +626,31 @@ object SnapshotStore {
           .drop("__graft_mid", "__pid", "__off")
         val have = assigned.columns.map(_.toLowerCase).toSet
         val a = base.schema.fields.toIndexedSeq.map { f =>
-          (if (have(f.name.toLowerCase)) col(f.name) else fillForMissing(f))
-            .cast(f.dataType).as(f.name)
+          columnFor(f, have(f.name.toLowerCase)).cast(f.dataType).as(f.name)
         } match { case cols => assigned.select(cols: _*) }
         if (overwrite) a else base.unionByName(a)
       }
     } finally cached.foreach(_.unpersist())
   }
 
-  /** What an omitted column fills with: its declared CURRENT_DEFAULT when
-    * the schema carries one (constant by construction — the catalog
-    * refuses non-literal defaults), typed NULL otherwise. Shared by every
-    * writer that pads columns, so direct-API/SqlDml/streaming appends
-    * honor column DEFAULTs exactly like the catalog INSERT path (where
-    * Spark's analyzer fills them before the engine sees the rows).
+  /** The write-side value of a table column given the incoming rows:
+    * a STORED generated column is ALWAYS computed from its expression
+    * (deterministic by construction, so the derivation is authoritative —
+    * a provided value that disagreed would fail the table's automatic
+    * `col <=> (expr)` CHECK anyway); an omitted column fills with its
+    * declared CURRENT_DEFAULT when the schema carries one (constant by
+    * construction — the catalog refuses non-literal defaults), typed NULL
+    * otherwise. Shared by every writer that pads columns, so
+    * direct-API/SqlDml/streaming appends honor column DEFAULTs and
+    * generation exactly like the catalog INSERT path.
     */
-  private def fillForMissing(f: org.apache.spark.sql.types.StructField):
-      org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{expr, lit}
-    if (f.metadata.contains("CURRENT_DEFAULT"))
+  private def columnFor(f: org.apache.spark.sql.types.StructField,
+      present: Boolean): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    if (f.metadata.contains("graft.generationExpression"))
+      expr(f.metadata.getString("graft.generationExpression"))
+    else if (present) col(f.name)
+    else if (f.metadata.contains("CURRENT_DEFAULT"))
       expr(f.metadata.getString("CURRENT_DEFAULT"))
     else lit(null)
   }
@@ -673,8 +679,7 @@ object SnapshotStore {
       require(extra.isEmpty,
         s"appended columns not in table: ${extra.mkString(", ")}")
       base.schema.fields.toIndexedSeq.map { f =>
-        (if (have(f.name.toLowerCase)) col(f.name) else fillForMissing(f))
-          .cast(f.dataType).as(f.name)
+        columnFor(f, have(f.name.toLowerCase)).cast(f.dataType).as(f.name)
       } match { case cols => rows.select(cols: _*) }
     }
     val dynamicOverwrite = overwrite && partitionCols(root).nonEmpty &&

@@ -995,6 +995,52 @@ class GraftCatalogSpec extends SparkSpec {
         |PARTITIONED BY (seg)""".stripMargin))
   }
 
+  test("STORED generated columns: computed on write, staleness refuses at commit") {
+    wh
+    spark.sql(
+      """CREATE TABLE graft.gen (
+        |  id BIGINT, amount BIGINT,
+        |  bucket BIGINT GENERATED ALWAYS AS (amount % 10))""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft.gen (id, amount) SELECT id, id * 7 FROM range(20)")
+    // the stored value IS the derivation — on every row
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.gen WHERE bucket <> amount % 10")
+      .head().getLong(0) == 0L)
+    assert(spark.sql("SELECT bucket FROM graft.gen WHERE id = 3")
+      .head().getLong(0) == 21L % 10L)
+    // UPDATE re-deriving the column in the same statement commits; the
+    // assignment RHS reads PRE-update values, so re-derive from the same
+    val beforeV = SnapshotStore.latest(s"$wh/gen").version
+    graft.sources.SqlDml.execute(spark,
+      "UPDATE graft.gen SET amount = amount + 1, bucket = (amount + 1) % 10 " +
+        "WHERE id = 3")
+    assert(spark.sql("SELECT amount, bucket FROM graft.gen WHERE id = 3")
+      .head() match { case r => r.getLong(0) == 22L && r.getLong(1) == 2L })
+    // an UPDATE that touches the input WITHOUT re-deriving would leave the
+    // stored value stale — the automatic CHECK refuses the commit and the
+    // table is untouched
+    intercept[Exception](graft.sources.SqlDml.execute(spark,
+      "UPDATE graft.gen SET amount = amount + 5 WHERE id = 4"))
+    assert(SnapshotStore.latest(s"$wh/gen").version == beforeV + 1)
+    // direct-API appends compute the column too (the write-side derivation
+    // lives in SnapshotStore, not the catalog surface)
+    SnapshotStore.append(spark, s"$wh/gen",
+      spark.range(1).selectExpr("CAST(100 AS BIGINT) AS id",
+        "CAST(123 AS BIGINT) AS amount"))
+    assert(spark.sql("SELECT bucket FROM graft.gen WHERE id = 100")
+      .head().getLong(0) == 3L)
+    // a provided value is overridden by the authoritative derivation
+    spark.sql("INSERT INTO graft.gen VALUES (101, 45, 999)")
+    assert(spark.sql("SELECT bucket FROM graft.gen WHERE id = 101")
+      .head().getLong(0) == 5L)
+    // non-deterministic generation expressions refuse at CREATE
+    intercept[Exception](spark.sql(
+      """CREATE TABLE graft.gen2 (
+        |  id BIGINT, r BIGINT GENERATED ALWAYS AS (CAST(rand() * 10 AS BIGINT))
+        |)""".stripMargin))
+  }
+
   test("small catalog tables auto-broadcast from scan statistics (no hint)") {
     wh
     spark.sql("CREATE TABLE graft.bdim (k BIGINT, label STRING)")
@@ -1030,8 +1076,11 @@ class GraftCatalogSpec extends SparkSpec {
       """INSERT INTO graft.zt
         |SELECT abs(hash(id * 2 + 1)) % 100000, abs(hash(id * 2)) % 100000, id
         |FROM range(200000)""".stripMargin)
+    // 3125 rows/file = exactly 64 files: a power-of-two file count keeps
+    // curve chunks aligned to a 2^k x 2^k tile grid; 63 files straddle
+    // tile boundaries badly enough that a mid-domain band can keep ~half
     spark.sql("CALL graft.system.optimize(`table` => 'zt', " +
-      "target_rows => 3200, stats_cols => 'x,y', zorder_by => 'x,y')")
+      "target_rows => 3125, stats_cols => 'x,y', zorder_by => 'x,y')")
     val snap = SnapshotStore.latest(s"$wh/zt")
     def kept(pred: org.apache.spark.sql.Column): (Int, Int) = {
       val (_, k, t) = SnapshotStore.readPruned(spark, snap, pred)
