@@ -284,3 +284,60 @@ object ProbeZorder {
     spark.stop()
   }
 }
+
+/** Identity-assignment scale probe: append batches of two sizes into a
+  * GENERATED ALWAYS AS IDENTITY table. Assignment adds exactly two jobs
+  * over the cached batch (per-partition counts + the assigning write), so
+  * its cost must track the batch ~linearly — any super-linear growth
+  * would mean the allocation machinery scans something table-sized.
+  *
+  * Usage: runMain graft.ProbeIdentity <rowsSmall> <rowsBig>
+  */
+object ProbeIdentity {
+  def main(args: Array[String]): Unit = {
+    import graft.sources.SnapshotStore
+    val Array(nSmall, nBig) = args.take(2).map(_.toLong)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def run(n: Long): (Double, Double) = {
+      val root = GateTmp.freshDir(s"probe_id_$n")
+      val idMeta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("identity.start", 1L).putLong("identity.step", 1L)
+        .putBoolean("identity.allowExplicitInsert", false).build()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = true, idMeta),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType)))
+      SnapshotStore.init(spark, root, spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+      val batch = spark.range(n).selectExpr("id * 3 AS v")
+      val assign = time(SnapshotStore.append(spark, root, batch))
+      // control: the same append into an identity-free twin
+      val root2 = GateTmp.freshDir(s"probe_idc_$n")
+      SnapshotStore.init(spark, root2, spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(schema.fields.map(
+          _.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))))
+      val plain = time(SnapshotStore.append(spark, root2,
+        batch.selectExpr("CAST(NULL AS BIGINT) AS id", "v")))
+      (assign, plain)
+    }
+    run(nSmall) // warm-up: JIT + parquet codepaths
+    val (sa, sp) = run(nSmall)
+    val (ba, bp) = run(nBig)
+    println(f"rows=$nSmall%d identity-append=$sa%.2fs plain-append=$sp%.2fs")
+    println(f"rows=$nBig%d identity-append=$ba%.2fs plain-append=$bp%.2fs")
+    println(f"growth identity=${ba / sa}%.2fx plain=${bp / sp}%.2fx " +
+      f"overhead-at-big=${ba / bp}%.2fx")
+    spark.stop()
+  }
+}

@@ -1041,6 +1041,51 @@ class GraftCatalogSpec extends SparkSpec {
         |)""".stripMargin))
   }
 
+  test("PARTITIONED BY a generated column: computed on write, prunes on read") {
+    wh
+    // the Delta generated-partition idiom: partition by a derived bucket,
+    // writers never supply it, queries filtering on the bucket prune dirs
+    spark.sql(
+      """CREATE TABLE graft.genp (
+        |  id BIGINT, ts_day BIGINT,
+        |  day_bucket BIGINT GENERATED ALWAYS AS (ts_day % 4))
+        |PARTITIONED BY (day_bucket)""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft.genp (id, ts_day) SELECT id, id % 31 FROM range(400)")
+    // computed + partitioned: hive dirs exist for each bucket value
+    val dataDir = Paths.get(SnapshotStore.latest(s"$wh/genp").dataDir)
+    val dirs = {
+      val st = Files.list(dataDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("day_bucket=")).toSet
+      } finally st.close()
+    }
+    assert(dirs == Set("day_bucket=0", "day_bucket=1", "day_bucket=2",
+      "day_bucket=3"), s"expected 4 hive dirs, got $dirs")
+    // a bucket predicate prunes to that partition's files at planning time
+    // (partition-filter pushdown shows in the PLANNED partitions, not the
+    // pre-pruning fileIndex listing)
+    val planned = spark.sql(
+      "SELECT id FROM graft.genp WHERE day_bucket = 2")
+      .queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.toBatch.planInputPartitions().toSeq.flatMap {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              fp.files.map(_.filePath.toString).toSeq
+            case _ => Nil
+          }
+      }.flatten
+    assert(planned.nonEmpty && planned.forall(_.contains("day_bucket=2")),
+      s"bucket predicate must prune to one partition dir: $planned")
+    // values are the derivation, everywhere
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.genp WHERE day_bucket <> ts_day % 4")
+      .head().getLong(0) == 0L)
+    assert(spark.sql("SELECT count(*) FROM graft.genp").head().getLong(0) == 400L)
+  }
+
   test("small catalog tables auto-broadcast from scan statistics (no hint)") {
     wh
     spark.sql("CREATE TABLE graft.bdim (k BIGINT, label STRING)")
