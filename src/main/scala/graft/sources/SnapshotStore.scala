@@ -577,7 +577,7 @@ object SnapshotStore {
     try {
       val hook: String => Unit = dir =>
         Files.writeString(identityFile(dir), s"""{"next":$newNext}""")
-      transact(spark, root, maxAttempts, txn = txn, stagedHook = hook) { base =>
+      def assignInto(base: DataFrame): DataFrame = {
         val idType = base.schema(base.schema.fieldIndex(idCol)).dataType
         val withCol =
           if (rows.columns.exists(_.equalsIgnoreCase(idCol))) rows
@@ -625,11 +625,17 @@ object SnapshotStore {
               (col("__graft_mid") % lit(1L << 33)))).cast(idType)))
           .drop("__graft_mid", "__pid", "__off")
         val have = assigned.columns.map(_.toLowerCase).toSet
-        val a = base.schema.fields.toIndexedSeq.map { f =>
+        base.schema.fields.toIndexedSeq.map { f =>
           columnFor(f, have(f.name.toLowerCase)).cast(f.dataType).as(f.name)
         } match { case cols => assigned.select(cols: _*) }
-        if (overwrite) a else base.unionByName(a)
       }
+      // appends stage O(batch): fresh files + hard links (identity marks
+      // ride the staged hook either way); only overwrite rewrites
+      if (overwrite)
+        transact(spark, root, maxAttempts, txn = txn, stagedHook = hook)(
+          assignInto)
+      else
+        transactAppendFiles(spark, root, maxAttempts, txn, hook)(assignInto)
     } finally cached.foreach(_.unpersist())
   }
 
@@ -653,6 +659,51 @@ object SnapshotStore {
     else if (f.metadata.contains("CURRENT_DEFAULT"))
       expr(f.metadata.getString("CURRENT_DEFAULT"))
     else lit(null)
+  }
+
+  /** O(batch) append staging for UNpartitioned tables — the same
+    * link-plus-fresh-files shape [[transactMoR]] uses: the new version's
+    * dir hard-links every base data file (metadata-only; `_dv` deletion
+    * state travels as table state) and writes ONLY the appended rows as
+    * fresh files. Without this, an unpartitioned append pays a full table
+    * rewrite per batch — O(table × batches) under streaming ingest, a
+    * scale-killer the partitioned path never had. CHECK constraints
+    * validate the APPENDED rows only (linked rows were validated by the
+    * commits that wrote them — the partial-copy-on-write rule); on CDC
+    * tables the change set is exactly the appended rows as `insert`s
+    * (universally true for an append). The accreted small files are
+    * OPTIMIZE's job to re-pack, as on any table format.
+    */
+  private def transactAppendFiles(spark: SparkSession, root: String,
+      maxAttempts: Int, txn: Option[Txn],
+      stagedHook: String => Unit = _ => ())(
+      newRows: DataFrame => DataFrame): Snapshot = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      if (txn.exists(t => lastTxnVersion(root, t.appId).exists(_ >= t.version)))
+        return latest(root)
+      val base = latest(root)
+      val rows = newRows(read(spark, base))
+      enforceConstraints(rows,
+        tableConstraints(root).map { case (n, sql) => (n, expr(sql)) })
+      val dir = Paths.get(root, "data", UUID.randomUUID().toString)
+      Files.createDirectories(dir)
+      rows.write.mode("append").parquet(dir.toString)
+      linkParquetTree(Paths.get(base.dataDir), dir)
+      Files.writeString(dir.resolve("_schema.json"),
+        readSchema(spark, base).json)
+      stagedHook(dir.toString)
+      carryStateSidecars(base.dataDir, dir.toString)
+      if (cdcKeys(root).nonEmpty)
+        rows.withColumn(ChangeTypeCol, lit("insert"))
+          .write.mode("overwrite").parquet(s"$dir/_changes")
+      if (tryCommit(root, base.version, dir.toString, txn))
+        return Snapshot(base.version + 1, dir.toString)
+      attempt += 1 // lost the race: orphaned dir is cleanOrphans food
+    }
+    throw new CommitConflictException(
+      s"lost the commit race $maxAttempts times at $root")
   }
 
   def append(spark: SparkSession, root: String, rows: DataFrame,
@@ -734,16 +785,15 @@ object SnapshotStore {
         (a, a.withColumn(ChangeTypeCol, lit("insert")))
       }
     else if (cdcKeys(root).isEmpty)
-      transact(spark, root, maxAttempts, txn = txn)(base =>
-        base.unionByName(aligned(base)))
-    else transactWithChanges(spark, root, maxAttempts, txn = txn) { base =>
+      transactAppendFiles(spark, root, maxAttempts, txn)(aligned)
+    else transactAppendFiles(spark, root, maxAttempts, txn) { base =>
       val a = aligned(base)
       val keys = cdcKeys(root)
       val clash = a.join(base, keys, "left_semi").limit(1)
       require(clash.isEmpty,
         s"append to CDC table $root carries already-live key(s) " +
           s"(${keys.mkString(", ")}) — use MERGE for upserts")
-      (base.unionByName(a), a.withColumn(ChangeTypeCol, lit("insert")))
+      a
     }
   }
 

@@ -257,4 +257,54 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, SnapshotStore.at(root, 0)).count() == 1)
     assert(SnapshotStore.read(spark, root).select("v").head().getString(0) == "b")
   }
+
+  test("unpartitioned append links base files, writes only the batch") {
+    import java.nio.file.{Files, Paths}
+    def parquetKeys(dir: String): Set[Object] = {
+      val s = Files.list(Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .map(f => Files.readAttributes(f,
+            classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey())
+          .toSet
+      } finally s.close()
+    }
+    val root = tmpRoot() + "/t"
+    SnapshotStore.init(spark,
+      root, spark.range(1000).selectExpr("id", "id * 2 AS v").repartition(4))
+    val v0 = SnapshotStore.latest(root)
+    val v0Keys = parquetKeys(v0.dataDir)
+    assert(v0Keys.size >= 4)
+    // append a small batch: the new version must HARD-LINK every base file
+    // (fileKey identity — O(batch) staging, never a table rewrite) and add
+    // only fresh batch files
+    SnapshotStore.append(spark, root,
+      spark.range(1000, 1010).selectExpr("id", "id * 2 AS v"))
+    val v1 = SnapshotStore.latest(root)
+    val v1Keys = parquetKeys(v1.dataDir)
+    assert(v0Keys.subsetOf(v1Keys),
+      "append must link every base file, not rewrite")
+    assert(v1Keys.size > v0Keys.size, "append must add fresh batch files")
+    assert(SnapshotStore.read(spark, v1).count() == 1010)
+    assert(SnapshotStore.read(spark, v1).agg(sum($"v")).head().getLong(0)
+      == (0L until 1010L).map(_ * 2).sum)
+    // the CDC variant stays O(batch) too, with the change set = the batch
+    val rootC = tmpRoot() + "/tc"
+    SnapshotStore.init(spark, rootC,
+      spark.range(100).selectExpr("id", "id AS v").repartition(3),
+      cdcKeys = Seq("id"))
+    val c0Keys = parquetKeys(SnapshotStore.latest(rootC).dataDir)
+    SnapshotStore.append(spark, rootC,
+      spark.range(100, 105).selectExpr("id", "id AS v"))
+    val c1 = SnapshotStore.latest(rootC)
+    assert(c0Keys.subsetOf(parquetKeys(c1.dataDir)))
+    val ch = SnapshotStore.changes(spark, rootC, 1, 1)
+    assert(ch.count() == 5 &&
+      ch.filter($"_change_type" === "insert").count() == 5)
+    // a live-key append still refuses before anything commits
+    intercept[Exception](SnapshotStore.append(spark, rootC,
+      spark.range(99, 101).selectExpr("id", "id AS v")))
+    assert(SnapshotStore.latest(rootC).version == 1L)
+  }
 }
