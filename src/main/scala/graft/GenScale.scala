@@ -341,3 +341,44 @@ object ProbeIdentity {
     spark.stop()
   }
 }
+
+/** Append-cost scale probe (round-11): a FIXED 10k-row append into tables
+  * of two sizes. Linked staging (transactAppendFiles) makes the cost a
+  * function of the BATCH plus O(#files) link metadata — near-flat in
+  * table size; the pre-fix rewrite staging grew with the table and would
+  * show ~10× here.
+  *
+  * Usage: runMain graft.ProbeAppend <rowsSmall> <rowsBig>
+  */
+object ProbeAppend {
+  def main(args: Array[String]): Unit = {
+    import graft.sources.SnapshotStore
+    val Array(nSmall, nBig) = args.take(2).map(_.toLong)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def run(n: Long): Double = {
+      val root = GateTmp.freshDir(s"probe_app_$n")
+      SnapshotStore.init(spark, root, spark.range(n)
+        .selectExpr("id", "id * 3 AS v", "repeat('x', 64) AS pad")
+        .repartition(32))
+      val batch = spark.range(n, n + 10000)
+        .selectExpr("id", "id * 3 AS v", "repeat('x', 64) AS pad")
+      time(SnapshotStore.append(spark, root, batch))
+    }
+    run(nSmall) // warm-up: JIT + parquet codepaths
+    val s1 = run(nSmall)
+    val b1 = run(nBig)
+    println(f"rows=$nSmall%d append-10k=$s1%.2fs")
+    println(f"rows=$nBig%d append-10k=$b1%.2fs")
+    println(f"growth=${b1 / s1}%.2fx (flat = O(batch) staging)")
+    spark.stop()
+  }
+}
