@@ -69,6 +69,15 @@ object SqlDml {
     * `spark.sql("UPDATE graft.t …")`: analyzed nodes carry resolved
     * relations, which [[relationOf]] maps straight to store roots).
     */
+  /** The identity column of `root`'s current schema, if any — DML that
+    * would bypass the engine's allocation (assigning the column, or
+    * inserting rows through MERGE, whose arms never run appendWithIdentity)
+    * must refuse loudly rather than land NULL/forged ids.
+    */
+  private def identityColOf(spark: SparkSession, root: String): Option[String] =
+    SnapshotStore.readSchema(spark, SnapshotStore.latest(root)).fields
+      .find(_.metadata.contains("identity.start")).map(_.name)
+
   def executePlan(spark: SparkSession, parsed: LogicalPlan,
       tables: Map[String, String] = Map.empty,
       maxAttempts: Int = 10, checkCardinality: Boolean = true): SnapshotStore.Snapshot = {
@@ -87,6 +96,9 @@ object SqlDml {
             val unknown = assigns.keys.filterNot(known)
             require(unknown.isEmpty,
               s"UPDATE assigns to non-target column(s): ${unknown.mkString(", ")}")
+            identityColOf(spark, root).foreach(ic => require(
+              !assigns.contains(ic.toLowerCase),
+              s"cannot UPDATE identity column $ic — ids are engine-assigned"))
           }
           def newVal(c: String): Column = assigns.get(c.toLowerCase) match {
             case Some(v) => when(coalesce(cond, lit(false)), v)
@@ -190,6 +202,23 @@ object SqlDml {
         // rewritten, the DV twin of the partial copy-on-write argument
         // below. A NOT MATCHED BY SOURCE arm can modify ANY target row,
         // so it falls through to the full rewrite.
+        identityColOf(spark, root).foreach { ic =>
+          require(m.notMatchedActions.isEmpty,
+            s"MERGE with a NOT MATCHED (insert) arm is unsupported on " +
+              s"identity tables ($ic is engine-assigned) — append instead")
+          val touchesId =
+            (m.matchedActions ++ m.notMatchedBySourceActions).exists {
+              case ua: org.apache.spark.sql.catalyst.plans.logical.UpdateAction =>
+                ua.assignments.exists(_.key.sql.toLowerCase
+                  .split('.').last.stripSuffix("`").stripPrefix("`")
+                  == ic.toLowerCase)
+              case _: org.apache.spark.sql.catalyst.plans.logical.UpdateStarAction =>
+                true // SET * assigns every column, the identity one included
+              case _ => false
+            }
+          require(!touchesId,
+            s"MERGE cannot assign identity column $ic — ids are engine-assigned")
+        }
         if (SnapshotStore.dmlMode(root) == SnapshotStore.MergeOnRead &&
             m.notMatchedBySourceActions.isEmpty)
           SnapshotStore.transactMoR(spark, root, maxAttempts)(

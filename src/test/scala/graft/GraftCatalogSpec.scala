@@ -944,6 +944,37 @@ class GraftCatalogSpec extends SparkSpec {
       .head().isNullAt(0), "direct append must assign identity ids")
   }
 
+  test("identity columns: DML that would bypass allocation refuses") {
+    wh
+    spark.sql(
+      "CREATE TABLE graft.idg (id BIGINT GENERATED ALWAYS AS IDENTITY, v BIGINT)")
+    spark.sql("INSERT INTO graft.idg (v) SELECT id FROM range(10)")
+    // UPDATE may touch data columns, never the identity column
+    graft.sources.SqlDml.execute(spark,
+      "UPDATE graft.idg SET v = v + 1 WHERE v < 3")
+    intercept[Exception](graft.sources.SqlDml.execute(spark,
+      "UPDATE graft.idg SET id = 999 WHERE v = 5"))
+    // MERGE insert arms bypass appendWithIdentity — refuse
+    spark.range(5).selectExpr("id AS k", "id * 2 AS nv")
+      .createOrReplaceTempView("idg_src")
+    intercept[Exception](graft.sources.SqlDml.execute(spark,
+      """MERGE INTO graft.idg t USING idg_src s ON t.v = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.nv
+        |WHEN NOT MATCHED THEN INSERT (v) VALUES (s.nv)""".stripMargin))
+    // a matched-only MERGE not touching the id commits fine
+    graft.sources.SqlDml.execute(spark,
+      """MERGE INTO graft.idg t USING idg_src s ON t.v = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.nv + 100""".stripMargin)
+    // ...but one assigning the id refuses
+    intercept[Exception](graft.sources.SqlDml.execute(spark,
+      """MERGE INTO graft.idg t USING idg_src s ON t.v = s.k
+        |WHEN MATCHED THEN UPDATE SET id = s.k""".stripMargin))
+    assert(spark.sql(
+      "SELECT count(*), count(DISTINCT id), count(id) FROM graft.idg")
+      .head() match { case r =>
+        r.getLong(0) == 10L && r.getLong(1) == 10L && r.getLong(2) == 10L })
+  }
+
   test("BY DEFAULT identity: explicit + generated in ONE batch never collide") {
     wh
     spark.sql(
