@@ -1162,10 +1162,19 @@ class GraftCatalogSpec extends SparkSpec {
       val (_, k, t) = SnapshotStore.readPruned(spark, snap, pred)
       (k, t)
     }
-    val (kx, tx) = kept($"max_x" >= 40000L && $"min_x" <= 60000L)
-    val (ky, ty) = kept($"max_y" >= 40000L && $"min_y" <= 60000L)
-    assert(kx * 2 < tx, s"x band kept $kx of $tx")
-    assert(ky * 2 < ty, s"y band kept $ky of $ty")
+    // bounds are deliberately loose: RangePartitioner's sample seed
+    // derives from the RDD id (a global counter), so tile boundaries
+    // shift run to run — the meaningful claims are that BOTH single-dim
+    // bands prune (range-clustering keeps 100% on its second dim) and
+    // that the 2-D rectangle prunes hard
+    val xBand = $"max_x" >= 40000L && $"min_x" <= 60000L
+    val yBand = $"max_y" >= 40000L && $"min_y" <= 60000L
+    val (kx, tx) = kept(xBand)
+    val (ky, ty) = kept(yBand)
+    assert(kx * 3 <= tx * 2, s"x band kept $kx of $tx (want <= 2/3)")
+    assert(ky * 3 <= ty * 2, s"y band kept $ky of $ty (want <= 2/3)")
+    val (kr, tr) = kept(xBand && yBand)
+    assert(kr * 3 <= tr, s"2-D rectangle kept $kr of $tr (want <= 1/3)")
     // the SQL read path prunes from the same manifest at PLANNING time —
     // on EITHER dimension (the multi-dim win over cluster_by)
     def scanFiles(sql: String): Int =
@@ -1177,8 +1186,8 @@ class GraftCatalogSpec extends SparkSpec {
     val totalSql = scanFiles("SELECT * FROM graft.zt")
     val fx = scanFiles("SELECT v FROM graft.zt WHERE x BETWEEN 40000 AND 60000")
     val fy = scanFiles("SELECT v FROM graft.zt WHERE y BETWEEN 40000 AND 60000")
-    assert(fx * 2 < totalSql, s"SQL x band planned $fx of $totalSql files")
-    assert(fy * 2 < totalSql, s"SQL y band planned $fy of $totalSql files")
+    assert(fx * 3 <= totalSql * 2, s"SQL x band planned $fx of $totalSql files")
+    assert(fy * 3 <= totalSql * 2, s"SQL y band planned $fy of $totalSql files")
     // zorder_by and cluster_by together refuse
     intercept[Exception](spark.sql(
       "CALL graft.system.optimize(`table` => 'zt', target_rows => 3200, " +
