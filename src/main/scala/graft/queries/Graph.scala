@@ -566,6 +566,77 @@ object Graph {
            |WHERE d.deg >= 2
            |ORDER BY doc_id""".stripMargin)),
 
+    // Q104 [extension: k-core decomposition] Iterative peeling to the
+    // 3-core of the undirected link graph: repeatedly drop every vertex
+    // whose current degree is < k until none is (the standard
+    // batch-peeling formulation — each round is one degree aggregate +
+    // one both-endpoints-survive semi-restriction, all shuffling
+    // edge-count rows on `src`/`dst`). The round count is bounded by the
+    // peeling DEPTH (the longest chain of cascading removals), not the
+    // graph diameter; convergence is verified loudly (edge count stable ⟺
+    // no vertex below k remains) with the same iterCheckpoint hygiene as
+    // q85/q86 — flat lineage, bounded stats, data-derived partitioning.
+    // The core is the densest robust substructure cheap enough to compute
+    // at corpus scale — the standard prefilter for community/influence
+    // analysis over a 100 TB link graph. The oracle unrolls the peeling
+    // rounds as CTE algebra (the q85 precedent).
+    "q104_kcore" -> QueryDef(
+      build = (s, d) => {
+        val K = 3; val Rounds = 16
+        val (n, _, edges) = linkGraphN(s, d)
+        val parts = labelPartitions(n)
+        val und = edges.select($("src"), $("dst"))
+          .unionByName(edges.select($("dst").as("src"), $("src").as("dst")))
+          .filter($("src") =!= $("dst")).distinct()
+        var (e, eCk) = iterCheckpoint(
+          und.repartition(parts, $("src")), resetStats = false)
+        var edgeCount = e.count()
+        var removing = true
+        var it = 0
+        while (it < Rounds && removing) {
+          val keep = e.groupBy($("src")).agg(count(lit(1)).as("deg"))
+            .filter($("deg") >= K).select($("src").as("v"))
+          val pruned = e
+            .join(keep.select($("v").as("src")), "src")
+            .join(keep.select($("v").as("dst")), "dst")
+            .select($("src"), $("dst"))
+          val (ne, neCk) = iterCheckpoint(
+            pruned.repartition(parts, $("src")), it % 4 == 3)
+          val newCount = ne.count()
+          removing = newCount != edgeCount
+          edgeCount = newCount
+          eCk.unpersist(); eCk = neCk; e = ne
+          it += 1
+        }
+        require(!removing,
+          s"k-core peeling did not converge within $Rounds rounds")
+        e.groupBy($("src").as("doc_id")).agg(count(lit(1)).as("deg"))
+          .orderBy($("doc_id"))
+      },
+      oracle = Some {
+        // MATERIALIZED is load-bearing: each round references the previous
+        // edge set three times, so an inlining planner would expand e0
+        // 3^16 ways (observed: fd exhaustion); materialization makes the
+        // unrolled chain linear, exactly like the engine's per-round
+        // checkpoints
+        val rounds = (1 to 16).map { i =>
+          s"""k$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY src
+             |  HAVING count(*) >= 3),
+             |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+             |  JOIN k$i a ON a.src = e.src
+             |  JOIN k$i b ON b.src = e.dst)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $edgesSql,
+           |e0 AS MATERIALIZED (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT src, dst FROM edges
+           |    UNION ALL SELECT dst, src FROM edges)
+           |  WHERE src <> dst),
+           |$rounds
+           |SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+           |FROM e16 GROUP BY src ORDER BY doc_id""".stripMargin
+      }),
+
     // Q100 [extension: recursive CTE] Bounded-depth graph walk as a BARE
     // `WITH RECURSIVE` statement — the SQL face of the engine's iterative
     // graph machinery (q85 writes the same relaxation as a DataFrame loop
