@@ -697,7 +697,51 @@ object Surface {
           |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
           |  AND b.n_orders * (SELECT count(*) FROM big)
           |      >= (SELECT CAST(sum(n_orders) AS BIGINT) FROM big)
-          |ORDER BY c.c_custkey""".stripMargin))
+          |ORDER BY c.c_custkey""".stripMargin)),
+
+    // Q105 [extension: UNPIVOT] The melt half of the reshaping surface
+    // (q16c pivot is the other): a wide per-nation aggregate (one column
+    // per measure) unpivots to long (nation, measure, value) rows through
+    // Spark's SQL UNPIVOT clause — the analyzer rewrites it to an
+    // expand+filter, no shuffle beyond the source aggregate. The oracle
+    // states the same reshape as UNION ALL algebra, so the gate pins
+    // column naming, NULL-row exclusion semantics (UNPIVOT drops rows
+    // whose value is NULL — none here: the measures are non-null sums),
+    // and value typing across engines.
+    "q105_unpivot" -> QueryDef(
+      build = (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("q105_orders")
+        Tables.customer(s, d).createOrReplaceTempView("q105_cust")
+        s.sql(
+          s"""WITH wide AS (
+             |  SELECT c.c_nationkey AS nation,
+             |    CAST(count(*) AS BIGINT) AS n_orders,
+             |    CAST(sum(${graft.Canon.centsSql("o.o_totalprice")}) AS BIGINT)
+             |      AS revenue_c,
+             |    CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_custs
+             |  FROM q105_orders o JOIN q105_cust c ON c.c_custkey = o.o_custkey
+             |  GROUP BY c.c_nationkey)
+             |SELECT nation, measure, value
+             |FROM wide UNPIVOT (value FOR measure IN
+             |  (n_orders, revenue_c, n_custs))
+             |ORDER BY nation, measure""".stripMargin)
+      },
+      oracle = Some(
+        s"""WITH wide AS (
+           |  SELECT c.c_nationkey AS nation,
+           |    CAST(count(*) AS BIGINT) AS n_orders,
+           |    CAST(sum(${graft.Canon.centsSql("o.o_totalprice")}) AS BIGINT)
+           |      AS revenue_c,
+           |    CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_custs
+           |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           |  GROUP BY c.c_nationkey)
+           |SELECT nation, measure, value FROM (
+           |  SELECT nation, 'n_orders' AS measure, n_orders AS value FROM wide
+           |  UNION ALL
+           |  SELECT nation, 'revenue_c', revenue_c FROM wide
+           |  UNION ALL
+           |  SELECT nation, 'n_custs', n_custs FROM wide)
+           |ORDER BY nation, measure""".stripMargin))
   )
 
   /** DuckDB replica of q35b's payload construction. The hex helpers build
