@@ -45,6 +45,38 @@ object LlmSimilarity {
       |    list_zip(q.embedding, c.embedding),
       |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))), (a,b)->a+b)""".stripMargin
 
+  /** MRL truncated-retrieval: leading-16-dim shortlist (top-512 — 1% of
+    * the sf0.1 corpus — by truncated cosine) → exact full-dim rerank to
+    * top-3. See q26g.
+    */
+  def mrlTopK(s: SparkSession, d: String): DataFrame = {
+    val dims = 16; val shortlist = 512
+    val n = normed(s, d)
+    val t = n.select($("vec_id"),
+      slice($("embedding"), 1, dims).as("te"))
+      .withColumn("tn", norm($("te")))
+    val qT = t.filter($("vec_id") % 50 === 0)
+      .select($("vec_id").as("qid"), $("te").as("qte"), $("tn").as("qtn"))
+    val w1 = Window.partitionBy($("qid")).orderBy(desc("tcos"), $("cid"))
+    val short = t.join(broadcast(qT), $("vec_id") =!= $("qid"))
+      .select($("qid"), $("vec_id").as("cid"),
+        (dot($("qte"), $("te")) / ($("qtn") * $("tn"))).as("tcos"))
+      .withColumn("trnk", row_number().over(w1))
+      .filter($("trnk") <= shortlist)
+      .select($("qid"), $("cid")) // ids only into the rerank join
+    val qF = n.filter($("vec_id") % 50 === 0)
+      .select($("vec_id").as("qid"), $("embedding").as("qe"), $("nrm").as("qn"))
+    val w2 = Window.partitionBy($("qid")).orderBy(desc("cos"), $("cid"))
+    short
+      .join(n.select($("vec_id").as("cid"), $("embedding").as("ce"),
+        $("nrm").as("cn")), "cid")
+      .join(broadcast(qF), "qid")
+      .select($("qid"), $("cid"),
+        (dot($("qe"), $("ce")) / ($("qn") * $("cn"))).as("cos"))
+      .withColumn("rnk", row_number().over(w2).cast("long"))
+      .filter($("rnk") <= 3)
+  }
+
   /** Exact brute-force cosine top-3 per query vector (q26's body; also the
     * in-engine referee the q26b/q26c self-checking gates compare against).
     */
@@ -191,6 +223,25 @@ object LlmSimilarity {
     // recall floor pinned in LlmSpec.
     "q26d_ann_pq" -> QueryDef(
       build = (s, d) => recallGate(s, d, pqTopK(s, d), minHits = 1),
+      oracle = Some(recallGateOracle)),
+
+    // Q26g [extension, scale path #4] Matryoshka-style truncated-dimension
+    // retrieval: stage 1 scans only the LEADING 16 of 64 dims (4× less
+    // arithmetic and — the real win at 100 TB — 4× less vector I/O and
+    // cache footprint per candidate, the serving trick MRL embeddings are
+    // trained for) to build a top-512 shortlist per query (~1% of the
+    // sf0.1 corpus; at scale the RATIO is the knob); stage 2 reranks the
+    // shortlist with exact full-dim cosine, touching 512 full vectors per
+    // query instead of N. Shortlist travels as (qid, cid) ids only — full
+    // vectors re-join by key, never ride the wide stage-1 shuffle.
+    // Uniform-random embeddings are the WORST case (no energy
+    // concentration in leading dims — a trained MRL model front-loads
+    // information; the truncated cosine here is a noisy √(16/64)-strength
+    // estimate): a 64-wide shortlist measured 8/40 zero-hit queries at
+    // sf0.1, 512 measured zero misses at every SF — the calibration trail
+    // q26d also documents.
+    "q26g_ann_mrl" -> QueryDef(
+      build = (s, d) => recallGate(s, d, mrlTopK(s, d), minHits = 1),
       oracle = Some(recallGateOracle)),
 
     // Q26e [extension: persisted+versioned index state] q26c's IVF serving
