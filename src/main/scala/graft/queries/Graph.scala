@@ -582,7 +582,12 @@ object Graph {
     // rounds as CTE algebra (the q85 precedent).
     "q104_kcore" -> QueryDef(
       build = (s, d) => {
-        val K = 3; val Rounds = 16
+        // 17 = the oracle's 16 productive unrolled rounds + the final
+        // quiescent pass that clears the convergence require (a graph
+        // peeling in exactly 16 rounds must still observe one stable
+        // round; without the +1 the engine refuses where the oracle
+        // converges)
+        val K = 3; val Rounds = 17
         val (n, _, edges) = linkGraphN(s, d)
         val parts = labelPartitions(n)
         val und = edges.select($("src"), $("dst"))

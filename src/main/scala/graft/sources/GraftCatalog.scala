@@ -215,22 +215,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(partitions.isEmpty && !properties.containsKey(CdcKeysProp),
         "identity columns are supported on unpartitioned non-CDC tables")
     }
-    // generated columns: expression must resolve against the OTHER columns
-    // only and be deterministic (a per-write rand() would make the stored
-    // value unreproducible and the consistency CHECK unsatisfiable)
+    // generated columns: expression must resolve against the NON-generated
+    // columns only (chained generation — one generated column referencing
+    // another — would evaluate against the RAW input where the sibling is
+    // not yet derived, landing values the consistency CHECK then rejects
+    // on every insert; refuse it at CREATE instead), be deterministic (a
+    // per-write rand() would make the stored value unreproducible), and be
+    // free of time/session-dependent functions (current_date() counts as
+    // "deterministic" to Spark but re-evaluates per statement — the
+    // `col <=> (expr)` CHECK would refuse every later full-rewrite DML on
+    // rows stamped under an earlier clock)
     val genFields = schema.fields
       .filter(_.metadata.contains(GraftCatalog.GenerationExprKey))
     genFields.foreach { f =>
       val g = f.metadata.getString(GraftCatalog.GenerationExprKey)
       require(!f.metadata.contains("identity.start"),
         s"${f.name} cannot be both identity and generated")
-      val others = StructType(schema.fields.filter(_.name != f.name)
+      val others = StructType(schema.fields
+        .filter(o => o.name != f.name &&
+          !o.metadata.contains(GraftCatalog.GenerationExprKey))
         .map(o => o.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
       val probe = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], others)
         .select(org.apache.spark.sql.functions.expr(g)) // throws if unresolvable
-      require(probe.queryExecution.analyzed.expressions.forall(_.deterministic),
+      val analyzed = probe.queryExecution.analyzed.expressions
+      require(analyzed.forall(_.deterministic),
         s"generation expression for ${f.name} must be deterministic: $g")
+      import org.apache.spark.sql.catalyst.expressions._
+      val timeDependent = analyzed.exists(_.exists {
+        case _: CurrentDate | _: CurrentTimestamp | _: Now |
+          _: LocalTimestamp | _: CurrentTimeZone => true
+        case _ => false
+      })
+      require(!timeDependent,
+        s"generation expression for ${f.name} must not depend on the " +
+          s"statement clock/session: $g")
     }
     // store identity AND generated columns NULLABLE: the V1 insert
     // fallback pads an omitted column with NULL before the engine ever

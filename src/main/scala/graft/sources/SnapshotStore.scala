@@ -653,8 +653,8 @@ object SnapshotStore {
   private def columnFor(f: org.apache.spark.sql.types.StructField,
       present: Boolean): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, expr, lit}
-    if (f.metadata.contains("graft.generationExpression"))
-      expr(f.metadata.getString("graft.generationExpression"))
+    if (f.metadata.contains(GraftCatalog.GenerationExprKey))
+      expr(f.metadata.getString(GraftCatalog.GenerationExprKey))
     else if (present) col(f.name)
     else if (f.metadata.contains("CURRENT_DEFAULT"))
       expr(f.metadata.getString("CURRENT_DEFAULT"))
@@ -704,6 +704,24 @@ object SnapshotStore {
     }
     throw new CommitConflictException(
       s"lost the commit race $maxAttempts times at $root")
+  }
+
+  /** The generated columns of `schema` (STORED generation expressions in
+    * field metadata) and the projection that recomputes them — for write
+    * paths that assemble rows themselves (partition-spec overwrites) and
+    * guards that must know the set (MERGE insert arms).
+    */
+  def generatedCols(schema: org.apache.spark.sql.types.StructType):
+      Seq[org.apache.spark.sql.types.StructField] =
+    schema.fields.toIndexedSeq
+      .filter(_.metadata.contains(GraftCatalog.GenerationExprKey))
+
+  def deriveGenerated(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    generatedCols(schema).foldLeft(df)((acc, f) => acc.withColumn(f.name,
+      expr(f.metadata.getString(GraftCatalog.GenerationExprKey))
+        .cast(f.dataType)))
   }
 
   def append(spark: SparkSession, root: String, rows: DataFrame,

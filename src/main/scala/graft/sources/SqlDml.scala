@@ -219,6 +219,31 @@ object SqlDml {
           require(!touchesId,
             s"MERGE cannot assign identity column $ic — ids are engine-assigned")
         }
+        locally {
+          // generated columns: the MERGE insert arm builds rows through the
+          // full-outer nested-CASE, which pads unassigned columns with NULL
+          // instead of deriving — the consistency CHECK would then refuse
+          // the whole statement with a cryptic constraint violation, so
+          // demand the derivation be written in the arm (where its inputs
+          // are in scope) up front
+          val gen = SnapshotStore.generatedCols(
+            SnapshotStore.readSchema(spark, SnapshotStore.latest(root)))
+            .map(_.name.toLowerCase)
+          if (gen.nonEmpty && m.notMatchedActions.nonEmpty) {
+            def assigns(a: Any, gc: String): Boolean = a match {
+              case ia: org.apache.spark.sql.catalyst.plans.logical.InsertAction =>
+                ia.assignments.exists(_.key.sql.toLowerCase
+                  .split('.').last.stripSuffix("`").stripPrefix("`") == gc)
+              case _ => false // INSERT * cannot be verified — refuse
+            }
+            val missing = gen.filterNot(gc =>
+              m.notMatchedActions.forall(assigns(_, gc)))
+            require(missing.isEmpty,
+              s"MERGE INSERT arms must assign generated column(s) " +
+                s"${missing.mkString(", ")} explicitly (write the " +
+                "derivation in the arm; a NULL pad fails the consistency CHECK)")
+          }
+        }
         if (SnapshotStore.dmlMode(root) == SnapshotStore.MergeOnRead &&
             m.notMatchedBySourceActions.isEmpty)
           SnapshotStore.transactMoR(spark, root, maxAttempts)(
@@ -268,8 +293,14 @@ object SqlDml {
             s"PARTITION spec ${spec.keySet} must name exactly the partition " +
               s"columns ${hive.mkString(", ")}")
           val schema = SnapshotStore.readSchema(spark, SnapshotStore.latest(root))
+          // generated columns are the ENGINE's to compute — the query
+          // supplies only the plain data columns, and the derivation runs
+          // after the partition literals attach (it may reference them)
+          val genNames = SnapshotStore.generatedCols(schema)
+            .map(_.name.toLowerCase).toSet
           val dataCols = schema.fieldNames.toIndexedSeq
-            .filterNot(c => spec.contains(c.toLowerCase))
+            .filterNot(c => spec.contains(c.toLowerCase) ||
+              genNames(c.toLowerCase))
           require(src.columns.length == dataCols.length,
             s"query provides ${src.columns.length} columns; partition " +
               s"$spec expects ${dataCols.mkString(", ")}")
@@ -279,7 +310,8 @@ object SqlDml {
               acc.withColumn(k, lit(v).cast(schema(
                 schema.fieldNames.find(_.equalsIgnoreCase(k)).get).dataType))
             }
-            withParts.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+            SnapshotStore.deriveGenerated(withParts, schema)
+              .select(schema.fieldNames.toIndexedSeq.map(col): _*)
           }
           val partPred = spec.map { case (k, v) =>
             col(k) <=> lit(v).cast(schema(

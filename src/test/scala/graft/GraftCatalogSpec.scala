@@ -1070,6 +1070,61 @@ class GraftCatalogSpec extends SparkSpec {
       """CREATE TABLE graft.gen2 (
         |  id BIGINT, r BIGINT GENERATED ALWAYS AS (CAST(rand() * 10 AS BIGINT))
         |)""".stripMargin))
+    // time-dependent expressions refuse at CREATE too: current_date() is
+    // "deterministic" to Spark but re-evaluates per statement — the
+    // consistency CHECK would refuse every later full-rewrite DML on rows
+    // stamped under an earlier clock
+    intercept[Exception](spark.sql(
+      """CREATE TABLE graft.gen3 (
+        |  id BIGINT, d DATE GENERATED ALWAYS AS (current_date()))""".stripMargin))
+    // chained generation (a generated column referencing another) refuses
+    // at CREATE: the derivation runs against the raw input, where the
+    // sibling is not yet derived
+    intercept[Exception](spark.sql(
+      """CREATE TABLE graft.gen4 (
+        |  a BIGINT, b BIGINT GENERATED ALWAYS AS (a + 1),
+        |  c BIGINT GENERATED ALWAYS AS (b * 2))""".stripMargin))
+    // MERGE insert arms must write the derivation themselves (the
+    // nested-CASE pads unassigned columns with NULL, which the CHECK
+    // would reject with a cryptic violation) — refused up front...
+    spark.range(3).selectExpr("id + 200 AS nid", "id * 11 AS namount")
+      .createOrReplaceTempView("gen_src")
+    intercept[Exception](graft.sources.SqlDml.execute(spark,
+      """MERGE INTO graft.gen t USING gen_src s ON t.id = s.nid
+        |WHEN NOT MATCHED THEN INSERT (id, amount) VALUES (s.nid, s.namount)
+        |""".stripMargin))
+    // ...and the arm that derives commits, CHECK-clean
+    graft.sources.SqlDml.execute(spark,
+      """MERGE INTO graft.gen t USING gen_src s ON t.id = s.nid
+        |WHEN NOT MATCHED THEN INSERT (id, amount, bucket)
+        |  VALUES (s.nid, s.namount, s.namount % 10)""".stripMargin)
+    assert(spark.sql("SELECT bucket FROM graft.gen WHERE id = 201")
+      .head().getLong(0) == 1L)
+  }
+
+  test("generated columns in PARTITION-spec overwrites are engine-derived") {
+    wh
+    spark.sql(
+      """CREATE TABLE graft.genps (
+        |  id BIGINT, amount BIGINT,
+        |  band BIGINT GENERATED ALWAYS AS (amount % 3), seg STRING)
+        |PARTITIONED BY (seg)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.genps (id, amount, seg)
+        |SELECT id, id * 5, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END
+        |FROM range(20)""".stripMargin)
+    // the backfill query supplies ONLY plain data columns — the partition
+    // literal attaches and the generated column derives engine-side
+    graft.sources.SqlDml.execute(spark,
+      """INSERT OVERWRITE graft.genps PARTITION (seg = 'a')
+        |SELECT id + 100, (id + 100) * 7 FROM range(5)""".stripMargin)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.genps WHERE band <> amount % 3")
+      .head().getLong(0) == 0L)
+    assert(spark.sql("SELECT count(*) FROM graft.genps WHERE seg = 'a'")
+      .head().getLong(0) == 5L)
+    assert(spark.sql("SELECT count(*) FROM graft.genps WHERE seg = 'b'")
+      .head().getLong(0) == 10L)
   }
 
   test("PARTITIONED BY a generated column: computed on write, prunes on read") {
