@@ -13,7 +13,8 @@ import org.apache.spark.sql.types._
   * Headers AND pixels are parsed FOR REAL where a pure-JVM codec exists:
   * PNG (grayscale/RGB/RGBA/palette/gray+alpha, 8- and 16-bit, Adam7
   * interlace, all five filters), JPEG
-  * (baseline AND progressive — functions/Jpeg.scala), RIFF/WAVE PCM, FLAC
+  * (baseline AND progressive — functions/Jpeg.scala), BMP (uncompressed
+  * 24/32-bit truecolor), RIFF/WAVE PCM, FLAC
   * STREAMINFO, MPEG1-Layer-III frame walks. `fakeDecode`'s deterministic
   * pseudo-metadata remains only for payloads with NO recognizable media
   * header (and the disclosed synthetic video container). The Spark-side
@@ -524,16 +525,54 @@ object Multimodal {
     }(enc)
   }
 
+  /** Decode an uncompressed 24/32-bit BMP (BITMAPINFOHEADER, BI_RGB) to
+    * the BT.601 luma grid: rows are stored bottom-up (negative height =
+    * top-down), padded to 4-byte boundaries, pixels little-endian BGR(A).
+    * Compressed (RLE/bitfields), paletted, and sub-24-bit shapes refuse
+    * loudly — the uncompressed truecolor case covers what tooling actually
+    * emits as .bmp.
+    */
+  def decodeBmpGray(b: Array[Byte]): Array[Array[Int]] = {
+    require(b.length >= 54 && b(0) == 'B' && b(1) == 'M', "not a BMP")
+    val dataOff = le32(b, 10)
+    val hdrSize = le32(b, 14)
+    require(hdrSize >= 40, s"BMP core-header variant unsupported ($hdrSize)")
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    require(compression == 0, s"compressed BMP unsupported (method $compression)")
+    require(bpp == 24 || bpp == 32,
+      s"BMP decoder covers uncompressed 24/32-bit (got $bpp)")
+    require(w > 0 && h > 0 && w.toLong * h <= 100000000L, s"bad BMP dims ${w}x$hRaw")
+    val bytesPp = bpp / 8
+    val stride = (w * bytesPp + 3) / 4 * 4 // rows pad to 4-byte boundaries
+    require(dataOff >= 0 && dataOff.toLong + stride.toLong * h <= b.length,
+      "BMP pixel data truncated")
+    Array.tabulate(h, w) { (y, x) =>
+      val row = if (topDown) y else h - 1 - y // bottom-up storage
+      val o = dataOff + row * stride + x * bytesPp
+      // little-endian BGR(A)
+      (299 * (b(o + 2) & 0xFF) + 587 * (b(o + 1) & 0xFF) +
+        114 * (b(o) & 0xFF)) / 1000
+    }
+  }
+
   /** Format-agnostic grayscale decode: PNG via [[decodePngGray]], JPEG via
-    * [[Jpeg.decodeGray]] (baseline Huffman, pure JVM) — both yield the
-    * BT.601 luma view, so every perceptual op downstream is codec-blind.
+    * [[Jpeg.decodeGray]] (baseline Huffman, pure JVM), BMP via
+    * [[decodeBmpGray]] — all yield the BT.601 luma view, so every
+    * perceptual op downstream is codec-blind.
     */
   def decodeImageGray(b: Array[Byte]): Array[Array[Int]] =
     if (b.length >= 8 && java.util.Arrays.equals(b.slice(0, 8), PngSig))
       decodePngGray(b)
     else if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8)
       Jpeg.decodeGray(b)
-    else throw new IllegalArgumentException("payload is neither PNG nor JPEG")
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M')
+      decodeBmpGray(b)
+    else throw new IllegalArgumentException("payload is neither PNG, JPEG nor BMP")
 
   /** Decode (img_id, payload) images — PNG or JPEG — and emit the 64-bit
     * perceptual hash. Partition-local CPU work — the decode never shuffles

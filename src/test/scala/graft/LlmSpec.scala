@@ -535,6 +535,24 @@ class LlmSpec extends SparkSpec {
     for (y <- 0 until h; x <- 0 until w)
       assert(got(y)(x) == ga(y)(x * 2), s"type-4 ($x,$y): alpha must not leak")
 
+    // BMP (uncompressed 24-bit, BGR, bottom-up, padded rows) decodes to
+    // exact BT.601 luma — ImageIO is the independent encoder
+    val bmpImg = new java.awt.image.BufferedImage(5, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 5)
+      bmpImg.setRGB(x, y, ((x * 50) << 16) | ((y * 60) << 8) | (x * 11 + y))
+    val outBmp = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bmpImg, "bmp", outBmp)
+    val bmp = outBmp.toByteArray
+    assert(bmp(0) == 'B' && bmp(1) == 'M')
+    val gotBmp = Multimodal.decodeImageGray(bmp)
+    for (y <- 0 until 4; x <- 0 until 5)
+      assert(gotBmp(y)(x) ==
+        (299 * (x * 50) + 587 * (y * 60) + 114 * (x * 11 + y)) / 1000,
+        s"bmp ($x,$y)")
+    // truncated pixel data refuses rather than reading junk
+    intercept[Exception](Multimodal.decodeBmpGray(bmp.dropRight(8)))
+
     // sub-8-bit palette packing still refuses: a 16-color IndexColorModel
     // makes ImageIO write 4-bit indices
     val r4 = Array.tabulate(16)(i => (i * 17).toByte)
