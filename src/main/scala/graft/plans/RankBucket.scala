@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Quantile-rank bucketing: maps a value to its bucket index among a fixed,
   * sorted array of cut points (binary search — bucket k holds values in
-  * `(cuts(k-1), cuts(k)]`-ish half-open ranges, 0..cuts.length inclusive).
+  * the half-open range `(cuts(k-1), cuts(k)]`, 0..cuts.length inclusive).
   *
   * This is the skew-proof domain normalization a z-order write needs:
   * Morton interleaving ([[InterleaveBits]]) only produces locality on a
@@ -53,17 +53,20 @@ case class RankBucket(child: Expression, cuts: Seq[Double])
 }
 
 object RankBucket {
-  /** Bucket of `v` among sorted `cuts`: the count of cut points < v (ties
-    * land in the upper bucket). Range 0..cuts.length — dense whatever the
-    * input distribution, which is all Morton interleaving needs.
+  /** Bucket of `v` among sorted `cuts`: the count of cut points
+    * STRICTLY < v — equivalently the `(cuts(k-1), cuts(k)]` half-open rule,
+    * so an exact cut hit (tie) lands in the LOWER bucket. Range
+    * 0..cuts.length — dense whatever the input distribution, which is all
+    * Morton interleaving needs.
     */
   def bucket(v: Double, cuts: Array[Double]): Long = {
     val i = java.util.Arrays.binarySearch(cuts, v)
     if (i >= 0) {
-      // exact hit — step left over duplicate cut points so ties are stable
+      // exact hit — step left over duplicate cut points: the leftmost
+      // index IS the count of cuts strictly below v
       var j = i
       while (j > 0 && cuts(j - 1) == v) j -= 1
-      j.toLong + 1
+      j.toLong
     } else (-i - 1).toLong
   }
 }

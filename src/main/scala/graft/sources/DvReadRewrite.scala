@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Expression, NamedExpression}
+import org.apache.spark.sql.{GraftDvFilter, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Expression, NamedExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, Filter, LogicalPlan, MergeIntoTable, Project, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation, FileScan}
@@ -31,8 +31,19 @@ import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, Data
   * them would break target resolution. Their SOURCE subqueries are
   * re-planned by SqlDml as fresh Datasets, where this rule applies
   * normally.
+  *
+  * Pushdown through the DV filter: the store's DV predicate
+  * ([[GraftDvFilter]]) is NONDETERMINISTIC (it reads the task's current
+  * input file), so Catalyst refuses to push anything past it — recovered
+  * filters placed ABOVE it would turn every read of a DV-bearing table
+  * into a full scan between a merge-on-read DML and the next OPTIMIZE.
+  * Deterministic value predicates COMMUTE with a positional delete filter
+  * (`_metadata.row_index` is the row's position in its file, unchanged by
+  * which other rows a scan filter keeps), so [[substitute]] inserts them
+  * BENEATH the DV filter, where FileSourceStrategy pushes them into the
+  * parquet scan — partition pruning and row-group skipping survive DML.
   */
-object DvReadRewrite extends Rule[LogicalPlan] {
+object DvReadRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // write/DML targets to leave alone (identity comparison: structural
@@ -49,6 +60,15 @@ object DvReadRewrite extends Rule[LogicalPlan] {
     def shielded(n: LogicalPlan): Boolean = shields.exists(_ eq n)
 
     plan.transform {
+      // pre-pushdown shape with a user Filter directly above: split out its
+      // deterministic conjuncts and hand them to substitute so they land
+      // BENEATH the DV filter (pushable); the rest stays above
+      case Filter(cond, r: DataSourceV2Relation)
+          if isDvTable(r.table) && !shielded(r) =>
+        val (det, nondet) =
+          splitConjunctivePredicates(cond).partition(_.deterministic)
+        val sub = substitute(r.table.asInstanceOf[GraftTable], r.output, det)
+        nondet.reduceOption(And).map(Filter(_, sub)).getOrElse(sub)
       case r: DataSourceV2Relation if isDvTable(r.table) && !shielded(r) =>
         substitute(r.table.asInstanceOf[GraftTable], r.output, Nil)
       case sr: DataSourceV2ScanRelation
@@ -69,7 +89,10 @@ object DvReadRewrite extends Rule[LogicalPlan] {
     }
 
   /** The DV-applied read, filtered by any scan-consumed predicates and
-    * projected/aliased onto the relation's original output attributes.
+    * projected/aliased onto the relation's original output attributes. The
+    * recovered predicates are inserted BENEATH the store read's DV filter
+    * (rebased onto that node's child), so FileSourceStrategy still pushes
+    * them into the parquet scan — see the class doc's commutation argument.
     */
   private def substitute(table: GraftTable,
       output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
@@ -85,10 +108,33 @@ object DvReadRewrite extends Rule[LogicalPlan] {
           s"store read (${inner.output.map(_.name).mkString(", ")}) — " +
           "refusing to substitute (raw scan would resurrect deleted rows)"))
         .asInstanceOf[AttributeReference]
-    val rebased = consumedFilters.map(_.transform {
-      case a: AttributeReference => resolve(a.name)
-    })
-    val filtered = rebased.reduceOption(And).map(Filter(_, inner)).getOrElse(inner)
+    def rebase(preds: Seq[Expression],
+        attrsByName: Map[String, AttributeReference]): Option[Expression] =
+      preds.map(_.transform {
+        case a: AttributeReference =>
+          attrsByName.getOrElse(a.name.toLowerCase, resolve(a.name))
+      }).reduceOption(And)
+    val filtered =
+      if (consumedFilters.isEmpty) inner
+      else {
+        var belowDv = false
+        val t = inner.transformUp {
+          case Filter(cond, child)
+              if !belowDv && cond.exists(_.isInstanceOf[GraftDvFilter]) =>
+            belowDv = true
+            val childAttrs = child.output.collect {
+              case a: AttributeReference => a.name.toLowerCase -> a
+            }.toMap
+            Filter(cond,
+              rebase(consumedFilters, childAttrs).map(Filter(_, child))
+                .getOrElse(child))
+        }
+        if (belowDv) t
+        // no DV filter in the read (e.g. the sidecar raced away between
+        // hasDeletionVector and here): plain filter on top is equivalent
+        else rebase(consumedFilters, Map.empty).map(Filter(_, inner))
+          .getOrElse(inner)
+      }
     Project(output.map { o =>
       Alias(resolve(o.name), o.name)(exprId = o.exprId,
         qualifier = o.qualifier): NamedExpression

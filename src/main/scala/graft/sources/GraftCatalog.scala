@@ -66,10 +66,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // deletion-vector table through the RAW scan (DvReadRewrite absent ⇒
     // deleted rows silently resurrect) and lose the DML strategy. The
     // install is idempotent; initialize runs driver-side at first catalog
-    // reference, when the session is fully built.
-    try graft.GraftExtensions.install(SparkSession.active)
-    catch { case _: Exception => () } // no active session (tests constructing
-    // the plugin directly): the explicit install path still applies
+    // reference, when the session is fully built. Only the no-session case
+    // (tests constructing the plugin directly — the explicit install path
+    // still applies there) is skipped; any OTHER install failure must
+    // propagate, because swallowing it would silently resurrect deleted
+    // rows on every later DV-table read.
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(graft.GraftExtensions.install)
   }
 
   override def name(): String = catalogName

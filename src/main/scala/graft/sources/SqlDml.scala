@@ -209,9 +209,8 @@ object SqlDml {
           val touchesId =
             (m.matchedActions ++ m.notMatchedBySourceActions).exists {
               case ua: org.apache.spark.sql.catalyst.plans.logical.UpdateAction =>
-                ua.assignments.exists(_.key.sql.toLowerCase
-                  .split('.').last.stripSuffix("`").stripPrefix("`")
-                  == ic.toLowerCase)
+                ua.assignments.exists(a =>
+                  assignmentTarget(a.key) == ic.toLowerCase)
               case _: org.apache.spark.sql.catalyst.plans.logical.UpdateStarAction =>
                 true // SET * assigns every column, the identity one included
               case _ => false
@@ -232,8 +231,7 @@ object SqlDml {
           if (gen.nonEmpty && m.notMatchedActions.nonEmpty) {
             def assigns(a: Any, gc: String): Boolean = a match {
               case ia: org.apache.spark.sql.catalyst.plans.logical.InsertAction =>
-                ia.assignments.exists(_.key.sql.toLowerCase
-                  .split('.').last.stripSuffix("`").stripPrefix("`") == gc)
+                ia.assignments.exists(a => assignmentTarget(a.key) == gc)
               case _ => false // INSERT * cannot be verified — refuse
             }
             val missing = gen.filterNot(gc =>
@@ -637,15 +635,24 @@ object SqlDml {
       root
     })
 
+  /** Column name (lower-cased) an assignment targets, resolved from the
+    * attribute itself — never parsed back out of regenerated SQL, where a
+    * column name containing '.' or '`' round-trips wrong (the identity /
+    * generated-column guards key on this name; a mis-parse there would let
+    * a MERGE assign an identity column unrefused).
+    */
+  private def assignmentTarget(key: org.apache.spark.sql.catalyst.expressions
+      .Expression): String = (key match {
+    // UnresolvedAttribute IS an Attribute whose .name re-joins the dotted
+    // parts — match it first and take the last part
+    case ua: UnresolvedAttribute => ua.nameParts.last
+    case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+    case other => other.sql.split('.').last.stripPrefix("`").stripSuffix("`")
+  }).toLowerCase
+
   /** target column (lower-cased) → RHS column; RHS regenerated via
     * Expression.sql so it stays inside Catalyst/codegen.
     */
   private def assignmentMap(assigns: Seq[Assignment]): Map[String, Column] =
-    assigns.map { a =>
-      val key = a.key match {
-        case ua: UnresolvedAttribute => ua.nameParts.last
-        case other => other.sql.split('.').last.stripPrefix("`").stripSuffix("`")
-      }
-      key.toLowerCase -> expr(a.value.sql)
-    }.toMap
+    assigns.map(a => assignmentTarget(a.key) -> expr(a.value.sql)).toMap
 }

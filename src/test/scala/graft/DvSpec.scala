@@ -212,6 +212,41 @@ class DvSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.dvt")
   }
 
+  test("DV reads keep predicate pushdown + partition pruning beneath the vector filter") {
+    // the DV probe is NONDETERMINISTIC, so anything placed above it is
+    // stuck above it — DvReadRewrite must re-apply recovered predicates
+    // BENEATH the probe or every post-DML read becomes a full scan
+    val wh = Files.createTempDirectory("graft_dv_push").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    GraftExtensions.install(spark)
+    spark.sql("""CREATE TABLE graft.pp (id BIGINT, p STRING, v BIGINT)
+      PARTITIONED BY (p) TBLPROPERTIES ('dml.mode' = 'merge-on-read')""")
+    (1L to 1000L).toDF("id").withColumn("p", ($"id" % 4).cast("string"))
+      .withColumn("v", $"id").createOrReplaceTempView("pp_src")
+    spark.sql("INSERT INTO graft.pp SELECT id, p, v FROM pp_src")
+    spark.sql("DELETE FROM graft.pp WHERE id % 10 = 0")
+    assert(hasDv(SnapshotStore.latest(s"$wh/pp").dataDir))
+
+    val q = spark.sql("SELECT v FROM graft.pp WHERE p = '1' AND id <= 100")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_dv_keep"), s"DV filter must guard the scan:\n$plan")
+    assert(plan.contains("LessThanOrEqual(id,100)"),
+      s"data predicate must reach the parquet scan as a pushed filter:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("= 1"),
+      s"partition pruning must survive the DV rewrite:\n$plan")
+    // and the rows are right: p=1 holds ids ≡1 (mod 4), none ≡0 (mod 10)
+    assert(q.count() == 25)
+    // deleted rows stay dead WITH the pushed filters in play (p=2 holds
+    // ids ≡2 (mod 4); 10,30,50,70,90 of its 25 ids ≤100 are deleted)
+    assert(spark.sql(
+      "SELECT v FROM graft.pp WHERE p = '2' AND id <= 100").count() == 20)
+    assert(spark.sql(
+      "SELECT v FROM graft.pp WHERE p = '2' AND id <= 100 AND id % 10 = 0")
+      .isEmpty)
+    spark.sql("DROP TABLE graft.pp")
+  }
+
   test("MoR MERGE: DV on matched rows, post-images + inserts appended; ALTER flips the mode") {
     val wh = Files.createTempDirectory("graft_dv_mrg").toString
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)

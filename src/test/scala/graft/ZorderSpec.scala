@@ -101,12 +101,15 @@ class ZorderSpec extends SparkSpec {
     import graft.plans.RankBucket.bucket
     val cuts = Array(10.0, 20.0, 20.0, 30.0)
     assert(bucket(5.0, cuts) == 0L)
-    assert(bucket(10.0, cuts) == 1L) // tie → upper bucket
+    assert(bucket(10.0, cuts) == 0L) // tie → lower bucket: (-inf, 10] is bucket 0
     assert(bucket(15.0, cuts) == 1L)
-    assert(bucket(20.0, cuts) == 2L) // duplicate cuts: leftmost + 1, stable
+    assert(bucket(20.0, cuts) == 1L) // duplicate cuts: count strictly below
     assert(bucket(25.0, cuts) == 3L)
-    assert(bucket(30.0, cuts) == 4L)
+    assert(bucket(30.0, cuts) == 3L)
     assert(bucket(35.0, cuts) == 4L)
+    // the contract: count of cut points strictly < v ≡ (cuts(k-1), cuts(k)]
+    for (v <- Seq(5.0, 10.0, 15.0, 20.0, 25.0, 30.0, 35.0))
+      assert(bucket(v, cuts) == cuts.count(_ < v).toLong)
     // codegen'd expression agrees with the object method
     val viaExpr = spark.range(0, 50)
       .select(org.apache.spark.sql.GraftSqlShim.column(graft.plans.RankBucket(
