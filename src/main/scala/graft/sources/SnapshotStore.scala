@@ -211,8 +211,12 @@ object SnapshotStore {
   /** Newest committed snapshot. Readers go through this and only ever see
     * fully-committed, immutable data dirs.
     */
-  /** Commit file layout: line 1 = data dir; line 2 (optional) =
-    * "appId<TAB>txnVersion" for streaming-writer idempotence.
+  /** Commit file layout: line 1 = data dir; lines 2..n (optional) =
+    * "appId<TAB>txnVersion" writer stamps for idempotence — one line per
+    * app, the Delta multi-`txn`-action shape. Most commits carry zero or
+    * one; a refresh that consumes SEVERAL upstream feeds (the join MV)
+    * records every source's high-water mark atomically in its one commit,
+    * so a crash can never leave the marks disagreeing.
     */
   /** Materialize a directory listing and CLOSE the underlying stream —
     * Files.list holds an open directory fd until closed, and a long
@@ -230,13 +234,13 @@ object SnapshotStore {
     try s.iterator().asScala.toSeq.reverse finally s.close()
   }
 
-  private def parseCommit(f: Path): (String, Option[Txn]) = {
+  private def parseCommit(f: Path): (String, Seq[Txn]) = {
     val lines = Files.readString(f).trim.linesIterator.toSeq
-    val txn = lines.drop(1).headOption.map { l =>
+    val txns = lines.drop(1).map { l =>
       val Array(app, v) = l.split("\t", 2)
       Txn(app, v.toLong)
     }
-    (lines.head, txn)
+    (lines.head, txns)
   }
 
   def latest(root: String): Snapshot = {
@@ -279,8 +283,11 @@ object SnapshotStore {
       .sortBy(_.getFileName.toString)
       .map { f =>
         val v = f.getFileName.toString.stripSuffix(".commit").toLong
-        val (dir, txn) = parseCommit(f)
-        (v, dir, txn.map(_.appId), txn.map(_.version))
+        val (dir, txns) = parseCommit(f)
+        // single-stamp commits (the overwhelming norm) keep the flat
+        // columns; a multi-stamp commit surfaces its first stamp here and
+        // the full set through lastTxnVersion
+        (v, dir, txns.headOption.map(_.appId), txns.headOption.map(_.version))
       }
       .toDF("version", "data_dir", "txn_app_id", "txn_version")
   }
@@ -698,7 +705,7 @@ object SnapshotStore {
       if (cdcKeys(root).nonEmpty)
         rows.withColumn(ChangeTypeCol, lit("insert"))
           .write.mode("overwrite").parquet(s"$dir/_changes")
-      if (tryCommit(root, base.version, dir.toString, txn))
+      if (tryCommit(root, base.version, dir.toString, txn.toSeq))
         return Snapshot(base.version + 1, dir.toString)
       attempt += 1 // lost the race: orphaned dir is cleanOrphans food
     }
@@ -1084,7 +1091,13 @@ object SnapshotStore {
       if (sample.isEmpty) return base // no data files: nothing to filter
       val uuid = Paths.get(dir).getFileName.toString
       val p = sample.head.getString(0)
-      val prefix = p.substring(0, p.indexOf(uuid + "/") + uuid.length + 1)
+      val at = p.indexOf(uuid + "/")
+      // a miss would make every broadcast-map key mismatch and the DV
+      // filter keep ALL rows — deleted rows would resurrect silently
+      require(at >= 0, s"deletion-vector read of $dir: scanned file path " +
+        s"'$p' does not contain the snapshot dir segment '$uuid/' — " +
+        "cannot key the DV map; refusing the read")
+      val prefix = p.substring(0, at + uuid.length + 1)
       val dvMap = spark.read.parquet(dvDir(dir).toString)
         .collect() // bounded: deletes since last OPTIMIZE (see scaladoc)
         .groupBy(_.getAs[String]("file"))
@@ -1191,11 +1204,11 @@ object SnapshotStore {
     * invisible to them.
     */
   private def tryCommit(root: String, expectedCurrent: Long, dataDir: String,
-      txn: Option[Txn] = None): Boolean = {
+      txns: Seq[Txn] = Nil): Boolean = {
     val target = commitFile(root, expectedCurrent + 1)
     val tmp = Files.createTempFile(commitsDir(root), ".staged", ".tmp")
     Files.writeString(tmp,
-      dataDir + txn.map(t => s"\n${t.appId}\t${t.version}").getOrElse(""))
+      dataDir + txns.map(t => s"\n${t.appId}\t${t.version}").mkString)
     try { Files.createLink(target, tmp); true }
     catch { case _: FileAlreadyExistsException => false }
     finally Files.deleteIfExists(tmp)
@@ -1382,14 +1395,19 @@ object SnapshotStore {
     *   throw [[ConstraintViolationException]] with per-constraint counts
     *   and leave the table untouched.
     */
+  /** @param extraTxns additional writer stamps recorded ATOMICALLY with
+    *   `txn` in the same commit — a refresh consuming several upstream
+    *   feeds (the join MV) pins every source's high-water mark in one
+    *   commit line set; replay is a no-op only when ALL stamps are covered.
+    */
   def transact(spark: SparkSession, root: String, maxAttempts: Int = 10,
       statsCols: Seq[String] = Nil, txn: Option[Txn] = None,
       constraints: Seq[(String, org.apache.spark.sql.Column)] = Nil,
       bloomCols: Seq[String] = Nil, bloomExpectedItems: Long = 100000L,
-      stagedHook: String => Unit = _ => ())(
+      stagedHook: String => Unit = _ => (), extraTxns: Seq[Txn] = Nil)(
       transform: DataFrame => DataFrame): Snapshot =
     transactImpl(spark, root, maxAttempts, statsCols, txn, constraints,
-      bloomCols, bloomExpectedItems, stagedHook)(
+      bloomCols, bloomExpectedItems, stagedHook, extraTxns)(
       df => (transform(df), None))
 
   /** [[transact]] variant whose transform ALSO supplies the commit's change
@@ -1515,7 +1533,7 @@ object SnapshotStore {
           s"supplied change frame lacks $ChangeTypeCol")
         changes.write.mode("overwrite").parquet(s"$dir/_changes")
       }
-      if (tryCommit(root, base.version, dir.toString, txn))
+      if (tryCommit(root, base.version, dir.toString, txn.toSeq))
         return Snapshot(base.version + 1, dir.toString)
       attempt += 1 // lost the race: orphaned dir is cleanOrphans food
     }
@@ -1603,7 +1621,7 @@ object SnapshotStore {
           s"supplied change frame lacks $ChangeTypeCol")
         changes.write.mode("overwrite").parquet(s"$dir/_changes")
       }
-      if (tryCommit(root, base.version, dir.toString, txn))
+      if (tryCommit(root, base.version, dir.toString, txn.toSeq))
         return Snapshot(base.version + 1, dir.toString)
       attempt += 1 // lost the race: orphaned dir is cleanOrphans food
     }
@@ -1615,12 +1633,18 @@ object SnapshotStore {
       statsCols: Seq[String], txn: Option[Txn],
       constraints: Seq[(String, org.apache.spark.sql.Column)],
       bloomCols: Seq[String] = Nil, bloomExpectedItems: Long = 100000L,
-      stagedHook: String => Unit = _ => ())(
+      stagedHook: String => Unit = _ => (), extraTxns: Seq[Txn] = Nil)(
       transform: DataFrame => (DataFrame, Option[DataFrame])): Snapshot = {
     import org.apache.spark.sql.functions.{count, expr, lit, sum, when}
+    val txns = txn.toSeq ++ extraTxns
     var attempt = 0
     while (attempt < maxAttempts) {
-      if (txn.exists(t => lastTxnVersion(root, t.appId).exists(_ >= t.version)))
+      // replayed batch: a no-op only when EVERY stamp is already covered.
+      // Stamps land atomically (one commit), so a partially-covered set
+      // means a DIFFERENT refresh advanced one of the apps — re-running is
+      // then correct (the transform derives from the current feeds).
+      if (txns.nonEmpty && txns.forall(t =>
+          lastTxnVersion(root, t.appId).exists(_ >= t.version)))
         return latest(root) // already applied — replayed batch
       val base = latest(root)
       val (out, suppliedChanges) = transform(read(spark, base))
@@ -1647,7 +1671,7 @@ object SnapshotStore {
           s"supplied change frame lacks $ChangeTypeCol")
         ch.write.mode("overwrite").parquet(s"$dir/_changes")
       }
-      if (tryCommit(root, base.version, dir, txn))
+      if (tryCommit(root, base.version, dir, txns))
         return Snapshot(base.version + 1, dir)
       attempt += 1
     }
