@@ -417,7 +417,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "restore" -> GraftCatalog.RestoreProc,
       "clone" -> GraftCatalog.CloneProc,
       "create_mv" -> GraftCatalog.CreateMvProc,
-      "refresh_mv" -> GraftCatalog.RefreshMvProc)
+      "refresh_mv" -> GraftCatalog.RefreshMvProc,
+      "create_join_mv" -> GraftCatalog.CreateJoinMvProc,
+      "refresh_join_mv" -> GraftCatalog.RefreshJoinMvProc)
     procs.get(ident.name.toLowerCase).map(_(this))
       .getOrElse(throw new RuntimeException(
         s"unknown procedure ${ident.name} (have: ${procs.keys.mkString(", ")})"))
@@ -425,7 +427,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("optimize", "expire_snapshots", "clean_orphans", "restore", "clone",
-        "create_mv", "refresh_mv")
+        "create_mv", "refresh_mv", "create_join_mv", "refresh_join_mv")
       .map(Identifier.of(Array("system"), _))
 
   /** `'ns.t'` (warehouse-relative) or a filesystem root — the same rule as
@@ -676,6 +678,62 @@ object GraftCatalog {
         val snap = MatView.refresh(spark, srcRoot, mvRoot, groups, in.getString(3))
         InternalRow(SnapshotStore.lastTxnVersion(mvRoot,
           MatView.appIdFor(srcRoot)).getOrElse(-1L), snap.version)
+      }
+    }
+
+  /** `CALL graft.system.create_join_mv('l', 'r', 'mv', 'k1,k2')` —
+    * initialize an incrementally-maintained INNER-JOIN view of two CDC
+    * tables (one full join; every refresh after is O(touched keys)). See
+    * [[MatView.createJoin]].
+    */
+  private[sources] val CreateJoinMvProc: GraftCatalog => UnboundProcedure = cat =>
+    new Proc("create_join_mv",
+      Seq(p("left", StringType), p("right", StringType),
+        p("target", StringType), p("join_keys", StringType)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("left_version", LongType),
+        org.apache.spark.sql.types.StructField("right_version", LongType),
+        org.apache.spark.sql.types.StructField("rows", LongType)))) {
+      override protected def run(in: InternalRow): InternalRow = {
+        val spark = SparkSession.active
+        val lRoot = cat.tableRoot(in.getString(0))
+        val rRoot = cat.tableRoot(in.getString(1))
+        val dst = in.getString(2)
+        val dstRoot =
+          if (dst.contains("/")) dst
+          else (cat.warehousePath +: dst.split('.').toSeq).mkString("/")
+        val keys = in.getString(3).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val snap = MatView.createJoin(spark, lRoot, rRoot, dstRoot, keys)
+        InternalRow(SnapshotStore.latest(lRoot).version,
+          SnapshotStore.latest(rRoot).version,
+          spark.read.parquet(snap.dataDir).count())
+      }
+    }
+
+  /** `CALL graft.system.refresh_join_mv('l', 'r', 'mv', 'k1,k2')` —
+    * partial-recompute refresh of a join view; a no-op if current.
+    */
+  private[sources] val RefreshJoinMvProc: GraftCatalog => UnboundProcedure = cat =>
+    new Proc("refresh_join_mv",
+      Seq(p("left", StringType), p("right", StringType),
+        p("target", StringType), p("join_keys", StringType)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("left_applied", LongType),
+        org.apache.spark.sql.types.StructField("right_applied", LongType),
+        org.apache.spark.sql.types.StructField("mv_version", LongType)))) {
+      override protected def run(in: InternalRow): InternalRow = {
+        val spark = SparkSession.active
+        val lRoot = cat.tableRoot(in.getString(0))
+        val rRoot = cat.tableRoot(in.getString(1))
+        val mvRoot = cat.tableRoot(in.getString(2))
+        val keys = in.getString(3).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val snap = MatView.refreshJoin(spark, lRoot, rRoot, mvRoot, keys)
+        InternalRow(
+          SnapshotStore.lastTxnVersion(mvRoot,
+            MatView.joinAppId("left", lRoot)).getOrElse(-1L),
+          SnapshotStore.lastTxnVersion(mvRoot,
+            MatView.joinAppId("right", rRoot)).getOrElse(-1L),
+          snap.version)
       }
     }
 

@@ -125,4 +125,107 @@ object MatView {
     changes.groupBy(groupCols.map(col): _*)
       .agg(sum(dn).as("dn"), sum(dv).as("dv"))
   }
+
+  // ---- incrementally-maintained JOIN views --------------------------------
+
+  /** Per-source writer stamp for a join view: BOTH sources' high-water
+    * marks ride in the SAME commit (multi-stamp `tryCommit` lines), so a
+    * crash mid-refresh can never record one feed as applied and not the
+    * other.
+    */
+  def joinAppId(side: String, srcRoot: String): String =
+    s"graft-mvj:$side:$srcRoot"
+
+  /** Initialize `mvRoot` as the inner equi-join of two CDC tables on
+    * `joinKeys` — the enrichment-view shape (fact ⋈ dim). The one full
+    * join of the view's lifetime; every [[refreshJoin]] after is
+    * O(touched keys). Join keys need NOT be either table's CDC keys
+    * (multiplicity is fine — maintenance is per-KEY recompute, not
+    * per-row algebra); non-key column names must be disjoint so the view
+    * schema is unambiguous.
+    */
+  def createJoin(spark: SparkSession, leftRoot: String, rightRoot: String,
+      mvRoot: String, joinKeys: Seq[String]): SnapshotStore.Snapshot = {
+    require(SnapshotStore.cdcKeys(leftRoot).nonEmpty &&
+      SnapshotStore.cdcKeys(rightRoot).nonEmpty,
+      "join-view sources must both have a change feed (cdcKeys)")
+    val ls = SnapshotStore.latest(leftRoot)
+    val rs = SnapshotStore.latest(rightRoot)
+    val l = SnapshotStore.read(spark, ls)
+    val r = SnapshotStore.read(spark, rs)
+    val keySet = joinKeys.map(_.toLowerCase).toSet
+    val overlap = l.columns.map(_.toLowerCase).toSet
+      .intersect(r.columns.map(_.toLowerCase).toSet)
+    require(overlap == keySet,
+      s"non-key column overlap between sources: ${(overlap -- keySet).mkString(", ")}")
+    val joined = l.join(r, joinKeys, "inner")
+    SnapshotStore.init(spark, mvRoot, joined.limit(0))
+    SnapshotStore.transact(spark, mvRoot,
+      txn = Some(SnapshotStore.Txn(joinAppId("left", leftRoot), ls.version)),
+      extraTxns = Seq(
+        SnapshotStore.Txn(joinAppId("right", rightRoot), rs.version)))(_ => joined)
+  }
+
+  /** Advance the join view to both sources' current versions by PARTIAL
+    * recompute: collect the distinct join-key values appearing in EITHER
+    * feed since the last refresh (update_preimage rows put a key-value
+    * UPDATE's old and new key in the set, so key migrations maintain
+    * correctly), then replace exactly those keys' view rows with the join
+    * of both sources restricted to them:
+    *
+    *   mv' = (mv ⟕̸ touched) ∪ (σ_touched(left) ⋈ σ_touched(right))
+    *
+    * Scale: `touched` is O(change volume) distinct keys; when small
+    * (`broadcastKeyLimit`) every join against it is a broadcast semi/anti
+    * — the big tables and the view shuffle NOTHING, and the inner
+    * recompute join shuffles only touched-key rows. A refresh whose
+    * change volume exceeds the limit falls back to shuffle joins — still
+    * O(touched) recompute, never a full re-join. Replay (both stamps
+    * covered) is a no-op; a crash between nothing and the commit is
+    * invisible (stamps are atomic with the commit).
+    */
+  def refreshJoin(spark: SparkSession, leftRoot: String, rightRoot: String,
+      mvRoot: String, joinKeys: Seq[String],
+      broadcastKeyLimit: Long = 2000000L): SnapshotStore.Snapshot = {
+    val lApp = joinAppId("left", leftRoot)
+    val rApp = joinAppId("right", rightRoot)
+    def hwm(app: String): Long = SnapshotStore.lastTxnVersion(mvRoot, app)
+      .getOrElse(throw new IllegalStateException(
+        s"$mvRoot was not created by MatView.createJoin (no $app stamp)"))
+    val (ll, rl) = (hwm(lApp), hwm(rApp))
+    val lv = SnapshotStore.latest(leftRoot).version
+    val rv = SnapshotStore.latest(rightRoot).version
+    if (lv <= ll && rv <= rl) return SnapshotStore.latest(mvRoot)
+    val touched = touchedKeys(spark, Seq((leftRoot, ll, lv), (rightRoot, rl, rv)),
+      joinKeys).persist()
+    try {
+      val small = touched.limit((broadcastKeyLimit + 1).toInt).count() <=
+        broadcastKeyLimit
+      def keyed(df: DataFrame): DataFrame =
+        if (small) broadcast(df) else df
+      val l = SnapshotStore.read(spark, SnapshotStore.at(leftRoot, lv))
+        .join(keyed(touched), joinKeys, "left_semi")
+      val r = SnapshotStore.read(spark, SnapshotStore.at(rightRoot, rv))
+        .join(keyed(touched), joinKeys, "left_semi")
+      val recomputed = l.join(r, joinKeys, "inner")
+      SnapshotStore.transact(spark, mvRoot,
+        txn = Some(SnapshotStore.Txn(lApp, lv)),
+        extraTxns = Seq(SnapshotStore.Txn(rApp, rv))) { mv =>
+        mv.join(keyed(touched), joinKeys, "left_anti")
+          .unionByName(recomputed.select(mv.columns.map(col).toIndexedSeq: _*))
+      }
+    } finally { touched.unpersist(); () }
+  }
+
+  /** Distinct join-key values in any source's feed rows past its applied
+    * high-water mark — exposed so the gate can plan-audit that its input
+    * is change files only.
+    */
+  private[graft] def touchedKeys(spark: SparkSession,
+      ranges: Seq[(String, Long, Long)], joinKeys: Seq[String]): DataFrame =
+    ranges.flatMap { case (root, applied, cur) =>
+      if (cur <= applied) None
+      else Some(SnapshotStore.changes(spark, root, applied + 1, cur)
+        .select(joinKeys.map(col): _*))
+    }.reduce(_ unionByName _).distinct()
 }
