@@ -60,15 +60,20 @@ object DvReadRewrite extends Rule[LogicalPlan] with PredicateHelper {
     def shielded(n: LogicalPlan): Boolean = shields.exists(_ eq n)
 
     plan.transform {
-      // pre-pushdown shape with a user Filter directly above: split out its
-      // deterministic conjuncts and hand them to substitute so they land
-      // BENEATH the DV filter (pushable); the rest stays above
+      // pre-pushdown shape with a user Filter directly above: split out the
+      // LEADING run of deterministic conjuncts (span, not partition — the
+      // same prefix rule Catalyst's own pushdown uses) and hand them to
+      // substitute so they land BENEATH the DV filter (pushable).
+      // Everything from the first nondeterministic conjunct onward stays
+      // above: reordering a deterministic conjunct past e.g. rand() < 0.5
+      // would change which per-partition random draws each row receives,
+      // altering the sampled result set vs vanilla Spark.
       case Filter(cond, r: DataSourceV2Relation)
           if isDvTable(r.table) && !shielded(r) =>
-        val (det, nondet) =
-          splitConjunctivePredicates(cond).partition(_.deterministic)
+        val (det, rest) =
+          splitConjunctivePredicates(cond).span(_.deterministic)
         val sub = substitute(r.table.asInstanceOf[GraftTable], r.output, det)
-        nondet.reduceOption(And).map(Filter(_, sub)).getOrElse(sub)
+        rest.reduceOption(And).map(Filter(_, sub)).getOrElse(sub)
       case r: DataSourceV2Relation if isDvTable(r.table) && !shielded(r) =>
         substitute(r.table.asInstanceOf[GraftTable], r.output, Nil)
       case sr: DataSourceV2ScanRelation

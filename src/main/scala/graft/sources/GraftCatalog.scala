@@ -704,8 +704,14 @@ object GraftCatalog {
           else (cat.warehousePath +: dst.split('.').toSeq).mkString("/")
         val keys = in.getString(3).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
         val snap = MatView.createJoin(spark, lRoot, rRoot, dstRoot, keys)
-        InternalRow(SnapshotStore.latest(lRoot).version,
-          SnapshotStore.latest(rRoot).version,
+        // report the versions the view's OWN stamps pin — re-reading
+        // latest(srcRoot) here could name a version a racing commit just
+        // landed, which the MV's stamps do not actually cover
+        InternalRow(
+          SnapshotStore.lastTxnVersion(dstRoot,
+            MatView.joinAppId("left", lRoot)).getOrElse(-1L),
+          SnapshotStore.lastTxnVersion(dstRoot,
+            MatView.joinAppId("right", rRoot)).getOrElse(-1L),
           spark.read.parquet(snap.dataDir).count())
       }
     }

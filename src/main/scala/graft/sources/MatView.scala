@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   * ONLY `table_changes(src, last+1, latest)` and folding the typed rows
   * into per-group deltas:
   *
-  *   insert → (+1, +v) · delete → (−1, −v) ·
-  *   update_preimage → (0, −v) · update_postimage → (0, +v)
+  *   insert / update_postimage → (+1, +v) ·
+  *   delete / update_preimage  → (−1, −v)
   *
-  * so maintenance cost is O(change volume) regardless of source size — an
+  * (an UPDATE's preimage/postimage cancel when the row stays in its group
+  * and migrate the count when a GROUP column changed — the ±1 on both
+  * legs is what keeps n_rows right under group-migrating updates), so
+  * maintenance cost is O(change volume) regardless of source size — an
   * UPDATE of 100 rows in a 100 TB table refreshes the view by scanning 200
   * change rows, never the table (MatViewSpec append-only partials are the
   * insert-only special case; this handles the full DML feed). The merge is
@@ -21,28 +24,86 @@ import org.apache.spark.sql.functions._
   * group) with the delta (smaller still), and groups whose count reaches 0
   * drop out.
   *
+  * Aggregate breadth (`aggs`): `count` and `sum` are always maintained
+  * (`n_rows`, `val_sum`); `avg` adds `val_avg`, DERIVED as sum/count in
+  * every commit's output projection (never stored algebra — replay cannot
+  * drift it); `min`/`max` add `val_min`/`val_max`, algebraic under
+  * inserts (a fold with `least`/`greatest`) but NOT under deletes — a
+  * removed row may have carried the extremum — so groups touched by any
+  * delete/update_preimage are recomputed from the source restricted to
+  * exactly those groups (the same touched-keys pattern [[refreshJoin]]
+  * uses: a broadcast semi-join, O(touched groups) shuffle, and NO source
+  * scan at all on an insert-only refresh). Anything else refuses loudly.
+  *
   * Exactly-once: each refresh commits with
   * `Txn(appId = "graft-mv:<srcRoot>", version = source version applied)` —
   * the same stamp machinery as streaming sinks, so a replayed or
   * double-driven refresh is a no-op and `lastTxnVersion` doubles as the
-  * view's high-water mark. Sums must be exact-integer (the Canon rule);
-  * float sums would drift under the add/subtract replay.
+  * view's high-water mark. Two CONCURRENT refreshes that pin interleaved
+  * versions cannot lose updates: the transaction's `pinCheck` re-verifies
+  * the pinned high-water mark on every commit attempt and aborts with
+  * [[SnapshotStore.StaleStampException]] if another refresh advanced it —
+  * the loser restarts from fresh marks instead of re-applying its stale
+  * delta on top of the winner's state. Sums must be exact-integer (the
+  * Canon rule); float sums would drift under the add/subtract replay.
   */
 object MatView {
 
+  val SupportedAggs: Set[String] = Set("count", "sum", "avg", "min", "max")
+
+  /** Bounded restarts for pin-went-stale races; each retry re-reads fresh
+    * high-water marks, so livelock needs a writer landing between pin and
+    * commit five times in a row.
+    */
+  private val MaxStaleRestarts = 5
+
   def appIdFor(srcRoot: String): String = s"graft-mv:$srcRoot"
+
+  private def checkAggs(aggs: Seq[String]): Unit = {
+    val bad = aggs.filterNot(SupportedAggs)
+    require(bad.isEmpty,
+      s"unsupported MatView aggregate(s): ${bad.mkString(", ")} — supported: " +
+        "count, sum, avg (derived from sum/count), min, max (maintained by " +
+        "affected-group recompute under deletes). Medians/percentiles/" +
+        "count-distinct are not incrementally maintainable here; keep a " +
+        "mergeable sketch column instead (MatViewSpec's HLL-partial pattern)")
+  }
+
+  private def needMinMax(aggs: Seq[String]): Boolean =
+    aggs.contains("min") || aggs.contains("max")
+
+  /** One full aggregate of `df` under the requested agg set — used once at
+    * create time and per-refresh for recomputed (delete-touched) groups.
+    */
+  private def fullAgg(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      aggs: Seq[String]): DataFrame = {
+    val cols = Seq(count(lit(1)).as("n_rows"), sum(col(valueCol)).as("val_sum")) ++
+      (if (aggs.contains("min")) Seq(min(col(valueCol)).as("val_min")) else Nil) ++
+      (if (aggs.contains("max")) Seq(max(col(valueCol)).as("val_max")) else Nil)
+    withAvg(df.groupBy(groupCols.map(col): _*).agg(cols.head, cols.tail: _*), aggs)
+  }
+
+  /** `val_avg` is re-derived from the committed sum/count in EVERY output
+    * projection — storing it would be redundant state that replay algebra
+    * could drift.
+    */
+  private def withAvg(df: DataFrame, aggs: Seq[String]): DataFrame =
+    if (aggs.contains("avg"))
+      df.withColumn("val_avg",
+        col("val_sum").cast("double") / col("n_rows").cast("double"))
+    else df
 
   /** Initialize the view from the source's CURRENT snapshot (one full
     * aggregate — the only full-table scan in the view's lifetime).
     */
   def create(spark: SparkSession, srcRoot: String, mvRoot: String,
-      groupCols: Seq[String], valueCol: String): SnapshotStore.Snapshot = {
+      groupCols: Seq[String], valueCol: String,
+      aggs: Seq[String] = Seq("count", "sum")): SnapshotStore.Snapshot = {
+    checkAggs(aggs)
     require(SnapshotStore.cdcKeys(srcRoot).nonEmpty,
       s"materialized-view source $srcRoot must have a change feed (cdcKeys)")
     val snap = SnapshotStore.latest(srcRoot)
-    val agg = SnapshotStore.read(spark, snap)
-      .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"), sum(col(valueCol)).as("val_sum"))
+    val agg = fullAgg(SnapshotStore.read(spark, snap), groupCols, valueCol, aggs)
     SnapshotStore.init(spark, mvRoot, agg.limit(0))
     // the initial aggregate lands as a stamped transaction so refresh's
     // high-water mark starts at the snapshot it actually covers
@@ -52,36 +113,91 @@ object MatView {
 
   /** Fold the source's new change rows into the view. Returns the view
     * snapshot; a no-op (already current / replayed) returns the latest.
-    * `valueCol` must match `create`'s.
+    * `valueCol` and `aggs` must match `create`'s.
     */
   def refresh(spark: SparkSession, srcRoot: String, mvRoot: String,
-      groupCols: Seq[String], valueCol: String): SnapshotStore.Snapshot = {
+      groupCols: Seq[String], valueCol: String,
+      aggs: Seq[String] = Seq("count", "sum")): SnapshotStore.Snapshot = {
+    checkAggs(aggs)
     val appId = appIdFor(srcRoot)
-    val last = SnapshotStore.lastTxnVersion(mvRoot, appId).getOrElse(
-      throw new IllegalStateException(
-        s"$mvRoot was not created by MatView.create (no $appId stamp)"))
-    val cur = SnapshotStore.latest(srcRoot).version
-    if (cur <= last) return SnapshotStore.latest(mvRoot)
-    val delta = deltaOf(
-      SnapshotStore.changes(spark, srcRoot, last + 1, cur), groupCols, valueCol)
-    mergeDelta(spark, mvRoot, delta, groupCols,
-      SnapshotStore.Txn(appId, cur))
+    var restarts = 0
+    while (true) {
+      val last = SnapshotStore.lastTxnVersion(mvRoot, appId).getOrElse(
+        throw new IllegalStateException(
+          s"$mvRoot was not created by MatView.create (no $appId stamp)"))
+      val cur = SnapshotStore.latest(srcRoot).version
+      if (cur <= last) return SnapshotStore.latest(mvRoot)
+      try {
+        return applyDelta(spark, srcRoot, mvRoot, groupCols, valueCol, aggs,
+          SnapshotStore.changes(spark, srcRoot, last + 1, cur),
+          srcVersion = cur, pinnedLast = last)
+      } catch {
+        case e: SnapshotStore.StaleStampException =>
+          restarts += 1
+          if (restarts >= MaxStaleRestarts) throw e
+        // else: another refresh advanced the mark mid-flight — loop
+        // re-reads fresh high-water marks and retries from scratch
+      }
+    }
+    sys.error("unreachable")
   }
 
-  private def mergeDelta(spark: SparkSession, mvRoot: String, delta: DataFrame,
-      groupCols: Seq[String], txn: SnapshotStore.Txn): SnapshotStore.Snapshot =
-    SnapshotStore.transact(spark, mvRoot, txn = Some(txn)) { mv =>
-      val joinCond = groupCols.map(c => col(s"m.$c") <=> col(s"d.$c"))
-        .reduce(_ && _)
-      mv.alias("m").join(broadcast(delta.alias("d")), joinCond, "full_outer")
-        .select(groupCols.map(c =>
-          coalesce(col(s"m.$c"), col(s"d.$c")).as(c)) ++ Seq(
-          (coalesce(col("m.n_rows"), lit(0L)) + coalesce(col("d.dn"), lit(0L)))
-            .as("n_rows"),
-          (coalesce(col("m.val_sum"), lit(0L).cast("long")) +
-            coalesce(col("d.dv"), lit(0L).cast("long"))).as("val_sum")): _*)
-        .filter(col("n_rows") > 0)
-    }
+  /** Merge a change-feed slice `(last, srcVersion]` into the view under one
+    * stamped, pin-checked transaction.
+    */
+  private def applyDelta(spark: SparkSession, srcRoot: String, mvRoot: String,
+      groupCols: Seq[String], valueCol: String, aggs: Seq[String],
+      changes: DataFrame, srcVersion: Long,
+      pinnedLast: Long): SnapshotStore.Snapshot = {
+    val appId = appIdFor(srcRoot)
+    val withMm = needMinMax(aggs)
+    val delta = deltaOf(changes, groupCols, valueCol, withRemovals = withMm)
+      .persist()
+    try {
+      val pin = () =>
+        SnapshotStore.lastTxnVersion(mvRoot, appId).getOrElse(-1L) == pinnedLast
+      SnapshotStore.transact(spark, mvRoot,
+          txn = Some(SnapshotStore.Txn(appId, srcVersion)), pinCheck = pin) { mv =>
+        val joinCond = groupCols.map(c => col(s"m.$c") <=> col(s"d.$c"))
+          .reduce(_ && _)
+        val algebraic =
+          if (withMm) delta.filter(!col("has_removal")) else delta
+        val mergedCols =
+          groupCols.map(c => coalesce(col(s"m.$c"), col(s"d.$c")).as(c)) ++ Seq(
+            (coalesce(col("m.n_rows"), lit(0L)) + coalesce(col("d.dn"), lit(0L)))
+              .as("n_rows"),
+            (coalesce(col("m.val_sum"), lit(0L).cast("long")) +
+              coalesce(col("d.dv"), lit(0L).cast("long"))).as("val_sum")) ++
+          // least/greatest skip NULLs: a group new to the view takes the
+          // delta's extremum, an untouched group keeps its own
+          (if (aggs.contains("min"))
+            Seq(least(col("m.val_min"), col("d.dmin")).as("val_min")) else Nil) ++
+          (if (aggs.contains("max"))
+            Seq(greatest(col("m.val_max"), col("d.dmax")).as("val_max")) else Nil)
+        val merged = withAvg(
+          mv.alias("m").join(broadcast(algebraic.alias("d")), joinCond, "full_outer")
+            .select(mergedCols: _*)
+            .filter(col("n_rows") > 0), aggs)
+        if (!withMm) merged
+        else {
+          // groups that LOST rows (delete/update_preimage): their stored
+          // extremum may be gone — recompute exactly those groups from the
+          // PINNED source version (broadcast semi-join: O(touched groups)
+          // shuffle, zero shuffle of the source itself). Insert-only
+          // refreshes have an empty set and skip the source entirely.
+          val touched = delta.filter(col("has_removal"))
+            .select(groupCols.map(col): _*)
+          val recomputed = fullAgg(
+            SnapshotStore.read(spark, SnapshotStore.at(srcRoot, srcVersion))
+              .join(broadcast(touched), groupCols, "left_semi"),
+            groupCols, valueCol, aggs)
+          // a recomputed group that lost ALL rows yields no row — drops out
+          merged.join(broadcast(touched), groupCols, "left_anti")
+            .unionByName(recomputed.select(merged.columns.map(col).toIndexedSeq: _*))
+        }
+      }
+    } finally { delta.unpersist(); () }
+  }
 
   /** Streaming maintenance: the `foreachBatch` body for a
     * `ChangeFeedSource` query over the source —
@@ -91,39 +207,65 @@ object MatView {
     * HIGHEST source version (the feed's offsets are versions, so a
     * replayed batch re-derives the same stamp and is a no-op). Batch and
     * streaming maintenance interleave safely: both advance the same
-    * high-water mark.
+    * high-water mark, and a pin-went-stale race restarts against the
+    * fresh mark.
     */
   def applyBatch(srcRoot: String, mvRoot: String, groupCols: Seq[String],
-      valueCol: String)(batch: DataFrame, batchId: Long): Unit = {
+      valueCol: String, aggs: Seq[String] = Seq("count", "sum"))(
+      batch: DataFrame, batchId: Long): Unit = {
+    checkAggs(aggs)
     val spark = batch.sparkSession
     val appId = appIdFor(srcRoot)
-    // drop versions at or below the high-water mark: a feed started from
-    // version 0, or a batch SPANNING the create() snapshot, would otherwise
-    // re-count change rows the initial aggregate already covers
-    val last = SnapshotStore.lastTxnVersion(mvRoot, appId).getOrElse(-1L)
-    val fresh = batch.filter(col(SnapshotStore.CommitVersionCol) > last)
-    if (!fresh.isEmpty) {
-      val top = fresh.agg(max(col(SnapshotStore.CommitVersionCol))).head().getLong(0)
-      val delta = deltaOf(fresh, groupCols, valueCol).persist()
-      try mergeDelta(spark, mvRoot, delta, groupCols,
-        SnapshotStore.Txn(appId, top))
-      finally delta.unpersist()
+    var restarts = 0
+    var done = false
+    while (!done) {
+      // drop versions at or below the high-water mark: a feed started from
+      // version 0, or a batch SPANNING the create() snapshot, would
+      // otherwise re-count change rows the initial aggregate already covers
+      val last = SnapshotStore.lastTxnVersion(mvRoot, appId).getOrElse(-1L)
+      val fresh = batch.filter(col(SnapshotStore.CommitVersionCol) > last)
+      if (fresh.isEmpty) done = true
+      else {
+        val top = fresh.agg(max(col(SnapshotStore.CommitVersionCol)))
+          .head().getLong(0)
+        try {
+          applyDelta(spark, srcRoot, mvRoot, groupCols, valueCol, aggs,
+            fresh, srcVersion = top, pinnedLast = last)
+          done = true
+        } catch {
+          case e: SnapshotStore.StaleStampException =>
+            restarts += 1
+            if (restarts >= MaxStaleRestarts) throw e
+        }
+      }
     }
   }
 
   /** The per-group delta of a typed change frame — exposed so callers (and
-    * the gate) can plan-audit that its input is change files only.
+    * the gate) can plan-audit that its input is change files only. With
+    * `withRemovals`, also carries the algebraic min/max fold of ARRIVING
+    * values (insert/update_postimage) and a per-group flag marking that
+    * rows LEFT the group (delete/update_preimage) — the recompute trigger.
     */
   private[graft] def deltaOf(changes: DataFrame, groupCols: Seq[String],
-      valueCol: String): DataFrame = {
+      valueCol: String, withRemovals: Boolean = false): DataFrame = {
     val tc = col(SnapshotStore.ChangeTypeCol)
-    val dn: Column = when(tc === "insert", 1L).when(tc === "delete", -1L)
-      .otherwise(0L)
-    val dv: Column = when(tc === "insert" || tc === "update_postimage",
-        col(valueCol)).when(tc === "delete" || tc === "update_preimage",
-        -col(valueCol)).otherwise(lit(0L))
+    val arriving = tc === "insert" || tc === "update_postimage"
+    val leaving = tc === "delete" || tc === "update_preimage"
+    // ±1 on BOTH update legs: they cancel when the row stays in its group
+    // and migrate the count when a group column changed
+    val dn: Column = when(arriving, 1L).when(leaving, -1L).otherwise(0L)
+    val dv: Column = when(arriving, col(valueCol))
+      .when(leaving, -col(valueCol)).otherwise(lit(0L))
+    val base = Seq(sum(dn).as("dn"), sum(dv).as("dv"))
+    val extra =
+      if (!withRemovals) Nil
+      else Seq(
+        min(when(arriving, col(valueCol))).as("dmin"),
+        max(when(arriving, col(valueCol))).as("dmax"),
+        (sum(when(leaving, 1L).otherwise(0L)) > 0).as("has_removal"))
     changes.groupBy(groupCols.map(col): _*)
-      .agg(sum(dn).as("dn"), sum(dv).as("dv"))
+      .agg((base ++ extra).head, (base ++ extra).tail: _*)
   }
 
   // ---- incrementally-maintained JOIN views --------------------------------
@@ -142,7 +284,9 @@ object MatView {
     * O(touched keys). Join keys need NOT be either table's CDC keys
     * (multiplicity is fine — maintenance is per-KEY recompute, not
     * per-row algebra); non-key column names must be disjoint so the view
-    * schema is unambiguous.
+    * schema is unambiguous. Returns the snapshot; the pinned source
+    * versions are the view's own stamps
+    * (`lastTxnVersion(mvRoot, joinAppId(side, srcRoot))`).
     */
   def createJoin(spark: SparkSession, leftRoot: String, rightRoot: String,
       mvRoot: String, joinKeys: Seq[String]): SnapshotStore.Snapshot = {
@@ -154,6 +298,13 @@ object MatView {
     val l = SnapshotStore.read(spark, ls)
     val r = SnapshotStore.read(spark, rs)
     val keySet = joinKeys.map(_.toLowerCase).toSet
+    // most-likely user error first, with its own message: a typo'd key name
+    Seq(leftRoot -> l, rightRoot -> r).foreach { case (root, df) =>
+      val missing = keySet -- df.columns.map(_.toLowerCase).toSet
+      require(missing.isEmpty,
+        s"join key(s) ${missing.mkString(", ")} not present in $root " +
+          s"(columns: ${df.columns.mkString(", ")})")
+    }
     val overlap = l.columns.map(_.toLowerCase).toSet
       .intersect(r.columns.map(_.toLowerCase).toSet)
     require(overlap == keySet,
@@ -182,11 +333,31 @@ object MatView {
     * change volume exceeds the limit falls back to shuffle joins — still
     * O(touched) recompute, never a full re-join. Replay (both stamps
     * covered) is a no-op; a crash between nothing and the commit is
-    * invisible (stamps are atomic with the commit).
+    * invisible (stamps are atomic with the commit); two refreshes racing
+    * with INTERLEAVED pins (A: left@5/right@7, B: left@6/right@6) cannot
+    * lose updates — the transaction aborts on a partially-covered stamp
+    * set or a failed pin re-check, and the loser restarts here from fresh
+    * high-water marks.
     */
   def refreshJoin(spark: SparkSession, leftRoot: String, rightRoot: String,
       mvRoot: String, joinKeys: Seq[String],
       broadcastKeyLimit: Long = 2000000L): SnapshotStore.Snapshot = {
+    var restarts = 0
+    while (true) {
+      try return refreshJoinOnce(spark, leftRoot, rightRoot, mvRoot, joinKeys,
+        broadcastKeyLimit)
+      catch {
+        case e: SnapshotStore.StaleStampException =>
+          restarts += 1
+          if (restarts >= MaxStaleRestarts) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def refreshJoinOnce(spark: SparkSession, leftRoot: String,
+      rightRoot: String, mvRoot: String, joinKeys: Seq[String],
+      broadcastKeyLimit: Long): SnapshotStore.Snapshot = {
     val lApp = joinAppId("left", leftRoot)
     val rApp = joinAppId("right", rightRoot)
     def hwm(app: String): Long = SnapshotStore.lastTxnVersion(mvRoot, app)
@@ -199,8 +370,8 @@ object MatView {
     val touched = touchedKeys(spark, Seq((leftRoot, ll, lv), (rightRoot, rl, rv)),
       joinKeys).persist()
     try {
-      val small = touched.limit((broadcastKeyLimit + 1).toInt).count() <=
-        broadcastKeyLimit
+      val probeN = math.min(broadcastKeyLimit + 1, Int.MaxValue.toLong).toInt
+      val small = touched.limit(probeN).count() <= broadcastKeyLimit
       def keyed(df: DataFrame): DataFrame =
         if (small) broadcast(df) else df
       val l = SnapshotStore.read(spark, SnapshotStore.at(leftRoot, lv))
@@ -208,9 +379,14 @@ object MatView {
       val r = SnapshotStore.read(spark, SnapshotStore.at(rightRoot, rv))
         .join(keyed(touched), joinKeys, "left_semi")
       val recomputed = l.join(r, joinKeys, "inner")
+      // the transform closes over snapshots pinned ABOVE — verify the pins
+      // still hold on every commit attempt (see refreshJoin scaladoc)
+      val pin = () =>
+        SnapshotStore.lastTxnVersion(mvRoot, lApp).getOrElse(-1L) == ll &&
+          SnapshotStore.lastTxnVersion(mvRoot, rApp).getOrElse(-1L) == rl
       SnapshotStore.transact(spark, mvRoot,
         txn = Some(SnapshotStore.Txn(lApp, lv)),
-        extraTxns = Seq(SnapshotStore.Txn(rApp, rv))) { mv =>
+        extraTxns = Seq(SnapshotStore.Txn(rApp, rv)), pinCheck = pin) { mv =>
         mv.join(keyed(touched), joinKeys, "left_anti")
           .unionByName(recomputed.select(mv.columns.map(col).toIndexedSeq: _*))
       }

@@ -62,6 +62,15 @@ object SnapshotStore {
     */
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
+  /** A stamped transaction found its pinned reads stale: another writer
+    * advanced one (but not all) of the commit's app stamps, or the caller's
+    * `pinCheck` failed. Re-running the pinned transform would apply stale
+    * data over the other writer's newer state, so the transaction aborts
+    * WITHOUT committing — the caller restarts from fresh high-water marks
+    * ([[MatView.refresh]]/[[MatView.refreshJoin]] do this automatically).
+    */
+  final class StaleStampException(msg: String) extends RuntimeException(msg)
+
   /** Thrown when a transaction's output violates a table constraint — the
     * commit is aborted BEFORE any pointer moves, so committed snapshots
     * always satisfy their invariants (the public Delta CHECK-constraint
@@ -284,12 +293,16 @@ object SnapshotStore {
       .map { f =>
         val v = f.getFileName.toString.stripSuffix(".commit").toLong
         val (dir, txns) = parseCommit(f)
-        // single-stamp commits (the overwhelming norm) keep the flat
-        // columns; a multi-stamp commit surfaces its first stamp here and
-        // the full set through lastTxnVersion
-        (v, dir, txns.headOption.map(_.appId), txns.headOption.map(_.version))
+        // flat columns carry the first stamp (the single-stamp norm reads
+        // unchanged); txn_stamps carries the FULL set so multi-stamp
+        // commits (join-MV refreshes: both feeds' high-water marks in one
+        // commit) are auditable — a replay decision depends on every stamp
+        (v, dir, txns.headOption.map(_.appId), txns.headOption.map(_.version),
+          txns.map(t => (t.appId, t.version)))
       }
-      .toDF("version", "data_dir", "txn_app_id", "txn_version")
+      .toDF("version", "data_dir", "txn_app_id", "txn_version", "txn_stamps")
+      .withColumn("txn_stamps", org.apache.spark.sql.functions.expr(
+        "transform(txn_stamps, s -> named_struct('app_id', s._1, 'version', s._2))"))
   }
 
   /** The snapshot's schema: the pinned `_schema.json` when the version was
@@ -1404,10 +1417,11 @@ object SnapshotStore {
       statsCols: Seq[String] = Nil, txn: Option[Txn] = None,
       constraints: Seq[(String, org.apache.spark.sql.Column)] = Nil,
       bloomCols: Seq[String] = Nil, bloomExpectedItems: Long = 100000L,
-      stagedHook: String => Unit = _ => (), extraTxns: Seq[Txn] = Nil)(
+      stagedHook: String => Unit = _ => (), extraTxns: Seq[Txn] = Nil,
+      pinCheck: () => Boolean = () => true)(
       transform: DataFrame => DataFrame): Snapshot =
     transactImpl(spark, root, maxAttempts, statsCols, txn, constraints,
-      bloomCols, bloomExpectedItems, stagedHook, extraTxns)(
+      bloomCols, bloomExpectedItems, stagedHook, extraTxns, pinCheck)(
       df => (transform(df), None))
 
   /** [[transact]] variant whose transform ALSO supplies the commit's change
@@ -1633,19 +1647,40 @@ object SnapshotStore {
       statsCols: Seq[String], txn: Option[Txn],
       constraints: Seq[(String, org.apache.spark.sql.Column)],
       bloomCols: Seq[String] = Nil, bloomExpectedItems: Long = 100000L,
-      stagedHook: String => Unit = _ => (), extraTxns: Seq[Txn] = Nil)(
+      stagedHook: String => Unit = _ => (), extraTxns: Seq[Txn] = Nil,
+      pinCheck: () => Boolean = () => true)(
       transform: DataFrame => (DataFrame, Option[DataFrame])): Snapshot = {
     import org.apache.spark.sql.functions.{count, expr, lit, sum, when}
     val txns = txn.toSeq ++ extraTxns
     var attempt = 0
     while (attempt < maxAttempts) {
       // replayed batch: a no-op only when EVERY stamp is already covered.
-      // Stamps land atomically (one commit), so a partially-covered set
-      // means a DIFFERENT refresh advanced one of the apps — re-running is
-      // then correct (the transform derives from the current feeds).
-      if (txns.nonEmpty && txns.forall(t =>
-          lastTxnVersion(root, t.appId).exists(_ >= t.version)))
-        return latest(root) // already applied — replayed batch
+      // Stamps land atomically (one commit), so a PARTIALLY-covered set
+      // means a DIFFERENT refresh advanced one of the apps since this
+      // transform's inputs were pinned — re-running the pinned transform
+      // would overwrite the other refresh's newer state with stale reads
+      // (interleaved-pin lost update), so abort and make the caller
+      // restart from fresh high-water marks.
+      if (txns.nonEmpty) {
+        val covered = txns.filter(t =>
+          lastTxnVersion(root, t.appId).exists(_ >= t.version))
+        if (covered.length == txns.length)
+          return latest(root) // already applied — replayed batch
+        if (covered.nonEmpty)
+          throw new StaleStampException(
+            s"commit at $root: stamps ${covered.map(_.appId).mkString(", ")} " +
+              s"already covered but ${(txns.diff(covered)).map(_.appId).mkString(", ")} " +
+              "not — a concurrent refresh advanced part of the stamp set; " +
+              "restart from fresh high-water marks")
+      }
+      // caller-pinned reads (e.g. a refresh whose transform closes over
+      // snapshots/high-water marks captured BEFORE transact): verify the
+      // pins still hold on EVERY attempt, or the optimistic rebase would
+      // re-apply an already-applied delta on top of the winner's state
+      if (!pinCheck())
+        throw new StaleStampException(
+          s"commit at $root: pinned inputs went stale before commit; " +
+            "restart from fresh high-water marks")
       val base = latest(root)
       val (out, suppliedChanges) = transform(read(spark, base))
       // caller-supplied invariants + the table's own persisted CHECK

@@ -167,7 +167,15 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(dirBefore)), "expired data dirs are deleted")
     assert(spark.sql("CALL graft.system.clean_orphans('mt', 0)").collect()
       .head.getLong(0) == 0L)
-    assert(spark.sql("SHOW PROCEDURES IN graft.system").count() == 7L)
+    // pin the NAME SET, not a count: a new procedure extends this list
+    // deliberately instead of tripping an arity check
+    val shown = spark.sql("SHOW PROCEDURES IN graft.system")
+    val nameCol = shown.columns.find(_.toLowerCase.contains("procedure"))
+      .getOrElse(fail(s"no procedure-name column in ${shown.columns.toSeq}"))
+    val procs = shown.select(nameCol).collect().map(_.getString(0)).toSet
+    assert(procs == Set("optimize", "expire_snapshots", "clean_orphans",
+      "restore", "clone", "create_mv", "refresh_mv",
+      "create_join_mv", "refresh_join_mv"), s"procedure surface: $procs")
   }
 
   test("expire_snapshots honors the age window (older_than_ms)") {
