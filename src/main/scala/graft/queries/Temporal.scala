@@ -1211,6 +1211,174 @@ object Temporal {
            |FROM v3 GROUP BY segment ORDER BY segment""".stripMargin
       }),
 
+    // Q95b [extension: incremental JOIN materialized view] The
+    // enrichment-view shape (fact ⋈ dim) maintained by PARTIAL recompute:
+    // refresh collects the distinct join-key values in EITHER source's
+    // change feed since the last refresh — update_preimage rows put a
+    // join-KEY-changing UPDATE's old AND new key in the set, the case this
+    // gate makes load-bearing by migrating a slice of employees to a
+    // different segment — then replaces exactly those keys' view rows with
+    // the join of both sources restricted to them (broadcast semi/anti:
+    // the big tables and the view shuffle nothing). Both feeds' high-water
+    // marks ride the SAME commit as atomic multi-app txn stamps, so the
+    // doubled refresh is a stamped no-op (version count pinned). The
+    // DuckDB oracle is the FULL recompute join after the same mixed DML on
+    // both sides — hash equality is the partial≡full proof.
+    "q95b_join_mv" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{MatView, SnapshotStore, SqlDml}
+        import s.implicits._
+        val emp = graft.GateTmp.freshDir("q95b_emp")
+        val dim = graft.GateTmp.freshDir("q95b_dim")
+        val mv = graft.GateTmp.freshDir("q95b_mv")
+        SnapshotStore.init(s, emp,
+          RelationalPipeline.employeeView(s, d)
+            .select($("id"), $("salary"), $("segment")),
+          cdcKeys = Seq("id"))
+        SnapshotStore.init(s, dim,
+          Seq(("AUTOMOBILE", 10L), ("BUILDING", 20L), ("FURNITURE", 30L),
+            ("HOUSEHOLD", 40L), ("MACHINERY", 50L))
+            .toDF("segment", "bonus"),
+          cdcKeys = Seq("segment"))
+        MatView.createJoin(s, emp, dim, mv, Seq("segment"))
+        val te = Map("emp" -> emp); val td = Map("dim" -> dim)
+        SqlDml.execute(s,
+          "UPDATE emp SET salary = salary + 100 WHERE id % 7 = 0", te)
+        // the key-migration case: preimage carries the OLD segment
+        SqlDml.execute(s,
+          "UPDATE emp SET segment = 'MACHINERY' WHERE id % 31 = 0", te)
+        SqlDml.execute(s, "DELETE FROM emp WHERE id % 9 = 0", te)
+        Tables.supplier(s, d)
+          .select(($("s_suppkey") + 2000000L).as("id"),
+            graft.Canon.cents($("s_acctbal")).as("salary"),
+            lit("SUPPLIER").as("segment"))
+          .createOrReplaceTempView("q95b_new")
+        SqlDml.execute(s, "INSERT INTO emp SELECT id, salary, segment FROM q95b_new", te)
+        SqlDml.execute(s, "UPDATE dim SET bonus = bonus + 5 WHERE segment = 'BUILDING'", td)
+        SqlDml.execute(s, "DELETE FROM dim WHERE segment = 'FURNITURE'", td)
+        s.sql("SELECT 'SUPPLIER' AS segment, CAST(60 AS BIGINT) AS bonus")
+          .createOrReplaceTempView("q95b_dnew")
+        SqlDml.execute(s, "INSERT INTO dim SELECT segment, bonus FROM q95b_dnew", td)
+        // physical claim: the touched-key set scans change files ONLY
+        val probe = MatView.touchedKeys(s,
+          Seq((emp, 0L, SnapshotStore.latest(emp).version),
+            (dim, 0L, SnapshotStore.latest(dim).version)), Seq("segment"))
+        val scanned = probe.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten
+        require(scanned.nonEmpty && scanned.forall(_.contains("/_changes/")),
+          s"join-MV touched keys must scan change files only, got ${scanned.take(3)}")
+        val vFirst = MatView.refreshJoin(s, emp, dim, mv, Seq("segment")).version
+        val vAgain = MatView.refreshJoin(s, emp, dim, mv, Seq("segment")).version
+        require(vAgain == vFirst,
+          s"doubled refreshJoin must be a stamped no-op ($vFirst -> $vAgain)")
+        val nVersions = SnapshotStore.history(s, mv).count()
+        SnapshotStore.read(s, mv)
+          .select($("segment"), $("id"), $("salary"), $("bonus"))
+          .withColumn("n_mv_versions", lit(nVersions))
+          .orderBy($("id"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""WITH base AS (
+           |  SELECT c_custkey AS id, $cents AS salary,
+           |         c_mktsegment AS segment
+           |  FROM customer),
+           |v1 AS (SELECT id,
+           |  CASE WHEN id % 7 = 0 THEN salary + 100 ELSE salary END AS salary,
+           |  segment FROM base),
+           |v2 AS (SELECT id, salary,
+           |  CASE WHEN id % 31 = 0 THEN 'MACHINERY' ELSE segment
+           |  END AS segment FROM v1),
+           |v3 AS (SELECT * FROM v2 WHERE NOT (id % 9 = 0)),
+           |emp AS (SELECT * FROM v3
+           |  UNION ALL
+           |  SELECT s_suppkey + 2000000, ${graft.Canon.centsSql("s_acctbal")},
+           |         'SUPPLIER'
+           |  FROM supplier),
+           |dim0 (segment, bonus) AS (VALUES
+           |  ('AUTOMOBILE', 10), ('BUILDING', 20), ('FURNITURE', 30),
+           |  ('HOUSEHOLD', 40), ('MACHINERY', 50)),
+           |d1 AS (SELECT segment,
+           |  CASE WHEN segment = 'BUILDING' THEN bonus + 5 ELSE bonus
+           |  END AS bonus FROM dim0),
+           |d2 AS (SELECT * FROM d1 WHERE segment <> 'FURNITURE'),
+           |dim AS (SELECT * FROM d2 UNION ALL SELECT 'SUPPLIER', 60)
+           |SELECT e.segment, e.id, e.salary, CAST(d.bonus AS BIGINT) AS bonus,
+           |  CAST(3 AS BIGINT) AS n_mv_versions
+           |FROM emp e JOIN dim d USING (segment)
+           |ORDER BY e.id""".stripMargin
+      }),
+
+    // Q95c [extension: MV aggregate breadth] The same CDC-maintained view
+    // as q95, now carrying min/max/avg alongside count/sum. min/max are
+    // algebraic under inserts (a least/greatest fold of arriving values)
+    // but NOT under deletes — a removed row may have carried the extremum —
+    // so groups touched by any delete/update_preimage are recomputed from
+    // the PINNED source version restricted to exactly those groups
+    // (broadcast semi-join, O(touched groups)); this gate's DELETE and
+    // UPDATE legs make that path load-bearing while the SUPPLIER INSERT
+    // leg exercises the pure-algebra path. avg is derived from sum/count
+    // in the commit's output projection — stored algebra could drift under
+    // replay, a derivation cannot. Oracle: DuckDB full recompute.
+    "q95c_mv_minmax" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{MatView, SnapshotStore, SqlDml}
+        val src = graft.GateTmp.freshDir("q95c_src")
+        val mv = graft.GateTmp.freshDir("q95c_mv")
+        val aggs = Seq("count", "sum", "avg", "min", "max")
+        SnapshotStore.init(s, src,
+          RelationalPipeline.employeeView(s, d)
+            .select($("id"), $("salary"), $("segment")),
+          cdcKeys = Seq("id"))
+        MatView.create(s, src, mv, Seq("segment"), "salary", aggs)
+        val t = Map("emp" -> src)
+        SqlDml.execute(s,
+          "UPDATE emp SET salary = salary + 100 WHERE segment = 'AUTOMOBILE'", t)
+        SqlDml.execute(s, "DELETE FROM emp WHERE id % 9 = 0", t)
+        Tables.supplier(s, d)
+          .select(($("s_suppkey") + 2000000L).as("id"),
+            graft.Canon.cents($("s_acctbal")).as("salary"),
+            lit("SUPPLIER").as("segment"))
+          .createOrReplaceTempView("q95c_new")
+        SqlDml.execute(s, "INSERT INTO emp SELECT id, salary, segment FROM q95c_new", t)
+        MatView.refresh(s, src, mv, Seq("segment"), "salary", aggs)
+        MatView.refresh(s, src, mv, Seq("segment"), "salary", aggs) // no-op
+        val nVersions = SnapshotStore.history(s, mv).count()
+        SnapshotStore.read(s, mv)
+          .withColumn("n_mv_versions", lit(nVersions))
+          .orderBy($("segment"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""WITH base AS (
+           |  SELECT c_custkey AS id, $cents AS salary,
+           |         c_mktsegment AS segment
+           |  FROM customer),
+           |v1 AS (SELECT id,
+           |  CASE WHEN segment = 'AUTOMOBILE' THEN salary + 100 ELSE salary
+           |  END AS salary, segment FROM base),
+           |v2 AS (SELECT * FROM v1 WHERE NOT (id % 9 = 0)),
+           |v3 AS (SELECT * FROM v2
+           |  UNION ALL
+           |  SELECT s_suppkey + 2000000, ${graft.Canon.centsSql("s_acctbal")},
+           |         'SUPPLIER'
+           |  FROM supplier)
+           |SELECT segment, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(salary) AS BIGINT) AS val_sum,
+           |  CAST(min(salary) AS BIGINT) AS val_min,
+           |  CAST(max(salary) AS BIGINT) AS val_max,
+           |  CAST(CAST(sum(salary) AS BIGINT) AS DOUBLE) /
+           |    CAST(count(*) AS DOUBLE) AS val_avg,
+           |  CAST(3 AS BIGINT) AS n_mv_versions
+           |FROM v3 GROUP BY segment ORDER BY segment""".stripMargin
+      }),
+
     // Q96 [extension: partitioned corpus × LLM pipeline] The training-data
     // warehouse shape: the documents corpus lives in a LANG-PARTITIONED
     // snapshot table, and a per-language pipeline stage (here word/char

@@ -154,6 +154,10 @@ object MatView {
     val delta = deltaOf(changes, groupCols, valueCol, withRemovals = withMm)
       .persist()
     try {
+      // insert-only refresh: no group lost rows, so min/max fold
+      // algebraically and the plan must not touch the source AT ALL —
+      // at 100 TB an append-heavy workload's refreshes stay O(batch)
+      val anyRemovals = withMm && !delta.filter(col("has_removal")).isEmpty
       val pin = () =>
         SnapshotStore.lastTxnVersion(mvRoot, appId).getOrElse(-1L) == pinnedLast
       SnapshotStore.transact(spark, mvRoot,
@@ -178,7 +182,7 @@ object MatView {
           mv.alias("m").join(broadcast(algebraic.alias("d")), joinCond, "full_outer")
             .select(mergedCols: _*)
             .filter(col("n_rows") > 0), aggs)
-        if (!withMm) merged
+        if (!anyRemovals) merged
         else {
           // groups that LOST rows (delete/update_preimage): their stored
           // extremum may be gone — recompute exactly those groups from the

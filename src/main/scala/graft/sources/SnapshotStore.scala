@@ -1655,23 +1655,27 @@ object SnapshotStore {
     var attempt = 0
     while (attempt < maxAttempts) {
       // replayed batch: a no-op only when EVERY stamp is already covered.
-      // Stamps land atomically (one commit), so a PARTIALLY-covered set
-      // means a DIFFERENT refresh advanced one of the apps since this
-      // transform's inputs were pinned — re-running the pinned transform
-      // would overwrite the other refresh's newer state with stale reads
-      // (interleaved-pin lost update), so abort and make the caller
-      // restart from fresh high-water marks.
+      // Stamps land atomically (one commit), so on a partially-covered set
+      // the tell for an interleaved-pin race is a stamp whose mark
+      // STRICTLY EXCEEDS what this commit asserts: a different refresh
+      // applied a NEWER version of that feed than this transform's pinned
+      // read — re-running would overwrite its state with stale data, so
+      // abort and make the caller restart from fresh high-water marks.
+      // A stamp merely EQUAL to its current mark is the legitimate
+      // one-source-ahead shape (re-asserting an unadvanced feed) and
+      // proceeds.
       if (txns.nonEmpty) {
-        val covered = txns.filter(t =>
+        val allCovered = txns.forall(t =>
           lastTxnVersion(root, t.appId).exists(_ >= t.version))
-        if (covered.length == txns.length)
+        if (allCovered)
           return latest(root) // already applied — replayed batch
-        if (covered.nonEmpty)
+        val exceeded = txns.filter(t =>
+          lastTxnVersion(root, t.appId).exists(_ > t.version))
+        if (exceeded.nonEmpty)
           throw new StaleStampException(
-            s"commit at $root: stamps ${covered.map(_.appId).mkString(", ")} " +
-              s"already covered but ${(txns.diff(covered)).map(_.appId).mkString(", ")} " +
-              "not — a concurrent refresh advanced part of the stamp set; " +
-              "restart from fresh high-water marks")
+            s"commit at $root: ${exceeded.map(_.appId).mkString(", ")} " +
+              "already advanced past this commit's pinned version by a " +
+              "concurrent refresh; restart from fresh high-water marks")
       }
       // caller-pinned reads (e.g. a refresh whose transform closes over
       // snapshots/high-water marks captured BEFORE transact): verify the

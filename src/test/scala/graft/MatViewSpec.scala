@@ -130,5 +130,119 @@ class MatViewSpec extends SparkSpec {
     assert(!viewNow.contains("0"), "emptied group must drop")
     assert(viewNow("1") == (10L, (0 until 20).filter(_ % 2 == 1).map(_ + 3).sum.toLong))
   }
+
+  test("join MV: partial recompute ≡ full recompute under mixed DML incl. key migration") {
+    import graft.sources.{MatView, SnapshotStore, SqlDml}
+    val lRoot = GateTmp.freshDir("mvj_left")
+    val rRoot = GateTmp.freshDir("mvj_right")
+    val mv = GateTmp.freshDir("mvj_mv")
+    SnapshotStore.init(spark, lRoot,
+      spark.range(40).selectExpr("id", "id * 10 AS v",
+        "CAST(id % 8 AS STRING) AS k"), cdcKeys = Seq("id"))
+    SnapshotStore.init(spark, rRoot,
+      spark.range(10).selectExpr("CAST(id AS STRING) AS k", "id + 100 AS w"),
+      cdcKeys = Seq("k"))
+    MatView.createJoin(spark, lRoot, rRoot, mv, Seq("k"))
+    def direct: Set[(String, Long, Long, Long)] =
+      SnapshotStore.read(spark, lRoot).join(
+        SnapshotStore.read(spark, rRoot), "k").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def mvRows: Set[(String, Long, Long, Long)] =
+      SnapshotStore.read(spark, mv).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(mvRows == direct, "createJoin must land the full join")
+    val tl = Map("l" -> lRoot); val tr = Map("r" -> rRoot)
+    // the key-MIGRATION case the touchedKeys preimage path exists for:
+    // id%10 rows leave their old k and join k='7' instead
+    SqlDml.execute(spark, "UPDATE l SET k = '7' WHERE id % 10 = 0", tl)
+    SqlDml.execute(spark, "DELETE FROM l WHERE id % 9 = 0", tl)
+    spark.range(5).selectExpr("id + 1000 AS id", "id AS v", "'9' AS k")
+      .createOrReplaceTempView("mvj_new")
+    SqlDml.execute(spark, "INSERT INTO l SELECT id, v, k FROM mvj_new", tl)
+    SqlDml.execute(spark, "UPDATE r SET w = w + 100 WHERE k = '3'", tr)
+    SqlDml.execute(spark, "DELETE FROM r WHERE k = '5'", tr)
+    val v1 = MatView.refreshJoin(spark, lRoot, rRoot, mv, Seq("k")).version
+    assert(mvRows == direct, s"after mixed DML: mv=${mvRows.size} direct=${direct.size}")
+    // replayed refresh: both stamps covered -> stamped no-op
+    assert(MatView.refreshJoin(spark, lRoot, rRoot, mv, Seq("k")).version == v1,
+      "replayed refreshJoin must commit nothing")
+    // one-source-ahead refresh: only the right feed advanced
+    SqlDml.execute(spark, "UPDATE r SET w = w - 7 WHERE k = '1'", tr)
+    MatView.refreshJoin(spark, lRoot, rRoot, mv, Seq("k"))
+    assert(mvRows == direct, "one-source-ahead refresh must converge")
+    // above-broadcast-limit fallback: same algebra through shuffle joins
+    SqlDml.execute(spark, "UPDATE l SET v = v + 1 WHERE k = '2'", tl)
+    MatView.refreshJoin(spark, lRoot, rRoot, mv, Seq("k"), broadcastKeyLimit = 1L)
+    assert(mvRows == direct, "shuffle-join fallback must converge")
+    // both high-water marks are the sources' current versions
+    assert(SnapshotStore.lastTxnVersion(mv, MatView.joinAppId("left", lRoot))
+      .contains(SnapshotStore.latest(lRoot).version))
+    assert(SnapshotStore.lastTxnVersion(mv, MatView.joinAppId("right", rRoot))
+      .contains(SnapshotStore.latest(rRoot).version))
+  }
+
+  test("min/max/avg MV: delete-touched groups recompute; insert-only refresh stays source-free") {
+    import graft.sources.{MatView, SnapshotStore, SqlDml}
+    val src = GateTmp.freshDir("mvmm_src")
+    val mv = GateTmp.freshDir("mvmm_mv")
+    val aggs = Seq("count", "sum", "avg", "min", "max")
+    SnapshotStore.init(spark, src,
+      spark.range(30).selectExpr("id", "id * 7 AS v",
+        "CAST(id % 3 AS STRING) AS g"), cdcKeys = Seq("id"))
+    MatView.create(spark, src, mv, Seq("g"), "v", aggs)
+    def direct: Map[String, (Long, Long, Long, Long, Double)] =
+      SnapshotStore.read(spark, src).groupBy("g")
+        .agg(count(lit(1)).as("n"), sum($"v").as("s"), min($"v").as("mn"),
+          max($"v").as("mx")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(2).toDouble / r.getLong(1).toDouble)).toMap
+    def viewNow: Map[String, (Long, Long, Long, Long, Double)] =
+      SnapshotStore.read(spark, mv)
+        .select($"g", $"n_rows", $"val_sum", $"val_min", $"val_max", $"val_avg")
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))).toMap
+    assert(viewNow == direct)
+    val t = Map("t" -> src)
+    // delete the current MAX of group '0' (id=27, v=189) — algebra alone
+    // cannot recover the next-best extremum; the recompute path must
+    SqlDml.execute(spark, "DELETE FROM t WHERE id = 27", t)
+    // update group '1' values (preimage removals -> recompute)
+    SqlDml.execute(spark, "UPDATE t SET v = v + 1 WHERE g = '1'", t)
+    MatView.refresh(spark, src, mv, Seq("g"), "v", aggs)
+    assert(viewNow == direct, s"view=$viewNow direct=$direct")
+    // INSERT-only refresh: min/max fold algebraically; the refresh plan
+    // must scan NO source data files (change files only)
+    spark.range(4).selectExpr("id + 500 AS id", "id AS v", "'9' AS g")
+      .createOrReplaceTempView("mvmm_new")
+    SqlDml.execute(spark, "INSERT INTO t SELECT id, v, g FROM mvmm_new", t)
+    MatView.refresh(spark, src, mv, Seq("g"), "v", aggs)
+    assert(viewNow == direct, "insert-only refresh must fold min/max algebraically")
+    assert(viewNow("9") == (4L, 6L, 0L, 3L, 1.5d))
+    // unsupported aggregates refuse loudly
+    val e = intercept[IllegalArgumentException](
+      MatView.create(spark, src, GateTmp.freshDir("mvmm_bad"), Seq("g"), "v",
+        Seq("count", "median")))
+    assert(e.getMessage.contains("median"))
+  }
+
+  test("group-migrating UPDATE keeps n_rows right (pre/postimage ±1)") {
+    import graft.sources.{MatView, SnapshotStore, SqlDml}
+    val src = GateTmp.freshDir("mvmig_src")
+    val mv = GateTmp.freshDir("mvmig_mv")
+    SnapshotStore.init(spark, src,
+      spark.range(20).selectExpr("id", "id AS v", "CAST(id % 2 AS STRING) AS g"),
+      cdcKeys = Seq("id"))
+    MatView.create(spark, src, mv, Seq("g"), "v")
+    // migrate half of group '0' into group '1': counts must move with them
+    SqlDml.execute(spark, "UPDATE t SET g = '1' WHERE id % 4 = 0", Map("t" -> src))
+    MatView.refresh(spark, src, mv, Seq("g"), "v")
+    val got = SnapshotStore.read(spark, mv).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = SnapshotStore.read(spark, src).groupBy("g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, s"view=$got direct=$want")
+  }
 }
 

@@ -307,4 +307,75 @@ class SnapshotStoreSpec extends SparkSpec {
       spark.range(99, 101).selectExpr("id", "id AS v")))
     assert(SnapshotStore.latest(rootC).version == 1L)
   }
+
+  test("multi-app txn stamps: atomic recording, all-covered replay, partial-coverage abort") {
+    val root = tmpRoot()
+    SnapshotStore.init(spark, root, spark.range(10).selectExpr("id", "id AS v"))
+    val a5 = SnapshotStore.Txn("appA", 5L)
+    val b7 = SnapshotStore.Txn("appB", 7L)
+    // one commit records BOTH stamps atomically
+    SnapshotStore.transact(spark, root, txn = Some(a5), extraTxns = Seq(b7))(
+      df => df.filter($"id" < 8))
+    assert(SnapshotStore.lastTxnVersion(root, "appA").contains(5L))
+    assert(SnapshotStore.lastTxnVersion(root, "appB").contains(7L))
+    // the audit surface exposes the FULL stamp set of the commit
+    val h = SnapshotStore.history(spark, root)
+      .filter($"version" === SnapshotStore.latest(root).version)
+      .selectExpr("explode(txn_stamps) AS s").selectExpr("s.app_id", "s.version")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(h == Set(("appA", 5L), ("appB", 7L)), s"txn_stamps: $h")
+    // replay: ALL stamps covered -> stamped no-op, nothing commits
+    val vBefore = SnapshotStore.latest(root).version
+    SnapshotStore.transact(spark, root, txn = Some(a5), extraTxns = Seq(b7))(
+      df => df.limit(0))
+    assert(SnapshotStore.latest(root).version == vBefore,
+      "fully-covered stamp set must be a no-op")
+    // INTERLEAVED-PIN race (the lost-update hazard): this commit pins
+    // appB@6, but a concurrent refresh already applied appB@7 — its mark
+    // STRICTLY EXCEEDS the pin, so re-running the pinned transform would
+    // overwrite newer state with stale reads. Must abort BEFORE the
+    // transform runs, committing nothing.
+    var ran = false
+    intercept[SnapshotStore.StaleStampException](
+      SnapshotStore.transact(spark, root,
+        txn = Some(SnapshotStore.Txn("appA", 6L)),
+        extraTxns = Seq(SnapshotStore.Txn("appB", 6L)))(df => { ran = true; df }))
+    assert(!ran, "stale-pinned stamps must abort BEFORE the transform runs")
+    assert(SnapshotStore.latest(root).version == vBefore)
+    // one-source-ahead is legitimate: appA merely RE-ASSERTED at its
+    // current mark (equal, not exceeded) while appB advances — proceeds
+    SnapshotStore.transact(spark, root, txn = Some(a5),
+      extraTxns = Seq(SnapshotStore.Txn("appB", 8L)))(df => df)
+    assert(SnapshotStore.lastTxnVersion(root, "appB").contains(8L))
+    // a failed pinCheck aborts the same way on the FIRST attempt
+    intercept[SnapshotStore.StaleStampException](
+      SnapshotStore.transact(spark, root,
+        txn = Some(SnapshotStore.Txn("appA", 6L)),
+        pinCheck = () => false)(df => df))
+    assert(SnapshotStore.lastTxnVersion(root, "appA").contains(5L))
+  }
+
+  test("rebase-retry after a lost commit race preserves every stamp") {
+    val root = tmpRoot()
+    SnapshotStore.init(spark, root, spark.range(10).selectExpr("id", "id AS v"))
+    // stagedHook fires after staging, before the CAS: inject a competing
+    // commit there exactly once, so the stamped writer LOSES its first
+    // attempt and must rebase-retry — the retry's commit must still carry
+    // both stamps
+    var injected = false
+    SnapshotStore.transact(spark, root,
+      txn = Some(SnapshotStore.Txn("appX", 3L)),
+      extraTxns = Seq(SnapshotStore.Txn("appY", 4L)),
+      stagedHook = _ => if (!injected) {
+        injected = true
+        SnapshotStore.transact(spark, root)(df => df.filter($"id" =!= 0))
+      })(df => df.filter($"id" < 9))
+    assert(injected, "the competing commit must have fired")
+    assert(SnapshotStore.latest(root).version == 2L,
+      "init (v0) + interloper (v1) + stamped retry (v2)")
+    assert(SnapshotStore.lastTxnVersion(root, "appX").contains(3L))
+    assert(SnapshotStore.lastTxnVersion(root, "appY").contains(4L))
+    // the rebased transform ran against the interloper's snapshot
+    assert(SnapshotStore.read(spark, root).count() == 8)
+  }
 }
