@@ -48,6 +48,16 @@ object LlmSimilarity {
   /** MRL truncated-retrieval: leading-16-dim shortlist (top-512 — 1% of
     * the sf0.1 corpus — by truncated cosine) → exact full-dim rerank to
     * top-3. See q26g.
+    *
+    * Stage-1 ranking is a BOUNDED partial top-k ([[graft.plans
+    * .TopKByScore]]: a size-512 heap per query, combinable map-side), not
+    * a per-qid Window sort — the Window form puts every query's full
+    * candidate set through partition sorts, the all-rows-per-key shape
+    * that stragglers at 100× data (VERDICT r12). The shuffle carries one
+    * 512-pair buffer per (query, map partition); nothing downstream of
+    * the scan depends on corpus size. The tie rule (score desc, id asc)
+    * is identical to the old `row_number` ordering, so results are
+    * bit-stable.
     */
   def mrlTopK(s: SparkSession, d: String): DataFrame = {
     val dims = 16; val shortlist = 512
@@ -57,13 +67,15 @@ object LlmSimilarity {
       .withColumn("tn", norm($("te")))
     val qT = t.filter($("vec_id") % 50 === 0)
       .select($("vec_id").as("qid"), $("te").as("qte"), $("tn").as("qtn"))
-    val w1 = Window.partitionBy($("qid")).orderBy(desc("tcos"), $("cid"))
+    val topk = org.apache.spark.sql.GraftSqlShim.column(
+      graft.plans.TopKByScore(
+        org.apache.spark.sql.GraftSqlShim.expression(
+          dot($("qte"), $("te")) / ($("qtn") * $("tn"))),
+        org.apache.spark.sql.GraftSqlShim.expression($("vec_id")),
+        shortlist).toAggregateExpression())
     val short = t.join(broadcast(qT), $("vec_id") =!= $("qid"))
-      .select($("qid"), $("vec_id").as("cid"),
-        (dot($("qte"), $("te")) / ($("qtn") * $("tn"))).as("tcos"))
-      .withColumn("trnk", row_number().over(w1))
-      .filter($("trnk") <= shortlist)
-      .select($("qid"), $("cid")) // ids only into the rerank join
+      .groupBy($("qid")).agg(topk.as("top"))
+      .select($("qid"), explode($("top.id")).as("cid")) // ids only into the rerank join
     val qF = n.filter($("vec_id") % 50 === 0)
       .select($("vec_id").as("qid"), $("embedding").as("qe"), $("nrm").as("qn"))
     val w2 = Window.partitionBy($("qid")).orderBy(desc("cos"), $("cid"))

@@ -442,6 +442,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q26g: MRL stage-1 is a bounded heap aggregate, never a full-corpus window sort") {
+    val df = queries.LlmSimilarity.mrlTopK(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    // exactly ONE Window survives: the final rerank over <=512-row
+    // shortlist partitions. The N-candidates-per-query stage must be the
+    // TopKByScore partial aggregate (one 512-pair buffer per query per map
+    // partition rides the shuffle) — a second Window would mean some stage
+    // sorts every query's full candidate set again (VERDICT r12 #3)
+    val windows = opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.length == 1, s"q26g must keep ONE (rerank) window:\n$opt")
+    val topks = opt.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.aggregateExpressions.exists(_.exists(
+            _.isInstanceOf[graft.plans.TopKByScore])) => a }
+    assert(topks.nonEmpty, s"stage-1 must aggregate via TopKByScore:\n$opt")
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("top_k_by_score"), p)
+  }
+
   test("q101: pipeline composition shuffles only at dedup, source windows, and sort") {
     val p = plan("q101_corpus_pipeline")
     val ex = p.linesIterator.count(_.trim.startsWith("Exchange"))
