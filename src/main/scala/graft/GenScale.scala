@@ -225,6 +225,69 @@ object ProbeMv {
   }
 }
 
+/** Join-MV refresh scale probe: a FIXED 1000-row UPDATE on the fact side
+  * (plus one dim-row update) against fact tables of two sizes. refreshJoin
+  * is partial recompute — the touched-key set is O(change volume), every
+  * join against it is a broadcast semi/anti, and the SHUFFLE carries only
+  * touched-key rows; the remaining size-dependence is the semi-join's
+  * candidate scan of the pinned snapshots (pure map-side, no shuffle), so
+  * growth must track scan cost, never the full-join cost a naive refresh
+  * would pay.
+  *
+  * Usage: runMain graft.ProbeJoinMv <rowsSmall> <rowsBig>
+  */
+object ProbeJoinMv {
+  def main(args: Array[String]): Unit = {
+    import graft.sources.{MatView, SnapshotStore, SqlDml}
+    val Array(nSmall, nBig) = args.take(2).map(_.toLong)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def run(n: Long): (Double, Double, Double) = {
+      val l = GateTmp.freshDir(s"probe_mvj_l_$n")
+      val r = GateTmp.freshDir(s"probe_mvj_r_$n")
+      val mv = GateTmp.freshDir(s"probe_mvj_mv_$n")
+      SnapshotStore.init(spark, l, spark.range(n).selectExpr("id",
+        "id * 3 AS v", "CAST(id % 10000 AS STRING) AS k"), cdcKeys = Seq("id"))
+      // fact clustered by join key: localized refreshes row-group-prune
+      SnapshotStore.optimize(spark, l, targetRows = math.max(n / 32, 1000L),
+        clusterBy = Seq("k"))
+      SnapshotStore.init(spark, r, spark.range(10000).selectExpr(
+        "CAST(id AS STRING) AS k", "id + 7 AS w"), cdcKeys = Seq("k"))
+      MatView.createJoin(spark, l, r, mv, Seq("k"))
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val dml = time {
+        SqlDml.execute(spark,
+          "UPDATE t SET v = v + 1 WHERE id < 1000", Map("t" -> l))
+        SqlDml.execute(spark,
+          "UPDATE t SET w = w + 1 WHERE k = '42'", Map("t" -> r))
+      }
+      // scattered: 1000 touched keys hash into ~all buckets -> rewrite
+      // cost approaches a full pass (the worst case for bucket scoping)
+      val scattered = time(MatView.refreshJoin(spark, l, r, mv, Seq("k")))
+      // localized: ONE dim key -> 1-of-256 buckets rewritten, the shape
+      // the bucket layout exists for (dim update rippling into the view)
+      SqlDml.execute(spark,
+        "UPDATE t SET w = w + 5 WHERE k = '7'", Map("t" -> r))
+      val localized = time(MatView.refreshJoin(spark, l, r, mv, Seq("k")))
+      (dml, scattered, localized)
+    }
+    run(nSmall) // warm-up
+    val (sd, ss, sl) = run(nSmall)
+    val (bd, bs, bl) = run(nBig)
+    println(f"rows=$nSmall%d dml=$sd%.2fs scattered=$ss%.2fs localized=$sl%.2fs")
+    println(f"rows=$nBig%d dml=$bd%.2fs scattered=$bs%.2fs localized=$bl%.2fs")
+    println(f"growth dml=${bd / sd}%.2fx scattered=${bs / ss}%.2fx localized=${bl / sl}%.2fx")
+    spark.stop()
+  }
+}
+
 /** OPTIMIZE ZORDER scale probe (round-11): time the z-order rewrite and
   * the pruned 2-D rectangle read it buys, at two table sizes. The rewrite
   * is one approxQuantile sketch pass + one range-shuffle-and-sort — it

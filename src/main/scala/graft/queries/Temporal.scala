@@ -751,22 +751,27 @@ object Temporal {
            |ORDER BY _commit_version, _change_type""".stripMargin
       }),
 
-    // Q90 [extension: schema evolution DDL] `ALTER TABLE ADD COLUMN` as a
-    // METADATA-ONLY commit: SnapshotStore.alterSchema hard-links the base
-    // snapshot's parquet files into the new version's dir and pins the
-    // evolved schema in `_schema.json` — zero data rewrite (at 100 TB a
-    // column add that rewrites the table is a non-starter; on an object
-    // store the link is a manifest re-reference). Old rows null-fill at
-    // read via standard parquet schema-evolution; post-ALTER inserts carry
-    // the new column; time travel BEFORE the ALTER still serves the old
-    // schema (require()d in-build). The final read coalesces the evolved
-    // column — bit-identical to the oracle's UNION replay.
+    // Q90 [extension: schema evolution DDL] `ALTER TABLE ADD COLUMN` and
+    // `RENAME COLUMN` as METADATA-ONLY commits: SnapshotStore.alterSchema
+    // hard-links the base snapshot's parquet files into the new version's
+    // dir and pins the evolved schema in `_schema.json` — zero data
+    // rewrite (at 100 TB a column change that rewrites the table is a
+    // non-starter; on an object store the link is a manifest
+    // re-reference). Old rows null-fill at read via standard parquet
+    // schema-evolution; a RENAME additionally records a name-mapping
+    // sidecar so reads resolve the old PHYSICAL name (`coalesce` chain —
+    // the Delta column-mapping / Iceberg field-id trick by name). The
+    // post-rename INSERT makes the snapshot dir MIX files carrying `bal`
+    // (pre-rename links) and `balance` (fresh) — the load-bearing case.
+    // Time travel BEFORE each ALTER still serves that version's own
+    // schema (require()d in-build).
     "q90_schema_evolution" -> QueryDef(
       build = (s, d) => {
         val wh = graft.GateTmp.freshDir("q90")
         s.conf.set("spark.sql.catalog.graft",
           classOf[graft.sources.GraftCatalog].getName)
         s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        graft.GraftExtensions.install(s)
         s.sql("CREATE TABLE graft.q90ev (id BIGINT, bal BIGINT)")
         Tables.customer(s, d).createOrReplaceTempView("q90_cust")
         Tables.supplier(s, d).createOrReplaceTempView("q90_supp")
@@ -786,20 +791,34 @@ object Temporal {
           .columns.contains("seg"), "v1 must predate the seg column")
         require(s.sql("SELECT * FROM graft.q90ev VERSION AS OF 2")
           .columns.contains("seg"), "v2 must carry the evolved schema")
+        s.sql("ALTER TABLE graft.q90ev RENAME COLUMN bal TO balance") // v4
+        s.sql( // v5: fresh files under the NEW name, links under the old
+          s"""INSERT INTO graft.q90ev
+             |SELECT s_suppkey + 2000000, ${graft.Canon.centsSql("s_acctbal")},
+             |       'SUPP2'
+             |FROM q90_supp""".stripMargin)
+        require(s.sql("SELECT * FROM graft.q90ev VERSION AS OF 3")
+          .columns.toSeq.contains("bal"), "v3 must still serve the old name")
+        require(s.sql("SELECT balance FROM graft.q90ev VERSION AS OF 4")
+          .count() > 0, "v4 serves the renamed column over linked files")
         s.sql(
-          """SELECT id, bal, coalesce(seg, 'LEGACY') AS seg
+          """SELECT id, balance, coalesce(seg, 'LEGACY') AS seg
             |FROM graft.q90ev ORDER BY id""".stripMargin)
       },
       oracle = Some(
         s"""WITH ev AS (
-           |  SELECT c_custkey AS id, ${graft.Canon.centsSql("c_acctbal")} AS bal,
+           |  SELECT c_custkey AS id, ${graft.Canon.centsSql("c_acctbal")} AS balance,
            |         NULL AS seg
            |  FROM customer
            |  UNION ALL
            |  SELECT s_suppkey + 1000000, ${graft.Canon.centsSql("s_acctbal")},
            |         'SUPP'
+           |  FROM supplier
+           |  UNION ALL
+           |  SELECT s_suppkey + 2000000, ${graft.Canon.centsSql("s_acctbal")},
+           |         'SUPP2'
            |  FROM supplier)
-           |SELECT id, bal, coalesce(seg, 'LEGACY') AS seg
+           |SELECT id, balance, coalesce(seg, 'LEGACY') AS seg
            |FROM ev ORDER BY id""".stripMargin)),
 
     // Q91 [extension: the FULL reference topology as one pipeline] The

@@ -87,9 +87,13 @@ object DvReadRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** Needs the store read: a DV sidecar (raw scan resurrects deletes) or
+    * a rename mapping (raw scan null-fills the renamed column — files
+    * still carry the physical pre-rename name).
+    */
   private def isDvTable(t: org.apache.spark.sql.connector.catalog.Table): Boolean =
     t match {
-      case g: GraftTable => g.hasDeletionVector
+      case g: GraftTable => g.hasDeletionVector || g.hasRenames
       case _ => false
     }
 

@@ -327,8 +327,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case _ => ()
     }
     if (schemaChanges.isEmpty) return loadTable(ident)
+    // RENAME COLUMN rides the same metadata-only commit: the field keeps
+    // its type/metadata under the new name, files are untouched, and the
+    // store's name-mapping sidecar resolves old physical names at read
+    // (SnapshotStore.alterSchema validates the refusal list)
+    val renames = schemaChanges.collect {
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          s"nested column rename not supported: ${rn.fieldNames.mkString(".")}")
+        rn.newName() -> rn.fieldNames()(0)
+    }.toMap
+    val nonRenames = schemaChanges.filterNot(_.isInstanceOf[TableChange.RenameColumn])
     SnapshotStore.alterSchema(spark, root, schema =>
-      schemaChanges.foldLeft(schema) {
+      nonRenames.foldLeft(schema) {
         case (s, add: TableChange.AddColumn) =>
           require(add.fieldNames.length == 1,
             s"nested column add not supported: ${add.fieldNames.mkString(".")}")
@@ -368,8 +379,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           StructType(s.filterNot(_.name.equalsIgnoreCase(n)))
         case (_, other) => throw new UnsupportedOperationException(
           s"unsupported ALTER: ${other.getClass.getSimpleName} " +
-            "(ADD COLUMN / DROP COLUMN only)")
-      })
+            "(ADD COLUMN / DROP COLUMN / RENAME COLUMN only)")
+      }, renames = renames)
     loadTable(ident)
   }
 
@@ -641,7 +652,9 @@ object GraftCatalog {
   private[sources] val CreateMvProc: GraftCatalog => UnboundProcedure = cat =>
     new Proc("create_mv",
       Seq(p("source", StringType), p("target", StringType),
-        p("group_cols", StringType), p("value_col", StringType)),
+        p("group_cols", StringType), p("value_col", StringType),
+        ProcedureParameter.in("aggs", StringType)
+          .defaultValue("'count,sum'").build()),
       StructType(Seq(
         org.apache.spark.sql.types.StructField("source_version", LongType),
         org.apache.spark.sql.types.StructField("groups", LongType)))) {
@@ -653,7 +666,8 @@ object GraftCatalog {
           if (dst.contains("/")) dst
           else (cat.warehousePath +: dst.split('.').toSeq).mkString("/")
         val groups = in.getString(2).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-        val snap = MatView.create(spark, srcRoot, dstRoot, groups, in.getString(3))
+        val snap = MatView.create(spark, srcRoot, dstRoot, groups, in.getString(3),
+          in.getString(4).split(",").toSeq.map(_.trim).filter(_.nonEmpty))
         InternalRow(SnapshotStore.lastTxnVersion(dstRoot,
           MatView.appIdFor(srcRoot)).getOrElse(-1L),
           spark.read.parquet(snap.dataDir).count())
@@ -666,7 +680,9 @@ object GraftCatalog {
   private[sources] val RefreshMvProc: GraftCatalog => UnboundProcedure = cat =>
     new Proc("refresh_mv",
       Seq(p("source", StringType), p("target", StringType),
-        p("group_cols", StringType), p("value_col", StringType)),
+        p("group_cols", StringType), p("value_col", StringType),
+        ProcedureParameter.in("aggs", StringType)
+          .defaultValue("'count,sum'").build()),
       StructType(Seq(
         org.apache.spark.sql.types.StructField("applied_through", LongType),
         org.apache.spark.sql.types.StructField("mv_version", LongType)))) {
@@ -675,7 +691,8 @@ object GraftCatalog {
         val srcRoot = cat.tableRoot(in.getString(0))
         val mvRoot = cat.tableRoot(in.getString(1))
         val groups = in.getString(2).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-        val snap = MatView.refresh(spark, srcRoot, mvRoot, groups, in.getString(3))
+        val snap = MatView.refresh(spark, srcRoot, mvRoot, groups, in.getString(3),
+          in.getString(4).split(",").toSeq.map(_.trim).filter(_.nonEmpty))
         InternalRow(SnapshotStore.lastTxnVersion(mvRoot,
           MatView.appIdFor(srcRoot)).getOrElse(-1L), snap.version)
       }
@@ -784,6 +801,14 @@ private[sources] class GraftTable(spark: SparkSession, tableName: String,
     */
   private[sources] def hasDeletionVector: Boolean =
     SnapshotStore.hasDv(snap.dataDir)
+
+  /** True when this snapshot carries a RENAME COLUMN name-mapping — the
+    * raw parquet scan would null-fill the renamed column (files still
+    * carry the physical pre-rename name), so [[DvReadRewrite]] routes
+    * reads through the store's coalesce-chain read, same as DV.
+    */
+  private[sources] def hasRenames: Boolean =
+    SnapshotStore.readRenames(snap.dataDir).nonEmpty
 
   /** `TRUNCATE TABLE` — a COMMIT (empty snapshot), never a deletion:
     * history still serves every pre-truncate version, schema/partitioning/

@@ -282,18 +282,35 @@ object MatView {
   def joinAppId(side: String, srcRoot: String): String =
     s"graft-mvj:$side:$srcRoot"
 
+  /** Hash-bucket partition column of a join view: `refreshJoin` REWRITES
+    * only the buckets containing touched keys and hard-links the rest, so
+    * write cost is O(min(touched keys, buckets)/buckets · view), not
+    * O(view) — the partition-scoped copy-on-write granularity (q93 /
+    * ProbeCow) applied to view maintenance. The column is layout state;
+    * consumers project it away.
+    */
+  val BucketCol = "mv_bucket"
+  val DefaultBuckets = 64
+
+  private def bucketOf(joinKeys: Seq[String], buckets: Int): Column =
+    pmod(hash(joinKeys.map(col): _*), lit(buckets))
+
   /** Initialize `mvRoot` as the inner equi-join of two CDC tables on
     * `joinKeys` — the enrichment-view shape (fact ⋈ dim). The one full
     * join of the view's lifetime; every [[refreshJoin]] after is
     * O(touched keys). Join keys need NOT be either table's CDC keys
     * (multiplicity is fine — maintenance is per-KEY recompute, not
     * per-row algebra); non-key column names must be disjoint so the view
-    * schema is unambiguous. Returns the snapshot; the pinned source
-    * versions are the view's own stamps
+    * schema is unambiguous. The view is hive-partitioned by
+    * [[BucketCol]] = `pmod(hash(joinKeys), buckets)` so refreshes rewrite
+    * only touched buckets (`buckets = 0` keeps the view unpartitioned and
+    * every refresh stages a full rewrite — only for tiny views). Returns
+    * the snapshot; the pinned source versions are the view's own stamps
     * (`lastTxnVersion(mvRoot, joinAppId(side, srcRoot))`).
     */
   def createJoin(spark: SparkSession, leftRoot: String, rightRoot: String,
-      mvRoot: String, joinKeys: Seq[String]): SnapshotStore.Snapshot = {
+      mvRoot: String, joinKeys: Seq[String],
+      buckets: Int = DefaultBuckets): SnapshotStore.Snapshot = {
     require(SnapshotStore.cdcKeys(leftRoot).nonEmpty &&
       SnapshotStore.cdcKeys(rightRoot).nonEmpty,
       "join-view sources must both have a change feed (cdcKeys)")
@@ -313,12 +330,31 @@ object MatView {
       .intersect(r.columns.map(_.toLowerCase).toSet)
     require(overlap == keySet,
       s"non-key column overlap between sources: ${(overlap -- keySet).mkString(", ")}")
-    val joined = l.join(r, joinKeys, "inner")
-    SnapshotStore.init(spark, mvRoot, joined.limit(0))
+    val joined0 = l.join(r, joinKeys, "inner")
+    val (joined, parts) =
+      if (buckets > 0)
+        // co-locate each bucket into one task before the partitioned
+        // write: without this every task writes a sliver into every
+        // bucket dir (tasks x buckets files)
+        (joined0.withColumn(BucketCol, bucketOf(joinKeys, buckets))
+          .repartition(col(BucketCol)), Seq(BucketCol))
+      else (joined0, Nil)
+    SnapshotStore.init(spark, mvRoot, joined.limit(0), partitionBy = parts)
+    if (buckets > 0)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(mvRoot, "_mv_buckets"), buckets.toString)
     SnapshotStore.transact(spark, mvRoot,
       txn = Some(SnapshotStore.Txn(joinAppId("left", leftRoot), ls.version)),
       extraTxns = Seq(
         SnapshotStore.Txn(joinAppId("right", rightRoot), rs.version)))(_ => joined)
+  }
+
+  /** Bucket count the view was created with (0 = unpartitioned legacy). */
+  private def bucketsOf(mvRoot: String): Int = {
+    val f = java.nio.file.Paths.get(mvRoot, "_mv_buckets")
+    if (java.nio.file.Files.exists(f))
+      java.nio.file.Files.readString(f).trim.toInt
+    else 0
   }
 
   /** Advance the join view to both sources' current versions by PARTIAL
@@ -378,21 +414,64 @@ object MatView {
       val small = touched.limit(probeN).count() <= broadcastKeyLimit
       def keyed(df: DataFrame): DataFrame =
         if (small) broadcast(df) else df
-      val l = SnapshotStore.read(spark, SnapshotStore.at(leftRoot, lv))
+      // VERY small single-key change sets additionally ride as a literal
+      // IN on the source scans (a narrowing pre-filter — the semi-join
+      // still decides membership): parquet row-group stats prune it, so a
+      // fact table OPTIMIZEd cluster_by the join key reads only the
+      // touched keys' row groups instead of scanning the snapshot
+      val keyLocal: Option[IndexedSeq[Any]] =
+        if (joinKeys.length == 1) {
+          val a = touched.limit(1001).collect()
+          if (a.length <= 1000) Some(a.map(_.get(0)).toIndexedSeq) else None
+        } else None
+      def scoped(df: DataFrame): DataFrame = keyLocal match {
+        case Some(ks) => df.filter(col(joinKeys.head).isin(ks: _*))
+        case None => df
+      }
+      val l = scoped(SnapshotStore.read(spark, SnapshotStore.at(leftRoot, lv)))
         .join(keyed(touched), joinKeys, "left_semi")
-      val r = SnapshotStore.read(spark, SnapshotStore.at(rightRoot, rv))
+      val r = scoped(SnapshotStore.read(spark, SnapshotStore.at(rightRoot, rv)))
         .join(keyed(touched), joinKeys, "left_semi")
-      val recomputed = l.join(r, joinKeys, "inner")
+      val recomputed0 = l.join(r, joinKeys, "inner")
       // the transform closes over snapshots pinned ABOVE — verify the pins
       // still hold on every commit attempt (see refreshJoin scaladoc)
       val pin = () =>
         SnapshotStore.lastTxnVersion(mvRoot, lApp).getOrElse(-1L) == ll &&
           SnapshotStore.lastTxnVersion(mvRoot, rApp).getOrElse(-1L) == rl
-      SnapshotStore.transact(spark, mvRoot,
-        txn = Some(SnapshotStore.Txn(lApp, lv)),
-        extraTxns = Seq(SnapshotStore.Txn(rApp, rv)), pinCheck = pin) { mv =>
-        mv.join(keyed(touched), joinKeys, "left_anti")
-          .unionByName(recomputed.select(mv.columns.map(col).toIndexedSeq: _*))
+      val buckets = bucketsOf(mvRoot)
+      if (buckets == 0)
+        // legacy unpartitioned view: full-rewrite staging (tiny views only)
+        SnapshotStore.transact(spark, mvRoot,
+          txn = Some(SnapshotStore.Txn(lApp, lv)),
+          extraTxns = Seq(SnapshotStore.Txn(rApp, rv)), pinCheck = pin) { mv =>
+          mv.join(keyed(touched), joinKeys, "left_anti")
+            .unionByName(recomputed0.select(mv.columns.map(col).toIndexedSeq: _*))
+        }
+      else {
+        // bucket-partitioned view: rewrite ONLY the buckets containing
+        // touched keys (their untouched-key rows pass through), hard-link
+        // every other bucket — write cost is O(touched buckets), the same
+        // partition-scoped copy-on-write granularity as q93 DML
+        val recomputed = recomputed0
+          .withColumn(BucketCol, bucketOf(joinKeys, buckets))
+        // bounded driver set: at most `buckets` ints — a literal IN makes
+        // the matched probe partition-prune to touched bucket dirs only
+        val touchedBuckets = touched
+          .select(bucketOf(joinKeys, buckets).as(BucketCol)).distinct()
+          .collect().map(_.getInt(0)).toIndexedSeq
+        SnapshotStore.transactPartialWithChanges(spark, mvRoot,
+          txn = Some(SnapshotStore.Txn(lApp, lv)),
+          extraTxns = Seq(SnapshotStore.Txn(rApp, rv)), pinCheck = pin)(
+          baseL => baseL.filter(col(BucketCol)
+            .isin(touchedBuckets: _*))) { rowsTouched =>
+          val out = rowsTouched.join(keyed(touched), joinKeys, "left_anti")
+            .unionByName(recomputed
+              .select(rowsTouched.columns.map(col).toIndexedSeq: _*))
+            .repartition(col(BucketCol)) // one file per rewritten bucket
+          // the view has no change feed; the frame is required but unused
+          (out, out.limit(0)
+            .withColumn(SnapshotStore.ChangeTypeCol, lit("insert")))
+        }
       }
     } finally { touched.unpersist(); () }
   }

@@ -338,25 +338,62 @@ object SnapshotStore {
     * version carries no `_manifest` (stats columns may have changed); on a
     * CDC table it lands an EMPTY change set — schema changes are not row
     * changes.
+    *
+    * `renames` (`newName -> oldName`, applied AFTER `evolve`) is the
+    * `ALTER TABLE RENAME COLUMN` path: the field keeps its type and
+    * metadata under the new name, files are hard-linked untouched, and a
+    * `_renames.tsv` name-mapping sidecar makes every read resolve the old
+    * physical name into the new logical one (the Iceberg field-id /
+    * Delta column-mapping trick, by name chain instead of id). Chained
+    * renames compose; a later full-rewrite commit heals the mapping.
+    * Refused when it could silently corrupt:
+    *   - CDC tables (the feed's per-version frames identify columns by
+    *     name; renaming would fork the feed schema mid-stream),
+    *   - partition columns (directory names ARE the physical layout),
+    *   - columns referenced by CHECK constraints or generated/default
+    *     expressions (stored as SQL text — a rename would dangle them),
+    *   - a target name that files still carry physically (a dropped or
+    *     previously-renamed column's stored values would alias into the
+    *     new column through the coalesce chain).
     */
   def alterSchema(spark: SparkSession, root: String,
       evolve: org.apache.spark.sql.types.StructType =>
         org.apache.spark.sql.types.StructType,
-      maxAttempts: Int = 10): Snapshot = {
+      maxAttempts: Int = 10,
+      renames: Map[String, String] = Map.empty): Snapshot = {
     import org.apache.spark.sql.types.StructType
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latest(root)
       val baseSchema = readSchema(spark, base)
-      val next = evolve(baseSchema)
-      val added = next.filterNot(f => baseSchema.exists(_.name == f.name))
+      val evolved = evolve(baseSchema)
+      val baseRen = readRenames(base.dataDir)
+      val (next, ren) =
+        if (renames.isEmpty)
+          // prune chains of columns the evolve dropped: a later ADD of a
+          // dropped name must not inherit its stale physical chain
+          (evolved, baseRen.filter { case (k, _) =>
+            evolved.exists(_.name.toLowerCase == k) })
+        else
+          applyRenames(spark, root, base, baseSchema, evolved, baseRen, renames)
+      val added = next.filterNot(f => baseSchema.exists(_.name == f.name) ||
+        renames.keySet.exists(_.equalsIgnoreCase(f.name)))
       require(added.forall(_.nullable),
         s"added columns must be nullable (existing rows null-fill): " +
           added.filterNot(_.nullable).map(_.name).mkString(", "))
+      // an added column must not collide with a physical name some file
+      // still carries (its stored values would bleed in through the chain)
+      val physicalNames = ren.values.flatten.map(_.toLowerCase).toSet
+      val collide = added.filter(f => physicalNames.contains(f.name.toLowerCase))
+      require(collide.isEmpty,
+        s"column name(s) ${collide.map(_.name).mkString(", ")} are still " +
+          s"carried physically by pre-rename files of $root; OPTIMIZE " +
+          "(full rewrite) first, then add")
       val dir = Paths.get(root, "data", UUID.randomUUID().toString)
       Files.createDirectories(dir)
       linkParquetTree(Paths.get(base.dataDir), dir)
       Files.writeString(dir.resolve("_schema.json"), next.json)
+      writeRenames(dir.toString, ren)
       carryStateSidecars(base.dataDir, dir.toString)
       if (cdcKeys(root).nonEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -369,6 +406,62 @@ object SnapshotStore {
     }
     throw new CommitConflictException(
       s"lost the commit race $maxAttempts times altering $root")
+  }
+
+  /** Validate + apply `newName -> oldName` renames to `evolved`, composing
+    * the physical-name chains (see [[alterSchema]]'s refusal list).
+    */
+  private def applyRenames(spark: SparkSession, root: String, base: Snapshot,
+      baseSchema: org.apache.spark.sql.types.StructType,
+      evolved: org.apache.spark.sql.types.StructType,
+      baseRen: Map[String, Seq[String]], renames: Map[String, String]):
+      (org.apache.spark.sql.types.StructType, Map[String, Seq[String]]) = {
+    require(cdcKeys(root).isEmpty,
+      s"RENAME COLUMN is not supported on CDC tables ($root): the change " +
+        "feed's per-version frames identify columns by name, and a rename " +
+        "would fork the feed schema mid-stream. Recreate the feed consumer " +
+        "on a rewritten table instead")
+    val parts = partitionCols(root).map(_.toLowerCase).toSet
+    // SQL-text references a rename would dangle: CHECK constraints,
+    // generated columns, column defaults
+    val exprTexts = tableConstraints(root).map(_._2) ++
+      evolved.fields.flatMap { f =>
+        Seq(GraftCatalog.GenerationExprKey, "CURRENT_DEFAULT", "EXISTS_DEFAULT")
+          .filter(f.metadata.contains).map(f.metadata.getString)
+      }
+    var schema = evolved
+    var ren = baseRen
+    renames.foreach { case (newName, oldName) =>
+      val idx = schema.fields.indexWhere(_.name.equalsIgnoreCase(oldName))
+      require(idx >= 0, s"no such column $oldName in $root " +
+        s"(columns: ${schema.fields.map(_.name).mkString(", ")})")
+      require(!schema.exists(_.name.equalsIgnoreCase(newName)),
+        s"column $newName already exists in $root")
+      require(!parts.contains(oldName.toLowerCase),
+        s"cannot rename partition column $oldName (directory layout)")
+      val refd = exprTexts.filter(
+        _.matches(s"(?is).*\\b${java.util.regex.Pattern.quote(oldName)}\\b.*"))
+      require(refd.isEmpty,
+        s"cannot rename $oldName: referenced by stored SQL expression(s) " +
+          s"(constraint/default/generated): ${refd.take(2).mkString("; ")}")
+      // stale-shadow guard: no file may still PHYSICALLY carry the target
+      // name (a dropped column's stored values would alias in via the
+      // coalesce chain). Footer union of the current snapshot = the full
+      // physical name set.
+      val physical = spark.read.parquet(base.dataDir).schema
+        .map(_.name.toLowerCase).toSet ++ ren.values.flatten.map(_.toLowerCase)
+      require(!physical.contains(newName.toLowerCase),
+        s"files of $root still physically carry a column named $newName " +
+          "(dropped or renamed-away); OPTIMIZE (full rewrite) first")
+      val f = schema.fields(idx)
+      schema = org.apache.spark.sql.types.StructType(
+        schema.fields.updated(idx, f.copy(name = newName)))
+      val oldKey = f.name.toLowerCase
+      val chain = f.name +: ren.getOrElse(oldKey, Nil)
+      ren = (ren - oldKey) + (newName.toLowerCase -> chain)
+    }
+    // prune chains whose logical column no longer exists
+    (schema, ren.filter { case (k, _) => schema.exists(_.name.toLowerCase == k) })
   }
 
   /** RESTORE: roll the table back to an earlier committed version as a NEW
@@ -413,6 +506,7 @@ object SnapshotStore {
       // values that exist only in the undone, still-time-travelable
       // versions)
       carryStateSidecars(target.dataDir, dir.toString)
+      carryRenames(target.dataDir, dir.toString)
       val keys = cdcKeys(root)
       if (keys.nonEmpty) {
         // feed schema = the RESTORED version's columns (the table's schema
@@ -457,6 +551,7 @@ object SnapshotStore {
     val sj = Paths.get(src.dataDir, "_schema.json")
     if (Files.exists(sj)) Files.copy(sj, dir.resolve("_schema.json"))
     carryStateSidecars(src.dataDir, dir.toString) // clone continues numbering
+    carryRenames(src.dataDir, dir.toString)
     val keys = cdcKeys(srcRoot)
     if (keys.nonEmpty)
       readDir(spark, dir.toString).withColumn(ChangeTypeCol, lit("insert"))
@@ -715,6 +810,7 @@ object SnapshotStore {
         readSchema(spark, base).json)
       stagedHook(dir.toString)
       carryStateSidecars(base.dataDir, dir.toString)
+      carryRenames(base.dataDir, dir.toString)
       if (cdcKeys(root).nonEmpty)
         rows.withColumn(ChangeTypeCol, lit("insert"))
           .write.mode("overwrite").parquet(s"$dir/_changes")
@@ -1094,14 +1190,15 @@ object SnapshotStore {
     })
   private def readDirDv(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, input_file_name}
-    val base = plainReadDir(spark, dir)
+    val dr = rawReadDir(spark, dir)
+    val base = dr.raw
     var bc = dvBroadcastCache.get(dir)
     if (bc == null) {
       // map keys must be bit-exact with what InputFileBlockHolder serves at
       // scan time — sample the prefix from input_file_name() (the holder's
       // own rendering) rather than reconstructing Hadoop's URI form
       val sample = base.select(input_file_name()).take(1)
-      if (sample.isEmpty) return base // no data files: nothing to filter
+      if (sample.isEmpty) return dr.project() // no data files: nothing to filter
       val uuid = Paths.get(dir).getFileName.toString
       val p = sample.head.getString(0)
       val at = p.indexOf(uuid + "/")
@@ -1124,17 +1221,100 @@ object SnapshotStore {
         bc = prev
       }
     }
-    base.where(org.apache.spark.sql.GraftDvFilter.keepColumn(
-      col("_metadata.row_index"), bc))
+    // DV filter binds on the RAW scan (it needs `_metadata`); the rename
+    // projection (a no-op without renames) goes on top
+    dr.copy(raw = base.where(org.apache.spark.sql.GraftDvFilter.keepColumn(
+      col("_metadata.row_index"), bc))).project()
   }
 
   private def plainReadDir(spark: SparkSession, dir: String): DataFrame = {
+    val dr = rawReadDir(spark, dir)
+    dr.project()
+  }
+
+  /** A snapshot dir's RAW scan (physical column names, `_metadata` still
+    * addressable) plus the projection onto logical names — the split that
+    * lets DV/lineage readers interpose `_metadata`-dependent filters
+    * BEFORE the rename projection ends the file-scan relation.
+    */
+  private final case class DirRead(raw: DataFrame,
+      schema: org.apache.spark.sql.types.StructType,
+      renames: Map[String, Seq[String]]) {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    /** Logical view: per renamed column, `coalesce(new, old₁, old₂ …)` —
+      * any one file physically holds exactly one of the chain's names
+      * (the others read as NULL), so the coalesce picks the stored value
+      * whichever era wrote the file. `extraCols` pass through untouched
+      * (lineage columns).
+      */
+    def project(extraCols: Seq[String] = Nil): DataFrame =
+      if (renames.isEmpty) raw
+      else raw.select(schema.fields.map { fld =>
+        val legs = col(fld.name) +:
+          renames.getOrElse(fld.name.toLowerCase, Nil).map(col)
+        (if (legs.length == 1) legs.head else coalesce(legs: _*))
+          .as(fld.name, fld.metadata)
+      }.toIndexedSeq ++ extraCols.map(col): _*)
+  }
+
+  private def rawReadDir(spark: SparkSession, dir: String): DirRead = {
     val f = Paths.get(dir, "_schema.json")
-    if (Files.exists(f))
-      spark.read.schema(
-        org.apache.spark.sql.types.DataType.fromJson(Files.readString(f))
-          .asInstanceOf[org.apache.spark.sql.types.StructType]).parquet(dir)
-    else spark.read.parquet(dir)
+    if (!Files.exists(f)) {
+      val df = spark.read.parquet(dir)
+      return DirRead(df, df.schema, Map.empty)
+    }
+    val schema = org.apache.spark.sql.types.DataType.fromJson(Files.readString(f))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val renames = readRenames(dir)
+    if (renames.isEmpty)
+      DirRead(spark.read.schema(schema).parquet(dir), schema, renames)
+    else {
+      // extend the read schema with each chain's PHYSICAL names (same
+      // type, nullable): files from before the rename bind their stored
+      // column, files from after bind the logical one
+      val extra = schema.fields.flatMap { fld =>
+        renames.getOrElse(fld.name.toLowerCase, Nil).map(p =>
+          org.apache.spark.sql.types.StructField(p, fld.dataType,
+            nullable = true))
+      }
+      DirRead(spark.read.schema(
+        org.apache.spark.sql.types.StructType(schema.fields ++ extra))
+        .parquet(dir), schema, renames)
+    }
+  }
+
+  /** `ALTER TABLE RENAME COLUMN` read mapping: logical (current) name →
+    * the chain of PHYSICAL names files may still carry, newest first.
+    * Stored as `_renames.tsv` (one line: logical TAB old₁ TAB old₂ …) in
+    * every snapshot dir whose files predate a rename; a full-rewrite
+    * commit stages fresh files under the logical names and drops the
+    * sidecar — renames heal on the next rewrite. Keys are lowercase.
+    */
+  private[graft] def readRenames(dir: String): Map[String, Seq[String]] = {
+    val f = renamesFile(dir)
+    if (!Files.exists(f)) Map.empty
+    else Files.readString(f).linesIterator.filter(_.nonEmpty).map { line =>
+      val parts = line.split("\t").toSeq
+      parts.head.toLowerCase -> parts.tail
+    }.toMap
+  }
+
+  private def writeRenames(dir: String, ren: Map[String, Seq[String]]): Unit =
+    if (ren.nonEmpty)
+      Files.writeString(renamesFile(dir),
+        ren.map { case (k, olds) => (k +: olds).mkString("\t") }.mkString("\n"))
+
+  private def renamesFile(dir: String): Path = Paths.get(dir, "_renames.tsv")
+
+  /** Carry the rename mapping into a freshly staged dir that HARD-LINKS
+    * base files (append/restore/clone/MoR/partial-optimize): the linked
+    * files still carry physical pre-rename names. Full-rewrite paths must
+    * NOT call this — their staged files are born with logical names.
+    */
+  private def carryRenames(baseDir: String, dir: String): Unit = {
+    val src = renamesFile(baseDir)
+    if (Files.exists(src) && !Files.exists(renamesFile(dir)))
+      Files.copy(src, renamesFile(dir))
   }
 
   /** Lineage column names for the merge-on-read path: the row's data file
@@ -1164,10 +1344,12 @@ object SnapshotStore {
     // from _metadata.file_path, so URI escaping of partition values never
     // has to round-trip through a filesystem walk
     val uuid = Paths.get(dir).getFileName.toString
-    val base = plainReadDir(spark, dir)
+    val dr = rawReadDir(spark, dir)
+    val base = dr.copy(raw = dr.raw
       .withColumn(DvFileCol,
         expr(s"substring_index(_metadata.file_path, '$uuid/', -1)"))
-      .withColumn(DvPosCol, col("_metadata.row_index"))
+      .withColumn(DvPosCol, col("_metadata.row_index")))
+      .project(extraCols = Seq(DvFileCol, DvPosCol))
     if (!hasDv(dir)) base
     else {
       val dv = spark.read.parquet(dvDir(dir).toString)
@@ -1466,17 +1648,35 @@ object SnapshotStore {
     */
   def transactPartialWithChanges(spark: SparkSession, root: String,
       maxAttempts: Int = 10, txn: Option[Txn] = None,
-      constraints: Seq[(String, org.apache.spark.sql.Column)] = Nil)(
+      constraints: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      extraTxns: Seq[Txn] = Nil, pinCheck: () => Boolean = () => true)(
       matchedRows: DataFrame => DataFrame)(
       transform: DataFrame => (DataFrame, DataFrame)): Snapshot = {
     import org.apache.spark.sql.functions.{broadcast, col, expr}
     val parts = partitionCols(root)
     require(parts.nonEmpty,
       s"transactPartialWithChanges requires a partitioned table ($root)")
+    val txns = txn.toSeq ++ extraTxns
     var attempt = 0
     while (attempt < maxAttempts) {
-      if (txn.exists(t => lastTxnVersion(root, t.appId).exists(_ >= t.version)))
-        return latest(root)
+      // same stamp semantics as transactImpl: all covered -> replayed
+      // no-op; a stamp strictly exceeded -> a concurrent refresh applied a
+      // newer feed version than this transform pinned -> abort
+      if (txns.nonEmpty) {
+        if (txns.forall(t => lastTxnVersion(root, t.appId).exists(_ >= t.version)))
+          return latest(root)
+        val exceeded = txns.filter(t =>
+          lastTxnVersion(root, t.appId).exists(_ > t.version))
+        if (exceeded.nonEmpty)
+          throw new StaleStampException(
+            s"commit at $root: ${exceeded.map(_.appId).mkString(", ")} " +
+              "already advanced past this commit's pinned version by a " +
+              "concurrent refresh; restart from fresh high-water marks")
+      }
+      if (!pinCheck())
+        throw new StaleStampException(
+          s"commit at $root: pinned inputs went stale before commit; " +
+            "restart from fresh high-water marks")
       val base = latest(root)
       // lineage-bearing read: the touched-file probe reads the matched
       // rows' files off the DvFileCol column (input_file_name() refuses
@@ -1487,7 +1687,17 @@ object SnapshotStore {
       val baseDf = baseL.drop(DvFileCol, DvPosCol)
       val matched = matchedRows(baseL)
       val touchedVals = matched.select(parts.map(col): _*).distinct()
-      val rowsTouched = baseDf.join(broadcast(touchedVals), parts, "left_semi")
+      // bounded collect: one row per TOUCHED PARTITION (never per data
+      // row). A single-column layout turns the rewrite-set selection into
+      // a literal IN over the partition column, which FileSourceStrategy
+      // prunes at planning time — the rewrite scan reads ONLY touched
+      // partition dirs instead of semi-joining a full-table scan.
+      val touchedValRows = touchedVals.collect()
+      val rowsTouched =
+        if (parts.length == 1 && touchedValRows.nonEmpty)
+          baseDf.filter(col(parts.head).isin(
+            touchedValRows.map(_.get(0)).toIndexedSeq: _*))
+        else baseDf.join(broadcast(touchedVals), parts, "left_semi")
       val (out, changes) = transform(rowsTouched)
       enforceConstraints(out, constraints ++
         tableConstraints(root).map { case (n, sql) => (n, expr(sql)) })
@@ -1509,6 +1719,7 @@ object SnapshotStore {
       out.write.mode("overwrite").partitionBy(parts: _*).parquet(dir.toString)
       Files.writeString(dir.resolve("_schema.json"), baseDf.schema.json)
       carryStateSidecars(base.dataDir, dir.toString)
+      carryRenames(base.dataDir, dir.toString)
       // link every untouched partition's files into the new version
       val s = Files.walk(basePath)
       try s.iterator().asScala
@@ -1547,7 +1758,7 @@ object SnapshotStore {
           s"supplied change frame lacks $ChangeTypeCol")
         changes.write.mode("overwrite").parquet(s"$dir/_changes")
       }
-      if (tryCommit(root, base.version, dir.toString, txn.toSeq))
+      if (tryCommit(root, base.version, dir.toString, txns))
         return Snapshot(base.version + 1, dir.toString)
       attempt += 1 // lost the race: orphaned dir is cleanOrphans food
     }
@@ -1616,6 +1827,7 @@ object SnapshotStore {
       Files.writeString(dir.resolve("_schema.json"),
         readSchema(spark, base).json)
       carryStateSidecars(base.dataDir, dir.toString)
+      carryRenames(base.dataDir, dir.toString)
       val newDv = m.select(col(DvFileCol).cast("string").as("file"),
         col(DvPosCol).cast("long").as("pos"))
       val allDv =

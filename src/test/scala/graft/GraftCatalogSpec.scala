@@ -178,6 +178,49 @@ class GraftCatalogSpec extends SparkSpec {
       "create_join_mv", "refresh_join_mv"), s"procedure surface: $procs")
   }
 
+  test("ALTER TABLE RENAME COLUMN: metadata-only, mixed-era files read right, refusals hold") {
+    wh
+    spark.sql("CREATE TABLE graft.rn (id BIGINT, bal BIGINT)")
+    spark.sql("INSERT INTO graft.rn SELECT id, id * 10 FROM range(100)")
+    val filesBefore = SnapshotStore.latest(s"$wh/rn").dataDir
+    spark.sql("ALTER TABLE graft.rn RENAME COLUMN bal TO balance")
+    // zero data movement: the rename version hard-links the same inodes
+    val dirAfter = SnapshotStore.latest(s"$wh/rn").dataDir
+    def inodes(d: String) = Files.list(Paths.get(d)).filter(
+      _.toString.endsWith(".parquet")).map(p =>
+      Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes])
+        .fileKey().toString).sorted.toArray.toSeq
+    assert(inodes(filesBefore) == inodes(dirAfter), "rename must move no data")
+    // old physical name resolves through the mapping; values intact
+    assert(spark.sql("SELECT sum(balance) FROM graft.rn").head().getLong(0)
+      == 10L * 99 * 100 / 2)
+    // mixed-era dir: post-rename INSERT writes files under the NEW name,
+    // links keep the old — the coalesce chain reads both eras
+    spark.sql("INSERT INTO graft.rn SELECT id + 100, id FROM range(5)")
+    assert(spark.sql("SELECT count(*) FROM graft.rn WHERE balance IS NOT NULL")
+      .head().getLong(0) == 105L)
+    assert(spark.sql(
+      "SELECT balance FROM graft.rn WHERE id = 101").head().getLong(0) == 1L)
+    // time travel before the rename serves the OLD name
+    assert(spark.sql("SELECT * FROM graft.rn VERSION AS OF 1")
+      .columns.toSeq == Seq("id", "bal"))
+    // chained rename composes the physical chain
+    spark.sql("ALTER TABLE graft.rn RENAME COLUMN balance TO bal2")
+    assert(spark.sql("SELECT sum(bal2) FROM graft.rn").head().getLong(0)
+      == 10L * 99 * 100 / 2 + 10L)
+    // re-adding a name that files still carry physically refuses loudly
+    val eAdd = intercept[Exception](
+      spark.sql("ALTER TABLE graft.rn ADD COLUMN bal BIGINT"))
+    assert(eAdd.getMessage.contains("physically"), eAdd.getMessage)
+    // CDC tables refuse renames (feed frames identify columns by name)
+    spark.sql("CREATE TABLE graft.rncdc (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('cdc.keys' = 'id')")
+    spark.sql("INSERT INTO graft.rncdc VALUES (1, 10)")
+    val eCdc = intercept[Exception](
+      spark.sql("ALTER TABLE graft.rncdc RENAME COLUMN v TO w"))
+    assert(eCdc.getMessage.contains("CDC"), eCdc.getMessage)
+  }
+
   test("expire_snapshots honors the age window (older_than_ms)") {
     wh
     spark.sql("CREATE TABLE graft.ret (id BIGINT)")

@@ -129,6 +129,21 @@ class MatViewSpec extends SparkSpec {
     spark.sql("CALL graft.system.refresh_mv('mvsrc', 'mvagg', 'g', 'v')")
     assert(!viewNow.contains("0"), "emptied group must drop")
     assert(viewNow("1") == (10L, (0 until 20).filter(_ % 2 == 1).map(_ + 3).sum.toLong))
+    // CALL surface carries the widened aggregate set too
+    spark.sql(
+      "CALL graft.system.create_mv('mvsrc', 'mvwide', 'g', 'v', 'count,sum,min,max,avg')")
+    val wide = SnapshotStore.read(spark, s"$wh/mvwide")
+    assert(wide.columns.toSet ==
+      Set("g", "n_rows", "val_sum", "val_min", "val_max", "val_avg"))
+    SqlDml.execute(spark, "UPDATE graft.mvsrc SET v = v - 2 WHERE id = 19")
+    spark.sql(
+      "CALL graft.system.refresh_mv('mvsrc', 'mvwide', 'g', 'v', 'count,sum,min,max,avg')")
+    val row = SnapshotStore.read(spark, s"$wh/mvwide").filter($"g" === "1")
+      .select($"val_max").head()
+    assert(row.getLong(0) ==
+      SnapshotStore.read(spark, s"$wh/mvsrc").filter($"g" === "1")
+        .agg(max($"v")).head().getLong(0),
+      "refresh with min/max must track the recomputed extremum")
   }
 
   test("join MV: partial recompute ≡ full recompute under mixed DML incl. key migration") {

@@ -114,6 +114,7 @@ class SqlDmlSpec extends SparkSpec {
     SqlDml.execute(spark, "UPDATE t SET v = v + 1 WHERE id = 1", Map("t" -> root))
     assert(SnapshotStore.changesAt(spark, root, 1L).count() == 2L) // pre+post
     val hist = SnapshotStore.history(spark, root)
+      .select($"version", $"data_dir", $"txn_app_id", $"txn_version")
       .orderBy($"version").as[(Long, String, Option[String], Option[Long])]
       .collect().toSeq
     assert(hist.map(_._1) == Seq(0L, 1L))
