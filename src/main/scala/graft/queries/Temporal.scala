@@ -821,6 +821,63 @@ object Temporal {
            |SELECT id, balance, coalesce(seg, 'LEGACY') AS seg
            |FROM ev ORDER BY id""".stripMargin)),
 
+    // Q90b [extension: ALTER COLUMN TYPE widening] int→bigint and
+    // float→double as METADATA-ONLY commits: Spark 4's parquet reader
+    // serves narrow stored values through the widened requested schema
+    // (the Delta type-widening feature shape), so the ALTER hard-links
+    // every file and the post-ALTER INSERT makes the snapshot dir MIX
+    // narrow-era and wide-era files — both read through one scan with the
+    // pinned wide schema. Narrowing refuses (silent truncation); time
+    // travel before the ALTER serves the narrow types (require()d).
+    "q90b_type_widening" -> QueryDef(
+      build = (s, d) => {
+        val wh = graft.GateTmp.freshDir("q90b")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("CREATE TABLE graft.q90w (id BIGINT, cnt INT, ratio FLOAT)")
+        Tables.customer(s, d).createOrReplaceTempView("q90b_cust")
+        Tables.supplier(s, d).createOrReplaceTempView("q90b_supp")
+        s.sql( // v1: narrow-era files
+          """INSERT INTO graft.q90w
+            |SELECT c_custkey, CAST(c_nationkey AS INT),
+            |       CAST(c_nationkey AS FLOAT) / 25.0
+            |FROM q90b_cust""".stripMargin)
+        s.sql("ALTER TABLE graft.q90w ALTER COLUMN cnt TYPE BIGINT") // v2
+        s.sql("ALTER TABLE graft.q90w ALTER COLUMN ratio TYPE DOUBLE") // v3
+        s.sql( // v4: wide-era files in the same dir
+          """INSERT INTO graft.q90w
+            |SELECT s_suppkey + 1000000, CAST(s_nationkey AS BIGINT) + 100,
+            |       CAST(CAST(s_nationkey AS FLOAT) / 25.0 AS DOUBLE) + 10.0
+            |FROM q90b_supp""".stripMargin)
+        // time travel across the ALTER boundary serves the narrow types
+        require(s.sql("SELECT * FROM graft.q90w VERSION AS OF 1")
+          .schema("cnt").dataType.simpleString == "int",
+          "v1 must serve the narrow type")
+        require(s.sql("SELECT * FROM graft.q90w VERSION AS OF 3")
+          .schema("ratio").dataType.simpleString == "double",
+          "v3 must serve the widened type over linked files")
+        // narrowing refuses
+        val e = scala.util.Try(
+          s.sql("ALTER TABLE graft.q90w ALTER COLUMN cnt TYPE INT"))
+        require(e.isFailure, "narrowing must refuse")
+        s.sql(
+          """SELECT id, cnt, CAST(round(ratio * 1000) AS BIGINT) AS ratio_mils
+            |FROM graft.q90w ORDER BY id""".stripMargin)
+      },
+      oracle = Some(
+        """WITH ev AS (
+          |  SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS cnt,
+          |         CAST(CAST(c_nationkey AS FLOAT) AS DOUBLE) / 25.0 AS ratio
+          |  FROM customer
+          |  UNION ALL
+          |  SELECT s_suppkey + 1000000, CAST(s_nationkey AS BIGINT) + 100,
+          |         CAST(CAST(CAST(s_nationkey AS FLOAT) / 25.0 AS FLOAT)
+          |           AS DOUBLE) + 10.0
+          |  FROM supplier)
+          |SELECT id, cnt, CAST(round(ratio * 1000) AS BIGINT) AS ratio_mils
+          |FROM ev ORDER BY id""".stripMargin)),
+
     // Q91 [extension: the FULL reference topology as one pipeline] The
     // closure gate: generator → HTTP POST (Random/main.go) → DSv2 ingest
     // source (S7, durable-ack WAL) → reject side channel (§2.11,

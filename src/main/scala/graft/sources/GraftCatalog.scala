@@ -377,9 +377,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           require(!SnapshotStore.cdcKeys(root).exists(_.equalsIgnoreCase(n)),
             s"cannot drop CDC key column $n")
           StructType(s.filterNot(_.name.equalsIgnoreCase(n)))
+        case (s, up: TableChange.UpdateColumnType) =>
+          // ALTER COLUMN ... TYPE: metadata-only for WIDENING conversions
+          // (the Delta type-widening feature shape) — Spark 4's parquet
+          // reader serves narrow stored values through the widened
+          // requested schema, so old files never rewrite; new files store
+          // the wide type and the dir mixes eras safely. Narrowing would
+          // silently truncate at read and refuses.
+          require(up.fieldNames.length == 1,
+            s"nested column type change not supported: ${up.fieldNames.mkString(".")}")
+          val n = up.fieldNames()(0)
+          val idx = s.fields.indexWhere(_.name.equalsIgnoreCase(n))
+          require(idx >= 0, s"no such column $n")
+          require(SnapshotStore.cdcKeys(root).isEmpty,
+            s"ALTER COLUMN TYPE is not supported on CDC tables: per-version " +
+              "change frames would mix narrow and wide types mid-feed")
+          require(!SnapshotStore.partitionCols(root)
+            .exists(_.equalsIgnoreCase(n)),
+            s"cannot change the type of partition column $n")
+          val from = s.fields(idx).dataType
+          val to = up.newDataType()
+          require(GraftCatalog.widens(from, to),
+            s"only widening type changes are metadata-only " +
+              s"(got ${from.simpleString} -> ${to.simpleString}; supported: " +
+              "int -> bigint, float -> double, decimal precision increase " +
+              "at the same scale). Narrowing or reshaping needs a rewrite")
+          StructType(s.fields.updated(idx, s.fields(idx).copy(dataType = to)))
         case (_, other) => throw new UnsupportedOperationException(
           s"unsupported ALTER: ${other.getClass.getSimpleName} " +
-            "(ADD COLUMN / DROP COLUMN / RENAME COLUMN only)")
+            "(ADD COLUMN / DROP COLUMN / RENAME COLUMN / " +
+            "ALTER COLUMN TYPE widening only)")
       }, renames = renames)
     loadTable(ident)
   }
@@ -505,6 +532,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 }
 
 object GraftCatalog {
+  /** The widening conversions the parquet reader serves losslessly from
+    * narrow stored values (verified against Spark 4.1's vectorized
+    * reader): the set `ALTER COLUMN TYPE` accepts as metadata-only.
+    */
+  private[sources] def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.scale == d1.scale && d2.precision > d1.precision
+      case _ => false
+    }
+  }
+
   /** Table property carrying the CDC key list (the same place Delta puts
     * `enableChangeDataFeed`): `TBLPROPERTIES ('cdc.keys' = 'id')`.
     */

@@ -221,6 +221,38 @@ class GraftCatalogSpec extends SparkSpec {
     assert(eCdc.getMessage.contains("CDC"), eCdc.getMessage)
   }
 
+  test("ALTER COLUMN TYPE widens metadata-only; narrowing and CDC refuse") {
+    wh
+    spark.sql("CREATE TABLE graft.wd (id BIGINT, x INT, f FLOAT)")
+    spark.sql("INSERT INTO graft.wd SELECT id, CAST(id AS INT), " +
+      "CAST(id AS FLOAT) / 4 FROM range(50)")
+    val dirBefore = SnapshotStore.latest(s"$wh/wd").dataDir
+    spark.sql("ALTER TABLE graft.wd ALTER COLUMN x TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.wd ALTER COLUMN f TYPE DOUBLE")
+    def inodes(d: String) = Files.list(Paths.get(d)).filter(
+      _.toString.endsWith(".parquet")).map(p =>
+      Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes])
+        .fileKey().toString).sorted.toArray.toSeq
+    assert(inodes(dirBefore) == inodes(SnapshotStore.latest(s"$wh/wd").dataDir),
+      "widening must move no data")
+    // narrow stored values serve through the wide schema; mixed-era insert
+    spark.sql("INSERT INTO graft.wd VALUES (100, 5000000000, 0.5)")
+    val r = spark.sql("SELECT sum(x), sum(f) FROM graft.wd").head()
+    assert(r.getLong(0) == (0L until 50).sum + 5000000000L)
+    assert(math.abs(r.getDouble(1) - ((0 until 50).map(_ / 4.0f).sum + 0.5)) < 1e-6)
+    assert(spark.sql("SELECT * FROM graft.wd VERSION AS OF 1")
+      .schema("x").dataType.simpleString == "int", "old versions stay narrow")
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.wd ALTER COLUMN x TYPE INT")) // narrowing
+    intercept[Exception]( // reshaping
+      spark.sql("ALTER TABLE graft.wd ALTER COLUMN f TYPE STRING"))
+    spark.sql("CREATE TABLE graft.wdc (id BIGINT, v INT) " +
+      "TBLPROPERTIES ('cdc.keys' = 'id')")
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft.wdc ALTER COLUMN v TYPE BIGINT"))
+    assert(e.getMessage.contains("CDC"), e.getMessage)
+  }
+
   test("expire_snapshots honors the age window (older_than_ms)") {
     wh
     spark.sql("CREATE TABLE graft.ret (id BIGINT)")
