@@ -1828,5 +1828,72 @@ object Temporal {
            |  FROM src)
            |SELECT ck, bal_c, (bal_c + 100000) // 100000 AS bal_band
            |FROM upd ORDER BY ck""".stripMargin
+      }),
+
+    // Q106 [extension: SQL METADATA TABLES] the Iceberg `t$suffix` idiom
+    // over the warehouse catalog: `t$history` (the commit log with
+    // txn-stamp audit columns) and `t$files` (one snapshot's physical
+    // data files with parquet-footer row counts), both served as
+    // driver-side LocalScans — log-scale metadata queries, never a data
+    // scan. `$files` composes with VERSION AS OF, so the gate asks "how
+    // many physical rows did each version carry" purely through SQL
+    // metadata: versions driven by `$history`, per-version totals by
+    // `$files` (a CoW table's physical counts ARE its logical counts —
+    // pinned against the DuckDB replay of the same three commits). The
+    // footer counts come from the files themselves, so a wrong staging
+    // path (doubled rows, lost rewrite) is unhideable.
+    "q106_metadata_tables" -> QueryDef(
+      build = (s, d) => {
+        val wh = graft.GateTmp.freshDir("q106")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("CREATE TABLE graft.q106t (ok BIGINT, price_c BIGINT)")
+        Tables.orders(s, d).createOrReplaceTempView("q106_ord")
+        val cents = graft.Canon.centsSql("o_totalprice")
+        s.sql( // v1
+          s"""INSERT INTO graft.q106t
+             |SELECT o_orderkey, $cents FROM q106_ord
+             |WHERE o_orderkey % 3 = 0""".stripMargin)
+        s.sql( // v2
+          s"""INSERT INTO graft.q106t
+             |SELECT o_orderkey, $cents FROM q106_ord
+             |WHERE o_orderkey % 3 = 1""".stripMargin)
+        graft.sources.SqlDml.execute(s, // v3: CoW rewrite shrinks the files
+          "DELETE FROM graft.q106t WHERE price_c < 10000000")
+        // audit surface present; unknown suffixes and writes refuse loudly
+        require(s.sql("SELECT * FROM graft.`q106t$history`")
+          .columns.contains("txn_stamps"), "$history must expose stamp audit")
+        require(scala.util.Try(
+          s.sql("SELECT * FROM graft.`q106t$bogus`")).isFailure,
+          "unknown metadata suffix must refuse")
+        require(scala.util.Try(s.sql(
+          "INSERT INTO graft.`q106t$files` VALUES ('x', 1, 1)")).isFailure,
+          "metadata tables are read-only")
+        val versions = s.sql(
+          "SELECT version FROM graft.`q106t$history` ORDER BY version")
+          .collect().map(_.getLong(0)) // bounded: one row per commit
+        versions.map { v =>
+          s.sql(
+            s"""SELECT CAST($v AS BIGINT) AS version,
+               |       coalesce(sum(row_count), CAST(0 AS BIGINT)) AS n_rows
+               |FROM graft.`q106t$$files` VERSION AS OF $v""".stripMargin)
+        }.reduce(_.unionAll(_)).orderBy("version")
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("o_totalprice")
+        s"""WITH v1 AS (
+           |  SELECT o_orderkey AS ok, $cents AS price_c FROM orders
+           |  WHERE o_orderkey % 3 = 0),
+           |v2 AS (
+           |  SELECT * FROM v1
+           |  UNION ALL
+           |  SELECT o_orderkey, $cents FROM orders WHERE o_orderkey % 3 = 1),
+           |v3 AS (SELECT * FROM v2 WHERE NOT (price_c < 10000000))
+           |SELECT CAST(0 AS BIGINT) AS version, CAST(0 AS BIGINT) AS n_rows
+           |UNION ALL SELECT 1, (SELECT count(*) FROM v1)
+           |UNION ALL SELECT 2, (SELECT count(*) FROM v2)
+           |UNION ALL SELECT 3, (SELECT count(*) FROM v3)
+           |ORDER BY version""".stripMargin
       }))
 }

@@ -114,28 +114,86 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     finally s.close()
   }
 
-  override def loadTable(ident: Identifier): Table = {
-    val root = rootOf(ident)
-    if (!isTable(root)) throw new NoSuchTableException(ident)
-    new GraftTable(spark, ident.toString, root, SnapshotStore.latest(root),
-      pinned = false)
-  }
+  override def loadTable(ident: Identifier): Table =
+    metaTable(ident, None).getOrElse {
+      val root = rootOf(ident)
+      if (!isTable(root)) throw new NoSuchTableException(ident)
+      new GraftTable(spark, ident.toString, root, SnapshotStore.latest(root),
+        pinned = false)
+    }
 
   /** `VERSION AS OF <v>` — Spark hands the version literal as a string. */
-  override def loadTable(ident: Identifier, version: String): Table = {
-    val root = rootOf(ident)
-    if (!isTable(root)) throw new NoSuchTableException(ident)
-    new GraftTable(spark, ident.toString, root,
-      SnapshotStore.at(root, version.toLong), pinned = true)
-  }
+  override def loadTable(ident: Identifier, version: String): Table =
+    metaTable(ident, Some(version.toLong)).getOrElse {
+      val root = rootOf(ident)
+      if (!isTable(root)) throw new NoSuchTableException(ident)
+      new GraftTable(spark, ident.toString, root,
+        SnapshotStore.at(root, version.toLong), pinned = true)
+    }
 
   /** `TIMESTAMP AS OF <t>` — `timestamp` arrives as epoch MICROseconds. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    metaTable(ident, None) match {
+      case Some(_) =>
+        val base = ident.name.takeWhile(_ != '$')
+        val root = rootOf(Identifier.of(ident.namespace, base))
+        return metaTable(ident,
+          Some(SnapshotStore.versionAsOf(root, timestamp))).get
+      case None =>
+    }
     val root = rootOf(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
     new GraftTable(spark, ident.toString, root,
       SnapshotStore.at(root, SnapshotStore.versionAsOf(root, timestamp)),
       pinned = true)
+  }
+
+  /** METADATA TABLES — the Iceberg `table$suffix` idiom:
+    * `` SELECT * FROM cat.ns.`t$history` `` (the full commit log with
+    * txn-stamp audit columns) and `` `t$files` `` (the pinned snapshot's
+    * physical data files with footer row counts; composes with
+    * `VERSION AS OF` / `TIMESTAMP AS OF`, so "how many files/rows did
+    * version 3 carry" is one SQL query). Served as a [[LocalScan]]: both
+    * surfaces are log-scale (one row per commit / per file of one
+    * snapshot), never data-scale — the same driver-side metadata-query
+    * shape the CALL procedures use. Read-only by construction (no
+    * SupportsWrite). None = no `$` in the name (a regular table).
+    */
+  private def metaTable(ident: Identifier, version: Option[Long]): Option[Table] = {
+    val i = ident.name.indexOf('$')
+    if (i < 0) return None
+    val kind = ident.name.substring(i + 1).toLowerCase
+    val root = rootOf(Identifier.of(ident.namespace, ident.name.substring(0, i)))
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    kind match {
+      case "history" =>
+        require(version.isEmpty,
+          "$history is the full commit log; time travel does not apply")
+        val schema = SnapshotStore.history(spark, root).schema
+        Some(new GraftMetaTable(ident.toString, schema, () => {
+          val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToCatalystConverter(schema)
+          SnapshotStore.history(SparkSession.active, root).collect()
+            .map(conv(_).asInstanceOf[InternalRow])
+        }))
+      case "files" =>
+        val snap = version.map(v => SnapshotStore.at(root, v))
+          .getOrElse(SnapshotStore.latest(root))
+        val schema = StructType(Seq(
+          org.apache.spark.sql.types.StructField("file",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("size_bytes",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("row_count",
+            org.apache.spark.sql.types.LongType)))
+        Some(new GraftMetaTable(ident.toString, schema, () =>
+          SnapshotStore.dataFileMeta(snap.dataDir).map { case (f, sz, n) =>
+            InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(f),
+              sz, n): InternalRow
+          }.toArray))
+      case other => throw new UnsupportedOperationException(
+        s"unknown metadata table $$$other (supported: $$history, $$files)")
+    }
   }
 
   /** Encode a v2 ColumnDefaultValue as the CURRENT_DEFAULT/EXISTS_DEFAULT
@@ -828,6 +886,28 @@ object GraftCatalog {
   * optimistic transaction, CDC guards included). `pinned` (time-traveled)
   * tables refuse writes: history is immutable.
   */
+/** A read-only metadata table (`t$history` / `t$files`): rows computed
+  * driver-side at scan-build time from the commit log / one snapshot's
+  * file listing — log-scale by construction. `compute` re-runs per query,
+  * so a metadata query always sees the log as of ITS OWN planning, not of
+  * catalog resolution.
+  */
+private[sources] class GraftMetaTable(tableName: String,
+    metaSchema: StructType, compute: () => Array[InternalRow])
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = metaSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = compute()
+        override def readSchema(): StructType = metaSchema
+      }
+    }
+}
+
 private[sources] class GraftTable(spark: SparkSession, tableName: String,
     root: String, snap: SnapshotStore.Snapshot, pinned: Boolean)
     // (accessors for the DML planner strategy)

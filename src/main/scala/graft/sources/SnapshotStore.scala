@@ -1317,6 +1317,35 @@ object SnapshotStore {
       Files.copy(src, renamesFile(dir))
   }
 
+  /** Physical data files of a snapshot dir with size and parquet-footer
+    * row counts — the `$files` metadata-table backing. Driver-side walk +
+    * one footer read per file (the footer is the file's own tail — no data
+    * pages move), O(files of ONE snapshot): the same metadata-query shape
+    * as Iceberg's `files` table, which production engines answer from
+    * manifests for exactly this reason. Row counts are PHYSICAL (a
+    * deletion-vector-bearing snapshot's logical count is lower); sidecar
+    * dirs (`_dv`, `_manifest`, `_changes`) are excluded.
+    */
+  private[graft] def dataFileMeta(dir: String): Seq[(String, Long, Long)] = {
+    val base = Paths.get(dir)
+    val s = Files.walk(base)
+    val files =
+      try s.iterator().asScala.toSeq.filter { p =>
+        Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet") &&
+          !base.relativize(p).iterator().asScala
+            .exists(_.toString.startsWith("_"))
+      } finally s.close()
+    val conf = new org.apache.hadoop.conf.Configuration()
+    files.map(p => base.relativize(p).toString -> p).sortBy(_._1)
+      .map { case (rel, p) =>
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p.toUri), conf))
+        val n = try rdr.getRecordCount finally rdr.close()
+        (rel, Files.size(p), n)
+      }
+  }
+
   /** Lineage column names for the merge-on-read path: the row's data file
     * RELATIVE to its snapshot dir, and its row index within that file.
     * Relative paths are what make deletion vectors version-portable: every

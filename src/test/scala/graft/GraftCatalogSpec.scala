@@ -1283,6 +1283,86 @@ class GraftCatalogSpec extends SparkSpec {
       s"expected auto-broadcast join:\n${joined.queryExecution.executedPlan}")
   }
 
+  test("metadata tables: $history / $files are SQL-queryable, versioned, read-only") {
+    wh
+    spark.sql("CREATE TABLE graft.meta1 (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.meta1 SELECT id, id * 2 FROM range(100)") // v1
+    spark.sql("INSERT INTO graft.meta1 SELECT id, id FROM range(100, 150)") // v2
+    // $history: one row per commit, with the stamp-audit columns
+    val hist = spark.sql(
+      "SELECT version FROM graft.`meta1$history` ORDER BY version").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(spark.sql("SELECT * FROM graft.`meta1$history`")
+      .columns.toSeq.contains("txn_stamps"))
+    // $files: footer row counts, composes with VERSION AS OF
+    def rowsAt(v: Long): Long = spark.sql(
+      s"SELECT coalesce(sum(row_count), CAST(0 AS BIGINT)) " +
+        s"FROM graft.`meta1$$files` VERSION AS OF $v").head().getLong(0)
+    assert(rowsAt(0) == 0L)
+    assert(rowsAt(1) == 100L)
+    assert(rowsAt(2) == 150L)
+    assert(spark.sql("SELECT sum(row_count) FROM graft.`meta1$files`")
+      .head().getLong(0) == 150L, "no AS OF = the latest snapshot")
+    // size_bytes are the real on-disk bytes of the named files
+    val dataDir = SnapshotStore.latest(s"$wh/meta1").dataDir
+    val fs = spark.sql(
+      "SELECT file, size_bytes FROM graft.`meta1$files`").collect()
+    assert(fs.nonEmpty)
+    fs.foreach { r =>
+      assert(Files.size(Paths.get(dataDir, r.getString(0))) == r.getLong(1))
+    }
+    // refusals: unknown suffix, time travel on $history, writes
+    intercept[Exception](spark.sql("SELECT * FROM graft.`meta1$nope`"))
+    intercept[Exception](spark.sql(
+      "SELECT * FROM graft.`meta1$history` VERSION AS OF 1").collect())
+    intercept[Exception](spark.sql(
+      "INSERT INTO graft.`meta1$files` VALUES ('x', 1, 1)"))
+  }
+
+  private def planHasBhj(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        planHasBhj(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        planHasBhj(q.plan) // stages report no children
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+      case other => other.children.exists(planHasBhj)
+    }
+
+  test("manifest pruning shrinks REPORTED scan statistics (filter-aware broadcast)") {
+    wh
+    spark.sql("CREATE TABLE graft.pstat (k BIGINT, pad STRING)")
+    spark.sql( // ~5 MB of incompressible pad across 100k rows
+      "INSERT INTO graft.pstat SELECT id, uuid() FROM range(100000)")
+    spark.sql("CALL graft.system.optimize(`table` => 'pstat', " +
+      "target_rows => 6250, cluster_by => 'k', stats_cols => 'k')")
+    spark.range(0, 200000).selectExpr("id", "id % 100000 AS k")
+      .createOrReplaceTempView("pfact")
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // the WHOLE table is ~5 MB — over the 1 MB threshold, so a planner
+      // fed whole-table stats must sort-merge. The k < 3000 band prunes
+      // (via the manifest, at PLANNING time) to one ~300 KB clustered
+      // file, and the scan's estimateStatistics reports the PRUNED bytes:
+      // the join flips to broadcast with no hint. This is the 100 TB
+      // contract — a filtered dim read is broadcast-able because the
+      // planner sees what the filter keeps, not what the table holds.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (1024 * 1024).toString)
+      val pruned = spark.sql(
+        """SELECT f.id, d.pad FROM pfact f
+          |JOIN graft.pstat d ON f.k = d.k WHERE d.k < 3000""".stripMargin)
+      pruned.collect()
+      assert(planHasBhj(pruned.queryExecution.executedPlan),
+        s"pruned stats must broadcast:\n${pruned.queryExecution.executedPlan}")
+      val full = spark.sql(
+        "SELECT f.id, d.pad FROM pfact f JOIN graft.pstat d ON f.k = d.k")
+      full.collect()
+      assert(!planHasBhj(full.queryExecution.executedPlan),
+        "whole-table stats over threshold must NOT broadcast")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("CALL optimize(zorder_by) works on named tables; manifest prunes both dims") {
     wh
     spark.sql("CREATE TABLE graft.zt (x BIGINT, y BIGINT, v BIGINT)")
