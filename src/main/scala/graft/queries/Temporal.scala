@@ -1895,5 +1895,75 @@ object Temporal {
            |UNION ALL SELECT 2, (SELECT count(*) FROM v2)
            |UNION ALL SELECT 3, (SELECT count(*) FROM v3)
            |ORDER BY version""".stripMargin
+      }),
+
+    // Q107 [extension: NAMED REFS / TAGS] the Iceberg tag contract end to
+    // end: tag a committed version under a human name, keep committing,
+    // VACUUM past it — the tag both ADDRESSES the snapshot (`VERSION AS OF
+    // 'blessed'`) and PINS it against expire_snapshots. The gate makes the
+    // pin load-bearing: after `expire_snapshots(keep_last => 1)` the
+    // blessed version is OLDER than the whole retention window, so the
+    // tagged read below succeeds ONLY because retention honored the ref
+    // (the same read through its numeric version would also work, but the
+    // untagged v1 is gone — required below). Grouped checksums of the
+    // tagged and current states are hash-pinned against a DuckDB replay.
+    "q107_refs_tags" -> QueryDef(
+      build = (s, d) => {
+        val wh = graft.GateTmp.freshDir("q107")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("CREATE TABLE graft.q107t (ok BIGINT, price_c BIGINT)")
+        Tables.orders(s, d).createOrReplaceTempView("q107_ord")
+        val cents = graft.Canon.centsSql("o_totalprice")
+        s.sql( // v1
+          s"""INSERT INTO graft.q107t
+             |SELECT o_orderkey, $cents FROM q107_ord
+             |WHERE o_orderkey % 3 = 0""".stripMargin)
+        s.sql( // v2 — the version we bless
+          s"""INSERT INTO graft.q107t
+             |SELECT o_orderkey, $cents FROM q107_ord
+             |WHERE o_orderkey % 3 = 1""".stripMargin)
+        s.sql("CALL graft.system.create_tag('q107t', 'blessed', 2)")
+        graft.sources.SqlDml.execute(s, // v3: keep committing past the tag
+          "DELETE FROM graft.q107t WHERE price_c < 10000000")
+        // tags are immutable; names that parse as versions refuse
+        require(scala.util.Try(s.sql(
+          "CALL graft.system.create_tag('q107t', 'blessed', 1)")).isFailure,
+          "duplicate tag must refuse")
+        require(scala.util.Try(s.sql(
+          "CALL graft.system.create_tag('q107t', '7')")).isFailure,
+          "numeric tag name must refuse")
+        s.sql("CALL graft.system.expire_snapshots('q107t', 1)")
+        require(scala.util.Try(s.sql(
+          "SELECT * FROM graft.q107t VERSION AS OF 1").collect()).isFailure,
+          "untagged v1 must be expired")
+        require(s.sql("SELECT name, version FROM graft.`q107t$refs`")
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+          Seq(("blessed", 2L)), "$refs must list the live tag")
+        s.sql(
+          """SELECT 'blessed' AS ref, ok % 7 AS bucket,
+            |       count(*) AS n_rows, sum(price_c) AS sum_price
+            |FROM graft.q107t VERSION AS OF 'blessed' GROUP BY ok % 7
+            |UNION ALL
+            |SELECT 'current', ok % 7, count(*), sum(price_c)
+            |FROM graft.q107t GROUP BY ok % 7
+            |ORDER BY ref, bucket""".stripMargin)
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("o_totalprice")
+        s"""WITH v2 AS (
+           |  SELECT o_orderkey AS ok, $cents AS price_c FROM orders
+           |  WHERE o_orderkey % 3 IN (0, 1)),
+           |v3 AS (SELECT * FROM v2 WHERE NOT (price_c < 10000000))
+           |SELECT 'blessed' AS ref, ok % 7 AS bucket,
+           |       CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(sum(price_c) AS BIGINT) AS sum_price
+           |FROM v2 GROUP BY ok % 7
+           |UNION ALL
+           |SELECT 'current', ok % 7, CAST(count(*) AS BIGINT),
+           |       CAST(sum(price_c) AS BIGINT)
+           |FROM v3 GROUP BY ok % 7
+           |ORDER BY ref, bucket""".stripMargin
       }))
 }

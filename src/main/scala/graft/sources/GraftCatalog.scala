@@ -122,14 +122,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         pinned = false)
     }
 
-  /** `VERSION AS OF <v>` — Spark hands the version literal as a string. */
-  override def loadTable(ident: Identifier, version: String): Table =
-    metaTable(ident, Some(version.toLong)).getOrElse {
-      val root = rootOf(ident)
-      if (!isTable(root)) throw new NoSuchTableException(ident)
-      new GraftTable(spark, ident.toString, root,
-        SnapshotStore.at(root, version.toLong), pinned = true)
+  /** `VERSION AS OF <v>` — Spark hands the version literal as a string.
+    * A non-numeric string is a NAMED REF: `VERSION AS OF 'baseline'`
+    * resolves through the table's tag store ([[SnapshotStore.createTag]]),
+    * so pipelines address blessed snapshots by name while commits keep
+    * landing. Ref names can never parse as a long (enforced at tag
+    * creation), so the grammar stays unambiguous.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val base = ident.name.takeWhile(_ != '$')
+    val baseRoot = rootOf(Identifier.of(ident.namespace, base))
+    if (!isTable(baseRoot)) throw new NoSuchTableException(ident)
+    val v = version.toLongOption
+      .getOrElse(SnapshotStore.resolveRef(baseRoot, version))
+    metaTable(ident, Some(v)).getOrElse {
+      new GraftTable(spark, ident.toString, baseRoot,
+        SnapshotStore.at(baseRoot, v), pinned = true)
     }
+  }
 
   /** `TIMESTAMP AS OF <t>` — `timestamp` arrives as epoch MICROseconds. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
@@ -191,8 +201,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(f),
               sz, n): InternalRow
           }.toArray))
+      case "refs" =>
+        require(version.isEmpty,
+          "$refs is the live tag listing; time travel does not apply")
+        val schema = StructType(Seq(
+          org.apache.spark.sql.types.StructField("name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("version",
+            org.apache.spark.sql.types.LongType)))
+        Some(new GraftMetaTable(ident.toString, schema, () =>
+          SnapshotStore.refs(root).map { case (n, v) =>
+            InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(n),
+              v): InternalRow
+          }.toArray))
       case other => throw new UnsupportedOperationException(
-        s"unknown metadata table $$$other (supported: $$history, $$files)")
+        s"unknown metadata table $$$other (supported: $$history, $$files, $$refs)")
     }
   }
 
@@ -515,7 +538,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "create_mv" -> GraftCatalog.CreateMvProc,
       "refresh_mv" -> GraftCatalog.RefreshMvProc,
       "create_join_mv" -> GraftCatalog.CreateJoinMvProc,
-      "refresh_join_mv" -> GraftCatalog.RefreshJoinMvProc)
+      "refresh_join_mv" -> GraftCatalog.RefreshJoinMvProc,
+      "create_tag" -> GraftCatalog.CreateTagProc,
+      "drop_tag" -> GraftCatalog.DropTagProc)
     procs.get(ident.name.toLowerCase).map(_(this))
       .getOrElse(throw new RuntimeException(
         s"unknown procedure ${ident.name} (have: ${procs.keys.mkString(", ")})"))
@@ -523,7 +548,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("optimize", "expire_snapshots", "clean_orphans", "restore", "clone",
-        "create_mv", "refresh_mv", "create_join_mv", "refresh_join_mv")
+        "create_mv", "refresh_mv", "create_join_mv", "refresh_join_mv",
+        "create_tag", "drop_tag")
       .map(Identifier.of(Array("system"), _))
 
   /** `'ns.t'` (warehouse-relative) or a filesystem root — the same rule as
@@ -719,6 +745,50 @@ object GraftCatalog {
         val root = cat.tableRoot(in.getString(0))
         val snap = SnapshotStore.restore(SparkSession.active, root, in.getLong(1))
         InternalRow(in.getLong(1), snap.version)
+      }
+    }
+
+  /** `CALL graft.system.create_tag('ns.t', 'name' [, version])` — pin a
+    * committed version under an immutable human name: addressable as
+    * `VERSION AS OF 'name'` and exempt from expire_snapshots until
+    * dropped. Default version = the latest commit. See
+    * [[SnapshotStore.createTag]].
+    */
+  private[sources] val CreateTagProc: GraftCatalog => UnboundProcedure = cat =>
+    new Proc("create_tag",
+      Seq(p("table", StringType), p("name", StringType),
+        ProcedureParameter.in("version", LongType)
+          .defaultValue("-1L").build()),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("version", LongType)))) {
+      override protected def run(in: InternalRow): InternalRow = {
+        val root = cat.tableRoot(in.getString(0))
+        val name = in.getString(1)
+        val v = SnapshotStore.createTag(root, name,
+          Some(in.getLong(2)).filter(_ >= 0))
+        InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(name), v)
+      }
+    }
+
+  /** `CALL graft.system.drop_tag('ns.t', 'name')` — release the pin; the
+    * version becomes expirable again. Loud on a missing tag.
+    */
+  private[sources] val DropTagProc: GraftCatalog => UnboundProcedure = cat =>
+    new Proc("drop_tag",
+      Seq(p("table", StringType), p("name", StringType)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("was_version", LongType)))) {
+      override protected def run(in: InternalRow): InternalRow = {
+        val root = cat.tableRoot(in.getString(0))
+        val name = in.getString(1)
+        InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(name),
+          SnapshotStore.dropTag(root, name))
       }
     }
 

@@ -1556,11 +1556,14 @@ object SnapshotStore {
     val cutoff =
       if (olderThanMs == Long.MaxValue) Long.MaxValue
       else System.currentTimeMillis() - olderThanMs
+    val tagged = refs(root).map(_._2).toSet // tag = retention pin (Iceberg)
     val commits = listDir(commitsDir(root))
       .filter(_.getFileName.toString.endsWith(".commit"))
       .sortBy(_.getFileName.toString)
     val dropped = commits.dropRight(keepLast)
       .filter(c => Files.getLastModifiedTime(c).toMillis <= cutoff)
+      .filterNot(c =>
+        tagged(c.getFileName.toString.stripSuffix(".commit").toLong))
     dropped.map { c =>
       val v = c.getFileName.toString.stripSuffix(".commit").toLong
       val dataDir = Paths.get(parseCommit(c)._1)
@@ -1570,6 +1573,73 @@ object SnapshotStore {
       }
       v
     }
+  }
+
+  // ---- NAMED REFS (tags) --------------------------------------------------
+  // The Iceberg tag idea: a human-named, immutable pointer to a committed
+  // version, stored one tiny file per ref under `_refs/` so creation is
+  // atomic (createFile fails on a duplicate — no lock manager needed) and
+  // the ref listing is log-scale. Tags serve two contracts at once:
+  //   1. addressability — `VERSION AS OF 'release-2026-08'` resolves
+  //      through the ref store (GraftCatalog), so a pipeline can pin "the
+  //      blessed corpus" by NAME while commits keep landing; and
+  //   2. retention — expireSnapshots never drops a tagged version, so the
+  //      pin survives VACUUM (drop the tag to release it).
+  // Writable branches are deliberately NOT a ref kind here: a writable
+  // fork of a table is what [[shallowClone]] already is (hard-linked v0,
+  // its own commit log), without teaching every commit path a second head.
+
+  private def refsDir(root: String): Path = Paths.get(root, "_refs")
+  private val RefName = "[A-Za-z][A-Za-z0-9_.-]*".r
+
+  /** Create tag `name` → `version` (default: the latest committed).
+    * Refuses names that could parse as a version number (the `AS OF`
+    * grammar must stay unambiguous), uncommitted versions, duplicates.
+    */
+  def createTag(root: String, name: String, version: Option[Long] = None): Long = {
+    require(RefName.matches(name),
+      s"invalid tag name '$name' (want ${RefName.regex}: it must never " +
+        "collide with a numeric version in VERSION AS OF)")
+    val v = version.getOrElse(latest(root).version)
+    require(Files.exists(commitFile(root, v)),
+      s"cannot tag uncommitted version $v at $root")
+    Files.createDirectories(refsDir(root))
+    try Files.write(refsDir(root).resolve(s"$name.ref"),
+      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"tag '$name' already exists at $root (version " +
+            s"${resolveRef(root, name)}); tags are immutable — drop it first")
+    }
+    v
+  }
+
+  /** Drop tag `name`; its version becomes expirable again. Loud on miss. */
+  def dropTag(root: String, name: String): Long = {
+    val v = resolveRef(root, name)
+    Files.delete(refsDir(root).resolve(s"$name.ref"))
+    v
+  }
+
+  /** All refs as (name, version), name-sorted. Log-scale listing. */
+  def refs(root: String): Seq[(String, Long)] = {
+    val d = refsDir(root)
+    if (!Files.isDirectory(d)) return Nil
+    listDir(d).filter(_.getFileName.toString.endsWith(".ref"))
+      .map(f => (f.getFileName.toString.stripSuffix(".ref"),
+        Files.readString(f).trim.toLong))
+      .sortBy(_._1)
+  }
+
+  /** Resolve ref → version; loud with the known-ref list on a miss. */
+  def resolveRef(root: String, name: String): Long = {
+    val f = refsDir(root).resolve(s"$name.ref")
+    if (!Files.exists(f)) throw new NoSuchElementException(
+      s"no ref '$name' at $root (have: " +
+        s"${refs(root).map(_._1).mkString(", ")})")
+    Files.readString(f).trim.toLong
   }
 
   /** GC for ORPHANED staging dirs — the garbage [[expireSnapshots]] does

@@ -175,7 +175,59 @@ class GraftCatalogSpec extends SparkSpec {
     val procs = shown.select(nameCol).collect().map(_.getString(0)).toSet
     assert(procs == Set("optimize", "expire_snapshots", "clean_orphans",
       "restore", "clone", "create_mv", "refresh_mv",
-      "create_join_mv", "refresh_join_mv"), s"procedure surface: $procs")
+      "create_join_mv", "refresh_join_mv", "create_tag", "drop_tag"),
+      s"procedure surface: $procs")
+  }
+
+  test("tags: named refs pin versions by name and survive expire_snapshots") {
+    wh
+    spark.sql("CREATE TABLE graft.tagt (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.tagt SELECT id, id FROM range(10)") // v1
+    spark.sql("INSERT INTO graft.tagt SELECT id, id FROM range(10, 30)") // v2
+    spark.sql("INSERT INTO graft.tagt SELECT id, id FROM range(30, 40)") // v3
+    // tag v2 explicitly; tag the latest (v3) by default
+    val made = spark.sql(
+      "CALL graft.system.create_tag('tagt', 'baseline', 2)").collect().head
+    assert((made.getString(0), made.getLong(1)) == ("baseline", 2L))
+    assert(spark.sql("CALL graft.system.create_tag('tagt', 'latest-blessed')")
+      .collect().head.getLong(1) == 3L)
+    // VERSION AS OF '<name>' resolves through the ref store
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.tagt VERSION AS OF 'baseline'")
+      .head().getLong(0) == 30L)
+    // $refs lists the live tags; composes with the $files metadata table
+    assert(spark.sql(
+      "SELECT name, version FROM graft.`tagt$refs` ORDER BY name").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("baseline", 2L), ("latest-blessed", 3L)))
+    assert(spark.sql(
+      "SELECT sum(row_count) FROM graft.`tagt$files` VERSION AS OF 'baseline'")
+      .head().getLong(0) == 30L)
+    // refusals: duplicate, numeric-parsing name, unknown ref, bad version
+    intercept[Exception](spark.sql(
+      "CALL graft.system.create_tag('tagt', 'baseline', 1)"))
+    intercept[Exception](spark.sql(
+      "CALL graft.system.create_tag('tagt', '42')"))
+    intercept[Exception](spark.sql(
+      "SELECT * FROM graft.tagt VERSION AS OF 'nope'").collect())
+    intercept[Exception](spark.sql(
+      "CALL graft.system.create_tag('tagt', 'future', 99)"))
+    // retention: keep_last=1 would drop v0..v2, but tagged v2 is pinned
+    spark.sql("CALL graft.system.expire_snapshots('tagt', 1)")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.tagt VERSION AS OF 'baseline'")
+      .head().getLong(0) == 30L, "tagged version must survive vacuum")
+    intercept[Exception](spark.sql(
+      "SELECT * FROM graft.tagt VERSION AS OF 1").collect())
+    // drop_tag releases the pin: the next vacuum takes v2 with it
+    assert(spark.sql("CALL graft.system.drop_tag('tagt', 'baseline')")
+      .collect().head.getLong(1) == 2L)
+    spark.sql("CALL graft.system.expire_snapshots('tagt', 1)")
+    intercept[Exception](spark.sql(
+      "SELECT * FROM graft.tagt VERSION AS OF 2").collect())
+    intercept[Exception](spark.sql("CALL graft.system.drop_tag('tagt', 'gone')"))
+    assert(spark.sql("SELECT name FROM graft.`tagt$refs`").collect()
+      .map(_.getString(0)).toSeq == Seq("latest-blessed"))
   }
 
   test("ALTER TABLE RENAME COLUMN: metadata-only, mixed-era files read right, refusals hold") {
