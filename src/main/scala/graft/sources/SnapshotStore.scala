@@ -268,17 +268,81 @@ object SnapshotStore {
     Snapshot(version, parseCommit(f)._1)
   }
 
-  /** Highest transaction version this app has committed, scanning the
-    * commit log (one tiny file per version — log-scale, not data-scale;
-    * production materializes this as a per-app watermark the same way
-    * Delta caches `txn` versions from its log).
+  /** Highest transaction version this app has committed: the folded
+    * checkpoint's per-app high-water mark plus a scan of only the commit
+    * files NEWER than the checkpoint. Without the checkpoint this read
+    * parses every commit file ever written — and it runs on EVERY
+    * micro-batch of every streaming sink and on every MV refresh, so a
+    * long-lived feed pays O(commits) per batch, quadratic over the
+    * stream's life. The checkpoint (the Delta checkpoint idea applied to
+    * `txn` actions) caps the scan at the fold interval.
     */
-  def lastTxnVersion(root: String, appId: String): Option[Long] =
-    listDir(commitsDir(root)).iterator
+  def lastTxnVersion(root: String, appId: String): Option[Long] = {
+    val (ckptV, base) = readTxnCheckpoint(root)
+    val tail = listDir(commitsDir(root)).iterator
       .filter(_.getFileName.toString.endsWith(".commit"))
+      .filter(_.getFileName.toString.stripSuffix(".commit").toLong > ckptV)
       .flatMap(f => parseCommit(f)._2)
       .filter(_.appId == appId)
       .map(_.version).maxOption
+    (base.get(appId).toSeq ++ tail.toSeq).maxOption
+  }
+
+  /** Fold txn stamps of commits ≤ some version into one tiny summary
+    * file, cut every [[TxnCheckpointInterval]] commits and — critically —
+    * BEFORE expireSnapshots deletes old commit files: stamps recorded only
+    * in expired commits would otherwise vanish, and a crashed streaming
+    * writer replaying a pre-vacuum batch would double-apply it. Delta
+    * survives this exact scenario because checkpoints carry `txn` actions
+    * past log truncation; this is that contract.
+    *
+    * Format (TSV): `version\tV` then one `app\thighWater` line per app,
+    * meaning "every stamp in commits ≤ V is folded here". Readers treat a
+    * missing/unreadable file as V = -1 (full scan — always correct).
+    * Published via temp-file + atomic rename; a lost update race between
+    * two concurrent folders leaves the OLDER checkpoint, which only
+    * lengthens the tail scan, never loses a stamp (commit files ≤ V are
+    * deleted only by expireSnapshots, which folds first).
+    */
+  private[graft] val TxnCheckpointInterval = 64L
+
+  private def txnCheckpointFile(root: String): Path =
+    commitsDir(root).resolve("_txn_checkpoint")
+
+  /** (covered version, app → high-water); (-1, empty) = no checkpoint. */
+  private def readTxnCheckpoint(root: String): (Long, Map[String, Long]) = {
+    val f = txnCheckpointFile(root)
+    if (!Files.exists(f)) return (-1L, Map.empty)
+    try {
+      val lines = Files.readString(f).trim.linesIterator.toSeq
+      val Array(tag, v) = lines.head.split("\t", 2)
+      require(tag == "version")
+      (v.toLong, lines.drop(1).map { l =>
+        val Array(app, hv) = l.split("\t", 2)
+        app -> hv.toLong
+      }.toMap)
+    } catch { case _: Exception => (-1L, Map.empty) } // unreadable: rescan
+  }
+
+  private[graft] def writeTxnCheckpoint(root: String, upTo: Long): Unit = {
+    val (ckptV, base) = readTxnCheckpoint(root)
+    if (ckptV >= upTo) return
+    val folded = listDir(commitsDir(root)).iterator
+      .filter(_.getFileName.toString.endsWith(".commit"))
+      .filter { f =>
+        val v = f.getFileName.toString.stripSuffix(".commit").toLong
+        v > ckptV && v <= upTo
+      }
+      .flatMap(f => parseCommit(f)._2)
+      .foldLeft(base) { case (m, t) =>
+        m.updated(t.appId, math.max(m.getOrElse(t.appId, Long.MinValue), t.version))
+      }
+    val tmp = Files.createTempFile(commitsDir(root), ".ckpt", ".tmp")
+    Files.writeString(tmp, s"version\t$upTo" +
+      folded.toSeq.sortBy(_._1).map { case (a, v) => s"\n$a\t$v" }.mkString)
+    Files.move(tmp, txnCheckpointFile(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** The table's commit history as a DataFrame — the DESCRIBE HISTORY
     * audit surface: one row per committed version with its data dir and
@@ -1433,7 +1497,14 @@ object SnapshotStore {
     val tmp = Files.createTempFile(commitsDir(root), ".staged", ".tmp")
     Files.writeString(tmp,
       dataDir + txns.map(t => s"\n${t.appId}\t${t.version}").mkString)
-    try { Files.createLink(target, tmp); true }
+    try {
+      Files.createLink(target, tmp)
+      // periodic txn-stamp fold — after the pointer is live, so a crash
+      // here at worst delays the next fold (readers rescan the tail)
+      val v = expectedCurrent + 1
+      if (v > 0 && v % TxnCheckpointInterval == 0) writeTxnCheckpoint(root, v)
+      true
+    }
     catch { case _: FileAlreadyExistsException => false }
     finally Files.deleteIfExists(tmp)
   }
@@ -1564,6 +1635,11 @@ object SnapshotStore {
       .filter(c => Files.getLastModifiedTime(c).toMillis <= cutoff)
       .filterNot(c =>
         tagged(c.getFileName.toString.stripSuffix(".commit").toLong))
+    // fold txn stamps BEFORE any commit file disappears: stamps recorded
+    // only in expired commits must survive vacuum or replayed batches
+    // from a recovering streaming writer would double-apply
+    if (dropped.nonEmpty) writeTxnCheckpoint(root,
+      dropped.map(_.getFileName.toString.stripSuffix(".commit").toLong).max)
     dropped.map { c =>
       val v = c.getFileName.toString.stripSuffix(".commit").toLong
       val dataDir = Paths.get(parseCommit(c)._1)

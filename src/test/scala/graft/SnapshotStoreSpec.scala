@@ -208,6 +208,49 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.lastTxnVersion(root, "other").isEmpty)
   }
 
+  test("txn checkpoint: stamps survive vacuum; folded reads match full scans") {
+    val root = tmpRoot()
+    SnapshotStore.init(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    // v1..v4 carry stamps from two apps (interleaved high-water marks)
+    for (i <- 1L to 4L)
+      SnapshotStore.transact(spark, root,
+        txn = Some(SnapshotStore.Txn(if (i % 2 == 0) "appB" else "appA", i)))(
+        df => df.withColumn("v", concat($"v", lit(i.toString))))
+    assert(SnapshotStore.lastTxnVersion(root, "appA").contains(3L))
+    assert(SnapshotStore.lastTxnVersion(root, "appB").contains(4L))
+
+    // an explicit fold covering part of the log must not change answers:
+    // folded baseline + tail scan ≡ the full scan it replaced
+    SnapshotStore.writeTxnCheckpoint(root, 2L)
+    assert(SnapshotStore.lastTxnVersion(root, "appA").contains(3L),
+      "tail stamp (v3 > checkpoint) must override the folded baseline")
+    assert(SnapshotStore.lastTxnVersion(root, "appB").contains(4L))
+    // a stale fold attempt is a no-op (never regresses coverage)
+    SnapshotStore.writeTxnCheckpoint(root, 1L)
+    assert(SnapshotStore.lastTxnVersion(root, "appB").contains(4L))
+
+    // VACUUM past every stamped commit: without the pre-delete fold the
+    // stamps would vanish with their commit files and a recovering writer
+    // replaying an old batch would double-apply
+    val expired = SnapshotStore.expireSnapshots(root, keepLast = 1)
+    assert(expired == Seq(0L, 1L, 2L, 3L), s"expired $expired")
+    assert(SnapshotStore.lastTxnVersion(root, "appA").contains(3L),
+      "stamps recorded only in expired commits must survive vacuum")
+    assert(SnapshotStore.lastTxnVersion(root, "appB").contains(4L))
+    val vBefore = SnapshotStore.latest(root).version
+    SnapshotStore.transact(spark, root, // replayed batch: must be a no-op
+      txn = Some(SnapshotStore.Txn("appA", 3L)))(
+      df => df.withColumn("v", lit("DOUBLE-APPLIED")))
+    assert(SnapshotStore.latest(root).version == vBefore,
+      "replay of a pre-vacuum batch committed")
+
+    // an unreadable checkpoint degrades to the full scan, never crashes
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_commits", "_txn_checkpoint"), "garbage")
+    assert(SnapshotStore.lastTxnVersion(root, "appB").contains(4L),
+      "post-vacuum tail still carries appB's v4 stamp")
+  }
+
   test("CHECK constraints reject a violating commit before any pointer moves") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_snap_check").toString
