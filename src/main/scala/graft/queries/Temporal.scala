@@ -1965,5 +1965,69 @@ object Temporal {
            |       CAST(sum(price_c) AS BIGINT)
            |FROM v3 GROUP BY ok % 7
            |ORDER BY ref, bucket""".stripMargin
+      }),
+
+    // Q108 [extension: INCREMENTAL COMPACTION] OPTIMIZE(small_file_rows):
+    // only files under the row threshold are rewritten; already-compacted
+    // files hard-link through, and the pruning manifest rides along —
+    // carried across the appends (one O(batch) merge per insert) and
+    // across the compaction itself. The require()s pin the physics (file
+    // count shrinks to kept+1, the manifest keys every file in the LIVE
+    // snapshot dir); the returned grouped checksums pin that a
+    // rewrite-the-small/link-the-big commit is byte-preserving, against
+    // DuckDB on the same inserts.
+    "q108_incremental_optimize" -> QueryDef(
+      build = (s, d) => {
+        val wh = graft.GateTmp.freshDir("q108")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("CREATE TABLE graft.q108t (ok BIGINT, price_c BIGINT)")
+        Tables.orders(s, d).createOrReplaceTempView("q108_ord")
+        val cents = graft.Canon.centsSql("o_totalprice")
+        s.sql(
+          s"""INSERT INTO graft.q108t
+             |SELECT o_orderkey, $cents FROM q108_ord
+             |WHERE o_orderkey % 2 = 0""".stripMargin)
+        // SF-independent sizing: packed files hold ~half the table, the
+        // trickle files ~a sixth, the small threshold a quarter — so the
+        // packed files are always kept and the trickle always rewrites,
+        // at sf0.001 and sf1 alike
+        val n = s.sql("SELECT count(*) FROM q108_ord").head().getLong(0)
+        s.sql(s"CALL graft.system.optimize(`table` => 'q108t', " +
+          s"target_rows => ${math.max(n / 2, 1)}, cluster_by => 'ok', " +
+          "stats_cols => 'ok')")
+        val root = s"$wh/q108t"
+        val packedFiles = graft.sources.SnapshotStore
+          .manifest(s, graft.sources.SnapshotStore.latest(root)).count()
+        for (r <- Seq(1, 3, 5)) // the small-file trickle
+          s.sql(
+            s"""INSERT INTO graft.q108t
+               |SELECT /*+ COALESCE(1) */ o_orderkey, $cents FROM q108_ord
+               |WHERE o_orderkey % 6 = $r""".stripMargin)
+        val before = graft.sources.SnapshotStore.latest(root)
+        s.sql(s"CALL graft.system.optimize(`table` => 'q108t', " +
+          s"target_rows => ${math.max(n / 2, 1)}, " +
+          s"small_file_rows => ${math.max(n / 4, 1)})")
+        val now = graft.sources.SnapshotStore.latest(root)
+        require(now.version == before.version + 1, "compaction must commit")
+        val m = graft.sources.SnapshotStore.manifest(s, now).collect()
+        require(m.length < packedFiles + 3 &&
+          m.forall(_.getAs[String]("file").contains(now.dataDir)),
+          s"merged manifest must key ${m.length} live files in ${now.dataDir}")
+        s.sql(
+          """SELECT ok % 10 AS bucket, count(*) AS n_rows,
+            |       sum(price_c) AS sum_price
+            |FROM graft.q108t GROUP BY ok % 10 ORDER BY bucket""".stripMargin)
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("o_totalprice")
+        s"""SELECT o_orderkey % 10 AS bucket,
+           |       CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(sum($cents) AS BIGINT) AS sum_price
+           |FROM orders
+           |WHERE o_orderkey % 2 = 0 OR o_orderkey % 6 IN (1, 3, 5)
+           |GROUP BY o_orderkey % 10
+           |ORDER BY bucket""".stripMargin
       }))
 }

@@ -689,7 +689,9 @@ object GraftCatalog {
         ProcedureParameter.in("stats_cols", StringType).defaultValue("''").build(),
         ProcedureParameter.in("where", StringType).defaultValue("''").build(),
         ProcedureParameter.in("bloom_cols", StringType).defaultValue("''").build(),
-        ProcedureParameter.in("zorder_by", StringType).defaultValue("''").build()),
+        ProcedureParameter.in("zorder_by", StringType).defaultValue("''").build(),
+        ProcedureParameter.in("small_file_rows", LongType)
+          .defaultValue("-1L").build()),
       StructType(Seq(
         org.apache.spark.sql.types.StructField("version", LongType),
         org.apache.spark.sql.types.StructField("files", LongType)))) {
@@ -698,7 +700,19 @@ object GraftCatalog {
         def cols(i: Int): Seq[String] = Option(in.getString(i)).map(_.trim)
           .filter(_.nonEmpty).map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil)
         val where = Option(in.getString(4)).map(_.trim).filter(_.nonEmpty)
-        val snap = SnapshotStore.optimize(SparkSession.active, root,
+        val smallOnly = in.getLong(7)
+        val snap = if (smallOnly > 0) {
+          // incremental mode: rewrite only under-sized files (O(small
+          // files), not O(table)); layout keys need a full rewrite and
+          // are refused together with it
+          require(cols(2).isEmpty && cols(3).isEmpty && where.isEmpty &&
+            cols(5).isEmpty && cols(6).isEmpty,
+            "small_file_rows composes only with table/target_rows: " +
+              "cluster/stats/bloom/zorder/where need a full OPTIMIZE " +
+              "(the existing manifest surface is carried forward as-is)")
+          SnapshotStore.optimizeSmallFiles(SparkSession.active, root,
+            targetRows = in.getLong(1), smallFileRows = smallOnly)
+        } else SnapshotStore.optimize(SparkSession.active, root,
           targetRows = in.getLong(1), clusterBy = cols(2), statsCols = cols(3),
           partitionPredicate = where, bloomCols = cols(5), zorderBy = cols(6))
         val files = {

@@ -869,9 +869,19 @@ object SnapshotStore {
       val dir = Paths.get(root, "data", UUID.randomUUID().toString)
       Files.createDirectories(dir)
       rows.write.mode("append").parquet(dir.toString)
+      val appendedFiles = { // the new batch's files, BEFORE links arrive
+        val s = Files.list(dir)
+        try s.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSeq
+        finally s.close()
+      }
       linkParquetTree(Paths.get(base.dataDir), dir)
       Files.writeString(dir.resolve("_schema.json"),
         readSchema(spark, base).json)
+      // file-skipping stays live across appends: manifest rows for the
+      // linked files carry over, the new batch's files get their own —
+      // O(batch), like the staging itself
+      carryManifestLinked(spark, base.dataDir, dir.toString, appendedFiles)
       stagedHook(dir.toString)
       carryStateSidecars(base.dataDir, dir.toString)
       carryRenames(base.dataDir, dir.toString)
@@ -1120,6 +1130,20 @@ object SnapshotStore {
       bloomExpectedItems: Long = 100000L): Unit = {
     import org.apache.spark.sql.functions._
     val df = spark.read.parquet(dataDir)
+    val aggs = manifestAggs(statsCols, bloomCols, bloomExpectedItems)
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1) // one row per data file — manifest-scale, not data-scale
+      .write.mode("overwrite").parquet(s"$dataDir/_manifest")
+  }
+
+  /** The per-file stats aggregates manifests are built from — shared by
+    * the full-snapshot manifest write and [[optimizeSmallFiles]]' merge
+    * (which computes rows for just the freshly packed files).
+    */
+  private def manifestAggs(statsCols: Seq[String], bloomCols: Seq[String],
+      bloomExpectedItems: Long): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
     // per-file BLOOM sketch over xxhash64(col) — the point-lookup
     // complement to [min,max] intervals: a high-cardinality column whose
     // values SCATTER across files (ids, fingerprints) has useless
@@ -1146,13 +1170,50 @@ object SnapshotStore {
           org.apache.spark.sql.catalyst.expressions.Literal(numBits))
           .toAggregateExpression())
     }
-    val aggs = count(lit(1)).as("n_rows") +:
+    count(lit(1)).as("n_rows") +:
       (statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
         bloomCols.map(c => bloomAgg(c).as(s"bloom_$c")))
-    df.groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1) // one row per data file — manifest-scale, not data-scale
-      .write.mode("overwrite").parquet(s"$dataDir/_manifest")
+  }
+
+  /** Carry a manifest across a LINKED staging commit (append /
+    * small-file compaction): kept files' rows are reused with their path
+    * rewritten into the new snapshot dir (manifest rows key files by
+    * absolute path, and a row pointing into a vacuumable old dir is a
+    * read-after-vacuum failure); the freshly written files get rows
+    * computed by scanning JUST them — O(new data), the whole point of
+    * linked staging. The stats surface is inherited from the existing
+    * manifest. No-op when the base carries no manifest.
+    *
+    * Before this, any append DROPPED the manifest (carrying it stale
+    * would hide the new file from pruned reads — a file missing from the
+    * manifest is never scanned), so a single INSERT disabled file
+    * skipping until the next full OPTIMIZE; under streaming ingest that
+    * is "always".
+    */
+  private def carryManifestLinked(spark: SparkSession, baseDir: String,
+      newDir: String, newFiles: Seq[String],
+      keptRel: Option[Set[String]] = None,
+      bloomExpectedItems: Long = 100000L): Unit = {
+    import org.apache.spark.sql.functions.{col, concat, input_file_name, lit, substring_index}
+    val oldManifest = Paths.get(baseDir, "_manifest")
+    if (!Files.isDirectory(oldManifest)) return
+    val old = spark.read.parquet(oldManifest.toString)
+    val statsCols = old.columns.toSeq.collect {
+      case c if c.startsWith("min_") => c.stripPrefix("min_") }
+    val bloomCols = old.columns.toSeq.collect {
+      case c if c.startsWith("bloom_") => c.stripPrefix("bloom_") }
+    val basename = substring_index(col("file"), "/", -1)
+    val carried = keptRel.fold(old)(ks => old.filter(basename.isin(ks.toSeq: _*)))
+      .withColumn("file", concat(lit(s"$newDir/"), basename))
+    val aggs = manifestAggs(statsCols, bloomCols, bloomExpectedItems)
+    val newRows =
+      if (newFiles.isEmpty) carried.limit(0)
+      else spark.read.schema(readSchema(spark, Snapshot(-1L, newDir)))
+        .parquet(newFiles: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+    carried.unionByName(newRows).coalesce(1)
+      .write.mode("overwrite").parquet(s"$newDir/_manifest")
   }
 
   def manifest(spark: SparkSession, snap: Snapshot): DataFrame =
@@ -1600,6 +1661,91 @@ object SnapshotStore {
         transact(spark, root, statsCols = statsCols, bloomCols = bloomCols,
           bloomExpectedItems = math.max(targetRows, 1000L))(repack)
     }
+  }
+
+  /** INCREMENTAL compaction: rewrite ONLY the files holding fewer than
+    * `smallFileRows` rows, hard-link every already-compacted file
+    * untouched. A full-table OPTIMIZE is O(table) every time it runs; on
+    * an append-heavy table the steady state is a few large compacted
+    * files plus the trickle of small recent ones, so maintenance should
+    * cost O(small files) — the Delta/Iceberg bin-pack contract (only
+    * under-sized files are rewrite candidates). At 100 TB this is the
+    * difference between a compaction cadence you can afford hourly and
+    * one you can't afford at all.
+    *
+    * Manifest handling is the sharp edge: manifest rows key files by
+    * ABSOLUTE path, and a file missing from the manifest is invisible to
+    * pruned reads — so kept files' rows are carried over with their path
+    * rewritten into the new snapshot dir, and freshly packed files get
+    * rows computed by scanning just them. The stats surface is inherited
+    * from the existing manifest (caller-passed cols must match it
+    * exactly, or be empty); growing the surface requires a full OPTIMIZE,
+    * refused loudly below rather than silently serving a manifest with
+    * holes.
+    *
+    * Loud refusals, not silent fallbacks (the caller asked for O(small)
+    * and must not quietly get O(table) or wrong data): partitioned tables
+    * (use `where`-scoped optimize — same idea at partition grain),
+    * deletion-vector snapshots (physical footer counts overcount; compact
+    * via full OPTIMIZE which merges the DV), renamed-column tables (data
+    * files carry pre-rename names; a raw subset read would null-fill).
+    */
+  def optimizeSmallFiles(spark: SparkSession, root: String, targetRows: Long,
+      smallFileRows: Long, maxAttempts: Int = 10): Snapshot = {
+    import org.apache.spark.sql.functions.{col, concat, input_file_name, lit, substring_index}
+    require(partitionCols(root).isEmpty,
+      s"optimizeSmallFiles is for unpartitioned tables; $root is " +
+        "partitioned — use optimize(partitionPredicate) to scope by partition")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latest(root)
+      require(!Files.isDirectory(Paths.get(base.dataDir, "_dv")),
+        s"optimizeSmallFiles on a deletion-vector snapshot ($root): footer " +
+          "row counts overcount live rows — run a full OPTIMIZE (merges the DV)")
+      require(!Files.exists(renamesFile(base.dataDir)),
+        s"optimizeSmallFiles on a renamed-column table ($root): data files " +
+          "carry pre-rename names — run a full OPTIMIZE first")
+      val meta = dataFileMeta(base.dataDir)
+      val (small, kept) = meta.partition(_._3 < smallFileRows)
+      if (small.size <= 1) return base // nothing to gain from a rewrite
+      val schema = readSchema(spark, base)
+      val dir = Paths.get(root, "data", UUID.randomUUID().toString)
+      Files.createDirectories(dir)
+      val smallPaths = small.map(f => s"${base.dataDir}/${f._1}")
+      val nSmall = small.map(_._3).sum
+      if (nSmall > 0) {
+        val parts = math.max(1, ((nSmall + targetRows - 1) / targetRows).toInt)
+        spark.read.schema(schema).parquet(smallPaths: _*)
+          .repartition(parts).write.mode("append").parquet(dir.toString)
+      } // all-empty smalls: dropping them IS the compaction
+      val packedFiles = { // the freshly written files, BEFORE any link
+        val s = Files.list(dir)
+        try s.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSeq
+        finally s.close()
+      }
+      kept.foreach { case (rel, _, _) =>
+        val dest = dir.resolve(rel)
+        Files.createDirectories(dest.getParent)
+        Files.createLink(dest, Paths.get(base.dataDir, rel))
+      }
+      Files.writeString(dir.resolve("_schema.json"), schema.json)
+      carryStateSidecars(base.dataDir, dir.toString)
+      // layout-only: byte-identical data, EMPTY change set (the q88
+      // OPTIMIZE-silence contract)
+      if (cdcKeys(root).nonEmpty)
+        readDir(spark, dir.toString).limit(0)
+          .withColumn(ChangeTypeCol, lit("insert"))
+          .write.mode("overwrite").parquet(s"$dir/_changes")
+      carryManifestLinked(spark, base.dataDir, dir.toString, packedFiles,
+        keptRel = Some(kept.map(_._1).toSet),
+        bloomExpectedItems = math.max(targetRows, 1000L))
+      if (tryCommit(root, base.version, dir.toString))
+        return Snapshot(base.version + 1, dir.toString)
+      attempt += 1 // lost the race: orphaned dir is cleanOrphans food
+    }
+    throw new CommitConflictException(
+      s"lost the commit race $maxAttempts times at $root")
   }
 
   /** VACUUM: drop all but the newest `keepLast` versions and delete their

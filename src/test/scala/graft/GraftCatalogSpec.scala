@@ -179,6 +179,75 @@ class GraftCatalogSpec extends SparkSpec {
       s"procedure surface: $procs")
   }
 
+  test("incremental OPTIMIZE(small_file_rows): big files hard-linked, manifest merged") {
+    wh
+    spark.sql("CREATE TABLE graft.inc (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.inc SELECT id, id * 3 FROM range(50000)")
+    spark.sql("CALL graft.system.optimize(`table` => 'inc', " +
+      "target_rows => 25000, cluster_by => 'k', stats_cols => 'k')")
+    val root = s"$wh/inc"
+    def files(dir: String): Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(Paths.get(dir))
+      try s.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+      finally s.close()
+    }
+    val compacted = files(SnapshotStore.latest(root).dataDir)
+    assert(compacted.size == 2, s"expected 2 packed files, got $compacted")
+    val keptInodes = compacted.map(p =>
+      Files.getAttribute(p, "unix:ino").asInstanceOf[Long]).toSet
+    for (i <- 0 until 5) // the append trickle: 5 small files
+      spark.sql("INSERT INTO graft.inc SELECT /*+ COALESCE(1) */ " +
+        s"id, id FROM range(${50000 + i * 200}, ${50000 + (i + 1) * 200})")
+    assert(files(SnapshotStore.latest(root).dataDir).size == 7)
+    // appends carry the manifest forward (one row per file, paths live):
+    // file skipping must not die with the first INSERT after OPTIMIZE
+    val mAfterAppend = SnapshotStore
+      .manifest(spark, SnapshotStore.latest(root)).collect()
+    assert(mAfterAppend.length == 7, s"append-carried manifest: " +
+      s"${mAfterAppend.length} rows")
+    assert(mAfterAppend.forall(_.getAs[String]("file")
+      .contains(SnapshotStore.latest(root).dataDir)))
+
+    val out = spark.sql("CALL graft.system.optimize(`table` => 'inc', " +
+      "target_rows => 25000, small_file_rows => 1000)").collect().head
+    assert(out.getLong(1) == 3L, s"2 kept + 1 packed, got ${out.getLong(1)}")
+    val now = SnapshotStore.latest(root)
+    val after = files(now.dataDir)
+    // the two big files were NEVER rewritten: same inodes, hard-linked
+    val afterInodes = after.map(p =>
+      Files.getAttribute(p, "unix:ino").asInstanceOf[Long]).toSet
+    assert(keptInodes.subsetOf(afterInodes),
+      "already-compacted files must be hard-linked, not rewritten")
+    // content identical
+    assert(spark.sql("SELECT count(*), sum(k), sum(v) FROM graft.inc")
+      .head().toSeq == Seq(51000L, 50999L * 51000L / 2,
+        49999L * 50000L / 2 * 3 + (50000L until 51000L).sum))
+    // manifest merged: one row per file, every path inside the NEW dir,
+    // and k-pruning still works across kept + new rows
+    val m = SnapshotStore.manifest(spark, now).collect()
+    assert(m.length == 3)
+    assert(m.forall(_.getAs[String]("file").contains(now.dataDir)),
+      "kept files' manifest rows must be path-rewritten to the new dir")
+    val (_, keptN, total) = SnapshotStore.readPruned(spark, now,
+      col("max_k") >= 50000L)
+    assert(total == 3 && keptN < 3, s"pruning: $keptN/$total")
+    // converged: nothing small left, re-running is a version no-op
+    spark.sql("CALL graft.system.optimize(`table` => 'inc', " +
+      "target_rows => 25000, small_file_rows => 1000)")
+    assert(SnapshotStore.latest(root).version == now.version,
+      "no small files -> no new version")
+    // refusals: partitioned tables and layout keys
+    spark.sql("CREATE TABLE graft.incp (k BIGINT, p BIGINT) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.incp VALUES (1, 1)")
+    intercept[Exception](spark.sql("CALL graft.system.optimize(" +
+      "`table` => 'incp', target_rows => 10, small_file_rows => 5)"))
+    intercept[Exception](spark.sql("CALL graft.system.optimize(" +
+      "`table` => 'inc', target_rows => 10, small_file_rows => 5, " +
+      "cluster_by => 'k')"))
+  }
+
   test("tags: named refs pin versions by name and survive expire_snapshots") {
     wh
     spark.sql("CREATE TABLE graft.tagt (id BIGINT, v BIGINT)")
