@@ -201,6 +201,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(f),
               sz, n): InternalRow
           }.toArray))
+      case "partitions" =>
+        // per-partition rollup of the snapshot's physical layout — the
+        // first question on a partitioned table at scale ("how skewed are
+        // my partitions, which ones fragmented"); one row per partition
+        // dir, derived from the same footer walk as $files
+        val snap = version.map(v => SnapshotStore.at(root, v))
+          .getOrElse(SnapshotStore.latest(root))
+        val schema = StructType(Seq(
+          org.apache.spark.sql.types.StructField("partition",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_files",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_rows",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("size_bytes",
+            org.apache.spark.sql.types.LongType)))
+        Some(new GraftMetaTable(ident.toString, schema, () =>
+          SnapshotStore.dataFileMeta(snap.dataDir)
+            .groupBy { case (rel, _, _) =>
+              rel.split('/').dropRight(1).mkString("/") // "" = unpartitioned
+            }
+            .toSeq.sortBy(_._1)
+            .map { case (part, fs) =>
+              InternalRow(
+                org.apache.spark.unsafe.types.UTF8String.fromString(part),
+                fs.size.toLong, fs.map(_._3).sum, fs.map(_._2).sum): InternalRow
+            }.toArray))
       case "refs" =>
         require(version.isEmpty,
           "$refs is the live tag listing; time travel does not apply")
@@ -215,7 +242,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               v): InternalRow
           }.toArray))
       case other => throw new UnsupportedOperationException(
-        s"unknown metadata table $$$other (supported: $$history, $$files, $$refs)")
+        s"unknown metadata table $$$other " +
+          "(supported: $history, $files, $partitions, $refs)")
     }
   }
 

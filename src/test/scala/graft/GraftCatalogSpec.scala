@@ -1432,6 +1432,21 @@ class GraftCatalogSpec extends SparkSpec {
     fs.foreach { r =>
       assert(Files.size(Paths.get(dataDir, r.getString(0))) == r.getLong(1))
     }
+    // $partitions: per-partition rollup; "" for an unpartitioned table
+    val up = spark.sql(
+      "SELECT partition, n_rows FROM graft.`meta1$partitions`").collect()
+    assert(up.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("", 150L)))
+    spark.sql("CREATE TABLE graft.meta2 (id BIGINT, p BIGINT) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.meta2 SELECT id, id % 2 FROM range(90)")
+    val parts = spark.sql(
+      "SELECT partition, n_rows, n_files, size_bytes " +
+        "FROM graft.`meta2$partitions` ORDER BY partition").collect()
+    assert(parts.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("p=0", 45L), ("p=1", 45L)), s"got ${parts.toSeq}")
+    assert(parts.forall(r => r.getLong(2) >= 1L && r.getLong(3) > 0L))
+    assert(spark.sql( // composes with time travel: v0 is empty
+      "SELECT count(*) FROM graft.`meta2$partitions` VERSION AS OF 0")
+      .head().getLong(0) == 0L)
     // refusals: unknown suffix, time travel on $history, writes
     intercept[Exception](spark.sql("SELECT * FROM graft.`meta1$nope`"))
     intercept[Exception](spark.sql(
