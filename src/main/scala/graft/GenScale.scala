@@ -445,3 +445,99 @@ object ProbeAppend {
     spark.stop()
   }
 }
+
+/** Incremental-compaction scale probe: a FIXED trickle (5 × 2k-row small
+  * files) on pre-compacted, manifest-bearing tables of two sizes, then
+  * `optimizeSmallFiles`. The rewrite reads only the trickle; the big
+  * files hard-link (O(#kept) metadata ops) and their manifest rows carry
+  * over path-rewritten (one manifest-scale job) — so growth must track
+  * file COUNT, never table bytes. A full OPTIMIZE here would grow ~10×.
+  *
+  * Usage: runMain graft.ProbeSmallOptimize <rowsSmall> <rowsBig>
+  */
+object ProbeSmallOptimize {
+  def main(args: Array[String]): Unit = {
+    import graft.sources.SnapshotStore
+    val Array(nSmall, nBig) = args.take(2).map(_.toLong)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def run(n: Long): (Double, Double) = {
+      val root = GateTmp.freshDir(s"probe_sopt_$n")
+      SnapshotStore.init(spark, root, spark.range(n)
+        .selectExpr("id", "id * 3 AS v", "repeat('x', 64) AS pad"))
+      SnapshotStore.optimize(spark, root, targetRows = n / 20,
+        clusterBy = Seq("id"), statsCols = Seq("id"))
+      for (i <- 0 until 5)
+        SnapshotStore.append(spark, root, spark.range(n + i * 2000,
+            n + (i + 1) * 2000)
+          .selectExpr("id", "id * 3 AS v", "repeat('x', 64) AS pad")
+          .coalesce(1))
+      val incr = time(SnapshotStore.optimizeSmallFiles(spark, root,
+        targetRows = n / 20, smallFileRows = n / 40))
+      // contrast: the full rewrite the incremental path avoids
+      val full = time(SnapshotStore.optimize(spark, root,
+        targetRows = n / 20, statsCols = Seq("id")))
+      (incr, full)
+    }
+    run(nSmall) // warm-up: JIT + parquet codepaths
+    val (si, sf) = run(nSmall)
+    val (bi, bf) = run(nBig)
+    println(f"rows=$nSmall%d incremental=$si%.2fs full=$sf%.2fs")
+    println(f"rows=$nBig%d incremental=$bi%.2fs full=$bf%.2fs")
+    println(f"growth incremental=${bi / si}%.2fx full=${bf / sf}%.2fx " +
+      f"speedup-at-big=${bf / bi}%.2fx")
+    spark.stop()
+  }
+}
+
+/** Txn-checkpoint probe: SAME commit log (fixed 150 stamped commits),
+  * lastTxnVersion latency before any fold (parses all 150 commit files)
+  * vs after one fold (checkpoint + empty tail). This is the per-micro-
+  * batch idempotence read of every streaming sink — pre-checkpoint it
+  * grew linearly with stream age.
+  *
+  * Usage: runMain graft.ProbeTxnCheckpoint [commits]
+  */
+object ProbeTxnCheckpoint {
+  def main(args: Array[String]): Unit = {
+    import graft.sources.SnapshotStore
+    val commits = args.headOption.map(_.toInt).getOrElse(150)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val root = GateTmp.freshDir("probe_ckpt")
+    SnapshotStore.init(spark, root, spark.range(10).selectExpr("id", "id AS v"))
+    for (i <- 1 to commits)
+      SnapshotStore.append(spark, root,
+        spark.range(1).selectExpr("id + 1000 AS id", "id AS v").coalesce(1),
+        txn = Some(SnapshotStore.Txn("probe", i.toLong)))
+    def bench(): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 200) {
+        SnapshotStore.lastTxnVersion(root, "probe"); i += 1
+      }
+      (System.nanoTime() - t0) / 1e9 / 200
+    }
+    // the appends cross the 64-commit fold boundary, so a checkpoint
+    // already exists; measure as-is (tail ≤ 64) vs fully folded (tail 0)
+    val tailed = bench()
+    SnapshotStore.writeTxnCheckpoint(root, SnapshotStore.latest(root).version)
+    val folded = bench()
+    println(f"commits=$commits%d per-read tail<=64=${tailed * 1000}%.2fms " +
+      f"folded=${folded * 1000}%.2fms ratio=${tailed / folded}%.1fx")
+    spark.stop()
+  }
+}

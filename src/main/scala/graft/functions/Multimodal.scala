@@ -195,10 +195,10 @@ object Multimodal {
     * lie for audio.)
     */
   def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) =
-    parsePngHeader(payload).orElse(parseJpegHeader(payload)) match {
-      case Some((w, h)) => (w, h, 1)
-      case None => fakeDecode(kind, payload)
-    }
+    parsePngHeader(payload).orElse(parseJpegHeader(payload))
+      .map { case (w, h) => (w, h, 1) }
+      .orElse(parseGifHeader(payload)) // animated: real frame count
+      .getOrElse(fakeDecode(kind, payload))
 
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -525,6 +525,36 @@ object Multimodal {
     }(enc)
   }
 
+  /** [[synthImageBatch]] with a MIXED container per row: even src → PNG,
+    * odd src → GIF (gray-identity 256-entry palette, so palette index ==
+    * luma; every third GIF interlaced to keep the 4-pass path honest).
+    * Pixel CONTENT is identical to the PNG-only batch — which is the
+    * point: a downstream fingerprint must be container-blind, so the
+    * q35c oracle (derived purely from the pixel formula) applies to this
+    * batch verbatim.
+    */
+  def synthImageBatchMixed(rows: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(imageSchema))
+    val grayPal = Array.tabulate(256)(i => i * 0x010101)
+    rows.select("img_id", "src", "twin").mapPartitions { it =>
+      it.map { r =>
+        val src = r.getLong(1)
+        val twin = r.getBoolean(2)
+        def px(x: Int, y: Int): Int = {
+          val p = synthPixel(src, x, y)
+          if (twin && x == 4 && y == 3) (p + 7) % 256 else p
+        }
+        val bytes =
+          if (src % 2 == 0)
+            encodePngGray(Array.tabulate(8, 9)((y, x) => px(x, y)))
+          else encodeGifIndexed(9, 8, grayPal,
+            Seq(Array.tabulate(8 * 9)(i => px(i % 9, i / 9))),
+            interlacedFirst = src % 3 == 0)
+        Row(r.getLong(0), bytes)
+      }
+    }(enc)
+  }
+
   /** Decode an uncompressed 24/32-bit BMP (BITMAPINFOHEADER, BI_RGB) to
     * the BT.601 luma grid: rows are stored bottom-up (negative height =
     * top-down), padded to 4-byte boundaries, pixels little-endian BGR(A).
@@ -560,6 +590,247 @@ object Multimodal {
     }
   }
 
+  /** GIF (87a/89a) parse — dims from the logical screen descriptor plus
+    * the FRAME COUNT (one image descriptor per frame — what makes a GIF
+    * "animated"), walking extensions and LZW sub-blocks by length without
+    * decoding a pixel. None = not a GIF / truncated.
+    */
+  def parseGifHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (!isGif(b)) return None
+    try {
+      val w = le16(b, 6); val h = le16(b, 8)
+      var p = 13
+      if ((b(10) & 0x80) != 0) p += 3 * (2 << (b(10) & 7)) // global palette
+      var frames = 0
+      while (p < b.length && (b(p) & 0xFF) != 0x3B) {
+        (b(p) & 0xFF) match {
+          case 0x21 => // extension: label byte, then length-prefixed blocks
+            p += 2
+            while ((b(p) & 0xFF) != 0) p += 1 + (b(p) & 0xFF)
+            p += 1
+          case 0x2C =>
+            frames += 1
+            val iflags = b(p + 9) & 0xFF
+            p += 10
+            if ((iflags & 0x80) != 0) p += 3 * (2 << (iflags & 7))
+            p += 1 // LZW minimum code size
+            while ((b(p) & 0xFF) != 0) p += 1 + (b(p) & 0xFF)
+            p += 1
+          case other =>
+            throw new IllegalArgumentException(f"bad GIF block 0x$other%02x")
+        }
+      }
+      if (frames == 0) None else Some((w, h, frames))
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  private def isGif(b: Array[Byte]): Boolean =
+    b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  /** Decode a GIF's FIRST frame to the BT.601 luma grid at logical-screen
+    * size: palette lookup per LZW-decoded index, the frame composed at
+    * its (left, top) offset over a background of the screen descriptor's
+    * background-color luma (0 without a global palette), 4-pass interlace
+    * de-woven. Later frames only matter for temporal fingerprints, which
+    * sample via [[parseGifHeader]]'s frame count.
+    */
+  def decodeGifGray(b: Array[Byte]): Array[Array[Int]] = {
+    require(isGif(b), "not a GIF")
+    def luma(o: Int): Int =
+      (299 * (b(o) & 0xFF) + 587 * (b(o + 1) & 0xFF) +
+        114 * (b(o + 2) & 0xFF)) / 1000
+    val sw = le16(b, 6); val sh = le16(b, 8)
+    require(sw > 0 && sh > 0 && sw.toLong * sh <= 100000000L,
+      s"bad GIF dims ${sw}x$sh")
+    val flags = b(10) & 0xFF
+    var p = 13
+    var globalPal: Array[Int] = null
+    if ((flags & 0x80) != 0) {
+      val n = 2 << (flags & 7)
+      globalPal = Array.tabulate(n)(i => luma(p + 3 * i))
+      p += 3 * n
+    }
+    val bg = if (globalPal != null) globalPal((b(11) & 0xFF) % globalPal.length)
+      else 0
+    while (p < b.length) {
+      (b(p) & 0xFF) match {
+        case 0x21 =>
+          p += 2
+          while ((b(p) & 0xFF) != 0) p += 1 + (b(p) & 0xFF)
+          p += 1
+        case 0x2C =>
+          val ix = le16(b, p + 1); val iy = le16(b, p + 3)
+          val iw = le16(b, p + 5); val ih = le16(b, p + 7)
+          val iflags = b(p + 9) & 0xFF
+          p += 10
+          var pal = globalPal
+          if ((iflags & 0x80) != 0) { // local palette overrides
+            val n = 2 << (iflags & 7)
+            pal = Array.tabulate(n)(i => luma(p + 3 * i))
+            p += 3 * n
+          }
+          require(pal != null, "GIF frame with no color table")
+          require(iw > 0 && ih > 0 && ix + iw <= sw && iy + ih <= sh,
+            s"GIF frame ${iw}x$ih@$ix,$iy outside ${sw}x$sh screen")
+          val minCode = b(p) & 0xFF; p += 1
+          val data = new java.io.ByteArrayOutputStream()
+          while ((b(p) & 0xFF) != 0) {
+            val len = b(p) & 0xFF; data.write(b, p + 1, len); p += 1 + len
+          }
+          val indices = gifLzw(data.toByteArray, minCode, iw * ih)
+          // 4-pass interlace: sequential decoded rows land on rows
+          // 0,8,16… then 4,12… then 2,6… then 1,3,5…
+          val rowOrder: Array[Int] =
+            if ((iflags & 0x40) == 0) Array.tabulate(ih)(identity)
+            else (0 until ih by 8) ++ (4 until ih by 8) ++
+              (2 until ih by 4) ++ (1 until ih by 2) match {
+              case rows => rows.toArray
+            }
+          val grid = Array.fill(sh, sw)(bg)
+          for (r <- 0 until ih; x <- 0 until iw) {
+            val idx = indices(r * iw + x)
+            grid(iy + rowOrder(r))(ix + x) = pal(idx % pal.length)
+          }
+          return grid
+        case 0x3B => throw new IllegalArgumentException("GIF with no frame")
+        case other =>
+          throw new IllegalArgumentException(f"bad GIF block 0x$other%02x")
+      }
+    }
+    throw new IllegalArgumentException("GIF truncated before first frame")
+  }
+
+  /** Synthesize a REAL GIF (87a single-frame, 89a animated) from indexed
+    * pixels — the GIF arm of the q35 synthesis family (encodePngGray /
+    * encodeGrayDcOnly): a valid LZW stream via clear-code-before-every-
+    * symbol (no dictionary growth, fixed code width — the spec-legal
+    * degenerate encoding every decoder must accept), frames all
+    * full-screen at (0,0). `palette` entries are 0xRRGGBB.
+    */
+  def encodeGifIndexed(w: Int, h: Int, palette: Array[Int],
+      frames: Seq[Array[Int]], interlacedFirst: Boolean = false): Array[Byte] = {
+    require(palette.length >= 2 && palette.length <= 256 &&
+      Integer.bitCount(palette.length) == 1, "palette must be 2^n entries")
+    require(frames.nonEmpty && frames.forall(_.length == w * h))
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    out.write((if (frames.size > 1) "GIF89a" else "GIF87a")
+      .getBytes("US-ASCII"))
+    u16(w); u16(h)
+    val palBits = Integer.numberOfTrailingZeros(palette.length)
+    u8(0x80 | (palBits - 1)); u8(0); u8(0) // global table, bg index 0
+    palette.foreach { c => u8(c >> 16); u8(c >> 8); u8(c) }
+    val minCode = math.max(2, palBits)
+    val clear = 1 << minCode
+    val codeSize = minCode + 1
+    frames.zipWithIndex.foreach { case (px, fi) =>
+      val interlaced = fi == 0 && interlacedFirst
+      u8(0x2C); u16(0); u16(0); u16(w); u16(h)
+      u8(if (interlaced) 0x40 else 0)
+      u8(minCode)
+      val bits = new java.io.ByteArrayOutputStream()
+      var cur = 0; var nbits = 0
+      def code(v: Int): Unit = {
+        cur |= v << nbits; nbits += codeSize
+        while (nbits >= 8) { bits.write(cur & 0xFF); cur >>>= 8; nbits -= 8 }
+      }
+      val order: Array[Int] = // stream order = display rows per pass
+        if (!interlaced) Array.tabulate(h)(identity)
+        else ((0 until h by 8) ++ (4 until h by 8) ++
+          (2 until h by 4) ++ (1 until h by 2)).toArray
+      order.foreach { row =>
+        (0 until w).foreach { x => code(clear); code(px(row * w + x)) }
+      }
+      code(clear + 1) // end-of-information
+      if (nbits > 0) bits.write(cur & 0xFF)
+      val data = bits.toByteArray
+      var off = 0
+      while (off < data.length) {
+        val len = math.min(255, data.length - off)
+        u8(len); out.write(data, off, len); off += len
+      }
+      u8(0) // block terminator
+    }
+    u8(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW: variable code width starting at minCode+1 (clear
+    * code resets the table, width grows with the table to the 12-bit
+    * cap), codes packed little-endian-first into the concatenated
+    * sub-block bytes. Stack-based sequence expansion with first-character
+    * memoization — O(output pixels) total.
+    */
+  private def gifLzw(data: Array[Byte], minCode: Int,
+      expected: Int): Array[Int] = {
+    require(minCode >= 1 && minCode <= 11, s"bad LZW min code size $minCode")
+    val clear = 1 << minCode
+    val end = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    val firstCh = new Array[Int](4096)
+    for (i <- 0 until clear) { suffix(i) = i; firstCh(i) = i }
+    var dictSize = end + 1
+    var codeSize = minCode + 1
+    val out = new Array[Int](expected)
+    var outN = 0
+    var bitPos = 0
+    def readCode(): Int = {
+      var v = 0; var i = 0
+      while (i < codeSize) {
+        val byteI = bitPos >> 3
+        if (byteI >= data.length) return end // truncated stream: stop
+        if ((data(byteI) & (1 << (bitPos & 7))) != 0) v |= 1 << i
+        bitPos += 1; i += 1
+      }
+      v
+    }
+    val stack = new Array[Int](4096)
+    def emit(code: Int): Unit = { // push the chain, pop in order
+      var c = code; var sp = 0
+      while (c >= clear + 2) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      stack(sp) = suffix(c); sp += 1
+      while (sp > 0 && outN < expected) {
+        sp -= 1; out(outN) = stack(sp); outN += 1
+      }
+    }
+    var prev = -1
+    var running = true
+    while (running && outN < expected) {
+      val code = readCode()
+      if (code == clear) {
+        dictSize = end + 1; codeSize = minCode + 1; prev = -1
+      } else if (code == end) running = false
+      else {
+        require(code < dictSize || (code == dictSize && prev >= 0),
+          s"corrupt LZW code $code (dict $dictSize)")
+        if (prev < 0) { emit(code); prev = code }
+        else {
+          if (code == dictSize) { // KwKwK: entry being defined right now
+            if (dictSize < 4096) {
+              prefix(dictSize) = prev; suffix(dictSize) = firstCh(prev)
+              firstCh(dictSize) = firstCh(prev); dictSize += 1
+            }
+            emit(code)
+          } else {
+            emit(code)
+            if (dictSize < 4096) {
+              prefix(dictSize) = prev; suffix(dictSize) = firstCh(code)
+              firstCh(dictSize) = firstCh(prev); dictSize += 1
+            }
+          }
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+          prev = code
+        }
+      }
+    }
+    require(outN == expected,
+      s"LZW stream produced $outN of $expected pixels")
+    out
+  }
+
   /** Format-agnostic grayscale decode: PNG via [[decodePngGray]], JPEG via
     * [[Jpeg.decodeGray]] (baseline Huffman, pure JVM), BMP via
     * [[decodeBmpGray]] — all yield the BT.601 luma view, so every
@@ -572,7 +843,10 @@ object Multimodal {
       Jpeg.decodeGray(b)
     else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M')
       decodeBmpGray(b)
-    else throw new IllegalArgumentException("payload is neither PNG, JPEG nor BMP")
+    else if (isGif(b))
+      decodeGifGray(b)
+    else throw new IllegalArgumentException(
+      "payload is none of PNG, JPEG, BMP, GIF")
 
   /** Decode (img_id, payload) images — PNG or JPEG — and emit the 64-bit
     * perceptual hash. Partition-local CPU work — the decode never shuffles

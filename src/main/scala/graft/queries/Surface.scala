@@ -499,6 +499,34 @@ object Surface {
            |  AND bit_count(CAST(xor(a.h, b.h) AS UBIGINT)) <= 3
            |ORDER BY a_id, b_id""".stripMargin)),
 
+    // Q35m [extension: GIF pixel decode / container-blind fingerprints]
+    // the q35c universe with the CONTAINER varied per row — even src
+    // stays PNG, odd src becomes a REAL GIF (LZW stream, 256-gray
+    // palette, every third one 4-pass interlaced) — and the ORACLE
+    // UNCHANGED from q35c: expected hashes derive from the pixel formula
+    // alone. Passing proves two things at once: the GIF path (palette →
+    // LZW → de-interlace → luma) is bit-exact, and the perceptual hash is
+    // container-blind — the same image fingerprints identically whatever
+    // box it shipped in, which is what makes cross-format image dedup
+    // sound on a mixed 100 TB crawl.
+    "q35m_gif_dhash" -> QueryDef(
+      build = (s, d) => {
+        val hashes = Multimodal.dhashBatch(
+          Multimodal.synthImageBatchMixed(imageRows(s, d)))
+        hashes.select($("img_id"),
+            shiftrightunsigned($("dhash"), 32).as("dhash_hi"),
+            $("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
+          .orderBy($("img_id"))
+      },
+      oracle = Some(
+        s"""$imageHashOracleCte
+           |SELECT img_id,
+           |  CAST(sum(CASE WHEN i >= 32 THEN bit * (1::BIGINT << (i - 32))
+           |    ELSE 0 END) AS BIGINT) AS dhash_hi,
+           |  CAST(sum(CASE WHEN i < 32 THEN bit * (1::BIGINT << i)
+           |    ELSE 0 END) AS BIGINT) AS dhash_lo
+           |FROM bits GROUP BY img_id ORDER BY img_id""".stripMargin)),
+
     // Q35e [extension: audio-content fingerprint] the audio twin of q35c:
     // one real PCM16 WAV is synthesized per clip from the 64-bit-exact
     // sample formula, decoded back through the RIFF chunk walk + LE16

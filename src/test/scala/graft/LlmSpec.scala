@@ -197,6 +197,66 @@ class LlmSpec extends SparkSpec {
     assert(r1.forall(r => r.getInt(3) >= 64 && r.getInt(4) >= 64))
   }
 
+  test("GIF decode: ImageIO cross-check, LZW growth, animation, interlace") {
+    import functions.Multimodal
+    // 1) independent encoder: ImageIO's GIF writer emits REAL growing-
+    //    dictionary LZW — decoding it exercises the full table machinery,
+    //    not just our own degenerate clear-code stream. TYPE_BYTE_INDEXED
+    //    with an explicit palette = no quantization surprises.
+    val n = 256
+    val pr = new Array[Byte](n); val pg = new Array[Byte](n)
+    val pb = new Array[Byte](n)
+    for (i <- 0 until n) {
+      pr(i) = ((i * 7) % 256).toByte; pg(i) = ((i * 13) % 256).toByte
+      pb(i) = ((i * 29) % 256).toByte
+    }
+    val cm = new java.awt.image.IndexColorModel(8, n, pr, pg, pb)
+    val w = 23; val h = 17
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 31 + y * 7) % 256)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", out))
+    val gif = out.toByteArray
+    assert(gif(0) == 'G' && gif(1) == 'I' && gif(2) == 'F')
+    def luma(i: Int): Int =
+      (299 * ((i * 7) % 256) + 587 * ((i * 13) % 256) +
+        114 * ((i * 29) % 256)) / 1000
+    val got = Multimodal.decodeImageGray(gif)
+    assert(got.length == h && got(0).length == w)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(got(y)(x) == luma((x * 31 + y * 7) % 256), s"imageio ($x,$y)")
+    assert(Multimodal.parseGifHeader(gif).contains((w, h, 1)))
+
+    // 2) our synthesizer round-trips; animated frame count is REAL
+    val pal = Array(0x000000, 0xFF0000, 0x00FF00, 0x0000FF)
+    val f0 = Array.tabulate(6 * 4)(i => i % 4)
+    val f1 = Array.tabulate(6 * 4)(i => (i + 1) % 4)
+    val anim = Multimodal.encodeGifIndexed(6, 4, pal, Seq(f0, f1))
+    assert(Multimodal.parseGifHeader(anim).contains((6, 4, 2)),
+      "animated GIF must report its real frame count")
+    assert(Multimodal.decode("video", anim) == ((6, 4, 2)))
+    val lumas = Array(0, 299 * 255 / 1000, 587 * 255 / 1000, 114 * 255 / 1000)
+    val first = Multimodal.decodeGifGray(anim)
+    for (y <- 0 until 4; x <- 0 until 6)
+      assert(first(y)(x) == lumas(f0(y * 6 + x)), s"frame0 ($x,$y)")
+
+    // 3) 4-pass interlace de-weaves: an 8-row column of distinct values
+    val col = Array.tabulate(8)(identity)
+    val il = Multimodal.encodeGifIndexed(1, 8,
+      Array.tabulate(8)(i => i * 0x010101) ++ Array.fill(248)(0),
+      Seq(col), interlacedFirst = true)
+    val gotIl = Multimodal.decodeGifGray(il)
+    for (y <- 0 until 8)
+      assert(gotIl(y)(0) == y, s"interlace row $y got ${gotIl(y)(0)}")
+
+    // 4) refusals: truncated data, no-frame GIF
+    intercept[Exception](Multimodal.decodeGifGray(anim.take(20)))
+    intercept[Exception](Multimodal.decodeGifGray(
+      anim.take(13 + 3 * 4) :+ 0x3B.toByte))
+  }
+
   test("palette PNG (color type 3) decodes through PLTE to exact BT.601 luma") {
     import functions.Multimodal._
     // a 256-entry IndexColorModel forces bit depth 8 (fewer colors would
