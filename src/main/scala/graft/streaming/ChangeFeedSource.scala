@@ -42,7 +42,8 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * {{{
   *   spark.readStream.format("graft.streaming.ChangeFeedSource")
   *     .option("path", tableRoot)       // SnapshotStore root (CDC-enabled)
-  *     .option("startVersion", "0")     // default 0 = initial rows as inserts
+  *     .option("startVersion", "0")     // default 0 = initial rows as inserts;
+  *                                      // or a tag name = changes AFTER it
   *     .load()
   * }}}
   */
@@ -67,7 +68,13 @@ class ChangeFeedSource extends StreamSourceProvider {
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val root = rootOf(parameters)
-    val startVersion = parameters.getOrElse("startVersion", "0").toLong
+    // numeric, or a TAG name: `startVersion = 'blessed'` subscribes from
+    // the pinned snapshot's SUCCESSOR (changes AFTER the blessing) — and
+    // because tags also pin retention, the subscription point can't be
+    // vacuumed out from under a late-starting consumer
+    val raw = parameters.getOrElse("startVersion", "0")
+    val startVersion = raw.toLongOption
+      .getOrElse(SnapshotStore.resolveRef(root, raw) + 1L)
     val maxPerBatch = parameters.get("maxVersionsPerBatch").map(_.toLong)
     require(maxPerBatch.forall(_ > 0), "maxVersionsPerBatch must be positive")
     require(SnapshotStore.cdcKeys(root).nonEmpty,

@@ -359,6 +359,36 @@ class CdcSpec extends SparkSpec {
       "an empty incremental sync must not commit")
   }
 
+  test("startVersion accepts a tag name: subscribe from the blessing's successor") {
+    val root = tmp("graft_cdc_tagstart")
+    SnapshotStore.init(spark, root,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), cdcKeys = Seq("id")) // v0
+    SqlDml.execute(spark, "UPDATE t SET v = 11 WHERE id = 1", Map("t" -> root)) // v1
+    SnapshotStore.createTag(root, "blessed") // pins v1 (and its retention)
+    SqlDml.execute(spark, "DELETE FROM t WHERE id = 2", Map("t" -> root)) // v2
+    SnapshotStore.append(spark, root, Seq((3L, 30L)).toDF("id", "v")) // v3
+    val got = graft.streaming.EventsStream.runToMemory(spark,
+      spark.readStream.format("graft.streaming.ChangeFeedSource")
+        .option("path", root).option("startVersion", "blessed").load(),
+      s"cdc_tagstart_${System.nanoTime()}", "append")
+    // only changes AFTER the blessed snapshot: v2's delete + v3's insert —
+    // neither v0's initial inserts nor v1's update replay
+    assert(got.select($"_commit_version", $"_change_type", $"id")
+      .as[(Long, String, Long)].collect().sorted.toSeq ==
+      Seq((2L, "delete", 2L), (3L, "insert", 3L)))
+
+    // an unknown tag fails loudly with the known-ref list, not as version 0
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      spark.readStream.format("graft.streaming.ChangeFeedSource")
+        .option("path", root).option("startVersion", "no_such_tag").load()
+        .writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    assert(e.getCause.getMessage.contains("no ref 'no_such_tag'") &&
+      e.getCause.getMessage.contains("blessed"))
+  }
+
   test("the feed refuses a table without CDC keys") {
     val root = tmp("graft_cdc_nokeys")
     SnapshotStore.init(spark, root, Seq((1L, 2L)).toDF("id", "v"))
