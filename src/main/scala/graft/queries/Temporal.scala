@@ -2029,5 +2029,61 @@ object Temporal {
            |WHERE o_orderkey % 2 = 0 OR o_orderkey % 6 IN (1, 3, 5)
            |GROUP BY o_orderkey % 10
            |ORDER BY bucket""".stripMargin
+      }),
+
+    // Q109 [extension: COPY INTO] idempotent drop-zone ingest, the public
+    // Delta COPY INTO contract: every file under the source directory
+    // loads EXACTLY ONCE across arbitrarily many invocations — the ledger
+    // is per-file writer stamps recorded atomically with the one append
+    // commit, so replay/no-op/late-arrival all fall out of the commit
+    // log. The gate drops three shards, loads them, REPLAYS the call
+    // (must be a version-preserving no-op), drops a late fourth shard,
+    // loads again (only it), and hash-pins the final table against DuckDB
+    // reading the same source rows directly — any double- or missed load
+    // diverges the grouped checksums.
+    "q109_copy_into" -> QueryDef(
+      build = (s, d) => {
+        val wh = graft.GateTmp.freshDir("q109")
+        val drop = graft.GateTmp.freshDir("q109drop")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("CREATE TABLE graft.q109t (ok BIGINT, price_c BIGINT)")
+        Tables.orders(s, d).createOrReplaceTempView("q109_ord")
+        val cents = graft.Canon.centsSql("o_totalprice")
+        for (r <- 0 to 2) // three shards land in the drop zone
+          s.sql(s"SELECT o_orderkey AS ok, $cents AS price_c FROM q109_ord " +
+              s"WHERE o_orderkey % 4 = $r")
+            .coalesce(1).write.parquet(s"$drop/shard$r")
+        val first = s.sql(
+          "CALL graft.system.copy_into('q109t', '" + drop + "')").head()
+        require(first.getLong(0) == 3L && first.getLong(2) == 0L,
+          s"first load must ingest all 3 shards: $first")
+        val replay = s.sql(
+          "CALL graft.system.copy_into('q109t', '" + drop + "')").head()
+        require(replay.getLong(0) == 0L && replay.getLong(2) == 3L &&
+          replay.getLong(3) == first.getLong(3),
+          s"replay must be a version-preserving no-op: $replay vs $first")
+        s.sql(s"SELECT o_orderkey AS ok, $cents AS price_c FROM q109_ord " +
+            "WHERE o_orderkey % 4 = 3") // the late shard
+          .coalesce(1).write.parquet(s"$drop/shard3")
+        val late = s.sql(
+          "CALL graft.system.copy_into('q109t', '" + drop + "')").head()
+        require(late.getLong(0) == 1L && late.getLong(2) == 3L &&
+          late.getLong(3) == first.getLong(3) + 1L,
+          s"late arrival must load ONLY the new shard: $late")
+        s.sql(
+          """SELECT ok % 10 AS bucket, count(*) AS n_rows,
+            |       sum(price_c) AS sum_price
+            |FROM graft.q109t GROUP BY ok % 10 ORDER BY bucket""".stripMargin)
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("o_totalprice")
+        s"""SELECT o_orderkey % 10 AS bucket,
+           |       CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(sum($cents) AS BIGINT) AS sum_price
+           |FROM orders
+           |GROUP BY o_orderkey % 10
+           |ORDER BY bucket""".stripMargin
       }))
 }

@@ -568,7 +568,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "create_join_mv" -> GraftCatalog.CreateJoinMvProc,
       "refresh_join_mv" -> GraftCatalog.RefreshJoinMvProc,
       "create_tag" -> GraftCatalog.CreateTagProc,
-      "drop_tag" -> GraftCatalog.DropTagProc)
+      "drop_tag" -> GraftCatalog.DropTagProc,
+      "copy_into" -> GraftCatalog.CopyIntoProc)
     procs.get(ident.name.toLowerCase).map(_(this))
       .getOrElse(throw new RuntimeException(
         s"unknown procedure ${ident.name} (have: ${procs.keys.mkString(", ")})"))
@@ -577,7 +578,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("optimize", "expire_snapshots", "clean_orphans", "restore", "clone",
         "create_mv", "refresh_mv", "create_join_mv", "refresh_join_mv",
-        "create_tag", "drop_tag")
+        "create_tag", "drop_tag", "copy_into")
       .map(Identifier.of(Array("system"), _))
 
   /** `'ns.t'` (warehouse-relative) or a filesystem root — the same rule as
@@ -943,6 +944,32 @@ object GraftCatalog {
           SnapshotStore.lastTxnVersion(dstRoot,
             MatView.joinAppId("right", rRoot)).getOrElse(-1L),
           spark.read.parquet(snap.dataDir).count())
+      }
+    }
+
+  /** `CALL graft.system.copy_into('ns.t', '/drop/zone' [, format
+    * [, pattern]])` — idempotent drop-zone file ingest; see [[CopyInto]].
+    * Returns (files_loaded, rows_loaded, files_skipped, version).
+    */
+  private[sources] val CopyIntoProc: GraftCatalog => UnboundProcedure = cat =>
+    new Proc("copy_into",
+      Seq(p("table", StringType), p("source", StringType),
+        ProcedureParameter.in("format", StringType)
+          .defaultValue("'parquet'").build(),
+        ProcedureParameter.in("pattern", StringType).defaultValue("''").build()),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("files_loaded", LongType),
+        org.apache.spark.sql.types.StructField("rows_loaded", LongType),
+        org.apache.spark.sql.types.StructField("files_skipped", LongType),
+        org.apache.spark.sql.types.StructField("version", LongType)))) {
+      override protected def run(in: InternalRow): InternalRow = {
+        val spark = SparkSession.active
+        val root = cat.tableRoot(in.getString(0))
+        val r = CopyInto.run(spark, root, in.getString(1),
+          format = Option(in.getString(2)).map(_.trim)
+            .filter(_.nonEmpty).getOrElse("parquet"),
+          pattern = Option(in.getString(3)).map(_.trim).filter(_.nonEmpty))
+        InternalRow(r.filesLoaded, r.rowsLoaded, r.filesSkipped, r.version)
       }
     }
 

@@ -288,6 +288,27 @@ object SnapshotStore {
     (base.get(appId).toSeq ++ tail.toSeq).maxOption
   }
 
+  /** Every app id starting with `prefix` that has EVER stamped a commit,
+    * with its high-water mark — one checkpoint read + a tail scan, shared
+    * by ledger-style consumers (COPY INTO's per-file ingest stamps) that
+    * would otherwise pay one [[lastTxnVersion]] log scan PER entry. The
+    * checkpoint fold keeps this log-scale and vacuum-proof: a stamp in an
+    * expired commit survives in the fold, so "was this file ever loaded"
+    * stays answerable forever.
+    */
+  def txnAppsWithPrefix(root: String, prefix: String): Map[String, Long] = {
+    val (ckptV, base) = readTxnCheckpoint(root)
+    val tail = listDir(commitsDir(root)).iterator
+      .filter(_.getFileName.toString.endsWith(".commit"))
+      .filter(_.getFileName.toString.stripSuffix(".commit").toLong > ckptV)
+      .flatMap(f => parseCommit(f)._2)
+      .filter(_.appId.startsWith(prefix))
+      .toSeq
+    (base.view.filterKeys(_.startsWith(prefix)).toSeq ++
+      tail.map(t => t.appId -> t.version))
+      .groupMapReduce(_._1)(_._2)(math.max)
+  }
+
   /** Fold txn stamps of commits ≤ some version into one tiny summary
     * file, cut every [[TxnCheckpointInterval]] commits and — critically —
     * BEFORE expireSnapshots deletes old commit files: stamps recorded only
@@ -746,7 +767,8 @@ object SnapshotStore {
   def appendWithIdentity(spark: SparkSession, root: String, rows: DataFrame,
       idCol: String, start: Long, step: Long, allowExplicit: Boolean,
       overwrite: Boolean = false, maxAttempts: Int = 10,
-      txn: Option[Txn] = None): Snapshot = {
+      txn: Option[Txn] = None, extraTxns: Seq[Txn] = Nil,
+      pinCheck: () => Boolean = () => true): Snapshot = {
     import org.apache.spark.sql.functions._
     require(step != 0, s"identity step of $root.$idCol must be non-zero")
     require(partitionCols(root).isEmpty && cdcKeys(root).isEmpty,
@@ -811,10 +833,11 @@ object SnapshotStore {
       // appends stage O(batch): fresh files + hard links (identity marks
       // ride the staged hook either way); only overwrite rewrites
       if (overwrite)
-        transact(spark, root, maxAttempts, txn = txn, stagedHook = hook)(
-          assignInto)
+        transact(spark, root, maxAttempts, txn = txn, stagedHook = hook,
+          extraTxns = extraTxns, pinCheck = pinCheck)(assignInto)
       else
-        transactAppendFiles(spark, root, maxAttempts, txn, hook)(assignInto)
+        transactAppendFiles(spark, root, maxAttempts, txn, hook,
+          extraTxns, pinCheck)(assignInto)
     } finally cached.foreach(_.unpersist())
   }
 
@@ -855,13 +878,31 @@ object SnapshotStore {
     */
   private def transactAppendFiles(spark: SparkSession, root: String,
       maxAttempts: Int, txn: Option[Txn],
-      stagedHook: String => Unit = _ => ())(
+      stagedHook: String => Unit = _ => (), extraTxns: Seq[Txn] = Nil,
+      pinCheck: () => Boolean = () => true)(
       newRows: DataFrame => DataFrame): Snapshot = {
     import org.apache.spark.sql.functions.{expr, lit}
+    val txns = txn.toSeq ++ extraTxns
     var attempt = 0
     while (attempt < maxAttempts) {
-      if (txn.exists(t => lastTxnVersion(root, t.appId).exists(_ >= t.version)))
-        return latest(root)
+      // same stamp semantics as transactImpl: ALL covered -> replayed
+      // no-op; a stamp strictly exceeded -> abort (a concurrent writer
+      // advanced past what this append asserts)
+      if (txns.nonEmpty) {
+        if (txns.forall(t => lastTxnVersion(root, t.appId).exists(_ >= t.version)))
+          return latest(root)
+        val exceeded = txns.filter(t =>
+          lastTxnVersion(root, t.appId).exists(_ > t.version))
+        if (exceeded.nonEmpty)
+          throw new StaleStampException(
+            s"commit at $root: ${exceeded.map(_.appId).mkString(", ")} " +
+              "already advanced past this commit's pinned version by a " +
+              "concurrent writer; restart from fresh high-water marks")
+      }
+      if (!pinCheck())
+        throw new StaleStampException(
+          s"commit at $root: pinned inputs went stale before commit; " +
+            "restart from fresh high-water marks")
       val base = latest(root)
       val rows = newRows(read(spark, base))
       enforceConstraints(rows,
@@ -888,7 +929,7 @@ object SnapshotStore {
       if (cdcKeys(root).nonEmpty)
         rows.withColumn(ChangeTypeCol, lit("insert"))
           .write.mode("overwrite").parquet(s"$dir/_changes")
-      if (tryCommit(root, base.version, dir.toString, txn.toSeq))
+      if (tryCommit(root, base.version, dir.toString, txns))
         return Snapshot(base.version + 1, dir.toString)
       attempt += 1 // lost the race: orphaned dir is cleanOrphans food
     }
@@ -916,7 +957,8 @@ object SnapshotStore {
 
   def append(spark: SparkSession, root: String, rows: DataFrame,
       overwrite: Boolean = false, maxAttempts: Int = 10,
-      txn: Option[Txn] = None): Snapshot = {
+      txn: Option[Txn] = None, extraTxns: Seq[Txn] = Nil,
+      pinCheck: () => Boolean = () => true): Snapshot = {
     import org.apache.spark.sql.functions.{col, lit}
     // identity tables assign ids on EVERY write path — a direct-API,
     // SqlDml, or streaming append must never pad the identity column with
@@ -928,7 +970,8 @@ object SnapshotStore {
           start = f.metadata.getLong("identity.start"),
           step = f.metadata.getLong("identity.step"),
           allowExplicit = f.metadata.getBoolean("identity.allowExplicitInsert"),
-          overwrite = overwrite, maxAttempts = maxAttempts, txn = txn)
+          overwrite = overwrite, maxAttempts = maxAttempts, txn = txn,
+          extraTxns = extraTxns, pinCheck = pinCheck)
       case None => ()
     }
     def aligned(base: DataFrame): DataFrame = {
@@ -950,7 +993,8 @@ object SnapshotStore {
       // here that is literally "rewrite touched partitions, hard-link the
       // others", the same copy-on-write staging as partial DML
       val parts = partitionCols(root)
-      transactPartialWithChanges(spark, root, maxAttempts, txn = txn) { base =>
+      transactPartialWithChanges(spark, root, maxAttempts, txn = txn,
+          extraTxns = extraTxns, pinCheck = pinCheck) { base =>
         import org.apache.spark.sql.functions.broadcast
         val newVals = aligned(base).select(parts.map(col): _*).distinct()
         val keys = cdcKeys(root)
@@ -974,12 +1018,14 @@ object SnapshotStore {
       }
     }
     else if (overwrite)
-      transact(spark, root, maxAttempts, txn = txn)(base => aligned(base))
+      transact(spark, root, maxAttempts, txn = txn, extraTxns = extraTxns,
+        pinCheck = pinCheck)(base => aligned(base))
     else if (partitionCols(root).nonEmpty)
       // partitioned append is TRUE append: write only the new rows (their
       // partition dirs merge with linked existing files), hard-link every
       // existing file — O(appended data), never O(table)
-      transactPartialWithChanges(spark, root, maxAttempts, txn = txn) { base =>
+      transactPartialWithChanges(spark, root, maxAttempts, txn = txn,
+          extraTxns = extraTxns, pinCheck = pinCheck) { base =>
         val keys = cdcKeys(root)
         if (keys.nonEmpty) {
           val clash = aligned(base).join(base, keys, "left_semi").limit(1)
@@ -993,8 +1039,10 @@ object SnapshotStore {
         (a, a.withColumn(ChangeTypeCol, lit("insert")))
       }
     else if (cdcKeys(root).isEmpty)
-      transactAppendFiles(spark, root, maxAttempts, txn)(aligned)
-    else transactAppendFiles(spark, root, maxAttempts, txn) { base =>
+      transactAppendFiles(spark, root, maxAttempts, txn,
+        extraTxns = extraTxns, pinCheck = pinCheck)(aligned)
+    else transactAppendFiles(spark, root, maxAttempts, txn,
+        extraTxns = extraTxns, pinCheck = pinCheck) { base =>
       val a = aligned(base)
       val keys = cdcKeys(root)
       val clash = a.join(base, keys, "left_semi").limit(1)

@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.sources.{CopyInto, SnapshotStore}
+import org.apache.spark.sql.functions._
+
+/** COPY INTO contract (sources/CopyInto): file-level exactly-once across
+  * replays, late arrivals, modified re-drops, racing loaders, and VACUUM
+  * of the commits that recorded the ledger.
+  */
+class CopyIntoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def dropShard(dir: String, name: String, rows: Seq[(Long, Long)]): Unit =
+    rows.toDF("id", "v").coalesce(1).write.parquet(s"$dir/$name")
+
+  test("load / replay no-op / late arrival — each file exactly once") {
+    val root = tmp("graft_ci_tbl")
+    val drop = tmp("graft_ci_drop")
+    SnapshotStore.init(spark, root, Seq.empty[(Long, Long)].toDF("id", "v"))
+    dropShard(drop, "a", Seq((1L, 10L), (2L, 20L)))
+    dropShard(drop, "b", Seq((3L, 30L)))
+
+    val r1 = CopyInto.run(spark, root, drop)
+    assert(r1.filesLoaded == 2L && r1.rowsLoaded == 3L && r1.filesSkipped == 0L)
+    val r2 = CopyInto.run(spark, root, drop)
+    assert(r2.filesLoaded == 0L && r2.filesSkipped == 2L &&
+      r2.version == r1.version, "replay must not commit")
+
+    dropShard(drop, "c", Seq((4L, 40L)))
+    val r3 = CopyInto.run(spark, root, drop)
+    assert(r3.filesLoaded == 1L && r3.rowsLoaded == 1L &&
+      r3.version == r1.version + 1)
+    assert(SnapshotStore.read(spark, root).orderBy($"id")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+  }
+
+  test("a re-dropped (modified) file is SKIPPED — path identity, the COPY INTO rule") {
+    val root = tmp("graft_ci_mod")
+    val drop = tmp("graft_ci_mdrop")
+    SnapshotStore.init(spark, root, Seq.empty[(Long, Long)].toDF("id", "v"))
+    dropShard(drop, "a", Seq((1L, 10L)))
+    assert(CopyInto.run(spark, root, drop).filesLoaded == 1L)
+    // rewrite the SAME file path with different bytes (rsync re-drop)
+    val stage = tmp("graft_ci_stage")
+    dropShard(stage, "a2", Seq((9L, 90L)))
+    val newPart = Files.list(Paths.get(stage, "a2")).iterator()
+    val src = {
+      var p: java.nio.file.Path = null
+      while (newPart.hasNext) { val c = newPart.next()
+        if (c.toString.endsWith(".parquet")) p = c }
+      p
+    }
+    val oldPart = Files.list(Paths.get(drop, "a")).iterator()
+    var dst: java.nio.file.Path = null
+    while (oldPart.hasNext) { val c = oldPart.next()
+      if (c.toString.endsWith(".parquet")) dst = c }
+    Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    val r = CopyInto.run(spark, root, drop)
+    assert(r.filesLoaded == 0L && r.filesSkipped == 1L,
+      s"modified file must not silently reload: $r")
+    assert(SnapshotStore.read(spark, root).as[(Long, Long)].head() == ((1L, 10L)))
+  }
+
+  test("glob pattern bounds the candidate set; hidden files never load") {
+    val root = tmp("graft_ci_pat")
+    val drop = tmp("graft_ci_pdrop")
+    SnapshotStore.init(spark, root, Seq.empty[(Long, Long)].toDF("id", "v"))
+    dropShard(drop, "keep", Seq((1L, 10L)))
+    // a stray non-parquet file and a hidden dir must both be invisible
+    Files.writeString(Paths.get(drop, "notes.txt"), "not data")
+    Files.createDirectories(Paths.get(drop, "_staging"))
+    Files.writeString(Paths.get(drop, "_staging", "x.parquet"), "junk")
+    val r = CopyInto.run(spark, root, drop, pattern = Some("*.parquet"))
+    assert(r.filesLoaded == 1L && r.rowsLoaded == 1L)
+  }
+
+  test("a racing loader's stamps abort the optimistic commit; the retry loads only the remainder") {
+    val root = tmp("graft_ci_race")
+    val drop = tmp("graft_ci_rdrop")
+    SnapshotStore.init(spark, root, Seq.empty[(Long, Long)].toDF("id", "v"))
+    dropShard(drop, "a", Seq((1L, 10L)))
+    dropShard(drop, "b", Seq((2L, 20L)))
+    val files = CopyInto.listSourceFiles(drop, None)
+    assert(files.size == 2)
+    // simulate the racer: shard a's rows + stamp land first, as one commit
+    SnapshotStore.append(spark, root, Seq((1L, 10L)).toDF("id", "v"),
+      extraTxns = Seq(SnapshotStore.Txn(CopyInto.fileAppId(files.head), 1L)))
+    // the late loader lists, sees a loaded, ingests only b
+    val r = CopyInto.run(spark, root, drop)
+    assert(r.filesLoaded == 1L && r.filesSkipped == 1L, s"$r")
+    assert(SnapshotStore.read(spark, root).orderBy($"id")
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 10L), (2L, 20L)))
+    // and the direct plumbing: a pinCheck that reports stale aborts
+    intercept[SnapshotStore.StaleStampException] {
+      SnapshotStore.append(spark, root, Seq((3L, 30L)).toDF("id", "v"),
+        extraTxns = Seq(SnapshotStore.Txn("ingest:deadbeef", 1L)),
+        pinCheck = () => false)
+    }
+    // full-coverage replay through the append path is a no-op
+    val v = SnapshotStore.latest(root).version
+    val s2 = SnapshotStore.append(spark, root, Seq((1L, 10L)).toDF("id", "v"),
+      extraTxns = Seq(SnapshotStore.Txn(CopyInto.fileAppId(files.head), 1L)))
+    assert(s2.version == v, "covered stamps must short-circuit the append")
+  }
+
+  test("the ledger survives VACUUM: stamps fold into the checkpoint before commits expire") {
+    val root = tmp("graft_ci_vac")
+    val drop = tmp("graft_ci_vdrop")
+    SnapshotStore.init(spark, root, Seq.empty[(Long, Long)].toDF("id", "v"))
+    dropShard(drop, "a", Seq((1L, 10L)))
+    val r1 = CopyInto.run(spark, root, drop)
+    assert(r1.filesLoaded == 1L)
+    // bury the ingest commit, then expire everything but the tip
+    for (i <- 2L to 4L)
+      SnapshotStore.append(spark, root, Seq((i * 10, i)).toDF("id", "v"))
+    SnapshotStore.expireSnapshots(root, keepLast = 1)
+    assert(!Files.exists(Paths.get(root, "_commits", "0000000001.commit")),
+      "the ingest commit file must actually be gone for this test to bite")
+    val r2 = CopyInto.run(spark, root, drop)
+    assert(r2.filesLoaded == 0L && r2.filesSkipped == 1L,
+      s"ledger must survive vacuum via the txn checkpoint: $r2")
+  }
+
+  test("csv loads under the table schema; extra parquet columns refuse") {
+    val root = tmp("graft_ci_csv")
+    val drop = tmp("graft_ci_cdrop")
+    SnapshotStore.init(spark, root, Seq.empty[(Long, Long)].toDF("id", "v"))
+    Files.createDirectories(Paths.get(drop))
+    Files.writeString(Paths.get(drop, "rows.csv"), "5,50\n6,60\n")
+    val r = CopyInto.run(spark, root, drop, format = "csv")
+    assert(r.filesLoaded == 1L && r.rowsLoaded == 2L)
+    assert(SnapshotStore.read(spark, root).orderBy($"id")
+      .as[(Long, Long)].collect().toSeq == Seq((5L, 50L), (6L, 60L)))
+    // a shard with a column the table lacks must refuse loudly
+    val drop2 = tmp("graft_ci_xdrop")
+    Seq((7L, 70L, "x")).toDF("id", "v", "extra")
+      .coalesce(1).write.parquet(s"$drop2/bad")
+    val e = intercept[IllegalArgumentException] {
+      CopyInto.run(spark, root, drop2)
+    }
+    assert(e.getMessage.contains("extra"))
+  }
+}

@@ -175,7 +175,8 @@ class GraftCatalogSpec extends SparkSpec {
     val procs = shown.select(nameCol).collect().map(_.getString(0)).toSet
     assert(procs == Set("optimize", "expire_snapshots", "clean_orphans",
       "restore", "clone", "create_mv", "refresh_mv",
-      "create_join_mv", "refresh_join_mv", "create_tag", "drop_tag"),
+      "create_join_mv", "refresh_join_mv", "create_tag", "drop_tag",
+      "copy_into"),
       s"procedure surface: $procs")
   }
 
