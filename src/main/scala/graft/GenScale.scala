@@ -541,3 +541,61 @@ object ProbeTxnCheckpoint {
     spark.stop()
   }
 }
+
+/** COPY-INTO scale probe: a FIXED 10-file ingest against drop zones whose
+  * LEDGER differs 10× (already-loaded file count). The per-run cost must
+  * track the new batch, never the history: candidate listing is O(zone)
+  * driver-side names, the ledger probe is one txn-checkpoint read + a
+  * bounded commit-log tail (stamps fold every 64 commits), and the
+  * read+append is one distributed job over the 10 new files. A ledger
+  * probed one lastTxnVersion call per file — or stamps that never fold —
+  * would grow with total-ever-ingested and show ~10× here.
+  *
+  * Usage: runMain graft.ProbeCopyInto <filesSmall> <filesBig>
+  */
+object ProbeCopyInto {
+  def main(args: Array[String]): Unit = {
+    import graft.sources.{CopyInto, SnapshotStore}
+    val Array(nSmall, nBig) = args.take(2).map(_.toInt)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def run(preloaded: Int): Double = {
+      val root = GateTmp.freshDir(s"probe_ci_$preloaded")
+      val drop = GateTmp.freshDir(s"probe_ci_drop_$preloaded")
+      SnapshotStore.init(spark, root,
+        spark.range(0).selectExpr("id", "id AS v"))
+      // history: `preloaded` files ingested across many commits, so the
+      // ledger spans checkpoint folds, not one fat commit
+      for (g <- 0 until preloaded / 10) {
+        for (i <- 0 until 10)
+          spark.range(g * 10 + i, g * 10 + i + 1).selectExpr("id", "id AS v")
+            .coalesce(1).write.parquet(s"$drop/old_${g * 10 + i}")
+        CopyInto.run(spark, root, drop)
+      }
+      // the measured work: 10 NEW files against that history
+      for (i <- 0 until 10)
+        spark.range(1000000 + i, 1000000 + i + 1).selectExpr("id", "id AS v")
+          .coalesce(1).write.parquet(s"$drop/new_$i")
+      time {
+        val r = CopyInto.run(spark, root, drop)
+        require(r.filesLoaded == 10L && r.filesSkipped == preloaded.toLong,
+          s"probe invariant: $r")
+      }
+    }
+    run(nSmall) // warm-up
+    val s1 = run(nSmall)
+    val b1 = run(nBig)
+    println(f"ledger=$nSmall%d copy-into-10=$s1%.2fs")
+    println(f"ledger=$nBig%d copy-into-10=$b1%.2fs")
+    println(f"growth=${b1 / s1}%.2fx (flat = O(batch) ingest, log-scale ledger)")
+    spark.stop()
+  }
+}

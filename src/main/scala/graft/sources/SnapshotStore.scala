@@ -288,6 +288,25 @@ object SnapshotStore {
     (base.get(appId).toSeq ++ tail.toSeq).maxOption
   }
 
+  /** Bulk [[lastTxnVersion]]: the high-water mark of EVERY app in
+    * `appIds`, from ONE checkpoint read + ONE commit-log tail scan. A
+    * COPY INTO batch asserts one stamp per file; probing them one
+    * lastTxnVersion call each would re-parse the log tail per file —
+    * O(files × tail) — where this is O(tail).
+    */
+  def lastTxnVersions(root: String, appIds: Set[String]): Map[String, Long] = {
+    val (ckptV, base) = readTxnCheckpoint(root)
+    val tail = listDir(commitsDir(root)).iterator
+      .filter(_.getFileName.toString.endsWith(".commit"))
+      .filter(_.getFileName.toString.stripSuffix(".commit").toLong > ckptV)
+      .flatMap(f => parseCommit(f)._2)
+      .filter(t => appIds(t.appId))
+      .toSeq
+    (base.view.filterKeys(appIds).toSeq ++
+      tail.map(t => t.appId -> t.version))
+      .groupMapReduce(_._1)(_._2)(math.max)
+  }
+
   /** Every app id starting with `prefix` that has EVER stamped a commit,
     * with its high-water mark — one checkpoint read + a tail scan, shared
     * by ledger-style consumers (COPY INTO's per-file ingest stamps) that
@@ -887,12 +906,14 @@ object SnapshotStore {
     while (attempt < maxAttempts) {
       // same stamp semantics as transactImpl: ALL covered -> replayed
       // no-op; a stamp strictly exceeded -> abort (a concurrent writer
-      // advanced past what this append asserts)
+      // advanced past what this append asserts). One bulk log scan: a
+      // COPY INTO append asserts a stamp PER FILE.
       if (txns.nonEmpty) {
-        if (txns.forall(t => lastTxnVersion(root, t.appId).exists(_ >= t.version)))
+        val marks = lastTxnVersions(root, txns.map(_.appId).toSet)
+        if (txns.forall(t => marks.get(t.appId).exists(_ >= t.version)))
           return latest(root)
         val exceeded = txns.filter(t =>
-          lastTxnVersion(root, t.appId).exists(_ > t.version))
+          marks.get(t.appId).exists(_ > t.version))
         if (exceeded.nonEmpty)
           throw new StaleStampException(
             s"commit at $root: ${exceeded.map(_.appId).mkString(", ")} " +
