@@ -2085,5 +2085,70 @@ object Temporal {
            |FROM orders
            |GROUP BY o_orderkey % 10
            |ORDER BY bucket""".stripMargin
+      }),
+
+    // Q110 [extension: PARTITION-SPEC EVOLUTION] the Iceberg contract end
+    // to end, through bare SQL: a table accretes data flat, evolves to
+    // partition by `seg` WITHOUT rewriting a byte (metadata-only commit),
+    // keeps ingesting under the new layout while reads span both eras
+    // (per-spec planning: directory pruning on new files, row-group stats
+    // on old), then one OPTIMIZE migrates everything to the current spec
+    // and heals the table to single-layout. The requires pin the physics
+    // (old files untouched at top level, new rows in seg= dirs, sidecar
+    // gone after migration); the final grouped checksum over all three
+    // ingest eras is hash-pinned against DuckDB reading the same rows.
+    "q110_partition_evolution" -> QueryDef(
+      build = (s, d) => {
+        val wh = graft.GateTmp.freshDir("q110")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("CREATE TABLE graft.q110t (ok BIGINT, seg BIGINT, price_c BIGINT)")
+        Tables.orders(s, d).createOrReplaceTempView("q110_ord")
+        val cents = graft.Canon.centsSql("o_totalprice")
+        def insertEra(r: Int): Unit = s.sql(
+          s"""INSERT INTO graft.q110t
+             |SELECT o_orderkey, o_orderkey % 5, $cents FROM q110_ord
+             |WHERE o_orderkey % 3 = $r""".stripMargin)
+        insertEra(0) // v1: flat era
+        val evolved = s.sql(
+          "CALL graft.system.set_partition_spec('q110t', 'seg')").head()
+        require(evolved.getLong(1) == 2L, s"spec_count after evolve: $evolved")
+        insertEra(1) // v3: lands under _spec1/seg=…
+        val root = s"$wh/q110t"
+        val span = graft.sources.SnapshotStore.latest(root)
+        require(graft.sources.SnapshotStore.isEvolved(span.dataDir),
+          "snapshot must span specs before migration")
+        require(java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(span.dataDir, "_spec1", "seg=0")),
+          "new-era rows must lay out by the new spec")
+        // pre-evolution version still reads with its own (flat) layout
+        val v1 = s.sql("SELECT count(*) FROM graft.q110t VERSION AS OF 1")
+          .head().getLong(0)
+        val flatOnly = s.sql(
+          "SELECT count(*) FROM q110_ord WHERE o_orderkey % 3 = 0")
+          .head().getLong(0)
+        require(v1 == flatOnly, s"time travel across the evolution: $v1 != $flatOnly")
+        // migrate: one full rewrite, table heals to the current spec
+        s.sql("CALL graft.system.optimize('q110t', 1000000)")
+        val healed = graft.sources.SnapshotStore.latest(root)
+        require(!graft.sources.SnapshotStore.isEvolved(healed.dataDir),
+          "OPTIMIZE must migrate to single-spec")
+        require(java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(healed.dataDir, "seg=0")),
+          "migrated layout must be hive dirs at top level")
+        insertEra(2) // v5: a normal partitioned append post-migration
+        s.sql(
+          """SELECT seg, count(*) AS n_rows, sum(price_c) AS sum_price
+            |FROM graft.q110t GROUP BY seg ORDER BY seg""".stripMargin)
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("o_totalprice")
+        s"""SELECT o_orderkey % 5 AS seg,
+           |       CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(sum($cents) AS BIGINT) AS sum_price
+           |FROM orders
+           |GROUP BY o_orderkey % 5
+           |ORDER BY seg""".stripMargin
       }))
 }

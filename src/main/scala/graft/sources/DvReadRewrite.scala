@@ -87,13 +87,15 @@ object DvReadRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** Needs the store read: a DV sidecar (raw scan resurrects deletes) or
-    * a rename mapping (raw scan null-fills the renamed column — files
-    * still carry the physical pre-rename name).
+  /** Needs the store read: a DV sidecar (raw scan resurrects deletes), a
+    * rename mapping (raw scan null-fills the renamed column — files still
+    * carry the physical pre-rename name), or a snapshot spanning
+    * partition specs (raw scan misses every `_spec<i>` subtree row).
     */
   private def isDvTable(t: org.apache.spark.sql.connector.catalog.Table): Boolean =
     t match {
-      case g: GraftTable => g.hasDeletionVector || g.hasRenames
+      case g: GraftTable =>
+        g.hasDeletionVector || g.hasRenames || g.hasEvolvedSpecs
       case _ => false
     }
 

@@ -569,7 +569,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "refresh_join_mv" -> GraftCatalog.RefreshJoinMvProc,
       "create_tag" -> GraftCatalog.CreateTagProc,
       "drop_tag" -> GraftCatalog.DropTagProc,
-      "copy_into" -> GraftCatalog.CopyIntoProc)
+      "copy_into" -> GraftCatalog.CopyIntoProc,
+      "set_partition_spec" -> GraftCatalog.SetPartitionSpecProc)
     procs.get(ident.name.toLowerCase).map(_(this))
       .getOrElse(throw new RuntimeException(
         s"unknown procedure ${ident.name} (have: ${procs.keys.mkString(", ")})"))
@@ -578,7 +579,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("optimize", "expire_snapshots", "clean_orphans", "restore", "clone",
         "create_mv", "refresh_mv", "create_join_mv", "refresh_join_mv",
-        "create_tag", "drop_tag", "copy_into")
+        "create_tag", "drop_tag", "copy_into", "set_partition_spec")
       .map(Identifier.of(Array("system"), _))
 
   /** `'ns.t'` (warehouse-relative) or a filesystem root — the same rule as
@@ -947,6 +948,29 @@ object GraftCatalog {
       }
     }
 
+  /** `CALL graft.system.set_partition_spec('ns.t', 'day,region')` —
+    * partition-spec EVOLUTION (the Iceberg contract): a metadata-only
+    * commit; history keeps its layout, new appends use the new spec,
+    * reads plan per spec, a full OPTIMIZE migrates. Empty cols =
+    * de-partition. See [[SnapshotStore.alterPartitionSpec]].
+    */
+  private[sources] val SetPartitionSpecProc: GraftCatalog => UnboundProcedure =
+    cat => new Proc("set_partition_spec",
+      Seq(p("table", StringType), p("cols", StringType)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("version", LongType),
+        org.apache.spark.sql.types.StructField("spec_count", LongType)))) {
+      override protected def run(in: InternalRow): InternalRow = {
+        val spark = SparkSession.active
+        val root = cat.tableRoot(in.getString(0))
+        val cols = Option(in.getString(1)).map(_.trim).filter(_.nonEmpty)
+          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+        val snap = SnapshotStore.alterPartitionSpec(spark, root, cols)
+        InternalRow(snap.version,
+          SnapshotStore.readSpecs(snap.dataDir).size.toLong)
+      }
+    }
+
   /** `CALL graft.system.copy_into('ns.t', '/drop/zone' [, format
     * [, pattern]])` — idempotent drop-zone file ingest; see [[CopyInto]].
     * Returns (files_loaded, rows_loaded, files_skipped, version).
@@ -1072,6 +1096,14 @@ private[sources] class GraftTable(spark: SparkSession, tableName: String,
   private[sources] def hasRenames: Boolean =
     SnapshotStore.readRenames(snap.dataDir).nonEmpty
 
+  /** True when this snapshot SPANS partition specs (evolution pending
+    * migration) — the raw parquet scan of the dir would miss every row
+    * under the `_spec<i>` subtrees, so [[DvReadRewrite]] routes reads
+    * through the store's per-spec union read.
+    */
+  private[sources] def hasEvolvedSpecs: Boolean =
+    SnapshotStore.isEvolved(snap.dataDir)
+
   /** `TRUNCATE TABLE` — a COMMIT (empty snapshot), never a deletion:
     * history still serves every pre-truncate version, schema/partitioning/
     * constraints/CDC config stay, and on CDC tables the feed records the
@@ -1132,7 +1164,8 @@ private[sources] class GraftTable(spark: SparkSession, tableName: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (Files.isDirectory(Paths.get(snap.dataDir, "_manifest")) ||
-        SnapshotStore.hasDv(snap.dataDir))
+        SnapshotStore.hasDv(snap.dataDir) ||
+        SnapshotStore.isEvolved(snap.dataDir))
       // stats-maintained snapshot (manifest file skipping at planning
       // time) — or a deletion-vector-bearing one, whose builder must
       // refuse footer-based aggregate pushdown (deleted rows would count)

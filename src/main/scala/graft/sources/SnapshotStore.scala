@@ -99,6 +99,120 @@ object SnapshotStore {
     else Nil
   }
 
+  // ---- partition-spec evolution (the Iceberg contract) ---------------------
+  //
+  // `ALTER ... SET PARTITION SPEC` must not rewrite 100 TB of history:
+  // committed files KEEP their layout; only data written after the change
+  // uses the new one. A snapshot that spans specs records them in a
+  // `_specs.tsv` sidecar — one line per spec, `subdir TAB cols,csv` —
+  // where subdir "." is the dir's top level (the original layout) and
+  // each later spec lives under `_spec<i>/` (underscore-prefixed, so
+  // Spark's own listing of the top level never descends into it). Reads
+  // plan PER SPEC and union ([[readDirEvolved]]): partition predicates
+  // prune directories in new-spec subtrees and fall back to row-group
+  // stats on old files — exactly Iceberg's split planning. Any full
+  // rewrite (OPTIMIZE, INSERT OVERWRITE, full-COW DML) stages entirely in
+  // the CURRENT spec and drops the sidecar: migration is one compaction,
+  // and the table heals back to single-spec. Partition-SCOPED operations
+  // (partial DML/compaction, MoR) refuse on a spanning table — their
+  // "touched partitions" contract has no meaning across two layouts.
+
+  private def specsFile(dir: String): Path = Paths.get(dir, "_specs.tsv")
+
+  /** True when snapshot dir `dir` spans more than one partition spec. */
+  private[graft] def isEvolved(dir: String): Boolean = Files.exists(specsFile(dir))
+
+  /** The specs a snapshot dir spans, oldest first: (subdir, cols).
+    * Empty when the dir predates any evolution (single implicit spec).
+    */
+  private[graft] def readSpecs(dir: String): Seq[(String, Seq[String])] = {
+    val f = specsFile(dir)
+    if (!Files.exists(f)) Nil
+    else Files.readString(f).linesIterator.filter(_.nonEmpty).map { l =>
+      val parts = l.split("\t", 2)
+      (parts(0), if (parts.length < 2) Nil
+        else parts(1).split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    }.toSeq
+  }
+
+  private def writeSpecs(dir: String, specs: Seq[(String, Seq[String])]): Unit =
+    Files.writeString(specsFile(dir),
+      specs.map { case (sub, cols) => s"$sub\t${cols.mkString(",")}" }
+        .mkString("\n"))
+
+  private def carrySpecs(baseDir: String, dir: String): Unit = {
+    val src = specsFile(baseDir)
+    if (Files.exists(src) && !Files.exists(specsFile(dir)))
+      Files.copy(src, specsFile(dir))
+  }
+
+  /** Change the table's partition spec WITHOUT rewriting data — a
+    * metadata-only commit (hard-linked files + the specs sidecar), the
+    * Iceberg partition-evolution shape. New appends land under the new
+    * spec; history keeps its layout; reads span both; OPTIMIZE migrates.
+    * Refused where a second layout would corrupt an existing contract:
+    * identity tables (their appends require the unpartitioned staging),
+    * snapshots carrying deletion vectors or rename mappings (their
+    * file-relative state assumes one layout — OPTIMIZE first), and specs
+    * referencing columns the table lacks.
+    */
+  def alterPartitionSpec(spark: SparkSession, root: String,
+      newCols: Seq[String], maxAttempts: Int = 10): Snapshot = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latest(root)
+      val schema = readSchema(spark, base)
+      val missing = newCols.filterNot(c =>
+        schema.fields.exists(_.name.equalsIgnoreCase(c)))
+      require(missing.isEmpty,
+        s"partition spec references missing column(s): ${missing.mkString(", ")}")
+      require(!schema.fields.exists(_.metadata.contains("identity.start")),
+        s"partition-spec evolution is not supported on identity tables ($root)")
+      require(!hasDv(base.dataDir),
+        s"$root carries a deletion-vector sidecar; OPTIMIZE (full rewrite) " +
+          "before evolving the partition spec")
+      require(readRenames(base.dataDir).isEmpty,
+        s"$root carries a RENAME COLUMN mapping; OPTIMIZE (full rewrite) " +
+          "before evolving the partition spec")
+      val current = readSpecs(base.dataDir) match {
+        case Nil => Seq(("." , partitionCols(root)))
+        case s => s
+      }
+      require(current.last._2.map(_.toLowerCase) !=
+        newCols.map(_.toLowerCase),
+        s"partition spec of $root is already (${newCols.mkString(", ")})")
+      val specs = current :+ (s"_spec${current.size}", newCols)
+      val dir = Paths.get(root, "data", UUID.randomUUID().toString)
+      Files.createDirectories(dir)
+      linkParquetTree(Paths.get(base.dataDir), dir)
+      Files.writeString(dir.resolve("_schema.json"), schema.json)
+      writeSpecs(dir.toString, specs)
+      carryStateSidecars(base.dataDir, dir.toString)
+      // the stats manifest is deliberately NOT carried: a manifest is a
+      // COMPLETE file list (absent file = pruned away), and files appended
+      // under later specs would be absent — skipping resumes when the
+      // migrating OPTIMIZE rebuilds it
+      if (cdcKeys(root).nonEmpty) // a spec change is not a row change
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          schema.add(ChangeTypeCol, org.apache.spark.sql.types.StringType))
+          .write.mode("overwrite").parquet(s"$dir/_changes")
+      if (tryCommit(root, base.version, dir.toString)) {
+        // current WRITE spec: root-level config, like init's. Written
+        // after the CAS win; appends derive their layout from the
+        // committed sidecar, so a crash here costs nothing but a stale
+        // partitionCols() listing (healed by the next alter/clone)
+        if (newCols.nonEmpty)
+          Files.writeString(partitionsFile(root), newCols.mkString(","))
+        else Files.deleteIfExists(partitionsFile(root))
+        return Snapshot(base.version + 1, dir.toString)
+      }
+      attempt += 1 // lost the race: orphaned link dir is cleanOrphans food
+    }
+    throw new CommitConflictException(
+      s"lost the commit race $maxAttempts times at $root")
+  }
+
   /** Table-level CHECK constraints (name → boolean predicate SQL), the
     * public Delta CHECK-constraint contract: EVERY commit to the table —
     * SQL DML, catalog INSERT, compaction, any transact — validates its
@@ -493,11 +607,20 @@ object SnapshotStore {
         s"column name(s) ${collide.map(_.name).mkString(", ")} are still " +
           s"carried physically by pre-rename files of $root; OPTIMIZE " +
           "(full rewrite) first, then add")
+      // every spec the snapshot spans keys files by its columns — a
+      // schema change may not orphan any of them
+      val specCols = readSpecs(base.dataDir).flatMap(_._2) ++ partitionCols(root)
+      val lostSpec = specCols.distinct.filterNot(c =>
+        next.exists(_.name.equalsIgnoreCase(c)))
+      require(lostSpec.isEmpty,
+        s"cannot drop/rename partition-spec column(s) " +
+          s"${lostSpec.mkString(", ")} of $root (directory layout)")
       val dir = Paths.get(root, "data", UUID.randomUUID().toString)
       Files.createDirectories(dir)
       linkParquetTree(Paths.get(base.dataDir), dir)
       Files.writeString(dir.resolve("_schema.json"), next.json)
       writeRenames(dir.toString, ren)
+      carrySpecs(base.dataDir, dir.toString)
       carryStateSidecars(base.dataDir, dir.toString)
       if (cdcKeys(root).nonEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -525,7 +648,11 @@ object SnapshotStore {
         "feed's per-version frames identify columns by name, and a rename " +
         "would fork the feed schema mid-stream. Recreate the feed consumer " +
         "on a rewritten table instead")
-    val parts = partitionCols(root).map(_.toLowerCase).toSet
+    require(!isEvolved(latest(root).dataDir),
+      s"RENAME COLUMN on $root while a partition-spec evolution is " +
+        "pending; OPTIMIZE (full rewrite) to migrate first")
+    val parts = (partitionCols(root) ++
+      readSpecs(latest(root).dataDir).flatMap(_._2)).map(_.toLowerCase).toSet
     // SQL-text references a rename would dangle: CHECK constraints,
     // generated columns, column defaults
     val exprTexts = tableConstraints(root).map(_._2) ++
@@ -605,6 +732,18 @@ object SnapshotStore {
       linkParquetTree(Paths.get(target.dataDir), dir)
       val sj = Paths.get(target.dataDir, "_schema.json")
       if (Files.exists(sj)) Files.copy(sj, dir.resolve("_schema.json"))
+      // the partition spec travels WITH the snapshot: restoring to a
+      // pre-evolution version must also restore the write-side spec, or
+      // the next append would lay out rows by a spec the restored
+      // snapshot never had
+      carrySpecs(target.dataDir, dir.toString)
+      val effectiveSpec = readSpecs(target.dataDir) match {
+        case s if s.nonEmpty => Some(s.last._2)
+        case _ => readSpecs(base.dataDir) match {
+          case s if s.nonEmpty => Some(s.head._2) // the original layout
+          case _ => None // never evolved: write spec unchanged
+        }
+      }
       // identity high-water mark rolls back WITH the data (self-consistent
       // restore semantics; ids re-allocated after the restore can repeat
       // values that exist only in the undone, still-time-travelable
@@ -624,8 +763,14 @@ object SnapshotStore {
         diffChanges(headAligned, restored, keys)
           .write.mode("overwrite").parquet(s"$dir/_changes")
       }
-      if (tryCommit(root, base.version, dir.toString))
+      if (tryCommit(root, base.version, dir.toString)) {
+        effectiveSpec.foreach { cols =>
+          if (cols.nonEmpty)
+            Files.writeString(partitionsFile(root), cols.mkString(","))
+          else Files.deleteIfExists(partitionsFile(root))
+        }
         return Snapshot(base.version + 1, dir.toString)
+      }
       attempt += 1 // lost the race: the orphaned link dir is cleanOrphans food
     }
     throw new CommitConflictException(
@@ -654,6 +799,7 @@ object SnapshotStore {
     linkParquetTree(Paths.get(src.dataDir), dir)
     val sj = Paths.get(src.dataDir, "_schema.json")
     if (Files.exists(sj)) Files.copy(sj, dir.resolve("_schema.json"))
+    carrySpecs(src.dataDir, dir.toString) // spec history travels too
     carryStateSidecars(src.dataDir, dir.toString) // clone continues numbering
     carryRenames(src.dataDir, dir.toString)
     val keys = cdcKeys(srcRoot)
@@ -958,6 +1104,67 @@ object SnapshotStore {
       s"lost the commit race $maxAttempts times at $root")
   }
 
+  /** O(batch) append onto a snapshot that SPANS partition specs: the new
+    * version hard-links every base file (old layouts ride untouched) and
+    * writes ONLY the batch under the CURRENT spec's `_spec<i>/` subtree,
+    * laid out by that spec's columns. Same optimistic-commit + stamp
+    * semantics as [[transactAppendFiles]]; the specs sidecar carries so
+    * reads keep planning per spec.
+    */
+  private def transactAppendEvolved(spark: SparkSession, root: String,
+      maxAttempts: Int, txn: Option[Txn], extraTxns: Seq[Txn] = Nil,
+      pinCheck: () => Boolean = () => true)(
+      newRows: DataFrame => DataFrame): Snapshot = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    val txns = txn.toSeq ++ extraTxns
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      if (txns.nonEmpty) {
+        val marks = lastTxnVersions(root, txns.map(_.appId).toSet)
+        if (txns.forall(t => marks.get(t.appId).exists(_ >= t.version)))
+          return latest(root)
+        val exceeded = txns.filter(t =>
+          marks.get(t.appId).exists(_ > t.version))
+        if (exceeded.nonEmpty)
+          throw new StaleStampException(
+            s"commit at $root: ${exceeded.map(_.appId).mkString(", ")} " +
+              "already advanced past this commit's pinned version by a " +
+              "concurrent writer; restart from fresh high-water marks")
+      }
+      if (!pinCheck())
+        throw new StaleStampException(
+          s"commit at $root: pinned inputs went stale before commit; " +
+            "restart from fresh high-water marks")
+      val base = latest(root)
+      val specs = readSpecs(base.dataDir)
+      require(specs.nonEmpty && specs.last._1 != ".",
+        s"transactAppendEvolved on a non-evolved snapshot at $root")
+      val (sub, cols) = specs.last
+      val rows = newRows(read(spark, base))
+      enforceConstraints(rows,
+        tableConstraints(root).map { case (n, sql) => (n, expr(sql)) })
+      val dir = Paths.get(root, "data", UUID.randomUUID().toString)
+      Files.createDirectories(dir)
+      val tgt = s"$dir/$sub"
+      if (cols.nonEmpty)
+        rows.write.mode("append").partitionBy(cols: _*).parquet(tgt)
+      else rows.write.mode("append").parquet(tgt)
+      linkParquetTree(Paths.get(base.dataDir), dir)
+      Files.writeString(dir.resolve("_schema.json"),
+        readSchema(spark, base).json)
+      carrySpecs(base.dataDir, dir.toString)
+      carryStateSidecars(base.dataDir, dir.toString)
+      if (cdcKeys(root).nonEmpty)
+        rows.withColumn(ChangeTypeCol, lit("insert"))
+          .write.mode("overwrite").parquet(s"$dir/_changes")
+      if (tryCommit(root, base.version, dir.toString, txns))
+        return Snapshot(base.version + 1, dir.toString)
+      attempt += 1 // lost the race: orphaned dir is cleanOrphans food
+    }
+    throw new CommitConflictException(
+      s"lost the commit race $maxAttempts times at $root")
+  }
+
   /** The generated columns of `schema` (STORED generation expressions in
     * field metadata) and the projection that recomputes them — for write
     * paths that assemble rows themselves (partition-spec overwrites) and
@@ -1004,6 +1211,34 @@ object SnapshotStore {
       base.schema.fields.toIndexedSeq.map { f =>
         columnFor(f, have(f.name.toLowerCase)).cast(f.dataType).as(f.name)
       } match { case cols => rows.select(cols: _*) }
+    }
+    // a snapshot spanning partition specs (evolution pending migration):
+    // appends stage O(batch) under the CURRENT spec's subtree; a full
+    // overwrite rewrites in the current spec and HEALS the table back to
+    // single-spec (stage() drops the sidecar); partition-scoped overwrite
+    // has no cross-layout meaning — migrate first
+    if (isEvolved(latest(root).dataDir)) {
+      val dynamic = overwrite &&
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+          .equalsIgnoreCase("dynamic")
+      require(!dynamic,
+        s"dynamic partition overwrite on $root while a partition-spec " +
+          "evolution is pending; OPTIMIZE (full rewrite) to migrate first")
+      return if (overwrite)
+        transact(spark, root, maxAttempts, txn = txn, extraTxns = extraTxns,
+          pinCheck = pinCheck)(base => aligned(base))
+      else transactAppendEvolved(spark, root, maxAttempts, txn,
+        extraTxns, pinCheck) { base =>
+        val a = aligned(base)
+        val keys = cdcKeys(root)
+        if (keys.nonEmpty) {
+          val clash = a.join(base, keys, "left_semi").limit(1)
+          require(clash.isEmpty,
+            s"append to CDC table $root carries already-live key(s) " +
+              s"(${keys.mkString(", ")}) — use MERGE for upserts")
+        }
+        a
+      }
     }
     val dynamicOverwrite = overwrite && partitionCols(root).nonEmpty &&
       spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -1345,8 +1580,40 @@ object SnapshotStore {
     * come back with their deleted positions filtered out.
     */
   private def readDir(spark: SparkSession, dir: String): DataFrame =
-    if (hasDv(dir)) readDirDv(spark, dir)
+    if (isEvolved(dir)) readDirEvolved(spark, dir)
+    else if (hasDv(dir)) readDirDv(spark, dir)
     else plainReadDir(spark, dir)
+
+  /** Read of a snapshot spanning PARTITION SPECS: one scan per spec,
+    * unioned under the pinned schema. The top level (spec 0) is one plain
+    * scan — Spark's listing never descends into the `_spec<i>` subtrees
+    * (underscore prefix) — and each later spec scans its subtree with
+    * `basePath` there, so its partition columns materialize from its OWN
+    * directory layout. Catalyst pushes deterministic predicates through
+    * the Union into every branch: partition filters prune directories
+    * per-spec, data filters reach the parquet row groups — the Iceberg
+    * split-planning shape, from plain DataFrame algebra. DV and rename
+    * sidecars are refused while a table spans specs (see
+    * [[alterPartitionSpec]]), so each branch is a plain pinned-schema scan.
+    */
+  private def readDirEvolved(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val f = Paths.get(dir, "_schema.json")
+    require(Files.exists(f), s"evolved snapshot dir $dir lacks _schema.json")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(Files.readString(f))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val scans = readSpecs(dir).flatMap { case (sub, _) =>
+      if (sub == ".") Some(spark.read.schema(schema).parquet(dir))
+      else {
+        val p = s"$dir/$sub"
+        if (Files.isDirectory(Paths.get(p)))
+          Some(spark.read.schema(schema).option("basePath", p).parquet(p))
+        else None // spec declared, nothing appended under it yet
+      }
+    }
+    scans.reduce(_.unionByName(_))
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+  }
 
   /** DV-applied read WITHOUT lineage columns — the hot path every normal
     * read takes. The deletion vector is applied by [[GraftDvFilter]], a
@@ -1525,9 +1792,14 @@ object SnapshotStore {
     val s = Files.walk(base)
     val files =
       try s.iterator().asScala.toSeq.filter { p =>
-        Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet") &&
-          !base.relativize(p).iterator().asScala
-            .exists(_.toString.startsWith("_"))
+        Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet") && {
+          val segs = base.relativize(p).iterator().asScala
+            .map(_.toString).toSeq
+          // `_spec<i>/` subtrees are data files of a later partition spec
+          (segs.head.startsWith("_spec") &&
+            !segs.tail.exists(_.startsWith("_"))) ||
+          !segs.exists(_.startsWith("_"))
+        }
       } finally s.close()
     val conf = new org.apache.hadoop.conf.Configuration()
     files.map(p => base.relativize(p).toString -> p).sortBy(_._1)
@@ -1600,7 +1872,13 @@ object SnapshotStore {
         // `withDv = false` is for [[transactMoR]], which writes its own
         // merged vector instead.
         val segs = from.relativize(f).iterator().asScala.map(_.toString).toSeq
-        (withDv && segs.head == "_dv") || !segs.exists(_.startsWith("_"))
+        (withDv && segs.head == "_dv") ||
+          // `_spec<i>/` subtrees are DATA (partition-spec evolution), not
+          // commit metadata — dropping them on a link would lose every
+          // row appended since the spec change
+          (segs.head.startsWith("_spec") &&
+            !segs.tail.exists(_.startsWith("_"))) ||
+          !segs.exists(_.startsWith("_"))
       })
       .foreach { f =>
         val dest = to.resolve(from.relativize(f))
@@ -1768,6 +2046,9 @@ object SnapshotStore {
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latest(root)
+      require(!isEvolved(base.dataDir),
+        s"optimizeSmallFiles on $root while a partition-spec evolution is " +
+          "pending; run a full OPTIMIZE (it also migrates the layout)")
       require(!Files.isDirectory(Paths.get(base.dataDir, "_dv")),
         s"optimizeSmallFiles on a deletion-vector snapshot ($root): footer " +
           "row counts overcount live rows — run a full OPTIMIZE (merges the DV)")
@@ -2046,6 +2327,10 @@ object SnapshotStore {
     val parts = partitionCols(root)
     require(parts.nonEmpty,
       s"transactPartialWithChanges requires a partitioned table ($root)")
+    require(!isEvolved(latest(root).dataDir),
+      s"$root spans partition specs (evolution pending); partition-scoped " +
+        "operations have no meaning across two layouts — OPTIMIZE (full " +
+        "rewrite) to migrate to the current spec first")
     val txns = txn.toSeq ++ extraTxns
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -2192,6 +2477,10 @@ object SnapshotStore {
       if (txn.exists(t => lastTxnVersion(root, t.appId).exists(_ >= t.version)))
         return latest(root)
       val base = latest(root)
+      require(!isEvolved(base.dataDir),
+        s"merge-on-read DML on $root while a partition-spec evolution is " +
+          "pending: deletion vectors key files by one layout — OPTIMIZE " +
+          "(full rewrite) to migrate first")
       val m = matched(readDirLineage(spark, base.dataDir))
       require(m.columns.contains(DvFileCol) && m.columns.contains(DvPosCol),
         "transactMoR: matched() must preserve the lineage columns " +

@@ -64,6 +64,10 @@ class GraftPrunedScanBuilder(spark: SparkSession, tableName: String,
     // the pushdown so COUNT/MIN/MAX compute above the corrected scan
     if (java.nio.file.Files.isDirectory(
         java.nio.file.Paths.get(dataDir, "_dv"))) return false
+    // a spec-spanning snapshot: footers of the top-level files alone
+    // would answer for a table whose newer rows live under _spec<i>/
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dataDir, "_specs.tsv"))) return false
     val ok = delegate.pushAggregation(aggregation)
     if (ok) savedAgg = Some(aggregation)
     ok

@@ -1,0 +1,216 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.sources.{SnapshotStore, SqlDml}
+import org.apache.spark.sql.functions._
+
+/** Partition-spec evolution (sources/SnapshotStore.alterPartitionSpec):
+  * the Iceberg contract — history keeps its layout, new writes use the
+  * new spec, reads plan per spec and union, OPTIMIZE migrates, and every
+  * operation whose semantics assume ONE layout refuses while the table
+  * spans two.
+  */
+class PartitionEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def specDirs(dir: String): Seq[String] = {
+    val s = Files.list(Paths.get(dir))
+    try s.iterator().asScala.toSeq.map(_.getFileName.toString)
+      .filter(_.startsWith("_spec")).filterNot(_ == "_specs.tsv").sorted
+    finally s.close()
+  }
+
+  test("evolve unpartitioned -> by k: appends land in the new layout, reads span both") {
+    val root = tmp("graft_pe_basic")
+    SnapshotStore.init(spark, root,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "v")) // v0: flat
+    SnapshotStore.alterPartitionSpec(spark, root, Seq("k")) // v1: metadata only
+    assert(SnapshotStore.partitionCols(root) == Seq("k"))
+    SnapshotStore.append(spark, root,
+      Seq((3L, "a", 30L), (4L, "c", 40L)).toDF("id", "k", "v")) // v2: new spec
+    val head = SnapshotStore.latest(root)
+    // physical truth: old files still flat at top level, new rows in k= dirs
+    assert(specDirs(head.dataDir) == Seq("_spec1"))
+    assert(Files.isDirectory(Paths.get(head.dataDir, "_spec1", "k=a")))
+    val got = SnapshotStore.read(spark, root).orderBy($"id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a", 10L), (2L, "b", 20L),
+      (3L, "a", 30L), (4L, "c", 40L)))
+    // time travel: each version reads with ITS layout
+    assert(SnapshotStore.read(spark, SnapshotStore.at(root, 0L)).count() == 2L)
+    assert(SnapshotStore.read(spark, SnapshotStore.at(root, 1L)).count() == 2L)
+
+    // partition predicates prune DIRECTORIES in the new-spec branch
+    val plan = SnapshotStore.read(spark, root).filter($"k" === "a")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(k"),
+      s"new-spec branch must partition-prune:\n$plan")
+
+    // OPTIMIZE migrates: one layout, sidecar gone, hive dirs at top
+    SnapshotStore.optimize(spark, root, targetRows = 1000000L)
+    val healed = SnapshotStore.latest(root)
+    assert(!SnapshotStore.isEvolved(healed.dataDir), "migration must heal")
+    assert(Files.isDirectory(Paths.get(healed.dataDir, "k=a")))
+    // hive-layout reads serve partition cols last (standard Spark);
+    // select by name, as any schema-stable consumer does
+    assert(SnapshotStore.read(spark, root).select($"id", $"k", $"v")
+      .orderBy($"id").as[(Long, String, Long)].collect().toSeq == got)
+    // and history STILL serves the spanning version correctly
+    assert(SnapshotStore.read(spark, SnapshotStore.at(root, 2L)).count() == 4L)
+  }
+
+  test("second evolution spans three specs; de-partition (empty cols) works") {
+    val root = tmp("graft_pe_chain")
+    SnapshotStore.init(spark, root,
+      Seq((1L, "a", "x", 1L)).toDF("id", "k", "r", "v"))
+    SnapshotStore.alterPartitionSpec(spark, root, Seq("k"))
+    SnapshotStore.append(spark, root, Seq((2L, "b", "y", 2L)).toDF("id", "k", "r", "v"))
+    SnapshotStore.alterPartitionSpec(spark, root, Seq("k", "r"))
+    SnapshotStore.append(spark, root, Seq((3L, "c", "z", 3L)).toDF("id", "k", "r", "v"))
+    val head = SnapshotStore.latest(root)
+    assert(specDirs(head.dataDir) == Seq("_spec1", "_spec2"))
+    assert(Files.isDirectory(Paths.get(head.dataDir, "_spec2", "k=c", "r=z")))
+    assert(SnapshotStore.read(spark, root).orderBy($"id")
+      .select($"id", $"k", $"r", $"v").as[(Long, String, String, Long)]
+      .collect().toSeq ==
+      Seq((1L, "a", "x", 1L), (2L, "b", "y", 2L), (3L, "c", "z", 3L)))
+    // de-partition: later appends go back to flat files (in a subtree)
+    SnapshotStore.alterPartitionSpec(spark, root, Nil)
+    assert(SnapshotStore.partitionCols(root).isEmpty)
+    SnapshotStore.append(spark, root, Seq((4L, "d", "w", 4L)).toDF("id", "k", "r", "v"))
+    assert(SnapshotStore.read(spark, root).count() == 4L)
+  }
+
+  test("partition-scoped operations refuse while specs span; full rewrite heals") {
+    val root = tmp("graft_pe_refuse")
+    SnapshotStore.init(spark, root,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "v"))
+    SnapshotStore.alterPartitionSpec(spark, root, Seq("k"))
+    SnapshotStore.append(spark, root, Seq((3L, "c", 30L)).toDF("id", "k", "v"))
+    // partial COW (the partitioned-DML staging) refuses
+    val e1 = intercept[IllegalArgumentException] {
+      SqlDml.execute(spark, "UPDATE t SET v = 0 WHERE id = 1", Map("t" -> root))
+    }
+    assert(e1.getMessage.contains("OPTIMIZE"), e1.getMessage)
+    // incremental compaction refuses (by the partitioned guard here; the
+    // evolution guard covers unpartitioned-current-spec tables); RENAME refuses
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotStore.optimizeSmallFiles(spark, root, 1000L, 100L)
+    }
+    assert(e2.getMessage.toLowerCase.contains("optimize"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      SnapshotStore.alterSchema(spark, root, identity,
+        renames = Map("v2" -> "v"))
+    }
+    assert(e3.getMessage.contains("evolution"), e3.getMessage)
+    // dropping a spec column refuses (any era's layout keys files by it)
+    val e4 = intercept[IllegalArgumentException] {
+      SnapshotStore.alterSchema(spark, root, s =>
+        org.apache.spark.sql.types.StructType(
+          s.fields.filterNot(_.name == "k")))
+    }
+    assert(e4.getMessage.contains("partition-spec column"), e4.getMessage)
+    // ADD COLUMN is fine on a spanning table (metadata only, both eras)
+    SnapshotStore.alterSchema(spark, root,
+      _.add("tag", org.apache.spark.sql.types.StringType))
+    assert(SnapshotStore.read(spark, root).columns.toSeq ==
+      Seq("id", "k", "v", "tag"))
+    assert(SnapshotStore.read(spark, root).count() == 3L)
+    // the migrating OPTIMIZE re-enables everything
+    SnapshotStore.optimize(spark, root, 1000000L)
+    SqlDml.execute(spark, "UPDATE t SET v = 0 WHERE id = 1", Map("t" -> root))
+    assert(SnapshotStore.read(spark, root).filter($"id" === 1L)
+      .head().getAs[Long]("v") == 0L)
+  }
+
+  test("RESTORE across an evolution restores the write-side spec too") {
+    val root = tmp("graft_pe_restore")
+    SnapshotStore.init(spark, root, Seq((1L, "a", 10L)).toDF("id", "k", "v"))
+    SnapshotStore.alterPartitionSpec(spark, root, Seq("k"))
+    SnapshotStore.append(spark, root, Seq((2L, "b", 20L)).toDF("id", "k", "v"))
+    SnapshotStore.restore(spark, root, toVersion = 0L)
+    assert(SnapshotStore.partitionCols(root).isEmpty,
+      "restore to the pre-evolution version must restore its spec")
+    // appends now stage flat again, exactly like before the evolution
+    SnapshotStore.append(spark, root, Seq((5L, "e", 50L)).toDF("id", "k", "v"))
+    val head = SnapshotStore.latest(root)
+    assert(!SnapshotStore.isEvolved(head.dataDir))
+    assert(SnapshotStore.read(spark, root).orderBy($"id")
+      .as[(Long, String, Long)].collect().toSeq ==
+      Seq((1L, "a", 10L), (5L, "e", 50L)))
+  }
+
+  test("CDC table: the spec change is an empty change set; appends feed as inserts") {
+    val root = tmp("graft_pe_cdc")
+    SnapshotStore.init(spark, root, Seq((1L, "a", 10L)).toDF("id", "k", "v"),
+      cdcKeys = Seq("id"))
+    SnapshotStore.alterPartitionSpec(spark, root, Seq("k")) // v1
+    assert(SnapshotStore.changesAt(spark, root, 1L).count() == 0L)
+    SnapshotStore.append(spark, root, Seq((2L, "b", 20L)).toDF("id", "k", "v")) // v2
+    val ch = SnapshotStore.changesAt(spark, root, 2L).collect()
+    assert(ch.length == 1 &&
+      ch.head.getAs[String](SnapshotStore.ChangeTypeCol) == "insert")
+    // key-clash append still refuses on the evolved path
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.append(spark, root, Seq((2L, "x", 9L)).toDF("id", "k", "v"))
+    }
+    assert(e.getMessage.contains("already-live"), e.getMessage)
+  }
+
+  test("SQL face: CALL set_partition_spec, INSERT, reads, time travel, clone") {
+    val wh = tmp("graft_pe_wh")
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    spark.sql("CREATE TABLE graft.pet (id BIGINT, k STRING, v BIGINT)")
+    spark.sql("INSERT INTO graft.pet VALUES (1, 'a', 10), (2, 'b', 20)")
+    val r = spark.sql(
+      "CALL graft.system.set_partition_spec('pet', 'k')").head()
+    assert(r.getLong(1) == 2L, s"spec_count: $r")
+    spark.sql("INSERT INTO graft.pet VALUES (3, 'a', 30)")
+    // SQL reads route through the per-spec union (DvReadRewrite)
+    assert(spark.sql("SELECT count(*) FROM graft.pet").head().getLong(0) == 3L)
+    assert(spark.sql(
+      "SELECT sum(v) FROM graft.pet WHERE k = 'a'").head().getLong(0) == 40L)
+    // footer-count pushdown must NOT answer from top-level files alone
+    assert(spark.sql("SELECT count(*) FROM graft.pet VERSION AS OF 1")
+      .head().getLong(0) == 2L)
+    // clone carries the spanning layout
+    spark.sql("CALL graft.system.clone('pet', 'pet2')")
+    assert(spark.sql("SELECT count(*) FROM graft.pet2").head().getLong(0) == 3L)
+    // migrate via the optimize procedure; reads unchanged, spec healed
+    spark.sql("CALL graft.system.optimize('pet', 1000000)")
+    assert(spark.sql("SELECT sum(v) FROM graft.pet").head().getLong(0) == 60L)
+    val root = s"$wh/pet"
+    assert(!SnapshotStore.isEvolved(SnapshotStore.latest(root).dataDir))
+  }
+
+  test("evolution refuses identity tables and DV-bearing snapshots") {
+    val wh = tmp("graft_pe_ref_wh")
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    spark.sql("CREATE TABLE graft.peid (id BIGINT GENERATED ALWAYS AS " +
+      "IDENTITY, k STRING)")
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotStore.alterPartitionSpec(spark, s"$wh/peid", Seq("k"))
+    }
+    assert(e1.getMessage.contains("identity"), e1.getMessage)
+
+    val root = tmp("graft_pe_dv")
+    SnapshotStore.init(spark, root,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "v"))
+    SnapshotStore.setDmlMode(root, SnapshotStore.MergeOnRead)
+    SqlDml.execute(spark, "DELETE FROM t WHERE id = 2", Map("t" -> root))
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotStore.alterPartitionSpec(spark, root, Seq("k"))
+    }
+    assert(e2.getMessage.contains("deletion-vector"), e2.getMessage)
+  }
+}
