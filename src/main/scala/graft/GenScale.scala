@@ -599,3 +599,58 @@ object ProbeCopyInto {
     spark.stop()
   }
 }
+
+/** Partition-spec-evolution scale probe: on flat tables of two sizes,
+  * (a) the SET PARTITION SPEC commit itself — metadata-only, O(#files)
+  * hard links, so near-flat when file count is held at 32; (b) a FIXED
+  * 10k-row append onto the spanning table — O(batch) staging under the
+  * new spec's subtree plus the same link metadata; (c) a partition-
+  * predicate read across both eras — the new-spec branch directory-
+  * prunes, the old branch scans its row groups, so growth tracks the OLD
+  * era's data (the honest Iceberg bound: pre-evolution files have no
+  * directories to prune until the migrating OPTIMIZE).
+  *
+  * Usage: runMain graft.ProbeSpecEvolution <rowsSmall> <rowsBig>
+  */
+object ProbeSpecEvolution {
+  def main(args: Array[String]): Unit = {
+    import graft.sources.SnapshotStore
+    val Array(nSmall, nBig) = args.take(2).map(_.toLong)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def run(n: Long): (Double, Double, Double) = {
+      val root = GateTmp.freshDir(s"probe_pe_$n")
+      SnapshotStore.init(spark, root, spark.range(n)
+        .selectExpr("id", "CAST(id % 16 AS STRING) AS k",
+          "repeat('x', 64) AS pad")
+        .repartition(32))
+      val evolve = time(SnapshotStore.alterPartitionSpec(spark, root, Seq("k")))
+      val batch = spark.range(n, n + 10000)
+        .selectExpr("id", "CAST(id % 16 AS STRING) AS k",
+          "repeat('x', 64) AS pad")
+      val append = time(SnapshotStore.append(spark, root, batch))
+      val read = time {
+        val c = SnapshotStore.read(spark, root)
+          .filter(org.apache.spark.sql.functions.col("k") === "3").count()
+        require(c > 0, "probe invariant: partition-filtered rows exist")
+      }
+      (evolve, append, read)
+    }
+    run(nSmall) // warm-up
+    val (es, as_, rs) = run(nSmall)
+    val (eb, ab, rb) = run(nBig)
+    println(f"rows=$nSmall%d evolve=$es%.2fs append-10k=$as_%.2fs pruned-read=$rs%.2fs")
+    println(f"rows=$nBig%d evolve=$eb%.2fs append-10k=$ab%.2fs pruned-read=$rb%.2fs")
+    println(f"growth evolve=${eb / es}%.2fx append=${ab / as_}%.2fx " +
+      f"read=${rb / rs}%.2fx (evolve/append flat; read tracks the old era)")
+    spark.stop()
+  }
+}
