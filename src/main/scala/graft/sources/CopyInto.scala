@@ -95,7 +95,8 @@ object CopyInto {
     */
   def run(spark: SparkSession, root: String, sourceDir: String,
       format: String = "parquet", options: Map[String, String] = Map.empty,
-      pattern: Option[String] = None, maxAttempts: Int = 10): Result = {
+      pattern: Option[String] = None, maxAttempts: Int = 10,
+      evolveSchema: Boolean = false): Result = {
     val selfDescribing = Set("parquet", "orc")
     var attempt = 0
     while (true) {
@@ -112,6 +113,22 @@ object CopyInto {
         else reader.schema(
           SnapshotStore.readSchema(spark, SnapshotStore.latest(root)))
       val batch = withSchema.load(fresh.map(_.toString): _*)
+      // schema drift (the COPY INTO mergeSchema contract): columns the
+      // batch carries but the table lacks ALTER in first — nullable,
+      // source-typed, metadata-only — then the load proceeds; old rows
+      // null-fill at read. Off by default: silent schema growth is a
+      // policy decision, and without the flag extra columns refuse below.
+      // Idempotent across a crash-retry: only still-missing columns add.
+      if (evolveSchema) {
+        val have = SnapshotStore.readSchema(spark, SnapshotStore.latest(root))
+          .fieldNames.map(_.toLowerCase).toSet
+        val drift = batch.schema.fields.toIndexedSeq
+          .filterNot(f => have(f.name.toLowerCase))
+        if (drift.nonEmpty)
+          SnapshotStore.alterSchema(spark, root, s =>
+            drift.foldLeft(s)((acc, f) =>
+              acc.add(f.name, f.dataType, nullable = true)))
+      }
       val rows = batch.count() // parquet: footer metadata, no data scan
       try {
         val snap = SnapshotStore.append(spark, root, batch,

@@ -228,6 +228,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 org.apache.spark.unsafe.types.UTF8String.fromString(part),
                 fs.size.toLong, fs.map(_._3).sum, fs.map(_._2).sum): InternalRow
             }.toArray))
+      case "specs" =>
+        // the snapshot's partition-spec history (Iceberg `partitions`
+        // metadata has a twin `spec-id` notion): one row per spec the
+        // PINNED snapshot spans — a never-evolved snapshot reports its
+        // single spec with id 0. Composes with VERSION AS OF, so "which
+        // layouts does version 3 span" is one SQL query.
+        val snap = version.map(v => SnapshotStore.at(root, v))
+          .getOrElse(SnapshotStore.latest(root))
+        val schema = StructType(Seq(
+          org.apache.spark.sql.types.StructField("spec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("partition_cols",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("is_current",
+            org.apache.spark.sql.types.BooleanType)))
+        val specs = SnapshotStore.readSpecs(snap.dataDir) match {
+          // no sidecar: a single-spec snapshot. Its layout is PHYSICAL
+          // truth — derive the cols from its own `col=value` dir chain
+          // rather than the table's CURRENT config, which a pinned
+          // pre-evolution version may predate
+          case Nil => Seq(("." , SnapshotStore.layoutCols(snap.dataDir)))
+          case s => s
+        }
+        Some(new GraftMetaTable(ident.toString, schema, () =>
+          specs.zipWithIndex.map { case ((_, cols), i) =>
+            InternalRow(i.toLong,
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                cols.mkString(",")),
+              i == specs.size - 1): InternalRow
+          }.toArray))
       case "refs" =>
         require(version.isEmpty,
           "$refs is the live tag listing; time travel does not apply")
@@ -243,7 +273,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           }.toArray))
       case other => throw new UnsupportedOperationException(
         s"unknown metadata table $$$other " +
-          "(supported: $history, $files, $partitions, $refs)")
+          "(supported: $history, $files, $partitions, $refs, $specs)")
     }
   }
 
@@ -980,7 +1010,10 @@ object GraftCatalog {
       Seq(p("table", StringType), p("source", StringType),
         ProcedureParameter.in("format", StringType)
           .defaultValue("'parquet'").build(),
-        ProcedureParameter.in("pattern", StringType).defaultValue("''").build()),
+        ProcedureParameter.in("pattern", StringType).defaultValue("''").build(),
+        ProcedureParameter.in("evolve_schema",
+          org.apache.spark.sql.types.BooleanType)
+          .defaultValue("false").build()),
       StructType(Seq(
         org.apache.spark.sql.types.StructField("files_loaded", LongType),
         org.apache.spark.sql.types.StructField("rows_loaded", LongType),
@@ -992,7 +1025,8 @@ object GraftCatalog {
         val r = CopyInto.run(spark, root, in.getString(1),
           format = Option(in.getString(2)).map(_.trim)
             .filter(_.nonEmpty).getOrElse("parquet"),
-          pattern = Option(in.getString(3)).map(_.trim).filter(_.nonEmpty))
+          pattern = Option(in.getString(3)).map(_.trim).filter(_.nonEmpty),
+          evolveSchema = !in.isNullAt(4) && in.getBoolean(4))
         InternalRow(r.filesLoaded, r.rowsLoaded, r.filesSkipped, r.version)
       }
     }

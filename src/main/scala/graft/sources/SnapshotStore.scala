@@ -140,6 +140,25 @@ object SnapshotStore {
       specs.map { case (sub, cols) => s"$sub\t${cols.mkString(",")}" }
         .mkString("\n"))
 
+  /** The hive partition columns a single-spec snapshot dir PHYSICALLY
+    * lays out, read from its deepest `col=value` dir chain — the
+    * version-pinned truth for `$specs` on snapshots that predate (or
+    * healed away) any `_specs.tsv`. Empty = flat files.
+    */
+  private[graft] def layoutCols(dir: String): Seq[String] = {
+    def descend(p: Path, acc: Seq[String]): Seq[String] = {
+      val sub = listDir(p).filter(d => Files.isDirectory(d) &&
+        d.getFileName.toString.contains("=") &&
+        !d.getFileName.toString.startsWith("_"))
+      sub.headOption match {
+        case Some(d) =>
+          descend(d, acc :+ d.getFileName.toString.takeWhile(_ != '='))
+        case None => acc
+      }
+    }
+    descend(Paths.get(dir), Nil)
+  }
+
   private def carrySpecs(baseDir: String, dir: String): Unit = {
     val src = specsFile(baseDir)
     if (Files.exists(src) && !Files.exists(specsFile(dir)))

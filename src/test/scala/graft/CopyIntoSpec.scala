@@ -146,4 +146,25 @@ class CopyIntoSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("extra"))
   }
+
+  test("evolveSchema grows the table for drifted shards; old rows null-fill") {
+    val root = tmp("graft_ci_evo")
+    val drop = tmp("graft_ci_edrop")
+    SnapshotStore.init(spark, root, Seq.empty[(Long, Long)].toDF("id", "v"))
+    dropShard(drop, "a", Seq((1L, 10L)))
+    assert(CopyInto.run(spark, root, drop).filesLoaded == 1L)
+    // a later shard grew a column
+    Seq((2L, 20L, "fr")).toDF("id", "v", "lang")
+      .coalesce(1).write.parquet(s"$drop/b")
+    val r = CopyInto.run(spark, root, drop, evolveSchema = true)
+    assert(r.filesLoaded == 1L && r.rowsLoaded == 1L, s"$r")
+    val got = SnapshotStore.read(spark, root).orderBy($"id")
+      .select($"id", $"v", $"lang").as[(Long, Long, Option[String])]
+      .collect().toSeq
+    assert(got == Seq((1L, 10L, None), (2L, 20L, Some("fr"))))
+    // replay after the evolution stays a no-op (no second ALTER, no rows)
+    val v = SnapshotStore.latest(root).version
+    val r2 = CopyInto.run(spark, root, drop, evolveSchema = true)
+    assert(r2.filesLoaded == 0L && r2.version == v)
+  }
 }

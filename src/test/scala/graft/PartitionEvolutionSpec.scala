@@ -184,11 +184,42 @@ class PartitionEvolutionSpec extends SparkSpec {
     // clone carries the spanning layout
     spark.sql("CALL graft.system.clone('pet', 'pet2')")
     assert(spark.sql("SELECT count(*) FROM graft.pet2").head().getLong(0) == 3L)
+    // $specs lists the spanning history; pre-evolution versions report one
+    assert(spark.sql("SELECT spec_id, partition_cols, is_current " +
+      "FROM graft.`pet$specs` ORDER BY spec_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq ==
+      Seq((0L, "", false), (1L, "k", true)))
+    assert(spark.sql("SELECT partition_cols FROM graft.`pet$specs` " +
+      "VERSION AS OF 1").collect().map(_.getString(0)).toSeq == Seq(""),
+      "a pinned pre-evolution version reports ITS layout, not the current one")
     // migrate via the optimize procedure; reads unchanged, spec healed
     spark.sql("CALL graft.system.optimize('pet', 1000000)")
     assert(spark.sql("SELECT sum(v) FROM graft.pet").head().getLong(0) == 60L)
     val root = s"$wh/pet"
     assert(!SnapshotStore.isEvolved(SnapshotStore.latest(root).dataDir))
+  }
+
+  test("evolving onto a STORED generated column = Iceberg transform specs by composition") {
+    val wh = tmp("graft_pe_gen_wh")
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    // `day` is days(ts) — the Iceberg transform, expressed as a stored
+    // generated column the spec can then target
+    spark.sql("CREATE TABLE graft.pegen (id BIGINT, ts TIMESTAMP, " +
+      "day DATE GENERATED ALWAYS AS (CAST(ts AS DATE)))")
+    spark.sql("INSERT INTO graft.pegen (id, ts) VALUES " +
+      "(1, TIMESTAMP '2026-01-01 10:00:00'), (2, TIMESTAMP '2026-01-02 09:00:00')")
+    spark.sql("CALL graft.system.set_partition_spec('pegen', 'day')")
+    spark.sql("INSERT INTO graft.pegen (id, ts) VALUES " +
+      "(3, TIMESTAMP '2026-01-02 23:00:00')")
+    val root = s"$wh/pegen"
+    val head = SnapshotStore.latest(root)
+    // the appended row derived its day AND laid out by it
+    assert(Files.isDirectory(
+      Paths.get(head.dataDir, "_spec1", "day=2026-01-02")))
+    assert(spark.sql("SELECT count(*) FROM graft.pegen WHERE day = " +
+      "DATE '2026-01-02'").head().getLong(0) == 2L)
   }
 
   test("evolution refuses identity tables and DV-bearing snapshots") {
