@@ -811,14 +811,25 @@ object GraftCatalog {
     */
   private[sources] val RestoreProc: GraftCatalog => UnboundProcedure = cat =>
     new Proc("restore",
-      Seq(p("table", StringType), p("version", LongType)),
+      Seq(p("table", StringType),
+        ProcedureParameter.in("version", LongType).defaultValue("-1L").build(),
+        ProcedureParameter.in("tag", StringType).defaultValue("''").build()),
       StructType(Seq(
         org.apache.spark.sql.types.StructField("restored_to", LongType),
         org.apache.spark.sql.types.StructField("new_version", LongType)))) {
       override protected def run(in: InternalRow): InternalRow = {
         val root = cat.tableRoot(in.getString(0))
-        val snap = SnapshotStore.restore(SparkSession.active, root, in.getLong(1))
-        InternalRow(in.getLong(1), snap.version)
+        val tag = Option(in.getString(2)).map(_.trim).filter(_.nonEmpty)
+        // tag-addressed rollback: `restore('t', tag => 'blessed')` — the
+        // blessing pins retention, so the rollback TARGET can never have
+        // been vacuumed, which makes named restore points actually safe
+        val v = tag.map(SnapshotStore.resolveRef(root, _)).getOrElse {
+          require(in.getLong(1) >= 0L,
+            "restore needs a version or a tag")
+          in.getLong(1)
+        }
+        val snap = SnapshotStore.restore(SparkSession.active, root, v)
+        InternalRow(v, snap.version)
       }
     }
 

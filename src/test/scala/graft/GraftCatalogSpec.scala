@@ -972,6 +972,16 @@ class GraftCatalogSpec extends SparkSpec {
     // restore to the current head is a no-op, not a new commit
     spark.sql("CALL graft.system.restore('rs', 5)")
     assert(SnapshotStore.latest(s"$wh/rs").version == 5L)
+    // tag-addressed rollback: the blessing pins retention, so the target
+    // can never have been vacuumed out from under the restore point
+    spark.sql("CALL graft.system.create_tag('rs', 'stable', 5)")
+    spark.sql("INSERT INTO graft.rs VALUES (9, 90)") // v6
+    val byTag = spark.sql(
+      "CALL graft.system.restore('rs', tag => 'stable')").head()
+    assert((byTag.getLong(0), byTag.getLong(1)) == (5L, 7L))
+    assert(spark.sql("SELECT count(*) FROM graft.rs").head().getLong(0) == 3L)
+    // neither a version nor a tag: loud
+    intercept[Exception](spark.sql("CALL graft.system.restore('rs')"))
   }
 
   test("CALL restore: a constraint added after the target version still gates") {
