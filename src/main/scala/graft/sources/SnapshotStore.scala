@@ -159,6 +159,22 @@ object SnapshotStore {
     descend(Paths.get(dir), Nil)
   }
 
+  /** Any data parquet under `dir` (outside metadata subtrees)? Cheap
+    * walk, stops at the first hit.
+    */
+  private def hasDataFiles(dir: String): Boolean = {
+    val base = Paths.get(dir)
+    val s = Files.walk(base)
+    try s.iterator().asScala.exists { p =>
+      Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet") && {
+        val segs = base.relativize(p).iterator().asScala.map(_.toString).toSeq
+        (segs.head.startsWith("_spec") &&
+          !segs.tail.exists(_.startsWith("_"))) ||
+        !segs.exists(_.startsWith("_"))
+      }
+    } finally s.close()
+  }
+
   private def carrySpecs(baseDir: String, dir: String): Unit = {
     val src = specsFile(baseDir)
     if (Files.exists(src) && !Files.exists(specsFile(dir)))
@@ -760,7 +776,18 @@ object SnapshotStore {
         case s if s.nonEmpty => Some(s.last._2)
         case _ => readSpecs(base.dataDir) match {
           case s if s.nonEmpty => Some(s.head._2) // the original layout
-          case _ => None // never evolved: write spec unchanged
+          case _ =>
+            // evolve-then-HEALED history: neither dir carries a sidecar,
+            // but the target may predate the evolution — its PHYSICAL
+            // layout is the truth. Only override when it disagrees and
+            // the target actually has files (an empty snapshot's layout
+            // is indistinguishable from flat — keep the declared spec)
+            val phys = layoutCols(target.dataDir)
+            if (hasDataFiles(target.dataDir) &&
+                phys.map(_.toLowerCase) !=
+                  partitionCols(root).map(_.toLowerCase))
+              Some(phys)
+            else None
         }
       }
       // identity high-water mark rolls back WITH the data (self-consistent

@@ -146,6 +146,22 @@ class PartitionEvolutionSpec extends SparkSpec {
       Seq((1L, "a", 10L), (5L, "e", 50L)))
   }
 
+  test("RESTORE across an evolve-then-HEALED history derives the spec from the target's layout") {
+    val root = tmp("graft_pe_healrestore")
+    SnapshotStore.init(spark, root, Seq((1L, "a", 10L)).toDF("id", "k", "v")) // v0 flat
+    SnapshotStore.alterPartitionSpec(spark, root, Seq("k")) // v1
+    SnapshotStore.append(spark, root, Seq((2L, "b", 20L)).toDF("id", "k", "v")) // v2
+    SnapshotStore.optimize(spark, root, 1000000L) // v3: healed, layout = k dirs
+    assert(!SnapshotStore.isEvolved(SnapshotStore.latest(root).dataDir))
+    SnapshotStore.restore(spark, root, toVersion = 0L) // back past BOTH commits
+    assert(SnapshotStore.partitionCols(root).isEmpty,
+      "the restored (flat) layout must become the write spec again")
+    SnapshotStore.append(spark, root, Seq((7L, "g", 70L)).toDF("id", "k", "v"))
+    assert(SnapshotStore.read(spark, root).select($"id", $"k", $"v")
+      .orderBy($"id").as[(Long, String, Long)].collect().toSeq ==
+      Seq((1L, "a", 10L), (7L, "g", 70L)))
+  }
+
   test("CDC table: the spec change is an empty change set; appends feed as inserts") {
     val root = tmp("graft_pe_cdc")
     SnapshotStore.init(spark, root, Seq((1L, "a", 10L)).toDF("id", "k", "v"),
