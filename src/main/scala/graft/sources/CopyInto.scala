@@ -93,20 +93,38 @@ object CopyInto {
     * loudly, CHECK constraints and identity assignment apply — COPY INTO
     * is an append, not a side door.
     */
+  /** @param force reload EVERY candidate file regardless of the ledger
+    *   (the COPY INTO `force` contract: an explicit operator action for
+    *   corrected shards — duplicates are the caller's intent). Each
+    *   file's stamp bumps past its recorded mark so the commit is still
+    *   exactly-once per invocation attempt.
+    * @param dryRun list and diff against the ledger, load nothing —
+    *   `files_loaded` reports what WOULD load.
+    */
   def run(spark: SparkSession, root: String, sourceDir: String,
       format: String = "parquet", options: Map[String, String] = Map.empty,
       pattern: Option[String] = None, maxAttempts: Int = 10,
-      evolveSchema: Boolean = false): Result = {
+      evolveSchema: Boolean = false, force: Boolean = false,
+      dryRun: Boolean = false): Result = {
     val selfDescribing = Set("parquet", "orc")
     var attempt = 0
     while (true) {
       val candidates = listSourceFiles(sourceDir, pattern)
-      val loaded = SnapshotStore.txnAppsWithPrefix(root, IngestPrefix).keySet
-      val fresh = candidates.filterNot(p => loaded(fileAppId(p)))
+      val marks = SnapshotStore.txnAppsWithPrefix(root, IngestPrefix)
+      val fresh =
+        if (force) candidates
+        else candidates.filterNot(p => marks.contains(fileAppId(p)))
+      if (dryRun)
+        return Result(fresh.size.toLong, 0L,
+          (candidates.size - fresh.size).toLong,
+          SnapshotStore.latest(root).version)
       if (fresh.isEmpty)
         return Result(0L, 0L, candidates.size.toLong,
           SnapshotStore.latest(root).version)
-      val stamps = fresh.map(p => SnapshotStore.Txn(fileAppId(p), 1L))
+      val stamps = fresh.map { p =>
+        val app = fileAppId(p)
+        SnapshotStore.Txn(app, marks.getOrElse(app, 0L) + 1L)
+      }
       val reader = spark.read.format(format).options(options)
       val withSchema =
         if (selfDescribing(format.toLowerCase)) reader
@@ -135,10 +153,12 @@ object CopyInto {
           maxAttempts = maxAttempts, extraTxns = stamps,
           pinCheck = () => {
             // re-verify per optimistic attempt: none of THIS batch's files
-            // may have been loaded by a racing COPY INTO — committing the
-            // union anyway would double-load the overlap
-            val now = SnapshotStore.txnAppsWithPrefix(root, IngestPrefix).keySet
-            stamps.forall(s => !now(s.appId))
+            // may have reached the version we assert via a racing COPY
+            // INTO — committing the union anyway would double-load the
+            // overlap (version-compared, so a forced reload pins the mark
+            // it read rather than mere ledger presence)
+            val now = SnapshotStore.txnAppsWithPrefix(root, IngestPrefix)
+            stamps.forall(s => now.getOrElse(s.appId, 0L) < s.version)
           })
         return Result(fresh.size.toLong, rows,
           (candidates.size - fresh.size).toLong, snap.version)

@@ -1024,6 +1024,12 @@ object GraftCatalog {
         ProcedureParameter.in("pattern", StringType).defaultValue("''").build(),
         ProcedureParameter.in("evolve_schema",
           org.apache.spark.sql.types.BooleanType)
+          .defaultValue("false").build(),
+        ProcedureParameter.in("force",
+          org.apache.spark.sql.types.BooleanType)
+          .defaultValue("false").build(),
+        ProcedureParameter.in("dry_run",
+          org.apache.spark.sql.types.BooleanType)
           .defaultValue("false").build()),
       StructType(Seq(
         org.apache.spark.sql.types.StructField("files_loaded", LongType),
@@ -1037,7 +1043,9 @@ object GraftCatalog {
           format = Option(in.getString(2)).map(_.trim)
             .filter(_.nonEmpty).getOrElse("parquet"),
           pattern = Option(in.getString(3)).map(_.trim).filter(_.nonEmpty),
-          evolveSchema = !in.isNullAt(4) && in.getBoolean(4))
+          evolveSchema = !in.isNullAt(4) && in.getBoolean(4),
+          force = !in.isNullAt(5) && in.getBoolean(5),
+          dryRun = !in.isNullAt(6) && in.getBoolean(6))
         InternalRow(r.filesLoaded, r.rowsLoaded, r.filesSkipped, r.version)
       }
     }

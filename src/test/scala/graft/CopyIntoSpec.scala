@@ -147,6 +147,29 @@ class CopyIntoSpec extends SparkSpec {
     assert(e.getMessage.contains("extra"))
   }
 
+  test("force reloads explicitly; dry_run diffs the ledger without committing") {
+    val root = tmp("graft_ci_force")
+    val drop = tmp("graft_ci_fdrop")
+    SnapshotStore.init(spark, root, Seq.empty[(Long, Long)].toDF("id", "v"))
+    dropShard(drop, "a", Seq((1L, 10L)))
+    dropShard(drop, "b", Seq((2L, 20L)))
+    assert(CopyInto.run(spark, root, drop).filesLoaded == 2L)
+    // dry_run: reports the would-load set, commits nothing
+    dropShard(drop, "c", Seq((3L, 30L)))
+    val v = SnapshotStore.latest(root).version
+    val d = CopyInto.run(spark, root, drop, dryRun = true)
+    assert(d.filesLoaded == 1L && d.filesSkipped == 2L && d.version == v)
+    assert(SnapshotStore.latest(root).version == v, "dry run must not commit")
+    // force: reloads EVERYTHING (duplicates are the operator's intent),
+    // and the table remains idempotent for ordinary runs afterwards
+    val f = CopyInto.run(spark, root, drop, force = true)
+    assert(f.filesLoaded == 3L && f.filesSkipped == 0L, s"$f")
+    assert(SnapshotStore.read(spark, root).count() == 5L) // 2 + 3 forced
+    val r = CopyInto.run(spark, root, drop)
+    assert(r.filesLoaded == 0L && r.filesSkipped == 3L,
+      s"post-force ordinary run must be a no-op: $r")
+  }
+
   test("evolveSchema grows the table for drifted shards; old rows null-fill") {
     val root = tmp("graft_ci_evo")
     val drop = tmp("graft_ci_edrop")
