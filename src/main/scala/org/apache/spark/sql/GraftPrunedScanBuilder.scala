@@ -38,9 +38,20 @@ class GraftPrunedScanBuilder(spark: SparkSession, tableName: String,
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
-  private def builderOver(paths: Seq[String]) =
-    ParquetTable(tableName, spark, options, paths, Some(tableSchema),
-      classOf[ParquetFileFormat]).newScanBuilder(options)
+  private def builderOver(paths: Seq[String]) = {
+    // pruning hands ParquetTable LEAF FILE paths; on a hive-partitioned
+    // snapshot those live under `col=value/` dirs, and without basePath
+    // the relation would stop inferring the partition columns — every
+    // partition value silently reads NULL. Pin discovery to the snapshot
+    // dir regardless (harmless for the unpartitioned delegate).
+    val opts = {
+      val m = new java.util.HashMap[String, String](options)
+      m.put("basePath", dataDir)
+      new CaseInsensitiveStringMap(m)
+    }
+    ParquetTable(tableName, spark, opts, paths, Some(tableSchema),
+      classOf[ParquetFileFormat]).newScanBuilder(opts)
+  }
 
   private val delegate = builderOver(Seq(dataDir))
   private var savedFilters: Seq[Expression] = Nil

@@ -1510,6 +1510,27 @@ class GraftCatalogSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("manifest pruning on a PARTITIONED table keeps partition values (basePath)") {
+    wh
+    spark.sql("CREATE TABLE graft.pmani (id BIGINT, seg BIGINT, v BIGINT) " +
+      "PARTITIONED BY (seg)")
+    spark.sql(
+      "INSERT INTO graft.pmani SELECT id, id % 4, id * 3 FROM range(100000)")
+    // a stats manifest on a partitioned snapshot: pruning hands the scan
+    // LEAF files under seg=… dirs — without basePath every seg read NULL
+    spark.sql("CALL graft.system.optimize('pmani', 10000, 'id', 'id')")
+    val bySeg = spark.sql(
+      """SELECT seg, count(*) AS n FROM graft.pmani
+        |WHERE id < 5000 GROUP BY seg ORDER BY seg""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bySeg == Seq((0L, 1250L), (1L, 1250L), (2L, 1250L), (3L, 1250L)),
+      s"partition values must survive manifest pruning: $bySeg")
+    // and BOTH prunings compose: partition dir + manifest interval
+    assert(spark.sql("SELECT sum(v) FROM graft.pmani " +
+      "WHERE seg = 1 AND id BETWEEN 1000 AND 1999").head().getLong(0) ==
+      (1000L to 1999L).filter(_ % 4 == 1).map(_ * 3).sum)
+  }
+
   test("CALL optimize(zorder_by) works on named tables; manifest prunes both dims") {
     wh
     spark.sql("CREATE TABLE graft.zt (x BIGINT, y BIGINT, v BIGINT)")
