@@ -1586,7 +1586,11 @@ object SnapshotStore {
       .collect().map(_.getString(0)) // bounded: one row per kept file
     val df =
       if (files.isEmpty) read(spark, snap).limit(0) // schema-preserving empty
-      else spark.read.parquet(files.toIndexedSeq: _*)
+      // basePath: kept LEAF files may live under `col=value/` dirs
+      // (partitioned snapshot) — without it the partition columns would
+      // silently read NULL, the same hazard GraftPrunedScanBuilder pins
+      else spark.read.option("basePath", snap.dataDir)
+        .parquet(files.toIndexedSeq: _*)
     (df, files.length, total)
   }
 

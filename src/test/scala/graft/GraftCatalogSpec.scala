@@ -1529,6 +1529,13 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT sum(v) FROM graft.pmani " +
       "WHERE seg = 1 AND id BETWEEN 1000 AND 1999").head().getLong(0) ==
       (1000L to 1999L).filter(_ % 4 == 1).map(_ * 3).sum)
+    // the Scala-surface twin (readPruned) keeps partition values too
+    val snap = SnapshotStore.latest(s"$wh/pmani")
+    val (pruned, kept, totalF) = SnapshotStore.readPruned(spark, snap,
+      org.apache.spark.sql.functions.col("max_id") < 5000L)
+    assert(kept < totalF, s"manifest must actually prune ($kept/$totalF)")
+    assert(pruned.filter(org.apache.spark.sql.functions.col("seg").isNull)
+      .isEmpty, "readPruned must keep partition values")
   }
 
   test("CALL optimize(zorder_by) works on named tables; manifest prunes both dims") {
