@@ -621,7 +621,15 @@ object Multimodal {
         }
       }
       if (frames == 0) None else Some((w, h, frames))
-    } catch { case _: IndexOutOfBoundsException => None }
+    } catch {
+      // a probe, not a decoder: None for truncation AND for a corrupt
+      // block walk ("bad GIF block") — decode() then falls through to
+      // the deterministic stub like any other unparseable payload. The
+      // PIXEL decoder (decodeGifGray) keeps throwing: it is only
+      // dispatched on an isGif match and corrupt bytes there are a bug.
+      case _: IndexOutOfBoundsException => None
+      case _: IllegalArgumentException => None
+    }
   }
 
   private def isGif(b: Array[Byte]): Boolean =

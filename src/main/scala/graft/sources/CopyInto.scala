@@ -107,9 +107,13 @@ object CopyInto {
       evolveSchema: Boolean = false, force: Boolean = false,
       dryRun: Boolean = false): Result = {
     val selfDescribing = Set("parquet", "orc")
+    // no explicit glob: candidates default to the format's own extension,
+    // so a stray README/checksum file in the zone cannot crash the load
+    // (pass pattern "*" to really mean everything)
+    val effectivePattern = pattern.orElse(Some(s"*.${format.toLowerCase}"))
     var attempt = 0
     while (true) {
-      val candidates = listSourceFiles(sourceDir, pattern)
+      val candidates = listSourceFiles(sourceDir, effectivePattern)
       val marks = SnapshotStore.txnAppsWithPrefix(root, IngestPrefix)
       val fresh =
         if (force) candidates

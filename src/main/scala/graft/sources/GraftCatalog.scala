@@ -143,13 +143,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** `TIMESTAMP AS OF <t>` — `timestamp` arrives as epoch MICROseconds. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    metaTable(ident, None) match {
-      case Some(_) =>
-        val base = ident.name.takeWhile(_ != '$')
-        val root = rootOf(Identifier.of(ident.namespace, base))
-        return metaTable(ident,
-          Some(SnapshotStore.versionAsOf(root, timestamp))).get
-      case None =>
+    if (ident.name.indexOf('$') >= 0) { // metadata table: name check only
+      val base = ident.name.takeWhile(_ != '$')
+      val root = rootOf(Identifier.of(ident.namespace, base))
+      return metaTable(ident,
+        Some(SnapshotStore.versionAsOf(root, timestamp))).get
     }
     val root = rootOf(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
@@ -187,7 +185,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             .map(conv(_).asInstanceOf[InternalRow])
         }))
       case "files" =>
-        val snap = version.map(v => SnapshotStore.at(root, v))
+        // `def`, not `val`: an un-pinned metadata query resolves latest()
+        // inside compute(), per GraftMetaTable's "as of ITS OWN planning"
+        // contract — a cached relation must not serve a stale listing
+        def snap = version.map(v => SnapshotStore.at(root, v))
           .getOrElse(SnapshotStore.latest(root))
         val schema = StructType(Seq(
           org.apache.spark.sql.types.StructField("file",
@@ -205,8 +206,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // per-partition rollup of the snapshot's physical layout — the
         // first question on a partitioned table at scale ("how skewed are
         // my partitions, which ones fragmented"); one row per partition
-        // dir, derived from the same footer walk as $files
-        val snap = version.map(v => SnapshotStore.at(root, v))
+        // dir, derived from the same footer walk as $files. `def` snap:
+        // see $files
+        def snap = version.map(v => SnapshotStore.at(root, v))
           .getOrElse(SnapshotStore.latest(root))
         val schema = StructType(Seq(
           org.apache.spark.sql.types.StructField("partition",
@@ -234,8 +236,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // PINNED snapshot spans — a never-evolved snapshot reports its
         // single spec with id 0. Composes with VERSION AS OF, so "which
         // layouts does version 3 span" is one SQL query.
-        val snap = version.map(v => SnapshotStore.at(root, v))
-          .getOrElse(SnapshotStore.latest(root))
+        def snap = version.map(v => SnapshotStore.at(root, v))
+          .getOrElse(SnapshotStore.latest(root)) // `def`: see $files
         val schema = StructType(Seq(
           org.apache.spark.sql.types.StructField("spec_id",
             org.apache.spark.sql.types.LongType),
@@ -243,7 +245,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("is_current",
             org.apache.spark.sql.types.BooleanType)))
-        val specs = SnapshotStore.readSpecs(snap.dataDir) match {
+        def specs = SnapshotStore.readSpecs(snap.dataDir) match {
           // no sidecar: a single-spec snapshot. Its layout is PHYSICAL
           // truth — derive the cols from its own `col=value` dir chain
           // rather than the table's CURRENT config, which a pinned
@@ -251,13 +253,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case Nil => Seq(("." , SnapshotStore.layoutCols(snap.dataDir)))
           case s => s
         }
-        Some(new GraftMetaTable(ident.toString, schema, () =>
-          specs.zipWithIndex.map { case ((_, cols), i) =>
+        Some(new GraftMetaTable(ident.toString, schema, () => {
+          val sp = specs
+          sp.zipWithIndex.map { case ((_, cols), i) =>
             InternalRow(i.toLong,
               org.apache.spark.unsafe.types.UTF8String.fromString(
                 cols.mkString(",")),
-              i == specs.size - 1): InternalRow
-          }.toArray))
+              i == sp.size - 1): InternalRow
+          }.toArray
+        }))
       case "refs" =>
         require(version.isEmpty,
           "$refs is the live tag listing; time travel does not apply")

@@ -78,6 +78,15 @@ object SnapshotStore {
     */
   final class ConstraintViolationException(msg: String) extends RuntimeException(msg)
 
+  /** A concurrent commit flipped the table's partition-layout state
+    * (spec evolved, or a migration healed it) between an append's routing
+    * decision and its staging attempt — the caller re-routes onto the
+    * path matching the NEW state. Checked per optimistic attempt, so the
+    * window the routing decision alone would leave is closed.
+    */
+  private[sources] final class LayoutChangedException(msg: String)
+    extends IllegalStateException(msg)
+
   private def commitsDir(root: String): Path = Paths.get(root, "_commits")
   private def commitFile(root: String, v: Long): Path =
     commitsDir(root).resolve(f"$v%020d.commit")
@@ -166,14 +175,20 @@ object SnapshotStore {
     val base = Paths.get(dir)
     val s = Files.walk(base)
     try s.iterator().asScala.exists { p =>
-      Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet") && {
-        val segs = base.relativize(p).iterator().asScala.map(_.toString).toSeq
-        (segs.head.startsWith("_spec") &&
-          !segs.tail.exists(_.startsWith("_"))) ||
-        !segs.exists(_.startsWith("_"))
-      }
+      Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet") &&
+        isDataSegs(base.relativize(p).iterator().asScala.map(_.toString).toSeq)
     } finally s.close()
   }
+
+  /** Relative path segments of a DATA file (vs commit metadata): the
+    * plain tree, or a `_spec<i>/` evolution subtree with no metadata dir
+    * beneath it — the ONE rule shared by linking, file metadata, and
+    * existence probes, so the three can never disagree on what counts
+    * as data.
+    */
+  private def isDataSegs(segs: Seq[String]): Boolean =
+    (segs.head.startsWith("_spec") && !segs.tail.exists(_.startsWith("_"))) ||
+      !segs.exists(_.startsWith("_"))
 
   private def carrySpecs(baseDir: String, dir: String): Unit = {
     val src = specsFile(baseDir)
@@ -426,15 +441,40 @@ object SnapshotStore {
     * stream's life. The checkpoint (the Delta checkpoint idea applied to
     * `txn` actions) caps the scan at the fold interval.
     */
-  def lastTxnVersion(root: String, appId: String): Option[Long] = {
-    val (ckptV, base) = readTxnCheckpoint(root)
-    val tail = listDir(commitsDir(root)).iterator
-      .filter(_.getFileName.toString.endsWith(".commit"))
-      .filter(_.getFileName.toString.stripSuffix(".commit").toLong > ckptV)
-      .flatMap(f => parseCommit(f)._2)
-      .filter(_.appId == appId)
-      .map(_.version).maxOption
-    (base.get(appId).toSeq ++ tail.toSeq).maxOption
+  def lastTxnVersion(root: String, appId: String): Option[Long] =
+    lastTxnVersions(root, Set(appId)).get(appId)
+
+  /** Per-ATTEMPT stamp + pin guard. MUST run AFTER the attempt pins its
+    * `base = latest(root)`: any commit landing after the guard passes
+    * also bumps the version past `base`, so the staging attempt loses
+    * the CAS and retries back through the guard. The reverse order
+    * (guard, then read base) leaves a window where a racer's commit is
+    * neither guarded against nor CAS-caught — a stamped batch could
+    * double-apply. Returns true when EVERY stamp is already covered
+    * (replayed batch — the caller no-ops with `base`); a stamp strictly
+    * EXCEEDED, or a failed pin, aborts with [[StaleStampException]]
+    * (a merely EQUAL mark is the legitimate one-source-ahead shape and
+    * proceeds).
+    */
+  private def stampGuard(root: String, txns: Seq[Txn],
+      pinCheck: () => Boolean): Boolean = {
+    if (txns.nonEmpty) {
+      val marks = lastTxnVersions(root, txns.map(_.appId).toSet)
+      if (txns.forall(t => marks.get(t.appId).exists(_ >= t.version)))
+        return true
+      val exceeded = txns.filter(t =>
+        marks.get(t.appId).exists(_ > t.version))
+      if (exceeded.nonEmpty)
+        throw new StaleStampException(
+          s"commit at $root: ${exceeded.map(_.appId).mkString(", ")} " +
+            "already advanced past this commit's pinned version by a " +
+            "concurrent writer; restart from fresh high-water marks")
+    }
+    if (!pinCheck())
+      throw new StaleStampException(
+        s"commit at $root: pinned inputs went stale before commit; " +
+          "restart from fresh high-water marks")
+    false
   }
 
   /** Bulk [[lastTxnVersion]]: the high-water mark of EVERY app in
@@ -498,7 +538,14 @@ object SnapshotStore {
   private def txnCheckpointFile(root: String): Path =
     commitsDir(root).resolve("_txn_checkpoint")
 
-  /** (covered version, app → high-water); (-1, empty) = no checkpoint. */
+  /** (covered version, app → high-water); (-1, empty) = no checkpoint.
+    * An UNREADABLE checkpoint throws: after a VACUUM the fold is the ONLY
+    * copy of the expired commits' stamps, so "degrade to a full scan"
+    * would silently forget the ledger — a recovering streaming writer
+    * would double-apply and COPY INTO would reload every ingested file.
+    * Corruption is also genuinely exceptional: the writer publishes via
+    * temp-file + atomic link, so readers never see a partial file.
+    */
   private def readTxnCheckpoint(root: String): (Long, Map[String, Long]) = {
     val f = txnCheckpointFile(root)
     if (!Files.exists(f)) return (-1L, Map.empty)
@@ -510,7 +557,13 @@ object SnapshotStore {
         val Array(app, hv) = l.split("\t", 2)
         app -> hv.toLong
       }.toMap)
-    } catch { case _: Exception => (-1L, Map.empty) } // unreadable: rescan
+    } catch {
+      case e: Exception => throw new IllegalStateException(
+        s"txn checkpoint at $f is unreadable — refusing to treat it as " +
+          "absent (stamps folded from vacuumed commits would be " +
+          "forgotten, breaking exactly-once replay); restore the file " +
+          "or re-create it from a log backup", e)
+    }
   }
 
   private[graft] def writeTxnCheckpoint(root: String, upTo: Long): Unit = {
@@ -774,21 +827,20 @@ object SnapshotStore {
       carrySpecs(target.dataDir, dir.toString)
       val effectiveSpec = readSpecs(target.dataDir) match {
         case s if s.nonEmpty => Some(s.last._2)
-        case _ => readSpecs(base.dataDir) match {
-          case s if s.nonEmpty => Some(s.head._2) // the original layout
-          case _ =>
-            // evolve-then-HEALED history: neither dir carries a sidecar,
-            // but the target may predate the evolution — its PHYSICAL
-            // layout is the truth. Only override when it disagrees and
-            // the target actually has files (an empty snapshot's layout
-            // is indistinguishable from flat — keep the declared spec)
-            val phys = layoutCols(target.dataDir)
-            if (hasDataFiles(target.dataDir) &&
-                phys.map(_.toLowerCase) !=
-                  partitionCols(root).map(_.toLowerCase))
-              Some(phys)
-            else None
-        }
+        case _ =>
+          // sidecar-less target: its PHYSICAL layout is the truth — the
+          // current head's sidecar is NOT (after evolve→heal→re-evolve,
+          // the head sidecar's first spec is the HEAL-time layout, which
+          // the target may predate). Only override when the layouts
+          // disagree and the target actually has files (an empty
+          // snapshot's layout is indistinguishable from flat — keep the
+          // declared spec)
+          val phys = layoutCols(target.dataDir)
+          if (hasDataFiles(target.dataDir) &&
+              phys.map(_.toLowerCase) !=
+                partitionCols(root).map(_.toLowerCase))
+            Some(phys)
+          else None
       }
       // identity high-water mark rolls back WITH the data (self-consistent
       // restore semantics; ids re-allocated after the restore can repeat
@@ -1096,27 +1148,12 @@ object SnapshotStore {
     val txns = txn.toSeq ++ extraTxns
     var attempt = 0
     while (attempt < maxAttempts) {
-      // same stamp semantics as transactImpl: ALL covered -> replayed
-      // no-op; a stamp strictly exceeded -> abort (a concurrent writer
-      // advanced past what this append asserts). One bulk log scan: a
-      // COPY INTO append asserts a stamp PER FILE.
-      if (txns.nonEmpty) {
-        val marks = lastTxnVersions(root, txns.map(_.appId).toSet)
-        if (txns.forall(t => marks.get(t.appId).exists(_ >= t.version)))
-          return latest(root)
-        val exceeded = txns.filter(t =>
-          marks.get(t.appId).exists(_ > t.version))
-        if (exceeded.nonEmpty)
-          throw new StaleStampException(
-            s"commit at $root: ${exceeded.map(_.appId).mkString(", ")} " +
-              "already advanced past this commit's pinned version by a " +
-              "concurrent writer; restart from fresh high-water marks")
-      }
-      if (!pinCheck())
-        throw new StaleStampException(
-          s"commit at $root: pinned inputs went stale before commit; " +
-            "restart from fresh high-water marks")
-      val base = latest(root)
+      val base = latest(root) // pin BEFORE the guard — see stampGuard
+      if (stampGuard(root, txns, pinCheck)) return base
+      if (isEvolved(base.dataDir))
+        throw new LayoutChangedException(
+          s"$root evolved its partition spec mid-append; re-route onto " +
+            "the spanning-layout path")
       val rows = newRows(read(spark, base))
       enforceConstraints(rows,
         tableConstraints(root).map { case (n, sql) => (n, expr(sql)) })
@@ -1165,26 +1202,13 @@ object SnapshotStore {
     val txns = txn.toSeq ++ extraTxns
     var attempt = 0
     while (attempt < maxAttempts) {
-      if (txns.nonEmpty) {
-        val marks = lastTxnVersions(root, txns.map(_.appId).toSet)
-        if (txns.forall(t => marks.get(t.appId).exists(_ >= t.version)))
-          return latest(root)
-        val exceeded = txns.filter(t =>
-          marks.get(t.appId).exists(_ > t.version))
-        if (exceeded.nonEmpty)
-          throw new StaleStampException(
-            s"commit at $root: ${exceeded.map(_.appId).mkString(", ")} " +
-              "already advanced past this commit's pinned version by a " +
-              "concurrent writer; restart from fresh high-water marks")
-      }
-      if (!pinCheck())
-        throw new StaleStampException(
-          s"commit at $root: pinned inputs went stale before commit; " +
-            "restart from fresh high-water marks")
-      val base = latest(root)
+      val base = latest(root) // pin BEFORE the guard — see stampGuard
+      if (stampGuard(root, txns, pinCheck)) return base
       val specs = readSpecs(base.dataDir)
-      require(specs.nonEmpty && specs.last._1 != ".",
-        s"transactAppendEvolved on a non-evolved snapshot at $root")
+      if (specs.isEmpty || specs.last._1 == ".")
+        throw new LayoutChangedException(
+          s"$root healed to a single partition spec mid-append; re-route " +
+            "onto the plain path")
       val (sub, cols) = specs.last
       val rows = newRows(read(spark, base))
       enforceConstraints(rows,
@@ -1262,7 +1286,11 @@ object SnapshotStore {
     // appends stage O(batch) under the CURRENT spec's subtree; a full
     // overwrite rewrites in the current spec and HEALS the table back to
     // single-spec (stage() drops the sidecar); partition-scoped overwrite
-    // has no cross-layout meaning — migrate first
+    // has no cross-layout meaning — migrate first. The routing decision
+    // is re-validated per staging attempt (LayoutChangedException) and
+    // re-taken here, so a concurrent evolve/heal between the check and
+    // the commit can never land an append under the wrong layout.
+    def route(): Snapshot = {
     if (isEvolved(latest(root).dataDir)) {
       val dynamic = overwrite &&
         spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -1353,6 +1381,17 @@ object SnapshotStore {
           s"(${keys.mkString(", ")}) — use MERGE for upserts")
       a
     }
+    }
+    var reroutes = 0
+    while (true) {
+      try return route()
+      catch {
+        case e: LayoutChangedException =>
+          reroutes += 1
+          if (reroutes > 3) throw e // a flapping layout is not a race
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Latest version whose commit landed at or before `tsMicros` (epoch
@@ -1842,14 +1881,8 @@ object SnapshotStore {
     val s = Files.walk(base)
     val files =
       try s.iterator().asScala.toSeq.filter { p =>
-        Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet") && {
-          val segs = base.relativize(p).iterator().asScala
-            .map(_.toString).toSeq
-          // `_spec<i>/` subtrees are data files of a later partition spec
-          (segs.head.startsWith("_spec") &&
-            !segs.tail.exists(_.startsWith("_"))) ||
-          !segs.exists(_.startsWith("_"))
-        }
+        Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet") &&
+          isDataSegs(base.relativize(p).iterator().asScala.map(_.toString).toSeq)
       } finally s.close()
     val conf = new org.apache.hadoop.conf.Configuration()
     files.map(p => base.relativize(p).toString -> p).sortBy(_._1)
@@ -1922,13 +1955,7 @@ object SnapshotStore {
         // `withDv = false` is for [[transactMoR]], which writes its own
         // merged vector instead.
         val segs = from.relativize(f).iterator().asScala.map(_.toString).toSeq
-        (withDv && segs.head == "_dv") ||
-          // `_spec<i>/` subtrees are DATA (partition-spec evolution), not
-          // commit metadata — dropping them on a link would lose every
-          // row appended since the spec change
-          (segs.head.startsWith("_spec") &&
-            !segs.tail.exists(_.startsWith("_"))) ||
-          !segs.exists(_.startsWith("_"))
+        (withDv && segs.head == "_dv") || isDataSegs(segs)
       })
       .foreach { f =>
         val dest = to.resolve(from.relativize(f))
@@ -2384,25 +2411,13 @@ object SnapshotStore {
     val txns = txn.toSeq ++ extraTxns
     var attempt = 0
     while (attempt < maxAttempts) {
-      // same stamp semantics as transactImpl: all covered -> replayed
-      // no-op; a stamp strictly exceeded -> a concurrent refresh applied a
-      // newer feed version than this transform pinned -> abort
-      if (txns.nonEmpty) {
-        if (txns.forall(t => lastTxnVersion(root, t.appId).exists(_ >= t.version)))
-          return latest(root)
-        val exceeded = txns.filter(t =>
-          lastTxnVersion(root, t.appId).exists(_ > t.version))
-        if (exceeded.nonEmpty)
-          throw new StaleStampException(
-            s"commit at $root: ${exceeded.map(_.appId).mkString(", ")} " +
-              "already advanced past this commit's pinned version by a " +
-              "concurrent refresh; restart from fresh high-water marks")
-      }
-      if (!pinCheck())
-        throw new StaleStampException(
-          s"commit at $root: pinned inputs went stale before commit; " +
-            "restart from fresh high-water marks")
-      val base = latest(root)
+      val base = latest(root) // pin BEFORE the guard — see stampGuard
+      if (stampGuard(root, txns, pinCheck)) return base
+      if (isEvolved(base.dataDir))
+        throw new LayoutChangedException(
+          s"$root evolved its partition spec mid-operation; partition-" +
+            "scoped staging has no meaning across two layouts — OPTIMIZE " +
+            "(full rewrite) to migrate, or re-route an append")
       // lineage-bearing read: the touched-file probe reads the matched
       // rows' files off the DvFileCol column (input_file_name() refuses
       // multi-source plans, which a DV base's anti-join is); callers'
@@ -2595,38 +2610,8 @@ object SnapshotStore {
     val txns = txn.toSeq ++ extraTxns
     var attempt = 0
     while (attempt < maxAttempts) {
-      // replayed batch: a no-op only when EVERY stamp is already covered.
-      // Stamps land atomically (one commit), so on a partially-covered set
-      // the tell for an interleaved-pin race is a stamp whose mark
-      // STRICTLY EXCEEDS what this commit asserts: a different refresh
-      // applied a NEWER version of that feed than this transform's pinned
-      // read — re-running would overwrite its state with stale data, so
-      // abort and make the caller restart from fresh high-water marks.
-      // A stamp merely EQUAL to its current mark is the legitimate
-      // one-source-ahead shape (re-asserting an unadvanced feed) and
-      // proceeds.
-      if (txns.nonEmpty) {
-        val allCovered = txns.forall(t =>
-          lastTxnVersion(root, t.appId).exists(_ >= t.version))
-        if (allCovered)
-          return latest(root) // already applied — replayed batch
-        val exceeded = txns.filter(t =>
-          lastTxnVersion(root, t.appId).exists(_ > t.version))
-        if (exceeded.nonEmpty)
-          throw new StaleStampException(
-            s"commit at $root: ${exceeded.map(_.appId).mkString(", ")} " +
-              "already advanced past this commit's pinned version by a " +
-              "concurrent refresh; restart from fresh high-water marks")
-      }
-      // caller-pinned reads (e.g. a refresh whose transform closes over
-      // snapshots/high-water marks captured BEFORE transact): verify the
-      // pins still hold on EVERY attempt, or the optimistic rebase would
-      // re-apply an already-applied delta on top of the winner's state
-      if (!pinCheck())
-        throw new StaleStampException(
-          s"commit at $root: pinned inputs went stale before commit; " +
-            "restart from fresh high-water marks")
-      val base = latest(root)
+      val base = latest(root) // pin BEFORE the guard — see stampGuard
+      if (stampGuard(root, txns, pinCheck)) return base
       val (out, suppliedChanges) = transform(read(spark, base))
       // caller-supplied invariants + the table's own persisted CHECK
       // constraints — every commit path enforces the latter automatically

@@ -72,12 +72,16 @@ class CopyIntoSpec extends SparkSpec {
     val drop = tmp("graft_ci_pdrop")
     SnapshotStore.init(spark, root, Seq.empty[(Long, Long)].toDF("id", "v"))
     dropShard(drop, "keep", Seq((1L, 10L)))
-    // a stray non-parquet file and a hidden dir must both be invisible
+    // a stray non-parquet file and a hidden dir must both be invisible —
+    // WITHOUT an explicit pattern (the default is the format's extension)
     Files.writeString(Paths.get(drop, "notes.txt"), "not data")
     Files.createDirectories(Paths.get(drop, "_staging"))
     Files.writeString(Paths.get(drop, "_staging", "x.parquet"), "junk")
-    val r = CopyInto.run(spark, root, drop, pattern = Some("*.parquet"))
+    val r = CopyInto.run(spark, root, drop)
     assert(r.filesLoaded == 1L && r.rowsLoaded == 1L)
+    // an explicit pattern narrows further
+    val r2 = CopyInto.run(spark, root, drop, pattern = Some("nomatch-*.parquet"))
+    assert(r2.filesLoaded == 0L)
   }
 
   test("a racing loader's stamps abort the optimistic commit; the retry loads only the remainder") {

@@ -162,6 +162,25 @@ class PartitionEvolutionSpec extends SparkSpec {
       Seq((1L, "a", 10L), (7L, "g", 70L)))
   }
 
+  test("RESTORE after evolve->heal->RE-evolve still derives the target's own layout") {
+    val root = tmp("graft_pe_reevolve")
+    SnapshotStore.init(spark, root,
+      Seq((1L, "a", "x", 1L)).toDF("id", "k", "j", "v")) // v0 flat
+    SnapshotStore.alterPartitionSpec(spark, root, Seq("k")) // v1
+    SnapshotStore.optimize(spark, root, 1000000L) // v2: healed, layout k
+    SnapshotStore.alterPartitionSpec(spark, root, Seq("j")) // v3: re-evolve
+    // head sidecar's FIRST spec is now the heal-time layout (k) — which
+    // v0 never had; the restore must trust v0's physical (flat) layout
+    SnapshotStore.restore(spark, root, toVersion = 0L)
+    assert(SnapshotStore.partitionCols(root).isEmpty,
+      s"got ${SnapshotStore.partitionCols(root)}")
+    SnapshotStore.append(spark, root,
+      Seq((2L, "b", "y", 2L)).toDF("id", "k", "j", "v"))
+    assert(SnapshotStore.read(spark, root).select($"id", $"k", $"j", $"v")
+      .orderBy($"id").as[(Long, String, String, Long)].collect().toSeq ==
+      Seq((1L, "a", "x", 1L), (2L, "b", "y", 2L)))
+  }
+
   test("CDC table: the spec change is an empty change set; appends feed as inserts") {
     val root = tmp("graft_pe_cdc")
     SnapshotStore.init(spark, root, Seq((1L, "a", 10L)).toDF("id", "k", "v"),

@@ -244,11 +244,15 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.latest(root).version == vBefore,
       "replay of a pre-vacuum batch committed")
 
-    // an unreadable checkpoint degrades to the full scan, never crashes
+    // an unreadable checkpoint is LOUD: post-vacuum it is the only copy
+    // of the folded stamps — silently rescanning would forget the ledger
+    // and double-apply replayed batches
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(root, "_commits", "_txn_checkpoint"), "garbage")
-    assert(SnapshotStore.lastTxnVersion(root, "appB").contains(4L),
-      "post-vacuum tail still carries appB's v4 stamp")
+    val e = intercept[IllegalStateException] {
+      SnapshotStore.lastTxnVersion(root, "appB")
+    }
+    assert(e.getMessage.contains("unreadable"), e.getMessage)
   }
 
   test("CHECK constraints reject a violating commit before any pointer moves") {
