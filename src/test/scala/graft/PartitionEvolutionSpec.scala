@@ -146,6 +146,35 @@ class PartitionEvolutionSpec extends SparkSpec {
       Seq((1L, "a", 10L), (5L, "e", 50L)))
   }
 
+  test("an evolve landing MID-append re-routes: the batch lays out under the new spec") {
+    val root = tmp("graft_pe_race")
+    SnapshotStore.init(spark, root,
+      Seq((1L, "a", 10L)).toDF("id", "k", "v")) // flat
+    // deterministic reproduction of the routing race: append() routes on
+    // the flat layout, then a concurrent evolve commits before the
+    // staging attempt wins — injected via the pinCheck hook, which runs
+    // inside the attempt. The stale attempt must lose the CAS, retry,
+    // see the spanning base, and RE-ROUTE onto the evolved path — never
+    // commit a snapshot whose _spec subtree is invisible to reads.
+    var fired = false
+    SnapshotStore.append(spark, root, Seq((2L, "b", 20L)).toDF("id", "k", "v"),
+      pinCheck = () => {
+        if (!fired) {
+          fired = true
+          SnapshotStore.alterPartitionSpec(spark, root, Seq("k"))
+        }
+        true
+      })
+    val head = SnapshotStore.latest(root)
+    assert(SnapshotStore.isEvolved(head.dataDir),
+      "the appended snapshot must carry the specs sidecar")
+    assert(Files.isDirectory(Paths.get(head.dataDir, "_spec1", "k=b")),
+      "the re-routed batch must lay out under the NEW spec")
+    assert(SnapshotStore.read(spark, root).select($"id", $"k", $"v")
+      .orderBy($"id").as[(Long, String, Long)].collect().toSeq ==
+      Seq((1L, "a", 10L), (2L, "b", 20L)))
+  }
+
   test("RESTORE across an evolve-then-HEALED history derives the spec from the target's layout") {
     val root = tmp("graft_pe_healrestore")
     SnapshotStore.init(spark, root, Seq((1L, "a", 10L)).toDF("id", "k", "v")) // v0 flat
