@@ -107,13 +107,21 @@ object CopyInto {
       evolveSchema: Boolean = false, force: Boolean = false,
       dryRun: Boolean = false): Result = {
     val selfDescribing = Set("parquet", "orc")
-    // no explicit glob: candidates default to the format's own extension,
-    // so a stray README/checksum file in the zone cannot crash the load
-    // (pass pattern "*" to really mean everything)
-    val effectivePattern = pattern.orElse(Some(s"*.${format.toLowerCase}"))
+    // no explicit glob: candidates default to files carrying the format's
+    // extension — case-insensitive and compression-suffix-tolerant
+    // (part-0.JSON, part-0.json.gz), so a stray README/checksum file
+    // cannot crash the load while real shards never silently drop (pass
+    // pattern "*" to really mean everything)
+    val ext = s".${format.toLowerCase}"
+    def formatNamed(p: Path): Boolean = {
+      val n = p.getFileName.toString.toLowerCase
+      n.endsWith(ext) || n.contains(ext + ".")
+    }
     var attempt = 0
     while (true) {
-      val candidates = listSourceFiles(sourceDir, effectivePattern)
+      val listed = listSourceFiles(sourceDir, pattern)
+      val candidates =
+        if (pattern.isDefined) listed else listed.filter(formatNamed)
       val marks = SnapshotStore.txnAppsWithPrefix(root, IngestPrefix)
       val fresh =
         if (force) candidates

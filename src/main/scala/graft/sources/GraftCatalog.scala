@@ -146,6 +146,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (ident.name.indexOf('$') >= 0) { // metadata table: name check only
       val base = ident.name.takeWhile(_ != '$')
       val root = rootOf(Identifier.of(ident.namespace, base))
+      // classify a missing base table BEFORE versionAsOf lists its
+      // commit log, or the analyzer sees a raw NoSuchFileException
+      if (!isTable(root)) throw new NoSuchTableException(ident)
       return metaTable(ident,
         Some(SnapshotStore.versionAsOf(root, timestamp))).get
     }
@@ -245,13 +248,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("is_current",
             org.apache.spark.sql.types.BooleanType)))
-        def specs = SnapshotStore.readSpecs(snap.dataDir) match {
-          // no sidecar: a single-spec snapshot. Its layout is PHYSICAL
-          // truth — derive the cols from its own `col=value` dir chain
-          // rather than the table's CURRENT config, which a pinned
-          // pre-evolution version may predate
-          case Nil => Seq(("." , SnapshotStore.layoutCols(snap.dataDir)))
-          case s => s
+        // one snapshot per compute: readSpecs and layoutCols must read
+        // the SAME dir, or an un-pinned query racing a commit serves a
+        // torn listing
+        def specs = { val s0 = snap
+          SnapshotStore.readSpecs(s0.dataDir) match {
+            // no sidecar: a single-spec snapshot. Its layout is PHYSICAL
+            // truth — derive the cols from its own `col=value` dir chain
+            // rather than the table's CURRENT config, which a pinned
+            // pre-evolution version may predate
+            case Nil => Seq(("." , SnapshotStore.layoutCols(s0.dataDir)))
+            case s => s
+          }
         }
         Some(new GraftMetaTable(ident.toString, schema, () => {
           val sp = specs

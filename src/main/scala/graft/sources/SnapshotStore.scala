@@ -526,8 +526,9 @@ object SnapshotStore {
     * past log truncation; this is that contract.
     *
     * Format (TSV): `version\tV` then one `app\thighWater` line per app,
-    * meaning "every stamp in commits ≤ V is folded here". Readers treat a
-    * missing/unreadable file as V = -1 (full scan — always correct).
+    * meaning "every stamp in commits ≤ V is folded here". Readers treat
+    * a MISSING file as V = -1 (full scan — always correct); an
+    * UNREADABLE one throws, see [[readTxnCheckpoint]].
     * Published via temp-file + atomic rename; a lost update race between
     * two concurrent folders leaves the OLDER checkpoint, which only
     * lengthens the tail scan, never loses a stamp (commit files ≤ V are
@@ -828,19 +829,22 @@ object SnapshotStore {
       val effectiveSpec = readSpecs(target.dataDir) match {
         case s if s.nonEmpty => Some(s.last._2)
         case _ =>
-          // sidecar-less target: its PHYSICAL layout is the truth — the
-          // current head's sidecar is NOT (after evolve→heal→re-evolve,
-          // the head sidecar's first spec is the HEAL-time layout, which
-          // the target may predate). Only override when the layouts
-          // disagree and the target actually has files (an empty
-          // snapshot's layout is indistinguishable from flat — keep the
-          // declared spec)
-          val phys = layoutCols(target.dataDir)
-          if (hasDataFiles(target.dataDir) &&
-              phys.map(_.toLowerCase) !=
-                partitionCols(root).map(_.toLowerCase))
-            Some(phys)
-          else None
+          // sidecar-less target WITH files: its PHYSICAL layout is the
+          // truth — the current head's sidecar is NOT (after
+          // evolve→heal→re-evolve, the head sidecar's first spec is the
+          // HEAL-time layout, which the target may predate). An EMPTY
+          // target has no physical truth; the best record is the head
+          // sidecar's ORIGINAL spec (exact for a plain pending
+          // evolution; after a heal the original is unrecorded and the
+          // declared spec stands)
+          if (hasDataFiles(target.dataDir)) {
+            val phys = layoutCols(target.dataDir)
+            if (phys.map(_.toLowerCase) !=
+                partitionCols(root).map(_.toLowerCase)) Some(phys) else None
+          } else readSpecs(base.dataDir) match {
+            case s if s.nonEmpty => Some(s.head._2)
+            case _ => None
+          }
       }
       // identity high-water mark rolls back WITH the data (self-consistent
       // restore semantics; ids re-allocated after the restore can repeat
@@ -2404,10 +2408,11 @@ object SnapshotStore {
     val parts = partitionCols(root)
     require(parts.nonEmpty,
       s"transactPartialWithChanges requires a partitioned table ($root)")
-    require(!isEvolved(latest(root).dataDir),
-      s"$root spans partition specs (evolution pending); partition-scoped " +
-        "operations have no meaning across two layouts — OPTIMIZE (full " +
-        "rewrite) to migrate to the current spec first")
+    // NO entry-time layout require: the per-attempt check below throws
+    // LayoutChangedException, which append()'s router absorbs by
+    // re-routing while DML callers surface it loudly — an entry require
+    // would turn the route-then-evolve race into a user-facing abort on
+    // the one path built to absorb it
     val txns = txn.toSeq ++ extraTxns
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -2415,9 +2420,9 @@ object SnapshotStore {
       if (stampGuard(root, txns, pinCheck)) return base
       if (isEvolved(base.dataDir))
         throw new LayoutChangedException(
-          s"$root evolved its partition spec mid-operation; partition-" +
-            "scoped staging has no meaning across two layouts — OPTIMIZE " +
-            "(full rewrite) to migrate, or re-route an append")
+          s"$root spans partition specs (evolution pending); partition-" +
+            "scoped operations have no meaning across two layouts — " +
+            "OPTIMIZE (full rewrite) to migrate to the current spec first")
       // lineage-bearing read: the touched-file probe reads the matched
       // rows' files off the DvFileCol column (input_file_name() refuses
       // multi-source plans, which a DV base's anti-join is); callers'
@@ -2539,9 +2544,8 @@ object SnapshotStore {
     import org.apache.spark.sql.functions.{col, expr}
     var attempt = 0
     while (attempt < maxAttempts) {
-      if (txn.exists(t => lastTxnVersion(root, t.appId).exists(_ >= t.version)))
-        return latest(root)
-      val base = latest(root)
+      val base = latest(root) // pin BEFORE the guard — see stampGuard
+      if (stampGuard(root, txn.toSeq, () => true)) return base
       require(!isEvolved(base.dataDir),
         s"merge-on-read DML on $root while a partition-spec evolution is " +
           "pending: deletion vectors key files by one layout — OPTIMIZE " +

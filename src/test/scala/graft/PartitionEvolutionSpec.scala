@@ -93,8 +93,9 @@ class PartitionEvolutionSpec extends SparkSpec {
       Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "v"))
     SnapshotStore.alterPartitionSpec(spark, root, Seq("k"))
     SnapshotStore.append(spark, root, Seq((3L, "c", 30L)).toDF("id", "k", "v"))
-    // partial COW (the partitioned-DML staging) refuses
-    val e1 = intercept[IllegalArgumentException] {
+    // partial COW (the partitioned-DML staging) refuses — with the
+    // layout-aware exception append()'s router also understands
+    val e1 = intercept[IllegalStateException] {
       SqlDml.execute(spark, "UPDATE t SET v = 0 WHERE id = 1", Map("t" -> root))
     }
     assert(e1.getMessage.contains("OPTIMIZE"), e1.getMessage)
