@@ -151,6 +151,25 @@ class CopyIntoSpec extends SparkSpec {
     assert(e.getMessage.contains("extra"))
   }
 
+  test("default candidate filter accepts case-variant and compressed shard names") {
+    val root = tmp("graft_ci_gz")
+    val drop = tmp("graft_ci_gzdrop")
+    SnapshotStore.init(spark, root, Seq.empty[(Long, Long)].toDF("id", "v"))
+    Files.createDirectories(Paths.get(drop))
+    // a gzipped shard and an upper-cased one — both real-world rsync
+    // artifacts a bare `*.csv` glob would silently drop
+    val gz = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(Paths.get(drop, "rows.csv.gz")))
+    gz.write("1,10\n2,20\n".getBytes("UTF-8")); gz.close()
+    Files.writeString(Paths.get(drop, "MORE.CSV"), "3,30\n")
+    Files.writeString(Paths.get(drop, "notes.txt"), "not data")
+    val r = CopyInto.run(spark, root, drop, format = "csv")
+    assert(r.filesLoaded == 2L && r.rowsLoaded == 3L, s"$r")
+    assert(SnapshotStore.read(spark, root).orderBy($"id")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
   test("force reloads explicitly; dry_run diffs the ledger without committing") {
     val root = tmp("graft_ci_force")
     val drop = tmp("graft_ci_fdrop")
