@@ -161,8 +161,14 @@ object CopyInto {
       }
       val rows = batch.count() // parquet: footer metadata, no data scan
       try {
+        // replay detection: a racer may cover ALL our stamps between the
+        // listing and the commit — the append then no-ops, and this call
+        // must report 0 loaded (the returned snapshot alone cannot
+        // distinguish our commit from the racer's covering one)
+        var replayed = false
         val snap = SnapshotStore.append(spark, root, batch,
           maxAttempts = maxAttempts, extraTxns = stamps,
+          onReplay = () => { replayed = true },
           pinCheck = () => {
             // re-verify per optimistic attempt: none of THIS batch's files
             // may have reached the version we assert via a racing COPY
@@ -172,7 +178,9 @@ object CopyInto {
             val now = SnapshotStore.txnAppsWithPrefix(root, IngestPrefix)
             stamps.forall(s => now.getOrElse(s.appId, 0L) < s.version)
           })
-        return Result(fresh.size.toLong, rows,
+        return if (replayed)
+          Result(0L, 0L, candidates.size.toLong, snap.version)
+        else Result(fresh.size.toLong, rows,
           (candidates.size - fresh.size).toLong, snap.version)
       } catch {
         case _: SnapshotStore.StaleStampException if attempt < maxAttempts =>

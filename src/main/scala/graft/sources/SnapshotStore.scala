@@ -1146,14 +1146,15 @@ object SnapshotStore {
   private def transactAppendFiles(spark: SparkSession, root: String,
       maxAttempts: Int, txn: Option[Txn],
       stagedHook: String => Unit = _ => (), extraTxns: Seq[Txn] = Nil,
-      pinCheck: () => Boolean = () => true)(
+      pinCheck: () => Boolean = () => true,
+      onReplay: () => Unit = () => ())(
       newRows: DataFrame => DataFrame): Snapshot = {
     import org.apache.spark.sql.functions.{expr, lit}
     val txns = txn.toSeq ++ extraTxns
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latest(root) // pin BEFORE the guard — see stampGuard
-      if (stampGuard(root, txns, pinCheck)) return base
+      if (stampGuard(root, txns, pinCheck)) { onReplay(); return base }
       if (isEvolved(base.dataDir))
         throw new LayoutChangedException(
           s"$root evolved its partition spec mid-append; re-route onto " +
@@ -1200,14 +1201,15 @@ object SnapshotStore {
     */
   private def transactAppendEvolved(spark: SparkSession, root: String,
       maxAttempts: Int, txn: Option[Txn], extraTxns: Seq[Txn] = Nil,
-      pinCheck: () => Boolean = () => true)(
+      pinCheck: () => Boolean = () => true,
+      onReplay: () => Unit = () => ())(
       newRows: DataFrame => DataFrame): Snapshot = {
     import org.apache.spark.sql.functions.{expr, lit}
     val txns = txn.toSeq ++ extraTxns
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latest(root) // pin BEFORE the guard — see stampGuard
-      if (stampGuard(root, txns, pinCheck)) return base
+      if (stampGuard(root, txns, pinCheck)) { onReplay(); return base }
       val specs = readSpecs(base.dataDir)
       if (specs.isEmpty || specs.last._1 == ".")
         throw new LayoutChangedException(
@@ -1257,10 +1259,18 @@ object SnapshotStore {
         .cast(f.dataType)))
   }
 
+  /** @param onReplay invoked (instead of staging) when the stamp guard
+    *   proves EVERY asserted stamp already covered — the commit was a
+    *   replayed batch and this call wrote nothing. Callers that report
+    *   per-invocation effects (COPY INTO's files_loaded) need the signal;
+    *   the returned Snapshot alone cannot distinguish "my commit" from
+    *   "a racer's covering commit".
+    */
   def append(spark: SparkSession, root: String, rows: DataFrame,
       overwrite: Boolean = false, maxAttempts: Int = 10,
       txn: Option[Txn] = None, extraTxns: Seq[Txn] = Nil,
-      pinCheck: () => Boolean = () => true): Snapshot = {
+      pinCheck: () => Boolean = () => true,
+      onReplay: () => Unit = () => ()): Snapshot = {
     import org.apache.spark.sql.functions.{col, lit}
     // identity tables assign ids on EVERY write path — a direct-API,
     // SqlDml, or streaming append must never pad the identity column with
@@ -1306,7 +1316,7 @@ object SnapshotStore {
         transact(spark, root, maxAttempts, txn = txn, extraTxns = extraTxns,
           pinCheck = pinCheck)(base => aligned(base))
       else transactAppendEvolved(spark, root, maxAttempts, txn,
-        extraTxns, pinCheck) { base =>
+        extraTxns, pinCheck, onReplay) { base =>
         val a = aligned(base)
         val keys = cdcKeys(root)
         if (keys.nonEmpty) {
@@ -1359,7 +1369,8 @@ object SnapshotStore {
       // partition dirs merge with linked existing files), hard-link every
       // existing file — O(appended data), never O(table)
       transactPartialWithChanges(spark, root, maxAttempts, txn = txn,
-          extraTxns = extraTxns, pinCheck = pinCheck) { base =>
+          extraTxns = extraTxns, pinCheck = pinCheck,
+          onReplay = onReplay) { base =>
         val keys = cdcKeys(root)
         if (keys.nonEmpty) {
           val clash = aligned(base).join(base, keys, "left_semi").limit(1)
@@ -1374,9 +1385,11 @@ object SnapshotStore {
       }
     else if (cdcKeys(root).isEmpty)
       transactAppendFiles(spark, root, maxAttempts, txn,
-        extraTxns = extraTxns, pinCheck = pinCheck)(aligned)
+        extraTxns = extraTxns, pinCheck = pinCheck,
+        onReplay = onReplay)(aligned)
     else transactAppendFiles(spark, root, maxAttempts, txn,
-        extraTxns = extraTxns, pinCheck = pinCheck) { base =>
+        extraTxns = extraTxns, pinCheck = pinCheck,
+        onReplay = onReplay) { base =>
       val a = aligned(base)
       val keys = cdcKeys(root)
       val clash = a.join(base, keys, "left_semi").limit(1)
@@ -2401,7 +2414,8 @@ object SnapshotStore {
   def transactPartialWithChanges(spark: SparkSession, root: String,
       maxAttempts: Int = 10, txn: Option[Txn] = None,
       constraints: Seq[(String, org.apache.spark.sql.Column)] = Nil,
-      extraTxns: Seq[Txn] = Nil, pinCheck: () => Boolean = () => true)(
+      extraTxns: Seq[Txn] = Nil, pinCheck: () => Boolean = () => true,
+      onReplay: () => Unit = () => ())(
       matchedRows: DataFrame => DataFrame)(
       transform: DataFrame => (DataFrame, DataFrame)): Snapshot = {
     import org.apache.spark.sql.functions.{broadcast, col, expr}
@@ -2417,7 +2431,7 @@ object SnapshotStore {
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latest(root) // pin BEFORE the guard — see stampGuard
-      if (stampGuard(root, txns, pinCheck)) return base
+      if (stampGuard(root, txns, pinCheck)) { onReplay(); return base }
       if (isEvolved(base.dataDir))
         throw new LayoutChangedException(
           s"$root spans partition specs (evolution pending); partition-" +

@@ -113,6 +113,38 @@ class CopyIntoSpec extends SparkSpec {
     assert(s2.version == v, "covered stamps must short-circuit the append")
   }
 
+  test("two truly concurrent loaders ingest the zone exactly once between them") {
+    val root = tmp("graft_ci_twins")
+    val drop = tmp("graft_ci_twdrop")
+    SnapshotStore.init(spark, root, Seq.empty[(Long, Long)].toDF("id", "v"))
+    for (i <- 0 until 6)
+      dropShard(drop, s"s$i", Seq((i.toLong, i * 10L)))
+    // both racers run the full list→diff→append protocol concurrently;
+    // the commit CAS + per-attempt pinCheck must resolve every overlap —
+    // whatever the interleaving, the union of their loads is exactly the
+    // zone, no file twice
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[CopyInto.Result]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    for (_ <- 0 until 2) pool.submit(new Runnable {
+      override def run(): Unit =
+        try results.add(CopyInto.run(spark, root, drop, maxAttempts = 30))
+        catch { case t: Throwable => errors.add(t) }
+    })
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "loaders hung")
+    assert(errors.isEmpty, s"loader failed: ${Option(errors.peek())}")
+    import scala.jdk.CollectionConverters._
+    val loaded = results.asScala.map(_.filesLoaded).sum
+    assert(loaded == 6L, s"between them exactly the zone: $loaded of 6")
+    assert(SnapshotStore.read(spark, root).orderBy($"id")
+      .as[(Long, Long)].collect().toSeq ==
+      (0 until 6).map(i => (i.toLong, i * 10L)))
+    // and a third, sequential run confirms the ledger settled
+    assert(CopyInto.run(spark, root, drop).filesLoaded == 0L)
+  }
+
   test("the ledger survives VACUUM: stamps fold into the checkpoint before commits expire") {
     val root = tmp("graft_ci_vac")
     val drop = tmp("graft_ci_vdrop")
