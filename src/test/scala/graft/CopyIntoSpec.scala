@@ -183,6 +183,27 @@ class CopyIntoSpec extends SparkSpec {
     assert(e.getMessage.contains("extra"))
   }
 
+  test("COPY INTO a PARTITIONED table: rows lay out by the spec, replay no-ops") {
+    val root = tmp("graft_ci_part")
+    val drop = tmp("graft_ci_partdrop")
+    SnapshotStore.init(spark, root,
+      Seq.empty[(Long, String, Long)].toDF("id", "k", "v"),
+      partitionBy = Seq("k"))
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "v")
+      .coalesce(1).write.parquet(s"$drop/s0")
+    val r = CopyInto.run(spark, root, drop)
+    assert(r.filesLoaded == 1L && r.rowsLoaded == 2L, s"$r")
+    val head = SnapshotStore.latest(root)
+    assert(Files.isDirectory(Paths.get(head.dataDir, "k=a")),
+      "ingested rows must lay out under the table's partition dirs")
+    val r2 = CopyInto.run(spark, root, drop)
+    assert(r2.filesLoaded == 0L && r2.version == r.version,
+      s"replay through the partial-COW path must no-op: $r2")
+    assert(SnapshotStore.read(spark, root).select($"id", $"k", $"v")
+      .orderBy($"id").as[(Long, String, Long)].collect().toSeq ==
+      Seq((1L, "a", 10L), (2L, "b", 20L)))
+  }
+
   test("default candidate filter accepts case-variant and compressed shard names") {
     val root = tmp("graft_ci_gz")
     val drop = tmp("graft_ci_gzdrop")
