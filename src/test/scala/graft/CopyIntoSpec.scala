@@ -204,6 +204,26 @@ class CopyIntoSpec extends SparkSpec {
       Seq((1L, "a", 10L), (2L, "b", 20L)))
   }
 
+  test("COPY INTO a spec-EVOLVED table: the batch lands under the current spec") {
+    val root = tmp("graft_ci_evolved")
+    val drop = tmp("graft_ci_evodrop")
+    SnapshotStore.init(spark, root,
+      Seq((1L, "a", 10L)).toDF("id", "k", "v")) // flat era
+    SnapshotStore.alterPartitionSpec(spark, root, Seq("k"))
+    Seq((2L, "b", 20L)).toDF("id", "k", "v")
+      .coalesce(1).write.parquet(s"$drop/s0")
+    val r = CopyInto.run(spark, root, drop)
+    assert(r.filesLoaded == 1L, s"$r")
+    val head = SnapshotStore.latest(root)
+    assert(Files.isDirectory(Paths.get(head.dataDir, "_spec1", "k=b")),
+      "the ingested batch must lay out under the NEW spec's subtree")
+    assert(CopyInto.run(spark, root, drop).filesLoaded == 0L,
+      "replay through the evolved path must no-op")
+    assert(SnapshotStore.read(spark, root).select($"id", $"k", $"v")
+      .orderBy($"id").as[(Long, String, Long)].collect().toSeq ==
+      Seq((1L, "a", 10L), (2L, "b", 20L)))
+  }
+
   test("default candidate filter accepts case-variant and compressed shard names") {
     val root = tmp("graft_ci_gz")
     val drop = tmp("graft_ci_gzdrop")
