@@ -249,6 +249,14 @@ class PartitionEvolutionSpec extends SparkSpec {
     // clone carries the spanning layout
     spark.sql("CALL graft.system.clone('pet', 'pet2')")
     assert(spark.sql("SELECT count(*) FROM graft.pet2").head().getLong(0) == 3L)
+    // $partitions reports the PHYSICAL rollup across both eras: the flat
+    // files as the "" partition, the new era under its _spec1/k=… dirs
+    val parts = spark.sql("SELECT partition, n_rows FROM " +
+      "graft.`pet$partitions` ORDER BY partition").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(parts.exists(_._1 == "") && parts.exists(_._1.startsWith("_spec1/k=")),
+      s"rollup must span both layouts: $parts")
+    assert(parts.map(_._2).sum == 3L, s"every row accounted for: $parts")
     // $specs lists the spanning history; pre-evolution versions report one
     assert(spark.sql("SELECT spec_id, partition_cols, is_current " +
       "FROM graft.`pet$specs` ORDER BY spec_id").collect()
