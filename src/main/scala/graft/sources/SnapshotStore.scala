@@ -1599,8 +1599,9 @@ object SnapshotStore {
   private def carryManifestLinked(spark: SparkSession, baseDir: String,
       newDir: String, newFiles: Seq[String],
       keptRel: Option[Set[String]] = None,
+      dropDirs: Set[String] = Set.empty,
       bloomExpectedItems: Long = 100000L): Unit = {
-    import org.apache.spark.sql.functions.{col, concat, input_file_name, lit, substring_index}
+    import org.apache.spark.sql.functions.{col, concat, expr, input_file_name, lit, regexp_replace}
     val oldManifest = Paths.get(baseDir, "_manifest")
     if (!Files.isDirectory(oldManifest)) return
     val old = spark.read.parquet(oldManifest.toString)
@@ -1608,13 +1609,23 @@ object SnapshotStore {
       case c if c.startsWith("min_") => c.stripPrefix("min_") }
     val bloomCols = old.columns.toSeq.collect {
       case c if c.startsWith("bloom_") => c.stripPrefix("bloom_") }
-    val basename = substring_index(col("file"), "/", -1)
-    val carried = keptRel.fold(old)(ks => old.filter(basename.isin(ks.toSeq: _*)))
-      .withColumn("file", concat(lit(s"$newDir/"), basename))
+    // rewrite by the dir-RELATIVE path, never the basename: hive layouts
+    // nest files under col=value/ dirs, and a basename rewrite would
+    // flatten them onto paths that don't exist
+    val uuidSlash = Paths.get(baseDir).getFileName.toString + "/"
+    val rel = expr(
+      s"substring(file, instr(file, '${uuidSlash}') + ${uuidSlash.length})")
+    val relDir = regexp_replace(rel, "/[^/]+$", "") // top-level: = filename
+    val fromKept = keptRel.fold(old)(ks =>
+      old.filter(rel.isin(ks.toSeq: _*)))
+    val carried = (if (dropDirs.isEmpty) fromKept
+      else fromKept.filter(!relDir.isin(dropDirs.toSeq: _*)))
+      .withColumn("file", concat(lit(s"$newDir/"), rel))
     val aggs = manifestAggs(statsCols, bloomCols, bloomExpectedItems)
     val newRows =
       if (newFiles.isEmpty) carried.limit(0)
       else spark.read.schema(readSchema(spark, Snapshot(-1L, newDir)))
+        .option("basePath", newDir) // partition values for nested files
         .parquet(newFiles: _*)
         .groupBy(input_file_name().as("file"))
         .agg(aggs.head, aggs.tail: _*)
@@ -2476,9 +2487,23 @@ object SnapshotStore {
       val dir = Paths.get(root, "data", UUID.randomUUID().toString)
       Files.createDirectories(dir)
       out.write.mode("overwrite").partitionBy(parts: _*).parquet(dir.toString)
+      val freshFiles = { // the rewritten partitions' files, BEFORE links
+        val w = Files.walk(dir)
+        try w.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSeq
+        finally w.close()
+      }
       Files.writeString(dir.resolve("_schema.json"), baseDf.schema.json)
       carryStateSidecars(base.dataDir, dir.toString)
       carryRenames(base.dataDir, dir.toString)
+      // file-skipping continuity on partitioned tables: untouched files'
+      // manifest rows carry path-rewritten (their relative layout is
+      // link-preserved), touched partitions' rows drop and their fresh
+      // files re-aggregate — O(manifest) + O(rewritten batch), so a
+      // post-OPTIMIZE stats manifest survives appends and partial DML
+      // instead of dying on the first write
+      carryManifestLinked(spark, base.dataDir, dir.toString, freshFiles,
+        dropDirs = touchedDirsEnc)
       // link every untouched partition's files into the new version
       val s = Files.walk(basePath)
       try s.iterator().asScala

@@ -1536,6 +1536,29 @@ class GraftCatalogSpec extends SparkSpec {
     assert(kept < totalF, s"manifest must actually prune ($kept/$totalF)")
     assert(pruned.filter(org.apache.spark.sql.functions.col("seg").isNull)
       .isEmpty, "readPruned must keep partition values")
+    // the manifest SURVIVES partitioned writes: an append extends it
+    // (linked rows carry with their nested relative paths), a partial
+    // DML drops the touched partition's rows and re-aggregates its
+    // rewrite — continuity, not death-on-first-write
+    spark.sql("INSERT INTO graft.pmani VALUES (200000, 0, 600000)")
+    val afterAppend = SnapshotStore.latest(s"$wh/pmani")
+    val m1 = SnapshotStore.manifest(spark, afterAppend).collect()
+    assert(m1.length == totalF + 1, s"append must extend: ${m1.length}")
+    assert(m1.forall(_.getAs[String]("file").contains(afterAppend.dataDir)),
+      "every manifest row must key a file of the LIVE snapshot")
+    graft.sources.SqlDml.execute(spark,
+      "UPDATE graft.pmani SET v = 0 WHERE id = 200000")
+    val afterDml = SnapshotStore.latest(s"$wh/pmani")
+    val m2 = SnapshotStore.manifest(spark, afterDml).collect()
+    assert(m2.forall(_.getAs[String]("file").contains(afterDml.dataDir)) &&
+      m2.nonEmpty, "DML must carry a live manifest")
+    // and the carried manifest still serves CORRECT pruned reads
+    assert(spark.sql("SELECT seg, count(*) FROM graft.pmani " +
+      "WHERE id < 5000 GROUP BY seg ORDER BY seg").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 1250L), (1L, 1250L), (2L, 1250L), (3L, 1250L)))
+    assert(spark.sql(
+      "SELECT v FROM graft.pmani WHERE id = 200000").head().getLong(0) == 0L)
   }
 
   test("CALL optimize(zorder_by) works on named tables; manifest prunes both dims") {
