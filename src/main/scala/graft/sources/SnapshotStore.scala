@@ -327,9 +327,11 @@ object SnapshotStore {
   def init(spark: SparkSession, root: String, df: DataFrame,
       statsCols: Seq[String] = Nil, cdcKeys: Seq[String] = Nil,
       partitionBy: Seq[String] = Nil): Snapshot = {
-    require(partitionBy.isEmpty || statsCols.isEmpty,
-      "partitioned tables prune by directory; stats manifests are for " +
-        "flat layouts (use one or the other)")
+    // partitioning and stats manifests COMPOSE: directories prune the
+    // partition dims, per-file [min,max] intervals prune within each
+    // partition on clustered non-partition columns — and the manifest
+    // survives partitioned writes (partial COW carries it by nested
+    // relative path)
     Files.createDirectories(commitsDir(root))
     val dir = stage(root, df, partitionBy)
     if (statsCols.nonEmpty) writeManifest(spark, dir, statsCols)
