@@ -654,3 +654,62 @@ object ProbeSpecEvolution {
     spark.stop()
   }
 }
+
+/** Composed-pruning scale probe (partitioned table + stats manifest,
+  * allowed since round 13): directory pruning takes the partition dim,
+  * per-file [min,max] intervals take the clustered non-partition column
+  * WITHIN the kept directory. A one-partition one-band query should stay
+  * near-flat at 10× data: the directory prune drops (P-1)/P of the files
+  * at listing time and the manifest drops most of the rest at planning
+  * time, so the scan touches ~the band's files at either size.
+  *
+  * Usage: runMain graft.ProbeComposePrune <rowsSmall> <rowsBig>
+  */
+object ProbeComposePrune {
+  def main(args: Array[String]): Unit = {
+    import graft.sources.SnapshotStore
+    val Array(nSmall, nBig) = args.take(2).map(_.toLong)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def run(n: Long): (Double, Int, Int) = {
+      val wh = GateTmp.freshDir(s"probe_cp_$n")
+      spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val t = s"cp$n"
+      spark.sql(s"CREATE TABLE graft.$t (id BIGINT, seg BIGINT, v BIGINT) " +
+        "PARTITIONED BY (seg)")
+      spark.range(n).selectExpr("id", "id % 8 AS seg", "id * 3 AS v")
+        .createOrReplaceTempView(s"src_$t")
+      spark.sql(s"INSERT INTO graft.$t SELECT * FROM src_$t")
+      spark.sql(s"CALL graft.system.optimize('$t', ${math.max(n / 64, 1000L)}, " +
+        "'id', 'id')")
+      val root = s"$wh/$t"
+      val snap = SnapshotStore.latest(root)
+      val total = SnapshotStore.manifest(spark, snap).count().toInt
+      val (_, kept, _) = SnapshotStore.readPruned(spark, snap,
+        org.apache.spark.sql.functions.col("max_id") < n / 50)
+      val q = time {
+        val r = spark.sql(s"SELECT count(*), sum(v) FROM graft.$t " +
+          s"WHERE seg = 3 AND id BETWEEN ${n / 100} AND ${n / 50}").head()
+        require(r.getLong(0) > 0, "probe invariant: band is non-empty")
+      }
+      (q, kept, total)
+    }
+    run(nSmall) // warm-up
+    val (qs, ks, ts) = run(nSmall)
+    val (qb, kb, tb) = run(nBig)
+    println(f"rows=$nSmall%d band-query=$qs%.2fs manifest-kept=$ks/$ts")
+    println(f"rows=$nBig%d band-query=$qb%.2fs manifest-kept=$kb/$tb")
+    println(f"growth=${qb / qs}%.2fx (flat = dir prune x interval prune)")
+    spark.stop()
+  }
+}
