@@ -176,6 +176,25 @@ class PartitionEvolutionSpec extends SparkSpec {
       Seq((1L, "a", 10L), (2L, "b", 20L)))
   }
 
+  test("DML on an UNPARTITIONED-current-spec spanning table is full COW and heals") {
+    val root = tmp("graft_pe_dmlheal")
+    SnapshotStore.init(spark, root,
+      Seq((1L, "a", 10L)).toDF("id", "k", "v"))
+    SnapshotStore.alterPartitionSpec(spark, root, Seq("k"))
+    SnapshotStore.append(spark, root, Seq((2L, "b", 20L)).toDF("id", "k", "v"))
+    SnapshotStore.alterPartitionSpec(spark, root, Nil) // de-partition
+    SnapshotStore.append(spark, root, Seq((3L, "c", 30L)).toDF("id", "k", "v"))
+    // current spec is flat → DML routes to the full-COW path, which
+    // stages entirely in the current spec and HEALS the span
+    SqlDml.execute(spark, "UPDATE t SET v = v + 1 WHERE id = 2", Map("t" -> root))
+    val head = SnapshotStore.latest(root)
+    assert(!SnapshotStore.isEvolved(head.dataDir),
+      "a full rewrite must heal the table to single-spec")
+    assert(SnapshotStore.read(spark, root).select($"id", $"k", $"v")
+      .orderBy($"id").as[(Long, String, Long)].collect().toSeq ==
+      Seq((1L, "a", 10L), (2L, "b", 21L), (3L, "c", 30L)))
+  }
+
   test("RESTORE across an evolve-then-HEALED history derives the spec from the target's layout") {
     val root = tmp("graft_pe_healrestore")
     SnapshotStore.init(spark, root, Seq((1L, "a", 10L)).toDF("id", "k", "v")) // v0 flat
