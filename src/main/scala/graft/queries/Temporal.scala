@@ -2150,5 +2150,68 @@ object Temporal {
            |FROM orders
            |GROUP BY o_orderkey % 5
            |ORDER BY seg""".stripMargin
+      }),
+
+    // Q111 [extension: INGEST LIFECYCLE] COPY INTO × partition evolution
+    // × migration, composed through bare SQL — the interaction gate the
+    // two features' own gates (q109, q110) cannot cover: the per-file
+    // ingest LEDGER must survive the evolution's metadata commit (stamps
+    // carry through hard-linked versions), a post-evolution COPY INTO
+    // must stage its batch under the NEW spec's subtree, replays must
+    // no-op across the layout boundary, and the migrating OPTIMIZE must
+    // preserve every ingested row byte-for-byte. Grouped checksums over
+    // all three ingest eras hash-pin against DuckDB on the same rows.
+    "q111_ingest_lifecycle" -> QueryDef(
+      build = (s, d) => {
+        val wh = graft.GateTmp.freshDir("q111")
+        val drop = graft.GateTmp.freshDir("q111drop")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("CREATE TABLE graft.q111t (ok BIGINT, seg BIGINT, price_c BIGINT)")
+        Tables.orders(s, d).createOrReplaceTempView("q111_ord")
+        val cents = graft.Canon.centsSql("o_totalprice")
+        def shard(r: Int): Unit =
+          s.sql(s"SELECT o_orderkey AS ok, o_orderkey % 4 AS seg, " +
+              s"$cents AS price_c FROM q111_ord WHERE o_orderkey % 3 = $r")
+            .coalesce(1).write.parquet(s"$drop/shard$r")
+        shard(0); shard(1)
+        val first = s.sql(
+          "CALL graft.system.copy_into('q111t', '" + drop + "')").head()
+        require(first.getLong(0) == 2L, s"flat-era ingest: $first")
+        s.sql("CALL graft.system.set_partition_spec('q111t', 'seg')")
+        shard(2) // the late shard arrives AFTER the evolution
+        val late = s.sql(
+          "CALL graft.system.copy_into('q111t', '" + drop + "')").head()
+        require(late.getLong(0) == 1L && late.getLong(2) == 2L,
+          s"ledger must survive the evolution commit: $late")
+        val root = s"$wh/q111t"
+        require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
+          graft.sources.SnapshotStore.latest(root).dataDir, "_spec1", "seg=0")),
+          "post-evolution ingest must lay out under the new spec")
+        val replay = s.sql(
+          "CALL graft.system.copy_into('q111t', '" + drop + "')").head()
+        require(replay.getLong(0) == 0L && replay.getLong(2) == 3L,
+          s"replay across the layout boundary must no-op: $replay")
+        s.sql("CALL graft.system.optimize('q111t', 1000000)")
+        require(!graft.sources.SnapshotStore.isEvolved(
+          graft.sources.SnapshotStore.latest(root).dataDir),
+          "migration must heal")
+        val post = s.sql(
+          "CALL graft.system.copy_into('q111t', '" + drop + "')").head()
+        require(post.getLong(0) == 0L,
+          s"the ledger must survive the migration too: $post")
+        s.sql(
+          """SELECT seg, count(*) AS n_rows, sum(price_c) AS sum_price
+            |FROM graft.q111t GROUP BY seg ORDER BY seg""".stripMargin)
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("o_totalprice")
+        s"""SELECT o_orderkey % 4 AS seg,
+           |       CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(sum($cents) AS BIGINT) AS sum_price
+           |FROM orders
+           |GROUP BY o_orderkey % 4
+           |ORDER BY seg""".stripMargin
       }))
 }
