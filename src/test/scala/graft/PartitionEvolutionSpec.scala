@@ -314,6 +314,32 @@ class PartitionEvolutionSpec extends SparkSpec {
       "DATE '2026-01-02'").head().getLong(0) == 2L)
   }
 
+  test("the exactly-once streaming sink appends into a spanning table under the new spec") {
+    val root = tmp("graft_pe_sink")
+    val cp = tmp("graft_pe_sink_cp")
+    SnapshotStore.init(spark, root, Seq((1L, "a", 10L)).toDF("id", "k", "v"))
+    SnapshotStore.alterPartitionSpec(spark, root, Seq("k"))
+    val q = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", "4").load()
+      .selectExpr("value + 100 AS id",
+        "CASE WHEN value % 2 = 0 THEN 'x' ELSE 'y' END AS k",
+        "value * 7 AS v")
+      .writeStream.format("graft.streaming.SnapshotSink")
+      .option("path", root).option("txnAppId", "pe-sink-test")
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val head = SnapshotStore.latest(root)
+    assert(SnapshotStore.isEvolved(head.dataDir))
+    assert(Files.isDirectory(Paths.get(head.dataDir, "_spec1", "k=x")),
+      "micro-batches must lay out under the current spec")
+    val got = SnapshotStore.read(spark, root).orderBy($"id")
+      .select($"id", $"v").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L), (100L, 0L), (101L, 7L), (102L, 14L), (103L, 21L)),
+      s"exactly-once rows through the evolved commit path: $got")
+  }
+
   test("evolution refuses identity tables and DV-bearing snapshots") {
     val wh = tmp("graft_pe_ref_wh")
     spark.conf.set("spark.sql.catalog.graft",
