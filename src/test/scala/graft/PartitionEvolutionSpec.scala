@@ -245,6 +245,16 @@ class PartitionEvolutionSpec extends SparkSpec {
       SnapshotStore.append(spark, root, Seq((2L, "x", 9L)).toDF("id", "k", "v"))
     }
     assert(e.getMessage.contains("already-live"), e.getMessage)
+    // and the STREAMING feed crosses the evolution boundary cleanly:
+    // v0 inserts, v1 silent (spec change), v2 insert — nothing dropped,
+    // nothing duplicated, one stable schema
+    val got = graft.streaming.EventsStream.runToMemory(spark,
+      spark.readStream.format("graft.streaming.ChangeFeedSource")
+        .option("path", root).load(),
+      s"pe_cdc_feed_${System.nanoTime()}", "append")
+    assert(got.select($"_commit_version", $"_change_type", $"id")
+      .as[(Long, String, Long)].collect().sorted.toSeq ==
+      Seq((0L, "insert", 1L), (2L, "insert", 2L)))
   }
 
   test("SQL face: CALL set_partition_spec, INSERT, reads, time travel, clone") {
