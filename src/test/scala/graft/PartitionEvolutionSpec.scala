@@ -350,6 +350,25 @@ class PartitionEvolutionSpec extends SparkSpec {
       s"exactly-once rows through the evolved commit path: $got")
   }
 
+  test("VACUUM past the evolution leaves the spanning head self-contained") {
+    val root = tmp("graft_pe_vacuum")
+    SnapshotStore.init(spark, root, Seq((1L, "a", 10L)).toDF("id", "k", "v"))
+    SnapshotStore.alterPartitionSpec(spark, root, Seq("k"))
+    SnapshotStore.append(spark, root, Seq((2L, "b", 20L)).toDF("id", "k", "v"))
+    SnapshotStore.append(spark, root, Seq((3L, "c", 30L)).toDF("id", "k", "v"))
+    val expired = SnapshotStore.expireSnapshots(root, keepLast = 1)
+    assert(expired.nonEmpty)
+    // hard links make the head own its bytes: deleting every pre-span
+    // version (including the flat-era original) must not lose a row
+    assert(SnapshotStore.read(spark, root).select($"id", $"k", $"v")
+      .orderBy($"id").as[(Long, String, Long)].collect().toSeq ==
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    // and the migrating OPTIMIZE still works post-vacuum
+    SnapshotStore.optimize(spark, root, 1000000L)
+    assert(!SnapshotStore.isEvolved(SnapshotStore.latest(root).dataDir))
+    assert(SnapshotStore.read(spark, root).count() == 3L)
+  }
+
   test("evolution refuses identity tables and DV-bearing snapshots") {
     val wh = tmp("graft_pe_ref_wh")
     spark.conf.set("spark.sql.catalog.graft",
