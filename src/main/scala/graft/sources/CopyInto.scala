@@ -137,28 +137,46 @@ object CopyInto {
         val app = fileAppId(p)
         SnapshotStore.Txn(app, marks.getOrElse(app, 0L) + 1L)
       }
-      val reader = spark.read.format(format).options(options)
-      val withSchema =
-        if (selfDescribing(format.toLowerCase)) reader
-        else reader.schema(
-          SnapshotStore.readSchema(spark, SnapshotStore.latest(root)))
-      val batch = withSchema.load(fresh.map(_.toString): _*)
       // schema drift (the COPY INTO mergeSchema contract): columns the
       // batch carries but the table lacks ALTER in first — nullable,
       // source-typed, metadata-only — then the load proceeds; old rows
       // null-fill at read. Off by default: silent schema growth is a
       // policy decision, and without the flag extra columns refuse below.
       // Idempotent across a crash-retry: only still-missing columns add.
+      // Drift is computed from the SOURCE's own schema: parquet/orc
+      // footers, or a json inference pass (by-name format — the inferred
+      // names are the truth). csv refuses: a csv read under a provided
+      // schema binds columns POSITIONALLY, so a drifted shard would not
+      // grow the table, it would silently misparse every column to its
+      // right — declare the columns with ALTER TABLE first.
       if (evolveSchema) {
+        require(format.toLowerCase != "csv",
+          "COPY INTO evolveSchema does not compose with csv (positional " +
+            "binding under a declared schema cannot detect drift — it " +
+            "misparses); ALTER TABLE ADD COLUMN first, or ingest via a " +
+            "self-describing format")
+        val srcSchema =
+          if (selfDescribing(format.toLowerCase))
+            spark.read.format(format).options(options)
+              .load(fresh.map(_.toString): _*).schema
+          else spark.read.format(format).options(options) // json: infer
+            .option("inferSchema", "true")
+            .load(fresh.map(_.toString): _*).schema
         val have = SnapshotStore.readSchema(spark, SnapshotStore.latest(root))
           .fieldNames.map(_.toLowerCase).toSet
-        val drift = batch.schema.fields.toIndexedSeq
+        val drift = srcSchema.fields.toIndexedSeq
           .filterNot(f => have(f.name.toLowerCase))
         if (drift.nonEmpty)
           SnapshotStore.alterSchema(spark, root, s =>
             drift.foldLeft(s)((acc, f) =>
               acc.add(f.name, f.dataType, nullable = true)))
       }
+      val reader = spark.read.format(format).options(options)
+      val withSchema =
+        if (selfDescribing(format.toLowerCase)) reader
+        else reader.schema( // the (possibly just-evolved) table schema
+          SnapshotStore.readSchema(spark, SnapshotStore.latest(root)))
+      val batch = withSchema.load(fresh.map(_.toString): _*)
       val rows = batch.count() // parquet: footer metadata, no data scan
       try {
         // replay detection: a racer may cover ALL our stamps between the

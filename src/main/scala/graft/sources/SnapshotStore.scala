@@ -569,25 +569,60 @@ object SnapshotStore {
     }
   }
 
-  private[graft] def writeTxnCheckpoint(root: String, upTo: Long): Unit = {
-    val (ckptV, base) = readTxnCheckpoint(root)
-    if (ckptV >= upTo) return
-    val folded = listDir(commitsDir(root)).iterator
-      .filter(_.getFileName.toString.endsWith(".commit"))
-      .filter { f =>
-        val v = f.getFileName.toString.stripSuffix(".commit").toLong
-        v > ckptV && v <= upTo
+  /** Per-root monitor serializing checkpoint folds against the
+    * fold-then-delete phase of [[expireSnapshots]] within this JVM. The
+    * hazard it closes: a fold that read a STALE checkpoint version, then
+    * listed the commit dir AFTER a concurrent expire folded and deleted
+    * old commit files, would build its fold from an empty base plus only
+    * the surviving tail — and its atomic move, carrying a HIGHER covered
+    * version, would replace the good checkpoint, permanently losing the
+    * deleted commits' stamps (broken exactly-once: recovering streaming
+    * writers double-apply, COPY INTO reloads ingested files).
+    */
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(root: String): Object = rootLocks.computeIfAbsent(
+    Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
+
+  /** Test seam: fires after the fold reads its base checkpoint and before
+    * it lists the commit dir — the exact window the fold-vs-expire race
+    * needs (SnapshotStoreSpec drives a deterministic interleave through it).
+    */
+  private[graft] var txnFoldTestHook: () => Unit = () => ()
+
+  private[graft] def writeTxnCheckpoint(root: String, upTo: Long): Unit =
+    lockFor(root).synchronized {
+      var done = false
+      while (!done) {
+        val (ckptV, base) = readTxnCheckpoint(root)
+        if (ckptV >= upTo) return
+        txnFoldTestHook()
+        val folded = listDir(commitsDir(root)).iterator
+          .filter(_.getFileName.toString.endsWith(".commit"))
+          .filter { f =>
+            val v = f.getFileName.toString.stripSuffix(".commit").toLong
+            v > ckptV && v <= upTo
+          }
+          .flatMap(f => parseCommit(f)._2)
+          .foldLeft(base) { case (m, t) =>
+            m.updated(t.appId, math.max(m.getOrElse(t.appId, Long.MinValue), t.version))
+          }
+        // optimistic validation (belt to the monitor's suspenders, and the
+        // cross-process guard): if ANOTHER folder advanced the checkpoint
+        // while we listed, its fold may cover commits a concurrent expire
+        // has since deleted — our fold base is stale, so retry from the
+        // NEW checkpoint instead of replacing it with a lossy one
+        val (nowV, _) = readTxnCheckpoint(root)
+        if (nowV == ckptV) {
+          val tmp = Files.createTempFile(commitsDir(root), ".ckpt", ".tmp")
+          Files.writeString(tmp, s"version\t$upTo" +
+            folded.toSeq.sortBy(_._1).map { case (a, v) => s"\n$a\t$v" }.mkString)
+          Files.move(tmp, txnCheckpointFile(root),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          done = true
+        }
       }
-      .flatMap(f => parseCommit(f)._2)
-      .foldLeft(base) { case (m, t) =>
-        m.updated(t.appId, math.max(m.getOrElse(t.appId, Long.MinValue), t.version))
-      }
-    val tmp = Files.createTempFile(commitsDir(root), ".ckpt", ".tmp")
-    Files.writeString(tmp, s"version\t$upTo" +
-      folded.toSeq.sortBy(_._1).map { case (a, v) => s"\n$a\t$v" }.mkString)
-    Files.move(tmp, txnCheckpointFile(root),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
+    }
 
   /** The table's commit history as a DataFrame — the DESCRIBE HISTORY
     * audit surface: one row per committed version with its data dir and
@@ -1037,7 +1072,8 @@ object SnapshotStore {
       idCol: String, start: Long, step: Long, allowExplicit: Boolean,
       overwrite: Boolean = false, maxAttempts: Int = 10,
       txn: Option[Txn] = None, extraTxns: Seq[Txn] = Nil,
-      pinCheck: () => Boolean = () => true): Snapshot = {
+      pinCheck: () => Boolean = () => true,
+      onReplay: () => Unit = () => ()): Snapshot = {
     import org.apache.spark.sql.functions._
     require(step != 0, s"identity step of $root.$idCol must be non-zero")
     require(partitionCols(root).isEmpty && cdcKeys(root).isEmpty,
@@ -1103,10 +1139,11 @@ object SnapshotStore {
       // ride the staged hook either way); only overwrite rewrites
       if (overwrite)
         transact(spark, root, maxAttempts, txn = txn, stagedHook = hook,
-          extraTxns = extraTxns, pinCheck = pinCheck)(assignInto)
+          extraTxns = extraTxns, pinCheck = pinCheck,
+          onReplay = onReplay)(assignInto)
       else
         transactAppendFiles(spark, root, maxAttempts, txn, hook,
-          extraTxns, pinCheck)(assignInto)
+          extraTxns, pinCheck, onReplay)(assignInto)
     } finally cached.foreach(_.unpersist())
   }
 
@@ -1285,7 +1322,7 @@ object SnapshotStore {
           step = f.metadata.getLong("identity.step"),
           allowExplicit = f.metadata.getBoolean("identity.allowExplicitInsert"),
           overwrite = overwrite, maxAttempts = maxAttempts, txn = txn,
-          extraTxns = extraTxns, pinCheck = pinCheck)
+          extraTxns = extraTxns, pinCheck = pinCheck, onReplay = onReplay)
       case None => ()
     }
     def aligned(base: DataFrame): DataFrame = {
@@ -2225,7 +2262,13 @@ object SnapshotStore {
     * commit cadence, while a hot table committing every second still
     * expires down to its window.
     */
-  def expireSnapshots(root: String, keepLast: Int, olderThanMs: Long): Seq[Long] = {
+  def expireSnapshots(root: String, keepLast: Int, olderThanMs: Long): Seq[Long] =
+    // the monitor serializes fold-then-delete against any concurrent
+    // checkpoint fold (see lockFor): a tryCommit-triggered fold that read
+    // a stale checkpoint must never list the commit dir while this delete
+    // loop is mid-flight, or its replacement checkpoint forgets the
+    // deleted commits' stamps
+    lockFor(root).synchronized {
     require(keepLast >= 1, "must keep at least the latest snapshot")
     val cutoff =
       if (olderThanMs == Long.MaxValue) Long.MaxValue
@@ -2243,16 +2286,24 @@ object SnapshotStore {
     // from a recovering streaming writer would double-apply
     if (dropped.nonEmpty) writeTxnCheckpoint(root,
       dropped.map(_.getFileName.toString.stripSuffix(".commit").toLong).max)
-    dropped.map { c =>
+    dropped.flatMap { c =>
       val v = c.getFileName.toString.stripSuffix(".commit").toLong
-      val dataDir = Paths.get(parseCommit(c)._1)
-      Files.delete(c) // unreference before any data byte disappears
-      if (Files.exists(dataDir)) {
-        walkDeepestFirst(dataDir).foreach(Files.delete)
+      // re-check the refs IMMEDIATELY before deleting: a tag created
+      // mid-vacuum (after the entry snapshot above) passed createTag's
+      // commit-file existence check, so deleting anyway would leave a
+      // dangling ref resolving to an unreadable version — skip it, the
+      // version is pinned now
+      if (refs(root).exists(_._2 == v)) None
+      else {
+        val dataDir = Paths.get(parseCommit(c)._1)
+        Files.delete(c) // unreference before any data byte disappears
+        if (Files.exists(dataDir)) {
+          walkDeepestFirst(dataDir).foreach(Files.delete)
+        }
+        Some(v)
       }
-      v
     }
-  }
+    }
 
   // ---- NAMED REFS (tags) --------------------------------------------------
   // The Iceberg tag idea: a human-named, immutable pointer to a committed
@@ -2378,11 +2429,12 @@ object SnapshotStore {
       constraints: Seq[(String, org.apache.spark.sql.Column)] = Nil,
       bloomCols: Seq[String] = Nil, bloomExpectedItems: Long = 100000L,
       stagedHook: String => Unit = _ => (), extraTxns: Seq[Txn] = Nil,
-      pinCheck: () => Boolean = () => true)(
+      pinCheck: () => Boolean = () => true,
+      onReplay: () => Unit = () => ())(
       transform: DataFrame => DataFrame): Snapshot =
     transactImpl(spark, root, maxAttempts, statsCols, txn, constraints,
-      bloomCols, bloomExpectedItems, stagedHook, extraTxns, pinCheck)(
-      df => (transform(df), None))
+      bloomCols, bloomExpectedItems, stagedHook, extraTxns, pinCheck,
+      onReplay)(df => (transform(df), None))
 
   /** [[transact]] variant whose transform ALSO supplies the commit's change
     * rows (data columns + [[ChangeTypeCol]]) — the statement-integrated CDC
@@ -2649,14 +2701,15 @@ object SnapshotStore {
       constraints: Seq[(String, org.apache.spark.sql.Column)],
       bloomCols: Seq[String] = Nil, bloomExpectedItems: Long = 100000L,
       stagedHook: String => Unit = _ => (), extraTxns: Seq[Txn] = Nil,
-      pinCheck: () => Boolean = () => true)(
+      pinCheck: () => Boolean = () => true,
+      onReplay: () => Unit = () => ())(
       transform: DataFrame => (DataFrame, Option[DataFrame])): Snapshot = {
     import org.apache.spark.sql.functions.{count, expr, lit, sum, when}
     val txns = txn.toSeq ++ extraTxns
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latest(root) // pin BEFORE the guard — see stampGuard
-      if (stampGuard(root, txns, pinCheck)) return base
+      if (stampGuard(root, txns, pinCheck)) { onReplay(); return base }
       val (out, suppliedChanges) = transform(read(spark, base))
       // caller-supplied invariants + the table's own persisted CHECK
       // constraints — every commit path enforces the latter automatically

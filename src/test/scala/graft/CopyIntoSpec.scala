@@ -286,4 +286,40 @@ class CopyIntoSpec extends SparkSpec {
     val r2 = CopyInto.run(spark, root, drop, evolveSchema = true)
     assert(r2.filesLoaded == 0L && r2.version == v)
   }
+
+  test("evolveSchema detects drift in json shards (by-name inference, not the table schema)") {
+    val root = tmp("graft_ci_jevo")
+    val drop = tmp("graft_ci_jdrop")
+    SnapshotStore.init(spark, root, Seq.empty[(Long, Long)].toDF("id", "v"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(drop, "a.json"), """{"id":1,"v":10}""")
+    assert(CopyInto.run(spark, root, drop, format = "json").filesLoaded == 1L)
+    // a drifted shard: reading it under the TABLE's schema could never
+    // surface `lang`, so drift must come from the source's own inference
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(drop, "b.json"),
+      """{"id":2,"v":20,"lang":"fr"}""")
+    val r = CopyInto.run(spark, root, drop, format = "json", evolveSchema = true)
+    assert(r.filesLoaded == 1L, s"$r")
+    val got = SnapshotStore.read(spark, root).orderBy($"id")
+      .select($"id", $"v", $"lang").as[(Long, Long, Option[String])]
+      .collect().toSeq
+    assert(got == Seq((1L, 10L, None), (2L, 20L, Some("fr"))))
+  }
+
+  test("evolveSchema refuses csv loudly (positional binding cannot detect drift)") {
+    val root = tmp("graft_ci_cevo")
+    val drop = tmp("graft_ci_cdrop")
+    SnapshotStore.init(spark, root, Seq.empty[(Long, Long)].toDF("id", "v"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(drop, "a.csv"), "1,10")
+    val e = intercept[IllegalArgumentException] {
+      CopyInto.run(spark, root, drop, format = "csv", evolveSchema = true)
+    }
+    assert(e.getMessage.contains("csv"), e.getMessage)
+    // without the flag, csv loads under the declared table schema as before
+    assert(CopyInto.run(spark, root, drop, format = "csv").filesLoaded == 1L)
+    assert(SnapshotStore.read(spark, root).as[(Long, Long)]
+      .collect().toSeq == Seq((1L, 10L)))
+  }
 }

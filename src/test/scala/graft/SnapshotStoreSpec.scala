@@ -255,6 +255,87 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("unreadable"), e.getMessage)
   }
 
+  test("a fold racing expireSnapshots cannot lose folded stamps") {
+    val root = tmpRoot()
+    SnapshotStore.init(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    for (i <- 1L to 4L)
+      SnapshotStore.transact(spark, root,
+        txn = Some(SnapshotStore.Txn(if (i % 2 == 0) "appB" else "appA", i)))(
+        df => df.withColumn("v", concat($"v", lit(i.toString))))
+    // deterministic interleave: the fold reads its (absent) base
+    // checkpoint, then — IN the window before it lists the commit dir — a
+    // concurrent expire folds and deletes every old commit file. Without
+    // the post-list validation the stale fold would rebuild from an empty
+    // base plus only the surviving tail and replace the good checkpoint
+    // with one that has forgotten appA's folded stamp (broken
+    // exactly-once: a recovering appA writer would double-apply).
+    var fired = false
+    SnapshotStore.txnFoldTestHook = () => {
+      if (!fired) {
+        fired = true
+        val expired = SnapshotStore.expireSnapshots(root, keepLast = 1)
+        assert(expired == Seq(0L, 1L, 2L, 3L), s"expired $expired")
+      }
+    }
+    try SnapshotStore.writeTxnCheckpoint(root, 2L)
+    finally SnapshotStore.txnFoldTestHook = () => ()
+    assert(SnapshotStore.lastTxnVersion(root, "appA").contains(3L),
+      "appA's stamp (folded by the concurrent expire) must survive the race")
+    assert(SnapshotStore.lastTxnVersion(root, "appB").contains(4L))
+  }
+
+  test("a tag created mid-vacuum pins its version instead of dangling") {
+    val root = tmpRoot()
+    SnapshotStore.init(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    for (i <- 1L to 3L)
+      SnapshotStore.transact(spark, root,
+        txn = Some(SnapshotStore.Txn("w", i)))(
+        df => df.withColumn("v", lit(i.toString)))
+    // the vacuum snapshots its tagged set at entry; the tag lands AFTER
+    // that (inside the pre-delete fold — the hook window) but BEFORE the
+    // delete loop reaches v1. Without the per-commit re-check, v1's commit
+    // file and data dir would be deleted under a live ref.
+    var fired = false
+    SnapshotStore.txnFoldTestHook = () => {
+      if (!fired) {
+        fired = true
+        SnapshotStore.createTag(root, "pinned", Some(1L))
+      }
+    }
+    val expired =
+      try SnapshotStore.expireSnapshots(root, keepLast = 1)
+      finally SnapshotStore.txnFoldTestHook = () => ()
+    assert(expired == Seq(0L, 2L), s"v1 must be skipped (pinned): $expired")
+    assert(SnapshotStore.resolveRef(root, "pinned") == 1L)
+    // the ref resolves to a READABLE version — the dangling-ref hazard
+    assert(SnapshotStore.read(spark, SnapshotStore.at(root, 1L))
+      .head().getString(1) == "1")
+  }
+
+  test("append onto an identity table reports replay (onReplay threads through)") {
+    import org.apache.spark.sql.types._
+    val root = tmpRoot()
+    val idMeta = new MetadataBuilder().putLong("identity.start", 1L)
+      .putLong("identity.step", 1L)
+      .putBoolean("identity.allowExplicitInsert", false).build()
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true, idMeta),
+      StructField("v", StringType)))
+    SnapshotStore.init(spark, root, spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
+    SnapshotStore.append(spark, root, Seq("a").toDF("v"),
+      txn = Some(SnapshotStore.Txn("ing", 1L)))
+    // a batch whose stamp is already covered (the racing-twin shape COPY
+    // INTO hits) must surface the replay signal on the identity route too,
+    // so files_loaded/rows_loaded report 0 instead of a phantom load
+    var replayed = false
+    SnapshotStore.append(spark, root, Seq("b").toDF("v"),
+      txn = Some(SnapshotStore.Txn("ing", 1L)),
+      onReplay = () => { replayed = true })
+    assert(replayed, "identity append dropped the onReplay signal")
+    assert(SnapshotStore.read(spark, root).count() == 1L)
+  }
+
   test("CHECK constraints reject a violating commit before any pointer moves") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_snap_check").toString
