@@ -1455,6 +1455,158 @@ object Temporal {
            |FROM v3 GROUP BY segment ORDER BY segment""".stripMargin
       }),
 
+    // Q95d [extension: AGGREGATED JOIN MV] The summary table — fact ⋈ dim
+    // → GROUP BY → agg — by COMPOSITION: the join MV (q95b) now emits its
+    // own change feed (delete+insert per touched key), and the aggregate
+    // MV (q95/q95c) consumes it like any CDC source. End-to-end
+    // maintenance stays O(change volume): mixed DML on BOTH sources
+    // (value updates, a group-migrating key update, deletes, inserts)
+    // flows feed → join-MV partial recompute → feed → agg-MV delta fold,
+    // with min surviving deletes via the affected-group recompute against
+    // the PINNED join view. Hash-pinned against DuckDB's direct
+    // fact-join-dim GROUP BY on the same mutations.
+    "q95d_join_agg_mv" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{MatView, SnapshotStore, SqlDml}
+        import s.implicits._
+        val emp = graft.GateTmp.freshDir("q95d_emp")
+        val dim = graft.GateTmp.freshDir("q95d_dim")
+        val jmv = graft.GateTmp.freshDir("q95d_jmv")
+        val amv = graft.GateTmp.freshDir("q95d_amv")
+        val aggs = Seq("count", "sum", "avg", "min")
+        SnapshotStore.init(s, emp,
+          RelationalPipeline.employeeView(s, d)
+            .select($("id"), $("salary"), $("segment")),
+          cdcKeys = Seq("id"))
+        SnapshotStore.init(s, dim,
+          Seq(("AUTOMOBILE", 10L), ("BUILDING", 20L), ("FURNITURE", 30L),
+            ("HOUSEHOLD", 40L), ("MACHINERY", 50L))
+            .toDF("segment", "bonus"),
+          cdcKeys = Seq("segment"))
+        MatView.createJoin(s, emp, dim, jmv, Seq("segment"),
+          emitChanges = true)
+        MatView.create(s, jmv, amv, Seq("segment", "bonus"), "salary", aggs)
+        val te = Map("emp" -> emp); val td = Map("dim" -> dim)
+        SqlDml.execute(s,
+          "UPDATE emp SET salary = salary + 100 WHERE id % 7 = 0", te)
+        SqlDml.execute(s,
+          "UPDATE emp SET segment = 'MACHINERY' WHERE id % 31 = 0", te)
+        SqlDml.execute(s, "DELETE FROM emp WHERE id % 9 = 0", te)
+        SqlDml.execute(s,
+          "UPDATE dim SET bonus = bonus + 5 WHERE segment = 'BUILDING'", td)
+        SqlDml.execute(s, "DELETE FROM dim WHERE segment = 'FURNITURE'", td)
+        // advance the pipeline: sources → join view → aggregate view
+        MatView.refreshJoin(s, emp, dim, jmv, Seq("segment"))
+        MatView.refresh(s, jmv, amv, Seq("segment", "bonus"), "salary", aggs)
+        // second round on top (dim-side churn must cascade through both)
+        SqlDml.execute(s,
+          "UPDATE dim SET bonus = bonus + 1 WHERE segment = 'AUTOMOBILE'", td)
+        SqlDml.execute(s, "DELETE FROM emp WHERE id % 11 = 0", te)
+        MatView.refreshJoin(s, emp, dim, jmv, Seq("segment"))
+        MatView.refresh(s, jmv, amv, Seq("segment", "bonus"), "salary", aggs)
+        // replay: both layers are stamped no-ops
+        val jv = MatView.refreshJoin(s, emp, dim, jmv, Seq("segment")).version
+        require(MatView.refreshJoin(s, emp, dim, jmv, Seq("segment")).version == jv)
+        val av = MatView.refresh(s, jmv, amv,
+          Seq("segment", "bonus"), "salary", aggs).version
+        require(MatView.refresh(s, jmv, amv,
+          Seq("segment", "bonus"), "salary", aggs).version == av)
+        SnapshotStore.read(s, amv)
+          .select($("segment"), $("bonus"), $("n_rows"), $("val_sum"),
+            $("val_min"), $("val_avg"))
+          .orderBy($("segment"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""WITH base AS (
+           |  SELECT c_custkey AS id, $cents AS salary,
+           |         c_mktsegment AS segment
+           |  FROM customer),
+           |v1 AS (SELECT id,
+           |  CASE WHEN id % 7 = 0 THEN salary + 100 ELSE salary END AS salary,
+           |  segment FROM base),
+           |v2 AS (SELECT id, salary,
+           |  CASE WHEN id % 31 = 0 THEN 'MACHINERY' ELSE segment
+           |  END AS segment FROM v1),
+           |emp AS (SELECT * FROM v2
+           |  WHERE NOT (id % 9 = 0) AND NOT (id % 11 = 0)),
+           |dim0 (segment, bonus) AS (VALUES
+           |  ('AUTOMOBILE', 10), ('BUILDING', 20), ('FURNITURE', 30),
+           |  ('HOUSEHOLD', 40), ('MACHINERY', 50)),
+           |d1 AS (SELECT segment, CASE
+           |  WHEN segment = 'BUILDING' THEN bonus + 5
+           |  WHEN segment = 'AUTOMOBILE' THEN bonus + 1
+           |  ELSE bonus END AS bonus FROM dim0),
+           |dim AS (SELECT * FROM d1 WHERE segment <> 'FURNITURE')
+           |SELECT e.segment, CAST(d.bonus AS BIGINT) AS bonus,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(e.salary) AS BIGINT) AS val_sum,
+           |  CAST(min(e.salary) AS BIGINT) AS val_min,
+           |  CAST(CAST(sum(e.salary) AS BIGINT) AS DOUBLE) /
+           |    CAST(count(*) AS DOUBLE) AS val_avg
+           |FROM emp e JOIN dim d USING (segment)
+           |GROUP BY e.segment, d.bonus
+           |ORDER BY e.segment""".stripMargin
+      }),
+
+    // Q95e [extension: OUTER-JOIN MV] Left-outer enrichment view — fact
+    // rows with no dim match ride NULL-extended, and maintenance must
+    // FLIP them (to matched when the dim row arrives, back when it
+    // leaves) through the same touched-key partial recompute. The gate
+    // drives exactly those transitions: the dim starts MISSING two
+    // segments, one arrives mid-stream, another is deleted. Hash-pinned
+    // against DuckDB's LEFT JOIN on the same mutations.
+    "q95e_outer_join_mv" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{MatView, SnapshotStore, SqlDml}
+        import s.implicits._
+        val emp = graft.GateTmp.freshDir("q95e_emp")
+        val dim = graft.GateTmp.freshDir("q95e_dim")
+        val mv = graft.GateTmp.freshDir("q95e_mv")
+        SnapshotStore.init(s, emp,
+          RelationalPipeline.employeeView(s, d)
+            .select($("id"), $("salary"), $("segment")),
+          cdcKeys = Seq("id"))
+        // HOUSEHOLD and FURNITURE deliberately absent: their fact rows
+        // must surface null-extended from day one
+        SnapshotStore.init(s, dim,
+          Seq(("AUTOMOBILE", 10L), ("BUILDING", 20L), ("MACHINERY", 50L))
+            .toDF("segment", "bonus"),
+          cdcKeys = Seq("segment"))
+        MatView.createJoin(s, emp, dim, mv, Seq("segment"),
+          joinType = "left_outer")
+        val te = Map("emp" -> emp); val td = Map("dim" -> dim)
+        // the late-arriving dim row: HOUSEHOLD facts flip null → matched
+        s.sql("SELECT 'HOUSEHOLD' AS segment, CAST(40 AS BIGINT) AS bonus")
+          .createOrReplaceTempView("q95e_dnew")
+        SqlDml.execute(s, "INSERT INTO dim SELECT segment, bonus FROM q95e_dnew", td)
+        // the departing dim row: BUILDING facts flip matched → null
+        SqlDml.execute(s, "DELETE FROM dim WHERE segment = 'BUILDING'", td)
+        SqlDml.execute(s,
+          "UPDATE emp SET salary = salary + 100 WHERE id % 7 = 0", te)
+        SqlDml.execute(s, "DELETE FROM emp WHERE id % 9 = 0", te)
+        MatView.refreshJoin(s, emp, dim, mv, Seq("segment"))
+        SnapshotStore.read(s, mv)
+          .select($("segment"), $("id"), $("salary"), $("bonus"))
+          .orderBy($("id"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""WITH base AS (
+           |  SELECT c_custkey AS id, $cents AS salary,
+           |         c_mktsegment AS segment
+           |  FROM customer),
+           |v1 AS (SELECT id,
+           |  CASE WHEN id % 7 = 0 THEN salary + 100 ELSE salary END AS salary,
+           |  segment FROM base),
+           |emp AS (SELECT * FROM v1 WHERE NOT (id % 9 = 0)),
+           |dim (segment, bonus) AS (VALUES
+           |  ('AUTOMOBILE', 10), ('MACHINERY', 50), ('HOUSEHOLD', 40))
+           |SELECT e.segment, e.id, e.salary, CAST(d.bonus AS BIGINT) AS bonus
+           |FROM emp e LEFT JOIN dim d USING (segment)
+           |ORDER BY e.id""".stripMargin
+      }),
+
     // Q96 [extension: partitioned corpus × LLM pipeline] The training-data
     // warehouse shape: the documents corpus lives in a LANG-PARTITIONED
     // snapshot table, and a per-language pipeline stage (here word/char
@@ -2213,5 +2365,62 @@ object Temporal {
            |FROM orders
            |GROUP BY o_orderkey % 4
            |ORDER BY seg""".stripMargin
+      }),
+
+    // Q112 [extension: SPANNING DML] UPDATE/DELETE while a partition-spec
+    // evolution is PENDING — the per-era scoped copy-on-write path
+    // (SnapshotStore.stagePartialEvolved). The statement's predicate
+    // matches rows in BOTH eras (flat pre-evolution files and `_spec1`
+    // hive dirs); the staging must rewrite only the touched files of each
+    // era, keep the span (no full-table heal), and land the rewritten
+    // rows under the CURRENT spec — then the migrating OPTIMIZE composes
+    // on top. Grouped checksums hash-pin the surviving rows vs DuckDB.
+    "q112_spanning_dml" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{SnapshotStore, SqlDml}
+        val root = graft.GateTmp.freshDir("q112")
+        Tables.orders(s, d).createOrReplaceTempView("q112_ord")
+        val cents = graft.Canon.centsSql("o_totalprice")
+        def era(r: Int): org.apache.spark.sql.DataFrame = s.sql(
+          s"""SELECT o_orderkey AS ok, o_orderkey % 5 AS seg,
+             |$cents AS price_c FROM q112_ord
+             |WHERE o_orderkey % 3 = $r""".stripMargin)
+        SnapshotStore.init(s, root, era(0)) // v0: flat era
+        SnapshotStore.alterPartitionSpec(s, root, Seq("seg")) // v1
+        SnapshotStore.append(s, root, era(1)) // v2: _spec1/seg=…
+        val t = Map("t" -> root)
+        // both statements match rows in BOTH eras
+        SqlDml.execute(s,
+          "UPDATE t SET price_c = price_c + 100 WHERE ok % 10 = 0", t)
+        SqlDml.execute(s, "DELETE FROM t WHERE ok % 10 = 7", t)
+        val head = SnapshotStore.latest(root)
+        require(SnapshotStore.isEvolved(head.dataDir),
+          "scoped DML must keep the span (no full-table heal)")
+        require(java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(head.dataDir, "_spec1")),
+          "rewritten rows must stage under the current spec")
+        // the migrating OPTIMIZE composes on top of scoped DML
+        SnapshotStore.optimize(s, root, targetRows = 1000000L)
+        require(!SnapshotStore.isEvolved(SnapshotStore.latest(root).dataDir),
+          "OPTIMIZE must still migrate to single-spec")
+        SnapshotStore.read(s, root)
+          .groupBy($("seg"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum($("price_c")).cast("long").as("sum_price"),
+            sum($("ok")).cast("long").as("ok_sum"))
+          .orderBy($("seg"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("o_totalprice")
+        s"""WITH t AS (
+           |  SELECT o_orderkey AS ok, o_orderkey % 5 AS seg,
+           |         CASE WHEN o_orderkey % 10 = 0 THEN $cents + 100
+           |              ELSE $cents END AS price_c
+           |  FROM orders WHERE o_orderkey % 3 IN (0, 1))
+           |SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(sum(price_c) AS BIGINT) AS sum_price,
+           |       CAST(sum(ok) AS BIGINT) AS ok_sum
+           |FROM t WHERE ok % 10 <> 7
+           |GROUP BY seg ORDER BY seg""".stripMargin
       }))
 }

@@ -966,15 +966,23 @@ object GraftCatalog {
       }
     }
 
-  /** `CALL graft.system.create_join_mv('l', 'r', 'mv', 'k1,k2')` —
-    * initialize an incrementally-maintained INNER-JOIN view of two CDC
-    * tables (one full join; every refresh after is O(touched keys)). See
-    * [[MatView.createJoin]].
+  /** `CALL graft.system.create_join_mv('l', 'r', 'mv', 'k1,k2'
+    * [, join_type => 'left_outer'] [, emit_changes => true])` —
+    * initialize an incrementally-maintained equi-JOIN view of two CDC
+    * tables (one full join; every refresh after is O(touched keys)).
+    * `join_type` defaults to inner; `emit_changes` gives the view its own
+    * change feed so an aggregate MV can stack on top (the fact ⋈ dim →
+    * GROUP BY summary table). See [[MatView.createJoin]].
     */
   private[sources] val CreateJoinMvProc: GraftCatalog => UnboundProcedure = cat =>
     new Proc("create_join_mv",
       Seq(p("left", StringType), p("right", StringType),
-        p("target", StringType), p("join_keys", StringType)),
+        p("target", StringType), p("join_keys", StringType),
+        ProcedureParameter.in("join_type", StringType)
+          .defaultValue("'inner'").build(),
+        ProcedureParameter.in("emit_changes",
+            org.apache.spark.sql.types.BooleanType)
+          .defaultValue("false").build()),
       StructType(Seq(
         org.apache.spark.sql.types.StructField("left_version", LongType),
         org.apache.spark.sql.types.StructField("right_version", LongType),
@@ -988,7 +996,8 @@ object GraftCatalog {
           if (dst.contains("/")) dst
           else (cat.warehousePath +: dst.split('.').toSeq).mkString("/")
         val keys = in.getString(3).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-        val snap = MatView.createJoin(spark, lRoot, rRoot, dstRoot, keys)
+        val snap = MatView.createJoin(spark, lRoot, rRoot, dstRoot, keys,
+          joinType = in.getString(4), emitChanges = in.getBoolean(5))
         // report the versions the view's OWN stamps pin — re-reading
         // latest(srcRoot) here could name a version a racing commit just
         // landed, which the MV's stamps do not actually cover

@@ -295,22 +295,49 @@ object MatView {
   private def bucketOf(joinKeys: Seq[String], buckets: Int): Column =
     pmod(hash(joinKeys.map(col): _*), lit(buckets))
 
-  /** Initialize `mvRoot` as the inner equi-join of two CDC tables on
-    * `joinKeys` — the enrichment-view shape (fact ⋈ dim). The one full
-    * join of the view's lifetime; every [[refreshJoin]] after is
-    * O(touched keys). Join keys need NOT be either table's CDC keys
-    * (multiplicity is fine — maintenance is per-KEY recompute, not
-    * per-row algebra); non-key column names must be disjoint so the view
-    * schema is unambiguous. The view is hive-partitioned by
-    * [[BucketCol]] = `pmod(hash(joinKeys), buckets)` so refreshes rewrite
-    * only touched buckets (`buckets = 0` keeps the view unpartitioned and
-    * every refresh stages a full rewrite — only for tiny views). Returns
-    * the snapshot; the pinned source versions are the view's own stamps
+  /** Join types a join view maintains. Outer types share the inner type's
+    * partial-recompute algebra exactly — `mv' = (mv ∖ K) ∪ (σ_K(l) ⟗
+    * σ_K(r))` replaces EVERY view row whose key is touched, so a dim row
+    * arriving late flips its fact rows from null-extended to matched (and
+    * back, on delete) without any special casing. Membership joins are
+    * NULL-SAFE so null-keyed rows — which an outer join emits
+    * null-extended — maintain correctly when a feed touches them.
+    */
+  private val JoinTypes = Map(
+    "inner" -> "inner", "left" -> "left_outer", "left_outer" -> "left_outer",
+    "right" -> "right_outer", "right_outer" -> "right_outer",
+    "full" -> "full_outer", "full_outer" -> "full_outer")
+
+  /** Initialize `mvRoot` as the equi-join of two CDC tables on
+    * `joinKeys` — the enrichment-view shape (fact ⋈ dim; `joinType`
+    * inner/left/right/full). The one full join of the view's lifetime;
+    * every [[refreshJoin]] after is O(touched keys). Join keys need NOT
+    * be either table's CDC keys (multiplicity is fine — maintenance is
+    * per-KEY recompute, not per-row algebra); non-key column names must
+    * be disjoint so the view schema is unambiguous. The view is
+    * hive-partitioned by [[BucketCol]] = `pmod(hash(joinKeys), buckets)`
+    * so refreshes rewrite only touched buckets (`buckets = 0` keeps the
+    * view unpartitioned and every refresh stages a full rewrite — only
+    * for tiny views). Returns the snapshot; the pinned source versions
+    * are the view's own stamps
     * (`lastTxnVersion(mvRoot, joinAppId(side, srcRoot))`).
+    *
+    * `emitChanges` gives the view its OWN change feed (cdcKeys = the
+    * union of both sources' keys): each refresh lands `delete` rows for
+    * the touched keys' old view rows and `insert` rows for their
+    * recomputed ones — a valid keyed feed (the Iceberg CDC delete+insert
+    * form), which makes the view COMPOSABLE: an aggregate [[create]]/
+    * [[refresh]] MV over the join view is the `fact ⋈ dim → GROUP BY`
+    * summary table, maintained end-to-end in O(change volume).
     */
   def createJoin(spark: SparkSession, leftRoot: String, rightRoot: String,
       mvRoot: String, joinKeys: Seq[String],
-      buckets: Int = DefaultBuckets): SnapshotStore.Snapshot = {
+      buckets: Int = DefaultBuckets, joinType: String = "inner",
+      emitChanges: Boolean = false): SnapshotStore.Snapshot = {
+    val jt = JoinTypes.getOrElse(joinType.toLowerCase.trim,
+      throw new IllegalArgumentException(
+        s"unsupported join-view type '$joinType' — supported: " +
+          JoinTypes.keys.toSeq.sorted.mkString(", ")))
     require(SnapshotStore.cdcKeys(leftRoot).nonEmpty &&
       SnapshotStore.cdcKeys(rightRoot).nonEmpty,
       "join-view sources must both have a change feed (cdcKeys)")
@@ -330,7 +357,11 @@ object MatView {
       .intersect(r.columns.map(_.toLowerCase).toSet)
     require(overlap == keySet,
       s"non-key column overlap between sources: ${(overlap -- keySet).mkString(", ")}")
-    val joined0 = l.join(r, joinKeys, "inner")
+    val viewKeys =
+      if (!emitChanges) Nil
+      else (SnapshotStore.cdcKeys(leftRoot) ++ SnapshotStore.cdcKeys(rightRoot))
+        .map(_.toLowerCase).distinct
+    val joined0 = l.join(r, joinKeys, jt)
     val (joined, parts) =
       if (buckets > 0)
         // co-locate each bucket into one task before the partitioned
@@ -339,10 +370,15 @@ object MatView {
         (joined0.withColumn(BucketCol, bucketOf(joinKeys, buckets))
           .repartition(col(BucketCol)), Seq(BucketCol))
       else (joined0, Nil)
-    SnapshotStore.init(spark, mvRoot, joined.limit(0), partitionBy = parts)
+    SnapshotStore.init(spark, mvRoot, joined.limit(0), partitionBy = parts,
+      cdcKeys = viewKeys)
     if (buckets > 0)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(mvRoot, "_mv_buckets"), buckets.toString)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(mvRoot, "_mv_join"), jt)
+    // CDC view: the initial full join lands as v1 `insert` rows via
+    // transact's generic keyed diff against the empty v0
     SnapshotStore.transact(spark, mvRoot,
       txn = Some(SnapshotStore.Txn(joinAppId("left", leftRoot), ls.version)),
       extraTxns = Seq(
@@ -355,6 +391,16 @@ object MatView {
     if (java.nio.file.Files.exists(f))
       java.nio.file.Files.readString(f).trim.toInt
     else 0
+  }
+
+  /** Join type the view was created with (missing sidecar = inner, the
+    * pre-outer-support legacy).
+    */
+  private def joinTypeOf(mvRoot: String): String = {
+    val f = java.nio.file.Paths.get(mvRoot, "_mv_join")
+    if (java.nio.file.Files.exists(f))
+      java.nio.file.Files.readString(f).trim
+    else "inner"
   }
 
   /** Advance the join view to both sources' current versions by PARTIAL
@@ -412,8 +458,15 @@ object MatView {
     try {
       val probeN = math.min(broadcastKeyLimit + 1, Int.MaxValue.toLong).toInt
       val small = touched.limit(probeN).count() <= broadcastKeyLimit
-      def keyed(df: DataFrame): DataFrame =
-        if (small) broadcast(df) else df
+      // NULL-SAFE membership joins: outer-type views legitimately carry
+      // null join-key rows (null-extended matches, or null keys in a
+      // source), and a feed that touches one must replace it — an equi
+      // semi/anti would silently skip it forever
+      def member(df: DataFrame, anti: Boolean): DataFrame = {
+        val t = if (small) broadcast(touched) else touched
+        df.join(t, joinKeys.map(k => df(k) <=> t(k)).reduce(_ && _),
+          if (anti) "left_anti" else "left_semi")
+      }
       // VERY small single-key change sets additionally ride as a literal
       // IN on the source scans (a narrowing pre-filter — the semi-join
       // still decides membership): parquet row-group stats prune it, so a
@@ -425,14 +478,24 @@ object MatView {
           if (a.length <= 1000) Some(a.map(_.get(0)).toIndexedSeq) else None
         } else None
       def scoped(df: DataFrame): DataFrame = keyLocal match {
-        case Some(ks) => df.filter(col(joinKeys.head).isin(ks: _*))
+        case Some(ks) =>
+          val nonNull = ks.filter(_ != null)
+          val in = col(joinKeys.head).isin(nonNull: _*)
+          df.filter(if (ks.length > nonNull.length)
+            in || col(joinKeys.head).isNull else in)
         case None => df
       }
-      val l = scoped(SnapshotStore.read(spark, SnapshotStore.at(leftRoot, lv)))
-        .join(keyed(touched), joinKeys, "left_semi")
-      val r = scoped(SnapshotStore.read(spark, SnapshotStore.at(rightRoot, rv)))
-        .join(keyed(touched), joinKeys, "left_semi")
-      val recomputed0 = l.join(r, joinKeys, "inner")
+      val jt = joinTypeOf(mvRoot)
+      val l = member(scoped(
+        SnapshotStore.read(spark, SnapshotStore.at(leftRoot, lv))), anti = false)
+      val r = member(scoped(
+        SnapshotStore.read(spark, SnapshotStore.at(rightRoot, rv))), anti = false)
+      // the view's own type: outer types null-extend within the touched
+      // slice exactly as the full join would (σ_K commutes with ⟗ here —
+      // every key of K selects ALL its rows from both sides)
+      val recomputed0 = l.join(r, joinKeys, jt)
+      val feedKeys = SnapshotStore.cdcKeys(mvRoot)
+      val ct = SnapshotStore.ChangeTypeCol
       // the transform closes over snapshots pinned ABOVE — verify the pins
       // still hold on every commit attempt (see refreshJoin scaladoc)
       val pin = () =>
@@ -440,11 +503,12 @@ object MatView {
           SnapshotStore.lastTxnVersion(mvRoot, rApp).getOrElse(-1L) == rl
       val buckets = bucketsOf(mvRoot)
       if (buckets == 0)
-        // legacy unpartitioned view: full-rewrite staging (tiny views only)
+        // legacy unpartitioned view: full-rewrite staging (tiny views
+        // only). With a feed, transact's generic keyed diff emits changes.
         SnapshotStore.transact(spark, mvRoot,
           txn = Some(SnapshotStore.Txn(lApp, lv)),
           extraTxns = Seq(SnapshotStore.Txn(rApp, rv)), pinCheck = pin) { mv =>
-          mv.join(keyed(touched), joinKeys, "left_anti")
+          member(mv, anti = true)
             .unionByName(recomputed0.select(mv.columns.map(col).toIndexedSeq: _*))
         }
       else {
@@ -464,13 +528,22 @@ object MatView {
           extraTxns = Seq(SnapshotStore.Txn(rApp, rv)), pinCheck = pin)(
           baseL => baseL.filter(col(BucketCol)
             .isin(touchedBuckets: _*))) { rowsTouched =>
-          val out = rowsTouched.join(keyed(touched), joinKeys, "left_anti")
-            .unionByName(recomputed
-              .select(rowsTouched.columns.map(col).toIndexedSeq: _*))
+          val cols = rowsTouched.columns.map(col).toIndexedSeq
+          val out = member(rowsTouched, anti = true)
+            .unionByName(recomputed.select(cols: _*))
             .repartition(col(BucketCol)) // one file per rewritten bucket
-          // the view has no change feed; the frame is required but unused
-          (out, out.limit(0)
-            .withColumn(SnapshotStore.ChangeTypeCol, lit("insert")))
+          // with a feed: the touched keys' OLD rows leave (delete), their
+          // recomputed rows arrive (insert) — the Iceberg CDC
+          // delete+insert form, algebraically exact for any downstream
+          // delta consumer (an untouched-in-value key's pair cancels)
+          val changes =
+            if (feedKeys.isEmpty)
+              out.limit(0).withColumn(ct, lit("insert"))
+            else member(rowsTouched, anti = false)
+              .withColumn(ct, lit("delete"))
+              .unionByName(recomputed.select(cols: _*)
+                .withColumn(ct, lit("insert")))
+          (out, changes)
         }
       }
     } finally { touched.unpersist(); () }

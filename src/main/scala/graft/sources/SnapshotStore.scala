@@ -131,6 +131,13 @@ object SnapshotStore {
   /** True when snapshot dir `dir` spans more than one partition spec. */
   private[graft] def isEvolved(dir: String): Boolean = Files.exists(specsFile(dir))
 
+  /** True when the table's HEAD snapshot spans partition specs — the
+    * routing probe DML callers use to pick the per-era scoped
+    * copy-on-write path ([[stagePartialEvolved]]).
+    */
+  private[graft] def spansSpecs(root: String): Boolean =
+    isEvolved(latest(root).dataDir)
+
   /** The specs a snapshot dir spans, oldest first: (subdir, cols).
     * Empty when the dir predates any evolution (single implicit spec).
     */
@@ -2480,12 +2487,12 @@ object SnapshotStore {
       maxAttempts: Int = 10, txn: Option[Txn] = None,
       constraints: Seq[(String, org.apache.spark.sql.Column)] = Nil,
       extraTxns: Seq[Txn] = Nil, pinCheck: () => Boolean = () => true,
-      onReplay: () => Unit = () => ())(
+      onReplay: () => Unit = () => (), evolvedScoped: Boolean = false)(
       matchedRows: DataFrame => DataFrame)(
       transform: DataFrame => (DataFrame, DataFrame)): Snapshot = {
     import org.apache.spark.sql.functions.{broadcast, col, expr}
     val parts = partitionCols(root)
-    require(parts.nonEmpty,
+    require(parts.nonEmpty || evolvedScoped,
       s"transactPartialWithChanges requires a partitioned table ($root)")
     // NO entry-time layout require: the per-attempt check below throws
     // LayoutChangedException, which append()'s router absorbs by
@@ -2497,11 +2504,26 @@ object SnapshotStore {
     while (attempt < maxAttempts) {
       val base = latest(root) // pin BEFORE the guard — see stampGuard
       if (stampGuard(root, txns, pinCheck)) { onReplay(); return base }
-      if (isEvolved(base.dataDir))
+      if (isEvolved(base.dataDir)) {
+        if (!evolvedScoped)
+          throw new LayoutChangedException(
+            s"$root spans partition specs (evolution pending); partition-" +
+              "scoped operations have no meaning across two layouts — " +
+              "OPTIMIZE (full rewrite) to migrate to the current spec first")
+        stagePartialEvolved(spark, root, base, txns, constraints,
+          matchedRows, transform) match {
+          case Some(s) => return s
+          case None => attempt += 1 // lost the race; retry against the head
+        }
+      }
+      else if (parts.isEmpty)
+        // only reachable with evolvedScoped: a concurrent migration healed
+        // the span to an UNPARTITIONED layout mid-statement — the partial
+        // machinery has no partition granularity left to scope by
         throw new LayoutChangedException(
-          s"$root spans partition specs (evolution pending); partition-" +
-            "scoped operations have no meaning across two layouts — " +
-            "OPTIMIZE (full rewrite) to migrate to the current spec first")
+          s"$root healed to an unpartitioned single-spec layout " +
+            "mid-statement; re-run the statement")
+      else {
       // lineage-bearing read: the touched-file probe reads the matched
       // rows' files off the DvFileCol column (input_file_name() refuses
       // multi-source plans, which a DV base's anti-join is); callers'
@@ -2599,9 +2621,128 @@ object SnapshotStore {
       if (tryCommit(root, base.version, dir.toString, txns))
         return Snapshot(base.version + 1, dir.toString)
       attempt += 1 // lost the race: orphaned dir is cleanOrphans food
+      }
     }
     throw new CommitConflictException(
       s"lost the commit race $maxAttempts times at $root")
+  }
+
+  /** One staging attempt of PER-ERA scoped copy-on-write on a snapshot
+    * that SPANS partition specs (evolution pending migration) — the
+    * Iceberg contract that DML before the migrating OPTIMIZE stays
+    * O(touched), never O(table). Each era knows its own layout from the
+    * specs sidecar, so the statement:
+    *
+    *   - scans every era (one lineage-bearing scan per spec, unioned —
+    *     the [[readDirEvolved]] shape plus `_metadata` file lineage),
+    *   - collects the matched rows' FILES (bounded: one row per touched
+    *     file), reads exactly those files back per era (planning-time
+    *     pruned — the scan lists only touched paths),
+    *   - rewrites their rows under the CURRENT spec's subtree (touched
+    *     data migrates forward, shrinking the eventual OPTIMIZE),
+    *   - hard-links every other data file in place, each under its own
+    *     era's layout.
+    *
+    * Granularity is the FILE (not the partition): a flat-era file and a
+    * partitioned-era directory both rewrite exactly when they hold a
+    * matched row. DV and rename sidecars cannot coexist with a spanning
+    * snapshot ([[alterPartitionSpec]] refuses both), and spanning
+    * snapshots carry no stats manifest, so the staging has no sidecar
+    * merge to do beyond specs + identity state. Returns None on a lost
+    * CAS (caller retries against the new head).
+    */
+  private def stagePartialEvolved(spark: SparkSession, root: String,
+      base: Snapshot, txns: Seq[Txn],
+      constraints: Seq[(String, org.apache.spark.sql.Column)],
+      matchedRows: DataFrame => DataFrame,
+      transform: DataFrame => (DataFrame, DataFrame)): Option[Snapshot] = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val specs = readSpecs(base.dataDir)
+    val schema = readSchema(spark, base)
+    val uuid = Paths.get(base.dataDir).getFileName.toString
+    def eraBase(sub: String): String =
+      if (sub == ".") base.dataDir else s"${base.dataDir}/$sub"
+    // one lineage-bearing scan per era: the top level never descends into
+    // `_spec` subtrees (underscore prefix), each later era scans with
+    // basePath at its subtree so ITS partition columns materialize
+    val eraScans = specs.flatMap { case (sub, _) =>
+      val p = eraBase(sub)
+      if (sub != "." && !Files.isDirectory(Paths.get(p))) None
+      else Some(spark.read.schema(schema).option("basePath", p).parquet(p)
+        .withColumn(DvFileCol,
+          expr(s"substring_index(_metadata.file_path, '$uuid/', -1)"))
+        .withColumn(DvPosCol, col("_metadata.row_index")))
+    }
+    val baseL = eraScans.reduce(_.unionByName(_))
+      .select((schema.fieldNames.toIndexedSeq ++
+        Seq(DvFileCol, DvPosCol)).map(col): _*)
+    val matched = matchedRows(baseL)
+    // bounded collect: one row per TOUCHED FILE (never per data row) —
+    // in the URI-encoded relative form `_metadata.file_path` carries,
+    // decoded to on-disk names for the link-exclusion walk
+    val touchedEnc = matched.select(col(DvFileCol)).distinct()
+      .collect().map(_.getString(0)).toSet
+    def decode(enc: String): String =
+      Paths.get(java.net.URI.create("file:///" + enc)).toString.stripPrefix("/")
+    val touchedDisk = touchedEnc.map(decode)
+    val eraOf: String => String = enc =>
+      specs.map(_._1).filter(s => s != "." && enc.startsWith(s + "/"))
+        .lastOption.getOrElse(".")
+    // the rewrite scan lists EXACTLY the touched files, per era (partition
+    // values still materialize from each era's own dirs via basePath)
+    val eraReads = touchedEnc.groupBy(eraOf).toSeq.map { case (sub, encs) =>
+      spark.read.schema(schema).option("basePath", eraBase(sub))
+        .parquet(encs.toSeq.sorted.map(e => s"${base.dataDir}/${decode(e)}"): _*)
+    }
+    val rowsTouched =
+      if (eraReads.isEmpty) spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      else eraReads.reduce(_.unionByName(_))
+        .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    val (out, changes) = transform(rowsTouched)
+    enforceConstraints(out, constraints ++
+      tableConstraints(root).map { case (n, sql) => (n, expr(sql)) })
+    val dir = Paths.get(root, "data", UUID.randomUUID().toString)
+    Files.createDirectories(dir)
+    // rewritten rows stage under the CURRENT spec — touched data migrates
+    // forward (the same direction the eventual OPTIMIZE takes the rest)
+    val (curSub, curCols) = specs.last
+    val tgt = s"$dir/$curSub"
+    if (curCols.nonEmpty)
+      out.write.mode("append").partitionBy(curCols: _*).parquet(tgt)
+    else out.write.mode("append").parquet(tgt)
+    // hard-link every data file OUTSIDE the touched set, in place — each
+    // keeps its own era's layout
+    val basePath = Paths.get(base.dataDir).toAbsolutePath.normalize()
+    val walk = Files.walk(basePath)
+    try walk.iterator().asScala
+      .filter { f =>
+        Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet") && {
+            val rel = basePath.relativize(f)
+            isDataSegs(rel.iterator().asScala.map(_.toString).toSeq) &&
+              !touchedDisk.contains(rel.toString)
+          }
+      }
+      .foreach { f =>
+        val dest = dir.resolve(basePath.relativize(f))
+        Files.createDirectories(dest.getParent)
+        Files.createLink(dest, f)
+      }
+    finally walk.close()
+    Files.writeString(dir.resolve("_schema.json"), schema.json)
+    carrySpecs(base.dataDir, dir.toString)
+    carryStateSidecars(base.dataDir, dir.toString)
+    // no manifest carry: spanning snapshots hold none (alterPartitionSpec
+    // drops it); the migrating OPTIMIZE rebuilds stats
+    if (cdcKeys(root).nonEmpty) {
+      require(changes.columns.contains(ChangeTypeCol),
+        s"supplied change frame lacks $ChangeTypeCol")
+      changes.write.mode("overwrite").parquet(s"$dir/_changes")
+    }
+    if (tryCommit(root, base.version, dir.toString, txns))
+      Some(Snapshot(base.version + 1, dir.toString))
+    else None // orphaned dir is cleanOrphans food
   }
 
   /** MERGE-ON-READ transaction — deletion-vector DML, the public

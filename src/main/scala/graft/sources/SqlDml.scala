@@ -134,11 +134,14 @@ object SqlDml {
         if (SnapshotStore.dmlMode(root) == SnapshotStore.MergeOnRead)
           SnapshotStore.transactMoR(spark, root, maxAttempts)(
             base => base.alias(alias).filter(coalesce(cond, lit(false))))(build)
-        // partitioned table: copy-on-write — rewrite only the partitions
+        // partitioned or spec-spanning table: copy-on-write — rewrite only
+        // the partitions (or, across a pending spec evolution, the files)
         // holding matched rows, hard-link the rest (build() is closed over
         // the touched subset: unmatched neighbors pass through unchanged)
-        else if (SnapshotStore.partitionCols(root).nonEmpty)
-          SnapshotStore.transactPartialWithChanges(spark, root, maxAttempts)(
+        else if (SnapshotStore.partitionCols(root).nonEmpty ||
+            SnapshotStore.spansSpecs(root))
+          SnapshotStore.transactPartialWithChanges(spark, root, maxAttempts,
+            evolvedScoped = true)(
             base => base.alias(alias).filter(coalesce(cond, lit(false))))(build)
         else transactBoth(spark, root, maxAttempts, build)
 
@@ -161,8 +164,10 @@ object SqlDml {
             base => base.alias(alias).filter(coalesce(cond, lit(false))))(
             matched => (matched.limit(0), matched
               .withColumn(SnapshotStore.ChangeTypeCol, lit("delete"))))
-        else if (SnapshotStore.partitionCols(root).nonEmpty)
-          SnapshotStore.transactPartialWithChanges(spark, root, maxAttempts)(
+        else if (SnapshotStore.partitionCols(root).nonEmpty ||
+            SnapshotStore.spansSpecs(root))
+          SnapshotStore.transactPartialWithChanges(spark, root, maxAttempts,
+            evolvedScoped = true)(
             base => base.alias(alias).filter(coalesce(cond, lit(false))))(build)
         else transactBoth(spark, root, maxAttempts, build)
 
@@ -255,9 +260,11 @@ object SqlDml {
         // is by definition in a touched partition, so mergeFrames over the
         // touched subset ≡ the full merge restricted to those partitions
         // plus the inserts (whose new files dir-merge with linked dirs).
-        else if (SnapshotStore.partitionCols(root).nonEmpty &&
+        else if ((SnapshotStore.partitionCols(root).nonEmpty ||
+              SnapshotStore.spansSpecs(root)) &&
             m.notMatchedBySourceActions.isEmpty)
-          SnapshotStore.transactPartialWithChanges(spark, root, maxAttempts)(
+          SnapshotStore.transactPartialWithChanges(spark, root, maxAttempts,
+            evolvedScoped = true)(
             base => base.alias(tAlias).join(source.alias(sAlias),
               expr(m.mergeCondition.sql), "left_semi"))(
             base => mergeFrames(base, tAlias, source, sAlias, m,

@@ -196,6 +196,113 @@ class MatViewSpec extends SparkSpec {
       .contains(SnapshotStore.latest(rRoot).version))
   }
 
+  test("outer-join MVs: null-extension flips on dim arrival/departure; partial ≡ full") {
+    import graft.sources.{MatView, SnapshotStore, SqlDml}
+    for (jt <- Seq("left_outer", "full_outer")) {
+      val lRoot = GateTmp.freshDir(s"mvo_l_$jt")
+      val rRoot = GateTmp.freshDir(s"mvo_r_$jt")
+      val mv = GateTmp.freshDir(s"mvo_mv_$jt")
+      SnapshotStore.init(spark, lRoot,
+        spark.range(30).selectExpr("id", "id * 10 AS v",
+          "CAST(id % 8 AS STRING) AS k"), cdcKeys = Seq("id"))
+      // keys 6 and 7 deliberately unmatched on the right
+      SnapshotStore.init(spark, rRoot,
+        spark.range(6).selectExpr("CAST(id AS STRING) AS k", "id + 100 AS w"),
+        cdcKeys = Seq("k"))
+      MatView.createJoin(spark, lRoot, rRoot, mv, Seq("k"), joinType = jt)
+      def direct: Set[Seq[Any]] =
+        SnapshotStore.read(spark, lRoot).join(
+          SnapshotStore.read(spark, rRoot), Seq("k"), jt).collect()
+          .map(_.toSeq).toSet
+      def mvRows: Set[Seq[Any]] =
+        SnapshotStore.read(spark, mv)
+          .select("k", "id", "v", "w").collect().map(_.toSeq).toSet
+      assert(mvRows == direct, s"$jt createJoin must land the full outer join")
+      val tl = Map("l" -> lRoot); val tr = Map("r" -> rRoot)
+      // arrival: k=6 flips null-extended -> matched
+      spark.sql("SELECT '6' AS k, CAST(600 AS BIGINT) AS w")
+        .createOrReplaceTempView("mvo_new")
+      SqlDml.execute(spark, "INSERT INTO r SELECT k, w FROM mvo_new", tr)
+      // departure: k=2 flips matched -> null-extended (left) / right-only
+      SqlDml.execute(spark, "DELETE FROM r WHERE k = '2'", tr)
+      // and ordinary churn on both sides
+      SqlDml.execute(spark, "UPDATE l SET v = v + 1 WHERE id % 5 = 0", tl)
+      SqlDml.execute(spark, "DELETE FROM l WHERE id % 9 = 0", tl)
+      MatView.refreshJoin(spark, lRoot, rRoot, mv, Seq("k"))
+      assert(mvRows == direct, s"$jt after mixed DML must equal full recompute")
+      // full-outer only: delete EVERY left row of k=3 — the view must then
+      // carry k=3 as a RIGHT-ONLY (left-null) row, not drop it
+      if (jt == "full_outer") {
+        SqlDml.execute(spark, "DELETE FROM l WHERE k = '3'", tl)
+        MatView.refreshJoin(spark, lRoot, rRoot, mv, Seq("k"))
+        assert(mvRows == direct, "full_outer right-only rows must surface")
+        assert(SnapshotStore.read(spark, mv).filter(col("k") === "3")
+          .collect().forall(_.isNullAt(1)), "k=3 rows must be left-null")
+      }
+    }
+    val e = intercept[IllegalArgumentException] {
+      MatView.createJoin(spark, GateTmp.freshDir("x"), GateTmp.freshDir("y"),
+        GateTmp.freshDir("z"), Seq("k"), joinType = "cross")
+    }
+    assert(e.getMessage.contains("unsupported join-view type"), e.getMessage)
+  }
+
+  test("join MV change feed: delete+insert frames make an agg MV stack on top") {
+    import graft.sources.{MatView, SnapshotStore, SqlDml}
+    val lRoot = GateTmp.freshDir("mvc_l")
+    val rRoot = GateTmp.freshDir("mvc_r")
+    val jmv = GateTmp.freshDir("mvc_jmv")
+    val amv = GateTmp.freshDir("mvc_amv")
+    val aggs = Seq("count", "sum", "min", "max")
+    SnapshotStore.init(spark, lRoot,
+      spark.range(40).selectExpr("id", "id * 10 AS v",
+        "CAST(id % 8 AS STRING) AS k"), cdcKeys = Seq("id"))
+    SnapshotStore.init(spark, rRoot,
+      spark.range(8).selectExpr("CAST(id AS STRING) AS k", "id + 100 AS w"),
+      cdcKeys = Seq("k"))
+    MatView.createJoin(spark, lRoot, rRoot, jmv, Seq("k"), emitChanges = true)
+    // the view's feed keys are the union of both sources' CDC keys
+    assert(SnapshotStore.cdcKeys(jmv).toSet == Set("id", "k"))
+    // the aggregate MV over the JOIN VIEW: per right-side attribute w,
+    // count and sum of joined v — the fact⋈dim→GROUP BY summary table
+    MatView.create(spark, jmv, amv, Seq("w"), "v", aggs)
+    def directAgg: Set[(Long, Long, Long, Long, Long)] =
+      SnapshotStore.read(spark, lRoot)
+        .join(SnapshotStore.read(spark, rRoot), "k")
+        .groupBy("w").agg(count(lit(1)).as("n"), sum("v").as("s"),
+          min("v").as("mn"), max("v").as("mx"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    def mvAgg: Set[(Long, Long, Long, Long, Long)] =
+      SnapshotStore.read(spark, amv)
+        .select("w", "n_rows", "val_sum", "val_min", "val_max")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    assert(mvAgg == directAgg, "agg MV over the join view must start exact")
+    val tl = Map("l" -> lRoot); val tr = Map("r" -> rRoot)
+    // churn both sources: value changes, key migration, deletes (the
+    // delete leg exercises min/max recompute against the PINNED join view)
+    SqlDml.execute(spark, "UPDATE l SET v = v + 3 WHERE id % 4 = 0", tl)
+    SqlDml.execute(spark, "UPDATE l SET k = '7' WHERE id % 10 = 0", tl)
+    SqlDml.execute(spark, "DELETE FROM l WHERE id % 9 = 0", tl)
+    SqlDml.execute(spark, "UPDATE r SET w = w + 50 WHERE k = '3'", tr)
+    SqlDml.execute(spark, "DELETE FROM r WHERE k = '5'", tr)
+    MatView.refreshJoin(spark, lRoot, rRoot, jmv, Seq("k"))
+    // the join view's feed carries ONLY delete/insert frames
+    val kinds = SnapshotStore.changes(spark, jmv, 2L,
+      SnapshotStore.latest(jmv).version)
+      .select(SnapshotStore.ChangeTypeCol).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(kinds.subsetOf(Set("delete", "insert")), s"feed kinds: $kinds")
+    MatView.refresh(spark, jmv, amv, Seq("w"), "v", aggs)
+    assert(mvAgg == directAgg, "agg MV must track the composed pipeline")
+    // replay the whole chain: both layers stamped no-ops
+    val jv = MatView.refreshJoin(spark, lRoot, rRoot, jmv, Seq("k")).version
+    assert(MatView.refreshJoin(spark, lRoot, rRoot, jmv, Seq("k")).version == jv)
+    val av = MatView.refresh(spark, jmv, amv, Seq("w"), "v", aggs).version
+    assert(MatView.refresh(spark, jmv, amv, Seq("w"), "v", aggs).version == av)
+  }
+
   test("min/max/avg MV: delete-touched groups recompute; insert-only refresh stays source-free") {
     import graft.sources.{MatView, SnapshotStore, SqlDml}
     val src = GateTmp.freshDir("mvmm_src")

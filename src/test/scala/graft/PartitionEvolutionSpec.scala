@@ -87,18 +87,12 @@ class PartitionEvolutionSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, root).count() == 4L)
   }
 
-  test("partition-scoped operations refuse while specs span; full rewrite heals") {
+  test("layout-bound operations refuse while specs span; DML is per-era scoped") {
     val root = tmp("graft_pe_refuse")
     SnapshotStore.init(spark, root,
       Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "v"))
     SnapshotStore.alterPartitionSpec(spark, root, Seq("k"))
     SnapshotStore.append(spark, root, Seq((3L, "c", 30L)).toDF("id", "k", "v"))
-    // partial COW (the partitioned-DML staging) refuses — with the
-    // layout-aware exception append()'s router also understands
-    val e1 = intercept[IllegalStateException] {
-      SqlDml.execute(spark, "UPDATE t SET v = 0 WHERE id = 1", Map("t" -> root))
-    }
-    assert(e1.getMessage.contains("OPTIMIZE"), e1.getMessage)
     // incremental compaction refuses (by the partitioned guard here; the
     // evolution guard covers unpartitioned-current-spec tables); RENAME refuses
     val e2 = intercept[IllegalArgumentException] {
@@ -123,11 +117,73 @@ class PartitionEvolutionSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, root).columns.toSeq ==
       Seq("id", "k", "v", "tag"))
     assert(SnapshotStore.read(spark, root).count() == 3L)
-    // the migrating OPTIMIZE re-enables everything
-    SnapshotStore.optimize(spark, root, 1000000L)
+    // DML while the span is pending: per-era scoped, NOT a refusal and NOT
+    // a full rewrite — the table still spans afterwards
     SqlDml.execute(spark, "UPDATE t SET v = 0 WHERE id = 1", Map("t" -> root))
+    assert(SnapshotStore.isEvolved(SnapshotStore.latest(root).dataDir),
+      "scoped DML must not heal the span")
     assert(SnapshotStore.read(spark, root).filter($"id" === 1L)
       .head().getAs[Long]("v") == 0L)
+    // the migrating OPTIMIZE still heals and re-enables the rest
+    SnapshotStore.optimize(spark, root, 1000000L)
+    assert(!SnapshotStore.isEvolved(SnapshotStore.latest(root).dataDir))
+    SqlDml.execute(spark, "UPDATE t SET v = 1 WHERE id = 1", Map("t" -> root))
+    assert(SnapshotStore.read(spark, root).filter($"id" === 1L)
+      .head().getAs[Long]("v") == 1L)
+  }
+
+  test("spanning DML rewrites ONLY touched files; the rest hard-link in place") {
+    val root = tmp("graft_pe_scoped")
+    // flat era: two files (repartition(2) by id) so one can stay untouched
+    SnapshotStore.init(spark, root,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "v")
+        .repartition(2, $"id"))
+    SnapshotStore.alterPartitionSpec(spark, root, Seq("k"))
+    SnapshotStore.append(spark, root,
+      Seq((3L, "a", 30L), (4L, "c", 40L)).toDF("id", "k", "v")) // _spec1/k=…
+    val before = SnapshotStore.latest(root)
+    def dataFiles(dir: String): Map[String, Object] = {
+      val s = Files.walk(Paths.get(dir))
+      try s.iterator().asScala
+        .filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet") &&
+          !Paths.get(dir).relativize(f).iterator().asScala
+            .map(_.toString).exists(seg =>
+              seg.startsWith("_") && !seg.startsWith("_spec")))
+        .map(f => Paths.get(dir).relativize(f).toString ->
+          Files.getAttribute(f, "unix:ino"))
+        .toMap
+      finally s.close()
+    }
+    val pre = dataFiles(before.dataDir)
+    // touch ONE old-era row (id=1) and ONE new-era partition (k=c)
+    SqlDml.execute(spark,
+      "UPDATE t SET v = v + 1 WHERE id = 1 OR k = 'c'", Map("t" -> root))
+    val after = SnapshotStore.latest(root)
+    assert(SnapshotStore.isEvolved(after.dataDir), "span survives scoped DML")
+    val post = dataFiles(after.dataDir)
+    // untouched files carried by HARD LINK (same inode, same relative path)
+    val carried = pre.keySet.intersect(post.keySet)
+    assert(carried.nonEmpty, "some files must be untouched")
+    carried.foreach(p => assert(pre(p) == post(p), s"$p must be a hard link"))
+    // touched files (id=1's flat file, k=c's dir) are NOT carried — their
+    // rows migrated into the CURRENT spec's subtree
+    val dropped = pre.keySet -- post.keySet
+    assert(dropped.exists(!_.startsWith("_spec")),
+      s"the touched FLAT-era file must be rewritten away: $dropped")
+    assert(dropped.exists(_.startsWith("_spec1/k=c")),
+      s"the touched NEW-era partition must be rewritten away: $dropped")
+    val fresh = post.keySet -- pre.keySet
+    assert(fresh.nonEmpty && fresh.forall(_.startsWith("_spec1/")),
+      s"rewritten rows must land under the current spec: $fresh")
+    // values: exactly the matched rows changed, neighbors preserved
+    assert(SnapshotStore.read(spark, root).select($"id", $"k", $"v")
+      .orderBy($"id").as[(Long, String, Long)].collect().toSeq ==
+      Seq((1L, "a", 11L), (2L, "b", 20L), (3L, "a", 30L), (4L, "c", 41L)))
+    // and the heal still works on top of scoped DML
+    SnapshotStore.optimize(spark, root, 1000000L)
+    assert(!SnapshotStore.isEvolved(SnapshotStore.latest(root).dataDir))
+    assert(SnapshotStore.read(spark, root).count() == 4L)
   }
 
   test("RESTORE across an evolution restores the write-side spec too") {
@@ -176,23 +232,29 @@ class PartitionEvolutionSpec extends SparkSpec {
       Seq((1L, "a", 10L), (2L, "b", 20L)))
   }
 
-  test("DML on an UNPARTITIONED-current-spec spanning table is full COW and heals") {
-    val root = tmp("graft_pe_dmlheal")
+  test("DML on an UNPARTITIONED-current-spec spanning table is still per-era scoped") {
+    val root = tmp("graft_pe_dmlflat")
     SnapshotStore.init(spark, root,
       Seq((1L, "a", 10L)).toDF("id", "k", "v"))
     SnapshotStore.alterPartitionSpec(spark, root, Seq("k"))
     SnapshotStore.append(spark, root, Seq((2L, "b", 20L)).toDF("id", "k", "v"))
     SnapshotStore.alterPartitionSpec(spark, root, Nil) // de-partition
     SnapshotStore.append(spark, root, Seq((3L, "c", 30L)).toDF("id", "k", "v"))
-    // current spec is flat → DML routes to the full-COW path, which
-    // stages entirely in the current spec and HEALS the span
+    // current spec is FLAT: scoped DML still applies at file granularity —
+    // the touched middle-era partition rewrites into the flat current spec,
+    // the other two eras' files stay linked, the span survives
     SqlDml.execute(spark, "UPDATE t SET v = v + 1 WHERE id = 2", Map("t" -> root))
     val head = SnapshotStore.latest(root)
-    assert(!SnapshotStore.isEvolved(head.dataDir),
-      "a full rewrite must heal the table to single-spec")
+    assert(SnapshotStore.isEvolved(head.dataDir),
+      "scoped DML must not heal the span")
+    assert(Files.isDirectory(Paths.get(head.dataDir, "_spec2")),
+      "rewritten rows stage under the current (flat) spec subtree")
     assert(SnapshotStore.read(spark, root).select($"id", $"k", $"v")
       .orderBy($"id").as[(Long, String, Long)].collect().toSeq ==
       Seq((1L, "a", 10L), (2L, "b", 21L), (3L, "c", 30L)))
+    // the migrating OPTIMIZE heals as ever
+    SnapshotStore.optimize(spark, root, 1000000L)
+    assert(!SnapshotStore.isEvolved(SnapshotStore.latest(root).dataDir))
   }
 
   test("RESTORE across an evolve-then-HEALED history derives the spec from the target's layout") {
