@@ -878,6 +878,50 @@ object Temporal {
           |SELECT id, cnt, CAST(round(ratio * 1000) AS BIGINT) AS ratio_mils
           |FROM ev ORDER BY id""".stripMargin)),
 
+    // Q90c [extension: NESTED schema evolution] ADD/DROP a field INSIDE a
+    // struct column — ubiquitous for `props`-style payload columns — as
+    // the same metadata-only commit as top-level ALTERs: the parquet
+    // reader clips each file's stored struct against the pinned schema,
+    // so pre-ADD rows null-fill the new field and post-DROP reads project
+    // the dead one away, across a dir that MIXES struct eras. The final
+    // projection flattens the struct so DuckDB pins values without any
+    // struct SQL.
+    "q90c_nested_evolution" -> QueryDef(
+      build = (s, d) => {
+        val wh = graft.GateTmp.freshDir("q90c")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        Tables.orders(s, d).createOrReplaceTempView("q90c_ord")
+        val cents = graft.Canon.centsSql("o_totalprice")
+        s.sql("CREATE TABLE graft.q90ct (id BIGINT, " +
+          "props STRUCT<cust: BIGINT, prio: STRING>)")
+        s.sql(
+          """INSERT INTO graft.q90ct
+            |SELECT o_orderkey, named_struct('cust', o_custkey,
+            |  'prio', o_orderpriority)
+            |FROM q90c_ord WHERE o_orderkey % 2 = 0""".stripMargin)
+        s.sql("ALTER TABLE graft.q90ct ADD COLUMN props.price_c BIGINT") // v2
+        s.sql(
+          s"""INSERT INTO graft.q90ct
+             |SELECT o_orderkey, named_struct('cust', o_custkey,
+             |  'prio', o_orderpriority, 'price_c', $cents)
+             |FROM q90c_ord WHERE o_orderkey % 2 = 1""".stripMargin)
+        s.sql("ALTER TABLE graft.q90ct DROP COLUMN props.prio") // v4
+        // era-mixed read through the evolved shape, flattened for the pin
+        s.sql(
+          """SELECT id, props.cust AS cust,
+            |       coalesce(props.price_c, -1) AS price_c
+            |FROM graft.q90ct ORDER BY id""".stripMargin)
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("o_totalprice")
+        s"""SELECT o_orderkey AS id, o_custkey AS cust,
+           |       CASE WHEN o_orderkey % 2 = 1 THEN $cents
+           |            ELSE -1 END AS price_c
+           |FROM orders ORDER BY id""".stripMargin
+      }),
+
     // Q91 [extension: the FULL reference topology as one pipeline] The
     // closure gate: generator → HTTP POST (Random/main.go) → DSv2 ingest
     // source (S7, durable-ack WAL) → reject side channel (§2.11,

@@ -491,9 +491,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val nonRenames = schemaChanges.filterNot(_.isInstanceOf[TableChange.RenameColumn])
     SnapshotStore.alterSchema(spark, root, schema =>
       nonRenames.foldLeft(schema) {
+        // NESTED add/drop (`ALTER TABLE t ADD COLUMN props.lang STRING`):
+        // the same metadata-only commit — the parquet reader clips each
+        // file's stored struct against the pinned schema, so rows written
+        // before the field existed null-fill it and rows still carrying a
+        // dropped field project it away, no rewrite either way
+        case (s, add: TableChange.AddColumn) if add.fieldNames.length > 1 =>
+          require(Option(add.defaultValue()).isEmpty,
+            s"nested ADD COLUMN does not take DEFAULT " +
+              s"(${add.fieldNames.mkString(".")}) — defaults bind to " +
+              "top-level columns")
+          GraftCatalog.addNestedField(s, add.fieldNames().toSeq, add.dataType())
+        case (s, del: TableChange.DeleteColumn) if del.fieldNames.length > 1 =>
+          GraftCatalog.dropNestedField(s, del.fieldNames().toSeq)
         case (s, add: TableChange.AddColumn) =>
-          require(add.fieldNames.length == 1,
-            s"nested column add not supported: ${add.fieldNames.mkString(".")}")
           require(!s.exists(_.name.equalsIgnoreCase(add.fieldNames()(0))),
             s"column ${add.fieldNames()(0)} already exists")
           // ADD COLUMN … DEFAULT v: standard-SQL backfill WITHOUT a
@@ -521,8 +532,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           }
           org.apache.spark.sql.types.StructType(s.fields :+ field)
         case (s, del: TableChange.DeleteColumn) =>
-          require(del.fieldNames.length == 1,
-            s"nested column drop not supported: ${del.fieldNames.mkString(".")}")
           val n = del.fieldNames()(0)
           require(s.exists(_.name.equalsIgnoreCase(n)), s"no such column $n")
           require(!SnapshotStore.cdcKeys(root).exists(_.equalsIgnoreCase(n)),
@@ -703,6 +712,59 @@ object GraftCatalog {
       case _ => false
     }
   }
+
+  /** Rebuild `s` with the struct at `parents` (root when empty) mapped
+    * through `f` — the shared walker for nested schema evolution. Every
+    * intermediate segment must name an existing STRUCT field.
+    */
+  private def mapNestedStruct(s: org.apache.spark.sql.types.StructType,
+      parents: Seq[String])(
+      f: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    parents match {
+      case Seq() => f(s)
+      case head +: rest =>
+        val idx = s.fields.indexWhere(_.name.equalsIgnoreCase(head))
+        require(idx >= 0, s"no such column $head")
+        s.fields(idx).dataType match {
+          case st: StructType => StructType(s.fields.updated(idx,
+            s.fields(idx).copy(dataType = mapNestedStruct(st, rest)(f))))
+          case other => throw new IllegalArgumentException(
+            s"$head is ${other.simpleString}, not a struct — nested " +
+              "evolution descends through struct fields only")
+        }
+    }
+  }
+
+  /** `ALTER TABLE t ADD COLUMN a.b.c T` — add a nullable field inside a
+    * struct, metadata-only (old rows null-fill at read).
+    */
+  private[graft] def addNestedField(s: org.apache.spark.sql.types.StructType,
+      path: Seq[String], dt: org.apache.spark.sql.types.DataType):
+      org.apache.spark.sql.types.StructType =
+    mapNestedStruct(s, path.init) { leaf =>
+      require(!leaf.exists(_.name.equalsIgnoreCase(path.last)),
+        s"field ${path.mkString(".")} already exists")
+      org.apache.spark.sql.types.StructType(leaf.fields :+
+        org.apache.spark.sql.types.StructField(path.last, dt, nullable = true))
+    }
+
+  /** `ALTER TABLE t DROP COLUMN a.b.c` — drop a field inside a struct,
+    * metadata-only (files still carrying it project it away at read).
+    */
+  private[graft] def dropNestedField(s: org.apache.spark.sql.types.StructType,
+      path: Seq[String]): org.apache.spark.sql.types.StructType =
+    mapNestedStruct(s, path.init) { leaf =>
+      require(leaf.exists(_.name.equalsIgnoreCase(path.last)),
+        s"no such field ${path.mkString(".")}")
+      require(leaf.length > 1,
+        s"cannot drop the last field of struct ${path.init.mkString(".")} — " +
+          "drop the struct column itself")
+      org.apache.spark.sql.types.StructType(
+        leaf.filterNot(_.name.equalsIgnoreCase(path.last)))
+    }
 
   /** Table property carrying the CDC key list (the same place Delta puts
     * `enableChangeDataFeed`): `TBLPROPERTIES ('cdc.keys' = 'id')`.

@@ -697,9 +697,10 @@ object SnapshotStore {
     * physical name into the new logical one (the Iceberg field-id /
     * Delta column-mapping trick, by name chain instead of id). Chained
     * renames compose; a later full-rewrite commit heals the mapping.
+    * On CDC tables the feed survives a rename: each version's change
+    * frame carries the names current at ITS commit, [[changes]] resolves
+    * old frames through the chain, and a renamed CDC KEY remaps `_cdc`.
     * Refused when it could silently corrupt:
-    *   - CDC tables (the feed's per-version frames identify columns by
-    *     name; renaming would fork the feed schema mid-stream),
     *   - partition columns (directory names ARE the physical layout),
     *   - columns referenced by CHECK constraints or generated/default
     *     expressions (stored as SQL text — a rename would dangle them),
@@ -760,8 +761,28 @@ object SnapshotStore {
           StructType(next.fields :+ org.apache.spark.sql.types.StructField(
             ChangeTypeCol, org.apache.spark.sql.types.StringType)))
           .write.mode("overwrite").parquet(s"$dir/_changes")
-      if (tryCommit(root, base.version, dir.toString))
+      if (tryCommit(root, base.version, dir.toString)) {
+        if (renames.nonEmpty) {
+          // the append-only FEED rename log ([[feedRenames]]): unlike the
+          // per-snapshot `_renames.tsv`, this survives healing rewrites —
+          // old change frames keep their written names forever
+          val lines = renames.map { case (nw, old) =>
+            s"${base.version + 1}\t$old\t$nw" }.mkString("", "\n", "\n")
+          Files.writeString(feedRenamesFile(root), lines,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+          // a renamed CDC KEY column remaps the root-level _cdc config —
+          // written after the CAS win, like partitionsFile in
+          // alterPartitionSpec (the narrow crash window costs a failed
+          // diff on the NEXT transact, never a wrong feed)
+          val keys = cdcKeys(root)
+          val mapped = keys.map(k =>
+            renames.find(_._2.equalsIgnoreCase(k)).map(_._1).getOrElse(k))
+          if (mapped != keys)
+            Files.writeString(cdcConfigFile(root), mapped.mkString(","))
+        }
         return Snapshot(base.version + 1, dir.toString)
+      }
       attempt += 1 // lost the race: the orphaned link dir is cleanOrphans food
     }
     throw new CommitConflictException(
@@ -776,11 +797,11 @@ object SnapshotStore {
       evolved: org.apache.spark.sql.types.StructType,
       baseRen: Map[String, Seq[String]], renames: Map[String, String]):
       (org.apache.spark.sql.types.StructType, Map[String, Seq[String]]) = {
-    require(cdcKeys(root).isEmpty,
-      s"RENAME COLUMN is not supported on CDC tables ($root): the change " +
-        "feed's per-version frames identify columns by name, and a rename " +
-        "would fork the feed schema mid-stream. Recreate the feed consumer " +
-        "on a rewritten table instead")
+    // CDC tables are FINE to rename on: each version's change frame is
+    // written under the names current at ITS commit, and [[changes]]
+    // resolves old frames' physical names through the same chain reads
+    // use — the feed never forks. Renamed CDC KEY columns remap the _cdc
+    // config after the commit wins (see alterSchema).
     require(!isEvolved(latest(root).dataDir),
       s"RENAME COLUMN on $root while a partition-spec evolution is " +
         "pending; OPTIMIZE (full rewrite) to migrate first")
@@ -1513,12 +1534,93 @@ object SnapshotStore {
       val paths = withFeed.map { case (_, s) => s"${s.dataDir}/_changes" }
       // mergeSchema: change sets across an ALTER TABLE boundary may differ
       // in column set; evolved columns null-fill on the old side
-      spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      val merged = spark.read.option("mergeSchema", "true").parquet(paths: _*)
         .withColumn("__dir",
           regexp_extract(input_file_name(), "/data/([^/]+)/_changes/", 1))
         .join(broadcast(lookup), "__dir")
         .drop("__dir")
+      // RENAME COLUMN resolution: a frame from before a rename carries
+      // the THEN-current name — an immutable historical fact the data
+      // files' `_renames.tsv` sidecar cannot serve (a healing full
+      // rewrite drops it while old frames persist), so the durable
+      // root-level rename LOG drives the feed instead. Each head field
+      // resolves as a version-GUARDED coalesce down its chain:
+      // `coalesce(f, when(cv < rv₁, old₁), when(cv < rv₂, old₂) …)` —
+      // the guard scopes every old leg to the frames that actually wrote
+      // it, so a later column REUSING a retired name can never bleed in.
+      val log = feedRenames(root).filter(_._1 <= toVersion)
+      if (log.isEmpty) merged
+      else {
+        val schema = readSchema(spark, at(root, toVersion))
+        val have = merged.columns.map(_.toLowerCase).toSet
+        merged.select(schema.fields.toIndexedSeq.map { f =>
+          val legs =
+            (if (have(f.name.toLowerCase)) Seq(col(f.name)) else Nil) ++
+              feedChain(log, f.name).collect {
+                case (old, rv) if have(old.toLowerCase) =>
+                  when(col(CommitVersionCol) < rv, col(old))
+              }
+          (legs match {
+            case Seq() => lit(null)
+            case Seq(one) => one
+            case many => coalesce(many: _*)
+          }).cast(f.dataType).as(f.name)
+        } ++ Seq(col(ChangeTypeCol), col(CommitVersionCol)): _*)
+      }
     }
+  }
+
+  // ---- FEED rename log ------------------------------------------------------
+  // `_column_renames.tsv` at root: one `version TAB old TAB new` line per
+  // RENAME COLUMN commit, append-only, NEVER healed — the change feed's
+  // name history. Data reads resolve renames from each snapshot's
+  // `_renames.tsv` sidecar (dropped when a full rewrite re-stages files
+  // under logical names); change FRAMES are immutable history, so their
+  // resolution must survive that heal.
+
+  private def feedRenamesFile(root: String): Path =
+    Paths.get(root, "_column_renames.tsv")
+
+  /** The rename log, oldest first: (version, oldName, newName). */
+  private[graft] def feedRenames(root: String): Seq[(Long, String, String)] = {
+    val f = feedRenamesFile(root)
+    if (!Files.exists(f)) Nil
+    else Files.readString(f).linesIterator.filter(_.nonEmpty).map { l =>
+      val p = l.split("\t", 3)
+      (p(0).toLong, p(1), p(2))
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** Walk `name`'s chain BACKWARD through the log: the (oldName,
+    * renamedAtVersion) legs, newest first — a frame committed before
+    * `renamedAtVersion` wrote that leg's name.
+    */
+  private def feedChain(log: Seq[(Long, String, String)],
+      name: String): Seq[(String, Long)] = {
+    var cur = name
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    log.reverseIterator.foreach { case (v, old, nw) =>
+      if (nw.equalsIgnoreCase(cur)) { out += ((old, v)); cur = old }
+    }
+    out.toSeq
+  }
+
+  /** The name column `name` (valid at version `head`) carried at
+    * `version` — forward-walk to `head`, then backward to `version`. For
+    * feed consumers (ChangeFeedSource) conforming per-version frames to
+    * a declared schema across RENAME COLUMN boundaries in either
+    * direction (stream declared before the rename, or frames written
+    * before it).
+    */
+  private[graft] def feedNameAt(root: String, name: String, version: Long,
+      head: Long): String = {
+    val log = feedRenames(root)
+    var cur = name
+    log.foreach { case (v, old, nw) =>
+      if (v <= head && old.equalsIgnoreCase(cur)) cur = nw }
+    log.reverseIterator.foreach { case (v, old, nw) =>
+      if (v > version && nw.equalsIgnoreCase(cur)) cur = old }
+    cur
   }
 
   /** The keyed snapshot diff behind the change feed: ONE null-safe

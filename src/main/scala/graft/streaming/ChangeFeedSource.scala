@@ -137,11 +137,16 @@ private class ChangeFeedStream(sqlContext: SQLContext, root: String,
     // (fixed at stream start, per the Source contract): versions before an
     // ALTER TABLE ADD COLUMN lack the new column (null-fill), versions
     // before a DROP carry a dead one (projected away) — a feed spanning a
-    // schema boundary must still serve one stable shape
-    def conform(df: DataFrame): DataFrame = {
+    // schema boundary must still serve one stable shape. RENAME COLUMN
+    // resolves through the feed rename log BOTH ways — a declared name
+    // maps to whatever the column was CALLED at each frame's version
+    // (stream declared before the rename reading new frames, or after it
+    // reading old ones).
+    def conform(df: DataFrame, v: Long): DataFrame = {
       import org.apache.spark.sql.functions.{col, lit}
       df.select(schema.map { f =>
-        (if (df.columns.contains(f.name)) col(f.name)
+        val atV = SnapshotStore.feedNameAt(root, f.name, v, hi)
+        (if (df.columns.exists(_.equalsIgnoreCase(atV))) col(atV)
          else lit(null).cast(f.dataType)).as(f.name)
       }.toIndexedSeq: _*)
     }
@@ -150,7 +155,7 @@ private class ChangeFeedStream(sqlContext: SQLContext, root: String,
         sqlContext.sparkSession.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
       else versions.map(v => conform(
-          SnapshotStore.changesAt(sqlContext.sparkSession, root, v)))
+          SnapshotStore.changesAt(sqlContext.sparkSession, root, v), v))
         .reduce(_.unionByName(_))
     GraftSqlShim.asStreamingDF(batch) // re-flag as streaming
   }

@@ -266,6 +266,67 @@ class CdcSpec extends SparkSpec {
     assert(!rows.exists(_.getLong(4) == 2L))
   }
 
+  test("a feed spanning a RENAME COLUMN boundary serves one unified name") {
+    val root = tmp("graft_cdc_rename")
+    SnapshotStore.init(spark, root,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "sal"), cdcKeys = Seq("id"))
+    val t = Map("t" -> root)
+    SqlDml.execute(spark, "UPDATE t SET sal = sal + 1 WHERE id = 1", t) // v1
+    // v2: metadata-only RENAME — the feed must NOT refuse, and must not fork
+    SnapshotStore.alterSchema(spark, root, identity,
+      renames = Map("salary" -> "sal"))
+    SqlDml.execute(spark, "UPDATE t SET salary = salary + 100 WHERE id = 2", t) // v3
+    SqlDml.execute(spark, "DELETE FROM t WHERE id = 1", t) // v4
+    // batch table_changes across the boundary: pre-rename frames (written
+    // under 'sal') resolve into the head logical 'salary'
+    val feed = SnapshotStore.changes(spark, root, 1L, 4L)
+    assert(feed.columns.toSeq ==
+      Seq("id", "salary", SnapshotStore.ChangeTypeCol,
+        SnapshotStore.CommitVersionCol))
+    val byVc = feed.collect().map(r => (r.getLong(3), r.getString(2)) ->
+      (r.getLong(0), r.getLong(1))).toMap
+    assert(byVc((1L, "update_preimage")) == (1L, 10L),
+      "pre-rename frame values must surface under the new name")
+    assert(byVc((1L, "update_postimage")) == (1L, 11L))
+    assert(byVc((3L, "update_postimage")) == (2L, 120L))
+    assert(byVc((4L, "delete")) == (1L, 11L))
+    // a streaming consumer that declared its schema AFTER the rename reads
+    // old frames under the new name too
+    val got = graft.streaming.EventsStream.runToMemory(spark,
+      spark.readStream.format("graft.streaming.ChangeFeedSource")
+        .option("path", root).load(),
+      s"cdc_ren_${System.nanoTime()}", "append")
+    assert(got.columns.take(2).toSeq == Seq("id", "salary"))
+    val v1pre = got.filter($"_commit_version" === 1L &&
+      $"_change_type" === "update_preimage").head()
+    assert(v1pre.getLong(1) == 10L,
+      "the stream must resolve pre-rename frames through the chain")
+    // downstream MV maintenance consumes the unified feed
+    val mv = tmp("graft_cdc_ren_mv")
+    graft.sources.MatView.create(spark, root, mv, Seq("id"), "salary")
+    SqlDml.execute(spark, "UPDATE t SET salary = salary + 1 WHERE id = 2", t)
+    graft.sources.MatView.refresh(spark, root, mv, Seq("id"), "salary")
+    assert(SnapshotStore.read(spark, mv).select($"id", $"val_sum")
+      .as[(Long, Long)].collect().toSet == Set((2L, 121L)))
+  }
+
+  test("renaming a CDC KEY column remaps the feed's key config") {
+    val root = tmp("graft_cdc_keyren")
+    SnapshotStore.init(spark, root,
+      Seq((1L, 10L)).toDF("id", "v"), cdcKeys = Seq("id"))
+    SnapshotStore.alterSchema(spark, root, identity,
+      renames = Map("pk" -> "id"))
+    assert(SnapshotStore.cdcKeys(root) == Seq("pk"),
+      "the _cdc config must follow the rename")
+    // post-rename DML still diffs by the (renamed) key
+    SqlDml.execute(spark, "UPDATE t SET v = v + 5 WHERE pk = 1",
+      Map("t" -> root))
+    val last = SnapshotStore.latest(root).version
+    val kinds = SnapshotStore.changes(spark, root, last, last)
+      .select(SnapshotStore.ChangeTypeCol).collect().map(_.getString(0)).toSet
+    assert(kinds == Set("update_preimage", "update_postimage"))
+  }
+
   test("replication auto-evolves the replica when the source grew a column") {
     import graft.streaming.CdcApplySink
     val src = tmp("graft_cdc_evo_src")
