@@ -128,11 +128,16 @@ object DvReadRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val filtered =
       if (consumedFilters.isEmpty) inner
       else {
-        var belowDv = false
+        // insert beneath EVERY DV filter: a snapshot that spans partition
+        // specs reads as a Union with one DV-filtered scan per era — a
+        // once-only insertion would leave every other branch unfiltered
+        // (extra rows), and each branch needs the predicate pushed below
+        // ITS filter for FileSourceStrategy to reach the scan
+        var nDv = 0
         val t = inner.transformUp {
           case Filter(cond, child)
-              if !belowDv && cond.exists(_.isInstanceOf[GraftDvFilter]) =>
-            belowDv = true
+              if cond.exists(_.isInstanceOf[GraftDvFilter]) =>
+            nDv += 1
             val childAttrs = child.output.collect {
               case a: AttributeReference => a.name.toLowerCase -> a
             }.toMap
@@ -140,9 +145,10 @@ object DvReadRewrite extends Rule[LogicalPlan] with PredicateHelper {
               rebase(consumedFilters, childAttrs).map(Filter(_, child))
                 .getOrElse(child))
         }
-        if (belowDv) t
+        if (nDv > 0) t
         // no DV filter in the read (e.g. the sidecar raced away between
-        // hasDeletionVector and here): plain filter on top is equivalent
+        // hasDeletionVector and here, or an evolved snapshot without a
+        // DV): plain filter on top is equivalent
         else rebase(consumedFilters, Map.empty).map(Filter(_, inner))
           .getOrElse(inner)
       }

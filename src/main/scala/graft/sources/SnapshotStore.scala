@@ -207,11 +207,16 @@ object SnapshotStore {
     * metadata-only commit (hard-linked files + the specs sidecar), the
     * Iceberg partition-evolution shape. New appends land under the new
     * spec; history keeps its layout; reads span both; OPTIMIZE migrates.
-    * Refused where a second layout would corrupt an existing contract:
-    * identity tables (their appends require the unpartitioned staging),
-    * snapshots carrying deletion vectors or rename mappings (their
-    * file-relative state assumes one layout — OPTIMIZE first), and specs
-    * referencing columns the table lacks.
+    * A `_dv` deletion-vector sidecar rides the evolve untouched: its
+    * `(file, pos)` keys are snapshot-dir-relative and the link preserves
+    * every relative path, so per-era reads ([[readDirEvolved]]), scoped
+    * DML ([[stagePartialEvolved]]) and MoR DML ([[transactMoR]]) all keep
+    * honoring it until a full rewrite materializes it away. Refused where
+    * a second layout would corrupt an existing contract: identity tables
+    * (their appends require the unpartitioned staging), snapshots
+    * carrying rename mappings (data files under pre-rename physical
+    * names need the rename projection the per-era scan lacks — OPTIMIZE
+    * first), and specs referencing columns the table lacks.
     */
   def alterPartitionSpec(spark: SparkSession, root: String,
       newCols: Seq[String], maxAttempts: Int = 10): Snapshot = {
@@ -225,9 +230,6 @@ object SnapshotStore {
         s"partition spec references missing column(s): ${missing.mkString(", ")}")
       require(!schema.fields.exists(_.metadata.contains("identity.start")),
         s"partition-spec evolution is not supported on identity tables ($root)")
-      require(!hasDv(base.dataDir),
-        s"$root carries a deletion-vector sidecar; OPTIMIZE (full rewrite) " +
-          "before evolving the partition spec")
       require(readRenames(base.dataDir).isEmpty,
         s"$root carries a RENAME COLUMN mapping; OPTIMIZE (full rewrite) " +
           "before evolving the partition spec")
@@ -1857,7 +1859,12 @@ object SnapshotStore {
     * directory layout. Catalyst pushes deterministic predicates through
     * the Union into every branch: partition filters prune directories
     * per-spec, data filters reach the parquet row groups — the Iceberg
-    * split-planning shape, from plain DataFrame algebra. DV and rename
+    * split-planning shape, from plain DataFrame algebra. A `_dv` deletion
+    * vector (carried through the evolve — table state, like any
+    * metadata-only link) applies as the same codegen'd [[GraftDvFilter]]
+    * predicate on EVERY era branch: DV keys are snapshot-dir-relative, so
+    * one broadcast map serves all branches, and a position recorded
+    * against a pre-evolve file still names the same physical row. Rename
     * sidecars are refused while a table spans specs (see
     * [[alterPartitionSpec]]), so each branch is a plain pinned-schema scan.
     */
@@ -1876,7 +1883,15 @@ object SnapshotStore {
         else None // spec declared, nothing appended under it yet
       }
     }
-    scans.reduce(_.unionByName(_))
+    val filtered =
+      if (!hasDv(dir)) scans
+      else dvKeepBroadcast(spark, dir, scans.reduce(_.unionByName(_))) match {
+        case None => scans
+        case Some(bc) => scans.map(_.where(
+          org.apache.spark.sql.GraftDvFilter.keepColumn(
+            col("_metadata.row_index"), bc)))
+      }
+    filtered.reduce(_.unionByName(_))
       .select(schema.fieldNames.toIndexedSeq.map(col): _*)
   }
 
@@ -1914,17 +1929,24 @@ object SnapshotStore {
         evict
       }
     })
-  private def readDirDv(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
-    val dr = rawReadDir(spark, dir)
-    val base = dr.raw
+  /** The cached broadcast `full file path → sorted deleted positions`
+    * map for DV-bearing snapshot dir `dir`, keyed bit-exactly with what
+    * InputFileBlockHolder serves at scan time — the prefix is sampled
+    * from input_file_name() over `sampleFrom` (the holder's own
+    * rendering) rather than reconstructed from Hadoop's URI form. None
+    * when the dir has no data files (nothing to filter). Shared by the
+    * single-spec ([[readDirDv]]) and per-era ([[readDirEvolved]]) reads:
+    * DV `file` keys are snapshot-dir-relative, so ONE map serves every
+    * era branch.
+    */
+  private def dvKeepBroadcast(spark: SparkSession, dir: String,
+      sampleFrom: DataFrame):
+      Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]] = {
+    import org.apache.spark.sql.functions.input_file_name
     var bc = dvBroadcastCache.get(dir)
     if (bc == null) {
-      // map keys must be bit-exact with what InputFileBlockHolder serves at
-      // scan time — sample the prefix from input_file_name() (the holder's
-      // own rendering) rather than reconstructing Hadoop's URI form
-      val sample = base.select(input_file_name()).take(1)
-      if (sample.isEmpty) return dr.project() // no data files: nothing to filter
+      val sample = sampleFrom.select(input_file_name()).take(1)
+      if (sample.isEmpty) return None // no data files: nothing to filter
       val uuid = Paths.get(dir).getFileName.toString
       val p = sample.head.getString(0)
       val at = p.indexOf(uuid + "/")
@@ -1947,10 +1969,21 @@ object SnapshotStore {
         bc = prev
       }
     }
-    // DV filter binds on the RAW scan (it needs `_metadata`); the rename
-    // projection (a no-op without renames) goes on top
-    dr.copy(raw = base.where(org.apache.spark.sql.GraftDvFilter.keepColumn(
-      col("_metadata.row_index"), bc))).project()
+    Some(bc)
+  }
+
+  private def readDirDv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dr = rawReadDir(spark, dir)
+    dvKeepBroadcast(spark, dir, dr.raw) match {
+      case None => dr.project() // no data files: nothing to filter
+      case Some(bc) =>
+        // DV filter binds on the RAW scan (it needs `_metadata`); the
+        // rename projection (a no-op without renames) goes on top
+        dr.copy(raw = dr.raw.where(
+          org.apache.spark.sql.GraftDvFilter.keepColumn(
+            col("_metadata.row_index"), bc))).project()
+    }
   }
 
   private def plainReadDir(spark: SparkSession, dir: String): DataFrame = {
@@ -2104,6 +2137,39 @@ object SnapshotStore {
         expr(s"substring_index(_metadata.file_path, '$uuid/', -1)"))
       .withColumn(DvPosCol, col("_metadata.row_index")))
       .project(extraCols = Seq(DvFileCol, DvPosCol))
+    if (!hasDv(dir)) base
+    else {
+      val dv = spark.read.parquet(dvDir(dir).toString)
+      base.join(broadcast(dv),
+        base(DvFileCol) === dv("file") && base(DvPosCol) === dv("pos"),
+        "left_anti")
+    }
+  }
+
+  /** [[readDirLineage]] for a snapshot dir that SPANS partition specs:
+    * one lineage-bearing scan per era (each era's partition columns
+    * materialize from its own layout via basePath), unioned, with the
+    * shared `_dv` deletion vector anti-joined away. Rename sidecars
+    * cannot coexist with a spanning snapshot, so no rename projection.
+    */
+  private def readDirLineageEvolved(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, expr}
+    val f = Paths.get(dir, "_schema.json")
+    require(Files.exists(f), s"evolved snapshot dir $dir lacks _schema.json")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(Files.readString(f))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val uuid = Paths.get(dir).getFileName.toString
+    val scans = readSpecs(dir).flatMap { case (sub, _) =>
+      val p = if (sub == ".") dir else s"$dir/$sub"
+      if (sub != "." && !Files.isDirectory(Paths.get(p))) None
+      else Some(spark.read.schema(schema).option("basePath", p).parquet(p)
+        .withColumn(DvFileCol,
+          expr(s"substring_index(_metadata.file_path, '$uuid/', -1)"))
+        .withColumn(DvPosCol, col("_metadata.row_index")))
+    }
+    val base = scans.reduce(_.unionByName(_))
+      .select((schema.fieldNames.toIndexedSeq ++
+        Seq(DvFileCol, DvPosCol)).map(col): _*)
     if (!hasDv(dir)) base
     else {
       val dv = spark.read.parquet(dvDir(dir).toString)
@@ -2747,23 +2813,33 @@ object SnapshotStore {
     *
     * Granularity is the FILE (not the partition): a flat-era file and a
     * partitioned-era directory both rewrite exactly when they hold a
-    * matched row. DV and rename sidecars cannot coexist with a spanning
-    * snapshot ([[alterPartitionSpec]] refuses both), and spanning
-    * snapshots carry no stats manifest, so the staging has no sidecar
-    * merge to do beyond specs + identity state. Returns None on a lost
-    * CAS (caller retries against the new head).
+    * matched row. A `_dv` deletion vector (carried through the evolve)
+    * anti-joins out of both the match scan and the touched-file re-read —
+    * a DV-deleted row can neither match nor resurrect into the rewrite —
+    * and carries forward pruned to the UNTOUCHED files (rewritten files'
+    * live rows migrated; their DV entries would dangle). Rename sidecars
+    * cannot coexist with a spanning snapshot ([[alterPartitionSpec]]
+    * refuses them), and spanning snapshots carry no stats manifest.
+    * Returns None on a lost CAS (caller retries against the new head).
     */
   private def stagePartialEvolved(spark: SparkSession, root: String,
       base: Snapshot, txns: Seq[Txn],
       constraints: Seq[(String, org.apache.spark.sql.Column)],
       matchedRows: DataFrame => DataFrame,
       transform: DataFrame => (DataFrame, DataFrame)): Option[Snapshot] = {
-    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.functions.{broadcast, col, expr}
     val specs = readSpecs(base.dataDir)
     val schema = readSchema(spark, base)
     val uuid = Paths.get(base.dataDir).getFileName.toString
     def eraBase(sub: String): String =
       if (sub == ".") base.dataDir else s"${base.dataDir}/$sub"
+    val dv = if (hasDv(base.dataDir))
+      Some(spark.read.parquet(dvDir(base.dataDir).toString)) else None
+    def dropDeleted(df: DataFrame): DataFrame = dv match {
+      case None => df
+      case Some(d) => df.join(broadcast(d),
+        df(DvFileCol) === d("file") && df(DvPosCol) === d("pos"), "left_anti")
+    }
     // one lineage-bearing scan per era: the top level never descends into
     // `_spec` subtrees (underscore prefix), each later era scans with
     // basePath at its subtree so ITS partition columns materialize
@@ -2775,9 +2851,9 @@ object SnapshotStore {
           expr(s"substring_index(_metadata.file_path, '$uuid/', -1)"))
         .withColumn(DvPosCol, col("_metadata.row_index")))
     }
-    val baseL = eraScans.reduce(_.unionByName(_))
+    val baseL = dropDeleted(eraScans.reduce(_.unionByName(_))
       .select((schema.fieldNames.toIndexedSeq ++
-        Seq(DvFileCol, DvPosCol)).map(col): _*)
+        Seq(DvFileCol, DvPosCol)).map(col): _*))
     val matched = matchedRows(baseL)
     // bounded collect: one row per TOUCHED FILE (never per data row) —
     // in the URI-encoded relative form `_metadata.file_path` carries,
@@ -2791,15 +2867,20 @@ object SnapshotStore {
       specs.map(_._1).filter(s => s != "." && enc.startsWith(s + "/"))
         .lastOption.getOrElse(".")
     // the rewrite scan lists EXACTLY the touched files, per era (partition
-    // values still materialize from each era's own dirs via basePath)
+    // values still materialize from each era's own dirs via basePath);
+    // DV-deleted rows in those files anti-join away — a rewrite that
+    // copied them would resurrect them (the new files carry no DV entries)
     val eraReads = touchedEnc.groupBy(eraOf).toSeq.map { case (sub, encs) =>
       spark.read.schema(schema).option("basePath", eraBase(sub))
         .parquet(encs.toSeq.sorted.map(e => s"${base.dataDir}/${decode(e)}"): _*)
+        .withColumn(DvFileCol,
+          expr(s"substring_index(_metadata.file_path, '$uuid/', -1)"))
+        .withColumn(DvPosCol, col("_metadata.row_index"))
     }
     val rowsTouched =
       if (eraReads.isEmpty) spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-      else eraReads.reduce(_.unionByName(_))
+      else dropDeleted(eraReads.reduce(_.unionByName(_)))
         .select(schema.fieldNames.toIndexedSeq.map(col): _*)
     val (out, changes) = transform(rowsTouched)
     enforceConstraints(out, constraints ++
@@ -2835,6 +2916,16 @@ object SnapshotStore {
     Files.writeString(dir.resolve("_schema.json"), schema.json)
     carrySpecs(base.dataDir, dir.toString)
     carryStateSidecars(base.dataDir, dir.toString)
+    // deletion-vector carry: linked (untouched) files keep their deleted
+    // positions; entries for REWRITTEN files drop — their live rows just
+    // migrated to fresh files, so a kept entry would dangle (harmless at
+    // read, but accumulating forever)
+    dv.foreach { d =>
+      val kept = d.filter(!col("file").isin(touchedEnc.toSeq: _*))
+      if (!kept.isEmpty)
+        kept.coalesce(1).write.mode("overwrite")
+          .parquet(dvDir(dir.toString).toString)
+    }
     // no manifest carry: spanning snapshots hold none (alterPartitionSpec
     // drops it); the migrating OPTIMIZE rebuilds stats
     if (cdcKeys(root).nonEmpty) {
@@ -2882,26 +2973,34 @@ object SnapshotStore {
     while (attempt < maxAttempts) {
       val base = latest(root) // pin BEFORE the guard — see stampGuard
       if (stampGuard(root, txn.toSeq, () => true)) return base
-      require(!isEvolved(base.dataDir),
-        s"merge-on-read DML on $root while a partition-spec evolution is " +
-          "pending: deletion vectors key files by one layout — OPTIMIZE " +
-          "(full rewrite) to migrate first")
-      val m = matched(readDirLineage(spark, base.dataDir))
+      val evolved = isEvolved(base.dataDir)
+      // a spanning snapshot reads per era (the shared `_dv` applies to
+      // every branch — DV keys are snapshot-dir-relative, unique across
+      // eras); replacement rows land under the CURRENT spec's subtree so
+      // the MoR commit migrates touched data the same direction the
+      // eventual OPTIMIZE takes the rest
+      val m = matched(
+        if (evolved) readDirLineageEvolved(spark, base.dataDir)
+        else readDirLineage(spark, base.dataDir))
       require(m.columns.contains(DvFileCol) && m.columns.contains(DvPosCol),
         "transactMoR: matched() must preserve the lineage columns " +
           s"($DvFileCol, $DvPosCol) — use filters/semi-joins, not projections")
       val (out, changes) = replace(m.drop(DvFileCol, DvPosCol))
       enforceConstraints(out, constraints ++
         tableConstraints(root).map { case (n, sql) => (n, expr(sql)) })
-      val parts = partitionCols(root)
       val dir = Paths.get(root, "data", UUID.randomUUID().toString)
       Files.createDirectories(dir)
       // replacement rows first (fresh uuid-named files — no collision with
       // the links), then the metadata-only link of every base data file
       if (!out.isEmpty) {
-        if (parts.nonEmpty)
-          out.write.mode("append").partitionBy(parts: _*).parquet(dir.toString)
-        else out.write.mode("append").parquet(dir.toString)
+        val (tgt, cols) =
+          if (evolved) {
+            val (sub, c) = readSpecs(base.dataDir).last
+            (if (sub == ".") dir.toString else s"$dir/$sub", c)
+          } else (dir.toString, partitionCols(root))
+        if (cols.nonEmpty)
+          out.write.mode("append").partitionBy(cols: _*).parquet(tgt)
+        else out.write.mode("append").parquet(tgt)
       }
       val basePath = Paths.get(base.dataDir).toAbsolutePath.normalize()
       linkParquetTree(basePath, dir, withDv = false)
@@ -2910,6 +3009,7 @@ object SnapshotStore {
       // re-inferred from directory names (same rule as stage())
       Files.writeString(dir.resolve("_schema.json"),
         readSchema(spark, base).json)
+      carrySpecs(base.dataDir, dir.toString)
       carryStateSidecars(base.dataDir, dir.toString)
       carryRenames(base.dataDir, dir.toString)
       val newDv = m.select(col(DvFileCol).cast("string").as("file"),

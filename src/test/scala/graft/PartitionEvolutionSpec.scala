@@ -431,7 +431,7 @@ class PartitionEvolutionSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, root).count() == 3L)
   }
 
-  test("evolution refuses identity tables and DV-bearing snapshots") {
+  test("evolution refuses identity tables") {
     val wh = tmp("graft_pe_ref_wh")
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)
@@ -442,15 +442,56 @@ class PartitionEvolutionSpec extends SparkSpec {
       SnapshotStore.alterPartitionSpec(spark, s"$wh/peid", Seq("k"))
     }
     assert(e1.getMessage.contains("identity"), e1.getMessage)
+  }
 
-    val root = tmp("graft_pe_dv")
+  test("deletion vectors ride a spec evolution: read/DML/OPTIMIZE, no pre-OPTIMIZE") {
+    val wh = tmp("graft_pe_dv_wh")
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    GraftExtensions.install(spark)
+    val root = s"$wh/pedv"
+    val t = Map("t" -> root)
     SnapshotStore.init(spark, root,
-      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "v"))
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L), (4L, "b", 40L))
+        .toDF("id", "k", "v"))
     SnapshotStore.setDmlMode(root, SnapshotStore.MergeOnRead)
-    SqlDml.execute(spark, "DELETE FROM t WHERE id = 2", Map("t" -> root))
-    val e2 = intercept[IllegalArgumentException] {
-      SnapshotStore.alterPartitionSpec(spark, root, Seq("k"))
-    }
-    assert(e2.getMessage.contains("deletion-vector"), e2.getMessage)
+    SqlDml.execute(spark, "DELETE FROM t WHERE id = 2", t) // DV sidecar
+    // evolve WITHOUT the formerly-required pre-OPTIMIZE: the DV (table
+    // state, file-relative keys) rides the metadata-only link
+    SnapshotStore.alterPartitionSpec(spark, root, Seq("k"))
+    def rows() = SnapshotStore.read(spark, root).select($"id", $"k", $"v")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows() == Set((1L, "a", 10L), (3L, "a", 30L), (4L, "b", 40L)),
+      "the per-era read must keep honoring the deletion vector")
+    // append lands under the new spec; the DV still filters old-era files
+    SnapshotStore.append(spark, root, Seq((5L, "b", 50L)).toDF("id", "k", "v"))
+    assert(rows() == Set((1L, "a", 10L), (3L, "a", 30L), (4L, "b", 40L),
+      (5L, "b", 50L)))
+    // MoR DML on the SPANNING snapshot: replacement rows land under the
+    // current spec, new DV entries key the old-era file they invalidate
+    SqlDml.execute(spark, "UPDATE t SET v = v + 1 WHERE id = 3", t)
+    SqlDml.execute(spark, "DELETE FROM t WHERE id = 4", t)
+    assert(rows() == Set((1L, "a", 10L), (3L, "a", 31L), (5L, "b", 50L)))
+    // SQL reads route through DvReadRewrite: a pushed predicate must
+    // reach EVERY era branch beneath its own DV filter
+    assert(spark.sql("SELECT id, v FROM graft.pedv WHERE k = 'a'").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (3L, 31L)))
+    // scoped copy-on-write DML on the spanning+DV snapshot: the rewrite
+    // must not resurrect DV-deleted rows out of the touched files
+    SnapshotStore.setDmlMode(root, SnapshotStore.CopyOnWrite)
+    SqlDml.execute(spark, "UPDATE t SET v = v + 100 WHERE k = 'a'", t)
+    assert(rows() == Set((1L, "a", 110L), (3L, "a", 131L), (5L, "b", 50L)))
+    // the migrating OPTIMIZE materializes the vector away and heals the span
+    SnapshotStore.optimize(spark, root, 1000000L)
+    val head = SnapshotStore.latest(root)
+    assert(!SnapshotStore.isEvolved(head.dataDir))
+    assert(!SnapshotStore.hasDv(head.dataDir),
+      "a full rewrite must materialize the deletion vector away")
+    assert(rows() == Set((1L, "a", 110L), (3L, "a", 131L), (5L, "b", 50L)))
+    // time travel to a spanning+DV version still serves DV-applied rows
+    assert(SnapshotStore.read(spark, SnapshotStore.at(root, 3L))
+      .count() == 4L)
   }
 }

@@ -483,6 +483,58 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.lastTxnVersion(root, "appA").contains(5L))
   }
 
+  test("partition-scoped OPTIMIZE interleaving partial DML: loser rebases, neither effect lost") {
+    val root = tmpRoot()
+    SnapshotStore.init(spark, root,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "p", "v"),
+      partitionBy = Seq("p"))
+    // fragment both partitions across several append commits
+    for (i <- 3L to 8L)
+      SnapshotStore.append(spark, root,
+        Seq((i, if (i % 2 == 0) "b" else "a", i * 10L)).toDF("id", "p", "v"))
+    val base = SnapshotStore.latest(root)
+    // deterministic interleave via the DML's own matchedRows callback
+    // (fires per attempt, after the base pin, before staging — the same
+    // shape as the mid-append evolve race): the injected partition-scoped
+    // OPTIMIZE commits FIRST, so the DML stages from a stale base, MUST
+    // lose the CAS, and rebase-retries onto the compacted snapshot
+    var injected = false
+    SnapshotStore.transactPartialWithChanges(spark, root)(b => {
+      if (!injected) {
+        injected = true
+        SnapshotStore.optimize(spark, root, 1000000L,
+          partitionPredicate = Some("p = 'b'"))
+      }
+      b.filter($"p" === "a" && $"id" === 1L)
+    })(touched =>
+      (touched.withColumn("v",
+        when($"id" === 1L, $"v" + 1000L).otherwise($"v")),
+        touched.limit(0).withColumn(SnapshotStore.ChangeTypeCol,
+          lit("insert"))))
+    assert(injected, "the competing OPTIMIZE must have fired")
+    val head = SnapshotStore.latest(root)
+    assert(head.version == base.version + 2,
+      "compaction commit + the DML's rebased retry")
+    // neither effect lost: the update landed on the rebased snapshot…
+    val got = SnapshotStore.read(spark, root).select($"id", $"p", $"v")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got.contains((1L, "a", 1010L)), s"update lost in the rebase: $got")
+    assert(got.size == 8 && got.filter(_._2 == "b") ==
+      Set((2L, "b", 20L), (4L, "b", 40L), (6L, "b", 60L), (8L, "b", 80L)),
+      s"rows lost or duplicated across the interleave: $got")
+    // …and the compaction survived the DML's hard-link carry (the retry
+    // touched only p=a, so p=b keeps the optimized single file)
+    val bFiles = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(
+        java.nio.file.Paths.get(head.dataDir, "p=b"))
+      try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    assert(bFiles == 1,
+      s"the rebase must not lose the compaction (p=b has $bFiles files)")
+  }
+
   test("rebase-retry after a lost commit race preserves every stamp") {
     val root = tmpRoot()
     SnapshotStore.init(spark, root, spark.range(10).selectExpr("id", "id AS v"))
