@@ -1925,7 +1925,11 @@ object Temporal {
     // high-water mark carried through an intervening DELETE commit so the
     // next insert continues at N+1 instead of re-issuing — is enforced
     // with in-build require()s; GENERATED ALWAYS rejecting an explicit id
-    // is asserted in-build too. The oracle replays the content algebra.
+    // is asserted in-build too. The table then EVOLVES its partition spec
+    // mid-life (flat era → by seg): allocation must stay unique and dense
+    // while the snapshot spans layouts AND after the migrating OPTIMIZE
+    // heals it — the Iceberg-shaped composition a long-lived surrogate-key
+    // table eventually hits. The oracle replays the content algebra.
     "q102_identity" -> QueryDef(
       build = (s, d) => {
         val wh = graft.GateTmp.freshDir("q102")
@@ -1936,30 +1940,46 @@ object Temporal {
         s.sql(
           """CREATE TABLE graft.q102t (
             |  rid BIGINT GENERATED ALWAYS AS IDENTITY,
-            |  ck BIGINT, name STRING)""".stripMargin)
+            |  ck BIGINT, name STRING, seg STRING)""".stripMargin)
         Tables.customer(s, d).filter($("c_custkey") <= 500)
-          .select($("c_custkey").as("ck"), $("c_name").as("name"))
+          .select($("c_custkey").as("ck"), $("c_name").as("name"),
+            ($("c_custkey") % 4).cast("string").as("seg"))
           .createOrReplaceTempView("q102_src")
-        s.sql("INSERT INTO graft.q102t (ck, name) SELECT ck, name FROM q102_src")
+        s.sql("INSERT INTO graft.q102t (ck, name, seg) " +
+          "SELECT ck, name, seg FROM q102_src")
         val n = s.sql("SELECT count(*) FROM q102_src").head().getLong(0)
         s.sql("DELETE FROM graft.q102t WHERE ck % 7 = 0")
         val m = s.sql("SELECT count(*) FROM q102_src WHERE ck <= 10")
           .head().getLong(0)
-        s.sql("INSERT INTO graft.q102t (ck, name) " +
-          "SELECT ck + 1000000, name FROM q102_src WHERE ck <= 10")
+        // evolve the layout mid-life: later inserts land under seg=… dirs
+        // while the flat-era files ride untouched; ids keep allocating
+        graft.sources.SnapshotStore.alterPartitionSpec(
+          s, s"$wh/q102t", Seq("seg"))
+        s.sql("INSERT INTO graft.q102t (ck, name, seg) " +
+          "SELECT ck + 1000000, name, seg FROM q102_src WHERE ck <= 10")
+        require(graft.sources.SnapshotStore.isEvolved(
+          graft.sources.SnapshotStore.latest(s"$wh/q102t").dataDir),
+          "the spanning insert must not heal the span")
+        // migrate, then keep allocating past the heal
+        graft.sources.SnapshotStore.optimize(s, s"$wh/q102t", 1000000L)
+        val k = s.sql("SELECT count(*) FROM q102_src WHERE ck <= 5")
+          .head().getLong(0)
+        s.sql("INSERT INTO graft.q102t (ck, name, seg) " +
+          "SELECT ck + 2000000, name, seg FROM q102_src WHERE ck <= 5")
         val st = s.sql(
           """SELECT count(*), count(DISTINCT rid), min(rid), max(rid)
             |FROM graft.q102t""".stripMargin).head()
         require(st.getLong(0) == st.getLong(1),
           s"identity ids must be unique (${st.getLong(0)} rows, ${st.getLong(1)} ids)")
-        require(st.getLong(2) >= 1L && st.getLong(3) == n + m,
-          s"allocation must continue at N+1 through the DELETE commit " +
-            s"(min ${st.getLong(2)}, max ${st.getLong(3)}, n $n, m $m)")
-        val refused = try { s.sql("INSERT INTO graft.q102t VALUES (1, 2, 'x')"); false }
+        require(st.getLong(2) >= 1L && st.getLong(3) == n + m + k,
+          s"allocation must continue densely through DELETE, evolution and " +
+            s"OPTIMIZE (min ${st.getLong(2)}, max ${st.getLong(3)}, " +
+            s"n $n, m $m, k $k)")
+        val refused = try { s.sql("INSERT INTO graft.q102t VALUES (1, 2, 'x', '0')"); false }
         catch { case _: Exception => true }
         require(refused, "GENERATED ALWAYS must refuse an explicit id")
         s.sql(
-          s"""SELECT ck, name, rid BETWEEN 1 AND ${n + m} AS ok
+          s"""SELECT ck, name, rid BETWEEN 1 AND ${n + m + k} AS ok
              |FROM graft.q102t ORDER BY ck""".stripMargin)
       },
       oracle = Some(
@@ -1969,7 +1989,9 @@ object Temporal {
           |SELECT ck, name, TRUE AS ok FROM (
           |  SELECT * FROM src WHERE ck % 7 <> 0
           |  UNION ALL
-          |  SELECT ck + 1000000, name FROM src WHERE ck <= 10)
+          |  SELECT ck + 1000000, name FROM src WHERE ck <= 10
+          |  UNION ALL
+          |  SELECT ck + 2000000, name FROM src WHERE ck <= 5)
           |ORDER BY ck""".stripMargin)),
 
     // Q103 [extension: STORED generated columns] `GENERATED ALWAYS AS

@@ -358,7 +358,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"partition columns $partCols must be table columns")
     // identity columns: validated here, assigned by appendWithIdentity on
     // the insert path (v1 scope: one identity column, integral type,
-    // unpartitioned non-CDC table — the common warehouse shape)
+    // non-CDC table; any hive layout or spec evolution)
     val idFields = schema.fields.filter(_.metadata.contains("identity.start"))
     if (idFields.nonEmpty) {
       require(idFields.length == 1,
@@ -366,8 +366,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(idFields.head.dataType == org.apache.spark.sql.types.LongType ||
         idFields.head.dataType == org.apache.spark.sql.types.IntegerType,
         s"identity column ${idFields.head.name} must be integral")
-      require(partitions.isEmpty && !properties.containsKey(CdcKeysProp),
-        "identity columns are supported on unpartitioned non-CDC tables")
+      require(!properties.containsKey(CdcKeysProp),
+        "identity columns are supported on non-CDC tables")
+      require(!partitions.exists(_.references().exists(
+          _.fieldNames().headOption.exists(
+            _.equalsIgnoreCase(idFields.head.name)))),
+        s"cannot partition by identity column ${idFields.head.name}: every " +
+          "row gets a unique value (one directory per row)")
     }
     // generated columns: expression must resolve against the NON-generated
     // columns only (chained generation — one generated column referencing

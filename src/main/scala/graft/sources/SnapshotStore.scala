@@ -211,12 +211,13 @@ object SnapshotStore {
     * `(file, pos)` keys are snapshot-dir-relative and the link preserves
     * every relative path, so per-era reads ([[readDirEvolved]]), scoped
     * DML ([[stagePartialEvolved]]) and MoR DML ([[transactMoR]]) all keep
-    * honoring it until a full rewrite materializes it away. Refused where
-    * a second layout would corrupt an existing contract: identity tables
-    * (their appends require the unpartitioned staging), snapshots
-    * carrying rename mappings (data files under pre-rename physical
-    * names need the rename projection the per-era scan lacks — OPTIMIZE
-    * first), and specs referencing columns the table lacks.
+    * honoring it until a full rewrite materializes it away. A RENAME
+    * COLUMN mapping rides the same way: the per-era scans apply the
+    * [[DirRead]] coalesce projection, so files carrying pre-rename
+    * physical names in any era resolve to the logical name. Refused
+    * where a second layout would corrupt an existing contract: identity
+    * tables (their appends require the unpartitioned staging) and specs
+    * referencing columns the table lacks.
     */
   def alterPartitionSpec(spark: SparkSession, root: String,
       newCols: Seq[String], maxAttempts: Int = 10): Snapshot = {
@@ -228,11 +229,10 @@ object SnapshotStore {
         schema.fields.exists(_.name.equalsIgnoreCase(c)))
       require(missing.isEmpty,
         s"partition spec references missing column(s): ${missing.mkString(", ")}")
-      require(!schema.fields.exists(_.metadata.contains("identity.start")),
-        s"partition-spec evolution is not supported on identity tables ($root)")
-      require(readRenames(base.dataDir).isEmpty,
-        s"$root carries a RENAME COLUMN mapping; OPTIMIZE (full rewrite) " +
-          "before evolving the partition spec")
+      require(!newCols.exists(c => schema.fields.exists(f =>
+        f.name.equalsIgnoreCase(c) && f.metadata.contains("identity.start"))),
+        s"cannot partition $root by its identity column: every row gets a " +
+          "unique value, so the layout degenerates to one directory per row")
       val current = readSpecs(base.dataDir) match {
         case Nil => Seq(("." , partitionCols(root)))
         case s => s
@@ -247,6 +247,7 @@ object SnapshotStore {
       Files.writeString(dir.resolve("_schema.json"), schema.json)
       writeSpecs(dir.toString, specs)
       carryStateSidecars(base.dataDir, dir.toString)
+      carryRenames(base.dataDir, dir.toString)
       // the stats manifest is deliberately NOT carried: a manifest is a
       // COMPLETE file list (absent file = pruned away), and files appended
       // under later specs would be absent — skipping resumes when the
@@ -803,10 +804,9 @@ object SnapshotStore {
     // written under the names current at ITS commit, and [[changes]]
     // resolves old frames' physical names through the same chain reads
     // use — the feed never forks. Renamed CDC KEY columns remap the _cdc
-    // config after the commit wins (see alterSchema).
-    require(!isEvolved(latest(root).dataDir),
-      s"RENAME COLUMN on $root while a partition-spec evolution is " +
-        "pending; OPTIMIZE (full rewrite) to migrate first")
+    // config after the commit wins (see alterSchema). Spanning tables are
+    // fine too: the per-era reads apply the same coalesce projection, and
+    // the spec-column guard below keeps every era's layout columns named.
     val parts = (partitionCols(root) ++
       readSpecs(latest(root).dataDir).flatMap(_._2)).map(_.toLowerCase).toSet
     // SQL-text references a rename would dangle: CHECK constraints,
@@ -1106,8 +1106,8 @@ object SnapshotStore {
       onReplay: () => Unit = () => ()): Snapshot = {
     import org.apache.spark.sql.functions._
     require(step != 0, s"identity step of $root.$idCol must be non-zero")
-    require(partitionCols(root).isEmpty && cdcKeys(root).isEmpty,
-      s"identity columns are supported on unpartitioned non-CDC tables ($root)")
+    require(cdcKeys(root).isEmpty,
+      s"identity columns are supported on non-CDC tables ($root)")
     var newNext = 0L
     val cached = scala.collection.mutable.ListBuffer[DataFrame]()
     try {
@@ -1171,9 +1171,39 @@ object SnapshotStore {
         transact(spark, root, maxAttempts, txn = txn, stagedHook = hook,
           extraTxns = extraTxns, pinCheck = pinCheck,
           onReplay = onReplay)(assignInto)
-      else
-        transactAppendFiles(spark, root, maxAttempts, txn, hook,
-          extraTxns, pinCheck, onReplay)(assignInto)
+      else {
+        // layout routing, same shape as [[append]]: spanning snapshots
+        // stage the batch under the current spec, partitioned tables take
+        // the link-everything-write-only-the-batch partial staging, flat
+        // tables the linked append — assignment itself is layout-agnostic
+        // and the high-water sidecar rides the staged hook on all three.
+        // An evolve landing mid-append re-routes, like append().
+        def route(): Snapshot =
+          if (spansSpecs(root))
+            transactAppendEvolved(spark, root, maxAttempts, txn,
+              extraTxns, pinCheck, onReplay, hook)(assignInto)
+          else if (partitionCols(root).nonEmpty)
+            transactPartialWithChanges(spark, root, maxAttempts, txn = txn,
+              extraTxns = extraTxns, pinCheck = pinCheck,
+              onReplay = onReplay, stagedHook = hook)(
+              _.limit(0))( // an append touches no existing partition's rows
+              touched => {
+                val a = assignInto(touched)
+                (a, a.withColumn(ChangeTypeCol, lit("insert")))
+              })
+          else transactAppendFiles(spark, root, maxAttempts, txn, hook,
+            extraTxns, pinCheck, onReplay)(assignInto)
+        var reroutes = 0
+        while (true) {
+          try return route()
+          catch {
+            case e: LayoutChangedException =>
+              reroutes += 1
+              if (reroutes > 3) throw e // a flapping layout is not a race
+          }
+        }
+        sys.error("unreachable")
+      }
     } finally cached.foreach(_.unpersist())
   }
 
@@ -1271,7 +1301,8 @@ object SnapshotStore {
   private def transactAppendEvolved(spark: SparkSession, root: String,
       maxAttempts: Int, txn: Option[Txn], extraTxns: Seq[Txn] = Nil,
       pinCheck: () => Boolean = () => true,
-      onReplay: () => Unit = () => ())(
+      onReplay: () => Unit = () => (),
+      stagedHook: String => Unit = _ => ())(
       newRows: DataFrame => DataFrame): Snapshot = {
     import org.apache.spark.sql.functions.{expr, lit}
     val txns = txn.toSeq ++ extraTxns
@@ -1297,8 +1328,10 @@ object SnapshotStore {
       linkParquetTree(Paths.get(base.dataDir), dir)
       Files.writeString(dir.resolve("_schema.json"),
         readSchema(spark, base).json)
+      stagedHook(dir.toString) // e.g. the identity high-water mark
       carrySpecs(base.dataDir, dir.toString)
       carryStateSidecars(base.dataDir, dir.toString)
+      carryRenames(base.dataDir, dir.toString)
       if (cdcKeys(root).nonEmpty)
         rows.withColumn(ChangeTypeCol, lit("insert"))
           .write.mode("overwrite").parquet(s"$dir/_changes")
@@ -1864,9 +1897,11 @@ object SnapshotStore {
     * metadata-only link) applies as the same codegen'd [[GraftDvFilter]]
     * predicate on EVERY era branch: DV keys are snapshot-dir-relative, so
     * one broadcast map serves all branches, and a position recorded
-    * against a pre-evolve file still names the same physical row. Rename
-    * sidecars are refused while a table spans specs (see
-    * [[alterPartitionSpec]]), so each branch is a plain pinned-schema scan.
+    * against a pre-evolve file still names the same physical row. A
+    * RENAME COLUMN mapping applies as the [[DirRead]] coalesce projection
+    * on every branch (above the DV filter — the projection ends the
+    * `_metadata`-bearing scan relation), so files written under
+    * pre-rename physical names in ANY era resolve to the logical name.
     */
   private def readDirEvolved(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -1874,12 +1909,14 @@ object SnapshotStore {
     require(Files.exists(f), s"evolved snapshot dir $dir lacks _schema.json")
     val schema = org.apache.spark.sql.types.DataType.fromJson(Files.readString(f))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val renames = readRenames(dir)
+    val ext = renameExtSchema(schema, renames)
     val scans = readSpecs(dir).flatMap { case (sub, _) =>
-      if (sub == ".") Some(spark.read.schema(schema).parquet(dir))
+      if (sub == ".") Some(spark.read.schema(ext).parquet(dir))
       else {
         val p = s"$dir/$sub"
         if (Files.isDirectory(Paths.get(p)))
-          Some(spark.read.schema(schema).option("basePath", p).parquet(p))
+          Some(spark.read.schema(ext).option("basePath", p).parquet(p))
         else None // spec declared, nothing appended under it yet
       }
     }
@@ -1891,7 +1928,8 @@ object SnapshotStore {
           org.apache.spark.sql.GraftDvFilter.keepColumn(
             col("_metadata.row_index"), bc)))
       }
-    filtered.reduce(_.unionByName(_))
+    filtered.map(b => DirRead(b, schema, renames).project())
+      .reduce(_.unionByName(_))
       .select(schema.fieldNames.toIndexedSeq.map(col): _*)
   }
 
@@ -2025,22 +2063,25 @@ object SnapshotStore {
     val schema = org.apache.spark.sql.types.DataType.fromJson(Files.readString(f))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val renames = readRenames(dir)
-    if (renames.isEmpty)
-      DirRead(spark.read.schema(schema).parquet(dir), schema, renames)
-    else {
-      // extend the read schema with each chain's PHYSICAL names (same
-      // type, nullable): files from before the rename bind their stored
-      // column, files from after bind the logical one
-      val extra = schema.fields.flatMap { fld =>
+    DirRead(spark.read.schema(renameExtSchema(schema, renames)).parquet(dir),
+      schema, renames)
+  }
+
+  /** The read schema extended with each rename chain's PHYSICAL names
+    * (same type, nullable): files from before the rename bind their
+    * stored column, files from after bind the logical one — the
+    * [[DirRead]] coalesce projection then picks whichever is non-null.
+    */
+  private def renameExtSchema(schema: org.apache.spark.sql.types.StructType,
+      renames: Map[String, Seq[String]]):
+      org.apache.spark.sql.types.StructType =
+    if (renames.isEmpty) schema
+    else org.apache.spark.sql.types.StructType(schema.fields ++
+      schema.fields.flatMap { fld =>
         renames.getOrElse(fld.name.toLowerCase, Nil).map(p =>
           org.apache.spark.sql.types.StructField(p, fld.dataType,
             nullable = true))
-      }
-      DirRead(spark.read.schema(
-        org.apache.spark.sql.types.StructType(schema.fields ++ extra))
-        .parquet(dir), schema, renames)
-    }
-  }
+      })
 
   /** `ALTER TABLE RENAME COLUMN` read mapping: logical (current) name →
     * the chain of PHYSICAL names files may still carry, newest first.
@@ -2148,9 +2189,8 @@ object SnapshotStore {
 
   /** [[readDirLineage]] for a snapshot dir that SPANS partition specs:
     * one lineage-bearing scan per era (each era's partition columns
-    * materialize from its own layout via basePath), unioned, with the
-    * shared `_dv` deletion vector anti-joined away. Rename sidecars
-    * cannot coexist with a spanning snapshot, so no rename projection.
+    * materialize from its own layout via basePath), rename-projected,
+    * unioned, with the shared `_dv` deletion vector anti-joined away.
     */
   private def readDirLineageEvolved(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, expr}
@@ -2158,16 +2198,19 @@ object SnapshotStore {
     require(Files.exists(f), s"evolved snapshot dir $dir lacks _schema.json")
     val schema = org.apache.spark.sql.types.DataType.fromJson(Files.readString(f))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val renames = readRenames(dir)
+    val ext = renameExtSchema(schema, renames)
     val uuid = Paths.get(dir).getFileName.toString
     val scans = readSpecs(dir).flatMap { case (sub, _) =>
       val p = if (sub == ".") dir else s"$dir/$sub"
       if (sub != "." && !Files.isDirectory(Paths.get(p))) None
-      else Some(spark.read.schema(schema).option("basePath", p).parquet(p)
+      else Some(spark.read.schema(ext).option("basePath", p).parquet(p)
         .withColumn(DvFileCol,
           expr(s"substring_index(_metadata.file_path, '$uuid/', -1)"))
         .withColumn(DvPosCol, col("_metadata.row_index")))
     }
-    val base = scans.reduce(_.unionByName(_))
+    val base = DirRead(scans.reduce(_.unionByName(_)), schema, renames)
+      .project(extraCols = Seq(DvFileCol, DvPosCol))
       .select((schema.fieldNames.toIndexedSeq ++
         Seq(DvFileCol, DvPosCol)).map(col): _*)
     if (!hasDv(dir)) base
@@ -2655,7 +2698,8 @@ object SnapshotStore {
       maxAttempts: Int = 10, txn: Option[Txn] = None,
       constraints: Seq[(String, org.apache.spark.sql.Column)] = Nil,
       extraTxns: Seq[Txn] = Nil, pinCheck: () => Boolean = () => true,
-      onReplay: () => Unit = () => (), evolvedScoped: Boolean = false)(
+      onReplay: () => Unit = () => (), evolvedScoped: Boolean = false,
+      stagedHook: String => Unit = _ => ())(
       matchedRows: DataFrame => DataFrame)(
       transform: DataFrame => (DataFrame, DataFrame)): Snapshot = {
     import org.apache.spark.sql.functions.{broadcast, col, expr}
@@ -2679,7 +2723,7 @@ object SnapshotStore {
               "scoped operations have no meaning across two layouts — " +
               "OPTIMIZE (full rewrite) to migrate to the current spec first")
         stagePartialEvolved(spark, root, base, txns, constraints,
-          matchedRows, transform) match {
+          matchedRows, transform, stagedHook) match {
           case Some(s) => return s
           case None => attempt += 1 // lost the race; retry against the head
         }
@@ -2738,6 +2782,7 @@ object SnapshotStore {
         finally w.close()
       }
       Files.writeString(dir.resolve("_schema.json"), baseDf.schema.json)
+      stagedHook(dir.toString) // e.g. the identity high-water mark
       carryStateSidecars(base.dataDir, dir.toString)
       carryRenames(base.dataDir, dir.toString)
       // file-skipping continuity on partitioned tables: untouched files'
@@ -2826,10 +2871,13 @@ object SnapshotStore {
       base: Snapshot, txns: Seq[Txn],
       constraints: Seq[(String, org.apache.spark.sql.Column)],
       matchedRows: DataFrame => DataFrame,
-      transform: DataFrame => (DataFrame, DataFrame)): Option[Snapshot] = {
+      transform: DataFrame => (DataFrame, DataFrame),
+      stagedHook: String => Unit = _ => ()): Option[Snapshot] = {
     import org.apache.spark.sql.functions.{broadcast, col, expr}
     val specs = readSpecs(base.dataDir)
     val schema = readSchema(spark, base)
+    val renames = readRenames(base.dataDir)
+    val ext = renameExtSchema(schema, renames)
     val uuid = Paths.get(base.dataDir).getFileName.toString
     def eraBase(sub: String): String =
       if (sub == ".") base.dataDir else s"${base.dataDir}/$sub"
@@ -2842,18 +2890,21 @@ object SnapshotStore {
     }
     // one lineage-bearing scan per era: the top level never descends into
     // `_spec` subtrees (underscore prefix), each later era scans with
-    // basePath at its subtree so ITS partition columns materialize
+    // basePath at its subtree so ITS partition columns materialize; the
+    // rename coalesce projects files' physical names onto logical ones
     val eraScans = specs.flatMap { case (sub, _) =>
       val p = eraBase(sub)
       if (sub != "." && !Files.isDirectory(Paths.get(p))) None
-      else Some(spark.read.schema(schema).option("basePath", p).parquet(p)
+      else Some(spark.read.schema(ext).option("basePath", p).parquet(p)
         .withColumn(DvFileCol,
           expr(s"substring_index(_metadata.file_path, '$uuid/', -1)"))
         .withColumn(DvPosCol, col("_metadata.row_index")))
     }
-    val baseL = dropDeleted(eraScans.reduce(_.unionByName(_))
-      .select((schema.fieldNames.toIndexedSeq ++
-        Seq(DvFileCol, DvPosCol)).map(col): _*))
+    val baseL = dropDeleted(
+      DirRead(eraScans.reduce(_.unionByName(_)), schema, renames)
+        .project(extraCols = Seq(DvFileCol, DvPosCol))
+        .select((schema.fieldNames.toIndexedSeq ++
+          Seq(DvFileCol, DvPosCol)).map(col): _*))
     val matched = matchedRows(baseL)
     // bounded collect: one row per TOUCHED FILE (never per data row) —
     // in the URI-encoded relative form `_metadata.file_path` carries,
@@ -2871,7 +2922,7 @@ object SnapshotStore {
     // DV-deleted rows in those files anti-join away — a rewrite that
     // copied them would resurrect them (the new files carry no DV entries)
     val eraReads = touchedEnc.groupBy(eraOf).toSeq.map { case (sub, encs) =>
-      spark.read.schema(schema).option("basePath", eraBase(sub))
+      spark.read.schema(ext).option("basePath", eraBase(sub))
         .parquet(encs.toSeq.sorted.map(e => s"${base.dataDir}/${decode(e)}"): _*)
         .withColumn(DvFileCol,
           expr(s"substring_index(_metadata.file_path, '$uuid/', -1)"))
@@ -2880,7 +2931,9 @@ object SnapshotStore {
     val rowsTouched =
       if (eraReads.isEmpty) spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-      else dropDeleted(eraReads.reduce(_.unionByName(_)))
+      else dropDeleted(
+        DirRead(eraReads.reduce(_.unionByName(_)), schema, renames)
+          .project(extraCols = Seq(DvFileCol, DvPosCol)))
         .select(schema.fieldNames.toIndexedSeq.map(col): _*)
     val (out, changes) = transform(rowsTouched)
     enforceConstraints(out, constraints ++
@@ -2914,8 +2967,13 @@ object SnapshotStore {
       }
     finally walk.close()
     Files.writeString(dir.resolve("_schema.json"), schema.json)
+    stagedHook(dir.toString) // e.g. the identity high-water mark
     carrySpecs(base.dataDir, dir.toString)
     carryStateSidecars(base.dataDir, dir.toString)
+    // rename carry: the linked (untouched) files still hold physical
+    // pre-rename names; the rewritten files were just staged under
+    // logical names and read fine either way (coalesce legs null-fill)
+    carryRenames(base.dataDir, dir.toString)
     // deletion-vector carry: linked (untouched) files keep their deleted
     // positions; entries for REWRITTEN files drop — their live rows just
     // migrated to fresh files, so a kept entry would dangle (harmless at

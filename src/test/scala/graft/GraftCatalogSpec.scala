@@ -1290,12 +1290,32 @@ class GraftCatalogSpec extends SparkSpec {
     assert(after > 500L, s"generated id must clear the explicit 500, got $after")
     assert(spark.sql("SELECT count(*), count(DISTINCT id) FROM graft.idt2")
       .head() match { case r => r.getLong(0) == r.getLong(1) })
-    // identity composes with neither partitioning nor CDC (v1 scope —
-    // loud refusal beats silent misallocation)
-    intercept[Exception](spark.sql(
+    // identity composes with hive partitioning: the batch stages under
+    // its partition dirs, everything else hard-links, the high-water
+    // sidecar rides the staged hook — allocation stays collision-free
+    spark.sql(
       """CREATE TABLE graft.idt3 (
         |  id BIGINT GENERATED ALWAYS AS IDENTITY, seg STRING)
-        |PARTITIONED BY (seg)""".stripMargin))
+        |PARTITIONED BY (seg)""".stripMargin)
+    spark.sql("INSERT INTO graft.idt3 (seg) VALUES ('a'), ('b'), ('a')")
+    spark.sql("INSERT INTO graft.idt3 (seg) VALUES ('b'), ('c')")
+    assert(spark.sql(
+      "SELECT count(*), count(DISTINCT id) FROM graft.idt3")
+      .head() match { case r => r.getLong(0) == 5L && r.getLong(1) == 5L })
+    // partition pruning still plans on the partitioned identity table
+    assert(spark.sql("SELECT count(*) FROM graft.idt3 WHERE seg = 'a'")
+      .head().getLong(0) == 2L)
+    // …but partitioning BY the identity column refuses (one dir per row)
+    val ePart = intercept[Exception](spark.sql(
+      """CREATE TABLE graft.idtp (
+        |  id BIGINT GENERATED ALWAYS AS IDENTITY, seg STRING)
+        |PARTITIONED BY (id)""".stripMargin))
+    assert(ePart.getMessage.contains("identity column"), ePart.getMessage)
+    // …and CDC still refuses (v1 scope — loud refusal beats misallocation)
+    intercept[Exception](spark.sql(
+      """CREATE TABLE graft.idtc (
+        |  id BIGINT GENERATED ALWAYS AS IDENTITY, v BIGINT)
+        |TBLPROPERTIES ('cdc.keys' = 'id')""".stripMargin))
   }
 
   test("STORED generated columns: computed on write, staleness refuses at commit") {

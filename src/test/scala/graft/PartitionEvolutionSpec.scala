@@ -94,16 +94,11 @@ class PartitionEvolutionSpec extends SparkSpec {
     SnapshotStore.alterPartitionSpec(spark, root, Seq("k"))
     SnapshotStore.append(spark, root, Seq((3L, "c", 30L)).toDF("id", "k", "v"))
     // incremental compaction refuses (by the partitioned guard here; the
-    // evolution guard covers unpartitioned-current-spec tables); RENAME refuses
+    // evolution guard covers unpartitioned-current-spec tables)
     val e2 = intercept[IllegalArgumentException] {
       SnapshotStore.optimizeSmallFiles(spark, root, 1000L, 100L)
     }
     assert(e2.getMessage.toLowerCase.contains("optimize"), e2.getMessage)
-    val e3 = intercept[IllegalArgumentException] {
-      SnapshotStore.alterSchema(spark, root, identity,
-        renames = Map("v2" -> "v"))
-    }
-    assert(e3.getMessage.contains("evolution"), e3.getMessage)
     // dropping a spec column refuses (any era's layout keys files by it)
     val e4 = intercept[IllegalArgumentException] {
       SnapshotStore.alterSchema(spark, root, s =>
@@ -431,17 +426,36 @@ class PartitionEvolutionSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, root).count() == 3L)
   }
 
-  test("evolution refuses identity tables") {
-    val wh = tmp("graft_pe_ref_wh")
+  test("identity tables evolve their spec; allocation survives the span") {
+    val wh = tmp("graft_pe_id_wh")
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
     spark.sql("CREATE TABLE graft.peid (id BIGINT GENERATED ALWAYS AS " +
       "IDENTITY, k STRING)")
+    spark.sql("INSERT INTO graft.peid (k) VALUES ('a'), ('b')") // flat era
+    val root = s"$wh/peid"
+    SnapshotStore.alterPartitionSpec(spark, root, Seq("k"))
+    // appends on the SPANNING identity table still assign; the batch
+    // lands under the new spec and the high-water mark rides the commit
+    spark.sql("INSERT INTO graft.peid (k) VALUES ('a'), ('c')")
+    spark.sql("INSERT INTO graft.peid (k) VALUES ('b')")
+    val got = spark.sql("SELECT id, k FROM graft.peid")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length == 5 && got.map(_._1).distinct.length == 5,
+      s"identity ids must stay unique across the span: ${got.toSeq}")
+    assert(SnapshotStore.isEvolved(SnapshotStore.latest(root).dataDir))
+    // the migrating OPTIMIZE heals; allocation continues past it
+    SnapshotStore.optimize(spark, root, 1000000L)
+    spark.sql("INSERT INTO graft.peid (k) VALUES ('d')")
+    val after = spark.sql("SELECT count(*), count(DISTINCT id) " +
+      "FROM graft.peid").head()
+    assert(after.getLong(0) == 6L && after.getLong(1) == 6L)
+    // partitioning BY the identity column itself still refuses
     val e1 = intercept[IllegalArgumentException] {
-      SnapshotStore.alterPartitionSpec(spark, s"$wh/peid", Seq("k"))
+      SnapshotStore.alterPartitionSpec(spark, root, Seq("id"))
     }
-    assert(e1.getMessage.contains("identity"), e1.getMessage)
+    assert(e1.getMessage.contains("identity column"), e1.getMessage)
   }
 
   test("deletion vectors ride a spec evolution: read/DML/OPTIMIZE, no pre-OPTIMIZE") {
@@ -493,5 +507,62 @@ class PartitionEvolutionSpec extends SparkSpec {
     // time travel to a spanning+DV version still serves DV-applied rows
     assert(SnapshotStore.read(spark, SnapshotStore.at(root, 3L))
       .count() == 4L)
+  }
+
+  test("RENAME COLUMN composes with spec evolution in both directions") {
+    // direction 1: rename, THEN evolve — old-era files carry the
+    // physical pre-rename name; the per-era read coalesces them into the
+    // logical one
+    val r1 = tmp("graft_pe_ren1")
+    SnapshotStore.init(spark, r1,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "v"))
+    SnapshotStore.alterSchema(spark, r1, identity,
+      renames = Map("amount" -> "v"))
+    SnapshotStore.alterPartitionSpec(spark, r1, Seq("k"))
+    SnapshotStore.append(spark, r1, Seq((3L, "a", 30L))
+      .toDF("id", "k", "amount"))
+    def rows(root: String, cols: Seq[String]) =
+      SnapshotStore.read(spark, root).select(cols.map(col): _*)
+        .as[(Long, String, Long)].collect().toSet
+    assert(rows(r1, Seq("id", "k", "amount")) ==
+      Set((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L)),
+      "physical pre-rename names must resolve in every era")
+    // per-era scoped DML touching a pre-rename file: the rewrite heals
+    // the touched file to logical names, the rest keep physical ones
+    SqlDml.execute(spark, "UPDATE t SET amount = amount + 1 WHERE id = 1",
+      Map("t" -> r1))
+    assert(SnapshotStore.isEvolved(SnapshotStore.latest(r1).dataDir))
+    assert(rows(r1, Seq("id", "k", "amount")) ==
+      Set((1L, "a", 11L), (2L, "b", 20L), (3L, "a", 30L)))
+    // direction 2: evolve, THEN rename mid-span — the rename commit is
+    // metadata-only and the spanning read applies the new mapping
+    val r2 = tmp("graft_pe_ren2")
+    SnapshotStore.init(spark, r2,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "v"))
+    SnapshotStore.alterPartitionSpec(spark, r2, Seq("k"))
+    SnapshotStore.append(spark, r2, Seq((3L, "b", 30L)).toDF("id", "k", "v"))
+    SnapshotStore.alterSchema(spark, r2, identity,
+      renames = Map("amount" -> "v"))
+    assert(rows(r2, Seq("id", "k", "amount")) ==
+      Set((1L, "a", 10L), (2L, "b", 20L), (3L, "b", 30L)))
+    // MoR DML on the spanning+renamed snapshot
+    SnapshotStore.setDmlMode(r2, SnapshotStore.MergeOnRead)
+    SqlDml.execute(spark, "DELETE FROM t WHERE id = 2", Map("t" -> r2))
+    assert(rows(r2, Seq("id", "k", "amount")) ==
+      Set((1L, "a", 10L), (3L, "b", 30L)))
+    // renaming a spec column still refuses (directory layout)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.alterSchema(spark, r2, identity,
+        renames = Map("kk" -> "k"))
+    }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    // the migrating OPTIMIZE heals span + mapping + vector in one rewrite
+    SnapshotStore.optimize(spark, r2, 1000000L)
+    val head = SnapshotStore.latest(r2)
+    assert(!SnapshotStore.isEvolved(head.dataDir))
+    assert(SnapshotStore.readRenames(head.dataDir).isEmpty &&
+      !SnapshotStore.hasDv(head.dataDir))
+    assert(rows(r2, Seq("id", "k", "amount")) ==
+      Set((1L, "a", 10L), (3L, "b", 30L)))
   }
 }
