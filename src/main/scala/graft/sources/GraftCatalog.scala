@@ -542,6 +542,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           require(!SnapshotStore.cdcKeys(root).exists(_.equalsIgnoreCase(n)),
             s"cannot drop CDC key column $n")
           StructType(s.filterNot(_.name.equalsIgnoreCase(n)))
+        case (s, up: TableChange.UpdateColumnType) if up.fieldNames.length > 1 =>
+          // NESTED widening (`ALTER COLUMN props.x TYPE BIGINT`): the same
+          // metadata-only rule inside a struct — the reader clips each
+          // file's stored struct against the pinned schema and upcasts the
+          // narrow stored leaf, exactly as at top level
+          require(SnapshotStore.cdcKeys(root).isEmpty,
+            s"ALTER COLUMN TYPE is not supported on CDC tables: per-version " +
+              "change frames would mix narrow and wide types mid-feed")
+          GraftCatalog.widenNestedField(s, up.fieldNames().toSeq,
+            up.newDataType())
         case (s, up: TableChange.UpdateColumnType) =>
           // ALTER COLUMN ... TYPE: metadata-only for WIDENING conversions
           // (the Delta type-widening feature shape) — Spark 4's parquet
@@ -549,8 +559,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // requested schema, so old files never rewrite; new files store
           // the wide type and the dir mixes eras safely. Narrowing would
           // silently truncate at read and refuses.
-          require(up.fieldNames.length == 1,
-            s"nested column type change not supported: ${up.fieldNames.mkString(".")}")
           val n = up.fieldNames()(0)
           val idx = s.fields.indexWhere(_.name.equalsIgnoreCase(n))
           require(idx >= 0, s"no such column $n")
@@ -756,6 +764,27 @@ object GraftCatalog {
         org.apache.spark.sql.types.StructField(path.last, dt, nullable = true))
     }
 
+  /** `ALTER TABLE t ALTER COLUMN a.b.c TYPE T` — widen a field inside a
+    * struct, metadata-only (narrow stored leaves upcast at read). The
+    * same [[widens]] matrix as top-level; narrowing/reshaping refuses.
+    */
+  private[graft] def widenNestedField(s: org.apache.spark.sql.types.StructType,
+      path: Seq[String], to: org.apache.spark.sql.types.DataType):
+      org.apache.spark.sql.types.StructType =
+    mapNestedStruct(s, path.init) { leaf =>
+      val idx = leaf.fields.indexWhere(_.name.equalsIgnoreCase(path.last))
+      require(idx >= 0, s"no such field ${path.mkString(".")}")
+      val from = leaf.fields(idx).dataType
+      require(widens(from, to),
+        s"only widening type changes are metadata-only " +
+          s"(got ${from.simpleString} -> ${to.simpleString} at " +
+          s"${path.mkString(".")}; supported: int -> bigint, float -> " +
+          "double, decimal precision increase at the same scale). " +
+          "Narrowing or reshaping needs a rewrite")
+      org.apache.spark.sql.types.StructType(
+        leaf.fields.updated(idx, leaf.fields(idx).copy(dataType = to)))
+    }
+
   /** `ALTER TABLE t DROP COLUMN a.b.c` — drop a field inside a struct,
     * metadata-only (files still carrying it project it away at read).
     */
@@ -854,11 +883,9 @@ object GraftCatalog {
         } else SnapshotStore.optimize(SparkSession.active, root,
           targetRows = in.getLong(1), clusterBy = cols(2), statsCols = cols(3),
           partitionPredicate = where, bloomCols = cols(5), zorderBy = cols(6))
-        val files = {
-          val s = Files.list(Paths.get(snap.dataDir))
-          try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
-          finally s.close()
-        }
+        // recursive DATA-file count (hive layouts nest under col=value
+        // dirs; a top-level listing would report 0 for them)
+        val files = SnapshotStore.dataFileMeta(snap.dataDir).size
         InternalRow(snap.version, files.toLong)
       }
     }

@@ -2392,9 +2392,16 @@ object SnapshotStore {
     * refused loudly below rather than silently serving a manifest with
     * holes.
     *
+    * On a PARTITIONED table the same contract holds at partition grain:
+    * small files group by their partition directory, only directories
+    * holding ≥2 small files participate (a lone small file has nothing
+    * to merge with — compaction never crosses a partition boundary), the
+    * participating files read back in ONE job (partition columns
+    * materialize from their directories) and re-pack co-located by
+    * partition key, and every large or lone file hard-links in place.
+    *
     * Loud refusals, not silent fallbacks (the caller asked for O(small)
-    * and must not quietly get O(table) or wrong data): partitioned tables
-    * (use `where`-scoped optimize — same idea at partition grain),
+    * and must not quietly get O(table) or wrong data):
     * deletion-vector snapshots (physical footer counts overcount; compact
     * via full OPTIMIZE which merges the DV), renamed-column tables (data
     * files carry pre-rename names; a raw subset read would null-fill).
@@ -2402,9 +2409,7 @@ object SnapshotStore {
   def optimizeSmallFiles(spark: SparkSession, root: String, targetRows: Long,
       smallFileRows: Long, maxAttempts: Int = 10): Snapshot = {
     import org.apache.spark.sql.functions.{col, concat, input_file_name, lit, substring_index}
-    require(partitionCols(root).isEmpty,
-      s"optimizeSmallFiles is for unpartitioned tables; $root is " +
-        "partitioned — use optimize(partitionPredicate) to scope by partition")
+    val hive = partitionCols(root)
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latest(root)
@@ -2418,7 +2423,16 @@ object SnapshotStore {
         s"optimizeSmallFiles on a renamed-column table ($root): data files " +
           "carry pre-rename names — run a full OPTIMIZE first")
       val meta = dataFileMeta(base.dataDir)
-      val (small, kept) = meta.partition(_._3 < smallFileRows)
+      val (smallAll, keptLarge) = meta.partition(_._3 < smallFileRows)
+      // partitioned: a small file only participates when its OWN directory
+      // holds another one — merging never crosses a partition boundary
+      val (small, keptLone) =
+        if (hive.isEmpty) (smallAll, Nil)
+        else smallAll.groupBy(f => f._1.take(f._1.lastIndexOf('/').max(0)))
+          .values.partition(_.size >= 2) match {
+            case (groups, lone) => (groups.flatten.toSeq, lone.flatten.toSeq)
+          }
+      val kept = keptLarge ++ keptLone
       if (small.size <= 1) return base // nothing to gain from a rewrite
       val schema = readSchema(spark, base)
       val dir = Paths.get(root, "data", UUID.randomUUID().toString)
@@ -2427,13 +2441,23 @@ object SnapshotStore {
       val nSmall = small.map(_._3).sum
       if (nSmall > 0) {
         val parts = math.max(1, ((nSmall + targetRows - 1) / targetRows).toInt)
-        spark.read.schema(schema).parquet(smallPaths: _*)
-          .repartition(parts).write.mode("append").parquet(dir.toString)
+        if (hive.isEmpty)
+          spark.read.schema(schema).parquet(smallPaths: _*)
+            .repartition(parts).write.mode("append").parquet(dir.toString)
+        else
+          // one job for ALL fragmented partitions: basePath materializes
+          // each file's partition values from its directory; the range
+          // shuffle co-locates each partition's rows so file count stays
+          // O(fragmented partitions), never tasks × partitions
+          spark.read.schema(schema).option("basePath", base.dataDir)
+            .parquet(smallPaths: _*)
+            .repartitionByRange(parts, hive.map(col): _*)
+            .write.mode("append").partitionBy(hive: _*).parquet(dir.toString)
       } // all-empty smalls: dropping them IS the compaction
       val packedFiles = { // the freshly written files, BEFORE any link
-        val s = Files.list(dir)
-        try s.iterator().asScala.map(_.toString)
-          .filter(_.endsWith(".parquet")).toSeq
+        val s = Files.walk(dir)
+        try s.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(_.toString).filter(_.endsWith(".parquet")).toSeq
         finally s.close()
       }
       kept.foreach { case (rel, _, _) =>

@@ -239,14 +239,60 @@ class GraftCatalogSpec extends SparkSpec {
       "target_rows => 25000, small_file_rows => 1000)")
     assert(SnapshotStore.latest(root).version == now.version,
       "no small files -> no new version")
-    // refusals: partitioned tables and layout keys
-    spark.sql("CREATE TABLE graft.incp (k BIGINT, p BIGINT) PARTITIONED BY (p)")
-    spark.sql("INSERT INTO graft.incp VALUES (1, 1)")
-    intercept[Exception](spark.sql("CALL graft.system.optimize(" +
-      "`table` => 'incp', target_rows => 10, small_file_rows => 5)"))
+    // refusal: layout keys compose with the full rewrite only
     intercept[Exception](spark.sql("CALL graft.system.optimize(" +
       "`table` => 'inc', target_rows => 10, small_file_rows => 5, " +
       "cluster_by => 'k')"))
+  }
+
+  test("incremental OPTIMIZE on a PARTITIONED table: per-dir pack, lone smalls link") {
+    wh
+    spark.sql(
+      "CREATE TABLE graft.incp (k BIGINT, seg STRING) PARTITIONED BY (seg)")
+    // seg=a fragments (4 small files), seg=b holds ONE small file (lone —
+    // nothing to merge with, must hard-link), seg=c one big file
+    for (i <- 0 until 4)
+      spark.sql("INSERT INTO graft.incp SELECT /*+ COALESCE(1) */ id, 'a' " +
+        s"FROM range(${i * 100}, ${(i + 1) * 100})")
+    spark.sql("INSERT INTO graft.incp SELECT /*+ COALESCE(1) */ id, 'b' " +
+      "FROM range(100)")
+    spark.sql("INSERT INTO graft.incp SELECT /*+ COALESCE(1) */ id, 'c' " +
+      "FROM range(5000)")
+    val root = s"$wh/incp"
+    def filesUnder(dir: String, sub: String): Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(Paths.get(dir, sub))
+      try s.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+      finally s.close()
+    }
+    def ino(p: java.nio.file.Path): Long =
+      Files.getAttribute(p, "unix:ino").asInstanceOf[Long]
+    val before = SnapshotStore.latest(root).dataDir
+    assert(filesUnder(before, "seg=a").size == 4)
+    val loneIno = ino(filesUnder(before, "seg=b").head)
+    val bigIno = ino(filesUnder(before, "seg=c").head)
+    val out = spark.sql("CALL graft.system.optimize(`table` => 'incp', " +
+      "target_rows => 100000, small_file_rows => 1000)").collect().head
+    val now = SnapshotStore.latest(root).dataDir
+    assert(filesUnder(now, "seg=a").size == 1,
+      "the fragmented partition must pack to one file")
+    assert(ino(filesUnder(now, "seg=b").head) == loneIno,
+      "a lone small file has nothing to merge with — link, don't rewrite")
+    assert(ino(filesUnder(now, "seg=c").head) == bigIno,
+      "large files hard-link")
+    assert(out.getLong(1) == 3L, s"files after: ${out.getLong(1)}")
+    // content identical, partition pruning intact
+    assert(spark.sql("SELECT count(*) FROM graft.incp").head().getLong(0)
+      == 5500L)
+    assert(spark.sql(
+      "SELECT count(*), sum(k) FROM graft.incp WHERE seg = 'a'")
+      .head().toSeq == Seq(400L, (0L until 400L).sum))
+    // converged: re-running is a version no-op
+    val v = SnapshotStore.latest(root).version
+    spark.sql("CALL graft.system.optimize(`table` => 'incp', " +
+      "target_rows => 100000, small_file_rows => 1000)")
+    assert(SnapshotStore.latest(root).version == v)
   }
 
   test("tags: named refs pin versions by name and survive expire_snapshots") {
@@ -430,6 +476,23 @@ class GraftCatalogSpec extends SparkSpec {
     val e = intercept[Exception](
       spark.sql("ALTER TABLE graft.wdc ALTER COLUMN v TYPE BIGINT"))
     assert(e.getMessage.contains("CDC"), e.getMessage)
+    // NESTED widening: a field inside a struct widens by the same
+    // metadata-only commit; old files' narrow stored values serve through
+    // the widened requested schema
+    spark.sql("CREATE TABLE graft.wdn (id BIGINT, " +
+      "props STRUCT<x: INT, tag: STRING>)")
+    spark.sql("INSERT INTO graft.wdn SELECT id, " +
+      "named_struct('x', CAST(id AS INT), 'tag', 'a') FROM range(20)")
+    val nBefore = SnapshotStore.latest(s"$wh/wdn").dataDir
+    spark.sql("ALTER TABLE graft.wdn ALTER COLUMN props.x TYPE BIGINT")
+    assert(inodes(nBefore) == inodes(SnapshotStore.latest(s"$wh/wdn").dataDir),
+      "nested widening must move no data")
+    spark.sql("INSERT INTO graft.wdn SELECT 100, " +
+      "named_struct('x', 5000000000, 'tag', 'b')")
+    assert(spark.sql("SELECT sum(props.x) FROM graft.wdn").head().getLong(0)
+      == (0L until 20).sum + 5000000000L)
+    intercept[Exception]( // nested narrowing refuses the same way
+      spark.sql("ALTER TABLE graft.wdn ALTER COLUMN props.x TYPE INT"))
   }
 
   test("expire_snapshots honors the age window (older_than_ms)") {
