@@ -2488,5 +2488,68 @@ object Temporal {
            |       CAST(sum(ok) AS BIGINT) AS ok_sum
            |FROM t WHERE ok % 10 <> 7
            |GROUP BY seg ORDER BY seg""".stripMargin
+      }),
+
+    // Q113 [extension: WRITE-AUDIT-PUBLISH branches] the Iceberg
+    // staged-commit pattern (SnapshotStore.createBranch / publishBranch):
+    // fork the table zero-copy, stage UPDATE + DELETE + append against
+    // the BRANCH root, audit it while the production table stays bitwise
+    // untouched, then squash-publish as ONE commit. In-build requires pin
+    // the isolation (source row count frozen through staging), the audit
+    // invariant, and the staleness refusal (a sibling branch forked from
+    // the same base must refuse to publish after the first one wins —
+    // first-writer-wins, never a silent merge). The oracle replays the
+    // staged algebra; the hash compares the PUBLISHED source state.
+    "q113_wap" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{SnapshotStore, SqlDml}
+        val root = graft.GateTmp.freshDir("q113")
+        Tables.orders(s, d).createOrReplaceTempView("q113_ord")
+        val cents = graft.Canon.centsSql("o_totalprice")
+        val base = s.sql(
+          s"""SELECT o_orderkey AS id, o_custkey AS cust,
+             |$cents AS price_c, o_orderpriority AS prio
+             |FROM q113_ord""".stripMargin)
+        SnapshotStore.init(s, root, base) // v0
+        SnapshotStore.createBranch(s, root, "release")
+        SnapshotStore.createBranch(s, root, "rival") // same fork base
+        val br = SnapshotStore.branchRoot(root, "release")
+        val t = Map("t" -> br)
+        SqlDml.execute(s,
+          "UPDATE t SET price_c = price_c + 100 WHERE prio = '1-URGENT'", t)
+        SqlDml.execute(s, "DELETE FROM t WHERE cust % 10 = 0", t)
+        SnapshotStore.append(s, br, base.filter($("id") % 97 === 0)
+          .withColumn("id", $("id") + lit(10000000L)))
+        // WRITE + AUDIT: production untouched, invariant holds on the branch
+        require(SnapshotStore.latest(root).version == 0L &&
+          SnapshotStore.read(s, root).count() == base.count(),
+          "staging must be invisible on the source")
+        require(SnapshotStore.read(s, br)
+          .filter($("cust") % 10 === 0 && $("id") < 10000000L).isEmpty,
+          "audit: staged DELETE must hold on the branch")
+        // PUBLISH the audited branch; the rival fork is now stale
+        SnapshotStore.publishBranch(s, root, "release")
+        val refused = try {
+          SnapshotStore.publishBranch(s, root, "rival"); false
+        } catch { case _: IllegalArgumentException => true }
+        require(refused, "a stale fork must refuse to publish")
+        SnapshotStore.dropBranch(root, "rival")
+        SnapshotStore.read(s, root).orderBy($("id"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("o_totalprice")
+        s"""WITH base AS (
+           |  SELECT o_orderkey AS id, o_custkey AS cust,
+           |         $cents AS price_c, o_orderpriority AS prio
+           |  FROM orders)
+           |SELECT * FROM (
+           |  SELECT id, cust,
+           |         CASE WHEN prio = '1-URGENT' THEN price_c + 100
+           |              ELSE price_c END AS price_c, prio
+           |  FROM base WHERE cust % 10 <> 0
+           |  UNION ALL
+           |  SELECT id + 10000000, cust, price_c, prio
+           |  FROM base WHERE id % 97 = 0)
+           |ORDER BY id""".stripMargin
       }))
 }

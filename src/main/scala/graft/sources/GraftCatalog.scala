@@ -634,7 +634,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "create_tag" -> GraftCatalog.CreateTagProc,
       "drop_tag" -> GraftCatalog.DropTagProc,
       "copy_into" -> GraftCatalog.CopyIntoProc,
-      "set_partition_spec" -> GraftCatalog.SetPartitionSpecProc)
+      "set_partition_spec" -> GraftCatalog.SetPartitionSpecProc,
+      "create_branch" -> GraftCatalog.CreateBranchProc,
+      "publish_branch" -> GraftCatalog.PublishBranchProc,
+      "drop_branch" -> GraftCatalog.DropBranchProc)
     procs.get(ident.name.toLowerCase).map(_(this))
       .getOrElse(throw new RuntimeException(
         s"unknown procedure ${ident.name} (have: ${procs.keys.mkString(", ")})"))
@@ -643,7 +646,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("optimize", "expire_snapshots", "clean_orphans", "restore", "clone",
         "create_mv", "refresh_mv", "create_join_mv", "refresh_join_mv",
-        "create_tag", "drop_tag", "copy_into", "set_partition_spec")
+        "create_tag", "drop_tag", "copy_into", "set_partition_spec",
+        "create_branch", "publish_branch", "drop_branch")
       .map(Identifier.of(Array("system"), _))
 
   /** `'ns.t'` (warehouse-relative) or a filesystem root — the same rule as
@@ -980,6 +984,69 @@ object GraftCatalog {
         InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(name),
           SnapshotStore.dropTag(root, name))
+      }
+    }
+
+  /** `CALL graft.system.create_branch('ns.t', 'name')` — fork the
+    * table's current snapshot into a zero-copy WRITE-AUDIT-PUBLISH
+    * branch. Stage DML against the branch root, audit it, then
+    * `publish_branch` squashes it back as one commit (refused if the
+    * source advanced — re-fork). See [[SnapshotStore.createBranch]].
+    */
+  private[sources] val CreateBranchProc: GraftCatalog => UnboundProcedure = cat =>
+    new Proc("create_branch",
+      Seq(p("table", StringType), p("name", StringType)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("fork_base", LongType),
+        org.apache.spark.sql.types.StructField("branch_root",
+          org.apache.spark.sql.types.StringType)))) {
+      override protected def run(in: InternalRow): InternalRow = {
+        val root = cat.tableRoot(in.getString(0))
+        val name = in.getString(1)
+        SnapshotStore.createBranch(SparkSession.active, root, name)
+        val base = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(SnapshotStore.branchRoot(root, name),
+            "_base")).trim.toLong
+        InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(name), base,
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            SnapshotStore.branchRoot(root, name)))
+      }
+    }
+
+  /** `CALL graft.system.publish_branch('ns.t', 'name')` — squash the
+    * branch head onto the source as one commit; refused when the source
+    * advanced past the fork base. See [[SnapshotStore.publishBranch]].
+    */
+  private[sources] val PublishBranchProc: GraftCatalog => UnboundProcedure = cat =>
+    new Proc("publish_branch",
+      Seq(p("table", StringType), p("name", StringType)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("published_version", LongType)))) {
+      override protected def run(in: InternalRow): InternalRow = {
+        val root = cat.tableRoot(in.getString(0))
+        val snap = SnapshotStore.publishBranch(SparkSession.active, root,
+          in.getString(1))
+        InternalRow(snap.version)
+      }
+    }
+
+  /** `CALL graft.system.drop_branch('ns.t', 'name')` — discard the fork
+    * (hard links — the source's bytes are untouched).
+    */
+  private[sources] val DropBranchProc: GraftCatalog => UnboundProcedure = cat =>
+    new Proc("drop_branch",
+      Seq(p("table", StringType), p("name", StringType)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType)))) {
+      override protected def run(in: InternalRow): InternalRow = {
+        val root = cat.tableRoot(in.getString(0))
+        val name = in.getString(1)
+        SnapshotStore.dropBranch(root, name)
+        InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(name))
       }
     }
 

@@ -956,9 +956,10 @@ object SnapshotStore {
     * from the clone's feed starts from the cloned state). The dominant use
     * is zero-cost dev/test forks of production tables.
     */
-  def shallowClone(spark: SparkSession, srcRoot: String, dstRoot: String): Snapshot = {
+  def shallowClone(spark: SparkSession, srcRoot: String, dstRoot: String,
+      srcSnap: Option[Snapshot] = None): Snapshot = {
     import org.apache.spark.sql.functions.lit
-    val src = latest(srcRoot)
+    val src = srcSnap.getOrElse(latest(srcRoot))
     require(!Files.exists(commitsDir(dstRoot)) ||
       listDir(commitsDir(dstRoot)).isEmpty,
       s"clone target $dstRoot already exists")
@@ -985,6 +986,112 @@ object SnapshotStore {
     if (Files.exists(partitionsFile(srcRoot)))
       Files.copy(partitionsFile(srcRoot), partitionsFile(dstRoot))
     Snapshot(0L, dir.toString)
+  }
+
+  // ---- WRITE-AUDIT-PUBLISH branches ----------------------------------------
+  // The Iceberg staged-commit pattern from zero-copy forks: createBranch
+  // shallow-clones the current snapshot under `root/_branches/<name>`
+  // (hard links — no data moves) and records the fork base version. The
+  // branch IS a table, so a pipeline stages through every normal API
+  // (DML, append, OPTIMIZE, SqlDml) and auditors read it, while the
+  // production table never sees a staged row. publishBranch SQUASHES the
+  // branch head back onto the source as ONE commit that hard-links the
+  // branch head's files — O(#files) metadata, zero data movement —
+  // REFUSED if the source advanced past the fork base: staged work was
+  // audited against a snapshot that no longer exists, so publish is
+  // first-writer-wins, never a silent merge (re-fork and re-stage). On
+  // CDC tables the published commit's change set is the squash diff
+  // against the source head — audited-away intermediate states never
+  // reach downstream consumers.
+
+  private def branchesDir(root: String): Path = Paths.get(root, "_branches")
+
+  /** The branch's own table root — every SnapshotStore/SqlDml API works
+    * on it directly.
+    */
+  def branchRoot(root: String, name: String): String = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"invalid branch name '$name'")
+    branchesDir(root).resolve(name).toString
+  }
+
+  /** Fork `root`'s current snapshot into branch `name` (zero-copy).
+    * Returns the branch's v0; the fork base is recorded for publish's
+    * staleness check.
+    */
+  def createBranch(spark: SparkSession, root: String, name: String): Snapshot = {
+    val br = branchRoot(root, name)
+    val base = latest(root)
+    val snap = shallowClone(spark, root, br, srcSnap = Some(base))
+    Files.writeString(Paths.get(br, "_base"), base.version.toString)
+    snap
+  }
+
+  /** Branches of `root`: (name, fork base version, branch head version). */
+  def branches(root: String): Seq[(String, Long, Long)] = {
+    val d = branchesDir(root)
+    if (!Files.isDirectory(d)) Nil
+    else listDir(d).filter(p => Files.isDirectory(p) &&
+      Files.exists(p.resolve("_base"))).map { p =>
+      val name = p.getFileName.toString
+      (name, Files.readString(p.resolve("_base")).trim.toLong,
+        latest(p.toString).version)
+    }.sortBy(_._1)
+  }
+
+  /** Squash-publish branch `name`'s head onto `root` as one commit.
+    * Layout/config changes staged on the branch (partition marker)
+    * follow the publish, like RESTORE. The branch itself is left in
+    * place for [[dropBranch]] — publishing twice is refused by the
+    * staleness check (the publish itself advanced the source).
+    */
+  def publishBranch(spark: SparkSession, root: String, name: String): Snapshot = {
+    val br = branchRoot(root, name)
+    require(Files.exists(Paths.get(br, "_base")),
+      s"no branch '$name' on $root")
+    val baseV = Files.readString(Paths.get(br, "_base")).trim.toLong
+    val head = latest(br)
+    val cur = latest(root)
+    require(cur.version == baseV,
+      s"$root advanced past branch '$name''s fork base (forked at $baseV, " +
+        s"source is at ${cur.version}): the staged work was audited " +
+        "against a stale snapshot — re-fork and re-stage (publish never " +
+        "silently merges)")
+    if (head.version == 0L) return cur // nothing staged: publish is a no-op
+    val dir = Paths.get(root, "data", UUID.randomUUID().toString)
+    Files.createDirectories(dir)
+    linkParquetTree(Paths.get(head.dataDir), dir)
+    val sj = Paths.get(head.dataDir, "_schema.json")
+    if (Files.exists(sj)) Files.copy(sj, dir.resolve("_schema.json"))
+    carrySpecs(head.dataDir, dir.toString)
+    carryStateSidecars(head.dataDir, dir.toString)
+    carryRenames(head.dataDir, dir.toString)
+    val keys = cdcKeys(root)
+    if (keys.nonEmpty)
+      diffChanges(read(spark, cur), readDir(spark, dir.toString), keys)
+        .write.mode("overwrite").parquet(s"$dir/_changes")
+    if (!tryCommit(root, cur.version, dir.toString))
+      throw new CommitConflictException(
+        s"$root advanced while publishing branch '$name'; re-fork")
+    // config markers staged on the branch follow the publish — written
+    // after the CAS win (the restore/alterPartitionSpec crash-window rule)
+    val bp = partitionsFile(br)
+    if (Files.exists(bp))
+      Files.copy(bp, partitionsFile(root),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else Files.deleteIfExists(partitionsFile(root))
+    Snapshot(cur.version + 1, dir.toString)
+  }
+
+  /** Discard branch `name` (its data files are hard links — deleting
+    * them never touches the source's bytes).
+    */
+  def dropBranch(root: String, name: String): Unit = {
+    val br = Paths.get(branchRoot(root, name))
+    if (!Files.isDirectory(br)) return
+    val s = Files.walk(br)
+    val all = try s.iterator().asScala.toSeq.reverse finally s.close()
+    all.foreach(Files.deleteIfExists(_))
   }
 
   /** One aggregate job validating `out` against every named CHECK

@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.{GraftCatalog, SnapshotStore, SqlDml}
+import org.apache.spark.sql.functions._
+
+/** WRITE-AUDIT-PUBLISH branches (sources/SnapshotStore.createBranch /
+  * publishBranch / dropBranch): the Iceberg staged-commit pattern from
+  * zero-copy forks. The contract under test: staging never touches the
+  * source, publish squashes atomically or refuses on a stale fork base
+  * (never a silent merge), CDC feeds see the squash diff (never the
+  * audited-away intermediates), and the hard-link economics hold in both
+  * directions (drop leaves the source intact; source VACUUM leaves the
+  * branch readable).
+  */
+class BranchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("write-audit-publish: staging is invisible, publish is one squash commit") {
+    val root = tmp("graft_br_wap")
+    SnapshotStore.init(spark, root,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L)).toDF("id", "k", "v"))
+    SnapshotStore.createBranch(spark, root, "audit")
+    val br = SnapshotStore.branchRoot(root, "audit")
+    // stage several statements against the branch root — a real table
+    SqlDml.execute(spark, "UPDATE t SET v = v + 1 WHERE k = 'a'", Map("t" -> br))
+    SqlDml.execute(spark, "DELETE FROM t WHERE id = 2", Map("t" -> br))
+    SnapshotStore.append(spark, br, Seq((4L, "c", 40L)).toDF("id", "k", "v"))
+    // WRITE + AUDIT: the source never sees a staged row
+    assert(SnapshotStore.read(spark, root).count() == 3L,
+      "staging must be invisible on the source")
+    assert(SnapshotStore.latest(root).version == 0L)
+    val audited = SnapshotStore.read(spark, br).select($"id", $"k", $"v")
+      .as[(Long, String, Long)].collect().toSet
+    assert(audited == Set((1L, "a", 11L), (3L, "a", 31L), (4L, "c", 40L)))
+    assert(SnapshotStore.branches(root).map(b => (b._1, b._2)) ==
+      Seq(("audit", 0L)))
+    // PUBLISH: one commit, content == branch head, files hard-linked
+    val pub = SnapshotStore.publishBranch(spark, root, "audit")
+    assert(pub.version == 1L)
+    assert(SnapshotStore.read(spark, root).select($"id", $"k", $"v")
+      .as[(Long, String, Long)].collect().toSet == audited)
+    // time travel: the pre-publish source state is still addressable
+    assert(SnapshotStore.read(spark, SnapshotStore.at(root, 0L)).count() == 3L)
+    // a second publish refuses — the publish itself advanced the source
+    val e = intercept[IllegalArgumentException](
+      SnapshotStore.publishBranch(spark, root, "audit"))
+    assert(e.getMessage.contains("advanced past"), e.getMessage)
+    SnapshotStore.dropBranch(root, "audit")
+    assert(SnapshotStore.branches(root).isEmpty)
+    assert(SnapshotStore.read(spark, root).count() == 3L,
+      "dropping the branch must not touch the source's bytes")
+  }
+
+  test("a stale fork refuses to publish; publish is first-writer-wins") {
+    val root = tmp("graft_br_stale")
+    SnapshotStore.init(spark, root, Seq((1L, 10L)).toDF("id", "v"))
+    SnapshotStore.createBranch(spark, root, "b1")
+    SnapshotStore.createBranch(spark, root, "b2")
+    SqlDml.execute(spark, "UPDATE t SET v = 11 WHERE id = 1",
+      Map("t" -> SnapshotStore.branchRoot(root, "b1")))
+    SqlDml.execute(spark, "UPDATE t SET v = 12 WHERE id = 1",
+      Map("t" -> SnapshotStore.branchRoot(root, "b2")))
+    SnapshotStore.publishBranch(spark, root, "b1") // first writer wins
+    val e = intercept[IllegalArgumentException](
+      SnapshotStore.publishBranch(spark, root, "b2"))
+    assert(e.getMessage.contains("re-fork"), e.getMessage)
+    assert(SnapshotStore.read(spark, root).head().getLong(1) == 11L,
+      "the losing branch must never silently merge")
+    // an EMPTY branch publish is a no-op, not a version bump
+    SnapshotStore.createBranch(spark, root, "b3")
+    val v = SnapshotStore.latest(root).version
+    assert(SnapshotStore.publishBranch(spark, root, "b3").version == v)
+  }
+
+  test("CDC: the published commit feeds the SQUASH diff, not the intermediates") {
+    val root = tmp("graft_br_cdc")
+    SnapshotStore.init(spark, root,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"), cdcKeys = Seq("id"))
+    SnapshotStore.createBranch(spark, root, "wap")
+    val br = SnapshotStore.branchRoot(root, "wap")
+    // three staged statements, one of which churns the same row twice
+    SqlDml.execute(spark, "UPDATE t SET v = 99 WHERE id = 1", Map("t" -> br))
+    SqlDml.execute(spark, "UPDATE t SET v = 11 WHERE id = 1", Map("t" -> br))
+    SqlDml.execute(spark, "DELETE FROM t WHERE id = 2", Map("t" -> br))
+    val pub = SnapshotStore.publishBranch(spark, root, "wap")
+    val feed = SnapshotStore.changes(spark, root, pub.version, pub.version)
+      .select($"id", $"v", col(SnapshotStore.ChangeTypeCol))
+      .as[(Long, Long, String)].collect().toSet
+    assert(feed == Set((1L, 10L, "update_preimage"), (1L, 11L, "update_postimage"),
+      (2L, 20L, "delete")),
+      s"the feed must be the squash diff (v=99 never existed downstream): $feed")
+  }
+
+  test("source VACUUM past the fork leaves the branch readable (hard links)") {
+    val root = tmp("graft_br_vac")
+    SnapshotStore.init(spark, root, (1L to 100L).toDF("id"))
+    SnapshotStore.createBranch(spark, root, "keep")
+    // the source moves on and expires the forked version's commit
+    SnapshotStore.transact(spark, root)(df => df.filter($"id" <= 50))
+    SnapshotStore.expireSnapshots(root, keepLast = 1)
+    assert(SnapshotStore.read(spark, root).count() == 50L)
+    assert(SnapshotStore.read(spark,
+      SnapshotStore.branchRoot(root, "keep")).count() == 100L,
+      "branch files are hard links — source VACUUM must not break them")
+    // stale by construction now: refuses with the re-fork message
+    intercept[IllegalArgumentException](
+      SnapshotStore.publishBranch(spark, root, "keep"))
+  }
+
+  test("SQL face: CALL create_branch / publish_branch / drop_branch") {
+    val wh = tmp("graft_br_wh")
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    GraftExtensions.install(spark)
+    spark.sql("CREATE TABLE graft.wapt (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.wapt SELECT id, id * 10 FROM range(5)")
+    val made = spark.sql(
+      "CALL graft.system.create_branch('wapt', 'release')").head()
+    assert(made.getString(0) == "release" && made.getLong(1) == 1L)
+    val br = made.getString(2)
+    SqlDml.execute(spark, "DELETE FROM t WHERE id >= 3", Map("t" -> br))
+    assert(spark.sql("SELECT count(*) FROM graft.wapt").head().getLong(0) == 5L)
+    val pubV = spark.sql(
+      "CALL graft.system.publish_branch('wapt', 'release')").head().getLong(0)
+    assert(pubV == 2L)
+    assert(spark.sql("SELECT count(*) FROM graft.wapt").head().getLong(0) == 3L)
+    spark.sql("CALL graft.system.drop_branch('wapt', 'release')")
+    assert(SnapshotStore.branches(s"$wh/wapt").isEmpty)
+  }
+}
