@@ -446,6 +446,53 @@ object ProbeAppend {
   }
 }
 
+/** WRITE-AUDIT-PUBLISH branch scale probe: fork + a FIXED staged DML +
+  * squash publish on tables of two sizes. Fork and publish are both
+  * hard-link walks (O(#files) metadata ops, zero data movement) and the
+  * staged DML is partition-scoped, so the whole WAP cycle must stay
+  * near-flat in table size — the property that makes staging a 100 TB
+  * table's release branch affordable at all.
+  *
+  * Usage: runMain graft.ProbeBranch <rowsSmall> <rowsBig>
+  */
+object ProbeBranch {
+  def main(args: Array[String]): Unit = {
+    import graft.sources.{SnapshotStore, SqlDml}
+    val Array(nSmall, nBig) = args.take(2).map(_.toLong)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def run(n: Long): (Double, Double, Double) = {
+      val root = GateTmp.freshDir(s"probe_br_$n")
+      SnapshotStore.init(spark, root, spark.range(n)
+        .selectExpr("id", "CAST(id % 24 AS STRING) AS p", "id * 3 AS v",
+          "repeat('x', 64) AS pad").repartition(32),
+        partitionBy = Seq("p"))
+      val tFork = time(SnapshotStore.createBranch(spark, root, "rel"))
+      val br = SnapshotStore.branchRoot(root, "rel")
+      val tStage = time(SqlDml.execute(spark,
+        "UPDATE t SET v = v + 1 WHERE p = '7'", Map("t" -> br)))
+      val tPub = time(SnapshotStore.publishBranch(spark, root, "rel"))
+      (tFork, tStage, tPub)
+    }
+    run(nSmall) // warm-up: JIT + parquet codepaths
+    val (f1, s1, p1) = run(nSmall)
+    val (f2, s2, p2) = run(nBig)
+    println(f"rows=$nSmall%d fork=$f1%.2fs stage=$s1%.2fs publish=$p1%.2fs")
+    println(f"rows=$nBig%d fork=$f2%.2fs stage=$s2%.2fs publish=$p2%.2fs")
+    println(f"growth fork=${f2 / f1}%.2fx stage=${s2 / s1}%.2fx " +
+      f"publish=${p2 / p1}%.2fx (flat = O(#files) links + scoped DML)")
+    spark.stop()
+  }
+}
+
 /** Incremental-compaction scale probe: a FIXED trickle (5 × 2k-row small
   * files) on pre-compacted, manifest-bearing tables of two sizes, then
   * `optimizeSmallFiles`. The rewrite reads only the trickle; the big

@@ -178,11 +178,35 @@ object GraftExtensions {
         "table_changes"),
       (children: Seq[Expression]) => {
         require(children.length == 3,
-          "table_changes(table, from_version, to_version)")
+          "table_changes(table, from_version | from_ts, to_version | to_ts)")
         val spark = SparkSession.active
         val root = resolveRoot(constString("table_changes", 0, children.head))
-        val from = constNum("table_changes", 1, children(1)).longValue()
-        val to = constNum("table_changes", 2, children(2)).longValue()
+        // bounds are versions (numbers) OR timestamps (strings — the
+        // Delta table_changes overload), resolved against commit mtimes,
+        // the same clock TIMESTAMP AS OF uses: FROM = earliest commit at
+        // or after the timestamp (Delta's startingTimestamp rule), TO =
+        // latest commit at or before it (a future TO naturally clamps to
+        // the head; a TO before the first commit is a loud error)
+        def bound(pos: Int, isFrom: Boolean): Long = {
+          val e = children(pos)
+          if (!e.foldable) throw new IllegalArgumentException(
+            s"table_changes: argument ${pos + 1} must be a constant, " +
+              s"got non-foldable ${e.sql}")
+          e.eval() match {
+            case n: Number => n.longValue()
+            case s: org.apache.spark.unsafe.types.UTF8String =>
+              val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils
+                .stringToTimestampAnsi(s,
+                  java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
+              if (isFrom) graft.sources.SnapshotStore.versionSince(root, micros)
+              else graft.sources.SnapshotStore.versionAsOf(root, micros)
+            case other => throw new IllegalArgumentException(
+              s"table_changes: argument ${pos + 1} must be a version " +
+                s"number or a timestamp string, got $other")
+          }
+        }
+        val from = bound(1, isFrom = true)
+        val to = bound(2, isFrom = false)
         graft.sources.SnapshotStore.changes(spark, root, from, to)
           .queryExecution.analyzed
       }),

@@ -1633,6 +1633,20 @@ object SnapshotStore {
       .getOrElse(throw new IllegalArgumentException(
         s"no version committed at or before t=$tsMicros at $root"))
 
+  /** Earliest version whose commit landed at or after `tsMicros` — the
+    * change-feed FROM-timestamp resolution (Delta's startingTimestamp
+    * rule: start at the first commit the window could have observed; the
+    * TO bound uses [[versionAsOf]]'s latest-at-or-before).
+    */
+  def versionSince(root: String, tsMicros: Long): Long =
+    listDir(commitsDir(root))
+      .filter(_.getFileName.toString.endsWith(".commit"))
+      .filter(f => Files.getLastModifiedTime(f).toMillis * 1000L >= tsMicros)
+      .map(_.getFileName.toString.stripSuffix(".commit").toLong)
+      .minOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no version committed at or after t=$tsMicros at $root"))
+
   /** Change rows landed by commit `version` (data columns +
     * [[ChangeTypeCol]] + [[CommitVersionCol]]). A committed version on a
     * CDC table always has a `_changes/` dir; versions older than the

@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 import graft.sources.{SnapshotStore, SqlDml}
 import org.apache.spark.sql.functions._
@@ -308,6 +308,46 @@ class CdcSpec extends SparkSpec {
     graft.sources.MatView.refresh(spark, root, mv, Seq("id"), "salary")
     assert(SnapshotStore.read(spark, mv).select($"id", $"val_sum")
       .as[(Long, Long)].collect().toSet == Set((2L, 121L)))
+  }
+
+  test("table_changes accepts TIMESTAMP bounds (commit-mtime resolution)") {
+    val root = tmp("graft_cdc_ts")
+    SnapshotStore.init(spark, root, Seq((1L, 10L)).toDF("id", "v"),
+      cdcKeys = Seq("id"))
+    val t = Map("t" -> root)
+    SqlDml.execute(spark, "UPDATE t SET v = 11 WHERE id = 1", t) // v1
+    SqlDml.execute(spark, "UPDATE t SET v = 12 WHERE id = 1", t) // v2
+    // backdate v0/v1 commit mtimes so a cut between v1 and v2 exists —
+    // the same mtime clock TIMESTAMP AS OF resolves against
+    val cut = System.currentTimeMillis() - 3600 * 1000L
+    Seq(0L, 1L).foreach { v =>
+      Files.setLastModifiedTime(
+        Paths.get(s"$root/_commits/" + f"$v%020d.commit"),
+        java.nio.file.attribute.FileTime.fromMillis(cut - (2 - v) * 60000L))
+    }
+    GraftExtensions.install(spark)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    def iso(ms: Long): String =
+      java.time.Instant.ofEpochMilli(ms).toString.replace("T", " ")
+        .stripSuffix("Z")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // FROM a timestamp after the backdated commits: only v2 feeds
+    val since = spark.sql(
+      s"SELECT _commit_version FROM table_changes('$root', '${iso(cut)}', 2)")
+      .collect().map(_.getLong(0)).toSet
+    assert(since == Set(2L), s"FROM-ts must resolve to the first commit >= ts: $since")
+    // TO a FUTURE timestamp clamps to the head (changes-until-now works)
+    val untilNow = spark.sql(
+      s"SELECT DISTINCT _commit_version FROM table_changes('$root', 1, " +
+        s"'${iso(System.currentTimeMillis() + 3600 * 1000L)}')")
+      .collect().map(_.getLong(0)).toSet
+    assert(untilNow == Set(1L, 2L), s"future TO-ts must clamp to head: $untilNow")
+    // a TO before the first commit is a loud error
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM table_changes('$root', 1, '1999-01-01 00:00:00')")
+      .collect())
+    assert(e.getMessage.contains("at or before"), e.getMessage)
   }
 
   test("renaming a CDC KEY column remaps the feed's key config") {
