@@ -198,6 +198,8 @@ object Multimodal {
     parsePngHeader(payload).orElse(parseJpegHeader(payload))
       .map { case (w, h) => (w, h, 1) }
       .orElse(parseGifHeader(payload)) // animated: real frame count
+      .orElse(parseMp4Header(payload) // ISO-BMFF: moov box walk
+        .map { case (w, h, n, _, _) => (w, h, n) })
       .getOrElse(fakeDecode(kind, payload))
 
   val decodedSchema: StructType = StructType(Seq(
@@ -1128,6 +1130,211 @@ object Multimodal {
       i += 1
     }
     out.result()
+  }
+
+  // ---------------------------------------------------------------------
+  // MP4 — the ISO base media file format (ISO/IEC 14496-12), the STANDARD
+  // video container: encodeMp4 writes a spec-shaped box tree
+  // (ftyp / mdat / moov[mvhd, trak[tkhd, mdia[mdhd, hdlr, minf[stbl[stsd,
+  // stts, stsc, stsz, stco]]]]]) with frames stored as PNG samples in one
+  // mdat chunk (the MJPEG-in-MP4 sample layout, PNG as the intra codec);
+  // parseMp4Header box-walks for (width, height, frames, timescale,
+  // duration); decodeMp4Frames resolves ONLY the requested sample indices
+  // through stco + stsz — the same sparse frame-sampling contract as the
+  // GVID path, on real standard framing. Reference behavior per the
+  // published ISO/IEC 14496-12 box definitions (same public layout
+  // ffmpeg/mp4box emit); no external parser involved.
+  // ---------------------------------------------------------------------
+
+  private def u16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def u64(v: Long): Array[Byte] =
+    (56 to 0 by -8).map(s => ((v >> s) & 0xFF).toByte).toArray
+  private def mp4Box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(beBytes(8 + payload.map(_.length).sum))
+    out.write(tpe.getBytes("US-ASCII"))
+    payload.foreach(p => out.write(p, 0, p.length))
+    out.toByteArray
+  }
+  private def fullBox(tpe: String, payload: Array[Byte]*): Array[Byte] =
+    mp4Box(tpe, (Array[Byte](0, 0, 0, 0) +: payload): _*)
+
+  /** Encode frames (8×9 grayscale grids) as a minimal ISO-BMFF MP4:
+    * one video track, one chunk, PNG sample payloads, `timescale` ticks/s
+    * with `frameDelta` ticks per frame.
+    */
+  def encodeMp4(frames: Seq[Array[Array[Int]]], timescale: Int = 600,
+      frameDelta: Int = 150): Array[Byte] = {
+    val samples = frames.map(encodePngGray)
+    val (h, w) = (frames.head.length, frames.head.head.length)
+    val duration = frames.length.toLong * frameDelta
+    val ftyp = mp4Box("ftyp", "isom".getBytes("US-ASCII"), beBytes(0),
+      "isom".getBytes("US-ASCII"))
+    val mdatOff = ftyp.length + 8 // absolute offset of the sample data
+    val mdat = mp4Box("mdat", samples.flatten.toArray)
+    val mvhd = fullBox("mvhd", beBytes(0), beBytes(0), beBytes(timescale),
+      beBytes(duration.toInt), beBytes(0x00010000), u16(0x0100),
+      new Array[Byte](10), mp4Matrix, new Array[Byte](24), beBytes(2))
+    val tkhd = mp4Box("tkhd", Array[Byte](0, 0, 0, 7), beBytes(0), beBytes(0),
+      beBytes(1), beBytes(0), beBytes(duration.toInt), new Array[Byte](8),
+      u16(0), u16(0), u16(0), u16(0), mp4Matrix,
+      beBytes(w << 16), beBytes(h << 16)) // 16.16 fixed point
+    val mdhd = fullBox("mdhd", beBytes(0), beBytes(0), beBytes(timescale),
+      beBytes(duration.toInt), u16(0x55C4), u16(0)) // lang 'und'
+    val hdlr = fullBox("hdlr", beBytes(0), "vide".getBytes("US-ASCII"),
+      new Array[Byte](12), "graft ".getBytes("US-ASCII"))
+    // VisualSampleEntry 'png ': 6 reserved + 2 data_ref_index + 16
+    // pre_defined/reserved + w + h + 72dpi×2 + 4 reserved + frame_count 1
+    // + 32-byte compressorname + depth 24 + pre_defined -1
+    val sampleEntry = mp4Box("png ", new Array[Byte](6), u16(1),
+      new Array[Byte](16), u16(w), u16(h), beBytes(0x00480000),
+      beBytes(0x00480000), beBytes(0), u16(1), new Array[Byte](32),
+      u16(24), u16(0xFFFF))
+    val stsd = fullBox("stsd", beBytes(1), sampleEntry)
+    val stts = fullBox("stts", beBytes(1), beBytes(samples.length),
+      beBytes(frameDelta))
+    val stsc = fullBox("stsc", beBytes(1), beBytes(1),
+      beBytes(samples.length), beBytes(1))
+    val stsz = fullBox("stsz", beBytes(0), beBytes(samples.length),
+      samples.flatMap(s => beBytes(s.length)).toArray)
+    val stco = fullBox("stco", beBytes(1), beBytes(mdatOff))
+    val stbl = mp4Box("stbl", stsd, stts, stsc, stsz, stco)
+    val vmhd = mp4Box("vmhd", Array[Byte](0, 0, 0, 1), new Array[Byte](8))
+    val dref = fullBox("dref", beBytes(1),
+      mp4Box("url ", Array[Byte](0, 0, 0, 1))) // self-contained flag
+    val minf = mp4Box("minf", vmhd, mp4Box("dinf", dref), stbl)
+    val mdia = mp4Box("mdia", mdhd, hdlr, minf)
+    val trak = mp4Box("trak", tkhd, mdia)
+    val moov = mp4Box("moov", mvhd, trak)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ftyp, 0, ftyp.length)
+    out.write(mdat, 0, mdat.length)
+    out.write(moov, 0, moov.length)
+    out.toByteArray
+  }
+
+  /** Identity transform matrix (the spec's default: 1.0, 0, 0 / 0, 1.0, 0
+    * / 0, 0, 16384.0 in 16.16 / 2.30 fixed point).
+    */
+  private val mp4Matrix: Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(v => out.write(beBytes(v)))
+    out.toByteArray
+  }
+
+  /** First child box `tpe` in `[start, end)`: (payloadStart, boxEnd). */
+  private def mp4Find(b: Array[Byte], start: Int, end: Int,
+      tpe: String): Option[(Int, Int)] = {
+    var off = start
+    while (off + 8 <= end) {
+      val len = be32(b, off)
+      if (len < 8 || off + len > end) return None
+      if (b(off + 4) == tpe(0) && b(off + 5) == tpe(1) &&
+          b(off + 6) == tpe(2) && b(off + 7) == tpe(3))
+        return Some((off + 8, off + len))
+      off += len
+    }
+    None
+  }
+  private def mp4Path(b: Array[Byte], start: Int, end: Int,
+      path: String*): Option[(Int, Int)] =
+    path.foldLeft(Option((start, end))) {
+      case (acc, tpe) => acc.flatMap { case (s, e) => mp4Find(b, s, e, tpe) }
+    }
+
+  /** True when the payload leads with an ISO-BMFF `ftyp` box. */
+  def isMp4(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  /** Box-walk the moov tree: (width, height, frame count, timescale,
+    * duration ticks). None when the payload is not ISO-BMFF or the tree
+    * is missing a required box.
+    */
+  def parseMp4Header(b: Array[Byte]): Option[(Int, Int, Int, Int, Long)] = {
+    if (!isMp4(b)) return None
+    for {
+      (ms, me) <- mp4Path(b, 0, b.length, "moov")
+      (vs, _) <- mp4Find(b, ms, me, "mvhd")
+      (ts, _) <- mp4Path(b, ms, me, "trak", "tkhd")
+      (sts, ste) <- mp4Path(b, ms, me, "trak", "mdia", "minf", "stbl")
+      (tt, _) <- mp4Find(b, sts, ste, "stts")
+    } yield {
+      val timescale = be32(b, vs + 12)
+      val duration = be32(b, vs + 16).toLong
+      // tkhd v0: ver/flags 4 + times 8 + id 4 + res 4 + dur 4 + res 8 +
+      // layer/group/volume/res 8 + matrix 36 = 76 → width, 80 → height
+      val w = be32(b, ts + 76) >> 16
+      val h = be32(b, ts + 80) >> 16
+      val nEntries = be32(b, tt + 4)
+      var frames = 0
+      var i = 0
+      while (i < nEntries) { frames += be32(b, tt + 8 + i * 8); i += 1 }
+      (w, h, frames, timescale, duration)
+    }
+  }
+
+  /** Inflate ONLY the requested sample indices: offsets resolve through
+    * stco (single chunk) + cumulative stsz sizes, so unwanted frames are
+    * never touched — the sparse-sampling contract on standard framing.
+    */
+  def decodeMp4Frames(b: Array[Byte], wanted: Set[Int]): Seq[(Int, Array[Array[Int]])] = {
+    val stbl = mp4Path(b, 0, b.length, "moov", "trak", "mdia", "minf", "stbl")
+      .getOrElse(throw new IllegalArgumentException("not an MP4 video"))
+    val (ss, se) = stbl
+    val (sz, _) = mp4Find(b, ss, se, "stsz").getOrElse(
+      throw new IllegalArgumentException("MP4 lacks stsz"))
+    val (co, _) = mp4Find(b, ss, se, "stco").getOrElse(
+      throw new IllegalArgumentException("MP4 lacks stco"))
+    val n = be32(b, sz + 8)
+    val fixed = be32(b, sz + 4)
+    def sizeOf(i: Int): Int = if (fixed != 0) fixed else be32(b, sz + 12 + i * 4)
+    var off = be32(b, co + 8) // single chunk: first (only) offset
+    val out = Seq.newBuilder[(Int, Array[Array[Int]])]
+    var i = 0
+    while (i < n) {
+      val len = sizeOf(i)
+      require(off + len <= b.length, s"corrupt MP4 sample $i")
+      if (wanted.contains(i))
+        out += ((i, decodePngGray(java.util.Arrays.copyOfRange(b, off, off + len))))
+      off += len
+      i += 1
+    }
+    out.result()
+  }
+
+  /** [[synthVideoBatch]] with the STANDARD container: same frames, same
+    * twin planting, MP4 framing.
+    */
+  def synthMp4Batch(rows: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(videoSchema))
+    rows.select("vid_id", "src", "twin").mapPartitions { it =>
+      it.map { r =>
+        val src = r.getLong(1); val twin = r.getBoolean(2)
+        val frames = (0 until VideoFrames).map { f =>
+          val px = videoFramePixels(src, f)
+          if (twin && f == 4) { px(3)(4) = (px(3)(4) + 7) % 256 }
+          px
+        }
+        Row(r.getLong(0), encodeMp4(frames))
+      }
+    }(enc)
+  }
+
+  /** [[videoFrameHashBatch]] over MP4 payloads: sampled-frame dHashes via
+    * the stco/stsz walk.
+    */
+  def mp4FrameHashBatch(df: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(frameHashSchema))
+    val wanted = SampledFrames.toSet
+    df.select("vid_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        decodeMp4Frames(r.getAs[Array[Byte]](1), wanted).map { case (f, px) =>
+          Row(r.getLong(0), f, dHash(px))
+        }
+      }
+    }(enc)
   }
 
   private val videoSchema: StructType = StructType(Seq(

@@ -608,6 +608,40 @@ object Surface {
            |    ELSE 0 END) AS BIGINT) AS dhash_lo
            |FROM bits GROUP BY vid_id, f ORDER BY vid_id, frame_idx""".stripMargin)),
 
+    // Q35n [extension: MP4 / ISO base media container] the STANDARD video
+    // container (ISO/IEC 14496-12): the same frames as q35g packed as PNG
+    // samples into a spec-shaped box tree (ftyp / mdat / moov[mvhd,
+    // trak[tkhd, mdia[…, stbl[stsd stts stsc stsz stco]]]]). The decode
+    // path box-walks moov for header metadata — in-build requires pin
+    // width/height (tkhd 16.16), frame count (stts), timescale/duration
+    // (mvhd) — and inflates ONLY the sampled frame indices through
+    // stco + stsz. The oracle replays pixels → dHash from the formula
+    // with no container on its side, so the gate is purely a
+    // codec + standard-framing check.
+    "q35n_mp4_frames" -> QueryDef(
+      build = (s, d) => {
+        val vids = Multimodal.synthMp4Batch(videoRows(s, d))
+        val one = vids.limit(1).collect().head.getAs[Array[Byte]]("payload")
+        require(Multimodal.isMp4(one), "payload must lead with ftyp")
+        val hdr = Multimodal.parseMp4Header(one)
+        require(hdr.contains((9, 8, Multimodal.VideoFrames, 600, 1200L)),
+          s"MP4 moov walk must serve (w=9, h=8, frames=8, ts=600, " +
+            s"dur=1200), got $hdr")
+        val fh = Multimodal.mp4FrameHashBatch(vids)
+        fh.select($("vid_id"), $("frame_idx").cast("long").as("frame_idx"),
+            shiftrightunsigned($("dhash"), 32).as("dhash_hi"),
+            $("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
+          .orderBy($("vid_id"), $("frame_idx"))
+      },
+      oracle = Some(
+        s"""$videoHashOracleCte
+           |SELECT vid_id, CAST(f AS BIGINT) AS frame_idx,
+           |  CAST(sum(CASE WHEN i >= 32 THEN bit * (1::BIGINT << (i - 32))
+           |    ELSE 0 END) AS BIGINT) AS dhash_hi,
+           |  CAST(sum(CASE WHEN i < 32 THEN bit * (1::BIGINT << i)
+           |    ELSE 0 END) AS BIGINT) AS dhash_lo
+           |FROM bits GROUP BY vid_id, f ORDER BY vid_id, frame_idx""".stripMargin)),
+
     // Q35h [extension: video near-dedup] index-aligned per-frame banded
     // Hamming candidates (the q35d pigeonhole join keyed by (frame, chunk)
     // so only same-position frames pair), qualifying a video pair when ≥3

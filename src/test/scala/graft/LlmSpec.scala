@@ -731,6 +731,36 @@ class LlmSpec extends SparkSpec {
       "twin pairs should have all 4 sampled frames within bound")
   }
 
+  test("MP4 (ISO-BMFF): box tree round-trips, header walk, sparse sample decode") {
+    import graft.functions.Multimodal
+    val frames = (0 until Multimodal.VideoFrames)
+      .map(f => Multimodal.videoFramePixels(7L, f))
+    val enc = Multimodal.encodeMp4(frames)
+    assert(Multimodal.isMp4(enc))
+    // moov walk: width/height from tkhd 16.16, frames from stts,
+    // timescale/duration from mvhd
+    assert(Multimodal.parseMp4Header(enc)
+      .contains((9, 8, Multimodal.VideoFrames, 600, 1200L)))
+    // every sample round-trips pixel-exact through stco + stsz
+    val all = Multimodal.decodeMp4Frames(enc, (0 until Multimodal.VideoFrames).toSet)
+    assert(all.size == Multimodal.VideoFrames)
+    all.foreach { case (f, px) =>
+      assert(px.map(_.toSeq).toSeq == frames(f).map(_.toSeq).toSeq, s"frame $f differs")
+    }
+    // sparse decode touches exactly the requested indices
+    assert(Multimodal.decodeMp4Frames(enc, Set(0, 5)).map(_._1) == Seq(0, 5))
+    // MP4 and GVID encodings of the same frames hash identically — the
+    // container is framing, never content
+    val viaGvid = Multimodal.decodeVideoFrames(
+      Multimodal.encodeVideo(frames), Set(2)).head._2
+    val viaMp4 = Multimodal.decodeMp4Frames(enc, Set(2)).head._2
+    assert(viaGvid.map(_.toSeq).toSeq == viaMp4.map(_.toSeq).toSeq)
+    // a non-BMFF payload refuses loudly
+    intercept[IllegalArgumentException](
+      Multimodal.decodeMp4Frames("nope".getBytes ++ enc.drop(4), Set(0)))
+    assert(Multimodal.parseMp4Header("JUNKJUNKJUNKJUNK".getBytes).isEmpty)
+  }
+
   test("hot-bucket stress: 1k exact copies dedup without a straggler (q27b/q27g)") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
     // A class of c exact copies shares its whole MinHash signature, so
