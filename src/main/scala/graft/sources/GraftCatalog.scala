@@ -283,9 +283,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(n),
               v): InternalRow
           }.toArray))
+      case "branches" =>
+        require(version.isEmpty,
+          "$branches is the live fork listing; time travel does not apply")
+        val schema = StructType(Seq(
+          org.apache.spark.sql.types.StructField("name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("fork_base",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("head_version",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("stale",
+            org.apache.spark.sql.types.BooleanType)))
+        Some(new GraftMetaTable(ident.toString, schema, () => {
+          val cur = SnapshotStore.latest(root).version
+          SnapshotStore.branches(root).map { case (n, base, head) =>
+            InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(n),
+              base, head, base != cur): InternalRow
+          }.toArray
+        }))
       case other => throw new UnsupportedOperationException(
         s"unknown metadata table $$$other " +
-          "(supported: $history, $files, $partitions, $refs, $specs)")
+          "(supported: $history, $files, $partitions, $refs, $specs, " +
+          "$branches)")
     }
   }
 

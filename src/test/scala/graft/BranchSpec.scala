@@ -112,6 +112,28 @@ class BranchSpec extends SparkSpec {
       SnapshotStore.publishBranch(spark, root, "keep"))
   }
 
+  test("$branches metadata table lists forks with a staleness flag") {
+    val wh = tmp("graft_br_meta_wh")
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    spark.sql("CREATE TABLE graft.brt (id BIGINT)")
+    spark.sql("INSERT INTO graft.brt VALUES (1)") // v1
+    SnapshotStore.createBranch(spark, s"$wh/brt", "fresh")
+    SqlDml.execute(spark, "UPDATE t SET id = 2 WHERE id = 1",
+      Map("t" -> SnapshotStore.branchRoot(s"$wh/brt", "fresh")))
+    spark.sql("INSERT INTO graft.brt VALUES (3)") // v2: 'fresh' is now stale
+    SnapshotStore.createBranch(spark, s"$wh/brt", "live")
+    val rows = spark.sql(
+      "SELECT name, fork_base, head_version, stale FROM graft.`brt$branches` " +
+        "ORDER BY name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.toSeq == Seq(("fresh", 1L, 1L, true), ("live", 2L, 0L, false)),
+      rows.toSeq.toString)
+    // read-only, like every metadata table
+    intercept[Exception](
+      spark.sql("INSERT INTO graft.`brt$branches` VALUES ('x', 1, 1, false)"))
+  }
+
   test("SQL face: CALL create_branch / publish_branch / drop_branch") {
     val wh = tmp("graft_br_wh")
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
