@@ -673,7 +673,7 @@ object ProbeSpecEvolution {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    def run(n: Long): (Double, Double, Double) = {
+    def run(n: Long): (Double, Double, Double, Double) = {
       val root = GateTmp.freshDir(s"probe_pe_$n")
       SnapshotStore.init(spark, root, spark.range(n)
         .selectExpr("id", "CAST(id % 16 AS STRING) AS k",
@@ -689,15 +689,27 @@ object ProbeSpecEvolution {
           .filter(org.apache.spark.sql.functions.col("k") === "3").count()
         require(c > 0, "probe invariant: partition-filtered rows exist")
       }
-      (evolve, append, read)
+      // per-era scoped DML while the span is pending: a fixed ~100-row
+      // UPDATE must rewrite only the files holding matches in each era —
+      // O(touched files), never the table (the pre-round-14 full-COW heal
+      // would grow ~10× here)
+      val dml = time(graft.sources.SqlDml.execute(spark,
+        s"UPDATE t SET pad = 'y' WHERE id >= $n AND id < ${n + 100}",
+        Map("t" -> root)))
+      require(SnapshotStore.isEvolved(SnapshotStore.latest(root).dataDir),
+        "probe invariant: scoped DML must keep the span")
+      (evolve, append, read, dml)
     }
     run(nSmall) // warm-up
-    val (es, as_, rs) = run(nSmall)
-    val (eb, ab, rb) = run(nBig)
-    println(f"rows=$nSmall%d evolve=$es%.2fs append-10k=$as_%.2fs pruned-read=$rs%.2fs")
-    println(f"rows=$nBig%d evolve=$eb%.2fs append-10k=$ab%.2fs pruned-read=$rb%.2fs")
+    val (es, as_, rs, ds) = run(nSmall)
+    val (eb, ab, rb, db) = run(nBig)
+    println(f"rows=$nSmall%d evolve=$es%.2fs append-10k=$as_%.2fs " +
+      f"pruned-read=$rs%.2fs spanning-dml=$ds%.2fs")
+    println(f"rows=$nBig%d evolve=$eb%.2fs append-10k=$ab%.2fs " +
+      f"pruned-read=$rb%.2fs spanning-dml=$db%.2fs")
     println(f"growth evolve=${eb / es}%.2fx append=${ab / as_}%.2fx " +
-      f"read=${rb / rs}%.2fx (evolve/append flat; read tracks the old era)")
+      f"read=${rb / rs}%.2fx dml=${db / ds}%.2fx " +
+      "(evolve/append/dml flat; read tracks the old era)")
     spark.stop()
   }
 }
