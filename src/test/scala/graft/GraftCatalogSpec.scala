@@ -176,7 +176,8 @@ class GraftCatalogSpec extends SparkSpec {
     assert(procs == Set("optimize", "expire_snapshots", "clean_orphans",
       "restore", "clone", "create_mv", "refresh_mv",
       "create_join_mv", "refresh_join_mv", "create_tag", "drop_tag",
-      "copy_into", "set_partition_spec"),
+      "copy_into", "set_partition_spec",
+      "create_branch", "publish_branch", "drop_branch"),
       s"procedure surface: $procs")
   }
 
