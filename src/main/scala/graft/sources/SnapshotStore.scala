@@ -1067,9 +1067,19 @@ object SnapshotStore {
     carryStateSidecars(head.dataDir, dir.toString)
     carryRenames(head.dataDir, dir.toString)
     val keys = cdcKeys(root)
-    if (keys.nonEmpty)
-      diffChanges(read(spark, cur), readDir(spark, dir.toString), keys)
+    if (keys.nonEmpty) {
+      // schema staged on the branch may have grown columns the source
+      // head lacks — align the head onto the published shape (typed-NULL
+      // pads, the restore rule) before the squash diff
+      import org.apache.spark.sql.functions.{col, lit}
+      val published = readDir(spark, dir.toString)
+      val curDf = read(spark, cur)
+      val curAligned = curDf.select(published.columns.toIndexedSeq.map(c =>
+        (if (curDf.columns.contains(c)) col(c)
+         else lit(null).cast(published.schema(c).dataType)).as(c)): _*)
+      diffChanges(curAligned, published, keys)
         .write.mode("overwrite").parquet(s"$dir/_changes")
+    }
     if (!tryCommit(root, cur.version, dir.toString))
       throw new CommitConflictException(
         s"$root advanced while publishing branch '$name'; re-fork")
@@ -1080,6 +1090,13 @@ object SnapshotStore {
       Files.copy(bp, partitionsFile(root),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     else Files.deleteIfExists(partitionsFile(root))
+    // CHECK constraints added/dropped on the branch are part of the
+    // audited state — they publish with it
+    val bc = constraintsFile(br)
+    if (Files.exists(bc))
+      Files.copy(bc, constraintsFile(root),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else Files.deleteIfExists(constraintsFile(root))
     Snapshot(cur.version + 1, dir.toString)
   }
 

@@ -96,6 +96,38 @@ class BranchSpec extends SparkSpec {
       s"the feed must be the squash diff (v=99 never existed downstream): $feed")
   }
 
+  test("a branch that evolved its schema + constraints publishes both") {
+    val root = tmp("graft_br_schema")
+    SnapshotStore.init(spark, root,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), cdcKeys = Seq("id"))
+    SnapshotStore.createBranch(spark, root, "evo")
+    val br = SnapshotStore.branchRoot(root, "evo")
+    // stage a schema change, data under it, and a new CHECK constraint
+    SnapshotStore.alterSchema(spark, br,
+      _.add("note", org.apache.spark.sql.types.StringType))
+    SqlDml.execute(spark, "UPDATE t SET note = 'hot' WHERE id = 1",
+      Map("t" -> br))
+    SnapshotStore.addTableConstraint(spark, br, "v_pos", "v > 0")
+    val pub = SnapshotStore.publishBranch(spark, root, "evo")
+    // the source serves the evolved shape (pre-branch rows null-fill)
+    val got = SnapshotStore.read(spark, root)
+      .select($"id", $"v", $"note").as[(Long, Long, Option[String])]
+      .collect().toSet
+    assert(got == Set((1L, 10L, Some("hot")), (2L, 20L, None)))
+    // the squash diff aligns the pre-publish head onto the evolved shape:
+    // the changed row feeds with a typed-NULL preimage for the new column
+    val feed = SnapshotStore.changes(spark, root, pub.version, pub.version)
+      .select($"id", $"note", col(SnapshotStore.ChangeTypeCol))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2)))
+      .toSet
+    assert(feed == Set((1L, None, "update_preimage"),
+      (1L, Some("hot"), "update_postimage")), feed.toString)
+    // the staged constraint rode the publish: a violating write refuses
+    val e = intercept[Exception](SnapshotStore.append(spark, root,
+      Seq((9L, -1L, "x")).toDF("id", "v", "note")))
+    assert(e.getMessage.contains("v_pos"), e.getMessage)
+  }
+
   test("source VACUUM past the fork leaves the branch readable (hard links)") {
     val root = tmp("graft_br_vac")
     SnapshotStore.init(spark, root, (1L to 100L).toDF("id"))
