@@ -17,6 +17,37 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
+  test("evolved+DV SQL read: the pushed predicate reaches EVERY era branch's scan") {
+    // a snapshot spanning partition specs with a deletion vector plans as
+    // a Union with one DV-filtered scan per era; DvReadRewrite must insert
+    // a scan-consumed predicate beneath EACH branch's DV filter (a
+    // once-only insertion leaves the other branch unfiltered — extra rows)
+    import graft.sources.{GraftCatalog, SnapshotStore, SqlDml}
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_plan_dvspan").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    GraftExtensions.install(spark)
+    val root = s"$wh/dvspan"
+    SnapshotStore.init(spark, root,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L)).toDF("id", "k", "v"))
+    SnapshotStore.setDmlMode(root, SnapshotStore.MergeOnRead)
+    SqlDml.execute(spark, "DELETE FROM t WHERE id = 2", Map("t" -> root)) // DV
+    SnapshotStore.alterPartitionSpec(spark, root, Seq("k")) // span
+    SnapshotStore.append(spark, root, Seq((4L, "a", 40L)).toDF("id", "k", "v"))
+    val df = spark.sql("SELECT id, v FROM graft.dvspan WHERE v > 15")
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val dvFilters = "graft_dv_keep".r.findAllIn(p).length
+    val pushed = "GreaterThan\\(v".r.findAllIn(p).length
+    assert(dvFilters >= 2, s"expected one DV filter per era branch:\n$p")
+    assert(pushed >= dvFilters,
+      s"the predicate must reach every branch ($pushed pushes vs " +
+        s"$dvFilters DV filters):\n$p")
+    // and the substituted plan still answers correctly
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((3L, 30L), (4L, 40L)))
+  }
+
   test("q02: range/IN filters are pushed to the parquet scan") {
     val p = plan("q02_filter_range_in")
     assert(p.contains("PushedFilters: ["), p)
