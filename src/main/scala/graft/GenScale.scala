@@ -469,7 +469,7 @@ object ProbeBranch {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    def run(n: Long): (Double, Double, Double) = {
+    def run(n: Long): (Double, Double, Double, Double) = {
       val root = GateTmp.freshDir(s"probe_br_$n")
       SnapshotStore.init(spark, root, spark.range(n)
         .selectExpr("id", "CAST(id % 24 AS STRING) AS p", "id * 3 AS v",
@@ -480,15 +480,37 @@ object ProbeBranch {
       val tStage = time(SqlDml.execute(spark,
         "UPDATE t SET v = v + 1 WHERE p = '7'", Map("t" -> br)))
       val tPub = time(SnapshotStore.publishBranch(spark, root, "rel"))
-      (tFork, tStage, tPub)
+      // REBASE leg, on a CDC twin (rebase needs the feed for its
+      // disjointness proof): a FIXED staged edit, live ingest landing on
+      // the source mid-audit, then a publish that must take the rebase
+      // path — its diff nets from the branch's O(staged) change frames
+      // and replays partition-scoped, never O(table)
+      val rroot = GateTmp.freshDir(s"probe_brr_$n")
+      SnapshotStore.init(spark, rroot, spark.range(n)
+        .selectExpr("id", "CAST(id % 24 AS STRING) AS p", "id * 3 AS v",
+          "repeat('x', 64) AS pad").repartition(32),
+        partitionBy = Seq("p"), cdcKeys = Seq("id"))
+      SnapshotStore.createBranch(spark, rroot, "rel")
+      val rbr = SnapshotStore.branchRoot(rroot, "rel")
+      SqlDml.execute(spark,
+        "UPDATE t SET v = v + 1 WHERE p = '7' AND id < 24000",
+        Map("t" -> rbr))
+      SnapshotStore.append(spark, rroot, spark.range(10 * n, 10 * n + 10000)
+        .selectExpr("id", "CAST(id % 24 AS STRING) AS p", "id * 3 AS v",
+          "repeat('x', 64) AS pad"))
+      val tReb = time(SnapshotStore.publishBranch(spark, rroot, "rel"))
+      (tFork, tStage, tPub, tReb)
     }
     run(nSmall) // warm-up: JIT + parquet codepaths
-    val (f1, s1, p1) = run(nSmall)
-    val (f2, s2, p2) = run(nBig)
-    println(f"rows=$nSmall%d fork=$f1%.2fs stage=$s1%.2fs publish=$p1%.2fs")
-    println(f"rows=$nBig%d fork=$f2%.2fs stage=$s2%.2fs publish=$p2%.2fs")
+    val (f1, s1, p1, r1) = run(nSmall)
+    val (f2, s2, p2, r2) = run(nBig)
+    println(f"rows=$nSmall%d fork=$f1%.2fs stage=$s1%.2fs publish=$p1%.2fs " +
+      f"rebase-publish=$r1%.2fs")
+    println(f"rows=$nBig%d fork=$f2%.2fs stage=$s2%.2fs publish=$p2%.2fs " +
+      f"rebase-publish=$r2%.2fs")
     println(f"growth fork=${f2 / f1}%.2fx stage=${s2 / s1}%.2fx " +
-      f"publish=${p2 / p1}%.2fx (flat = O(#files) links + scoped DML)")
+      f"publish=${p2 / p1}%.2fx rebase=${r2 / r1}%.2fx " +
+      "(flat = O(#files) links + scoped DML + O(diff) replay)")
     spark.stop()
   }
 }

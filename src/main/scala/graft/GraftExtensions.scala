@@ -192,17 +192,35 @@ object GraftExtensions {
           if (!e.foldable) throw new IllegalArgumentException(
             s"table_changes: argument ${pos + 1} must be a constant, " +
               s"got non-foldable ${e.sql}")
-          e.eval() match {
-            case n: Number => n.longValue()
-            case s: org.apache.spark.unsafe.types.UTF8String =>
-              val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils
-                .stringToTimestampAnsi(s,
-                  java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
-              if (isFrom) graft.sources.SnapshotStore.versionSince(root, micros)
-              else graft.sources.SnapshotStore.versionAsOf(root, micros)
-            case other => throw new IllegalArgumentException(
+          val zone = java.time.ZoneId.of(
+            spark.sessionState.conf.sessionLocalTimeZone)
+          def fromMicros(micros: Long): Long =
+            if (isFrom) graft.sources.SnapshotStore.versionSince(root, micros)
+            else graft.sources.SnapshotStore.versionAsOf(root, micros)
+          // dispatch on the expression's DATA TYPE, not the runtime class
+          // of eval(): a typed TIMESTAMP'…' literal evaluates to a Long of
+          // epoch-micros and would otherwise silently read as a VERSION
+          import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+          (e.dataType, e.eval()) match {
+            case (TimestampType, micros: java.lang.Long) =>
+              fromMicros(micros)
+            case (TimestampNTZType, micros: java.lang.Long) =>
+              // NTZ micros encode the LOCAL wall time; anchor it in the
+              // session zone to get the epoch instant commit mtimes use
+              fromMicros(org.apache.spark.sql.catalyst.util.DateTimeUtils
+                .instantToMicros(org.apache.spark.sql.catalyst.util
+                  .DateTimeUtils.microsToLocalDateTime(micros)
+                  .atZone(zone).toInstant))
+            case (DateType, days: java.lang.Integer) =>
+              fromMicros(org.apache.spark.sql.catalyst.util.DateTimeUtils
+                .daysToMicros(days, zone))
+            case (_, n: Number) => n.longValue()
+            case (_, s: org.apache.spark.unsafe.types.UTF8String) =>
+              fromMicros(org.apache.spark.sql.catalyst.util.DateTimeUtils
+                .stringToTimestampAnsi(s, zone))
+            case (_, other) => throw new IllegalArgumentException(
               s"table_changes: argument ${pos + 1} must be a version " +
-                s"number or a timestamp string, got $other")
+                s"number or a timestamp, got $other")
           }
         }
         val from = bound(1, isFrom = true)

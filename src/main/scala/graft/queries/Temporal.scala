@@ -2494,12 +2494,14 @@ object Temporal {
     // staged-commit pattern (SnapshotStore.createBranch / publishBranch):
     // fork the table zero-copy, stage UPDATE + DELETE + append against
     // the BRANCH root, audit it while the production table stays bitwise
-    // untouched, then squash-publish as ONE commit. In-build requires pin
-    // the isolation (source row count frozen through staging), the audit
-    // invariant, and the staleness refusal (a sibling branch forked from
-    // the same base must refuse to publish after the first one wins —
-    // first-writer-wins, never a silent merge). The oracle replays the
-    // staged algebra; the hash compares the PUBLISHED source state.
+    // untouched — and publish next to LIVE INGEST: new rows land on the
+    // source mid-audit (the q91 topology's reality), so the squash takes
+    // the REBASE path — the branch's diff replays onto the current head
+    // after the disjoint-key proof (one keyed merge, never a silent
+    // overwrite of the ingested rows). A rival branch whose staged keys
+    // OVERLAP the published ones must still refuse — rebase is only for
+    // provably-independent edits. The oracle replays both write streams;
+    // the hash compares the PUBLISHED source state.
     "q113_wap" -> QueryDef(
       build = (s, d) => {
         import graft.sources.{SnapshotStore, SqlDml}
@@ -2510,7 +2512,7 @@ object Temporal {
           s"""SELECT o_orderkey AS id, o_custkey AS cust,
              |$cents AS price_c, o_orderpriority AS prio
              |FROM q113_ord""".stripMargin)
-        SnapshotStore.init(s, root, base) // v0
+        SnapshotStore.init(s, root, base, cdcKeys = Seq("id")) // v0
         SnapshotStore.createBranch(s, root, "release")
         SnapshotStore.createBranch(s, root, "rival") // same fork base
         val br = SnapshotStore.branchRoot(root, "release")
@@ -2527,12 +2529,22 @@ object Temporal {
         require(SnapshotStore.read(s, br)
           .filter($("cust") % 10 === 0 && $("id") < 10000000L).isEmpty,
           "audit: staged DELETE must hold on the branch")
-        // PUBLISH the audited branch; the rival fork is now stale
-        SnapshotStore.publishBranch(s, root, "release")
+        // the rival stages an edit OVERLAPPING release's key set
+        SqlDml.execute(s,
+          "UPDATE t SET price_c = price_c + 7 WHERE prio = '1-URGENT'",
+          Map("t" -> SnapshotStore.branchRoot(root, "rival")))
+        // LIVE INGEST: disjoint-key rows land on the SOURCE mid-audit
+        SnapshotStore.append(s, root, base.filter($("id") % 101 === 0)
+          .withColumn("id", $("id") + lit(20000000L))) // v1
+        // PUBLISH still succeeds — the rebase path proves disjointness and
+        // replays the squash diff onto the advanced head as one commit
+        val pub = SnapshotStore.publishBranch(s, root, "release")
+        require(pub.version == 2L, "rebase-publish must be one commit")
+        // the rival's staged keys overlap the published ones: refused
         val refused = try {
           SnapshotStore.publishBranch(s, root, "rival"); false
         } catch { case _: IllegalArgumentException => true }
-        require(refused, "a stale fork must refuse to publish")
+        require(refused, "an overlapping stale fork must refuse to publish")
         SnapshotStore.dropBranch(root, "rival")
         SnapshotStore.read(s, root).orderBy($("id"))
       },
@@ -2549,7 +2561,10 @@ object Temporal {
            |  FROM base WHERE cust % 10 <> 0
            |  UNION ALL
            |  SELECT id + 10000000, cust, price_c, prio
-           |  FROM base WHERE id % 97 = 0)
+           |  FROM base WHERE id % 97 = 0
+           |  UNION ALL
+           |  SELECT id + 20000000, cust, price_c, prio
+           |  FROM base WHERE id % 101 = 0)
            |ORDER BY id""".stripMargin
       }))
 }

@@ -744,6 +744,26 @@ object SnapshotStore {
         s"column name(s) ${collide.map(_.name).mkString(", ")} are still " +
           s"carried physically by pre-rename files of $root; OPTIMIZE " +
           "(full rewrite) first, then add")
+      // on a CDC table a RETIRED feed name (the old side of any feed-log
+      // rename) is never reusable — not for ADD, not as a rename target:
+      // pre-rename change FRAMES carry it physically forever (the feed log
+      // is append-only and a healing OPTIMIZE only drops the per-snapshot
+      // sidecar, never the frames), so a reused name would serve the OLD
+      // column's frame values through changes()'s unguarded head leg and
+      // feedNameAt would forward-walk the new column into the rename
+      // target. The per-snapshot chain guard above cannot see this after a
+      // heal; the feed log can.
+      if (cdcKeys(root).nonEmpty) {
+        val retiredAt = feedRenames(root).map(r => r._2.toLowerCase -> r._1).toMap
+        val reuse = (added.map(_.name) ++ renames.keys)
+          .filter(n => retiredAt.contains(n.toLowerCase))
+        require(reuse.isEmpty,
+          s"column name(s) ${reuse.distinct.mkString(", ")} were retired by " +
+            s"RENAME COLUMN (at version(s) ${reuse.distinct.map(n =>
+              retiredAt(n.toLowerCase)).mkString(", ")}) and live on in " +
+            s"$root's historical change frames; a CDC table cannot reuse a " +
+            "retired name — pick a distinct one")
+      }
       // every spec the snapshot spans keys files by its columns — a
       // schema change may not orphan any of them
       val specCols = readSpecs(base.dataDir).flatMap(_._2) ++ partitionCols(root)
@@ -1043,20 +1063,43 @@ object SnapshotStore {
     * Layout/config changes staged on the branch (partition marker)
     * follow the publish, like RESTORE. The branch itself is left in
     * place for [[dropBranch]] — publishing twice is refused by the
-    * staleness check (the publish itself advanced the source).
+    * staleness/overlap checks (the publish itself advanced the source
+    * and touched the branch's own keys).
+    *
+    * A source that ADVANCED past the fork base (live ingest during a long
+    * audit — the q91 topology) takes the REBASE path ([[rebasePublish]]):
+    * when the table has a change feed and the interim source commits
+    * touch a key set disjoint from the branch's squash diff, the diff
+    * replays onto the current head as one keyed merge — sound, because no
+    * interim commit invalidated anything the audit saw. Overlap, schema
+    * drift, or a feed-less table still refuse loudly — publish never
+    * silently merges conflicting edits.
     */
   def publishBranch(spark: SparkSession, root: String, name: String): Snapshot = {
+    var restarts = 0
+    while (true) {
+      try return publishBranchOnce(spark, root, name)
+      catch {
+        case e: StaleStampException =>
+          // a writer landed between the rebase's disjointness proof and
+          // its commit — re-derive the proof against the new head
+          restarts += 1
+          if (restarts >= 5) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def publishBranchOnce(spark: SparkSession, root: String,
+      name: String): Snapshot = {
     val br = branchRoot(root, name)
     require(Files.exists(Paths.get(br, "_base")),
       s"no branch '$name' on $root")
     val baseV = Files.readString(Paths.get(br, "_base")).trim.toLong
     val head = latest(br)
     val cur = latest(root)
-    require(cur.version == baseV,
-      s"$root advanced past branch '$name''s fork base (forked at $baseV, " +
-        s"source is at ${cur.version}): the staged work was audited " +
-        "against a stale snapshot — re-fork and re-stage (publish never " +
-        "silently merges)")
+    if (cur.version != baseV)
+      return rebasePublish(spark, root, name, br, baseV, head, cur)
     if (head.version == 0L) return cur // nothing staged: publish is a no-op
     val dir = Paths.get(root, "data", UUID.randomUUID().toString)
     Files.createDirectories(dir)
@@ -1066,17 +1109,37 @@ object SnapshotStore {
     carrySpecs(head.dataDir, dir.toString)
     carryStateSidecars(head.dataDir, dir.toString)
     carryRenames(head.dataDir, dir.toString)
-    val keys = cdcKeys(root)
+    // the branch's own feed-rename history (a fork starts with an empty
+    // log, so every entry is branch-staged): the squash diff must align
+    // a column RENAMED on the branch onto its old values in the source
+    // head — a typed-NULL pad would report every row as changed with
+    // null preimages — and the source's feed log must learn the rename
+    // (re-versioned to the publish commit) or feeds spanning the publish
+    // would null-fill pre-publish frames of the renamed column
+    val brLog = feedRenames(br)
+    def nameAtForkBase(c: String): String = {
+      var n = c
+      brLog.reverseIterator.foreach { case (_, old, nw) =>
+        if (nw.equalsIgnoreCase(n)) n = old }
+      n
+    }
+    // the BRANCH's key names: a CDC key renamed on the branch keeps the
+    // branch config current (alterSchema remaps it), and the published
+    // frame carries the new names — the root config follows after the CAS
+    val keys = cdcKeys(br)
     if (keys.nonEmpty) {
       // schema staged on the branch may have grown columns the source
       // head lacks — align the head onto the published shape (typed-NULL
-      // pads, the restore rule) before the squash diff
+      // pads for genuinely-new columns, the restore rule; rename-chain
+      // resolution for renamed ones) before the squash diff
       import org.apache.spark.sql.functions.{col, lit}
       val published = readDir(spark, dir.toString)
       val curDf = read(spark, cur)
-      val curAligned = curDf.select(published.columns.toIndexedSeq.map(c =>
-        (if (curDf.columns.contains(c)) col(c)
-         else lit(null).cast(published.schema(c).dataType)).as(c)): _*)
+      val curAligned = curDf.select(published.columns.toIndexedSeq.map { c =>
+        val atBase = nameAtForkBase(c)
+        (if (curDf.columns.exists(_.equalsIgnoreCase(atBase))) col(atBase)
+         else lit(null).cast(published.schema(c).dataType)).as(c)
+      }: _*)
       diffChanges(curAligned, published, keys)
         .write.mode("overwrite").parquet(s"$dir/_changes")
     }
@@ -1097,7 +1160,132 @@ object SnapshotStore {
       Files.copy(bc, constraintsFile(root),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     else Files.deleteIfExists(constraintsFile(root))
+    // branch-staged RENAME COLUMNs re-version into the SOURCE's feed log
+    // at the publish commit: pre-publish frames of the source then resolve
+    // through the chain (guarded `cv < publishVersion`) instead of
+    // null-filling, and the _cdc config follows a renamed key
+    if (brLog.nonEmpty) {
+      val lines = brLog.map { case (_, old, nw) =>
+        s"${cur.version + 1}\t$old\t$nw" }.mkString("", "\n", "\n")
+      Files.writeString(feedRenamesFile(root), lines,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      if (keys.nonEmpty && keys != cdcKeys(root))
+        Files.writeString(cdcConfigFile(root), keys.mkString(","))
+    }
     Snapshot(cur.version + 1, dir.toString)
+  }
+
+  /** FAST-FORWARD / REBASE publish (the Iceberg cherry-pick answer to
+    * "WAP collides with live ingest"): the source advanced past the fork
+    * base, so the plain squash would overwrite interim commits. When it
+    * can be done SOUNDLY, replay the branch's squash diff (vs its fork
+    * base) onto the CURRENT head as one keyed merge:
+    *
+    *   - the table must have a change feed: the interim commits' touched
+    *     keys are provable from their change frames, nothing else;
+    *   - the interim key set and the branch diff's key set must be
+    *     DISJOINT — every row the audit saw is then still exactly what
+    *     the source holds, so the replayed statement is the audited one;
+    *   - neither side may have changed schema / layout / constraints /
+    *     renames mid-flight (a pure keyed replay has no sound answer for
+    *     those — re-fork).
+    *
+    * Anything else refuses with the re-fork message. Cost is O(diff)
+    * under the table's own DML granularity: touched partitions rewrite,
+    * untouched ones hard-link (the transactPartial machinery), so a long
+    * audit next to continuous COPY INTO publishes without re-staging.
+    * A writer landing between the disjointness proof and the commit fails
+    * the version pin → StaleStampException → [[publishBranch]] re-derives
+    * the proof.
+    */
+  private def rebasePublish(spark: SparkSession, root: String, name: String,
+      br: String, baseV: Long, head: Snapshot, cur: Snapshot): Snapshot = {
+    import org.apache.spark.sql.functions.col
+    def refuse(why: String): Nothing = throw new IllegalArgumentException(
+      s"$root advanced past branch '$name''s fork base (forked at $baseV, " +
+        s"source is at ${cur.version}) and $why — re-fork and re-stage " +
+        "(publish never silently merges)")
+    val keys = cdcKeys(br)
+    if (keys.isEmpty) refuse("the table has no change feed to prove the " +
+      "interim commits touch a disjoint key set (rebase-publish needs cdcKeys)")
+    // interim frames must still exist — a VACUUMed version's touched keys
+    // are unprovable
+    (baseV + 1 to cur.version).foreach { v =>
+      if (!Files.exists(commitFile(root, v)) ||
+          !Files.exists(Paths.get(at(root, v).dataDir)))
+        refuse(s"interim version $v was expired (VACUUM) — its touched " +
+          "keys are unprovable")
+    }
+    // a pure keyed replay has no sound answer for mid-flight metadata
+    // drift on EITHER side. Compare name/type SHAPE: nullability and field
+    // metadata legitimately differ between footer-inferred and pinned
+    // schemas of identical tables
+    def shape(s: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
+      s.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType.catalogString))
+    val baseSnap = at(root, baseV)
+    val baseSchema = readSchema(spark, baseSnap)
+    if (shape(readSchema(spark, cur)) != shape(baseSchema))
+      refuse("the interim commits changed the source schema")
+    if (shape(readSchema(spark, head)) != shape(baseSchema))
+      refuse("the branch staged a schema change")
+    if (feedRenames(br).nonEmpty) refuse("the branch staged RENAME COLUMN")
+    def fileStr(p: Path): String =
+      if (Files.exists(p)) Files.readString(p) else ""
+    if (fileStr(partitionsFile(br)) != fileStr(partitionsFile(root)))
+      refuse("the partition layout diverged")
+    if (fileStr(constraintsFile(br)) != fileStr(constraintsFile(root)))
+      refuse("the CHECK constraints diverged")
+    // the branch's squash diff vs its fork base, netted from the BRANCH's
+    // own change feed — O(staged change volume), never a two-snapshot
+    // join (intermediate churn collapses away, exactly as in the
+    // fast-path publish)
+    val cols = baseSchema.fieldNames.toIndexedSeq
+    val diff = netChanges(spark, br, 1L, head.version, keys)
+      .select((cols :+ ChangeTypeCol).map(col): _*).persist()
+    try {
+      val branchKeys = diff.select(keys.map(col): _*).distinct().persist()
+      try {
+        // DISJOINTNESS PROOF: no interim commit touched a branch-staged key
+        val interimKeys = changes(spark, root, baseV + 1, cur.version)
+          .select(keys.map(col): _*).distinct()
+        val clash = branchKeys.alias("b").join(interimKeys.alias("i"),
+            keys.map(k => col(s"b.$k") <=> col(s"i.$k")).reduce(_ && _),
+            "left_semi")
+          .limit(1).collect()
+        if (clash.nonEmpty)
+          refuse(s"the interim commits touch key(s) the branch also staged " +
+            s"(e.g. ${keys.zip(clash.head.toSeq).map { case (k, v) =>
+              s"$k=$v" }.mkString(", ")}): overlapping edits cannot replay " +
+            "soundly")
+        if (diff.isEmpty) return cur // audited, but nothing actually changed
+        val arriving = diff
+          .filter(col(ChangeTypeCol).isin("insert", "update_postimage"))
+          .select(cols.map(col): _*)
+        def replay(df: DataFrame): DataFrame =
+          df.alias("t").join(branchKeys.alias("k"),
+              keys.map(k => col(s"t.$k") <=> col(s"k.$k")).reduce(_ && _),
+              "left_anti")
+            .select(cols.map(col): _*)
+            .unionByName(arriving)
+        // a writer landing after the proof above must abort the commit —
+        // its keys were never checked
+        val pin = () => latest(root).version == cur.version
+        if (partitionCols(root).nonEmpty && !isEvolved(cur.dataDir))
+          // partition-scoped replay: only partitions holding a branch key
+          // rewrite; interim-commit partitions hard-link through untouched
+          transactPartialWithChanges(spark, root, pinCheck = pin)(
+            baseL => baseL.alias("t").join(branchKeys.alias("k"),
+              keys.map(k => col(s"t.$k") <=> col(s"k.$k")).reduce(_ && _),
+              "left_semi")) { touched =>
+            (replay(touched), diff)
+          }
+        else
+          transactImpl(spark, root, maxAttempts = 10, statsCols = Nil,
+            txn = None, constraints = Nil, pinCheck = pin)(
+            df => (replay(df), Some(diff)))
+      } finally { branchKeys.unpersist(); () }
+    } finally { diff.unpersist(); () }
   }
 
   /** Discard branch `name` (its data files are hard links — deleting
@@ -1794,6 +1982,62 @@ object SnapshotStore {
     log.reverseIterator.foreach { case (v, old, nw) =>
       if (v > version && nw.equalsIgnoreCase(cur)) cur = old }
     cur
+  }
+
+  /** The NET keyed diff of a change-feed slice — semantically what
+    * [[diffChanges]](state@`fromVersion`−1, state@`toVersion`) produces,
+    * computed from O(feed volume) change rows instead of joining two full
+    * snapshots. Per key: the earliest frame fixes the before-image (an
+    * `insert` first frame means the key did not exist), the latest fixes
+    * the after-image (`delete` last means it no longer does); intermediate
+    * churn collapses away and keys whose values round-trip emit nothing.
+    * This is the squash-diff primitive for branch publishes: a branch that
+    * staged k changed rows on a 100 TB table nets its diff from k·O(1)
+    * frames, never from two table-wide shuffles.
+    */
+  private[graft] def netChanges(spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val feed = changes(spark, root, fromVersion, toVersion)
+    val cols = feed.columns.toIndexedSeq
+      .filterNot(c => c == ChangeTypeCol || c == CommitVersionCol)
+    val nonKeys = cols.filterNot(keys.contains)
+    val tc = col(ChangeTypeCol)
+    // within one version a key carries at most an update's pre+post pair:
+    // the preimage is that version's "before", the postimage its "after"
+    val ord = when(tc.isin("update_preimage", "delete"), 0).otherwise(1)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(CommitVersionCol).asc, ord.asc)
+    val wd = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(CommitVersionCol).desc, ord.desc)
+    val rowStruct = struct(cols.map(col): _*)
+    val agg = feed
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__rnd", row_number().over(wd))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        max(when(col("__rn") === 1 &&
+          tc.isin("delete", "update_preimage"), rowStruct)).as("__b"),
+        max(when(col("__rnd") === 1 &&
+          tc.isin("insert", "update_postimage"), rowStruct)).as("__a"))
+    def img(s: String, kind: String) = struct(
+      cols.map(c => col(s).getField(c).as(c)) :+ lit(kind).as(ChangeTypeCol): _*)
+    val changed = nonKeys
+      .map(c => !(col("__b").getField(c) <=> col("__a").getField(c)))
+      .foldLeft(lit(false))(_ || _)
+    // unchanged round-trips emit a typed sentinel the filter drops — the
+    // diffChanges trick that keeps the array expression fully typed
+    val events =
+      when(col("__b").isNull && col("__a").isNotNull,
+        array(img("__a", "insert")))
+      .when(col("__b").isNotNull && col("__a").isNull,
+        array(img("__b", "delete")))
+      .when(col("__b").isNotNull && col("__a").isNotNull && changed,
+        array(img("__b", "update_preimage"), img("__a", "update_postimage")))
+      .otherwise(array(img("__a", "__skip")))
+    agg.select(explode(events).as("__e")).select(col("__e.*"))
+      .filter(col(ChangeTypeCol) =!= "__skip")
   }
 
   /** The keyed snapshot diff behind the change feed: ONE null-safe
@@ -3025,8 +3269,11 @@ object SnapshotStore {
     * a DV-deleted row can neither match nor resurrect into the rewrite —
     * and carries forward pruned to the UNTOUCHED files (rewritten files'
     * live rows migrated; their DV entries would dangle). Rename sidecars
-    * cannot coexist with a spanning snapshot ([[alterPartitionSpec]]
-    * refuses them), and spanning snapshots carry no stats manifest.
+    * ride through: each era scans with the rename-extended schema and the
+    * DirRead coalesce resolves physical names, touched rows REWRITE under
+    * their logical names (healed), and the sidecar carries forward for
+    * the linked files that still store physical ones. Spanning snapshots
+    * carry no stats manifest.
     * Returns None on a lost CAS (caller retries against the new head).
     */
   private def stagePartialEvolved(spark: SparkSession, root: String,

@@ -128,6 +128,107 @@ class BranchSpec extends SparkSpec {
     assert(e.getMessage.contains("v_pos"), e.getMessage)
   }
 
+  test("rebase-publish: disjoint-key ingest during the audit publishes cleanly") {
+    val root = tmp("graft_br_rebase")
+    SnapshotStore.init(spark, root,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"), cdcKeys = Seq("id"))
+    SnapshotStore.createBranch(spark, root, "audit")
+    val br = SnapshotStore.branchRoot(root, "audit")
+    SqlDml.execute(spark, "UPDATE t SET v = 11 WHERE id = 1", Map("t" -> br))
+    SqlDml.execute(spark, "DELETE FROM t WHERE id = 2", Map("t" -> br))
+    SnapshotStore.append(spark, br, Seq((9L, 90L)).toDF("id", "v"))
+    // live ingest lands on the SOURCE mid-audit — disjoint keys
+    SnapshotStore.append(spark, root, Seq((7L, 70L)).toDF("id", "v"))
+    SnapshotStore.append(spark, root, Seq((8L, 80L)).toDF("id", "v"))
+    val pub = SnapshotStore.publishBranch(spark, root, "audit")
+    assert(pub.version == 3L, "rebase-publish is still ONE commit")
+    // published = interim ingest ∪ the audited algebra
+    assert(SnapshotStore.read(spark, root).select($"id", $"v")
+      .as[(Long, Long)].collect().toSet ==
+      Set((1L, 11L), (3L, 30L), (7L, 70L), (8L, 80L), (9L, 90L)))
+    // the publish commit's feed is exactly the branch's squash diff —
+    // interim-commit rows do NOT re-feed
+    val feed = SnapshotStore.changes(spark, root, pub.version, pub.version)
+      .select($"id", $"v", col(SnapshotStore.ChangeTypeCol))
+      .as[(Long, Long, String)].collect().toSet
+    assert(feed == Set((1L, 10L, "update_preimage"), (1L, 11L, "update_postimage"),
+      (2L, 20L, "delete"), (9L, 90L, "insert")), feed.toString)
+    // publishing AGAIN refuses: the publish itself touched the branch keys
+    val e = intercept[IllegalArgumentException](
+      SnapshotStore.publishBranch(spark, root, "audit"))
+    assert(e.getMessage.contains("re-fork"), e.getMessage)
+  }
+
+  test("rebase-publish refuses when interim commits touch a staged key") {
+    val root = tmp("graft_br_overlap")
+    SnapshotStore.init(spark, root,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), cdcKeys = Seq("id"))
+    SnapshotStore.createBranch(spark, root, "audit")
+    val br = SnapshotStore.branchRoot(root, "audit")
+    SqlDml.execute(spark, "UPDATE t SET v = 11 WHERE id = 1", Map("t" -> br))
+    // the source edits the SAME key mid-audit — the audit is invalidated
+    SqlDml.execute(spark, "UPDATE t SET v = 99 WHERE id = 1", Map("t" -> root))
+    val e = intercept[IllegalArgumentException](
+      SnapshotStore.publishBranch(spark, root, "audit"))
+    assert(e.getMessage.contains("overlapping") &&
+      e.getMessage.contains("re-fork"), e.getMessage)
+    assert(SnapshotStore.read(spark, root).filter($"id" === 1L)
+      .head().getLong(1) == 99L, "a refused publish must change nothing")
+    // interim schema drift refuses too, even on disjoint keys
+    val root2 = tmp("graft_br_drift")
+    SnapshotStore.init(spark, root2, Seq((1L, 10L)).toDF("id", "v"),
+      cdcKeys = Seq("id"))
+    SnapshotStore.createBranch(spark, root2, "b")
+    SqlDml.execute(spark, "UPDATE t SET v = 11 WHERE id = 1",
+      Map("t" -> SnapshotStore.branchRoot(root2, "b")))
+    SnapshotStore.alterSchema(spark, root2,
+      _.add("note", org.apache.spark.sql.types.StringType))
+    val e2 = intercept[IllegalArgumentException](
+      SnapshotStore.publishBranch(spark, root2, "b"))
+    assert(e2.getMessage.contains("schema"), e2.getMessage)
+  }
+
+  test("a branch-staged RENAME COLUMN publishes the feed log and _cdc config") {
+    val root = tmp("graft_br_ren")
+    SnapshotStore.init(spark, root,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "sal"), cdcKeys = Seq("id"))
+    SqlDml.execute(spark, "UPDATE t SET sal = 11 WHERE id = 1",
+      Map("t" -> root)) // v1: a pre-publish frame written under 'sal'
+    SnapshotStore.createBranch(spark, root, "ren")
+    val br = SnapshotStore.branchRoot(root, "ren")
+    SnapshotStore.alterSchema(spark, br, identity,
+      renames = Map("salary" -> "sal"))
+    SqlDml.execute(spark, "UPDATE t SET salary = 100 WHERE id = 2",
+      Map("t" -> br))
+    val pub = SnapshotStore.publishBranch(spark, root, "ren")
+    // the squash diff must align the old head THROUGH the rename: only the
+    // actually-changed row feeds, with a real (not null) preimage
+    val feed = SnapshotStore.changes(spark, root, pub.version, pub.version)
+      .select($"id", $"salary", col(SnapshotStore.ChangeTypeCol))
+      .as[(Long, Long, String)].collect().toSet
+    assert(feed == Set((2L, 20L, "update_preimage"), (2L, 100L, "update_postimage")),
+      s"a renamed column must not null-pad the squash diff: $feed")
+    // the SOURCE's feed log learned the rename: a span over the publish
+    // resolves pre-publish 'sal' frames under the new name
+    val spanned = SnapshotStore.changes(spark, root, 1L, pub.version)
+      .filter(col(SnapshotStore.CommitVersionCol) === 1L &&
+        col(SnapshotStore.ChangeTypeCol) === "update_postimage")
+      .select($"salary").as[Long].collect().toSeq
+    assert(spanned == Seq(11L),
+      s"pre-publish frames must resolve through the published rename: $spanned")
+    // a branch-renamed CDC KEY updates the source's _cdc config on publish
+    val root2 = tmp("graft_br_keyren")
+    SnapshotStore.init(spark, root2, Seq((1L, 10L)).toDF("id", "v"),
+      cdcKeys = Seq("id"))
+    SnapshotStore.createBranch(spark, root2, "kr")
+    SnapshotStore.alterSchema(spark, SnapshotStore.branchRoot(root2, "kr"),
+      identity, renames = Map("pk" -> "id"))
+    SnapshotStore.publishBranch(spark, root2, "kr")
+    assert(SnapshotStore.cdcKeys(root2) == Seq("pk"),
+      "the source _cdc config must follow a published key rename")
+    SqlDml.execute(spark, "UPDATE t SET v = 11 WHERE pk = 1", Map("t" -> root2))
+  }
+
   test("source VACUUM past the fork leaves the branch readable (hard links)") {
     val root = tmp("graft_br_vac")
     SnapshotStore.init(spark, root, (1L to 100L).toDF("id"))

@@ -310,6 +310,37 @@ class CdcSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet == Set((2L, 121L)))
   }
 
+  test("a retired feed name can never be reused on a CDC table") {
+    val root = tmp("graft_cdc_retired")
+    SnapshotStore.init(spark, root,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), cdcKeys = Seq("id"))
+    val t = Map("t" -> root)
+    SqlDml.execute(spark, "UPDATE t SET v = v + 1 WHERE id = 1", t) // frames carry 'v'
+    SnapshotStore.alterSchema(spark, root, identity,
+      renames = Map("w" -> "v")) // 'v' is now a RETIRED feed name
+    // a healing OPTIMIZE drops the per-snapshot _renames.tsv sidecar — the
+    // per-snapshot chain guard goes blind, but historical change frames
+    // still physically carry 'v'; only the append-only feed log remembers
+    SnapshotStore.optimize(spark, root, targetRows = 1000000L)
+    // ADD COLUMN v must refuse: changes()'s head leg would serve the OLD
+    // column's pre-rename frame values under the new column
+    val e = intercept[IllegalArgumentException](
+      SnapshotStore.alterSchema(spark, root,
+        _.add("v", org.apache.spark.sql.types.LongType)))
+    assert(e.getMessage.contains("retired"), e.getMessage)
+    // a rename TARGET reusing the retired name refuses the same way
+    SnapshotStore.alterSchema(spark, root,
+      _.add("x", org.apache.spark.sql.types.LongType))
+    val e2 = intercept[IllegalArgumentException](
+      SnapshotStore.alterSchema(spark, root, identity,
+        renames = Map("v" -> "x")))
+    assert(e2.getMessage.contains("retired"), e2.getMessage)
+    // the feed across the whole history still serves ONE sound shape
+    val feed = SnapshotStore.changes(spark, root, 1L,
+      SnapshotStore.latest(root).version)
+    assert(feed.columns.contains("w") && !feed.columns.contains("v"))
+  }
+
   test("table_changes accepts TIMESTAMP bounds (commit-mtime resolution)") {
     val root = tmp("graft_cdc_ts")
     SnapshotStore.init(spark, root, Seq((1L, 10L)).toDF("id", "v"),
@@ -337,6 +368,20 @@ class CdcSpec extends SparkSpec {
       s"SELECT _commit_version FROM table_changes('$root', '${iso(cut)}', 2)")
       .collect().map(_.getLong(0)).toSet
     assert(since == Set(2L), s"FROM-ts must resolve to the first commit >= ts: $since")
+    // a TYPED timestamp literal evaluates to a Long of epoch-micros — it
+    // must dispatch on its DATA TYPE as a timestamp, never as a version
+    val sinceTyped = spark.sql(
+      s"SELECT _commit_version FROM table_changes('$root', " +
+        s"TIMESTAMP'${iso(cut)}', 2)")
+      .collect().map(_.getLong(0)).toSet
+    assert(sinceTyped == Set(2L),
+      s"typed TIMESTAMP literal must resolve as a timestamp: $sinceTyped")
+    // a typed DATE literal likewise (resolves via day-start micros; 1999
+    // predates the first commit, so the loud TO-bound error proves the
+    // timestamp path was taken — a version read would not error this way)
+    val eDate = intercept[Exception](spark.sql(
+      s"SELECT * FROM table_changes('$root', 1, DATE'1999-01-01')").collect())
+    assert(eDate.getMessage.contains("at or before"), eDate.getMessage)
     // TO a FUTURE timestamp clamps to the head (changes-until-now works)
     val untilNow = spark.sql(
       s"SELECT DISTINCT _commit_version FROM table_changes('$root', 1, " +
