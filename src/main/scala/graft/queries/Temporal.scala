@@ -1539,22 +1539,21 @@ object Temporal {
         SqlDml.execute(s,
           "UPDATE dim SET bonus = bonus + 5 WHERE segment = 'BUILDING'", td)
         SqlDml.execute(s, "DELETE FROM dim WHERE segment = 'FURNITURE'", td)
-        // advance the pipeline: sources → join view → aggregate view
-        MatView.refreshJoin(s, emp, dim, jmv, Seq("segment"))
-        MatView.refresh(s, jmv, amv, Seq("segment", "bonus"), "salary", aggs)
+        // advance the pipeline with ONE call: refreshAll walks the
+        // recorded dependency DAG (sources → join view → aggregate view)
+        // in topological order — no hand-ordered refresh chain
+        MatView.refreshAll(s, amv)
         // second round on top (dim-side churn must cascade through both)
         SqlDml.execute(s,
           "UPDATE dim SET bonus = bonus + 1 WHERE segment = 'AUTOMOBILE'", td)
         SqlDml.execute(s, "DELETE FROM emp WHERE id % 11 = 0", te)
-        MatView.refreshJoin(s, emp, dim, jmv, Seq("segment"))
-        MatView.refresh(s, jmv, amv, Seq("segment", "bonus"), "salary", aggs)
+        MatView.refreshAll(s, amv)
         // replay: both layers are stamped no-ops
-        val jv = MatView.refreshJoin(s, emp, dim, jmv, Seq("segment")).version
-        require(MatView.refreshJoin(s, emp, dim, jmv, Seq("segment")).version == jv)
-        val av = MatView.refresh(s, jmv, amv,
-          Seq("segment", "bonus"), "salary", aggs).version
-        require(MatView.refresh(s, jmv, amv,
-          Seq("segment", "bonus"), "salary", aggs).version == av)
+        val jv = SnapshotStore.latest(jmv).version
+        val av = MatView.refreshAll(s, amv).version
+        require(SnapshotStore.latest(jmv).version == jv &&
+          MatView.refreshAll(s, amv).version == av,
+          "a replayed refreshAll must be a no-op at every layer")
         SnapshotStore.read(s, amv)
           .select($("segment"), $("bonus"), $("n_rows"), $("val_sum"),
             $("val_min"), $("val_avg"))
@@ -1649,6 +1648,78 @@ object Temporal {
            |SELECT e.segment, e.id, e.salary, CAST(d.bonus AS BIGINT) AS bonus
            |FROM emp e LEFT JOIN dim d USING (segment)
            |ORDER BY e.id""".stripMargin
+      }),
+
+    // Q95f [extension: MV aggregate breadth — stddev + count(distinct)]
+    // stddev rides PURE integer algebra: the view stores Σv² as
+    // DECIMAL(38,0) next to Σv/n and folds ±v² per change row (exact under
+    // deletes, no recompute), deriving the sample stddev in the output
+    // projection from the same formula DuckDB's oracle evaluates —
+    // identical exact-integer operands through identical IEEE-754 ops.
+    // count(distinct) is non-algebraic in BOTH directions (an arriving
+    // value may duplicate, a leaving one may be a group's only copy), so
+    // every touched group recomputes against the PINNED source — this
+    // gate's DELETE leg removes only-copies (salary = floor(id/7)·100
+    // makes most (segment, value) pairs singletons) and the INSERT leg
+    // re-inserts EXISTING values under new keys, which must grow n_rows
+    // without growing val_distinct. Oracle: DuckDB full recompute.
+    "q95f_mv_stddev_distinct" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{MatView, SnapshotStore, SqlDml}
+        val src = graft.GateTmp.freshDir("q95f_src")
+        val mv = graft.GateTmp.freshDir("q95f_mv")
+        val aggs = Seq("count", "sum", "avg", "stddev", "count_distinct")
+        SnapshotStore.init(s, src,
+          RelationalPipeline.employeeView(s, d)
+            .select($("id"),
+              (floor($("id") / lit(7)) * lit(100L)).as("salary"),
+              $("segment")),
+          cdcKeys = Seq("id"))
+        MatView.create(s, src, mv, Seq("segment"), "salary", aggs)
+        val t = Map("emp" -> src)
+        SqlDml.execute(s,
+          "UPDATE emp SET salary = salary + 100 WHERE id % 7 = 0", t)
+        SqlDml.execute(s, "DELETE FROM emp WHERE id % 9 = 0", t)
+        // duplicate EXISTING (segment, salary) pairs under fresh keys:
+        // n_rows grows, val_distinct must not
+        SnapshotStore.read(s, src).filter($("id") % 13 === 0)
+          .select(($("id") + 3000000L).as("id"), $("salary"), $("segment"))
+          .createOrReplaceTempView("q95f_dup")
+        SqlDml.execute(s,
+          "INSERT INTO emp SELECT id, salary, segment FROM q95f_dup", t)
+        MatView.refresh(s, src, mv, Seq("segment"), "salary", aggs)
+        MatView.refresh(s, src, mv, Seq("segment"), "salary", aggs) // no-op
+        SnapshotStore.read(s, mv)
+          .select($("segment"), $("n_rows"), $("val_sum"), $("val_distinct"),
+            $("val_avg"), $("val_stddev"))
+          .orderBy($("segment"))
+      },
+      oracle = Some {
+        s"""WITH base AS (
+           |  SELECT c_custkey AS id,
+           |         CAST(floor(c_custkey / 7) AS BIGINT) * 100 AS salary,
+           |         c_mktsegment AS segment
+           |  FROM customer),
+           |v1 AS (SELECT id,
+           |  CASE WHEN id % 7 = 0 THEN salary + 100 ELSE salary END AS salary,
+           |  segment FROM base),
+           |v2 AS (SELECT * FROM v1 WHERE NOT (id % 9 = 0)),
+           |emp AS (SELECT * FROM v2
+           |  UNION ALL
+           |  SELECT id + 3000000, salary, segment FROM v2 WHERE id % 13 = 0)
+           |SELECT segment, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(salary) AS BIGINT) AS val_sum,
+           |  CAST(count(DISTINCT salary) AS BIGINT) AS val_distinct,
+           |  CAST(CAST(sum(salary) AS BIGINT) AS DOUBLE) /
+           |    CAST(count(*) AS DOUBLE) AS val_avg,
+           |  CASE WHEN count(*) > 1 THEN sqrt(
+           |    (CAST(sum(salary * salary) AS DOUBLE) -
+           |     CAST(CAST(sum(salary) AS BIGINT) AS DOUBLE) *
+           |     CAST(CAST(sum(salary) AS BIGINT) AS DOUBLE) /
+           |       CAST(count(*) AS DOUBLE)) /
+           |    (CAST(count(*) AS DOUBLE) - 1.0))
+           |  ELSE NULL END AS val_stddev
+           |FROM emp GROUP BY segment ORDER BY segment""".stripMargin
       }),
 
     // Q96 [extension: partitioned corpus × LLM pipeline] The training-data

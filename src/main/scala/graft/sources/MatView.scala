@@ -49,7 +49,8 @@ import org.apache.spark.sql.functions._
   */
 object MatView {
 
-  val SupportedAggs: Set[String] = Set("count", "sum", "avg", "min", "max")
+  val SupportedAggs: Set[String] =
+    Set("count", "sum", "avg", "min", "max", "stddev", "count_distinct")
 
   /** Bounded restarts for pin-went-stale races; each retry re-reads fresh
     * high-water marks, so livelock needs a writer landing between pin and
@@ -59,39 +60,137 @@ object MatView {
 
   def appIdFor(srcRoot: String): String = s"graft-mv:$srcRoot"
 
+  // ---- the MV dependency DAG -----------------------------------------------
+  // Each view records its own DEFINITION in a `_mv_def` sidecar (kind +
+  // upstream roots + maintenance args) at create time. [[refreshAll]] walks
+  // the recorded DAG depth-first and refreshes every upstream view before
+  // its consumers — the chain-of-views reality (source → join view →
+  // summary view) a warehouse grows, without hand-ordering refresh calls.
+  // Wrong manual order was only ever STALE (stamps keep refresh
+  // idempotent); this removes the footgun entirely.
+
+  private def defFile(mvRoot: String): java.nio.file.Path =
+    java.nio.file.Paths.get(mvRoot, "_mv_def")
+
+  private def writeDef(mvRoot: String, kv: Seq[(String, String)]): Unit =
+    java.nio.file.Files.writeString(defFile(mvRoot),
+      kv.map { case (k, v) => s"$k\t$v" }.mkString("", "\n", "\n"))
+
+  /** The view's recorded definition, or None for a plain table (or a view
+    * created before definitions were recorded).
+    */
+  private[graft] def readDef(mvRoot: String): Option[Map[String, String]] = {
+    val f = defFile(mvRoot)
+    if (!java.nio.file.Files.exists(f)) None
+    else Some(java.nio.file.Files.readString(f).linesIterator
+      .filter(_.nonEmpty).map { l =>
+        val Array(k, v) = l.split("\t", 2); k -> v
+      }.toMap)
+  }
+
+  /** Refresh `mvRoot` AND every materialized view upstream of it, in
+    * topological order (a diamond's shared upstream refreshes once — each
+    * refresh is stamped, so a repeat visit would be a no-op anyway, but
+    * the walk memoizes to avoid even planning it twice). Plain tables
+    * terminate the recursion. Loud on a view with no recorded definition
+    * (created pre-DAG — call the explicit refresh) and on a cycle.
+    */
+  def refreshAll(spark: SparkSession, mvRoot: String): SnapshotStore.Snapshot = {
+    require(readDef(mvRoot).nonEmpty,
+      s"$mvRoot has no recorded MV definition (_mv_def) — not a " +
+        "MatView.create/createJoin view, or created before the DAG was " +
+        "recorded; call refresh/refreshJoin with explicit arguments")
+    val done = scala.collection.mutable.Set.empty[String]
+    def split(s: String): Seq[String] =
+      s.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    def walk(root: String, stack: Set[String]): Unit = {
+      if (done(root)) return
+      require(!stack(root), s"materialized-view dependency cycle at $root")
+      readDef(root).foreach { d =>
+        val ups = d("kind") match {
+          case "agg"  => Seq(d("src"))
+          case "join" => Seq(d("left"), d("right"))
+          case other  => sys.error(s"unknown _mv_def kind '$other' at $root")
+        }
+        ups.foreach(walk(_, stack + root))
+        d("kind") match {
+          case "agg" => refresh(spark, d("src"), root,
+            split(d("groups")), d("value"), split(d("aggs")))
+          case _ => refreshJoin(spark, d("left"), d("right"), root,
+            split(d("keys")))
+        }
+      }
+      done += root
+    }
+    walk(mvRoot, Set.empty)
+    SnapshotStore.latest(mvRoot)
+  }
+
   private def checkAggs(aggs: Seq[String]): Unit = {
     val bad = aggs.filterNot(SupportedAggs)
     require(bad.isEmpty,
       s"unsupported MatView aggregate(s): ${bad.mkString(", ")} — supported: " +
-        "count, sum, avg (derived from sum/count), min, max (maintained by " +
-        "affected-group recompute under deletes). Medians/percentiles/" +
-        "count-distinct are not incrementally maintainable here; keep a " +
-        "mergeable sketch column instead (MatViewSpec's HLL-partial pattern)")
+        "count, sum, avg (derived from sum/count), min, max (affected-group " +
+        "recompute under deletes), stddev (sum-of-squares algebra), " +
+        "count_distinct (touched-group recompute). Medians/percentiles are " +
+        "not incrementally maintainable here; keep a mergeable sketch " +
+        "column instead (MatViewSpec's HLL-partial pattern)")
   }
 
   private def needMinMax(aggs: Seq[String]): Boolean =
     aggs.contains("min") || aggs.contains("max")
 
+  private def needStddev(aggs: Seq[String]): Boolean = aggs.contains("stddev")
+
+  private def needDistinct(aggs: Seq[String]): Boolean =
+    aggs.contains("count_distinct")
+
+  /** v² as DECIMAL(38,0): exact at any realistic magnitude (a LONG sum of
+    * squared cents overflows around 10⁶ rows of 10⁶-cent values; decimal
+    * headroom makes the fold exact to ~10³⁸), and still pure integer
+    * algebra — the Canon rule that keeps add/subtract replay driftless.
+    */
+  private def sq(c: Column): Column =
+    c.cast("decimal(19,0)") * c.cast("decimal(19,0)")
+
   /** One full aggregate of `df` under the requested agg set — used once at
-    * create time and per-refresh for recomputed (delete-touched) groups.
+    * create time and per-refresh for recomputed (touched) groups.
     */
   private def fullAgg(df: DataFrame, groupCols: Seq[String], valueCol: String,
       aggs: Seq[String]): DataFrame = {
-    val cols = Seq(count(lit(1)).as("n_rows"), sum(col(valueCol)).as("val_sum")) ++
-      (if (aggs.contains("min")) Seq(min(col(valueCol)).as("val_min")) else Nil) ++
-      (if (aggs.contains("max")) Seq(max(col(valueCol)).as("val_max")) else Nil)
-    withAvg(df.groupBy(groupCols.map(col): _*).agg(cols.head, cols.tail: _*), aggs)
+    val v = col(valueCol)
+    val cols = Seq(count(lit(1)).as("n_rows"), sum(v).as("val_sum")) ++
+      (if (needStddev(aggs)) Seq(sum(sq(v)).as("val_sumsq")) else Nil) ++
+      (if (aggs.contains("min")) Seq(min(v).as("val_min")) else Nil) ++
+      (if (aggs.contains("max")) Seq(max(v).as("val_max")) else Nil) ++
+      (if (needDistinct(aggs)) Seq(countDistinct(v).as("val_distinct")) else Nil)
+    withDerived(df.groupBy(groupCols.map(col): _*).agg(cols.head, cols.tail: _*),
+      aggs)
   }
 
-  /** `val_avg` is re-derived from the committed sum/count in EVERY output
-    * projection — storing it would be redundant state that replay algebra
-    * could drift.
+  /** `val_avg` / `val_stddev` are re-derived from the committed exact
+    * integer state in EVERY output projection — storing them would be
+    * redundant float state that replay algebra could drift. The stddev is
+    * the sample form from the sum-of-squares identity,
+    * √((Σv² − (Σv)²/n) / (n−1)): every operand is an exact integer, so
+    * the few IEEE-754 ops are bit-identical on any engine that evaluates
+    * the same formula (the val_avg determinism argument).
     */
-  private def withAvg(df: DataFrame, aggs: Seq[String]): DataFrame =
-    if (aggs.contains("avg"))
-      df.withColumn("val_avg",
-        col("val_sum").cast("double") / col("n_rows").cast("double"))
-    else df
+  private def withDerived(df: DataFrame, aggs: Seq[String]): DataFrame = {
+    val withA =
+      if (aggs.contains("avg"))
+        df.withColumn("val_avg",
+          col("val_sum").cast("double") / col("n_rows").cast("double"))
+      else df
+    if (needStddev(aggs))
+      withA.withColumn("val_stddev",
+        when(col("n_rows") > 1, sqrt(
+          (col("val_sumsq").cast("double") -
+            col("val_sum").cast("double") * col("val_sum").cast("double") /
+              col("n_rows").cast("double")) /
+            (col("n_rows").cast("double") - lit(1.0d)))))
+    else withA
+  }
 
   /** Initialize the view from the source's CURRENT snapshot (one full
     * aggregate — the only full-table scan in the view's lifetime).
@@ -105,6 +204,9 @@ object MatView {
     val snap = SnapshotStore.latest(srcRoot)
     val agg = fullAgg(SnapshotStore.read(spark, snap), groupCols, valueCol, aggs)
     SnapshotStore.init(spark, mvRoot, agg.limit(0))
+    writeDef(mvRoot, Seq("kind" -> "agg", "src" -> srcRoot,
+      "groups" -> groupCols.mkString(","), "value" -> valueCol,
+      "aggs" -> aggs.mkString(",")))
     // the initial aggregate lands as a stamped transaction so refresh's
     // high-water mark starts at the snapshot it actually covers
     SnapshotStore.transact(spark, mvRoot,
@@ -151,13 +253,21 @@ object MatView {
       pinnedLast: Long): SnapshotStore.Snapshot = {
     val appId = appIdFor(srcRoot)
     val withMm = needMinMax(aggs)
-    val delta = deltaOf(changes, groupCols, valueCol, withRemovals = withMm)
-      .persist()
+    val withSd = needStddev(aggs)
+    val withCd = needDistinct(aggs)
+    val trackRemovals = withMm || withCd
+    val delta = deltaOf(changes, groupCols, valueCol,
+      withRemovals = trackRemovals, withSumsq = withSd).persist()
     try {
-      // insert-only refresh: no group lost rows, so min/max fold
-      // algebraically and the plan must not touch the source AT ALL —
-      // at 100 TB an append-heavy workload's refreshes stay O(batch)
+      // recompute triggers: min/max lose their extremum only when rows
+      // LEAVE a group; count_distinct is non-algebraic in BOTH directions
+      // (an arriving value may be a duplicate), so every touched group
+      // recomputes. Insert-only refreshes of count/sum/avg/stddev/min/max
+      // views never touch the source AT ALL — at 100 TB an append-heavy
+      // workload's refreshes stay O(batch).
       val anyRemovals = withMm && !delta.filter(col("has_removal")).isEmpty
+      val anyRecompute = (withCd && !delta.isEmpty) || anyRemovals
+      val decZero = lit(0).cast("decimal(38,0)")
       val pin = () =>
         SnapshotStore.lastTxnVersion(mvRoot, appId).getOrElse(-1L) == pinnedLast
       SnapshotStore.transact(spark, mvRoot,
@@ -165,31 +275,41 @@ object MatView {
         val joinCond = groupCols.map(c => col(s"m.$c") <=> col(s"d.$c"))
           .reduce(_ && _)
         val algebraic =
-          if (withMm) delta.filter(!col("has_removal")) else delta
+          if (trackRemovals) delta.filter(!col("has_removal")) else delta
         val mergedCols =
           groupCols.map(c => coalesce(col(s"m.$c"), col(s"d.$c")).as(c)) ++ Seq(
             (coalesce(col("m.n_rows"), lit(0L)) + coalesce(col("d.dn"), lit(0L)))
               .as("n_rows"),
             (coalesce(col("m.val_sum"), lit(0L).cast("long")) +
               coalesce(col("d.dv"), lit(0L).cast("long"))).as("val_sum")) ++
+          // Σv² folds exactly like Σv — pure integer (decimal) algebra,
+          // sound under deletes with no recompute
+          (if (withSd)
+            Seq((coalesce(col("m.val_sumsq"), decZero) +
+              coalesce(col("d.dsumsq"), decZero)).cast("decimal(38,0)")
+              .as("val_sumsq")) else Nil) ++
           // least/greatest skip NULLs: a group new to the view takes the
           // delta's extremum, an untouched group keeps its own
           (if (aggs.contains("min"))
             Seq(least(col("m.val_min"), col("d.dmin")).as("val_min")) else Nil) ++
           (if (aggs.contains("max"))
-            Seq(greatest(col("m.val_max"), col("d.dmax")).as("val_max")) else Nil)
-        val merged = withAvg(
+            Seq(greatest(col("m.val_max"), col("d.dmax")).as("val_max")) else Nil) ++
+          // placeholder for touched groups (they recompute below);
+          // untouched view groups keep their stored value
+          (if (withCd)
+            Seq(coalesce(col("m.val_distinct"), lit(0L)).as("val_distinct"))
+          else Nil)
+        val merged = withDerived(
           mv.alias("m").join(broadcast(algebraic.alias("d")), joinCond, "full_outer")
             .select(mergedCols: _*)
             .filter(col("n_rows") > 0), aggs)
-        if (!anyRemovals) merged
+        if (!anyRecompute) merged
         else {
-          // groups that LOST rows (delete/update_preimage): their stored
-          // extremum may be gone — recompute exactly those groups from the
-          // PINNED source version (broadcast semi-join: O(touched groups)
-          // shuffle, zero shuffle of the source itself). Insert-only
-          // refreshes have an empty set and skip the source entirely.
-          val touched = delta.filter(col("has_removal"))
+          // recompute exactly the trigger set's groups from the PINNED
+          // source version (broadcast semi-join: O(touched groups)
+          // shuffle, zero shuffle of the source itself)
+          val touched = (if (withCd) delta
+            else delta.filter(col("has_removal")))
             .select(groupCols.map(col): _*)
           val recomputed = fullAgg(
             SnapshotStore.read(spark, SnapshotStore.at(srcRoot, srcVersion))
@@ -252,7 +372,8 @@ object MatView {
     * rows LEFT the group (delete/update_preimage) — the recompute trigger.
     */
   private[graft] def deltaOf(changes: DataFrame, groupCols: Seq[String],
-      valueCol: String, withRemovals: Boolean = false): DataFrame = {
+      valueCol: String, withRemovals: Boolean = false,
+      withSumsq: Boolean = false): DataFrame = {
     val tc = col(SnapshotStore.ChangeTypeCol)
     val arriving = tc === "insert" || tc === "update_postimage"
     val leaving = tc === "delete" || tc === "update_preimage"
@@ -261,7 +382,11 @@ object MatView {
     val dn: Column = when(arriving, 1L).when(leaving, -1L).otherwise(0L)
     val dv: Column = when(arriving, col(valueCol))
       .when(leaving, -col(valueCol)).otherwise(lit(0L))
-    val base = Seq(sum(dn).as("dn"), sum(dv).as("dv"))
+    val dsq: Column = when(arriving, sq(col(valueCol)))
+      .when(leaving, -sq(col(valueCol)))
+      .otherwise(lit(0).cast("decimal(38,0)"))
+    val base = Seq(sum(dn).as("dn"), sum(dv).as("dv")) ++
+      (if (withSumsq) Seq(sum(dsq).cast("decimal(38,0)").as("dsumsq")) else Nil)
     val extra =
       if (!withRemovals) Nil
       else Seq(
@@ -372,6 +497,8 @@ object MatView {
       else (joined0, Nil)
     SnapshotStore.init(spark, mvRoot, joined.limit(0), partitionBy = parts,
       cdcKeys = viewKeys)
+    writeDef(mvRoot, Seq("kind" -> "join", "left" -> leftRoot,
+      "right" -> rightRoot, "keys" -> joinKeys.mkString(",")))
     if (buckets > 0)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(mvRoot, "_mv_buckets"), buckets.toString)

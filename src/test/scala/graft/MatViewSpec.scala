@@ -348,6 +348,107 @@ class MatViewSpec extends SparkSpec {
     assert(e.getMessage.contains("median"))
   }
 
+  test("stddev folds Σv² exactly under deletes; count_distinct recomputes touched groups") {
+    import graft.sources.{MatView, SnapshotStore, SqlDml}
+    val src = GateTmp.freshDir("mvsd_src")
+    val mv = GateTmp.freshDir("mvsd_mv")
+    val aggs = Seq("count", "sum", "stddev", "count_distinct")
+    // values engineered so group '0' holds an only-copy (id=0 → v=0) and
+    // duplicates (ids 3,6 → v=30,60; ids 9,12 → …): deletes hit both kinds
+    SnapshotStore.init(spark, src, spark.range(30)
+      .selectExpr("id", "(id DIV 3) * 30 AS v", "CAST(id % 3 AS STRING) AS g"),
+      cdcKeys = Seq("id"))
+    MatView.create(spark, src, mv, Seq("g"), "v", aggs)
+    def viewNow: Map[String, (Long, Long, Long, Double)] =
+      SnapshotStore.read(spark, mv).collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5))).toMap
+    def direct: Map[String, (Long, Long, Long, Double)] =
+      SnapshotStore.read(spark, src).groupBy("g")
+        .agg(count(lit(1)).as("n"), sum($"v").as("s"),
+          countDistinct($"v").as("d"), stddev_samp($"v").as("sd"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    def close(a: Map[String, (Long, Long, Long, Double)],
+        b: Map[String, (Long, Long, Long, Double)]): Unit = {
+      assert(a.keySet == b.keySet, s"$a vs $b")
+      a.foreach { case (k, (n, s1, dd, sd)) =>
+        val (n2, s2, d2, sd2) = b(k)
+        assert(n == n2 && s1 == s2 && dd == d2, s"$k: $a vs $b")
+        // the view derives stddev from exact sums; Spark's stddev_samp
+        // streams — equal to a few ulps, not bit-equal
+        assert(math.abs(sd - sd2) <= 1e-9 * math.max(1.0, sd2.abs),
+          s"$k stddev: $sd vs $sd2")
+      }
+    }
+    close(viewNow, direct)
+    val t = Map("t" -> src)
+    // delete an only-copy (id=0, v=0 in g=0) AND one of a duplicate pair
+    SqlDml.execute(spark, "DELETE FROM t WHERE id IN (0, 3)", t)
+    SqlDml.execute(spark, "UPDATE t SET v = v + 7 WHERE id % 5 = 1", t)
+    // re-insert values under fresh keys: the touched-group recompute must
+    // count duplicates once and genuinely-new values once
+    SqlDml.execute(spark,
+      "INSERT INTO t SELECT id + 100, (id DIV 3) * 30, CAST(id % 3 AS STRING) " +
+        "FROM range(6, 9)", t)
+    MatView.refresh(spark, src, mv, Seq("g"), "v", aggs)
+    close(viewNow, direct)
+    // replay: a doubled refresh is a stamped no-op
+    val vBefore = SnapshotStore.latest(mv).version
+    MatView.refresh(spark, src, mv, Seq("g"), "v", aggs)
+    assert(SnapshotStore.latest(mv).version == vBefore)
+  }
+
+  test("refreshAll walks the recorded MV DAG: diamond refreshes the shared upstream once") {
+    import graft.sources.{MatView, SnapshotStore, SqlDml}
+    val emp = GateTmp.freshDir("mvdag_emp")
+    val dim = GateTmp.freshDir("mvdag_dim")
+    val jmv = GateTmp.freshDir("mvdag_jmv")
+    val g1 = GateTmp.freshDir("mvdag_g1")
+    val g2 = GateTmp.freshDir("mvdag_g2")
+    SnapshotStore.init(spark, emp, spark.range(30)
+      .selectExpr("id", "id * 10 AS v", "CAST(id % 3 AS STRING) AS g"),
+      cdcKeys = Seq("id"))
+    SnapshotStore.init(spark, dim,
+      Seq(("0", 1L), ("1", 2L), ("2", 3L)).toDF("g", "w"),
+      cdcKeys = Seq("g"))
+    // the diamond: two aggregate views over ONE shared join view
+    MatView.createJoin(spark, emp, dim, jmv, Seq("g"), emitChanges = true)
+    MatView.create(spark, jmv, g1, Seq("g"), "v")
+    MatView.create(spark, jmv, g2, Seq("w"), "v")
+    SqlDml.execute(spark, "UPDATE t SET v = v + 1 WHERE id % 5 = 0",
+      Map("t" -> emp))
+    SqlDml.execute(spark, "DELETE FROM t WHERE g = '2'", Map("t" -> dim))
+    // one call per sink view: the first refreshes the shared join view,
+    // the second finds it already current (stamped no-op) and only folds
+    MatView.refreshAll(spark, g1)
+    val jvAfterFirst = SnapshotStore.latest(jmv).version
+    MatView.refreshAll(spark, g2)
+    assert(SnapshotStore.latest(jmv).version == jvAfterFirst,
+      "the shared upstream must refresh once, not once per consumer")
+    def direct(groupCol: String): Map[String, Long] = {
+      val j = SnapshotStore.read(spark, emp).join(
+        SnapshotStore.read(spark, dim), "g")
+      j.groupBy(groupCol).agg(sum($"v").as("s")).collect()
+        .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    }
+    def view(root: String): Map[String, Long] =
+      SnapshotStore.read(spark, root).collect()
+        .map(r => r.get(0).toString -> r.getLong(2)).toMap
+    assert(view(g1) == direct("g"), s"${view(g1)} vs ${direct("g")}")
+    assert(view(g2) == direct("w"), s"${view(g2)} vs ${direct("w")}")
+    // a replayed refreshAll is a no-op at EVERY layer
+    val (v1, v2) = (SnapshotStore.latest(g1).version,
+      SnapshotStore.latest(g2).version)
+    MatView.refreshAll(spark, g1)
+    MatView.refreshAll(spark, g2)
+    assert(SnapshotStore.latest(jmv).version == jvAfterFirst &&
+      SnapshotStore.latest(g1).version == v1 &&
+      SnapshotStore.latest(g2).version == v2)
+    // a plain table is not refreshAll-able — loud, with the explicit API named
+    val e = intercept[IllegalArgumentException](MatView.refreshAll(spark, emp))
+    assert(e.getMessage.contains("_mv_def"), e.getMessage)
+  }
+
   test("group-migrating UPDATE keeps n_rows right (pre/postimage ±1)") {
     import graft.sources.{MatView, SnapshotStore, SqlDml}
     val src = GateTmp.freshDir("mvmig_src")
