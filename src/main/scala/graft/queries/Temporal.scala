@@ -835,7 +835,11 @@ object Temporal {
         s.conf.set("spark.sql.catalog.graft",
           classOf[graft.sources.GraftCatalog].getName)
         s.conf.set("spark.sql.catalog.graft.warehouse", wh)
-        s.sql("CREATE TABLE graft.q90w (id BIGINT, cnt INT, ratio FLOAT)")
+        graft.GraftExtensions.install(s)
+        // a CDC table: the widen must not fork the feed — changes() reads
+        // every frame under the head (wide) type, upcasting narrow ones
+        s.sql("CREATE TABLE graft.q90w (id BIGINT, cnt INT, ratio FLOAT) " +
+          "TBLPROPERTIES ('cdc.keys' = 'id')")
         Tables.customer(s, d).createOrReplaceTempView("q90b_cust")
         Tables.supplier(s, d).createOrReplaceTempView("q90b_supp")
         s.sql( // v1: narrow-era files
@@ -861,22 +865,43 @@ object Temporal {
         val e = scala.util.Try(
           s.sql("ALTER TABLE graft.q90w ALTER COLUMN cnt TYPE INT"))
         require(e.isFailure, "narrowing must refuse")
+        // post-widen DML on the CDC table: the feed spans narrow-era
+        // insert frames (v1), the ALTERs' empty frames, wide-era inserts
+        // (v4) and wide update pre/postimages (v5) — ONE unified shape
+        s.sql("UPDATE graft.q90w SET cnt = cnt + 1000000000000 " +
+          "WHERE id % 100 = 0") // a delta only BIGINT can hold
         s.sql(
-          """SELECT id, cnt, CAST(round(ratio * 1000) AS BIGINT) AS ratio_mils
-            |FROM graft.q90w ORDER BY id""".stripMargin)
+          """SELECT id, cnt, CAST(round(ratio * 1000) AS BIGINT) AS ratio_mils,
+            |       _change_type, _commit_version
+            |FROM table_changes('graft.q90w', 1, 5)
+            |ORDER BY _commit_version, _change_type, id""".stripMargin)
       },
       oracle = Some(
-        """WITH ev AS (
+        """WITH narrow AS (
           |  SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS cnt,
           |         CAST(CAST(c_nationkey AS FLOAT) AS DOUBLE) / 25.0 AS ratio
-          |  FROM customer
-          |  UNION ALL
-          |  SELECT s_suppkey + 1000000, CAST(s_nationkey AS BIGINT) + 100,
+          |  FROM customer),
+          |wide AS (
+          |  SELECT s_suppkey + 1000000 AS id,
+          |         CAST(s_nationkey AS BIGINT) + 100 AS cnt,
           |         CAST(CAST(CAST(s_nationkey AS FLOAT) / 25.0 AS FLOAT)
-          |           AS DOUBLE) + 10.0
-          |  FROM supplier)
-          |SELECT id, cnt, CAST(round(ratio * 1000) AS BIGINT) AS ratio_mils
-          |FROM ev ORDER BY id""".stripMargin)),
+          |           AS DOUBLE) + 10.0 AS ratio
+          |  FROM supplier),
+          |ev AS (SELECT * FROM narrow UNION ALL SELECT * FROM wide),
+          |feed AS (
+          |  SELECT *, 'insert' AS _change_type, 1 AS _commit_version
+          |  FROM narrow
+          |  UNION ALL
+          |  SELECT *, 'insert', 4 FROM wide
+          |  UNION ALL
+          |  SELECT *, 'update_preimage', 5 FROM ev WHERE id % 100 = 0
+          |  UNION ALL
+          |  SELECT id, cnt + 1000000000000, ratio, 'update_postimage', 5
+          |  FROM ev WHERE id % 100 = 0)
+          |SELECT id, cnt, CAST(round(ratio * 1000) AS BIGINT) AS ratio_mils,
+          |       _change_type, CAST(_commit_version AS BIGINT) AS _commit_version
+          |FROM feed
+          |ORDER BY _commit_version, _change_type, id""".stripMargin)),
 
     // Q90c [extension: NESTED schema evolution] ADD/DROP a field INSIDE a
     // struct column — ubiquitous for `props`-style payload columns — as
@@ -908,18 +933,32 @@ object Temporal {
              |  'prio', o_orderpriority, 'price_c', $cents)
              |FROM q90c_ord WHERE o_orderkey % 2 = 1""".stripMargin)
         s.sql("ALTER TABLE graft.q90ct DROP COLUMN props.prio") // v4
+        // NESTED RENAME chained onto the add/drop history: files of BOTH
+        // prior eras still store `cust`; the dotted chain resolves them
+        // under `buyer` while post-rename files are born with it
+        s.sql("ALTER TABLE graft.q90ct RENAME COLUMN props.cust TO buyer") // v5
+        s.sql(
+          s"""INSERT INTO graft.q90ct
+             |SELECT o_orderkey + 10000000, named_struct('buyer',
+             |  o_custkey + 7, 'price_c', $cents)
+             |FROM q90c_ord WHERE o_orderkey % 4 = 0""".stripMargin) // v6
         // era-mixed read through the evolved shape, flattened for the pin
         s.sql(
-          """SELECT id, props.cust AS cust,
+          """SELECT id, props.buyer AS cust,
             |       coalesce(props.price_c, -1) AS price_c
             |FROM graft.q90ct ORDER BY id""".stripMargin)
       },
       oracle = Some {
         val cents = graft.Canon.centsSql("o_totalprice")
-        s"""SELECT o_orderkey AS id, o_custkey AS cust,
-           |       CASE WHEN o_orderkey % 2 = 1 THEN $cents
-           |            ELSE -1 END AS price_c
-           |FROM orders ORDER BY id""".stripMargin
+        s"""SELECT * FROM (
+           |  SELECT o_orderkey AS id, o_custkey AS cust,
+           |         CASE WHEN o_orderkey % 2 = 1 THEN $cents
+           |              ELSE -1 END AS price_c
+           |  FROM orders
+           |  UNION ALL
+           |  SELECT o_orderkey + 10000000, o_custkey + 7, $cents
+           |  FROM orders WHERE o_orderkey % 4 = 0)
+           |ORDER BY id""".stripMargin
       }),
 
     // Q91 [extension: the FULL reference topology as one pipeline] The

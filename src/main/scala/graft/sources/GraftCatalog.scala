@@ -508,9 +508,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // store's name-mapping sidecar resolves old physical names at read
     // (SnapshotStore.alterSchema validates the refusal list)
     val renames = schemaChanges.collect {
+      // NESTED rename (`ALTER TABLE t RENAME COLUMN props.lang TO code`):
+      // dotted logical paths on both sides, one struct level deep — the
+      // store keys the physical-name chain by the dotted path and the
+      // read-side coalesce rebuilds the struct (SnapshotStore.applyRenames)
+      case rn: TableChange.RenameColumn if rn.fieldNames.length == 2 =>
+        s"${rn.fieldNames()(0)}.${rn.newName()}" -> rn.fieldNames().mkString(".")
       case rn: TableChange.RenameColumn =>
         require(rn.fieldNames.length == 1,
-          s"nested column rename not supported: ${rn.fieldNames.mkString(".")}")
+          s"rename deeper than one struct level not supported: " +
+            rn.fieldNames.mkString("."))
         rn.newName() -> rn.fieldNames()(0)
     }.toMap
     val nonRenames = schemaChanges.filterNot(_.isInstanceOf[TableChange.RenameColumn])
@@ -566,10 +573,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // NESTED widening (`ALTER COLUMN props.x TYPE BIGINT`): the same
           // metadata-only rule inside a struct — the reader clips each
           // file's stored struct against the pinned schema and upcasts the
-          // narrow stored leaf, exactly as at top level
-          require(SnapshotStore.cdcKeys(root).isEmpty,
-            s"ALTER COLUMN TYPE is not supported on CDC tables: per-version " +
-              "change frames would mix narrow and wide types mid-feed")
+          // narrow stored leaf, exactly as at top level. CDC tables widen
+          // too: changes() reads every frame under the HEAD (wide) type,
+          // upcasting pre-widen frames losslessly, and a stream declared
+          // before the widen refuses loudly with a restart instruction
           GraftCatalog.widenNestedField(s, up.fieldNames().toSeq,
             up.newDataType())
         case (s, up: TableChange.UpdateColumnType) =>
@@ -578,13 +585,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // reader serves narrow stored values through the widened
           // requested schema, so old files never rewrite; new files store
           // the wide type and the dir mixes eras safely. Narrowing would
-          // silently truncate at read and refuses.
+          // silently truncate at read and refuses. On CDC tables the feed
+          // rides the same rule: changes() requests the head type over
+          // every frame (pre-widen frames upcast), so a long-lived CDC
+          // table's int32 key can grow to int64 without forking its feed.
           val n = up.fieldNames()(0)
           val idx = s.fields.indexWhere(_.name.equalsIgnoreCase(n))
           require(idx >= 0, s"no such column $n")
-          require(SnapshotStore.cdcKeys(root).isEmpty,
-            s"ALTER COLUMN TYPE is not supported on CDC tables: per-version " +
-              "change frames would mix narrow and wide types mid-feed")
           require(!SnapshotStore.partitionCols(root)
             .exists(_.equalsIgnoreCase(n)),
             s"cannot change the type of partition column $n")

@@ -594,6 +594,43 @@ object SnapshotStore {
   private def lockFor(root: String): Object = rootLocks.computeIfAbsent(
     Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
 
+  /** The monitor PLUS a cross-process guard: an OS-level exclusive
+    * advisory lock on `_commits/.ckpt.lock`, held for the duration of
+    * `body`. The in-JVM monitor alone cannot serialize a fold in THIS
+    * process against an expire's fold-then-delete in ANOTHER (two
+    * maintenance jobs on one warehouse is a normal deployment); the
+    * optimistic re-validation narrows that window but a fold that passed
+    * validation can still be overtaken before its atomic move lands. The
+    * file lock closes it: both writers of the checkpoint (fold and
+    * expire) hold the same OS lock across their read-modify-move.
+    * Reentrant per thread (expire's pre-delete fold runs under the lock
+    * it already holds); `java.nio` FileLocks are not, so depth-track.
+    */
+  private val rootLockDepth: ThreadLocal[scala.collection.mutable.Map[String, Int]] =
+    ThreadLocal.withInitial(() => scala.collection.mutable.Map.empty[String, Int])
+  private def withRootLock[T](root: String)(body: => T): T = {
+    val key = Paths.get(root).toAbsolutePath.normalize.toString
+    lockFor(root).synchronized {
+      val depths = rootLockDepth.get()
+      if (depths.getOrElse(key, 0) > 0) {
+        depths(key) += 1
+        try body finally { depths(key) -= 1; () }
+      } else {
+        Files.createDirectories(commitsDir(root))
+        val ch = java.nio.channels.FileChannel.open(
+          commitsDir(root).resolve(".ckpt.lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val l = ch.lock()
+          depths(key) = 1
+          try body
+          finally { depths(key) = 0; l.release() }
+        } finally ch.close()
+      }
+    }
+  }
+
   /** Test seam: fires after the fold reads its base checkpoint and before
     * it lists the commit dir — the exact window the fold-vs-expire race
     * needs (SnapshotStoreSpec drives a deterministic interleave through it).
@@ -601,7 +638,7 @@ object SnapshotStore {
   private[graft] var txnFoldTestHook: () => Unit = () => ()
 
   private[graft] def writeTxnCheckpoint(root: String, upTo: Long): Unit =
-    lockFor(root).synchronized {
+    withRootLock(root) {
       var done = false
       while (!done) {
         val (ckptV, base) = readTxnCheckpoint(root)
@@ -725,10 +762,10 @@ object SnapshotStore {
       val baseRen = readRenames(base.dataDir)
       val (next, ren) =
         if (renames.isEmpty)
-          // prune chains of columns the evolve dropped: a later ADD of a
-          // dropped name must not inherit its stale physical chain
+          // prune chains of columns/fields the evolve dropped: a later ADD
+          // of a dropped name must not inherit its stale physical chain
           (evolved, baseRen.filter { case (k, _) =>
-            evolved.exists(_.name.toLowerCase == k) })
+            logicalPathExists(evolved, k) })
         else
           applyRenames(spark, root, base, baseSchema, evolved, baseRen, renames)
       val added = next.filterNot(f => baseSchema.exists(_.name == f.name) ||
@@ -744,6 +781,24 @@ object SnapshotStore {
         s"column name(s) ${collide.map(_.name).mkString(", ")} are still " +
           s"carried physically by pre-rename files of $root; OPTIMIZE " +
           "(full rewrite) first, then add")
+      // same rule one struct level down: a nested ADD must not reuse a
+      // field name pre-rename files still physically carry in that struct
+      next.fields.foreach { f =>
+        f.dataType match {
+          case st: org.apache.spark.sql.types.StructType =>
+            val chains = ren.collect {
+              case (k, olds) if k.startsWith(f.name.toLowerCase + ".") =>
+                olds.map(_.split('.').last.toLowerCase)
+            }.flatten.toSet
+            val clash = st.fieldNames.map(_.toLowerCase).toSet
+              .intersect(chains)
+            require(clash.isEmpty,
+              s"field name(s) ${clash.mkString(", ")} of ${f.name} are " +
+                s"still carried physically by pre-rename files of $root; " +
+                "OPTIMIZE (full rewrite) first, then add")
+          case _ => ()
+        }
+      }
       // on a CDC table a RETIRED feed name (the old side of any feed-log
       // rename) is never reusable — not for ADD, not as a rename target:
       // pre-rename change FRAMES carry it physically forever (the feed log
@@ -839,6 +894,61 @@ object SnapshotStore {
     var schema = evolved
     var ren = baseRen
     renames.foreach { case (newName, oldName) =>
+      if (newName.contains('.') || oldName.contains('.')) {
+        // NESTED rename (`props.language` -> `props.lang`): same
+        // metadata-only commit, chain keyed by the DOTTED logical path,
+        // physical names stored dotted too (so they never collide with
+        // top-level guards). One struct level deep, like nested ADD/widen.
+        val np = newName.split('.'); val op = oldName.split('.')
+        require(np.length == 2 && op.length == 2 &&
+          np.head.equalsIgnoreCase(op.head),
+          s"nested rename must stay inside one struct level: $oldName -> $newName")
+        require(cdcKeys(root).isEmpty,
+          s"nested column rename is not supported on CDC tables: historical " +
+            "change frames resolve renames by TOP-LEVEL name through the " +
+            "feed log — rename the struct column itself, or OPTIMIZE and " +
+            "recreate the feed")
+        val parent = np.head; val oldF = op(1); val newF = np(1)
+        val pIdx = schema.fields.indexWhere(_.name.equalsIgnoreCase(parent))
+        require(pIdx >= 0, s"no such column $parent in $root")
+        val st = schema.fields(pIdx).dataType match {
+          case t: org.apache.spark.sql.types.StructType => t
+          case other => throw new IllegalArgumentException(
+            s"$parent of $root is ${other.simpleString}, not a struct")
+        }
+        val oIdx = st.fields.indexWhere(_.name.equalsIgnoreCase(oldF))
+        require(oIdx >= 0, s"no such field $oldName in $root")
+        require(!st.exists(_.name.equalsIgnoreCase(newF)),
+          s"field $newName already exists in $root")
+        val refd = exprTexts.filter(_.matches("(?is).*\\b" +
+          java.util.regex.Pattern.quote(parent) + "\\s*\\.\\s*" +
+          java.util.regex.Pattern.quote(oldF) + "\\b.*"))
+        require(refd.isEmpty,
+          s"cannot rename $oldName: referenced by stored SQL expression(s) " +
+            s"(constraint/default/generated): ${refd.take(2).mkString("; ")}")
+        // stale-shadow guard, inside the struct: no file may still
+        // physically carry the target field name
+        val parentKey = parent.toLowerCase
+        val physInStruct = spark.read.parquet(base.dataDir).schema.fields
+          .find(_.name.equalsIgnoreCase(parent)).toSeq.flatMap(_.dataType match {
+            case t: org.apache.spark.sql.types.StructType =>
+              t.fieldNames.toSeq
+            case _ => Nil
+          }).map(_.toLowerCase).toSet ++
+          ren.collect { case (k, olds) if k.startsWith(s"$parentKey.") =>
+            olds.map(_.split('.').last.toLowerCase) }.flatten
+        require(!physInStruct.contains(newF.toLowerCase),
+          s"files of $root still physically carry a field named $newName " +
+            "(dropped or renamed-away); OPTIMIZE (full rewrite) first")
+        val nf = st.fields(oIdx)
+        schema = org.apache.spark.sql.types.StructType(schema.fields.updated(
+          pIdx, schema.fields(pIdx).copy(dataType =
+            org.apache.spark.sql.types.StructType(
+              st.fields.updated(oIdx, nf.copy(name = newF))))))
+        val oldKey = s"$parentKey.${nf.name.toLowerCase}"
+        val chain = s"$parent.${nf.name}" +: ren.getOrElse(oldKey, Nil)
+        ren = (ren - oldKey) + (s"$parentKey.${newF.toLowerCase}" -> chain)
+      } else {
       val idx = schema.fields.indexWhere(_.name.equalsIgnoreCase(oldName))
       require(idx >= 0, s"no such column $oldName in $root " +
         s"(columns: ${schema.fields.map(_.name).mkString(", ")})")
@@ -866,9 +976,29 @@ object SnapshotStore {
       val oldKey = f.name.toLowerCase
       val chain = f.name +: ren.getOrElse(oldKey, Nil)
       ren = (ren - oldKey) + (newName.toLowerCase -> chain)
+      }
     }
-    // prune chains whose logical column no longer exists
-    (schema, ren.filter { case (k, _) => schema.exists(_.name.toLowerCase == k) })
+    // prune chains whose logical column (or dotted field path) is gone
+    (schema, ren.filter { case (k, _) => logicalPathExists(schema, k) })
+  }
+
+  /** Does the (possibly dotted, one-struct-level) logical path exist in
+    * `s`? The rename-chain prune rule: a chain whose column or struct
+    * field was dropped must not survive (a later ADD of the name would
+    * inherit the stale physical chain).
+    */
+  private def logicalPathExists(s: org.apache.spark.sql.types.StructType,
+      key: String): Boolean = {
+    val parts = key.split('.')
+    s.fields.find(_.name.equalsIgnoreCase(parts.head)) match {
+      case None => false
+      case Some(_) if parts.length == 1 => true
+      case Some(f) => f.dataType match {
+        case st: org.apache.spark.sql.types.StructType =>
+          st.exists(_.name.equalsIgnoreCase(parts(1)))
+        case _ => false
+      }
+    }
   }
 
   /** RESTORE: roll the table back to an earlier committed version as a NEW
@@ -1893,9 +2023,30 @@ object SnapshotStore {
         (Paths.get(s.dataDir).getFileName.toString, v) }
         .toDF("__dir", CommitVersionCol)
       val paths = withFeed.map { case (_, s) => s"${s.dataDir}/_changes" }
-      // mergeSchema: change sets across an ALTER TABLE boundary may differ
-      // in column set; evolved columns null-fill on the old side
-      val merged = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      val schema = readSchema(spark, at(root, toVersion))
+      val log = feedRenames(root).filter(_._1 <= toVersion)
+      // ONE multi-path scan under an EXPLICIT requested schema (not
+      // mergeSchema): the head fields at their HEAD types — the parquet
+      // reader null-fills a column a frame predates, clips a nested
+      // struct against the requested shape, and serves NARROW stored
+      // values through a widened requested type (the q90b read rule), so
+      // frames spanning ALTER COLUMN TYPE boundaries read as one feed
+      // where schema merging would refuse the type conflict — plus every
+      // RETIRED feed name (the rename log's old sides), each typed as its
+      // chain target. Dropped columns are simply never requested: the
+      // feed serves the LIVE schema, the Delta CDF contract.
+      val headNames = schema.fieldNames.map(_.toLowerCase).toSet
+      val retired = schema.fields.toIndexedSeq.flatMap { f =>
+        feedChain(log, f.name).map { case (old, _) => (old, f.dataType) }
+      }.filterNot { case (old, _) => headNames(old.toLowerCase) }
+        .distinctBy(_._1.toLowerCase)
+      val ext = org.apache.spark.sql.types.StructType(
+        schema.fields.toIndexedSeq.map(_.copy(nullable = true)) ++
+          retired.map { case (old, dt) =>
+            org.apache.spark.sql.types.StructField(old, dt, nullable = true) } :+
+          org.apache.spark.sql.types.StructField(ChangeTypeCol,
+            org.apache.spark.sql.types.StringType))
+      val merged = spark.read.schema(ext).parquet(paths: _*)
         .withColumn("__dir",
           regexp_extract(input_file_name(), "/data/([^/]+)/_changes/", 1))
         .join(broadcast(lookup), "__dir")
@@ -1908,21 +2059,17 @@ object SnapshotStore {
       // resolves as a version-GUARDED coalesce down its chain:
       // `coalesce(f, when(cv < rv₁, old₁), when(cv < rv₂, old₂) …)` —
       // the guard scopes every old leg to the frames that actually wrote
-      // it, so a later column REUSING a retired name can never bleed in.
-      val log = feedRenames(root).filter(_._1 <= toVersion)
+      // it, and alterSchema refuses to ever reuse a retired name, so the
+      // unguarded head leg is sound by construction.
       if (log.isEmpty) merged
       else {
-        val schema = readSchema(spark, at(root, toVersion))
-        val have = merged.columns.map(_.toLowerCase).toSet
         merged.select(schema.fields.toIndexedSeq.map { f =>
-          val legs =
-            (if (have(f.name.toLowerCase)) Seq(col(f.name)) else Nil) ++
-              feedChain(log, f.name).collect {
-                case (old, rv) if have(old.toLowerCase) =>
-                  when(col(CommitVersionCol) < rv, col(old))
-              }
+          val legs = Seq(col(f.name)) ++
+            feedChain(log, f.name).collect {
+              case (old, rv) if !headNames(old.toLowerCase) =>
+                when(col(CommitVersionCol) < rv, col(old))
+            }
           (legs match {
-            case Seq() => lit(null)
             case Seq(one) => one
             case many => coalesce(many: _*)
           }).cast(f.dataType).as(f.name)
@@ -2419,21 +2566,42 @@ object SnapshotStore {
   private final case class DirRead(raw: DataFrame,
       schema: org.apache.spark.sql.types.StructType,
       renames: Map[String, Seq[String]]) {
-    import org.apache.spark.sql.functions.{coalesce, col}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, struct, when}
     /** Logical view: per renamed column, `coalesce(new, old₁, old₂ …)` —
       * any one file physically holds exactly one of the chain's names
       * (the others read as NULL), so the coalesce picks the stored value
-      * whichever era wrote the file. `extraCols` pass through untouched
-      * (lineage columns).
+      * whichever era wrote the file. NESTED renames (dotted chain keys,
+      * `parent.child` → dotted physical names) rebuild the parent struct
+      * with the same per-field coalesce, preserving whole-struct NULLs.
+      * `extraCols` pass through untouched (lineage columns).
       */
     def project(extraCols: Seq[String] = Nil): DataFrame =
       if (renames.isEmpty) raw
-      else raw.select(schema.fields.map { fld =>
-        val legs = col(fld.name) +:
-          renames.getOrElse(fld.name.toLowerCase, Nil).map(col)
-        (if (legs.length == 1) legs.head else coalesce(legs: _*))
-          .as(fld.name, fld.metadata)
-      }.toIndexedSeq ++ extraCols.map(col): _*)
+      else {
+        val nestedParents = renames.keysIterator
+          .filter(_.contains('.')).map(_.split('.').head).toSet
+        raw.select(schema.fields.map { fld =>
+          val key = fld.name.toLowerCase
+          fld.dataType match {
+            case st: org.apache.spark.sql.types.StructType
+                if nestedParents(key) =>
+              val inner = st.fields.toIndexedSeq.map { nf =>
+                val chain = renames.getOrElse(s"$key.${nf.name.toLowerCase}", Nil)
+                val legs = col(s"${fld.name}.${nf.name}") +:
+                  chain.map(o => col(s"${fld.name}.${o.split('.').last}"))
+                (if (legs.length == 1) legs.head else coalesce(legs: _*))
+                  .as(nf.name)
+              }
+              when(col(fld.name).isNotNull, struct(inner: _*))
+                .otherwise(lit(null)).cast(st).as(fld.name, fld.metadata)
+            case _ =>
+              val legs = col(fld.name) +:
+                renames.getOrElse(key, Nil).map(col)
+              (if (legs.length == 1) legs.head else coalesce(legs: _*))
+                .as(fld.name, fld.metadata)
+          }
+        }.toIndexedSeq ++ extraCols.map(col): _*)
+      }
   }
 
   private def rawReadDir(spark: SparkSession, dir: String): DirRead = {
@@ -2458,7 +2626,23 @@ object SnapshotStore {
       renames: Map[String, Seq[String]]):
       org.apache.spark.sql.types.StructType =
     if (renames.isEmpty) schema
-    else org.apache.spark.sql.types.StructType(schema.fields ++
+    else org.apache.spark.sql.types.StructType(schema.fields.map { fld =>
+      // NESTED chains (`parent.child` keys): the parent STRUCT grows its
+      // olds as extra fields, so pre-rename files bind their stored field
+      fld.dataType match {
+        case st: org.apache.spark.sql.types.StructType =>
+          val extra = st.fields.flatMap { nf =>
+            renames.getOrElse(
+              s"${fld.name.toLowerCase}.${nf.name.toLowerCase}", Nil)
+              .map(o => org.apache.spark.sql.types.StructField(
+                o.split('.').last, nf.dataType, nullable = true))
+          }
+          if (extra.isEmpty) fld
+          else fld.copy(dataType =
+            org.apache.spark.sql.types.StructType(st.fields ++ extra))
+        case _ => fld
+      }
+    } ++
       schema.fields.flatMap { fld =>
         renames.getOrElse(fld.name.toLowerCase, Nil).map(p =>
           org.apache.spark.sql.types.StructField(p, fld.dataType,
@@ -2887,12 +3071,13 @@ object SnapshotStore {
     * expires down to its window.
     */
   def expireSnapshots(root: String, keepLast: Int, olderThanMs: Long): Seq[Long] =
-    // the monitor serializes fold-then-delete against any concurrent
-    // checkpoint fold (see lockFor): a tryCommit-triggered fold that read
-    // a stale checkpoint must never list the commit dir while this delete
-    // loop is mid-flight, or its replacement checkpoint forgets the
-    // deleted commits' stamps
-    lockFor(root).synchronized {
+    // the monitor + OS file lock serialize fold-then-delete against any
+    // concurrent checkpoint fold — in THIS JVM and in any other process
+    // (see withRootLock): a tryCommit-triggered fold that read a stale
+    // checkpoint must never list the commit dir while this delete loop is
+    // mid-flight, or its replacement checkpoint forgets the deleted
+    // commits' stamps
+    withRootLock(root) {
     require(keepLast >= 1, "must keep at least the latest snapshot")
     val cutoff =
       if (olderThanMs == Long.MaxValue) Long.MaxValue

@@ -142,12 +142,33 @@ private class ChangeFeedStream(sqlContext: SQLContext, root: String,
     // maps to whatever the column was CALLED at each frame's version
     // (stream declared before the rename reading new frames, or after it
     // reading old ones).
+    // ALTER COLUMN TYPE widening rider: frames written before the widen
+    // carry the NARROW type and upcast losslessly into the declared
+    // (widened) schema; a frame WIDER than the declared type means the
+    // table widened after this stream started — casting down would
+    // silently truncate, so refuse with the restart instruction (the
+    // Delta non-additive-schema-change rule).
     def conform(df: DataFrame, v: Long): DataFrame = {
       import org.apache.spark.sql.functions.{col, lit}
       df.select(schema.map { f =>
         val atV = SnapshotStore.feedNameAt(root, f.name, v, hi)
-        (if (df.columns.exists(_.equalsIgnoreCase(atV))) col(atV)
-         else lit(null).cast(f.dataType)).as(f.name)
+        (df.columns.find(_.equalsIgnoreCase(atV)) match {
+          case None => lit(null).cast(f.dataType)
+          case Some(c) =>
+            val actual = df.schema(c).dataType
+            if (actual == f.dataType) col(c)
+            else if (org.apache.spark.sql.catalyst.expressions.Cast
+                .canUpCast(actual, f.dataType)) col(c).cast(f.dataType)
+            else if (org.apache.spark.sql.catalyst.expressions.Cast
+                .canUpCast(f.dataType, actual))
+              throw new IllegalStateException(
+                s"change frame at version $v of $root carries '${f.name}' " +
+                  s"as ${actual.simpleString}, wider than this stream's " +
+                  s"declared ${f.dataType.simpleString} — the table's type " +
+                  "widened mid-stream; restart the stream to pick up the " +
+                  "widened schema")
+            else col(c) // struct-shape drift: served as stored (legacy)
+        }).as(f.name)
       }.toIndexedSeq: _*)
     }
     val batch =

@@ -310,6 +310,50 @@ class CdcSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet == Set((2L, 121L)))
   }
 
+  test("a feed spanning an ALTER COLUMN TYPE widen serves one wide schema") {
+    val root = tmp("graft_cdc_widen")
+    import org.apache.spark.sql.types.{LongType, StructType}
+    SnapshotStore.init(spark, root,
+      Seq((1L, 10), (2L, 20)).toDF("id", "v"), cdcKeys = Seq("id")) // v: INT
+    val t = Map("t" -> root)
+    SqlDml.execute(spark, "UPDATE t SET v = 11 WHERE id = 1", t) // v1: narrow frames
+    SnapshotStore.alterSchema(spark, root, s => StructType(s.map(f =>
+      if (f.name == "v") f.copy(dataType = LongType) else f))) // v2: widen
+    // v3: a value only the WIDE type can hold
+    SqlDml.execute(spark, "UPDATE t SET v = 5000000000 WHERE id = 2", t)
+    // batch feed across the boundary: ONE schema, narrow frames upcast
+    val feed = SnapshotStore.changes(spark, root, 1L, 3L)
+    assert(feed.schema("v").dataType == LongType,
+      "the feed must serve the head (widened) type")
+    val byVc = feed.collect().map(r => (r.getLong(3), r.getString(2)) ->
+      (r.getLong(0), r.getLong(1))).toMap
+    assert(byVc((1L, "update_preimage")) == (1L, 10L))
+    assert(byVc((1L, "update_postimage")) == (1L, 11L))
+    assert(byVc((3L, "update_postimage")) == (2L, 5000000000L))
+    // the ALTER version itself emitted no rows
+    assert(!feed.collect().exists(_.getLong(3) == 2L))
+    // a streaming consumer declared AFTER the widen upcasts old frames
+    // into its (wide) declared schema — one consistent shape end to end
+    val got = graft.streaming.EventsStream.runToMemory(spark,
+      spark.readStream.format("graft.streaming.ChangeFeedSource")
+        .option("path", root).load(),
+      s"cdc_widen_${System.nanoTime()}", "append")
+    assert(got.schema("v").dataType == LongType)
+    val v1post = got.filter($"_commit_version" === 1L &&
+      $"_change_type" === "update_postimage").head()
+    assert(v1post.getLong(1) == 11L,
+      "pre-widen frames must upcast into the declared schema")
+    // widening THROUGH a rename chain: rename then widen-again composes
+    SnapshotStore.alterSchema(spark, root, identity, renames = Map("w" -> "v"))
+    SqlDml.execute(spark, "UPDATE t SET w = w + 1 WHERE id = 1", t)
+    val spanned = SnapshotStore.changes(spark, root, 1L,
+      SnapshotStore.latest(root).version)
+    assert(spanned.schema("w").dataType == LongType)
+    assert(spanned.filter($"_commit_version" === 1L &&
+      $"_change_type" === "update_postimage").head().getLong(1) == 11L,
+      "pre-rename pre-widen frames resolve through the chain at the wide type")
+  }
+
   test("a retired feed name can never be reused on a CDC table") {
     val root = tmp("graft_cdc_retired")
     SnapshotStore.init(spark, root,

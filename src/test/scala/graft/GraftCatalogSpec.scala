@@ -447,7 +447,7 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e4.getMessage.contains("no such field"), e4.getMessage)
   }
 
-  test("ALTER COLUMN TYPE widens metadata-only; narrowing and CDC refuse") {
+  test("ALTER COLUMN TYPE widens metadata-only; narrowing refuses; CDC feeds span it") {
     wh
     spark.sql("CREATE TABLE graft.wd (id BIGINT, x INT, f FLOAT)")
     spark.sql("INSERT INTO graft.wd SELECT id, CAST(id AS INT), " +
@@ -472,11 +472,18 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("ALTER TABLE graft.wd ALTER COLUMN x TYPE INT")) // narrowing
     intercept[Exception]( // reshaping
       spark.sql("ALTER TABLE graft.wd ALTER COLUMN f TYPE STRING"))
+    // a CDC table widens too — the feed spans the boundary at the wide type
     spark.sql("CREATE TABLE graft.wdc (id BIGINT, v INT) " +
       "TBLPROPERTIES ('cdc.keys' = 'id')")
-    val e = intercept[Exception](
-      spark.sql("ALTER TABLE graft.wdc ALTER COLUMN v TYPE BIGINT"))
-    assert(e.getMessage.contains("CDC"), e.getMessage)
+    spark.sql("INSERT INTO graft.wdc VALUES (1, 10)") // v1: narrow frame
+    spark.sql("ALTER TABLE graft.wdc ALTER COLUMN v TYPE BIGINT") // v2
+    spark.sql("INSERT INTO graft.wdc VALUES (2, 5000000000)") // v3: wide frame
+    val feed = SnapshotStore.changes(spark, s"$wh/wdc", 1L, 3L)
+    assert(feed.schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(feed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (2L, 5000000000L)),
+      "narrow frames must upcast into the widened feed")
     // NESTED widening: a field inside a struct widens by the same
     // metadata-only commit; old files' narrow stored values serve through
     // the widened requested schema
@@ -494,6 +501,50 @@ class GraftCatalogSpec extends SparkSpec {
       == (0L until 20).sum + 5000000000L)
     intercept[Exception]( // nested narrowing refuses the same way
       spark.sql("ALTER TABLE graft.wdn ALTER COLUMN props.x TYPE INT"))
+  }
+
+  test("nested RENAME COLUMN: dotted chain resolves mixed-era struct files") {
+    wh
+    spark.sql("CREATE TABLE graft.nrn (id BIGINT, " +
+      "props STRUCT<x: INT, tag: STRING>)")
+    spark.sql("INSERT INTO graft.nrn SELECT id, " +
+      "named_struct('x', CAST(id AS INT), 'tag', 'a') FROM range(10)")
+    spark.sql("ALTER TABLE graft.nrn RENAME COLUMN props.x TO score")
+    spark.sql("INSERT INTO graft.nrn SELECT 100 + id, " +
+      "named_struct('score', CAST(id AS INT), 'tag', 'b') FROM range(5)")
+    // mixed-era read: era-1 files store `x`, era-2 files store `score` —
+    // both serve under the renamed field
+    assert(spark.sql("SELECT sum(props.score) FROM graft.nrn")
+      .head().getLong(0) == (0 until 10).sum + (0 until 5).sum)
+    // whole-struct NULLs survive the rebuild projection
+    spark.sql("INSERT INTO graft.nrn VALUES (999, NULL)")
+    assert(spark.sql("SELECT count(*) FROM graft.nrn WHERE props IS NULL")
+      .head().getLong(0) == 1L)
+    // nested WIDEN of the renamed field composes: era-1 narrow values
+    // upcast THROUGH the chain
+    spark.sql("ALTER TABLE graft.nrn ALTER COLUMN props.score TYPE BIGINT")
+    spark.sql("INSERT INTO graft.nrn SELECT 200, " +
+      "named_struct('score', CAST(5000000000 AS BIGINT), 'tag', 'w')")
+    assert(spark.sql("SELECT sum(props.score) FROM graft.nrn")
+      .head().getLong(0) == (0 until 10).sum + (0 until 5).sum + 5000000000L)
+    // stale-shadow guards, one struct level down: renaming TO a field
+    // files still carry refuses; re-ADDing the retired name refuses
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft.nrn RENAME COLUMN props.tag TO x"))
+    assert(e.getMessage.contains("physically"), e.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE graft.nrn ADD COLUMN props.x INT"))
+    assert(e2.getMessage.contains("physically"), e2.getMessage)
+    // a full rewrite heals the chain; the retired field name frees up
+    spark.sql("CALL graft.system.optimize('nrn', 1000000)")
+    spark.sql("ALTER TABLE graft.nrn ADD COLUMN props.x INT")
+    assert(spark.sql("SELECT count(props.x) FROM graft.nrn")
+      .head().getLong(0) == 0L, "the re-added field must read as all-NULL")
+    // time travel across the rename serves the old shape
+    assert(spark.sql("SELECT * FROM graft.nrn VERSION AS OF 1")
+      .schema("props").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("x"))
   }
 
   test("expire_snapshots honors the age window (older_than_ms)") {

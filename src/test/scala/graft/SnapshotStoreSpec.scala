@@ -284,6 +284,43 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.lastTxnVersion(root, "appB").contains(4L))
   }
 
+  test("cross-process fold-vs-expire: a lock-bypassing interloper cannot lose stamps") {
+    val root = tmpRoot()
+    SnapshotStore.init(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    for (i <- 1L to 4L)
+      SnapshotStore.transact(spark, root,
+        txn = Some(SnapshotStore.Txn(if (i % 2 == 0) "appB" else "appA", i)))(
+        df => df.withColumn("v", concat($"v", lit(i.toString))))
+    // simulate ANOTHER PROCESS's expire with RAW file operations — no
+    // monitor, no OS file lock (a second JVM's locks are invisible to
+    // this one's mutexes; the OS lock is what really serializes two
+    // processes, and this interloper deliberately skips it too): fold
+    // commits ≤ 3 into a checkpoint and delete them, mid-window between
+    // our fold's base read and its commit-dir listing. The optimistic
+    // re-validation alone must detect the advanced checkpoint and retry
+    // from the interloper's base instead of writing a lossy one.
+    var fired = false
+    SnapshotStore.txnFoldTestHook = () => {
+      if (!fired) {
+        fired = true
+        val cd = java.nio.file.Paths.get(root, "_commits")
+        val tmp = java.nio.file.Files.createTempFile(cd, ".ckpt", ".tmp")
+        java.nio.file.Files.writeString(tmp, "version\t3\nappA\t3\nappB\t2")
+        java.nio.file.Files.move(tmp, cd.resolve("_txn_checkpoint"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        (0L to 3L).foreach(v =>
+          java.nio.file.Files.delete(cd.resolve(f"$v%020d.commit")))
+      }
+    }
+    try SnapshotStore.writeTxnCheckpoint(root, 2L)
+    finally SnapshotStore.txnFoldTestHook = () => ()
+    assert(SnapshotStore.lastTxnVersion(root, "appA").contains(3L),
+      "appA's stamp (folded only by the interloper) must survive")
+    assert(SnapshotStore.lastTxnVersion(root, "appB").contains(4L),
+      "appB's head stamp (still in the surviving tail) must survive")
+  }
+
   test("a tag created mid-vacuum pins its version instead of dangling") {
     val root = tmpRoot()
     SnapshotStore.init(spark, root, Seq((1L, "a")).toDF("k", "v"))
