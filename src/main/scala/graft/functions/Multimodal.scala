@@ -1165,10 +1165,21 @@ object Multimodal {
     * with `frameDelta` ticks per frame.
     */
   def encodeMp4(frames: Seq[Array[Array[Int]]], timescale: Int = 600,
+      frameDelta: Int = 150): Array[Byte] =
+    encodeMp4Samples(frames.map(encodePngGray),
+      w = frames.head.head.length, h = frames.head.length,
+      fourcc = "png ", timescale = timescale, frameDelta = frameDelta)
+
+  /** The general sample layer under [[encodeMp4]]: already-encoded intra
+    * frames (`fourcc` names the codec in the stsd VisualSampleEntry —
+    * `png ` or `jpeg`, the MJPEG-in-MP4 layout) packed into the same
+    * one-track one-chunk box tree.
+    */
+  def encodeMp4Samples(samples: Seq[Array[Byte]], w: Int, h: Int,
+      fourcc: String, timescale: Int = 600,
       frameDelta: Int = 150): Array[Byte] = {
-    val samples = frames.map(encodePngGray)
-    val (h, w) = (frames.head.length, frames.head.head.length)
-    val duration = frames.length.toLong * frameDelta
+    require(fourcc.length == 4, s"bad sample-entry fourcc '$fourcc'")
+    val duration = samples.length.toLong * frameDelta
     val ftyp = mp4Box("ftyp", "isom".getBytes("US-ASCII"), beBytes(0),
       "isom".getBytes("US-ASCII"))
     val mdatOff = ftyp.length + 8 // absolute offset of the sample data
@@ -1184,10 +1195,10 @@ object Multimodal {
       beBytes(duration.toInt), u16(0x55C4), u16(0)) // lang 'und'
     val hdlr = fullBox("hdlr", beBytes(0), "vide".getBytes("US-ASCII"),
       new Array[Byte](12), "graft ".getBytes("US-ASCII"))
-    // VisualSampleEntry 'png ': 6 reserved + 2 data_ref_index + 16
+    // VisualSampleEntry: 6 reserved + 2 data_ref_index + 16
     // pre_defined/reserved + w + h + 72dpi×2 + 4 reserved + frame_count 1
     // + 32-byte compressorname + depth 24 + pre_defined -1
-    val sampleEntry = mp4Box("png ", new Array[Byte](6), u16(1),
+    val sampleEntry = mp4Box(fourcc, new Array[Byte](6), u16(1),
       new Array[Byte](16), u16(w), u16(h), beBytes(0x00480000),
       beBytes(0x00480000), beBytes(0), u16(1), new Array[Byte](32),
       u16(24), u16(0xFFFF))
@@ -1297,12 +1308,23 @@ object Multimodal {
       val len = sizeOf(i)
       require(off + len <= b.length, s"corrupt MP4 sample $i")
       if (wanted.contains(i))
-        out += ((i, decodePngGray(java.util.Arrays.copyOfRange(b, off, off + len))))
+        // magic-sniffing sample decode: PNG or baseline/progressive JPEG
+        // (the MJPEG-in-MP4 layout) through the REAL codec paths
+        out += ((i, decodeImageGray(java.util.Arrays.copyOfRange(b, off, off + len))))
       off += len
       i += 1
     }
     out.result()
   }
+
+  /** The stsd sample-entry fourcc — which intra codec the track declares
+    * (`png ` / `jpeg`). stsd payload: ver/flags 4 + entry_count 4, then
+    * the first entry box (size 4 + fourcc 4).
+    */
+  def mp4Codec(b: Array[Byte]): Option[String] =
+    mp4Path(b, 0, b.length, "moov", "trak", "mdia", "minf", "stbl", "stsd")
+      .filter { case (s, e) => s + 16 <= e }
+      .map { case (s, _) => new String(b, s + 12, 4, "US-ASCII") }
 
   /** [[synthVideoBatch]] with the STANDARD container: same frames, same
     * twin planting, MP4 framing.
@@ -1322,8 +1344,35 @@ object Multimodal {
     }(enc)
   }
 
+  /** MJPEG-in-MP4: the REAL end-to-end video path — per-frame DC-only
+    * baseline JPEGs (72×64 px, the q35j tile algebra with a per-frame
+    * src so consecutive frames are unrelated) packed as `jpeg` samples
+    * into the ISO-BMFF tree. A twin bumps tile (4,3) of frame 4 (a
+    * SAMPLED frame) by +7: one flat 8×8 region shifts, moving at most
+    * two of that frame's dHash bits — the planted temporal
+    * near-duplicate, now with a standard container AND a standard
+    * codec on the decode path.
+    */
+  def synthMjpegMp4Batch(rows: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(videoSchema))
+    rows.select("vid_id", "src", "twin").mapPartitions { it =>
+      it.map { r =>
+        val src = r.getLong(1); val twin = r.getBoolean(2)
+        val samples = (0 until VideoFrames).map { f =>
+          val tiles = Array.tabulate(8, 9) { (ty, tx) =>
+            val t = jpegTile(src + 1000003L * f, tx, ty)
+            if (twin && f == 4 && tx == 4 && ty == 3) t + 7 else t
+          }
+          Jpeg.encodeGrayDcOnly(tiles)
+        }
+        Row(r.getLong(0), encodeMp4Samples(samples, w = 72, h = 64,
+          fourcc = "jpeg"))
+      }
+    }(enc)
+  }
+
   /** [[videoFrameHashBatch]] over MP4 payloads: sampled-frame dHashes via
-    * the stco/stsz walk.
+    * the stco/stsz walk (samples decode by magic — PNG or MJPEG).
     */
   def mp4FrameHashBatch(df: DataFrame): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(frameHashSchema))

@@ -642,21 +642,33 @@ object Surface {
            |    ELSE 0 END) AS BIGINT) AS dhash_lo
            |FROM bits GROUP BY vid_id, f ORDER BY vid_id, frame_idx""".stripMargin)),
 
-    // Q35h [extension: video near-dedup] index-aligned per-frame banded
-    // Hamming candidates (the q35d pigeonhole join keyed by (frame, chunk)
-    // so only same-position frames pair), qualifying a video pair when ≥3
-    // of the 4 sampled frames agree within 2 bits. Planted twins differ
-    // only in one pixel of one sampled frame — all 4 frames stay within
-    // bound. The oracle brute-forces all pairs from formula hashes.
+    // Q35h [extension: video near-dedup, REAL container + REAL codec]
+    // index-aligned per-frame banded Hamming candidates (the q35d
+    // pigeonhole join keyed by (frame, chunk) so only same-position
+    // frames pair), qualifying a video pair when ≥3 of the 4 sampled
+    // frames agree within 2 bits — over MJPEG-in-MP4 payloads: every
+    // sampled frame reaches its dHash through the ISO-BMFF box walk
+    // (stco/stsz sparse sample resolve) AND the full JPEG
+    // marker/Huffman/IDCT decode, retiring the synthetic GVID container
+    // from the near-dup path (q35g keeps it as the framing-only gate).
+    // Planted twins differ in one flat tile of one sampled frame. The
+    // oracle brute-forces all pairs from the tile-formula hashes.
     "q35h_video_neardup" -> QueryDef(
       build = (s, d) => {
-        val fh = Multimodal.videoFrameHashBatch(
-          Multimodal.synthVideoBatch(videoRows(s, d)))
+        val vids = Multimodal.synthMjpegMp4Batch(videoRows(s, d))
+        val one = vids.limit(1).collect().head.getAs[Array[Byte]]("payload")
+        require(Multimodal.isMp4(one), "payload must lead with ftyp")
+        require(Multimodal.mp4Codec(one).contains("jpeg"),
+          s"stsd must declare the MJPEG sample entry, got ${Multimodal.mp4Codec(one)}")
+        require(Multimodal.parseMp4Header(one)
+          .contains((72, 64, Multimodal.VideoFrames, 600, 1200L)),
+          s"MP4 moov walk must serve (w=72, h=64, frames=8, ts=600, dur=1200)")
+        val fh = Multimodal.mp4FrameHashBatch(vids)
         Multimodal.videoNearDupPairs(fh)
           .orderBy($("a_id"), $("b_id"))
       },
       oracle = Some(
-        s"""$videoHashOracleCte,
+        s"""$mjpegHashOracleCte,
            |hs AS (
            |  SELECT vid_id, f,
            |    sum(CASE WHEN i >= 32 THEN CAST(bit AS HUGEINT) * (1::HUGEINT << (i - 32)) ELSE 0 END)
@@ -875,6 +887,39 @@ object Surface {
       |  FROM px a JOIN px b
       |    ON a.vid_id = b.vid_id AND a.f = b.f AND b.y = a.y AND b.x = a.x + 1
       |  WHERE a.x < 8)""".stripMargin
+
+  /** q35h oracle CTE: expected per-sampled-frame dHash bits from the
+    * MJPEG tile algebra (Multimodal.jpegTile with a per-frame src + 128,
+    * the analytically known DC-only decode; a flat 8×8 tile IS its own
+    * downsample cell) — no container and no JPEG codec on the oracle
+    * side, which is exactly what makes the gate a codec+framing check.
+    */
+  private def mjpegHashOracleCte: String =
+    """WITH vids AS (
+      |  SELECT doc_id AS vid_id, doc_id AS src, FALSE AS twin FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, doc_id, TRUE FROM documents
+      |  WHERE doc_id % 29 = 0),
+      |tiles AS (
+      |  SELECT vid_id, f, tx, ty,
+      |    CASE WHEN twin AND f = 4 AND tx = 4 AND ty = 3
+      |      THEN t0 + 7 ELSE t0 END + 128 AS p
+      |  FROM (
+      |    SELECT vid_id, twin, f, tx, ty,
+      |      ((v * v + v) % 1000000007) % 200 - 100 AS t0
+      |    FROM (
+      |      SELECT vid_id, twin, f, tx, ty,
+      |        ((src + 1000003 * f) * 2654435761 + (ty * 9 + tx) * 9176)
+      |          % 1000000007 AS v
+      |      FROM vids, (SELECT unnest([0, 2, 4, 6]) AS f) fr,
+      |           range(0, 9) t1(tx), range(0, 8) t2(ty)))),
+      |bits AS (
+      |  SELECT a.vid_id, a.f, a.ty * 8 + a.tx AS i,
+      |    CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bit
+      |  FROM tiles a JOIN tiles b
+      |    ON a.vid_id = b.vid_id AND a.f = b.f AND b.ty = a.ty
+      |    AND b.tx = a.tx + 1
+      |  WHERE a.tx < 8)""".stripMargin
 
   /** Shared oracle CTE: expected audio-fingerprint bits straight from the
     * sample formula (Multimodal.synthSample + the twin's one-sample bump
