@@ -1348,11 +1348,13 @@ object SnapshotStore {
           "keys are unprovable")
     }
     // a pure keyed replay has no sound answer for mid-flight metadata
-    // drift on EITHER side. Compare name/type SHAPE: nullability and field
-    // metadata legitimately differ between footer-inferred and pinned
-    // schemas of identical tables
-    def shape(s: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
-      s.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType.catalogString))
+    // drift on EITHER side. Compare the name→type SHAPE as a set:
+    // nullability, field metadata and column ORDER legitimately differ
+    // between footer-inferred and pinned schemas of identical tables
+    // (partitioned staging reorders partition columns), and the replay
+    // addresses every column by NAME
+    def shape(s: org.apache.spark.sql.types.StructType): Map[String, String] =
+      s.fields.map(f => f.name.toLowerCase -> f.dataType.catalogString).toMap
     val baseSnap = at(root, baseV)
     val baseSchema = readSchema(spark, baseSnap)
     if (shape(readSchema(spark, cur)) != shape(baseSchema))
@@ -1369,8 +1371,10 @@ object SnapshotStore {
     // the branch's squash diff vs its fork base, netted from the BRANCH's
     // own change feed — O(staged change volume), never a two-snapshot
     // join (intermediate churn collapses away, exactly as in the
-    // fast-path publish)
-    val cols = baseSchema.fieldNames.toIndexedSeq
+    // fast-path publish). Emit in the CURRENT head's column order — the
+    // replay addresses columns by name, the staged commit keeps the
+    // head's shape
+    val cols = readSchema(spark, cur).fieldNames.toIndexedSeq
     val diff = netChanges(spark, br, 1L, head.version, keys)
       .select((cols :+ ChangeTypeCol).map(col): _*).persist()
     try {
