@@ -78,6 +78,35 @@ object SqlDml {
     SnapshotStore.readSchema(spark, SnapshotStore.latest(root)).fields
       .find(_.metadata.contains("identity.start")).map(_.name)
 
+  /** Test seam: fires inside each staging attempt (threaded as the
+    * transact machinery's stagedHook), so a spec can land a concurrent
+    * layout transition deterministically in the route-then-stage window.
+    */
+  private[graft] var dmlTestHook: () => Unit = () => ()
+
+  /** Re-evaluate a statement's staging ROUTE when a concurrent layout
+    * transition invalidated the one already chosen — e.g. a migrating
+    * OPTIMIZE heals a spec-spanning table to an UNPARTITIONED single-spec
+    * layout mid-statement, so the partial (partition-scoped) route it
+    * picked has no granularity left to scope by. The same absorption
+    * `append()`'s router performs: the race re-routes instead of
+    * surfacing to the USER as a "re-run the statement" error. The route
+    * conditions (dmlMode / partitionCols / spansSpecs) are re-read inside
+    * `f`, so each retry routes against the CURRENT layout.
+    */
+  private def reroute[T](f: => T): T = {
+    var attempts = 0
+    while (true) {
+      try return f
+      catch {
+        case e: SnapshotStore.LayoutChangedException =>
+          attempts += 1
+          if (attempts > 3) throw e // a flapping layout is not a race
+      }
+    }
+    sys.error("unreachable")
+  }
+
   def executePlan(spark: SparkSession, parsed: LogicalPlan,
       tables: Map[String, String] = Map.empty,
       maxAttempts: Int = 10, checkCardinality: Boolean = true): SnapshotStore.Snapshot = {
@@ -131,6 +160,7 @@ object SqlDml {
         // their post-images — zero data files rewritten. build() over the
         // matched subset produces exactly the replacement rows (cond is
         // true on every row) and the same change set as copy-on-write.
+        reroute {
         if (SnapshotStore.dmlMode(root) == SnapshotStore.MergeOnRead)
           SnapshotStore.transactMoR(spark, root, maxAttempts)(
             base => base.alias(alias).filter(coalesce(cond, lit(false))))(build)
@@ -141,9 +171,10 @@ object SqlDml {
         else if (SnapshotStore.partitionCols(root).nonEmpty ||
             SnapshotStore.spansSpecs(root))
           SnapshotStore.transactPartialWithChanges(spark, root, maxAttempts,
-            evolvedScoped = true)(
+            evolvedScoped = true, stagedHook = _ => dmlTestHook())(
             base => base.alias(alias).filter(coalesce(cond, lit(false))))(build)
         else transactBoth(spark, root, maxAttempts, build)
+        }
 
       case del: DeleteFromTable =>
         val (name, alias) = relationOf(del.table)
@@ -159,6 +190,7 @@ object SqlDml {
         }
         // merge-on-read: the matched rows become deletion-vector entries;
         // nothing is appended and no data file is rewritten
+        reroute {
         if (SnapshotStore.dmlMode(root) == SnapshotStore.MergeOnRead)
           SnapshotStore.transactMoR(spark, root, maxAttempts)(
             base => base.alias(alias).filter(coalesce(cond, lit(false))))(
@@ -167,9 +199,10 @@ object SqlDml {
         else if (SnapshotStore.partitionCols(root).nonEmpty ||
             SnapshotStore.spansSpecs(root))
           SnapshotStore.transactPartialWithChanges(spark, root, maxAttempts,
-            evolvedScoped = true)(
+            evolvedScoped = true, stagedHook = _ => dmlTestHook())(
             base => base.alias(alias).filter(coalesce(cond, lit(false))))(build)
         else transactBoth(spark, root, maxAttempts, build)
+        }
 
       case m: MergeIntoTable =>
         val (tName, tAlias) = relationOf(m.targetTable)
@@ -247,6 +280,7 @@ object SqlDml {
                 "derivation in the arm; a NULL pad fails the consistency CHECK)")
           }
         }
+        reroute {
         if (SnapshotStore.dmlMode(root) == SnapshotStore.MergeOnRead &&
             m.notMatchedBySourceActions.isEmpty)
           SnapshotStore.transactMoR(spark, root, maxAttempts)(
@@ -264,7 +298,7 @@ object SqlDml {
               SnapshotStore.spansSpecs(root)) &&
             m.notMatchedBySourceActions.isEmpty)
           SnapshotStore.transactPartialWithChanges(spark, root, maxAttempts,
-            evolvedScoped = true)(
+            evolvedScoped = true, stagedHook = _ => dmlTestHook())(
             base => base.alias(tAlias).join(source.alias(sAlias),
               expr(m.mergeCondition.sql), "left_semi"))(
             base => mergeFrames(base, tAlias, source, sAlias, m,
@@ -272,6 +306,7 @@ object SqlDml {
         else transactBoth(spark, root, maxAttempts,
           base => mergeFrames(base, tAlias, source, sAlias, m, checkCardinality,
             SnapshotStore.cdcKeys(root)))
+        }
 
       case ins: InsertIntoStatement =>
         val (name, _) = relationOf(ins.table)

@@ -165,6 +165,44 @@ class SqlDmlSpec extends SparkSpec {
     assert(out == Seq((7L, 50L), (10L, 50L)),
       s"serial outcome of both merges expected, got $out")
   }
+  test("a migrating OPTIMIZE healing the span mid-statement re-routes, not errors") {
+    val root = tmpRoot()
+    SnapshotStore.init(spark, root, spark.range(40)
+      .selectExpr("id", "CAST(id % 4 AS STRING) AS seg", "id * 10 AS v"),
+      partitionBy = Seq("seg"))
+    SnapshotStore.alterPartitionSpec(spark, root, Nil) // evolve → UNPARTITIONED
+    SnapshotStore.append(spark, root, spark.range(40, 50)
+      .selectExpr("id", "CAST(id % 4 AS STRING) AS seg", "id * 10 AS v"))
+    assert(SnapshotStore.spansSpecs(root))
+    // deterministic interleave: the statement routes PARTIAL (the table
+    // spans specs), stages its per-era rewrite — and in that window a
+    // concurrent migrating OPTIMIZE heals the span to the current
+    // (unpartitioned) layout. The partial machinery loses its CAS, finds
+    // no partition granularity left, and throws LayoutChangedException —
+    // which the statement router must ABSORB by re-routing onto the
+    // full-rewrite path, never surface as "re-run the statement".
+    var fired = false
+    SqlDml.dmlTestHook = () => {
+      if (!fired) {
+        fired = true
+        SnapshotStore.optimize(spark, root, targetRows = 1000000L)
+      }
+    }
+    try SqlDml.execute(spark, "UPDATE t SET v = v + 1 WHERE id % 10 = 0",
+      Map("t" -> root))
+    finally SqlDml.dmlTestHook = () => ()
+    assert(fired, "the interleave must actually fire")
+    assert(!SnapshotStore.spansSpecs(root) &&
+      SnapshotStore.partitionCols(root).isEmpty,
+      "the healed layout must stand")
+    val got = SnapshotStore.read(spark, root).selectExpr("sum(v)")
+      .head().getLong(0)
+    val want = (0L until 50L).map(i =>
+      i * 10 + (if (i % 10 == 0) 1 else 0)).sum
+    assert(got == want, s"the re-routed statement must apply exactly once: " +
+      s"$got vs $want")
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION adds source-only columns, null-fills old rows") {
     val root = java.nio.file.Files.createTempDirectory("graft_dml_evo").toString
     SnapshotStore.init(spark, root,
