@@ -582,12 +582,15 @@ object Graph {
     // rounds as CTE algebra (the q85 precedent).
     "q104_kcore" -> QueryDef(
       build = (s, d) => {
-        // 17 = the oracle's 16 productive unrolled rounds + the final
+        // 33 = the oracle's 32 productive unrolled rounds + the final
         // quiescent pass that clears the convergence require (a graph
-        // peeling in exactly 16 rounds must still observe one stable
-        // round; without the +1 the engine refuses where the oracle
-        // converges)
-        val K = 3; val Rounds = 17
+        // peeling in exactly 32 rounds must still observe one stable
+        // round). 32 covers the sf1 soak's key-strided copies, whose
+        // per-copy link structure peels deeper than sf0.1's 16; rounds
+        // after convergence cost nothing on the engine side (the loop
+        // exits at the first stable round) and are no-ops in the oracle
+        // (k-core peeling is monotone — extra rounds fix the same point)
+        val K = 3; val Rounds = 33
         val (n, _, edges) = linkGraphN(s, d)
         val parts = labelPartitions(n)
         val und = edges.select($("src"), $("dst"))
@@ -624,7 +627,7 @@ object Graph {
         // 3^16 ways (observed: fd exhaustion); materialization makes the
         // unrolled chain linear, exactly like the engine's per-round
         // checkpoints
-        val rounds = (1 to 16).map { i =>
+        val rounds = (1 to 32).map { i =>
           s"""k$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY src
              |  HAVING count(*) >= 3),
              |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
@@ -639,7 +642,7 @@ object Graph {
            |  WHERE src <> dst),
            |$rounds
            |SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
-           |FROM e16 GROUP BY src ORDER BY doc_id""".stripMargin
+           |FROM e32 GROUP BY src ORDER BY doc_id""".stripMargin
       }),
 
     // Q100 [extension: recursive CTE] Bounded-depth graph walk as a BARE

@@ -156,7 +156,7 @@ object Temporal {
         val mods = v1.filter($("k") % 97 =!= 0)
           .withColumn("price_c",
             when($("k") % 31 === 0, $("price_c") + 1).otherwise($("price_c")))
-        val maxK = 100000000L
+        val maxK = 1000000000000L // 1e12: clear of any scaled key stride (orders stride 1e8 x copies)
         // Guard (r8 ADVICE): a fixed re-key offset collides with real keys
         // once o_orderkey reaches 1e8 (sf ≳ 70) — and colliding keys make
         // the diff's tie-order engine-dependent. Fail loudly at build time
@@ -191,7 +191,7 @@ object Temporal {
            |    AS price_c, status
            |  FROM v1 WHERE k % 97 <> 0
            |  UNION ALL
-           |  SELECT k + 100000000, price_c, status FROM v1 WHERE k % 53 = 0)
+           |  SELECT k + 1000000000000, price_c, status FROM v1 WHERE k % 53 = 0)
            |SELECT coalesce(a.k, b.k) AS key,
            |  CASE WHEN b.k IS NULL THEN 'removed'
            |       WHEN a.k IS NULL THEN 'added'
@@ -359,7 +359,7 @@ object Temporal {
         SqlDml.execute(s,
           "UPDATE emp SET salary = salary + 1000 WHERE segment = 'BUILDING'", t)
         Tables.supplier(s, d)
-          .select(($("s_suppkey") + 1000000L).as("sid"), $("s_name").as("sname"),
+          .select(($("s_suppkey") + 1000000000000L).as("sid"), $("s_name").as("sname"),
             graft.Canon.cents($("s_acctbal")).as("sbal"))
           .createOrReplaceTempView("emp_new_hires")
         SqlDml.execute(s,
@@ -401,7 +401,7 @@ object Temporal {
            |i1 AS (
            |  SELECT * FROM u1
            |  UNION ALL
-           |  SELECT s_suppkey + 1000000 AS id, s_name AS name,
+           |  SELECT s_suppkey + 1000000000000 AS id, s_name AS name,
            |         ${graft.Canon.centsSql("s_acctbal")} AS salary,
            |         'SUPP' AS segment
            |  FROM supplier),
@@ -648,7 +648,7 @@ object Temporal {
         Tables.supplier(s, d).createOrReplaceTempView("q89_supp")
         s.sql( // v2: append new hires through the commit protocol
           s"""INSERT INTO graft.q89emp
-             |SELECT s_suppkey + 1000000, s_name,
+             |SELECT s_suppkey + 1000000000000, s_name,
              |       ${graft.Canon.centsSql("s_acctbal")}, 'SUPP'
              |FROM q89_supp""".stripMargin)
         s.sql( // v3: whole-table replace sourced from the table ITSELF —
@@ -671,7 +671,7 @@ object Temporal {
            |i1 AS (
            |  SELECT * FROM base
            |  UNION ALL
-           |  SELECT s_suppkey + 1000000 AS id, s_name AS name,
+           |  SELECT s_suppkey + 1000000000000 AS id, s_name AS name,
            |         ${graft.Canon.centsSql("s_acctbal")} AS salary,
            |         'SUPP' AS segment
            |  FROM supplier),
@@ -782,7 +782,7 @@ object Temporal {
         s.sql("ALTER TABLE graft.q90ev ADD COLUMN seg STRING") // v2: links only
         s.sql( // v3: rows born under the evolved schema
           s"""INSERT INTO graft.q90ev
-             |SELECT s_suppkey + 1000000, ${graft.Canon.centsSql("s_acctbal")},
+             |SELECT s_suppkey + 1000000000000, ${graft.Canon.centsSql("s_acctbal")},
              |       'SUPP'
              |FROM q90_supp""".stripMargin)
         // time travel across the ALTER boundary serves each version's OWN
@@ -794,7 +794,7 @@ object Temporal {
         s.sql("ALTER TABLE graft.q90ev RENAME COLUMN bal TO balance") // v4
         s.sql( // v5: fresh files under the NEW name, links under the old
           s"""INSERT INTO graft.q90ev
-             |SELECT s_suppkey + 2000000, ${graft.Canon.centsSql("s_acctbal")},
+             |SELECT s_suppkey + 2000000000000, ${graft.Canon.centsSql("s_acctbal")},
              |       'SUPP2'
              |FROM q90_supp""".stripMargin)
         require(s.sql("SELECT * FROM graft.q90ev VERSION AS OF 3")
@@ -811,11 +811,11 @@ object Temporal {
            |         NULL AS seg
            |  FROM customer
            |  UNION ALL
-           |  SELECT s_suppkey + 1000000, ${graft.Canon.centsSql("s_acctbal")},
+           |  SELECT s_suppkey + 1000000000000, ${graft.Canon.centsSql("s_acctbal")},
            |         'SUPP'
            |  FROM supplier
            |  UNION ALL
-           |  SELECT s_suppkey + 2000000, ${graft.Canon.centsSql("s_acctbal")},
+           |  SELECT s_suppkey + 2000000000000, ${graft.Canon.centsSql("s_acctbal")},
            |         'SUPP2'
            |  FROM supplier)
            |SELECT id, balance, coalesce(seg, 'LEGACY') AS seg
@@ -851,7 +851,7 @@ object Temporal {
         s.sql("ALTER TABLE graft.q90w ALTER COLUMN ratio TYPE DOUBLE") // v3
         s.sql( // v4: wide-era files in the same dir
           """INSERT INTO graft.q90w
-            |SELECT s_suppkey + 1000000, CAST(s_nationkey AS BIGINT) + 100,
+            |SELECT s_suppkey + 1000000000000, CAST(s_nationkey AS BIGINT) + 100,
             |       CAST(CAST(s_nationkey AS FLOAT) / 25.0 AS DOUBLE) + 10.0
             |FROM q90b_supp""".stripMargin)
         // time travel across the ALTER boundary serves the narrow types
@@ -882,7 +882,7 @@ object Temporal {
           |         CAST(CAST(c_nationkey AS FLOAT) AS DOUBLE) / 25.0 AS ratio
           |  FROM customer),
           |wide AS (
-          |  SELECT s_suppkey + 1000000 AS id,
+          |  SELECT s_suppkey + 1000000000000 AS id,
           |         CAST(s_nationkey AS BIGINT) + 100 AS cnt,
           |         CAST(CAST(CAST(s_nationkey AS FLOAT) / 25.0 AS FLOAT)
           |           AS DOUBLE) + 10.0 AS ratio
@@ -1323,7 +1323,7 @@ object Temporal {
           "UPDATE emp SET salary = salary + 100 WHERE segment = 'AUTOMOBILE'", t)
         SqlDml.execute(s, "DELETE FROM emp WHERE id % 9 = 0", t)
         Tables.supplier(s, d)
-          .select(($("s_suppkey") + 2000000L).as("id"),
+          .select(($("s_suppkey") + 2000000000000L).as("id"),
             graft.Canon.cents($("s_acctbal")).as("salary"),
             lit("SUPPLIER").as("segment"))
           .createOrReplaceTempView("q95_new")
@@ -1361,7 +1361,7 @@ object Temporal {
            |v2 AS (SELECT * FROM v1 WHERE NOT (id % 9 = 0)),
            |v3 AS (SELECT * FROM v2
            |  UNION ALL
-           |  SELECT s_suppkey + 2000000, ${graft.Canon.centsSql("s_acctbal")},
+           |  SELECT s_suppkey + 2000000000000, ${graft.Canon.centsSql("s_acctbal")},
            |         'SUPPLIER'
            |  FROM supplier)
            |SELECT segment, CAST(count(*) AS BIGINT) AS n_rows,
@@ -1408,7 +1408,7 @@ object Temporal {
           "UPDATE emp SET segment = 'MACHINERY' WHERE id % 31 = 0", te)
         SqlDml.execute(s, "DELETE FROM emp WHERE id % 9 = 0", te)
         Tables.supplier(s, d)
-          .select(($("s_suppkey") + 2000000L).as("id"),
+          .select(($("s_suppkey") + 2000000000000L).as("id"),
             graft.Canon.cents($("s_acctbal")).as("salary"),
             lit("SUPPLIER").as("segment"))
           .createOrReplaceTempView("q95b_new")
@@ -1457,7 +1457,7 @@ object Temporal {
            |v3 AS (SELECT * FROM v2 WHERE NOT (id % 9 = 0)),
            |emp AS (SELECT * FROM v3
            |  UNION ALL
-           |  SELECT s_suppkey + 2000000, ${graft.Canon.centsSql("s_acctbal")},
+           |  SELECT s_suppkey + 2000000000000, ${graft.Canon.centsSql("s_acctbal")},
            |         'SUPPLIER'
            |  FROM supplier),
            |dim0 (segment, bonus) AS (VALUES
@@ -1501,7 +1501,7 @@ object Temporal {
           "UPDATE emp SET salary = salary + 100 WHERE segment = 'AUTOMOBILE'", t)
         SqlDml.execute(s, "DELETE FROM emp WHERE id % 9 = 0", t)
         Tables.supplier(s, d)
-          .select(($("s_suppkey") + 2000000L).as("id"),
+          .select(($("s_suppkey") + 2000000000000L).as("id"),
             graft.Canon.cents($("s_acctbal")).as("salary"),
             lit("SUPPLIER").as("segment"))
           .createOrReplaceTempView("q95c_new")
@@ -1525,7 +1525,7 @@ object Temporal {
            |v2 AS (SELECT * FROM v1 WHERE NOT (id % 9 = 0)),
            |v3 AS (SELECT * FROM v2
            |  UNION ALL
-           |  SELECT s_suppkey + 2000000, ${graft.Canon.centsSql("s_acctbal")},
+           |  SELECT s_suppkey + 2000000000000, ${graft.Canon.centsSql("s_acctbal")},
            |         'SUPPLIER'
            |  FROM supplier)
            |SELECT segment, CAST(count(*) AS BIGINT) AS n_rows,
@@ -1722,7 +1722,7 @@ object Temporal {
         // duplicate EXISTING (segment, salary) pairs under fresh keys:
         // n_rows grows, val_distinct must not
         SnapshotStore.read(s, src).filter($("id") % 13 === 0)
-          .select(($("id") + 3000000L).as("id"), $("salary"), $("segment"))
+          .select(($("id") + 3000000000000L).as("id"), $("salary"), $("segment"))
           .createOrReplaceTempView("q95f_dup")
         SqlDml.execute(s,
           "INSERT INTO emp SELECT id, salary, segment FROM q95f_dup", t)
@@ -1745,7 +1745,7 @@ object Temporal {
            |v2 AS (SELECT * FROM v1 WHERE NOT (id % 9 = 0)),
            |emp AS (SELECT * FROM v2
            |  UNION ALL
-           |  SELECT id + 3000000, salary, segment FROM v2 WHERE id % 13 = 0)
+           |  SELECT id + 3000000000000, salary, segment FROM v2 WHERE id % 13 = 0)
            |SELECT segment, CAST(count(*) AS BIGINT) AS n_rows,
            |  CAST(sum(salary) AS BIGINT) AS val_sum,
            |  CAST(count(DISTINCT salary) AS BIGINT) AS val_distinct,
@@ -1951,8 +1951,11 @@ object Temporal {
     // then bit-interleaved (plans/InterleaveBits) — so files tile the 2-D
     // key space and manifests prune range predicates on EITHER column.
     // The build requires all three prunings the curve promises (each
-    // single-dim range < total files, the 2-D rectangle ≤ half) AFTER
-    // having required the before-layout could NOT prune the second dim;
+    // single-dim range < total files, the 2-D rectangle ≤ half) and that
+    // the curve never prunes the second dim WORSE than the starting
+    // layout's recorded baseline (copy-correlated inputs — the sf1 soak's
+    // key-strided copies — legitimately pre-prune, so the baseline is
+    // measured, not assumed);
     // the gate output is the rectangle query itself, value-identical to a
     // plain DuckDB scan — layout moved bytes, never rows. At 100 TB this
     // is the difference between "fast queries on the cluster key only" and
@@ -1981,10 +1984,14 @@ object Temporal {
         }
         val pkPred = col("max_l_partkey") >= pkLo && col("min_l_partkey") <= pkHi
         val okPred = col("max_l_orderkey") >= okLo && col("min_l_orderkey") <= okHi
-        // the failure mode this layout exists to fix: dim-2 is unprunable
+        // the failure mode this layout exists to fix: dim-2 is (normally)
+        // unprunable under a single-dim range layout. Record the baseline
+        // rather than requiring it: inputs whose two keys CORRELATE (the
+        // GenScale sf1 copies stride both keys together) legitimately
+        // pre-prune, and the contract below is relative — the curve must
+        // never prune WORSE than the starting layout, and must halve the
+        // 2-D rectangle's file set in absolute terms
         val (kb, tb) = kept(pkPred)
-        require(kb * 2 > tb,
-          s"starting layout unexpectedly prunes l_partkey ($kb of $tb kept)")
         val rows = li.count()
         s.conf.set("spark.sql.catalog.graft",
           classOf[graft.sources.GraftCatalog].getName)
@@ -2005,6 +2012,9 @@ object Temporal {
           s"z-layout failed to prune a single-dim range ($k1/$t1 orderkey, $k2/$t2 partkey)")
         require(k3 * 2 <= t3,
           s"z-layout kept $k3 of $t3 files on the 2-D rectangle (want <= half)")
+        require(k2.toDouble / t2 <= (kb.toDouble + 1) / math.max(tb, 1),
+          s"z-layout prunes l_partkey WORSE than the starting layout " +
+            s"($k2/$t2 vs baseline $kb/$tb)")
         val (pruned, _, _) = SnapshotStore.readPruned(s, SnapshotStore.latest(root),
           okPred && pkPred)
         pruned

@@ -49,6 +49,10 @@ object EventsStream {
     val stage = Paths.get(sys.props("java.io.tmpdir"),
       "graft_events_stream_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
     val src = Paths.get(dir, "events.parquet")
+    // a spark-written dataset (the GenScale sf1 soak) ships events.parquet
+    // as a DIRECTORY of part files — already the shape the file source
+    // needs; a naive Files.copy would stage it as an EMPTY dir
+    if (Files.isDirectory(src)) return src.toString
     val dst = stage.resolve("events.parquet")
     // recopy when the source changed (the driver regenerates testdata
     // between rounds — a stale staged copy would diverge from the batch twin)
