@@ -656,6 +656,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "clone" -> GraftCatalog.CloneProc,
       "create_mv" -> GraftCatalog.CreateMvProc,
       "refresh_mv" -> GraftCatalog.RefreshMvProc,
+      "refresh_all_mv" -> GraftCatalog.RefreshAllMvProc,
       "create_join_mv" -> GraftCatalog.CreateJoinMvProc,
       "refresh_join_mv" -> GraftCatalog.RefreshJoinMvProc,
       "create_tag" -> GraftCatalog.CreateTagProc,
@@ -672,7 +673,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("optimize", "expire_snapshots", "clean_orphans", "restore", "clone",
-        "create_mv", "refresh_mv", "create_join_mv", "refresh_join_mv",
+        "create_mv", "refresh_mv", "refresh_all_mv", "create_join_mv",
+        "refresh_join_mv",
         "create_tag", "drop_tag", "copy_into", "set_partition_spec",
         "create_branch", "publish_branch", "drop_branch")
       .map(Identifier.of(Array("system"), _))
@@ -1151,6 +1153,24 @@ object GraftCatalog {
           in.getString(4).split(",").toSeq.map(_.trim).filter(_.nonEmpty))
         InternalRow(SnapshotStore.lastTxnVersion(mvRoot,
           MatView.appIdFor(srcRoot)).getOrElse(-1L), snap.version)
+      }
+    }
+
+  /** `CALL graft.system.refresh_all_mv('view')` — refresh the view AND
+    * every materialized view upstream of it in topological order, from
+    * the dependency DAG each view records at create time (`_mv_def`):
+    * the one-call maintenance entry point for chains like source → join
+    * view → summary view. See [[MatView.refreshAll]].
+    */
+  private[sources] val RefreshAllMvProc: GraftCatalog => UnboundProcedure = cat =>
+    new Proc("refresh_all_mv",
+      Seq(p("target", StringType)),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("mv_version", LongType)))) {
+      override protected def run(in: InternalRow): InternalRow = {
+        val spark = SparkSession.active
+        InternalRow(MatView.refreshAll(spark, cat.tableRoot(in.getString(0)))
+          .version)
       }
     }
 

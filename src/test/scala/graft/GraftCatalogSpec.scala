@@ -174,7 +174,7 @@ class GraftCatalogSpec extends SparkSpec {
       .getOrElse(fail(s"no procedure-name column in ${shown.columns.toSeq}"))
     val procs = shown.select(nameCol).collect().map(_.getString(0)).toSet
     assert(procs == Set("optimize", "expire_snapshots", "clean_orphans",
-      "restore", "clone", "create_mv", "refresh_mv",
+      "restore", "clone", "create_mv", "refresh_mv", "refresh_all_mv",
       "create_join_mv", "refresh_join_mv", "create_tag", "drop_tag",
       "copy_into", "set_partition_spec",
       "create_branch", "publish_branch", "drop_branch"),

@@ -447,6 +447,17 @@ class MatViewSpec extends SparkSpec {
     // a plain table is not refreshAll-able — loud, with the explicit API named
     val e = intercept[IllegalArgumentException](MatView.refreshAll(spark, emp))
     assert(e.getMessage.contains("_mv_def"), e.getMessage)
+    // the SQL face drives the same walk: CALL refresh_all_mv('view')
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse",
+      GateTmp.freshDir("mvdag_wh"))
+    SqlDml.execute(spark, "UPDATE t SET v = v + 2 WHERE id % 4 = 1",
+      Map("t" -> emp))
+    val got = spark.sql(s"CALL graft.system.refresh_all_mv('$g1')").head()
+    assert(got.getLong(0) == SnapshotStore.latest(g1).version)
+    assert(view(g1) == direct("g"),
+      "CALL refresh_all_mv must walk the join view first, then the aggregate")
   }
 
   test("group-migrating UPDATE keeps n_rows right (pre/postimage ±1)") {
