@@ -810,8 +810,17 @@ object SnapshotStore {
       // heal; the feed log can.
       if (cdcKeys(root).nonEmpty) {
         val retiredAt = feedRenames(root).map(r => r._2.toLowerCase -> r._1).toMap
-        val reuse = (added.map(_.name) ++ renames.keys)
-          .filter(n => retiredAt.contains(n.toLowerCase))
+        // every CURRENT path (top-level and one struct level down) must
+        // avoid every retired feed name: a current path can only equal a
+        // retired one through ADD or a rename TARGET — both reuses
+        val paths = next.fields.toIndexedSeq.flatMap { f =>
+          f.name +: (f.dataType match {
+            case st: org.apache.spark.sql.types.StructType =>
+              st.fields.toIndexedSeq.map(nf => s"${f.name}.${nf.name}")
+            case _ => Nil
+          })
+        }
+        val reuse = paths.filter(n => retiredAt.contains(n.toLowerCase))
         require(reuse.isEmpty,
           s"column name(s) ${reuse.distinct.mkString(", ")} were retired by " +
             s"RENAME COLUMN (at version(s) ${reuse.distinct.map(n =>
@@ -903,12 +912,16 @@ object SnapshotStore {
         require(np.length == 2 && op.length == 2 &&
           np.head.equalsIgnoreCase(op.head),
           s"nested rename must stay inside one struct level: $oldName -> $newName")
-        require(cdcKeys(root).isEmpty,
-          s"nested column rename is not supported on CDC tables: historical " +
-            "change frames resolve renames by TOP-LEVEL name through the " +
-            "feed log — rename the struct column itself, or OPTIMIZE and " +
-            "recreate the feed")
         val parent = np.head; val oldF = op(1); val newF = np(1)
+        // CDC feeds resolve nested renames through dotted feed-log
+        // entries (changes() rebuilds the struct with version-guarded
+        // legs) — but composing that with a TOP-LEVEL rename of the same
+        // struct has no sound one-pass resolution; refuse the combination
+        if (cdcKeys(root).nonEmpty)
+          require(feedChain(feedRenames(root), parent).isEmpty,
+            s"struct column $parent was itself renamed earlier on this CDC " +
+              "table; a nested rename inside it cannot compose with the " +
+              "top-level feed chain — OPTIMIZE (full rewrite) first")
         val pIdx = schema.fields.indexWhere(_.name.equalsIgnoreCase(parent))
         require(pIdx >= 0, s"no such column $parent in $root")
         val st = schema.fields(pIdx).dataType match {
@@ -956,6 +969,15 @@ object SnapshotStore {
         s"column $newName already exists in $root")
       require(!parts.contains(oldName.toLowerCase),
         s"cannot rename partition column $oldName (directory layout)")
+      // the mirror of the nested-branch guard: renaming a struct column
+      // whose FIELDS carry dotted feed chains cannot compose either
+      if (cdcKeys(root).nonEmpty)
+        require(!feedRenames(root).exists(r =>
+          r._2.toLowerCase.startsWith(oldName.toLowerCase + ".") ||
+            r._3.toLowerCase.startsWith(oldName.toLowerCase + ".")),
+          s"fields inside $oldName carry nested feed-rename chains on this " +
+            "CDC table; renaming the struct column itself cannot compose " +
+            "with them — OPTIMIZE (full rewrite) first")
       val refd = exprTexts.filter(
         _.matches(s"(?is).*\\b${java.util.regex.Pattern.quote(oldName)}\\b.*"))
       require(refd.isEmpty,
@@ -2044,8 +2066,40 @@ object SnapshotStore {
         feedChain(log, f.name).map { case (old, _) => (old, f.dataType) }
       }.filterNot { case (old, _) => headNames(old.toLowerCase) }
         .distinctBy(_._1.toLowerCase)
+      // NESTED rename chains (dotted log entries): per struct field, the
+      // retired nested names with their guard versions — the requested
+      // struct grows the olds (typed at the HEAD field's type, so a widen
+      // composes) and the select below rebuilds per-field
+      val nestedLegs: Map[String, Seq[(String, String, Long)]] =
+        schema.fields.toIndexedSeq.flatMap { f =>
+          f.dataType match {
+            case st: org.apache.spark.sql.types.StructType =>
+              val legs = st.fields.toIndexedSeq.flatMap { nf =>
+                feedChain(log, s"${f.name}.${nf.name}").collect {
+                  case (old, rv) if old.contains('.') =>
+                    (old.split('.').last, nf.name, rv)
+                }
+              }
+              if (legs.isEmpty) None else Some(f.name.toLowerCase -> legs)
+            case _ => None
+          }
+        }.toMap
       val ext = org.apache.spark.sql.types.StructType(
-        schema.fields.toIndexedSeq.map(_.copy(nullable = true)) ++
+        schema.fields.toIndexedSeq.map { f =>
+          (f.dataType, nestedLegs.get(f.name.toLowerCase)) match {
+            case (st: org.apache.spark.sql.types.StructType, Some(legs)) =>
+              val extra = legs.map { case (old, cur, _) =>
+                org.apache.spark.sql.types.StructField(old,
+                  st(st.fieldNames.find(_.equalsIgnoreCase(cur)).get).dataType,
+                  nullable = true)
+              }.distinctBy(_.name.toLowerCase)
+                .filterNot(e => st.exists(_.name.equalsIgnoreCase(e.name)))
+              f.copy(dataType =
+                org.apache.spark.sql.types.StructType(st.fields ++ extra),
+                nullable = true)
+            case _ => f.copy(nullable = true)
+          }
+        } ++
           retired.map { case (old, dt) =>
             org.apache.spark.sql.types.StructField(old, dt, nullable = true) } :+
           org.apache.spark.sql.types.StructField(ChangeTypeCol,
@@ -2068,15 +2122,38 @@ object SnapshotStore {
       if (log.isEmpty) merged
       else {
         merged.select(schema.fields.toIndexedSeq.map { f =>
-          val legs = Seq(col(f.name)) ++
-            feedChain(log, f.name).collect {
-              case (old, rv) if !headNames(old.toLowerCase) =>
-                when(col(CommitVersionCol) < rv, col(old))
+          val base: org.apache.spark.sql.Column =
+            (f.dataType, nestedLegs.get(f.name.toLowerCase)) match {
+              case (st: org.apache.spark.sql.types.StructType, Some(legs)) =>
+                // rebuild the struct with the same version-guarded
+                // coalesce per nested field, preserving whole-struct NULLs
+                val inner = st.fields.toIndexedSeq.map { nf =>
+                  val myLegs = Seq(col(s"${f.name}.${nf.name}")) ++
+                    legs.collect {
+                      case (old, cur, rv) if cur.equalsIgnoreCase(nf.name) =>
+                        when(col(CommitVersionCol) < rv,
+                          col(s"${f.name}.$old"))
+                    }
+                  (myLegs match {
+                    case Seq(one) => one
+                    case many => coalesce(many: _*)
+                  }).as(nf.name)
+                }
+                when(col(f.name).isNotNull, struct(inner: _*))
+                  .otherwise(lit(null))
+              case _ =>
+                val legs = Seq(col(f.name)) ++
+                  feedChain(log, f.name).collect {
+                    case (old, rv) if !old.contains('.') &&
+                        !headNames(old.toLowerCase) =>
+                      when(col(CommitVersionCol) < rv, col(old))
+                  }
+                legs match {
+                  case Seq(one) => one
+                  case many => coalesce(many: _*)
+                }
             }
-          (legs match {
-            case Seq(one) => one
-            case many => coalesce(many: _*)
-          }).cast(f.dataType).as(f.name)
+          base.cast(f.dataType).as(f.name)
         } ++ Seq(col(ChangeTypeCol), col(CommitVersionCol)): _*)
       }
     }

@@ -149,25 +149,45 @@ private class ChangeFeedStream(sqlContext: SQLContext, root: String,
     // silently truncate, so refuse with the restart instruction (the
     // Delta non-additive-schema-change rule).
     def conform(df: DataFrame, v: Long): DataFrame = {
-      import org.apache.spark.sql.functions.{col, lit}
+      import org.apache.spark.sql.functions.{col, lit, struct, when}
       df.select(schema.map { f =>
         val atV = SnapshotStore.feedNameAt(root, f.name, v, hi)
         (df.columns.find(_.equalsIgnoreCase(atV)) match {
           case None => lit(null).cast(f.dataType)
           case Some(c) =>
             val actual = df.schema(c).dataType
-            if (actual == f.dataType) col(c)
-            else if (org.apache.spark.sql.catalyst.expressions.Cast
-                .canUpCast(actual, f.dataType)) col(c).cast(f.dataType)
-            else if (org.apache.spark.sql.catalyst.expressions.Cast
-                .canUpCast(f.dataType, actual))
-              throw new IllegalStateException(
-                s"change frame at version $v of $root carries '${f.name}' " +
-                  s"as ${actual.simpleString}, wider than this stream's " +
-                  s"declared ${f.dataType.simpleString} — the table's type " +
-                  "widened mid-stream; restart the stream to pick up the " +
-                  "widened schema")
-            else col(c) // struct-shape drift: served as stored (legacy)
+            (f.dataType, actual) match {
+              case (dt, at) if at == dt => col(c)
+              case (st: org.apache.spark.sql.types.StructType,
+                  at: org.apache.spark.sql.types.StructType) =>
+                // STRUCT-shape drift (nested rename / add / drop / widen
+                // across the frame's era): rebuild the declared struct —
+                // each declared field resolves to its era name through the
+                // dotted feed log, missing fields null-fill, narrow stored
+                // leaves upcast; whole-struct NULLs survive
+                val inner = st.fields.toIndexedSeq.map { nf =>
+                  val nAtV = SnapshotStore
+                    .feedNameAt(root, s"${f.name}.${nf.name}", v, hi)
+                    .split('.').last
+                  (at.fields.find(_.name.equalsIgnoreCase(nAtV)) match {
+                    case Some(af) => col(s"$c.${af.name}").cast(nf.dataType)
+                    case None => lit(null).cast(nf.dataType)
+                  }).as(nf.name)
+                }
+                when(col(c).isNotNull, struct(inner: _*))
+                  .otherwise(lit(null)).cast(st)
+              case (dt, at) if org.apache.spark.sql.catalyst.expressions
+                  .Cast.canUpCast(at, dt) => col(c).cast(dt)
+              case (dt, at) if org.apache.spark.sql.catalyst.expressions
+                  .Cast.canUpCast(dt, at) =>
+                throw new IllegalStateException(
+                  s"change frame at version $v of $root carries '${f.name}' " +
+                    s"as ${at.simpleString}, wider than this stream's " +
+                    s"declared ${dt.simpleString} — the table's type " +
+                    "widened mid-stream; restart the stream to pick up the " +
+                    "widened schema")
+              case _ => col(c) // non-struct shape drift: served as stored
+            }
         }).as(f.name)
       }.toIndexedSeq: _*)
     }

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import graft.sources.{SnapshotStore, SqlDml}
+import graft.sources.{GraftCatalog, SnapshotStore, SqlDml}
 import org.apache.spark.sql.functions._
 
 /** Change-data-feed contract (sources/SnapshotStore CDC +
@@ -308,6 +308,51 @@ class CdcSpec extends SparkSpec {
     graft.sources.MatView.refresh(spark, root, mv, Seq("id"), "salary")
     assert(SnapshotStore.read(spark, mv).select($"id", $"val_sum")
       .as[(Long, Long)].collect().toSet == Set((2L, 121L)))
+  }
+
+  test("a feed spanning a NESTED RENAME boundary rebuilds the struct") {
+    val root = tmp("graft_cdc_nren")
+    SnapshotStore.init(spark, root,
+      spark.range(1, 3).selectExpr("id",
+        "named_struct('sal', id * 10, 'tag', 'x') AS props"),
+      cdcKeys = Seq("id"))
+    val t = Map("t" -> root)
+    SqlDml.execute(spark, // v1: frames carry props{sal, tag}
+      "UPDATE t SET props = named_struct('sal', CAST(11 AS BIGINT), " +
+        "'tag', 'a') WHERE id = 1", t)
+    SnapshotStore.alterSchema(spark, root, identity, // v2
+      renames = Map("props.salary" -> "props.sal"))
+    SqlDml.execute(spark, // v3: frames carry props{salary, tag}
+      "UPDATE t SET props = named_struct('salary', CAST(100 AS BIGINT), " +
+        "'tag', 'b') WHERE id = 2", t)
+    // batch feed across the boundary: ONE struct shape, old frames'
+    // `sal` values surface under the renamed field
+    val feed = SnapshotStore.changes(spark, root, 1L, 3L)
+    val post = feed
+      .filter(col(SnapshotStore.ChangeTypeCol) === "update_postimage")
+      .selectExpr("_commit_version", "props.salary")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(post == Map(1L -> 11L, 3L -> 100L),
+      s"pre-rename frames must rebuild into the renamed struct: $post")
+    // a streaming consumer declared AFTER the rename reads old frames
+    // through the same dotted chain
+    val got = graft.streaming.EventsStream.runToMemory(spark,
+      spark.readStream.format("graft.streaming.ChangeFeedSource")
+        .option("path", root).load(),
+      s"cdc_nren_${System.nanoTime()}", "append")
+    val sPost = got.filter($"_commit_version" === 1L &&
+      $"_change_type" === "update_postimage")
+      .selectExpr("props.salary").head().getLong(0)
+    assert(sPost == 11L,
+      "the stream must resolve pre-rename nested frames through the chain")
+    // the retired NESTED name is never reusable, even after a healing
+    // rewrite (the feed log outlives the per-snapshot sidecar)
+    SnapshotStore.optimize(spark, root, targetRows = 1000000L)
+    val e = intercept[IllegalArgumentException](
+      SnapshotStore.alterSchema(spark, root, s =>
+        GraftCatalog.addNestedField(s, Seq("props", "sal"),
+          org.apache.spark.sql.types.LongType)))
+    assert(e.getMessage.contains("retired"), e.getMessage)
   }
 
   test("a feed spanning an ALTER COLUMN TYPE widen serves one wide schema") {
