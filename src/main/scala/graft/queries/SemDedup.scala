@@ -47,8 +47,18 @@ object SemDedup {
 
     "q53_semdedup" -> QueryDef(
       build = (s, d) => {
-        val k = 8; val tau = 0.45; val minRecallPct = 60L
+        val tau = 0.45; val minRecallPct = 60L
         val nm = LlmSimilarity.normed(s, d).cache()
+        // cells scale WITH the corpus (target ~1.5k vectors per cell,
+        // floor 8): k-means cells are the layout that keeps the in-cell
+        // pair search O(k·(N/k)²) = O(N²/k) — a k tuned to one SF turns
+        // super-linear the moment the corpus grows (the r15 sf1 soak
+        // measured exactly that at fixed k=8). The driver SFs all sit at
+        // the floor, so results there are unchanged; the oracle is
+        // k-independent (exact brute force + contract booleans). Ceiling
+        // note: assignment is a codegen'd per-cell expression — beyond
+        // ~10³ cells move it to a broadcast-centroid join.
+        val k = math.max(8L, nm.count() / 1500L).toInt
         val cents = LlmSimilarity.trainCells(nm, k, rounds = 2)
 
         // top-2 cell assignment: sort (score, idx) structs desc, take 2
