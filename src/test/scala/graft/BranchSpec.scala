@@ -188,6 +188,43 @@ class BranchSpec extends SparkSpec {
     assert(e2.getMessage.contains("schema"), e2.getMessage)
   }
 
+  test("rebase-publish composes with merge-on-read interim deletes (DV head)") {
+    val root = tmp("graft_br_mor")
+    SnapshotStore.init(spark, root,
+      (1L to 20L).map(i => (i, i * 10L)).toDF("id", "v"), cdcKeys = Seq("id"))
+    SnapshotStore.setDmlMode(root, SnapshotStore.MergeOnRead)
+    SnapshotStore.createBranch(spark, root, "audit")
+    val br = SnapshotStore.branchRoot(root, "audit")
+    SqlDml.execute(spark, "UPDATE t SET v = 999 WHERE id = 1", Map("t" -> br))
+    // interim MoR DELETE on the source: the head now carries a deletion
+    // vector — disjoint keys, so the publish must still rebase, and the
+    // replayed state must neither resurrect the DV-deleted rows nor
+    // lose them from the disjointness proof
+    SqlDml.execute(spark, "DELETE FROM t WHERE id IN (15, 16)", Map("t" -> root))
+    val pub = SnapshotStore.publishBranch(spark, root, "audit")
+    val got = SnapshotStore.read(spark, root).select($"id", $"v")
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 999L, "the audited update must land")
+    assert(!got.contains(15L) && !got.contains(16L),
+      "DV-deleted interim rows must not resurrect through the replay")
+    assert(got.size == 18)
+    // the publish commit's feed is the branch diff alone
+    val feed = SnapshotStore.changes(spark, root, pub.version, pub.version)
+      .select($"id", $"v", col(SnapshotStore.ChangeTypeCol))
+      .as[(Long, Long, String)].collect().toSet
+    assert(feed == Set((1L, 10L, "update_preimage"), (1L, 999L, "update_postimage")),
+      feed.toString)
+    // overlap with a DV-deleted key still refuses: the interim DELETE's
+    // change frame proves the key was touched
+    SnapshotStore.createBranch(spark, root, "late")
+    SqlDml.execute(spark, "UPDATE t SET v = 1 WHERE id = 2",
+      Map("t" -> SnapshotStore.branchRoot(root, "late")))
+    SqlDml.execute(spark, "DELETE FROM t WHERE id = 2", Map("t" -> root))
+    val e = intercept[IllegalArgumentException](
+      SnapshotStore.publishBranch(spark, root, "late"))
+    assert(e.getMessage.contains("overlapping"), e.getMessage)
+  }
+
   test("a branch-staged RENAME COLUMN publishes the feed log and _cdc config") {
     val root = tmp("graft_br_ren")
     SnapshotStore.init(spark, root,
