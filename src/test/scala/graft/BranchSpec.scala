@@ -225,6 +225,34 @@ class BranchSpec extends SparkSpec {
     assert(e.getMessage.contains("overlapping"), e.getMessage)
   }
 
+  test("an MV downstream of a rebase-publish converges through the squash feed") {
+    import graft.sources.MatView
+    val root = tmp("graft_br_mv")
+    val mv = tmp("graft_br_mv_view")
+    SnapshotStore.init(spark, root,
+      (1L to 30L).map(i => (i, i * 10L, (i % 3).toString)).toDF("id", "v", "g"),
+      cdcKeys = Seq("id"))
+    MatView.create(spark, root, mv, Seq("g"), "v")
+    SnapshotStore.createBranch(spark, root, "audit")
+    val br = SnapshotStore.branchRoot(root, "audit")
+    SqlDml.execute(spark, "UPDATE t SET v = v + 1 WHERE id % 5 = 0", Map("t" -> br))
+    SqlDml.execute(spark, "DELETE FROM t WHERE id = 7", Map("t" -> br))
+    // live ingest mid-audit, and an MV refresh that consumes it BEFORE
+    // the publish (the view's high-water mark sits between fork base and
+    // publish — the realistic interleaving)
+    SnapshotStore.append(spark, root, Seq((100L, 1000L, "0")).toDF("id", "v", "g"))
+    MatView.refresh(spark, root, mv, Seq("g"), "v")
+    SnapshotStore.publishBranch(spark, root, "audit") // rebase path
+    MatView.refresh(spark, root, mv, Seq("g"), "v")
+    val got = SnapshotStore.read(spark, mv).select($"g", $"n_rows", $"val_sum")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val want = SnapshotStore.read(spark, root).groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == want,
+      s"the view must converge through the squash feed: $got vs $want")
+  }
+
   test("a branch-staged RENAME COLUMN publishes the feed log and _cdc config") {
     val root = tmp("graft_br_ren")
     SnapshotStore.init(spark, root,
