@@ -310,6 +310,33 @@ class CdcSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet == Set((2L, 121L)))
   }
 
+  test("netChanges over a feed slice equals the two-snapshot keyed diff") {
+    val root = tmp("graft_cdc_net")
+    SnapshotStore.init(spark, root,
+      (1L to 10L).map(i => (i, i * 10L)).toDF("id", "v"), cdcKeys = Seq("id"))
+    val t = Map("t" -> root)
+    // a churny history: value updates, a round-trip back to the original
+    // value, insert-then-delete of the same key, delete of a base key,
+    // key migration (delete+insert frames) — every collapse case at once
+    SqlDml.execute(spark, "UPDATE t SET v = 999 WHERE id = 1", t) // v1
+    SqlDml.execute(spark, "UPDATE t SET v = 10 WHERE id = 1", t) // v2: round trip
+    SqlDml.execute(spark, "INSERT INTO t VALUES (50, 500)", t) // v3
+    SqlDml.execute(spark, "DELETE FROM t WHERE id = 50", t) // v4: in-and-out
+    SqlDml.execute(spark, "DELETE FROM t WHERE id = 7", t) // v5
+    SqlDml.execute(spark, "UPDATE t SET id = 99 WHERE id = 9", t) // v6: key move
+    SqlDml.execute(spark, "UPDATE t SET v = 21 WHERE id = 2", t) // v7
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"v", col(SnapshotStore.ChangeTypeCol))
+        .as[(Long, Long, String)].collect().toSet
+    for ((from, to) <- Seq((1L, 7L), (3L, 5L), (2L, 6L), (4L, 4L))) {
+      val net = canon(SnapshotStore.netChanges(spark, root, from, to, Seq("id")))
+      val direct = canon(SnapshotStore.diffChanges(
+        SnapshotStore.read(spark, SnapshotStore.at(root, from - 1)),
+        SnapshotStore.read(spark, SnapshotStore.at(root, to)), Seq("id")))
+      assert(net == direct, s"slice [$from,$to]: net=$net direct=$direct")
+    }
+  }
+
   test("a feed spanning a NESTED RENAME boundary rebuilds the struct") {
     val root = tmp("graft_cdc_nren")
     SnapshotStore.init(spark, root,
