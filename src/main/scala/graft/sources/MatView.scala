@@ -50,7 +50,8 @@ import org.apache.spark.sql.functions._
 object MatView {
 
   val SupportedAggs: Set[String] =
-    Set("count", "sum", "avg", "min", "max", "stddev", "count_distinct")
+    Set("count", "sum", "avg", "min", "max", "stddev", "count_distinct",
+      "approx_distinct")
 
   /** Bounded restarts for pin-went-stale races; each retry re-reads fresh
     * high-water marks, so livelock needs a writer landing between pin and
@@ -132,9 +133,11 @@ object MatView {
       s"unsupported MatView aggregate(s): ${bad.mkString(", ")} — supported: " +
         "count, sum, avg (derived from sum/count), min, max (affected-group " +
         "recompute under deletes), stddev (sum-of-squares algebra), " +
-        "count_distinct (touched-group recompute). Medians/percentiles are " +
-        "not incrementally maintainable here; keep a mergeable sketch " +
-        "column instead (MatViewSpec's HLL-partial pattern)")
+        "count_distinct (touched-group recompute), approx_distinct (a " +
+        "mergeable HLL sketch column: union-fold under inserts, " +
+        "removal-touched groups recompute). Medians/percentiles are not " +
+        "incrementally maintainable here; keep a mergeable KLL/quantile " +
+        "sketch column by the same fold-or-recompute pattern")
   }
 
   private def needMinMax(aggs: Seq[String]): Boolean =
@@ -144,6 +147,9 @@ object MatView {
 
   private def needDistinct(aggs: Seq[String]): Boolean =
     aggs.contains("count_distinct")
+
+  private def needHll(aggs: Seq[String]): Boolean =
+    aggs.contains("approx_distinct")
 
   /** v² as DECIMAL(38,0): exact at any realistic magnitude (a LONG sum of
     * squared cents overflows around 10⁶ rows of 10⁶-cent values; decimal
@@ -163,7 +169,8 @@ object MatView {
       (if (needStddev(aggs)) Seq(sum(sq(v)).as("val_sumsq")) else Nil) ++
       (if (aggs.contains("min")) Seq(min(v).as("val_min")) else Nil) ++
       (if (aggs.contains("max")) Seq(max(v).as("val_max")) else Nil) ++
-      (if (needDistinct(aggs)) Seq(countDistinct(v).as("val_distinct")) else Nil)
+      (if (needDistinct(aggs)) Seq(countDistinct(v).as("val_distinct")) else Nil) ++
+      (if (needHll(aggs)) Seq(hll_sketch_agg(v).as("val_hll")) else Nil)
     withDerived(df.groupBy(groupCols.map(col): _*).agg(cols.head, cols.tail: _*),
       aggs)
   }
@@ -182,14 +189,22 @@ object MatView {
         df.withColumn("val_avg",
           col("val_sum").cast("double") / col("n_rows").cast("double"))
       else df
-    if (needStddev(aggs))
-      withA.withColumn("val_stddev",
-        when(col("n_rows") > 1, sqrt(
-          (col("val_sumsq").cast("double") -
-            col("val_sum").cast("double") * col("val_sum").cast("double") /
-              col("n_rows").cast("double")) /
-            (col("n_rows").cast("double") - lit(1.0d)))))
-    else withA
+    val withS =
+      if (needStddev(aggs))
+        withA.withColumn("val_stddev",
+          when(col("n_rows") > 1, sqrt(
+            (col("val_sumsq").cast("double") -
+              col("val_sum").cast("double") * col("val_sum").cast("double") /
+                col("n_rows").cast("double")) /
+              (col("n_rows").cast("double") - lit(1.0d)))))
+      else withA
+    // the estimate is re-derived from the stored sketch every commit; the
+    // sketch BYTES may legally differ across fold orders (sparse/dense
+    // mode history) while the registers — and hence the estimate — agree
+    if (needHll(aggs))
+      withS.withColumn("val_approx_distinct",
+        hll_sketch_estimate(col("val_hll")))
+    else withS
   }
 
   /** Initialize the view from the source's CURRENT snapshot (one full
@@ -255,17 +270,21 @@ object MatView {
     val withMm = needMinMax(aggs)
     val withSd = needStddev(aggs)
     val withCd = needDistinct(aggs)
-    val trackRemovals = withMm || withCd
+    val withHll = needHll(aggs)
+    val trackRemovals = withMm || withCd || withHll
     val delta = deltaOf(changes, groupCols, valueCol,
-      withRemovals = trackRemovals, withSumsq = withSd).persist()
+      withRemovals = trackRemovals, withSumsq = withSd,
+      withSketch = withHll).persist()
     try {
-      // recompute triggers: min/max lose their extremum only when rows
-      // LEAVE a group; count_distinct is non-algebraic in BOTH directions
-      // (an arriving value may be a duplicate), so every touched group
-      // recomputes. Insert-only refreshes of count/sum/avg/stddev/min/max
-      // views never touch the source AT ALL — at 100 TB an append-heavy
+      // recompute triggers: min/max (and the HLL sketch — registers only
+      // grow) lose state only when rows LEAVE a group; count_distinct is
+      // non-algebraic in BOTH directions (an arriving value may be a
+      // duplicate), so every touched group recomputes. Insert-only
+      // refreshes of count/sum/avg/stddev/min/max/approx_distinct views
+      // never touch the source AT ALL — at 100 TB an append-heavy
       // workload's refreshes stay O(batch).
-      val anyRemovals = withMm && !delta.filter(col("has_removal")).isEmpty
+      val anyRemovals = (withMm || withHll) &&
+        !delta.filter(col("has_removal")).isEmpty
       val anyRecompute = (withCd && !delta.isEmpty) || anyRemovals
       val decZero = lit(0).cast("decimal(38,0)")
       val pin = () =>
@@ -298,6 +317,14 @@ object MatView {
           // untouched view groups keep their stored value
           (if (withCd)
             Seq(coalesce(col("m.val_distinct"), lit(0L)).as("val_distinct"))
+          else Nil) ++
+          // HLL registers only grow: union-fold the arriving sketch
+          // (hll_union refuses NULLs, so pick the non-null side first)
+          (if (withHll)
+            Seq(when(col("m.val_hll").isNull, col("d.dhll"))
+              .when(col("d.dhll").isNull, col("m.val_hll"))
+              .otherwise(hll_union(col("m.val_hll"), col("d.dhll")))
+              .as("val_hll"))
           else Nil)
         val merged = withDerived(
           mv.alias("m").join(broadcast(algebraic.alias("d")), joinCond, "full_outer")
@@ -373,7 +400,7 @@ object MatView {
     */
   private[graft] def deltaOf(changes: DataFrame, groupCols: Seq[String],
       valueCol: String, withRemovals: Boolean = false,
-      withSumsq: Boolean = false): DataFrame = {
+      withSumsq: Boolean = false, withSketch: Boolean = false): DataFrame = {
     val tc = col(SnapshotStore.ChangeTypeCol)
     val arriving = tc === "insert" || tc === "update_postimage"
     val leaving = tc === "delete" || tc === "update_preimage"
@@ -386,7 +413,11 @@ object MatView {
       .when(leaving, -sq(col(valueCol)))
       .otherwise(lit(0).cast("decimal(38,0)"))
     val base = Seq(sum(dn).as("dn"), sum(dv).as("dv")) ++
-      (if (withSumsq) Seq(sum(dsq).cast("decimal(38,0)").as("dsumsq")) else Nil)
+      (if (withSumsq) Seq(sum(dsq).cast("decimal(38,0)").as("dsumsq")) else Nil) ++
+      // arriving values' HLL partial (hll_sketch_agg skips the NULLs the
+      // `when` leaves on non-arriving rows)
+      (if (withSketch)
+        Seq(hll_sketch_agg(when(arriving, col(valueCol))).as("dhll")) else Nil)
     val extra =
       if (!withRemovals) Nil
       else Seq(

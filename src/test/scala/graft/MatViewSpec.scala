@@ -398,6 +398,45 @@ class MatViewSpec extends SparkSpec {
     assert(SnapshotStore.latest(mv).version == vBefore)
   }
 
+  test("approx_distinct MV: HLL union-folds inserts, recomputes removal-touched groups") {
+    import graft.sources.{MatView, SnapshotStore, SqlDml}
+    val src = GateTmp.freshDir("mvhll_src")
+    val mv = GateTmp.freshDir("mvhll_mv")
+    val aggs = Seq("count", "sum", "approx_distinct")
+    SnapshotStore.init(spark, src, spark.range(60)
+      .selectExpr("id", "(id DIV 4) * 7 AS v", "CAST(id % 3 AS STRING) AS g"),
+      cdcKeys = Seq("id"))
+    MatView.create(spark, src, mv, Seq("g"), "v", aggs)
+    // same algorithm, same values ⇒ same registers ⇒ the view's estimate
+    // must EQUAL a one-shot sketch over the live source (union of partials
+    // is register-wise max — associative and order-independent)
+    def viewEst: Map[String, Long] =
+      SnapshotStore.read(spark, mv)
+        .select($"g", $"val_approx_distinct".cast("long"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def directEst: Map[String, Long] =
+      SnapshotStore.read(spark, src).groupBy($"g")
+        .agg(hll_sketch_estimate(hll_sketch_agg($"v")).cast("long").as("e"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viewEst == directEst)
+    val t = Map("t" -> src)
+    // insert-only round: pure sketch union, no recompute path
+    SqlDml.execute(spark,
+      "INSERT INTO t SELECT id + 100, id * 131, CAST(id % 3 AS STRING) " +
+        "FROM range(20)", t)
+    MatView.refresh(spark, src, mv, Seq("g"), "v", aggs)
+    assert(viewEst == directEst, s"insert fold: $viewEst vs $directEst")
+    // removals: registers cannot shrink — the touched groups recompute
+    SqlDml.execute(spark, "DELETE FROM t WHERE id % 4 = 0", t)
+    SqlDml.execute(spark, "UPDATE t SET v = v + 1 WHERE id = 1", t)
+    MatView.refresh(spark, src, mv, Seq("g"), "v", aggs)
+    assert(viewEst == directEst, s"post-delete recompute: $viewEst vs $directEst")
+    // replay no-op
+    val vBefore = SnapshotStore.latest(mv).version
+    MatView.refresh(spark, src, mv, Seq("g"), "v", aggs)
+    assert(SnapshotStore.latest(mv).version == vBefore)
+  }
+
   test("refreshAll walks the recorded MV DAG: diamond refreshes the shared upstream once") {
     import graft.sources.{MatView, SnapshotStore, SqlDml}
     val emp = GateTmp.freshDir("mvdag_emp")
