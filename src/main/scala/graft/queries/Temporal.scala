@@ -2686,5 +2686,92 @@ object Temporal {
            |  SELECT id + 20000000, cust, price_c, prio
            |  FROM base WHERE id % 101 = 0)
            |ORDER BY id""".stripMargin
+      }),
+
+    // Q113b [extension: WAP × schema migration] the PRIMARY write-audit-
+    // publish use case the r15 rebase path refused: fork, ALTER + backfill
+    // on the branch (nullable ADD COLUMN + int→bigint widening — the
+    // additive subset), audit, and publish while LIVE INGEST keeps landing
+    // on the source. The rebase classifies the branch's schema delta as
+    // additive, commits it onto the advanced head as the same
+    // metadata-only ALTER (interim rows null-fill / upcast at read — the
+    // mixed-era rule), then replays the squash diff as one keyed merge.
+    // Non-additive evolution (a rival branch that DROPPED a column) must
+    // still refuse. The oracle replays both write streams; the hash
+    // compares the published source state.
+    "q113b_wap_evolution" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{SnapshotStore, SqlDml}
+        import org.apache.spark.sql.types.{LongType, StringType, StructType}
+        val root = graft.GateTmp.freshDir("q113b")
+        Tables.orders(s, d).createOrReplaceTempView("q113b_ord")
+        val cents = graft.Canon.centsSql("o_totalprice")
+        val base = s.sql(
+          s"""SELECT o_orderkey AS id, CAST(o_custkey AS INT) AS cust,
+             |$cents AS price_c, o_orderpriority AS prio
+             |FROM q113b_ord""".stripMargin)
+        SnapshotStore.init(s, root, base, cdcKeys = Seq("id")) // v0
+        SnapshotStore.createBranch(s, root, "migrate")
+        val br = SnapshotStore.branchRoot(root, "migrate")
+        // the MIGRATION, staged entirely on the branch: ADD COLUMN,
+        // widen cust int→bigint, backfill the new column
+        SnapshotStore.alterSchema(s, br, _.add("tier", StringType))
+        SnapshotStore.alterSchema(s, br, sch => StructType(sch.fields.map(f =>
+          if (f.name == "cust") f.copy(dataType = LongType) else f)))
+        SqlDml.execute(s,
+          "UPDATE t SET tier = CASE WHEN prio = '1-URGENT' THEN 'high' " +
+            "ELSE 'std' END", Map("t" -> br))
+        require(SnapshotStore.latest(root).version == 0L,
+          "staging a migration must be invisible on the source")
+        // LIVE INGEST mid-audit: new keys land on the SOURCE under the
+        // OLD (narrow, tier-less) schema
+        SnapshotStore.append(s, root, base.filter($("id") % 101 === 0)
+          .withColumn("id", $("id") + lit(20000000L))) // v1
+        // PUBLISH: one metadata-only ALTER onto the head + one replay
+        val pub = SnapshotStore.publishBranch(s, root, "migrate")
+        require(pub.version == 3L,
+          s"expected alter+replay commits on the head, got v${pub.version}")
+        // the interim rows read through the published schema: widened
+        // cust, typed-NULL tier (never backfilled — the branch never saw
+        // them; that is the honest mixed-era answer)
+        require(SnapshotStore.read(s, root)
+          .filter($("id") >= 20000000L && $("tier").isNotNull).isEmpty,
+          "interim rows must null-fill the branch-added column")
+        // a NON-additive rival (dropped a column) still refuses to rebase:
+        // fork the published head, DROP on the branch, advance the source
+        SnapshotStore.createBranch(s, root, "reshape")
+        SnapshotStore.alterSchema(s, SnapshotStore.branchRoot(root, "reshape"),
+          sch => StructType(sch.fields.filterNot(_.name == "prio")))
+        SnapshotStore.append(s, root, base.filter($("id") % 997 === 0)
+          .selectExpr("id + 30000000 AS id", "CAST(cust AS BIGINT) AS cust",
+            "price_c", "prio", "CAST(NULL AS STRING) AS tier")) // v4
+        val refused = try {
+          SnapshotStore.publishBranch(s, root, "reshape"); false
+        } catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("dropped") }
+        require(refused, "a branch that dropped a column must refuse to publish")
+        SnapshotStore.dropBranch(root, "reshape")
+        SnapshotStore.read(s, root).orderBy($("id"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("o_totalprice")
+        s"""WITH base AS (
+           |  SELECT o_orderkey AS id, CAST(o_custkey AS INT) AS cust,
+           |         $cents AS price_c, o_orderpriority AS prio
+           |  FROM orders)
+           |SELECT * FROM (
+           |  SELECT id, CAST(cust AS BIGINT) AS cust, price_c, prio,
+           |         CASE WHEN prio = '1-URGENT' THEN 'high'
+           |              ELSE 'std' END AS tier
+           |  FROM base
+           |  UNION ALL
+           |  SELECT id + 20000000, CAST(cust AS BIGINT), price_c, prio,
+           |         CAST(NULL AS VARCHAR)
+           |  FROM base WHERE id % 101 = 0
+           |  UNION ALL
+           |  SELECT id + 30000000, CAST(cust AS BIGINT), price_c, prio,
+           |         CAST(NULL AS VARCHAR)
+           |  FROM base WHERE id % 997 = 0)
+           |ORDER BY id""".stripMargin
       }))
 }

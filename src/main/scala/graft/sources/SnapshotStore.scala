@@ -922,6 +922,16 @@ object SnapshotStore {
             s"struct column $parent was itself renamed earlier on this CDC " +
               "table; a nested rename inside it cannot compose with the " +
               "top-level feed chain — OPTIMIZE (full rewrite) first")
+        // the SIDECAR chains break the same way on ANY table (CDC or
+        // not): a nested chain after a parent rename would rebuild the
+        // struct ignoring the parent's top-level coalesce legs, silently
+        // reading pre-rename nested values as NULL. Refuse while the
+        // parent still carries a live top-level chain (in this batch or
+        // a prior commit); OPTIMIZE clears the chains and re-enables it.
+        require(!ren.contains(parent.toLowerCase),
+          s"struct column $parent was itself renamed and its files not " +
+            "yet rewritten; a nested rename inside it cannot compose with " +
+            "the top-level sidecar chain — OPTIMIZE (full rewrite) first")
         val pIdx = schema.fields.indexWhere(_.name.equalsIgnoreCase(parent))
         require(pIdx >= 0, s"no such column $parent in $root")
         val st = schema.fields(pIdx).dataType match {
@@ -978,6 +988,13 @@ object SnapshotStore {
           s"fields inside $oldName carry nested feed-rename chains on this " +
             "CDC table; renaming the struct column itself cannot compose " +
             "with them — OPTIMIZE (full rewrite) first")
+      // sidecar mirror, any table: renaming the parent would re-key away
+      // from the dotted chains (the prune below would silently drop them
+      // and pre-rename files' nested values would read as NULL)
+      require(!ren.keys.exists(_.startsWith(oldName.toLowerCase + ".")),
+        s"fields inside $oldName carry nested rename chains and their " +
+          "files are not yet rewritten; renaming the struct column itself " +
+          "cannot compose with them — OPTIMIZE (full rewrite) first")
       val refd = exprTexts.filter(
         _.matches(s"(?is).*\\b${java.util.regex.Pattern.quote(oldName)}\\b.*"))
       require(refd.isEmpty,
@@ -1237,6 +1254,12 @@ object SnapshotStore {
           // its commit — re-derive the proof against the new head
           restarts += 1
           if (restarts >= 5) throw e
+        case e: CommitConflictException =>
+          // a writer landed between the fast path's latest(root) and its
+          // tryCommit — the retry re-derives and takes the rebase path
+          // (exactly the case rebase-publish exists for)
+          restarts += 1
+          if (restarts >= 5) throw e
       }
     }
     sys.error("unreachable")
@@ -1250,9 +1273,11 @@ object SnapshotStore {
     val baseV = Files.readString(Paths.get(br, "_base")).trim.toLong
     val head = latest(br)
     val cur = latest(root)
+    // nothing staged → publish is a no-op, EVEN IF the source advanced
+    // (an empty rebase would otherwise trip netChanges' empty-range guard)
+    if (head.version == 0L) return cur
     if (cur.version != baseV)
       return rebasePublish(spark, root, name, br, baseV, head, cur)
-    if (head.version == 0L) return cur // nothing staged: publish is a no-op
     val dir = Paths.get(root, "data", UUID.randomUUID().toString)
     Files.createDirectories(dir)
     linkParquetTree(Paths.get(head.dataDir), dir)
@@ -1351,6 +1376,69 @@ object SnapshotStore {
     * the version pin → StaleStampException → [[publishBranch]] re-derives
     * the proof.
     */
+  /** Is the branch's schema delta vs its fork base the ADDITIVE subset a
+    * rebase can replay — every base column still present (case-insensitive)
+    * at the same or a widened type, every new column nullable, recursing
+    * one rule for structs? Returns the refusal reason, or None when sound.
+    */
+  private def additiveDeltaRefusal(
+      base: org.apache.spark.sql.types.StructType,
+      head: org.apache.spark.sql.types.StructType): Option[String] = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    def additive(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (f: StructType, t: StructType) =>
+        f.fields.forall(ff => t.fields
+          .find(_.name.equalsIgnoreCase(ff.name))
+          .exists(tf => additive(ff.dataType, tf.dataType))) &&
+          t.fields.forall(tf =>
+            f.exists(_.name.equalsIgnoreCase(tf.name)) || tf.nullable)
+      case (f, t) => f.catalogString == t.catalogString || GraftCatalog.widens(f, t)
+    }
+    val dropped = base.fields.filterNot(bf =>
+      head.exists(_.name.equalsIgnoreCase(bf.name)))
+    if (dropped.nonEmpty)
+      return Some(s"the branch dropped/renamed column(s) " +
+        s"${dropped.map(_.name).mkString(", ")} — only additive evolution " +
+        "(nullable ADD COLUMN / type widening) replays onto an advanced head")
+    val reshaped = base.fields.filter { bf =>
+      val tf = head.fields.find(_.name.equalsIgnoreCase(bf.name)).get
+      !additive(bf.dataType, tf.dataType)
+    }
+    if (reshaped.nonEmpty)
+      return Some(s"the branch narrowed/reshaped column(s) " +
+        s"${reshaped.map(_.name).mkString(", ")} — only additive evolution " +
+        "(nullable ADD COLUMN / type widening) replays onto an advanced head")
+    val added = head.fields.filterNot(tf =>
+      base.exists(_.name.equalsIgnoreCase(tf.name)))
+    val nonNull = added.filterNot(_.nullable)
+    if (nonNull.nonEmpty)
+      return Some(s"the branch added non-nullable column(s) " +
+        s"${nonNull.map(_.name).mkString(", ")} — interim rows have no value " +
+        "to fill")
+    None
+  }
+
+  /** Apply `head`'s (validated-additive) delta onto `s`: matched columns
+    * take head's (possibly wider / field-grown) type keeping `s`'s name
+    * and metadata; head-only columns append as head declares them
+    * (default metadata travels). `s`'s column order is preserved so the
+    * ALTER composes with the root's own pinned schema, not the branch's.
+    */
+  private def evolveOnto(s: org.apache.spark.sql.types.StructType,
+      head: org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.types.StructType = {
+    val updated = s.fields.map { f =>
+      head.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+        case Some(hf) if f.dataType.catalogString != hf.dataType.catalogString =>
+          f.copy(dataType = hf.dataType)
+        case _ => f
+      }
+    }
+    val added = head.fields.filterNot(hf =>
+      s.exists(_.name.equalsIgnoreCase(hf.name)))
+    org.apache.spark.sql.types.StructType(updated ++ added)
+  }
+
   private def rebasePublish(spark: SparkSession, root: String, name: String,
       br: String, baseV: Long, head: Snapshot, cur: Snapshot): Snapshot = {
     import org.apache.spark.sql.functions.col
@@ -1361,14 +1449,21 @@ object SnapshotStore {
     val keys = cdcKeys(br)
     if (keys.isEmpty) refuse("the table has no change feed to prove the " +
       "interim commits touch a disjoint key set (rebase-publish needs cdcKeys)")
-    // interim frames must still exist — a VACUUMed version's touched keys
-    // are unprovable
-    (baseV + 1 to cur.version).foreach { v =>
-      if (!Files.exists(commitFile(root, v)) ||
-          !Files.exists(Paths.get(at(root, v).dataDir)))
-        refuse(s"interim version $v was expired (VACUUM) — its touched " +
-          "keys are unprovable")
-    }
+    // interim frames normally prove the touched keys; when a retention
+    // sweep (VACUUM) expired some of them, the TWO-SNAPSHOT keyed diff
+    // fork-base → head nets to the same key set (CdcSpec: netChanges over
+    // a feed slice ≡ the keyed diff of its endpoint snapshots), so a long
+    // audit survives VACUUM as long as the fork-base snapshot itself does
+    // (it is what the audit read — tag it to pin it through retention)
+    def versionIntact(v: Long): Boolean =
+      Files.exists(commitFile(root, v)) &&
+        Files.exists(Paths.get(at(root, v).dataDir))
+    val baseIntact = versionIntact(baseV)
+    val interimExpired = (baseV + 1 to cur.version).exists(v => !versionIntact(v))
+    if (interimExpired && !baseIntact)
+      refuse("interim versions were expired (VACUUM) and the fork-base " +
+        "snapshot is gone too — neither the feed slice nor the " +
+        "two-snapshot diff can prove the interim key set")
     // a pure keyed replay has no sound answer for mid-flight metadata
     // drift on EITHER side. Compare the name→type SHAPE as a set:
     // nullability, field metadata and column ORDER legitimately differ
@@ -1377,13 +1472,35 @@ object SnapshotStore {
     // addresses every column by NAME
     def shape(s: org.apache.spark.sql.types.StructType): Map[String, String] =
       s.fields.map(f => f.name.toLowerCase -> f.dataType.catalogString).toMap
-    val baseSnap = at(root, baseV)
-    val baseSchema = readSchema(spark, baseSnap)
-    if (shape(readSchema(spark, cur)) != shape(baseSchema))
-      refuse("the interim commits changed the source schema")
-    if (shape(readSchema(spark, head)) != shape(baseSchema))
-      refuse("the branch staged a schema change")
+    // the fork base is only READ when something actually needs it (a
+    // schema delta to classify, or the VACUUM-fallback diff) — a vacuumed
+    // base must not fail a rebase that never touches it
+    lazy val baseSnap = at(root, baseV)
+    lazy val baseSchema = {
+      if (!baseIntact) refuse("the fork-base snapshot was expired (VACUUM); " +
+        "the branch's schema delta cannot be classified against it")
+      readSchema(spark, baseSnap)
+    }
+    val headSchema = readSchema(spark, head)
+    val curSchema = readSchema(spark, cur)
     if (feedRenames(br).nonEmpty) refuse("the branch staged RENAME COLUMN")
+    if (shape(curSchema) != shape(headSchema)) {
+      // the sides disagree on schema. Interim evolution refuses (the
+      // audit never saw those columns); branch-staged ADDITIVE evolution
+      // (nullable ADD COLUMN / type widening, incl. one struct level
+      // down) replays SOUNDLY — the primary WAP use case is exactly
+      // "fork, ALTER + backfill, audit, publish" while live ingest lands:
+      // commit the branch's evolved schema onto the advanced head as the
+      // same metadata-only ALTER (interim rows null-fill / upcast at
+      // read, the mixed-era read rule), then the standard keyed replay
+      // runs against the altered head. Drops, renames, narrowing and
+      // reshaping still refuse — a keyed replay has no sound answer.
+      if (shape(curSchema) != shape(baseSchema))
+        refuse("the interim commits changed the source schema")
+      additiveDeltaRefusal(baseSchema, headSchema).foreach(refuse)
+      alterSchema(spark, root, s => evolveOnto(s, headSchema))
+      return rebasePublish(spark, root, name, br, baseV, head, latest(root))
+    }
     def fileStr(p: Path): String =
       if (Files.exists(p)) Files.readString(p) else ""
     if (fileStr(partitionsFile(br)) != fileStr(partitionsFile(root)))
@@ -1396,15 +1513,34 @@ object SnapshotStore {
     // fast-path publish). Emit in the CURRENT head's column order — the
     // replay addresses columns by name, the staged commit keeps the
     // head's shape
-    val cols = readSchema(spark, cur).fieldNames.toIndexedSeq
+    val cols = curSchema.fieldNames.toIndexedSeq
     val diff = netChanges(spark, br, 1L, head.version, keys)
       .select((cols :+ ChangeTypeCol).map(col): _*).persist()
     try {
       val branchKeys = diff.select(keys.map(col): _*).distinct().persist()
       try {
-        // DISJOINTNESS PROOF: no interim commit touched a branch-staged key
-        val interimKeys = changes(spark, root, baseV + 1, cur.version)
-          .select(keys.map(col): _*).distinct()
+        // DISJOINTNESS PROOF: no interim commit touched a branch-staged
+        // key. Key source: the feed slice when every interim frame
+        // survives; the equivalent two-snapshot keyed diff vs the fork
+        // base when VACUUM expired some (the fork base aligns onto the
+        // head's columns first — additive evolution means the added
+        // columns are NULL on both sides until the replay writes them)
+        val interimKeys =
+          if (!interimExpired)
+            changes(spark, root, baseV + 1, cur.version)
+              .select(keys.map(col): _*).distinct()
+          else {
+            import org.apache.spark.sql.functions.lit
+            val curDf = read(spark, cur)
+            val baseDf = read(spark, baseSnap)
+            val aligned = baseDf.select(curDf.schema.fields.toIndexedSeq.map {
+              f =>
+                (if (baseDf.columns.exists(_.equalsIgnoreCase(f.name)))
+                   col(f.name).cast(f.dataType)
+                 else lit(null).cast(f.dataType)).as(f.name)
+            }: _*)
+            diffChanges(aligned, curDf, keys).select(keys.map(col): _*).distinct()
+          }
         val clash = branchKeys.alias("b").join(interimKeys.alias("i"),
             keys.map(k => col(s"b.$k") <=> col(s"i.$k")).reduce(_ && _),
             "left_semi")
@@ -2673,8 +2809,14 @@ object SnapshotStore {
                 (if (legs.length == 1) legs.head else coalesce(legs: _*))
                   .as(nf.name)
               }
+              // cast target relaxes nullability: the rebuilt coalesce legs
+              // are statically nullable even when the stored fields were
+              // NOT NULL, and the values are identical either way
               when(col(fld.name).isNotNull, struct(inner: _*))
-                .otherwise(lit(null)).cast(st).as(fld.name, fld.metadata)
+                .otherwise(lit(null))
+                .cast(org.apache.spark.sql.types.StructType(
+                  st.fields.map(_.copy(nullable = true))))
+                .as(fld.name, fld.metadata)
             case _ =>
               val legs = col(fld.name) +:
                 renames.getOrElse(key, Nil).map(col)

@@ -50,9 +50,35 @@ object EventsStream {
       "graft_events_stream_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
     val src = Paths.get(dir, "events.parquet")
     // a spark-written dataset (the GenScale sf1 soak) ships events.parquet
-    // as a DIRECTORY of part files — already the shape the file source
-    // needs; a naive Files.copy would stage it as an EMPTY dir
-    if (Files.isDirectory(src)) return src.toString
+    // as a DIRECTORY of part files — stage those too (the staging copy
+    // exists to isolate an active file-source stream from the driver
+    // regenerating testdata mid-run; serving the live dir would let a
+    // regeneration hand the stream partially rewritten part files)
+    if (Files.isDirectory(src)) {
+      import scala.jdk.CollectionConverters._
+      val parts = {
+        val st = Files.list(src)
+        try st.iterator().asScala.toSeq.filter(p =>
+          p.getFileName.toString.endsWith(".parquet")) finally st.close()
+      }
+      Files.createDirectories(stage)
+      parts.foreach { p =>
+        val d = stage.resolve(p.getFileName)
+        val stale = !Files.exists(d) || Files.size(d) != Files.size(p) ||
+          Files.getLastModifiedTime(d).compareTo(Files.getLastModifiedTime(p)) < 0
+        if (stale) Files.copy(p, d, StandardCopyOption.REPLACE_EXISTING)
+      }
+      // drop staged parts the source no longer has (a regeneration that
+      // shrank the part count must not leave phantom rows)
+      val keep = parts.map(_.getFileName.toString).toSet
+      val stagedParts = {
+        val st = Files.list(stage)
+        try st.iterator().asScala.toSeq finally st.close()
+      }
+      stagedParts.filter(p => p.getFileName.toString.endsWith(".parquet") &&
+        !keep(p.getFileName.toString)).foreach(Files.deleteIfExists(_))
+      return stage.toString
+    }
     val dst = stage.resolve("events.parquet")
     // recopy when the source changed (the driver regenerates testdata
     // between rounds — a stale staged copy would diverge from the batch twin)

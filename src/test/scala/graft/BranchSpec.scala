@@ -305,9 +305,14 @@ class BranchSpec extends SparkSpec {
     assert(SnapshotStore.read(spark,
       SnapshotStore.branchRoot(root, "keep")).count() == 100L,
       "branch files are hard links — source VACUUM must not break them")
-    // stale by construction now: refuses with the re-fork message
-    intercept[IllegalArgumentException](
+    // stale by construction now; with something staged and no change feed
+    // to prove disjointness, publish refuses with the re-fork message
+    // (an EMPTY stale branch would no-op instead)
+    SnapshotStore.append(spark, SnapshotStore.branchRoot(root, "keep"),
+      Seq(999L).toDF("id"))
+    val e = intercept[IllegalArgumentException](
       SnapshotStore.publishBranch(spark, root, "keep"))
+    assert(e.getMessage.contains("re-fork"), e.getMessage)
   }
 
   test("$branches metadata table lists forks with a staleness flag") {
@@ -330,6 +335,107 @@ class BranchSpec extends SparkSpec {
     // read-only, like every metadata table
     intercept[Exception](
       spark.sql("INSERT INTO graft.`brt$branches` VALUES ('x', 1, 1, false)"))
+  }
+
+  test("rebase-publish replays branch-staged ADDITIVE evolution (ADD + widen)") {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+    val root = tmp("graft_br_evo_rebase")
+    SnapshotStore.init(spark, root,
+      Seq((1L, 10), (2L, 20)).toDF("id", "v"), cdcKeys = Seq("id")) // v INT
+    SnapshotStore.createBranch(spark, root, "mig")
+    val br = SnapshotStore.branchRoot(root, "mig")
+    SnapshotStore.alterSchema(spark, br, _.add("note", StringType))
+    SnapshotStore.alterSchema(spark, br, s => StructType(s.fields.map(f =>
+      if (f.name == "v") f.copy(dataType = LongType) else f)))
+    SqlDml.execute(spark, "UPDATE t SET note = 'seen' WHERE id = 1",
+      Map("t" -> br))
+    // live ingest on the source mid-audit, old narrow schema, new key
+    SnapshotStore.append(spark, root, Seq((7L, 70)).toDF("id", "v"))
+    val pub = SnapshotStore.publishBranch(spark, root, "mig")
+    assert(pub.version == 3L, "one ALTER commit + one replay commit")
+    val got = SnapshotStore.read(spark, root)
+      .select($"id", $"v", $"note").as[(Long, Long, Option[String])]
+      .collect().toSet
+    assert(got == Set((1L, 10L, Some("seen")), (2L, 20L, None),
+      (7L, 70L, None)), got.toString)
+    assert(SnapshotStore.readSchema(spark, SnapshotStore.latest(root))("v")
+      .dataType == LongType, "the widening must publish")
+    // the replay commit's feed is the squash diff under the EVOLVED shape
+    val feed = SnapshotStore.changes(spark, root, pub.version, pub.version)
+      .select($"id", $"note", col(SnapshotStore.ChangeTypeCol))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2)))
+      .toSet
+    assert(feed == Set((1L, None, "update_preimage"),
+      (1L, Some("seen"), "update_postimage")), feed.toString)
+    // NON-additive deltas still refuse: narrowing...
+    val root2 = tmp("graft_br_evo_narrow")
+    SnapshotStore.init(spark, root2, Seq((1L, 10L)).toDF("id", "v"),
+      cdcKeys = Seq("id"))
+    SnapshotStore.createBranch(spark, root2, "bad")
+    val br2 = SnapshotStore.branchRoot(root2, "bad")
+    SnapshotStore.alterSchema(spark, br2, s => StructType(s.fields.map(f =>
+      if (f.name == "v") f.copy(dataType = IntegerType) else f)))
+    SnapshotStore.append(spark, root2, Seq((9L, 90L)).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException](
+      SnapshotStore.publishBranch(spark, root2, "bad"))
+    assert(e.getMessage.contains("narrowed"), e.getMessage)
+  }
+
+  test("an empty branch whose source advanced no-op publishes (no rebase)") {
+    val root = tmp("graft_br_empty_adv")
+    SnapshotStore.init(spark, root, Seq((1L, 10L)).toDF("id", "v"),
+      cdcKeys = Seq("id"))
+    SnapshotStore.createBranch(spark, root, "idle")
+    SnapshotStore.append(spark, root, Seq((2L, 20L)).toDF("id", "v"))
+    val v = SnapshotStore.latest(root).version
+    assert(SnapshotStore.publishBranch(spark, root, "idle").version == v,
+      "nothing staged: publish must be a no-op, not a rebase crash")
+  }
+
+  test("rebase-publish survives VACUUM-expired interim versions (keyed-diff fallback)") {
+    val root = tmp("graft_br_vac_rebase")
+    SnapshotStore.init(spark, root,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), cdcKeys = Seq("id")) // v0
+    // pin the fork base through retention, exactly as a real audit would
+    SnapshotStore.createTag(root, "audit-base", Some(0L))
+    SnapshotStore.createBranch(spark, root, "audit")
+    val br = SnapshotStore.branchRoot(root, "audit")
+    SqlDml.execute(spark, "UPDATE t SET v = 11 WHERE id = 1", Map("t" -> br))
+    // interim ingest, then a retention sweep expires the interim versions
+    SnapshotStore.append(spark, root, Seq((7L, 70L)).toDF("id", "v")) // v1
+    SnapshotStore.append(spark, root, Seq((8L, 80L)).toDF("id", "v")) // v2
+    SnapshotStore.expireSnapshots(root, keepLast = 1)
+    val pub = SnapshotStore.publishBranch(spark, root, "audit")
+    assert(SnapshotStore.read(spark, root).select($"id", $"v")
+      .as[(Long, Long)].collect().toSet ==
+      Set((1L, 11L), (2L, 20L), (7L, 70L), (8L, 80L)),
+      "the two-snapshot diff fallback must publish the audited edit")
+    assert(pub.version == 3L)
+    // overlap detection still works through the fallback: a second fork
+    // edits a key, the source edits the SAME key, VACUUM sweeps, refuse
+    SnapshotStore.createTag(root, "base2", Some(3L))
+    SnapshotStore.createBranch(spark, root, "late")
+    SqlDml.execute(spark, "UPDATE t SET v = 1 WHERE id = 7",
+      Map("t" -> SnapshotStore.branchRoot(root, "late")))
+    SqlDml.execute(spark, "UPDATE t SET v = 77 WHERE id = 7", Map("t" -> root))
+    SnapshotStore.expireSnapshots(root, keepLast = 1)
+    val e = intercept[IllegalArgumentException](
+      SnapshotStore.publishBranch(spark, root, "late"))
+    assert(e.getMessage.contains("overlapping"), e.getMessage)
+    // refusal retained only when the FORK BASE itself is gone
+    val root2 = tmp("graft_br_vac_gone")
+    SnapshotStore.init(spark, root2, Seq((1L, 10L)).toDF("id", "v"),
+      cdcKeys = Seq("id"))
+    SnapshotStore.createBranch(spark, root2, "a")
+    SqlDml.execute(spark, "UPDATE t SET v = 11 WHERE id = 1",
+      Map("t" -> SnapshotStore.branchRoot(root2, "a")))
+    SnapshotStore.append(spark, root2, Seq((9L, 90L)).toDF("id", "v"))
+    SnapshotStore.append(spark, root2, Seq((10L, 100L)).toDF("id", "v"))
+    SnapshotStore.expireSnapshots(root2, keepLast = 1) // base v0 expires too
+    val e2 = intercept[IllegalArgumentException](
+      SnapshotStore.publishBranch(spark, root2, "a"))
+    assert(e2.getMessage.contains("fork-base") &&
+      e2.getMessage.contains("VACUUM"), e2.getMessage)
   }
 
   test("SQL face: CALL create_branch / publish_branch / drop_branch") {

@@ -595,4 +595,41 @@ class SnapshotStoreSpec extends SparkSpec {
     // the rebased transform ran against the interloper's snapshot
     assert(SnapshotStore.read(spark, root).count() == 8)
   }
+
+  test("nested and top-level renames of one struct refuse to compose on ANY table") {
+    // non-CDC table: the SIDECAR chains (not the feed log) are what break —
+    // a nested chain under a renamed parent would rebuild the struct
+    // ignoring the parent's coalesce legs and read pre-rename values as
+    // NULL. Both orders refuse; a healing OPTIMIZE re-enables each.
+    val root = tmpRoot()
+    SnapshotStore.init(spark, root, // no cdcKeys
+      spark.range(1, 4).selectExpr("id",
+        "named_struct('sal', id * 10, 'tag', 'x') AS props"))
+    // order 1: nested rename first, then the parent — refuse
+    SnapshotStore.alterSchema(spark, root, identity,
+      renames = Map("props.salary" -> "props.sal"))
+    val e1 = intercept[IllegalArgumentException](
+      SnapshotStore.alterSchema(spark, root, identity,
+        renames = Map("attrs" -> "props")))
+    assert(e1.getMessage.contains("nested rename chains"), e1.getMessage)
+    // pre-rename values must still resolve (the condition under guard)
+    assert(SnapshotStore.read(spark, root).selectExpr("props.salary")
+      .as[Long].collect().toSet == Set(10L, 20L, 30L))
+    // a full rewrite heals the chain; the parent rename then composes
+    SnapshotStore.optimize(spark, root, targetRows = 1000000L)
+    SnapshotStore.alterSchema(spark, root, identity,
+      renames = Map("attrs" -> "props"))
+    assert(SnapshotStore.read(spark, root).selectExpr("attrs.salary")
+      .as[Long].collect().toSet == Set(10L, 20L, 30L))
+    // order 2: parent renamed (live chain), then a nested rename — refuse
+    val e2 = intercept[IllegalArgumentException](
+      SnapshotStore.alterSchema(spark, root, identity,
+        renames = Map("attrs.wage" -> "attrs.salary")))
+    assert(e2.getMessage.contains("cannot compose"), e2.getMessage)
+    SnapshotStore.optimize(spark, root, targetRows = 1000000L)
+    SnapshotStore.alterSchema(spark, root, identity,
+      renames = Map("attrs.wage" -> "attrs.salary"))
+    assert(SnapshotStore.read(spark, root).selectExpr("attrs.wage")
+      .as[Long].collect().toSet == Set(10L, 20L, 30L))
+  }
 }
