@@ -15,9 +15,9 @@ import org.apache.spark.sql.types._
   * interlace, all five filters), JPEG
   * (baseline AND progressive — functions/Jpeg.scala), BMP (uncompressed
   * 24/32-bit truecolor), RIFF/WAVE PCM, FLAC
-  * STREAMINFO, MPEG1-Layer-III frame walks. `fakeDecode`'s deterministic
-  * pseudo-metadata remains only for payloads with NO recognizable media
-  * header (and the disclosed synthetic video container). The Spark-side
+  * STREAMINFO, MPEG1-Layer-III frame walks, MP4/ISO-BMFF box trees.
+  * `fakeDecode`'s deterministic pseudo-metadata remains only for payloads
+  * with NO recognizable media header. The Spark-side
   * plumbing — binary column, schema, iterator batching, partition locality —
   * is what the 100 TB design needs (decoders are per-row CPU work with
   * zero shuffle).
@@ -1084,53 +1084,15 @@ object Multimodal {
         org.apache.spark.sql.functions.col("fp").as("dhash")), maxHamming)
 
   // ---------------------------------------------------------------------
-  // Content-level video ops: frame-packed container + frame sampling +
-  // per-frame perceptual hashes — the third modality, built on the PNG
-  // codec above. The container is a real length-prefixed byte layout
-  // ("GVID", frame count, then [len, PNG] per frame — the MJPEG idea with
-  // explicit framing), so the decode path walks real container framing
-  // AND real PNG bytes. Frame SAMPLING is the operator that matters at
-  // scale: a dedup pass never decodes every frame of every video; it
-  // decodes a sparse deterministic subset and compares per-frame
-  // perceptual hashes index-aligned. Per-row CPU, zero shuffle.
+  // Content-level video ops: standard container + frame sampling +
+  // per-frame perceptual hashes — the third modality. Frame SAMPLING is
+  // the operator that matters at scale: a dedup pass never decodes every
+  // frame of every video; it decodes a sparse deterministic subset and
+  // compares per-frame perceptual hashes index-aligned. Per-row CPU,
+  // zero shuffle.
   // ---------------------------------------------------------------------
 
   val VideoFrames = 8
-
-  /** Encode frames (each an 8×9 grayscale pixel grid) into the container. */
-  def encodeVideo(frames: Seq[Array[Array[Int]]]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    out.write("GVID".getBytes("US-ASCII"))
-    out.write(beBytes(frames.length))
-    frames.foreach { px =>
-      val png = encodePngGray(px)
-      out.write(beBytes(png.length)); out.write(png, 0, png.length)
-    }
-    out.toByteArray
-  }
-
-  /** Walk the container framing and decode ONLY the requested frame
-    * indices (the frame-sampling contract: untouched frames are never
-    * inflated). Refuses loudly on bad magic/framing.
-    */
-  def decodeVideoFrames(b: Array[Byte], wanted: Set[Int]): Seq[(Int, Array[Array[Int]])] = {
-    require(b.length >= 8 && b(0) == 'G' && b(1) == 'V' && b(2) == 'I' && b(3) == 'D',
-      "not a GVID container")
-    val n = be32(b, 4)
-    require(n >= 0, "corrupt frame count")
-    var off = 8
-    val out = Seq.newBuilder[(Int, Array[Array[Int]])]
-    var i = 0
-    while (i < n && off + 4 <= b.length) {
-      val len = be32(b, off)
-      require(len >= 0 && off + 4 + len <= b.length, s"corrupt frame $i length")
-      if (wanted.contains(i))
-        out += ((i, decodePngGray(java.util.Arrays.copyOfRange(b, off + 4, off + 4 + len))))
-      off += 4 + len
-      i += 1
-    }
-    out.result()
-  }
 
   // ---------------------------------------------------------------------
   // MP4 — the ISO base media file format (ISO/IEC 14496-12), the STANDARD
@@ -1140,8 +1102,8 @@ object Multimodal {
   // mdat chunk (the MJPEG-in-MP4 sample layout, PNG as the intra codec);
   // parseMp4Header box-walks for (width, height, frames, timescale,
   // duration); decodeMp4Frames resolves ONLY the requested sample indices
-  // through stco + stsz — the same sparse frame-sampling contract as the
-  // GVID path, on real standard framing. Reference behavior per the
+  // through stco + stsz — the sparse frame-sampling contract on real
+  // standard framing. Reference behavior per the
   // published ISO/IEC 14496-12 box definitions (same public layout
   // ffmpeg/mp4box emit); no external parser involved.
   // ---------------------------------------------------------------------
@@ -1326,7 +1288,7 @@ object Multimodal {
       .filter { case (s, e) => s + 16 <= e }
       .map { case (s, _) => new String(b, s + 12, 4, "US-ASCII") }
 
-  /** [[synthVideoBatch]] with the STANDARD container: same frames, same
+  /** Formula frames in the STANDARD container: 9×8 pixel frames, same
     * twin planting, MP4 framing.
     */
   def synthMp4Batch(rows: DataFrame): DataFrame = {
@@ -1371,7 +1333,7 @@ object Multimodal {
     }(enc)
   }
 
-  /** [[videoFrameHashBatch]] over MP4 payloads: sampled-frame dHashes via
+  /** Sampled-frame dHashes over MP4 payloads via
     * the stco/stsz walk (samples decode by magic — PNG or MJPEG).
     */
   def mp4FrameHashBatch(df: DataFrame): DataFrame = {
@@ -1400,44 +1362,8 @@ object Multimodal {
   def videoFramePixels(src: Long, frame: Int): Array[Array[Int]] =
     Array.tabulate(8, 9)((y, x) => synthPixel(src + 1000003L * frame, x, y))
 
-  /** Synthesize one real container per (vid_id, src, twin) row. A twin
-    * bumps one pixel of frame 4 (a SAMPLED frame) by +7 — a planted
-    * temporal near-duplicate: all other frames byte-identical, frame 4
-    * within 2 dHash bits.
-    */
-  def synthVideoBatch(rows: DataFrame): DataFrame = {
-    val enc = ExpressionEncoder(RowEncoder.encoderFor(videoSchema))
-    rows.select("vid_id", "src", "twin").mapPartitions { it =>
-      it.map { r =>
-        val src = r.getLong(1); val twin = r.getBoolean(2)
-        val frames = (0 until VideoFrames).map { f =>
-          val px = videoFramePixels(src, f)
-          if (twin && f == 4) { px(3)(4) = (px(3)(4) + 7) % 256 }
-          px
-        }
-        Row(r.getLong(0), encodeVideo(frames))
-      }
-    }(enc)
-  }
-
   /** Sampled frame indices: every 2nd frame (0, 2, 4, 6). */
   val SampledFrames: Seq[Int] = 0 until VideoFrames by 2
-
-  /** Decode the sampled frames of each container and emit one perceptual
-    * hash per (video, frame index) — long-form, ready for index-aligned
-    * comparison or LSH banding downstream.
-    */
-  def videoFrameHashBatch(df: DataFrame): DataFrame = {
-    val enc = ExpressionEncoder(RowEncoder.encoderFor(frameHashSchema))
-    val wanted = SampledFrames.toSet
-    df.select("vid_id", "payload").mapPartitions { it =>
-      it.flatMap { r =>
-        decodeVideoFrames(r.getAs[Array[Byte]](1), wanted).map { case (f, px) =>
-          Row(r.getLong(0), f, dHash(px))
-        }
-      }
-    }(enc)
-  }
 
   /** Video near-dup pairs: per-frame banded Hamming candidates (the q35d
     * pigeonhole join on (frame_idx, chunk) — index-aligned, so only

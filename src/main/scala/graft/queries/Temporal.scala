@@ -1761,6 +1761,85 @@ object Temporal {
            |FROM emp GROUP BY segment ORDER BY segment""".stripMargin
       }),
 
+    // Q95g [extension: MV aggregate breadth — quantiles] percentiles ride a
+    // MERGEABLE log-bucket histogram column (`val_qsk`, the DDSketch shape:
+    // map<bucket,int-count>, bucket = sign·(1+⌈log_γ|v|⌉)): counts are
+    // exact integers, so unlike HLL the fold is invertible — deletes
+    // DECREMENT the same buckets inserts incremented, no touched-group
+    // recompute at all — and rank accuracy is exact, leaving only the ±α
+    // value-bucketing error (α = 1%). The gate drives inserts that shift
+    // the upper tail, row deletes, a GROUP-EMPTYING delete (the view row
+    // must drop), and a replay no-op; it emits the EXACT discrete
+    // quantiles (hash-pinned vs DuckDB quantile_disc — PERCENTILE_DISC's
+    // rank ⌈q·n⌉ and DuckDB's ⌊q·(n−1)⌋+1 provably agree) plus bound
+    // flags asserting the sketch estimates landed within 2%+1.
+    "q95g_mv_quantile" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{MatView, SnapshotStore, SqlDml}
+        val src = graft.GateTmp.freshDir("q95g_src")
+        val mv = graft.GateTmp.freshDir("q95g_mv")
+        val aggs = Seq("count", "sum", "approx_quantile")
+        SnapshotStore.init(s, src,
+          RelationalPipeline.employeeView(s, d)
+            .select($("id"), $("salary"), $("segment")),
+          cdcKeys = Seq("id"))
+        MatView.create(s, src, mv, Seq("segment"), "salary", aggs)
+        val t = Map("emp" -> src)
+        SqlDml.execute(s,
+          "UPDATE emp SET salary = salary + 100 WHERE id % 7 = 0", t)
+        SqlDml.execute(s, "DELETE FROM emp WHERE id % 9 = 0", t)
+        // group-emptying delete: every FURNITURE row leaves — the bucket
+        // counts must cancel to an empty map and the view row must drop
+        SqlDml.execute(s, "DELETE FROM emp WHERE segment = 'FURNITURE'", t)
+        // new mass in the upper tail: p90 must move through the pure fold
+        SnapshotStore.read(s, src).filter($("id") % 13 === 0)
+          .select(($("id") + 3000000000000L).as("id"),
+            ($("salary") + 500000L).as("salary"), $("segment"))
+          .createOrReplaceTempView("q95g_new")
+        SqlDml.execute(s,
+          "INSERT INTO emp SELECT id, salary, segment FROM q95g_new", t)
+        MatView.refresh(s, src, mv, Seq("segment"), "salary", aggs)
+        MatView.refresh(s, src, mv, Seq("segment"), "salary", aggs) // no-op
+        SnapshotStore.read(s, src).createOrReplaceTempView("q95g_final")
+        val exact = s.sql(
+          """SELECT segment,
+            |  percentile_disc(0.5) WITHIN GROUP (ORDER BY salary) AS p50_exact,
+            |  percentile_disc(0.9) WITHIN GROUP (ORDER BY salary) AS p90_exact
+            |FROM q95g_final GROUP BY segment""".stripMargin)
+        val bound: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+            org.apache.spark.sql.Column = (est, ex) =>
+          abs(est - ex.cast("double")) <= abs(ex.cast("double")) * 0.02 + 1.0
+        SnapshotStore.read(s, mv).join(exact, Seq("segment"))
+          .select($("segment"), $("n_rows"), $("val_sum"),
+            $("p50_exact").cast("long").as("p50_exact"),
+            $("p90_exact").cast("long").as("p90_exact"),
+            bound($("val_p50"), $("p50_exact")).as("p50_ok"),
+            bound($("val_p90"), $("p90_exact")).as("p90_ok"))
+          .orderBy($("segment"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""WITH base AS (
+           |  SELECT c_custkey AS id, $cents AS salary,
+           |         c_mktsegment AS segment
+           |  FROM customer),
+           |v1 AS (SELECT id,
+           |  CASE WHEN id % 7 = 0 THEN salary + 100 ELSE salary END AS salary,
+           |  segment FROM base),
+           |v2 AS (SELECT * FROM v1 WHERE NOT (id % 9 = 0)),
+           |v3 AS (SELECT * FROM v2 WHERE segment <> 'FURNITURE'),
+           |emp AS (SELECT * FROM v3
+           |  UNION ALL
+           |  SELECT id + 3000000000000, salary + 500000, segment
+           |  FROM v3 WHERE id % 13 = 0)
+           |SELECT segment, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(salary) AS BIGINT) AS val_sum,
+           |  CAST(quantile_disc(salary, 0.5) AS BIGINT) AS p50_exact,
+           |  CAST(quantile_disc(salary, 0.9) AS BIGINT) AS p90_exact,
+           |  true AS p50_ok, true AS p90_ok
+           |FROM emp GROUP BY segment ORDER BY segment""".stripMargin
+      }),
+
     // Q96 [extension: partitioned corpus × LLM pipeline] The training-data
     // warehouse shape: the documents corpus lives in a LANG-PARTITIONED
     // snapshot table, and a per-language pipeline stage (here word/char

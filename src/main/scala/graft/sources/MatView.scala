@@ -33,7 +33,10 @@ import org.apache.spark.sql.functions._
   * delete/update_preimage are recomputed from the source restricted to
   * exactly those groups (the same touched-keys pattern [[refreshJoin]]
   * uses: a broadcast semi-join, O(touched groups) shuffle, and NO source
-  * scan at all on an insert-only refresh). Anything else refuses loudly.
+  * scan at all on an insert-only refresh); `approx_quantile` keeps a
+  * mergeable log-bucket histogram column (`val_qsk`) whose exact integer
+  * bucket counts fold in BOTH directions — see the sketch section below —
+  * deriving `val_p50`/`val_p90`. Anything else refuses loudly.
   *
   * Exactly-once: each refresh commits with
   * `Txn(appId = "graft-mv:<srcRoot>", version = source version applied)` —
@@ -51,7 +54,7 @@ object MatView {
 
   val SupportedAggs: Set[String] =
     Set("count", "sum", "avg", "min", "max", "stddev", "count_distinct",
-      "approx_distinct")
+      "approx_distinct", "approx_quantile")
 
   /** Bounded restarts for pin-went-stale races; each retry re-reads fresh
     * high-water marks, so livelock needs a writer landing between pin and
@@ -135,9 +138,9 @@ object MatView {
         "recompute under deletes), stddev (sum-of-squares algebra), " +
         "count_distinct (touched-group recompute), approx_distinct (a " +
         "mergeable HLL sketch column: union-fold under inserts, " +
-        "removal-touched groups recompute). Medians/percentiles are not " +
-        "incrementally maintainable here; keep a mergeable KLL/quantile " +
-        "sketch column by the same fold-or-recompute pattern")
+        "removal-touched groups recompute), approx_quantile (a mergeable " +
+        "log-bucket histogram column — exact integer counts per bucket, so " +
+        "the fold is sound in BOTH directions, deletes included)")
   }
 
   private def needMinMax(aggs: Seq[String]): Boolean =
@@ -150,6 +153,107 @@ object MatView {
 
   private def needHll(aggs: Seq[String]): Boolean =
     aggs.contains("approx_distinct")
+
+  private def needQuantile(aggs: Seq[String]): Boolean =
+    aggs.contains("approx_quantile")
+
+  // ---- the quantile sketch column ------------------------------------------
+  // A DDSketch-shaped log-bucket histogram (Masson/Lee/Rim, "DDSketch: A
+  // Fast and Fully-Mergeable Quantile Sketch with Relative-Error
+  // Guarantees", VLDB 2019 — public design): `val_qsk` is a
+  // map<bucket:int, count:long> where a value v lands in bucket
+  // sign(v)·(1 + ⌈log_γ |v|⌉) (0 for v = 0), γ = (1+α)/(1−α). Counts are
+  // EXACT integers, so unlike HLL the fold is invertible: a delete
+  // decrements the same bucket an insert incremented — pure integer
+  // algebra in both directions, no recompute trigger, driftless under
+  // replay. Merge is pointwise addition (map_zip_with); zero-count
+  // buckets are dropped. Rank accuracy is exact; the only error is the
+  // value bucketing, so any quantile estimate is within ±α relative of
+  // the true discrete quantile. Size is bounded: ≤ ~⌈log_γ(maxAbs)⌉
+  // buckets per group (~1100 for 64-bit cents at α = 0.01), independent
+  // of group cardinality.
+
+  /** Relative-error bound α; γ = (1+α)/(1−α). */
+  val QuantileAlpha: Double = 0.01
+  private val Gamma: Double = (1 + QuantileAlpha) / (1 - QuantileAlpha)
+  private val LnGamma: Double = math.log(Gamma)
+
+  private val emptySketch: Column =
+    typedLit(Map.empty[Int, Long])
+
+  /** Bucket key of a value — the per-row expression, no accumulation, so
+    * IEEE-754 log noise can only shift a boundary value into the adjacent
+    * bucket (still within the α envelope).
+    */
+  private def qBucket(v: Column): Column = {
+    val mag = (ceil(log(abs(v.cast("double"))) / lit(LnGamma)) + 1L).cast("int")
+    when(v === 0, lit(0)).when(v > 0, mag).otherwise(-mag)
+  }
+
+  /** Pointwise-sum fold of two sketches (either side may be NULL), with
+    * zero-count buckets dropped — the map analogue of `val_sum + dv`.
+    */
+  private def qMerge(a: Column, b: Column): Column =
+    map_filter(
+      map_zip_with(coalesce(a, emptySketch), coalesce(b, emptySketch),
+        (_, x, y) => coalesce(x, lit(0L)) + coalesce(y, lit(0L))),
+      (_, c) => c =!= 0L)
+
+  /** The q-quantile estimate from the sketch + exact integer bucket
+    * counts: walk buckets in value order to rank ⌈q·Σcounts⌉ (the
+    * PERCENTILE_DISC rank) and return the hit bucket's representative
+    * γ^(k−1)·(1−α) — within ±α relative of the true discrete quantile.
+    */
+  private def qEstimate(sketch: Column, q: Double): Column = {
+    val entries = array_sort(map_entries(sketch))
+    val total = aggregate(entries, lit(0L), (acc, e) => acc + e.getField("value"))
+    val rank = ceil(lit(q) * total.cast("double")).cast("long")
+    val seed = struct(lit(null).cast("int").as("b"), lit(0L).as("c"))
+    val hit = aggregate(entries, seed,
+      (acc, e) => when(acc.getField("b").isNotNull, acc).otherwise {
+        val c2 = acc.getField("c") + e.getField("value")
+        when(c2 >= rank,
+          struct(e.getField("key").as("b"), c2.as("c")))
+          .otherwise(struct(lit(null).cast("int").as("b"), c2.as("c")))
+      },
+      acc => acc.getField("b"))
+    val rep = lit(2.0 / (Gamma + 1)) *
+      pow(lit(Gamma), abs(hit).cast("double") - 1.0)
+    when(hit.isNull, lit(null).cast("double"))
+      .when(hit === 0, lit(0.0))
+      .when(hit > 0, rep)
+      .otherwise(-rep)
+  }
+
+  /** Per-group sketch of `df` (one full pass — create time and touched-
+    * group recompute only): counts per (group, bucket), then one map per
+    * group. Both aggregations carry map-side partials; the collect_list
+    * is bounded by the bucket count, never group cardinality.
+    */
+  private[graft] def qSketchOf(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, outName: String, weight: Column): DataFrame = {
+    val perBucket = df.filter(col(valueCol).isNotNull)
+      .groupBy((groupCols.map(col) :+ qBucket(col(valueCol)).as("_qb")): _*)
+      .agg(sum(weight).as("_qc"))
+      .filter(col("_qc") =!= 0L)
+    perBucket.groupBy(groupCols.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("_qb"), col("_qc"))))
+        .as(outName))
+  }
+
+  /** Null-safe equi-join `base ⟕ sketch` on the group columns (both are
+    * one row per group over the same input, so left semantics only cover
+    * a group whose sketch is empty after zero-filtering).
+    */
+  private def withSketchJoined(base: DataFrame, sk: DataFrame,
+      groupCols: Seq[String], outName: String): DataFrame = {
+    val b = base.alias("_b"); val q = sk.alias("_q")
+    val cond = groupCols.map(c => col(s"_b.$c") <=> col(s"_q.$c"))
+      .reduce(_ && _)
+    b.join(q, cond, "left")
+      .select(base.columns.map(c => col(s"_b.$c")) :+
+        coalesce(col(s"_q.$outName"), emptySketch).as(outName): _*)
+  }
 
   /** v² as DECIMAL(38,0): exact at any realistic magnitude (a LONG sum of
     * squared cents overflows around 10⁶ rows of 10⁶-cent values; decimal
@@ -171,8 +275,13 @@ object MatView {
       (if (aggs.contains("max")) Seq(max(v).as("val_max")) else Nil) ++
       (if (needDistinct(aggs)) Seq(countDistinct(v).as("val_distinct")) else Nil) ++
       (if (needHll(aggs)) Seq(hll_sketch_agg(v).as("val_hll")) else Nil)
-    withDerived(df.groupBy(groupCols.map(col): _*).agg(cols.head, cols.tail: _*),
-      aggs)
+    val base = df.groupBy(groupCols.map(col): _*).agg(cols.head, cols.tail: _*)
+    val withQ =
+      if (!needQuantile(aggs)) base
+      else withSketchJoined(base,
+        qSketchOf(df, groupCols, valueCol, "val_qsk", lit(1L)),
+        groupCols, "val_qsk")
+    withDerived(withQ, aggs)
   }
 
   /** `val_avg` / `val_stddev` are re-derived from the committed exact
@@ -201,10 +310,18 @@ object MatView {
     // the estimate is re-derived from the stored sketch every commit; the
     // sketch BYTES may legally differ across fold orders (sparse/dense
     // mode history) while the registers — and hence the estimate — agree
-    if (needHll(aggs))
-      withS.withColumn("val_approx_distinct",
-        hll_sketch_estimate(col("val_hll")))
-    else withS
+    val withH =
+      if (needHll(aggs))
+        withS.withColumn("val_approx_distinct",
+          hll_sketch_estimate(col("val_hll")))
+      else withS
+    // the p50/p90 estimates are re-derived from the stored sketch every
+    // commit; the bucket counts are exact integers, so the estimates are
+    // deterministic functions of committed state (the val_avg argument)
+    if (needQuantile(aggs))
+      withH.withColumn("val_p50", qEstimate(col("val_qsk"), 0.5))
+        .withColumn("val_p90", qEstimate(col("val_qsk"), 0.9))
+    else withH
   }
 
   /** Initialize the view from the source's CURRENT snapshot (one full
@@ -271,10 +388,11 @@ object MatView {
     val withSd = needStddev(aggs)
     val withCd = needDistinct(aggs)
     val withHll = needHll(aggs)
+    val withQ = needQuantile(aggs)
     val trackRemovals = withMm || withCd || withHll
     val delta = deltaOf(changes, groupCols, valueCol,
       withRemovals = trackRemovals, withSumsq = withSd,
-      withSketch = withHll).persist()
+      withSketch = withHll, withQuantile = withQ).persist()
     try {
       // recompute triggers: min/max (and the HLL sketch — registers only
       // grow) lose state only when rows LEAVE a group; count_distinct is
@@ -325,6 +443,11 @@ object MatView {
               .when(col("d.dhll").isNull, col("m.val_hll"))
               .otherwise(hll_union(col("m.val_hll"), col("d.dhll")))
               .as("val_hll"))
+          else Nil) ++
+          // quantile histogram: pointwise-sum the ±count bucket delta —
+          // exact integers, sound under deletes, never a recompute
+          (if (withQ)
+            Seq(qMerge(col("m.val_qsk"), col("d.dqsk")).as("val_qsk"))
           else Nil)
         val merged = withDerived(
           mv.alias("m").join(broadcast(algebraic.alias("d")), joinCond, "full_outer")
@@ -400,7 +523,8 @@ object MatView {
     */
   private[graft] def deltaOf(changes: DataFrame, groupCols: Seq[String],
       valueCol: String, withRemovals: Boolean = false,
-      withSumsq: Boolean = false, withSketch: Boolean = false): DataFrame = {
+      withSumsq: Boolean = false, withSketch: Boolean = false,
+      withQuantile: Boolean = false): DataFrame = {
     val tc = col(SnapshotStore.ChangeTypeCol)
     val arriving = tc === "insert" || tc === "update_postimage"
     val leaving = tc === "delete" || tc === "update_preimage"
@@ -424,8 +548,15 @@ object MatView {
         min(when(arriving, col(valueCol))).as("dmin"),
         max(when(arriving, col(valueCol))).as("dmax"),
         (sum(when(leaving, 1L).otherwise(0L)) > 0).as("has_removal"))
-    changes.groupBy(groupCols.map(col): _*)
+    val agg = changes.groupBy(groupCols.map(col): _*)
       .agg((base ++ extra).head, (base ++ extra).tail: _*)
+    if (!withQuantile) agg
+    else
+      // ±count per bucket: an arriving value increments its bucket, a
+      // leaving one decrements it — the exact inverse, by construction
+      withSketchJoined(agg,
+        qSketchOf(changes, groupCols, valueCol, "dqsk", dn),
+        groupCols, "dqsk")
   }
 
   // ---- incrementally-maintained JOIN views --------------------------------

@@ -698,31 +698,23 @@ class LlmSpec extends SparkSpec {
     assert(missed.isEmpty, s"banded join missed planted audio twins: $missed")
   }
 
-  test("video container + frame sampling: round-trip, sparse decode, twin recall") {
+  test("video frame sampling + twin recall over the real MJPEG-in-MP4 path") {
     import graft.functions.Multimodal
-    // container round-trip: every frame comes back pixel-exact
-    val frames = (0 until Multimodal.VideoFrames)
-      .map(f => Multimodal.videoFramePixels(7L, f))
-    val enc = Multimodal.encodeVideo(frames)
-    val all = Multimodal.decodeVideoFrames(enc, (0 until Multimodal.VideoFrames).toSet)
-    assert(all.size == Multimodal.VideoFrames)
-    all.foreach { case (f, px) =>
-      assert(px.map(_.toSeq).toSeq == frames(f).map(_.toSeq).toSeq, s"frame $f differs")
-    }
-    // sparse decode returns exactly the requested indices
-    val sparse = Multimodal.decodeVideoFrames(enc, Set(1, 6))
-    assert(sparse.map(_._1) == Seq(1, 6))
-    // junk payload refuses loudly
-    intercept[IllegalArgumentException](
-      Multimodal.decodeVideoFrames("nope".getBytes ++ enc.drop(4), Set(0)))
-    // banded join recovers every planted twin with all 4 sampled frames close
+    // banded join recovers every planted twin with all 4 sampled frames
+    // close — every frame hash earned through the ISO-BMFF box walk AND
+    // the full JPEG decode (the GVID synthetic container is retired).
     val n = 300L; val offset = 10000000L
     val rows = spark.range(n)
       .select($"id".as("vid_id"), $"id".as("src"), lit(false).as("twin"))
       .unionByName(spark.range(n).filter($"id" % 29 === 0)
         .select(($"id" + offset).as("vid_id"), $"id".as("src"), lit(true).as("twin")))
-    val pairs = Multimodal.videoNearDupPairs(
-        Multimodal.videoFrameHashBatch(Multimodal.synthVideoBatch(rows)))
+    val vids = Multimodal.synthMjpegMp4Batch(rows)
+    val one = vids.filter($"vid_id" === 7L).collect().head.getAs[Array[Byte]]("payload")
+    assert(Multimodal.isMp4(one))
+    assert(Multimodal.mp4Codec(one).contains("jpeg"))
+    // sparse decode touches exactly the requested sample indices
+    assert(Multimodal.decodeMp4Frames(one, Set(1, 6)).map(_._1) == Seq(1, 6))
+    val pairs = Multimodal.videoNearDupPairs(Multimodal.mp4FrameHashBatch(vids))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val planted = (0L until n by 29L).map(i => (i, i + offset)).toSet
     val missed = planted -- pairs.map(p => (p._1, p._2)).toSet
@@ -749,12 +741,6 @@ class LlmSpec extends SparkSpec {
     }
     // sparse decode touches exactly the requested indices
     assert(Multimodal.decodeMp4Frames(enc, Set(0, 5)).map(_._1) == Seq(0, 5))
-    // MP4 and GVID encodings of the same frames hash identically — the
-    // container is framing, never content
-    val viaGvid = Multimodal.decodeVideoFrames(
-      Multimodal.encodeVideo(frames), Set(2)).head._2
-    val viaMp4 = Multimodal.decodeMp4Frames(enc, Set(2)).head._2
-    assert(viaGvid.map(_.toSeq).toSeq == viaMp4.map(_.toSeq).toSeq)
     // a non-BMFF payload refuses loudly
     intercept[IllegalArgumentException](
       Multimodal.decodeMp4Frames("nope".getBytes ++ enc.drop(4), Set(0)))

@@ -437,6 +437,66 @@ class MatViewSpec extends SparkSpec {
     assert(SnapshotStore.latest(mv).version == vBefore)
   }
 
+  test("approx_quantile MV: bucket histogram folds exactly in BOTH directions") {
+    import graft.sources.{MatView, SnapshotStore, SqlDml}
+    import org.apache.spark.sql.functions.lit
+    val src = GateTmp.freshDir("mvq_src")
+    val mv = GateTmp.freshDir("mvq_mv")
+    val aggs = Seq("count", "sum", "approx_quantile")
+    SnapshotStore.init(spark, src, spark.range(200)
+      .selectExpr("id", "(id * id) % 1000 + 1 AS v",
+        "CAST(CASE WHEN id < 150 THEN id % 3 ELSE 9 END AS STRING) AS g"),
+      cdcKeys = Seq("id"))
+    MatView.create(spark, src, mv, Seq("g"), "v", aggs)
+    // the invariant HLL cannot offer: the STORED sketch map equals a
+    // one-shot sketch of the live source — exactly, not within-bound —
+    // because bucket counts are plain integers and the fold is invertible
+    def viewSk: Map[String, Map[Int, Long]] =
+      SnapshotStore.read(spark, mv).select($"g", $"val_qsk")
+        .collect().map(r => r.getString(0) ->
+          r.getAs[scala.collection.Map[Int, Long]](1).toMap).toMap
+    def directSk: Map[String, Map[Int, Long]] =
+      MatView.qSketchOf(SnapshotStore.read(spark, src), Seq("g"), "v", "sk",
+          lit(1L))
+        .collect().map(r => r.getString(0) ->
+          r.getAs[scala.collection.Map[Int, Long]](1).toMap).toMap
+    assert(viewSk == directSk)
+    val t = Map("t" -> src)
+    SqlDml.execute(spark,
+      "INSERT INTO t SELECT id + 1000, id * 37 + 1, CAST(id % 3 AS STRING) " +
+        "FROM range(50)", t)
+    MatView.refresh(spark, src, mv, Seq("g"), "v", aggs)
+    assert(viewSk == directSk, "insert fold must match a direct sketch")
+    // deletes DECREMENT buckets (no recompute, no drift) and an emptied
+    // group's counts cancel to nothing — the view row drops
+    SqlDml.execute(spark, "DELETE FROM t WHERE id % 4 = 0", t)
+    SqlDml.execute(spark, "DELETE FROM t WHERE g = '9'", t)
+    SqlDml.execute(spark, "UPDATE t SET v = v + 500 WHERE id % 7 = 1", t)
+    MatView.refresh(spark, src, mv, Seq("g"), "v", aggs)
+    assert(viewSk == directSk, "delete fold must match a direct sketch")
+    assert(!viewSk.contains("9"), "group-emptying delete must drop the row")
+    // estimates stay within the ±α envelope of the true discrete quantile
+    SnapshotStore.read(spark, src).createOrReplaceTempView("mvq_final")
+    val exact = spark.sql(
+      """SELECT g,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT) AS p50,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY v) AS BIGINT) AS p90
+        |FROM mvq_final GROUP BY g""".stripMargin)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    SnapshotStore.read(spark, mv).select($"g", $"val_p50", $"val_p90")
+      .collect().foreach { r =>
+        val (e50, e90) = exact(r.getString(0))
+        assert(math.abs(r.getDouble(1) - e50) <= 0.02 * math.abs(e50) + 1.0,
+          s"p50 ${r.getDouble(1)} vs exact $e50 in group ${r.getString(0)}")
+        assert(math.abs(r.getDouble(2) - e90) <= 0.02 * math.abs(e90) + 1.0,
+          s"p90 ${r.getDouble(2)} vs exact $e90 in group ${r.getString(0)}")
+      }
+    // replay no-op
+    val vBefore = SnapshotStore.latest(mv).version
+    MatView.refresh(spark, src, mv, Seq("g"), "v", aggs)
+    assert(SnapshotStore.latest(mv).version == vBefore)
+  }
+
   test("refreshAll walks the recorded MV DAG: diamond refreshes the shared upstream once") {
     import graft.sources.{MatView, SnapshotStore, SqlDml}
     val emp = GateTmp.freshDir("mvdag_emp")
