@@ -908,9 +908,11 @@ object Temporal {
     // the same metadata-only commit as top-level ALTERs: the parquet
     // reader clips each file's stored struct against the pinned schema,
     // so pre-ADD rows null-fill the new field and post-DROP reads project
-    // the dead one away, across a dir that MIXES struct eras. The final
-    // projection flattens the struct so DuckDB pins values without any
-    // struct SQL.
+    // the dead one away, across a dir that MIXES struct eras. RENAMEs run
+    // at TWO depths (props.cust and props.meta.qty — the dotted chains
+    // compose across sibling subtrees and the read rebuilds every
+    // enclosing struct recursively). The final projection flattens the
+    // struct so DuckDB pins values without any struct SQL.
     "q90c_nested_evolution" -> QueryDef(
       build = (s, d) => {
         val wh = graft.GateTmp.freshDir("q90c")
@@ -920,32 +922,44 @@ object Temporal {
         Tables.orders(s, d).createOrReplaceTempView("q90c_ord")
         val cents = graft.Canon.centsSql("o_totalprice")
         s.sql("CREATE TABLE graft.q90ct (id BIGINT, " +
-          "props STRUCT<cust: BIGINT, prio: STRING>)")
+          "props STRUCT<cust: BIGINT, prio: STRING, " +
+          "meta: STRUCT<src: STRING, qty: BIGINT>>)")
         s.sql(
           """INSERT INTO graft.q90ct
             |SELECT o_orderkey, named_struct('cust', o_custkey,
-            |  'prio', o_orderpriority)
+            |  'prio', o_orderpriority,
+            |  'meta', named_struct('src', 'web', 'qty', o_orderkey % 7))
             |FROM q90c_ord WHERE o_orderkey % 2 = 0""".stripMargin)
         s.sql("ALTER TABLE graft.q90ct ADD COLUMN props.price_c BIGINT") // v2
         s.sql(
           s"""INSERT INTO graft.q90ct
              |SELECT o_orderkey, named_struct('cust', o_custkey,
-             |  'prio', o_orderpriority, 'price_c', $cents)
+             |  'prio', o_orderpriority,
+             |  'meta', named_struct('src', 'api', 'qty', o_orderkey % 7),
+             |  'price_c', $cents)
              |FROM q90c_ord WHERE o_orderkey % 2 = 1""".stripMargin)
         s.sql("ALTER TABLE graft.q90ct DROP COLUMN props.prio") // v4
         // NESTED RENAME chained onto the add/drop history: files of BOTH
         // prior eras still store `cust`; the dotted chain resolves them
         // under `buyer` while post-rename files are born with it
         s.sql("ALTER TABLE graft.q90ct RENAME COLUMN props.cust TO buyer") // v5
+        // DEEP rename, one struct level further down — its chain lives in
+        // a SIBLING subtree of props.buyer's and both resolve in one read
+        s.sql(
+          "ALTER TABLE graft.q90ct RENAME COLUMN props.meta.qty TO quantity")
         s.sql(
           s"""INSERT INTO graft.q90ct
              |SELECT o_orderkey + 10000000, named_struct('buyer',
-             |  o_custkey + 7, 'price_c', $cents)
-             |FROM q90c_ord WHERE o_orderkey % 4 = 0""".stripMargin) // v6
+             |  o_custkey + 7,
+             |  'meta', named_struct('src', 'bulk',
+             |    'quantity', (o_orderkey + 3) % 7),
+             |  'price_c', $cents)
+             |FROM q90c_ord WHERE o_orderkey % 4 = 0""".stripMargin)
         // era-mixed read through the evolved shape, flattened for the pin
         s.sql(
           """SELECT id, props.buyer AS cust,
-            |       coalesce(props.price_c, -1) AS price_c
+            |       coalesce(props.price_c, -1) AS price_c,
+            |       props.meta.src AS src, props.meta.quantity AS qty
             |FROM graft.q90ct ORDER BY id""".stripMargin)
       },
       oracle = Some {
@@ -953,10 +967,14 @@ object Temporal {
         s"""SELECT * FROM (
            |  SELECT o_orderkey AS id, o_custkey AS cust,
            |         CASE WHEN o_orderkey % 2 = 1 THEN $cents
-           |              ELSE -1 END AS price_c
+           |              ELSE -1 END AS price_c,
+           |         CASE WHEN o_orderkey % 2 = 1 THEN 'api'
+           |              ELSE 'web' END AS src,
+           |         o_orderkey % 7 AS qty
            |  FROM orders
            |  UNION ALL
-           |  SELECT o_orderkey + 10000000, o_custkey + 7, $cents
+           |  SELECT o_orderkey + 10000000, o_custkey + 7, $cents,
+           |         'bulk', (o_orderkey + 3) % 7
            |  FROM orders WHERE o_orderkey % 4 = 0)
            |ORDER BY id""".stripMargin
       }),

@@ -1,10 +1,11 @@
 package graft.sources
 
 import org.apache.spark.sql.{GraftDvFilter, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Expression, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, ArrayTransform, AttributeReference, CreateNamedStruct, Expression, GetArrayStructFields, GetStructField, If, IsNull, LambdaFunction, Literal, NamedExpression, NamedLambdaVariable, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, Filter, LogicalPlan, MergeIntoTable, Project, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation, FileScan}
+import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
 
 /** Routes SQL reads of deletion-vector-bearing catalog tables through the
   * store's DV-applying read. A [[GraftTable]] scan is Spark's own
@@ -119,12 +120,40 @@ object DvReadRewrite extends Rule[LogicalPlan] with PredicateHelper {
           s"store read (${inner.output.map(_.name).mkString(", ")}) — " +
           "refusing to substitute (raw scan would resurrect deleted rows)"))
         .asInstanceOf[AttributeReference]
+    // Rebinding pitfall: this rule runs POST-pushdown, after DSv2 nested
+    // column pruning narrowed the relation's struct types and rewrote
+    // every GetStructField ORDINAL against the pruned layout. The inner
+    // store read serves FULL types, so a naive attribute swap would leave
+    // stale ordinals reading the wrong field (a struct slot read as a
+    // long). Re-resolve every extraction ordinal BY NAME against the new
+    // child's type while rebinding.
+    def rebind(e: Expression,
+        attrsByName: Map[String, AttributeReference]): Expression = e match {
+      case a: AttributeReference =>
+        attrsByName.getOrElse(a.name.toLowerCase, resolve(a.name))
+      case g: GetStructField =>
+        val fieldName = g.name.getOrElse(
+          g.child.dataType.asInstanceOf[StructType].fields(g.ordinal).name)
+        val nc = rebind(g.child, attrsByName)
+        val st = nc.dataType.asInstanceOf[StructType]
+        val nOrd = st.fields.indexWhere(_.name.equalsIgnoreCase(fieldName))
+        require(nOrd >= 0, s"DvReadRewrite: field $fieldName not in " +
+          s"${st.simpleString} while rebinding ${table.name()}")
+        GetStructField(nc, nOrd, Some(fieldName))
+      case g: GetArrayStructFields =>
+        val nc = rebind(g.child, attrsByName)
+        val st = nc.dataType.asInstanceOf[ArrayType]
+          .elementType.asInstanceOf[StructType]
+        val nOrd = st.fields.indexWhere(_.name.equalsIgnoreCase(g.field.name))
+        require(nOrd >= 0, s"DvReadRewrite: field ${g.field.name} not in " +
+          s"${st.simpleString} while rebinding ${table.name()}")
+        GetArrayStructFields(nc, st.fields(nOrd), nOrd, st.fields.length,
+          g.containsNull || st.fields(nOrd).nullable)
+      case other => other.mapChildren(rebind(_, attrsByName))
+    }
     def rebase(preds: Seq[Expression],
         attrsByName: Map[String, AttributeReference]): Option[Expression] =
-      preds.map(_.transform {
-        case a: AttributeReference =>
-          attrsByName.getOrElse(a.name.toLowerCase, resolve(a.name))
-      }).reduceOption(And)
+      preds.map(rebind(_, attrsByName)).reduceOption(And)
     val filtered =
       if (consumedFilters.isEmpty) inner
       else {
@@ -153,8 +182,38 @@ object DvReadRewrite extends Rule[LogicalPlan] with PredicateHelper {
           .getOrElse(inner)
       }
     Project(output.map { o =>
-      Alias(resolve(o.name), o.name)(exprId = o.exprId,
+      // pruned-type conformance: when nested pruning narrowed this output
+      // attribute's struct type, serve the inner full value RESHAPED to
+      // the pruned layout — the surrounding plan's extraction ordinals
+      // were rewritten against it and must stay valid
+      Alias(conform(resolve(o.name), o.dataType), o.name)(exprId = o.exprId,
         qualifier = o.qualifier): NamedExpression
     }, filtered)
   }
+
+  /** Reshape `e` (recursively, by FIELD NAME) onto `to` — the pruned type
+    * DSv2 nested column pruning gave the relation's output attribute.
+    * Identity when the types already agree; whole-struct NULLs preserved.
+    * Arrays/maps of pruned structs reshape element-wise.
+    */
+  private def conform(e: Expression, to: DataType): Expression =
+    if (org.apache.spark.sql.types.DataType.equalsIgnoreNullability(
+        e.dataType, to)) e
+    else (e.dataType, to) match {
+      case (from: StructType, t: StructType) =>
+        val entries = t.fields.toIndexedSeq.flatMap { f =>
+          val idx = from.fields.indexWhere(_.name.equalsIgnoreCase(f.name))
+          require(idx >= 0, s"DvReadRewrite: cannot conform " +
+            s"${from.simpleString} to ${t.simpleString} — no field ${f.name}")
+          Seq(Literal(f.name),
+            conform(GetStructField(e, idx, Some(f.name)), f.dataType))
+        }
+        If(IsNull(e), Literal(null, t), CreateNamedStruct(entries))
+      case (from: ArrayType, t: ArrayType) =>
+        val v = NamedLambdaVariable("el", from.elementType, from.containsNull)
+        ArrayTransform(e, LambdaFunction(conform(v, t.elementType), Seq(v)))
+      case (from, t) => throw new IllegalStateException(
+        s"DvReadRewrite: cannot conform ${from.simpleString} to " +
+          s"${t.simpleString} (unsupported pruned shape)")
+    }
 }

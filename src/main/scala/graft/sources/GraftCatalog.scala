@@ -483,12 +483,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case rm: TableChange.RemoveProperty
           if rm.property == GraftCatalog.DmlModeProp =>
         SnapshotStore.setDmlMode(root, SnapshotStore.CopyOnWrite)
-      case set: TableChange.SetProperty => throw new UnsupportedOperationException(
-        s"unsupported table property '${set.property}' " +
-          s"(only ${GraftCatalog.DmlModeProp})")
-      case rm: TableChange.RemoveProperty => throw new UnsupportedOperationException(
-        s"unsupported table property '${rm.property}' " +
-          s"(only ${GraftCatalog.DmlModeProp})")
+      // `cdc.keys` binds the feed's identity at CREATE: every committed
+      // change frame was keyed by it, so re-keying a live table would
+      // silently re-interpret history — refuse, loudly
+      case set: TableChange.SetProperty
+          if GraftCatalog.ReservedProps(set.property) =>
+        throw new UnsupportedOperationException(
+          s"table property '${set.property}' is engine-managed and cannot " +
+            "be altered (set cdc.keys at CREATE TABLE)")
+      case rm: TableChange.RemoveProperty
+          if GraftCatalog.ReservedProps(rm.property) =>
+        throw new UnsupportedOperationException(
+          s"table property '${rm.property}' is engine-managed and cannot " +
+            "be unset")
+      // everything else is an OPAQUE user property (comments, owners,
+      // tooling tags — the Delta/Iceberg contract): stored in the
+      // `_table_properties.tsv` sidecar, served back by properties()
+      case set: TableChange.SetProperty =>
+        SnapshotStore.setTableProperty(root, set.property, set.value)
+      case rm: TableChange.RemoveProperty =>
+        SnapshotStore.removeTableProperty(root, rm.property)
+        ()
       case add: TableChange.AddConstraint => add.constraint() match {
         case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
           // validates EXISTING rows before accepting — the Delta contract
@@ -508,17 +523,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // store's name-mapping sidecar resolves old physical names at read
     // (SnapshotStore.alterSchema validates the refusal list)
     val renames = schemaChanges.collect {
-      // NESTED rename (`ALTER TABLE t RENAME COLUMN props.lang TO code`):
-      // dotted logical paths on both sides, one struct level deep — the
-      // store keys the physical-name chain by the dotted path and the
-      // read-side coalesce rebuilds the struct (SnapshotStore.applyRenames)
-      case rn: TableChange.RenameColumn if rn.fieldNames.length == 2 =>
-        s"${rn.fieldNames()(0)}.${rn.newName()}" -> rn.fieldNames().mkString(".")
+      // NESTED rename (`ALTER TABLE t RENAME COLUMN props.lang TO code`,
+      // any struct depth): dotted logical paths on both sides — the store
+      // keys the physical-name chain by the dotted path and the read-side
+      // coalesce rebuilds the enclosing structs recursively
+      // (SnapshotStore.applyRenames validates the refusal list)
       case rn: TableChange.RenameColumn =>
-        require(rn.fieldNames.length == 1,
-          s"rename deeper than one struct level not supported: " +
-            rn.fieldNames.mkString("."))
-        rn.newName() -> rn.fieldNames()(0)
+        (rn.fieldNames().init :+ rn.newName()).mkString(".") ->
+          rn.fieldNames().mkString(".")
     }.toMap
     val nonRenames = schemaChanges.filterNot(_.isInstanceOf[TableChange.RenameColumn])
     SnapshotStore.alterSchema(spark, root, schema =>
@@ -797,6 +809,21 @@ object GraftCatalog {
         org.apache.spark.sql.types.StructField(path.last, dt, nullable = true))
     }
 
+  /** `ALTER TABLE t RENAME COLUMN a.b.c TO d` — rename a field inside a
+    * struct at any depth, metadata-only (the rename-chain sidecar
+    * resolves old physical names at read).
+    */
+  private[graft] def renameNestedField(
+      s: org.apache.spark.sql.types.StructType, parents: Seq[String],
+      oldName: String, newName: String):
+      org.apache.spark.sql.types.StructType =
+    mapNestedStruct(s, parents) { leaf =>
+      val idx = leaf.fields.indexWhere(_.name.equalsIgnoreCase(oldName))
+      require(idx >= 0, s"no such field ${(parents :+ oldName).mkString(".")}")
+      org.apache.spark.sql.types.StructType(
+        leaf.fields.updated(idx, leaf.fields(idx).copy(name = newName)))
+    }
+
   /** `ALTER TABLE t ALTER COLUMN a.b.c TYPE T` — widen a field inside a
     * struct, metadata-only (narrow stored leaves upcast at read). The
     * same [[widens]] matrix as top-level; narrowing/reshaping refuses.
@@ -837,6 +864,13 @@ object GraftCatalog {
     * `enableChangeDataFeed`): `TBLPROPERTIES ('cdc.keys' = 'id')`.
     */
   val CdcKeysProp = "cdc.keys"
+
+  /** Engine-managed property keys `ALTER TABLE SET/UNSET TBLPROPERTIES`
+    * refuses to touch (`dml.mode` has its own SET/UNSET route above;
+    * `cdc.keys` binds the feed's identity at create; `version` is the
+    * snapshot pointer itself).
+    */
+  val ReservedProps: Set[String] = Set(CdcKeysProp, "version")
 
   /** Table property selecting the DML strategy (the same place Delta puts
     * `enableDeletionVectors`): `TBLPROPERTIES ('dml.mode' =
@@ -1416,6 +1450,8 @@ private[sources] class GraftTable(spark: SparkSession, tableName: String,
 
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
+    // user properties first: engine-managed keys below always win
+    SnapshotStore.tableProperties(root).foreach { case (k, v) => m.put(k, v) }
     m.put("version", snap.version.toString)
     val keys = SnapshotStore.cdcKeys(root)
     if (keys.nonEmpty) m.put(GraftCatalog.CdcKeysProp, keys.mkString(","))

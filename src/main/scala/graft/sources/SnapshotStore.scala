@@ -393,6 +393,49 @@ object SnapshotStore {
     Files.writeString(dmlModeFile(root), mode)
   }
 
+  // ---- user table properties -------------------------------------------------
+  // Free-form `SET/UNSET TBLPROPERTIES` key-values (comments, owners,
+  // tooling tags — the Delta/Iceberg opaque-property contract), stored in
+  // a `_table_properties.tsv` sidecar at root. Engine-interpreted keys
+  // (`dml.mode`, `cdc.keys`) never land here: the catalog routes them to
+  // their own config (or refuses) before this store is consulted.
+
+  private def tablePropsFile(root: String): Path =
+    Paths.get(root, "_table_properties.tsv")
+
+  def tableProperties(root: String): Map[String, String] = {
+    val f = tablePropsFile(root)
+    if (!Files.exists(f)) Map.empty
+    else Files.readString(f).linesIterator.filter(_.nonEmpty).map { l =>
+      val p = l.split("\t", 2); p(0) -> (if (p.length > 1) p(1) else "")
+    }.toMap
+  }
+
+  def setTableProperty(root: String, key: String, value: String): Unit = {
+    require(!key.contains('\t') && !key.contains('\n') &&
+      !value.contains('\t') && !value.contains('\n'),
+      s"table property keys/values must not contain tabs or newlines ($key)")
+    writeTableProperties(root, tableProperties(root) + (key -> value))
+  }
+
+  /** Returns whether the key existed (UNSET is idempotent either way). */
+  def removeTableProperty(root: String, key: String): Boolean = {
+    val cur = tableProperties(root)
+    val existed = cur.contains(key)
+    if (existed) writeTableProperties(root, cur - key)
+    existed
+  }
+
+  private def writeTableProperties(root: String,
+      props: Map[String, String]): Unit = {
+    val f = tablePropsFile(root)
+    if (props.isEmpty) Files.deleteIfExists(f)
+    else Files.writeString(f,
+      props.toSeq.sortBy(_._1).map { case (k, v) => s"$k\t$v" }
+        .mkString("", "\n", "\n"))
+    ()
+  }
+
   /** Newest committed snapshot. Readers go through this and only ever see
     * fully-committed, immutable data dirs.
     */
@@ -904,72 +947,89 @@ object SnapshotStore {
     var ren = baseRen
     renames.foreach { case (newName, oldName) =>
       if (newName.contains('.') || oldName.contains('.')) {
-        // NESTED rename (`props.language` -> `props.lang`): same
-        // metadata-only commit, chain keyed by the DOTTED logical path,
-        // physical names stored dotted too (so they never collide with
-        // top-level guards). One struct level deep, like nested ADD/widen.
+        // NESTED rename (`props.language` -> `props.lang`, or deeper:
+        // `a.b.c` -> `a.b.d`): same metadata-only commit, chain keyed by
+        // the DOTTED logical path, physical names stored dotted too (so
+        // they never collide with top-level guards). Any depth, like
+        // nested ADD/widen — the rename stays inside its own struct (only
+        // the LEAF segment changes, Spark's RenameColumn contract).
         val np = newName.split('.'); val op = oldName.split('.')
-        require(np.length == 2 && op.length == 2 &&
-          np.head.equalsIgnoreCase(op.head),
-          s"nested rename must stay inside one struct level: $oldName -> $newName")
-        val parent = np.head; val oldF = op(1); val newF = np(1)
+        require(np.length == op.length && np.length >= 2 &&
+          np.init.zip(op.init).forall { case (a, b) => a.equalsIgnoreCase(b) },
+          s"nested rename must stay inside its struct: $oldName -> $newName")
+        val parentPath = op.init.toSeq
+        val oldF = op.last; val newF = np.last
+        val parentKey = parentPath.map(_.toLowerCase).mkString(".")
+        val oldKey = s"$parentKey.${oldF.toLowerCase}"
         // CDC feeds resolve nested renames through dotted feed-log
         // entries (changes() rebuilds the struct with version-guarded
-        // legs) — but composing that with a TOP-LEVEL rename of the same
-        // struct has no sound one-pass resolution; refuse the combination
-        if (cdcKeys(root).nonEmpty)
-          require(feedChain(feedRenames(root), parent).isEmpty,
-            s"struct column $parent was itself renamed earlier on this CDC " +
-              "table; a nested rename inside it cannot compose with the " +
-              "top-level feed chain — OPTIMIZE (full rewrite) first")
-        // the SIDECAR chains break the same way on ANY table (CDC or
-        // not): a nested chain after a parent rename would rebuild the
-        // struct ignoring the parent's top-level coalesce legs, silently
-        // reading pre-rename nested values as NULL. Refuse while the
-        // parent still carries a live top-level chain (in this batch or
-        // a prior commit); OPTIMIZE clears the chains and re-enables it.
-        require(!ren.contains(parent.toLowerCase),
-          s"struct column $parent was itself renamed and its files not " +
-            "yet rewritten; a nested rename inside it cannot compose with " +
-            "the top-level sidecar chain — OPTIMIZE (full rewrite) first")
-        val pIdx = schema.fields.indexWhere(_.name.equalsIgnoreCase(parent))
-        require(pIdx >= 0, s"no such column $parent in $root")
-        val st = schema.fields(pIdx).dataType match {
-          case t: org.apache.spark.sql.types.StructType => t
-          case other => throw new IllegalArgumentException(
-            s"$parent of $root is ${other.simpleString}, not a struct")
+        // legs) — but composing that with a rename of ANY ancestor (or of
+        // the field's own subtree) has no sound one-pass resolution;
+        // refuse those combinations
+        if (cdcKeys(root).nonEmpty) {
+          val log = feedRenames(root)
+          (1 to parentPath.length).map(i => parentPath.take(i).mkString("."))
+            .foreach { anc =>
+              require(feedChain(log, anc).isEmpty,
+                s"ancestor $anc of $oldName was itself renamed earlier on " +
+                  "this CDC table; a nested rename inside it cannot compose " +
+                  "with that feed chain — OPTIMIZE (full rewrite) first")
+            }
+          require(!log.exists(r =>
+            r._2.toLowerCase.startsWith(oldKey + ".") ||
+              r._3.toLowerCase.startsWith(oldKey + ".")),
+            s"fields inside $oldName carry nested feed-rename chains on " +
+              "this CDC table; renaming the struct field itself cannot " +
+              "compose with them — OPTIMIZE (full rewrite) first")
         }
+        // the SIDECAR chains break the same way on ANY table (CDC or
+        // not): a nested chain after an ancestor rename would rebuild the
+        // struct ignoring the ancestor's coalesce legs, silently reading
+        // pre-rename nested values as NULL. Refuse while any ancestor
+        // still carries a live chain (in this batch or a prior commit),
+        // and refuse renaming a struct field whose OWN subtree carries
+        // chains; OPTIMIZE clears the chains and re-enables both.
+        (1 to parentPath.length).map(i =>
+          parentPath.take(i).map(_.toLowerCase).mkString("."))
+          .foreach { ancKey =>
+            require(!ren.contains(ancKey),
+              s"ancestor $ancKey of $oldName was itself renamed and its " +
+                "files not yet rewritten; a nested rename inside it cannot " +
+                "compose with that sidecar chain — OPTIMIZE (full rewrite) " +
+                "first")
+          }
+        require(!ren.keys.exists(_.startsWith(oldKey + ".")),
+          s"fields inside $oldName carry rename chains and their files " +
+            "are not yet rewritten; renaming the struct field itself " +
+            "cannot compose with them — OPTIMIZE (full rewrite) first")
+        val st = structAtPath(schema, parentPath).getOrElse(
+          throw new IllegalArgumentException(
+            s"${parentPath.mkString(".")} of $root is not a struct path"))
         val oIdx = st.fields.indexWhere(_.name.equalsIgnoreCase(oldF))
         require(oIdx >= 0, s"no such field $oldName in $root")
         require(!st.exists(_.name.equalsIgnoreCase(newF)),
           s"field $newName already exists in $root")
         val refd = exprTexts.filter(_.matches("(?is).*\\b" +
-          java.util.regex.Pattern.quote(parent) + "\\s*\\.\\s*" +
+          parentPath.map(java.util.regex.Pattern.quote)
+            .mkString("", "\\s*\\.\\s*", "\\s*\\.\\s*") +
           java.util.regex.Pattern.quote(oldF) + "\\b.*"))
         require(refd.isEmpty,
           s"cannot rename $oldName: referenced by stored SQL expression(s) " +
             s"(constraint/default/generated): ${refd.take(2).mkString("; ")}")
         // stale-shadow guard, inside the struct: no file may still
         // physically carry the target field name
-        val parentKey = parent.toLowerCase
-        val physInStruct = spark.read.parquet(base.dataDir).schema.fields
-          .find(_.name.equalsIgnoreCase(parent)).toSeq.flatMap(_.dataType match {
-            case t: org.apache.spark.sql.types.StructType =>
-              t.fieldNames.toSeq
-            case _ => Nil
-          }).map(_.toLowerCase).toSet ++
+        val physInStruct =
+          structAtPath(spark.read.parquet(base.dataDir).schema, parentPath)
+            .toSeq.flatMap(_.fieldNames.toSeq).map(_.toLowerCase).toSet ++
           ren.collect { case (k, olds) if k.startsWith(s"$parentKey.") =>
             olds.map(_.split('.').last.toLowerCase) }.flatten
         require(!physInStruct.contains(newF.toLowerCase),
           s"files of $root still physically carry a field named $newName " +
             "(dropped or renamed-away); OPTIMIZE (full rewrite) first")
         val nf = st.fields(oIdx)
-        schema = org.apache.spark.sql.types.StructType(schema.fields.updated(
-          pIdx, schema.fields(pIdx).copy(dataType =
-            org.apache.spark.sql.types.StructType(
-              st.fields.updated(oIdx, nf.copy(name = newF))))))
-        val oldKey = s"$parentKey.${nf.name.toLowerCase}"
-        val chain = s"$parent.${nf.name}" +: ren.getOrElse(oldKey, Nil)
+        schema = GraftCatalog.renameNestedField(schema, parentPath, oldF, newF)
+        val chain = s"${parentPath.mkString(".")}.${nf.name}" +:
+          ren.getOrElse(oldKey, Nil)
         ren = (ren - oldKey) + (s"$parentKey.${newF.toLowerCase}" -> chain)
       } else {
       val idx = schema.fields.indexWhere(_.name.equalsIgnoreCase(oldName))
@@ -1021,24 +1081,32 @@ object SnapshotStore {
     (schema, ren.filter { case (k, _) => logicalPathExists(schema, k) })
   }
 
-  /** Does the (possibly dotted, one-struct-level) logical path exist in
-    * `s`? The rename-chain prune rule: a chain whose column or struct
-    * field was dropped must not survive (a later ADD of the name would
-    * inherit the stale physical chain).
+  /** Does the (possibly dotted, any depth) logical path exist in `s`?
+    * The rename-chain prune rule: a chain whose column or struct field
+    * was dropped must not survive (a later ADD of the name would inherit
+    * the stale physical chain).
     */
   private def logicalPathExists(s: org.apache.spark.sql.types.StructType,
       key: String): Boolean = {
-    val parts = key.split('.')
-    s.fields.find(_.name.equalsIgnoreCase(parts.head)) match {
-      case None => false
-      case Some(_) if parts.length == 1 => true
-      case Some(f) => f.dataType match {
-        case st: org.apache.spark.sql.types.StructType =>
-          st.exists(_.name.equalsIgnoreCase(parts(1)))
-        case _ => false
-      }
-    }
+    val parts = key.split('.').toSeq
+    structAtPath(s, parts.init)
+      .exists(_.fields.exists(_.name.equalsIgnoreCase(parts.last)))
   }
+
+  /** The struct at the dotted `path` (the root when empty), or None when
+    * any segment is missing or not a struct.
+    */
+  private def structAtPath(s: org.apache.spark.sql.types.StructType,
+      path: Seq[String]): Option[org.apache.spark.sql.types.StructType] =
+    path match {
+      case Seq() => Some(s)
+      case head +: rest =>
+        s.fields.find(_.name.equalsIgnoreCase(head)).flatMap(_.dataType match {
+          case st: org.apache.spark.sql.types.StructType =>
+            structAtPath(st, rest)
+          case _ => None
+        })
+    }
 
   /** RESTORE: roll the table back to an earlier committed version as a NEW
     * commit (history stays immutable and linear — the public Delta
@@ -2202,40 +2270,51 @@ object SnapshotStore {
         feedChain(log, f.name).map { case (old, _) => (old, f.dataType) }
       }.filterNot { case (old, _) => headNames(old.toLowerCase) }
         .distinctBy(_._1.toLowerCase)
-      // NESTED rename chains (dotted log entries): per struct field, the
-      // retired nested names with their guard versions — the requested
-      // struct grows the olds (typed at the HEAD field's type, so a widen
-      // composes) and the select below rebuilds per-field
-      val nestedLegs: Map[String, Seq[(String, String, Long)]] =
-        schema.fields.toIndexedSeq.flatMap { f =>
-          f.dataType match {
-            case st: org.apache.spark.sql.types.StructType =>
-              val legs = st.fields.toIndexedSeq.flatMap { nf =>
-                feedChain(log, s"${f.name}.${nf.name}").collect {
-                  case (old, rv) if old.contains('.') =>
-                    (old.split('.').last, nf.name, rv)
-                }
-              }
-              if (legs.isEmpty) None else Some(f.name.toLowerCase -> legs)
-            case _ => None
+      // NESTED rename chains (dotted log entries, any depth): per dotted
+      // logical path, the retired leaf names with their guard versions —
+      // each enclosing struct grows the olds (typed at the HEAD field's
+      // type, so a widen composes) and the select below rebuilds
+      // per-field, recursively
+      def nestedLegsOf(st: org.apache.spark.sql.types.StructType,
+          prefix: String): Map[String, Seq[(String, Long)]] =
+        st.fields.toIndexedSeq.flatMap { nf =>
+          val path = s"$prefix${nf.name}"
+          val own = feedChain(log, path).collect {
+            case (old, rv) if old.contains('.') =>
+              (old.split('.').last, rv)
           }
+          val mine = if (own.isEmpty) Map.empty[String, Seq[(String, Long)]]
+            else Map(path.toLowerCase -> own)
+          mine ++ (nf.dataType match {
+            case inner: org.apache.spark.sql.types.StructType =>
+              nestedLegsOf(inner, s"$path.")
+            case _ => Map.empty[String, Seq[(String, Long)]]
+          })
         }.toMap
-      val ext = org.apache.spark.sql.types.StructType(
-        schema.fields.toIndexedSeq.map { f =>
-          (f.dataType, nestedLegs.get(f.name.toLowerCase)) match {
-            case (st: org.apache.spark.sql.types.StructType, Some(legs)) =>
-              val extra = legs.map { case (old, cur, _) =>
-                org.apache.spark.sql.types.StructField(old,
-                  st(st.fieldNames.find(_.equalsIgnoreCase(cur)).get).dataType,
-                  nullable = true)
-              }.distinctBy(_.name.toLowerCase)
-                .filterNot(e => st.exists(_.name.equalsIgnoreCase(e.name)))
-              f.copy(dataType =
-                org.apache.spark.sql.types.StructType(st.fields ++ extra),
-                nullable = true)
-            case _ => f.copy(nullable = true)
+      val nestedLegs = nestedLegsOf(schema, "")
+      def extStruct(st: org.apache.spark.sql.types.StructType,
+          prefix: String): org.apache.spark.sql.types.StructType = {
+        val recursed = st.fields.map { nf =>
+          val f2 = nf.dataType match {
+            case inner: org.apache.spark.sql.types.StructType =>
+              nf.copy(dataType =
+                extStruct(inner, s"$prefix${nf.name.toLowerCase}."))
+            case _ => nf
           }
-        } ++
+          f2.copy(nullable = true)
+        }
+        val extra = recursed.flatMap { nf =>
+          nestedLegs.getOrElse(s"$prefix${nf.name.toLowerCase}", Nil)
+            .map { case (old, _) =>
+              org.apache.spark.sql.types.StructField(old, nf.dataType,
+                nullable = true)
+            }
+        }.distinctBy(_.name.toLowerCase)
+          .filterNot(e => st.exists(_.name.equalsIgnoreCase(e.name)))
+        org.apache.spark.sql.types.StructType(recursed ++ extra)
+      }
+      val ext = org.apache.spark.sql.types.StructType(
+        extStruct(schema, "").fields ++
           retired.map { case (old, dt) =>
             org.apache.spark.sql.types.StructField(old, dt, nullable = true) } :+
           org.apache.spark.sql.types.StructField(ChangeTypeCol,
@@ -2257,37 +2336,53 @@ object SnapshotStore {
       // unguarded head leg is sound by construction.
       if (log.isEmpty) merged
       else {
+        // rebuild each field with a version-GUARDED coalesce down its
+        // chain, recursively through struct levels (preserving
+        // whole-struct NULLs) — a struct with chains anywhere beneath it
+        // rebuilds; a field (or whole-struct rename) coalesces in place
+        def guardedCol(path: String, keyPrefix: String,
+            fld: org.apache.spark.sql.types.StructField):
+            org.apache.spark.sql.Column = {
+          val key = s"$keyPrefix${fld.name.toLowerCase}"
+          val self = s"$path${fld.name}"
+          fld.dataType match {
+            case st: org.apache.spark.sql.types.StructType
+                if nestedLegs.keysIterator.exists(_.startsWith(s"$key.")) =>
+              // chains strictly BENEATH (a field renamed within its own
+              // subtree renaming is refused at commit, so own-chain and
+              // beneath-chain never coexist)
+              val inner = st.fields.toIndexedSeq.map { nf =>
+                guardedCol(s"$self.", s"$key.", nf).as(nf.name)
+              }
+              when(col(self).isNotNull, struct(inner: _*))
+                .otherwise(lit(null))
+            case _ =>
+              val myLegs = Seq(col(self)) ++
+                nestedLegs.getOrElse(key, Nil).map { case (old, rv) =>
+                  when(col(CommitVersionCol) < rv, col(s"$path$old"))
+                }
+              myLegs match {
+                case Seq(one) => one
+                case many => coalesce(many: _*)
+              }
+          }
+        }
         merged.select(schema.fields.toIndexedSeq.map { f =>
           val base: org.apache.spark.sql.Column =
-            (f.dataType, nestedLegs.get(f.name.toLowerCase)) match {
-              case (st: org.apache.spark.sql.types.StructType, Some(legs)) =>
-                // rebuild the struct with the same version-guarded
-                // coalesce per nested field, preserving whole-struct NULLs
-                val inner = st.fields.toIndexedSeq.map { nf =>
-                  val myLegs = Seq(col(s"${f.name}.${nf.name}")) ++
-                    legs.collect {
-                      case (old, cur, rv) if cur.equalsIgnoreCase(nf.name) =>
-                        when(col(CommitVersionCol) < rv,
-                          col(s"${f.name}.$old"))
-                    }
-                  (myLegs match {
-                    case Seq(one) => one
-                    case many => coalesce(many: _*)
-                  }).as(nf.name)
+            if (nestedLegs.keysIterator.exists(
+                _.startsWith(s"${f.name.toLowerCase}.")))
+              guardedCol("", "", f)
+            else {
+              val legs = Seq(col(f.name)) ++
+                feedChain(log, f.name).collect {
+                  case (old, rv) if !old.contains('.') &&
+                      !headNames(old.toLowerCase) =>
+                    when(col(CommitVersionCol) < rv, col(old))
                 }
-                when(col(f.name).isNotNull, struct(inner: _*))
-                  .otherwise(lit(null))
-              case _ =>
-                val legs = Seq(col(f.name)) ++
-                  feedChain(log, f.name).collect {
-                    case (old, rv) if !old.contains('.') &&
-                        !headNames(old.toLowerCase) =>
-                      when(col(CommitVersionCol) < rv, col(old))
-                  }
-                legs match {
-                  case Seq(one) => one
-                  case many => coalesce(many: _*)
-                }
+              legs match {
+                case Seq(one) => one
+                case many => coalesce(many: _*)
+              }
             }
           base.cast(f.dataType).as(f.name)
         } ++ Seq(col(ChangeTypeCol), col(CommitVersionCol)): _*)
@@ -2794,37 +2889,56 @@ object SnapshotStore {
       */
     def project(extraCols: Seq[String] = Nil): DataFrame =
       if (renames.isEmpty) raw
-      else {
-        val nestedParents = renames.keysIterator
-          .filter(_.contains('.')).map(_.split('.').head).toSet
-        raw.select(schema.fields.map { fld =>
-          val key = fld.name.toLowerCase
-          fld.dataType match {
-            case st: org.apache.spark.sql.types.StructType
-                if nestedParents(key) =>
-              val inner = st.fields.toIndexedSeq.map { nf =>
-                val chain = renames.getOrElse(s"$key.${nf.name.toLowerCase}", Nil)
-                val legs = col(s"${fld.name}.${nf.name}") +:
-                  chain.map(o => col(s"${fld.name}.${o.split('.').last}"))
-                (if (legs.length == 1) legs.head else coalesce(legs: _*))
-                  .as(nf.name)
-              }
-              // cast target relaxes nullability: the rebuilt coalesce legs
-              // are statically nullable even when the stored fields were
-              // NOT NULL, and the values are identical either way
-              when(col(fld.name).isNotNull, struct(inner: _*))
-                .otherwise(lit(null))
-                .cast(org.apache.spark.sql.types.StructType(
-                  st.fields.map(_.copy(nullable = true))))
-                .as(fld.name, fld.metadata)
-            case _ =>
-              val legs = col(fld.name) +:
-                renames.getOrElse(key, Nil).map(col)
-              (if (legs.length == 1) legs.head else coalesce(legs: _*))
-                .as(fld.name, fld.metadata)
-          }
-        }.toIndexedSeq ++ extraCols.map(col): _*)
+      else
+        raw.select(schema.fields.toIndexedSeq.map(fld =>
+          fieldCol("", "", fld).getOrElse(col(fld.name))
+            .as(fld.name, fld.metadata)) ++
+          extraCols.map(col): _*)
+
+    /** One field's logical column at access path `path` / chain-key prefix
+      * `keyPrefix` (both ""-or-dot-terminated) — None when untouched (the
+      * stored value serves as-is, keeping its type and nullability). A
+      * struct with chains ANYWHERE beneath it rebuilds recursively with
+      * the when/struct shape (whole-struct NULLs preserved; every
+      * expression here must stay EVALUABLE without optimizer help —
+      * DvReadRewrite splices this plan in post-optimization, where e.g.
+      * UpdateFields would never be replaced); a leaf — or a struct renamed
+      * as a whole, whose chain olds are same-typed sibling columns in the
+      * extended read schema — coalesces down its own chain.
+      */
+    private def fieldCol(path: String, keyPrefix: String,
+        fld: org.apache.spark.sql.types.StructField):
+        Option[org.apache.spark.sql.Column] = {
+      val key = s"$keyPrefix${fld.name.toLowerCase}"
+      val self = s"$path${fld.name}"
+      fld.dataType match {
+        case st: org.apache.spark.sql.types.StructType
+            if renames.keysIterator.exists(_.startsWith(s"$key.")) =>
+          val inner = st.fields.toIndexedSeq.map(nf =>
+            fieldCol(s"$self.", s"$key.", nf)
+              .getOrElse(col(s"$self.${nf.name}")).as(nf.name))
+          // cast target relaxes nullability at every level: the rebuilt
+          // coalesce legs are statically nullable even when the stored
+          // fields were NOT NULL, and the values are identical either way
+          Some(when(col(self).isNotNull,
+              struct(inner: _*).cast(asNullable(st)))
+            .otherwise(lit(null).cast(asNullable(st))))
+        case _ =>
+          val olds = renames.getOrElse(key, Nil)
+          if (olds.isEmpty) None
+          else Some(coalesce(col(self) +:
+            olds.map(o => col(s"$path${o.split('.').last}")): _*))
       }
+    }
+  }
+
+  /** `dt` with every struct field (at any depth) marked nullable. */
+  private def asNullable(dt: org.apache.spark.sql.types.DataType):
+      org.apache.spark.sql.types.DataType = dt match {
+    case st: org.apache.spark.sql.types.StructType =>
+      org.apache.spark.sql.types.StructType(st.fields.map(f =>
+        f.copy(dataType = asNullable(f.dataType), nullable = true)))
+    case other => other
   }
 
   private def rawReadDir(spark: SparkSession, dir: String): DirRead = {
@@ -2849,28 +2963,31 @@ object SnapshotStore {
       renames: Map[String, Seq[String]]):
       org.apache.spark.sql.types.StructType =
     if (renames.isEmpty) schema
-    else org.apache.spark.sql.types.StructType(schema.fields.map { fld =>
-      // NESTED chains (`parent.child` keys): the parent STRUCT grows its
-      // olds as extra fields, so pre-rename files bind their stored field
+    else renameExtStruct(schema, renames, prefix = "")
+
+  /** Recursive body of [[renameExtSchema]]: each struct level (root when
+    * `prefix` is "") grows, per field whose dotted logical path carries a
+    * chain, the chain's old LEAF names as extra same-typed nullable
+    * siblings — pre-rename files bind their stored field there.
+    */
+  private def renameExtStruct(st: org.apache.spark.sql.types.StructType,
+      renames: Map[String, Seq[String]], prefix: String):
+      org.apache.spark.sql.types.StructType = {
+    val recursed = st.fields.map { fld =>
       fld.dataType match {
-        case st: org.apache.spark.sql.types.StructType =>
-          val extra = st.fields.flatMap { nf =>
-            renames.getOrElse(
-              s"${fld.name.toLowerCase}.${nf.name.toLowerCase}", Nil)
-              .map(o => org.apache.spark.sql.types.StructField(
-                o.split('.').last, nf.dataType, nullable = true))
-          }
-          if (extra.isEmpty) fld
-          else fld.copy(dataType =
-            org.apache.spark.sql.types.StructType(st.fields ++ extra))
+        case inner: org.apache.spark.sql.types.StructType =>
+          fld.copy(dataType = renameExtStruct(inner, renames,
+            s"$prefix${fld.name.toLowerCase}."))
         case _ => fld
       }
-    } ++
-      schema.fields.flatMap { fld =>
-        renames.getOrElse(fld.name.toLowerCase, Nil).map(p =>
-          org.apache.spark.sql.types.StructField(p, fld.dataType,
-            nullable = true))
-      })
+    }
+    val extra = recursed.flatMap { fld =>
+      renames.getOrElse(s"$prefix${fld.name.toLowerCase}", Nil).map(o =>
+        org.apache.spark.sql.types.StructField(o.split('.').last,
+          fld.dataType, nullable = true))
+    }
+    org.apache.spark.sql.types.StructType(recursed ++ extra)
+  }
 
   /** `ALTER TABLE RENAME COLUMN` read mapping: logical (current) name →
     * the chain of PHYSICAL names files may still carry, newest first.

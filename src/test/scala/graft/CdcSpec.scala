@@ -382,6 +382,42 @@ class CdcSpec extends SparkSpec {
     assert(e.getMessage.contains("retired"), e.getMessage)
   }
 
+  test("a feed spanning a DEEP nested RENAME (two struct levels) rebuilds recursively") {
+    val root = tmp("graft_cdc_dnren")
+    SnapshotStore.init(spark, root,
+      spark.range(1, 3).selectExpr("id",
+        "named_struct('m', named_struct('sal', id * 10, 'tag', 'x'), " +
+          "'top', id) AS props"),
+      cdcKeys = Seq("id"))
+    val t = Map("t" -> root)
+    SqlDml.execute(spark, // v1: frames carry props.m{sal, tag}
+      "UPDATE t SET props = named_struct('m', named_struct('sal', " +
+        "CAST(11 AS BIGINT), 'tag', 'a'), 'top', CAST(5 AS BIGINT)) " +
+        "WHERE id = 1", t)
+    SnapshotStore.alterSchema(spark, root, identity, // v2
+      renames = Map("props.m.salary" -> "props.m.sal"))
+    SqlDml.execute(spark, // v3: frames carry props.m{salary, tag}
+      "UPDATE t SET props = named_struct('m', named_struct('salary', " +
+        "CAST(100 AS BIGINT), 'tag', 'b'), 'top', CAST(6 AS BIGINT)) " +
+        "WHERE id = 2", t)
+    // batch feed across the boundary: ONE struct shape two levels deep,
+    // old frames' `sal` values surface under the renamed leaf, and the
+    // sibling fields at both levels pass through
+    val feed = SnapshotStore.changes(spark, root, 1L, 3L)
+    val post = feed
+      .filter(col(SnapshotStore.ChangeTypeCol) === "update_postimage")
+      .selectExpr("_commit_version", "props.m.salary", "props.m.tag",
+        "props.top")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    assert(post == Map(1L -> ((11L, "a", 5L)), 3L -> ((100L, "b", 6L))),
+      s"pre-rename frames must rebuild recursively: $post")
+    // the data read resolves the same chain (sidecar, not feed log)
+    assert(SnapshotStore.read(spark, root)
+      .selectExpr("sum(props.m.salary)", "sum(props.top)").head()
+      .toSeq == Seq(111L, 11L))
+  }
+
   test("a feed spanning an ALTER COLUMN TYPE widen serves one wide schema") {
     val root = tmp("graft_cdc_widen")
     import org.apache.spark.sql.types.{LongType, StructType}

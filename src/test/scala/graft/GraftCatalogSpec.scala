@@ -547,6 +547,94 @@ class GraftCatalogSpec extends SparkSpec {
       .fieldNames.contains("x"))
   }
 
+  test("DEEP nested RENAME (two struct levels): chains resolve, refusals compose") {
+    wh
+    spark.sql("CREATE TABLE graft.dnr (id BIGINT, " +
+      "a STRUCT<b: STRUCT<x: INT, tag: STRING>, top: INT>)")
+    spark.sql("INSERT INTO graft.dnr SELECT id, named_struct(" +
+      "'b', named_struct('x', CAST(id AS INT), 'tag', 'a'), " +
+      "'top', CAST(id AS INT)) FROM range(10)")
+    spark.sql("ALTER TABLE graft.dnr RENAME COLUMN a.b.x TO score")
+    spark.sql("INSERT INTO graft.dnr SELECT 100 + id, named_struct(" +
+      "'b', named_struct('score', CAST(id AS INT), 'tag', 'b'), " +
+      "'top', 0) FROM range(5)")
+    // mixed-era read two levels down: era-1 files store a.b.x, era-2
+    // files a.b.score — both serve under the renamed leaf
+    assert(spark.sql("SELECT sum(a.b.score) FROM graft.dnr")
+      .head().getLong(0) == (0 until 10).sum + (0 until 5).sum)
+    // sibling fields at every level pass through untouched
+    assert(spark.sql("SELECT sum(a.top) FROM graft.dnr")
+      .head().getLong(0) == (0 until 10).sum)
+    // whole-struct NULLs survive at both levels
+    spark.sql("INSERT INTO graft.dnr VALUES (999, NULL)")
+    spark.sql("INSERT INTO graft.dnr SELECT 998, " +
+      "named_struct('b', CAST(NULL AS STRUCT<score: INT, tag: STRING>), " +
+      "'top', 7)")
+    assert(spark.sql("SELECT count(*) FROM graft.dnr WHERE a IS NULL")
+      .head().getLong(0) == 1L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.dnr WHERE a IS NOT NULL AND a.b IS NULL")
+      .head().getLong(0) == 1L)
+    // composing a rename of the ANCESTOR struct with a live inner chain
+    // refuses (either order), until a rewrite heals the chains
+    val e1 = intercept[Exception](
+      spark.sql("ALTER TABLE graft.dnr RENAME COLUMN a TO a2"))
+    assert(e1.getMessage.contains("cannot compose"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE graft.dnr RENAME COLUMN a.b TO b2"))
+    assert(e2.getMessage.contains("cannot compose"), e2.getMessage)
+    spark.sql("CALL graft.system.optimize('dnr', 1000000)")
+    // healed: the intermediate struct rename goes through, and the
+    // renamed-as-a-whole struct still serves its (previously renamed) leaf
+    spark.sql("ALTER TABLE graft.dnr RENAME COLUMN a.b TO b2")
+    assert(spark.sql("SELECT sum(a.b2.score) FROM graft.dnr")
+      .head().getLong(0) == (0 until 10).sum + (0 until 5).sum)
+    // and a fresh leaf rename INSIDE the renamed intermediate refuses
+    // while its chain is live
+    val e3 = intercept[Exception](
+      spark.sql("ALTER TABLE graft.dnr RENAME COLUMN a.b2.tag TO label"))
+    assert(e3.getMessage.contains("cannot compose"), e3.getMessage)
+    // time travel across both renames serves the era's shape
+    assert(spark.sql("SELECT * FROM graft.dnr VERSION AS OF 1")
+      .schema("a").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .apply("b").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("x"))
+  }
+
+  test("SET/UNSET TBLPROPERTIES: opaque user properties persist; reserved keys refuse") {
+    wh
+    spark.sql("CREATE TABLE graft.props (id BIGINT)")
+    spark.sql("ALTER TABLE graft.props SET TBLPROPERTIES " +
+      "('comment' = 'orders staging', 'team' = 'data-eng')")
+    def props: Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array.empty[String], "props"))
+        .properties().asScala.toMap
+    }
+    assert(props.get("comment").contains("orders staging"))
+    assert(props.get("team").contains("data-eng"))
+    // update in place + unset
+    spark.sql("ALTER TABLE graft.props SET TBLPROPERTIES ('team' = 'ml')")
+    assert(props.get("team").contains("ml"))
+    spark.sql("ALTER TABLE graft.props UNSET TBLPROPERTIES ('comment')")
+    assert(!props.contains("comment"))
+    // UNSET of a missing key is idempotent (IF EXISTS semantics by default)
+    spark.sql("ALTER TABLE graft.props UNSET TBLPROPERTIES IF EXISTS ('nope')")
+    // engine-managed keys refuse: the feed identity cannot be re-keyed
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.props SET TBLPROPERTIES ('cdc.keys' = 'id')"))
+    assert(e.getMessage.contains("engine-managed"), e.getMessage)
+    // dml.mode still routes to its own config, not the opaque store
+    spark.sql("ALTER TABLE graft.props SET TBLPROPERTIES " +
+      "('dml.mode' = 'merge-on-read')")
+    assert(props.get("dml.mode").contains("merge-on-read"))
+    assert(SnapshotStore.tableProperties(s"$wh/props") == Map("team" -> "ml"),
+      "dml.mode must live in its own config, not the user-property sidecar")
+  }
+
   test("expire_snapshots honors the age window (older_than_ms)") {
     wh
     spark.sql("CREATE TABLE graft.ret (id BIGINT)")
