@@ -1952,10 +1952,24 @@ object Temporal {
              |WHEN NOT MATCHED THEN INSERT (id, salary, segment)
              |  VALUES (s.sid + 4000000, s.sal, 'SUPP')
              |""".stripMargin)
+        // partitioned CTAS through the DML router: hive layout born from
+        // one SQL statement (identity transforms only); its per-segment
+        // counts join back into the pinned output
+        val proot = s"$wh/q97p_sqldml"
+        graft.sources.SqlDml.execute(s,
+          "CREATE TABLE p PARTITIONED BY (segment) AS " +
+            "SELECT segment, count(*) AS seg_n FROM q97_src GROUP BY segment",
+          Map("p" -> proot))
+        require(graft.sources.SnapshotStore.partitionCols(proot) ==
+          Seq("segment"), "partitioned CTAS must record its partition spec")
+        graft.sources.SnapshotStore.read(s, proot)
+          .createOrReplaceTempView("q97_segn")
         s.sql(
-          """SELECT t.id, t.salary, t.segment, v1.salary AS salary_v1
+          """SELECT t.id, t.salary, t.segment, v1.salary AS salary_v1,
+            |       sn.seg_n AS seg_n
             |FROM graft.q97t t
             |LEFT JOIN graft.q97t VERSION AS OF 1 v1 ON t.id = v1.id
+            |LEFT JOIN q97_segn sn ON t.segment = sn.segment
             |ORDER BY t.id""".stripMargin)
       },
       oracle = Some {
@@ -1970,6 +1984,8 @@ object Temporal {
            |  END AS salary, segment FROM base),
            |v3 AS (SELECT * FROM v2 WHERE NOT (id % 10 = 3)),
            |src AS (SELECT s_suppkey AS sid, $scents AS sal FROM supplier),
+           |seg AS (SELECT segment, CAST(count(*) AS BIGINT) AS seg_n
+           |        FROM base GROUP BY segment),
            |v4 AS (
            |  SELECT t.id,
            |    CASE WHEN s.sid IS NOT NULL THEN t.salary + s.sal
@@ -1980,8 +1996,10 @@ object Temporal {
            |  SELECT s.sid + 4000000, s.sal, 'SUPP'
            |  FROM src s LEFT JOIN v3 t ON t.id = s.sid
            |  WHERE t.id IS NULL)
-           |SELECT t.id, t.salary, t.segment, v1.salary AS salary_v1
+           |SELECT t.id, t.salary, t.segment, v1.salary AS salary_v1,
+           |       sn.seg_n AS seg_n
            |FROM v4 t LEFT JOIN base v1 ON t.id = v1.id
+           |LEFT JOIN seg sn ON t.segment = sn.segment
            |ORDER BY t.id""".stripMargin
       }),
 

@@ -406,7 +406,15 @@ object SqlDml {
           case other => throw new IllegalArgumentException(
             s"unsupported CTAS name shape: ${other.getClass.getSimpleName}")
         }
-        require(ctas.partitioning.isEmpty, "partitioned CTAS not supported")
+        // PARTITIONED BY (col, ...) routes through the same hive-layout
+        // init path q93's partitioned tables use; only identity transforms
+        // make directory partitions (bucket/days/etc. refuse loudly)
+        val parts = ctas.partitioning.toSeq.map {
+          case t if t.name == "identity" && t.references.length == 1 =>
+            t.references.head.fieldNames.mkString(".")
+          case other => throw new IllegalArgumentException(
+            s"CTAS PARTITIONED BY supports identity columns only, got $other")
+        }
         val root = rootOf(tables, name)
         // feed opt-in rides TBLPROPERTIES ('cdc.keys'='k1,k2') — the same
         // place Delta puts enableChangeDataFeed
@@ -416,7 +424,7 @@ object SqlDml {
         }).map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
         SnapshotStore.init(spark, root,
           org.apache.spark.sql.GraftSqlShim.ofRows(spark, ctas.query),
-          cdcKeys = keys)
+          partitionBy = parts, cdcKeys = keys)
 
       case other => throw new IllegalArgumentException(
         s"not a DML statement: ${other.getClass.getSimpleName}")

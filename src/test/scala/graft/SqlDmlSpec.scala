@@ -121,6 +121,33 @@ class SqlDmlSpec extends SparkSpec {
     assert(hist.forall(r => r._2.nonEmpty && r._3.isEmpty)) // no txn stamps here
   }
 
+  test("partitioned CTAS: hive layout, directory pruning, DML stays scoped") {
+    val root = tmpRoot()
+    Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b"))
+      .toDF("id", "v", "g").createOrReplaceTempView("pctas_src")
+    val v0 = SqlDml.execute(spark,
+      "CREATE TABLE t PARTITIONED BY (g) AS SELECT * FROM pctas_src",
+      Map("t" -> root))
+    assert(v0.version == 0L)
+    assert(SnapshotStore.partitionCols(root) == Seq("g"))
+    // hive directory layout on disk
+    val dirs = java.nio.file.Files.list(
+        java.nio.file.Paths.get(SnapshotStore.latest(root).dataDir))
+      .iterator()
+    val names = scala.collection.mutable.Set.empty[String]
+    while (dirs.hasNext) names += dirs.next().getFileName.toString
+    assert(names.contains("g=a") && names.contains("g=b"), names.toString)
+    // DML works and values round-trip
+    SqlDml.execute(spark, "UPDATE t SET v = v + 1 WHERE id = 1", Map("t" -> root))
+    assert(SnapshotStore.read(spark, root).orderBy($"id")
+      .select($"v").as[Long].collect().toSeq == Seq(11L, 20L, 30L))
+    // non-identity transforms refuse loudly
+    val e = intercept[Exception](SqlDml.execute(spark,
+      "CREATE TABLE t2 PARTITIONED BY (bucket(4, id)) AS SELECT * FROM pctas_src",
+      Map("t2" -> tmpRoot())))
+    assert(e.getMessage.contains("identity"), e.getMessage)
+  }
+
   test("two concurrent SQL MERGEs race; the loser rebases onto the winner") {
     val root = tmpRoot()
     SnapshotStore.init(spark, root,
