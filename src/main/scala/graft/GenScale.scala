@@ -288,6 +288,75 @@ object ProbeJoinMv {
   }
 }
 
+/** MV dependency-DAG refresh probe (round-16): a 4-view diamond —
+  * `g0` (agg over the fact), `jmv` (fact ⋈ dim, change-emitting),
+  * `g1`/`g2` (aggs over the join view) — driven by ONE `refreshAll` per
+  * sink after a FIXED 1000-row fact update + one dim-key update. The walk
+  * is O(#views); each refresh is O(change volume) (the shared upstream
+  * refreshes once, later walks see it stamped current), so total
+  * refreshAll time must track the per-refresh scan cost, never table
+  * size — the same claim ProbeMv/ProbeJoinMv pin per layer, here pinned
+  * through the DAG walk end to end.
+  *
+  * Usage: runMain graft.ProbeMvDiamond <rowsSmall> <rowsBig>
+  */
+object ProbeMvDiamond {
+  def main(args: Array[String]): Unit = {
+    import graft.sources.{MatView, SnapshotStore, SqlDml}
+    val Array(nSmall, nBig) = args.take(2).map(_.toLong)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def run(n: Long): (Double, Double) = {
+      val fact = GateTmp.freshDir(s"probe_dag_fact_$n")
+      val dim = GateTmp.freshDir(s"probe_dag_dim_$n")
+      val jmv = GateTmp.freshDir(s"probe_dag_jmv_$n")
+      val g0 = GateTmp.freshDir(s"probe_dag_g0_$n")
+      val g1 = GateTmp.freshDir(s"probe_dag_g1_$n")
+      val g2 = GateTmp.freshDir(s"probe_dag_g2_$n")
+      SnapshotStore.init(spark, fact, spark.range(n).selectExpr("id",
+        "id * 3 AS v", "CAST(id % 10000 AS STRING) AS k"), cdcKeys = Seq("id"))
+      SnapshotStore.optimize(spark, fact,
+        targetRows = math.max(n / 32, 1000L), clusterBy = Seq("k"))
+      SnapshotStore.init(spark, dim, spark.range(10000).selectExpr(
+        "CAST(id AS STRING) AS k", "CAST(id % 50 AS STRING) AS region",
+        "id + 7 AS w"), cdcKeys = Seq("k"))
+      MatView.create(spark, fact, g0, Seq("k"), "v")
+      MatView.createJoin(spark, fact, dim, jmv, Seq("k"), emitChanges = true)
+      MatView.create(spark, jmv, g1, Seq("region"), "v")
+      MatView.create(spark, jmv, g2, Seq("k"), "w")
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val dml = time {
+        SqlDml.execute(spark,
+          "UPDATE t SET v = v + 1 WHERE id < 1000", Map("t" -> fact))
+        SqlDml.execute(spark,
+          "UPDATE t SET w = w + 1 WHERE k = '42'", Map("t" -> dim))
+      }
+      // one call per sink: the first refreshes jmv + g1 (+ g0's walk is
+      // independent); later walks find shared upstreams stamped current
+      val walk = time {
+        MatView.refreshAll(spark, g0)
+        MatView.refreshAll(spark, g1)
+        MatView.refreshAll(spark, g2)
+      }
+      (dml, walk)
+    }
+    run(nSmall) // warm-up
+    val (sd, sw) = run(nSmall)
+    val (bd, bw) = run(nBig)
+    println(f"rows=$nSmall%d dml=$sd%.2fs refreshAll=$sw%.2fs")
+    println(f"rows=$nBig%d dml=$bd%.2fs refreshAll=$bw%.2fs")
+    println(f"growth dml=${bd / sd}%.2fx refreshAll=${bw / sw}%.2fx")
+    spark.stop()
+  }
+}
+
 /** OPTIMIZE ZORDER scale probe (round-11): time the z-order rewrite and
   * the pruned 2-D rectangle read it buys, at two table sizes. The rewrite
   * is one approxQuantile sketch pass + one range-shuffle-and-sort — it
