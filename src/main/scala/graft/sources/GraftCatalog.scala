@@ -723,19 +723,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     namespace.isEmpty || Files.isDirectory(
       Paths.get((warehouse +: namespace.toIndexedSeq).mkString("/")))
 
+  private def nsDir(namespace: Array[String]): String =
+    (warehouse +: namespace.toIndexedSeq).mkString("/")
+
   override def loadNamespaceMetadata(namespace: Array[String]):
       util.Map[String, String] =
-    if (namespaceExists(namespace)) util.Collections.emptyMap()
-    else throw new NoSuchNamespaceException(namespace)
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    else {
+      val m = new util.HashMap[String, String]()
+      SnapshotStore.tableProperties(nsDir(namespace))
+        .foreach { case (k, v) => m.put(k, v) }
+      m
+    }
 
   override def createNamespace(namespace: Array[String],
-      metadata: util.Map[String, String]): Unit =
-    Files.createDirectories(
-      Paths.get((warehouse +: namespace.toIndexedSeq).mkString("/")))
+      metadata: util.Map[String, String]): Unit = {
+    Files.createDirectories(Paths.get(nsDir(namespace)))
+    metadata.forEach { (k, v) =>
+      if (k != "owner" || v.nonEmpty) // Spark injects an empty owner
+        SnapshotStore.setTableProperty(nsDir(namespace), k, v)
+    }
+  }
 
+  /** `ALTER NAMESPACE ns SET/UNSET PROPERTIES` — the same opaque-property
+    * sidecar tables use, stored in the namespace directory and served
+    * back through [[loadNamespaceMetadata]] (`DESCRIBE NAMESPACE
+    * EXTENDED`).
+    */
   override def alterNamespace(namespace: Array[String],
-      changes: NamespaceChange*): Unit =
-    throw new UnsupportedOperationException("ALTER NAMESPACE not supported")
+      changes: NamespaceChange*): Unit = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    changes.foreach {
+      case set: NamespaceChange.SetProperty =>
+        SnapshotStore.setTableProperty(nsDir(namespace), set.property, set.value)
+      case rm: NamespaceChange.RemoveProperty =>
+        SnapshotStore.removeTableProperty(nsDir(namespace), rm.property)
+        ()
+      case other => throw new UnsupportedOperationException(
+        s"unsupported namespace change: $other")
+    }
+  }
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val dir = Paths.get((warehouse +: namespace.toIndexedSeq).mkString("/"))

@@ -635,6 +635,33 @@ class GraftCatalogSpec extends SparkSpec {
       "dml.mode must live in its own config, not the user-property sidecar")
   }
 
+  test("ALTER NAMESPACE SET/UNSET PROPERTIES persist through DESCRIBE") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsp")
+    spark.sql("ALTER NAMESPACE graft.nsp SET PROPERTIES " +
+      "('team' = 'data-eng', 'tier' = 'gold')")
+    def meta: Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsNamespaces]
+        .loadNamespaceMetadata(Array("nsp")).asScala.toMap
+    }
+    assert(meta.get("team").contains("data-eng"))
+    assert(meta.get("tier").contains("gold"))
+    spark.sql("ALTER NAMESPACE graft.nsp UNSET PROPERTIES ('tier')")
+    assert(!meta.contains("tier") && meta.get("team").contains("data-eng"))
+    // DESCRIBE NAMESPACE EXTENDED surfaces them through SQL
+    val desc = spark.sql("DESCRIBE NAMESPACE EXTENDED graft.nsp")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.getOrElse("Properties", "").contains("team"), desc.toString)
+    // CREATE NAMESPACE ... WITH PROPERTIES round-trips too
+    spark.sql("CREATE NAMESPACE graft.nsp2 WITH PROPERTIES ('kind' = 'raw')")
+    import scala.jdk.CollectionConverters._
+    assert(spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsNamespaces]
+      .loadNamespaceMetadata(Array("nsp2")).asScala.get("kind").contains("raw"))
+  }
+
   test("expire_snapshots honors the age window (older_than_ms)") {
     wh
     spark.sql("CREATE TABLE graft.ret (id BIGINT)")
