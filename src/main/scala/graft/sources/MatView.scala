@@ -94,21 +94,28 @@ object MatView {
 
   /** Refresh `mvRoot` AND every materialized view upstream of it, in
     * topological order (a diamond's shared upstream refreshes once — each
-    * refresh is stamped, so a repeat visit would be a no-op anyway, but
-    * the walk memoizes to avoid even planning it twice). Plain tables
-    * terminate the recursion. Loud on a view with no recorded definition
-    * (created pre-DAG — call the explicit refresh) and on a cycle.
+    * refresh is stamped, so a repeat visit would be a no-op anyway, and
+    * the walk plans each node once). INDEPENDENT nodes of the same
+    * topological frontier refresh CONCURRENTLY (bounded thread pool —
+    * each refresh is its own Spark job, and the scheduler interleaves
+    * them across the cluster; stamps/pin-checks already make racing
+    * refreshes safe, here they just never race on the same view). Plain
+    * tables terminate the recursion. Loud on a view with no recorded
+    * definition (created pre-DAG — call the explicit refresh) and on a
+    * cycle.
     */
   def refreshAll(spark: SparkSession, mvRoot: String): SnapshotStore.Snapshot = {
     require(readDef(mvRoot).nonEmpty,
       s"$mvRoot has no recorded MV definition (_mv_def) — not a " +
         "MatView.create/createJoin view, or created before the DAG was " +
         "recorded; call refresh/refreshJoin with explicit arguments")
-    val done = scala.collection.mutable.Set.empty[String]
     def split(s: String): Seq[String] =
       s.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-    def walk(root: String, stack: Set[String]): Unit = {
-      if (done(root)) return
+    // collect the view DAG: node -> its UPSTREAM VIEW nodes (plain tables
+    // terminate; they have no definition and never need a refresh)
+    val deps = scala.collection.mutable.Map.empty[String, Seq[String]]
+    def collect(root: String, stack: Set[String]): Unit = {
+      if (deps.contains(root)) return
       require(!stack(root), s"materialized-view dependency cycle at $root")
       readDef(root).foreach { d =>
         val ups = d("kind") match {
@@ -116,17 +123,44 @@ object MatView {
           case "join" => Seq(d("left"), d("right"))
           case other  => sys.error(s"unknown _mv_def kind '$other' at $root")
         }
-        ups.foreach(walk(_, stack + root))
-        d("kind") match {
-          case "agg" => refresh(spark, d("src"), root,
-            split(d("groups")), d("value"), split(d("aggs")))
-          case _ => refreshJoin(spark, d("left"), d("right"), root,
-            split(d("keys")))
-        }
+        ups.foreach(collect(_, stack + root))
+        deps(root) = ups.filter(u => readDef(u).nonEmpty)
       }
-      done += root
     }
-    walk(mvRoot, Set.empty)
+    collect(mvRoot, Set.empty)
+    def refreshOne(root: String): Unit = {
+      val d = readDef(root).get
+      d("kind") match {
+        case "agg" => refresh(spark, d("src"), root,
+          split(d("groups")), d("value"), split(d("aggs")))
+        case _ => refreshJoin(spark, d("left"), d("right"), root,
+          split(d("keys")))
+      }
+      ()
+    }
+    val remaining = scala.collection.mutable.Set.empty[String] ++ deps.keys
+    val finished = scala.collection.mutable.Set.empty[String]
+    while (remaining.nonEmpty) {
+      val frontier = remaining.filter(r => deps(r).forall(finished)).toSeq
+      require(frontier.nonEmpty,
+        s"materialized-view dependency cycle among ${remaining.mkString(", ")}")
+      if (frontier.length == 1) refreshOne(frontier.head)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(frontier.length, 4))
+        try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(frontier.map(r =>
+              scala.concurrent.Future(refreshOne(r)))),
+            scala.concurrent.duration.Duration.Inf)
+          ()
+        } finally { pool.shutdown() }
+      }
+      finished ++= frontier
+      remaining --= frontier
+    }
     SnapshotStore.latest(mvRoot)
   }
 

@@ -559,6 +559,53 @@ class MatViewSpec extends SparkSpec {
       "CALL refresh_all_mv must walk the join view first, then the aggregate")
   }
 
+  test("refreshAll refreshes INDEPENDENT DAG legs concurrently (wide diamond)") {
+    import graft.sources.{MatView, SnapshotStore, SqlDml}
+    val a = GateTmp.freshDir("mvw_a"); val b = GateTmp.freshDir("mvw_b")
+    val c = GateTmp.freshDir("mvw_c"); val dd = GateTmp.freshDir("mvw_d")
+    val j1 = GateTmp.freshDir("mvw_j1"); val j2 = GateTmp.freshDir("mvw_j2")
+    val top = GateTmp.freshDir("mvw_top")
+    SnapshotStore.init(spark, a, spark.range(50)
+      .selectExpr("id", "CAST(id % 10 AS STRING) AS k", "id * 2 AS va"),
+      cdcKeys = Seq("id"))
+    SnapshotStore.init(spark, b, spark.range(10)
+      .selectExpr("CAST(id AS STRING) AS k", "id + 100 AS wb"),
+      cdcKeys = Seq("k"))
+    SnapshotStore.init(spark, c, spark.range(50)
+      .selectExpr("id AS id2", "CAST(id % 10 AS STRING) AS k", "id * 3 AS vc"),
+      cdcKeys = Seq("id2"))
+    SnapshotStore.init(spark, dd, spark.range(10)
+      .selectExpr("CAST(id AS STRING) AS k", "id + 200 AS wd"),
+      cdcKeys = Seq("k"))
+    // two INDEPENDENT join-view legs feeding one top view: refreshAll's
+    // first frontier is {j1, j2} — refreshed concurrently — then {top}
+    MatView.createJoin(spark, a, b, j1, Seq("k"), buckets = 0,
+      emitChanges = true)
+    MatView.createJoin(spark, c, dd, j2, Seq("k"), buckets = 0,
+      emitChanges = true)
+    MatView.createJoin(spark, j1, j2, top, Seq("k"))
+    SqlDml.execute(spark,
+      "UPDATE t SET va = va + 1000 WHERE id < 10", Map("t" -> a))
+    SqlDml.execute(spark,
+      "UPDATE t SET vc = vc + 7 WHERE id2 % 3 = 0", Map("t" -> c))
+    SqlDml.execute(spark,
+      "DELETE FROM t WHERE k = '9'", Map("t" -> b))
+    MatView.refreshAll(spark, top)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.selectExpr("concat_ws('|', k, id, va, wb, id2, vc, wd)")
+        .collect().map(_.getString(0)).toSeq.sorted
+    val expect = canon(
+      SnapshotStore.read(spark, a).join(SnapshotStore.read(spark, b), "k")
+        .join(SnapshotStore.read(spark, c)
+          .join(SnapshotStore.read(spark, dd), "k"), "k"))
+    assert(canon(SnapshotStore.read(spark, top)
+      .drop(MatView.BucketCol)) == expect)
+    // replay: a second walk is a stamped no-op at every layer
+    val vs = Seq(j1, j2, top).map(r => SnapshotStore.latest(r).version)
+    MatView.refreshAll(spark, top)
+    assert(Seq(j1, j2, top).map(r => SnapshotStore.latest(r).version) == vs)
+  }
+
   test("group-migrating UPDATE keeps n_rows right (pre/postimage ±1)") {
     import graft.sources.{MatView, SnapshotStore, SqlDml}
     val src = GateTmp.freshDir("mvmig_src")
