@@ -2769,8 +2769,10 @@ object Temporal {
           "UPDATE t SET price_c = price_c + 7 WHERE prio = '1-URGENT'",
           Map("t" -> SnapshotStore.branchRoot(root, "rival")))
         // LIVE INGEST: disjoint-key rows land on the SOURCE mid-audit
+        // re-key offset far above ANY scaled keyspace (the sf1 soak rule:
+        // gate constants must not encode the sf0.1 id range)
         SnapshotStore.append(s, root, base.filter($("id") % 101 === 0)
-          .withColumn("id", $("id") + lit(20000000L))) // v1
+          .withColumn("id", $("id") + lit(3000000000000L))) // v1
         // PUBLISH still succeeds — the rebase path proves disjointness and
         // replays the squash diff onto the advanced head as one commit
         val pub = SnapshotStore.publishBranch(s, root, "release")
@@ -2840,8 +2842,10 @@ object Temporal {
           "staging a migration must be invisible on the source")
         // LIVE INGEST mid-audit: new keys land on the SOURCE under the
         // OLD (narrow, tier-less) schema
+        // re-key offset far above ANY scaled keyspace (the sf1 soak rule:
+        // gate constants must not encode the sf0.1 id range)
         SnapshotStore.append(s, root, base.filter($("id") % 101 === 0)
-          .withColumn("id", $("id") + lit(20000000L))) // v1
+          .withColumn("id", $("id") + lit(3000000000000L))) // v1
         // PUBLISH: one metadata-only ALTER onto the head + one replay
         val pub = SnapshotStore.publishBranch(s, root, "migrate")
         require(pub.version == 3L,
@@ -2850,7 +2854,7 @@ object Temporal {
         // cust, typed-NULL tier (never backfilled — the branch never saw
         // them; that is the honest mixed-era answer)
         require(SnapshotStore.read(s, root)
-          .filter($("id") >= 20000000L && $("tier").isNotNull).isEmpty,
+          .filter($("id") >= 3000000000000L && $("tier").isNotNull).isEmpty,
           "interim rows must null-fill the branch-added column")
         // a NON-additive rival (dropped a column) still refuses to rebase:
         // fork the published head, DROP on the branch, advance the source
@@ -2858,7 +2862,7 @@ object Temporal {
         SnapshotStore.alterSchema(s, SnapshotStore.branchRoot(root, "reshape"),
           sch => StructType(sch.fields.filterNot(_.name == "prio")))
         SnapshotStore.append(s, root, base.filter($("id") % 997 === 0)
-          .selectExpr("id + 30000000 AS id", "CAST(cust AS BIGINT) AS cust",
+          .selectExpr("id + 4000000000000 AS id", "CAST(cust AS BIGINT) AS cust",
             "price_c", "prio", "CAST(NULL AS STRING) AS tier")) // v4
         val refused = try {
           SnapshotStore.publishBranch(s, root, "reshape"); false
@@ -2880,11 +2884,11 @@ object Temporal {
            |              ELSE 'std' END AS tier
            |  FROM base
            |  UNION ALL
-           |  SELECT id + 20000000, CAST(cust AS BIGINT), price_c, prio,
+           |  SELECT id + 3000000000000, CAST(cust AS BIGINT), price_c, prio,
            |         CAST(NULL AS VARCHAR)
            |  FROM base WHERE id % 101 = 0
            |  UNION ALL
-           |  SELECT id + 30000000, CAST(cust AS BIGINT), price_c, prio,
+           |  SELECT id + 4000000000000, CAST(cust AS BIGINT), price_c, prio,
            |         CAST(NULL AS VARCHAR)
            |  FROM base WHERE id % 997 = 0)
            |ORDER BY id""".stripMargin
