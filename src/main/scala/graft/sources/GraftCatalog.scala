@@ -615,10 +615,68 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               "int -> bigint, float -> double, decimal precision increase " +
               "at the same scale). Narrowing or reshaping needs a rewrite")
           StructType(s.fields.updated(idx, s.fields(idx).copy(dataType = to)))
+        case (s, up: TableChange.UpdateColumnComment) =>
+          // COMMENT: pure field metadata (DESCRIBE serves it)
+          GraftCatalog.updateFieldAt(s, up.fieldNames().toSeq) { f =>
+            f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putString("comment", up.newComment()).build())
+          }
+        case (s, up: TableChange.UpdateColumnNullability) =>
+          // DROP NOT NULL relaxes freely; SET NOT NULL rides the CHECK
+          // machinery (addTableConstraint VALIDATES existing rows before
+          // accepting, and every later commit enforces) — flipping the
+          // schema flag alone would neither validate nor enforce. The
+          // engine constraint is internal (filtered from constraints()).
+          val path = up.fieldNames().toSeq
+          require(path.length == 1,
+            "SET/DROP NOT NULL applies to top-level columns " +
+              s"(got ${path.mkString(".")})")
+          val n = path.head
+          if (!up.nullable())
+            SnapshotStore.addTableConstraint(spark, root,
+              s"__notnull_${n.toLowerCase}", s"$n IS NOT NULL")
+          else {
+            SnapshotStore.dropTableConstraint(root,
+              s"__notnull_${n.toLowerCase}")
+            ()
+          }
+          GraftCatalog.updateFieldAt(s, path)(
+            _.copy(nullable = up.nullable()))
+        case (s, up: TableChange.UpdateColumnDefaultValue) =>
+          // SET DEFAULT governs FUTURE inserts only (CURRENT_DEFAULT);
+          // EXISTS_DEFAULT — what rows written before the column existed
+          // read — stays frozen at its ADD COLUMN value, the standard-SQL
+          // split. DROP DEFAULT arrives as an empty SQL text. Constant
+          // defaults only, same rule as ADD COLUMN DEFAULT.
+          val path = up.fieldNames().toSeq
+          require(path.length == 1,
+            s"DEFAULT binds to top-level columns (got ${path.mkString(".")})")
+          val sqlTxt = Option(up.newDefaultValue()).map(_.trim).getOrElse("")
+          GraftCatalog.updateFieldAt(s, path) { f =>
+            val mdb = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+            if (sqlTxt.isEmpty) f.copy(metadata =
+              mdb.remove("CURRENT_DEFAULT").build())
+            else {
+              val parsed = spark.sessionState.sqlParser.parseExpression(sqlTxt)
+              val constant =
+                try { parsed.resolved && parsed.foldable }
+                catch { case scala.util.control.NonFatal(_) => false }
+              if (!constant) throw new UnsupportedOperationException(
+                s"non-constant DEFAULT for ${path.head}: $sqlTxt " +
+                  "(literal defaults only)")
+              f.copy(metadata =
+                mdb.putString("CURRENT_DEFAULT", sqlTxt).build())
+            }
+          }
+        case (s, up: TableChange.UpdateColumnPosition) =>
+          GraftCatalog.moveField(s, up.fieldNames().toSeq, up.position())
         case (_, other) => throw new UnsupportedOperationException(
           s"unsupported ALTER: ${other.getClass.getSimpleName} " +
-            "(ADD COLUMN / DROP COLUMN / RENAME COLUMN / " +
-            "ALTER COLUMN TYPE widening only)")
+            "(ADD/DROP/RENAME COLUMN, ALTER COLUMN TYPE widening, " +
+            "SET/DROP NOT NULL, COMMENT, SET/DROP DEFAULT, FIRST/AFTER)")
       }, renames = renames)
     loadTable(ident)
   }
@@ -834,6 +892,49 @@ object GraftCatalog {
         s"field ${path.mkString(".")} already exists")
       org.apache.spark.sql.types.StructType(leaf.fields :+
         org.apache.spark.sql.types.StructField(path.last, dt, nullable = true))
+    }
+
+  /** Rebuild `s` with the (possibly nested) field at `path` mapped
+    * through `f` — the leaf-level twin of [[mapNestedStruct]].
+    */
+  private[graft] def updateFieldAt(s: org.apache.spark.sql.types.StructType,
+      path: Seq[String])(
+      f: org.apache.spark.sql.types.StructField =>
+        org.apache.spark.sql.types.StructField):
+      org.apache.spark.sql.types.StructType =
+    mapNestedStruct(s, path.init) { leaf =>
+      val idx = leaf.fields.indexWhere(_.name.equalsIgnoreCase(path.last))
+      require(idx >= 0, s"no such column ${path.mkString(".")}")
+      org.apache.spark.sql.types.StructType(
+        leaf.fields.updated(idx, f(leaf.fields(idx))))
+    }
+
+  /** `ALTER TABLE t ALTER COLUMN c FIRST / AFTER other` — a pure metadata
+    * reorder at the field's own struct level (parquet binds by NAME, so
+    * files never care about declared order; only the served schema moves).
+    */
+  private[graft] def moveField(s: org.apache.spark.sql.types.StructType,
+      path: Seq[String],
+      pos: org.apache.spark.sql.connector.catalog.TableChange.ColumnPosition):
+      org.apache.spark.sql.types.StructType =
+    mapNestedStruct(s, path.init) { leaf =>
+      val idx = leaf.fields.indexWhere(_.name.equalsIgnoreCase(path.last))
+      require(idx >= 0, s"no such column ${path.mkString(".")}")
+      val fld = leaf.fields(idx)
+      val rest = leaf.fields.patch(idx, Nil, 1)
+      import org.apache.spark.sql.connector.catalog.TableChange
+      pos match {
+        case _: TableChange.First =>
+          org.apache.spark.sql.types.StructType(fld +: rest)
+        case a: TableChange.After =>
+          val ai = rest.indexWhere(_.name.equalsIgnoreCase(a.column))
+          require(ai >= 0,
+            s"no such column ${a.column} to position after")
+          org.apache.spark.sql.types.StructType(
+            (rest.take(ai + 1) :+ fld) ++ rest.drop(ai + 1))
+        case other => throw new UnsupportedOperationException(
+          s"unsupported column position $other")
+      }
     }
 
   /** `ALTER TABLE t RENAME COLUMN a.b.c TO d` — rename a field inside a
@@ -1496,11 +1597,13 @@ private[sources] class GraftTable(spark: SparkSession, tableName: String,
   override def constraints():
       Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
     SnapshotStore.tableConstraints(root)
-      // generated-column consistency checks (__gen_*) are ENGINE-internal:
-      // Spark pre-enforces declared constraints on the RAW insert rows,
-      // before the engine has computed the generated column — the engine
-      // itself enforces them at commit, after derivation
-      .filterNot(_._1.startsWith("__gen_"))
+      // generated-column consistency checks (__gen_*) and SET NOT NULL's
+      // backing checks (__notnull_*) are ENGINE-internal: Spark
+      // pre-enforces declared constraints on the RAW insert rows, before
+      // the engine has computed the generated column — the engine itself
+      // enforces them at commit, after derivation (NOT NULL already shows
+      // in the schema's nullability)
+      .filterNot(c => c._1.startsWith("__gen_") || c._1.startsWith("__notnull_"))
       .map { case (n, sql) =>
         org.apache.spark.sql.connector.catalog.constraints.Constraint
           .check(n).predicateSql(sql).build()

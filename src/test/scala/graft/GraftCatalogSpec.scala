@@ -635,6 +635,56 @@ class GraftCatalogSpec extends SparkSpec {
       "dml.mode must live in its own config, not the user-property sidecar")
   }
 
+  test("ALTER COLUMN: NOT NULL validates+enforces, COMMENT, SET/DROP DEFAULT, FIRST/AFTER") {
+    wh
+    spark.sql("CREATE TABLE graft.alt (id BIGINT, v BIGINT, note STRING)")
+    spark.sql("INSERT INTO graft.alt VALUES (1, 10, 'a'), (2, 20, NULL)")
+    // SET NOT NULL: Spark's analyzer blocks the SQL form for V2 catalogs
+    // outright (Delta ships parser extensions for it) — the capability
+    // lives at the TableCatalog API. Existing NULLs refuse (validated
+    // through the CHECK machinery)
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog, TableChange}
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[TableCatalog]
+    val ident = Identifier.of(Array.empty[String], "alt")
+    val e = intercept[Exception](cat.alterTable(ident,
+      TableChange.updateColumnNullability(Array("note"), false)))
+    assert(e.getMessage.toLowerCase.contains("null"), e.getMessage)
+    // on a clean column it lands, shows in the schema, and ENFORCES
+    cat.alterTable(ident,
+      TableChange.updateColumnNullability(Array("v"), false))
+    assert(!spark.table("graft.alt").schema("v").nullable)
+    val e2 = intercept[Exception](
+      spark.sql("INSERT INTO graft.alt VALUES (3, NULL, 'c')"))
+    assert(e2.getMessage.toLowerCase.contains("null"), e2.getMessage)
+    spark.sql("ALTER TABLE graft.alt ALTER COLUMN v DROP NOT NULL")
+    assert(spark.table("graft.alt").schema("v").nullable)
+    spark.sql("INSERT INTO graft.alt VALUES (3, NULL, 'c')") // now fine
+    // COMMENT rides field metadata through DESCRIBE
+    spark.sql("ALTER TABLE graft.alt ALTER COLUMN v COMMENT 'cents'")
+    assert(spark.sql("DESCRIBE graft.alt").collect()
+      .exists(r => r.getString(0) == "v" && r.getString(2) == "cents"))
+    // SET DEFAULT governs future inserts; DROP DEFAULT reverts to NULL
+    spark.sql("ALTER TABLE graft.alt ALTER COLUMN note SET DEFAULT 'unset'")
+    spark.sql("INSERT INTO graft.alt (id, v) VALUES (4, 40)")
+    assert(spark.sql("SELECT note FROM graft.alt WHERE id = 4")
+      .head().getString(0) == "unset")
+    val e3 = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.alt ALTER COLUMN note SET DEFAULT current_date()"))
+    assert(e3.getMessage.contains("literal defaults only"), e3.getMessage)
+    spark.sql("ALTER TABLE graft.alt ALTER COLUMN note DROP DEFAULT")
+    spark.sql("INSERT INTO graft.alt (id, v) VALUES (5, 50)")
+    assert(spark.sql("SELECT note FROM graft.alt WHERE id = 5").head().isNullAt(0))
+    // FIRST / AFTER reorder the served schema; values stay bound by name
+    spark.sql("ALTER TABLE graft.alt ALTER COLUMN note FIRST")
+    assert(spark.table("graft.alt").schema.fieldNames.head == "note")
+    spark.sql("ALTER TABLE graft.alt ALTER COLUMN note AFTER v")
+    assert(spark.table("graft.alt").schema.fieldNames.toSeq ==
+      Seq("id", "v", "note"))
+    assert(spark.sql("SELECT v FROM graft.alt WHERE id = 1").head().getLong(0)
+      == 10L, "values must stay name-bound across reorders")
+  }
+
   test("ALTER NAMESPACE SET/UNSET PROPERTIES persist through DESCRIBE") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.nsp")
