@@ -2892,5 +2892,79 @@ object Temporal {
            |         CAST(NULL AS VARCHAR)
            |  FROM base WHERE id % 997 = 0)
            |ORDER BY id""".stripMargin
+      }),
+
+    // Q114 [extension: HIDDEN partitioning — Iceberg transforms on the
+    // Delta generated-column mechanism] `PARTITIONED BY (years(ts),
+    // bucket(8, okey))` desugars to generated partition columns (computed
+    // on write, CHECK-guarded, hive layout) plus a transform-spec sidecar
+    // the scan builder reads to DERIVE partition filters from predicates
+    // on the SOURCE columns: `ts >= X` prunes `ts_year=` dirs and
+    // `okey = k` prunes to one `okey_bucket=` dir, the user never naming
+    // either derived column. Both prunings are require()d at PLAN level
+    // (the q96 planned-files audit); the pinned output is the range
+    // aggregate vs a direct DuckDB replay. At 100 TB this is the
+    // difference between a time-scoped scan reading one year's directories
+    // and reading the lake.
+    "q114_hidden_partitioning" -> QueryDef(
+      build = (s, d) => {
+        graft.GraftExtensions.install(s)
+        val wh = graft.GateTmp.freshDir("q114")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        Tables.orders(s, d).createOrReplaceTempView("q114_ord")
+        val cents = graft.Canon.centsSql("o_totalprice")
+        s.sql(
+          """CREATE TABLE graft.q114t (okey BIGINT, ts TIMESTAMP, price_c BIGINT)
+            |PARTITIONED BY (years(ts), bucket(8, okey))""".stripMargin)
+        s.sql(
+          s"""INSERT INTO graft.q114t (okey, ts, price_c)
+             |SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP), $cents
+             |FROM q114_ord""".stripMargin)
+        def planned(df: org.apache.spark.sql.DataFrame): Seq[String] =
+          df.queryExecution.executedPlan.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.scan.toBatch.planInputPartitions().toSeq.flatMap {
+                case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+                  fp.files.map(_.filePath.toString).toSeq
+                case _ => Nil
+              }
+          }.flatten
+        val all = planned(s.sql("SELECT price_c FROM graft.q114t"))
+        val ranged = planned(s.sql(
+          "SELECT price_c FROM graft.q114t WHERE " +
+            "ts >= timestamp'1996-01-01 00:00:00' AND " +
+            "ts < timestamp'1998-01-01 00:00:00'"))
+        require(ranged.nonEmpty && ranged.forall(f =>
+          f.contains("ts_year=1996") || f.contains("ts_year=1997")),
+          s"ts range must prune to the two year dirs: ${ranged.take(3)}")
+        require(ranged.size < all.size,
+          "the derived year filter must plan fewer files than the full scan")
+        val point = planned(s.sql(
+          "SELECT price_c FROM graft.q114t WHERE okey = 32"))
+        require(point.nonEmpty && point.map(
+            _.replaceAll(".*okey_bucket=([0-9]+).*", "$1")).toSet.size == 1,
+          s"okey equality must prune to ONE bucket dir: ${point.take(3)}")
+        require(point.size < all.size,
+          "the derived bucket filter must plan fewer files than the full scan")
+        s.sql(
+          """SELECT CAST(year(ts) AS BIGINT) AS y,
+            |       CAST(count(*) AS BIGINT) AS n,
+            |       CAST(sum(price_c) AS BIGINT) AS sum_price
+            |FROM graft.q114t
+            |WHERE ts >= timestamp'1996-01-01 00:00:00'
+            |  AND ts < timestamp'1998-01-01 00:00:00'
+            |GROUP BY year(ts) ORDER BY y""".stripMargin)
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("o_totalprice")
+        s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum($cents) AS BIGINT) AS sum_price
+           |FROM orders
+           |WHERE o_orderdate >= DATE '1996-01-01'
+           |  AND o_orderdate < DATE '1998-01-01'
+           |GROUP BY year(o_orderdate) ORDER BY y""".stripMargin
       }))
 }

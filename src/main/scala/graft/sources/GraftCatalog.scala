@@ -364,16 +364,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     createTable(ident, schema, partitions, properties)
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
+  override def createTable(ident: Identifier, schema0: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    // hive-style identity partitioning only (PARTITIONED BY (col, ...));
-    // bucket/days/hours transforms would need their own layout rules
-    val partCols = partitions.toSeq.map { t =>
-      if (t.name == "identity" && t.references.length == 1)
-        t.references.head.fieldNames.mkString(".")
-      else throw new UnsupportedOperationException(
-        s"only identity partition transforms are supported, got $t")
+    // identity transforms partition by the named column; days/months/
+    // years/hours/bucket desugar to a GENERATED partition column (the
+    // Delta generated-partition idiom — computed on write, CHECK-guarded)
+    // recorded in a transform-spec sidecar so reads DERIVE partition
+    // filters from predicates on the SOURCE column (hidden partitioning)
+    val (identT, derivedT) = partitions.toSeq.partition(t =>
+      t.name == "identity" && t.references.length == 1)
+    val specs = derivedT.map(GraftCatalog.transformSpecOf(_, schema0))
+    specs.foreach { sp =>
+      require(!schema0.fieldNames.exists(_.equalsIgnoreCase(sp.pcol)),
+        s"derived partition column ${sp.pcol} collides with a table column")
     }
+    val schema = StructType(schema0.fields ++ specs.map { sp =>
+      org.apache.spark.sql.types.StructField(sp.pcol,
+        GraftCatalog.transformType(sp), nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(GraftCatalog.GenerationExprKey,
+            GraftCatalog.transformSql(sp)).build())
+    })
+    val partCols = identT.map(_.references.head.fieldNames.mkString(".")) ++
+      specs.map(_.pcol)
     require(partCols.forall(c => schema.fieldNames.exists(_.equalsIgnoreCase(c))),
       s"partition columns $partCols must be table columns")
     // identity columns: validated here, assigned by appendWithIdentity on
@@ -461,6 +474,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       SnapshotStore.addTableConstraint(spark, root,
         s"__gen_${f.name}", s"${f.name} <=> ($g)")
     }
+    SnapshotStore.writeTransformSpecs(root, specs)
     loadTable(ident)
   }
 
@@ -893,6 +907,68 @@ object GraftCatalog {
       org.apache.spark.sql.types.StructType(leaf.fields :+
         org.apache.spark.sql.types.StructField(path.last, dt, nullable = true))
     }
+
+  /** Parse a non-identity partition transform into its desugared spec:
+    * derived column name, kind, source column, and the bucket count (0
+    * for the time kinds). The Iceberg transform vocabulary on the Delta
+    * generated-column mechanism.
+    */
+  private[sources] def transformSpecOf(t: Transform,
+      schema: StructType): SnapshotStore.TransformSpec = {
+    val kind = t.name.toLowerCase match {
+      case "days" | "day" => "day"
+      case "months" | "month" => "month"
+      case "years" | "year" => "year"
+      case "hours" | "hour" => "hour"
+      case "bucket" => "bucket"
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform $other($t) — supported: " +
+          "identity columns, days/months/years/hours(ts), bucket(n, col)")
+    }
+    require(t.references.length == 1 && t.references.head.fieldNames.length == 1,
+      s"partition transform $t must reference one top-level column")
+    val src = t.references.head.fieldNames.head
+    val f = schema.fields.find(_.name.equalsIgnoreCase(src)).getOrElse(
+      throw new IllegalArgumentException(
+        s"partition transform $t references missing column $src"))
+    if (kind != "bucket") {
+      import org.apache.spark.sql.types.{DateType, TimestampType}
+      require(f.dataType == TimestampType || f.dataType == DateType,
+        s"$kind($src) needs a timestamp/date column, got ${f.dataType.simpleString}")
+    }
+    val arg =
+      if (kind != "bucket") 0
+      else t.arguments.collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value.isInstanceOf[Number] =>
+          l.value.asInstanceOf[Number].intValue()
+      }.getOrElse(throw new IllegalArgumentException(
+        s"bucket transform $t needs a literal bucket count"))
+    if (kind == "bucket") require(arg > 0, s"bucket count must be > 0 (got $arg)")
+    SnapshotStore.TransformSpec(s"${src.toLowerCase}_$kind", kind,
+      src, arg)
+  }
+
+  /** The derived column's generation SQL — also what reads re-evaluate
+    * on literals to derive partition filters, so it must be a
+    * deterministic, session-clock-free function of the source column.
+    */
+  private[sources] def transformSql(sp: SnapshotStore.TransformSpec): String =
+    sp.kind match {
+      case "day" => s"CAST(${sp.src} AS DATE)"
+      case "month" => s"trunc(CAST(${sp.src} AS DATE), 'MONTH')"
+      case "year" => s"trunc(CAST(${sp.src} AS DATE), 'YEAR')"
+      case "hour" => s"date_trunc('HOUR', ${sp.src})"
+      case "bucket" => s"CAST(pmod(xxhash64(${sp.src}), ${sp.arg}) AS INT)"
+      case other => sys.error(s"unknown transform kind $other")
+    }
+
+  private[sources] def transformType(sp: SnapshotStore.TransformSpec):
+      org.apache.spark.sql.types.DataType = sp.kind match {
+    case "hour" => org.apache.spark.sql.types.TimestampType
+    case "bucket" => org.apache.spark.sql.types.IntegerType
+    case _ => org.apache.spark.sql.types.DateType
+  }
 
   /** Rebuild `s` with the (possibly nested) field at `path` mapped
     * through `f` — the leaf-level twin of [[mapNestedStruct]].
@@ -1613,12 +1689,16 @@ private[sources] class GraftTable(spark: SparkSession, tableName: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (Files.isDirectory(Paths.get(snap.dataDir, "_manifest")) ||
         SnapshotStore.hasDv(snap.dataDir) ||
-        SnapshotStore.isEvolved(snap.dataDir))
+        SnapshotStore.isEvolved(snap.dataDir) ||
+        SnapshotStore.transformSpecs(root).nonEmpty)
       // stats-maintained snapshot (manifest file skipping at planning
       // time) — or a deletion-vector-bearing one, whose builder must
       // refuse footer-based aggregate pushdown (deleted rows would count)
+      // — or a transform-partitioned one, whose builder derives partition
+      // filters from source-column predicates (hidden partitioning)
       new org.apache.spark.sql.GraftPrunedScanBuilder(
-        spark, tableName, snap.dataDir, tableSchema, options)
+        spark, tableName, snap.dataDir, tableSchema, options,
+        SnapshotStore.transformSpecs(root))
     else ParquetTable(tableName, spark, options, Seq(snap.dataDir),
       Some(tableSchema), classOf[ParquetFileFormat])
       .newScanBuilder(options)

@@ -393,6 +393,37 @@ object SnapshotStore {
     Files.writeString(dmlModeFile(root), mode)
   }
 
+  // ---- partition transform specs ---------------------------------------------
+  // `PARTITIONED BY (days(ts) / months / years / hours / bucket(n, c))`
+  // desugars to a GENERATED partition column (the Delta
+  // generated-partition idiom: computed on write, CHECK-guarded, hive
+  // layout). This sidecar records (pcol, kind, src, arg) so the read
+  // side can DERIVE partition filters from predicates on the SOURCE
+  // column — the hidden-partitioning payoff: `WHERE ts >= X` prunes
+  // `ts_day=` directories without the user ever naming the derived
+  // column.
+
+  final case class TransformSpec(pcol: String, kind: String, src: String,
+      arg: Int)
+
+  private def transformSpecsFile(root: String): Path =
+    Paths.get(root, "_transform_specs.tsv")
+
+  def transformSpecs(root: String): Seq[TransformSpec] = {
+    val f = transformSpecsFile(root)
+    if (!Files.exists(f)) Nil
+    else Files.readString(f).linesIterator.filter(_.nonEmpty).map { l =>
+      val p = l.split("\t", 4)
+      TransformSpec(p(0), p(1), p(2), p(3).toInt)
+    }.toSeq
+  }
+
+  def writeTransformSpecs(root: String, specs: Seq[TransformSpec]): Unit =
+    if (specs.nonEmpty)
+      Files.writeString(transformSpecsFile(root),
+        specs.map(s => s"${s.pcol}\t${s.kind}\t${s.src}\t${s.arg}")
+          .mkString("", "\n", "\n"))
+
   // ---- user table properties -------------------------------------------------
   // Free-form `SET/UNSET TBLPROPERTIES` key-values (comments, owners,
   // tooling tags — the Delta/Iceberg opaque-property contract), stored in

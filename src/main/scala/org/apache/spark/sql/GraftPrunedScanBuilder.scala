@@ -34,7 +34,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * decide — a type surprise keeps the file.
   */
 class GraftPrunedScanBuilder(spark: SparkSession, tableName: String,
-    dataDir: String, tableSchema: StructType, options: CaseInsensitiveStringMap)
+    dataDir: String, tableSchema: StructType, options: CaseInsensitiveStringMap,
+    transformSpecs: Seq[graft.sources.SnapshotStore.TransformSpec] = Nil)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -59,8 +60,19 @@ class GraftPrunedScanBuilder(spark: SparkSession, tableName: String,
   private var savedAgg: Option[Aggregation] = None
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
-    savedFilters = filters
-    delegate.pushFilters(filters)
+    // HIDDEN-partition derivation: a predicate on the SOURCE column of a
+    // partition transform implies a predicate on the derived partition
+    // column (`ts >= X` ⇒ `ts_day >= day(X)` — the time transforms are
+    // monotone; bucket derives equality/IN only). The derived filters are
+    // pushed alongside the originals so the delegate's partition pruning
+    // consumes them, and are NEVER surfaced back to Spark (they reference
+    // a column the query never named — they are implications, not
+    // residual work).
+    val derived = GraftPrunedScanBuilder
+      .derivePartitionFilters(filters, transformSpecs, tableSchema)
+    savedFilters = filters ++ derived
+    delegate.pushFilters(savedFilters)
+      .filterNot(f => derived.exists(_ eq f))
   }
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     delegate.pushedFilters
@@ -100,6 +112,107 @@ class GraftPrunedScanBuilder(spark: SparkSession, tableName: String,
 }
 
 object GraftPrunedScanBuilder {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Pmod, TruncDate, TruncTimestamp}
+  import org.apache.spark.sql.types.{DateType, IntegerType}
+
+  /** Partition filters IMPLIED by source-column predicates under the
+    * table's partition transforms. Time transforms (day/month/year/hour)
+    * are monotone non-decreasing, so ranges derive (with ≥/≤ at the
+    * boundary bucket — conservative supersets); bucket is not monotone,
+    * so only equality/IN derive. Anything unrecognized derives nothing
+    * (never prune on a guess — the same conservatism as the manifest
+    * interval test).
+    */
+  private[sql] def derivePartitionFilters(filters: Seq[Expression],
+      specs: Seq[graft.sources.SnapshotStore.TransformSpec],
+      schema: StructType): Seq[Expression] =
+    if (specs.isEmpty) Nil
+    else specs.flatMap { sp =>
+      schema.fields.find(_.name.equalsIgnoreCase(sp.pcol)).toSeq.flatMap { pf =>
+        val pAttr = AttributeReference(pf.name, pf.dataType)()
+        val mono = sp.kind != "bucket"
+        def src(a: Expression): Boolean = a match {
+          case ar: Attribute => ar.name.equalsIgnoreCase(sp.src)
+          case _ => false
+        }
+        def pOf(l: Expression): Option[Literal] = l match {
+          case lit: Literal if lit.value != null => transformLiteral(sp, lit)
+          case _ => None
+        }
+        filters.flatMap {
+          case EqualTo(a, l) if src(a) => pOf(l).map(EqualTo(pAttr, _))
+          case EqualTo(l, a) if src(a) => pOf(l).map(EqualTo(pAttr, _))
+          case GreaterThan(a, l) if mono && src(a) =>
+            pOf(l).map(GreaterThanOrEqual(pAttr, _))
+          case GreaterThanOrEqual(a, l) if mono && src(a) =>
+            pOf(l).map(GreaterThanOrEqual(pAttr, _))
+          case LessThan(a, l) if mono && src(a) =>
+            // `ts < X` with X exactly ON a transform boundary excludes
+            // X's whole bucket (`year(ts) < year(X)`); anywhere else the
+            // boundary bucket stays (conservative ≤)
+            pOf(l).map(p =>
+              if (alignedAt(sp, l, p)) LessThan(pAttr, p)
+              else LessThanOrEqual(pAttr, p))
+          case LessThanOrEqual(a, l) if mono && src(a) =>
+            pOf(l).map(LessThanOrEqual(pAttr, _))
+          // flipped literal-first comparisons invert the bound
+          case GreaterThan(l, a) if mono && src(a) =>
+            pOf(l).map(LessThanOrEqual(pAttr, _))
+          case GreaterThanOrEqual(l, a) if mono && src(a) =>
+            pOf(l).map(LessThanOrEqual(pAttr, _))
+          case LessThan(l, a) if mono && src(a) =>
+            pOf(l).map(GreaterThanOrEqual(pAttr, _))
+          case LessThanOrEqual(l, a) if mono && src(a) =>
+            pOf(l).map(GreaterThanOrEqual(pAttr, _))
+          case In(a, vs) if src(a) =>
+            val ps = vs.map(pOf)
+            if (ps.nonEmpty && ps.forall(_.isDefined))
+              Some(In(pAttr, ps.flatten.distinct)) else None
+          case InSet(a: Attribute, vs) if src(a) =>
+            val ps = vs.toSeq.map(v =>
+              transformLiteral(sp, Literal(v, a.dataType)))
+            if (ps.nonEmpty && ps.forall(_.isDefined))
+              Some(In(pAttr, ps.flatten.distinct)) else None
+          case _ => None
+        }
+      }
+    }
+
+  /** Is the source literal exactly its own partition floor (e.g. a
+    * midnight timestamp under days/years)? Checked by casting the
+    * partition value back to the source type and comparing — false on
+    * any surprise (keeps the conservative bound).
+    */
+  private def alignedAt(sp: graft.sources.SnapshotStore.TransformSpec,
+      l: Expression, p: Literal): Boolean =
+    try {
+      val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      val back = Cast(p, l.dataType, tz).eval(null)
+      back != null && back == l.asInstanceOf[Literal].value
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Evaluate the transform on one literal, driver-side — the SAME
+    * function the write-side generation SQL computes, expressed as
+    * resolved catalyst nodes so `eval` works at planning time.
+    */
+  private def transformLiteral(
+      sp: graft.sources.SnapshotStore.TransformSpec,
+      l: Literal): Option[Literal] =
+    try {
+      val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      val expr: Expression = sp.kind match {
+        case "day" => Cast(l, DateType, tz)
+        case "month" => TruncDate(Cast(l, DateType, tz), Literal("MONTH"))
+        case "year" => TruncDate(Cast(l, DateType, tz), Literal("YEAR"))
+        case "hour" => TruncTimestamp(Literal("HOUR"), l, tz)
+        case "bucket" =>
+          Cast(Pmod(new XxHash64(Seq(l)), Literal(sp.arg.toLong)), IntegerType)
+        case _ => return None
+      }
+      val v = expr.eval(null)
+      if (v == null) None else Some(Literal(v, expr.dataType))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Files of `dataDir` whose manifest interval may satisfy `filters`;
     * None = no manifest / nothing pruned (caller keeps the plain scan).
     * The manifest is one tiny row per file — collecting it at planning

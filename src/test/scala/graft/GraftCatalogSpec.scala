@@ -1744,6 +1744,66 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.genp").head().getLong(0) == 400L)
   }
 
+  test("hidden partitioning: days(ts)/bucket(n,id) derive partition filters from source predicates") {
+    wh
+    spark.sql(
+      """CREATE TABLE graft.hp (id BIGINT, ts TIMESTAMP, v BIGINT)
+        |PARTITIONED BY (days(ts), bucket(8, id))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.hp (id, ts, v)
+        |SELECT id, timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0,id*977),
+        |       id * 3
+        |FROM range(2000)""".stripMargin)
+    // desugared generated partition columns landed as hive dirs
+    val dataDir = Paths.get(SnapshotStore.latest(s"$wh/hp").dataDir)
+    val dayDirs = {
+      val st = Files.list(dataDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("ts_day=")).toSet
+      } finally st.close()
+    }
+    assert(dayDirs.size > 10, s"expected many day dirs, got $dayDirs")
+    def planned(sql: String): Seq[String] =
+      spark.sql(sql).queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.toBatch.planInputPartitions().toSeq.flatMap {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              fp.files.map(_.filePath.toString).toSeq
+            case _ => Nil
+          }
+      }.flatten
+    // a ts RANGE predicate — never naming ts_day — prunes to the boundary
+    // day dirs (the hidden-partitioning payoff)
+    val all = planned("SELECT v FROM graft.hp")
+    val ranged = planned("SELECT v FROM graft.hp WHERE " +
+      "ts >= timestamp'2024-03-05 00:00:00' AND ts < timestamp'2024-03-07 00:00:00'")
+    assert(ranged.nonEmpty && ranged.size < all.size / 3,
+      s"ts range must prune day dirs: ${ranged.size} of ${all.size}")
+    assert(ranged.forall(p => p.contains("ts_day=2024-03-05") ||
+      p.contains("ts_day=2024-03-06") || p.contains("ts_day=2024-03-07")),
+      s"kept files must sit in the boundary days: ${ranged.take(3)}")
+    // an id EQUALITY predicate prunes to ONE bucket dir
+    val point = planned("SELECT v FROM graft.hp WHERE id = 137")
+    assert(point.nonEmpty && point.forall(_.contains("id_bucket=")))
+    assert(point.map(p => p.replaceAll(".*id_bucket=([0-9]+).*", "$1"))
+      .toSet.size == 1, s"id = k must prune to one bucket: ${point.take(3)}")
+    assert(point.size < all.size / 4, s"${point.size} of ${all.size}")
+    // and the answers stay right under the derived filters
+    assert(spark.sql("SELECT sum(v) FROM graft.hp WHERE id = 137")
+      .head().getLong(0) == 411L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.hp WHERE ts >= timestamp'2024-03-05 00:00:00'" +
+        " AND ts < timestamp'2024-03-07 00:00:00'").head().getLong(0) ==
+      spark.sql("SELECT count(*) FROM graft.hp").head().getLong(0) -
+        spark.sql(
+          "SELECT count(*) FROM graft.hp WHERE ts < timestamp'2024-03-05 00:00:00'" +
+            " OR ts >= timestamp'2024-03-07 00:00:00'").head().getLong(0))
+    // non-literal / unrecognized shapes derive nothing (conservative)
+    assert(planned("SELECT v FROM graft.hp WHERE ts >= ts").size == all.size)
+  }
+
   test("small catalog tables auto-broadcast from scan statistics (no hint)") {
     wh
     spark.sql("CREATE TABLE graft.bdim (k BIGINT, label STRING)")
