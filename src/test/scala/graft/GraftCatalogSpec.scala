@@ -1804,6 +1804,46 @@ class GraftCatalogSpec extends SparkSpec {
     assert(planned("SELECT v FROM graft.hp WHERE ts >= ts").size == all.size)
   }
 
+  test("hidden partitioning composes with DML: scoped updates, derived-col consistency") {
+    wh
+    spark.sql(
+      """CREATE TABLE graft.hpd (id BIGINT, ts TIMESTAMP, v BIGINT)
+        |PARTITIONED BY (days(ts))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.hpd (id, ts, v)
+        |SELECT id, timestamp'2024-03-01 00:00:00' +
+        |  make_interval(0, 0, 0, CAST(id % 5 AS INT), 0, 0, 0), id
+        |FROM range(100)""".stripMargin)
+    // DML not touching the source column stays partition-sound
+    spark.sql("UPDATE graft.hpd SET v = v + 1000 WHERE id < 10")
+    assert(spark.sql("SELECT sum(v) FROM graft.hpd").head().getLong(0) ==
+      (0L until 100L).sum + 10 * 1000L)
+    // DML that moves the SOURCE column either re-derives the partition
+    // column or refuses via the __gen_ consistency CHECK — it can never
+    // silently leave a row in the wrong day directory
+    val moved = try {
+      spark.sql("UPDATE graft.hpd SET ts = ts + INTERVAL 10 DAYS, " +
+        "ts_day = CAST(ts + INTERVAL 10 DAYS AS DATE) WHERE id = 3")
+      true
+    } catch { case e: Exception =>
+      assert(e.getMessage.contains("__gen_") ||
+        e.getMessage.toLowerCase.contains("constraint"), e.getMessage)
+      false
+    }
+    if (moved) {
+      // the moved row reads back consistent: dir value == derivation
+      assert(spark.sql(
+        "SELECT count(*) FROM graft.hpd WHERE ts_day <> CAST(ts AS DATE)")
+        .head().getLong(0) == 0L)
+    }
+    // an UPDATE of ts WITHOUT re-deriving refuses loudly (the CHECK)
+    val e = intercept[Exception](spark.sql(
+      "UPDATE graft.hpd SET ts = ts + INTERVAL 30 DAYS WHERE id = 4"))
+    assert(e.getMessage.contains("__gen_") ||
+      e.getMessage.toLowerCase.contains("constraint") ||
+      e.getMessage.toLowerCase.contains("generated"), e.getMessage)
+  }
+
   test("small catalog tables auto-broadcast from scan statistics (no hint)") {
     wh
     spark.sql("CREATE TABLE graft.bdim (k BIGINT, label STRING)")
