@@ -380,10 +380,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     val schema = StructType(schema0.fields ++ specs.map { sp =>
       org.apache.spark.sql.types.StructField(sp.pcol,
-        GraftCatalog.transformType(sp), nullable = true,
+        GraftCatalog.transformType(sp, schema0), nullable = true,
         new org.apache.spark.sql.types.MetadataBuilder()
           .putString(GraftCatalog.GenerationExprKey,
-            GraftCatalog.transformSql(sp)).build())
+            GraftCatalog.transformSql(sp, schema0)).build())
     })
     val partCols = identT.map(_.references.head.fieldNames.mkString(".")) ++
       specs.map(_.pcol)
@@ -921,9 +921,11 @@ object GraftCatalog {
       case "years" | "year" => "year"
       case "hours" | "hour" => "hour"
       case "bucket" => "bucket"
+      case "truncate" => "truncate"
       case other => throw new UnsupportedOperationException(
         s"unsupported partition transform $other($t) — supported: " +
-          "identity columns, days/months/years/hours(ts), bucket(n, col)")
+          "identity columns, days/months/years/hours(ts), bucket(n, col), " +
+          "truncate(n, col)")
     }
     require(t.references.length == 1 && t.references.head.fieldNames.length == 1,
       s"partition transform $t must reference one top-level column")
@@ -931,42 +933,62 @@ object GraftCatalog {
     val f = schema.fields.find(_.name.equalsIgnoreCase(src)).getOrElse(
       throw new IllegalArgumentException(
         s"partition transform $t references missing column $src"))
-    if (kind != "bucket") {
-      import org.apache.spark.sql.types.{DateType, TimestampType}
-      require(f.dataType == TimestampType || f.dataType == DateType,
-        s"$kind($src) needs a timestamp/date column, got ${f.dataType.simpleString}")
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType, TimestampType}
+    kind match {
+      case "bucket" => ()
+      case "truncate" =>
+        require(f.dataType == StringType || f.dataType == LongType ||
+          f.dataType == IntegerType,
+          s"truncate($src) needs a string/integral column, got " +
+            f.dataType.simpleString)
+      case _ =>
+        require(f.dataType == TimestampType || f.dataType == DateType,
+          s"$kind($src) needs a timestamp/date column, got ${f.dataType.simpleString}")
     }
     val arg =
-      if (kind != "bucket") 0
+      if (kind != "bucket" && kind != "truncate") 0
       else t.arguments.collectFirst {
         case l: org.apache.spark.sql.connector.expressions.Literal[_]
             if l.value.isInstanceOf[Number] =>
           l.value.asInstanceOf[Number].intValue()
       }.getOrElse(throw new IllegalArgumentException(
-        s"bucket transform $t needs a literal bucket count"))
-    if (kind == "bucket") require(arg > 0, s"bucket count must be > 0 (got $arg)")
-    SnapshotStore.TransformSpec(s"${src.toLowerCase}_$kind", kind,
-      src, arg)
+        s"$kind transform $t needs a literal width/count"))
+    if (kind == "bucket" || kind == "truncate")
+      require(arg > 0, s"$kind width/count must be > 0 (got $arg)")
+    SnapshotStore.TransformSpec(s"${src.toLowerCase}_${
+      if (kind == "truncate") "trunc" else kind}", kind, src, arg)
   }
 
   /** The derived column's generation SQL — also what reads re-evaluate
     * on literals to derive partition filters, so it must be a
     * deterministic, session-clock-free function of the source column.
     */
-  private[sources] def transformSql(sp: SnapshotStore.TransformSpec): String =
+  private[sources] def transformSql(sp: SnapshotStore.TransformSpec,
+      schema: StructType): String =
     sp.kind match {
       case "day" => s"CAST(${sp.src} AS DATE)"
       case "month" => s"trunc(CAST(${sp.src} AS DATE), 'MONTH')"
       case "year" => s"trunc(CAST(${sp.src} AS DATE), 'YEAR')"
       case "hour" => s"date_trunc('HOUR', ${sp.src})"
       case "bucket" => s"CAST(pmod(xxhash64(${sp.src}), ${sp.arg}) AS INT)"
+      case "truncate" =>
+        if (srcType(sp, schema) == org.apache.spark.sql.types.StringType)
+          s"substring(${sp.src}, 1, ${sp.arg})"
+        else s"${sp.src} - pmod(${sp.src}, ${sp.arg})"
       case other => sys.error(s"unknown transform kind $other")
     }
 
-  private[sources] def transformType(sp: SnapshotStore.TransformSpec):
-      org.apache.spark.sql.types.DataType = sp.kind match {
+  private def srcType(sp: SnapshotStore.TransformSpec,
+      schema: StructType): org.apache.spark.sql.types.DataType =
+    schema.fields.find(_.name.equalsIgnoreCase(sp.src)).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"transform source column ${sp.src} missing"))
+
+  private[sources] def transformType(sp: SnapshotStore.TransformSpec,
+      schema: StructType): org.apache.spark.sql.types.DataType = sp.kind match {
     case "hour" => org.apache.spark.sql.types.TimestampType
     case "bucket" => org.apache.spark.sql.types.IntegerType
+    case "truncate" => srcType(sp, schema)
     case _ => org.apache.spark.sql.types.DateType
   }
 

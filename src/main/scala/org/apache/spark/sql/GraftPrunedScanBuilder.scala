@@ -207,6 +207,12 @@ object GraftPrunedScanBuilder {
         case "hour" => TruncTimestamp(Literal("HOUR"), l, tz)
         case "bucket" =>
           Cast(Pmod(new XxHash64(Seq(l)), Literal(sp.arg.toLong)), IntegerType)
+        case "truncate" if l.dataType == org.apache.spark.sql.types.StringType =>
+          org.apache.spark.sql.catalyst.expressions.Substring(
+            l, Literal(1), Literal(sp.arg))
+        case "truncate" =>
+          org.apache.spark.sql.catalyst.expressions.Subtract(l,
+            Pmod(l, Cast(Literal(sp.arg), l.dataType)))
         case _ => return None
       }
       val v = expr.eval(null)

@@ -1802,6 +1802,29 @@ class GraftCatalogSpec extends SparkSpec {
             " OR ts >= timestamp'2024-03-07 00:00:00'").head().getLong(0))
     // non-literal / unrecognized shapes derive nothing (conservative)
     assert(planned("SELECT v FROM graft.hp WHERE ts >= ts").size == all.size)
+
+    // truncate(n, col): monotone for strings (prefix) AND ints (floor) —
+    // ranges derive too
+    spark.sql(
+      """CREATE TABLE graft.hpt (name STRING, amt BIGINT)
+        |PARTITIONED BY (truncate(1, name), truncate(1000, amt))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.hpt (name, amt)
+        |SELECT concat(CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'm'
+        |  ELSE 'z' END, CAST(id AS STRING)), id * 7
+        |FROM range(1000)""".stripMargin)
+    val allT = planned("SELECT amt FROM graft.hpt")
+    val pref = planned("SELECT amt FROM graft.hpt WHERE name >= 'm' AND name < 'n'")
+    assert(pref.nonEmpty && pref.forall(_.contains("name_trunc=m")),
+      s"string range must prune to the prefix dir: ${pref.take(3)}")
+    val amtR = planned("SELECT amt FROM graft.hpt WHERE amt >= 2000 AND amt < 3000")
+    assert(amtR.nonEmpty && amtR.forall(_.contains("amt_trunc=2000")),
+      s"int range must prune to the floor dir: ${amtR.take(3)}")
+    assert(pref.size < allT.size && amtR.size < allT.size)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.hpt WHERE amt >= 2000 AND amt < 3000")
+      .head().getLong(0) ==
+      (0L until 1000L).count(i => i * 7 >= 2000 && i * 7 < 3000))
   }
 
   test("hidden partitioning composes with DML: scoped updates, derived-col consistency") {
