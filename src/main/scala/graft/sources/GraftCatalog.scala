@@ -561,7 +561,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               "top-level columns")
           GraftCatalog.addNestedField(s, add.fieldNames().toSeq, add.dataType())
         case (s, del: TableChange.DeleteColumn) if del.fieldNames.length > 1 =>
-          GraftCatalog.dropNestedField(s, del.fieldNames().toSeq)
+          val path = del.fieldNames().toSeq
+          // stored SQL texts referencing the dotted path would dangle
+          val refd = GraftCatalog.exprTextsOf(root, s, exceptCol = "")
+            .filter(_.matches("(?is).*\\b" +
+              path.init.map(java.util.regex.Pattern.quote)
+                .mkString("", "\\s*\\.\\s*", "\\s*\\.\\s*") +
+              java.util.regex.Pattern.quote(path.last) + "\\b.*"))
+          require(refd.isEmpty,
+            s"cannot drop ${path.mkString(".")}: referenced by stored SQL " +
+              s"expression(s): ${refd.take(2).mkString("; ")}")
+          GraftCatalog.dropNestedField(s, path)
         case (s, add: TableChange.AddColumn) =>
           require(!s.exists(_.name.equalsIgnoreCase(add.fieldNames()(0))),
             s"column ${add.fieldNames()(0)} already exists")
@@ -591,9 +601,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           org.apache.spark.sql.types.StructType(s.fields :+ field)
         case (s, del: TableChange.DeleteColumn) =>
           val n = del.fieldNames()(0)
-          require(s.exists(_.name.equalsIgnoreCase(n)), s"no such column $n")
+          val actual = s.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+            throw new IllegalArgumentException(s"no such column $n")).name
           require(!SnapshotStore.cdcKeys(root).exists(_.equalsIgnoreCase(n)),
             s"cannot drop CDC key column $n")
+          // directory layout: current AND evolved-era partition specs
+          // still encode these columns in their subtree paths
+          require(!SnapshotStore.allLayoutCols(root).contains(n.toLowerCase),
+            s"cannot drop partition/layout column $n (directory layout)")
+          // anything OTHER than the column's own engine checks that
+          // references it (user CHECKs, other columns' generated
+          // expressions / defaults) would dangle — refuse BEFORE any
+          // cascade so a refusal leaves the table untouched
+          val own = Set(s"__gen_$actual".toLowerCase,
+            s"__notnull_${n.toLowerCase}")
+          val refd = GraftCatalog
+            .exprTextsOf(root, s, exceptCol = actual, ownConstraints = own)
+            .filter(_.matches(
+              s"(?is).*\\b${java.util.regex.Pattern.quote(n)}\\b.*"))
+          require(refd.isEmpty,
+            s"cannot drop $n: referenced by stored SQL expression(s): " +
+              refd.take(2).mkString("; "))
+          // the column's OWN engine checks cascade away with it
+          SnapshotStore.dropTableConstraint(root, s"__gen_$actual")
+          SnapshotStore.dropTableConstraint(root, s"__notnull_${n.toLowerCase}")
           StructType(s.filterNot(_.name.equalsIgnoreCase(n)))
         case (s, up: TableChange.UpdateColumnType) if up.fieldNames.length > 1 =>
           // NESTED widening (`ALTER COLUMN props.x TYPE BIGINT`): the same
@@ -991,6 +1022,21 @@ object GraftCatalog {
     case "truncate" => srcType(sp, schema)
     case _ => org.apache.spark.sql.types.DateType
   }
+
+  /** Stored SQL expression texts that could dangle on a rename/drop:
+    * CHECK constraints named outside `ownConstraints` plus generated
+    * expressions and column defaults of every column except `exceptCol`
+    * (a column's OWN checks cascade away with it).
+    */
+  private[sources] def exprTextsOf(root: String, s: StructType,
+      exceptCol: String,
+      ownConstraints: Set[String] = Set.empty): Seq[String] =
+    SnapshotStore.tableConstraints(root)
+      .filterNot(c => ownConstraints(c._1.toLowerCase)).map(_._2) ++
+      s.fields.filterNot(_.name.equalsIgnoreCase(exceptCol)).flatMap { f =>
+        Seq(GenerationExprKey, "CURRENT_DEFAULT", "EXISTS_DEFAULT")
+          .filter(f.metadata.contains).map(f.metadata.getString)
+      }
 
   /** Rebuild `s` with the (possibly nested) field at `path` mapped
     * through `f` — the leaf-level twin of [[mapNestedStruct]].

@@ -950,6 +950,15 @@ object SnapshotStore {
       s"lost the commit race $maxAttempts times altering $root")
   }
 
+  /** Every column any era's directory LAYOUT depends on: the current
+    * partition spec plus every evolved era's spec (their subtree dirs
+    * still encode the old columns). Renaming or dropping one would
+    * orphan directories.
+    */
+  private[graft] def allLayoutCols(root: String): Set[String] =
+    (partitionCols(root) ++
+      readSpecs(latest(root).dataDir).flatMap(_._2)).map(_.toLowerCase).toSet
+
   /** Validate + apply `newName -> oldName` renames to `evolved`, composing
     * the physical-name chains (see [[alterSchema]]'s refusal list).
     */
@@ -965,8 +974,7 @@ object SnapshotStore {
     // config after the commit wins (see alterSchema). Spanning tables are
     // fine too: the per-era reads apply the same coalesce projection, and
     // the spec-column guard below keeps every era's layout columns named.
-    val parts = (partitionCols(root) ++
-      readSpecs(latest(root).dataDir).flatMap(_._2)).map(_.toLowerCase).toSet
+    val parts = allLayoutCols(root)
     // SQL-text references a rename would dangle: CHECK constraints,
     // generated columns, column defaults
     val exprTexts = tableConstraints(root).map(_._2) ++

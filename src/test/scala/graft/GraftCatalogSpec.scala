@@ -1827,6 +1827,43 @@ class GraftCatalogSpec extends SparkSpec {
       (0L until 1000L).count(i => i * 7 >= 2000 && i * 7 < 3000))
   }
 
+  test("DROP COLUMN guards: layout columns, referenced columns refuse; own checks cascade") {
+    wh
+    spark.sql(
+      """CREATE TABLE graft.dg (id BIGINT, ts TIMESTAMP, v BIGINT,
+        |  twice BIGINT GENERATED ALWAYS AS (v * 2))
+        |PARTITIONED BY (days(ts))""".stripMargin)
+    spark.sql("ALTER TABLE graft.dg ADD CONSTRAINT pos CHECK (v >= 0)")
+    // partition/layout columns refuse (both the derived col and its
+    // would-be orphaned dirs)
+    val e1 = intercept[Exception](
+      spark.sql("ALTER TABLE graft.dg DROP COLUMN ts_day"))
+    assert(e1.getMessage.contains("layout"), e1.getMessage)
+    // a column referenced by a generation expression or a user CHECK
+    // refuses (the ts reference lives in ts_day's generation expr; v sits
+    // in both twice's expr and the CHECK)
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE graft.dg DROP COLUMN ts"))
+    assert(e2.getMessage.contains("referenced"), e2.getMessage)
+    val e3 = intercept[Exception](
+      spark.sql("ALTER TABLE graft.dg DROP COLUMN v"))
+    assert(e3.getMessage.contains("referenced"), e3.getMessage)
+    // dropping the GENERATED column itself cascades its own __gen_ check
+    // away and succeeds (it is not a partition column here)
+    spark.sql("ALTER TABLE graft.dg DROP COLUMN twice")
+    assert(!spark.table("graft.dg").schema.fieldNames.contains("twice"))
+    // ...after which v is only held by the user CHECK; drop that, then v
+    spark.sql("ALTER TABLE graft.dg DROP CONSTRAINT pos")
+    spark.sql("ALTER TABLE graft.dg DROP COLUMN v")
+    assert(spark.table("graft.dg").schema.fieldNames.toSeq ==
+      Seq("id", "ts", "ts_day"))
+    // writes still work after the cascaded drops
+    spark.sql("INSERT INTO graft.dg (id, ts) VALUES " +
+      "(1, timestamp'2024-05-05 10:00:00')")
+    assert(spark.sql("SELECT ts_day FROM graft.dg").head()
+      .getDate(0).toString == "2024-05-05")
+  }
+
   test("hidden partitioning composes with DML: scoped updates, derived-col consistency") {
     wh
     spark.sql(
