@@ -1733,10 +1733,29 @@ private[sources] class GraftTable(spark: SparkSession, tableName: String,
     m
   }
 
-  override def partitioning(): Array[Transform] =
-    SnapshotStore.partitionCols(root).map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c)
-        : Transform).toArray
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    // desugared transform columns report their ORIGINAL transform
+    // (`days(ts)`, not the internal derived column) — what DESCRIBE and
+    // catalog introspection should show
+    val bySpec = SnapshotStore.transformSpecs(root)
+      .map(sp => sp.pcol.toLowerCase -> sp).toMap
+    SnapshotStore.partitionCols(root).map { c =>
+      bySpec.get(c.toLowerCase) match {
+        case Some(sp) => sp.kind match {
+          case "day" => Expressions.days(sp.src)
+          case "month" => Expressions.months(sp.src)
+          case "year" => Expressions.years(sp.src)
+          case "hour" => Expressions.hours(sp.src)
+          case "bucket" => Expressions.bucket(sp.arg, sp.src)
+          case "truncate" => Expressions.apply("truncate",
+            Expressions.literal(sp.arg), Expressions.column(sp.src))
+          case _ => Expressions.identity(c)
+        }
+        case None => Expressions.identity(c): Transform
+      }
+    }.toArray
+  }
 
   override def constraints():
       Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
