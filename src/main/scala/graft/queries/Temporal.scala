@@ -2756,13 +2756,13 @@ object Temporal {
           "UPDATE t SET price_c = price_c + 100 WHERE prio = '1-URGENT'", t)
         SqlDml.execute(s, "DELETE FROM t WHERE cust % 10 = 0", t)
         SnapshotStore.append(s, br, base.filter($("id") % 97 === 0)
-          .withColumn("id", $("id") + lit(10000000L)))
+          .withColumn("id", $("id") + lit(2500000000000L)))
         // WRITE + AUDIT: production untouched, invariant holds on the branch
         require(SnapshotStore.latest(root).version == 0L &&
           SnapshotStore.read(s, root).count() == base.count(),
           "staging must be invisible on the source")
         require(SnapshotStore.read(s, br)
-          .filter($("cust") % 10 === 0 && $("id") < 10000000L).isEmpty,
+          .filter($("cust") % 10 === 0 && $("id") < 2500000000000L).isEmpty,
           "audit: staged DELETE must hold on the branch")
         // the rival stages an edit OVERLAPPING release's key set
         SqlDml.execute(s,
@@ -2797,10 +2797,10 @@ object Temporal {
            |              ELSE price_c END AS price_c, prio
            |  FROM base WHERE cust % 10 <> 0
            |  UNION ALL
-           |  SELECT id + 10000000, cust, price_c, prio
+           |  SELECT id + 2500000000000, cust, price_c, prio
            |  FROM base WHERE id % 97 = 0
            |  UNION ALL
-           |  SELECT id + 20000000, cust, price_c, prio
+           |  SELECT id + 3000000000000, cust, price_c, prio
            |  FROM base WHERE id % 101 = 0)
            |ORDER BY id""".stripMargin
       }),
