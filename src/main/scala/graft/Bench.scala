@@ -195,9 +195,17 @@ object Bench {
       System.gc()
       val mainMed = median(mainByName(name).map(_.wall))
       timeOne(name, fnByName(name), retryErrors).flatMap { probe =>
-        val reps = scala.collection.mutable.ArrayBuffer(probe)
-        if (probe.wall < 0.67 * mainMed) {
-          // contamination confirmed — full isolated re-measure
+        if (probe.wall >= 0.67 * mainMed)
+          // probe did NOT confirm contamination: the suspect was ordinary
+          // noise — keep the sweep median rather than letting one
+          // unconfirmed sample replace it (a lone low-noise probe would
+          // bias recorded medians downward and feed the next round's
+          // regression trigger)
+          None
+        else {
+          // contamination confirmed — full isolated re-measure; the
+          // reported figure becomes the isolated MEDIAN, never one sample
+          val reps = scala.collection.mutable.ArrayBuffer(probe)
           var failed = false
           var i = 1
           while (i < nRuns && !failed) {
@@ -207,8 +215,8 @@ object Bench {
             }
             i += 1
           }
+          Some(name -> reps.toSeq)
         }
-        Some(name -> reps.toSeq)
       }
     }.toMap
 

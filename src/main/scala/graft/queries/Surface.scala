@@ -4,7 +4,7 @@ import graft.{Canon, QueryDef, Tables}
 import graft.functions.Multimodal
 import org.apache.spark.sql.functions._
 
-/** Remaining declared surface (SURVEY Â§2): P4 emptiness, F2 host:port, S9
+/** Remaining declared surface (SURVEY §2): P4 emptiness, F2 host:port, S9
   * JSON-array response sink, S10 file formats, S8 generator batch twin,
   * multimodal columns.
   */
@@ -14,9 +14,9 @@ object Surface {
 
   val defs: Map[String, QueryDef] = Map(
 
-    // Q31 [P4] emptiness predicate â the reference's `len(users) == 0` â 404
+    // Q31 [P4] emptiness predicate — the reference's `len(users) == 0` → 404
     // guard (Server/main.go:249-253). df.isEmpty is the real API under test:
-    // it plans a LocalLimit(1) and collects at most one row â O(1) work at
+    // it plans a LocalLimit(1) and collects at most one row — O(1) work at
     // any scale, never a full count.
     "q31_emptiness" -> QueryDef(
       build = (s, d) => {
@@ -40,7 +40,7 @@ object Surface {
 
     // Q32 [F2] host:port split (Server/main.go:163-167): synthesize an
     // addr from event fields, split it back with regexp_extract and a
-    // coalesce fallback for the no-port case â exactly net.SplitHostPort's
+    // coalesce fallback for the no-port case — exactly net.SplitHostPort's
     // observable contract.
     "q32_hostport" -> QueryDef(
       build = (s, d) =>
@@ -73,7 +73,7 @@ object Surface {
 
     // Q33 [S9] JSON response sink, done properly this time: the
     // /getemployees array response (Server/main.go:255-256) as
-    // to_json(sort_array(collect_list(struct(...)))) per nation â a real
+    // to_json(sort_array(collect_list(struct(...)))) per nation — a real
     // JSON encode, not string concat. Sort inside the array for determinism.
     "q33_json_array" -> QueryDef(
       build = (s, d) =>
@@ -88,9 +88,9 @@ object Surface {
           |    ORDER BY c_custkey)) AS body
           |FROM customer GROUP BY c_nationkey ORDER BY nationkey""".stripMargin)),
 
-    // Q34 [S10] file formats: parquet â CSV, JSON-lines, ORC, and XML
+    // Q34 [S10] file formats: parquet → CSV, JSON-lines, ORC, and XML
     // round-trips. nation is written to all four formats (header CSV,
-    // schema-carrying reads) and joined back â proving each writer/reader
+    // schema-carrying reads) and joined back — proving each writer/reader
     // pair preserves values. ORC is the columnar alternative a 100 TB
     // estate actually mixes with parquet; CSV/JSONL/XML are the
     // interchange edges (XML via the Spark-4 built-in datasource). The
@@ -122,8 +122,8 @@ object Surface {
     // Q57 [S10 extension: schema evolution] the lakehouse reality that a
     // 100 TB table's schema CHANGES mid-life: generation 1 of the data has
     // (n_nationkey, n_name); generation 2 adds n_regionkey. A
-    // mergeSchema parquet read unions the file schemas â old files'
-    // missing column comes back NULL â and writers never rewrite history
+    // mergeSchema parquet read unions the file schemas — old files'
+    // missing column comes back NULL — and writers never rewrite history
     // (the reference's ALTER-free MySQL schema has no answer to this;
     // Server/main.go:230 assumes a frozen column list). The gate checks
     // the merged frame: every key appears twice (one row per generation),
@@ -153,17 +153,17 @@ object Surface {
 
     // Q47 [F8/F9 extension: VARIANT semi-structured type] the Spark-4
     // lakehouse path for JSON: parse once into the binary VARIANT encoding,
-    // then typed path extraction (variant_get) â no per-query re-parse, and
+    // then typed path extraction (variant_get) — no per-query re-parse, and
     // at rest the encoding is shreddable into parquet columns, which is the
     // 100 TB answer to "JSON column you filter by path". The gate
-    // round-trips real rows through parse_json â variant_get (typed hits,
+    // round-trips real rows through parse_json → variant_get (typed hits,
     // a missing path's NULL, and schema_of_variant's inference on a
     // constant-shaped subtree) and must land back on the source values.
     // ONE parse per row: the constant-shaped metadata subtree lives INSIDE
     // the variant and is re-extracted as a sub-VARIANT via
-    // variant_get(â¦, "variant") â no second parse_json in the plan.
+    // variant_get(…, "variant") — no second parse_json in the plan.
     // The money field travels as exact cents (a DECIMAL(p,2) inside the
-    // variant) â the Canon rule applied to semi-structured data.
+    // variant) — the Canon rule applied to semi-structured data.
     "q47_variant" -> QueryDef(
       build = (s, d) => {
         val ev = Tables.events(s, d)
@@ -191,7 +191,7 @@ object Surface {
            |FROM events ORDER BY vid""".stripMargin)),
 
     // Q35 [multimodal] binary payload column + partition-local decode
-    // (mapPartitions batch map; decoder STUBBED â see Multimodal.fakeDecode)
+    // (mapPartitions batch map; decoder STUBBED — see Multimodal.fakeDecode)
     // + content hash. sha2 over the exact payload bytes matches DuckDB's
     // sha256 over the source string.
     "q35_multimodal" -> QueryDef(
@@ -226,8 +226,8 @@ object Surface {
     // PNG (IHDR) and WAV (RIFF/fmt/data) headers from document attributes,
     // then recovers the metadata via Multimodal's actual byte-layout
     // parsers. The oracle rebuilds the SAME payload bytes in DuckDB
-    // (hex-string construction â unhex) and computes the expected fields
-    // from the construction formulas directly â so a parser that misreads
+    // (hex-string construction → unhex) and computes the expected fields
+    // from the construction formulas directly — so a parser that misreads
     // any offset/endianness hash-mismatches, and the shared payload_sha256
     // proves both engines built identical binaries.
     "q35b_media_headers" -> QueryDef(
@@ -276,12 +276,12 @@ object Surface {
       oracle = Some(mediaHeadersOracleSql)),
 
     // Q35i [extension: JPEG SOF header parse] the dominant real-world image
-    // format joins the real-header family: byte-exact minimal JPEGs (SOI â
-    // APP0/JFIF â SOF â EOI) are synthesized from document attributes â
+    // format joins the real-header family: byte-exact minimal JPEGs (SOI →
+    // APP0/JFIF → SOF → EOI) are synthesized from document attributes —
     // BASELINE (SOF0) for even docs, PROGRESSIVE (SOF2) for odd, so the
     // gate proves the marker-segment walk skips APP0 by its declared
     // length and reads height/width (big-endian, height first per ITU-T
-    // T.81 Â§B.2.2) out of either SOF flavor. Same hex-pinned cross-engine
+    // T.81 §B.2.2) out of either SOF flavor. Same hex-pinned cross-engine
     // contract as q35b: the oracle rebuilds identical bytes and expected
     // fields from the construction formulas, payload_hex proving both
     // engines built the same binaries.
@@ -322,13 +322,13 @@ object Surface {
     // Q35l [extension: FLAC + MP3 header parse] the two dominant real-world
     // audio containers join the real-header family. FLAC: magic + a
     // STREAMINFO block whose 8-byte bit-packed core (20-bit sample rate,
-    // 3-bit channelsâ1, 5-bit bpsâ1, 36-bit total samples â RFC 9639)
+    // 3-bit channels−1, 5-bit bps−1, 36-bit total samples — RFC 9639)
     // must be unpacked exactly. MP3: an ID3v2 tag skipped by its SYNCSAFE
-    // length, then an MPEG1-Layer-III frame WALK â each header's
+    // length, then an MPEG1-Layer-III frame WALK — each header's
     // bitrate/sample-rate indices determine its own frame length
-    // (144Â·bitrate/rate), so the count proves the arithmetic, not just the
+    // (144·bitrate/rate), so the count proves the arithmetic, not just the
     // sync match. Byte-exact payloads are synthesized from document
-    // attributes on both engines (hex-pinned like q35b) â any bit-packing
+    // attributes on both engines (hex-pinned like q35b) — any bit-packing
     // or table error hash-mismatches.
     "q35l_audio_codec_headers" -> QueryDef(
       build = (s, d) => {
@@ -381,16 +381,16 @@ object Surface {
 
     // Q35c [extension: content-level image decode + perceptual hash] the
     // Q35j [extension: JPEG PIXEL decode] past q35i's headers: a full
-    // baseline Huffman decode (functions/Jpeg.scala â marker walk, DQT,
+    // baseline Huffman decode (functions/Jpeg.scala — marker walk, DQT,
     // canonical DHT build, DC-difference + AC run/size entropy decode,
     // restart markers with predictor reset, dequant, de-zigzag, IDCT).
     // Each document becomes a REAL 72Ã64 baseline JPEG of DC-only 8Ã8
     // blocks with Q(0,0)=8 and per-row RSTn markers; the IDCT of a DC-only
     // block is analytically flat (pixel = 128 + tile EXACTLY), so the
-    // oracle derives expected pixels â and hence the dHash â from the tile
+    // oracle derives expected pixels — and hence the dHash — from the tile
     // formula alone, never touching a JPEG, while Spark earns every hash
-    // through the real byte path. Docs â¡0 mod 31 get a one-tile-bumped
-    // twin (planted JPEG near-dup; JpegSpec pins its Hamming â¤ 2 and
+    // through the real byte path. Docs ≡0 mod 31 get a one-tile-bumped
+    // twin (planted JPEG near-dup; JpegSpec pins its Hamming ≤ 2 and
     // cross-validates the decoder against ImageIO's independent encoder on
     // real AC + 4:2:0 color streams). Per-image CPU, zero shuffle.
     "q35j_jpeg_dhash" -> QueryDef(
@@ -416,8 +416,8 @@ object Surface {
     // successive-approximation DC first scan at Al=1, a DC refinement bit
     // scan, and an AC scan spanned by greedy EOBn runs) and decoded
     // through the unified coefficient-buffer path (T.81 G.2). The decoded
-    // pixels are identical to the baseline stream's â ((t>>1)<<1) | (t&1)
-    // = t â so the oracle is q35j's tile algebra VERBATIM while the engine
+    // pixels are identical to the baseline stream's — ((t>>1)<<1) | (t&1)
+    // = t — so the oracle is q35j's tile algebra VERBATIM while the engine
     // earns every hash through the progressive marker walk, band decode,
     // refinement bits and EOB-run accounting. JpegSpec additionally
     // cross-validates SOF2 decode against ImageIO's independent encoder
@@ -441,16 +441,16 @@ object Surface {
            |FROM bits GROUP BY img_id ORDER BY img_id""".stripMargin)),
 
     // step past q35b's headers: pixels. Each document becomes a REAL 9Ã8
-    // grayscale PNG (zlib IDAT, per-row filter bytes, chunk CRCs â see
-    // Multimodal.encodePngGray), and docs â¡0 mod 29 additionally get a
-    // TWIN image with one pixel bumped (+7 at (4,3)) â a planted image
+    // grayscale PNG (zlib IDAT, per-row filter bytes, chunk CRCs — see
+    // Multimodal.encodePngGray), and docs ≡0 mod 29 additionally get a
+    // TWIN image with one pixel bumped (+7 at (4,3)) — a planted image
     // near-duplicate. The Spark side earns every hash through the full
-    // byte path (encode â chunk walk â inflate â de-filter â dHash); the
+    // byte path (encode → chunk walk → inflate → de-filter → dHash); the
     // oracle derives the SAME hashes from the pixel formula alone, never
-    // touching a PNG â so any codec offset/endianness/filter bug
+    // touching a PNG — so any codec offset/endianness/filter bug
     // hash-mismatches. Hash is emitted as (hi, lo) 32-bit halves: no
     // signed-hex formatting divergence between engines. Per-image CPU
-    // work, zero shuffle â the 100 TB shape for media decode.
+    // work, zero shuffle — the 100 TB shape for media decode.
     "q35c_image_dhash" -> QueryDef(
       build = (s, d) => {
         val hashes = Multimodal.dhashBatch(
@@ -470,10 +470,10 @@ object Surface {
            |FROM bits GROUP BY img_id ORDER BY img_id""".stripMargin)),
 
     // Q35d [extension: perceptual-hash image near-dedup] the multimodal
-    // twin of q27c: banded Hamming join over the q35c dHashes (pigeonhole â
-    // Hamming â¤3 over 64 bits â one of four 16-bit chunks equal), exact
+    // twin of q27c: banded Hamming join over the q35c dHashes (pigeonhole —
+    // Hamming ≤3 over 64 bits ⇒ one of four 16-bit chunks equal), exact
     // bit_count verify on candidates only. The planted twins are the
-    // guaranteed recall set (a one-pixel edit flips â¤2 comparisons); the
+    // guaranteed recall set (a one-pixel edit flips ≤2 comparisons); the
     // oracle brute-forces all pairs from the formula-derived hashes, so
     // banding that DROPS a qualifying pair (or invents one) hash-fails.
     "q35d_image_neardup" -> QueryDef(
@@ -500,13 +500,13 @@ object Surface {
            |ORDER BY a_id, b_id""".stripMargin)),
 
     // Q35m [extension: GIF pixel decode / container-blind fingerprints]
-    // the q35c universe with the CONTAINER varied per row â even src
+    // the q35c universe with the CONTAINER varied per row — even src
     // stays PNG, odd src becomes a REAL GIF (LZW stream, 256-gray
-    // palette, every third one 4-pass interlaced) â and the ORACLE
+    // palette, every third one 4-pass interlaced) — and the ORACLE
     // UNCHANGED from q35c: expected hashes derive from the pixel formula
-    // alone. Passing proves two things at once: the GIF path (palette â
-    // LZW â de-interlace â luma) is bit-exact, and the perceptual hash is
-    // container-blind â the same image fingerprints identically whatever
+    // alone. Passing proves two things at once: the GIF path (palette →
+    // LZW → de-interlace → luma) is bit-exact, and the perceptual hash is
+    // container-blind — the same image fingerprints identically whatever
     // box it shipped in, which is what makes cross-format image dedup
     // sound on a mixed 100 TB crawl.
     "q35m_gif_dhash" -> QueryDef(
@@ -533,7 +533,7 @@ object Surface {
     // sign-extension, and fingerprinted by energy-contour difference
     // coding (bit i = E(i+1) > E(i), exact integer frame energies). The
     // oracle derives the expected fingerprint arithmetically from the same
-    // formula â no WAV on the oracle side, which is exactly what makes the
+    // formula — no WAV on the oracle side, which is exactly what makes the
     // gate a codec check. Split hi/lo like q35c (bit 63 vs BIGINT shifts).
     "q35e_audio_fp" -> QueryDef(
       build = (s, d) => {
@@ -554,9 +554,9 @@ object Surface {
            |FROM bits GROUP BY clip_id ORDER BY clip_id""".stripMargin)),
 
     // Q35f [extension: audio near-dedup] banded Hamming join over the q35e
-    // fingerprints â the q35d/q27c pigeonhole shape reused verbatim (the
+    // fingerprints — the q35d/q27c pigeonhole shape reused verbatim (the
     // fingerprint is just another 64-bit perceptual hash). Planted
-    // one-sample twins flip â¤ 2 bits and are the guaranteed recall set;
+    // one-sample twins flip ≤ 2 bits and are the guaranteed recall set;
     // the oracle brute-forces all pairs from formula-derived fingerprints.
     "q35f_audio_neardup" -> QueryDef(
       build = (s, d) => {
@@ -587,8 +587,8 @@ object Surface {
     // MJPEG-in-MP4 per video (ISO-BMFF box tree, baseline-JPEG samples),
     // decoded through the moov/stco/stsz walk + the full JPEG
     // marker/Huffman/IDCT path for ONLY the sampled frame indices
-    // (0,2,4,6) â the sparse-decode contract a 100 TB video dedup pass
-    // lives by â then dHashed per frame. Oracle derives every sampled
+    // (0,2,4,6) — the sparse-decode contract a 100 TB video dedup pass
+    // lives by — then dHashed per frame. Oracle derives every sampled
     // frame's hash from the tile formula (no container, no codec on its
     // side); the Spark side earns them through the standard byte path.
     // hi/lo split as in q35c.
@@ -613,11 +613,11 @@ object Surface {
     // Q35n [extension: MP4 / ISO base media container] the STANDARD video
     // container (ISO/IEC 14496-12): the 9Ã8 formula frames packed as PNG
     // samples into a spec-shaped box tree (ftyp / mdat / moov[mvhd,
-    // trak[tkhd, mdia[â¦, stbl[stsd stts stsc stsz stco]]]]). The decode
-    // path box-walks moov for header metadata â in-build requires pin
+    // trak[tkhd, mdia[…, stbl[stsd stts stsc stsz stco]]]]). The decode
+    // path box-walks moov for header metadata — in-build requires pin
     // width/height (tkhd 16.16), frame count (stts), timescale/duration
-    // (mvhd) â and inflates ONLY the sampled frame indices through
-    // stco + stsz. The oracle replays pixels â dHash from the formula
+    // (mvhd) — and inflates ONLY the sampled frame indices through
+    // stco + stsz. The oracle replays pixels → dHash from the formula
     // with no container on its side, so the gate is purely a
     // codec + standard-framing check.
     "q35n_mp4_frames" -> QueryDef(
@@ -647,8 +647,8 @@ object Surface {
     // Q35h [extension: video near-dedup, REAL container + REAL codec]
     // index-aligned per-frame banded Hamming candidates (the q35d
     // pigeonhole join keyed by (frame, chunk) so only same-position
-    // frames pair), qualifying a video pair when â¥3 of the 4 sampled
-    // frames agree within 2 bits â over MJPEG-in-MP4 payloads: every
+    // frames pair), qualifying a video pair when ≥3 of the 4 sampled
+    // frames agree within 2 bits — over MJPEG-in-MP4 payloads: every
     // sampled frame reaches its dHash through the ISO-BMFF box walk
     // (stco/stsz sparse sample resolve) AND the full JPEG
     // marker/Huffman/IDCT decode — the same real path q35g's frame gate
@@ -711,17 +711,17 @@ object Surface {
 
     // Q36b [F5] true seeded-rand generator. rand(seed) is reproducible
     // within Spark but engine-specific, so the drawn VALUES can't be
-    // oracle'd â instead the gate row is the SELF-CHECK `(record_id, ok)`
+    // oracle'd — instead the gate row is the SELF-CHECK `(record_id, ok)`
     // (the q26b/q26c pattern): ok asserts every synthesized record obeys
     // the generator's contract (name digits in [0,10000), a valid role,
     // age in [18,58)) and that the seeded stream is reproducible (a second
     // rand(42) draw in the same row equals the first). The oracle is
-    // `SELECT i, true` â any contract violation hash-mismatches the gate.
+    // `SELECT i, true` — any contract violation hash-mismatches the gate.
     "q36b_generator_rand" -> QueryDef(
       build = (s, d) => {
         val roles = array(lit("intern"), lit("developer"), lit("manager"), lit("analyst"))
         val n1 = floor(rand(42) * 10000).cast("int")
-        val n2 = floor(rand(42) * 10000).cast("int") // same seed â same draw
+        val n2 = floor(rand(42) * 10000).cast("int") // same seed → same draw
         val role = element_at(roles, (floor(rand(43) * 4) + 1).cast("int"))
         val age = (floor(rand(44) * 40) + 18).cast("int")
         s.range(0, 1000).toDF("i")
@@ -739,13 +739,13 @@ object Surface {
 
     // Q69 [extension: SQL API surface] every other gate drives the
     // DataFrame API; this one enters through `spark.sql` over registered
-    // views â the surface a BI tool or SQL notebook user actually hits â
+    // views — the surface a BI tool or SQL notebook user actually hits —
     // and exercises the analyzer features that only exist there: a CTE, a
-    // CORRELATED EXISTS (decorrelated by Catalyst into the q09 semi join â
+    // CORRELATED EXISTS (decorrelated by Catalyst into the q09 semi join —
     // same physical plan family, arrived at from SQL), and an
     // integer-exact "above average" via cross-multiplied scalar
-    // subqueries (nÂ·count â¥ Î£n avoids the float avg that could hash-drift).
-    // The oracle is the same ANSI text modulo view names â the point of a
+    // subqueries (n·count ≥ Σn avoids the float avg that could hash-drift).
+    // The oracle is the same ANSI text modulo view names — the point of a
     // standard SQL surface.
     "q69_sql_surface" -> QueryDef(
       build = (s, d) => {
@@ -778,11 +778,11 @@ object Surface {
     // Q105 [extension: UNPIVOT] The melt half of the reshaping surface
     // (q16c pivot is the other): a wide per-nation aggregate (one column
     // per measure) unpivots to long (nation, measure, value) rows through
-    // Spark's SQL UNPIVOT clause â the analyzer rewrites it to an
+    // Spark's SQL UNPIVOT clause — the analyzer rewrites it to an
     // expand+filter, no shuffle beyond the source aggregate. The oracle
     // states the same reshape as UNION ALL algebra, so the gate pins
     // column naming, NULL-row exclusion semantics (UNPIVOT drops rows
-    // whose value is NULL â none here: the measures are non-null sums),
+    // whose value is NULL — none here: the measures are non-null sums),
     // and value typing across engines.
     "q105_unpivot" -> QueryDef(
       build = (s, d) => {
@@ -823,10 +823,10 @@ object Surface {
   /** DuckDB replica of q35b's payload construction. The hex helpers build
     * the identical PNG/WAV bytes; comparing the (injective) hex string
     * pins binary identity, while the metadata columns come straight from the
-    * construction formulas â the ENGINE must recover them by parsing.
+    * construction formulas — the ENGINE must recover them by parsing.
     */
   /** Image universe for q35c/q35d: every document, plus a planted
-    * near-duplicate twin (re-keyed past the doc space) for docs â¡0 mod 29.
+    * near-duplicate twin (re-keyed past the doc space) for docs ≡0 mod 29.
     */
   private def imageRows(s: org.apache.spark.sql.SparkSession, d: String) = {
     val docs = Tables.documents(s, d).select($("doc_id"))
@@ -839,7 +839,7 @@ object Surface {
 
   /** Clip universe for q35e/q35f: the q35c/q35d image universe, re-keyed
     * for audio (every document, plus a planted one-sample twin for docs
-    * â¡0 mod 29).
+    * ≡0 mod 29).
     */
   private def clipRows(s: org.apache.spark.sql.SparkSession, d: String) = {
     val docs = Tables.documents(s, d).select($("doc_id"))
@@ -862,7 +862,7 @@ object Surface {
 
   /** Shared oracle CTE: expected per-sampled-frame dHash bits from the
     * frame pixel formula (Multimodal.videoFramePixels + the twin's
-    * one-pixel bump on frame 4) â no container/PNG decode on the oracle
+    * one-pixel bump on frame 4) — no container/PNG decode on the oracle
     * side, which is exactly what makes the gate a codec+framing check.
     */
   private def videoHashOracleCte: String =
@@ -893,7 +893,7 @@ object Surface {
   /** q35h oracle CTE: expected per-sampled-frame dHash bits from the
     * MJPEG tile algebra (Multimodal.jpegTile with a per-frame src + 128,
     * the analytically known DC-only decode; a flat 8Ã8 tile IS its own
-    * downsample cell) â no container and no JPEG codec on the oracle
+    * downsample cell) — no container and no JPEG codec on the oracle
     * side, which is exactly what makes the gate a codec+framing check.
     */
   private def mjpegHashOracleCte: String =
@@ -925,7 +925,7 @@ object Surface {
 
   /** Shared oracle CTE: expected audio-fingerprint bits straight from the
     * sample formula (Multimodal.synthSample + the twin's one-sample bump
-    * with explicit int16 wrap) â no WAV decode on the oracle side.
+    * with explicit int16 wrap) — no WAV decode on the oracle side.
     */
   private def audioFpOracleCte: String =
     """WITH clips AS (
@@ -953,11 +953,11 @@ object Surface {
       |  WHERE a.f < 64)""".stripMargin
 
   /** Shared oracle CTE: expected dHash bits straight from the pixel formula
-    * (Multimodal.synthPixel + the twin's one-pixel bump) â no PNG decode on
+    * (Multimodal.synthPixel + the twin's one-pixel bump) — no PNG decode on
     * the oracle side, which is exactly what makes the gate a codec check.
     */
   /** JPEG universe for q35j: every document, plus a planted one-tile twin
-    * for docs â¡0 mod 31 (a different residue and id offset than the PNG
+    * for docs ≡0 mod 31 (a different residue and id offset than the PNG
     * universe, so the two gates never alias).
     */
   private def jpegRows(s: org.apache.spark.sql.SparkSession, d: String) = {
@@ -970,8 +970,8 @@ object Surface {
   }
 
   /** The q35j oracle's tile algebra: Multimodal.jpegTile mirrored in SQL
-    * (64-bit exact), + 128 â the analytically known decode of a DC-only
-    * block with Q(0,0)=8 â then the dHash bit construction over the 9Ã8
+    * (64-bit exact), + 128 — the analytically known decode of a DC-only
+    * block with Q(0,0)=8 — then the dHash bit construction over the 9×8
     * tile grid (a flat 8Ã8 tile IS its own downsample cell).
     */
   private def jpegHashOracleCte: String =

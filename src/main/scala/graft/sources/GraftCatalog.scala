@@ -378,6 +378,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(!schema0.fieldNames.exists(_.equalsIgnoreCase(sp.pcol)),
         s"derived partition column ${sp.pcol} collides with a table column")
     }
+    require(specs.map(_.pcol).distinct.length == specs.length,
+      "two partition transforms over the same source column derive the " +
+        s"same column name: ${specs.map(_.pcol).mkString(", ")}")
     val schema = StructType(schema0.fields ++ specs.map { sp =>
       org.apache.spark.sql.types.StructField(sp.pcol,
         GraftCatalog.transformType(sp, schema0), nullable = true,
@@ -547,7 +550,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           rn.fieldNames().mkString(".")
     }.toMap
     val nonRenames = schemaChanges.filterNot(_.isInstanceOf[TableChange.RenameColumn])
-    SnapshotStore.alterSchema(spark, root, schema =>
+    // constraint edits cascading from schema changes (DROP COLUMN's
+    // __gen_/__notnull_ removal, SET NOT NULL's add) happen inside the
+    // evolve closure BEFORE the commit; if the ALTER ultimately aborts
+    // (a later change in the batch refuses, or the commit race is lost
+    // for good), restore the sidecar so a refusal leaves the table
+    // untouched
+    val savedConstraints = SnapshotStore.snapshotConstraints(root)
+    try SnapshotStore.alterSchema(spark, root, schema =>
       nonRenames.foldLeft(schema) {
         // NESTED add/drop (`ALTER TABLE t ADD COLUMN props.lang STRING`):
         // the same metadata-only commit — the parquet reader clips each
@@ -679,10 +689,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "SET/DROP NOT NULL applies to top-level columns " +
               s"(got ${path.mkString(".")})")
           val n = path.head
-          if (!up.nullable())
+          if (!up.nullable()) {
+            // idempotent under alterSchema's commit-race retries (the
+            // evolve closure re-runs): drop-then-add; a failed ALTER
+            // restores the saved sidecar below either way
+            SnapshotStore.dropTableConstraint(root, s"__notnull_${n.toLowerCase}")
             SnapshotStore.addTableConstraint(spark, root,
               s"__notnull_${n.toLowerCase}", s"$n IS NOT NULL")
-          else {
+          } else {
             SnapshotStore.dropTableConstraint(root,
               s"__notnull_${n.toLowerCase}")
             ()
@@ -723,6 +737,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "(ADD/DROP/RENAME COLUMN, ALTER COLUMN TYPE widening, " +
             "SET/DROP NOT NULL, COMMENT, SET/DROP DEFAULT, FIRST/AFTER)")
       }, renames = renames)
+    catch { case scala.util.control.NonFatal(e) =>
+      SnapshotStore.restoreConstraints(root, savedConstraints)
+      throw e
+    }
     loadTable(ident)
   }
 
@@ -987,7 +1005,8 @@ object GraftCatalog {
     if (kind == "bucket" || kind == "truncate")
       require(arg > 0, s"$kind width/count must be > 0 (got $arg)")
     SnapshotStore.TransformSpec(s"${src.toLowerCase}_${
-      if (kind == "truncate") "trunc" else kind}", kind, src, arg)
+      if (kind == "truncate") "trunc" else kind}", kind, src, arg,
+      tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
   }
 
   /** The derived column's generation SQL — also what reads re-evaluate
@@ -1738,7 +1757,7 @@ private[sources] class GraftTable(spark: SparkSession, tableName: String,
     // desugared transform columns report their ORIGINAL transform
     // (`days(ts)`, not the internal derived column) — what DESCRIBE and
     // catalog introspection should show
-    val bySpec = SnapshotStore.transformSpecs(root)
+    val bySpec = tableTransformSpecs
       .map(sp => sp.pcol.toLowerCase -> sp).toMap
     SnapshotStore.partitionCols(root).map { c =>
       bySpec.get(c.toLowerCase) match {
@@ -1773,11 +1792,16 @@ private[sources] class GraftTable(spark: SparkSession, tableName: String,
           : org.apache.spark.sql.connector.catalog.constraints.Constraint
       }.toArray
 
+  // the transform-spec sidecar is immutable after CREATE — read once per
+  // loaded table, not per planned scan
+  private lazy val tableTransformSpecs: Seq[SnapshotStore.TransformSpec] =
+    SnapshotStore.transformSpecs(root)
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (Files.isDirectory(Paths.get(snap.dataDir, "_manifest")) ||
         SnapshotStore.hasDv(snap.dataDir) ||
         SnapshotStore.isEvolved(snap.dataDir) ||
-        SnapshotStore.transformSpecs(root).nonEmpty)
+        tableTransformSpecs.nonEmpty)
       // stats-maintained snapshot (manifest file skipping at planning
       // time) — or a deletion-vector-bearing one, whose builder must
       // refuse footer-based aggregate pushdown (deleted rows would count)
@@ -1785,7 +1809,7 @@ private[sources] class GraftTable(spark: SparkSession, tableName: String,
       // filters from source-column predicates (hidden partitioning)
       new org.apache.spark.sql.GraftPrunedScanBuilder(
         spark, tableName, snap.dataDir, tableSchema, options,
-        SnapshotStore.transformSpecs(root))
+        tableTransformSpecs)
     else ParquetTable(tableName, spark, options, Seq(snap.dataDir),
       Some(tableSchema), classOf[ParquetFileFormat])
       .newScanBuilder(options)

@@ -217,10 +217,17 @@ object MatView {
 
   /** Bucket key of a value — the per-row expression, no accumulation, so
     * IEEE-754 log noise can only shift a boundary value into the adjacent
-    * bucket (still within the α envelope).
+    * bucket (still within the α envelope). The magnitude index clamps at
+    * 1: values with 0 < |v| < 1 would otherwise land NON-POSITIVE indexes
+    * and collide with the OPPOSITE sign's keys (the MV value domain is
+    * exact-integer per the Canon rule, where |v| ≥ 1 always — the clamp
+    * keeps the sign correct for any fractional value that slips through,
+    * at the cost of the α bound inside (-1, 1)).
     */
   private def qBucket(v: Column): Column = {
-    val mag = (ceil(log(abs(v.cast("double"))) / lit(LnGamma)) + 1L).cast("int")
+    val mag = greatest(
+      (ceil(log(abs(v.cast("double"))) / lit(LnGamma)) + 1L).cast("int"),
+      lit(1))
     when(v === 0, lit(0)).when(v > 0, mag).otherwise(-mag)
   }
 

@@ -309,6 +309,21 @@ object SnapshotStore {
         .mkString("", "\n", "\n"))
   }
 
+  /** Raw constraints-sidecar snapshot/restore — for callers whose schema
+    * change CASCADES constraint edits (DROP COLUMN, SET NOT NULL) and
+    * must leave the table untouched when the schema commit itself aborts.
+    */
+  private[graft] def snapshotConstraints(root: String): Option[String] = {
+    val f = constraintsFile(root)
+    if (Files.exists(f)) Some(Files.readString(f)) else None
+  }
+
+  private[graft] def restoreConstraints(root: String,
+      saved: Option[String]): Unit = saved match {
+    case Some(s) => Files.writeString(constraintsFile(root), s); ()
+    case None => Files.deleteIfExists(constraintsFile(root)); ()
+  }
+
   /** Drop a named CHECK constraint; returns whether it existed. */
   def dropTableConstraint(root: String, name: String): Boolean = {
     val existing = tableConstraints(root)
@@ -403,8 +418,16 @@ object SnapshotStore {
   // `ts_day=` directories without the user ever naming the derived
   // column.
 
+  /** `tz` freezes the CREATE-time session timezone: the time transforms
+    * (day/month/year/hour) are timezone-DEPENDENT functions of the
+    * timestamp instant, so read-side filter derivation is only sound in
+    * the same zone the writer bucketed under — a reader in another zone
+    * skips derivation (correct, just unpruned) instead of silently
+    * pruning directories that hold matching rows. bucket/truncate are
+    * zone-free.
+    */
   final case class TransformSpec(pcol: String, kind: String, src: String,
-      arg: Int)
+      arg: Int, tz: String = "UTC")
 
   private def transformSpecsFile(root: String): Path =
     Paths.get(root, "_transform_specs.tsv")
@@ -413,15 +436,16 @@ object SnapshotStore {
     val f = transformSpecsFile(root)
     if (!Files.exists(f)) Nil
     else Files.readString(f).linesIterator.filter(_.nonEmpty).map { l =>
-      val p = l.split("\t", 4)
-      TransformSpec(p(0), p(1), p(2), p(3).toInt)
+      val p = l.split("\t", 5)
+      TransformSpec(p(0), p(1), p(2), p(3).toInt,
+        if (p.length > 4) p(4) else "UTC")
     }.toSeq
   }
 
   def writeTransformSpecs(root: String, specs: Seq[TransformSpec]): Unit =
     if (specs.nonEmpty)
       Files.writeString(transformSpecsFile(root),
-        specs.map(s => s"${s.pcol}\t${s.kind}\t${s.src}\t${s.arg}")
+        specs.map(s => s"${s.pcol}\t${s.kind}\t${s.src}\t${s.arg}\t${s.tz}")
           .mkString("", "\n", "\n"))
 
   // ---- user table properties -------------------------------------------------
@@ -1591,6 +1615,43 @@ object SnapshotStore {
     val headSchema = readSchema(spark, head)
     val curSchema = readSchema(spark, cur)
     if (feedRenames(br).nonEmpty) refuse("the branch staged RENAME COLUMN")
+    def fileStr(p: Path): String =
+      if (Files.exists(p)) Files.readString(p) else ""
+    if (fileStr(partitionsFile(br)) != fileStr(partitionsFile(root)))
+      refuse("the partition layout diverged")
+    if (fileStr(constraintsFile(br)) != fileStr(constraintsFile(root)))
+      refuse("the CHECK constraints diverged")
+    // the key-only disjointness proof — shared by the schema-evolution
+    // path (which must prove BEFORE committing the branch's ALTER onto
+    // the root: a refused publish may never mutate the source) and the
+    // standard path below
+    def interimKeyFrame(): DataFrame =
+      if (!interimExpired)
+        changes(spark, root, baseV + 1, cur.version)
+          .select(keys.map(col): _*).distinct()
+      else {
+        import org.apache.spark.sql.functions.lit
+        val curDf = read(spark, cur)
+        val baseDf = read(spark, baseSnap)
+        val aligned = baseDf.select(curDf.schema.fields.toIndexedSeq.map {
+          f =>
+            (if (baseDf.columns.exists(_.equalsIgnoreCase(f.name)))
+               col(f.name).cast(f.dataType)
+             else lit(null).cast(f.dataType)).as(f.name)
+        }: _*)
+        diffChanges(aligned, curDf, keys).select(keys.map(col): _*).distinct()
+      }
+    def refuseOnKeyClash(branchKeys: DataFrame): Unit = {
+      val clash = branchKeys.alias("b").join(interimKeyFrame().alias("i"),
+          keys.map(k => col(s"b.$k") <=> col(s"i.$k")).reduce(_ && _),
+          "left_semi")
+        .limit(1).collect()
+      if (clash.nonEmpty)
+        refuse(s"the interim commits touch key(s) the branch also staged " +
+          s"(e.g. ${keys.zip(clash.head.toSeq).map { case (k, v) =>
+            s"$k=$v" }.mkString(", ")}): overlapping edits cannot replay " +
+          "soundly")
+    }
     if (shape(curSchema) != shape(headSchema)) {
       // the sides disagree on schema. Interim evolution refuses (the
       // audit never saw those columns); branch-staged ADDITIVE evolution
@@ -1605,15 +1666,13 @@ object SnapshotStore {
       if (shape(curSchema) != shape(baseSchema))
         refuse("the interim commits changed the source schema")
       additiveDeltaRefusal(baseSchema, headSchema).foreach(refuse)
+      // EVERY refusal this publish could hit runs before the ALTER lands
+      refuseOnKeyClash(
+        netChanges(spark, br, 1L, head.version, keys)
+          .select(keys.map(col): _*).distinct())
       alterSchema(spark, root, s => evolveOnto(s, headSchema))
       return rebasePublish(spark, root, name, br, baseV, head, latest(root))
     }
-    def fileStr(p: Path): String =
-      if (Files.exists(p)) Files.readString(p) else ""
-    if (fileStr(partitionsFile(br)) != fileStr(partitionsFile(root)))
-      refuse("the partition layout diverged")
-    if (fileStr(constraintsFile(br)) != fileStr(constraintsFile(root)))
-      refuse("the CHECK constraints diverged")
     // the branch's squash diff vs its fork base, netted from the BRANCH's
     // own change feed — O(staged change volume), never a two-snapshot
     // join (intermediate churn collapses away, exactly as in the
@@ -1632,31 +1691,7 @@ object SnapshotStore {
         // base when VACUUM expired some (the fork base aligns onto the
         // head's columns first — additive evolution means the added
         // columns are NULL on both sides until the replay writes them)
-        val interimKeys =
-          if (!interimExpired)
-            changes(spark, root, baseV + 1, cur.version)
-              .select(keys.map(col): _*).distinct()
-          else {
-            import org.apache.spark.sql.functions.lit
-            val curDf = read(spark, cur)
-            val baseDf = read(spark, baseSnap)
-            val aligned = baseDf.select(curDf.schema.fields.toIndexedSeq.map {
-              f =>
-                (if (baseDf.columns.exists(_.equalsIgnoreCase(f.name)))
-                   col(f.name).cast(f.dataType)
-                 else lit(null).cast(f.dataType)).as(f.name)
-            }: _*)
-            diffChanges(aligned, curDf, keys).select(keys.map(col): _*).distinct()
-          }
-        val clash = branchKeys.alias("b").join(interimKeys.alias("i"),
-            keys.map(k => col(s"b.$k") <=> col(s"i.$k")).reduce(_ && _),
-            "left_semi")
-          .limit(1).collect()
-        if (clash.nonEmpty)
-          refuse(s"the interim commits touch key(s) the branch also staged " +
-            s"(e.g. ${keys.zip(clash.head.toSeq).map { case (k, v) =>
-              s"$k=$v" }.mkString(", ")}): overlapping edits cannot replay " +
-            "soundly")
+        refuseOnKeyClash(branchKeys)
         if (diff.isEmpty) return cur // audited, but nothing actually changed
         val arriving = diff
           .filter(col(ChangeTypeCol).isin("insert", "update_postimage"))

@@ -128,7 +128,14 @@ object GraftPrunedScanBuilder {
       schema: StructType): Seq[Expression] =
     if (specs.isEmpty) Nil
     else specs.flatMap { sp =>
-      schema.fields.find(_.name.equalsIgnoreCase(sp.pcol)).toSeq.flatMap { pf =>
+      // time transforms bucketed under the CREATE-time session timezone;
+      // deriving under a different reader zone would prune directories
+      // that hold matching rows — skip (correct, just unpruned).
+      // bucket/truncate are zone-free.
+      val tzOk = sp.kind == "bucket" || sp.kind == "truncate" ||
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone == sp.tz
+      if (!tzOk) Nil
+      else schema.fields.find(_.name.equalsIgnoreCase(sp.pcol)).toSeq.flatMap { pf =>
         val pAttr = AttributeReference(pf.name, pf.dataType)()
         val mono = sp.kind != "bucket"
         def src(a: Expression): Boolean = a match {
