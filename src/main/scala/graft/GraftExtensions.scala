@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
     ext.injectOptimizerRule(_ => graft.plans.TopOnePerKeyRewrite)
+    ext.injectOptimizerRule(_ => graft.sources.MvRewrite)
     ext.injectOptimizerRule(_ => graft.sources.DvReadRewrite)
     ext.injectPlannerStrategy(_ => graft.sources.GraftDmlStrategy)
   }
@@ -257,6 +258,12 @@ object GraftExtensions {
     val extra = spark.experimental.extraOptimizations
     if (!extra.contains(graft.plans.TopOnePerKeyRewrite))
       spark.experimental.extraOptimizations = extra :+ graft.plans.TopOnePerKeyRewrite
+    // MvRewrite BEFORE DvReadRewrite: when the view serves the aggregate
+    // the relation disappears; when it refuses (DV-bearing source, stale
+    // view) the DV substitution still runs
+    val extraMv = spark.experimental.extraOptimizations
+    if (!extraMv.contains(graft.sources.MvRewrite))
+      spark.experimental.extraOptimizations = extraMv :+ graft.sources.MvRewrite
     val extra2 = spark.experimental.extraOptimizations
     if (!extra2.contains(graft.sources.DvReadRewrite))
       spark.experimental.extraOptimizations = extra2 :+ graft.sources.DvReadRewrite

@@ -384,7 +384,7 @@ object Surface {
     // baseline Huffman decode (functions/Jpeg.scala — marker walk, DQT,
     // canonical DHT build, DC-difference + AC run/size entropy decode,
     // restart markers with predictor reset, dequant, de-zigzag, IDCT).
-    // Each document becomes a REAL 72Ã64 baseline JPEG of DC-only 8Ã8
+    // Each document becomes a REAL 72×64 baseline JPEG of DC-only 8×8
     // blocks with Q(0,0)=8 and per-row RSTn markers; the IDCT of a DC-only
     // block is analytically flat (pixel = 128 + tile EXACTLY), so the
     // oracle derives expected pixels — and hence the dHash — from the tile
@@ -440,7 +440,7 @@ object Surface {
            |    ELSE 0 END) AS BIGINT) AS dhash_lo
            |FROM bits GROUP BY img_id ORDER BY img_id""".stripMargin)),
 
-    // step past q35b's headers: pixels. Each document becomes a REAL 9Ã8
+    // step past q35b's headers: pixels. Each document becomes a REAL 9×8
     // grayscale PNG (zlib IDAT, per-row filter bytes, chunk CRCs — see
     // Multimodal.encodePngGray), and docs ≡0 mod 29 additionally get a
     // TWIN image with one pixel bumped (+7 at (4,3)) — a planted image
@@ -611,7 +611,7 @@ object Surface {
            |FROM bits GROUP BY vid_id, f ORDER BY vid_id, frame_idx""".stripMargin)),
 
     // Q35n [extension: MP4 / ISO base media container] the STANDARD video
-    // container (ISO/IEC 14496-12): the 9Ã8 formula frames packed as PNG
+    // container (ISO/IEC 14496-12): the 9×8 formula frames packed as PNG
     // samples into a spec-shaped box tree (ftyp / mdat / moov[mvhd,
     // trak[tkhd, mdia[…, stbl[stsd stts stsc stsz stco]]]]). The decode
     // path box-walks moov for header metadata — in-build requires pin
@@ -892,7 +892,7 @@ object Surface {
 
   /** q35h oracle CTE: expected per-sampled-frame dHash bits from the
     * MJPEG tile algebra (Multimodal.jpegTile with a per-frame src + 128,
-    * the analytically known DC-only decode; a flat 8Ã8 tile IS its own
+    * the analytically known DC-only decode; a flat 8×8 tile IS its own
     * downsample cell) — no container and no JPEG codec on the oracle
     * side, which is exactly what makes the gate a codec+framing check.
     */
@@ -972,7 +972,7 @@ object Surface {
   /** The q35j oracle's tile algebra: Multimodal.jpegTile mirrored in SQL
     * (64-bit exact), + 128 — the analytically known decode of a DC-only
     * block with Q(0,0)=8 — then the dHash bit construction over the 9×8
-    * tile grid (a flat 8Ã8 tile IS its own downsample cell).
+    * tile grid (a flat 8×8 tile IS its own downsample cell).
     */
   private def jpegHashOracleCte: String =
     """WITH imgs AS (

@@ -2894,6 +2894,86 @@ object Temporal {
            |ORDER BY id""".stripMargin
       }),
 
+    // Q113c [extension: WAP × RENAME — rebase-publish replays
+    // branch-staged RENAME COLUMN] The round-16 rebase replayed additive
+    // evolution; a rename is ALSO metadata-only under the sidecar-chain
+    // design (files keep physical names, reads coalesce down the chain),
+    // so publishing a branch that renamed+backfilled a column onto a
+    // source that advanced mid-audit = the same metadata-only ALTER on
+    // the head + the keyed replay. Interim rows — written under the OLD
+    // physical name — resolve through the chain under the new name (the
+    // mixed-era read rule). A branch that renamed a CDC KEY still refuses
+    // (the keyed replay addresses rows by exactly that key).
+    "q113c_wap_rename" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{SnapshotStore, SqlDml}
+        val root = graft.GateTmp.freshDir("q113c")
+        Tables.orders(s, d).createOrReplaceTempView("q113c_ord")
+        val cents = graft.Canon.centsSql("o_totalprice")
+        val base = s.sql(
+          s"""SELECT o_orderkey AS id, $cents AS price_c,
+             |o_orderpriority AS prio
+             |FROM q113c_ord""".stripMargin)
+        SnapshotStore.init(s, root, base, cdcKeys = Seq("id")) // v0
+        SnapshotStore.createBranch(s, root, "ren")
+        val br = SnapshotStore.branchRoot(root, "ren")
+        // the migration, staged on the branch: RENAME + backfill under
+        // the NEW name
+        SnapshotStore.alterSchema(s, br, identity,
+          renames = Map("amount_c" -> "price_c"))
+        SqlDml.execute(s,
+          "UPDATE t SET amount_c = amount_c + 7 WHERE id % 3 = 0",
+          Map("t" -> br))
+        // live ingest mid-audit, on the SOURCE, under the OLD name
+        // (re-key offset far above any scaled keyspace — the sf1 rule)
+        SnapshotStore.append(s, root, base.filter($("id") % 101 === 0)
+          .withColumn("id", $("id") + lit(3000000000000L))) // v1
+        val pub = SnapshotStore.publishBranch(s, root, "ren") // rebase path
+        require(pub.version == 3L,
+          s"expected rename-ALTER + replay commits, got v${pub.version}")
+        val served = SnapshotStore.read(s, root)
+        require(served.columns.map(_.toLowerCase).contains("amount_c") &&
+          !served.columns.map(_.toLowerCase).contains("price_c"),
+          s"published head must serve the renamed column: ${served.columns.toSeq}")
+        // interim rows (physical old name) resolve through the chain
+        require(served.filter($("id") >= 3000000000000L &&
+          $("amount_c").isNull).isEmpty,
+          "interim rows must resolve through the rename chain, not null-fill")
+        // a rival branch renaming the CDC KEY refuses on the rebase path
+        SnapshotStore.createBranch(s, root, "keyren")
+        SnapshotStore.alterSchema(s, SnapshotStore.branchRoot(root, "keyren"),
+          identity, renames = Map("pk" -> "id"))
+        SnapshotStore.append(s, root, base.filter($("id") % 997 === 0)
+          .selectExpr("id + 4000000000000 AS id", "price_c AS amount_c",
+            "prio")) // v4: source advances, forcing the rebase path
+        val refused = try {
+          SnapshotStore.publishBranch(s, root, "keyren"); false
+        } catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("CDC key") }
+        require(refused, "a branch that renamed the CDC key must refuse")
+        SnapshotStore.dropBranch(root, "keyren")
+        SnapshotStore.read(s, root).orderBy($("id"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("o_totalprice")
+        s"""WITH base AS (
+           |  SELECT o_orderkey AS id, $cents AS price_c,
+           |         o_orderpriority AS prio
+           |  FROM orders)
+           |SELECT * FROM (
+           |  SELECT id,
+           |         CASE WHEN id % 3 = 0 THEN price_c + 7
+           |              ELSE price_c END AS amount_c, prio
+           |  FROM base
+           |  UNION ALL
+           |  SELECT id + 3000000000000, price_c, prio
+           |  FROM base WHERE id % 101 = 0
+           |  UNION ALL
+           |  SELECT id + 4000000000000, price_c, prio
+           |  FROM base WHERE id % 997 = 0)
+           |ORDER BY id""".stripMargin
+      }),
+
     // Q114 [extension: HIDDEN partitioning — Iceberg transforms on the
     // Delta generated-column mechanism] `PARTITIONED BY (years(ts),
     // bucket(8, okey))` desugars to generated partition columns (computed
@@ -2966,5 +3046,85 @@ object Temporal {
            |WHERE o_orderdate >= DATE '1996-01-01'
            |  AND o_orderdate < DATE '1998-01-01'
            |GROUP BY year(o_orderdate) ORDER BY y""".stripMargin
+      }),
+
+    // Q115 [extension: automatic MV query rewrite] The piece that makes
+    // incrementally-maintained views TRANSPARENT (the Oracle/BigQuery MV
+    // rewrite): an aggregate query over the catalog fact whose shape
+    // matches a maintained view's definition scans the VIEW (rows per
+    // group) instead of re-aggregating the source — at 100 TB the
+    // difference between reading a few thousand pre-aggregated rows and
+    // re-shuffling the fact table. Plan-audited inside the gate: the
+    // fresh view SERVES (MV scan present, base scan gone), a source write
+    // makes it stale and the SAME query falls back to the direct scan
+    // (never serving old rows), a refresh restores the rewrite, and the
+    // served answers are verified equal to the rewrite-disabled direct
+    // plan in-gate before the DuckDB oracle hashes them again.
+    "q115_mv_rewrite" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{MatView, MvRewrite}
+        graft.GraftExtensions.install(s)
+        val wh = graft.GateTmp.freshDir("q115")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("CREATE TABLE graft.q115t (id BIGINT, salary BIGINT, " +
+          "segment STRING) TBLPROPERTIES ('cdc.keys' = 'id')")
+        RelationalPipeline.employeeView(s, d)
+          .select($("id"), $("salary"), $("segment"))
+          .createOrReplaceTempView("q115_src")
+        s.sql("INSERT INTO graft.q115t SELECT id, salary, segment FROM q115_src")
+        val srcRoot = s"$wh/q115t"
+        val mv = graft.GateTmp.freshDir("q115_mv")
+        val aggs = Seq("count", "sum", "min", "max")
+        MatView.create(s, srcRoot, mv, Seq("segment"), "salary", aggs)
+        val q = """SELECT segment, count(*) AS n_rows,
+          |  CAST(sum(salary) AS BIGINT) AS val_sum,
+          |  min(salary) AS val_min, max(salary) AS val_max
+          |FROM graft.q115t GROUP BY segment""".stripMargin
+        def planOf(sql: String): String =
+          s.sql(sql).queryExecution.executedPlan.toString
+        // fresh view: the MV scan replaced the base aggregate (plan lock)
+        val p1 = planOf(q)
+        require(p1.contains("q115_mv"),
+          s"rewrite must scan the materialized view:\n$p1")
+        require(!p1.contains("/q115t/"),
+          s"the base table must not be scanned when the view serves:\n$p1")
+        // source writes make the view non-covering: same query, direct plan
+        s.sql("UPDATE graft.q115t SET salary = salary + 100 WHERE id % 7 = 0")
+        s.sql("DELETE FROM graft.q115t WHERE id % 9 = 0")
+        val p2 = planOf(q)
+        require(!p2.contains("q115_mv"),
+          s"a stale view must never serve (fallback to direct):\n$p2")
+        // refresh restores coverage; the rewrite fires again
+        MatView.refresh(s, srcRoot, mv, Seq("segment"), "salary", aggs)
+        val p3 = planOf(q)
+        require(p3.contains("q115_mv"),
+          s"the refreshed view must serve again:\n$p3")
+        // in-gate referee: served answers ≡ the rewrite-disabled direct plan
+        val served = s.sql(q)
+        s.conf.set(MvRewrite.EnabledKey, "false")
+        val direct = s.sql(q)
+        require(served.exceptAll(direct).isEmpty &&
+          direct.exceptAll(served).isEmpty,
+          "MV-served answers must equal the direct aggregate")
+        s.conf.set(MvRewrite.EnabledKey, "true")
+        served.orderBy($("segment"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""WITH base AS (
+           |  SELECT c_custkey AS id, $cents AS salary,
+           |         c_mktsegment AS segment
+           |  FROM customer),
+           |v1 AS (SELECT id,
+           |  CASE WHEN id % 7 = 0 THEN salary + 100 ELSE salary END AS salary,
+           |  segment FROM base),
+           |v2 AS (SELECT * FROM v1 WHERE NOT (id % 9 = 0))
+           |SELECT segment, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(salary) AS BIGINT) AS val_sum,
+           |  CAST(min(salary) AS BIGINT) AS val_min,
+           |  CAST(max(salary) AS BIGINT) AS val_max
+           |FROM v2 GROUP BY segment ORDER BY segment""".stripMargin
       }))
 }

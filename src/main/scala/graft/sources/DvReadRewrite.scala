@@ -1,11 +1,11 @@
 package graft.sources
 
 import org.apache.spark.sql.{GraftDvFilter, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, ArrayTransform, AttributeReference, CreateNamedStruct, Expression, GetArrayStructFields, GetStructField, If, IsNull, LambdaFunction, Literal, NamedExpression, NamedLambdaVariable, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, ArrayTransform, AttributeReference, CreateNamedStruct, Expression, GetArrayStructFields, GetStructField, If, IsNull, LambdaFunction, Literal, NamedExpression, NamedLambdaVariable, PredicateHelper, TransformKeys, TransformValues}
 import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, Filter, LogicalPlan, MergeIntoTable, Project, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation, FileScan}
-import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Routes SQL reads of deletion-vector-bearing catalog tables through the
   * store's DV-applying read. A [[GraftTable]] scan is Spark's own
@@ -175,11 +175,36 @@ object DvReadRewrite extends Rule[LogicalPlan] with PredicateHelper {
                 .getOrElse(child))
         }
         if (nDv > 0) t
-        // no DV filter in the read (e.g. the sidecar raced away between
-        // hasDeletionVector and here, or an evolved snapshot without a
-        // DV): plain filter on top is equivalent
-        else rebase(consumedFilters, Map.empty).map(Filter(_, inner))
-          .getOrElse(inner)
+        else {
+          // no DV filter in the read: an EVOLVED snapshot without a DV
+          // reads as a plain Union of per-era scans — a filter ABOVE the
+          // Union never reaches FileSourceStrategy's partition pruning
+          // (we run post-optimizer; nothing re-pushes through Union), so
+          // every era would full-scan. Push the recovered predicates into
+          // EACH branch, rebased onto its own attribute ids — only when
+          // every branch resolves every referenced name (else the global
+          // top filter keeps correctness at full-scan cost).
+          def branchAttrs(p: LogicalPlan): Map[String, AttributeReference] =
+            p.output.collect {
+              case a: AttributeReference => a.name.toLowerCase -> a
+            }.toMap
+          val refNames = consumedFilters
+            .flatMap(_.references.map(_.name.toLowerCase)).toSet
+          var pushed = false
+          val viaUnion = inner.transformUp {
+            case u: org.apache.spark.sql.catalyst.plans.logical.Union
+                if !pushed && u.children.forall(ch =>
+                  refNames.subsetOf(branchAttrs(ch).keySet)) =>
+              pushed = true
+              u.withNewChildren(u.children.map { ch =>
+                rebase(consumedFilters, branchAttrs(ch))
+                  .map(Filter(_, ch)).getOrElse(ch)
+              })
+          }
+          if (pushed) viaUnion
+          else rebase(consumedFilters, Map.empty).map(Filter(_, inner))
+            .getOrElse(inner)
+        }
       }
     Project(output.map { o =>
       // pruned-type conformance: when nested pruning narrowed this output
@@ -212,6 +237,26 @@ object DvReadRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case (from: ArrayType, t: ArrayType) =>
         val v = NamedLambdaVariable("el", from.elementType, from.containsNull)
         ArrayTransform(e, LambdaFunction(conform(v, t.elementType), Seq(v)))
+      case (from: MapType, t: MapType) =>
+        // nested pruning can narrow a map's VALUE struct (keys are read
+        // whole, but conform key-side too for symmetry): reshape via the
+        // higher-order map transforms, value-wise like the array case
+        val keyed =
+          if (DataType.equalsIgnoreNullability(from.keyType, t.keyType)) e
+          else {
+            val k = NamedLambdaVariable("k", from.keyType, nullable = false)
+            val v = NamedLambdaVariable("v", from.valueType,
+              from.valueContainsNull)
+            TransformKeys(e, LambdaFunction(conform(k, t.keyType), Seq(k, v)))
+          }
+        val km = keyed.dataType.asInstanceOf[MapType]
+        if (DataType.equalsIgnoreNullability(km.valueType, t.valueType)) keyed
+        else {
+          val k = NamedLambdaVariable("k", km.keyType, nullable = false)
+          val v = NamedLambdaVariable("v", km.valueType, km.valueContainsNull)
+          TransformValues(keyed,
+            LambdaFunction(conform(v, t.valueType), Seq(k, v)))
+        }
       case (from, t) => throw new IllegalStateException(
         s"DvReadRewrite: cannot conform ${from.simpleString} to " +
           s"${t.simpleString} (unsupported pruned shape)")

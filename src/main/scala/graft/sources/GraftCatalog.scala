@@ -467,6 +467,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       cdcKeys = keys, partitionBy = partCols)
     Option(properties.get(GraftCatalog.DmlModeProp))
       .foreach(SnapshotStore.setDmlMode(root, _))
+    // opaque user properties set at CREATE persist exactly as ALTER SET
+    // TBLPROPERTIES does (the Delta/Iceberg contract — a prop set at
+    // CREATE must not vanish from properties()); engine keys routed to
+    // their own config above, Spark's reserved/internal keys stay out
+    GraftCatalog.userPropertiesOf(properties).foreach { case (k, v) =>
+      SnapshotStore.setTableProperty(root, k, v)
+    }
     // the consistency contract: every commit (including DML that never
     // goes near this catalog) must leave the stored value equal to the
     // expression — enforceConstraints runs on all commit paths, so an
@@ -555,7 +562,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // evolve closure BEFORE the commit; if the ALTER ultimately aborts
     // (a later change in the batch refuses, or the commit race is lost
     // for good), restore the sidecar so a refusal leaves the table
-    // untouched
+    // untouched. The restore is scoped to exactly the names this ALTER's
+    // cascades can touch — a wholesale byte restore would discard a
+    // concurrent session's ADD/DROP CONSTRAINT landing mid-ALTER
+    val touchedConstraintNames: Set[String] = schemaChanges.flatMap {
+      case del: TableChange.DeleteColumn if del.fieldNames.length == 1 =>
+        Seq(s"__gen_${del.fieldNames()(0)}", s"__notnull_${del.fieldNames()(0)}")
+      case up: TableChange.UpdateColumnNullability
+          if up.fieldNames.length == 1 =>
+        Seq(s"__notnull_${up.fieldNames()(0)}")
+      case _ => Nil
+    }.toSet
     val savedConstraints = SnapshotStore.snapshotConstraints(root)
     try SnapshotStore.alterSchema(spark, root, schema =>
       nonRenames.foldLeft(schema) {
@@ -738,7 +755,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "SET/DROP NOT NULL, COMMENT, SET/DROP DEFAULT, FIRST/AFTER)")
       }, renames = renames)
     catch { case scala.util.control.NonFatal(e) =>
-      SnapshotStore.restoreConstraints(root, savedConstraints)
+      SnapshotStore.restoreConstraintsNamed(root, savedConstraints,
+        touchedConstraintNames)
       throw e
     }
     loadTable(ident)
@@ -1009,6 +1027,103 @@ object GraftCatalog {
       tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
   }
 
+  /** Parse one textual partition-spec element (`hours(ts)`,
+    * `bucket(16, id)`, `truncate(4, name)`, or a plain column name) —
+    * the `set_partition_spec` surface for partition-TRANSFORM evolution.
+    * Returns Left(plainCol) or Right((kind, src, arg)).
+    */
+  private val TransformTextRe =
+    """(?i)^\s*(days?|months?|years?|hours?|bucket|truncate)\s*\((.*)\)\s*$""".r
+
+  private[sources] def parseTransformText(
+      s: String): Either[String, (String, String, Int)] = s match {
+    case TransformTextRe(kindRaw, argsRaw) =>
+      val kind = kindRaw.toLowerCase match {
+        case "days" | "day" => "day"
+        case "months" | "month" => "month"
+        case "years" | "year" => "year"
+        case "hours" | "hour" => "hour"
+        case other => other // bucket / truncate
+      }
+      val args = argsRaw.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      if (kind == "bucket" || kind == "truncate") {
+        require(args.length == 2 &&
+          scala.util.Try(args.head.toInt).toOption.exists(_ > 0),
+          s"$kind transform takes (n, col) with n > 0: got '$s'")
+        Right((kind, args(1), args.head.toInt))
+      } else {
+        require(args.length == 1,
+          s"$kind transform takes one source column: got '$s'")
+        Right((kind, args.head, 0))
+      }
+    case plain => Left(plain.trim)
+  }
+
+  /** PARTITION-TRANSFORM EVOLUTION (round 17 — the Iceberg
+    * `REPLACE PARTITION FIELD days(ts) WITH hours(ts)` shape on the
+    * engine's generated-column mechanism): ensure the transform's derived
+    * GENERATED column exists on `root` — adding it as one metadata-only
+    * ALTER plus the transform-spec sidecar entry and a NULL-tolerant
+    * `__gen_` CHECK when it doesn't (pre-evolution rows never stored it;
+    * they read NULL until the migrating OPTIMIZE backfills the
+    * derivation) — and return the derived column name for the
+    * [[SnapshotStore.alterPartitionSpec]] era commit. Re-activating a
+    * transform the table already carries (its pcol exists with the SAME
+    * generation SQL) is a no-op here; a name collision with a different
+    * expression refuses loudly.
+    */
+  private[sources] def evolvePartitionTransform(
+      spark: SparkSession, root: String,
+      kind: String, src: String, arg: Int): String = {
+    val schema = SnapshotStore.readSchema(spark, SnapshotStore.latest(root))
+    val f = schema.fields.find(_.name.equalsIgnoreCase(src)).getOrElse(
+      throw new IllegalArgumentException(
+        s"partition transform $kind($src) references missing column $src"))
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType, TimestampType}
+    kind match {
+      case "bucket" => ()
+      case "truncate" =>
+        require(f.dataType == StringType || f.dataType == LongType ||
+          f.dataType == IntegerType,
+          s"truncate($src) needs a string/integral column, got " +
+            f.dataType.simpleString)
+      case _ =>
+        require(f.dataType == TimestampType || f.dataType == DateType,
+          s"$kind($src) needs a timestamp/date column, got " +
+            f.dataType.simpleString)
+    }
+    val sp = SnapshotStore.TransformSpec(
+      s"${src.toLowerCase}_${if (kind == "truncate") "trunc" else kind}",
+      kind, src, arg,
+      tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    val sql = transformSql(sp, schema)
+    schema.fields.find(_.name.equalsIgnoreCase(sp.pcol)) match {
+      case Some(existing) =>
+        require(existing.metadata.contains(GenerationExprKey) &&
+          existing.metadata.getString(GenerationExprKey) == sql,
+          s"column ${sp.pcol} already exists and is not generated as $sql " +
+            "— a different transform over the same source derives the " +
+            "same name (re-bucketing with a new count needs a rename-free " +
+            "full rewrite)")
+      case None =>
+        SnapshotStore.alterSchema(spark, root, s =>
+          org.apache.spark.sql.types.StructType(s.fields :+
+            org.apache.spark.sql.types.StructField(sp.pcol,
+              transformType(sp, schema), nullable = true,
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putString(GenerationExprKey, sql).build())))
+        // NULL-tolerant consistency CHECK: pre-evolution rows read NULL
+        // (derive-on-write fills every row from here on; the read-side
+        // derived filters are null-safe, so NULL rows are never pruned)
+        SnapshotStore.addTableConstraint(spark, root, s"__gen_${sp.pcol}",
+          s"${sp.pcol} IS NULL OR (${sp.pcol} <=> ($sql))")
+    }
+    val specs = SnapshotStore.transformSpecs(root)
+    if (!specs.exists(_.pcol.equalsIgnoreCase(sp.pcol)))
+      SnapshotStore.writeTransformSpecs(root, specs :+ sp)
+    sp.pcol
+  }
+
   /** The derived column's generation SQL — also what reads re-evaluate
     * on literals to derive partition filters, so it must be a
     * deterministic, session-clock-free function of the source column.
@@ -1168,6 +1283,27 @@ object GraftCatalog {
     * 'merge-on-read')`. Default is copy-on-write.
     */
   val DmlModeProp = "dml.mode"
+
+  /** The OPAQUE user keys of a CREATE TABLE property map: everything
+    * except engine-interpreted keys (`cdc.keys`, `dml.mode`, `version` —
+    * consumed or refused by their own routes) and Spark's own
+    * reserved/internal table properties (`provider`, `location`, ... and
+    * the `option.` read-option prefix), which Spark injects into every
+    * CREATE and which are catalog plumbing, not user metadata.
+    */
+  private val SparkInternalProps: Set[String] = Set(
+    "provider", "location", "comment", "owner", "external", "path",
+    "is_managed_location", "format")
+
+  private[graft] def userPropertiesOf(
+      props: java.util.Map[String, String]): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    props.asScala.toSeq.filter { case (k, _) =>
+      val kl = k.toLowerCase
+      kl != DmlModeProp && !ReservedProps(kl) && !SparkInternalProps(kl) &&
+        !kl.startsWith("option.")
+    }.sortBy(_._1)
+  }
 
   /** Field-metadata key carrying a STORED generated column's expression
     * (our own key, not Spark's GENERATION_EXPRESSION, so Spark's analyzer
@@ -1558,8 +1694,32 @@ object GraftCatalog {
       override protected def run(in: InternalRow): InternalRow = {
         val spark = SparkSession.active
         val root = cat.tableRoot(in.getString(0))
+        // split on TOP-LEVEL commas only: `bucket(16, id), days(ts)` has
+        // commas inside the transform parens
+        def splitTop(s: String): Seq[String] = {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          val cur = new StringBuilder
+          var depth = 0
+          s.foreach {
+            case '(' => depth += 1; cur += '('
+            case ')' => depth -= 1; cur += ')'
+            case ',' if depth == 0 => out += cur.toString; cur.clear()
+            case c => cur += c
+          }
+          out += cur.toString
+          out.toSeq.map(_.trim).filter(_.nonEmpty)
+        }
         val cols = Option(in.getString(1)).map(_.trim).filter(_.nonEmpty)
-          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+          .map(splitTop).getOrElse(Nil)
+          .map(el => GraftCatalog.parseTransformText(el) match {
+            // a TRANSFORM element evolves the derived generated column
+            // in (metadata-only) before the era commit below —
+            // REPLACE PARTITION FIELD days(ts) → hours(ts) is
+            // `set_partition_spec('t', 'hours(ts)')`
+            case Right((kind, src, arg)) =>
+              GraftCatalog.evolvePartitionTransform(spark, root, kind, src, arg)
+            case Left(plain) => plain
+          })
         val snap = SnapshotStore.alterPartitionSpec(spark, root, cols)
         InternalRow(snap.version,
           SnapshotStore.readSpecs(snap.dataDir).size.toLong)

@@ -92,6 +92,43 @@ object MatView {
       }.toMap)
   }
 
+  // ---- the source→views index ----------------------------------------------
+  // `_mv_consumers` at the SOURCE root lists the MV roots maintained over
+  // it (one per line) — the O(1) discovery [[MvRewrite]] needs at plan
+  // time: a query over a 100 TB source must find its candidate views from
+  // one tiny sidecar read, never a directory sweep. Entries are hints,
+  // re-validated against each view's own `_mv_def` (a dropped view's
+  // dangling line is skipped); appends are create-time DDL, so the
+  // lost-update window of the read-modify-write is a non-racing surface.
+
+  private def consumersFile(srcRoot: String): java.nio.file.Path =
+    java.nio.file.Paths.get(srcRoot, "_mv_consumers")
+
+  private def recordConsumer(srcRoot: String, mvRoot: String): Unit =
+    synchronized {
+      val f = consumersFile(srcRoot)
+      val cur =
+        if (!java.nio.file.Files.exists(f)) Nil
+        else java.nio.file.Files.readString(f).linesIterator
+          .filter(_.nonEmpty).toSeq
+      if (!cur.contains(mvRoot))
+        java.nio.file.Files.writeString(f,
+          (cur :+ mvRoot).mkString("", "\n", "\n"))
+    }
+
+  /** The MV roots recorded over `srcRoot` whose definition still exists
+    * and still names it as an upstream (agg `src` or join leg).
+    */
+  private[graft] def consumersOf(srcRoot: String): Seq[String] = {
+    val f = consumersFile(srcRoot)
+    if (!java.nio.file.Files.exists(f)) Nil
+    else java.nio.file.Files.readString(f).linesIterator
+      .filter(_.nonEmpty).toSeq.distinct
+      .filter(mv => readDef(mv).exists(d =>
+        d.get("src").contains(srcRoot) || d.get("left").contains(srcRoot) ||
+          d.get("right").contains(srcRoot)))
+  }
+
   /** Refresh `mvRoot` AND every materialized view upstream of it, in
     * topological order (a diamond's shared upstream refreshes once — each
     * refresh is stamped, so a repeat visit would be a no-op anyway, and
@@ -380,6 +417,7 @@ object MatView {
     writeDef(mvRoot, Seq("kind" -> "agg", "src" -> srcRoot,
       "groups" -> groupCols.mkString(","), "value" -> valueCol,
       "aggs" -> aggs.mkString(",")))
+    recordConsumer(srcRoot, mvRoot)
     // the initial aggregate lands as a stamped transaction so refresh's
     // high-water mark starts at the snapshot it actually covers
     SnapshotStore.transact(spark, mvRoot,
@@ -702,6 +740,8 @@ object MatView {
       cdcKeys = viewKeys)
     writeDef(mvRoot, Seq("kind" -> "join", "left" -> leftRoot,
       "right" -> rightRoot, "keys" -> joinKeys.mkString(",")))
+    recordConsumer(leftRoot, mvRoot)
+    recordConsumer(rightRoot, mvRoot)
     if (buckets > 0)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(mvRoot, "_mv_buckets"), buckets.toString)

@@ -1,0 +1,244 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Expression, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, StddevSamp, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation, FileScan}
+
+/** AUTOMATIC MATERIALIZED-VIEW QUERY REWRITE — the piece that makes the
+  * incrementally-maintained views ([[MatView]]) transparent: an aggregate
+  * query whose shape matches a maintained view's definition scans the
+  * VIEW (one row per group) instead of re-aggregating the source. At
+  * 100 TB this is the difference between a dashboard query reading a few
+  * thousand pre-aggregated rows and re-shuffling the fact table — the
+  * rewrite real warehouses (Oracle MV rewrite, BigQuery/Redshift/
+  * Materialize) treat as the whole point of maintaining views.
+  *
+  * Soundness gates, all checked at PLAN time per candidate view:
+  *
+  *   - **Definition match**: the query's GROUP BY column set equals the
+  *     view's recorded groups (`_mv_def`), and every aggregate call maps
+  *     onto a column the view maintains (`count(*)` → `n_rows`,
+  *     `sum(v)` → `val_sum`, `avg(v)` → `val_avg`, `min/max(v)` →
+  *     `val_min`/`val_max`, `count(DISTINCT v)` → `val_distinct`,
+  *     `stddev_samp(v)` → `val_stddev`) with EXACTLY the original output
+  *     type — a near-miss (different value column, an aggregate the view
+  *     doesn't maintain, a FILTER clause, a type change) refuses and the
+  *     query keeps its direct plan.
+  *   - **Freshness pin**: the view's high-water stamp
+  *     (`lastTxnVersion(mv, graft-mv:src)`) must equal the source's
+  *     CURRENT version — a stale view (source advanced past the last
+  *     refresh) falls back to the direct scan, never serves old rows.
+  *     The check is two sidecar reads per candidate, metadata-plane.
+  *   - **Filter commutation**: residual predicates (user `WHERE`, or
+  *     filters the V2 scan already consumed — recovered from the
+  *     [[FileScan]], since dropping them would be wrong rows) must
+  *     reference GROUP columns only; σ over group columns commutes with
+  *     GROUP BY, so they re-apply on the view scan. A predicate on any
+  *     other column refuses.
+  *   - **Plain relation**: the source must be a [[GraftTable]] read at its
+  *     LATEST snapshot with no time travel, deletion vectors, renames, or
+  *     spanning specs — those shapes read through substituted plans where
+  *     this match no longer proves equality.
+  *
+  * The replacement splices the analyzed plan of `SnapshotStore.read(mv)`
+  * (a V1 parquet relation — FileSourceStrategy pushes the re-applied
+  * filters into its scan at planning) under a Project that aliases each
+  * view column back to the ORIGINAL output attribute ids, so the
+  * surrounding plan binds unchanged. Candidate discovery is O(1) per
+  * query: the source root's `_mv_consumers` sidecar (written at
+  * MatView.create) lists its views; entries re-validate against each
+  * view's own `_mv_def`.
+  *
+  * Disable with `spark.graft.mvRewrite.enabled=false` (session conf).
+  */
+object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  val EnabledKey = "spark.graft.mvRewrite.enabled"
+
+  private def enabled: Boolean =
+    SparkSession.getActiveSession
+      .forall(_.conf.get(EnabledKey, "true").toBoolean)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transform {
+      case agg @ Aggregate(grouping, result, child, _) =>
+        tryRewrite(grouping, result, child).getOrElse(agg)
+    }
+  }
+
+  /** The relation beneath `child` plus every predicate that must re-apply
+    * on the view (user Filters above the relation, and filters the V2
+    * scan consumed); None when the chain contains anything else.
+    */
+  private def unwrap(child: LogicalPlan):
+      Option[(GraftTable, Seq[Expression])] = child match {
+    case r: DataSourceV2Relation => r.table match {
+      case g: GraftTable => Some((g, Nil))
+      case _ => None
+    }
+    case sr: DataSourceV2ScanRelation => sr.relation.table match {
+      case g: GraftTable =>
+        val consumed = sr.scan match {
+          case fs: FileScan => fs.partitionFilters ++ fs.dataFilters
+          case _ => Nil
+        }
+        Some((g, consumed))
+      case _ => None
+    }
+    case Filter(cond, inner) => unwrap(inner).map { case (g, fs) =>
+      (g, fs ++ splitConjunctivePredicates(cond))
+    }
+    case Project(projList, inner) if projList.forall(_.isInstanceOf[Attribute]) =>
+      unwrap(inner)
+    case _ => None
+  }
+
+  private def tryRewrite(grouping: Seq[Expression],
+      result: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+    // global aggregates (no GROUP BY) emit one row even over an empty
+    // source; the view has no row for that — never rewrite them
+    if (grouping.isEmpty) return None
+    val groupAttrs = grouping.map {
+      case a: AttributeReference => a
+      case _ => return None // expression grouping keys: direct plan
+    }
+    val (table, consumed) = unwrap(child).getOrElse(return None)
+    if (table.isPinned || table.hasDeletionVector || table.hasRenames ||
+      table.hasEvolvedSpecs) return None
+    val spark = SparkSession.active
+    val srcRoot = table.storeRoot
+    // reading the LATEST snapshot only: a cached relation pinned behind
+    // the head must not serve the (newer) view
+    val latestSrc =
+      try SnapshotStore.latest(srcRoot)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    if (latestSrc.dataDir != table.snapDataDir) return None
+    val groupNames = groupAttrs.map(_.name.toLowerCase)
+    if (groupNames.distinct.length != groupNames.length) return None
+    // every predicate must reference group columns only (σ on group cols
+    // commutes with GROUP BY; anything else cannot serve from the view)
+    val groupIds = groupAttrs.map(_.exprId).toSet
+    if (!consumed.forall(_.references.forall(a => groupIds(a.exprId))))
+      return None
+
+    MatView.consumersOf(srcRoot).iterator.flatMap { mvRoot =>
+      rewriteAgainst(spark, mvRoot, srcRoot, latestSrc.version, groupAttrs,
+        groupNames, result, consumed)
+    }.nextOption()
+  }
+
+  private def rewriteAgainst(spark: SparkSession, mvRoot: String,
+      srcRoot: String, srcVersion: Long, groupAttrs: Seq[AttributeReference],
+      groupNames: Seq[String], result: Seq[NamedExpression],
+      consumed: Seq[Expression]): Option[LogicalPlan] = {
+    val d = MatView.readDef(mvRoot).getOrElse(return None)
+    if (!d.get("kind").contains("agg") || !d.get("src").contains(srcRoot))
+      return None
+    val mvGroups = d.getOrElse("groups", "").split(",").toSeq
+      .map(_.trim.toLowerCase).filter(_.nonEmpty)
+    if (mvGroups.sorted != groupNames.sorted) return None
+    val valueCol = d.getOrElse("value", "").toLowerCase
+    val aggs = d.getOrElse("aggs", "").split(",").toSeq.map(_.trim).toSet
+    // freshness: the view must cover the source's CURRENT version
+    val covered =
+      try SnapshotStore.lastTxnVersion(mvRoot, MatView.appIdFor(srcRoot))
+      catch { case scala.util.control.NonFatal(_) => return None }
+    if (!covered.contains(srcVersion)) return None
+
+    val mvRead =
+      try SnapshotStore.read(spark, SnapshotStore.latest(mvRoot))
+        .queryExecution.analyzed
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val mvByName = mvRead.output.map(a => a.name.toLowerCase -> a).toMap
+    def mvCol(name: String): Option[Attribute] = mvByName.get(name)
+
+    // one aggregate call → the view column holding exactly its value
+    def mapAgg(ae: AggregateExpression): Option[Attribute] = {
+      if (ae.filter.nonEmpty) return None
+      ae.aggregateFunction match {
+        case Count(Seq(l: org.apache.spark.sql.catalyst.expressions.Literal))
+            if !ae.isDistinct && l.value != null =>
+          mvCol("n_rows")
+        case Count(Seq(a: AttributeReference))
+            if ae.isDistinct && a.name.toLowerCase == valueCol &&
+              aggs("count_distinct") =>
+          mvCol("val_distinct")
+        case s: Sum if !ae.isDistinct => s.child match {
+          case a: AttributeReference if a.name.toLowerCase == valueCol =>
+            mvCol("val_sum")
+          case _ => None
+        }
+        case av: Average if !ae.isDistinct && aggs("avg") => av.child match {
+          case a: AttributeReference if a.name.toLowerCase == valueCol =>
+            mvCol("val_avg")
+          case _ => None
+        }
+        case Min(a: AttributeReference)
+            if a.name.toLowerCase == valueCol && aggs("min") =>
+          mvCol("val_min")
+        case Max(a: AttributeReference)
+            if a.name.toLowerCase == valueCol && aggs("max") =>
+          mvCol("val_max")
+        case sd: StddevSamp if aggs("stddev") => sd.child match {
+          case a: AttributeReference if a.name.toLowerCase == valueCol =>
+            mvCol("val_stddev")
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+
+    val groupIdToMv: Map[Long, Attribute] = groupAttrs.flatMap(a =>
+      mvCol(a.name.toLowerCase).map(m => a.exprId.id -> m)).toMap
+    if (groupIdToMv.size != groupAttrs.length) return None
+
+    // rebuild each output expression over the view's columns; any
+    // unmapped aggregate or non-grouping attribute refuses the rewrite
+    def rebuild(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression =>
+        mapAgg(ae).filter(m =>
+          org.apache.spark.sql.types.DataType.equalsStructurally(
+            m.dataType, ae.dataType, ignoreNullability = true))
+      case a: AttributeReference => groupIdToMv.get(a.exprId.id)
+      case other =>
+        val kids = other.children.map(rebuild)
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+    }
+
+    val projected: Seq[NamedExpression] = result.map {
+      case al @ Alias(inner, name) =>
+        rebuild(inner).map(r =>
+          Alias(r, name)(exprId = al.exprId, qualifier = al.qualifier))
+          .getOrElse(return None)
+      case a: AttributeReference =>
+        groupIdToMv.get(a.exprId.id).map(m =>
+          Alias(m, a.name)(exprId = a.exprId, qualifier = a.qualifier))
+          .getOrElse(return None)
+      case _ => return None
+    }
+
+    // group-column predicates re-applied on the view scan (rebound by name)
+    val rebased: Option[Expression] = {
+      def rebind(e: Expression): Option[Expression] = e match {
+        case a: AttributeReference => mvCol(a.name.toLowerCase)
+        case other =>
+          val kids = other.children.map(rebind)
+          if (kids.exists(_.isEmpty)) None
+          else Some(other.withNewChildren(kids.map(_.get)))
+      }
+      if (consumed.isEmpty) None
+      else {
+        val all = consumed.map(rebind)
+        if (all.exists(_.isEmpty)) return None
+        Some(all.flatten.reduce(And))
+      }
+    }
+    val filtered = rebased.map(Filter(_, mvRead)).getOrElse(mvRead)
+    Some(Project(projected, filtered))
+  }
+}

@@ -324,6 +324,33 @@ object SnapshotStore {
     case None => Files.deleteIfExists(constraintsFile(root)); ()
   }
 
+  /** Restore ONLY the `names`-matched constraints to their `saved` state,
+    * leaving every other entry of the CURRENT sidecar intact — the
+    * wholesale byte restore above would silently discard a concurrent
+    * session's ADD/DROP CONSTRAINT landing between the snapshot and a
+    * failed ALTER's restore (a lost update that quietly drops an enforced
+    * constraint). Names match case-insensitively (engine constraint names
+    * derive from column names, which the catalog matches that way).
+    */
+  private[graft] def restoreConstraintsNamed(root: String,
+      saved: Option[String], names: Set[String]): Unit = {
+    if (names.isEmpty) return
+    val lower = names.map(_.toLowerCase)
+    def touched(n: String): Boolean = lower(n.toLowerCase)
+    val savedTouched = saved.toSeq.flatMap(_.linesIterator)
+      .filter(_.nonEmpty).map { l =>
+        val Array(n, sql) = l.split("\t", 2); (n, sql)
+      }.filter(e => touched(e._1))
+    val restored = tableConstraints(root).filterNot(e => touched(e._1)) ++
+      savedTouched
+    if (restored.isEmpty) { Files.deleteIfExists(constraintsFile(root)); () }
+    else {
+      Files.writeString(constraintsFile(root),
+        restored.map { case (n, s) => s"$n\t$s" }.mkString("", "\n", "\n"))
+      ()
+    }
+  }
+
   /** Drop a named CHECK constraint; returns whether it existed. */
   def dropTableConstraint(root: String, name: String): Boolean = {
     val existing = tableConstraints(root)
@@ -566,8 +593,47 @@ object SnapshotStore {
     * (a merely EQUAL mark is the legitimate one-source-ahead shape and
     * proceeds).
     */
+  /** Write-side timezone invariant for hidden time partitioning: the
+    * time transforms (day/month/year/hour) bucket by a timezone-DEPENDENT
+    * function, evaluated by the writer's generation SQL under ITS session
+    * zone — while read-side filter derivation is pinned to the CREATE-time
+    * zone ([[TransformSpec.tz]]). A writer in a different zone would land
+    * rows in directories the derivation doesn't expect, and a reader in
+    * the create zone would then silently prune directories holding
+    * matching rows (missing results). Refuse loudly instead — the same
+    * idiom as every other silent-wrongness hazard. bucket/truncate are
+    * zone-free and never refuse.
+    */
+  private def requireWriterTz(root: String): Unit = {
+    val tzSpecs = transformSpecs(root)
+      .filter(sp => sp.kind != "bucket" && sp.kind != "truncate")
+    if (tzSpecs.nonEmpty) {
+      // the ACTIVE session's conf, not SQLConf.get: commit paths run on
+      // driver threads where the thread-local SQLConf may be the fallback
+      // (JVM-default zone), which would silently pass a mismatched writer
+      val session = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sessionState.conf.sessionLocalTimeZone)
+        .getOrElse(
+          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      val bad = tzSpecs.filter(_.tz != session)
+      require(bad.isEmpty,
+        s"cannot write to $root: time partition transform(s) " +
+          bad.map(sp => s"${sp.kind}(${sp.src})").mkString(", ") +
+          s" bucket under the create-time session timezone " +
+          s"'${bad.headOption.fold("?")(_.tz)}' but this writer's session " +
+          s"timezone is '$session' — generated partition values would land " +
+          "in directories the read-side filter derivation (pinned to the " +
+          "create-time zone) silently prunes; set " +
+          s"spark.sql.session.timeZone = '${bad.headOption.fold("?")(_.tz)}' " +
+          "to write to this table")
+    }
+  }
+
   private def stampGuard(root: String, txns: Seq[Txn],
       pinCheck: () => Boolean): Boolean = {
+    // every data-staging commit funnels through this guard (the metadata
+    // alterSchema loop does not — ALTERs stay legal from any zone)
+    requireWriterTz(root)
     if (txns.nonEmpty) {
       val marks = lastTxnVersions(root, txns.map(_.appId).toSet)
       if (txns.forall(t => marks.get(t.appId).exists(_ >= t.version)))
@@ -1570,8 +1636,27 @@ object SnapshotStore {
     org.apache.spark.sql.types.StructType(updated ++ added)
   }
 
+  /** Rename a (possibly nested, dotted-path) field of `s` to `newLeaf`,
+    * keeping its position/type/metadata — the schema-side image of one
+    * branch-staged rename leg, used to express the fork base in the
+    * branch's names when classifying a rename+evolution combo.
+    */
+  private def renameInSchema(s: org.apache.spark.sql.types.StructType,
+      oldPath: Seq[String], newLeaf: String):
+      org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.map { f =>
+      if (!f.name.equalsIgnoreCase(oldPath.head)) f
+      else if (oldPath.length == 1) f.copy(name = newLeaf)
+      else f.dataType match {
+        case st: org.apache.spark.sql.types.StructType =>
+          f.copy(dataType = renameInSchema(st, oldPath.tail, newLeaf))
+        case _ => f
+      }
+    })
+
   private def rebasePublish(spark: SparkSession, root: String, name: String,
-      br: String, baseV: Long, head: Snapshot, cur: Snapshot): Snapshot = {
+      br: String, baseV: Long, head: Snapshot, cur: Snapshot,
+      baseSchemaOverride: Option[org.apache.spark.sql.types.StructType] = None): Snapshot = {
     import org.apache.spark.sql.functions.col
     def refuse(why: String): Nothing = throw new IllegalArgumentException(
       s"$root advanced past branch '$name''s fork base (forked at $baseV, " +
@@ -1607,14 +1692,13 @@ object SnapshotStore {
     // schema delta to classify, or the VACUUM-fallback diff) — a vacuumed
     // base must not fail a rebase that never touches it
     lazy val baseSnap = at(root, baseV)
-    lazy val baseSchema = {
+    lazy val baseSchema = baseSchemaOverride.getOrElse {
       if (!baseIntact) refuse("the fork-base snapshot was expired (VACUUM); " +
         "the branch's schema delta cannot be classified against it")
       readSchema(spark, baseSnap)
     }
     val headSchema = readSchema(spark, head)
     val curSchema = readSchema(spark, cur)
-    if (feedRenames(br).nonEmpty) refuse("the branch staged RENAME COLUMN")
     def fileStr(p: Path): String =
       if (Files.exists(p)) Files.readString(p) else ""
     if (fileStr(partitionsFile(br)) != fileStr(partitionsFile(root)))
@@ -1652,6 +1736,58 @@ object SnapshotStore {
             s"$k=$v" }.mkString(", ")}): overlapping edits cannot replay " +
           "soundly")
     }
+    // ---- branch-staged RENAME COLUMN replays (round 17) -------------------
+    // A rename is METADATA-ONLY under the sidecar-chain design (files keep
+    // their physical names; reads coalesce down the chain), so rebasing it
+    // onto the advanced head = committing the SAME metadata-only ALTER
+    // there: interim rows written under the old physical name resolve
+    // through the chain exactly like any pre-rename file (the mixed-era
+    // read rule). Refusals, all BEFORE anything mutates the source: a
+    // renamed CDC key (the keyed replay's own addressing), interim schema
+    // drift (the audit never saw it), and the key-overlap proof. Renames
+    // apply SEQUENTIALLY in branch-version order so multi-hop chains
+    // (a→b, then b→c) re-key one leg at a time, then the publish recurses
+    // into the now-rename-free shape (additive evolution, if also staged,
+    // composes on the next pass).
+    // branch feed starts empty at fork, so its log is exactly the staged
+    // set; legs already present in the ROOT's log were replayed by an
+    // earlier pass of this very publish (the recursion after the ALTER)
+    val rootLegs = feedRenames(root)
+      .map { case (_, o, n) => (o.toLowerCase, n.toLowerCase) }.toSet
+    val branchRenames = feedRenames(br).filter { case (_, o, n) =>
+      !rootLegs((o.toLowerCase, n.toLowerCase)) }
+    if (branchRenames.nonEmpty) {
+      val keySet = keys.map(_.toLowerCase).toSet
+      branchRenames.foreach { case (_, o, n) =>
+        if (keySet(o.toLowerCase) || keySet(n.toLowerCase))
+          refuse(s"the branch renamed CDC key column $o -> $n — the keyed " +
+            "replay addresses rows by exactly that key")
+      }
+      if (shape(curSchema) != shape(baseSchema))
+        refuse("the interim commits changed the source schema while the " +
+          "branch staged RENAME COLUMN")
+      refuseOnKeyClash(netChanges(spark, br, 1L, head.version, keys)
+        .select(keys.map(col): _*).distinct())
+      // the recursion classifies any ALSO-staged additive evolution
+      // against the fork base AS THE BRANCH NAMES IT — without the
+      // override, our own just-committed rename would read as "interim
+      // schema drift" and refuse a sound combo
+      val renamedBase = branchRenames.sortBy(_._1)
+        .foldLeft(baseSchema) { case (acc, (_, o, n)) =>
+          renameInSchema(acc, o.split("\\.").toSeq, n.split("\\.").last)
+        }
+      // classify the WHOLE remaining delta before any ALTER lands: a
+      // branch that renamed AND dropped/narrowed must refuse with the
+      // source untouched (a refused publish never mutates the source)
+      if (shape(renamedBase) != shape(headSchema))
+        additiveDeltaRefusal(renamedBase, headSchema).foreach(refuse)
+      branchRenames.sortBy(_._1).foreach { case (_, o, n) =>
+        alterSchema(spark, root, identity, renames = Map(n -> o))
+      }
+      return rebasePublish(spark, root, name, br, baseV, head, latest(root),
+        baseSchemaOverride = Some(renamedBase))
+    }
+
     if (shape(curSchema) != shape(headSchema)) {
       // the sides disagree on schema. Interim evolution refuses (the
       // audit never saw those columns); branch-staged ADDITIVE evolution
@@ -1671,7 +1807,8 @@ object SnapshotStore {
         netChanges(spark, br, 1L, head.version, keys)
           .select(keys.map(col): _*).distinct())
       alterSchema(spark, root, s => evolveOnto(s, headSchema))
-      return rebasePublish(spark, root, name, br, baseV, head, latest(root))
+      return rebasePublish(spark, root, name, br, baseV, head, latest(root),
+        baseSchemaOverride = Some(headSchema))
     }
     // the branch's squash diff vs its fork base, netted from the BRANCH's
     // own change feed — O(staged change volume), never a two-snapshot
@@ -1907,7 +2044,13 @@ object SnapshotStore {
               (col("__graft_mid") % lit(1L << 33)))).cast(idType)))
           .drop("__graft_mid", "__pid", "__off")
         val have = assigned.columns.map(_.toLowerCase).toSet
-        base.schema.fields.toIndexedSeq.map { f =>
+        // pinned-schema metadata overlay — same stripping hazard as
+        // append's aligned (partitioned read-back loses field metadata)
+        val pinnedMeta = readSchema(spark, latest(root)).fields
+          .map(f => f.name.toLowerCase -> f.metadata).toMap
+        base.schema.fields.toIndexedSeq.map { f0 =>
+          val f = f0.copy(metadata =
+            pinnedMeta.getOrElse(f0.name.toLowerCase, f0.metadata))
           columnFor(f, have(f.name.toLowerCase)).cast(f.dataType).as(f.name)
         } match { case cols => assigned.select(cols: _*) }
       }
@@ -2140,7 +2283,16 @@ object SnapshotStore {
         base.columns.exists(_.equalsIgnoreCase(c)))
       require(extra.isEmpty,
         s"appended columns not in table: ${extra.mkString(", ")}")
-      base.schema.fields.toIndexedSeq.map { f =>
+      // field METADATA from the PINNED table schema, never the read-back
+      // frame: a partitioned read-back strips field metadata (the file
+      // source rebuilds partition-column attributes bare), which would
+      // silently skip generated-column derivation / column DEFAULTs on
+      // every append after the first into a hidden-partitioned table
+      val pinnedMeta = readSchema(spark, latest(root)).fields
+        .map(f => f.name.toLowerCase -> f.metadata).toMap
+      base.schema.fields.toIndexedSeq.map { f0 =>
+        val f = f0.copy(metadata =
+          pinnedMeta.getOrElse(f0.name.toLowerCase, f0.metadata))
         columnFor(f, have(f.name.toLowerCase)).cast(f.dataType).as(f.name)
       } match { case cols => rows.select(cols: _*) }
     }
@@ -2762,6 +2914,32 @@ object SnapshotStore {
   /** Distributed write of a candidate snapshot to a fresh immutable dir.
     * Unreachable by readers until a commit file points at it.
     */
+  /** The staged frame's names/types with top-level field METADATA overlaid
+    * from the table's current pinned schema. Read-back frames and aliased
+    * transforms STRIP field metadata (the file source rebuilds
+    * partition-column attributes bare; `Alias` of a non-named child has
+    * none), so a successor pin taken verbatim from them would silently
+    * drop generation expressions / column DEFAULTs / identity specs —
+    * after which the next INSERT pads NULL where it should derive or
+    * default. Only EMPTY metadata fills in (a transform that set explicit
+    * metadata wins); nested metadata is not carried (the engine's specs
+    * are all top-level).
+    */
+  private def mergePinnedMetadata(spark: SparkSession, root: String,
+      written: org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.types.StructType = {
+    // init's v0 staging has no prior commit — nothing to merge from
+    val baseMeta = (try Some(readSchema(spark, latest(root)))
+      catch { case _: IllegalStateException => None })
+      .map(_.fields.map(f => f.name.toLowerCase -> f.metadata).toMap)
+      .getOrElse(Map.empty[String, org.apache.spark.sql.types.Metadata])
+    org.apache.spark.sql.types.StructType(written.fields.map { f =>
+      if (f.metadata == org.apache.spark.sql.types.Metadata.empty)
+        f.copy(metadata = baseMeta.getOrElse(f.name.toLowerCase, f.metadata))
+      else f
+    })
+  }
+
   private def stage(root: String, df: DataFrame): String =
     stage(root, df, partitionCols(root))
 
@@ -2784,8 +2962,10 @@ object SnapshotStore {
     // dirs: field METADATA (column DEFAULT values, identity specs) does
     // not survive parquet-footer inference, so a post-ALTER write that
     // relied on inference would silently drop the table's defaults for
-    // every later INSERT. The pinned schema is exactly what was written.
-    Files.writeString(Paths.get(dir, "_schema.json"), df.schema.json)
+    // every later INSERT. The written names/types pin as-is; metadata
+    // merges from the current pin (see [[mergePinnedMetadata]]).
+    Files.writeString(Paths.get(dir, "_schema.json"),
+      mergePinnedMetadata(df.sparkSession, root, df.schema).json)
     dir
   }
 
@@ -3308,6 +3488,22 @@ object SnapshotStore {
       org.apache.spark.sql.GraftSqlShim.column(
         graft.plans.InterleaveBits(ranks(0), ranks(1)))
     }
+    // evolved-transform backfill: a metadata-only partition-transform
+    // evolution (set_partition_spec('t', 'hours(ts)') on a days(ts)
+    // table) leaves pre-evolution rows with NULL in the new GENERATED
+    // column — they predate it. The migrating OPTIMIZE is the one full
+    // rewrite in such a table's lifetime, so it fills the derivation
+    // here: afterwards derived-filter pruning covers EVERY row (no
+    // __HIVE_DEFAULT_PARTITION__ escape dir). Stored non-null values
+    // pass through untouched (their __gen_ CHECK pinned them equal).
+    def withGen(df: DataFrame): DataFrame =
+      readSchema(spark, latest(root)).fields
+        .filter(f => f.metadata.contains(GraftCatalog.GenerationExprKey) &&
+          df.columns.exists(_.equalsIgnoreCase(f.name)))
+        .foldLeft(df)((acc, f) => acc.withColumn(f.name,
+          org.apache.spark.sql.functions.coalesce(col(f.name),
+            expr(f.metadata.getString(GraftCatalog.GenerationExprKey))
+              .cast(f.dataType))))
     def repack(df: DataFrame): DataFrame = {
       val n = df.count()
       val parts = math.max(1, ((n + targetRows - 1) / targetRows).toInt)
@@ -3343,12 +3539,13 @@ object SnapshotStore {
           s"partition-scoped optimize requires a partitioned table ($root)")
         transactPartialWithChanges(spark, root)(
           base => base.filter(expr(pred)))(touched =>
-          (repack(touched),
+          (repack(withGen(touched)),
             touched.limit(0).withColumn(ChangeTypeCol, lit("insert"))))
       case None =>
         // bloom sizing: after bin-packing each file holds ~targetRows rows
         transact(spark, root, statsCols = statsCols, bloomCols = bloomCols,
-          bloomExpectedItems = math.max(targetRows, 1000L))(repack)
+          bloomExpectedItems = math.max(targetRows, 1000L))(
+          df => repack(withGen(df)))
     }
   }
 
@@ -3786,7 +3983,10 @@ object SnapshotStore {
           .filter(_.endsWith(".parquet")).toSeq
         finally w.close()
       }
-      Files.writeString(dir.resolve("_schema.json"), baseDf.schema.json)
+      // names/types from the linked layout's read, metadata from the
+      // base pin — the read-back strips it (see mergePinnedMetadata)
+      Files.writeString(dir.resolve("_schema.json"),
+        mergePinnedMetadata(spark, root, baseDf.schema).json)
       stagedHook(dir.toString) // e.g. the identity high-water mark
       carryStateSidecars(base.dataDir, dir.toString)
       carryRenames(base.dataDir, dir.toString)

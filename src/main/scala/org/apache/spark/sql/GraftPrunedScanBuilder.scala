@@ -137,6 +137,17 @@ object GraftPrunedScanBuilder {
       if (!tzOk) Nil
       else schema.fields.find(_.name.equalsIgnoreCase(sp.pcol)).toSeq.flatMap { pf =>
         val pAttr = AttributeReference(pf.name, pf.dataType)()
+        // NULL-SAFE derivation (round 17 — partition-TRANSFORM evolution):
+        // rows written before the derived column existed (an era evolved
+        // from days(ts) to hours(ts), or a table evolved from identity
+        // layout) store NULL in it — both in old-era files (null-filled at
+        // read) and in a post-OPTIMIZE `__HIVE_DEFAULT_PARTITION__` dir.
+        // A bare derived predicate would silently drop those rows (wrong
+        // results); OR IS NULL keeps them everywhere while non-null dirs
+        // still prune. Single-era tables derive non-null values on every
+        // row, so their pruning is unchanged.
+        def nullSafe(e: Expression): Expression =
+          Or(e, org.apache.spark.sql.catalyst.expressions.IsNull(pAttr))
         val mono = sp.kind != "bucket"
         def src(a: Expression): Boolean = a match {
           case ar: Attribute => ar.name.equalsIgnoreCase(sp.src)
@@ -181,7 +192,7 @@ object GraftPrunedScanBuilder {
             if (ps.nonEmpty && ps.forall(_.isDefined))
               Some(In(pAttr, ps.flatten.distinct)) else None
           case _ => None
-        }
+        }.map(nullSafe)
       }
     }
 

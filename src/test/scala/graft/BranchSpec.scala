@@ -458,4 +458,61 @@ class BranchSpec extends SparkSpec {
     spark.sql("CALL graft.system.drop_branch('wapt', 'release')")
     assert(SnapshotStore.branches(s"$wh/wapt").isEmpty)
   }
+
+  test("rebase publish replays branch-staged RENAMEs; CDC-key renames refuse") {
+    val root = tmp("graft_br_renreb")
+    SnapshotStore.init(spark, root,
+      (1L to 20L).map(i => (i, i * 10L, s"g${i % 2}")).toDF("id", "sal", "g"),
+      cdcKeys = Seq("id"))
+    SnapshotStore.createBranch(spark, root, "rn")
+    val br = SnapshotStore.branchRoot(root, "rn")
+    SnapshotStore.alterSchema(spark, br, identity,
+      renames = Map("salary" -> "sal"))
+    SqlDml.execute(spark, "UPDATE t SET salary = salary + 1 WHERE id <= 5",
+      Map("t" -> br))
+    // live ingest mid-audit: the source ADVANCES (old column name) — the
+    // publish must take the rebase path, not the fast path
+    SnapshotStore.append(spark, root,
+      Seq((100L, 990L, "g0")).toDF("id", "sal", "g"))
+    val pub = SnapshotStore.publishBranch(spark, root, "rn")
+    assert(pub.version == 3L, s"rename-ALTER + replay expected, got $pub")
+    val got = SnapshotStore.read(spark, root)
+      .select($"id", $"salary").as[(Long, Long)].collect().toMap
+    val want = ((1L to 20L).map(i =>
+      i -> (i * 10 + (if (i <= 5) 1 else 0))) :+ (100L -> 990L)).toMap
+    assert(got == want, s"$got")
+    // the interim row (physical 'sal') resolves through the chain
+    assert(got(100L) == 990L)
+    // the source's feed spans the rename: pre-publish frames read under
+    // the NEW name
+    val spanned = SnapshotStore.changes(spark, root, 1L, pub.version)
+      .filter(col(SnapshotStore.CommitVersionCol) === 1L)
+      .select($"salary").as[Long].collect().toSeq
+    assert(spanned == Seq(990L), s"$spanned")
+    // a branch that renamed the CDC KEY refuses on the rebase path (the
+    // keyed replay addresses rows by exactly that key)
+    SnapshotStore.createBranch(spark, root, "kr")
+    SnapshotStore.alterSchema(spark, SnapshotStore.branchRoot(root, "kr"),
+      identity, renames = Map("pk" -> "id"))
+    SnapshotStore.append(spark, root,
+      Seq((101L, 991L, "g1")).toDF("id", "salary", "g"))
+    val e = intercept[IllegalArgumentException](
+      SnapshotStore.publishBranch(spark, root, "kr"))
+    assert(e.getMessage.contains("CDC key"), e.getMessage)
+    // drops/narrowing staged alongside a rename STILL refuse (the rename
+    // replay must not have widened the refusal surface)
+    SnapshotStore.createBranch(spark, root, "mix")
+    val mix = SnapshotStore.branchRoot(root, "mix")
+    SnapshotStore.alterSchema(spark, mix, identity,
+      renames = Map("grp" -> "g"))
+    SnapshotStore.alterSchema(spark, mix, sch =>
+      org.apache.spark.sql.types.StructType(
+        sch.fields.filterNot(_.name == "salary")))
+    SnapshotStore.append(spark, root,
+      Seq((102L, 992L, "g0")).toDF("id", "salary", "g"))
+    val e2 = intercept[IllegalArgumentException](
+      SnapshotStore.publishBranch(spark, root, "mix"))
+    assert(e2.getMessage.contains("dropped") ||
+      e2.getMessage.contains("renamed"), e2.getMessage)
+  }
 }

@@ -508,4 +508,40 @@ class DvSpec extends SparkSpec {
     assert(s1.version == s2.version, "replay must not double-apply")
     assert(SnapshotStore.read(spark, root).count() == 39)
   }
+
+  test("DV read conforms pruned MAP value structs (nested pruning of map types)") {
+    // Spark's nested schema pruning can narrow a MapType's VALUE struct;
+    // the substitute's output conformance must reshape through the
+    // higher-order map transforms instead of refusing at planning
+    val wh = Files.createTempDirectory("graft_dv_map").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    GraftExtensions.install(spark)
+    spark.sql(
+      """CREATE TABLE graft.mp (id BIGINT,
+        |  m MAP<STRING, STRUCT<a: BIGINT, b: STRING, c: DOUBLE>>)
+        |TBLPROPERTIES ('dml.mode' = 'merge-on-read')""".stripMargin)
+    (1L to 50L).toDF("id")
+      .withColumn("m", map(lit("k"),
+        struct($"id".as("a"), concat(lit("s"), $"id").as("b"),
+          ($"id" * 1.5).as("c"))))
+      .createOrReplaceTempView("mp_src")
+    spark.sql("INSERT INTO graft.mp SELECT id, m FROM mp_src")
+    spark.sql("DELETE FROM graft.mp WHERE id % 5 = 0")
+    assert(hasDv(SnapshotStore.latest(s"$wh/mp").dataDir))
+    // projection reads ONE field of the map's value struct — the shape
+    // that narrows the map value type under nested pruning
+    val got = spark.sql(
+      "SELECT id, m['k'].a AS a FROM graft.mp WHERE id <= 10 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (1L to 10L).filterNot(_ % 5 == 0).map(i => (i, i)),
+      got.toString)
+    // two fields of three, plus the full map, both stay consistent
+    assert(spark.sql("SELECT sum(m['k'].a) FROM graft.mp").head().getLong(0) ==
+      (1L to 50L).filterNot(_ % 5 == 0).sum)
+    val full = spark.sql("SELECT m FROM graft.mp WHERE id = 7").head()
+      .getMap[String, org.apache.spark.sql.Row](0)
+    assert(full("k").getAs[String]("b") == "s7")
+    spark.sql("DROP TABLE graft.mp")
+  }
 }

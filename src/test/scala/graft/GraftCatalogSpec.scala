@@ -2129,4 +2129,98 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT CAST(sum(v) AS BIGINT) FROM graft.zt")
       .head().getLong(0) == (0L until 200000L).sum)
   }
+
+  test("CREATE TABLE TBLPROPERTIES: opaque user properties persist from CREATE") {
+    wh
+    spark.sql("CREATE TABLE graft.cprops (id BIGINT) TBLPROPERTIES " +
+      "('team' = 'data-eng', 'purpose' = 'staging', 'cdc.keys' = 'id')")
+    def props: Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array.empty[String], "cprops"))
+        .properties().asScala.toMap
+    }
+    // CREATE-time opaque keys serve back, same as ALTER SET TBLPROPERTIES
+    assert(props.get("team").contains("data-eng"), props.toString)
+    assert(props.get("purpose").contains("staging"))
+    // engine keys routed to their own config, NOT the opaque sidecar
+    assert(props.get("cdc.keys").contains("id"))
+    assert(SnapshotStore.tableProperties(s"$wh/cprops") ==
+      Map("team" -> "data-eng", "purpose" -> "staging"),
+      "engine/Spark-reserved keys must not leak into the user sidecar")
+    // and they compose with later ALTERs
+    spark.sql("ALTER TABLE graft.cprops SET TBLPROPERTIES ('team' = 'ml')")
+    assert(props.get("team").contains("ml"))
+    assert(props.get("purpose").contains("staging"))
+  }
+
+  test("hidden time partitioning refuses writes from a different session timezone") {
+    wh
+    spark.sql(
+      """CREATE TABLE graft.hptz (id BIGINT, ts TIMESTAMP, v BIGINT)
+        |PARTITIONED BY (days(ts))""".stripMargin)
+    spark.sql("INSERT INTO graft.hptz (id, ts, v) VALUES " +
+      "(1, timestamp'2024-03-01 12:00:00', 10)")
+    // second append must re-derive the generated column from the PINNED
+    // schema metadata (the read-back frame strips it) — regression guard
+    // for the metadata-overlay fix in SnapshotStore.append
+    spark.sql("INSERT INTO graft.hptz (id, ts, v) VALUES " +
+      "(9, timestamp'2024-03-09 08:00:00', 90)")
+    assert(spark.sql("SELECT count(*) FROM graft.hptz " +
+      "WHERE ts >= timestamp'2024-03-09 00:00:00'").head().getLong(0) == 1L)
+    // a zone-shifted writer would bucket rows into day dirs the
+    // create-zone reader's derived filters silently prune — refuse loudly
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val e = intercept[Exception](spark.sql(
+        "INSERT INTO graft.hptz (id, ts, v) VALUES " +
+          "(2, timestamp'2024-03-01 23:30:00', 20)"))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("session timezone")), e.getMessage)
+      // zone-FREE transforms (bucket/truncate) keep writing from any zone
+      spark.sql(
+        """CREATE TABLE graft.hptz2 (id BIGINT, v BIGINT)
+          |PARTITIONED BY (bucket(4, id))""".stripMargin)
+      spark.sql("INSERT INTO graft.hptz2 (id, v) VALUES (1, 10)")
+      assert(spark.sql("SELECT count(*) FROM graft.hptz2").head().getLong(0) == 1L)
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // back in the create zone, writes resume
+    spark.sql("INSERT INTO graft.hptz (id, ts, v) VALUES " +
+      "(3, timestamp'2024-03-02 01:00:00', 30)")
+    assert(spark.sql("SELECT count(*) FROM graft.hptz").head().getLong(0) == 3L)
+  }
+
+  test("failed ALTER restores ONLY its own constraint cascades, keeping concurrent edits") {
+    wh
+    spark.sql("CREATE TABLE graft.crestore (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.crestore VALUES (1, 10), (2, NULL)")
+    val root = s"$wh/crestore"
+    spark.sql("ALTER TABLE graft.crestore ADD CONSTRAINT keep CHECK (id > 0)")
+    // the hazard, simulated at the store level: an ALTER snapshots the
+    // sidecar, a CONCURRENT session's ADD CONSTRAINT lands, then the
+    // ALTER fails and restores — the wholesale byte restore would discard
+    // 'fresh'; the scoped restore only reconciles the ALTER's own names
+    val saved = SnapshotStore.snapshotConstraints(root)
+    SnapshotStore.addTableConstraint(spark, root, "fresh", "v IS NULL OR v >= 0")
+    SnapshotStore.dropTableConstraint(root, "keep") // the ALTER's own cascade
+    SnapshotStore.restoreConstraintsNamed(root, saved, Set("keep"))
+    val names = SnapshotStore.tableConstraints(root).map(_._1).toSet
+    assert(names("keep"), s"ALTER's own cascade must restore: $names")
+    assert(names("fresh"), s"concurrent edit must survive the restore: $names")
+    // end-to-end: a SET NOT NULL that fails validation (existing NULLs)
+    // leaves the sidecar exactly as it was (both constraints intact) —
+    // through the TableCatalog API, the surface the SQL analyzer allows
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog, TableChange}
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[TableCatalog]
+    val e = intercept[Exception](cat.alterTable(
+      Identifier.of(Array.empty[String], "crestore"),
+      TableChange.updateColumnNullability(Array("v"), false)))
+    assert(e.getMessage.toLowerCase.contains("null"), e.getMessage)
+    assert(SnapshotStore.tableConstraints(root).map(_._1).toSet ==
+      Set("keep", "fresh"))
+  }
 }

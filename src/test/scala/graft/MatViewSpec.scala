@@ -624,5 +624,75 @@ class MatViewSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == want, s"view=$got direct=$want")
   }
+
+  test("automatic MV query rewrite: fresh view serves, stale falls back, filters commute") {
+    import graft.sources.{GraftCatalog, MatView, SnapshotStore}
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvrw_wh").toString
+    spark.conf.set("spark.sql.catalog.graft_rw", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_rw.warehouse", wh)
+    GraftExtensions.install(spark)
+    spark.sql("CREATE TABLE graft_rw.fact (id BIGINT, seg STRING, v BIGINT) " +
+      "TBLPROPERTIES ('cdc.keys' = 'id')")
+    (1L to 500L).toDF("id")
+      .withColumn("seg", concat(lit("s"), pmod($"id", lit(5))))
+      .withColumn("v", $"id" * 3).createOrReplaceTempView("mvrw_src")
+    spark.sql("INSERT INTO graft_rw.fact SELECT id, seg, v FROM mvrw_src")
+    val srcRoot = s"$wh/fact"
+    val mv = GateTmp.freshDir("graft_mvrw_view")
+    MatView.create(spark, srcRoot, mv, Seq("seg"), "v",
+      Seq("count", "sum", "avg", "min", "max"))
+
+    val sql = "SELECT seg, count(*) AS n, sum(v) AS s, avg(v) AS a, " +
+      "min(v) AS mn, max(v) AS mx FROM graft_rw.fact GROUP BY seg"
+    def plan(q: String): String =
+      spark.sql(q).queryExecution.executedPlan.toString
+    def rows(q: String): Map[String, (Long, Long, Double, Long, Long)] =
+      spark.sql(q).collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5))).toMap
+
+    // the referee: the direct plan with the rewrite disabled
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "false")
+    val direct = rows(sql)
+    assert(!plan(sql).contains("graft_mvrw_view"),
+      "disabled rewrite must keep the direct plan")
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "true")
+
+    // fresh view: the plan scans the VIEW, answers hash-equal the direct
+    val p1 = plan(sql)
+    assert(p1.contains("graft_mvrw_view"), s"expected the MV scan:\n$p1")
+    assert(!p1.toLowerCase.contains("fact"), s"base scan must be gone:\n$p1")
+    assert(rows(sql) == direct)
+
+    // group-column filters commute onto the view; other columns refuse
+    val qf = "SELECT seg, sum(v) AS s FROM graft_rw.fact " +
+      "WHERE seg IN ('s1','s3') GROUP BY seg"
+    assert(plan(qf).contains("graft_mvrw_view"), plan(qf))
+    assert(spark.sql(qf).collect().map(r =>
+      r.getString(0) -> r.getLong(1)).toMap ==
+      direct.view.filterKeys(Set("s1", "s3")).toMap
+        .map { case (k, t) => k -> t._2 })
+    val qv = "SELECT seg, count(*) AS n FROM graft_rw.fact " +
+      "WHERE v > 60 GROUP BY seg"
+    assert(!plan(qv).contains("graft_mvrw_view"),
+      "value-column predicate must keep the direct plan")
+    // an aggregate the view does not maintain refuses too
+    assert(!plan("SELECT seg, count(DISTINCT v) AS d FROM graft_rw.fact " +
+      "GROUP BY seg").contains("graft_mvrw_view"))
+
+    // staleness: a write to the source makes the view non-covering — the
+    // query falls back to the direct scan and sees the new rows
+    spark.sql("INSERT INTO graft_rw.fact VALUES (1001, 's1', 300000)")
+    val p2 = plan(sql)
+    assert(!p2.contains("graft_mvrw_view"), s"stale view must not serve:\n$p2")
+    val after = rows(sql)
+    assert(after("s1")._5 == 300000L, after.toString)
+    // refresh restores coverage: the rewrite fires again, answers agree
+    MatView.refresh(spark, srcRoot, mv, Seq("seg"), "v",
+      Seq("count", "sum", "avg", "min", "max"))
+    assert(plan(sql).contains("graft_mvrw_view"))
+    assert(rows(sql) == after)
+    spark.sql("DROP TABLE graft_rw.fact")
+  }
 }
 
