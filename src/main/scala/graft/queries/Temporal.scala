@@ -1314,6 +1314,100 @@ object Temporal {
            |FROM base ORDER BY id""".stripMargin
       }),
 
+    // Q94b [extension: streaming sink × hidden partitioning] Micro-batch
+    // ingest INTO a `days(ts)`-partitioned table: every batch's commit
+    // derives the generated partition column on write (the pinned-schema
+    // metadata path — commit 2+ is the regression surface: the read-back
+    // frame strips field metadata) and the landed layout is live
+    // immediately — a ts-range read plans only matching `ts_day=` dirs,
+    // plan-audited. The exactly-once stamps carry as in q94 (v0 init +
+    // one commit per non-empty batch, pinned in the output).
+    "q94b_stream_hidden_partition" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.SnapshotStore
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import org.apache.spark.sql.streaming.Trigger
+        graft.GraftExtensions.install(s)
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val wh = graft.GateTmp.freshDir("q94b")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql(
+          """CREATE TABLE graft.q94bt (id BIGINT, ts TIMESTAMP, v BIGINT)
+            |PARTITIONED BY (days(ts))""".stripMargin)
+        val root = s"$wh/q94bt"
+        val cp = graft.GateTmp.freshDir("q94b_cp")
+        Tables.orders(s, d).createOrReplaceTempView("q94b_ord")
+        val cents = graft.Canon.centsSql("o_totalprice")
+        val src = s.sql(
+          s"""SELECT o_orderkey AS id,
+             |  CAST(o_orderdate AS TIMESTAMP)
+             |    + make_interval(0, 0, 0, 0, CAST(o_orderkey % 24 AS INT)) AS ts,
+             |  $cents AS v
+             |FROM q94b_ord WHERE o_orderkey <= 4000""".stripMargin)
+        val mem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+        def runOnce(): Unit = {
+          val q = mem.toDF().toDF("id", "ts", "v").writeStream
+            .format("graft.streaming.SnapshotSink")
+            .option("path", root).option("txnAppId", "q94b-writer")
+            .option("checkpointLocation", cp)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSeq
+        mem.addData(rowsOf(src.filter($("id") % 2 === 0)): _*)
+        runOnce() // batch 1: the empty table's first partitioned commit
+        mem.addData(rowsOf(src.filter($("id") % 2 === 1)): _*)
+        runOnce() // batch 2: derivation from PINNED metadata on a live layout
+        // plan lock: the landed hidden layout prunes a ts-range read
+        def planned(sql: String): Seq[String] =
+          s.sql(sql).queryExecution.executedPlan.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.scan.toBatch.planInputPartitions().toSeq.flatMap {
+                case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+                  fp.files.map(_.filePath.toString).toSeq
+                case _ => Nil
+              }
+          }.flatten
+        val all = planned("SELECT v FROM graft.q94bt")
+        val ranged = planned("SELECT v FROM graft.q94bt WHERE " +
+          "ts >= timestamp'1995-06-01 00:00:00' AND " +
+          "ts < timestamp'1995-07-01 00:00:00'")
+        require(ranged.nonEmpty && ranged.size < all.size,
+          s"derived pruning under streaming commits: ${ranged.size}/${all.size}")
+        require(ranged.forall(_.contains("ts_day=1995-06")),
+          s"kept files must sit in June's day dirs: ${ranged.take(3)}")
+        val nCommits = SnapshotStore.history(s, root).count()
+        s.sql(
+          """SELECT date_format(ts, 'yyyy-MM-dd') AS day,
+            |  CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv
+            |FROM graft.q94bt
+            |WHERE ts >= timestamp'1995-06-01 00:00:00'
+            |  AND ts < timestamp'1995-07-01 00:00:00'
+            |GROUP BY date_format(ts, 'yyyy-MM-dd')""".stripMargin)
+          .withColumn("n_commits", lit(nCommits))
+          .orderBy($("day"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("o_totalprice")
+        s"""WITH base AS (
+           |  SELECT o_orderkey AS id,
+           |         CAST(o_orderdate AS TIMESTAMP)
+           |           + INTERVAL 1 HOUR * (o_orderkey % 24) AS ts,
+           |         $cents AS v
+           |  FROM orders WHERE o_orderkey <= 4000)
+           |SELECT strftime(ts, '%Y-%m-%d') AS day,
+           |  CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv,
+           |  CAST(3 AS BIGINT) AS n_commits
+           |FROM base
+           |WHERE ts >= TIMESTAMP '1995-06-01 00:00:00'
+           |  AND ts < TIMESTAMP '1995-07-01 00:00:00'
+           |GROUP BY 1 ORDER BY day""".stripMargin
+      }),
+
     // Q95 [extension: incremental materialized view] A per-segment
     // count/sum aggregate maintained from the CHANGE FEED, never the
     // table: refresh folds typed change rows (insert +, delete −, update
@@ -3126,5 +3220,206 @@ object Temporal {
            |  CAST(min(salary) AS BIGINT) AS val_min,
            |  CAST(max(salary) AS BIGINT) AS val_max
            |FROM v2 GROUP BY segment ORDER BY segment""".stripMargin
+      }),
+
+    // Q115b [extension: automatic JOIN-MV rewrite] The second rewrite
+    // shape: an INNER equi-join of two catalog tables on exactly a
+    // maintained join view's keys serves from the view — one pre-joined
+    // scan instead of re-shuffling both sides (at 100 TB, the enrichment
+    // join a warehouse repeats all day). Residual predicates from either
+    // side re-apply on the view (σ commutes with the materialized join);
+    // staleness on EITHER source falls back to the direct join; a
+    // refreshJoin restores the rewrite. Plan-audited like q115.
+    "q115b_join_mv_rewrite" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{MatView, MvRewrite}
+        graft.GraftExtensions.install(s)
+        val wh = graft.GateTmp.freshDir("q115b")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("CREATE TABLE graft.q115bf (id BIGINT, salary BIGINT, " +
+          "segment STRING) TBLPROPERTIES ('cdc.keys' = 'id')")
+        s.sql("CREATE TABLE graft.q115bd (segment STRING, bonus BIGINT) " +
+          "TBLPROPERTIES ('cdc.keys' = 'segment')")
+        RelationalPipeline.employeeView(s, d)
+          .select($("id"), $("salary"), $("segment"))
+          .createOrReplaceTempView("q115b_src")
+        s.sql("INSERT INTO graft.q115bf SELECT id, salary, segment FROM q115b_src")
+        s.sql("INSERT INTO graft.q115bd VALUES ('BUILDING', 100), " +
+          "('AUTOMOBILE', 200), ('MACHINERY', 300), ('HOUSEHOLD', 400)")
+        val mv = graft.GateTmp.freshDir("q115b_mv")
+        MatView.createJoin(s, s"$wh/q115bf", s"$wh/q115bd", mv, Seq("segment"))
+        val q = """SELECT f.segment, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(f.salary + d.bonus) AS BIGINT) AS sal_b
+          |FROM graft.q115bf f JOIN graft.q115bd d ON f.segment = d.segment
+          |WHERE f.salary > 0
+          |GROUP BY f.segment""".stripMargin
+        def planOf(sql: String): String =
+          s.sql(sql).queryExecution.executedPlan.toString
+        val p1 = planOf(q)
+        require(p1.contains("q115b_mv"),
+          s"the join must serve from the view:\n$p1")
+        require(!p1.contains("/q115bf/") && !p1.contains("/q115bd/"),
+          s"neither base table may be scanned when the view serves:\n$p1")
+        // a dim write staleness-falls-back; refreshJoin restores
+        s.sql("INSERT INTO graft.q115bd VALUES ('FURNITURE', 500)")
+        require(!planOf(q).contains("q115b_mv"),
+          "a stale join view must never serve")
+        MatView.refreshJoin(s, s"$wh/q115bf", s"$wh/q115bd", mv, Seq("segment"))
+        require(planOf(q).contains("q115b_mv"),
+          "the refreshed join view must serve again")
+        val served = s.sql(q)
+        s.conf.set(MvRewrite.EnabledKey, "false")
+        val direct = s.sql(q)
+        require(served.exceptAll(direct).isEmpty &&
+          direct.exceptAll(served).isEmpty,
+          "view-served join answers must equal the direct join")
+        s.conf.set(MvRewrite.EnabledKey, "true")
+        served.orderBy($("segment"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""WITH f AS (
+           |  SELECT c_custkey AS id, $cents AS salary,
+           |         c_mktsegment AS segment
+           |  FROM customer),
+           |d AS (SELECT * FROM (VALUES ('BUILDING', 100), ('AUTOMOBILE', 200),
+           |  ('MACHINERY', 300), ('HOUSEHOLD', 400), ('FURNITURE', 500))
+           |  AS t(segment, bonus))
+           |SELECT f.segment, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(f.salary + d.bonus) AS BIGINT) AS sal_b
+           |FROM f JOIN d ON f.segment = d.segment
+           |WHERE f.salary > 0
+           |GROUP BY f.segment ORDER BY f.segment""".stripMargin
+      }),
+
+    // Q110b [extension: partition-TRANSFORM evolution — Iceberg's
+    // `REPLACE PARTITION FIELD days(ts) → hours(ts)`] Re-granulating the
+    // time layout of a live table without rewriting it: the evolve is one
+    // metadata-only ALTER (the new hours derived column + spec sidecar) on
+    // the q110 multi-spec era machinery, and the read side derives
+    // NULL-SAFE partition filters from SOURCE-column predicates that prune
+    // correctly across mixed-granularity eras — plan-audited here: a
+    // cross-era time-range query plans only matching `ts_day=` dirs in the
+    // days era AND only matching `ts_hour=` dirs under `_spec1/`. The
+    // migrating OPTIMIZE then backfills the derivation (pre-evolution rows
+    // stored NULL) so the healed single-spec table prunes on hours for
+    // every row — at 100 TB this is how a table's time grain tightens as
+    // its query patterns do, for the cost of metadata until the next
+    // compaction.
+    "q110b_transform_evolution" -> QueryDef(
+      build = (s, d) => {
+        graft.GraftExtensions.install(s)
+        val wh = graft.GateTmp.freshDir("q110b")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        Tables.orders(s, d).createOrReplaceTempView("q110b_ord")
+        val cents = graft.Canon.centsSql("o_totalprice")
+        s.sql(
+          """CREATE TABLE graft.q110bt (ok BIGINT, ts TIMESTAMP, price_c BIGINT)
+            |PARTITIONED BY (days(ts))""".stripMargin)
+        def insertEra(r: Int): Unit = s.sql(
+          s"""INSERT INTO graft.q110bt (ok, ts, price_c)
+             |SELECT o_orderkey,
+             |  CAST(o_orderdate AS TIMESTAMP)
+             |    + make_interval(0, 0, 0, 0, CAST(o_orderkey % 24 AS INT)),
+             |  $cents
+             |FROM q110b_ord WHERE o_orderkey % 2 = $r""".stripMargin)
+        insertEra(0) // v1: the days(ts) era
+        val evolved = s.sql(
+          "CALL graft.system.set_partition_spec('q110bt', 'hours(ts)')").head()
+        require(evolved.getLong(1) == 2L, s"spec_count after evolve: $evolved")
+        insertEra(1) // lands under _spec1/ts_hour=…
+        val root = s"$wh/q110bt"
+        require(graft.sources.SnapshotStore
+          .isEvolved(graft.sources.SnapshotStore.latest(root).dataDir),
+          "snapshot must span specs before migration")
+        def planned(sql: String): Seq[String] = {
+          import org.apache.spark.sql.execution.SparkPlan
+          import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+          import org.apache.spark.sql.execution.datasources.FilePartition
+          // the SPANNING snapshot reads as substituted V1 scans
+          // (FileSourceScanExec); the healed single-spec table reads as
+          // the catalog's V2 scan (BatchScanExec) — audit both
+          def parts(ps: Seq[Any]): Seq[String] =
+            ps.flatMap {
+              case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
+              case _ => Nil
+            }
+          def leaves(p: SparkPlan): Seq[String] = p match {
+            case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              parts(f.inputRDDs().head.partitions.toSeq)
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              parts(b.scan.toBatch.planInputPartitions().toSeq)
+            case other => other.children.flatMap(leaves)
+          }
+          leaves(s.sql(sql).queryExecution.executedPlan)
+        }
+        val lo = "1995-03-05 05:00:00"; val hi = "1995-04-02 07:00:00"
+        val rq = s"""SELECT date_format(ts, 'yyyy-MM-dd HH') AS h,
+          |  CAST(count(*) AS BIGINT) AS n, CAST(sum(price_c) AS BIGINT) AS sp
+          |FROM graft.q110bt
+          |WHERE ts >= timestamp'$lo' AND ts < timestamp'$hi'
+          |GROUP BY date_format(ts, 'yyyy-MM-dd HH')""".stripMargin
+        val all = planned("SELECT price_c FROM graft.q110bt")
+        val kept = planned(rq)
+        def dirVal(f: String, key: String): Option[String] =
+          s"(?:^|/)${key}=([^/]+)/".r.findFirstMatchIn(f).map(m =>
+            java.net.URLDecoder.decode(m.group(1), "UTF-8"))
+        val (e1all, e0all) = all.partition(_.contains("/_spec"))
+        val (e1kept, e0kept) = kept.partition(_.contains("/_spec"))
+        require(e0kept.nonEmpty && e1kept.nonEmpty,
+          s"the range must hit BOTH eras: era0=${e0kept.size} era1=${e1kept.size}")
+        // days era: every planned file sits in a matching ts_day dir
+        require(e0kept.forall(f => dirVal(f, "ts_day").exists(v =>
+          v >= lo.take(10) && v <= hi.take(10))),
+          s"days-era pruning leaked: ${e0kept.take(3)}")
+        // hours era: every planned file sits in a matching ts_hour dir
+        require(e1kept.forall(f => dirVal(f, "ts_hour").exists(v =>
+          v >= lo && v <= hi)),
+          s"hours-era pruning leaked: ${e1kept.take(3)}")
+        require(e0kept.size < e0all.size && e1kept.size < e1all.size,
+          s"both eras must prune: era0 ${e0kept.size}/${e0all.size}, " +
+            s"era1 ${e1kept.size}/${e1all.size}")
+        val before = s.sql(rq).orderBy($("h"))
+        val beforeRows = before.collect().toSeq
+        // migrate: the one full rewrite — backfills ts_hour on the old
+        // era's rows, heals to single-spec hours layout
+        s.sql("CALL graft.system.optimize('q110bt', 1000000)")
+        val healed = graft.sources.SnapshotStore.latest(root)
+        require(!graft.sources.SnapshotStore.isEvolved(healed.dataDir),
+          "OPTIMIZE must migrate to single-spec")
+        val keptAfter = planned(rq)
+        val allAfter = planned("SELECT price_c FROM graft.q110bt")
+        require(keptAfter.nonEmpty &&
+          !keptAfter.exists(_.contains("HIVE_DEFAULT_PARTITION")),
+          s"the backfill must leave no null-partition escape dir: " +
+            s"${keptAfter.take(3)}")
+        require(keptAfter.forall(f => dirVal(f, "ts_hour").exists(v =>
+          v >= lo && v <= hi)), s"post-migration pruning: ${keptAfter.take(3)}")
+        require(keptAfter.size < allAfter.size, "post-migration must prune")
+        val after = s.sql(rq).orderBy($("h"))
+        require(after.collect().toSeq == beforeRows,
+          "migration must not change any served answer")
+        after
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("o_totalprice")
+        s"""WITH base AS (
+           |  SELECT o_orderkey AS ok,
+           |         CAST(o_orderdate AS TIMESTAMP)
+           |           + INTERVAL 1 HOUR * (o_orderkey % 24) AS ts,
+           |         $cents AS price_c
+           |  FROM orders)
+           |SELECT strftime(ts, '%Y-%m-%d %H') AS h,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(price_c) AS BIGINT) AS sp
+           |FROM base
+           |WHERE ts >= TIMESTAMP '1995-03-05 05:00:00'
+           |  AND ts < TIMESTAMP '1995-04-02 07:00:00'
+           |GROUP BY 1 ORDER BY h""".stripMargin
       }))
 }

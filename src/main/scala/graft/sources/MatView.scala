@@ -766,7 +766,7 @@ object MatView {
   /** Join type the view was created with (missing sidecar = inner, the
     * pre-outer-support legacy).
     */
-  private def joinTypeOf(mvRoot: String): String = {
+  private[graft] def joinTypeOf(mvRoot: String): String = {
     val f = java.nio.file.Paths.get(mvRoot, "_mv_join")
     if (java.nio.file.Files.exists(f))
       java.nio.file.Files.readString(f).trim

@@ -67,7 +67,122 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     plan.transform {
       case agg @ Aggregate(grouping, result, child, _) =>
         tryRewrite(grouping, result, child).getOrElse(agg)
+      case j @ org.apache.spark.sql.catalyst.plans.logical.Join(
+          left, right, org.apache.spark.sql.catalyst.plans.Inner,
+          Some(cond), _) =>
+        tryJoinRewrite(j, left, right, cond).getOrElse(j)
     }
+  }
+
+  /** The JOIN-MV shape: an INNER equi-join of two catalog tables on
+    * exactly a maintained join view's keys serves from the view — one
+    * pre-joined scan instead of re-shuffling both sides. Residual non-key
+    * conjuncts and either side's consumed scan filters re-apply on the
+    * view (σ(A ⋈ B) ≡ σ applied to the materialized join — ANY column
+    * predicate commutes here, unlike the aggregate case). Freshness pins
+    * BOTH source stamps to both heads; outer-type views are not matched
+    * (the plan's Inner must equal the view's type).
+    */
+  private def tryJoinRewrite(j: LogicalPlan, left: LogicalPlan,
+      right: LogicalPlan, cond: Expression): Option[LogicalPlan] = {
+    val (lt, lFilters) = unwrap(left).getOrElse(return None)
+    val (rt, rFilters) = unwrap(right).getOrElse(return None)
+    def plain(t: GraftTable): Boolean =
+      !t.isPinned && !t.hasDeletionVector && !t.hasRenames &&
+        !t.hasEvolvedSpecs
+    if (!plain(lt) || !plain(rt)) return None
+    val spark = SparkSession.active
+    def latestOf(t: GraftTable): Option[SnapshotStore.Snapshot] =
+      try {
+        val s = SnapshotStore.latest(t.storeRoot)
+        if (s.dataDir == t.snapDataDir) Some(s) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val lSnap = latestOf(lt).getOrElse(return None)
+    val rSnap = latestOf(rt).getOrElse(return None)
+    // the condition must be a conjunction of cross-side attribute
+    // equalities; the matched name pairs must AGREE (l.k = r.k — the
+    // using-join shape the view materializes) and cover the view's keys
+    val lIds = left.outputSet
+    val rIds = right.outputSet
+    val eqPairs = splitConjunctivePredicates(cond).map {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          a: AttributeReference, b: AttributeReference) =>
+        if (lIds.contains(a) && rIds.contains(b)) (a, b)
+        else if (lIds.contains(b) && rIds.contains(a)) (b, a)
+        else return None
+      case _ => return None
+    }
+    if (eqPairs.isEmpty ||
+      eqPairs.exists { case (a, b) => !a.name.equalsIgnoreCase(b.name) })
+      return None
+    val keySet = eqPairs.map(_._1.name.toLowerCase).toSet
+
+    MatView.consumersOf(lt.storeRoot).iterator.flatMap { mvRoot =>
+      val d = MatView.readDef(mvRoot).getOrElse(Map.empty[String, String])
+      val oriented =
+        if (d.get("kind").contains("join") &&
+          d.get("left").contains(lt.storeRoot) &&
+          d.get("right").contains(rt.storeRoot)) Some((lSnap, rSnap))
+        else if (d.get("kind").contains("join") &&
+          d.get("left").contains(rt.storeRoot) &&
+          d.get("right").contains(lt.storeRoot)) Some((rSnap, lSnap))
+        else None
+      oriented.flatMap { case (leftSnap, rightSnap) =>
+        val mvKeys = d.getOrElse("keys", "").split(",").toSeq
+          .map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+        if (mvKeys != keySet) None
+        else if (MatView.joinTypeOf(mvRoot) != "inner") None
+        else {
+          // freshness: BOTH stamps at both sources' current heads
+          def fresh(side: String, snap: SnapshotStore.Snapshot,
+              root: String): Boolean =
+            (try SnapshotStore.lastTxnVersion(mvRoot,
+              MatView.joinAppId(side, root))
+            catch { case scala.util.control.NonFatal(_) => None })
+              .contains(snap.version)
+          val (lr, rr) =
+            (d.getOrElse("left", ""), d.getOrElse("right", ""))
+          if (!fresh("left", leftSnap, lr) || !fresh("right", rightSnap, rr))
+            None
+          else spliceJoin(spark, mvRoot, j.output, lFilters ++ rFilters)
+        }
+      }
+    }.nextOption()
+  }
+
+  /** Project the view read onto the join's output attribute ids (the key
+    * columns appear on BOTH sides of the original join output; each maps
+    * to the view's single stored copy — equal by the inner-join
+    * condition), with every recovered predicate re-applied beneath.
+    */
+  private def spliceJoin(spark: SparkSession, mvRoot: String,
+      output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      filters: Seq[Expression]): Option[LogicalPlan] = {
+    val mvRead =
+      try SnapshotStore.read(spark, SnapshotStore.latest(mvRoot))
+        .drop(MatView.BucketCol).queryExecution.analyzed
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val byName = mvRead.output.map(a => a.name.toLowerCase -> a).toMap
+    def rebind(e: Expression): Option[Expression] = e match {
+      case a: AttributeReference => byName.get(a.name.toLowerCase)
+      case other =>
+        val kids = other.children.map(rebind)
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+    }
+    val projected = output.map { o =>
+      byName.get(o.name.toLowerCase).map(m =>
+        Alias(m, o.name)(exprId = o.exprId, qualifier = o.qualifier):
+          NamedExpression).getOrElse(return None)
+    }
+    val rebased =
+      if (filters.isEmpty) None
+      else {
+        val all = filters.map(rebind)
+        if (all.exists(_.isEmpty)) return None
+        Some(all.flatten.reduce(And))
+      }
+    Some(Project(projected, rebased.map(Filter(_, mvRead)).getOrElse(mvRead)))
   }
 
   /** The relation beneath `child` plus every predicate that must re-apply

@@ -694,5 +694,58 @@ class MatViewSpec extends SparkSpec {
     assert(rows(sql) == after)
     spark.sql("DROP TABLE graft_rw.fact")
   }
+
+  test("join-MV rewrite: inner equi-join serves from the view; stale/outer refuse") {
+    import graft.sources.{GraftCatalog, MatView}
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvrwj_wh").toString
+    spark.conf.set("spark.sql.catalog.graft_rwj", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_rwj.warehouse", wh)
+    GraftExtensions.install(spark)
+    spark.sql("CREATE TABLE graft_rwj.fact (id BIGINT, seg STRING, v BIGINT) " +
+      "TBLPROPERTIES ('cdc.keys' = 'id')")
+    spark.sql("CREATE TABLE graft_rwj.dim (seg STRING, bonus BIGINT) " +
+      "TBLPROPERTIES ('cdc.keys' = 'seg')")
+    (1L to 300L).toDF("id")
+      .withColumn("seg", concat(lit("s"), pmod($"id", lit(4))))
+      .withColumn("v", $"id" * 2).createOrReplaceTempView("mvrwj_f")
+    spark.sql("INSERT INTO graft_rwj.fact SELECT id, seg, v FROM mvrwj_f")
+    spark.sql("INSERT INTO graft_rwj.dim VALUES " +
+      "('s0', 5), ('s1', 7), ('s2', 11)") // s3 unmatched: inner drops it
+    val mv = GateTmp.freshDir("graft_mvrwj_view")
+    MatView.createJoin(spark, s"$wh/fact", s"$wh/dim", mv, Seq("seg"))
+
+    val sql = "SELECT f.id, f.seg, f.v + d.bonus AS vb " +
+      "FROM graft_rwj.fact f JOIN graft_rwj.dim d ON f.seg = d.seg"
+    def plan(q: String): String =
+      spark.sql(q).queryExecution.executedPlan.toString
+    def rows(q: String): Map[Long, (String, Long)] =
+      spark.sql(q).collect().map(r =>
+        r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "false")
+    val direct = rows(sql)
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "true")
+    // fresh view: the join is GONE, the view scan serves
+    val p1 = plan(sql)
+    assert(p1.contains("graft_mvrwj_view"), s"expected the view scan:\n$p1")
+    assert(rows(sql) == direct)
+    // residual predicates (either side's columns) re-apply on the view
+    val qf = sql + " WHERE d.bonus > 5 AND f.v < 100"
+    assert(plan(qf).contains("graft_mvrwj_view"), plan(qf))
+    assert(rows(qf) == direct.filter { case (id, (seg, _)) =>
+      Set("s1", "s2")(seg) && id * 2 < 100 })
+    // staleness: a dim write falls back until refreshJoin catches up
+    spark.sql("INSERT INTO graft_rwj.dim VALUES ('s3', 13)")
+    assert(!plan(sql).contains("graft_mvrwj_view"), "stale view must not serve")
+    val withS3 = rows(sql)
+    assert(withS3.size > direct.size)
+    MatView.refreshJoin(spark, s"$wh/fact", s"$wh/dim", mv, Seq("seg"))
+    assert(plan(sql).contains("graft_mvrwj_view"))
+    assert(rows(sql) == withS3)
+    // a LEFT join must not match an inner view
+    assert(!plan("SELECT f.id FROM graft_rwj.fact f LEFT JOIN graft_rwj.dim d " +
+      "ON f.seg = d.seg").contains("graft_mvrwj_view"))
+    spark.sql("DROP TABLE graft_rwj.fact")
+    spark.sql("DROP TABLE graft_rwj.dim")
+  }
 }
 

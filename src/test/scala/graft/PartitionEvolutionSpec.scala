@@ -565,4 +565,57 @@ class PartitionEvolutionSpec extends SparkSpec {
     assert(rows(r2, Seq("id", "k", "amount")) ==
       Set((1L, "a", 10L), (3L, "b", 30L)))
   }
+
+  test("transform evolution days(ts)->hours(ts): null-safe reads, OPTIMIZE backfills") {
+    val wh = Files.createTempDirectory("graft_pe_tr").toString
+    spark.conf.set("spark.sql.catalog.graft_tr",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_tr.warehouse", wh)
+    GraftExtensions.install(spark)
+    spark.sql(
+      """CREATE TABLE graft_tr.t (id BIGINT, ts TIMESTAMP, v BIGINT)
+        |PARTITIONED BY (days(ts))""".stripMargin)
+    spark.sql("INSERT INTO graft_tr.t (id, ts, v) VALUES " +
+      "(1, timestamp'2024-03-01 05:00:00', 10), " +
+      "(2, timestamp'2024-03-02 06:00:00', 20)")
+    // the Iceberg REPLACE PARTITION FIELD shape, via the procedure
+    val r = spark.sql(
+      "CALL graft_tr.system.set_partition_spec('t', 'hours(ts)')").head()
+    assert(r.getLong(1) == 2L, s"spec_count: $r")
+    spark.sql("INSERT INTO graft_tr.t (id, ts, v) VALUES " +
+      "(3, timestamp'2024-03-02 07:30:00', 30)")
+    val root = s"$wh/t"
+    assert(SnapshotStore.isEvolved(SnapshotStore.latest(root).dataDir))
+    // era-0 rows read NULL in the evolved derived column — and a source
+    // predicate still finds them (null-safe derivation): id=2 is era-0
+    val hit = spark.sql("SELECT id FROM graft_tr.t WHERE " +
+      "ts >= timestamp'2024-03-02 00:00:00' AND " +
+      "ts < timestamp'2024-03-03 00:00:00' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hit == Seq(2L, 3L), s"cross-era range must find both eras: $hit")
+    // era-1 rows derived the hour bucket on write
+    assert(Files.isDirectory(Paths.get(
+      SnapshotStore.latest(root).dataDir, "_spec1")))
+    // migrate: the full rewrite backfills ts_hour on era-0 rows
+    spark.sql("CALL graft_tr.system.optimize('t', 1000000)")
+    val healed = SnapshotStore.latest(root)
+    assert(!SnapshotStore.isEvolved(healed.dataDir))
+    val hours = spark.sql(
+      "SELECT id, CAST(ts_hour AS STRING) AS h FROM graft_tr.t ORDER BY id")
+      .collect().map(r2 => r2.getLong(0) -> r2.getString(1)).toSeq
+    assert(hours == Seq(1L -> "2024-03-01 05:00:00",
+      2L -> "2024-03-02 06:00:00", 3L -> "2024-03-02 07:30:00".replace("07:30", "07:00")),
+      s"backfill must fill every row's derivation: $hours")
+    // and no null escape dir survives the migration
+    assert(!Files.list(Paths.get(healed.dataDir)).iterator().asScala
+      .exists(_.getFileName.toString.contains("HIVE_DEFAULT")),
+      "backfilled layout must have no null partition dir")
+    // a second transform evolution re-activating the ORIGINAL days(ts)
+    // is a no-op on the schema (the column exists with the same SQL)
+    spark.sql("CALL graft_tr.system.set_partition_spec('t', 'days(ts)')")
+    spark.sql("INSERT INTO graft_tr.t (id, ts, v) VALUES " +
+      "(4, timestamp'2024-03-04 01:00:00', 40)")
+    assert(spark.sql("SELECT count(*) FROM graft_tr.t").head().getLong(0) == 4L)
+    spark.sql("DROP TABLE graft_tr.t")
+  }
 }

@@ -766,5 +766,69 @@ class StreamingSpec extends SparkSpec {
         .start())
     assert(e.getMessage != null)
   }
+
+  test("HTTP ingest into a hidden-partitioned (days) sink: derivation + pruning per micro-batch") {
+    val port = 18652
+    HttpIngestSource.purge(port); HttpIngestSource.stateFor(port)
+    val wh = java.nio.file.Files.createTempDirectory("graft_hp_sink").toString
+    spark.conf.set("spark.sql.catalog.graft_hp",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_hp.warehouse", wh)
+    GraftExtensions.install(spark)
+    spark.sql(
+      """CREATE TABLE graft_hp.ev (id BIGINT, ts TIMESTAMP, v BIGINT)
+        |PARTITIONED BY (days(ts))""".stripMargin)
+    val root = s"$wh/ev"
+    val http = HttpClient.newHttpClient()
+    def post(body: String): Unit =
+      http.send(HttpRequest.newBuilder(
+          URI.create(s"http://localhost:$port/ingest"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    val wire = StructType(Seq(StructField("id", LongType),
+      StructField("ts", TimestampType), StructField("v", LongType)))
+    val cp = java.nio.file.Files.createTempDirectory("graft_hp_cp").toString
+    def drainOnce(): Unit = {
+      val q = spark.readStream.format("graft.streaming.HttpIngestSource")
+        .option("port", port.toString).load()
+        .withColumn("d", from_json($"value", wire))
+        .select($"d.id".as("id"), $"d.ts".as("ts"), $"d.v".as("v"))
+        .writeStream.format("graft.streaming.SnapshotSink")
+        .option("path", root).option("txnAppId", "hp-writer")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    post("""{"id":1,"ts":"2024-03-01 10:00:00","v":10}""")
+    post("""{"id":2,"ts":"2024-03-02 04:30:00","v":20}""")
+    drainOnce() // first micro-batch: table empty → first partitioned commit
+    post("""{"id":3,"ts":"2024-03-03 23:59:59","v":30}""")
+    drainOnce() // second: generation must still derive (pinned metadata)
+    // every ingested row derived its partition column on write
+    val got = spark.sql(
+      "SELECT id, CAST(ts_day AS STRING) AS d FROM graft_hp.ev ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(got == Seq(1L -> "2024-03-01", 2L -> "2024-03-02",
+      3L -> "2024-03-03"), got.toString)
+    // and the layout is live: a ts-range predicate (never naming ts_day)
+    // prunes to the matching day dirs
+    def planned(sql: String): Seq[String] =
+      spark.sql(sql).queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.toBatch.planInputPartitions().toSeq.flatMap {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              fp.files.map(_.filePath.toString).toSeq
+            case _ => Nil
+          }
+      }.flatten
+    val all = planned("SELECT v FROM graft_hp.ev")
+    val ranged = planned("SELECT v FROM graft_hp.ev WHERE " +
+      "ts >= timestamp'2024-03-02 00:00:00' AND ts < timestamp'2024-03-03 00:00:00'")
+    assert(ranged.nonEmpty && ranged.forall(f =>
+      f.contains("ts_day=2024-03-02") || f.contains("ts_day=2024-03-03")),
+      s"derived pruning under streaming commits: ${ranged.take(3)}")
+    assert(ranged.size < all.size, s"${ranged.size} of ${all.size}")
+    spark.sql("DROP TABLE graft_hp.ev")
+  }
 }
 
