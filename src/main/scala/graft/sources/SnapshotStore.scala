@@ -3976,7 +3976,14 @@ object SnapshotStore {
       }
       val dir = Paths.get(root, "data", UUID.randomUUID().toString)
       Files.createDirectories(dir)
-      out.write.mode("overwrite").partitionBy(parts: _*).parquet(dir.toString)
+      // co-locate each partition's rows into one task BEFORE the
+      // partitioned write (the createJoin rule): without this, every task
+      // writes a sliver into every touched dir — on a high-cardinality
+      // layout (hours(ts): thousands of dirs) a plain append explodes
+      // into tasks × dirs files, which the next scan then pays for. One
+      // extra O(staged batch) shuffle buys one-file-per-partition-dir.
+      out.repartition(parts.map(col): _*)
+        .write.mode("overwrite").partitionBy(parts: _*).parquet(dir.toString)
       val freshFiles = { // the rewritten partitions' files, BEFORE links
         val w = Files.walk(dir)
         try w.iterator().asScala.map(_.toString)
