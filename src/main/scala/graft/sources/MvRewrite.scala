@@ -255,7 +255,14 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
       return None
     val mvGroups = d.getOrElse("groups", "").split(",").toSeq
       .map(_.trim.toLowerCase).filter(_.nonEmpty)
-    if (mvGroups.sorted != groupNames.sorted) return None
+    // exact group match serves rows as-is; a STRICT SUBSET rolls up —
+    // re-aggregating the view's per-group rows (sum of n_rows/val_sum,
+    // min of val_min, ...), still a scan of the tiny view, never the
+    // source. Aggregates that do not merge from group results
+    // (count_distinct, stddev, sketches) refuse in roll-up mode.
+    val exact = mvGroups.sorted == groupNames.sorted
+    val rollup = !exact && groupNames.toSet.subsetOf(mvGroups.toSet)
+    if (!exact && !rollup) return None
     val valueCol = d.getOrElse("value", "").toLowerCase
     val aggs = d.getOrElse("aggs", "").split(",").toSeq.map(_.trim).toSet
     // freshness: the view must cover the source's CURRENT version
@@ -270,6 +277,46 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
       catch { case scala.util.control.NonFatal(_) => return None }
     val mvByName = mvRead.output.map(a => a.name.toLowerCase -> a).toMap
     def mvCol(name: String): Option[Attribute] = mvByName.get(name)
+
+    // roll-up image of one aggregate call: an aggregate OVER the view
+    // columns whose result equals the query aggregate over the source.
+    // count(*) → sum(n_rows); sum → sum(val_sum); min/max →
+    // min(val_min)/max(val_max); avg → Σval_sum / Σn_rows (exact-integer
+    // sums per the Canon rule, so the one double divide is bit-identical
+    // to the direct Average). Output types must come out EXACTLY as the
+    // original call (checked by the caller); a widening mismatch
+    // (decimal sums grow precision per Sum) refuses there.
+    def rollAgg(ae: AggregateExpression): Option[Expression] = {
+      if (ae.filter.nonEmpty || ae.isDistinct) return None
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Divide}
+      import org.apache.spark.sql.types.DoubleType
+      def agg(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction): Expression =
+        f.toAggregateExpression()
+      ae.aggregateFunction match {
+        case Count(Seq(l: org.apache.spark.sql.catalyst.expressions.Literal))
+            if l.value != null =>
+          mvCol("n_rows").map(n => agg(Sum(n)))
+        case su: Sum => su.child match {
+          case a: AttributeReference if a.name.toLowerCase == valueCol =>
+            mvCol("val_sum").map(v => agg(Sum(v)))
+          case _ => None
+        }
+        case av: Average if aggs("avg") => av.child match {
+          case a: AttributeReference if a.name.toLowerCase == valueCol =>
+            for (v <- mvCol("val_sum"); n <- mvCol("n_rows"))
+              yield Divide(Cast(agg(Sum(v)), DoubleType),
+                Cast(agg(Sum(n)), DoubleType))
+          case _ => None
+        }
+        case Min(a: AttributeReference)
+            if a.name.toLowerCase == valueCol && aggs("min") =>
+          mvCol("val_min").map(v => agg(Min(v)))
+        case Max(a: AttributeReference)
+            if a.name.toLowerCase == valueCol && aggs("max") =>
+          mvCol("val_max").map(v => agg(Max(v)))
+        case _ => None
+      }
+    }
 
     // one aggregate call → the view column holding exactly its value
     def mapAgg(ae: AggregateExpression): Option[Attribute] = {
@@ -315,9 +362,10 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // unmapped aggregate or non-grouping attribute refuses the rewrite
     def rebuild(e: Expression): Option[Expression] = e match {
       case ae: AggregateExpression =>
-        mapAgg(ae).filter(m =>
-          org.apache.spark.sql.types.DataType.equalsStructurally(
-            m.dataType, ae.dataType, ignoreNullability = true))
+        (if (exact) mapAgg(ae): Option[Expression] else rollAgg(ae))
+          .filter(m =>
+            org.apache.spark.sql.types.DataType.equalsStructurally(
+              m.dataType, ae.dataType, ignoreNullability = true))
       case a: AttributeReference => groupIdToMv.get(a.exprId.id)
       case other =>
         val kids = other.children.map(rebuild)
@@ -354,6 +402,11 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
       }
     }
     val filtered = rebased.map(Filter(_, mvRead)).getOrElse(mvRead)
-    Some(Project(projected, filtered))
+    if (exact) Some(Project(projected, filtered))
+    else
+      // roll-up: GROUP the view by the query's (coarser) keys; the
+      // rebuilt result expressions already aggregate the view columns
+      Some(Aggregate(groupAttrs.map(a =>
+        groupIdToMv(a.exprId.id): Expression), projected, filtered))
   }
 }

@@ -695,6 +695,50 @@ class MatViewSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_rw.fact")
   }
 
+  test("MV ROLL-UP rewrite: coarser GROUP BY re-aggregates the view, never the source") {
+    import graft.sources.{GraftCatalog, MatView}
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvru_wh").toString
+    spark.conf.set("spark.sql.catalog.graft_ru", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ru.warehouse", wh)
+    GraftExtensions.install(spark)
+    spark.sql("CREATE TABLE graft_ru.fact (id BIGINT, seg STRING, " +
+      "day STRING, v BIGINT) TBLPROPERTIES ('cdc.keys' = 'id')")
+    (1L to 400L).toDF("id")
+      .withColumn("seg", concat(lit("s"), pmod($"id", lit(3))))
+      .withColumn("day", concat(lit("d"), pmod($"id", lit(7))))
+      .withColumn("v", $"id" * 5).createOrReplaceTempView("mvru_src")
+    spark.sql("INSERT INTO graft_ru.fact SELECT id, seg, day, v FROM mvru_src")
+    val mv = GateTmp.freshDir("graft_mvru_view")
+    MatView.create(spark, s"$wh/fact", mv, Seq("seg", "day"), "v",
+      Seq("count", "sum", "avg", "min", "max"))
+    // the query groups by a STRICT SUBSET of the view's keys
+    val sql = "SELECT seg, count(*) AS n, sum(v) AS s, avg(v) AS a, " +
+      "min(v) AS mn, max(v) AS mx FROM graft_ru.fact GROUP BY seg"
+    def plan(q: String): String =
+      spark.sql(q).queryExecution.executedPlan.toString
+    def rows(q: String) = spark.sql(q).collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+        r.getLong(5))).toMap
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "false")
+    val direct = rows(sql)
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "true")
+    val p1 = plan(sql)
+    assert(p1.contains("graft_mvru_view"), s"roll-up must scan the view:\n$p1")
+    assert(rows(sql) == direct, "rolled-up answers must equal the direct plan")
+    // filters on the QUERY's group columns still commute
+    val qf = "SELECT seg, sum(v) AS s FROM graft_ru.fact " +
+      "WHERE seg = 's1' GROUP BY seg"
+    assert(plan(qf).contains("graft_mvru_view"))
+    assert(spark.sql(qf).head().getLong(1) == direct("s1")._2)
+    // non-mergeable aggregates refuse roll-up (stddev needs Σv²)
+    assert(!plan("SELECT seg, stddev_samp(v) AS sd FROM graft_ru.fact " +
+      "GROUP BY seg").contains("graft_mvru_view"))
+    // grouping outside the view's keys refuses
+    assert(!plan("SELECT id, count(*) AS n FROM graft_ru.fact GROUP BY id")
+      .contains("graft_mvru_view"))
+    spark.sql("DROP TABLE graft_ru.fact")
+  }
+
   test("join-MV rewrite: inner equi-join serves from the view; stale/outer refuse") {
     import graft.sources.{GraftCatalog, MatView}
     val wh = java.nio.file.Files.createTempDirectory("graft_mvrwj_wh").toString
