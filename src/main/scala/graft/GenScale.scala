@@ -680,6 +680,60 @@ object ProbeTxnCheckpoint {
   }
 }
 
+/** Head-pointer probe: `SnapshotStore.latest` latency at 10× the commit
+  * count, with the `_head` hint present (one read + one forward stat —
+  * O(1)) vs deleted before every call (the legacy full directory listing —
+  * O(commits)). latest() runs inside the OPTIMIZER (MvRewrite freshness
+  * pins), per DML statement, and per micro-batch, so at a long-lived
+  * warehouse's 10⁴–10⁵ commits the listing was a planning-latency tax on
+  * every statement; the pointer must make it flat across commit counts.
+  *
+  * Usage: runMain graft.ProbeLatest <commitsSmall> <commitsBig>
+  */
+object ProbeLatest {
+  def main(args: Array[String]): Unit = {
+    import graft.sources.SnapshotStore
+    val Array(nSmall, nBig) = args.take(2).map(_.toInt)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def build(n: Int): String = {
+      val root = GateTmp.freshDir(s"probe_head_$n")
+      SnapshotStore.init(spark, root,
+        spark.range(10).selectExpr("id", "id AS v"))
+      for (_ <- 1 to n)
+        SnapshotStore.append(spark, root,
+          spark.range(1).selectExpr("id + 1000 AS id", "id AS v").coalesce(1))
+      root
+    }
+    def bench(root: String, dropHint: Boolean): Double = {
+      val head = java.nio.file.Paths.get(root, "_commits", "_head")
+      val reps = 300
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < reps) {
+        if (dropHint) java.nio.file.Files.deleteIfExists(head)
+        SnapshotStore.latest(root); i += 1
+      }
+      (System.nanoTime() - t0) / 1e9 / reps * 1e6 // µs per read
+    }
+    val (small, big) = (build(nSmall), build(nBig))
+    val hs = bench(small, dropHint = false)
+    val hb = bench(big, dropHint = false)
+    val ls = bench(small, dropHint = true)
+    val lb = bench(big, dropHint = true)
+    println(f"commits=$nSmall%d->$nBig%d head_small=$hs%.1fus " +
+      f"head_big=$hb%.1fus (ratio=${hb / hs}%.2fx) " +
+      f"listing_small=$ls%.1fus listing_big=$lb%.1fus " +
+      f"(ratio=${lb / ls}%.2fx)")
+    spark.stop()
+  }
+}
+
 /** COPY-INTO scale probe: a FIXED 10-file ingest against drop zones whose
   * LEDGER differs 10× (already-loaded file count). The per-run cost must
   * track the new batch, never the history: candidate listing is O(zone)

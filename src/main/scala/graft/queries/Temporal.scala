@@ -1481,6 +1481,7 @@ object Temporal {
            |         'SUPPLIER'
            |  FROM supplier)
            |SELECT segment, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(salary) AS BIGINT) AS val_cnt,
            |  CAST(sum(salary) AS BIGINT) AS val_sum,
            |  CAST(3 AS BIGINT) AS n_mv_versions
            |FROM v3 GROUP BY segment ORDER BY segment""".stripMargin
@@ -1645,11 +1646,12 @@ object Temporal {
            |         'SUPPLIER'
            |  FROM supplier)
            |SELECT segment, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(salary) AS BIGINT) AS val_cnt,
            |  CAST(sum(salary) AS BIGINT) AS val_sum,
            |  CAST(min(salary) AS BIGINT) AS val_min,
            |  CAST(max(salary) AS BIGINT) AS val_max,
            |  CAST(CAST(sum(salary) AS BIGINT) AS DOUBLE) /
-           |    CAST(count(*) AS DOUBLE) AS val_avg,
+           |    CAST(count(salary) AS DOUBLE) AS val_avg,
            |  CAST(3 AS BIGINT) AS n_mv_versions
            |FROM v3 GROUP BY segment ORDER BY segment""".stripMargin
       }),
@@ -3199,15 +3201,19 @@ object Temporal {
         val p3 = planOf(q)
         require(p3.contains("q115_mv"),
           s"the refreshed view must serve again:\n$p3")
-        // in-gate referee: served answers ≡ the rewrite-disabled direct plan
-        val served = s.sql(q)
+        // in-gate referee: served answers ≡ the rewrite-disabled direct
+        // plan. COLLECT the served side FIRST — a lazy frame would be
+        // planned after the conf flip and silently compare the direct
+        // plan against itself (ADVICE r17)
+        val servedRows = s.sql(q).collect().toSeq
         s.conf.set(MvRewrite.EnabledKey, "false")
-        val direct = s.sql(q)
-        require(served.exceptAll(direct).isEmpty &&
-          direct.exceptAll(served).isEmpty,
-          "MV-served answers must equal the direct aggregate")
+        val directRows = s.sql(q).collect().toSeq
         s.conf.set(MvRewrite.EnabledKey, "true")
-        served.orderBy($("segment"))
+        def bag(rs: Seq[org.apache.spark.sql.Row]) =
+          rs.groupBy(identity).view.mapValues(_.size).toMap
+        require(bag(servedRows) == bag(directRows),
+          "MV-served answers must equal the direct aggregate")
+        s.sql(q).orderBy($("segment"))
       },
       oracle = Some {
         val cents = graft.Canon.centsSql("c_acctbal")
@@ -3273,14 +3279,16 @@ object Temporal {
         MatView.refreshJoin(s, s"$wh/q115bf", s"$wh/q115bd", mv, Seq("segment"))
         require(planOf(q).contains("q115b_mv"),
           "the refreshed join view must serve again")
-        val served = s.sql(q)
+        // collect served BEFORE the conf flip — see the q115 referee note
+        val servedRows = s.sql(q).collect().toSeq
         s.conf.set(MvRewrite.EnabledKey, "false")
-        val direct = s.sql(q)
-        require(served.exceptAll(direct).isEmpty &&
-          direct.exceptAll(served).isEmpty,
-          "view-served join answers must equal the direct join")
+        val directRows = s.sql(q).collect().toSeq
         s.conf.set(MvRewrite.EnabledKey, "true")
-        served.orderBy($("segment"))
+        def bag(rs: Seq[org.apache.spark.sql.Row]) =
+          rs.groupBy(identity).view.mapValues(_.size).toMap
+        require(bag(servedRows) == bag(directRows),
+          "view-served join answers must equal the direct join")
+        s.sql(q).orderBy($("segment"))
       },
       oracle = Some {
         val cents = graft.Canon.centsSql("c_acctbal")
@@ -3296,6 +3304,99 @@ object Temporal {
            |FROM f JOIN d ON f.segment = d.segment
            |WHERE f.salary > 0
            |GROUP BY f.segment ORDER BY f.segment""".stripMargin
+      }),
+
+    // Q115c [extension: MV rewrite under NULL-bearing values — the r17
+    // latent hole, now gated] The view maintains val_cnt = count(v), the
+    // NON-NULL count the direct plan's avg divides by (count(*) counts
+    // NULL-valued rows; avg/sum ignore them; an all-NULL group's direct
+    // sum/avg are SQL NULL). Planted NULLs — every 3rd salary, plus one
+    // segment that is ALL NULL — make the old n_rows-derived val_avg (and
+    // an unguarded val_sum) observably wrong; this gate hash-pins the
+    // SERVED answers (plan-locked onto the view) against DuckDB computing
+    // the same aggregates directly, through a NULL-churning DML + refresh
+    // round (values→NULL updates shrink val_cnt, NULL inserts leave it).
+    "q115c_mv_rewrite_nulls" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{MatView, MvRewrite}
+        graft.GraftExtensions.install(s)
+        val wh = graft.GateTmp.freshDir("q115c")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("CREATE TABLE graft.q115ct (id BIGINT, salary BIGINT, " +
+          "segment STRING) TBLPROPERTIES ('cdc.keys' = 'id')")
+        RelationalPipeline.employeeView(s, d)
+          .select($("id"), $("salary"), $("segment"))
+          .createOrReplaceTempView("q115c_src")
+        s.sql(
+          """INSERT INTO graft.q115ct
+            |SELECT id,
+            |  CASE WHEN id % 3 = 0 OR segment = 'FURNITURE' THEN NULL
+            |       ELSE salary END,
+            |  segment FROM q115c_src""".stripMargin)
+        val srcRoot = s"$wh/q115ct"
+        val mv = graft.GateTmp.freshDir("q115c_mv")
+        val aggs = Seq("count", "sum", "avg", "min", "max")
+        MatView.create(s, srcRoot, mv, Seq("segment"), "salary", aggs)
+        val q = """SELECT segment, count(*) AS n_rows,
+          |  count(salary) AS val_cnt,
+          |  CAST(sum(salary) AS BIGINT) AS val_sum,
+          |  avg(salary) AS val_avg,
+          |  min(salary) AS val_min, max(salary) AS val_max
+          |FROM graft.q115ct GROUP BY segment""".stripMargin
+        def planOf(sql: String): String =
+          s.sql(sql).queryExecution.executedPlan.toString
+        val p1 = planOf(q)
+        require(p1.contains("q115c_mv"),
+          s"rewrite must scan the materialized view:\n$p1")
+        require(!p1.contains("/q115ct/"),
+          s"the base table must not be scanned when the view serves:\n$p1")
+        // NULL churn: values→NULL (val_cnt shrinks, n_rows does not),
+        // deletes of NULL and non-NULL rows — then refresh restores serving
+        s.sql("UPDATE graft.q115ct SET salary = NULL WHERE id % 7 = 0")
+        s.sql("DELETE FROM graft.q115ct WHERE id % 9 = 0")
+        require(!planOf(q).contains("q115c_mv"),
+          "a stale view must never serve")
+        MatView.refresh(s, srcRoot, mv, Seq("segment"), "salary", aggs)
+        require(planOf(q).contains("q115c_mv"),
+          "the refreshed view must serve again")
+        // referee: served ≡ rewrite-disabled direct (collected BEFORE the
+        // conf flip — the q115 vacuity fix)
+        val servedRows = s.sql(q).collect().toSeq
+        s.conf.set(MvRewrite.EnabledKey, "false")
+        val directRows = s.sql(q).collect().toSeq
+        s.conf.set(MvRewrite.EnabledKey, "true")
+        def bag(rs: Seq[org.apache.spark.sql.Row]) =
+          rs.groupBy(identity).view.mapValues(_.size).toMap
+        require(bag(servedRows) == bag(directRows),
+          s"NULL-bearing MV-served answers must equal the direct " +
+            s"aggregate\nserved=$servedRows\ndirect=$directRows")
+        require(servedRows.exists(r => r.isNullAt(3) && r.isNullAt(4)),
+          "test integrity: an all-NULL segment (SQL NULL sum/avg) must exist")
+        s.sql(q).orderBy($("segment"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""WITH base AS (
+           |  SELECT c_custkey AS id, $cents AS salary,
+           |         c_mktsegment AS segment
+           |  FROM customer),
+           |v0 AS (SELECT id,
+           |  CASE WHEN id % 3 = 0 OR segment = 'FURNITURE' THEN NULL
+           |       ELSE salary END AS salary, segment FROM base),
+           |v1 AS (SELECT id,
+           |  CASE WHEN id % 7 = 0 THEN NULL ELSE salary END AS salary,
+           |  segment FROM v0),
+           |v2 AS (SELECT * FROM v1 WHERE NOT (id % 9 = 0))
+           |SELECT segment, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(salary) AS BIGINT) AS val_cnt,
+           |  CAST(sum(salary) AS BIGINT) AS val_sum,
+           |  CAST(CAST(sum(salary) AS BIGINT) AS DOUBLE) /
+           |    CAST(count(salary) AS DOUBLE) AS val_avg,
+           |  CAST(min(salary) AS BIGINT) AS val_min,
+           |  CAST(max(salary) AS BIGINT) AS val_max
+           |FROM v2 GROUP BY segment ORDER BY segment""".stripMargin
       }),
 
     // Q110b [extension: partition-TRANSFORM evolution — Iceberg's

@@ -347,7 +347,16 @@ object MatView {
   private def fullAgg(df: DataFrame, groupCols: Seq[String], valueCol: String,
       aggs: Seq[String]): DataFrame = {
     val v = col(valueCol)
-    val cols = Seq(count(lit(1)).as("n_rows"), sum(v).as("val_sum")) ++
+    // val_cnt = count of NON-NULL values (vs n_rows = count(*)): the
+    // denominator avg/stddev actually divide by. A NULL-bearing value
+    // column makes them differ, and deriving val_avg from n_rows returned
+    // a silently smaller average than the direct plan (VERDICT r17 #1).
+    // val_sum is canonicalized to 0 for all-NULL groups so create-time
+    // and fold-path state agree bit-for-bit (sum(v) alone yields NULL,
+    // the fold's coalesce algebra yields 0); the REWRITE re-derives the
+    // SQL NULL from val_cnt = 0 when serving sum(v).
+    val cols = Seq(count(lit(1)).as("n_rows"), count(v).as("val_cnt"),
+      coalesce(sum(v), lit(0L)).as("val_sum")) ++
       (if (needStddev(aggs)) Seq(sum(sq(v)).as("val_sumsq")) else Nil) ++
       (if (aggs.contains("min")) Seq(min(v).as("val_min")) else Nil) ++
       (if (aggs.contains("max")) Seq(max(v).as("val_max")) else Nil) ++
@@ -371,19 +380,24 @@ object MatView {
     * the same formula (the val_avg determinism argument).
     */
   private def withDerived(df: DataFrame, aggs: Seq[String]): DataFrame = {
+    // denominators are val_cnt (non-null count), NOT n_rows: with NULLs
+    // in the value column the direct avg/stddev divide by the non-null
+    // count, and an all-NULL group's avg/stddev are SQL NULL (val_cnt
+    // guards), exactly as the direct plan computes them
     val withA =
       if (aggs.contains("avg"))
         df.withColumn("val_avg",
-          col("val_sum").cast("double") / col("n_rows").cast("double"))
+          when(col("val_cnt") > 0,
+            col("val_sum").cast("double") / col("val_cnt").cast("double")))
       else df
     val withS =
       if (needStddev(aggs))
         withA.withColumn("val_stddev",
-          when(col("n_rows") > 1, sqrt(
+          when(col("val_cnt") > 1, sqrt(
             (col("val_sumsq").cast("double") -
               col("val_sum").cast("double") * col("val_sum").cast("double") /
-                col("n_rows").cast("double")) /
-              (col("n_rows").cast("double") - lit(1.0d)))))
+                col("val_cnt").cast("double")) /
+              (col("val_cnt").cast("double") - lit(1.0d)))))
       else withA
     // the estimate is re-derived from the stored sketch every commit; the
     // sketch BYTES may legally differ across fold orders (sparse/dense
@@ -496,6 +510,10 @@ object MatView {
           groupCols.map(c => coalesce(col(s"m.$c"), col(s"d.$c")).as(c)) ++ Seq(
             (coalesce(col("m.n_rows"), lit(0L)) + coalesce(col("d.dn"), lit(0L)))
               .as("n_rows"),
+            // non-null value count folds exactly like n_rows (deltaOf
+            // counts ±1 only for non-null arriving/leaving values)
+            (coalesce(col("m.val_cnt"), lit(0L)) + coalesce(col("d.dcnt"), lit(0L)))
+              .as("val_cnt"),
             (coalesce(col("m.val_sum"), lit(0L).cast("long")) +
               coalesce(col("d.dv"), lit(0L).cast("long"))).as("val_sum")) ++
           // Σv² folds exactly like Σv — pure integer (decimal) algebra,
@@ -610,12 +628,16 @@ object MatView {
     // ±1 on BOTH update legs: they cancel when the row stays in its group
     // and migrate the count when a group column changed
     val dn: Column = when(arriving, 1L).when(leaving, -1L).otherwise(0L)
+    // non-null values only: a NULL-valued row moves n_rows but never the
+    // avg/stddev denominator (the direct plan's count(v) semantics)
+    val dcnt: Column = when(col(valueCol).isNull, 0L)
+      .when(arriving, 1L).when(leaving, -1L).otherwise(0L)
     val dv: Column = when(arriving, col(valueCol))
       .when(leaving, -col(valueCol)).otherwise(lit(0L))
     val dsq: Column = when(arriving, sq(col(valueCol)))
       .when(leaving, -sq(col(valueCol)))
       .otherwise(lit(0).cast("decimal(38,0)"))
-    val base = Seq(sum(dn).as("dn"), sum(dv).as("dv")) ++
+    val base = Seq(sum(dn).as("dn"), sum(dcnt).as("dcnt"), sum(dv).as("dv")) ++
       (if (withSumsq) Seq(sum(dsq).cast("decimal(38,0)").as("dsumsq")) else Nil) ++
       // arriving values' HLL partial (hll_sketch_agg skips the NULLs the
       // `when` leaves on non-arriving rows)

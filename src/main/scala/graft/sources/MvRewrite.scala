@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Expression, NamedExpression, PredicateHelper}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, StddevSamp, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation, FileScan}
@@ -21,12 +21,18 @@ import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, Data
   *   - **Definition match**: the query's GROUP BY column set equals the
   *     view's recorded groups (`_mv_def`), and every aggregate call maps
   *     onto a column the view maintains (`count(*)` → `n_rows`,
-  *     `sum(v)` → `val_sum`, `avg(v)` → `val_avg`, `min/max(v)` →
-  *     `val_min`/`val_max`, `count(DISTINCT v)` → `val_distinct`,
-  *     `stddev_samp(v)` → `val_stddev`) with EXACTLY the original output
-  *     type — a near-miss (different value column, an aggregate the view
-  *     doesn't maintain, a FILTER clause, a type change) refuses and the
-  *     query keeps its direct plan.
+  *     `count(v)` → `val_cnt`, `sum(v)` → `val_sum` (NULL-guarded by
+  *     `val_cnt` — an all-NULL group's direct sum is SQL NULL),
+  *     `avg(v)` → `val_avg` (derived from `val_cnt`, the NON-NULL count
+  *     the direct plan divides by), `min/max(v)` → `val_min`/`val_max`,
+  *     `count(DISTINCT v)` → `val_distinct`,
+  *     `hll_sketch_estimate(hll_sketch_agg(v))` → estimate of `val_hll`)
+  *     with EXACTLY the original output type — a near-miss (different
+  *     value column, an aggregate the view doesn't maintain, a FILTER
+  *     clause, a type change) refuses and the query keeps its direct
+  *     plan. `stddev_samp` is deliberately NOT served: the view's
+  *     sum-of-squares identity is not bit-identical to Spark's Welford
+  *     accumulation (ADVICE r17).
   *   - **Freshness pin**: the view's high-water stamp
   *     (`lastTxnVersion(mv, graft-mv:src)`) must equal the source's
   *     CURRENT version — a stale view (source advanced past the last
@@ -92,6 +98,11 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
         !t.hasEvolvedSpecs
     if (!plain(lt) || !plain(rt)) return None
     val spark = SparkSession.active
+    // cheap existence fast-path before ANY snapshot-store read: a join
+    // view is recorded as a consumer on BOTH sources, so the left root's
+    // sidecar alone decides (one Files.exists for the no-MV common case)
+    val lConsumers = MatView.consumersOf(lt.storeRoot)
+    if (lConsumers.isEmpty) return None
     def latestOf(t: GraftTable): Option[SnapshotStore.Snapshot] =
       try {
         val s = SnapshotStore.latest(t.storeRoot)
@@ -117,7 +128,7 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
       return None
     val keySet = eqPairs.map(_._1.name.toLowerCase).toSet
 
-    MatView.consumersOf(lt.storeRoot).iterator.flatMap { mvRoot =>
+    lConsumers.iterator.flatMap { mvRoot =>
       val d = MatView.readDef(mvRoot).getOrElse(Map.empty[String, String])
       val oriented =
         if (d.get("kind").contains("join") &&
@@ -204,9 +215,16 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
         Some((g, consumed))
       case _ => None
     }
-    case Filter(cond, inner) => unwrap(inner).map { case (g, fs) =>
-      (g, fs ++ splitConjunctivePredicates(cond))
-    }
+    case Filter(cond, inner)
+        // non-deterministic predicates (rand() < x) have empty references,
+        // so they'd pass the group-columns-only commutation check — but σ
+        // with a random draw does NOT commute with GROUP BY or join
+        // multiplicity (it would re-draw per view row, not per source
+        // row). Refuse the rewrite outright (ADVICE r17).
+        if splitConjunctivePredicates(cond).forall(_.deterministic) =>
+      unwrap(inner).map { case (g, fs) =>
+        (g, fs ++ splitConjunctivePredicates(cond))
+      }
     case Project(projList, inner) if projList.forall(_.isInstanceOf[Attribute]) =>
       unwrap(inner)
     case _ => None
@@ -226,12 +244,13 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
       table.hasEvolvedSpecs) return None
     val spark = SparkSession.active
     val srcRoot = table.storeRoot
-    // reading the LATEST snapshot only: a cached relation pinned behind
-    // the head must not serve the (newer) view
-    val latestSrc =
-      try SnapshotStore.latest(srcRoot)
-      catch { case scala.util.control.NonFatal(_) => return None }
-    if (latestSrc.dataDir != table.snapDataDir) return None
+    // the cheap existence fast-path FIRST (one Files.exists on the
+    // `_mv_consumers` sidecar): this rule runs per aggregate node, ≥2× per
+    // query (fixed-point batch), over EVERY catalog table — a no-MV table
+    // must cost ~one stat call, never a snapshot-store read (the r17
+    // planner tax behind the CDC-gate regressions)
+    val consumers = MatView.consumersOf(srcRoot)
+    if (consumers.isEmpty) return None
     val groupNames = groupAttrs.map(_.name.toLowerCase)
     if (groupNames.distinct.length != groupNames.length) return None
     // every predicate must reference group columns only (σ on group cols
@@ -239,8 +258,14 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val groupIds = groupAttrs.map(_.exprId).toSet
     if (!consumed.forall(_.references.forall(a => groupIds(a.exprId))))
       return None
+    // reading the LATEST snapshot only: a cached relation pinned behind
+    // the head must not serve the (newer) view
+    val latestSrc =
+      try SnapshotStore.latest(srcRoot)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    if (latestSrc.dataDir != table.snapDataDir) return None
 
-    MatView.consumersOf(srcRoot).iterator.flatMap { mvRoot =>
+    consumers.iterator.flatMap { mvRoot =>
       rewriteAgainst(spark, mvRoot, srcRoot, latestSrc.version, groupAttrs,
         groupNames, result, consumed)
     }.nextOption()
@@ -278,34 +303,63 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val mvByName = mvRead.output.map(a => a.name.toLowerCase -> a).toMap
     def mvCol(name: String): Option[Attribute] = mvByName.get(name)
 
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, EqualTo, If, Literal}
+    import org.apache.spark.sql.types.DoubleType
+    def agg(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction): Expression =
+      f.toAggregateExpression()
+    // NULL semantics (VERDICT r17 #1): the view's val_cnt is the count of
+    // NON-NULL values — the denominator the direct avg divides by, and
+    // the witness for sum's all-NULL-group → SQL NULL rule (the stored
+    // val_sum is canonicalized to 0 there; serve NULL when val_cnt = 0).
+    // Views created before val_cnt existed can't prove any of this, so
+    // sum falls back to the bare column only for them (their gates fed no
+    // NULLs by construction) and avg refuses outright (their stored
+    // val_avg divided by n_rows — wrong under NULLs).
+    // stddev_samp is deliberately NOT mapped: the view derives it via the
+    // sum-of-squares identity while Spark's direct StddevSamp runs
+    // Welford M2 accumulation — not bit-identical, and the identity
+    // cancels catastrophically for large means (ADVICE r17). The stored
+    // val_stddev stays queryable on the view itself.
+    def nullIfEmpty(cnt: Attribute, v: Expression): Expression =
+      If(EqualTo(cnt, Literal(0L)), Literal(null, v.dataType), v)
+
     // roll-up image of one aggregate call: an aggregate OVER the view
     // columns whose result equals the query aggregate over the source.
-    // count(*) → sum(n_rows); sum → sum(val_sum); min/max →
-    // min(val_min)/max(val_max); avg → Σval_sum / Σn_rows (exact-integer
-    // sums per the Canon rule, so the one double divide is bit-identical
-    // to the direct Average). Output types must come out EXACTLY as the
-    // original call (checked by the caller); a widening mismatch
-    // (decimal sums grow precision per Sum) refuses there.
+    // count(*) → sum(n_rows); count(v) → sum(val_cnt); sum →
+    // sum(val_sum) (NULL when Σval_cnt = 0); min/max →
+    // min(val_min)/max(val_max); avg → Σval_sum / Σval_cnt
+    // (exact-integer sums per the Canon rule, so the one double divide is
+    // bit-identical to the direct Average). Output types must come out
+    // EXACTLY as the original call (checked by the caller); a widening
+    // mismatch (decimal sums grow precision per Sum) refuses there.
     def rollAgg(ae: AggregateExpression): Option[Expression] = {
       if (ae.filter.nonEmpty || ae.isDistinct) return None
-      import org.apache.spark.sql.catalyst.expressions.{Cast, Divide}
-      import org.apache.spark.sql.types.DoubleType
-      def agg(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction): Expression =
-        f.toAggregateExpression()
+      def sumIsNull: Option[Expression] =
+        mvCol("val_cnt").map(c => EqualTo(agg(Sum(c)), Literal(0L)))
       ae.aggregateFunction match {
-        case Count(Seq(l: org.apache.spark.sql.catalyst.expressions.Literal))
-            if l.value != null =>
+        case Count(Seq(l: Literal)) if l.value != null =>
           mvCol("n_rows").map(n => agg(Sum(n)))
+        case Count(Seq(a: AttributeReference))
+            if a.name.toLowerCase == valueCol =>
+          // count(v) over long-count partials: Sum(long) yields long —
+          // same type as the original Count
+          mvCol("val_cnt").map(c => agg(Sum(c)))
         case su: Sum => su.child match {
           case a: AttributeReference if a.name.toLowerCase == valueCol =>
-            mvCol("val_sum").map(v => agg(Sum(v)))
+            mvCol("val_sum").map { v =>
+              val s = agg(Sum(v))
+              sumIsNull.map(p => If(p, Literal(null, s.dataType), s): Expression)
+                .getOrElse(s)
+            }
           case _ => None
         }
         case av: Average if aggs("avg") => av.child match {
           case a: AttributeReference if a.name.toLowerCase == valueCol =>
-            for (v <- mvCol("val_sum"); n <- mvCol("n_rows"))
-              yield Divide(Cast(agg(Sum(v)), DoubleType),
-                Cast(agg(Sum(n)), DoubleType))
+            for (v <- mvCol("val_sum"); c <- mvCol("val_cnt"))
+              yield If(EqualTo(agg(Sum(c)), Literal(0L)),
+                Literal(null, DoubleType),
+                Divide(Cast(agg(Sum(v)), DoubleType),
+                  Cast(agg(Sum(c)), DoubleType)))
           case _ => None
         }
         case Min(a: AttributeReference)
@@ -318,25 +372,33 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
       }
     }
 
-    // one aggregate call → the view column holding exactly its value
-    def mapAgg(ae: AggregateExpression): Option[Attribute] = {
+    // one aggregate call → the expression over the view's columns holding
+    // exactly its value (usually a bare column; sum gets the
+    // all-NULL-group guard)
+    def mapAgg(ae: AggregateExpression): Option[Expression] = {
       if (ae.filter.nonEmpty) return None
       ae.aggregateFunction match {
-        case Count(Seq(l: org.apache.spark.sql.catalyst.expressions.Literal))
+        case Count(Seq(l: Literal))
             if !ae.isDistinct && l.value != null =>
           mvCol("n_rows")
+        case Count(Seq(a: AttributeReference))
+            if !ae.isDistinct && a.name.toLowerCase == valueCol =>
+          mvCol("val_cnt")
         case Count(Seq(a: AttributeReference))
             if ae.isDistinct && a.name.toLowerCase == valueCol &&
               aggs("count_distinct") =>
           mvCol("val_distinct")
         case s: Sum if !ae.isDistinct => s.child match {
           case a: AttributeReference if a.name.toLowerCase == valueCol =>
-            mvCol("val_sum")
+            mvCol("val_sum").map(v =>
+              mvCol("val_cnt").map(c => nullIfEmpty(c, v))
+                .getOrElse(v: Expression))
           case _ => None
         }
         case av: Average if !ae.isDistinct && aggs("avg") => av.child match {
           case a: AttributeReference if a.name.toLowerCase == valueCol =>
-            mvCol("val_avg")
+            // require the val_cnt-derived val_avg (see NULL note above)
+            mvCol("val_cnt").flatMap(_ => mvCol("val_avg"))
           case _ => None
         }
         case Min(a: AttributeReference)
@@ -345,11 +407,6 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
         case Max(a: AttributeReference)
             if a.name.toLowerCase == valueCol && aggs("max") =>
           mvCol("val_max")
-        case sd: StddevSamp if aggs("stddev") => sd.child match {
-          case a: AttributeReference if a.name.toLowerCase == valueCol =>
-            mvCol("val_stddev")
-          case _ => None
-        }
         case _ => None
       }
     }
@@ -361,6 +418,37 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // rebuild each output expression over the view's columns; any
     // unmapped aggregate or non-grouping attribute refuses the rewrite
     def rebuild(e: Expression): Option[Expression] = e match {
+      // hll_sketch_estimate(hll_sketch_agg(v)) — matched as a PAIR: the
+      // view's stored sketch BYTES may legally differ from a direct
+      // aggregation (sparse/dense mode history depends on fold order)
+      // while the registers — and hence the estimate — agree, so only
+      // the estimate-of-agg composition is servable, never the raw
+      // sketch. Roll-up unions the per-group sketches (registers only
+      // grow; union of partials ≡ one aggregation). lgConfigK must be
+      // the default the view maintains with.
+      case org.apache.spark.sql.catalyst.expressions.HllSketchEstimate(
+          ae: AggregateExpression)
+          if aggs("approx_distinct") && !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case h: org.apache.spark.sql.catalyst.expressions.aggregate.HllSketchAgg =>
+            h.left match {
+              case a: AttributeReference
+                  if a.name.toLowerCase == valueCol &&
+                    h.lgConfigK ==
+                      new org.apache.spark.sql.catalyst.expressions.aggregate
+                        .HllSketchAgg(a).lgConfigK =>
+                mvCol("val_hll").map { v =>
+                  val sk: Expression =
+                    if (exact) v
+                    else agg(new org.apache.spark.sql.catalyst.expressions
+                      .aggregate.HllUnionAgg(v, false))
+                  org.apache.spark.sql.catalyst.expressions
+                    .HllSketchEstimate(sk)
+                }
+              case _ => None
+            }
+          case _ => None
+        }
       case ae: AggregateExpression =>
         (if (exact) mapAgg(ae): Option[Expression] else rollAgg(ae))
           .filter(m =>

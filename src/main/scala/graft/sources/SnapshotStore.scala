@@ -553,13 +553,65 @@ object SnapshotStore {
     (lines.head, txns)
   }
 
+  // ---- the O(1) head pointer ----------------------------------------------
+  // `_commits/_head` holds the newest committed version as a HINT (the
+  // Delta `_last_checkpoint` idea applied to the head itself): `latest`
+  // reads it and probes FORWARD until the first missing version, so the
+  // common case is two stat calls instead of an O(commits) directory
+  // listing — which matters because latest() runs inside the optimizer
+  // (MvRewrite freshness pins), per micro-batch, and per DML statement; at
+  // a long-lived warehouse's 10⁴–10⁵ commits the listing was the planner
+  // tax behind the r17 CDC-gate regressions. Safety: the hint is only ever
+  // BEHIND the truth (updated after the commit CAS; crash in between
+  // leaves it one short), probe-forward always lands on the true head
+  // because versions are dense going up — the commit CAS allocates them
+  // contiguously and VACUUM only deletes commits with ≥ keepLast ≥ 1 LIVE
+  // commits above them, so no gap can sit between a live hint and the
+  // head. A missing/corrupt/vacuumed hint falls back to the full listing
+  // (legacy tables) and heals the pointer for the next reader. Every
+  // commits-dir listing filters on the `.commit` suffix, so the pointer
+  // (and its staging temp files) are invisible to the log readers.
+
+  private def headFile(root: String): Path =
+    commitsDir(root).resolve("_head")
+
+  private def readHeadHint(root: String): Option[Long] =
+    try {
+      val f = headFile(root)
+      if (Files.exists(f)) Some(Files.readString(f).trim.toLong) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Best-effort, monotonic, atomic (temp + ATOMIC_MOVE — a reader never
+    * observes a torn hint; a parse failure falls back to listing anyway).
+    * Failures are swallowed: the pointer is a pure accelerator.
+    */
+  private def updateHead(root: String, v: Long): Unit =
+    try {
+      if (readHeadHint(root).forall(_ < v)) {
+        val tmp = Files.createTempFile(commitsDir(root), ".head", ".tmp")
+        Files.writeString(tmp, v.toString)
+        Files.move(tmp, headFile(root),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   def latest(root: String): Snapshot = {
-    val newest = listDir(commitsDir(root)).iterator
-      .filter(_.getFileName.toString.endsWith(".commit"))
-      .maxByOption(_.getFileName.toString)
-      .getOrElse(throw new IllegalStateException(s"no commits at $root"))
-    val v = newest.getFileName.toString.stripSuffix(".commit").toLong
-    Snapshot(v, parseCommit(newest)._1)
+    readHeadHint(root)
+      .filter(h => Files.exists(commitFile(root, h))) match {
+      case Some(h) =>
+        var v = h
+        while (Files.exists(commitFile(root, v + 1))) v += 1
+        Snapshot(v, parseCommit(commitFile(root, v))._1)
+      case None =>
+        val newest = listDir(commitsDir(root)).iterator
+          .filter(_.getFileName.toString.endsWith(".commit"))
+          .maxByOption(_.getFileName.toString)
+          .getOrElse(throw new IllegalStateException(s"no commits at $root"))
+        val v = newest.getFileName.toString.stripSuffix(".commit").toLong
+        updateHead(root, v) // heal the pointer for the next reader
+        Snapshot(v, parseCommit(newest)._1)
+    }
   }
 
   /** Pin a specific committed version — q70-style time travel / diff. */
@@ -3429,9 +3481,12 @@ object SnapshotStore {
       dataDir + txns.map(t => s"\n${t.appId}\t${t.version}").mkString)
     try {
       Files.createLink(target, tmp)
+      val v = expectedCurrent + 1
+      // head pointer AFTER the CAS lands — a crash in between leaves the
+      // hint one behind, which probe-forward in latest() absorbs
+      updateHead(root, v)
       // periodic txn-stamp fold — after the pointer is live, so a crash
       // here at worst delays the next fold (readers rescan the tail)
-      val v = expectedCurrent + 1
       if (v > 0 && v % TxnCheckpointInterval == 0) writeTxnCheckpoint(root, v)
       true
     }
