@@ -3399,6 +3399,270 @@ object Temporal {
            |FROM v2 GROUP BY segment ORDER BY segment""".stripMargin
       }),
 
+    // Q115d [extension: FK-keyed join-MV rewrite] The first rewrite that
+    // fires on the testdata's own canonical join: orders ⋈ customer on
+    // o_custkey = c_custkey — DIFFERENTLY-named key sides (the FK shape
+    // real schemas have; r17's rewrite only matched USING-style same-name
+    // keys, so this canonical join could never serve). The view stores
+    // BOTH key columns; the rewrite matches the pair in either written
+    // orientation, re-applies residual predicates from both sides, and
+    // staleness on the dim falls back until refreshJoin catches up —
+    // plan-audited like q115b, hash-pinned against DuckDB's direct join
+    // after the same dim mutation.
+    "q115d_join_mv_fk" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{MatView, MvRewrite}
+        graft.GraftExtensions.install(s)
+        val wh = graft.GateTmp.freshDir("q115d")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("CREATE TABLE graft.q115df (o_orderkey BIGINT, " +
+          "o_custkey BIGINT, price_c BIGINT) " +
+          "TBLPROPERTIES ('cdc.keys' = 'o_orderkey')")
+        s.sql("CREATE TABLE graft.q115dd (c_custkey BIGINT, " +
+          "c_mktsegment STRING) TBLPROPERTIES ('cdc.keys' = 'c_custkey')")
+        Tables.orders(s, d)
+          .select($("o_orderkey"), $("o_custkey"),
+            graft.Canon.cents($("o_totalprice")).as("price_c"))
+          .createOrReplaceTempView("q115d_ord")
+        Tables.customer(s, d).select($("c_custkey"), $("c_mktsegment"))
+          .createOrReplaceTempView("q115d_cust")
+        s.sql("INSERT INTO graft.q115df SELECT * FROM q115d_ord")
+        s.sql("INSERT INTO graft.q115dd SELECT * FROM q115d_cust")
+        val mv = graft.GateTmp.freshDir("q115d_mv")
+        MatView.createJoin(s, s"$wh/q115df", s"$wh/q115dd", mv,
+          Seq("o_custkey=c_custkey"))
+        // residual predicates from BOTH sides re-apply on the view
+        val q = """SELECT f.o_orderkey, f.o_custkey, d.c_custkey,
+          |  d.c_mktsegment, f.price_c
+          |FROM graft.q115df f JOIN graft.q115dd d
+          |  ON f.o_custkey = d.c_custkey
+          |WHERE f.price_c > 20000000 AND d.c_mktsegment <> 'MACHINERY'
+          |""".stripMargin
+        def planOf(sql: String): String =
+          s.sql(sql).queryExecution.executedPlan.toString
+        val p1 = planOf(q)
+        require(p1.contains("q115d_mv"),
+          s"the FK join must serve from the view:\n$p1")
+        require(!p1.contains("/q115df/") && !p1.contains("/q115dd/"),
+          s"neither base table may be scanned when the view serves:\n$p1")
+        // a dim mutation staleness-falls-back; refreshJoin restores
+        s.sql("UPDATE graft.q115dd SET c_mktsegment = 'MIGRATED' " +
+          "WHERE c_custkey % 10 = 0")
+        require(!planOf(q).contains("q115d_mv"),
+          "a stale FK join view must never serve")
+        MatView.refreshJoin(s, s"$wh/q115df", s"$wh/q115dd", mv,
+          Seq("o_custkey=c_custkey"))
+        require(planOf(q).contains("q115d_mv"),
+          "the refreshed FK join view must serve again")
+        // referee: served ≡ rewrite-disabled direct (collected first)
+        val servedRows = s.sql(q).collect().toSeq
+        s.conf.set(MvRewrite.EnabledKey, "false")
+        val directRows = s.sql(q).collect().toSeq
+        s.conf.set(MvRewrite.EnabledKey, "true")
+        def bag(rs: Seq[org.apache.spark.sql.Row]) =
+          rs.groupBy(identity).view.mapValues(_.size).toMap
+        require(bag(servedRows) == bag(directRows),
+          "view-served FK join answers must equal the direct join")
+        s.sql(q).orderBy($("o_orderkey"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("o_totalprice")
+        s"""WITH f AS (
+           |  SELECT o_orderkey, o_custkey, $cents AS price_c FROM orders),
+           |d AS (SELECT c_custkey,
+           |  CASE WHEN c_custkey % 10 = 0 THEN 'MIGRATED'
+           |       ELSE c_mktsegment END AS c_mktsegment
+           |  FROM customer)
+           |SELECT f.o_orderkey, f.o_custkey, d.c_custkey, d.c_mktsegment,
+           |  f.price_c
+           |FROM f JOIN d ON f.o_custkey = d.c_custkey
+           |WHERE f.price_c > 20000000 AND d.c_mktsegment <> 'MACHINERY'
+           |ORDER BY f.o_orderkey""".stripMargin
+      }),
+
+    // Q115e [extension: expression-grouping-key MV rewrite] The dashboard
+    // shape MV rewrite exists for: `GROUP BY year(ts)` served from a view
+    // grouped by that same derived expression. The view stores the
+    // expression's value under a derived column (`year_ts`), maintenance
+    // derives it on every delta/recompute input, and the rewrite matches
+    // the query's grouping expression SEMANTICALLY (the optimizer has
+    // already pulled it out as a `_groupingexpression` projection — the
+    // rule inlines it back and compares against the analyzed recorded
+    // spec). Time expressions are timezone-pinned at create; a session in
+    // another zone neither refreshes nor serves. Plan-audited + referee'd
+    // like q115, hash-pinned against DuckDB grouping orders by year.
+    "q115e_mv_expr_group" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{MatView, MvRewrite}
+        graft.GraftExtensions.install(s)
+        val wh = graft.GateTmp.freshDir("q115e")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("CREATE TABLE graft.q115et (okey BIGINT, ts TIMESTAMP, " +
+          "price_c BIGINT) TBLPROPERTIES ('cdc.keys' = 'okey')")
+        Tables.orders(s, d).createOrReplaceTempView("q115e_ord")
+        val cents = graft.Canon.centsSql("o_totalprice")
+        s.sql(
+          s"""INSERT INTO graft.q115et
+             |SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP), $cents
+             |FROM q115e_ord""".stripMargin)
+        val srcRoot = s"$wh/q115et"
+        val mv = graft.GateTmp.freshDir("q115e_mv")
+        val aggs = Seq("count", "sum", "avg")
+        MatView.create(s, srcRoot, mv, Seq("year(ts)"), "price_c", aggs)
+        val q = """SELECT year(ts) AS y, count(*) AS n_rows,
+          |  count(price_c) AS val_cnt,
+          |  CAST(sum(price_c) AS BIGINT) AS val_sum,
+          |  avg(price_c) AS val_avg
+          |FROM graft.q115et GROUP BY year(ts)""".stripMargin
+        def planOf(sql: String): String =
+          s.sql(sql).queryExecution.executedPlan.toString
+        val p1 = planOf(q)
+        require(p1.contains("q115e_mv"),
+          s"GROUP BY year(ts) must serve from the view:\n$p1")
+        require(!p1.contains("/q115et/"),
+          s"the base table must not be scanned when the view serves:\n$p1")
+        // a DIFFERENT expression over the same column keeps the direct plan
+        require(!planOf("SELECT month(ts) AS m, count(*) AS n " +
+          "FROM graft.q115et GROUP BY month(ts)").contains("q115e_mv"),
+          "month(ts) must not be served by a year(ts) view")
+        // DML + refresh: values move between NULL-free groups; the
+        // expression column re-derives on the delta and recompute inputs
+        s.sql("UPDATE graft.q115et SET price_c = price_c + 100 " +
+          "WHERE okey % 7 = 0")
+        s.sql("DELETE FROM graft.q115et WHERE okey % 9 = 0")
+        require(!planOf(q).contains("q115e_mv"),
+          "a stale view must never serve")
+        MatView.refresh(s, srcRoot, mv, Seq("year(ts)"), "price_c", aggs)
+        require(planOf(q).contains("q115e_mv"),
+          "the refreshed view must serve again")
+        val servedRows = s.sql(q).collect().toSeq
+        s.conf.set(MvRewrite.EnabledKey, "false")
+        val directRows = s.sql(q).collect().toSeq
+        s.conf.set(MvRewrite.EnabledKey, "true")
+        def bag(rs: Seq[org.apache.spark.sql.Row]) =
+          rs.groupBy(identity).view.mapValues(_.size).toMap
+        require(bag(servedRows) == bag(directRows),
+          "expression-key MV-served answers must equal the direct plan")
+        s.sql(q).orderBy($("y"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("o_totalprice")
+        s"""WITH base AS (
+           |  SELECT o_orderkey AS okey, o_orderdate AS ts,
+           |         $cents AS price_c FROM orders),
+           |v1 AS (SELECT okey, ts,
+           |  CASE WHEN okey % 7 = 0 THEN price_c + 100 ELSE price_c END
+           |    AS price_c FROM base),
+           |v2 AS (SELECT * FROM v1 WHERE NOT (okey % 9 = 0))
+           |SELECT CAST(year(ts) AS INT) AS y,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(price_c) AS BIGINT) AS val_cnt,
+           |  CAST(sum(price_c) AS BIGINT) AS val_sum,
+           |  CAST(CAST(sum(price_c) AS BIGINT) AS DOUBLE) /
+           |    CAST(count(price_c) AS DOUBLE) AS val_avg
+           |FROM v2 GROUP BY year(ts) ORDER BY y""".stripMargin
+      }),
+
+    // Q115f [extension: roll-up rewrite breadth — avg + approx-distinct]
+    // A COARSER GROUP BY served from a finer view: count(*) rolls up as
+    // Σn_rows, count(v) as Σval_cnt, sum as Σval_sum (NULL-guarded), avg
+    // as Σval_sum/Σval_cnt (exact integer sums, one double divide — the
+    // direct Average's own arithmetic), and
+    // hll_sketch_estimate(hll_sketch_agg(v)) as the estimate of
+    // hll_union_agg over the view's mergeable sketch column (registers
+    // are maxima — a union of per-group partials carries the same
+    // registers as one pass, so the estimate is EQUAL, not merely close).
+    // The estimate is additionally bound-checked in-gate against the
+    // exact distinct count, so the hashed output stays deterministic for
+    // the DuckDB oracle.
+    "q115f_mv_rollup_breadth" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{MatView, MvRewrite}
+        graft.GraftExtensions.install(s)
+        val wh = graft.GateTmp.freshDir("q115f")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("CREATE TABLE graft.q115ft (id BIGINT, segment STRING, " +
+          "nat BIGINT, salary BIGINT) TBLPROPERTIES ('cdc.keys' = 'id')")
+        RelationalPipeline.employeeView(s, d)
+          .select($("id"), $("segment"), (($("id")) % 25).as("nat"),
+            $("salary"))
+          .createOrReplaceTempView("q115f_src")
+        s.sql("INSERT INTO graft.q115ft SELECT id, segment, nat, salary " +
+          "FROM q115f_src")
+        val srcRoot = s"$wh/q115ft"
+        val mv = graft.GateTmp.freshDir("q115f_mv")
+        val aggs = Seq("count", "sum", "avg", "approx_distinct")
+        // the FINER view: (segment, nat); the query groups by segment only
+        MatView.create(s, srcRoot, mv, Seq("segment", "nat"), "salary", aggs)
+        val q = """SELECT segment, count(*) AS n_rows,
+          |  count(salary) AS val_cnt,
+          |  CAST(sum(salary) AS BIGINT) AS val_sum,
+          |  avg(salary) AS val_avg,
+          |  hll_sketch_estimate(hll_sketch_agg(salary)) AS ad
+          |FROM graft.q115ft GROUP BY segment""".stripMargin
+        def planOf(sql: String): String =
+          s.sql(sql).queryExecution.executedPlan.toString
+        val p1 = planOf(q)
+        require(p1.contains("q115f_mv"),
+          s"the roll-up must scan the view:\n$p1")
+        require(!p1.contains("/q115ft/"),
+          s"the base table must not be scanned when the view serves:\n$p1")
+        // DML + refresh keeps the roll-up serving
+        s.sql("UPDATE graft.q115ft SET salary = salary + 10 WHERE id % 6 = 0")
+        s.sql("DELETE FROM graft.q115ft WHERE id % 11 = 0")
+        require(!planOf(q).contains("q115f_mv"),
+          "a stale view must never serve")
+        MatView.refresh(s, srcRoot, mv, Seq("segment", "nat"), "salary", aggs)
+        require(planOf(q).contains("q115f_mv"),
+          "the refreshed view must serve the roll-up again")
+        val servedRows = s.sql(q).collect().toSeq
+        s.conf.set(MvRewrite.EnabledKey, "false")
+        val directRows = s.sql(q).collect().toSeq
+        s.conf.set(MvRewrite.EnabledKey, "true")
+        def bag(rs: Seq[org.apache.spark.sql.Row]) =
+          rs.groupBy(identity).view.mapValues(_.size).toMap
+        require(bag(servedRows) == bag(directRows),
+          "rolled-up served answers (incl. the HLL estimate) must equal " +
+            "the direct plan")
+        // deterministic output for the oracle: the estimate leaves as a
+        // bound-check against the exact distinct count (q95g pattern)
+        s.sql(q).createOrReplaceTempView("q115f_served")
+        s.sql("""SELECT segment, count(DISTINCT salary) AS d
+          |FROM graft.q115ft GROUP BY segment""".stripMargin)
+          .createOrReplaceTempView("q115f_exact")
+        s.sql(
+          """SELECT v.segment, v.n_rows, v.val_cnt, v.val_sum, v.val_avg,
+            |  abs(v.ad - CAST(e.d AS DOUBLE)) <=
+            |    CAST(e.d AS DOUBLE) * 0.02 + 1.0 AS ad_ok
+            |FROM q115f_served v JOIN q115f_exact e
+            |  ON v.segment = e.segment
+            |ORDER BY v.segment""".stripMargin)
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""WITH base AS (
+           |  SELECT c_custkey AS id, c_mktsegment AS segment,
+           |         $cents AS salary
+           |  FROM customer),
+           |v1 AS (SELECT id, segment,
+           |  CASE WHEN id % 6 = 0 THEN salary + 10 ELSE salary END AS salary
+           |  FROM base),
+           |v2 AS (SELECT * FROM v1 WHERE NOT (id % 11 = 0))
+           |SELECT segment, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(salary) AS BIGINT) AS val_cnt,
+           |  CAST(sum(salary) AS BIGINT) AS val_sum,
+           |  CAST(CAST(sum(salary) AS BIGINT) AS DOUBLE) /
+           |    CAST(count(salary) AS DOUBLE) AS val_avg,
+           |  TRUE AS ad_ok
+           |FROM v2 GROUP BY segment ORDER BY segment""".stripMargin
+      }),
+
     // Q110b [extension: partition-TRANSFORM evolution — Iceberg's
     // `REPLACE PARTITION FIELD days(ts) → hours(ts)`] Re-granulating the
     // time layout of a live table without rewriting it: the evolve is one

@@ -169,7 +169,7 @@ object MatView {
       val d = readDef(root).get
       d("kind") match {
         case "agg" => refresh(spark, d("src"), root,
-          split(d("groups")), d("value"), split(d("aggs")))
+          splitGroups(d), d("value"), split(d("aggs")))
         case _ => refreshJoin(spark, d("left"), d("right"), root,
           split(d("keys")))
       }
@@ -200,6 +200,72 @@ object MatView {
     }
     SnapshotStore.latest(mvRoot)
   }
+
+  // ---- expression grouping keys --------------------------------------------
+  // A group spec is a bare column name ("segment") or a deterministic SQL
+  // expression over source columns ("year(ts)", "date_trunc('day', ts)") —
+  // the dashboard-view shape MV rewrite exists for. Expression specs
+  // derive a stored view column under a sanitized name; every maintenance
+  // path derives the same column on its input frame first, so the rest of
+  // the machinery (delta fold, touched-group recompute, merge join) is
+  // untouched. Time expressions are timezone-DEPENDENT: the create-time
+  // session zone is recorded in `_mv_def` and every later refresh (and the
+  // rewrite) must run under the same zone or refuse — the identical
+  // invariant hidden partitioning pins write-side.
+
+  private[graft] case class GroupSpec(spec: String, name: String,
+      isExpr: Boolean)
+
+  private val BareName = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  private[graft] def groupSpecsOf(groups: Seq[String]): Seq[GroupSpec] =
+    groups.map { g =>
+      val t = g.trim
+      if (BareName.matches(t)) GroupSpec(t, t, isExpr = false)
+      else GroupSpec(t,
+        t.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+          .stripPrefix("_").stripSuffix("_"), isExpr = true)
+    }
+
+  /** Derive each expression spec's column on `df` (bare specs pass
+    * through — the column already exists).
+    */
+  private def deriveGroups(df: DataFrame, specs: Seq[GroupSpec]): DataFrame =
+    specs.filter(_.isExpr).foldLeft(df)((d, g) =>
+      d.withColumn(g.name, expr(g.spec)))
+
+  private def sessionTz(spark: SparkSession): String =
+    spark.sessionState.conf.sessionLocalTimeZone
+
+  private[graft] def sameZone(a: String, b: String): Boolean =
+    a == b || (try java.time.ZoneId.of(a).normalized() ==
+      java.time.ZoneId.of(b).normalized()
+    catch { case scala.util.control.NonFatal(_) => false })
+
+  /** Refuse maintenance of an expression-grouped view from a session whose
+    * timezone differs from the create-time pin (a year(ts) evaluated under
+    * a different zone lands rows in the WRONG group — silent wrongness).
+    */
+  private def requireGroupTz(spark: SparkSession, mvRoot: String,
+      specs: Seq[GroupSpec]): Unit =
+    if (specs.exists(_.isExpr))
+      readDef(mvRoot).flatMap(_.get("tz")).foreach { pinned =>
+        val cur = sessionTz(spark)
+        require(sameZone(pinned, cur),
+          s"materialized view $mvRoot groups by expression(s) " +
+            s"${specs.filter(_.isExpr).map(_.spec).mkString(", ")} pinned " +
+            s"to session timezone '$pinned' but this session is '$cur' — " +
+            "time expressions bucket zone-dependently; set " +
+            s"spark.sql.session.timeZone = '$pinned' to refresh this view")
+      }
+
+  /** `groups` field separator: ";" going forward (expression specs may
+    * contain commas — `date_trunc('day', ts)`), with the actual separator
+    * recorded so legacy comma-joined definitions keep parsing.
+    */
+  private[graft] def splitGroups(d: Map[String, String]): Seq[String] =
+    d.getOrElse("groups", "").split(d.getOrElse("groups_sep", ","))
+      .toSeq.map(_.trim).filter(_.nonEmpty)
 
   private def checkAggs(aggs: Seq[String]): Unit = {
     val bad = aggs.filterNot(SupportedAggs)
@@ -425,12 +491,16 @@ object MatView {
     checkAggs(aggs)
     require(SnapshotStore.cdcKeys(srcRoot).nonEmpty,
       s"materialized-view source $srcRoot must have a change feed (cdcKeys)")
+    val specs = groupSpecsOf(groupCols)
     val snap = SnapshotStore.latest(srcRoot)
-    val agg = fullAgg(SnapshotStore.read(spark, snap), groupCols, valueCol, aggs)
+    val agg = fullAgg(deriveGroups(SnapshotStore.read(spark, snap), specs),
+      specs.map(_.name), valueCol, aggs)
     SnapshotStore.init(spark, mvRoot, agg.limit(0))
     writeDef(mvRoot, Seq("kind" -> "agg", "src" -> srcRoot,
-      "groups" -> groupCols.mkString(","), "value" -> valueCol,
-      "aggs" -> aggs.mkString(",")))
+      "groups" -> groupCols.mkString(";"), "groups_sep" -> ";",
+      "value" -> valueCol, "aggs" -> aggs.mkString(",")) ++
+      // the zone pin expression groups bucket under (see requireGroupTz)
+      (if (specs.exists(_.isExpr)) Seq("tz" -> sessionTz(spark)) else Nil))
     recordConsumer(srcRoot, mvRoot)
     // the initial aggregate lands as a stamped transaction so refresh's
     // high-water mark starts at the snapshot it actually covers
@@ -446,6 +516,8 @@ object MatView {
       groupCols: Seq[String], valueCol: String,
       aggs: Seq[String] = Seq("count", "sum")): SnapshotStore.Snapshot = {
     checkAggs(aggs)
+    val specs = groupSpecsOf(groupCols)
+    requireGroupTz(spark, mvRoot, specs)
     val appId = appIdFor(srcRoot)
     var restarts = 0
     while (true) {
@@ -455,7 +527,7 @@ object MatView {
       val cur = SnapshotStore.latest(srcRoot).version
       if (cur <= last) return SnapshotStore.latest(mvRoot)
       try {
-        return applyDelta(spark, srcRoot, mvRoot, groupCols, valueCol, aggs,
+        return applyDelta(spark, srcRoot, mvRoot, specs, valueCol, aggs,
           SnapshotStore.changes(spark, srcRoot, last + 1, cur),
           srcVersion = cur, pinnedLast = last)
       } catch {
@@ -473,9 +545,10 @@ object MatView {
     * stamped, pin-checked transaction.
     */
   private def applyDelta(spark: SparkSession, srcRoot: String, mvRoot: String,
-      groupCols: Seq[String], valueCol: String, aggs: Seq[String],
+      specs: Seq[GroupSpec], valueCol: String, aggs: Seq[String],
       changes: DataFrame, srcVersion: Long,
       pinnedLast: Long): SnapshotStore.Snapshot = {
+    val groupCols = specs.map(_.name)
     val appId = appIdFor(srcRoot)
     val withMm = needMinMax(aggs)
     val withSd = needStddev(aggs)
@@ -483,7 +556,7 @@ object MatView {
     val withHll = needHll(aggs)
     val withQ = needQuantile(aggs)
     val trackRemovals = withMm || withCd || withHll
-    val delta = deltaOf(changes, groupCols, valueCol,
+    val delta = deltaOf(deriveGroups(changes, specs), groupCols, valueCol,
       withRemovals = trackRemovals, withSumsq = withSd,
       withSketch = withHll, withQuantile = withQ).persist()
     try {
@@ -559,7 +632,9 @@ object MatView {
             else delta.filter(col("has_removal")))
             .select(groupCols.map(col): _*)
           val recomputed = fullAgg(
-            SnapshotStore.read(spark, SnapshotStore.at(srcRoot, srcVersion))
+            deriveGroups(
+              SnapshotStore.read(spark, SnapshotStore.at(srcRoot, srcVersion)),
+              specs)
               .join(broadcast(touched), groupCols, "left_semi"),
             groupCols, valueCol, aggs)
           // a recomputed group that lost ALL rows yields no row — drops out
@@ -586,6 +661,8 @@ object MatView {
       batch: DataFrame, batchId: Long): Unit = {
     checkAggs(aggs)
     val spark = batch.sparkSession
+    val specs = groupSpecsOf(groupCols)
+    requireGroupTz(spark, mvRoot, specs)
     val appId = appIdFor(srcRoot)
     var restarts = 0
     var done = false
@@ -600,7 +677,7 @@ object MatView {
         val top = fresh.agg(max(col(SnapshotStore.CommitVersionCol)))
           .head().getLong(0)
         try {
-          applyDelta(spark, srcRoot, mvRoot, groupCols, valueCol, aggs,
+          applyDelta(spark, srcRoot, mvRoot, specs, valueCol, aggs,
             fresh, srcVersion = top, pinnedLast = last)
           done = true
         } catch {
@@ -661,6 +738,27 @@ object MatView {
   }
 
   // ---- incrementally-maintained JOIN views --------------------------------
+
+  /** Join-key spec grammar: `"k"` (same name on both sides — the
+    * USING-join shape, one stored key column) or `"lk=rk"` (differently-
+    * named sides — the FK shape real schemas actually have:
+    * `o_custkey=c_custkey`; the view stores BOTH columns). Mixing the two
+    * forms in one view refuses (a using-join can't compose with an
+    * expression join without ambiguous output names), and differently-
+    * named keys are inner-only for now: an outer view can carry rows
+    * where only ONE side's key is non-null, so touched-key membership
+    * would need an OR-of-sides probe — refuse rather than maintain
+    * subtly-wrong.
+    */
+  private[graft] def parseKeyPairs(joinKeys: Seq[String]): Seq[(String, String)] =
+    joinKeys.map { k =>
+      k.split("=") match {
+        case Array(one) => (one.trim, one.trim)
+        case Array(l, r) => (l.trim, r.trim)
+        case _ => throw new IllegalArgumentException(
+          s"bad join-key spec '$k' — want 'k' or 'leftKey=rightKey'")
+      }
+    }
 
   /** Per-source writer stamp for a join view: BOTH sources' high-water
     * marks ride in the SAME commit (multi-stamp `tryCommit` lines), so a
@@ -729,33 +827,53 @@ object MatView {
     require(SnapshotStore.cdcKeys(leftRoot).nonEmpty &&
       SnapshotStore.cdcKeys(rightRoot).nonEmpty,
       "join-view sources must both have a change feed (cdcKeys)")
+    val pairs = parseKeyPairs(joinKeys)
+    val sameName = pairs.forall(p => p._1.equalsIgnoreCase(p._2))
+    require(sameName || pairs.forall(p => !p._1.equalsIgnoreCase(p._2)),
+      "cannot mix same-name ('k') and differently-named ('lk=rk') join " +
+        "keys in one view")
+    require(sameName || jt == "inner",
+      "differently-named join keys support inner views only (see " +
+        "parseKeyPairs)")
+    val lKeys = pairs.map(_._1)
+    val rKeys = pairs.map(_._2)
     val ls = SnapshotStore.latest(leftRoot)
     val rs = SnapshotStore.latest(rightRoot)
     val l = SnapshotStore.read(spark, ls)
     val r = SnapshotStore.read(spark, rs)
-    val keySet = joinKeys.map(_.toLowerCase).toSet
     // most-likely user error first, with its own message: a typo'd key name
-    Seq(leftRoot -> l, rightRoot -> r).foreach { case (root, df) =>
-      val missing = keySet -- df.columns.map(_.toLowerCase).toSet
-      require(missing.isEmpty,
-        s"join key(s) ${missing.mkString(", ")} not present in $root " +
-          s"(columns: ${df.columns.mkString(", ")})")
+    Seq((leftRoot, l, lKeys), (rightRoot, r, rKeys)).foreach {
+      case (root, df, ks) =>
+        val missing = ks.map(_.toLowerCase).toSet --
+          df.columns.map(_.toLowerCase).toSet
+        require(missing.isEmpty,
+          s"join key(s) ${missing.mkString(", ")} not present in $root " +
+            s"(columns: ${df.columns.mkString(", ")})")
     }
     val overlap = l.columns.map(_.toLowerCase).toSet
       .intersect(r.columns.map(_.toLowerCase).toSet)
-    require(overlap == keySet,
-      s"non-key column overlap between sources: ${(overlap -- keySet).mkString(", ")}")
+    val allowedOverlap =
+      if (sameName) lKeys.map(_.toLowerCase).toSet else Set.empty[String]
+    require(overlap == allowedOverlap,
+      s"non-key column overlap between sources: ${(overlap -- allowedOverlap).mkString(", ")}")
     val viewKeys =
       if (!emitChanges) Nil
       else (SnapshotStore.cdcKeys(leftRoot) ++ SnapshotStore.cdcKeys(rightRoot))
         .map(_.toLowerCase).distinct
-    val joined0 = l.join(r, joinKeys, jt)
+    // same-name keys join USING (one stored copy, outer-coalesced); pairs
+    // join on the expression and store BOTH columns (equal by the inner
+    // condition — MvRewrite serves either side's attribute from its own)
+    val joined0 =
+      if (sameName) l.join(r, lKeys, jt)
+      else l.join(r,
+        pairs.map { case (lk, rk) => l(lk) === r(rk) }.reduce(_ && _), jt)
     val (joined, parts) =
       if (buckets > 0)
         // co-locate each bucket into one task before the partitioned
         // write: without this every task writes a sliver into every
-        // bucket dir (tasks x buckets files)
-        (joined0.withColumn(BucketCol, bucketOf(joinKeys, buckets))
+        // bucket dir (tasks x buckets files). Bucket on the LEFT names —
+        // present in every stored row of an inner/using view
+        (joined0.withColumn(BucketCol, bucketOf(lKeys, buckets))
           .repartition(col(BucketCol)), Seq(BucketCol))
       else (joined0, Nil)
     SnapshotStore.init(spark, mvRoot, joined.limit(0), partitionBy = parts,
@@ -845,18 +963,33 @@ object MatView {
     val lv = SnapshotStore.latest(leftRoot).version
     val rv = SnapshotStore.latest(rightRoot).version
     if (lv <= ll && rv <= rl) return SnapshotStore.latest(mvRoot)
-    val touched = touchedKeys(spark, Seq((leftRoot, ll, lv), (rightRoot, rl, rv)),
-      joinKeys).persist()
+    val pairs = parseKeyPairs(joinKeys)
+    val sameName = pairs.forall(p => p._1.equalsIgnoreCase(p._2))
+    val lKeys = pairs.map(_._1)
+    val rKeys = pairs.map(_._2)
+    // touched keys are canonicalized to the LEFT names (each side's feed
+    // selects its own key columns, aliased) so membership probes and
+    // bucket math share one schema
+    val touched = Seq((leftRoot, ll, lv, lKeys), (rightRoot, rl, rv, rKeys))
+      .flatMap { case (root, applied, cur, ks) =>
+        if (cur <= applied) None
+        else Some(SnapshotStore.changes(spark, root, applied + 1, cur)
+          .select(ks.zip(lKeys).map { case (k, out) => col(k).as(out) }: _*))
+      }.reduce(_ unionByName _).distinct().persist()
     try {
       val probeN = math.min(broadcastKeyLimit + 1, Int.MaxValue.toLong).toInt
       val small = touched.limit(probeN).count() <= broadcastKeyLimit
       // NULL-SAFE membership joins: outer-type views legitimately carry
       // null join-key rows (null-extended matches, or null keys in a
       // source), and a feed that touches one must replace it — an equi
-      // semi/anti would silently skip it forever
-      def member(df: DataFrame, anti: Boolean): DataFrame = {
+      // semi/anti would silently skip it forever. `dfKeys` names the
+      // probed frame's own key columns (right sources probe on rKeys;
+      // the view and left sources on lKeys)
+      def member(df: DataFrame, dfKeys: Seq[String], anti: Boolean): DataFrame = {
         val t = if (small) broadcast(touched) else touched
-        df.join(t, joinKeys.map(k => df(k) <=> t(k)).reduce(_ && _),
+        df.join(t,
+          dfKeys.zip(lKeys).map { case (dk, tk) => df(dk) <=> t(tk) }
+            .reduce(_ && _),
           if (anti) "left_anti" else "left_semi")
       }
       // VERY small single-key change sets additionally ride as a literal
@@ -865,27 +998,32 @@ object MatView {
       // fact table OPTIMIZEd cluster_by the join key reads only the
       // touched keys' row groups instead of scanning the snapshot
       val keyLocal: Option[IndexedSeq[Any]] =
-        if (joinKeys.length == 1) {
+        if (pairs.length == 1) {
           val a = touched.limit(1001).collect()
           if (a.length <= 1000) Some(a.map(_.get(0)).toIndexedSeq) else None
         } else None
-      def scoped(df: DataFrame): DataFrame = keyLocal match {
+      def scoped(df: DataFrame, keyName: String): DataFrame = keyLocal match {
         case Some(ks) =>
           val nonNull = ks.filter(_ != null)
-          val in = col(joinKeys.head).isin(nonNull: _*)
+          val in = col(keyName).isin(nonNull: _*)
           df.filter(if (ks.length > nonNull.length)
-            in || col(joinKeys.head).isNull else in)
+            in || col(keyName).isNull else in)
         case None => df
       }
       val jt = joinTypeOf(mvRoot)
       val l = member(scoped(
-        SnapshotStore.read(spark, SnapshotStore.at(leftRoot, lv))), anti = false)
+        SnapshotStore.read(spark, SnapshotStore.at(leftRoot, lv)),
+        lKeys.head), lKeys, anti = false)
       val r = member(scoped(
-        SnapshotStore.read(spark, SnapshotStore.at(rightRoot, rv))), anti = false)
+        SnapshotStore.read(spark, SnapshotStore.at(rightRoot, rv)),
+        rKeys.head), rKeys, anti = false)
       // the view's own type: outer types null-extend within the touched
       // slice exactly as the full join would (σ_K commutes with ⟗ here —
       // every key of K selects ALL its rows from both sides)
-      val recomputed0 = l.join(r, joinKeys, jt)
+      val recomputed0 =
+        if (sameName) l.join(r, lKeys, jt)
+        else l.join(r,
+          pairs.map { case (lk, rk) => l(lk) === r(rk) }.reduce(_ && _), jt)
       val feedKeys = SnapshotStore.cdcKeys(mvRoot)
       val ct = SnapshotStore.ChangeTypeCol
       // the transform closes over snapshots pinned ABOVE — verify the pins
@@ -900,7 +1038,7 @@ object MatView {
         SnapshotStore.transact(spark, mvRoot,
           txn = Some(SnapshotStore.Txn(lApp, lv)),
           extraTxns = Seq(SnapshotStore.Txn(rApp, rv)), pinCheck = pin) { mv =>
-          member(mv, anti = true)
+          member(mv, lKeys, anti = true)
             .unionByName(recomputed0.select(mv.columns.map(col).toIndexedSeq: _*))
         }
       else {
@@ -909,11 +1047,11 @@ object MatView {
         // every other bucket — write cost is O(touched buckets), the same
         // partition-scoped copy-on-write granularity as q93 DML
         val recomputed = recomputed0
-          .withColumn(BucketCol, bucketOf(joinKeys, buckets))
+          .withColumn(BucketCol, bucketOf(lKeys, buckets))
         // bounded driver set: at most `buckets` ints — a literal IN makes
         // the matched probe partition-prune to touched bucket dirs only
         val touchedBuckets = touched
-          .select(bucketOf(joinKeys, buckets).as(BucketCol)).distinct()
+          .select(bucketOf(lKeys, buckets).as(BucketCol)).distinct()
           .collect().map(_.getInt(0)).toIndexedSeq
         SnapshotStore.transactPartialWithChanges(spark, mvRoot,
           txn = Some(SnapshotStore.Txn(lApp, lv)),
@@ -921,7 +1059,7 @@ object MatView {
           baseL => baseL.filter(col(BucketCol)
             .isin(touchedBuckets: _*))) { rowsTouched =>
           val cols = rowsTouched.columns.map(col).toIndexedSeq
-          val out = member(rowsTouched, anti = true)
+          val out = member(rowsTouched, lKeys, anti = true)
             .unionByName(recomputed.select(cols: _*))
             .repartition(col(BucketCol)) // one file per rewritten bucket
           // with a feed: the touched keys' OLD rows leave (delete), their
@@ -931,7 +1069,7 @@ object MatView {
           val changes =
             if (feedKeys.isEmpty)
               out.limit(0).withColumn(ct, lit("insert"))
-            else member(rowsTouched, anti = false)
+            else member(rowsTouched, lKeys, anti = false)
               .withColumn(ct, lit("delete"))
               .unionByName(recomputed.select(cols: _*)
                 .withColumn(ct, lit("insert")))

@@ -111,8 +111,10 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val lSnap = latestOf(lt).getOrElse(return None)
     val rSnap = latestOf(rt).getOrElse(return None)
     // the condition must be a conjunction of cross-side attribute
-    // equalities; the matched name pairs must AGREE (l.k = r.k — the
-    // using-join shape the view materializes) and cover the view's keys
+    // equalities covering the view's key PAIRS exactly — same-name
+    // (l.k = r.k, the USING shape) or differently-named
+    // (o_custkey = c_custkey, the FK shape), each oriented as
+    // (plan-left attr, plan-right attr)
     val lIds = left.outputSet
     val rIds = right.outputSet
     val eqPairs = splitConjunctivePredicates(cond).map {
@@ -123,25 +125,33 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
         else return None
       case _ => return None
     }
-    if (eqPairs.isEmpty ||
-      eqPairs.exists { case (a, b) => !a.name.equalsIgnoreCase(b.name) })
-      return None
-    val keySet = eqPairs.map(_._1.name.toLowerCase).toSet
+    if (eqPairs.isEmpty) return None
+    val planPairs = eqPairs
+      .map { case (a, b) => (a.name.toLowerCase, b.name.toLowerCase) }.toSet
 
     lConsumers.iterator.flatMap { mvRoot =>
       val d = MatView.readDef(mvRoot).getOrElse(Map.empty[String, String])
+      // orientation: which PLAN side is the view's recorded left — the
+      // key-pair match below must compare in the same orientation
       val oriented =
         if (d.get("kind").contains("join") &&
           d.get("left").contains(lt.storeRoot) &&
-          d.get("right").contains(rt.storeRoot)) Some((lSnap, rSnap))
+          d.get("right").contains(rt.storeRoot))
+          Some((lSnap, rSnap, planPairs))
         else if (d.get("kind").contains("join") &&
           d.get("left").contains(rt.storeRoot) &&
-          d.get("right").contains(lt.storeRoot)) Some((rSnap, lSnap))
+          d.get("right").contains(lt.storeRoot))
+          Some((rSnap, lSnap, planPairs.map(_.swap)))
         else None
-      oriented.flatMap { case (leftSnap, rightSnap) =>
-        val mvKeys = d.getOrElse("keys", "").split(",").toSeq
-          .map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
-        if (mvKeys != keySet) None
+      oriented.flatMap { case (leftSnap, rightSnap, orientedPairs) =>
+        val mvPairs =
+          try MatView.parseKeyPairs(d.getOrElse("keys", "").split(",").toSeq
+              .map(_.trim).filter(_.nonEmpty))
+            .map { case (a, b) => (a.toLowerCase, b.toLowerCase) }.toSet
+          catch { case _: IllegalArgumentException =>
+            return None // malformed sidecar: never serve from it
+          }
+        if (mvPairs.isEmpty || mvPairs != orientedPairs) None
         else if (MatView.joinTypeOf(mvRoot) != "inner") None
         else {
           // freshness: BOTH stamps at both sources' current heads
@@ -235,11 +245,50 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // global aggregates (no GROUP BY) emit one row even over an empty
     // source; the view has no row for that — never rewrite them
     if (grouping.isEmpty) return None
-    val groupAttrs = grouping.map {
-      case a: AttributeReference => a
-      case _ => return None // expression grouping keys: direct plan
+    // grouping elements: bare attributes, or deterministic EXPRESSIONS
+    // over source columns (year(ts), date_trunc — the dashboard shape a
+    // derived-column view maintains); non-deterministic keys refuse.
+    // By the time extraOptimizations run, PullOutGroupingExpressions has
+    // rewritten expression keys into `_groupingexpression` columns
+    // projected BELOW the Aggregate — inline those aliases back so the
+    // match sees the original expression over the source attributes.
+    var grouping0 = grouping
+    var result0 = result
+    var child0 = child
+    var inlining = true
+    while (inlining) {
+      inlining = false
+      child0 match {
+        case Project(projList, inner)
+            if projList.exists(_.isInstanceOf[Alias]) &&
+              projList.forall(e => e.isInstanceOf[AttributeReference] ||
+                (e.isInstanceOf[Alias] && e.deterministic)) =>
+          val subst: Map[Long, Expression] = projList.collect {
+            case al: Alias => al.exprId.id -> al.child
+          }.toMap
+          def sub(e: Expression): Expression = e.transformUp {
+            case a: AttributeReference if subst.contains(a.exprId.id) =>
+              subst(a.exprId.id)
+          }
+          grouping0 = grouping0.map(sub)
+          result0 = result0.map {
+            case al @ Alias(inner0, name) =>
+              Alias(sub(inner0), name)(exprId = al.exprId,
+                qualifier = al.qualifier): NamedExpression
+            case a: AttributeReference => sub(a) match {
+              case na: NamedExpression => na
+              case e => Alias(e, a.name)(exprId = a.exprId,
+                qualifier = a.qualifier)
+            }
+            case other => return None
+          }
+          child0 = inner
+          inlining = true
+        case _ => ()
+      }
     }
-    val (table, consumed) = unwrap(child).getOrElse(return None)
+    if (grouping0.exists(!_.deterministic)) return None
+    val (table, consumed) = unwrap(child0).getOrElse(return None)
     if (table.isPinned || table.hasDeletionVector || table.hasRenames ||
       table.hasEvolvedSpecs) return None
     val spark = SparkSession.active
@@ -251,11 +300,12 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // planner tax behind the CDC-gate regressions)
     val consumers = MatView.consumersOf(srcRoot)
     if (consumers.isEmpty) return None
-    val groupNames = groupAttrs.map(_.name.toLowerCase)
-    if (groupNames.distinct.length != groupNames.length) return None
-    // every predicate must reference group columns only (σ on group cols
-    // commutes with GROUP BY; anything else cannot serve from the view)
-    val groupIds = groupAttrs.map(_.exprId).toSet
+    // every predicate must reference BARE-ATTRIBUTE group columns only
+    // (σ on group cols commutes with GROUP BY; a predicate on the source
+    // column UNDER an expression key — ts under year(ts) — does not)
+    val groupIds = grouping0.collect {
+      case a: AttributeReference => a.exprId
+    }.toSet
     if (!consumed.forall(_.references.forall(a => groupIds(a.exprId))))
       return None
     // reading the LATEST snapshot only: a cached relation pinned behind
@@ -266,27 +316,68 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     if (latestSrc.dataDir != table.snapDataDir) return None
 
     consumers.iterator.flatMap { mvRoot =>
-      rewriteAgainst(spark, mvRoot, srcRoot, latestSrc.version, groupAttrs,
-        groupNames, result, consumed)
+      rewriteAgainst(spark, mvRoot, srcRoot, latestSrc.version, grouping0,
+        result0, consumed, child0)
     }.nextOption()
   }
 
+  /** Resolve a recorded view group-expression spec against the query's
+    * source relation output (same attribute ids as the query's own
+    * grouping expressions, so `semanticEquals` decides the match): parse,
+    * alias onto a LocalRelation carrying the source attributes, and run
+    * the analyzer on the detached one-node plan.
+    */
+  private def resolveSpec(spark: SparkSession, spec: String,
+      srcOutput: Seq[Attribute]): Option[Expression] =
+    try {
+      val parsed = spark.sessionState.sqlParser.parseExpression(spec)
+      val plan = Project(
+        Seq(Alias(parsed, "__g")()),
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(srcOutput))
+      spark.sessionState.analyzer.execute(plan) match {
+        case Project(Seq(a: Alias), _) if a.child.resolved => Some(a.child)
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private def rewriteAgainst(spark: SparkSession, mvRoot: String,
-      srcRoot: String, srcVersion: Long, groupAttrs: Seq[AttributeReference],
-      groupNames: Seq[String], result: Seq[NamedExpression],
-      consumed: Seq[Expression]): Option[LogicalPlan] = {
+      srcRoot: String, srcVersion: Long, grouping: Seq[Expression],
+      result: Seq[NamedExpression],
+      consumed: Seq[Expression], child: LogicalPlan): Option[LogicalPlan] = {
     val d = MatView.readDef(mvRoot).getOrElse(return None)
     if (!d.get("kind").contains("agg") || !d.get("src").contains(srcRoot))
       return None
-    val mvGroups = d.getOrElse("groups", "").split(",").toSeq
-      .map(_.trim.toLowerCase).filter(_.nonEmpty)
+    val mvSpecs = MatView.groupSpecsOf(MatView.splitGroups(d))
+    // expression group keys are timezone-pinned at create: a session in a
+    // different zone would read year(ts) buckets that were MAINTAINED
+    // under another zone — refuse (the requireGroupTz write-side twin)
+    if (mvSpecs.exists(_.isExpr) &&
+      d.get("tz").exists(tz => !MatView.sameZone(tz,
+        spark.sessionState.conf.sessionLocalTimeZone))) return None
+    // match each query grouping element to a view group: bare attributes
+    // by name, expressions by semantic equality against the resolved spec
+    val matched: Seq[(Expression, String)] = grouping.map {
+      case a: AttributeReference =>
+        mvSpecs.find(s => !s.isExpr && s.name.equalsIgnoreCase(a.name))
+          .map(s => (a: Expression, s.name.toLowerCase))
+          .getOrElse(return None)
+      case e =>
+        mvSpecs.find(s => s.isExpr &&
+          resolveSpec(spark, s.spec, child.output)
+            .exists(_.semanticEquals(e)))
+          .map(s => (e, s.name.toLowerCase))
+          .getOrElse(return None)
+    }
+    val matchedNames = matched.map(_._2)
+    if (matchedNames.distinct.length != matchedNames.length) return None
     // exact group match serves rows as-is; a STRICT SUBSET rolls up —
     // re-aggregating the view's per-group rows (sum of n_rows/val_sum,
     // min of val_min, ...), still a scan of the tiny view, never the
     // source. Aggregates that do not merge from group results
-    // (count_distinct, stddev, sketches) refuse in roll-up mode.
-    val exact = mvGroups.sorted == groupNames.sorted
-    val rollup = !exact && groupNames.toSet.subsetOf(mvGroups.toSet)
+    // (count_distinct, stddev) refuse in roll-up mode.
+    val mvNames = mvSpecs.map(_.name.toLowerCase)
+    val exact = mvNames.sorted == matchedNames.sorted
+    val rollup = !exact && matchedNames.toSet.subsetOf(mvNames.toSet)
     if (!exact && !rollup) return None
     val valueCol = d.getOrElse("value", "").toLowerCase
     val aggs = d.getOrElse("aggs", "").split(",").toSeq.map(_.trim).toSet
@@ -411,13 +502,20 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
       }
     }
 
-    val groupIdToMv: Map[Long, Attribute] = groupAttrs.flatMap(a =>
-      mvCol(a.name.toLowerCase).map(m => a.exprId.id -> m)).toMap
-    if (groupIdToMv.size != groupAttrs.length) return None
+    // each matched query grouping element → the view column storing it
+    val groupMaps: Seq[(Expression, Attribute)] = matched.map {
+      case (g, name) => (g, mvCol(name).getOrElse(return None))
+    }
+    def groupOf(e: Expression): Option[Attribute] =
+      groupMaps.find(_._1.semanticEquals(e)).map(_._2)
 
     // rebuild each output expression over the view's columns; any
-    // unmapped aggregate or non-grouping attribute refuses the rewrite
-    def rebuild(e: Expression): Option[Expression] = e match {
+    // unmapped aggregate or non-grouping attribute refuses the rewrite.
+    // Group keys (bare or expression) map FIRST — year(ts) in the output
+    // serves from the view's stored derived column, never re-evaluates
+    def rebuild(e: Expression): Option[Expression] =
+      groupOf(e).map(identity[Expression]).orElse(rebuildRest(e))
+    def rebuildRest(e: Expression): Option[Expression] = e match {
       // hll_sketch_estimate(hll_sketch_agg(v)) — matched as a PAIR: the
       // view's stored sketch BYTES may legally differ from a direct
       // aggregation (sparse/dense mode history depends on fold order)
@@ -454,7 +552,7 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
           .filter(m =>
             org.apache.spark.sql.types.DataType.equalsStructurally(
               m.dataType, ae.dataType, ignoreNullability = true))
-      case a: AttributeReference => groupIdToMv.get(a.exprId.id)
+      case _: AttributeReference => None // non-group attribute: refuse
       case other =>
         val kids = other.children.map(rebuild)
         if (kids.exists(_.isEmpty)) None
@@ -467,7 +565,7 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
           Alias(r, name)(exprId = al.exprId, qualifier = al.qualifier))
           .getOrElse(return None)
       case a: AttributeReference =>
-        groupIdToMv.get(a.exprId.id).map(m =>
+        groupOf(a).map(m =>
           Alias(m, a.name)(exprId = a.exprId, qualifier = a.qualifier))
           .getOrElse(return None)
       case _ => return None
@@ -492,9 +590,9 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val filtered = rebased.map(Filter(_, mvRead)).getOrElse(mvRead)
     if (exact) Some(Project(projected, filtered))
     else
-      // roll-up: GROUP the view by the query's (coarser) keys; the
-      // rebuilt result expressions already aggregate the view columns
-      Some(Aggregate(groupAttrs.map(a =>
-        groupIdToMv(a.exprId.id): Expression), projected, filtered))
+      // roll-up: GROUP the view by the query's (coarser) keys — each
+      // mapped to its stored view column; the rebuilt result expressions
+      // already aggregate the view columns
+      Some(Aggregate(groupMaps.map(_._2: Expression), projected, filtered))
   }
 }

@@ -631,6 +631,91 @@ class MatViewSpec extends SparkSpec {
     assert(got == want, s"view=$got direct=$want")
   }
 
+  test("FK-keyed join MV (lk=rk): partial recompute ≡ full; rewrite serves the canonical join") {
+    import graft.sources.{GraftCatalog, MatView, SnapshotStore, SqlDml}
+    // maintenance: differently-named keys through mixed DML on both sides
+    val lRoot = GateTmp.freshDir("mvfk_l")
+    val rRoot = GateTmp.freshDir("mvfk_r")
+    val mv = GateTmp.freshDir("mvfk_mv")
+    SnapshotStore.init(spark, lRoot,
+      spark.range(40).selectExpr("id AS okey", "CAST(id % 8 AS STRING) AS ck",
+        "id * 10 AS v"), cdcKeys = Seq("okey"))
+    SnapshotStore.init(spark, rRoot,
+      spark.range(10).selectExpr("CAST(id AS STRING) AS custk", "id + 100 AS w"),
+      cdcKeys = Seq("custk"))
+    MatView.createJoin(spark, lRoot, rRoot, mv, Seq("ck=custk"))
+    def direct: Set[Seq[Any]] =
+      SnapshotStore.read(spark, lRoot).as("l")
+        .join(SnapshotStore.read(spark, rRoot).as("r"),
+          col("l.ck") === col("r.custk")).collect().map(_.toSeq).toSet
+    def mvRows: Set[Seq[Any]] =
+      SnapshotStore.read(spark, mv).select("okey", "ck", "v", "custk", "w")
+        .collect().map(_.toSeq).toSet
+    assert(mvRows == direct, "createJoin must land the full FK join")
+    val tl = Map("l" -> lRoot); val tr = Map("r" -> rRoot)
+    SqlDml.execute(spark, "UPDATE l SET ck = '7' WHERE okey % 10 = 0", tl)
+    SqlDml.execute(spark, "DELETE FROM l WHERE okey % 9 = 0", tl)
+    SqlDml.execute(spark, "UPDATE r SET w = w + 50 WHERE custk = '3'", tr)
+    SqlDml.execute(spark, "DELETE FROM r WHERE custk = '5'", tr)
+    MatView.refreshJoin(spark, lRoot, rRoot, mv, Seq("ck=custk"))
+    assert(mvRows == direct, s"after mixed DML: ${mvRows.size} vs ${direct.size}")
+    // refusals: outer + pairs, and mixed key forms
+    val e1 = intercept[IllegalArgumentException](MatView.createJoin(spark,
+      lRoot, rRoot, GateTmp.freshDir("mvfk_bad1"), Seq("ck=custk"),
+      joinType = "left"))
+    assert(e1.getMessage.contains("inner views only"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](MatView.createJoin(spark,
+      lRoot, rRoot, GateTmp.freshDir("mvfk_bad2"), Seq("ck=custk", "okey")))
+    assert(e2.getMessage.contains("cannot mix"), e2.getMessage)
+
+    // rewrite: the canonical FK join (fact.ck = dim.ck2) serves from the view
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvfk_wh").toString
+    spark.conf.set("spark.sql.catalog.graft_fk", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_fk.warehouse", wh)
+    GraftExtensions.install(spark)
+    spark.sql("CREATE TABLE graft_fk.fact (id BIGINT, ck STRING, v BIGINT) " +
+      "TBLPROPERTIES ('cdc.keys' = 'id')")
+    spark.sql("CREATE TABLE graft_fk.dim (ck2 STRING, bonus BIGINT) " +
+      "TBLPROPERTIES ('cdc.keys' = 'ck2')")
+    (1L to 300L).toDF("id")
+      .withColumn("ck", concat(lit("c"), pmod($"id", lit(4))))
+      .withColumn("v", $"id" * 2).createOrReplaceTempView("mvfk_f")
+    spark.sql("INSERT INTO graft_fk.fact SELECT id, ck, v FROM mvfk_f")
+    spark.sql("INSERT INTO graft_fk.dim VALUES ('c0', 5), ('c1', 7), ('c2', 11)")
+    val rmv = GateTmp.freshDir("graft_mvfk_view")
+    MatView.createJoin(spark, s"$wh/fact", s"$wh/dim", rmv, Seq("ck=ck2"))
+    val sql = "SELECT f.id, f.ck, d.ck2, f.v + d.bonus AS vb " +
+      "FROM graft_fk.fact f JOIN graft_fk.dim d ON f.ck = d.ck2"
+    def plan(q: String): String =
+      spark.sql(q).queryExecution.executedPlan.toString
+    def rows(q: String): Set[Seq[Any]] =
+      spark.sql(q).collect().map(_.toSeq).toSet
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "false")
+    val directR = rows(sql)
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "true")
+    val p1 = plan(sql)
+    assert(p1.contains("graft_mvfk_view"), s"expected the view scan:\n$p1")
+    assert(rows(sql) == directR)
+    // a REVERSED-orientation key condition (d.ck2 = f.ck) matches too
+    val rev = "SELECT f.id FROM graft_fk.dim d JOIN graft_fk.fact f " +
+      "ON d.ck2 = f.ck"
+    assert(plan(rev).contains("graft_mvfk_view"), plan(rev))
+    // a DIFFERENT pairing refuses (fact.ck = dim.bonus is not the view)
+    assert(!plan("SELECT f.id FROM graft_fk.fact f JOIN graft_fk.dim d " +
+      "ON f.id = d.bonus").contains("graft_mvfk_view"))
+    // staleness falls back; refreshJoin restores
+    spark.sql("INSERT INTO graft_fk.dim VALUES ('c3', 13)")
+    assert(!plan(sql).contains("graft_mvfk_view"), "stale view must not serve")
+    MatView.refreshJoin(spark, s"$wh/fact", s"$wh/dim", rmv, Seq("ck=ck2"))
+    assert(plan(sql).contains("graft_mvfk_view"))
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "false")
+    val directR2 = rows(sql)
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "true")
+    assert(rows(sql) == directR2)
+    spark.sql("DROP TABLE graft_fk.fact")
+    spark.sql("DROP TABLE graft_fk.dim")
+  }
+
   test("NULL-bearing value column: val_cnt denominators; rewrite serves NULL-correct sum/avg/count") {
     import graft.sources.{GraftCatalog, MatView, SqlDml}
     val wh = java.nio.file.Files.createTempDirectory("graft_mvnull_wh").toString
@@ -701,6 +786,77 @@ class MatViewSpec extends SparkSpec {
       "the all-NULL roll-up group must be SQL NULL (test setup)")
     spark.sql("DROP TABLE graft_nl.fact")
     spark.sql("DROP TABLE graft_nl.fact2")
+  }
+
+  test("expression group keys: year(ts) view maintains, serves, and pins its timezone") {
+    import graft.sources.{GraftCatalog, MatView, SqlDml}
+    val wh = java.nio.file.Files.createTempDirectory("graft_mveg_wh").toString
+    spark.conf.set("spark.sql.catalog.graft_eg", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_eg.warehouse", wh)
+    GraftExtensions.install(spark)
+    spark.sql("CREATE TABLE graft_eg.fact (id BIGINT, ts TIMESTAMP, " +
+      "seg STRING, v BIGINT) TBLPROPERTIES ('cdc.keys' = 'id')")
+    spark.sql("INSERT INTO graft_eg.fact SELECT id, " +
+      "timestamp_seconds(800000000 + id * 2000000), " +
+      "concat('s', id % 3), id * 7 FROM range(1, 300)")
+    val mv = GateTmp.freshDir("graft_mveg_view")
+    MatView.create(spark, s"$wh/fact", mv, Seq("year(ts)", "seg"), "v",
+      Seq("count", "sum", "avg"))
+    val sql = "SELECT year(ts) AS y, seg, count(*) AS n, sum(v) AS s, " +
+      "avg(v) AS a FROM graft_eg.fact GROUP BY year(ts), seg"
+    def plan(q: String): String =
+      spark.sql(q).queryExecution.executedPlan.toString
+    def rows(q: String): Set[Seq[Any]] =
+      spark.sql(q).collect().map(_.toSeq).toSet
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "false")
+    val direct = rows(sql)
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "true")
+    val p1 = plan(sql)
+    assert(p1.contains("graft_mveg_view"), s"expected the view scan:\n$p1")
+    assert(rows(sql) == direct)
+    // ROLL-UP across an expression key: GROUP BY year(ts) alone
+    val ru = "SELECT year(ts) AS y, count(*) AS n, sum(v) AS s, avg(v) AS a " +
+      "FROM graft_eg.fact GROUP BY year(ts)"
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "false")
+    val ruDirect = rows(ru)
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "true")
+    assert(plan(ru).contains("graft_mveg_view"), plan(ru))
+    assert(rows(ru) == ruDirect)
+    // a DIFFERENT expression over the same column refuses
+    assert(!plan("SELECT month(ts) AS m, count(*) AS n FROM graft_eg.fact " +
+      "GROUP BY month(ts)").contains("graft_mveg_view"))
+    // a predicate on the UNDERLYING column does not commute — refuse
+    assert(!plan("SELECT year(ts) AS y, count(*) AS n FROM graft_eg.fact " +
+      "WHERE ts > timestamp'2000-01-01' GROUP BY year(ts)")
+      .contains("graft_mveg_view"))
+    // maintenance through DML keeps serving
+    SqlDml.execute(spark, "UPDATE graft_eg.fact SET v = v + 1 WHERE id % 5 = 0")
+    SqlDml.execute(spark, "DELETE FROM graft_eg.fact WHERE id % 9 = 0")
+    assert(!plan(sql).contains("graft_mveg_view"), "stale view must not serve")
+    MatView.refresh(spark, s"$wh/fact", mv, Seq("year(ts)", "seg"), "v",
+      Seq("count", "sum", "avg"))
+    assert(plan(sql).contains("graft_mveg_view"))
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "false")
+    val direct2 = rows(sql)
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "true")
+    assert(rows(sql) == direct2)
+    // timezone pin: a session in another zone neither refreshes nor serves
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      assert(!plan(sql).contains("graft_mveg_view"),
+        "a zone-mismatched session must not serve year(ts) buckets")
+      spark.sql("UPDATE graft_eg.fact SET v = v + 1 WHERE id = 1")
+      val e = intercept[IllegalArgumentException](
+        MatView.refresh(spark, s"$wh/fact", mv, Seq("year(ts)", "seg"), "v",
+          Seq("count", "sum", "avg")))
+      assert(e.getMessage.contains("timezone"), e.getMessage)
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+    // UTC again: refresh works and the view serves
+    MatView.refresh(spark, s"$wh/fact", mv, Seq("year(ts)", "seg"), "v",
+      Seq("count", "sum", "avg"))
+    assert(plan(sql).contains("graft_mveg_view"))
+    spark.sql("DROP TABLE graft_eg.fact")
   }
 
   test("automatic MV query rewrite: fresh view serves, stale falls back, filters commute") {
