@@ -3663,6 +3663,100 @@ object Temporal {
            |FROM v2 GROUP BY segment ORDER BY segment""".stripMargin
       }),
 
+    // Q115g [extension: transitive (view-over-view) rewrite — the q95d
+    // diamond read end-to-end] An aggregate over fact ⋈ dim serves from
+    // the aggregate view maintained OVER the join view: `_mv_consumers`
+    // walks source → join view V1 → summary view V2, freshness chains
+    // (V1 pinned to both source heads, V2 pinned to V1's head), and the
+    // served plan scans ONLY V2 — neither source nor even V1. The
+    // intermediate state is also plan-audited: after refreshJoin alone
+    // (V1 fresh, V2 stale) the JOIN serves from V1 while the aggregate
+    // must not serve from V2.
+    "q115g_mv_transitive" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{MatView, MvRewrite}
+        graft.GraftExtensions.install(s)
+        val wh = graft.GateTmp.freshDir("q115g")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("CREATE TABLE graft.q115gf (id BIGINT, salary BIGINT, " +
+          "segment STRING) TBLPROPERTIES ('cdc.keys' = 'id')")
+        s.sql("CREATE TABLE graft.q115gd (segment STRING, bonus BIGINT) " +
+          "TBLPROPERTIES ('cdc.keys' = 'segment')")
+        RelationalPipeline.employeeView(s, d)
+          .select($("id"), $("salary"), $("segment"))
+          .createOrReplaceTempView("q115g_src")
+        s.sql("INSERT INTO graft.q115gf SELECT id, salary, segment FROM q115g_src")
+        s.sql("INSERT INTO graft.q115gd VALUES ('BUILDING', 100), " +
+          "('AUTOMOBILE', 200), ('MACHINERY', 300), ('HOUSEHOLD', 400), " +
+          "('FURNITURE', 500)")
+        val jmv = graft.GateTmp.freshDir("q115g_jmv")
+        val amv = graft.GateTmp.freshDir("q115g_amv")
+        MatView.createJoin(s, s"$wh/q115gf", s"$wh/q115gd", jmv,
+          Seq("segment"), emitChanges = true)
+        MatView.create(s, jmv, amv, Seq("segment", "bonus"), "salary",
+          Seq("count", "sum"))
+        val q = """SELECT f.segment, d.bonus, count(*) AS n_rows,
+          |  CAST(sum(f.salary) AS BIGINT) AS val_sum
+          |FROM graft.q115gf f JOIN graft.q115gd d
+          |  ON f.segment = d.segment
+          |GROUP BY f.segment, d.bonus""".stripMargin
+        def planOf(sql: String): String =
+          s.sql(sql).queryExecution.executedPlan.toString
+        val p1 = planOf(q)
+        require(p1.contains("q115g_amv"),
+          s"the aggregate must serve from the DEEPEST view:\n$p1")
+        require(!p1.contains("q115g_jmv"),
+          s"the join view must not be scanned when the agg view serves:\n$p1")
+        require(!p1.contains("/q115gf/") && !p1.contains("/q115gd/"),
+          s"no source may be scanned when the agg view serves:\n$p1")
+        // source DML: whole chain stale — direct plan
+        s.sql("UPDATE graft.q115gf SET salary = salary + 100 WHERE id % 7 = 0")
+        s.sql("DELETE FROM graft.q115gf WHERE id % 9 = 0")
+        val p2 = planOf(q)
+        require(!p2.contains("q115g_amv") && !p2.contains("q115g_jmv"),
+          s"a stale chain must take the direct plan:\n$p2")
+        // refreshJoin alone: V1 serves the JOIN, V2 must not serve the agg
+        MatView.refreshJoin(s, s"$wh/q115gf", s"$wh/q115gd", jmv,
+          Seq("segment"))
+        val p3 = planOf(q)
+        require(p3.contains("q115g_jmv") && !p3.contains("q115g_amv"),
+          s"fresh V1 + stale V2 must serve the join from V1 only:\n$p3")
+        // refreshAll walks the chain: V2 serves again
+        MatView.refreshAll(s, amv)
+        require(planOf(q).contains("q115g_amv"),
+          "the refreshed chain must serve from the agg view again")
+        val servedRows = s.sql(q).collect().toSeq
+        s.conf.set(MvRewrite.EnabledKey, "false")
+        val directRows = s.sql(q).collect().toSeq
+        s.conf.set(MvRewrite.EnabledKey, "true")
+        def bag(rs: Seq[org.apache.spark.sql.Row]) =
+          rs.groupBy(identity).view.mapValues(_.size).toMap
+        require(bag(servedRows) == bag(directRows),
+          "transitively-served answers must equal the direct plan")
+        s.sql(q).orderBy($("segment"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""WITH base AS (
+           |  SELECT c_custkey AS id, $cents AS salary,
+           |         c_mktsegment AS segment
+           |  FROM customer),
+           |v1 AS (SELECT id,
+           |  CASE WHEN id % 7 = 0 THEN salary + 100 ELSE salary END AS salary,
+           |  segment FROM base),
+           |v2 AS (SELECT * FROM v1 WHERE NOT (id % 9 = 0)),
+           |d AS (SELECT * FROM (VALUES ('BUILDING', 100), ('AUTOMOBILE', 200),
+           |  ('MACHINERY', 300), ('HOUSEHOLD', 400), ('FURNITURE', 500))
+           |  AS t(segment, bonus))
+           |SELECT f.segment, CAST(d.bonus AS BIGINT) AS bonus,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(f.salary) AS BIGINT) AS val_sum
+           |FROM v2 f JOIN d ON f.segment = d.segment
+           |GROUP BY f.segment, d.bonus ORDER BY f.segment""".stripMargin
+      }),
+
     // Q110b [extension: partition-TRANSFORM evolution — Iceberg's
     // `REPLACE PARTITION FIELD days(ts) → hours(ts)`] Re-granulating the
     // time layout of a live table without rewriting it: the evolve is one

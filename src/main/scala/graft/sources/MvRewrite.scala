@@ -90,14 +90,28 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * (the plan's Inner must equal the view's type).
     */
   private def tryJoinRewrite(j: LogicalPlan, left: LogicalPlan,
-      right: LogicalPlan, cond: Expression): Option[LogicalPlan] = {
+      right: LogicalPlan, cond: Expression): Option[LogicalPlan] =
+    matchJoinView(left, right, cond).flatMap { case (mvRoot, filters, _) =>
+      spliceJoin(SparkSession.active, mvRoot, j.output, filters)
+    }
+
+  /** The FRESH join view materializing `left ⋈_cond right` (both legs
+    * plain catalog reads at their heads, key pairs matching in either
+    * orientation, both source stamps current), plus the recovered
+    * predicates that must re-apply on any consumer of the view and the
+    * matched key-attribute pairs (plan-left, plan-right) — the shared
+    * matcher behind the join splice AND the transitive
+    * aggregate-over-join rewrite.
+    */
+  private def matchJoinView(left: LogicalPlan, right: LogicalPlan,
+      cond: Expression): Option[(String, Seq[Expression],
+        Seq[(AttributeReference, AttributeReference)])] = {
     val (lt, lFilters) = unwrap(left).getOrElse(return None)
     val (rt, rFilters) = unwrap(right).getOrElse(return None)
     def plain(t: GraftTable): Boolean =
       !t.isPinned && !t.hasDeletionVector && !t.hasRenames &&
         !t.hasEvolvedSpecs
     if (!plain(lt) || !plain(rt)) return None
-    val spark = SparkSession.active
     // cheap existence fast-path before ANY snapshot-store read: a join
     // view is recorded as a consumer on BOTH sources, so the left root's
     // sidecar alone decides (one Files.exists for the no-MV common case)
@@ -165,7 +179,7 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
             (d.getOrElse("left", ""), d.getOrElse("right", ""))
           if (!fresh("left", leftSnap, lr) || !fresh("right", rightSnap, rr))
             None
-          else spliceJoin(spark, mvRoot, j.output, lFilters ++ rFilters)
+          else Some((mvRoot, lFilters ++ rFilters, eqPairs))
         }
       }
     }.nextOption()
@@ -288,37 +302,115 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
       }
     }
     if (grouping0.exists(!_.deterministic)) return None
-    val (table, consumed) = unwrap(child0).getOrElse(return None)
-    if (table.isPinned || table.hasDeletionVector || table.hasRenames ||
-      table.hasEvolvedSpecs) return None
     val spark = SparkSession.active
-    val srcRoot = table.storeRoot
-    // the cheap existence fast-path FIRST (one Files.exists on the
-    // `_mv_consumers` sidecar): this rule runs per aggregate node, ≥2× per
-    // query (fixed-point batch), over EVERY catalog table — a no-MV table
-    // must cost ~one stat call, never a snapshot-store read (the r17
-    // planner tax behind the CDC-gate regressions)
-    val consumers = MatView.consumersOf(srcRoot)
-    if (consumers.isEmpty) return None
     // every predicate must reference BARE-ATTRIBUTE group columns only
     // (σ on group cols commutes with GROUP BY; a predicate on the source
     // column UNDER an expression key — ts under year(ts) — does not)
     val groupIds = grouping0.collect {
       case a: AttributeReference => a.exprId
     }.toSet
-    if (!consumed.forall(_.references.forall(a => groupIds(a.exprId))))
-      return None
-    // reading the LATEST snapshot only: a cached relation pinned behind
-    // the head must not serve the (newer) view
-    val latestSrc =
-      try SnapshotStore.latest(srcRoot)
-      catch { case scala.util.control.NonFatal(_) => return None }
-    if (latestSrc.dataDir != table.snapDataDir) return None
+    def commutes(preds: Seq[Expression]): Boolean =
+      preds.forall(_.references.forall(a => groupIds(a.exprId)))
 
-    consumers.iterator.flatMap { mvRoot =>
-      rewriteAgainst(spark, mvRoot, srcRoot, latestSrc.version, grouping0,
-        result0, consumed, child0)
-    }.nextOption()
+    unwrap(child0) match {
+      case Some((table, consumed)) =>
+        if (table.isPinned || table.hasDeletionVector || table.hasRenames ||
+          table.hasEvolvedSpecs) return None
+        val srcRoot = table.storeRoot
+        // the cheap existence fast-path FIRST (one Files.exists on the
+        // `_mv_consumers` sidecar): this rule runs per aggregate node,
+        // ≥2× per query (fixed-point batch), over EVERY catalog table — a
+        // no-MV table must cost ~one stat call, never a snapshot-store
+        // read (the r17 planner tax behind the CDC-gate regressions)
+        val consumers = MatView.consumersOf(srcRoot)
+        if (consumers.isEmpty) return None
+        if (!commutes(consumed)) return None
+        // reading the LATEST snapshot only: a cached relation pinned
+        // behind the head must not serve the (newer) view
+        val latestSrc =
+          try SnapshotStore.latest(srcRoot)
+          catch { case scala.util.control.NonFatal(_) => return None }
+        if (latestSrc.dataDir != table.snapDataDir) return None
+        consumers.iterator.flatMap { mvRoot =>
+          rewriteAgainst(spark, mvRoot, srcRoot, latestSrc.version, grouping0,
+            result0, consumed, child0)
+        }.nextOption()
+
+      case None =>
+        // TRANSITIVE (view-over-view) discovery — the q95d diamond read
+        // end-to-end: Aggregate over an inner JOIN whose join view V1 is
+        // fresh, where an aggregate view V2 is maintained OVER V1. The
+        // query serves from V2 directly: neither source nor even V1 is
+        // scanned. Freshness chains — V1 pinned to both source heads
+        // (matchJoinView), V2 pinned to V1's head (rewriteAgainst).
+        val (jn, above) = unwrapJoin(child0).getOrElse(return None)
+        val (left, right, cond) = jn match {
+          case org.apache.spark.sql.catalyst.plans.logical.Join(
+              l, r, org.apache.spark.sql.catalyst.plans.Inner,
+              Some(c), _) => (l, r, c)
+          case _ => return None
+        }
+        val (v1Root, legFilters, eqPairs) =
+          matchJoinView(left, right, cond).getOrElse(return None)
+        // canonicalize: under the inner condition each right key attr
+        // EQUALS its left twin, so a predicate on either side (the
+        // optimizer's isnotnull(key) on both legs, a user filter on the
+        // dim key) commutes iff the LEFT twin is a grouping key
+        val keySubst: Map[Long, Attribute] =
+          eqPairs.map { case (la, ra) => ra.exprId.id -> (la: Attribute) }
+            .toMap
+        def canon(e: Expression): Expression = e.transformUp {
+          case a: AttributeReference if keySubst.contains(a.exprId.id) =>
+            keySubst(a.exprId.id)
+        }
+        val consumed = (above ++ legFilters).map(canon)
+        // grouping/result canonicalize too, so GROUP BY d.seg (the right
+        // twin) matches the view exactly like GROUP BY f.seg; output
+        // Alias ids are preserved so the surrounding plan binds unchanged
+        val grouping1 = grouping0.map(canon)
+        val result1: Seq[NamedExpression] = result0.map {
+          case al @ Alias(inner0, name) =>
+            Alias(canon(inner0), name)(exprId = al.exprId,
+              qualifier = al.qualifier): NamedExpression
+          case a: AttributeReference => canon(a) match {
+            case b: AttributeReference if b.exprId == a.exprId => b
+            case e => Alias(e, a.name)(exprId = a.exprId,
+              qualifier = a.qualifier)
+          }
+          case _ => return None
+        }
+        val groupIds1 = grouping1.collect {
+          case a: AttributeReference => a.exprId
+        }.toSet
+        if (!consumed.forall(_.references.forall(a => groupIds1(a.exprId))))
+          return None
+        val v2s = MatView.consumersOf(v1Root)
+        if (v2s.isEmpty) return None
+        val v1Latest =
+          try SnapshotStore.latest(v1Root)
+          catch { case scala.util.control.NonFatal(_) => return None }
+        v2s.iterator.flatMap { v2 =>
+          rewriteAgainst(spark, v2, v1Root, v1Latest.version, grouping1,
+            result1, consumed, jn)
+        }.nextOption()
+    }
+  }
+
+  /** The inner Join beneath (attribute-only Projects / deterministic
+    * Filters), plus the filter conjuncts collected on the way down.
+    */
+  private def unwrapJoin(p: LogicalPlan):
+      Option[(LogicalPlan, Seq[Expression])] = p match {
+    case j: org.apache.spark.sql.catalyst.plans.logical.Join => Some((j, Nil))
+    case Filter(cond, inner)
+        if splitConjunctivePredicates(cond).forall(_.deterministic) =>
+      unwrapJoin(inner).map { case (j, fs) =>
+        (j, fs ++ splitConjunctivePredicates(cond))
+      }
+    case Project(projList, inner)
+        if projList.forall(_.isInstanceOf[Attribute]) =>
+      unwrapJoin(inner)
+    case _ => None
   }
 
   /** Resolve a recorded view group-expression spec against the query's

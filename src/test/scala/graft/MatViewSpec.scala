@@ -716,6 +716,75 @@ class MatViewSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_fk.dim")
   }
 
+  test("transitive rewrite: Aggregate over fact⋈dim serves from the agg view OVER the join view") {
+    import graft.sources.{GraftCatalog, MatView, SqlDml}
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvtv_wh").toString
+    spark.conf.set("spark.sql.catalog.graft_tv", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_tv.warehouse", wh)
+    GraftExtensions.install(spark)
+    spark.sql("CREATE TABLE graft_tv.fact (id BIGINT, seg STRING, v BIGINT) " +
+      "TBLPROPERTIES ('cdc.keys' = 'id')")
+    spark.sql("CREATE TABLE graft_tv.dim (seg STRING, bonus BIGINT) " +
+      "TBLPROPERTIES ('cdc.keys' = 'seg')")
+    (1L to 400L).toDF("id")
+      .withColumn("seg", concat(lit("s"), pmod($"id", lit(4))))
+      .withColumn("v", $"id" * 3).createOrReplaceTempView("mvtv_f")
+    spark.sql("INSERT INTO graft_tv.fact SELECT id, seg, v FROM mvtv_f")
+    spark.sql("INSERT INTO graft_tv.dim VALUES ('s0', 5), ('s1', 7), " +
+      "('s2', 11), ('s3', 13)")
+    val jmv = GateTmp.freshDir("graft_mvtv_jmv")
+    val amv = GateTmp.freshDir("graft_mvtv_amv")
+    MatView.createJoin(spark, s"$wh/fact", s"$wh/dim", jmv, Seq("seg"),
+      emitChanges = true)
+    MatView.create(spark, jmv, amv, Seq("seg", "bonus"), "v",
+      Seq("count", "sum"))
+    val sql = "SELECT f.seg, d.bonus, count(*) AS n, sum(f.v) AS s " +
+      "FROM graft_tv.fact f JOIN graft_tv.dim d ON f.seg = d.seg " +
+      "GROUP BY f.seg, d.bonus"
+    def plan(q: String): String =
+      spark.sql(q).queryExecution.executedPlan.toString
+    def rows(q: String): Set[Seq[Any]] =
+      spark.sql(q).collect().map(_.toSeq).toSet
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "false")
+    val direct = rows(sql)
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "true")
+    // the deepest view serves: neither source nor even the JOIN VIEW scans
+    val p1 = plan(sql)
+    assert(p1.contains("graft_mvtv_amv"), s"expected the agg-view scan:\n$p1")
+    assert(!p1.contains("graft_mvtv_jmv"),
+      s"the join view must not be scanned when the agg view serves:\n$p1")
+    assert(rows(sql) == direct)
+    // a group-column filter commutes all the way through
+    val qf = sql.replace("GROUP BY", "WHERE d.bonus > 6 GROUP BY")
+    assert(plan(qf).contains("graft_mvtv_amv"), plan(qf))
+    assert(rows(qf) == direct.filter(r =>
+      r(1).asInstanceOf[Long] > 6))
+    // ROLL-UP through the diamond: GROUP BY seg alone re-aggregates V2
+    val ru = "SELECT f.seg, count(*) AS n FROM graft_tv.fact f " +
+      "JOIN graft_tv.dim d ON f.seg = d.seg GROUP BY f.seg"
+    assert(plan(ru).contains("graft_mvtv_amv"), plan(ru))
+    // source DML: the whole chain is stale — direct plan; a refreshJoin
+    // alone restores V1 (join serves) but not V2 (agg view must NOT)
+    SqlDml.execute(spark, "UPDATE graft_tv.dim SET bonus = bonus + 1 " +
+      "WHERE seg = 's1'")
+    val p2 = plan(sql)
+    assert(!p2.contains("graft_mvtv_amv") && !p2.contains("graft_mvtv_jmv"),
+      s"a stale chain must take the direct plan:\n$p2")
+    MatView.refreshJoin(spark, s"$wh/fact", s"$wh/dim", jmv, Seq("seg"))
+    val p3 = plan(sql)
+    assert(p3.contains("graft_mvtv_jmv") && !p3.contains("graft_mvtv_amv"),
+      s"fresh V1 + stale V2 must serve the JOIN from V1 only:\n$p3")
+    // refreshAll walks the chain; V2 serves again, answers track the DML
+    MatView.refreshAll(spark, amv)
+    assert(plan(sql).contains("graft_mvtv_amv"))
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "false")
+    val direct2 = rows(sql)
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "true")
+    assert(rows(sql) == direct2)
+    spark.sql("DROP TABLE graft_tv.fact")
+    spark.sql("DROP TABLE graft_tv.dim")
+  }
+
   test("NULL-bearing value column: val_cnt denominators; rewrite serves NULL-correct sum/avg/count") {
     import graft.sources.{GraftCatalog, MatView, SqlDml}
     val wh = java.nio.file.Files.createTempDirectory("graft_mvnull_wh").toString
