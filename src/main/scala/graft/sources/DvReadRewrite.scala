@@ -190,17 +190,28 @@ object DvReadRewrite extends Rule[LogicalPlan] with PredicateHelper {
             }.toMap
           val refNames = consumedFilters
             .flatMap(_.references.map(_.name.toLowerCase)).toSet
-          var pushed = false
-          val viaUnion = inner.transformUp {
-            case u: org.apache.spark.sql.catalyst.plans.logical.Union
-                if !pushed && u.children.forall(ch =>
-                  refNames.subsetOf(branchAttrs(ch).keySet)) =>
-              pushed = true
-              u.withNewChildren(u.children.map { ch =>
-                rebase(consumedFilters, branchAttrs(ch))
-                  .map(Filter(_, ch)).getOrElse(ch)
-              })
+          // push per-branch ONLY when the read contains exactly one Union
+          // (today's shape — unionByName eagerly flattens via
+          // CombineUnions). With nested/multiple Unions a first-match push
+          // would skip the other Unions' branches AND the global fallback,
+          // silently dropping recovered predicates (extra rows; ADVICE
+          // r17) — take the correct-at-full-scan-cost global filter there.
+          val unions = inner.collect {
+            case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
           }
+          var pushed = false
+          val viaUnion =
+            if (unions.length != 1) inner
+            else inner.transformUp {
+              case u: org.apache.spark.sql.catalyst.plans.logical.Union
+                  if !pushed && u.children.forall(ch =>
+                    refNames.subsetOf(branchAttrs(ch).keySet)) =>
+                pushed = true
+                u.withNewChildren(u.children.map { ch =>
+                  rebase(consumedFilters, branchAttrs(ch))
+                    .map(Filter(_, ch)).getOrElse(ch)
+                })
+            }
           if (pushed) viaUnion
           else rebase(consumedFilters, Map.empty).map(Filter(_, inner))
             .getOrElse(inner)

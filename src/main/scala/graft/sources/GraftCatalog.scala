@@ -1096,6 +1096,23 @@ object GraftCatalog {
       s"${src.toLowerCase}_${if (kind == "truncate") "trunc" else kind}",
       kind, src, arg,
       tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    // one zone per table (ADVICE r17): evolving a time transform from a
+    // session in a DIFFERENT zone than the existing time specs would pin
+    // two zones on one table, after which requireWriterTz is
+    // unsatisfiable and every data write refuses permanently. Refuse the
+    // evolve instead; zones compare ZoneId-normalized (UTC ≡ Etc/UTC).
+    if (kind != "bucket" && kind != "truncate") {
+      val existingTz = SnapshotStore.transformSpecs(root)
+        .filter(s => s.kind != "bucket" && s.kind != "truncate").map(_.tz)
+      existingTz.find(!MatView.sameZone(_, sp.tz)).foreach { other =>
+        throw new IllegalArgumentException(
+          s"cannot evolve $kind($src) on $root: the table's existing time " +
+            s"transform(s) are pinned to session timezone '$other' but " +
+            s"this session is '${sp.tz}' — a table's time transforms must " +
+            s"share one zone; set spark.sql.session.timeZone = '$other' " +
+            "to evolve this table")
+      }
+    }
     val sql = transformSql(sp, schema)
     schema.fields.find(_.name.equalsIgnoreCase(sp.pcol)) match {
       case Some(existing) =>

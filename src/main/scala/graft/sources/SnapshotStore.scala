@@ -667,7 +667,10 @@ object SnapshotStore {
         .map(_.sessionState.conf.sessionLocalTimeZone)
         .getOrElse(
           org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
-      val bad = tzSpecs.filter(_.tz != session)
+      // ZoneId-normalized comparison: 'UTC' and 'Etc/UTC' bucket
+      // identically — refusing on raw string inequality would reject a
+      // legitimately-zoned writer (ADVICE r17)
+      val bad = tzSpecs.filterNot(sp => MatView.sameZone(sp.tz, session))
       require(bad.isEmpty,
         s"cannot write to $root: time partition transform(s) " +
           bad.map(sp => s"${sp.kind}(${sp.src})").mkString(", ") +

@@ -616,6 +616,26 @@ class PartitionEvolutionSpec extends SparkSpec {
     spark.sql("INSERT INTO graft_tr.t (id, ts, v) VALUES " +
       "(4, timestamp'2024-03-04 01:00:00', 40)")
     assert(spark.sql("SELECT count(*) FROM graft_tr.t").head().getLong(0) == 4L)
+    // evolving a time transform from a DIFFERENT session timezone refuses:
+    // a second zone pin would make requireWriterTz unsatisfiable and the
+    // table permanently unwritable (one zone per table)
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val e = intercept[Exception](spark.sql(
+        "CALL graft_tr.system.set_partition_spec('t', 'month(ts)')"))
+      assert(e.getMessage.contains("share one zone"), e.getMessage)
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+    // an EQUIVALENT zone spelled differently (Etc/UTC vs UTC) is accepted
+    // — zones compare ZoneId-normalized, and writes still pass the guard
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Etc/UTC")
+      spark.sql("CALL graft_tr.system.set_partition_spec('t', 'month(ts)')")
+      spark.sql("INSERT INTO graft_tr.t (id, ts, v) VALUES " +
+        "(5, timestamp'2024-04-05 01:00:00', 50)")
+      assert(spark.sql("SELECT count(*) FROM graft_tr.t").head()
+        .getLong(0) == 5L)
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
     spark.sql("DROP TABLE graft_tr.t")
   }
 }
