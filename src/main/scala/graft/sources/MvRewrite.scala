@@ -607,38 +607,19 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // serves from the view's stored derived column, never re-evaluates
     def rebuild(e: Expression): Option[Expression] =
       groupOf(e).map(identity[Expression]).orElse(rebuildRest(e))
+    // hll_sketch_estimate(hll_sketch_agg(v)) is deliberately NOT served
+    // from the view's val_hll, in either exact or roll-up mode. The
+    // REGISTERS agree (register-wise max is associative, so a union of
+    // per-group/stored sketches carries the same registers as one pass),
+    // but the datasketches ESTIMATOR selection does not: a straight
+    // aggregation keeps the HIP accumulator while a union of stored
+    // sketches answers with the composite estimator, so at
+    // estimation-mode cardinalities the served number differs from the
+    // direct plan (found by the q115f sf0.1 run; small-cardinality sparse
+    // mode counts exactly, hiding it). Serving a different answer
+    // depending on view freshness is the stddev class — refuse; the
+    // view's own val_approx_distinct stays the queryable estimate.
     def rebuildRest(e: Expression): Option[Expression] = e match {
-      // hll_sketch_estimate(hll_sketch_agg(v)) — matched as a PAIR: the
-      // view's stored sketch BYTES may legally differ from a direct
-      // aggregation (sparse/dense mode history depends on fold order)
-      // while the registers — and hence the estimate — agree, so only
-      // the estimate-of-agg composition is servable, never the raw
-      // sketch. Roll-up unions the per-group sketches (registers only
-      // grow; union of partials ≡ one aggregation). lgConfigK must be
-      // the default the view maintains with.
-      case org.apache.spark.sql.catalyst.expressions.HllSketchEstimate(
-          ae: AggregateExpression)
-          if aggs("approx_distinct") && !ae.isDistinct && ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          case h: org.apache.spark.sql.catalyst.expressions.aggregate.HllSketchAgg =>
-            h.left match {
-              case a: AttributeReference
-                  if a.name.toLowerCase == valueCol &&
-                    h.lgConfigK ==
-                      new org.apache.spark.sql.catalyst.expressions.aggregate
-                        .HllSketchAgg(a).lgConfigK =>
-                mvCol("val_hll").map { v =>
-                  val sk: Expression =
-                    if (exact) v
-                    else agg(new org.apache.spark.sql.catalyst.expressions
-                      .aggregate.HllUnionAgg(v, false))
-                  org.apache.spark.sql.catalyst.expressions
-                    .HllSketchEstimate(sk)
-                }
-              case _ => None
-            }
-          case _ => None
-        }
       case ae: AggregateExpression =>
         (if (exact) mapAgg(ae): Option[Expression] else rollAgg(ae))
           .filter(m =>
