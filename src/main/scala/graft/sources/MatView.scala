@@ -449,21 +449,26 @@ object MatView {
     // denominators are val_cnt (non-null count), NOT n_rows: with NULLs
     // in the value column the direct avg/stddev divide by the non-null
     // count, and an all-NULL group's avg/stddev are SQL NULL (val_cnt
-    // guards), exactly as the direct plan computes them
+    // guards), exactly as the direct plan computes them. A view created
+    // before val_cnt existed keeps its legacy n_rows denominator (its
+    // rewrite mappings already refuse avg — MvRewrite.mapAgg)
+    val cnt =
+      if (df.columns.exists(_.equalsIgnoreCase("val_cnt"))) col("val_cnt")
+      else col("n_rows")
     val withA =
       if (aggs.contains("avg"))
         df.withColumn("val_avg",
-          when(col("val_cnt") > 0,
-            col("val_sum").cast("double") / col("val_cnt").cast("double")))
+          when(cnt > 0,
+            col("val_sum").cast("double") / cnt.cast("double")))
       else df
     val withS =
       if (needStddev(aggs))
         withA.withColumn("val_stddev",
-          when(col("val_cnt") > 1, sqrt(
+          when(cnt > 1, sqrt(
             (col("val_sumsq").cast("double") -
               col("val_sum").cast("double") * col("val_sum").cast("double") /
-                col("val_cnt").cast("double")) /
-              (col("val_cnt").cast("double") - lit(1.0d)))))
+                cnt.cast("double")) /
+              (cnt.cast("double") - lit(1.0d)))))
       else withA
     // the estimate is re-derived from the stored sketch every commit; the
     // sketch BYTES may legally differ across fold orders (sparse/dense
@@ -493,7 +498,20 @@ object MatView {
       s"materialized-view source $srcRoot must have a change feed (cdcKeys)")
     val specs = groupSpecsOf(groupCols)
     val snap = SnapshotStore.latest(srcRoot)
-    val agg = fullAgg(deriveGroups(SnapshotStore.read(spark, snap), specs),
+    val src = SnapshotStore.read(spark, snap)
+    // sanitized derived names must not collide — with each other (two
+    // specs sanitizing identically) or with a REAL source column
+    // (deriveGroups' withColumn would silently overwrite it and the view
+    // would group by the wrong key forever) — refuse at create, loudly
+    val names = specs.map(_.name.toLowerCase)
+    require(names.distinct.length == names.length,
+      s"group specs derive colliding column names: ${groupCols.mkString(", ")}")
+    val srcCols = src.columns.map(_.toLowerCase).toSet
+    specs.filter(_.isExpr).foreach(g => require(!srcCols.contains(g.name),
+      s"expression group '${g.spec}' derives column name '${g.name}' " +
+        s"which already exists on $srcRoot — rename the source column or " +
+        "use a different expression"))
+    val agg = fullAgg(deriveGroups(src, specs),
       specs.map(_.name), valueCol, aggs)
     SnapshotStore.init(spark, mvRoot, agg.limit(0))
     writeDef(mvRoot, Seq("kind" -> "agg", "src" -> srcRoot,
@@ -579,14 +597,20 @@ object MatView {
           .reduce(_ && _)
         val algebraic =
           if (trackRemovals) delta.filter(!col("has_removal")) else delta
+        // a view created before val_cnt existed has no such column —
+        // keep maintaining it legacy-shaped (n_rows denominators) rather
+        // than crash its every refresh; new views always carry val_cnt
+        val hasCnt = mv.columns.exists(_.equalsIgnoreCase("val_cnt"))
         val mergedCols =
           groupCols.map(c => coalesce(col(s"m.$c"), col(s"d.$c")).as(c)) ++ Seq(
             (coalesce(col("m.n_rows"), lit(0L)) + coalesce(col("d.dn"), lit(0L)))
-              .as("n_rows"),
-            // non-null value count folds exactly like n_rows (deltaOf
-            // counts ±1 only for non-null arriving/leaving values)
-            (coalesce(col("m.val_cnt"), lit(0L)) + coalesce(col("d.dcnt"), lit(0L)))
-              .as("val_cnt"),
+              .as("n_rows")) ++
+          // non-null value count folds exactly like n_rows (deltaOf
+          // counts ±1 only for non-null arriving/leaving values)
+          (if (hasCnt)
+            Seq((coalesce(col("m.val_cnt"), lit(0L)) +
+              coalesce(col("d.dcnt"), lit(0L))).as("val_cnt"))
+          else Nil) ++ Seq(
             (coalesce(col("m.val_sum"), lit(0L).cast("long")) +
               coalesce(col("d.dv"), lit(0L).cast("long"))).as("val_sum")) ++
           // Σv² folds exactly like Σv — pure integer (decimal) algebra,

@@ -158,13 +158,14 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
           Some((rSnap, lSnap, planPairs.map(_.swap)))
         else None
       oriented.flatMap { case (leftSnap, rightSnap, orientedPairs) =>
+        // a malformed keys sidecar skips THIS consumer only (a non-local
+        // return here would abort the whole matcher and refuse serving
+        // from the remaining, valid views)
         val mvPairs =
           try MatView.parseKeyPairs(d.getOrElse("keys", "").split(",").toSeq
               .map(_.trim).filter(_.nonEmpty))
             .map { case (a, b) => (a.toLowerCase, b.toLowerCase) }.toSet
-          catch { case _: IllegalArgumentException =>
-            return None // malformed sidecar: never serve from it
-          }
+          catch { case _: IllegalArgumentException => Set.empty[(String, String)] }
         if (mvPairs.isEmpty || mvPairs != orientedPairs) None
         else if (MatView.joinTypeOf(mvRoot) != "inner") None
         else {
@@ -290,11 +291,14 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
               Alias(sub(inner0), name)(exprId = al.exprId,
                 qualifier = al.qualifier): NamedExpression
             case a: AttributeReference => sub(a) match {
-              case na: NamedExpression => na
+              // the output exprId is the surrounding plan's binding —
+              // an inlined rename (seg AS seg2) must keep the ORIGINAL
+              // id via an Alias, never leak the substituted attribute's
+              case b: AttributeReference if b.exprId == a.exprId => b
               case e => Alias(e, a.name)(exprId = a.exprId,
                 qualifier = a.qualifier)
             }
-            case other => return None
+            case _ => return None
           }
           child0 = inner
           inlining = true
@@ -447,17 +451,22 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
       d.get("tz").exists(tz => !MatView.sameZone(tz,
         spark.sessionState.conf.sessionLocalTimeZone))) return None
     // match each query grouping element to a view group: bare attributes
-    // by name, expressions by semantic equality against the resolved spec
+    // by name, expressions by semantic equality against the resolved
+    // spec. Resolution (parse + analyzer on a detached plan) runs ONCE
+    // per spec per call — lazily, so the common attribute-only query
+    // never pays it (this rule runs ≥2× per query in the fixed point)
+    lazy val resolvedExprSpecs: Seq[(String, Expression)] =
+      mvSpecs.filter(_.isExpr).flatMap(s =>
+        resolveSpec(spark, s.spec, child.output)
+          .map(r => s.name.toLowerCase -> r))
     val matched: Seq[(Expression, String)] = grouping.map {
       case a: AttributeReference =>
         mvSpecs.find(s => !s.isExpr && s.name.equalsIgnoreCase(a.name))
           .map(s => (a: Expression, s.name.toLowerCase))
           .getOrElse(return None)
       case e =>
-        mvSpecs.find(s => s.isExpr &&
-          resolveSpec(spark, s.spec, child.output)
-            .exists(_.semanticEquals(e)))
-          .map(s => (e, s.name.toLowerCase))
+        resolvedExprSpecs.find(_._2.semanticEquals(e))
+          .map(p => (e, p._1))
           .getOrElse(return None)
     }
     val matchedNames = matched.map(_._2)

@@ -583,18 +583,39 @@ object SnapshotStore {
 
   /** Best-effort, monotonic, atomic (temp + ATOMIC_MOVE — a reader never
     * observes a torn hint; a parse failure falls back to listing anyway).
-    * Failures are swallowed: the pointer is a pure accelerator.
+    * Failures are swallowed (temp cleaned up): the pointer is a pure
+    * accelerator. The check-then-move is serialized in-JVM (monitor) and
+    * SELF-CORRECTING across processes: after moving, the writer probes
+    * forward from its own version and re-publishes any newer head it just
+    * clobbered — so a slow writer can regress the hint only until its own
+    * post-move walk (or any later commit / vacuum heal) fixes it, and
+    * `latest()`'s probe-forward absorbs the in-between window. This
+    * matters because a regressed hint BELOW a retention gap (VACUUM keeps
+    * tagged commits under deleted ones) would otherwise read stale.
     */
-  private def updateHead(root: String, v: Long): Unit =
-    try {
-      if (readHeadHint(root).forall(_ < v)) {
+  private val headLock = new Object
+  private def updateHead(root: String, v: Long): Unit = {
+    def publish(x: Long): Unit = headLock.synchronized {
+      if (readHeadHint(root).forall(_ < x)) {
         val tmp = Files.createTempFile(commitsDir(root), ".head", ".tmp")
-        Files.writeString(tmp, v.toString)
-        Files.move(tmp, headFile(root),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        try {
+          Files.writeString(tmp, x.toString)
+          Files.move(tmp, headFile(root),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } finally Files.deleteIfExists(tmp)
       }
+    }
+    try {
+      publish(v)
+      // post-move self-correction: if commits newer than ours exist (we
+      // may have clobbered a concurrent writer's newer hint inside the
+      // cross-process race window), walk to the true head and re-publish
+      var w = v
+      while (Files.exists(commitFile(root, w + 1))) w += 1
+      if (w > v) publish(w)
     } catch { case scala.util.control.NonFatal(_) => () }
+  }
 
   def latest(root: String): Snapshot = {
     readHeadHint(root)
@@ -3764,7 +3785,7 @@ object SnapshotStore {
     // from a recovering streaming writer would double-apply
     if (dropped.nonEmpty) writeTxnCheckpoint(root,
       dropped.map(_.getFileName.toString.stripSuffix(".commit").toLong).max)
-    dropped.flatMap { c =>
+    val expired = dropped.flatMap { c =>
       val v = c.getFileName.toString.stripSuffix(".commit").toLong
       // re-check the refs IMMEDIATELY before deleting: a tag created
       // mid-vacuum (after the entry snapshot above) passed createTag's
@@ -3781,6 +3802,14 @@ object SnapshotStore {
         Some(v)
       }
     }
+    // heal the head hint under the root lock: vacuum may have just
+    // created a GAP above a tagged low commit — if a crashed/raced writer
+    // left the hint pointing at such a commit, probe-forward in latest()
+    // would stop below the true head. The entry listing's newest commit
+    // always survives (dropRight(keepLast), keepLast >= 1).
+    commits.lastOption.foreach(c => updateHead(root,
+      c.getFileName.toString.stripSuffix(".commit").toLong))
+    expired
     }
 
   // ---- NAMED REFS (tags) --------------------------------------------------

@@ -611,6 +611,43 @@ class MatViewSpec extends SparkSpec {
     assert(Seq(j1, j2, top).map(r => SnapshotStore.latest(r).version) == vs)
   }
 
+  test("legacy view without val_cnt keeps refreshing (n_rows denominators)") {
+    import graft.sources.{MatView, SnapshotStore, SqlDml}
+    // hand-build a PRE-val_cnt view: legacy schema (g, n_rows, val_sum),
+    // legacy comma-joined def, stamped at the source's current version —
+    // refresh must maintain it legacy-shaped, never crash on the missing
+    // column (the upgrade-in-place contract for existing warehouses)
+    val src = GateTmp.freshDir("mvleg_src")
+    val mv = GateTmp.freshDir("mvleg_mv")
+    SnapshotStore.init(spark, src,
+      spark.range(30).selectExpr("id", "id * 10 AS v",
+        "CAST(id % 3 AS STRING) AS g"), cdcKeys = Seq("id"))
+    val legacyAgg = SnapshotStore.read(spark, src).groupBy("g")
+      .agg(count(lit(1)).as("n_rows"), sum($"v").as("val_sum"))
+    SnapshotStore.init(spark, mv, legacyAgg.limit(0))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(mv, "_mv_def"),
+      s"kind\tagg\nsrc\t$src\ngroups\tg\nvalue\tv\naggs\tcount,sum\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(src, "_mv_consumers"), s"$mv\n")
+    SnapshotStore.transact(spark, mv, txn = Some(SnapshotStore.Txn(
+      MatView.appIdFor(src), SnapshotStore.latest(src).version)))(_ => legacyAgg)
+    assert(!SnapshotStore.read(spark, mv).columns.contains("val_cnt"),
+      "test integrity: the hand-built view must be legacy-shaped")
+    val t = Map("t" -> src)
+    SqlDml.execute(spark, "UPDATE t SET v = v + 5 WHERE g = '1'", t)
+    SqlDml.execute(spark, "DELETE FROM t WHERE id % 9 = 0", t)
+    MatView.refresh(spark, src, mv, Seq("g"), "v")
+    val got = SnapshotStore.read(spark, mv)
+      .select($"g", $"n_rows", $"val_sum").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = SnapshotStore.read(spark, src).groupBy("g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, s"legacy view=$got direct=$want")
+    assert(!SnapshotStore.read(spark, mv).columns.contains("val_cnt"),
+      "refresh must keep the legacy shape, not half-add val_cnt")
+  }
+
   test("group-migrating UPDATE keeps n_rows right (pre/postimage ±1)") {
     import graft.sources.{MatView, SnapshotStore, SqlDml}
     val src = GateTmp.freshDir("mvmig_src")
@@ -982,6 +1019,16 @@ class MatViewSpec extends SparkSpec {
     // an aggregate the view does not maintain refuses too
     assert(!plan("SELECT seg, count(DISTINCT v) AS d FROM graft_rw.fact " +
       "GROUP BY seg").contains("graft_mvrw_view"))
+
+    // a RENAMING subquery (seg AS seg2) between the aggregate and the
+    // scan: the alias-inlining must keep the ORIGINAL output exprId (the
+    // surrounding Sort binds to it) while still matching the view
+    val qr = "SELECT seg2, count(*) AS n FROM " +
+      "(SELECT seg AS seg2, v FROM graft_rw.fact) GROUP BY seg2 ORDER BY seg2"
+    assert(spark.sql(qr).collect().map(r =>
+      r.getString(0) -> r.getLong(1)).toMap ==
+      direct.map { case (k, t) => k -> t._1 },
+      "a renamed group key must bind and answer correctly")
 
     // staleness: a write to the source makes the view non-covering — the
     // query falls back to the direct scan and sees the new rows

@@ -22,6 +22,42 @@ class SnapshotStoreSpec extends SparkSpec {
   private def tmpRoot(): String =
     java.nio.file.Files.createTempDirectory("graft_snap").toString
 
+  test("latest() head pointer: exact under staleness, corruption, deletion, vacuum") {
+    val root = tmpRoot()
+    SnapshotStore.init(spark, root, spark.range(5).selectExpr("id", "id AS v"))
+    for (i <- 1 to 5)
+      SnapshotStore.append(spark, root,
+        spark.range(1).selectExpr(s"id + ${1000 + i} AS id", "id AS v")
+          .coalesce(1))
+    val head = java.nio.file.Paths.get(root, "_commits", "_head")
+    val v = SnapshotStore.latest(root).version
+    assert(java.nio.file.Files.exists(head), "commits must maintain the hint")
+    assert(java.nio.file.Files.readString(head).trim.toLong == v)
+    // a STALE hint (crash between commit CAS and pointer update, or a
+    // monotonicity-race writer) heals by probe-forward — never a stale read
+    java.nio.file.Files.writeString(head, (v - 3).toString)
+    assert(SnapshotStore.latest(root).version == v,
+      "probe-forward must land on the true head from a stale hint")
+    // a MISSING hint (legacy table) falls back to the listing and heals
+    java.nio.file.Files.delete(head)
+    assert(SnapshotStore.latest(root).version == v)
+    assert(java.nio.file.Files.exists(head) &&
+      java.nio.file.Files.readString(head).trim.toLong == v,
+      "the listing fallback must heal the pointer for the next reader")
+    // a CORRUPT hint falls back too (and gets replaced)
+    java.nio.file.Files.writeString(head, "not-a-version")
+    assert(SnapshotStore.latest(root).version == v)
+    assert(java.nio.file.Files.readString(head).trim.toLong == v)
+    // vacuum deletes old commits but never the head's keepLast window —
+    // the pointer stays exact, and later commits keep advancing it
+    SnapshotStore.expireSnapshots(root, keepLast = 2)
+    assert(SnapshotStore.latest(root).version == v)
+    SnapshotStore.append(spark, root,
+      spark.range(1).selectExpr("id + 2000 AS id", "id AS v").coalesce(1))
+    assert(SnapshotStore.latest(root).version == v + 1)
+    assert(java.nio.file.Files.readString(head).trim.toLong == v + 1)
+  }
+
   test("two concurrent writers both commit; the loser rebases and retries") {
     val root = tmpRoot()
     val base = queries.RelationalPipeline.employeeView(spark, sf)
