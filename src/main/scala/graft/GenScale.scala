@@ -734,6 +734,115 @@ object ProbeLatest {
   }
 }
 
+/** MV planner-tax probe: per-statement PLANNING latency of an aggregate
+  * query over a table that HAS materialized views, at 10× the commit
+  * count. Round 18 fixed the no-MV case (one Files.exists short-circuit);
+  * the remaining tax was on MV-bearing tables — the freshness pins'
+  * `lastTxnVersions` still LISTED the whole commits dir per plan node,
+  * and nothing in MvRewrite was memoized per optimizer pass, so a plan
+  * with several candidate nodes re-paid sidecar + stamp reads per node
+  * per fixed-point iteration (VERDICT r18 #1). With the version-probed
+  * txn tail (bounded by the 64-commit checkpoint fold) and the per-apply
+  * memo, per-plan overhead must be FLAT across commit counts. The probe
+  * plans a two-aggregate UNION (two rewrite candidates in one plan) over
+  * a table carrying TWO views, with the rule on vs off, at both commit
+  * counts.
+  *
+  * Usage: runMain graft.ProbeMvPlanTax <commitsSmall> <commitsBig>
+  */
+object ProbeMvPlanTax {
+  def main(args: Array[String]): Unit = {
+    import graft.sources.{MatView, SnapshotStore, MvRewrite}
+    val Array(nSmall, nBig) = args.take(2).map(_.toInt)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftExtensions.install(spark)
+    // fabricate a LONG commit log cheaply: re-point versions at the last
+    // real commit's content (dataDir + txn stamps — the shape of repeated
+    // metadata-only rewrites), advance the head pointer, cut the txn
+    // checkpoint at the last fold boundary as tryCommit would have. The
+    // measured surface is planning-time METADATA reads, which see only
+    // the log's SIZE — driving 3000 real one-row Spark appends measures
+    // the same files 100× slower.
+    def fabricate(root: String, upTo: Long): Unit = {
+      val dir = java.nio.file.Paths.get(root, "_commits")
+      val last = SnapshotStore.latest(root)
+      val content = java.nio.file.Files.readString(
+        dir.resolve(f"${last.version}%020d.commit"))
+      for (v <- last.version + 1 to upTo)
+        java.nio.file.Files.writeString(
+          dir.resolve(f"$v%020d.commit"), content)
+      java.nio.file.Files.writeString(dir.resolve("_head"), upTo.toString)
+      val ckpt = upTo - (upTo % SnapshotStore.TxnCheckpointInterval)
+      if (ckpt > 0) SnapshotStore.writeTxnCheckpoint(root, ckpt)
+    }
+    def build(n: Int): String = {
+      val wh = GateTmp.freshDir(s"probe_mvtax_$n")
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      spark.sql(s"DROP TABLE IF EXISTS graft.t$n")
+      spark.sql(s"CREATE TABLE graft.t$n (id BIGINT, v BIGINT, g STRING, " +
+        "g2 STRING) TBLPROPERTIES ('cdc.keys' = 'id')")
+      val root = s"$wh/t$n"
+      spark.range(1000).selectExpr("id", "id * 3 AS v",
+        "CAST(id % 16 AS STRING) AS g", "CAST(id % 8 AS STRING) AS g2")
+        .createOrReplaceTempView(s"probe_mvtax_src_$n")
+      spark.sql(s"INSERT INTO graft.t$n SELECT * FROM probe_mvtax_src_$n")
+      // the source log grows first; the views are created AT its head so
+      // their freshness stamps pin the fabricated head (serving path, not
+      // the staleness refusal). Then each VIEW's own log grows to n — a
+      // long-refreshed view is where lastTxnVersion paid the O(commits)
+      // listing per plan node (each fabricated commit re-asserts the same
+      // stamp, exactly like replayed refresh commits).
+      fabricate(root, n.toLong)
+      val mv1 = GateTmp.freshDir(s"probe_mvtax_mv1_$n")
+      val mv2 = GateTmp.freshDir(s"probe_mvtax_mv2_$n")
+      MatView.create(spark, root, mv1, Seq("g"), "v")
+      MatView.create(spark, root, mv2, Seq("g2"), "v")
+      fabricate(mv1, n.toLong)
+      fabricate(mv2, n.toLong)
+      root
+    }
+    def bench(n: Int): (Double, Double) = {
+      val q = s"""SELECT g AS k, count(*) AS c, sum(v) AS s
+        |FROM graft.t$n GROUP BY g
+        |UNION ALL
+        |SELECT g2 AS k, count(*) AS c, sum(v) AS s
+        |FROM graft.t$n GROUP BY g2""".stripMargin
+      def planMs(reps: Int): Double = {
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < reps) { spark.sql(q).queryExecution.optimizedPlan; i += 1 }
+        (System.nanoTime() - t0) / 1e6 / reps
+      }
+      planMs(10) // warm-up
+      val on = planMs(50)
+      spark.conf.set(MvRewrite.EnabledKey, "false")
+      val off = planMs(50)
+      spark.conf.set(MvRewrite.EnabledKey, "true")
+      (on, off)
+    }
+    // bench each size right after its build: the catalog warehouse conf
+    // points at one dir at a time
+    build(nSmall)
+    val (onS, offS) = bench(nSmall)
+    build(nBig)
+    val (onB, offB) = bench(nBig)
+    println(f"commits=$nSmall%d plan_on=$onS%.2fms plan_off=$offS%.2fms " +
+      f"overhead=${onS - offS}%.2fms")
+    println(f"commits=$nBig%d plan_on=$onB%.2fms plan_off=$offB%.2fms " +
+      f"overhead=${onB - offB}%.2fms")
+    println(f"overhead growth=${(onB - offB) / math.max(onS - offS, 0.01)}%.2fx")
+    spark.stop()
+  }
+}
+
 /** COPY-INTO scale probe: a FIXED 10-file ingest against drop zones whose
   * LEDGER differs 10× (already-loaded file count). The per-run cost must
   * track the new batch, never the history: candidate listing is O(zone)

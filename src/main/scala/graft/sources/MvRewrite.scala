@@ -68,44 +68,112 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     SparkSession.getActiveSession
       .forall(_.conf.get(EnabledKey, "true").toBoolean)
 
+  /** Per-`apply` memo of every metadata-plane read the rule performs —
+    * consumer sidecars, view definitions, heads, freshness stamps. The
+    * rule runs per aggregate/join node, and the optimizer re-runs it per
+    * fixed-point iteration, so without the memo a plan with several
+    * candidate nodes over MV-bearing tables re-paid each sidecar/stamp
+    * read per node per iteration (the r18 planner tax — VERDICT #1).
+    * Scoped to ONE `apply` invocation (created there, dropped with it):
+    * across invocations the reads re-run, so a commit landing between
+    * optimizer passes is still observed — the memo never extends the
+    * staleness window beyond a single optimizer pass, which was already
+    * a point-in-time check.
+    */
+  private final class PassCache {
+    import scala.collection.mutable
+    private val consumers = mutable.HashMap.empty[String, Seq[String]]
+    private val defs = mutable.HashMap.empty[String, Option[Map[String, String]]]
+    private val heads = mutable.HashMap.empty[String, Option[SnapshotStore.Snapshot]]
+    private val stamps = mutable.HashMap.empty[(String, String), Option[Long]]
+    private val joinTypes = mutable.HashMap.empty[String, String]
+    def consumersOf(root: String): Seq[String] =
+      consumers.getOrElseUpdate(root, MatView.consumersOf(root))
+    def readDef(mvRoot: String): Option[Map[String, String]] =
+      defs.getOrElseUpdate(mvRoot, MatView.readDef(mvRoot))
+    def latest(root: String): Option[SnapshotStore.Snapshot] =
+      heads.getOrElseUpdate(root,
+        try Some(SnapshotStore.latest(root))
+        catch { case scala.util.control.NonFatal(_) => None })
+    def lastTxnVersion(root: String, appId: String): Option[Long] =
+      stamps.getOrElseUpdate((root, appId),
+        try SnapshotStore.lastTxnVersion(root, appId)
+        catch { case scala.util.control.NonFatal(_) => None })
+    def joinTypeOf(mvRoot: String): String =
+      joinTypes.getOrElseUpdate(mvRoot, MatView.joinTypeOf(mvRoot))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
+    val cache = new PassCache
     plan.transform {
       case agg @ Aggregate(grouping, result, child, _) =>
-        tryRewrite(grouping, result, child).getOrElse(agg)
+        tryRewrite(grouping, result, child, cache).getOrElse(agg)
       case j @ org.apache.spark.sql.catalyst.plans.logical.Join(
-          left, right, org.apache.spark.sql.catalyst.plans.Inner,
-          Some(cond), _) =>
-        tryJoinRewrite(j, left, right, cond).getOrElse(j)
+          left, right, jt, Some(cond), _) if servableJoinType(jt) =>
+        tryJoinRewrite(j, left, right, jt, cond, cache).getOrElse(j)
     }
   }
 
-  /** The JOIN-MV shape: an INNER equi-join of two catalog tables on
-    * exactly a maintained join view's keys serves from the view — one
-    * pre-joined scan instead of re-shuffling both sides. Residual non-key
-    * conjuncts and either side's consumed scan filters re-apply on the
-    * view (σ(A ⋈ B) ≡ σ applied to the materialized join — ANY column
-    * predicate commutes here, unlike the aggregate case). Freshness pins
-    * BOTH source stamps to both heads; outer-type views are not matched
-    * (the plan's Inner must equal the view's type).
+  /** Join types a maintained join view can serve (matched against the
+    * view's own recorded type in [[matchJoinView]]).
+    */
+  private def servableJoinType(
+      jt: org.apache.spark.sql.catalyst.plans.JoinType): Boolean = jt match {
+    case org.apache.spark.sql.catalyst.plans.Inner |
+        org.apache.spark.sql.catalyst.plans.LeftOuter |
+        org.apache.spark.sql.catalyst.plans.RightOuter |
+        org.apache.spark.sql.catalyst.plans.FullOuter => true
+    case _ => false
+  }
+
+  /** The stored-view type string a plan join type must match. */
+  private def viewTypeName(
+      jt: org.apache.spark.sql.catalyst.plans.JoinType): String = jt match {
+    case org.apache.spark.sql.catalyst.plans.LeftOuter => "left_outer"
+    case org.apache.spark.sql.catalyst.plans.RightOuter => "right_outer"
+    case org.apache.spark.sql.catalyst.plans.FullOuter => "full_outer"
+    case _ => "inner"
+  }
+
+  /** The JOIN-MV shape: an equi-join of two catalog tables on exactly a
+    * maintained join view's keys, with the PLAN's join type equal to the
+    * view's recorded type, serves from the view — one pre-joined scan
+    * instead of re-shuffling both sides. On an INNER match, residual
+    * deterministic ON conjuncts (`ON f.fk = d.pk AND d.active`) and
+    * either side's consumed scan filters re-apply on the view
+    * (σ(A ⋈ B) ≡ σ applied to the materialized join — ANY column
+    * predicate commutes there). On an OUTER match neither is legal — a
+    * residual ON conjunct participates in the null-extension decision
+    * (re-applying it on the view would DROP null-extended rows the direct
+    * plan keeps) and a leg filter runs before the outer join, not after —
+    * so outer matches require the condition to be exactly the key
+    * equalities and both legs filter-free. Freshness pins BOTH source
+    * stamps to both heads.
     */
   private def tryJoinRewrite(j: LogicalPlan, left: LogicalPlan,
-      right: LogicalPlan, cond: Expression): Option[LogicalPlan] =
-    matchJoinView(left, right, cond).flatMap { case (mvRoot, filters, _) =>
-      spliceJoin(SparkSession.active, mvRoot, j.output, filters)
+      right: LogicalPlan, jt: org.apache.spark.sql.catalyst.plans.JoinType,
+      cond: Expression, cache: PassCache): Option[LogicalPlan] =
+    matchJoinView(left, right, jt, cond, cache).flatMap {
+      case (mvRoot, filters, _) =>
+        spliceJoin(SparkSession.active, mvRoot, j.output, filters)
     }
 
-  /** The FRESH join view materializing `left ⋈_cond right` (both legs
-    * plain catalog reads at their heads, key pairs matching in either
-    * orientation, both source stamps current), plus the recovered
+  /** The FRESH join view materializing `left ⋈_cond right` under plan
+    * join type `jt` (both legs plain catalog reads at their heads, key
+    * pairs matching in either orientation — inner only; outer types are
+    * orientation-pinned — both source stamps current), plus the recovered
     * predicates that must re-apply on any consumer of the view and the
     * matched key-attribute pairs (plan-left, plan-right) — the shared
     * matcher behind the join splice AND the transitive
     * aggregate-over-join rewrite.
     */
   private def matchJoinView(left: LogicalPlan, right: LogicalPlan,
-      cond: Expression): Option[(String, Seq[Expression],
+      jt: org.apache.spark.sql.catalyst.plans.JoinType,
+      cond: Expression, cache: PassCache): Option[(String, Seq[Expression],
         Seq[(AttributeReference, AttributeReference)])] = {
+    val viewType = viewTypeName(jt)
+    val inner = viewType == "inner"
     val (lt, lFilters) = unwrap(left).getOrElse(return None)
     val (rt, rFilters) = unwrap(right).getOrElse(return None)
     def plain(t: GraftTable): Boolean =
@@ -115,44 +183,90 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // cheap existence fast-path before ANY snapshot-store read: a join
     // view is recorded as a consumer on BOTH sources, so the left root's
     // sidecar alone decides (one Files.exists for the no-MV common case)
-    val lConsumers = MatView.consumersOf(lt.storeRoot)
+    val lConsumers = cache.consumersOf(lt.storeRoot)
     if (lConsumers.isEmpty) return None
     def latestOf(t: GraftTable): Option[SnapshotStore.Snapshot] =
-      try {
-        val s = SnapshotStore.latest(t.storeRoot)
-        if (s.dataDir == t.snapDataDir) Some(s) else None
-      } catch { case scala.util.control.NonFatal(_) => None }
+      cache.latest(t.storeRoot).filter(_.dataDir == t.snapDataDir)
     val lSnap = latestOf(lt).getOrElse(return None)
     val rSnap = latestOf(rt).getOrElse(return None)
-    // the condition must be a conjunction of cross-side attribute
-    // equalities covering the view's key PAIRS exactly — same-name
-    // (l.k = r.k, the USING shape) or differently-named
-    // (o_custkey = c_custkey, the FK shape), each oriented as
-    // (plan-left attr, plan-right attr)
+    // split the ON condition: cross-side attribute equalities must cover
+    // the view's key PAIRS — same-name (l.k = r.k, the USING shape) or
+    // differently-named (o_custkey = c_custkey, the FK shape), each
+    // oriented as (plan-left attr, plan-right attr). Any OTHER
+    // deterministic conjunct (`AND d.active`, an extra non-key equality)
+    // becomes a RESIDUAL that re-applies on the materialized view — legal
+    // on an inner join (σ commutes with materialization), refused on
+    // outer (the conjunct decided null-extension). A non-deterministic
+    // conjunct refuses outright (it would re-draw per view row).
     val lIds = left.outputSet
     val rIds = right.outputSet
-    val eqPairs = splitConjunctivePredicates(cond).map {
-      case org.apache.spark.sql.catalyst.expressions.EqualTo(
-          a: AttributeReference, b: AttributeReference) =>
-        if (lIds.contains(a) && rIds.contains(b)) (a, b)
-        else if (lIds.contains(b) && rIds.contains(a)) (b, a)
-        else return None
-      case _ => return None
+    val (eqPairs, residual) = {
+      val pairs = Seq.newBuilder[(AttributeReference, AttributeReference)]
+      val rest = Seq.newBuilder[Expression]
+      splitConjunctivePredicates(cond).foreach {
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            a: AttributeReference, b: AttributeReference)
+            if lIds.contains(a) && rIds.contains(b) =>
+          pairs += ((a, b))
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            a: AttributeReference, b: AttributeReference)
+            if lIds.contains(b) && rIds.contains(a) =>
+          pairs += ((b, a))
+        case other if other.deterministic => rest += other
+        case _ => return None
+      }
+      (pairs.result(), rest.result())
     }
     if (eqPairs.isEmpty) return None
+    if (!inner && residual.nonEmpty) return None
+    // leg-filter legality by join type. A leg filter runs BEFORE the
+    // join. Inner: both sides re-apply on the view (σ commutes with the
+    // materialized join). Outer, PRESERVED side: re-applies (each
+    // preserved row survives or null-extends independently; its columns
+    // are stored verbatim either way). Outer, NULL-EXTENDING side: the
+    // ONLY legal shape is the optimizer-inferred `isnotnull(join key)` —
+    // a no-op w.r.t. the join result (null-keyed rows never match and
+    // that side's rows don't survive unmatched), which must be DROPPED,
+    // never re-applied (on the view it would delete the null-extended
+    // rows, whose stored key IS null). Anything else there refuses. Full
+    // outer preserves both sides, so the isnotnull no-op argument fails
+    // on either — both legs must be filter-free.
+    def onlyKeyNotNull(fs: Seq[Expression],
+        keys: Seq[AttributeReference]): Boolean = {
+      val ids = keys.map(_.exprId).toSet
+      fs.forall {
+        case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+            a: AttributeReference) => ids.contains(a.exprId)
+        case _ => false
+      }
+    }
+    val appliedLegFilters: Seq[Expression] = viewType match {
+      case "inner" => lFilters ++ rFilters
+      case "left_outer" =>
+        if (!onlyKeyNotNull(rFilters, eqPairs.map(_._2))) return None
+        lFilters
+      case "right_outer" =>
+        if (!onlyKeyNotNull(lFilters, eqPairs.map(_._1))) return None
+        rFilters
+      case _ =>
+        if (lFilters.nonEmpty || rFilters.nonEmpty) return None
+        Nil
+    }
     val planPairs = eqPairs
       .map { case (a, b) => (a.name.toLowerCase, b.name.toLowerCase) }.toSet
 
     lConsumers.iterator.flatMap { mvRoot =>
-      val d = MatView.readDef(mvRoot).getOrElse(Map.empty[String, String])
+      val d = cache.readDef(mvRoot).getOrElse(Map.empty[String, String])
       // orientation: which PLAN side is the view's recorded left — the
-      // key-pair match below must compare in the same orientation
+      // key-pair match below must compare in the same orientation. An
+      // outer plan is orientation-PINNED (A LEFT JOIN B only serves from
+      // a left_outer view recorded (A, B)); inner matches either way.
       val oriented =
         if (d.get("kind").contains("join") &&
           d.get("left").contains(lt.storeRoot) &&
           d.get("right").contains(rt.storeRoot))
           Some((lSnap, rSnap, planPairs))
-        else if (d.get("kind").contains("join") &&
+        else if (inner && d.get("kind").contains("join") &&
           d.get("left").contains(rt.storeRoot) &&
           d.get("right").contains(lt.storeRoot))
           Some((rSnap, lSnap, planPairs.map(_.swap)))
@@ -166,21 +280,42 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
               .map(_.trim).filter(_.nonEmpty))
             .map { case (a, b) => (a.toLowerCase, b.toLowerCase) }.toSet
           catch { case _: IllegalArgumentException => Set.empty[(String, String)] }
-        if (mvPairs.isEmpty || mvPairs != orientedPairs) None
-        else if (MatView.joinTypeOf(mvRoot) != "inner") None
+        // the plan's equalities must COVER the view keys; on an inner
+        // match extra equalities re-apply on the view as residuals (the
+        // materialized rows satisfy the keys, so checking the leftover
+        // conjuncts row-wise is exactly the direct join's semantics).
+        // Outer requires the exact key set — an extra equality would have
+        // decided null-extension.
+        val extraEq = orientedPairs -- mvPairs
+        val covers = mvPairs.nonEmpty && mvPairs.subsetOf(orientedPairs) &&
+          (inner || extraEq.isEmpty)
+        if (!covers) None
+        else if (cache.joinTypeOf(mvRoot) != viewType) None
+        // same-name keys store ONE merged column; on an outer view it
+        // cannot reproduce both sides' attributes (the missing side is
+        // null on extended rows) — only differently-named pairs serve
+        else if (!inner &&
+          mvPairs.exists(p => p._1 == p._2)) None
         else {
           // freshness: BOTH stamps at both sources' current heads
           def fresh(side: String, snap: SnapshotStore.Snapshot,
               root: String): Boolean =
-            (try SnapshotStore.lastTxnVersion(mvRoot,
-              MatView.joinAppId(side, root))
-            catch { case scala.util.control.NonFatal(_) => None })
+            cache.lastTxnVersion(mvRoot, MatView.joinAppId(side, root))
               .contains(snap.version)
           val (lr, rr) =
             (d.getOrElse("left", ""), d.getOrElse("right", ""))
           if (!fresh("left", leftSnap, lr) || !fresh("right", rightSnap, rr))
             None
-          else Some((mvRoot, lFilters ++ rFilters, eqPairs))
+          else {
+            val extraEqExprs: Seq[Expression] = eqPairs.collect {
+              case (a, b) if extraEq.contains(
+                  (a.name.toLowerCase, b.name.toLowerCase)) ||
+                extraEq.contains((b.name.toLowerCase, a.name.toLowerCase)) =>
+                org.apache.spark.sql.catalyst.expressions.EqualTo(a, b)
+            }
+            Some((mvRoot, appliedLegFilters ++ residual ++ extraEqExprs,
+              eqPairs))
+          }
         }
       }
     }.nextOption()
@@ -208,8 +343,8 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
     val projected = output.map { o =>
       byName.get(o.name.toLowerCase).map(m =>
-        Alias(m, o.name)(exprId = o.exprId, qualifier = o.qualifier):
-          NamedExpression).getOrElse(return None)
+        Alias(m, o.name)(exprId = o.exprId, qualifier = o.qualifier,
+          explicitMetadata = Some(o.metadata)): NamedExpression).getOrElse(return None)
     }
     val rebased =
       if (filters.isEmpty) None
@@ -256,7 +391,8 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def tryRewrite(grouping: Seq[Expression],
-      result: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+      result: Seq[NamedExpression], child: LogicalPlan,
+      cache: PassCache): Option[LogicalPlan] = {
     // global aggregates (no GROUP BY) emit one row even over an empty
     // source; the view has no row for that — never rewrite them
     if (grouping.isEmpty) return None
@@ -289,14 +425,18 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
           result0 = result0.map {
             case al @ Alias(inner0, name) =>
               Alias(sub(inner0), name)(exprId = al.exprId,
-                qualifier = al.qualifier): NamedExpression
+                qualifier = al.qualifier,
+                explicitMetadata = al.explicitMetadata,
+                nonInheritableMetadataKeys = al.nonInheritableMetadataKeys):
+                NamedExpression
             case a: AttributeReference => sub(a) match {
               // the output exprId is the surrounding plan's binding —
               // an inlined rename (seg AS seg2) must keep the ORIGINAL
               // id via an Alias, never leak the substituted attribute's
               case b: AttributeReference if b.exprId == a.exprId => b
               case e => Alias(e, a.name)(exprId = a.exprId,
-                qualifier = a.qualifier)
+                qualifier = a.qualifier,
+                explicitMetadata = Some(a.metadata))
             }
             case _ => return None
           }
@@ -326,18 +466,16 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
         // ≥2× per query (fixed-point batch), over EVERY catalog table — a
         // no-MV table must cost ~one stat call, never a snapshot-store
         // read (the r17 planner tax behind the CDC-gate regressions)
-        val consumers = MatView.consumersOf(srcRoot)
+        val consumers = cache.consumersOf(srcRoot)
         if (consumers.isEmpty) return None
         if (!commutes(consumed)) return None
         // reading the LATEST snapshot only: a cached relation pinned
         // behind the head must not serve the (newer) view
-        val latestSrc =
-          try SnapshotStore.latest(srcRoot)
-          catch { case scala.util.control.NonFatal(_) => return None }
+        val latestSrc = cache.latest(srcRoot).getOrElse(return None)
         if (latestSrc.dataDir != table.snapDataDir) return None
         consumers.iterator.flatMap { mvRoot =>
           rewriteAgainst(spark, mvRoot, srcRoot, latestSrc.version, grouping0,
-            result0, consumed, child0)
+            result0, consumed, child0, cache)
         }.nextOption()
 
       case None =>
@@ -355,7 +493,9 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
           case _ => return None
         }
         val (v1Root, legFilters, eqPairs) =
-          matchJoinView(left, right, cond).getOrElse(return None)
+          matchJoinView(left, right,
+            org.apache.spark.sql.catalyst.plans.Inner, cond, cache)
+            .getOrElse(return None)
         // canonicalize: under the inner condition each right key attr
         // EQUALS its left twin, so a predicate on either side (the
         // optimizer's isnotnull(key) on both legs, a user filter on the
@@ -375,11 +515,15 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val result1: Seq[NamedExpression] = result0.map {
           case al @ Alias(inner0, name) =>
             Alias(canon(inner0), name)(exprId = al.exprId,
-              qualifier = al.qualifier): NamedExpression
+              qualifier = al.qualifier,
+              explicitMetadata = al.explicitMetadata,
+              nonInheritableMetadataKeys = al.nonInheritableMetadataKeys):
+              NamedExpression
           case a: AttributeReference => canon(a) match {
             case b: AttributeReference if b.exprId == a.exprId => b
             case e => Alias(e, a.name)(exprId = a.exprId,
-              qualifier = a.qualifier)
+              qualifier = a.qualifier,
+              explicitMetadata = Some(a.metadata))
           }
           case _ => return None
         }
@@ -388,14 +532,12 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
         }.toSet
         if (!consumed.forall(_.references.forall(a => groupIds1(a.exprId))))
           return None
-        val v2s = MatView.consumersOf(v1Root)
+        val v2s = cache.consumersOf(v1Root)
         if (v2s.isEmpty) return None
-        val v1Latest =
-          try SnapshotStore.latest(v1Root)
-          catch { case scala.util.control.NonFatal(_) => return None }
+        val v1Latest = cache.latest(v1Root).getOrElse(return None)
         v2s.iterator.flatMap { v2 =>
           rewriteAgainst(spark, v2, v1Root, v1Latest.version, grouping1,
-            result1, consumed, jn)
+            result1, consumed, jn, cache)
         }.nextOption()
     }
   }
@@ -436,11 +578,86 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Monotone TIME-COARSENING match (VERDICT r18 Missing #3): the query
+    * groups by `e` = a COARSER function of the same source column a view
+    * spec `g` truncates — `GROUP BY year(ts)` over a
+    * `date_trunc('month', ts)` view. Legal exactly when e factors as
+    * h ∘ g: truncation boundaries NEST (every month-start has the year
+    * preserved, so `year(date_trunc('month', ts)) ≡ year(ts)`), which
+    * holds along the second→minute→hour→day→month→quarter→year chain —
+    * and NOT for week (a week-start may fall in the previous
+    * month/quarter/year), so week serves only week. `g` must be a
+    * value-preserving truncation (`date_trunc`/`trunc`); an extractor
+    * spec like `month(ts)` (an int, the year forgotten) serves nothing
+    * coarser. Both sides evaluate under the view's pinned session zone
+    * (enforced by the caller), so h over the stored column re-buckets
+    * identically to h over the source. Returns the SQL template for h
+    * with `%s` standing for the stored view column — resolved against
+    * the view's output by the caller (parser + analyzer set the zone on
+    * the casts, which hand-built Catalyst nodes would miss).
+    */
+  private def coarsenTemplate(e: Expression, g: Expression): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Month, Quarter, TruncDate, TruncTimestamp, Year}
+    val rank = Map("second" -> 1, "minute" -> 2, "hour" -> 3, "day" -> 4,
+      "week" -> 5, "month" -> 6, "quarter" -> 7, "year" -> 8)
+    def lvl(fmt: Expression): Option[String] = fmt match {
+      case l: Literal
+          if l.dataType == org.apache.spark.sql.types.StringType &&
+            l.value != null =>
+        val t = l.value.toString.toLowerCase
+        val norm = t match {
+          case "yyyy" | "yy" => "year"
+          case "mon" | "mm" => "month"
+          case "dd" => "day"
+          case o => o
+        }
+        Some(norm).filter(rank.contains)
+      case _ => None
+    }
+    // year(ts: timestamp) analyzes as Year(Cast(ts → date, zone)); the
+    // cast evaluates in the same pinned zone as the spec's truncation, so
+    // comparing against the UNDERLYING timestamp is zone-sound
+    def base(c: Expression): Expression = c match {
+      case Cast(x, org.apache.spark.sql.types.DateType, _, _)
+          if x.dataType == org.apache.spark.sql.types.TimestampType => x
+      case x => x
+    }
+    // week as the TARGET nests over sub-day sources (week-starts are day
+    // boundaries); week as the SOURCE serves only week (excluded below)
+    def nests(lf: String, lg: String): Boolean =
+      lf == lg || (rank(lf) > rank(lg) && lg != "week")
+    val src: Option[(String, String, Expression)] = g match {
+      case t: TruncTimestamp => lvl(t.format).map(l => ("ts", l, t.timestamp))
+      case t: TruncDate => lvl(t.format).map(l => ("date", l, t.date))
+      case _ => None
+    }
+    src.flatMap { case (fam, lg, gArg) =>
+      def sameArg(c: Expression): Boolean = base(c).semanticEquals(gArg)
+      e match {
+        case Year(c) if sameArg(c) && lg != "week" => Some("year(%s)")
+        case Quarter(c)
+            if sameArg(c) && lg != "week" && rank(lg) <= rank("quarter") =>
+          Some("quarter(%s)")
+        case Month(c)
+            if sameArg(c) && lg != "week" && rank(lg) <= rank("month") =>
+          Some("month(%s)")
+        case t: TruncTimestamp if fam == "ts" && t.timestamp.semanticEquals(gArg) =>
+          lvl(t.format).filter(nests(_, lg))
+            .map(lf => s"date_trunc('$lf', %s)")
+        case t: TruncDate if fam == "date" && t.date.semanticEquals(gArg) =>
+          lvl(t.format).filter(nests(_, lg))
+            .map(lf => s"trunc(%s, '$lf')")
+        case _ => None
+      }
+    }
+  }
+
   private def rewriteAgainst(spark: SparkSession, mvRoot: String,
       srcRoot: String, srcVersion: Long, grouping: Seq[Expression],
       result: Seq[NamedExpression],
-      consumed: Seq[Expression], child: LogicalPlan): Option[LogicalPlan] = {
-    val d = MatView.readDef(mvRoot).getOrElse(return None)
+      consumed: Seq[Expression], child: LogicalPlan,
+      cache: PassCache): Option[LogicalPlan] = {
+    val d = cache.readDef(mvRoot).getOrElse(return None)
     if (!d.get("kind").contains("agg") || !d.get("src").contains(srcRoot))
       return None
     val mvSpecs = MatView.groupSpecsOf(MatView.splitGroups(d))
@@ -459,33 +676,40 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
       mvSpecs.filter(_.isExpr).flatMap(s =>
         resolveSpec(spark, s.spec, child.output)
           .map(r => s.name.toLowerCase -> r))
-    val matched: Seq[(Expression, String)] = grouping.map {
+    // (query grouping element, view group name, coarsening template) —
+    // the template, when present, is the SQL for h with %s = the stored
+    // view column (`GROUP BY year(ts)` over a month(ts)-trunc view:
+    // "year(%s)"); resolved against the view's output after the read
+    val matched: Seq[(Expression, String, Option[String])] = grouping.map {
       case a: AttributeReference =>
         mvSpecs.find(s => !s.isExpr && s.name.equalsIgnoreCase(a.name))
-          .map(s => (a: Expression, s.name.toLowerCase))
+          .map(s => (a: Expression, s.name.toLowerCase, None))
           .getOrElse(return None)
       case e =>
         resolvedExprSpecs.find(_._2.semanticEquals(e))
-          .map(p => (e, p._1))
+          .map(p => (e, p._1, None: Option[String]))
+          .orElse(resolvedExprSpecs.iterator.flatMap { case (name, g) =>
+            coarsenTemplate(e, g).map(tpl => (e, name, Some(tpl)))
+          }.nextOption())
           .getOrElse(return None)
     }
     val matchedNames = matched.map(_._2)
     if (matchedNames.distinct.length != matchedNames.length) return None
-    // exact group match serves rows as-is; a STRICT SUBSET rolls up —
-    // re-aggregating the view's per-group rows (sum of n_rows/val_sum,
-    // min of val_min, ...), still a scan of the tiny view, never the
-    // source. Aggregates that do not merge from group results
-    // (count_distinct, stddev) refuse in roll-up mode.
+    // exact group match serves rows as-is; a STRICT SUBSET — or ANY
+    // coarsened key (year(ts) over a month view merges 12 stored rows
+    // per group) — rolls up: re-aggregating the view's per-group rows
+    // (sum of n_rows/val_sum, min of val_min, ...), still a scan of the
+    // tiny view, never the source. Aggregates that do not merge from
+    // group results (count_distinct, stddev) refuse in roll-up mode.
     val mvNames = mvSpecs.map(_.name.toLowerCase)
-    val exact = mvNames.sorted == matchedNames.sorted
+    val anyCoarse = matched.exists(_._3.nonEmpty)
+    val exact = !anyCoarse && mvNames.sorted == matchedNames.sorted
     val rollup = !exact && matchedNames.toSet.subsetOf(mvNames.toSet)
     if (!exact && !rollup) return None
     val valueCol = d.getOrElse("value", "").toLowerCase
     val aggs = d.getOrElse("aggs", "").split(",").toSeq.map(_.trim).toSet
     // freshness: the view must cover the source's CURRENT version
-    val covered =
-      try SnapshotStore.lastTxnVersion(mvRoot, MatView.appIdFor(srcRoot))
-      catch { case scala.util.control.NonFatal(_) => return None }
+    val covered = cache.lastTxnVersion(mvRoot, MatView.appIdFor(srcRoot))
     if (!covered.contains(srcVersion)) return None
 
     val mvRead =
@@ -603,11 +827,21 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
       }
     }
 
-    // each matched query grouping element → the view column storing it
-    val groupMaps: Seq[(Expression, Attribute)] = matched.map {
-      case (g, name) => (g, mvCol(name).getOrElse(return None))
+    // each matched query grouping element → the view-side expression
+    // holding it: the stored column, or — for a coarsened key — the
+    // coarsening resolved OVER that column (analyzer-resolved so the
+    // session zone lands on its casts), type-checked against the original
+    val groupMaps: Seq[(Expression, Expression)] = matched.map {
+      case (g, name, None) => (g, mvCol(name).getOrElse(return None))
+      case (g, name, Some(tpl)) =>
+        val a = mvCol(name).getOrElse(return None)
+        val h = resolveSpec(spark, tpl.format(a.name), Seq(a))
+          .getOrElse(return None)
+        if (!org.apache.spark.sql.types.DataType.equalsStructurally(
+          h.dataType, g.dataType, ignoreNullability = true)) return None
+        (g, h)
     }
-    def groupOf(e: Expression): Option[Attribute] =
+    def groupOf(e: Expression): Option[Expression] =
       groupMaps.find(_._1.semanticEquals(e)).map(_._2)
 
     // rebuild each output expression over the view's columns; any
@@ -644,11 +878,14 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val projected: Seq[NamedExpression] = result.map {
       case al @ Alias(inner, name) =>
         rebuild(inner).map(r =>
-          Alias(r, name)(exprId = al.exprId, qualifier = al.qualifier))
+          Alias(r, name)(exprId = al.exprId, qualifier = al.qualifier,
+            explicitMetadata = al.explicitMetadata,
+            nonInheritableMetadataKeys = al.nonInheritableMetadataKeys))
           .getOrElse(return None)
       case a: AttributeReference =>
         groupOf(a).map(m =>
-          Alias(m, a.name)(exprId = a.exprId, qualifier = a.qualifier))
+          Alias(m, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+            explicitMetadata = Some(a.metadata)))
           .getOrElse(return None)
       case _ => return None
     }

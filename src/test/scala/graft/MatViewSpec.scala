@@ -696,11 +696,9 @@ class MatViewSpec extends SparkSpec {
     SqlDml.execute(spark, "DELETE FROM r WHERE custk = '5'", tr)
     MatView.refreshJoin(spark, lRoot, rRoot, mv, Seq("ck=custk"))
     assert(mvRows == direct, s"after mixed DML: ${mvRows.size} vs ${direct.size}")
-    // refusals: outer + pairs, and mixed key forms
-    val e1 = intercept[IllegalArgumentException](MatView.createJoin(spark,
-      lRoot, rRoot, GateTmp.freshDir("mvfk_bad1"), Seq("ck=custk"),
-      joinType = "left"))
-    assert(e1.getMessage.contains("inner views only"), e1.getMessage)
+    // refusal: mixed key forms (outer + pairs is now SUPPORTED — the
+    // left-outer FK maintenance path has its own spec below and the
+    // q116 gate end-to-end)
     val e2 = intercept[IllegalArgumentException](MatView.createJoin(spark,
       lRoot, rRoot, GateTmp.freshDir("mvfk_bad2"), Seq("ck=custk", "okey")))
     assert(e2.getMessage.contains("cannot mix"), e2.getMessage)
@@ -1140,6 +1138,86 @@ class MatViewSpec extends SparkSpec {
       "ON f.seg = d.seg").contains("graft_mvrwj_view"))
     spark.sql("DROP TABLE graft_rwj.fact")
     spark.sql("DROP TABLE graft_rwj.dim")
+  }
+
+  test("OUTER FK join MV: null-extension flips maintain; rewrite serves the left join") {
+    import graft.sources.{GraftCatalog, MatView, SnapshotStore, SqlDml}
+    // maintenance on plain roots: dim deliberately missing keys 8/9, so
+    // the view starts with null-extended fact rows
+    val lRoot = GateTmp.freshDir("mvofk_l")
+    val rRoot = GateTmp.freshDir("mvofk_r")
+    val mv = GateTmp.freshDir("mvofk_mv")
+    SnapshotStore.init(spark, lRoot,
+      spark.range(40).selectExpr("id AS okey", "CAST(id % 10 AS STRING) AS ck",
+        "id * 10 AS v"), cdcKeys = Seq("okey"))
+    SnapshotStore.init(spark, rRoot,
+      spark.range(8).selectExpr("CAST(id AS STRING) AS custk", "id + 100 AS w"),
+      cdcKeys = Seq("custk"))
+    MatView.createJoin(spark, lRoot, rRoot, mv, Seq("ck=custk"),
+      joinType = "left")
+    def direct: Set[Seq[Any]] =
+      SnapshotStore.read(spark, lRoot).as("l")
+        .join(SnapshotStore.read(spark, rRoot).as("r"),
+          col("l.ck") === col("r.custk"), "left_outer")
+        .collect().map(_.toSeq).toSet
+    def mvRows: Set[Seq[Any]] =
+      SnapshotStore.read(spark, mv).select("okey", "ck", "v", "custk", "w")
+        .collect().map(_.toSeq).toSet
+    assert(mvRows == direct, "createJoin must land the full LEFT join")
+    assert(direct.exists(_(3) == null), "setup must produce null-extended rows")
+    val tl = Map("l" -> lRoot); val tr = Map("r" -> rRoot)
+    // matched → null-extended (dim delete), null-extended → matched (dim
+    // insert), key migration + fact deletes in the same refresh window
+    SqlDml.execute(spark, "DELETE FROM r WHERE custk = '3'", tr)
+    SnapshotStore.append(spark, rRoot,
+      spark.range(8, 9).selectExpr("CAST(id AS STRING) AS custk",
+        "id + 100 AS w"))
+    SqlDml.execute(spark, "UPDATE l SET ck = '9' WHERE okey % 10 = 4", tl)
+    SqlDml.execute(spark, "DELETE FROM l WHERE okey % 7 = 0", tl)
+    MatView.refreshJoin(spark, lRoot, rRoot, mv, Seq("ck=custk"))
+    assert(mvRows == direct, s"after flip DML: ${mvRows.size} vs ${direct.size}")
+
+    // rewrite: the left join serves from the view; a preserved-side (fact)
+    // filter re-applies; a null-rejecting dim filter turns the plan inner
+    // and must refuse
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvofk_wh").toString
+    spark.conf.set("spark.sql.catalog.graft_ofk", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ofk.warehouse", wh)
+    GraftExtensions.install(spark)
+    spark.sql("CREATE TABLE graft_ofk.fact (okey BIGINT, ck STRING, v BIGINT) " +
+      "TBLPROPERTIES ('cdc.keys' = 'okey')")
+    spark.sql("CREATE TABLE graft_ofk.dim (custk STRING, w BIGINT) " +
+      "TBLPROPERTIES ('cdc.keys' = 'custk')")
+    spark.range(40).selectExpr("id AS okey", "CAST(id % 10 AS STRING) AS ck",
+      "id * 10 AS v").createOrReplaceTempView("mvofk_f")
+    spark.range(8).selectExpr("CAST(id AS STRING) AS custk", "id + 100 AS w")
+      .createOrReplaceTempView("mvofk_d")
+    spark.sql("INSERT INTO graft_ofk.fact SELECT * FROM mvofk_f")
+    spark.sql("INSERT INTO graft_ofk.dim SELECT * FROM mvofk_d")
+    val cmv = GateTmp.freshDir("graft_mvofk_view")
+    MatView.createJoin(spark, s"$wh/fact", s"$wh/dim", cmv, Seq("ck=custk"),
+      joinType = "left")
+    val q = "SELECT f.okey, f.ck, d.custk, d.w FROM graft_ofk.fact f " +
+      "LEFT JOIN graft_ofk.dim d ON f.ck = d.custk WHERE f.v < 250"
+    def plan(s: String): String =
+      spark.sql(s).queryExecution.executedPlan.toString
+    val p1 = plan(q)
+    assert(p1.contains("graft_mvofk_view"), s"left join must serve:\n$p1")
+    val served = spark.sql(q).collect().map(_.toSeq).toSet
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "false")
+    val directQ = spark.sql(q).collect().map(_.toSeq).toSet
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "true")
+    assert(served == directQ)
+    assert(served.exists(_(2) == null), "the served rows must keep " +
+      "null-extension")
+    // INNER over the same tables must not match the left_outer view
+    assert(!plan("SELECT f.okey FROM graft_ofk.fact f JOIN graft_ofk.dim d " +
+      "ON f.ck = d.custk").contains("graft_mvofk_view"))
+    // a null-rejecting dim predicate → optimizer turns the join inner →
+    // type mismatch refuses (direct plan, still correct rows)
+    assert(!plan(q + " AND d.w > 104").contains("graft_mvofk_view"))
+    spark.sql("DROP TABLE graft_ofk.fact")
+    spark.sql("DROP TABLE graft_ofk.dim")
   }
 }
 
