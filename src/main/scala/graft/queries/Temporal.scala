@@ -3594,8 +3594,16 @@ object Temporal {
           .select($("id"), $("segment"), (($("id")) % 25).as("nat"),
             $("salary"))
           .createOrReplaceTempView("q115f_src")
-        s.sql("INSERT INTO graft.q115ft SELECT id, segment, nat, salary " +
-          "FROM q115f_src")
+        // NULL-bearing values AND an all-NULL segment (VERDICT r18 #8):
+        // the roll-up path's Σval_cnt = 0 guard must produce SQL NULL
+        // sum/avg for FURNITURE, and every denominator must be the
+        // non-null count
+        s.sql(
+          """INSERT INTO graft.q115ft
+            |SELECT id, segment, nat,
+            |  CASE WHEN id % 4 = 0 OR segment = 'FURNITURE' THEN NULL
+            |       ELSE salary END
+            |FROM q115f_src""".stripMargin)
         val srcRoot = s"$wh/q115ft"
         val mv = graft.GateTmp.freshDir("q115f_mv")
         val aggs = Seq("count", "sum", "avg", "approx_distinct")
@@ -3646,12 +3654,19 @@ object Temporal {
         s.sql("""SELECT segment, nat, count(DISTINCT salary) AS d
           |FROM graft.q115ft GROUP BY segment, nat""".stripMargin)
           .createOrReplaceTempView("q115f_exact")
+        require(servedRows.exists(r => r.isNullAt(3) && r.isNullAt(4)),
+          "test integrity: an all-NULL segment (SQL NULL sum/avg) must " +
+            "survive the roll-up")
+        // coalesce the estimate: an all-NULL group's sketch estimates
+        // no values (0, or SQL NULL for a NULL stored sketch) and the
+        // exact distinct count is 0 — the bound must hold, not null out
         s.sql(
           """SELECT v.segment, v.n_rows, v.val_cnt, v.val_sum, v.val_avg,
             |  b.ad_ok
             |FROM q115f_served v JOIN (
             |  SELECT f.segment,
-            |    min(abs(f.val_approx_distinct - CAST(e.d AS DOUBLE)) <=
+            |    min(abs(coalesce(f.val_approx_distinct, 0.0D) -
+            |      CAST(e.d AS DOUBLE)) <=
             |      CAST(e.d AS DOUBLE) * 0.02 + 1.0) AS ad_ok
             |  FROM q115f_fine f JOIN q115f_exact e
             |    ON f.segment = e.segment AND f.nat = e.nat
@@ -3663,11 +3678,14 @@ object Temporal {
         val cents = graft.Canon.centsSql("c_acctbal")
         s"""WITH base AS (
            |  SELECT c_custkey AS id, c_mktsegment AS segment,
-           |         $cents AS salary
+           |         $cents AS salary0
            |  FROM customer),
+           |v0 AS (SELECT id, segment,
+           |  CASE WHEN id % 4 = 0 OR segment = 'FURNITURE' THEN NULL
+           |       ELSE salary0 END AS salary FROM base),
            |v1 AS (SELECT id, segment,
            |  CASE WHEN id % 6 = 0 THEN salary + 10 ELSE salary END AS salary
-           |  FROM base),
+           |  FROM v0),
            |v2 AS (SELECT * FROM v1 WHERE NOT (id % 11 = 0))
            |SELECT segment, CAST(count(*) AS BIGINT) AS n_rows,
            |  CAST(count(salary) AS BIGINT) AS val_cnt,
@@ -3702,7 +3720,16 @@ object Temporal {
         RelationalPipeline.employeeView(s, d)
           .select($("id"), $("salary"), $("segment"))
           .createOrReplaceTempView("q115g_src")
-        s.sql("INSERT INTO graft.q115gf SELECT id, salary, segment FROM q115g_src")
+        // NULL-bearing values + an all-NULL segment feed the TRANSITIVE
+        // path too (VERDICT r18 #8): the agg view over the join view must
+        // carry val_cnt through the change-feed fold and serve FURNITURE's
+        // sum as SQL NULL
+        s.sql(
+          """INSERT INTO graft.q115gf
+            |SELECT id,
+            |  CASE WHEN id % 4 = 0 OR segment = 'FURNITURE' THEN NULL
+            |       ELSE salary END,
+            |  segment FROM q115g_src""".stripMargin)
         s.sql("INSERT INTO graft.q115gd VALUES ('BUILDING', 100), " +
           "('AUTOMOBILE', 200), ('MACHINERY', 300), ('HOUSEHOLD', 400), " +
           "('FURNITURE', 500)")
@@ -3750,14 +3777,19 @@ object Temporal {
           rs.groupBy(identity).view.mapValues(_.size).toMap
         require(bag(servedRows) == bag(directRows),
           "transitively-served answers must equal the direct plan")
+        require(servedRows.exists(_.isNullAt(3)),
+          "test integrity: an all-NULL segment (SQL NULL sum) must exist")
         s.sql(q).orderBy($("segment"))
       },
       oracle = Some {
         val cents = graft.Canon.centsSql("c_acctbal")
-        s"""WITH base AS (
-           |  SELECT c_custkey AS id, $cents AS salary,
+        s"""WITH base0 AS (
+           |  SELECT c_custkey AS id, $cents AS salary0,
            |         c_mktsegment AS segment
            |  FROM customer),
+           |base AS (SELECT id,
+           |  CASE WHEN id % 4 = 0 OR segment = 'FURNITURE' THEN NULL
+           |       ELSE salary0 END AS salary, segment FROM base0),
            |v1 AS (SELECT id,
            |  CASE WHEN id % 7 = 0 THEN salary + 100 ELSE salary END AS salary,
            |  segment FROM base),
@@ -3770,6 +3802,340 @@ object Temporal {
            |  CAST(sum(f.salary) AS BIGINT) AS val_sum
            |FROM v2 f JOIN d ON f.segment = d.segment
            |GROUP BY f.segment, d.bonus ORDER BY f.segment""".stripMargin
+      }),
+
+    // Q116 [extension: OUTER-type FK join views — VERDICT r18 Missing #1]
+    // The most common enrichment view in a real warehouse:
+    // `orders LEFT JOIN customer ON o_custkey = c_custkey`, maintained
+    // incrementally and SERVED by the rewrite. The dim starts with gaps
+    // (custkey % 5 dropped) so null-extended fact rows exist from create;
+    // a dim DELETE then flips matched rows to null-extended THROUGH
+    // refreshJoin (the OR-of-sides touched-key probe — the row's stored
+    // right key is the only witness it must be replaced). Plan-audited:
+    // the left join serves from the view with a preserved-side (fact)
+    // WHERE re-applied, and the optimizer's inferred isnotnull on the
+    // null-extending key is dropped, never re-applied.
+    "q116_join_mv_outer_fk" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{MatView, MvRewrite}
+        graft.GraftExtensions.install(s)
+        val wh = graft.GateTmp.freshDir("q116")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("CREATE TABLE graft.q116f (o_orderkey BIGINT, " +
+          "o_custkey BIGINT, price_c BIGINT) " +
+          "TBLPROPERTIES ('cdc.keys' = 'o_orderkey')")
+        s.sql("CREATE TABLE graft.q116d (c_custkey BIGINT, " +
+          "c_mktsegment STRING) TBLPROPERTIES ('cdc.keys' = 'c_custkey')")
+        Tables.orders(s, d)
+          .select($("o_orderkey"), $("o_custkey"),
+            graft.Canon.cents($("o_totalprice")).as("price_c"))
+          .createOrReplaceTempView("q116_ord")
+        Tables.customer(s, d)
+          .filter(!($("c_custkey") % 5 === 0))
+          .select($("c_custkey"), $("c_mktsegment"))
+          .createOrReplaceTempView("q116_cust")
+        s.sql("INSERT INTO graft.q116f SELECT * FROM q116_ord")
+        s.sql("INSERT INTO graft.q116d SELECT * FROM q116_cust")
+        val mv = graft.GateTmp.freshDir("q116_mv")
+        MatView.createJoin(s, s"$wh/q116f", s"$wh/q116d", mv,
+          Seq("o_custkey=c_custkey"), joinType = "left")
+        val q = """SELECT f.o_orderkey, f.o_custkey, d.c_custkey,
+          |  d.c_mktsegment, f.price_c
+          |FROM graft.q116f f LEFT JOIN graft.q116d d
+          |  ON f.o_custkey = d.c_custkey
+          |WHERE f.price_c > 20000000""".stripMargin
+        def planOf(sql: String): String =
+          s.sql(sql).queryExecution.executedPlan.toString
+        val p1 = planOf(q)
+        require(p1.contains("q116_mv"),
+          s"the LEFT FK join must serve from the view:\n$p1")
+        require(!p1.contains("/q116f/") && !p1.contains("/q116d/"),
+          s"neither base table may be scanned when the view serves:\n$p1")
+        // an INNER join over the same tables must keep the direct plan
+        require(!planOf("SELECT f.o_orderkey FROM graft.q116f f " +
+          "JOIN graft.q116d d ON f.o_custkey = d.c_custkey")
+          .contains("q116_mv"),
+          "an inner join must not be served by a left_outer view")
+        // dim DELETE: staleness falls back; refreshJoin flips the deleted
+        // customers' orders to null-extended and restores serving
+        s.sql("DELETE FROM graft.q116d WHERE c_custkey % 3 = 0")
+        require(!planOf(q).contains("q116_mv"),
+          "a stale outer view must never serve")
+        MatView.refreshJoin(s, s"$wh/q116f", s"$wh/q116d", mv,
+          Seq("o_custkey=c_custkey"))
+        require(planOf(q).contains("q116_mv"),
+          "the refreshed outer view must serve again")
+        val servedRows = s.sql(q).collect().toSeq
+        s.conf.set(MvRewrite.EnabledKey, "false")
+        val directRows = s.sql(q).collect().toSeq
+        s.conf.set(MvRewrite.EnabledKey, "true")
+        def bag(rs: Seq[org.apache.spark.sql.Row]) =
+          rs.groupBy(identity).view.mapValues(_.size).toMap
+        require(bag(servedRows) == bag(directRows),
+          "view-served LEFT join answers must equal the direct join")
+        require(servedRows.exists(_.isNullAt(2)),
+          "test integrity: null-extended rows must exist in the answer")
+        s.sql(q).orderBy($("o_orderkey"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("o_totalprice")
+        s"""WITH f AS (
+           |  SELECT o_orderkey, o_custkey, $cents AS price_c FROM orders),
+           |d AS (SELECT c_custkey, c_mktsegment FROM customer
+           |  WHERE NOT (c_custkey % 5 = 0) AND NOT (c_custkey % 3 = 0))
+           |SELECT f.o_orderkey, f.o_custkey, d.c_custkey, d.c_mktsegment,
+           |  f.price_c
+           |FROM f LEFT JOIN d ON f.o_custkey = d.c_custkey
+           |WHERE f.price_c > 20000000
+           |ORDER BY f.o_orderkey""".stripMargin
+      }),
+
+    // Q116b [extension: residual ON conjuncts in the join-MV rewrite —
+    // VERDICT r18 Missing #2] `ON f.fk = d.pk AND f.salary > d.thr` — a
+    // CROSS-SIDE residual the optimizer cannot push to one leg, so it
+    // stays in the join condition. r18 refused the whole rewrite on the
+    // first non-equality conjunct; now the equality pairs match the view
+    // keys and the residual re-applies on the materialized view (any
+    // deterministic predicate commutes with an inner materialization).
+    "q116b_join_mv_residual_on" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{MatView, MvRewrite}
+        graft.GraftExtensions.install(s)
+        val wh = graft.GateTmp.freshDir("q116b")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("CREATE TABLE graft.q116bf (id BIGINT, salary BIGINT, " +
+          "segment STRING) TBLPROPERTIES ('cdc.keys' = 'id')")
+        s.sql("CREATE TABLE graft.q116bd (seg STRING, thr BIGINT) " +
+          "TBLPROPERTIES ('cdc.keys' = 'seg')")
+        RelationalPipeline.employeeView(s, d)
+          .select($("id"), $("salary"), $("segment"))
+          .createOrReplaceTempView("q116b_src")
+        s.sql("INSERT INTO graft.q116bf SELECT * FROM q116b_src")
+        s.sql("INSERT INTO graft.q116bd VALUES ('BUILDING', 200000), " +
+          "('AUTOMOBILE', 400000), ('MACHINERY', 600000), " +
+          "('HOUSEHOLD', 300000), ('FURNITURE', 500000)")
+        val mv = graft.GateTmp.freshDir("q116b_mv")
+        MatView.createJoin(s, s"$wh/q116bf", s"$wh/q116bd", mv,
+          Seq("segment=seg"))
+        val q = """SELECT f.id, f.segment, d.seg, f.salary, d.thr
+          |FROM graft.q116bf f JOIN graft.q116bd d
+          |  ON f.segment = d.seg AND f.salary > d.thr""".stripMargin
+        def planOf(sql: String): String =
+          s.sql(sql).queryExecution.executedPlan.toString
+        val p1 = planOf(q)
+        require(p1.contains("q116b_mv"),
+          s"the residual-ON join must serve from the view:\n$p1")
+        require(!p1.contains("/q116bf/") && !p1.contains("/q116bd/"),
+          s"neither base table may be scanned when the view serves:\n$p1")
+        // dim mutation: staleness falls back; refreshJoin restores
+        s.sql("UPDATE graft.q116bd SET thr = thr - 100000 " +
+          "WHERE seg = 'BUILDING'")
+        require(!planOf(q).contains("q116b_mv"),
+          "a stale view must never serve")
+        MatView.refreshJoin(s, s"$wh/q116bf", s"$wh/q116bd", mv,
+          Seq("segment=seg"))
+        require(planOf(q).contains("q116b_mv"),
+          "the refreshed view must serve again")
+        val servedRows = s.sql(q).collect().toSeq
+        s.conf.set(MvRewrite.EnabledKey, "false")
+        val directRows = s.sql(q).collect().toSeq
+        s.conf.set(MvRewrite.EnabledKey, "true")
+        def bag(rs: Seq[org.apache.spark.sql.Row]) =
+          rs.groupBy(identity).view.mapValues(_.size).toMap
+        require(bag(servedRows) == bag(directRows),
+          "residual-ON served answers must equal the direct join")
+        s.sql(q).orderBy($("id"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""WITH f AS (
+           |  SELECT c_custkey AS id, $cents AS salary,
+           |         c_mktsegment AS segment FROM customer),
+           |d0 AS (SELECT * FROM (VALUES ('BUILDING', 200000),
+           |  ('AUTOMOBILE', 400000), ('MACHINERY', 600000),
+           |  ('HOUSEHOLD', 300000), ('FURNITURE', 500000))
+           |  AS t(seg, thr)),
+           |d AS (SELECT seg, CASE WHEN seg = 'BUILDING' THEN thr - 100000
+           |  ELSE thr END AS thr FROM d0)
+           |SELECT f.id, f.segment, d.seg, f.salary, CAST(d.thr AS BIGINT) AS thr
+           |FROM f JOIN d ON f.segment = d.seg AND f.salary > d.thr
+           |ORDER BY f.id""".stripMargin
+      }),
+
+    // Q116c [extension: monotone time-coarsening roll-up — VERDICT r18
+    // Missing #3] The dashboard drill-up: a view grouped by
+    // `date_trunc('month', ts)` serves BOTH the month query (exact) and
+    // `GROUP BY year(ts)` (roll-up: year = a coarsening of month along
+    // the nesting chain, so the served plan re-aggregates ~12 stored rows
+    // per year — never the source). `date_trunc('week', ts)` must refuse
+    // (a week-start may fall in the previous month — week does not nest).
+    "q116c_mv_time_rollup" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{MatView, MvRewrite}
+        graft.GraftExtensions.install(s)
+        val wh = graft.GateTmp.freshDir("q116c")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("CREATE TABLE graft.q116ct (okey BIGINT, ts TIMESTAMP, " +
+          "price_c BIGINT) TBLPROPERTIES ('cdc.keys' = 'okey')")
+        Tables.orders(s, d).createOrReplaceTempView("q116c_ord")
+        val cents = graft.Canon.centsSql("o_totalprice")
+        s.sql(
+          s"""INSERT INTO graft.q116ct
+             |SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP), $cents
+             |FROM q116c_ord""".stripMargin)
+        val srcRoot = s"$wh/q116ct"
+        val mv = graft.GateTmp.freshDir("q116c_mv")
+        val aggs = Seq("count", "sum", "avg")
+        MatView.create(s, srcRoot, mv, Seq("date_trunc('month', ts)"),
+          "price_c", aggs)
+        val qMonth = """SELECT date_trunc('month', ts) AS m,
+          |  count(*) AS n FROM graft.q116ct
+          |GROUP BY date_trunc('month', ts)""".stripMargin
+        val qYear = """SELECT year(ts) AS y, count(*) AS n_rows,
+          |  count(price_c) AS val_cnt,
+          |  CAST(sum(price_c) AS BIGINT) AS val_sum,
+          |  avg(price_c) AS val_avg
+          |FROM graft.q116ct GROUP BY year(ts)""".stripMargin
+        def planOf(sql: String): String =
+          s.sql(sql).queryExecution.executedPlan.toString
+        require(planOf(qMonth).contains("q116c_mv"),
+          s"the exact month query must serve:\n${planOf(qMonth)}")
+        val p1 = planOf(qYear)
+        require(p1.contains("q116c_mv"),
+          s"GROUP BY year(ts) must roll up from the month view:\n$p1")
+        require(!p1.contains("/q116ct/"),
+          s"the base table must not be scanned when the view serves:\n$p1")
+        // week does NOT nest in month: direct plan
+        require(!planOf("SELECT date_trunc('week', ts) AS w, count(*) AS n " +
+          "FROM graft.q116ct GROUP BY date_trunc('week', ts)")
+          .contains("q116c_mv"),
+          "date_trunc('week') must not serve from a month view")
+        // DML + refresh keeps both grains serving
+        s.sql("UPDATE graft.q116ct SET price_c = price_c + 100 " +
+          "WHERE okey % 7 = 0")
+        s.sql("DELETE FROM graft.q116ct WHERE okey % 9 = 0")
+        require(!planOf(qYear).contains("q116c_mv"),
+          "a stale view must never serve")
+        MatView.refresh(s, srcRoot, mv, Seq("date_trunc('month', ts)"),
+          "price_c", aggs)
+        require(planOf(qYear).contains("q116c_mv"),
+          "the refreshed view must serve the roll-up again")
+        val servedRows = s.sql(qYear).collect().toSeq
+        s.conf.set(MvRewrite.EnabledKey, "false")
+        val directRows = s.sql(qYear).collect().toSeq
+        s.conf.set(MvRewrite.EnabledKey, "true")
+        def bag(rs: Seq[org.apache.spark.sql.Row]) =
+          rs.groupBy(identity).view.mapValues(_.size).toMap
+        require(bag(servedRows) == bag(directRows),
+          "coarsened roll-up answers must equal the direct plan")
+        s.sql(qYear).orderBy($("y"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("o_totalprice")
+        s"""WITH base AS (
+           |  SELECT o_orderkey AS okey, o_orderdate AS ts,
+           |         $cents AS price_c FROM orders),
+           |v1 AS (SELECT okey, ts,
+           |  CASE WHEN okey % 7 = 0 THEN price_c + 100 ELSE price_c END
+           |    AS price_c FROM base),
+           |v2 AS (SELECT * FROM v1 WHERE NOT (okey % 9 = 0))
+           |SELECT CAST(year(ts) AS INT) AS y,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(price_c) AS BIGINT) AS val_cnt,
+           |  CAST(sum(price_c) AS BIGINT) AS val_sum,
+           |  CAST(CAST(sum(price_c) AS BIGINT) AS DOUBLE) /
+           |    CAST(count(price_c) AS DOUBLE) AS val_avg
+           |FROM v2 GROUP BY year(ts) ORDER BY y""".stripMargin
+      }),
+
+    // Q116d [extension: timezone pin scoped to time-dependent expression
+    // keys — VERDICT r18 Missing #4] An `upper(segment)`-grouped view is
+    // zone-FREE: it records no tz pin, so it keeps serving and refreshing
+    // after the session zone changes — while a `year(ts)`-grouped view
+    // (zone-dependent bucketing) still refuses to serve under the changed
+    // zone. Both behaviors plan-audited under the flipped zone; the
+    // session zone is restored before the gate returns.
+    "q116d_mv_tzfree_expr" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{MatView, MvRewrite}
+        graft.GraftExtensions.install(s)
+        val wh = graft.GateTmp.freshDir("q116d")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("CREATE TABLE graft.q116dt (id BIGINT, salary BIGINT, " +
+          "segment STRING, ts TIMESTAMP) TBLPROPERTIES ('cdc.keys' = 'id')")
+        RelationalPipeline.employeeView(s, d)
+          .select($("id"), $("salary"), $("segment"))
+          .withColumn("ts",
+            org.apache.spark.sql.functions.expr(
+              "timestampadd(HOUR, CAST(id % 9000 AS INT), " +
+                "TIMESTAMP'2024-01-01 00:00:00')"))
+          .createOrReplaceTempView("q116d_src")
+        s.sql("INSERT INTO graft.q116dt SELECT * FROM q116d_src")
+        val srcRoot = s"$wh/q116dt"
+        val mvU = graft.GateTmp.freshDir("q116d_mvu")
+        val mvY = graft.GateTmp.freshDir("q116d_mvy")
+        MatView.create(s, srcRoot, mvU, Seq("upper(segment)"), "salary",
+          Seq("count", "sum"))
+        MatView.create(s, srcRoot, mvY, Seq("year(ts)"), "salary",
+          Seq("count", "sum"))
+        val qU = """SELECT upper(segment) AS useg, count(*) AS n,
+          |  CAST(sum(salary) AS BIGINT) AS sal
+          |FROM graft.q116dt GROUP BY upper(segment)""".stripMargin
+        val qY = """SELECT year(ts) AS y, count(*) AS n
+          |FROM graft.q116dt GROUP BY year(ts)""".stripMargin
+        def planOf(sql: String): String =
+          s.sql(sql).queryExecution.executedPlan.toString
+        require(planOf(qU).contains("q116d_mvu"),
+          s"the zone-free view must serve in its create zone:\n${planOf(qU)}")
+        require(planOf(qY).contains("q116d_mvy"),
+          s"the year view must serve in its create zone:\n${planOf(qY)}")
+        val z0 = s.sessionState.conf.sessionLocalTimeZone
+        val z1 = if (MatView.sameZone(z0, "UTC")) "America/New_York" else "UTC"
+        s.conf.set("spark.sql.session.timeZone", z1)
+        try {
+          require(planOf(qU).contains("q116d_mvu"),
+            s"the zone-free view must keep serving under $z1:\n${planOf(qU)}")
+          require(!planOf(qY).contains("q116d_mvy"),
+            s"the year(ts) view must refuse under $z1:\n${planOf(qY)}")
+          // DML + refresh of the zone-free view under the changed zone
+          s.sql("UPDATE graft.q116dt SET salary = salary + 10 " +
+            "WHERE id % 6 = 0")
+          require(!planOf(qU).contains("q116d_mvu"),
+            "a stale view must never serve")
+          MatView.refresh(s, srcRoot, mvU, Seq("upper(segment)"), "salary",
+            Seq("count", "sum"))
+          require(planOf(qU).contains("q116d_mvu"),
+            s"the zone-free view must refresh and serve under $z1")
+          val servedRows = s.sql(qU).collect().toSeq
+          s.conf.set(MvRewrite.EnabledKey, "false")
+          val directRows = s.sql(qU).collect().toSeq
+          s.conf.set(MvRewrite.EnabledKey, "true")
+          def bag(rs: Seq[org.apache.spark.sql.Row]) =
+            rs.groupBy(identity).view.mapValues(_.size).toMap
+          require(bag(servedRows) == bag(directRows),
+            "zone-free served answers must equal the direct plan")
+        } finally s.conf.set("spark.sql.session.timeZone", z0)
+        s.sql(qU).orderBy($("useg"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""WITH base AS (
+           |  SELECT c_custkey AS id, $cents AS salary,
+           |         c_mktsegment AS segment FROM customer),
+           |v1 AS (SELECT id, segment,
+           |  CASE WHEN id % 6 = 0 THEN salary + 10 ELSE salary END AS salary
+           |  FROM base)
+           |SELECT upper(segment) AS useg, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(salary) AS BIGINT) AS sal
+           |FROM v1 GROUP BY upper(segment) ORDER BY useg""".stripMargin
       }),
 
     // Q110b [extension: partition-TRANSFORM evolution — Iceberg's

@@ -743,11 +743,21 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // columns whose result equals the query aggregate over the source.
     // count(*) → sum(n_rows); count(v) → sum(val_cnt); sum →
     // sum(val_sum) (NULL when Σval_cnt = 0); min/max →
-    // min(val_min)/max(val_max); avg → Σval_sum / Σval_cnt
-    // (exact-integer sums per the Canon rule, so the one double divide is
-    // bit-identical to the direct Average). Output types must come out
-    // EXACTLY as the original call (checked by the caller); a widening
-    // mismatch (decimal sums grow precision per Sum) refuses there.
+    // min(val_min)/max(val_max); avg → Σval_sum / Σval_cnt.
+    //
+    // avg PRECISION POLICY (VERDICT r18 #2, accepted + spec-pinned in
+    // MatViewSpec "avg ≥2^53 policy"): both sides perform ONE double
+    // divide, but the NUMERATORS differ once a group's Σv exceeds 2^53 —
+    // the view's val_sum is an exact integer (the Canon rule) while the
+    // direct plan's Average accumulates its sum in a DOUBLE buffer,
+    // rounding per row. Below 2^53 (every gate, and any group under ~90T
+    // cents) the two are bit-identical; above it the VIEW's answer is the
+    // MORE accurate one, so the divergence is accepted rather than
+    // refused (unlike stddev, where the view's identity is LESS stable
+    // than Welford, or HLL, where neither side dominates). Output types
+    // must come out EXACTLY as the original call (checked by the caller);
+    // a widening mismatch (decimal sums grow precision per Sum) refuses
+    // there.
     def rollAgg(ae: AggregateExpression): Option[Expression] = {
       if (ae.filter.nonEmpty || ae.isDistinct) return None
       def sumIsNull: Option[Expression] =

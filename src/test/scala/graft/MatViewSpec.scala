@@ -963,6 +963,57 @@ class MatViewSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_eg.fact")
   }
 
+  test("avg >=2^53 policy: the view serves the exact-integer quotient, accepted over the direct double accumulation") {
+    // The POLICY pin for MvRewrite's avg mapping (see the rollAgg
+    // comment): both paths do one double divide, but once a group's Σv
+    // exceeds 2^53 the direct Average's DOUBLE sum buffer rounds per row
+    // while the view's val_sum is an exact integer. The served answer is
+    // the MORE accurate of the two, so the divergence is ACCEPTED — this
+    // test documents it end-to-end and fails if either side's arithmetic
+    // changes.
+    import graft.sources.{GraftCatalog, MatView}
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvp_wh").toString
+    spark.conf.set("spark.sql.catalog.graft_mvp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_mvp.warehouse", wh)
+    GraftExtensions.install(spark)
+    spark.sql("CREATE TABLE graft_mvp.t (id BIGINT, seg STRING, v BIGINT) " +
+      "TBLPROPERTIES ('cdc.keys' = 'id')")
+    val big = 1L << 53
+    // group 'big': Σv = 2^53 + 4 > 2^53 — each direct +1 rounds away
+    // (ties-to-even at spacing 2). group 'small': far below 2^53 — both
+    // paths bit-identical.
+    val rows = Seq((1L, "big", big), (2L, "big", 1L), (3L, "big", 1L),
+      (4L, "big", 1L), (5L, "big", 1L),
+      (6L, "small", 10L), (7L, "small", 11L), (8L, "small", 13L))
+    rows.toDF("id", "seg", "v").coalesce(1)
+      .createOrReplaceTempView("mvp_src")
+    spark.sql("INSERT INTO graft_mvp.t SELECT * FROM mvp_src")
+    val mv = GateTmp.freshDir("graft_mvp_view")
+    MatView.create(spark, s"$wh/t", mv, Seq("seg"), "v",
+      Seq("count", "sum", "avg"))
+    val sql = "SELECT seg, avg(v) AS a FROM graft_mvp.t GROUP BY seg"
+    def avgOf: Map[String, Double] =
+      spark.sql(sql).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val p1 = spark.sql(sql).queryExecution.executedPlan.toString
+    assert(p1.contains("graft_mvp_view"), s"the view must serve:\n$p1")
+    val served = avgOf
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "false")
+    val direct = avgOf
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "true")
+    // the view's answer IS the exact-integer quotient
+    val exactBig = (big + 4L).toDouble / 5.0
+    assert(served("big") == exactBig,
+      s"served=${served("big")} exact=$exactBig")
+    // the documented divergence: the direct double buffer lost the +1s
+    assert(direct("big") != served("big"),
+      "expected the >=2^53 divergence this policy documents — if Spark's " +
+        "Average became exact, re-evaluate the policy comment in MvRewrite")
+    assert(direct("big") == big.toDouble / 5.0, s"direct=${direct("big")}")
+    // below 2^53 the two paths are bit-identical
+    assert(served("small") == direct("small"))
+    spark.sql("DROP TABLE graft_mvp.t")
+  }
+
   test("automatic MV query rewrite: fresh view serves, stale falls back, filters commute") {
     import graft.sources.{GraftCatalog, MatView, SnapshotStore}
     val wh = java.nio.file.Files.createTempDirectory("graft_mvrw_wh").toString
