@@ -1138,6 +1138,107 @@ class MatViewSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_ru.fact")
   }
 
+  test("MIXED bare + time-coarsened roll-up keys; quarter from month; extractor specs serve nothing coarser") {
+    import graft.sources.{GraftCatalog, MatView}
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvtc_wh").toString
+    spark.conf.set("spark.sql.catalog.graft_tc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_tc.warehouse", wh)
+    GraftExtensions.install(spark)
+    spark.sql("CREATE TABLE graft_tc.fact (id BIGINT, seg STRING, " +
+      "ts TIMESTAMP, v BIGINT) TBLPROPERTIES ('cdc.keys' = 'id')")
+    (1L to 600L).toDF("id")
+      .withColumn("seg", concat(lit("s"), pmod($"id", lit(3))))
+      .withColumn("ts", expr(
+        "timestampadd(DAY, CAST(id % 800 AS INT), TIMESTAMP'2023-01-15 06:00:00')"))
+      .withColumn("v", $"id" * 5).createOrReplaceTempView("mvtc_src")
+    spark.sql("INSERT INTO graft_tc.fact SELECT id, seg, ts, v FROM mvtc_src")
+    val mv = GateTmp.freshDir("graft_mvtc_view")
+    MatView.create(spark, s"$wh/fact", mv,
+      Seq("seg", "date_trunc('month', ts)"), "v", Seq("count", "sum", "avg"))
+    def plan(q: String): String =
+      spark.sql(q).queryExecution.executedPlan.toString
+    def referee(q: String): Unit = {
+      val served = spark.sql(q).collect().map(_.toSeq).toSet
+      spark.conf.set(graft.sources.MvRewrite.EnabledKey, "false")
+      val direct = spark.sql(q).collect().map(_.toSeq).toSet
+      spark.conf.set(graft.sources.MvRewrite.EnabledKey, "true")
+      assert(served == direct, s"$q\nserved=$served\ndirect=$direct")
+    }
+    // MIXED keys: one bare (seg) + one COARSENED (year from month-trunc)
+    val qMixed = "SELECT seg, year(ts) AS y, count(*) AS n, sum(v) AS s, " +
+      "avg(v) AS a FROM graft_tc.fact GROUP BY seg, year(ts)"
+    assert(plan(qMixed).contains("graft_mvtc_view"), plan(qMixed))
+    assert(!plan(qMixed).toLowerCase.contains("fact"), plan(qMixed))
+    referee(qMixed)
+    // quarter is a coarsening of month too
+    val qQ = "SELECT date_trunc('quarter', ts) AS q, count(*) AS n " +
+      "FROM graft_tc.fact GROUP BY date_trunc('quarter', ts)"
+    assert(plan(qQ).contains("graft_mvtc_view"), plan(qQ))
+    referee(qQ)
+    // month itself (the exact expression) serves without re-aggregation
+    val qM = "SELECT date_trunc('month', ts) AS m, sum(v) AS s " +
+      "FROM graft_tc.fact GROUP BY date_trunc('month', ts)"
+    assert(plan(qM).contains("graft_mvtc_view"), plan(qM))
+    referee(qM)
+    // day is FINER than month: refuse
+    assert(!plan("SELECT date_trunc('day', ts) AS d, count(*) AS n " +
+      "FROM graft_tc.fact GROUP BY date_trunc('day', ts)")
+      .contains("graft_mvtc_view"))
+    // an EXTRACTOR view spec (month(ts) — an int, the year forgotten)
+    // serves nothing coarser: year(ts) over it must refuse
+    val mvE = GateTmp.freshDir("graft_mvtc_extractor_view")
+    MatView.create(spark, s"$wh/fact", mvE, Seq("month(ts)"), "v",
+      Seq("count", "sum"))
+    assert(!plan("SELECT year(ts) AS y, count(*) AS n FROM graft_tc.fact " +
+      "GROUP BY year(ts)").contains("graft_mvtc_extractor_view"))
+    spark.sql("DROP TABLE graft_tc.fact")
+  }
+
+  test("FULL/RIGHT outer FK join MV maintenance: both sides' null-extensions flip through refresh") {
+    import graft.sources.{MatView, SnapshotStore, SqlDml}
+    for (jt <- Seq("full", "right")) {
+      val lRoot = GateTmp.freshDir(s"mvfo_${jt}_l")
+      val rRoot = GateTmp.freshDir(s"mvfo_${jt}_r")
+      val mv = GateTmp.freshDir(s"mvfo_${jt}_mv")
+      // left keys 0..9; right keys 5..14 — both sides start with
+      // unmatched rows, so full outer null-extends BOTH ways
+      SnapshotStore.init(spark, lRoot,
+        spark.range(40).selectExpr("id AS okey",
+          "CAST(id % 10 AS STRING) AS ck", "id * 10 AS v"),
+        cdcKeys = Seq("okey"))
+      SnapshotStore.init(spark, rRoot,
+        spark.range(5, 15).selectExpr("CAST(id AS STRING) AS custk",
+          "id + 100 AS w"), cdcKeys = Seq("custk"))
+      MatView.createJoin(spark, lRoot, rRoot, mv, Seq("ck=custk"),
+        joinType = jt)
+      val sjt = if (jt == "full") "full_outer" else "right_outer"
+      def direct: Set[Seq[Any]] =
+        SnapshotStore.read(spark, lRoot).as("l")
+          .join(SnapshotStore.read(spark, rRoot).as("r"),
+            col("l.ck") === col("r.custk"), sjt)
+          .collect().map(_.toSeq).toSet
+      def mvRows: Set[Seq[Any]] =
+        SnapshotStore.read(spark, mv).select("okey", "ck", "v", "custk", "w")
+          .collect().map(_.toSeq).toSet
+      assert(mvRows == direct, s"createJoin must land the full $jt join")
+      if (jt == "full")
+        assert(direct.exists(_(0) == null) && direct.exists(_(3) == null),
+          "full outer setup must null-extend BOTH ways")
+      // flips in both directions within one refresh window: a dim delete
+      // (matched -> extended), a dim insert closing a left gap
+      // (extended -> matched), fact deletes emptying a right key
+      SqlDml.execute(spark, "DELETE FROM r WHERE custk = '6'",
+        Map("r" -> rRoot))
+      SnapshotStore.append(spark, rRoot,
+        spark.range(2, 3).selectExpr("CAST(id AS STRING) AS custk",
+          "id + 100 AS w"))
+      SqlDml.execute(spark, "DELETE FROM l WHERE ck = '7'", Map("l" -> lRoot))
+      MatView.refreshJoin(spark, lRoot, rRoot, mv, Seq("ck=custk"))
+      assert(mvRows == direct,
+        s"$jt after flip DML: ${mvRows.size} vs ${direct.size}")
+    }
+  }
+
   test("join-MV rewrite: inner equi-join serves from the view; stale/outer refuse") {
     import graft.sources.{GraftCatalog, MatView}
     val wh = java.nio.file.Files.createTempDirectory("graft_mvrwj_wh").toString
