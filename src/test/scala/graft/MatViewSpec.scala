@@ -1368,6 +1368,24 @@ class MatViewSpec extends SparkSpec {
     // a null-rejecting dim predicate → optimizer turns the join inner →
     // type mismatch refuses (direct plan, still correct rows)
     assert(!plan(q + " AND d.w > 104").contains("graft_mvofk_view"))
+    // a FULL outer view over the SAME sources: the type match picks the
+    // right candidate among multiple views on one source pair — the bare
+    // FULL JOIN serves from it (filter-free legs required), while the
+    // filtered LEFT join keeps serving from the left_outer view
+    val fmv = GateTmp.freshDir("graft_mvofk_full_view")
+    MatView.createJoin(spark, s"$wh/fact", s"$wh/dim", fmv, Seq("ck=custk"),
+      joinType = "full")
+    val qFull = "SELECT f.okey, f.ck, d.custk, d.w FROM graft_ofk.fact f " +
+      "FULL JOIN graft_ofk.dim d ON f.ck = d.custk"
+    val pf = plan(qFull)
+    assert(pf.contains("graft_mvofk_full_view"), s"full join must serve:\n$pf")
+    val servedF = spark.sql(qFull).collect().map(_.toSeq).toSet
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "false")
+    val directF = spark.sql(qFull).collect().map(_.toSeq).toSet
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "true")
+    assert(servedF == directF)
+    assert(plan(q).contains("graft_mvofk_view"),
+      "the filtered LEFT join must still pick the left_outer view")
     spark.sql("DROP TABLE graft_ofk.fact")
     spark.sql("DROP TABLE graft_ofk.dim")
   }
