@@ -1138,6 +1138,42 @@ class MatViewSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_ru.fact")
   }
 
+  test("rewrite composes with HAVING / ORDER BY / expressions over group keys and aggregates") {
+    import graft.sources.{GraftCatalog, MatView}
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvhv_wh").toString
+    spark.conf.set("spark.sql.catalog.graft_hv", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_hv.warehouse", wh)
+    GraftExtensions.install(spark)
+    spark.sql("CREATE TABLE graft_hv.fact (id BIGINT, seg STRING, v BIGINT) " +
+      "TBLPROPERTIES ('cdc.keys' = 'id')")
+    (1L to 500L).toDF("id")
+      .withColumn("seg", concat(lit("s"), pmod($"id", lit(5))))
+      .withColumn("v", $"id" * 3).createOrReplaceTempView("mvhv_src")
+    spark.sql("INSERT INTO graft_hv.fact SELECT id, seg, v FROM mvhv_src")
+    val mv = GateTmp.freshDir("graft_mvhv_view")
+    MatView.create(spark, s"$wh/fact", mv, Seq("seg"), "v",
+      Seq("count", "sum", "avg"))
+    // HAVING (a Filter ABOVE the Aggregate — stays above the spliced
+    // node), ORDER BY, an expression over the GROUP KEY in the output
+    // (upper(seg)), and an expression over an AGGREGATE (sum/100) all
+    // compose with the rewrite: the splice preserves output exprIds
+    val sql = "SELECT upper(seg) AS u, sum(v) AS s, sum(v) / 100 AS s100, " +
+      "avg(v) AS a FROM graft_hv.fact GROUP BY seg " +
+      "HAVING count(*) > 50 ORDER BY u"
+    def plan(q: String): String =
+      spark.sql(q).queryExecution.executedPlan.toString
+    val p1 = plan(sql)
+    assert(p1.contains("graft_mvhv_view"),
+      s"HAVING/expression shapes must still serve:\n$p1")
+    assert(!p1.toLowerCase.contains("fact"), s"base scan must be gone:\n$p1")
+    val served = spark.sql(sql).collect().map(_.toSeq).toSeq
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "false")
+    val direct = spark.sql(sql).collect().map(_.toSeq).toSeq
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "true")
+    assert(served == direct, s"served=$served\ndirect=$direct")
+    spark.sql("DROP TABLE graft_hv.fact")
+  }
+
   test("MIXED bare + time-coarsened roll-up keys; quarter from month; extractor specs serve nothing coarser") {
     import graft.sources.{GraftCatalog, MatView}
     val wh = java.nio.file.Files.createTempDirectory("graft_mvtc_wh").toString
