@@ -1068,6 +1068,12 @@ class MatViewSpec extends SparkSpec {
     // an aggregate the view does not maintain refuses too
     assert(!plan("SELECT seg, count(DISTINCT v) AS d FROM graft_rw.fact " +
       "GROUP BY seg").contains("graft_mvrw_view"))
+    // SELECT DISTINCT over the group key is an Aggregate with no calls —
+    // served as the view's group-column scan (one row per group, and a
+    // view row exists iff the group has n_rows > 0 rows)
+    val qd = "SELECT DISTINCT seg FROM graft_rw.fact"
+    assert(plan(qd).contains("graft_mvrw_view"), plan(qd))
+    assert(spark.sql(qd).collect().map(_.getString(0)).toSet == direct.keySet)
 
     // a RENAMING subquery (seg AS seg2) between the aggregate and the
     // scan: the alias-inlining must keep the ORIGINAL output exprId (the
