@@ -828,17 +828,24 @@ object ProbeMvPlanTax {
       spark.conf.set(MvRewrite.EnabledKey, "true")
       (on, off)
     }
-    // bench each size right after its build: the catalog warehouse conf
-    // points at one dir at a time
+    // bench each size right after its build (the catalog warehouse conf
+    // points at one dir at a time), then RE-bench small with the JVM
+    // fully warm: the first small reading absorbs JIT/first-plan costs,
+    // so growth is honest only against the warm re-read
     build(nSmall)
     val (onS, offS) = bench(nSmall)
     build(nBig)
     val (onB, offB) = bench(nBig)
-    println(f"commits=$nSmall%d plan_on=$onS%.2fms plan_off=$offS%.2fms " +
+    build(nSmall + 1) // fresh dirs, same commit count
+    val (onS2, offS2) = bench(nSmall + 1)
+    println(f"commits=$nSmall%d (cold) plan_on=$onS%.2fms plan_off=$offS%.2fms " +
       f"overhead=${onS - offS}%.2fms")
     println(f"commits=$nBig%d plan_on=$onB%.2fms plan_off=$offB%.2fms " +
       f"overhead=${onB - offB}%.2fms")
-    println(f"overhead growth=${(onB - offB) / math.max(onS - offS, 0.01)}%.2fx")
+    println(f"commits=${nSmall + 1}%d (warm) plan_on=$onS2%.2fms " +
+      f"plan_off=$offS2%.2fms overhead=${onS2 - offS2}%.2fms")
+    println(f"overhead growth (big/warm-small)=" +
+      f"${(onB - offB) / math.max(onS2 - offS2, 0.01)}%.2fx")
     spark.stop()
   }
 }
