@@ -4138,6 +4138,92 @@ object Temporal {
            |FROM v1 GROUP BY upper(segment) ORDER BY useg""".stripMargin
       }),
 
+    // Q116e [extension: FILTERED (σ) materialized views] The SQL-Server
+    // indexed-view / Oracle-MV WHERE shape: the view aggregates ONLY rows
+    // passing a predicate, maintenance evaluates the predicate PER TYPED
+    // CHANGE ROW (an UPDATE moving a row across the boundary nets out in
+    // the ±fold: its preimage and postimage pass/fail independently), and
+    // the rewrite serves a query whose WHERE covers the predicate by
+    // ABSORBING it — the view population IS the filtered set. A query
+    // without the predicate (a superset read) or with a different one
+    // keeps the direct plan, plan-locked here.
+    "q116e_mv_filtered" -> QueryDef(
+      build = (s, d) => {
+        import graft.sources.{MatView, MvRewrite}
+        graft.GraftExtensions.install(s)
+        val wh = graft.GateTmp.freshDir("q116e")
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("CREATE TABLE graft.q116et (id BIGINT, salary BIGINT, " +
+          "segment STRING) TBLPROPERTIES ('cdc.keys' = 'id')")
+        RelationalPipeline.employeeView(s, d)
+          .select($("id"), $("salary"), $("segment"))
+          .createOrReplaceTempView("q116e_src")
+        s.sql("INSERT INTO graft.q116et SELECT * FROM q116e_src")
+        val srcRoot = s"$wh/q116et"
+        val mv = graft.GateTmp.freshDir("q116e_mv")
+        val aggs = Seq("count", "sum", "avg")
+        MatView.create(s, srcRoot, mv, Seq("segment"), "salary", aggs,
+          where = Some("salary > 400000"))
+        val q = """SELECT segment, count(*) AS n_rows,
+          |  count(salary) AS val_cnt,
+          |  CAST(sum(salary) AS BIGINT) AS val_sum,
+          |  avg(salary) AS val_avg
+          |FROM graft.q116et WHERE salary > 400000
+          |GROUP BY segment""".stripMargin
+        def planOf(sql: String): String =
+          s.sql(sql).queryExecution.executedPlan.toString
+        val p1 = planOf(q)
+        require(p1.contains("q116e_mv"),
+          s"the covered query must serve from the sigma-view:\n$p1")
+        require(!p1.contains("/q116et/"),
+          s"the base table must not be scanned when the view serves:\n$p1")
+        // a SUPERSET query (no WHERE) and a different predicate refuse
+        require(!planOf("SELECT segment, count(*) AS n FROM graft.q116et " +
+          "GROUP BY segment").contains("q116e_mv"),
+          "a query without the view predicate reads a superset — direct")
+        require(!planOf("SELECT segment, count(*) AS n FROM graft.q116et " +
+          "WHERE salary > 500000 GROUP BY segment").contains("q116e_mv"),
+          "a different predicate must keep the direct plan")
+        // boundary-crossing DML both ways + deletes; refresh restores
+        s.sql("UPDATE graft.q116et SET salary = 100 WHERE id % 7 = 0")
+        s.sql("UPDATE graft.q116et SET salary = 950000 WHERE id % 11 = 3")
+        s.sql("DELETE FROM graft.q116et WHERE id % 9 = 0")
+        require(!planOf(q).contains("q116e_mv"),
+          "a stale sigma-view must never serve")
+        MatView.refresh(s, srcRoot, mv, Seq("segment"), "salary", aggs)
+        require(planOf(q).contains("q116e_mv"),
+          "the refreshed sigma-view must serve again")
+        val servedRows = s.sql(q).collect().toSeq
+        s.conf.set(MvRewrite.EnabledKey, "false")
+        val directRows = s.sql(q).collect().toSeq
+        s.conf.set(MvRewrite.EnabledKey, "true")
+        def bag(rs: Seq[org.apache.spark.sql.Row]) =
+          rs.groupBy(identity).view.mapValues(_.size).toMap
+        require(bag(servedRows) == bag(directRows),
+          "sigma-view-served answers must equal the direct filtered plan")
+        s.sql(q).orderBy($("segment"))
+      },
+      oracle = Some {
+        val cents = graft.Canon.centsSql("c_acctbal")
+        s"""WITH base AS (
+           |  SELECT c_custkey AS id, $cents AS salary,
+           |         c_mktsegment AS segment FROM customer),
+           |v1 AS (SELECT id,
+           |  CASE WHEN id % 11 = 3 THEN 950000
+           |       WHEN id % 7 = 0 THEN 100
+           |       ELSE salary END AS salary, segment FROM base),
+           |v2 AS (SELECT * FROM v1 WHERE NOT (id % 9 = 0)),
+           |v3 AS (SELECT * FROM v2 WHERE salary > 400000)
+           |SELECT segment, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(salary) AS BIGINT) AS val_cnt,
+           |  CAST(sum(salary) AS BIGINT) AS val_sum,
+           |  CAST(CAST(sum(salary) AS BIGINT) AS DOUBLE) /
+           |    CAST(count(salary) AS DOUBLE) AS val_avg
+           |FROM v3 GROUP BY segment ORDER BY segment""".stripMargin
+      }),
+
     // Q110b [extension: partition-TRANSFORM evolution — Iceberg's
     // `REPLACE PARTITION FIELD days(ts) → hours(ts)`] Re-granulating the
     // time layout of a live table without rewriting it: the evolve is one

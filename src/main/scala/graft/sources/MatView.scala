@@ -242,22 +242,23 @@ object MatView {
       java.time.ZoneId.of(b).normalized()
     catch { case scala.util.control.NonFatal(_) => false })
 
-  /** Refuse maintenance of an expression-grouped view from a session whose
-    * timezone differs from the create-time pin (a year(ts) evaluated under
-    * a different zone lands rows in the WRONG group — silent wrongness).
+  /** Refuse maintenance of a view whose definition pinned a timezone (a
+    * time-dependent group expression or WHERE predicate) from a session
+    * in a different zone — year(ts) or `ts > timestamp'…'` evaluated
+    * under another zone lands/filters rows wrongly, silently. Views whose
+    * definition is zone-free record no pin and never refuse.
     */
   private def requireGroupTz(spark: SparkSession, mvRoot: String,
       specs: Seq[GroupSpec]): Unit =
-    if (specs.exists(_.isExpr))
-      readDef(mvRoot).flatMap(_.get("tz")).foreach { pinned =>
-        val cur = sessionTz(spark)
-        require(sameZone(pinned, cur),
-          s"materialized view $mvRoot groups by expression(s) " +
-            s"${specs.filter(_.isExpr).map(_.spec).mkString(", ")} pinned " +
-            s"to session timezone '$pinned' but this session is '$cur' — " +
-            "time expressions bucket zone-dependently; set " +
-            s"spark.sql.session.timeZone = '$pinned' to refresh this view")
-      }
+    readDef(mvRoot).flatMap(_.get("tz")).foreach { pinned =>
+      val cur = sessionTz(spark)
+      require(sameZone(pinned, cur),
+        s"materialized view $mvRoot has a time-dependent definition " +
+          "(group expression or WHERE) pinned to session timezone " +
+          s"'$pinned' but this session is '$cur' — time expressions " +
+          "bucket/filter zone-dependently; set " +
+          s"spark.sql.session.timeZone = '$pinned' to refresh this view")
+    }
 
   /** True when the group spec's RESOLVED expression tree contains a
     * timezone-DEPENDENT node — the scope of the create-time zone pin
@@ -529,16 +530,35 @@ object MatView {
 
   /** Initialize the view from the source's CURRENT snapshot (one full
     * aggregate — the only full-table scan in the view's lifetime).
+    *
+    * `where` makes a FILTERED (σ) view — the SQL-Server-indexed-view /
+    * Oracle-MV `WHERE` shape: the view aggregates only rows passing the
+    * predicate. Maintenance stays O(change volume): the predicate is
+    * evaluated PER TYPED CHANGE ROW, so an UPDATE moving a row ACROSS the
+    * boundary maintains correctly with no special casing — its preimage
+    * (old values, failing or passing the old side) and postimage (new
+    * values) each independently pass or fail the filter, and the ±fold
+    * nets out to the arrival/departure the view population actually saw.
+    * Recompute paths (min/max deletes, count_distinct) filter the pinned
+    * source the same way. The rewrite ([[MvRewrite]]) serves a query
+    * whose WHERE covers the predicate, absorbing it (the view population
+    * IS the filtered set) and re-applying only the leftover group-column
+    * conjuncts.
     */
   def create(spark: SparkSession, srcRoot: String, mvRoot: String,
       groupCols: Seq[String], valueCol: String,
-      aggs: Seq[String] = Seq("count", "sum")): SnapshotStore.Snapshot = {
+      aggs: Seq[String] = Seq("count", "sum"),
+      where: Option[String] = None): SnapshotStore.Snapshot = {
     checkAggs(aggs)
     require(SnapshotStore.cdcKeys(srcRoot).nonEmpty,
       s"materialized-view source $srcRoot must have a change feed (cdcKeys)")
+    // the def sidecar is TSV (one k\tv line per field)
+    where.foreach(w => require(!w.contains('\t') && !w.contains('\n'),
+      "the view WHERE predicate must not contain tabs or newlines"))
     val specs = groupSpecsOf(groupCols)
     val snap = SnapshotStore.latest(srcRoot)
-    val src = SnapshotStore.read(spark, snap)
+    val src0 = SnapshotStore.read(spark, snap)
+    val src = where.map(w => src0.filter(expr(w))).getOrElse(src0)
     // sanitized derived names must not collide — with each other (two
     // specs sanitizing identically) or with a REAL source column
     // (deriveGroups' withColumn would silently overwrite it and the view
@@ -557,11 +577,15 @@ object MatView {
     writeDef(mvRoot, Seq("kind" -> "agg", "src" -> srcRoot,
       "groups" -> groupCols.mkString(";"), "groups_sep" -> ";",
       "value" -> valueCol, "aggs" -> aggs.mkString(",")) ++
-      // the zone pin TIME-dependent expression groups bucket under (see
-      // requireGroupTz/tzDependent) — a zone-free expression group
-      // (upper(name)) records no pin and keeps serving across zones
+      where.map("where" -> _).toSeq ++
+      // the zone pin TIME-dependent expression groups — or a
+      // time-dependent WHERE — bucket/filter under (see requireGroupTz/
+      // tzDependent); a zone-free expression group (upper(name)) records
+      // no pin and keeps serving across zones
       (if (specs.exists(g => g.isExpr &&
-        tzDependent(spark, g.spec, src.queryExecution.analyzed.output)))
+        tzDependent(spark, g.spec, src0.queryExecution.analyzed.output)) ||
+        where.exists(w =>
+          tzDependent(spark, w, src0.queryExecution.analyzed.output)))
         Seq("tz" -> sessionTz(spark)) else Nil))
     recordConsumer(srcRoot, mvRoot)
     // the initial aggregate lands as a stamped transaction so refresh's
@@ -580,6 +604,10 @@ object MatView {
     checkAggs(aggs)
     val specs = groupSpecsOf(groupCols)
     requireGroupTz(spark, mvRoot, specs)
+    // a FILTERED view's predicate rides in its recorded definition; it is
+    // evaluated per typed change row (preimage rows on their OLD values),
+    // so boundary-crossing updates net out correctly in the ±fold
+    val where = readDef(mvRoot).flatMap(_.get("where"))
     val appId = appIdFor(srcRoot)
     var restarts = 0
     while (true) {
@@ -589,9 +617,10 @@ object MatView {
       val cur = SnapshotStore.latest(srcRoot).version
       if (cur <= last) return SnapshotStore.latest(mvRoot)
       try {
+        val feed = SnapshotStore.changes(spark, srcRoot, last + 1, cur)
         return applyDelta(spark, srcRoot, mvRoot, specs, valueCol, aggs,
-          SnapshotStore.changes(spark, srcRoot, last + 1, cur),
-          srcVersion = cur, pinnedLast = last)
+          where.map(w => feed.filter(expr(w))).getOrElse(feed),
+          srcVersion = cur, pinnedLast = last, where = where)
       } catch {
         case e: SnapshotStore.StaleStampException =>
           restarts += 1
@@ -609,7 +638,7 @@ object MatView {
   private def applyDelta(spark: SparkSession, srcRoot: String, mvRoot: String,
       specs: Seq[GroupSpec], valueCol: String, aggs: Seq[String],
       changes: DataFrame, srcVersion: Long,
-      pinnedLast: Long): SnapshotStore.Snapshot = {
+      pinnedLast: Long, where: Option[String] = None): SnapshotStore.Snapshot = {
     val groupCols = specs.map(_.name)
     val appId = appIdFor(srcRoot)
     val withMm = needMinMax(aggs)
@@ -699,10 +728,12 @@ object MatView {
           val touched = (if (withCd) delta
             else delta.filter(col("has_removal")))
             .select(groupCols.map(col): _*)
+          val pinnedSrc0 =
+            SnapshotStore.read(spark, SnapshotStore.at(srcRoot, srcVersion))
+          val pinnedSrc = where.map(w => pinnedSrc0.filter(expr(w)))
+            .getOrElse(pinnedSrc0)
           val recomputed = fullAgg(
-            deriveGroups(
-              SnapshotStore.read(spark, SnapshotStore.at(srcRoot, srcVersion)),
-              specs)
+            deriveGroups(pinnedSrc, specs)
               .join(broadcast(touched), groupCols, "left_semi"),
             groupCols, valueCol, aggs, legacyShape = !hasCnt)
           // a recomputed group that lost ALL rows yields no row — drops out
@@ -731,6 +762,7 @@ object MatView {
     val spark = batch.sparkSession
     val specs = groupSpecsOf(groupCols)
     requireGroupTz(spark, mvRoot, specs)
+    val where = readDef(mvRoot).flatMap(_.get("where"))
     val appId = appIdFor(srcRoot)
     var restarts = 0
     var done = false
@@ -746,7 +778,8 @@ object MatView {
           .head().getLong(0)
         try {
           applyDelta(spark, srcRoot, mvRoot, specs, valueCol, aggs,
-            fresh, srcVersion = top, pinnedLast = last)
+            where.map(w => fresh.filter(expr(w))).getOrElse(fresh),
+            srcVersion = top, pinnedLast = last, where = where)
           done = true
         } catch {
           case e: SnapshotStore.StaleStampException =>

@@ -447,14 +447,6 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
     if (grouping0.exists(!_.deterministic)) return None
     val spark = SparkSession.active
-    // every predicate must reference BARE-ATTRIBUTE group columns only
-    // (σ on group cols commutes with GROUP BY; a predicate on the source
-    // column UNDER an expression key — ts under year(ts) — does not)
-    val groupIds = grouping0.collect {
-      case a: AttributeReference => a.exprId
-    }.toSet
-    def commutes(preds: Seq[Expression]): Boolean =
-      preds.forall(_.references.forall(a => groupIds(a.exprId)))
 
     unwrap(child0) match {
       case Some((table, consumed)) =>
@@ -468,7 +460,11 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
         // read (the r17 planner tax behind the CDC-gate regressions)
         val consumers = cache.consumersOf(srcRoot)
         if (consumers.isEmpty) return None
-        if (!commutes(consumed)) return None
+        // NOTE: predicate commutation is checked PER VIEW inside
+        // rewriteAgainst — a FILTERED view legitimately absorbs its own
+        // WHERE conjuncts (they define the view population and reference
+        // value columns), so an up-front group-columns-only check here
+        // would refuse every σ-view query
         // reading the LATEST snapshot only: a cached relation pinned
         // behind the head must not serve the (newer) view
         val latestSrc = cache.latest(srcRoot).getOrElse(return None)
@@ -536,8 +532,11 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
         if (v2s.isEmpty) return None
         val v1Latest = cache.latest(v1Root).getOrElse(return None)
         v2s.iterator.flatMap { v2 =>
+          // allowWhere = false: a σ-view's WHERE was recorded against the
+          // JOIN VIEW's schema; matching it against the canonicalized
+          // join-output conjuncts is not proven — refuse those views here
           rewriteAgainst(spark, v2, v1Root, v1Latest.version, grouping1,
-            result1, consumed, jn, cache)
+            result1, consumed, jn, cache, allowWhere = false)
         }.nextOption()
     }
   }
@@ -573,7 +572,17 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
         Seq(Alias(parsed, "__g")()),
         org.apache.spark.sql.catalyst.plans.logical.LocalRelation(srcOutput))
       spark.sessionState.analyzer.execute(plan) match {
-        case Project(Seq(a: Alias), _) if a.child.resolved => Some(a.child)
+        case Project(Seq(a: Alias), _) if a.child.resolved =>
+          // fold foldable subtrees: the QUERY side's predicates have been
+          // through the optimizer (`v > 300` carries a folded bigint
+          // literal where the fresh analysis carries cast(300 as
+          // bigint)) — semanticEquals needs both in the same form
+          Some(a.child.transformUp {
+            case e: org.apache.spark.sql.catalyst.expressions.Literal => e
+            case e if e.foldable =>
+              org.apache.spark.sql.catalyst.expressions.Literal
+                .create(e.eval(), e.dataType)
+          })
         case _ => None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -656,17 +665,65 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
       srcRoot: String, srcVersion: Long, grouping: Seq[Expression],
       result: Seq[NamedExpression],
       consumed: Seq[Expression], child: LogicalPlan,
-      cache: PassCache): Option[LogicalPlan] = {
+      cache: PassCache, allowWhere: Boolean = true): Option[LogicalPlan] = {
     val d = cache.readDef(mvRoot).getOrElse(return None)
     if (!d.get("kind").contains("agg") || !d.get("src").contains(srcRoot))
       return None
     val mvSpecs = MatView.groupSpecsOf(MatView.splitGroups(d))
-    // expression group keys are timezone-pinned at create: a session in a
-    // different zone would read year(ts) buckets that were MAINTAINED
-    // under another zone — refuse (the requireGroupTz write-side twin)
-    if (mvSpecs.exists(_.isExpr) &&
-      d.get("tz").exists(tz => !MatView.sameZone(tz,
-        spark.sessionState.conf.sessionLocalTimeZone))) return None
+    // a time-dependent definition (group expression or WHERE) is
+    // timezone-pinned at create: a session in a different zone would read
+    // buckets/populations MAINTAINED under another zone — refuse (the
+    // requireGroupTz write-side twin). Zone-free definitions record no
+    // pin and serve from any zone.
+    if (d.get("tz").exists(tz => !MatView.sameZone(tz,
+      spark.sessionState.conf.sessionLocalTimeZone))) return None
+    // FILTERED (σ) view: the query's consumed predicates must COVER the
+    // view's WHERE conjuncts semantically — the view aggregates ONLY that
+    // population, so a query without them reads a superset and refuses.
+    // Covered conjuncts are ABSORBED (never re-applied: they reference
+    // value columns the view doesn't store row-wise), along with the
+    // optimizer's isnotnull(a) inferences derived from a null-intolerant
+    // WHERE conjunct on `a` (implied for every row of the population).
+    // Everything LEFT OVER must reference bare group columns only —
+    // σ over group columns commutes with GROUP BY and re-applies on the
+    // view scan; anything else refuses.
+    val whereConjuncts: Seq[Expression] = d.get("where") match {
+      case None => Nil
+      case Some(_) if !allowWhere => return None
+      case Some(w) =>
+        // resolve against the child output PLUS the consumed predicates'
+        // references: a column-pruning Project between the aggregate and
+        // the filter (SELECT seg ... WHERE v > 300) narrows child.output
+        // past the filtered column, but the conjunct that must cover the
+        // WHERE still references it with the relation's attribute id
+        // dedup by exprId: the same attribute may arrive with and
+        // without a qualifier (output vs reference), and a duplicate
+        // name in the resolution relation reads as ambiguous
+        val attrs = (child.output ++ consumed.flatMap(_.references))
+          .groupBy(_.exprId).map(_._2.head).toSeq
+        resolveSpec(spark, w, attrs) match {
+          case Some(e) => splitConjunctivePredicates(e)
+          case None => return None
+        }
+    }
+    if (!whereConjuncts.forall(w => consumed.exists(_.semanticEquals(w))))
+      return None
+    val residualConsumed = consumed.filterNot { c =>
+      whereConjuncts.exists(_.semanticEquals(c)) ||
+      (c match {
+        case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+            a: AttributeReference) =>
+          whereConjuncts.exists(w =>
+            w.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BinaryComparison] &&
+              w.references.contains(a))
+        case _ => false
+      })
+    }
+    val groupAttrIds = grouping.collect {
+      case a: AttributeReference => a.exprId
+    }.toSet
+    if (!residualConsumed.forall(
+      _.references.forall(a => groupAttrIds(a.exprId)))) return None
     // match each query grouping element to a view group: bare attributes
     // by name, expressions by semantic equality against the resolved
     // spec. Resolution (parse + analyzer on a detached plan) runs ONCE
@@ -900,7 +957,8 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _ => return None
     }
 
-    // group-column predicates re-applied on the view scan (rebound by name)
+    // leftover group-column predicates re-applied on the view scan
+    // (rebound by name); the view's absorbed WHERE conjuncts are NOT here
     val rebased: Option[Expression] = {
       def rebind(e: Expression): Option[Expression] = e match {
         case a: AttributeReference => mvCol(a.name.toLowerCase)
@@ -909,9 +967,9 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
           if (kids.exists(_.isEmpty)) None
           else Some(other.withNewChildren(kids.map(_.get)))
       }
-      if (consumed.isEmpty) None
+      if (residualConsumed.isEmpty) None
       else {
-        val all = consumed.map(rebind)
+        val all = residualConsumed.map(rebind)
         if (all.exists(_.isEmpty)) return None
         Some(all.flatten.reduce(And))
       }

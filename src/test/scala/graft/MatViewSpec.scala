@@ -1144,6 +1144,81 @@ class MatViewSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_ru.fact")
   }
 
+  test("FILTERED (sigma) MV: boundary-crossing DML maintains; rewrite absorbs the WHERE") {
+    import graft.sources.{GraftCatalog, MatView, SnapshotStore, SqlDml}
+    // maintenance on a plain root: view population = v > 300, with
+    // min/max so deletes drive the recompute path THROUGH the filter
+    val src = GateTmp.freshDir("mvsig_src")
+    val mv = GateTmp.freshDir("mvsig_mv")
+    SnapshotStore.init(spark, src,
+      spark.range(200).selectExpr("id", "CAST(id % 4 AS STRING) AS seg",
+        "id * 5 AS v"), cdcKeys = Seq("id"))
+    MatView.create(spark, src, mv, Seq("seg"), "v",
+      Seq("count", "sum", "avg", "min", "max"), where = Some("v > 300"))
+    def viewNow: Map[String, (Long, Long, Long, Long)] =
+      SnapshotStore.read(spark, mv)
+        .select($"seg", $"n_rows", $"val_sum", $"val_min", $"val_max")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def recompute: Map[String, (Long, Long, Long, Long)] =
+      SnapshotStore.read(spark, src).filter($"v" > 300).groupBy("seg")
+        .agg(count(lit(1)), sum($"v"), min($"v"), max($"v")).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(viewNow == recompute, s"create: $viewNow vs $recompute")
+    val t = Map("t" -> src)
+    // boundary crossings BOTH ways + deletes on both sides of the filter
+    SqlDml.execute(spark, "UPDATE t SET v = 10 WHERE id % 9 = 0", t)   // out
+    SqlDml.execute(spark, "UPDATE t SET v = 9000 WHERE id % 11 = 1", t) // in
+    SqlDml.execute(spark, "DELETE FROM t WHERE id % 13 = 5", t)
+    SqlDml.execute(spark, "UPDATE t SET v = v + 7 WHERE id % 17 = 2", t)
+    MatView.refresh(spark, src, mv, Seq("seg"), "v",
+      Seq("count", "sum", "avg", "min", "max"))
+    assert(viewNow == recompute, s"after DML: $viewNow vs $recompute")
+
+    // rewrite: a query whose WHERE covers the view predicate serves; the
+    // predicate is ABSORBED (the view population), leftover group-column
+    // conjuncts re-apply; a superset query or a different predicate
+    // keeps the direct plan
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvsig_wh").toString
+    spark.conf.set("spark.sql.catalog.graft_sg", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_sg.warehouse", wh)
+    GraftExtensions.install(spark)
+    spark.sql("CREATE TABLE graft_sg.fact (id BIGINT, seg STRING, v BIGINT) " +
+      "TBLPROPERTIES ('cdc.keys' = 'id')")
+    spark.range(500).selectExpr("id", "CAST(id % 4 AS STRING) AS seg",
+      "id * 5 AS v").createOrReplaceTempView("mvsig_src2")
+    spark.sql("INSERT INTO graft_sg.fact SELECT * FROM mvsig_src2")
+    val cmv = GateTmp.freshDir("graft_mvsig_view")
+    MatView.create(spark, s"$wh/fact", cmv, Seq("seg"), "v",
+      Seq("count", "sum"), where = Some("v > 300"))
+    def plan(q: String): String =
+      spark.sql(q).queryExecution.executedPlan.toString
+    val q1 = "SELECT seg, count(*) AS n, sum(v) AS s FROM graft_sg.fact " +
+      "WHERE v > 300 GROUP BY seg"
+    val p1 = plan(q1)
+    assert(p1.contains("graft_mvsig_view"), s"the sigma-view must serve:\n$p1")
+    assert(!p1.toLowerCase.contains("fact"), s"base scan must be gone:\n$p1")
+    val served = spark.sql(q1).collect().map(_.toSeq).toSet
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "false")
+    val direct = spark.sql(q1).collect().map(_.toSeq).toSet
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "true")
+    assert(served == direct)
+    // WHERE + an extra group-column conjunct: absorbed + re-applied
+    val q2 = q1 + " HAVING seg IN ('1','2')"
+    val q2b = "SELECT seg, count(*) AS n FROM graft_sg.fact " +
+      "WHERE v > 300 AND seg = '2' GROUP BY seg"
+    assert(plan(q2b).contains("graft_mvsig_view"), plan(q2b))
+    assert(plan(q2).contains("graft_mvsig_view"), plan(q2))
+    // NO where → the query reads a SUPERSET of the population: direct
+    assert(!plan("SELECT seg, count(*) AS n FROM graft_sg.fact GROUP BY seg")
+      .contains("graft_mvsig_view"))
+    // a DIFFERENT predicate on the same column: direct
+    assert(!plan("SELECT seg, count(*) AS n FROM graft_sg.fact " +
+      "WHERE v > 400 GROUP BY seg").contains("graft_mvsig_view"))
+    spark.sql("DROP TABLE graft_sg.fact")
+  }
+
   test("rewrite composes with HAVING / ORDER BY / expressions over group keys and aggregates") {
     import graft.sources.{GraftCatalog, MatView}
     val wh = java.nio.file.Files.createTempDirectory("graft_mvhv_wh").toString
