@@ -25,6 +25,41 @@ import org.apache.spark.sql.functions._
 object Temporal {
   private def $(name: String) = col(name)
 
+  /** Distributed served-vs-direct MV referee (VERDICT r19 #7). The direct
+    * (rewrite-disabled) answer is materialized to a scratch parquet — a
+    * distributed write, never a driver collect — then compared against
+    * the view-served plan in ONE shuffle: union both sides tagged ±1,
+    * group by every output column, and require each group's tag-sum to be
+    * zero (exact BAG equality, both directions at once). The served side
+    * is planned and executed strictly AFTER the conf flips back on, so
+    * the rewrite provably serves it; the r17 vacuity hazard (comparing
+    * the direct plan against itself) is impossible by construction — the
+    * direct side is a parquet scan of the recorded answer, immune to the
+    * conf. Eagerness is the final count. Driver traffic: one scalar
+    * count regardless of answer size, where the old collect-both-sides
+    * referee dragged the full result through the driver twice (the
+    * dominant term of the q116 sf1 soak). Returns the served frame for
+    * the gates' witness asserts.
+    */
+  private def refereeServedEqualsDirect(s: org.apache.spark.sql.SparkSession,
+      q: String, tag: String, what: String): org.apache.spark.sql.DataFrame = {
+    import graft.sources.MvRewrite
+    val refDir = graft.GateTmp.freshDir(tag + "_ref")
+    s.conf.set(MvRewrite.EnabledKey, "false")
+    s.sql(q).write.mode("overwrite").parquet(refDir)
+    s.conf.set(MvRewrite.EnabledKey, "true")
+    val served = s.sql(q)
+    val cols = served.columns.toSeq.map($(_))
+    val bad = served.withColumn("_side", lit(1L))
+      .unionByName(s.read.parquet(refDir).withColumn("_side", lit(-1L)))
+      .groupBy(cols: _*).agg(sum($("_side")).as("_imbalance"))
+      .filter($("_imbalance") =!= 0L)
+      .count()
+    require(bad == 0L,
+      s"$what ($bad row groups differ between served and direct)")
+    served
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Q48 [extension: SCD2 + point-in-time lookup] Build the type-2 slowly
@@ -3201,17 +3236,10 @@ object Temporal {
         val p3 = planOf(q)
         require(p3.contains("q115_mv"),
           s"the refreshed view must serve again:\n$p3")
-        // in-gate referee: served answers ≡ the rewrite-disabled direct
-        // plan. COLLECT the served side FIRST — a lazy frame would be
-        // planned after the conf flip and silently compare the direct
-        // plan against itself (ADVICE r17)
-        val servedRows = s.sql(q).collect().toSeq
-        s.conf.set(MvRewrite.EnabledKey, "false")
-        val directRows = s.sql(q).collect().toSeq
-        s.conf.set(MvRewrite.EnabledKey, "true")
-        def bag(rs: Seq[org.apache.spark.sql.Row]) =
-          rs.groupBy(identity).view.mapValues(_.size).toMap
-        require(bag(servedRows) == bag(directRows),
+        // in-gate referee: served ≡ rewrite-disabled direct, distributed
+        // (the direct side lands in a scratch parquet; one bag-diff
+        // shuffle; no driver collect — VERDICT r19 #7)
+        val served = refereeServedEqualsDirect(s, q, "q115",
           "MV-served answers must equal the direct aggregate")
         s.sql(q).orderBy($("segment"))
       },
@@ -3279,14 +3307,7 @@ object Temporal {
         MatView.refreshJoin(s, s"$wh/q115bf", s"$wh/q115bd", mv, Seq("segment"))
         require(planOf(q).contains("q115b_mv"),
           "the refreshed join view must serve again")
-        // collect served BEFORE the conf flip — see the q115 referee note
-        val servedRows = s.sql(q).collect().toSeq
-        s.conf.set(MvRewrite.EnabledKey, "false")
-        val directRows = s.sql(q).collect().toSeq
-        s.conf.set(MvRewrite.EnabledKey, "true")
-        def bag(rs: Seq[org.apache.spark.sql.Row]) =
-          rs.groupBy(identity).view.mapValues(_.size).toMap
-        require(bag(servedRows) == bag(directRows),
+        val served = refereeServedEqualsDirect(s, q, "q115b",
           "view-served join answers must equal the direct join")
         s.sql(q).orderBy($("segment"))
       },
@@ -3361,18 +3382,10 @@ object Temporal {
         MatView.refresh(s, srcRoot, mv, Seq("segment"), "salary", aggs)
         require(planOf(q).contains("q115c_mv"),
           "the refreshed view must serve again")
-        // referee: served ≡ rewrite-disabled direct (collected BEFORE the
-        // conf flip — the q115 vacuity fix)
-        val servedRows = s.sql(q).collect().toSeq
-        s.conf.set(MvRewrite.EnabledKey, "false")
-        val directRows = s.sql(q).collect().toSeq
-        s.conf.set(MvRewrite.EnabledKey, "true")
-        def bag(rs: Seq[org.apache.spark.sql.Row]) =
-          rs.groupBy(identity).view.mapValues(_.size).toMap
-        require(bag(servedRows) == bag(directRows),
-          s"NULL-bearing MV-served answers must equal the direct " +
-            s"aggregate\nserved=$servedRows\ndirect=$directRows")
-        require(servedRows.exists(r => r.isNullAt(3) && r.isNullAt(4)),
+        val served = refereeServedEqualsDirect(s, q, "q115c",
+          "NULL-bearing MV-served answers must equal the direct aggregate")
+        require(served.filter(col(served.columns(3)).isNull &&
+            col(served.columns(4)).isNull).limit(1).count() == 1L,
           "test integrity: an all-NULL segment (SQL NULL sum/avg) must exist")
         s.sql(q).orderBy($("segment"))
       },
@@ -3456,14 +3469,7 @@ object Temporal {
           Seq("o_custkey=c_custkey"))
         require(planOf(q).contains("q115d_mv"),
           "the refreshed FK join view must serve again")
-        // referee: served ≡ rewrite-disabled direct (collected first)
-        val servedRows = s.sql(q).collect().toSeq
-        s.conf.set(MvRewrite.EnabledKey, "false")
-        val directRows = s.sql(q).collect().toSeq
-        s.conf.set(MvRewrite.EnabledKey, "true")
-        def bag(rs: Seq[org.apache.spark.sql.Row]) =
-          rs.groupBy(identity).view.mapValues(_.size).toMap
-        require(bag(servedRows) == bag(directRows),
+        val served = refereeServedEqualsDirect(s, q, "q115d",
           "view-served FK join answers must equal the direct join")
         s.sql(q).orderBy($("o_orderkey"))
       },
@@ -3539,13 +3545,7 @@ object Temporal {
         MatView.refresh(s, srcRoot, mv, Seq("year(ts)"), "price_c", aggs)
         require(planOf(q).contains("q115e_mv"),
           "the refreshed view must serve again")
-        val servedRows = s.sql(q).collect().toSeq
-        s.conf.set(MvRewrite.EnabledKey, "false")
-        val directRows = s.sql(q).collect().toSeq
-        s.conf.set(MvRewrite.EnabledKey, "true")
-        def bag(rs: Seq[org.apache.spark.sql.Row]) =
-          rs.groupBy(identity).view.mapValues(_.size).toMap
-        require(bag(servedRows) == bag(directRows),
+        val served = refereeServedEqualsDirect(s, q, "q115e",
           "expression-key MV-served answers must equal the direct plan")
         s.sql(q).orderBy($("y"))
       },
@@ -3635,13 +3635,7 @@ object Temporal {
         MatView.refresh(s, srcRoot, mv, Seq("segment", "nat"), "salary", aggs)
         require(planOf(q).contains("q115f_mv"),
           "the refreshed view must serve the roll-up again")
-        val servedRows = s.sql(q).collect().toSeq
-        s.conf.set(MvRewrite.EnabledKey, "false")
-        val directRows = s.sql(q).collect().toSeq
-        s.conf.set(MvRewrite.EnabledKey, "true")
-        def bag(rs: Seq[org.apache.spark.sql.Row]) =
-          rs.groupBy(identity).view.mapValues(_.size).toMap
-        require(bag(servedRows) == bag(directRows),
+        val served = refereeServedEqualsDirect(s, q, "q115f",
           "rolled-up served answers must equal the direct plan")
         // the approx-distinct surface is the VIEW's maintained estimate:
         // bound-check every fine (segment, nat) group against the exact
@@ -3654,7 +3648,8 @@ object Temporal {
         s.sql("""SELECT segment, nat, count(DISTINCT salary) AS d
           |FROM graft.q115ft GROUP BY segment, nat""".stripMargin)
           .createOrReplaceTempView("q115f_exact")
-        require(servedRows.exists(r => r.isNullAt(3) && r.isNullAt(4)),
+        require(served.filter(col(served.columns(3)).isNull &&
+            col(served.columns(4)).isNull).limit(1).count() == 1L,
           "test integrity: an all-NULL segment (SQL NULL sum/avg) must " +
             "survive the roll-up")
         // coalesce the estimate: an all-NULL group's sketch estimates
@@ -3769,15 +3764,10 @@ object Temporal {
         MatView.refreshAll(s, amv)
         require(planOf(q).contains("q115g_amv"),
           "the refreshed chain must serve from the agg view again")
-        val servedRows = s.sql(q).collect().toSeq
-        s.conf.set(MvRewrite.EnabledKey, "false")
-        val directRows = s.sql(q).collect().toSeq
-        s.conf.set(MvRewrite.EnabledKey, "true")
-        def bag(rs: Seq[org.apache.spark.sql.Row]) =
-          rs.groupBy(identity).view.mapValues(_.size).toMap
-        require(bag(servedRows) == bag(directRows),
+        val served = refereeServedEqualsDirect(s, q, "q115g",
           "transitively-served answers must equal the direct plan")
-        require(servedRows.exists(_.isNullAt(3)),
+        require(served.filter(col(served.columns(3)).isNull)
+            .limit(1).count() == 1L,
           "test integrity: an all-NULL segment (SQL NULL sum) must exist")
         s.sql(q).orderBy($("segment"))
       },
@@ -3867,15 +3857,10 @@ object Temporal {
           Seq("o_custkey=c_custkey"))
         require(planOf(q).contains("q116_mv"),
           "the refreshed outer view must serve again")
-        val servedRows = s.sql(q).collect().toSeq
-        s.conf.set(MvRewrite.EnabledKey, "false")
-        val directRows = s.sql(q).collect().toSeq
-        s.conf.set(MvRewrite.EnabledKey, "true")
-        def bag(rs: Seq[org.apache.spark.sql.Row]) =
-          rs.groupBy(identity).view.mapValues(_.size).toMap
-        require(bag(servedRows) == bag(directRows),
+        val served = refereeServedEqualsDirect(s, q, "q116",
           "view-served LEFT join answers must equal the direct join")
-        require(servedRows.exists(_.isNullAt(2)),
+        require(served.filter(col(served.columns(2)).isNull)
+            .limit(1).count() == 1L,
           "test integrity: null-extended rows must exist in the answer")
         s.sql(q).orderBy($("o_orderkey"))
       },
@@ -3940,13 +3925,7 @@ object Temporal {
           Seq("segment=seg"))
         require(planOf(q).contains("q116b_mv"),
           "the refreshed view must serve again")
-        val servedRows = s.sql(q).collect().toSeq
-        s.conf.set(MvRewrite.EnabledKey, "false")
-        val directRows = s.sql(q).collect().toSeq
-        s.conf.set(MvRewrite.EnabledKey, "true")
-        def bag(rs: Seq[org.apache.spark.sql.Row]) =
-          rs.groupBy(identity).view.mapValues(_.size).toMap
-        require(bag(servedRows) == bag(directRows),
+        val served = refereeServedEqualsDirect(s, q, "q116b",
           "residual-ON served answers must equal the direct join")
         s.sql(q).orderBy($("id"))
       },
@@ -4026,13 +4005,7 @@ object Temporal {
           "price_c", aggs)
         require(planOf(qYear).contains("q116c_mv"),
           "the refreshed view must serve the roll-up again")
-        val servedRows = s.sql(qYear).collect().toSeq
-        s.conf.set(MvRewrite.EnabledKey, "false")
-        val directRows = s.sql(qYear).collect().toSeq
-        s.conf.set(MvRewrite.EnabledKey, "true")
-        def bag(rs: Seq[org.apache.spark.sql.Row]) =
-          rs.groupBy(identity).view.mapValues(_.size).toMap
-        require(bag(servedRows) == bag(directRows),
+        val served = refereeServedEqualsDirect(s, qYear, "q116c",
           "coarsened roll-up answers must equal the direct plan")
         s.sql(qYear).orderBy($("y"))
       },
@@ -4114,13 +4087,7 @@ object Temporal {
             Seq("count", "sum"))
           require(planOf(qU).contains("q116d_mvu"),
             s"the zone-free view must refresh and serve under $z1")
-          val servedRows = s.sql(qU).collect().toSeq
-          s.conf.set(MvRewrite.EnabledKey, "false")
-          val directRows = s.sql(qU).collect().toSeq
-          s.conf.set(MvRewrite.EnabledKey, "true")
-          def bag(rs: Seq[org.apache.spark.sql.Row]) =
-            rs.groupBy(identity).view.mapValues(_.size).toMap
-          require(bag(servedRows) == bag(directRows),
+          refereeServedEqualsDirect(s, qU, "q116d",
             "zone-free served answers must equal the direct plan")
         } finally s.conf.set("spark.sql.session.timeZone", z0)
         s.sql(qU).orderBy($("useg"))
@@ -4195,13 +4162,7 @@ object Temporal {
         MatView.refresh(s, srcRoot, mv, Seq("segment"), "salary", aggs)
         require(planOf(q).contains("q116e_mv"),
           "the refreshed sigma-view must serve again")
-        val servedRows = s.sql(q).collect().toSeq
-        s.conf.set(MvRewrite.EnabledKey, "false")
-        val directRows = s.sql(q).collect().toSeq
-        s.conf.set(MvRewrite.EnabledKey, "true")
-        def bag(rs: Seq[org.apache.spark.sql.Row]) =
-          rs.groupBy(identity).view.mapValues(_.size).toMap
-        require(bag(servedRows) == bag(directRows),
+        val served = refereeServedEqualsDirect(s, q, "q116e",
           "sigma-view-served answers must equal the direct filtered plan")
         s.sql(q).orderBy($("segment"))
       },

@@ -559,6 +559,23 @@ object MatView {
     val snap = SnapshotStore.latest(srcRoot)
     val src0 = SnapshotStore.read(spark, snap)
     val src = where.map(w => src0.filter(expr(w))).getOrElse(src0)
+    // a non-deterministic σ predicate (rand() < 0.5) makes the create-time
+    // population irreproducible AND every refresh re-evaluates it on
+    // preimage rows under fresh draws, silently corrupting the ±fold —
+    // refuse loudly at create, like MvRewrite/requireGroupTz do
+    // (ADVICE r19, low). Checked on the ANALYZED condition: determinism is
+    // only reliable after function resolution.
+    where.foreach { w =>
+      val det = src.queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.deterministic
+      }.getOrElse(true)
+      require(det,
+        s"materialized-view WHERE predicate '$w' must be deterministic: " +
+          "the create-time population and every refresh's ±fold re-evaluate " +
+          "it, and a fresh random draw per evaluation silently corrupts the " +
+          "view")
+    }
     // sanitized derived names must not collide — with each other (two
     // specs sanitizing identically) or with a REAL source column
     // (deriveGroups' withColumn would silently overwrite it and the view

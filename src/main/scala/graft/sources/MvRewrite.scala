@@ -156,7 +156,7 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
       cond: Expression, cache: PassCache): Option[LogicalPlan] =
     matchJoinView(left, right, jt, cond, cache).flatMap {
       case (mvRoot, filters, _) =>
-        spliceJoin(SparkSession.active, mvRoot, j.output, filters)
+        spliceJoin(SparkSession.active, mvRoot, j.output, filters, cache)
     }
 
   /** The FRESH join view materializing `left ⋈_cond right` under plan
@@ -313,8 +313,19 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
                 extraEq.contains((b.name.toLowerCase, a.name.toLowerCase)) =>
                 org.apache.spark.sql.catalyst.expressions.EqualTo(a, b)
             }
+            // return ONLY the view's key pairs, never the extra plan
+            // equalities: the transitive path builds its canonicalization
+            // substitution from these, and `la = ra` is a VIEW-ROW
+            // invariant only for the keys the view was materialized on —
+            // substituting through an extra equality would collapse it to
+            // the trivial col=col and silently drop the join restriction
+            // (ADVICE r19, high)
+            val viewKeyPairs = eqPairs.filter { case (a, b) =>
+              val p = (a.name.toLowerCase, b.name.toLowerCase)
+              !extraEq.contains(p) && !extraEq.contains(p.swap)
+            }
             Some((mvRoot, appliedLegFilters ++ residual ++ extraEqExprs,
-              eqPairs))
+              viewKeyPairs))
           }
         }
       }
@@ -328,9 +339,14 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     */
   private def spliceJoin(spark: SparkSession, mvRoot: String,
       output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
-      filters: Seq[Expression]): Option[LogicalPlan] = {
+      filters: Seq[Expression], cache: PassCache): Option[LogicalPlan] = {
+    // head read through the PassCache (VERDICT r19 #1): the freshness
+    // check pinned a head this same pass — reading a fresh one here could
+    // observe a refresh landing mid-pass and serve newer view rows against
+    // the older stamp decision; the memoized head is the pinned one
+    val mvSnap = cache.latest(mvRoot).getOrElse(return None)
     val mvRead =
-      try SnapshotStore.read(spark, SnapshotStore.latest(mvRoot))
+      try SnapshotStore.read(spark, mvSnap)
         .drop(MatView.BucketCol).queryExecution.analyzed
       catch { case scala.util.control.NonFatal(_) => return None }
     val byName = mvRead.output.map(a => a.name.toLowerCase -> a).toMap
@@ -637,7 +653,13 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
       lf == lg || (rank(lf) > rank(lg) && lg != "week")
     val src: Option[(String, String, Expression)] = g match {
       case t: TruncTimestamp => lvl(t.format).map(l => ("ts", l, t.timestamp))
-      case t: TruncDate => lvl(t.format).map(l => ("date", l, t.date))
+      case t: TruncDate =>
+        // Spark's trunc(date, fmt) supports only week/month/quarter/year
+        // and returns NULL for finer formats — a view spec trunc(dt,'dd')
+        // stores an all-NULL group column and must never be treated as a
+        // valid day-level coarsening source (ADVICE r19, low)
+        lvl(t.format).filter(l => rank(l) >= rank("week"))
+          .map(l => ("date", l, t.date))
       case _ => None
     }
     src.flatMap { case (fam, lg, gArg) =>
@@ -769,9 +791,11 @@ object MvRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val covered = cache.lastTxnVersion(mvRoot, MatView.appIdFor(srcRoot))
     if (!covered.contains(srcVersion)) return None
 
+    // head read through the PassCache (VERDICT r19 #1) — same pinned-head
+    // argument as spliceJoin
+    val mvSnap = cache.latest(mvRoot).getOrElse(return None)
     val mvRead =
-      try SnapshotStore.read(spark, SnapshotStore.latest(mvRoot))
-        .queryExecution.analyzed
+      try SnapshotStore.read(spark, mvSnap).queryExecution.analyzed
       catch { case scala.util.control.NonFatal(_) => return None }
     val mvByName = mvRead.output.map(a => a.name.toLowerCase -> a).toMap
     def mvCol(name: String): Option[Attribute] = mvByName.get(name)

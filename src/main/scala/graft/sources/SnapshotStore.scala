@@ -749,17 +749,26 @@ object SnapshotStore {
     * No hint → the legacy full listing (young/legacy tables).
     */
   private def tailCommitFiles(root: String, afterV: Long): Seq[Path] = {
+    def legacyList: Seq[Path] =
+      listDir(commitsDir(root))
+        .filter(_.getFileName.toString.endsWith(".commit"))
+        .filter(_.getFileName.toString.stripSuffix(".commit").toLong > afterV)
     readHeadHint(root)
       .filter(h => Files.exists(commitFile(root, h))) match {
       case Some(h) =>
         var head = h
         while (Files.exists(commitFile(root, head + 1))) head += 1
-        (afterV + 1 to head).iterator
+        // a walked head BELOW afterV means the hint is provably stale (the
+        // checkpoint proves commits ≥ afterV existed) and the walk-forward
+        // was stranded under a vacuum-retention gap; an empty tail here
+        // would silently UNDER-report high-water marks — the
+        // double-apply/duplicate-load direction for ledger dedup and
+        // refresh replay guards. Fall back to the full listing
+        // (ADVICE r19, low).
+        if (head < afterV) legacyList
+        else (afterV + 1 to head).iterator
           .map(commitFile(root, _)).filter(Files.exists(_)).toSeq
-      case None =>
-        listDir(commitsDir(root))
-          .filter(_.getFileName.toString.endsWith(".commit"))
-          .filter(_.getFileName.toString.stripSuffix(".commit").toLong > afterV)
+      case None => legacyList
     }
   }
 
@@ -2276,7 +2285,19 @@ object SnapshotStore {
       carryStateSidecars(base.dataDir, dir.toString)
       carryRenames(base.dataDir, dir.toString)
       if (cdcKeys(root).nonEmpty)
-        rows.withColumn(ChangeTypeCol, lit("insert"))
+        // change rows from the STAGED read-back, never by re-executing
+        // the batch transform: the data write above already materialized
+        // the rows, so re-running `rows` re-pays the caller's whole
+        // upstream plan (typically a filtered scan) once more per append —
+        // and a non-deterministic batch would write DIFFERENT rows to the
+        // feed than to the data. Guard: appends of ZERO files still need
+        // a (schema-correct, empty) change frame, which rows.limit(0)
+        // provides without executing the upstream plan.
+        (if (appendedFiles.nonEmpty)
+          spark.read.schema(readSchema(spark, base))
+            .parquet(appendedFiles: _*)
+        else rows.limit(0))
+          .withColumn(ChangeTypeCol, lit("insert"))
           .write.mode("overwrite").parquet(s"$dir/_changes")
       if (tryCommit(root, base.version, dir.toString, txns))
         return Snapshot(base.version + 1, dir.toString)

@@ -1506,5 +1506,94 @@ class MatViewSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_ofk.fact")
     spark.sql("DROP TABLE graft_ofk.dim")
   }
-}
+  test("transitive rewrite refuses an extra cross-side equality beyond the view keys (ADVICE r19)") {
+    import graft.sources.{GraftCatalog, MatView}
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvxe_wh").toString
+    spark.conf.set("spark.sql.catalog.graft_xe", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_xe.warehouse", wh)
+    GraftExtensions.install(spark)
+    spark.sql("CREATE TABLE graft_xe.fact (id BIGINT, seg STRING, a2 BIGINT, " +
+      "v BIGINT) TBLPROPERTIES ('cdc.keys' = 'id')")
+    spark.sql("CREATE TABLE graft_xe.dim (seg STRING, c BIGINT, bonus BIGINT) " +
+      "TBLPROPERTIES ('cdc.keys' = 'seg')")
+    spark.sql("INSERT INTO graft_xe.fact SELECT id, concat('s', id % 4), " +
+      "id % 3, id * 3 FROM range(1, 400)")
+    spark.sql("INSERT INTO graft_xe.dim VALUES ('s0', 0, 5), ('s1', 1, 7), " +
+      "('s2', 5, 11), ('s3', 2, 13)")
+    val jmv = GateTmp.freshDir("graft_mvxe_jmv")
+    val amv = GateTmp.freshDir("graft_mvxe_amv")
+    MatView.createJoin(spark, s"$wh/fact", s"$wh/dim", jmv, Seq("seg"),
+      emitChanges = true)
+    MatView.create(spark, jmv, amv, Seq("seg", "a2"), "v", Seq("count", "sum"))
+    // the ON carries an EXTRA cross-side equality (a2 = c) that is NOT a
+    // view key; a2 is also a grouping key, so canonicalizing through the
+    // extra pair would collapse the restriction to the trivial a2 = a2 and
+    // serve groups the direct join filters out. The transitive rewrite
+    // must REFUSE and keep the direct plan.
+    val sql = "SELECT f.seg, f.a2, count(*) AS n, sum(f.v) AS s " +
+      "FROM graft_xe.fact f JOIN graft_xe.dim d " +
+      "ON f.seg = d.seg AND f.a2 = d.c GROUP BY f.seg, f.a2"
+    def plan(q: String): String =
+      spark.sql(q).queryExecution.executedPlan.toString
+    def rows(q: String): Set[Seq[Any]] =
+      spark.sql(q).collect().map(_.toSeq).toSet
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "false")
+    val direct = rows(sql)
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "true")
+    assert(direct.nonEmpty && direct.size < 16,
+      s"the extra equality must be selective for the test to bite: $direct")
+    assert(!plan(sql).contains("graft_mvxe_amv"),
+      s"an extra cross-side equality must refuse the transitive rewrite:\n${plan(sql)}")
+    assert(rows(sql) == direct)
+    // the DIRECT join splice stays legal: the same ON without the
+    // aggregate serves from the JOIN view, a2 = c re-applied by name
+    val js = "SELECT f.seg, f.a2, d.c FROM graft_xe.fact f " +
+      "JOIN graft_xe.dim d ON f.seg = d.seg AND f.a2 = d.c"
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "false")
+    val jDirect = rows(js)
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "true")
+    assert(plan(js).contains("graft_mvxe_jmv"), plan(js))
+    assert(rows(js) == jDirect)
+    spark.sql("DROP TABLE graft_xe.fact")
+    spark.sql("DROP TABLE graft_xe.dim")
+  }
 
+  test("trunc(dt,'dd') is an all-NULL spec, never a day-level coarsening source; sigma WHERE must be deterministic (ADVICE r19)") {
+    import graft.sources.{GraftCatalog, MatView}
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvtd_wh").toString
+    spark.conf.set("spark.sql.catalog.graft_td", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_td.warehouse", wh)
+    GraftExtensions.install(spark)
+    spark.sql("CREATE TABLE graft_td.fact (id BIGINT, dt DATE, v BIGINT) " +
+      "TBLPROPERTIES ('cdc.keys' = 'id')")
+    spark.sql("INSERT INTO graft_td.fact SELECT id, " +
+      "date_add(date'2020-01-01', cast((id * 7) % 1800 AS INT)), id * 3 " +
+      "FROM range(1, 300)")
+    val mv = GateTmp.freshDir("graft_mvtd_view")
+    // Spark's trunc(date, fmt) returns NULL for 'dd' -- the view stores an
+    // all-NULL group column; treating it as a valid day-level source would
+    // serve year(NULL) = NULL groups where the direct plan has real years
+    MatView.create(spark, s"$wh/fact", mv, Seq("trunc(dt, 'dd')"), "v",
+      Seq("count", "sum"))
+    val q = "SELECT year(dt) AS y, count(*) AS n FROM graft_td.fact " +
+      "GROUP BY year(dt)"
+    def plan(s0: String): String =
+      spark.sql(s0).queryExecution.executedPlan.toString
+    def rows(s0: String): Set[Seq[Any]] =
+      spark.sql(s0).collect().map(_.toSeq).toSet
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "false")
+    val direct = rows(q)
+    spark.conf.set(graft.sources.MvRewrite.EnabledKey, "true")
+    assert(direct.size > 1, s"multiple real years expected: $direct")
+    assert(!plan(q).contains("graft_mvtd_view"),
+      s"a trunc(dt,'dd') spec must not serve coarsened queries:\n${plan(q)}")
+    assert(rows(q) == direct)
+    // a non-deterministic sigma WHERE refuses at create, loudly
+    val mv2 = GateTmp.freshDir("graft_mvtd_nd")
+    val e = intercept[IllegalArgumentException](
+      MatView.create(spark, s"$wh/fact", mv2, Seq("dt"), "v",
+        Seq("count", "sum"), where = Some("rand() < 0.5")))
+    assert(e.getMessage.contains("deterministic"), e.getMessage)
+    spark.sql("DROP TABLE graft_td.fact")
+  }
+}

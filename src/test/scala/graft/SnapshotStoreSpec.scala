@@ -668,4 +668,27 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, root).selectExpr("attrs.wage")
       .as[Long].collect().toSet == Set(10L, 20L, 30L))
   }
+  test("tailCommitFiles: a head hint stranded below the checkpoint falls back to the listing") {
+    val root = tmpRoot()
+    SnapshotStore.init(spark, root, Seq((1L, "a")).toDF("k", "v")) // v0
+    for (i <- 1L to 8L)
+      SnapshotStore.transact(spark, root,
+        txn = Some(SnapshotStore.Txn("app", i)))(df => df)
+    // checkpoint folds stamps up to v4; the newest stamp (app -> 8) lives
+    // only in the commit tail (v5..v8)
+    SnapshotStore.writeTxnCheckpoint(root, 4L)
+    assert(SnapshotStore.lastTxnVersion(root, "app").contains(8L))
+    // fabricate the stranded-hint shape (ADVICE r19): pointer at v2 with a
+    // retention gap right above it (commit v3 gone), live commits above
+    // the checkpoint. The probe walks 2 -> (3 missing) and lands BELOW
+    // afterV = 4; an empty tail would silently under-report the
+    // high-water mark (the double-apply direction) -- the fallback must
+    // list instead.
+    val commits = java.nio.file.Paths.get(root, "_commits")
+    java.nio.file.Files.writeString(commits.resolve("_head"), "2")
+    java.nio.file.Files.delete(commits.resolve(f"${3L}%020d.commit"))
+    assert(SnapshotStore.lastTxnVersion(root, "app").contains(8L),
+      "a stranded hint must fall back to the full listing, never " +
+        "under-report high-water marks")
+  }
 }
