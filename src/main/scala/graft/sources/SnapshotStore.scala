@@ -387,7 +387,9 @@ object SnapshotStore {
     Files.createDirectories(commitsDir(root))
     val dir = stage(root, df, partitionBy)
     if (statsCols.nonEmpty) writeManifest(spark, dir, statsCols)
-    if (cdcKeys.nonEmpty) {
+    if (cdcKeys.nonEmpty && !linkInsertChanges(Paths.get(dir))) {
+      // partitioned layout (or zero staged files): the linked-frame
+      // convention cannot represent it — write the frame the legacy way
       import org.apache.spark.sql.functions.lit
       readDir(spark, dir).withColumn(ChangeTypeCol, lit("insert"))
         .write.mode("overwrite").parquet(s"$dir/_changes")
@@ -1474,7 +1476,10 @@ object SnapshotStore {
     carryStateSidecars(src.dataDir, dir.toString) // clone continues numbering
     carryRenames(src.dataDir, dir.toString)
     val keys = cdcKeys(srcRoot)
-    if (keys.nonEmpty)
+    if (keys.nonEmpty && !linkInsertChanges(dir))
+      // non-flat clone (partition/spec subtrees, a _dv sidecar whose
+      // deleted positions must not enter the feed, renamed physical
+      // names): materialize the resolved read the legacy way
       readDir(spark, dir.toString).withColumn(ChangeTypeCol, lit("insert"))
         .write.mode("overwrite").parquet(s"$dir/_changes")
     if (!tryCommit(dstRoot, expectedCurrent = -1L, dir.toString))
@@ -2284,21 +2289,20 @@ object SnapshotStore {
       stagedHook(dir.toString)
       carryStateSidecars(base.dataDir, dir.toString)
       carryRenames(base.dataDir, dir.toString)
-      if (cdcKeys(root).nonEmpty)
-        // change rows from the STAGED read-back, never by re-executing
-        // the batch transform: the data write above already materialized
-        // the rows, so re-running `rows` re-pays the caller's whole
-        // upstream plan (typically a filtered scan) once more per append —
-        // and a non-deterministic batch would write DIFFERENT rows to the
-        // feed than to the data. Guard: appends of ZERO files still need
-        // a (schema-correct, empty) change frame, which rows.limit(0)
-        // provides without executing the upstream plan.
-        (if (appendedFiles.nonEmpty)
-          spark.read.schema(readSchema(spark, base))
-            .parquet(appendedFiles: _*)
-        else rows.limit(0))
-          .withColumn(ChangeTypeCol, lit("insert"))
+      if (cdcKeys(root).nonEmpty) {
+        // change frame = the new batch's staged files, HARD-LINKED (see
+        // [[linkInsertChanges]]), never by re-executing the batch
+        // transform: the data write above already materialized the rows,
+        // so re-running `rows` re-paid the caller's whole upstream plan
+        // once more per append — and a non-deterministic batch would have
+        // written DIFFERENT rows to the feed than to the data. Appends of
+        // ZERO files still need a (schema-correct, empty) frame, which
+        // rows.limit(0) provides without executing the upstream plan.
+        if (appendedFiles.nonEmpty)
+          linkInsertChangeFiles(dir, appendedFiles.map(Paths.get(_)))
+        else rows.limit(0).withColumn(ChangeTypeCol, lit("insert"))
           .write.mode("overwrite").parquet(s"$dir/_changes")
+      }
       if (tryCommit(root, base.version, dir.toString, txns))
         return Snapshot(base.version + 1, dir.toString)
       attempt += 1 // lost the race: orphaned dir is cleanOrphans food
@@ -2338,9 +2342,26 @@ object SnapshotStore {
       val dir = Paths.get(root, "data", UUID.randomUUID().toString)
       Files.createDirectories(dir)
       val tgt = s"$dir/$sub"
+      // co-locate each partition's rows BEFORE the partitioned write (the
+      // 4181/createJoin rule): a current spec like hours(ts) fans a month
+      // batch over ~700 dirs, and an unclustered write serializes them
+      // through however few tasks the upstream filter left (measured: ONE
+      // task, 1.6 s, on the q110b hours-era insert) while also writing
+      // tasks × dirs sliver files. One O(batch) shuffle buys parallel
+      // writers and one file per task per dir.
+      val clustered =
+        if (cols.nonEmpty)
+          rows.repartition(cols.map(org.apache.spark.sql.functions.col): _*)
+        else rows
       if (cols.nonEmpty)
-        rows.write.mode("append").partitionBy(cols: _*).parquet(tgt)
-      else rows.write.mode("append").parquet(tgt)
+        clustered.write.mode("append").partitionBy(cols: _*).parquet(tgt)
+      else clustered.write.mode("append").parquet(tgt)
+      val appendedFiles = { // the new batch's files, BEFORE links arrive
+        val w = Files.walk(Paths.get(tgt))
+        try w.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSeq
+        finally w.close()
+      }
       linkParquetTree(Paths.get(base.dataDir), dir)
       Files.writeString(dir.resolve("_schema.json"),
         readSchema(spark, base).json)
@@ -2349,7 +2370,16 @@ object SnapshotStore {
       carryStateSidecars(base.dataDir, dir.toString)
       carryRenames(base.dataDir, dir.toString)
       if (cdcKeys(root).nonEmpty)
-        rows.withColumn(ChangeTypeCol, lit("insert"))
+        // change frame from the staged read-back (basePath materializes
+        // the partition columns from the dir names), never by
+        // re-executing the batch transform — the flat append's rule. The
+        // frame is WRITTEN (not hard-linked): partition values live only
+        // in directory names, which a flat linked frame cannot carry.
+        (if (appendedFiles.nonEmpty)
+          spark.read.schema(readSchema(spark, base)).option("basePath", tgt)
+            .parquet(appendedFiles: _*)
+        else rows.limit(0))
+          .withColumn(ChangeTypeCol, lit("insert"))
           .write.mode("overwrite").parquet(s"$dir/_changes")
       if (tryCommit(root, base.version, dir.toString, txns))
         return Snapshot(base.version + 1, dir.toString)
@@ -2576,7 +2606,13 @@ object SnapshotStore {
     import org.apache.spark.sql.functions.lit
     val dir = s"${at(root, version).dataDir}/_changes"
     val base =
-      if (Files.exists(Paths.get(dir))) spark.read.parquet(dir)
+      if (Files.exists(Paths.get(dir))) {
+        val raw = spark.read.parquet(dir)
+        // a hard-linked all-inserts frame (see linkInsertChanges) stores
+        // no _change_type — the convention means every row is an insert
+        if (raw.columns.exists(_.equalsIgnoreCase(ChangeTypeCol))) raw
+        else raw.withColumn(ChangeTypeCol, lit("insert"))
+      }
       else read(spark, at(root, version)).limit(0)
         .withColumn(ChangeTypeCol, lit("insert"))
     base.withColumn(CommitVersionCol, lit(version))
@@ -2673,6 +2709,12 @@ object SnapshotStore {
           org.apache.spark.sql.types.StructField(ChangeTypeCol,
             org.apache.spark.sql.types.StringType))
       val merged = spark.read.schema(ext).parquet(paths: _*)
+        // a HARD-LINKED all-inserts frame (init/clone/append — see
+        // linkInsertChanges) has no stored _change_type; the requested
+        // schema null-fills it, and NULL can only mean 'insert' (every
+        // written frame carries the column non-null)
+        .withColumn(ChangeTypeCol,
+          coalesce(col(ChangeTypeCol), lit("insert")))
         .withColumn("__dir",
           regexp_extract(input_file_name(), "/data/([^/]+)/_changes/", 1))
         .join(broadcast(lookup), "__dir")
@@ -3513,6 +3555,47 @@ object SnapshotStore {
     * (possibly hive-partitioned) directory layout — the metadata-only
     * copy shared by ALTER / RESTORE / CLONE.
     */
+  /** All-inserts change frame by HARD LINK instead of a second full write
+    * of the data (init / clone / append staged exactly the rows the feed
+    * must carry, all typed `insert`). The linked files lack the
+    * `_change_type` column; both feed readers ([[changes]]'s explicit
+    * requested schema, [[changesAt]]'s inference) null-fill it and
+    * coalesce NULL → 'insert' — sound because every legally linked frame
+    * is all-inserts by construction, and every WRITTEN frame carries the
+    * column non-null. Returns false (caller must write the frame the
+    * legacy way) when the layout cannot be represented by flat links:
+    * partition/spec subdirectories (the multi-path feed scan must never
+    * mix partition-discovered and flat layouts), a `_dv` sidecar (linked
+    * rows would resurrect deleted positions into the feed), a renames
+    * sidecar (linked files carry retired physical names the DEST root's
+    * feed log may not know), or zero staged files (an empty inferred read
+    * would fail). At 100 TB this turns init/clone feed emission from a
+    * second copy of the table into O(files) metadata.
+    */
+  private def linkInsertChanges(stagedDir: Path): Boolean = {
+    if (Files.exists(stagedDir.resolve("_renames.tsv"))) return false
+    val entries = {
+      val s = Files.list(stagedDir)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    if (entries.exists(Files.isDirectory(_))) return false
+    val files = entries.filter(_.getFileName.toString.endsWith(".parquet"))
+    if (files.isEmpty) return false
+    linkInsertChangeFiles(stagedDir, files)
+    true
+  }
+
+  /** Link an explicit flat file list as the staged dir's all-inserts
+    * change frame — the append path's shape, where the staged dir also
+    * holds the base's linked files and ONLY the new batch belongs in the
+    * feed. Callers guarantee the files are flat staged parquet.
+    */
+  private def linkInsertChangeFiles(stagedDir: Path, files: Seq[Path]): Unit = {
+    val ch = stagedDir.resolve("_changes")
+    Files.createDirectories(ch)
+    files.foreach(f => Files.createLink(ch.resolve(f.getFileName), f))
+  }
+
   private def linkParquetTree(from: Path, to: Path,
       withDv: Boolean = true): Unit = {
     val s = Files.walk(from)
@@ -4298,7 +4381,11 @@ object SnapshotStore {
     val (curSub, curCols) = specs.last
     val tgt = s"$dir/$curSub"
     if (curCols.nonEmpty)
-      out.write.mode("append").partitionBy(curCols: _*).parquet(tgt)
+      // cluster by the spec's partition columns before the fan-out write
+      // (the 4181/createJoin rule) — a high-cardinality current spec
+      // (hours(ts)) otherwise writes tasks × dirs sliver files
+      out.repartition(curCols.map(col): _*)
+        .write.mode("append").partitionBy(curCols: _*).parquet(tgt)
     else out.write.mode("append").parquet(tgt)
     // hard-link every data file OUTSIDE the touched set, in place — each
     // keeps its own era's layout
@@ -4410,7 +4497,10 @@ object SnapshotStore {
             (if (sub == ".") dir.toString else s"$dir/$sub", c)
           } else (dir.toString, partitionCols(root))
         if (cols.nonEmpty)
-          out.write.mode("append").partitionBy(cols: _*).parquet(tgt)
+          // cluster by the partition columns before the fan-out write
+          // (the 4181/createJoin rule)
+          out.repartition(cols.map(col): _*)
+            .write.mode("append").partitionBy(cols: _*).parquet(tgt)
         else out.write.mode("append").parquet(tgt)
       }
       val basePath = Paths.get(base.dataDir).toAbsolutePath.normalize()

@@ -156,7 +156,7 @@ class CdcSpec extends SparkSpec {
     for (sql <- stmts) {
       val before = SnapshotStore.latest(root)
       val snap = SqlDml.execute(spark, sql, Map("t" -> root))
-      val landed = spark.read.parquet(s"${snap.dataDir}/_changes")
+      val landed = SnapshotStore.changesAt(spark, root, snap.version)
       val generic = SnapshotStore.diffChanges(
         SnapshotStore.read(spark, before), SnapshotStore.read(spark, snap), Seq("id"))
       val cols = Seq("id", "name", "v", "_change_type")
@@ -186,7 +186,7 @@ class CdcSpec extends SparkSpec {
     graft.streaming.SnapshotMergeSink.upsertBatch(root, "id", "upsert-equiv")(
       batch, 0L)
     val snap = SnapshotStore.latest(root)
-    val landed = spark.read.parquet(s"${snap.dataDir}/_changes")
+    val landed = SnapshotStore.changesAt(spark, root, snap.version)
     val generic = SnapshotStore.diffChanges(
       SnapshotStore.read(spark, before), SnapshotStore.read(spark, snap), Seq("id"))
     def rows(df: org.apache.spark.sql.DataFrame) =
@@ -215,7 +215,7 @@ class CdcSpec extends SparkSpec {
     for (sql <- stmts) {
       val before = SnapshotStore.latest(root)
       val snap = SqlDml.execute(spark, sql, Map("t" -> root))
-      val landed = spark.read.parquet(s"${snap.dataDir}/_changes")
+      val landed = SnapshotStore.changesAt(spark, root, snap.version)
       val generic = SnapshotStore.diffChanges(
         SnapshotStore.read(spark, before), SnapshotStore.read(spark, snap), Seq("id"))
       def rows(df: org.apache.spark.sql.DataFrame) =

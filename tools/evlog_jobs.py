@@ -20,8 +20,10 @@ def main():
         if ev == "SparkListenerJobStart":
             jid = e["Job ID"]
             props = e.get("Properties") or {}
+            infos = e.get("Stage Infos") or []
+            stage_name = infos[-1]["Stage Name"] if infos else ""
             desc = (props.get("spark.job.description")
-                    or props.get("callSite.short") or "")
+                    or props.get("callSite.short") or stage_name)
             jobs[jid] = {"start": e["Submission Time"], "desc": desc,
                          "stages": len(e.get("Stage IDs", []))}
             order.append(jid)
