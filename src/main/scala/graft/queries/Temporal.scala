@@ -1083,7 +1083,7 @@ object Temporal {
         // serial — per-connection latency overlaps; within a phase keys are
         // unique so arrival order is irrelevant)
         def postAll(bodies: Seq[String]): Unit = {
-          val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(24)
           try bodies.map(b => pool.submit(new Runnable {
             def run(): Unit = post(b) })).foreach(_.get())
           finally pool.shutdown()
