@@ -109,6 +109,13 @@ object Bench {
       // buffers; the 128-key sort-based fallback would serialize them per
       // row — raise it so ObjectHashAggregate stays hash-based
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // local-FS file listing: a parallel-discovery JOB costs ~300 ms of
+      // scheduling for path counts a serial local listing covers in
+      // single-digit ms (measured: q110b paid 4 listing jobs x 280 ms for
+      // 186 dirs). Local default only — on object stores at real scale
+      // the parallel listing earns its keep, so deployments tune this per
+      // storage (spark.sql.sources.parallelPartitionDiscovery.threshold).
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -122,12 +129,16 @@ object Bench {
       val c0 = procCpuSec
       val t0 = System.nanoTime()
       try {
+        // label the jobs (guide §1.5) so an event log / UI session maps
+        // every job back to its query; timing is unaffected
+        spark.sparkContext.setJobDescription(s"bench: $name")
         run(fn)
         Some(Rep((System.nanoTime() - t0) / 1e9, procCpuSec - c0, l0))
       } catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         None
       } finally {
+        spark.sparkContext.setJobDescription(null)
         // per-query caches (e.g. dedup shingle sets) must not leak memory
         // pressure or free work into the next query's timing
         spark.catalog.clearCache()

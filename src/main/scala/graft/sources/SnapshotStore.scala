@@ -4572,8 +4572,17 @@ object SnapshotStore {
         // recomputing the transform and captures write-time
         // canonicalization). Rebase reruns this whole block against the
         // winner's snapshot, so the feed always reflects committed states.
-        val ch = suppliedChanges.getOrElse(
-          diffChanges(read(spark, base), readDir(spark, dir), keys))
+        val ch = suppliedChanges.getOrElse {
+          val baseDf = read(spark, base)
+          // first write onto an EMPTY base (createJoin's v1, any
+          // init-then-transact shape): every staged row is an insert —
+          // skip the generic keyed diff, whose two-sided key shuffle
+          // re-sorts the entire staged output to conclude exactly that
+          if (baseDf.isEmpty)
+            readDir(spark, dir).withColumn(ChangeTypeCol,
+              org.apache.spark.sql.functions.lit("insert"))
+          else diffChanges(baseDf, readDir(spark, dir), keys)
+        }
         require(ch.columns.contains(ChangeTypeCol),
           s"supplied change frame lacks $ChangeTypeCol")
         ch.write.mode("overwrite").parquet(s"$dir/_changes")
