@@ -165,8 +165,17 @@ object Graph {
         .select($("dst").as("src"), $("m").as("dst"))
         .unionByName(m.select($("src"), $("m").as("dst"))))
     }
+    // dedup AND lay out in ONE exchange: hash partitioning on src alone
+    // already co-locates every row agreeing on (src, dst) — a strict
+    // subset of the dedup keys satisfies ClusteredDistribution — so
+    // repartition-then-dropDuplicates dedups with no second shuffle where
+    // distinct().repartition(src) paid an (src, dst) exchange AND an src
+    // exchange per cycle, and the aggregate preserves the src layout the
+    // next cycle's groupBy/join reuse
+    def dedupBySrc(e: DataFrame): DataFrame =
+      e.repartition(parts, $("src")).dropDuplicates("src", "dst")
     var (edges, edgesCk) = iterCheckpoint(
-      sym(directed).distinct().repartition(parts, $("src")), resetStats = false)
+      dedupBySrc(sym(directed)), resetStats = false)
     var mins = minsOf(edges).cache()
     // Per-cycle convergence probe is a CHEAP order-independent signature
     // (row count + bit_xor of xxhash64(src, m) — one single-stage reduce
@@ -186,7 +195,7 @@ object Graph {
     var cycles = 0
     while (!converged && cycles < maxCycles) {
       val (next, nextCk) = iterCheckpoint(
-        smallStar(largeStar(edges)).distinct().repartition(parts, $("src")),
+        dedupBySrc(smallStar(largeStar(edges))),
         resetStats = cycles % 2 == 1)
       val nextMins = minsOf(next).cache()
       val nextSig = sigOf(nextMins)
