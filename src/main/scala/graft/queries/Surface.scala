@@ -825,16 +825,29 @@ object Surface {
     * pins binary identity, while the metadata columns come straight from the
     * construction formulas — the ENGINE must recover them by parsing.
     */
+  /** Spread a media-universe CONTROL frame (a few narrow columns per
+    * asset) across the session's cores before the partition-local codec
+    * stage consumes it: the builders below inherit the documents scan's
+    * 1-2 input splits, which ran the whole encode/decode pipeline on two
+    * tasks while 30 cores idled (measured: q35g's entire 3.4 s job was
+    * one 2-task stage). The shuffle moves only (id, src, twin) rows —
+    * the guide §8 shape: decide with small rows, spread the heavy
+    * per-row work wide.
+    */
+  private def spreadForCodec(df: org.apache.spark.sql.DataFrame) =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Image universe for q35c/q35d: every document, plus a planted
     * near-duplicate twin (re-keyed past the doc space) for docs ≡0 mod 29.
     */
   private def imageRows(s: org.apache.spark.sql.SparkSession, d: String) = {
     val docs = Tables.documents(s, d).select($("doc_id"))
-    docs.select($("doc_id").as("img_id"), $("doc_id").as("src"),
+    spreadForCodec(
+      docs.select($("doc_id").as("img_id"), $("doc_id").as("src"),
         lit(false).as("twin"))
       .unionByName(docs.filter($("doc_id") % 29 === 0)
         .select(($("doc_id") + 10000000L).as("img_id"), $("doc_id").as("src"),
-          lit(true).as("twin")))
+          lit(true).as("twin"))))
   }
 
   /** Clip universe for q35e/q35f: the q35c/q35d image universe, re-keyed
@@ -843,21 +856,23 @@ object Surface {
     */
   private def clipRows(s: org.apache.spark.sql.SparkSession, d: String) = {
     val docs = Tables.documents(s, d).select($("doc_id"))
-    docs.select($("doc_id").as("clip_id"), $("doc_id").as("src"),
+    spreadForCodec(
+      docs.select($("doc_id").as("clip_id"), $("doc_id").as("src"),
         lit(false).as("twin"))
       .unionByName(docs.filter($("doc_id") % 29 === 0)
         .select(($("doc_id") + 10000000L).as("clip_id"), $("doc_id").as("src"),
-          lit(true).as("twin")))
+          lit(true).as("twin"))))
   }
 
   /** Video universe for q35g/q35h (same planted-twin scheme as images). */
   private def videoRows(s: org.apache.spark.sql.SparkSession, d: String) = {
     val docs = Tables.documents(s, d).select($("doc_id"))
-    docs.select($("doc_id").as("vid_id"), $("doc_id").as("src"),
+    spreadForCodec(
+      docs.select($("doc_id").as("vid_id"), $("doc_id").as("src"),
         lit(false).as("twin"))
       .unionByName(docs.filter($("doc_id") % 29 === 0)
         .select(($("doc_id") + 10000000L).as("vid_id"), $("doc_id").as("src"),
-          lit(true).as("twin")))
+          lit(true).as("twin"))))
   }
 
   /** Shared oracle CTE: expected per-sampled-frame dHash bits from the
@@ -962,11 +977,12 @@ object Surface {
     */
   private def jpegRows(s: org.apache.spark.sql.SparkSession, d: String) = {
     val docs = Tables.documents(s, d).select($("doc_id"))
-    docs.select($("doc_id").as("img_id"), $("doc_id").as("src"),
+    spreadForCodec(
+      docs.select($("doc_id").as("img_id"), $("doc_id").as("src"),
         lit(false).as("twin"))
       .unionByName(docs.filter($("doc_id") % 31 === 0)
         .select(($("doc_id") + 20000000L).as("img_id"), $("doc_id").as("src"),
-          lit(true).as("twin")))
+          lit(true).as("twin"))))
   }
 
   /** The q35j oracle's tile algebra: Multimodal.jpegTile mirrored in SQL
