@@ -45,9 +45,12 @@ object Temporal {
       q: String, tag: String, what: String): org.apache.spark.sql.DataFrame = {
     import graft.sources.MvRewrite
     val refDir = graft.GateTmp.freshDir(tag + "_ref")
+    // restore the rewrite conf even when the direct-side write throws —
+    // a leaked "false" would cascade spurious plan-contains-MV failures
+    // into every later MV gate in the same session (ADVICE r20)
     s.conf.set(MvRewrite.EnabledKey, "false")
-    s.sql(q).write.mode("overwrite").parquet(refDir)
-    s.conf.set(MvRewrite.EnabledKey, "true")
+    try s.sql(q).write.mode("overwrite").parquet(refDir)
+    finally s.conf.set(MvRewrite.EnabledKey, "true")
     val served = s.sql(q)
     val cols = served.columns.toSeq.map($(_))
     val bad = served.withColumn("_side", lit(1L))

@@ -768,8 +768,20 @@ object SnapshotStore {
         // refresh replay guards. Fall back to the full listing
         // (ADVICE r19, low).
         if (head < afterV) legacyList
-        else (afterV + 1 to head).iterator
-          .map(commitFile(root, _)).filter(Files.exists(_)).toSeq
+        else {
+          val probed = (afterV + 1 to head).iterator
+            .map(commitFile(root, _)).filter(Files.exists(_)).toSeq
+          // a MISSING version strictly inside (afterV, head] proves a
+          // vacuum gap in the live range — and a gap means the hint's
+          // walk-forward may equally have been stranded UNDER a second
+          // gap above `head` with live commits beyond it (ADVICE r20,
+          // low: the same truncated-tail/under-reported-high-water-marks
+          // hazard as head < afterV). Gaps never exist in steady state
+          // (vacuum drops a contiguous prefix and heals the hint), so
+          // the fallback costs nothing on the hot path.
+          if (probed.length == (head - afterV).toInt) probed
+          else legacyList
+        }
       case None => legacyList
     }
   }
@@ -3578,7 +3590,13 @@ object SnapshotStore {
       val s = Files.list(stagedDir)
       try s.iterator().asScala.toSeq finally s.close()
     }
-    if (entries.exists(Files.isDirectory(_))) return false
+    // `_manifest/` is per-file stats metadata, not feed data: a flat
+    // init/clone with BOTH statsCols and cdcKeys must still link (ADVICE
+    // r20 — the isDirectory refusal was silently sending every
+    // stats+CDC table down the legacy full second write). The refusal
+    // stays for everything else: partition/spec subtrees and `_dv`.
+    if (entries.exists(p => Files.isDirectory(p) &&
+      p.getFileName.toString != "_manifest")) return false
     val files = entries.filter(_.getFileName.toString.endsWith(".parquet"))
     if (files.isEmpty) return false
     linkInsertChangeFiles(stagedDir, files)

@@ -196,23 +196,40 @@ object HttpIngestSource {
     server.createContext("/ingest", new HttpHandler {
       override def handle(x: HttpExchange): Unit = {
         if (x.getRequestMethod == "POST") {
-          if (buffered.get() >= maxBufferedRows) {
+          // reserve capacity ATOMICALLY (CAS check-and-increment): with
+          // the 8-thread handler pool a plain check-then-put overshot the
+          // cap by up to pool-size concurrent accepts (ADVICE r20) — if
+          // the cap is a memory bound it must be strict. Released below
+          // if the append never happens.
+          def tryReserve(): Boolean = {
+            var cur = buffered.get()
+            while (cur < maxBufferedRows) {
+              if (buffered.compareAndSet(cur, cur + 1)) return true
+              cur = buffered.get()
+            }
+            false
+          }
+          if (!tryReserve()) {
             reply(x, 503, "busy") // bounded buffer: back off and retry
           } else {
-            val out = new ByteArrayOutputStream()
-            val in = x.getRequestBody
-            val buf = new Array[Byte](8192)
-            var n = in.read(buf)
-            while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-            val body = out.toString("UTF-8")
-            val s = walLock.synchronized {
-              val s = seq.incrementAndGet()
-              val micros = System.currentTimeMillis() * 1000L
-              walAppend(s, body, micros)
-              writtenSeq = s
-              buffered.incrementAndGet()
-              buffer.put(s, (body, micros))
-              s
+            val s = try {
+              val out = new ByteArrayOutputStream()
+              val in = x.getRequestBody
+              val buf = new Array[Byte](8192)
+              var n = in.read(buf)
+              while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+              val body = out.toString("UTF-8")
+              walLock.synchronized {
+                val s = seq.incrementAndGet()
+                val micros = System.currentTimeMillis() * 1000L
+                walAppend(s, body, micros)
+                writtenSeq = s
+                buffer.put(s, (body, micros))
+                s
+              }
+            } catch { case e: Throwable =>
+              buffered.decrementAndGet() // reservation never materialized
+              throw e
             }
             // group commit: sync only if no later flush already covered
             // this record; the winning handler's one fsync acks every
