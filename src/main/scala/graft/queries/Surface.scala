@@ -166,7 +166,17 @@ object Surface {
     // variant) — the Canon rule applied to semi-structured data.
     "q47_variant" -> QueryDef(
       build = (s, d) => {
+        // spread the four NARROW source columns across cores BEFORE the
+        // per-row to_json/parse_json pipeline (the q35 control-row rule,
+        // guide §2.6/§8): the sf file is one row group = one scan task,
+        // and unlike the corpus gates the heavy bytes here are GENERATED
+        // from ~30 B/row of metadata — the exchange is metadata-plane at
+        // any scale. Measured 4.0 s of single-task variant CPU (scaling
+        // ratio 0.39) before; the declared output is unchanged (ordered
+        // by vid).
         val ev = Tables.events(s, d)
+          .select($("event_id"), $("event_type"), $("user_id"), $("value"))
+          .repartition(s.sparkContext.defaultParallelism)
         val j = to_json(struct($("event_id"), $("event_type").as("t"),
           struct($("user_id"), $("value")).as("u"),
           struct($("event_id"), $("event_type").as("t")).as("meta")))

@@ -2006,6 +2006,60 @@ object SnapshotStore {
     * constraint; throws [[ConstraintViolationException]] with per-name
     * counts. Shared by every commit path (transact / restore).
     */
+  /** Constraint metrics FUSED into the staged write (one job, many
+    * metrics): attach a CollectMetrics node to `out` and return the
+    * observed frame plus a `check` thunk. The caller writes the observed
+    * frame — its write job computes the violation counts as observed
+    * metrics, for free — then calls `check()`, which throws the same
+    * ConstraintViolationException the standalone pass threw. This removes
+    * one full execution of the commit's output plan per constrained
+    * commit (the old shape ran `out.agg(...).head()` AND the write — two
+    * passes over base ⋈ batch; measured ~0.2–0.9 s of gate time each on
+    * the WAP/DML gates, and at 100 TB a whole extra table pass).
+    *
+    * Contract: `check()` must be called strictly AFTER the one-and-only
+    * action on the returned frame (the staged write), and any caller
+    * probing the frame with a short-circuiting action first (isEmpty's
+    * limit(1)) must do that on the UNOBSERVED frame — metrics under a
+    * limit would be partial. Violations surface after staging; the
+    * caller deletes the fresh dir (same orphan rule as a lost CAS).
+    */
+  private def constraintsObserved(out: DataFrame,
+      allConstraints: Seq[(String, org.apache.spark.sql.Column)])
+      : (DataFrame, () => Unit) = {
+    import org.apache.spark.sql.functions.{coalesce, lit, sum, when}
+    if (allConstraints.isEmpty) (out, () => ())
+    else {
+      val obs = new org.apache.spark.sql.Observation()
+      // positional metric names: caller-supplied constraint names may
+      // legally collide with the table's own
+      val aggs = allConstraints.zipWithIndex.map { case ((_, c), i) =>
+        coalesce(sum(when(!c, lit(1L)).otherwise(lit(0L))), lit(0L))
+          .as(s"_c$i")
+      }
+      val observed = out.observe(obs, aggs.head, aggs.tail: _*)
+      (observed, () => {
+        val row = obs.get
+        val bad = allConstraints.zipWithIndex.collect {
+          case ((name, _), i) if row(s"_c$i").asInstanceOf[Long] > 0 =>
+            s"$name (${row(s"_c$i")} rows)"
+        }
+        if (bad.nonEmpty)
+          throw new ConstraintViolationException(
+            s"commit rejected, constraints violated: ${bad.mkString(", ")}")
+      })
+    }
+  }
+
+  /** Delete a freshly staged dir after a post-write refusal (observed
+    * constraint violation): never required for correctness — an
+    * uncommitted dir is invisible and cleanOrphans food — but keeps the
+    * refusal's disk footprint identical to the pre-write-check shape.
+    */
+  private def dropStagedDir(dir: String): Unit =
+    try walkDeepestFirst(Paths.get(dir)).foreach(Files.deleteIfExists(_))
+    catch { case _: Exception => () }
+
   private def enforceConstraints(out: DataFrame,
       allConstraints: Seq[(String, org.apache.spark.sql.Column)]): Unit = {
     import org.apache.spark.sql.functions.{coalesce, count, lit, sum, when}
@@ -2279,12 +2333,14 @@ object SnapshotStore {
         throw new LayoutChangedException(
           s"$root evolved its partition spec mid-append; re-route onto " +
             "the spanning-layout path")
-      val rows = newRows(read(spark, base))
-      enforceConstraints(rows,
+      val rows0 = newRows(read(spark, base))
+      val (rows, checkConstraints) = constraintsObserved(rows0,
         tableConstraints(root).map { case (n, sql) => (n, expr(sql)) })
       val dir = Paths.get(root, "data", UUID.randomUUID().toString)
       Files.createDirectories(dir)
       rows.write.mode("append").parquet(dir.toString)
+      try checkConstraints()
+      catch { case e: Throwable => dropStagedDir(dir.toString); throw e }
       val appendedFiles = { // the new batch's files, BEFORE links arrive
         val s = Files.list(dir)
         try s.iterator().asScala.map(_.toString)
@@ -2312,7 +2368,7 @@ object SnapshotStore {
         // rows.limit(0) provides without executing the upstream plan.
         if (appendedFiles.nonEmpty)
           linkInsertChangeFiles(dir, appendedFiles.map(Paths.get(_)))
-        else rows.limit(0).withColumn(ChangeTypeCol, lit("insert"))
+        else rows0.limit(0).withColumn(ChangeTypeCol, lit("insert"))
           .write.mode("overwrite").parquet(s"$dir/_changes")
       }
       if (tryCommit(root, base.version, dir.toString, txns))
@@ -2348,8 +2404,8 @@ object SnapshotStore {
           s"$root healed to a single partition spec mid-append; re-route " +
             "onto the plain path")
       val (sub, cols) = specs.last
-      val rows = newRows(read(spark, base))
-      enforceConstraints(rows,
+      val rows0 = newRows(read(spark, base))
+      val (rows, checkConstraints) = constraintsObserved(rows0,
         tableConstraints(root).map { case (n, sql) => (n, expr(sql)) })
       val dir = Paths.get(root, "data", UUID.randomUUID().toString)
       Files.createDirectories(dir)
@@ -2359,15 +2415,20 @@ object SnapshotStore {
       // batch over ~700 dirs, and an unclustered write serializes them
       // through however few tasks the upstream filter left (measured: ONE
       // task, 1.6 s, on the q110b hours-era insert) while also writing
-      // tasks × dirs sliver files. One O(batch) shuffle buys parallel
-      // writers and one file per task per dir.
+      // tasks × dirs sliver files. The REBALANCE hint (not a plain
+      // repartition) keeps the one-file-per-dir goal BOUNDED instead of
+      // absolute: AQE still coalesces slivers, but a hot partition value
+      // larger than the advisory size is SPLIT across several writer
+      // tasks instead of serializing through one (guide §2.5 skew — the
+      // 100 TB single-writer hazard a bare hash-by-partition-cols has).
       val clustered =
-        if (cols.nonEmpty)
-          rows.repartition(cols.map(org.apache.spark.sql.functions.col): _*)
+        if (cols.nonEmpty) rows.hint("rebalance", cols: _*)
         else rows
       if (cols.nonEmpty)
         clustered.write.mode("append").partitionBy(cols: _*).parquet(tgt)
       else clustered.write.mode("append").parquet(tgt)
+      try checkConstraints()
+      catch { case e: Throwable => dropStagedDir(dir.toString); throw e }
       val appendedFiles = { // the new batch's files, BEFORE links arrive
         val w = Files.walk(Paths.get(tgt))
         try w.iterator().asScala.map(_.toString)
@@ -2390,7 +2451,7 @@ object SnapshotStore {
         (if (appendedFiles.nonEmpty)
           spark.read.schema(readSchema(spark, base)).option("basePath", tgt)
             .parquet(appendedFiles: _*)
-        else rows.limit(0))
+        else rows0.limit(0))
           .withColumn(ChangeTypeCol, lit("insert"))
           .write.mode("overwrite").parquet(s"$dir/_changes")
       if (tryCommit(root, base.version, dir.toString, txns))
@@ -2873,20 +2934,25 @@ object SnapshotStore {
     // within one version a key carries at most an update's pre+post pair:
     // the preimage is that version's "before", the postimage its "after"
     val ord = when(tc.isin("update_preimage", "delete"), 0).otherwise(1)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(CommitVersionCol).asc, ord.asc)
-    val wd = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(CommitVersionCol).desc, ord.desc)
-    val rowStruct = struct(cols.map(col): _*)
-    val agg = feed
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__rnd", row_number().over(wd))
+    // first/last event per key via min_by/max_by over the (version, ord)
+    // struct — NOT two row_number windows: the window form cost one
+    // exchange + two full sorts + two sort-based max(struct) aggregates
+    // per call, where this is ONE hash aggregation with map-side partials
+    // (guide §2.3/§2.4). Equivalent because (version, ord) is unique per
+    // key — a version holds at most one event per key except an update's
+    // pre(0)/post(1) pair — so "row_number()==1" IS the min/max. The
+    // event-type guards ride inside the picked struct.
+    val ordKey = struct(col(CommitVersionCol).as("v"), ord.as("o"))
+    val rowStructT = struct((cols.map(col) :+ tc.as(ChangeTypeCol)): _*)
+    val firstLast = feed
       .groupBy(keys.map(col): _*)
-      .agg(
-        max(when(col("__rn") === 1 &&
-          tc.isin("delete", "update_preimage"), rowStruct)).as("__b"),
-        max(when(col("__rnd") === 1 &&
-          tc.isin("insert", "update_postimage"), rowStruct)).as("__a"))
+      .agg(min_by(rowStructT, ordKey).as("__f"),
+        max_by(rowStructT, ordKey).as("__l"))
+    val agg = firstLast.select((keys.map(col) :+
+      when(col("__f").getField(ChangeTypeCol)
+        .isin("delete", "update_preimage"), col("__f")).as("__b") :+
+      when(col("__l").getField(ChangeTypeCol)
+        .isin("insert", "update_postimage"), col("__l")).as("__a")): _*)
     def img(s: String, kind: String) = struct(
       cols.map(c => col(s).getField(c).as(c)) :+ lit(kind).as(ChangeTypeCol): _*)
     val changed = nonKeys
@@ -4198,7 +4264,7 @@ object SnapshotStore {
             touchedValRows.map(_.get(0)).toIndexedSeq: _*))
         else baseDf.join(broadcast(touchedVals), parts, "left_semi")
       val (out, changes) = transform(rowsTouched)
-      enforceConstraints(out, constraints ++
+      val (outObs, checkConstraints) = constraintsObserved(out, constraints ++
         tableConstraints(root).map { case (n, sql) => (n, expr(sql)) })
       // touched partition DIRS from the matched rows' own files — in the
       // URI-ENCODED relative form the lineage column carries, and decoded
@@ -4219,10 +4285,13 @@ object SnapshotStore {
       // partitioned write (the createJoin rule): without this, every task
       // writes a sliver into every touched dir — on a high-cardinality
       // layout (hours(ts): thousands of dirs) a plain append explodes
-      // into tasks × dirs files, which the next scan then pays for. One
-      // extra O(staged batch) shuffle buys one-file-per-partition-dir.
-      out.repartition(parts.map(col): _*)
+      // into tasks × dirs files, which the next scan then pays for. The
+      // REBALANCE hint keeps that goal bounded: AQE splits a hot
+      // partition value across writers instead of one task (§2.5 skew).
+      outObs.hint("rebalance", parts: _*)
         .write.mode("overwrite").partitionBy(parts: _*).parquet(dir.toString)
+      try checkConstraints()
+      catch { case e: Throwable => dropStagedDir(dir.toString); throw e }
       val freshFiles = { // the rewritten partitions' files, BEFORE links
         val w = Files.walk(dir)
         try w.iterator().asScala.map(_.toString)
@@ -4390,7 +4459,7 @@ object SnapshotStore {
           .project(extraCols = Seq(DvFileCol, DvPosCol)))
         .select(schema.fieldNames.toIndexedSeq.map(col): _*)
     val (out, changes) = transform(rowsTouched)
-    enforceConstraints(out, constraints ++
+    val (outObs, checkConstraints) = constraintsObserved(out, constraints ++
       tableConstraints(root).map { case (n, sql) => (n, expr(sql)) })
     val dir = Paths.get(root, "data", UUID.randomUUID().toString)
     Files.createDirectories(dir)
@@ -4401,10 +4470,13 @@ object SnapshotStore {
     if (curCols.nonEmpty)
       // cluster by the spec's partition columns before the fan-out write
       // (the 4181/createJoin rule) — a high-cardinality current spec
-      // (hours(ts)) otherwise writes tasks × dirs sliver files
-      out.repartition(curCols.map(col): _*)
+      // (hours(ts)) otherwise writes tasks × dirs sliver files. REBALANCE,
+      // not repartition: AQE splits a hot partition value (§2.5 skew)
+      outObs.hint("rebalance", curCols: _*)
         .write.mode("append").partitionBy(curCols: _*).parquet(tgt)
-    else out.write.mode("append").parquet(tgt)
+    else outObs.write.mode("append").parquet(tgt)
+    try checkConstraints()
+    catch { case e: Throwable => dropStagedDir(dir.toString); throw e }
     // hard-link every data file OUTSIDE the touched set, in place — each
     // keeps its own era's layout
     val basePath = Paths.get(base.dataDir).toAbsolutePath.normalize()
@@ -4502,13 +4574,17 @@ object SnapshotStore {
         "transactMoR: matched() must preserve the lineage columns " +
           s"($DvFileCol, $DvPosCol) — use filters/semi-joins, not projections")
       val (out, changes) = replace(m.drop(DvFileCol, DvPosCol))
-      enforceConstraints(out, constraints ++
-        tableConstraints(root).map { case (n, sql) => (n, expr(sql)) })
       val dir = Paths.get(root, "data", UUID.randomUUID().toString)
       Files.createDirectories(dir)
       // replacement rows first (fresh uuid-named files — no collision with
-      // the links), then the metadata-only link of every base data file
+      // the links), then the metadata-only link of every base data file.
+      // The isEmpty probe stays on the UNOBSERVED frame (metrics under its
+      // limit(1) would be partial — [[constraintsObserved]] contract); an
+      // empty replacement trivially satisfies every row constraint, same
+      // as the old pre-write aggregate over zero rows.
       if (!out.isEmpty) {
+        val (outObs, checkConstraints) = constraintsObserved(out, constraints ++
+          tableConstraints(root).map { case (n, sql) => (n, expr(sql)) })
         val (tgt, cols) =
           if (evolved) {
             val (sub, c) = readSpecs(base.dataDir).last
@@ -4516,10 +4592,13 @@ object SnapshotStore {
           } else (dir.toString, partitionCols(root))
         if (cols.nonEmpty)
           // cluster by the partition columns before the fan-out write
-          // (the 4181/createJoin rule)
-          out.repartition(cols.map(col): _*)
+          // (the 4181/createJoin rule). REBALANCE, not repartition: AQE
+          // splits a hot partition value across writers (§2.5 skew)
+          outObs.hint("rebalance", cols: _*)
             .write.mode("append").partitionBy(cols: _*).parquet(tgt)
-        else out.write.mode("append").parquet(tgt)
+        else outObs.write.mode("append").parquet(tgt)
+        try checkConstraints()
+        catch { case e: Throwable => dropStagedDir(dir.toString); throw e }
       }
       val basePath = Paths.get(base.dataDir).toAbsolutePath.normalize()
       linkParquetTree(basePath, dir, withDv = false)
@@ -4574,10 +4653,13 @@ object SnapshotStore {
       if (stampGuard(root, txns, pinCheck)) { onReplay(); return base }
       val (out, suppliedChanges) = transform(read(spark, base))
       // caller-supplied invariants + the table's own persisted CHECK
-      // constraints — every commit path enforces the latter automatically
-      enforceConstraints(out, constraints ++
+      // constraints — every commit path enforces the latter automatically,
+      // fused into the staged write's own job (see [[constraintsObserved]])
+      val (outObs, checkConstraints) = constraintsObserved(out, constraints ++
         tableConstraints(root).map { case (n, sql) => (n, expr(sql)) })
-      val dir = stage(root, out)
+      val dir = stage(root, outObs)
+      try checkConstraints()
+      catch { case e: Throwable => dropStagedDir(dir); throw e }
       stagedHook(dir) // e.g. the identity high-water-mark for THIS attempt
       carryStateSidecars(base.dataDir, dir)
       carryFieldMetadata(spark, base, dir)

@@ -638,4 +638,39 @@ class PartitionEvolutionSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", tz0)
     spark.sql("DROP TABLE graft_tr.t")
   }
+
+  test("clustered staging write splits a hot partition value across >1 task") {
+    // The staging writes cluster rows by the spec's partition columns so
+    // each dir gets one file per writer — but via a REBALANCE hint, not a
+    // bare hash repartition: a hot partition value (one day holding most
+    // of a batch at 100 TB) must not serialize through a single writer
+    // task. With a tiny advisory partition size, AQE's skew-split must
+    // produce MULTIPLE files inside one k=hot directory.
+    val root = tmp("graft_pe_skew")
+    SnapshotStore.init(spark, root,
+      Seq((0L, "cold", 0L)).toDF("id", "k", "v"))
+    SnapshotStore.alterPartitionSpec(spark, root, Seq("k"))
+    val advisory0 = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    try {
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      // one hot value, produced by several map tasks (4 input partitions)
+      val hot = spark.range(0, 50000, 1, 4)
+        .selectExpr("id", "'hot' AS k", "id * 7 AS v")
+      SnapshotStore.append(spark, root, hot)
+    } finally
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory0)
+    val head = SnapshotStore.latest(root)
+    val hotDir = Paths.get(head.dataDir, "_spec1", "k=hot")
+    assert(Files.isDirectory(hotDir), s"expected $hotDir")
+    val files = {
+      val s = Files.list(hotDir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq
+      finally s.close()
+    }
+    assert(files.size > 1,
+      s"hot partition value must split across >1 writer task, got $files")
+    // and the data survives the split intact
+    assert(SnapshotStore.read(spark, root).count() == 50001L)
+  }
 }
