@@ -40,7 +40,7 @@ object Graph {
   }
 
   private def linkGraphN(s: SparkSession, d: String): (Long, DataFrame, DataFrame) = {
-    graphCache.getOrElseUpdate((s, d), {
+    val (n, docs, edges) = graphCache.getOrElseUpdate((s, d), {
       val docs = Tables.documents(s, d).select($("doc_id")).cache()
       val n = docs.count() // one tiny job; N pins the dst modulus
       val edges = docs
@@ -52,6 +52,7 @@ object Graph {
         .cache()
       (n, docs, edges)
     })
+    (n, docs, edges)
   }
 
   /** Derived frames shared across gates on top of the memoized graph
@@ -61,9 +62,21 @@ object Graph {
   private val derivedCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  private def cachedDerived(s: SparkSession, d: String, key: String)
-                           (build: => DataFrame): DataFrame =
-    derivedCache.getOrElseUpdate((s, d, key), build.cache())
+  /** `reassert = true` re-marks the cache on every access: memoized
+    * frames outlive Bench's per-repetition clearCache(), so without it
+    * every repetition after the first ran UNcached. Worth it ONLY for
+    * frames an iterative gate references many times per run (edgesDeg:
+    * 10 joins per q73/q84 run — measured q84 3.9 s → 2.8 s); for one- or
+    * two-reference frames (oriented: one self-join) the eager
+    * materialization barrier costs MORE than the duplicate computation
+    * it saves (measured q73b/q83 +1.7 s each), so those stay lazy.
+    */
+  private def cachedDerived(s: SparkSession, d: String, key: String,
+      reassert: Boolean = false)(build: => DataFrame): DataFrame = {
+    val df = derivedCache.getOrElseUpdate((s, d, key), build.cache())
+    if (reassert) df.cache()
+    df
+  }
 
   /** Shuffle-partition count for |V|-row iterative label/dist frames,
     * derived from the vertex count instead of pinned to a gate-volume
@@ -254,7 +267,7 @@ object Graph {
         val (docs, edges) = linkGraph(s, d)
         // one co-partitioned (src → dst, deg) layout reused every iteration
         // (and across q73/q84 via the derived cache)
-        val edgesDeg = cachedDerived(s, d, "edgesDeg") {
+        val edgesDeg = cachedDerived(s, d, "edgesDeg", reassert = true) {
           edges.join(edges.groupBy($("src")).agg(count(lit(1)).as("deg")), "src")
         }
         var pr = docs.select($("doc_id"), lit(Scale).as("pr")).localCheckpoint(true)
@@ -306,7 +319,7 @@ object Graph {
     "q84_ppr" -> QueryDef(
       build = (s, d) => {
         val (docs, edges) = linkGraph(s, d)
-        val edgesDeg = cachedDerived(s, d, "edgesDeg") {
+        val edgesDeg = cachedDerived(s, d, "edgesDeg", reassert = true) {
           edges.join(edges.groupBy($("src")).agg(count(lit(1)).as("deg")), "src")
         }
         val seedMass = lit(15L * Scale / 100)

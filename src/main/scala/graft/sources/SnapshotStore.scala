@@ -385,7 +385,15 @@ object SnapshotStore {
     // survives partitioned writes (partial COW carries it by nested
     // relative path)
     Files.createDirectories(commitsDir(root))
-    val dir = stage(root, df, partitionBy)
+    // cluster the initial load by its partition columns (REBALANCE: AQE
+    // coalesces slivers AND splits hot values — §2.5): the user's df
+    // arrives with arbitrary partitioning, and an unclustered partitionBy
+    // write of the table's BIGGEST write (the initial load) would fan
+    // tasks × dirs sliver files. stage() itself stays shuffle-free —
+    // OPTIMIZE routes pre-shaped (range/zorder) frames through it.
+    val dfClustered =
+      if (partitionBy.nonEmpty) df.hint("rebalance", partitionBy: _*) else df
+    val dir = stage(root, dfClustered, partitionBy)
     if (statsCols.nonEmpty) writeManifest(spark, dir, statsCols)
     if (cdcKeys.nonEmpty && !linkInsertChanges(Paths.get(dir))) {
       // partitioned layout (or zero staged files): the linked-frame
