@@ -430,6 +430,16 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("bal_non_negative"))
     assert(SnapshotStore.latest(root).version == 1L, "violating commit moved the pointer")
     assert(SnapshotStore.read(spark, root).orderBy("k").collect().toSeq == before)
+    // the check is observed metrics ON the staged write (one job, not a
+    // separate aggregate pass), so the violating attempt stages files
+    // first — the refusal must clean its dir up, leaving exactly the two
+    // committed versions' dirs behind
+    locally {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(root, "data"))
+      val dirs = try s.iterator().asScala.toSeq finally s.close()
+      assert(dirs.size == 2, s"violating commit left a staged dir: $dirs")
+    }
     // an empty output trivially satisfies row constraints
     SnapshotStore.transact(spark, root, constraints = checks)(df => df.filter($"k" < 0))
     assert(SnapshotStore.read(spark, root).isEmpty)
